@@ -1,13 +1,566 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Multimodal, Patterns, Similarity}
+import graft.sources.{ParquetConnector, SchemaInfer, UpsertWriter}
+
+/** Driver contract: the declared operator surface (SURVEY.md §2), one
+  * query per operator, each with a DuckDB-equivalent oracle where the
+  * semantics are SQL-expressible.
+  *
+  * Oracle-parity rules used throughout (see Verify):
+  *  - every computed column aliased identically in Spark and SQL;
+  *  - money arithmetic done in DECIMAL (exact), cast to DOUBLE at the end
+  *    so both engines produce bit-identical doubles regardless of
+  *    summation order;
+  *  - deterministic ORDER BY on a unique key in every query.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    ParquetConnector.readTable(s, s"$dir/$name.parquet")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_join_nation_revenue")(spark, "/root/testdata/sf0.001")
+
+  // Shared SQL fragments (valid in both Spark SQL and DuckDB):
+  private val Disc = "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+  private val Chrg = "(CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"
+  private val Price = "CAST(l_extendedprice AS DECIMAL(12,2))"
+  private val Qty = "CAST(l_quantity AS DECIMAL(12,2))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- scans / incremental reads (S2, S6) ----
+    "q_scan_project" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q_read_since" -> ((s, dir) => {
+      // read_since parity: matcher >= since, ordered by matcher (mysql.rb:149-158)
+      T(s, dir, "events")
+        .filter(expr("ts >= TIMESTAMP '2024-01-25 00:00:00'"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("ts"), col("event_id"))
+    }),
+
+    "q_limit_offset" -> ((s, dir) => {
+      // LIMIT offset,n pagination (mysql.rb:32-52) as a deterministic page
+      T(s, dir, "orders")
+        .orderBy(col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .offset(50).limit(100)
+    }),
+
+    // ---- engine-issued aggregates (A1, A2) ----
+    "q_count" -> ((s, dir) =>
+      T(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))),
+
+    "q_max_watermark" -> ((s, dir) =>
+      T(s, dir, "events").agg(
+        max(col("ts")).as("max_ts"),
+        count(lit(1)).as("cnt"))),
+
+    // ---- aggregation (TPC-H Q1 shape) ----
+    "q_agg_pricing" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .filter(expr("l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          expr(s"CAST(SUM($Qty) AS DOUBLE)").as("sum_qty"),
+          expr(s"CAST(SUM($Price) AS DOUBLE)").as("sum_base"),
+          expr(s"CAST(SUM($Price * $Disc) AS DOUBLE)").as("sum_disc_price"),
+          expr(s"CAST(SUM($Price * $Disc * $Chrg) AS DOUBLE)").as("sum_charge"),
+          expr(s"CAST(SUM($Qty) AS DOUBLE) / COUNT(*)").as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- joins (broadcast dims; Catalyst/AQE pick the big-side strategy) ----
+    "q_join_nation_revenue" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val o = T(s, dir, "orders")
+        .filter(expr("o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"))
+      val c = T(s, dir, "customer")
+      val n = T(s, dir, "nation")
+      val r = T(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          expr(s"CAST(SUM($Price * $Disc) AS DOUBLE)").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q_semi_join" -> ((s, dir) => {
+      val recent = T(s, dir, "orders").filter(expr("o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'"))
+      T(s, dir, "customer")
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_anti_join" -> ((s, dir) => {
+      val recent = T(s, dir, "orders").filter(expr("o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'"))
+      T(s, dir, "customer")
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- window / ranking / top-k ----
+    "q_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+        .orderBy(col("o_custkey"), col("rk"))
+    }),
+
+    "q_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "lineitem")
+        .withColumn("running_qty", sum(col("l_quantity")).over(w))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q_first_touch" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("first_event_id"),
+          col("event_type").as("first_event_type"), col("ts").as("first_ts"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("brk",
+          when(col("prev_ts").isNull, lit(0))
+            .otherwise(expr("CASE WHEN ts - prev_ts > INTERVAL '30' MINUTE THEN 1 ELSE 0 END")))
+        .withColumn("session_id",
+          sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("event_id"), col("ts"), col("session_id"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
+    // ---- set operations ----
+    "q_union" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      o.filter(expr("year(o_orderdate) = 1996")).select(col("o_custkey"))
+        .union(o.filter(expr("year(o_orderdate) = 1997")).select(col("o_custkey")))
+        .distinct()
+        .orderBy(col("o_custkey"))
+    }),
+
+    "q_intersect" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      o.filter(expr("year(o_orderdate) = 1996")).select(col("o_custkey"))
+        .intersect(o.filter(expr("year(o_orderdate) = 1997")).select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    "q_except" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      o.filter(expr("year(o_orderdate) = 1996")).select(col("o_custkey"))
+        .except(o.filter(expr("year(o_orderdate) = 1997")).select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // ---- grouping sets ----
+    "q_rollup" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), expr(s"CAST(SUM($Qty) AS DOUBLE)").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("cnt"), col("sum_qty"))
+        .orderBy(col("rflag"), col("lstatus"))
+    }),
+
+    "q_cube" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)").as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("cnt"), col("sum_price"))
+        .orderBy(col("status"), col("priority"))
+    }),
+
+    "q_pivot" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr(s"CAST(SUM(CASE WHEN l_linestatus = 'O' THEN $Qty ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)").as("qty_open"),
+          expr(s"CAST(SUM(CASE WHEN l_linestatus = 'F' THEN $Qty ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)").as("qty_finished"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- upsert / incremental pipe (S3, P2 semantics as queries) ----
+    "q_upsert" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val target = o.filter(col("o_orderkey") <= 10000)
+      val updates = o.filter(col("o_orderkey") > 7500 && col("o_orderkey") <= 12500)
+        .withColumn("o_totalprice",
+          expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE)"))
+      UpsertWriter.mergeByKey(target, updates, "o_orderkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_incremental_pipe" -> ((s, dir) => {
+      // Full P2 machinery against real connectors in a scratch workspace:
+      // dst starts as a stale snapshot (ts < cutoff, value zeroed), src is
+      // the live table; after the pipe dst must hold stale rows + fresh.
+      val work = java.nio.file.Files.createTempDirectory("graft_pipe_").toString
+      val src = new ParquetConnector(s, dir)
+      val dst = new ParquetConnector(s, work)
+      val stale = src.read("events")
+        .filter(expr("ts < TIMESTAMP '2024-01-20 00:00:00'"))
+        .withColumn("value", lit(0.0))
+      dst.write(stale, "events")
+      Patterns.incrementalPipe(src, "events", dst, "events", matcher = "ts", primaryKey = "event_id")
+      dst.read("events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- time-bucketed aggregation (events) ----
+    "q_events_window" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)").as("sum_value"))
+        .orderBy(col("hour_ts"), col("event_type"))
+    }),
+
+    // ---- dedup family ----
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(T(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_dedup_minhash" -> ((s, dir) => {
+      // corpus + synthetic near-dups (one word appended) — candidates must
+      // pair each doc with its mutation.
+      val d = T(s, dir, "documents")
+      val mutated = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" near dup suffix")).as("text"))
+      val corpus = d.select(col("doc_id"), col("text")).union(mutated)
+      Dedup.minhashCandidates(corpus, "text", "doc_id", numHashes = 64, bands = 16, threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_dedup_simhash" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val mutated = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+      val corpus = d.select(col("doc_id"), col("text")).union(mutated)
+      Dedup.simhashCandidates(corpus, "text", "doc_id", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Dedup.ngramJaccardPairs(d, "text", "doc_id", col("lang"), n = 1, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_embedding_neardup" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val mutated = e.select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      val corpus = e.select(col("vec_id"), col("embedding")).union(mutated)
+      Dedup.embeddingNearDup(corpus, "embedding", "vec_id", dim = 64, planes = 8, threshold = 0.999)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- similarity search ----
+    "q_ann_cosine" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.bruteForceTopK(e, "embedding", "vec_id", q, k = 20)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val centroids = Similarity.trainCentroids(e, "embedding", "vec_id", nlist = 8, refineIterations = 1)
+      val index = Similarity.buildIvfIndex(e, "embedding", centroids)
+      Similarity.ivfTopK(index, "embedding", "vec_id", "_cell", centroids, q, k = 10, nprobe = 2)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // ---- text analysis ----
+    "q_token_stats" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .withColumn("tok", TextFunctions.tokenCount(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("total_tokens"),
+          expr("CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)").as("avg_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    "q_quality" -> ((s, dir) => {
+      val tx = trim(col("text"))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("tok_cnt"),
+          round(length(regexp_replace(tx, "\\s+", "")).cast("double") /
+            TextFunctions.tokenCount(col("text")), 4).as("mean_word_len"),
+          round(TextFunctions.stopwordRatio(col("text"), TextFunctions.englishStopwords,
+            splitRegex = "[^a-z]+"), 4).as("stop_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_langid" -> ((s, dir) => {
+      // n-gram/stopword heuristic language ID (no SQL oracle — rows-only)
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("labeled"),
+          TextFunctions.langId(col("text")).as("predicted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      // native codegen'd RollingHash expression (rows-only)
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_sanitize" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.sanitizeUtf8(col("text")).as("clean_text"),
+          (length(col("text")) - length(TextFunctions.sanitizeUtf8(col("text")))).as("len_delta"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- schema inference (rows-only: not SQL-expressible) ----
+    "q_schema_infer" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val rows: Seq[Map[String, Any]] = Seq(
+        Map("id" -> 1L, "name" -> "a", "score" -> BigDecimal(1.5), "flag" -> true, "note" -> null),
+        Map("id" -> 2L, "name" -> "b", "score" -> 2.0, "extra_col" -> 7L, "note" -> null))
+      val inferred = SchemaInfer.infer(rows)
+      val out = inferred.fields.toSeq.map(f => (f.name, f.dataType.simpleString))
+      s.createDataFrame(out.map(t => org.apache.spark.sql.Row(t._1, t._2)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("col_name", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("inferred_type", org.apache.spark.sql.types.StringType))))
+    }),
+
+    // ---- multimodal plumbing (rows-only: stubbed decode) ----
+    "q_multimodal" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(T(s, dir, "documents"), "doc_id", "text", "image")
+      Multimodal.extractImageFeatures(media).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_intensity"), 4).as("mean_intensity"))
+        .orderBy(col("media_id"))
+    })
+  )
+
+  /** DuckDB oracle SQL per query (same parquet tables registered by name).
+    * Omitted keys → driver records a rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        | ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_read_since" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        | WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' ORDER BY ts, event_id""".stripMargin,
+
+    "q_limit_offset" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 50",
+
+    "q_count" -> "SELECT COUNT(1) AS cnt FROM lineitem",
+
+    "q_max_watermark" -> "SELECT MAX(ts) AS max_ts, COUNT(1) AS cnt FROM events",
+
+    "q_agg_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(SUM($Qty) AS DOUBLE) AS sum_qty,
+         | CAST(SUM($Price) AS DOUBLE) AS sum_base,
+         | CAST(SUM($Price * $Disc) AS DOUBLE) AS sum_disc_price,
+         | CAST(SUM($Price * $Disc * $Chrg) AS DOUBLE) AS sum_charge,
+         | CAST(SUM($Qty) AS DOUBLE) / COUNT(*) AS avg_qty,
+         | COUNT(1) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_nation_revenue" ->
+      s"""SELECT n_name, CAST(SUM($Price * $Disc) AS DOUBLE) AS revenue, COUNT(1) AS n_items
+         |FROM lineitem
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        | WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        | ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        | WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        | ORDER BY c_custkey""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       SUM(l_quantity) OVER (PARTITION BY l_suppkey
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_first_touch" ->
+      """SELECT user_id, event_id AS first_event_id, event_type AS first_event_type, ts AS first_ts
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM events)
+        |SELECT user_id, event_id, ts,
+        |       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |FROM g ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q_union" ->
+      """SELECT DISTINCT o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |  UNION SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997) t
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |INTERSECT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |EXCEPT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rflag, COALESCE(l_linestatus, 'ALL') AS lstatus,
+         |       COUNT(1) AS cnt, CAST(SUM($Qty) AS DOUBLE) AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY rflag, lstatus""".stripMargin,
+
+    "q_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COUNT(1) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q_pivot" ->
+      s"""SELECT l_returnflag,
+         | CAST(SUM(CASE WHEN l_linestatus = 'O' THEN $Qty ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_open,
+         | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN $Qty ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_finished
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_upsert" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey <= 10000),
+        |updates AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE) AS o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey > 7500 AND o_orderkey <= 12500)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM (
+        |  SELECT * FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        |  UNION ALL SELECT * FROM updates) t
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_incremental_pipe" ->
+      """SELECT event_id, ts, user_id, event_type,
+        |       CASE WHEN ts > (SELECT MAX(ts) FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00')
+        |            THEN value ELSE 0.0 END AS value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts, event_type, COUNT(1) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY hour_ts, event_type""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |                            ORDER BY doc_id) AS rn
+        |  FROM documents) t WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_token_stats" ->
+      """SELECT lang, COUNT(1) AS n_docs,
+        |       CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_quality" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         len(regexp_split_to_array(trim(text), '\s+')) AS tok_cnt,
+        |         length(regexp_replace(trim(text), '\s+', '', 'g')) AS nws,
+        |         list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z]+'), x -> len(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id, tok_cnt,
+        |       ROUND(CAST(nws AS DOUBLE) / tok_cnt, 4) AS mean_word_len,
+        |       CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |         ROUND(CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','were','that','it','for','on','with','as','at','by','this','be','from','has','have','not','but','they','his','her'))) AS DOUBLE) / len(toks), 4)
+        |       END AS stop_ratio
+        |FROM u ORDER BY doc_id""".stripMargin,
+
+    "q_sanitize" ->
+      """SELECT doc_id, regexp_replace(text, '[\x{10000}-\x{10FFFF}]', '???', 'g') AS clean_text,
+        |       length(text) - length(regexp_replace(text, '[\x{10000}-\x{10FFFF}]', '???', 'g')) AS len_delta
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ann_cosine" ->
+      """SELECT vec_id, ROUND(CAST(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 6) AS score
+        |FROM embeddings
+        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 20""".stripMargin
+  )
 }

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math over `array<float>` columns, built from the
+  * higher-order functions (`zip_with`/`aggregate`/`transform`) so it
+  * stays codegen'd and distributed — no UDF boxing per element.
+  *
+  * Elements are cast to double before folding: the fold is sequential and
+  * deterministic, which keeps scores reproducible across partitionings
+  * (and bit-identical to a DuckDB oracle doing the same left fold).
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ as a sequential left fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** ‖a‖₂ */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity; 0.0 when either norm is 0 (never NaN/null on
+    * well-formed input). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = l2Norm(a) * l2Norm(b)
+    when(n === 0.0, lit(0.0)).otherwise(d / n)
+  }
+
+  /** Squared euclidean distance. */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val dd = x.cast("double") - y.cast("double"); dd * dd
+      }),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Sign bits against `planes` random hyperplanes → a bucket id in
+    * [0, 2^planes): the random-hyperplane LSH key for cosine similarity.
+    * `seed` derives deterministic pseudo-random plane coefficients from
+    * `xxhash64(seed, planeIdx, dimIdx)` so the key needs no broadcast
+    * side data and is reproducible across the cluster. */
+  def hyperplaneBucket(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
+    val bits = (0 until planes).map { p =>
+      // plane coefficient for (p, i): deterministic hash → [-0.5, 0.5)
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, i) => {
+          val h = xxhash64(lit(seed), lit(p), i)
+          val coef = (h.cast("double") / lit(Long.MaxValue.toDouble)) // [-1,1)
+          x.cast("double") * coef
+        }),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a + b)
+  }
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import graft.sources.{Connector, SchemaInfer, UpsertWriter}
+
+/** Composite dataflow patterns — Spark re-expressions of
+  * taskrabbit/forklift `lib/forklift/patterns/mysql_patterns.rb`.
+  * Where the reference keeps data movement inside the MySQL server
+  * (`INSERT … SELECT`), we keep it on executors: the driver only
+  * orchestrates; no rows cross the driver in any pattern.
+  */
+object Patterns {
+
+  /** P1 `pipe` (`mysql_patterns.rb:28-43`): full-refresh copy with atomic
+    * publish. The connector's write already does tmp+rename, so the whole
+    * reference sequence (DROP tmp / CREATE LIKE / INSERT SELECT / DROP dst
+    * / RENAME) collapses to one overwrite. Returns rows moved. */
+  def pipe(src: Connector, from: String, dst: Connector, to: String): Long = {
+    val df = src.read(from)
+    dst.write(df, to, SaveMode.Overwrite)
+    dst.count(to)
+  }
+
+  /** P2 `incremental_pipe` (`mysql_patterns.rb:60-99`): high-watermark CDC.
+    *  - ensure dst exists (CREATE IF NOT EXISTS … LIKE, `:67`)
+    *  - watermark = dst `max(matcher)` with epoch fallback (`:74`)
+    *  - stale-row cleanup + fresh insert: the reference deletes dst pks
+    *    with `matcher > wm` then `INSERT … SELECT … WHERE matcher > wm`;
+    *    both collapse into one anti-join merge here (`UpsertWriter
+    *    .mergeByKey`), published atomically.
+    * Scale: the watermark filter pushes into the parquet scan (only fresh
+    * partitions read); the anti-join broadcasts the fresh-key side when
+    * small — the 100 TB steady state reads only the delta. */
+  def incrementalPipe(src: Connector, from: String, dst: Connector, to: String,
+                      matcher: String = "updated_at", primaryKey: String = "id"): Long = {
+    if (!dst.exists(to)) dst.write(src.read(from).limit(0), to)
+    val wm = dst.maxTimestamp(to, matcher)
+    val fresh = src.read(from).filter(col(matcher) > lit(wm)) // strictly >, :83,:95
+    val merged = UpsertWriter.mergeByKey(dst.read(to), fresh, primaryKey)
+    dst.write(merged, to, SaveMode.Overwrite)
+    dst.count(to)
+  }
+
+  /** P3 `optimistic_pipe` (`mysql_patterns.rb:110-124`): try incremental,
+    * fall back to full pipe on guard failure or error — runtime-adaptive
+    * driver control flow, the reference's poor-man's AQE. */
+  def optimisticPipe(src: Connector, from: String, dst: Connector, to: String,
+                     matcher: String = "updated_at", primaryKey: String = "id"): Long =
+    if (canIncrementalPipe(src, from, dst, to, matcher))
+      try incrementalPipe(src, from, dst, to, matcher, primaryKey)
+      catch { case _: Exception => pipe(src, from, dst, to) }
+    else pipe(src, from, dst, to)
+
+  /** P4 `mysql_import` (`mysql_patterns.rb:178-184`): cross-store full
+    * copy. In the reference this streams batches through the driver; here
+    * it is the same distributed read→write as [[pipe]]. */
+  def importTable(src: Connector, from: String, dst: Connector, to: String): Long = {
+    dst.drop(to)
+    pipe(src, from, dst, to)
+  }
+
+  /** P5 `mysql_incremental_import` (`mysql_patterns.rb:160-166`):
+    * dst watermark → `read_since` (>=) → upsert write. */
+  def incrementalImport(src: Connector, from: String, dst: Connector, to: String,
+                        matcher: String = "updated_at", primaryKey: String = "id"): Long = {
+    val wm = dst.maxTimestamp(to, matcher)
+    val fresh = src.readSince(from, matcher, wm)
+    dst.upsert(fresh, to, primaryKey)
+    dst.count(to)
+  }
+
+  /** P6 `mysql_optimistic_import` (`mysql_patterns.rb:134-146`). */
+  def optimisticImport(src: Connector, from: String, dst: Connector, to: String,
+                       matcher: String = "updated_at", primaryKey: String = "id"): Long =
+    if (canIncrementalImport(src, from, dst, to, matcher))
+      try incrementalImport(src, from, dst, to, matcher, primaryKey)
+      catch { case _: Exception => importTable(src, from, dst, to) }
+    else importTable(src, from, dst, to)
+
+  /** P7 `can_incremental_pipe?` (`mysql_patterns.rb:224-239`): both exist,
+    * both carry the matcher, column sets identical both directions. */
+  def canIncrementalPipe(src: Connector, from: String, dst: Connector, to: String,
+                         matcher: String = "updated_at"): Boolean = {
+    if (!src.exists(from) || !dst.exists(to)) return false
+    val a = src.columns(from).fieldNames.toSet
+    val b = dst.columns(to).fieldNames.toSet
+    a.contains(matcher) && b.contains(matcher) && a == b
+  }
+
+  /** P8 `can_incremental_import?` (`mysql_patterns.rb:246-249`). */
+  def canIncrementalImport(src: Connector, from: String, dst: Connector, to: String,
+                           matcher: String = "updated_at"): Boolean =
+    src.exists(from) && src.columns(from).fieldNames.contains(matcher) &&
+      dst.exists(to) && dst.columns(to).fieldNames.contains(matcher)
+
+  /** P9 `write_high_water_mark` (`mysql_patterns.rb:190-217`): append one
+    * synthetic row with type-appropriate stub values and matcher = given
+    * time, faking a watermark so partial runs can resume. */
+  def writeHighWaterMark(conn: Connector, table: String, matcher: String,
+                         ts: java.sql.Timestamp): Unit = {
+    import org.apache.spark.sql.types._
+    val schema = conn.columns(table)
+    val stub = org.apache.spark.sql.Row.fromSeq(schema.fields.map { f =>
+      if (f.name == matcher) ts
+      else f.dataType match {   // stub values per type, :196-210
+        case LongType | IntegerType | ShortType => 0L
+        case DoubleType | FloatType             => 0.0
+        case BooleanType                        => false
+        case TimestampType                      => ts
+        case DateType                           => new java.sql.Date(ts.getTime)
+        case _                                  => "0"
+      }
+    }.toSeq)
+    val df = conn.spark.createDataFrame(
+      java.util.Collections.singletonList(stub), SchemaInfer.writable(schema))
+    val coerced = SchemaInfer.evolve(df, schema)
+    conn.write(coerced, table, SaveMode.Append)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Baseline: brute-force cosine top-k (exact, one scan,
+  * no shuffle until the final top-k). Scale path: IVF — k-means-style
+  * coarse quantization into `nlist` cells, query probes `nprobe` cells,
+  * reading `nprobe/nlist` of the data instead of all of it.
+  */
+object Similarity {
+
+  /** Exact brute-force top-k by cosine for a single query vector.
+    * One scan; per-row cosine is codegen'd expression math; global top-k
+    * is `orderBy.limit` which Spark executes as per-partition TakeOrdered
+    * + driver merge of k·parts rows — no full sort, no shuffle of data. */
+  def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
+                     query: Seq[Float], k: Int): DataFrame = {
+    val q = typedLit(query)
+    df.select(col(idCol),
+        VectorFunctions.cosine(col(vecCol), q).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Exact top-k for MANY query vectors at once (cross join + window):
+    * queries are broadcast (small side), corpus scanned once. */
+  def bruteForceTopKBatch(corpus: DataFrame, vecCol: String, idCol: String,
+                          queries: DataFrame, qVecCol: String, qIdCol: String,
+                          k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .select(col(qIdCol), col(idCol),
+        VectorFunctions.cosine(col(vecCol), col(qVecCol)).as("score"))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("score").desc, col(idCol).asc)
+    joined.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")
+  }
+
+  /** Deterministic IVF coarse centroids: the `nlist` lowest-id vectors
+    * (a fixed, reproducible seeding — one Lloyd iteration refines them).
+    * Returns (centroidId, vector) collected to the driver: nlist is small
+    * (≤ a few thousand) by design; this is index metadata, not data. */
+  def trainCentroids(df: DataFrame, vecCol: String, idCol: String,
+                     nlist: Int, refineIterations: Int = 1): Array[(Int, Array[Double])] = {
+    var centroids: Array[(Int, Array[Double])] =
+      df.orderBy(col(idCol).asc).limit(nlist)
+        .select(transform(col(vecCol), _.cast("double")).as("v"))
+        .collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+    (0 until refineIterations).foreach { _ =>
+      // Lloyd step: assign → per-(cell, dim) mean. posexplode shuffles
+      // (cell, dimIdx, value) triples — narrow rows, one agg; the result
+      // (nlist × dim doubles) is index metadata, safe to collect.
+      val means = buildIvfIndex(df, vecCol, centroids)
+        .select(col("_cell"), posexplode(transform(col(vecCol), _.cast("double"))).as(Seq("_i", "_x")))
+        .groupBy(col("_cell"), col("_i")).agg(avg(col("_x")).as("_m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+        }
+      centroids = centroids.map { case (i, v) => (i, means.getOrElse(i, v)) }
+    }
+    centroids
+  }
+
+  /** argmin over centroids of L2 distance, as pure column expressions —
+    * the centroid table is tiny and inlined as literals (no broadcast
+    * join needed, no shuffle). */
+  def nearestCell(vec: Column, centroids: Array[(Int, Array[Double])]): Column = {
+    val scored: Seq[(Column, Column)] = centroids.toIndexedSeq.map { case (i, cv) =>
+      (lit(i), VectorFunctions.l2Sq(vec, typedLit(cv.toSeq)))
+    }
+    scored.reduceLeft[(Column, Column)] { case ((ai, ad), (bi, bd)) =>
+      (when(bd < ad, bi).otherwise(ai), least(ad, bd))
+    }._1
+  }
+
+  /** IVF search: restrict the scan to the `nprobe` cells nearest the
+    * query, then exact cosine top-k inside them. With a cell-partitioned
+    * (or cell-bucketed) index table, the cell filter becomes partition
+    * pruning: a 1000-executor cluster reads nprobe/nlist of 100 TB. */
+  def ivfTopK(indexed: DataFrame, vecCol: String, idCol: String, cellCol: String,
+              centroids: Array[(Int, Array[Double])],
+              query: Seq[Float], k: Int, nprobe: Int = 4): DataFrame = {
+    val qv = query.map(_.toDouble).toArray
+    val probeCells = centroids
+      .map { case (i, cv) => (i, l2SqLocal(qv, cv)) }
+      .sortBy(_._2).take(nprobe).map(_._1)
+    bruteForceTopK(indexed.filter(col(cellCol).isin(probeCells.toIndexedSeq: _*)),
+      vecCol, idCol, query, k)
+  }
+
+  /** Build the IVF index table: corpus + `_cell` assignment; callers
+    * should persist it partitioned by `_cell` for pruning. */
+  def buildIvfIndex(df: DataFrame, vecCol: String,
+                    centroids: Array[(Int, Array[Double])]): DataFrame =
+    df.withColumn("_cell", nearestCell(col(vecCol), centroids))
+
+  private def l2SqLocal(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length && i < b.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+}

@@ -1,0 +1,74 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** CSV source/sink — parity with the reference CSV transport
+  * (taskrabbit/forklift `lib/forklift/transports/csv.rb`):
+  * header-aware, type-converting read (`converters: :all`, `csv.rb:12` —
+  * here Spark's `inferSchema`), header written iff the file is being
+  * created, `append=false` truncates first (`csv.rb:31-51`).
+  *
+  * Scale note: CSV is an interchange edge, not an analytics format — the
+  * expected pattern is CSV in → parquet tables for everything downstream.
+  */
+class CsvConnector(val spark: SparkSession, dir: String) extends Connector {
+  Files.createDirectories(Paths.get(dir))
+  private def path(table: String): Path = Paths.get(dir, table + ".csv")
+
+  override def read(table: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")   // converters: :all analog
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSS]")
+      .csv(path(table).toString)
+
+  override def write(df: DataFrame, table: String, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val out = mode match {
+      case SaveMode.Append if exists(table) =>
+        // reference: append rows, header only on create (csv.rb:35-44)
+        val merged = SchemaInfer.merge(read(table).schema, df.schema)
+        SchemaInfer.evolve(read(table), merged).unionByName(SchemaInfer.evolve(df, merged))
+      case _ => df
+    }
+    val tmp = Paths.get(dir, s".tmp_${table}_${System.nanoTime()}")
+    out.write.mode(SaveMode.Overwrite).option("header", "true").csv(tmp.toString)
+    drop(table)
+    Files.move(tmp, path(table), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  override def tables: Seq[String] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val s = Files.list(d)
+    try {
+      val b = Seq.newBuilder[String]; val it = s.iterator()
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.endsWith(".csv") && !n.startsWith(".tmp_")) b += n.stripSuffix(".csv")
+      }
+      b.result().sorted
+    } finally s.close()
+  }
+
+  override def exists(table: String): Boolean = Files.exists(path(table))
+
+  override def drop(table: String): Unit = {
+    def rec(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        val cs = try { val b = Seq.newBuilder[Path]; val i = s.iterator(); while (i.hasNext) b += i.next(); b.result() } finally s.close()
+        cs.foreach(rec)
+      }
+      Files.deleteIfExists(p)
+    }
+    if (exists(table)) rec(path(table))
+  }
+
+  override def rename(from: String, to: String): Unit = {
+    drop(to); Files.move(path(from), path(to), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  override def truncate(table: String): Unit =
+    if (exists(table)) write(read(table).limit(0), table, SaveMode.Overwrite)
+}

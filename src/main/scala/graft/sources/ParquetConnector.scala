@@ -1,0 +1,117 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Path-addressed parquet "database": each table is `<dir>/<name>.parquet`.
+  * Plays the role the MySQL transport plays in the reference
+  * (`lib/forklift/transports/mysql.rb`) for file-backed analytics tables.
+  *
+  * Atomic publish: every overwrite writes `<dir>/.tmp_<name>_<nonce>` and
+  * then atomically renames over the destination — the reference's
+  * `CREATE tmp LIKE src; INSERT …; DROP dst; RENAME tmp→dst` pattern
+  * (`patterns/mysql_patterns.rb:28-43`) at the filesystem layer. Readers
+  * never observe partial state.
+  *
+  * Scale: parquet dirs written by all executors in parallel; the rename is
+  * O(1) driver-side metadata. On object stores the same contract is met by
+  * a metastore pointer swap — the connector API is the stable seam.
+  */
+object ParquetConnector {
+  /** Parquet read that tolerates TIMESTAMP(NANOS) columns (written by
+    * arrow-based producers; Spark has no nanos timestamp type). With
+    * `nanosAsLong` the column surfaces as LongType nanos; we convert to
+    * micros with integer `div` (NOT double division — 2024 epoch-nanos
+    * ≈ 1.7e18 exceeds a double's 53-bit mantissa) and cast to timestamp,
+    * matching how nanos-aware engines truncate ns→us. */
+  def readTable(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path)
+    import org.apache.spark.sql.functions.{col, expr}
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+        d.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else d
+    }
+  }
+}
+
+class ParquetConnector(val spark: SparkSession, dir: String) extends Connector {
+  Files.createDirectories(Paths.get(dir))
+
+  private def path(table: String): Path = Paths.get(dir, table + ".parquet")
+
+  override def read(table: String): DataFrame =
+    ParquetConnector.readTable(spark, path(table).toString)
+
+  override def tables: Seq[String] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val s = Files.list(d)
+    try {
+      val b = Seq.newBuilder[String]
+      val it = s.iterator()
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.endsWith(".parquet") && !n.startsWith(".tmp_")) b += n.stripSuffix(".parquet")
+      }
+      b.result().sorted
+    } finally s.close()
+  }
+
+  override def exists(table: String): Boolean = Files.exists(path(table))
+
+  override def write(df: DataFrame, table: String, mode: SaveMode = SaveMode.Overwrite): Unit = mode match {
+    case SaveMode.Append if exists(table) =>
+      // Append must also publish atomically: union-then-swap, not in-place
+      // append, so a failed job never leaves a half-appended table.
+      val merged = SchemaInfer.merge(read(table).schema, df.schema)
+      val out = SchemaInfer.evolve(read(table), merged)
+        .unionByName(SchemaInfer.evolve(df, merged))
+      atomicWrite(out, table)
+    case _ => atomicWrite(df, table)
+  }
+
+  private def atomicWrite(df: DataFrame, table: String): Unit = {
+    val tmp = Paths.get(dir, s".tmp_${table}_${System.nanoTime()}")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    replace(tmp, path(table))
+  }
+
+  /** Atomic swap; falls back to delete+move where ATOMIC_MOVE over a
+    * non-empty dir is unsupported (still a single rename window). */
+  private def replace(tmp: Path, dst: Path): Unit = {
+    val trash = Paths.get(dir, s".tmp_del_${System.nanoTime()}")
+    val existed = Files.exists(dst)
+    if (existed) Files.move(dst, trash, StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: Throwable =>
+      if (existed) Files.move(trash, dst, StandardCopyOption.ATOMIC_MOVE) // rollback
+      throw e
+    }
+    if (existed) deleteRecursively(trash)
+  }
+
+  override def drop(table: String): Unit =
+    if (exists(table)) deleteRecursively(path(table))
+
+  override def rename(from: String, to: String): Unit = {
+    drop(to)
+    Files.move(path(from), path(to), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  override def truncate(table: String): Unit =
+    if (exists(table)) atomicWrite(read(table).limit(0), table)
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      val children = try {
+        val b = Seq.newBuilder[Path]; val it = s.iterator()
+        while (it.hasNext) b += it.next(); b.result()
+      } finally s.close()
+      children.foreach(deleteRecursively)
+    }
+    Files.deleteIfExists(p)
+  }
+}
