@@ -463,8 +463,8 @@ object SparkEntry {
         |                   > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
         |  FROM events)
         |SELECT user_id, event_id, ts,
-        |       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |       CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM g ORDER BY user_id, ts, event_id""".stripMargin,
 
     "q_union" ->

@@ -29,12 +29,17 @@ object Dedup {
   }
 
   /** Word n-gram shingles of the normalized text (lowercase, whitespace
-    * collapsed) as an array column — the input unit for MinHash/Jaccard. */
+    * collapsed) as an array column — the input unit for MinHash/Jaccard.
+    * Docs with fewer than `n` tokens yield an EMPTY array: `sequence` with
+    * start > stop produces a descending range, so the short-doc case must
+    * be guarded explicitly or slice(toks, 0, n) throws at runtime. */
   def shingles(c: Column, n: Int = 3): Column = {
     val toks = split(TextFunctions.normalizeForFingerprint(c), " ")
-    val count = greatest(size(toks) - (n - 1), lit(0))
-    transform(sequence(lit(0), count - 1),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    val count = size(toks) - (n - 1)
+    when(count <= 0, array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)))
+      .otherwise(transform(sequence(lit(1), count),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
   /** MinHash signature: for each of `numHashes` seeds, the min over
@@ -83,13 +88,21 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()   // dedup across bands BEFORE the signature compare
-    candidates
+    val out = candidates
       .join(sig.select(col("_id").as("id_a"), col("_sig").as("_sig_a")), Seq("id_a"))
       .join(sig.select(col("_id").as("id_b"), col("_sig").as("_sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("_sig_a"), col("_sig_b"), (x, y) => (x === y).cast("int")),
           v => v === 1)).cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the (small) candidate set so the corpus-sized shingle
+    // and signature caches can be released immediately — they must not
+    // leak for the life of the session. Callers may unpersist the result.
+    out.count()
+    shingled.unpersist(false)
+    sig.unpersist(false)
+    out
   }
 
   /** MinHash-LSH dedup: drop every doc that is a candidate-duplicate of a
@@ -131,12 +144,16 @@ object Dedup {
         .as(Seq("_chunk_idx", "_chunk")))
     val l = chunked.select(col("_chunk_idx"), col("_chunk"), col("_id").as("id_a"), col("_sim").as("_sim_a"))
     val r = chunked.select(col("_chunk_idx"), col("_chunk"), col("_id").as("id_b"), col("_sim").as("_sim_b"))
-    l.join(r, Seq("_chunk_idx", "_chunk"))
+    val out = l.join(r, Seq("_chunk_idx", "_chunk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("_sim_a").bitwiseXOR(col("_sim_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize, then free the corpus-sized simhash cache
+    withSim.unpersist(false)
+    out
   }
 
   /** Exact n-gram Jaccard similarity pairs within a blocking key (e.g.

@@ -101,15 +101,23 @@ object Patterns {
                          ts: java.sql.Timestamp): Unit = {
     import org.apache.spark.sql.types._
     val schema = conn.columns(table)
+    // Stub values must match each field's EXTERNAL type exactly — Spark's
+    // row validation rejects e.g. a java.lang.Long for an IntegerType slot.
     val stub = org.apache.spark.sql.Row.fromSeq(schema.fields.map { f =>
       if (f.name == matcher) ts
       else f.dataType match {   // stub values per type, :196-210
-        case LongType | IntegerType | ShortType => 0L
-        case DoubleType | FloatType             => 0.0
-        case BooleanType                        => false
-        case TimestampType                      => ts
-        case DateType                           => new java.sql.Date(ts.getTime)
-        case _                                  => "0"
+        case LongType      => 0L
+        case IntegerType   => 0
+        case ShortType     => 0.toShort
+        case ByteType      => 0.toByte
+        case DoubleType    => 0.0
+        case FloatType     => 0.0f
+        case _: DecimalType => java.math.BigDecimal.ZERO
+        case BooleanType   => false
+        case TimestampType => ts
+        case DateType      => new java.sql.Date(ts.getTime)
+        case BinaryType    => Array.empty[Byte]
+        case _             => "0"
       }
     }.toSeq)
     val df = conn.spark.createDataFrame(

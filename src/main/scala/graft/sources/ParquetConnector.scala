@@ -23,16 +23,57 @@ object ParquetConnector {
     * `nanosAsLong` the column surfaces as LongType nanos; we convert to
     * micros with integer `div` (NOT double division — 2024 epoch-nanos
     * ≈ 1.7e18 exceeds a double's 53-bit mantissa) and cast to timestamp,
-    * matching how nanos-aware engines truncate ns→us. */
+    * matching how nanos-aware engines truncate ns→us.
+    *
+    * The conversion is keyed on the parquet footer's TIMESTAMP(NANOS)
+    * logical-type annotation — never on a column's name — so ordinary
+    * bigint columns (epoch millis/seconds counters, ids) are untouched. */
   def readTable(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    // Without this flag Spark refuses TIMESTAMP(NANOS) files outright, so
+    // it is an availability-only setting; with footer-keyed detection it
+    // never changes the type of a non-nanos column.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanos = nanosAnnotatedColumns(spark, path)
     val df = spark.read.parquet(path)
     import org.apache.spark.sql.functions.{col, expr}
     df.schema.fields.foldLeft(df) { (d, f) =>
-      if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-        d.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      if (nanos.contains(f.name) && f.dataType == org.apache.spark.sql.types.LongType)
+        d.withColumn(f.name, expr(s"timestamp_micros(`${f.name}` div 1000)"))
       else d
     }
+  }
+
+  /** Columns annotated TIMESTAMP(unit=NANOS) in the parquet footer of the
+    * first data file under `path` (files of one table share a schema). */
+  private def nanosAnnotatedColumns(spark: SparkSession, path: String): Set[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new HPath(path)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return Set.empty
+      val file: Option[HPath] =
+        if (fs.getFileStatus(p).isFile) Some(p)
+        else fs.listStatus(p).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName).headOption.map(_.getPath)
+      file.fold(Set.empty[String]) { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try {
+          reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {
+            case fld if fld.isPrimitive && (fld.getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+              case _ => false
+            }) => fld.getName
+          }.toSet
+        } finally reader.close()
+      }
+    } catch { case _: Exception => Set.empty }
   }
 }
 
