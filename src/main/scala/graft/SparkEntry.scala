@@ -282,8 +282,12 @@ object SparkEntry {
     }),
 
     "q_ngram_jaccard" -> ((s, dir) => {
+      // lang + length-bucket blocking (never lang alone — quadratic in a
+      // whole language at scale); oracle replicates the same blocking.
       val d = T(s, dir, "documents")
-      Dedup.ngramJaccardPairs(d, "text", "doc_id", col("lang"), n = 1, threshold = 0.5)
+      Dedup.ngramJaccardPairs(d, "text", "doc_id",
+          Dedup.langLengthBlock(col("lang"), col("n_chars"), width = 100),
+          n = 1, threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -293,7 +297,7 @@ object SparkEntry {
       val mutated = e.select((col("vec_id") + 1000000).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
       val corpus = e.select(col("vec_id"), col("embedding")).union(mutated)
-      Dedup.embeddingNearDup(corpus, "embedding", "vec_id", dim = 64, planes = 8, threshold = 0.999)
+      Dedup.embeddingNearDup(corpus, "embedding", "vec_id", dim = 64, planes = 16, threshold = 0.999)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(col("id_a"), col("id_b"))
     }),

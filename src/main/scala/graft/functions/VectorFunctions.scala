@@ -46,7 +46,7 @@ object VectorFunctions {
     * side data and is reproducible across the cluster. */
   def hyperplaneBucket(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
     val bits = (0 until planes).map { p =>
-      // plane coefficient for (p, i): deterministic hash → [-0.5, 0.5)
+      // plane coefficient for (p, i): deterministic hash → [-1, 1)
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, i) => {
           val h = xxhash64(lit(seed), lit(p), i)

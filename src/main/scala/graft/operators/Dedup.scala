@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import graft.functions.{MinHashSignature, SimHash64, TextFunctions, VectorFunctions}
 
 /** Deduplication operators for training-data pipelines. None of these
   * exist in the reference (its dedup story is "write pks, upsert replaces
@@ -12,11 +13,17 @@ import graft.functions.{TextFunctions, VectorFunctions}
   *
   * Scale design notes (100 TB):
   *  - exact dedup shuffles an 8-byte fingerprint, never the document text;
-  *  - MinHash/SimHash candidate generation is linear (hash + band
-  *    explode + groupBy) — the quadratic verify step only ever runs
-  *    within LSH buckets;
-  *  - all joins key on narrow integer columns so AQE can pick
-  *    broadcast/skew strategies.
+  *  - MinHash/SimHash sketches are computed by native single-pass codegen
+  *    expressions ([[graft.functions.SketchOps]]) — one tokenize+hash pass
+  *    per row, not one per hash bit;
+  *  - candidate generation is join-free: band/chunk explode → groupBy →
+  *    in-bucket pair explode. One shuffle of (bucket, id, sketch) rows,
+  *    no self-join, no distinct over corpus-scale intermediates, no
+  *    persist barriers to babysit;
+  *  - degenerate buckets (pathological near-identical content) are capped
+  *    by `maxBucketSize` so no single task can go quadratic — the pairs
+  *    such buckets would contribute are exact-dup shaped and belong to
+  *    [[exact]] anyway.
   */
 object Dedup {
 
@@ -42,67 +49,72 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** MinHash signature: for each of `numHashes` seeds, the min over
-    * shingles of `xxhash64(seed, shingle)` — computed per-row, no shuffle.
-    * Empty shingle sets get Long.MaxValue sentinels (never collide). */
+  /** MinHash signature via the native single-pass expression: one
+    * xxhash64 per shingle, `numHashes` universal-hash permutations folded
+    * with min in the same pass. Empty shingle sets get Long.MaxValue
+    * sentinels (two empty docs DO collide — by design: they are exact
+    * dups of each other). */
   def minhashSignature(shinglesCol: Column, numHashes: Int = 64): Column =
-    array((0 until numHashes).map { seed =>
-      coalesce(
-        array_min(transform(shinglesCol, s => xxhash64(lit(seed), s))),
-        lit(Long.MaxValue))
-    }: _*)
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shinglesCol), numHashes))
 
-  /** MinHash+LSH candidate pairs: signature → `bands` bands of `rowsPerBand`
-    * hashes → hash each band → explode → self-join within (band, bucket).
-    * Returns (idA, idB, estJaccard) with idA < idB, estJaccard = fraction
-    * of matching signature positions, filtered at `threshold`.
+  /** 64-bit SimHash over word tokens via the native single-pass
+    * expression (seed-42 xxhash64 per token, bit votes, sign → bit). */
+  def simhash(c: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(
+      split(TextFunctions.normalizeForFingerprint(c), " "))))
+
+  /** Generic join-free LSH candidate pairing: explode each row into
+    * (bucketKey parts, payload), group by bucket, emit all in-bucket
+    * pairs (i &lt; j positions) via nested transform + flatten — no
+    * self-join, no corpus-scale distinct. Buckets larger than
+    * `maxBucketSize` are dropped: they are degenerate (near-identical
+    * content that exact dedup owns) and would otherwise make one task
+    * quadratic. Returns one row per (pair, bucket) occurrence — callers
+    * dedup AFTER the cheap pair-level filter. */
+  private def bucketPairs(exploded: DataFrame, bucketCols: Seq[String],
+                          idCol: String, payloadCol: String,
+                          maxBucketSize: Int): DataFrame = {
+    val items = collect_list(struct(col(idCol).as("i"), col(payloadCol).as("p"))).as("items")
+    val grouped = exploded.groupBy(bucketCols.map(col): _*).agg(items)
+      .filter(size(col("items")) >= 2 &&
+        (if (maxBucketSize > 0) size(col("items")) <= maxBucketSize else lit(true)))
+    grouped.select(explode(flatten(transform(col("items"), (a, i) =>
+        transform(slice(col("items"), i + lit(2), size(col("items"))), b =>
+          struct(a.getField("i").as("ia"), b.getField("i").as("ib"),
+            a.getField("p").as("pa"), b.getField("p").as("pb")))))).as("_pair"))
+      .select(col("_pair.ia"), col("_pair.ib"), col("_pair.pa"), col("_pair.pb"))
+  }
+
+  /** MinHash+LSH candidate pairs: signature → `bands` bands of
+    * `rowsPerBand` hashes → hash each band → bucket → in-bucket pair
+    * explode. Returns (idA, idB, estJaccard) with idA &lt; idB,
+    * estJaccard = fraction of matching signature positions, filtered at
+    * `threshold`.
     *
-    * Linear in corpus size until the in-bucket join; bucket sizes are
-    * bounded w.h.p. for realistic thresholds. Candidates are distinct-ed
-    * across bands. */
+    * One shuffle: (band, bucket, id, signature) rows — the signature
+    * (numHashes × 8 bytes) rides along once per band so the verify step
+    * needs NO join back to a signature table. Linear in corpus size;
+    * the only super-linear site (in-bucket pairing) is capped by
+    * `maxBucketSize`. */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         numHashes: Int = 64, bands: Int = 16,
-                        shingleLen: Int = 3, threshold: Double = 0.7): DataFrame = {
+                        shingleLen: Int = 3, threshold: Double = 0.7,
+                        maxBucketSize: Int = 2000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    // Materialize shingle arrays behind a cache barrier FIRST: without it
-    // CollapseProject inlines the shingle expression into all `numHashes`
-    // minhash lambdas and the normalize+split regex work runs 64× per row
-    // (measured: 40s → ~2s at sf0.01 for exactly this reason).
-    val shingled = df.select(col(idCol).as("_id"),
-      shingles(col(textCol), shingleLen).as("_sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = shingled.select(col("_id"),
-      minhashSignature(col("_sh"), numHashes).as("_sig"))
-      // signatures are reused by the band-explode AND the verify join below
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Narrow band rows: (band, bucket, id) — the 64-long signature array
-    // stays out of the self-join, which only shuffles 24 bytes/row.
-    val banded = sig.select(col("_id"),
+    val sig = df.select(col(idCol).as("_id"),
+      minhashSignature(shingles(col(textCol), shingleLen), numHashes).as("_sig"))
+    val banded = sig.select(col("_id"), col("_sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
         .as(Seq("_band", "_bucket")))
-    val candidates = banded.select(col("_band"), col("_bucket"), col("_id").as("id_a"))
-      .join(banded.select(col("_band"), col("_bucket"), col("_id").as("id_b")),
-        Seq("_band", "_bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()   // dedup across bands BEFORE the signature compare
-    val out = candidates
-      .join(sig.select(col("_id").as("id_a"), col("_sig").as("_sig_a")), Seq("id_a"))
-      .join(sig.select(col("_id").as("id_b"), col("_sig").as("_sig_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("_sig_a"), col("_sig_b"), (x, y) => (x === y).cast("int")),
+    bucketPairs(banded, Seq("_band", "_bucket"), "_id", "_sig", maxBucketSize)
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        (size(filter(zip_with(col("pa"), col("pb"), (x, y) => (x === y).cast("int")),
           v => v === 1)).cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Materialize the (small) candidate set so the corpus-sized shingle
-    // and signature caches can be released immediately — they must not
-    // leak for the life of the session. Callers may unpersist the result.
-    out.count()
-    shingled.unpersist(false)
-    sig.unpersist(false)
-    out
+      .distinct() // same pair from multiple bands has identical est — safe
   }
 
   /** MinHash-LSH dedup: drop every doc that is a candidate-duplicate of a
@@ -116,49 +128,30 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** 64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by token
-    * hash bit, sign → bit. Near-dups differ in few bits (hamming ≤ k).
-    * Computed per-row from codegen'd expressions. */
-  def simhash(c: Column): Column = {
-    val toks = split(TextFunctions.normalizeForFingerprint(c), " ")
-    val bits = (0 until 64).map { b =>
-      val contrib = aggregate(toks,
-        lit(0),
-        (acc, t) => acc + when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(contrib > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
-
   /** SimHash near-dup candidates: block on 4×16-bit chunks (a pair within
     * hamming distance ≤3 of 64 bits must agree on ≥1 chunk — pigeonhole),
-    * then verify hamming distance exactly via popcount. Linear blocking,
-    * in-bucket verify only. */
+    * then verify hamming exactly via popcount — join-free, same
+    * bucket-pair machinery as MinHash. */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame = {
     val withSim = df.select(col(idCol).as("_id"), simhash(col(textCol)).as("_sim"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = withSim.select(col("_id"), col("_sim"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("_sim"), i * 16).bitwiseAND(0xffffL)): _*))
         .as(Seq("_chunk_idx", "_chunk")))
-    val l = chunked.select(col("_chunk_idx"), col("_chunk"), col("_id").as("id_a"), col("_sim").as("_sim_a"))
-    val r = chunked.select(col("_chunk_idx"), col("_chunk"), col("_id").as("id_b"), col("_sim").as("_sim_b"))
-    val out = l.join(r, Seq("_chunk_idx", "_chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("_sim_a").bitwiseXOR(col("_sim_b"))).as("hamming"))
-      .distinct()
+    bucketPairs(chunked, Seq("_chunk_idx", "_chunk"), "_id", "_sim", maxBucketSize)
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize, then free the corpus-sized simhash cache
-    withSim.unpersist(false)
-    out
+      .distinct()
   }
 
-  /** Exact n-gram Jaccard similarity pairs within a blocking key (e.g.
-    * language + length bucket): the quadratic verify is confined to
-    * blocks, the standard exact-verify companion to MinHash. */
+  /** Exact n-gram Jaccard similarity pairs within a blocking key. The
+    * quadratic verify is confined to blocks — block on language PLUS a
+    * length bucket (near-dups have near-equal lengths), never language
+    * alone: a whole-language block is quadratic in the corpus at scale.
+    * See [[langLengthBlock]] for the recommended key. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: Column, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val prep = df.select(col(idCol).as("_id"), blockCol.as("_block"),
@@ -173,10 +166,25 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Recommended Jaccard blocking key: language + `width`-char length
+    * bucket. Bounds block size by construction; pairs straddling a bucket
+    * boundary are the accepted recall cost (standard practice — shrink
+    * `width` to tighten precision of the bound, or run twice with offset
+    * buckets to recover boundary pairs). */
+  def langLengthBlock(langCol: Column, lenCol: Column, width: Int = 100): Column =
+    concat_ws("_", langCol, (lenCol.cast("long") / width).cast("long"))
+
   /** Embedding-cosine near-dup pairs: LSH-bucket on random hyperplanes,
-    * verify cosine within buckets. `dim` is the embedding dimensionality. */
+    * verify cosine within buckets. `dim` is the embedding dimensionality.
+    *
+    * Bucket sizing: E[bucket] ≈ n / 2^planes for spread-out embeddings —
+    * pick `planes` ≈ log2(n / targetBucketSize); the 16 default puts a
+    * 65M-vector corpus at ~1k per bucket. More planes → smaller buckets →
+    * lower recall for borderline pairs (each plane is a Bernoulli miss
+    * chance ≈ angle/π); production runs shard the corpus and/or union
+    * several independent plane sets to recover recall. */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String, dim: Int,
-                       planes: Int = 12, threshold: Double = 0.95): DataFrame = {
+                       planes: Int = 16, threshold: Double = 0.95): DataFrame = {
     val keyed = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
       VectorFunctions.hyperplaneBucket(col(vecCol), dim, planes).as("_bucket"))
     val l = keyed.select(col("_bucket"), col("_id").as("id_a"), col("_v").as("_v_a"))

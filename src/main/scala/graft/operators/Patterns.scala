@@ -12,6 +12,8 @@ import graft.sources.{Connector, SchemaInfer, UpsertWriter}
   */
 object Patterns {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** P1 `pipe` (`mysql_patterns.rb:28-43`): full-refresh copy with atomic
     * publish. The connector's write already does tmp+rename, so the whole
     * reference sequence (DROP tmp / CREATE LIKE / INSERT SELECT / DROP dst
@@ -49,7 +51,13 @@ object Patterns {
                      matcher: String = "updated_at", primaryKey: String = "id"): Long =
     if (canIncrementalPipe(src, from, dst, to, matcher))
       try incrementalPipe(src, from, dst, to, matcher, primaryKey)
-      catch { case _: Exception => pipe(src, from, dst, to) }
+      catch { case e: Exception =>
+        // log before falling back (mysql_patterns.rb:117-119) — a silent
+        // swallow would hide a persistent incremental bug as "slow full
+        // pipes forever".
+        log.warn(s"incremental_pipe $from -> $to failed, falling back to full pipe", e)
+        pipe(src, from, dst, to)
+      }
     else pipe(src, from, dst, to)
 
   /** P4 `mysql_import` (`mysql_patterns.rb:178-184`): cross-store full
@@ -75,7 +83,10 @@ object Patterns {
                        matcher: String = "updated_at", primaryKey: String = "id"): Long =
     if (canIncrementalImport(src, from, dst, to, matcher))
       try incrementalImport(src, from, dst, to, matcher, primaryKey)
-      catch { case _: Exception => importTable(src, from, dst, to) }
+      catch { case e: Exception =>
+        log.warn(s"incremental_import $from -> $to failed, falling back to full import", e)
+        importTable(src, from, dst, to)
+      }
     else importTable(src, from, dst, to)
 
   /** P7 `can_incremental_pipe?` (`mysql_patterns.rb:224-239`): both exist,
@@ -104,7 +115,13 @@ object Patterns {
     // Stub values must match each field's EXTERNAL type exactly — Spark's
     // row validation rejects e.g. a java.lang.Long for an IntegerType slot.
     val stub = org.apache.spark.sql.Row.fromSeq(schema.fields.map { f =>
-      if (f.name == matcher) ts
+      if (f.name == matcher) f.dataType match {
+        // the matcher slot must also be type-exact: a DateType or
+        // StringType matcher column rejects a raw Timestamp on validation
+        case DateType   => new java.sql.Date(ts.getTime)
+        case StringType => ts.toString
+        case _          => ts
+      }
       else f.dataType match {   // stub values per type, :196-210
         case LongType      => 0L
         case IntegerType   => 0

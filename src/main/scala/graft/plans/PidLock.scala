@@ -8,11 +8,17 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * a process-liveness check (the reference shells out to `ps -p`; here
   * `ProcessHandle.of(pid)`), with stale-file cleanup.
   *
-  * Race-safe: after stale cleanup the pidfile is created with CREATE_NEW,
-  * so of two processes that both pass the liveness check only one wins
-  * (the other gets FileAlreadyExistsException → "already running"). The
-  * finally-block deletes the file only if it still holds OUR pid, so a
-  * loser can never remove a winner's live pidfile.
+  * Mostly race-safe: after stale cleanup the pidfile is created with
+  * CREATE_NEW, so of two processes that both pass the liveness check only
+  * one wins (the other gets FileAlreadyExistsException → "already
+  * running"). Before deleting a stale file we re-read it and only delete
+  * if it STILL holds the stale pid, so a competitor that already replaced
+  * it with its own live pidfile is never unlocked by us. A write between
+  * that re-read and the delete remains theoretically exposed (as in the
+  * reference's check-then-act `pid.rb:41-51`); the CREATE_NEW gate keeps
+  * the common interleavings single-winner. The finally-block deletes the
+  * file only if it still holds OUR pid, so a loser can never remove a
+  * winner's live pidfile.
   */
 object PidLock {
   def withLock[A](dir: String)(body: => A): A = {
@@ -25,7 +31,12 @@ object PidLock {
       val alive = pid > 0 && ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
       if (alive && pid != myPid)
         throw new IllegalStateException(s"plan already running (pid $pid)")
-      Files.deleteIfExists(pidfile) // stale cleanup, pid.rb:47-50
+      // Stale cleanup (pid.rb:47-50) — but only if the file still holds
+      // the SAME stale pid we just checked; a competitor may have already
+      // cleaned up and written its own live pidfile in the gap.
+      val still = try new String(Files.readAllBytes(pidfile)).trim == pid.toString
+                  catch { case _: Exception => false }
+      if (still || pid == -1L) Files.deleteIfExists(pidfile)
     }
     try
       Files.write(pidfile, myPid.toString.getBytes(StandardCharsets.UTF_8),

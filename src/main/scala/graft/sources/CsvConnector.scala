@@ -33,37 +33,16 @@ class CsvConnector(val spark: SparkSession, dir: String) extends Connector {
     }
     val tmp = Paths.get(dir, s".tmp_${table}_${System.nanoTime()}")
     out.write.mode(SaveMode.Overwrite).option("header", "true").csv(tmp.toString)
-    drop(table)
-    Files.move(tmp, path(table), StandardCopyOption.ATOMIC_MOVE)
+    // rollback-safe swap — a crash mid-publish never loses the table
+    FileTableOps.replace(dir, tmp, path(table))
   }
 
-  override def tables: Seq[String] = {
-    val d = Paths.get(dir)
-    if (!Files.isDirectory(d)) return Seq.empty
-    val s = Files.list(d)
-    try {
-      val b = Seq.newBuilder[String]; val it = s.iterator()
-      while (it.hasNext) {
-        val n = it.next().getFileName.toString
-        if (n.endsWith(".csv") && !n.startsWith(".tmp_")) b += n.stripSuffix(".csv")
-      }
-      b.result().sorted
-    } finally s.close()
-  }
+  override def tables: Seq[String] = FileTableOps.list(dir, ".csv")
 
   override def exists(table: String): Boolean = Files.exists(path(table))
 
-  override def drop(table: String): Unit = {
-    def rec(p: Path): Unit = {
-      if (Files.isDirectory(p)) {
-        val s = Files.list(p)
-        val cs = try { val b = Seq.newBuilder[Path]; val i = s.iterator(); while (i.hasNext) b += i.next(); b.result() } finally s.close()
-        cs.foreach(rec)
-      }
-      Files.deleteIfExists(p)
-    }
-    if (exists(table)) rec(path(table))
-  }
+  override def drop(table: String): Unit =
+    if (exists(table)) FileTableOps.deleteRecursively(path(table))
 
   override def rename(from: String, to: String): Unit = {
     drop(to); Files.move(path(from), path(to), StandardCopyOption.ATOMIC_MOVE)

@@ -39,8 +39,8 @@ class JsonDocConnector(val spark: SparkSession, dir: String) extends Connector {
     }
     val tmp = Paths.get(dir, s".tmp_${index}_${System.nanoTime()}")
     out.write.mode(SaveMode.Overwrite).json(tmp.toString)
-    drop(index)
-    Files.move(tmp, path(index), StandardCopyOption.ATOMIC_MOVE)
+    // rollback-safe swap — a crash mid-publish never loses the index
+    FileTableOps.replace(dir, tmp, path(index))
   }
 
   /** ES write with `update=true`: upsert by `_id`-analog pk
@@ -58,33 +58,12 @@ class JsonDocConnector(val spark: SparkSession, dir: String) extends Connector {
   /** `delete_index` (`elasticsearch.rb:61-64`). */
   def deleteIndex(index: String): Unit = drop(index)
 
-  override def tables: Seq[String] = {
-    val d = Paths.get(dir)
-    if (!Files.isDirectory(d)) return Seq.empty
-    val s = Files.list(d)
-    try {
-      val b = Seq.newBuilder[String]; val it = s.iterator()
-      while (it.hasNext) {
-        val n = it.next().getFileName.toString
-        if (n.endsWith(".json") && !n.startsWith(".tmp_")) b += n.stripSuffix(".json")
-      }
-      b.result().sorted
-    } finally s.close()
-  }
+  override def tables: Seq[String] = FileTableOps.list(dir, ".json")
 
   override def exists(index: String): Boolean = Files.exists(path(index))
 
-  override def drop(index: String): Unit = {
-    def rec(p: Path): Unit = {
-      if (Files.isDirectory(p)) {
-        val s = Files.list(p)
-        val cs = try { val b = Seq.newBuilder[Path]; val i = s.iterator(); while (i.hasNext) b += i.next(); b.result() } finally s.close()
-        cs.foreach(rec)
-      }
-      Files.deleteIfExists(p)
-    }
-    if (exists(index)) rec(path(index))
-  }
+  override def drop(index: String): Unit =
+    if (exists(index)) FileTableOps.deleteRecursively(path(index))
 
   override def rename(from: String, to: String): Unit = {
     drop(to); Files.move(path(from), path(to), StandardCopyOption.ATOMIC_MOVE)

@@ -44,7 +44,11 @@ object ParquetConnector {
   }
 
   /** Columns annotated TIMESTAMP(unit=NANOS) in the parquet footer of the
-    * first data file under `path` (files of one table share a schema). */
+    * first data file under `path` — searched RECURSIVELY, so partitioned
+    * (Hive-layout) datasets with files in `col=val/` subdirectories are
+    * detected too (files of one table share a schema). Detection failures
+    * are logged, not swallowed: a silent Set.empty would surface nanos
+    * columns as raw Long. */
   private def nanosAnnotatedColumns(spark: SparkSession, path: String): Set[String] = {
     import org.apache.hadoop.fs.{Path => HPath}
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -58,9 +62,18 @@ object ParquetConnector {
       if (!fs.exists(p)) return Set.empty
       val file: Option[HPath] =
         if (fs.getFileStatus(p).isFile) Some(p)
-        else fs.listStatus(p).toSeq
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .sortBy(_.getPath.getName).headOption.map(_.getPath)
+        else {
+          // recursive listing; first .parquet data file in any subdir
+          val it = fs.listFiles(p, true)
+          var found: Option[HPath] = None
+          while (found.isEmpty && it.hasNext) {
+            val s = it.next()
+            val n = s.getPath.getName
+            if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+              found = Some(s.getPath)
+          }
+          found
+        }
       file.fold(Set.empty[String]) { f =>
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
         try {
@@ -73,7 +86,12 @@ object ParquetConnector {
           }.toSet
         } finally reader.close()
       }
-    } catch { case _: Exception => Set.empty }
+    } catch {
+      case e: Exception =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"nanos-timestamp detection failed for $path: ${e.getMessage}")
+        Set.empty
+    }
   }
 }
 
@@ -85,20 +103,7 @@ class ParquetConnector(val spark: SparkSession, dir: String) extends Connector {
   override def read(table: String): DataFrame =
     ParquetConnector.readTable(spark, path(table).toString)
 
-  override def tables: Seq[String] = {
-    val d = Paths.get(dir)
-    if (!Files.isDirectory(d)) return Seq.empty
-    val s = Files.list(d)
-    try {
-      val b = Seq.newBuilder[String]
-      val it = s.iterator()
-      while (it.hasNext) {
-        val n = it.next().getFileName.toString
-        if (n.endsWith(".parquet") && !n.startsWith(".tmp_")) b += n.stripSuffix(".parquet")
-      }
-      b.result().sorted
-    } finally s.close()
-  }
+  override def tables: Seq[String] = FileTableOps.list(dir, ".parquet")
 
   override def exists(table: String): Boolean = Files.exists(path(table))
 
@@ -116,25 +121,11 @@ class ParquetConnector(val spark: SparkSession, dir: String) extends Connector {
   private def atomicWrite(df: DataFrame, table: String): Unit = {
     val tmp = Paths.get(dir, s".tmp_${table}_${System.nanoTime()}")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    replace(tmp, path(table))
-  }
-
-  /** Atomic swap; falls back to delete+move where ATOMIC_MOVE over a
-    * non-empty dir is unsupported (still a single rename window). */
-  private def replace(tmp: Path, dst: Path): Unit = {
-    val trash = Paths.get(dir, s".tmp_del_${System.nanoTime()}")
-    val existed = Files.exists(dst)
-    if (existed) Files.move(dst, trash, StandardCopyOption.ATOMIC_MOVE)
-    try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
-    catch { case e: Throwable =>
-      if (existed) Files.move(trash, dst, StandardCopyOption.ATOMIC_MOVE) // rollback
-      throw e
-    }
-    if (existed) deleteRecursively(trash)
+    FileTableOps.replace(dir, tmp, path(table))
   }
 
   override def drop(table: String): Unit =
-    if (exists(table)) deleteRecursively(path(table))
+    if (exists(table)) FileTableOps.deleteRecursively(path(table))
 
   override def rename(from: String, to: String): Unit = {
     drop(to)
@@ -144,15 +135,4 @@ class ParquetConnector(val spark: SparkSession, dir: String) extends Connector {
   override def truncate(table: String): Unit =
     if (exists(table)) atomicWrite(read(table).limit(0), table)
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      val children = try {
-        val b = Seq.newBuilder[Path]; val it = s.iterator()
-        while (it.hasNext) b += it.next(); b.result()
-      } finally s.close()
-      children.foreach(deleteRecursively)
-    }
-    Files.deleteIfExists(p)
-  }
 }
