@@ -10,7 +10,10 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q_agg_pricing", "q_join_nation_revenue", "q_window_topk",
     "q_running_sum", "q_sessionize", "q_events_window",
-    "q_dedup_exact", "q_dedup_minhash", "q_ann_cosine", "q_upsert")
+    "q_dedup_exact", "q_dedup_minhash", "q_ann_cosine", "q_upsert",
+    // full-rewrite vs partition-scoped incremental merge, side by side —
+    // the partitioned entry's cost tracks the delta, not the table
+    "q_incremental_pipe", "q_incremental_part")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

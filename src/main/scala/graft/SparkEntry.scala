@@ -245,6 +245,24 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_incremental_part" -> ((s, dir) => {
+      // Same P2 semantics as q_incremental_pipe, but the destination is a
+      // date-PARTITIONED sink: the merge is partition-scoped copy-on-write
+      // (dynamic partition overwrite), so only partitions containing fresh
+      // keys rewrite — the O(delta) incremental path for 100 TB tables.
+      val work = java.nio.file.Files.createTempDirectory("graft_pipe_part_").toString
+      val src = new ParquetConnector(s, dir)
+      val dst = new graft.sources.PartitionedParquetConnector(s, work, matcher = "ts")
+      val stale = src.read("events")
+        .filter(expr("ts < TIMESTAMP '2024-01-20 00:00:00'"))
+        .withColumn("value", lit(0.0))
+      dst.write(stale, "events")
+      Patterns.incrementalPipe(src, "events", dst, "events", matcher = "ts", primaryKey = "event_id")
+      dst.read("events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- time-bucketed aggregation (events) ----
     "q_events_window" -> ((s, dir) => {
       T(s, dir, "events")
@@ -345,7 +363,8 @@ object SparkEntry {
     }),
 
     "q_langid" -> ((s, dir) => {
-      // n-gram/stopword heuristic language ID (no SQL oracle — rows-only)
+      // stopword-ratio-argmax heuristic language ID (oracled: the ratio
+      // math and argmax tie-order are replicated exactly in DuckDB SQL)
       T(s, dir, "documents")
         .select(col("doc_id"), col("lang").as("labeled"),
           TextFunctions.langId(col("text")).as("predicted"))
@@ -367,7 +386,9 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- schema inference (rows-only: not SQL-expressible) ----
+    // ---- schema inference (oracle = golden literal rows pinning the
+    // value→type lattice: BigDecimal narrows to double, all-null stays
+    // the NullType sentinel, unseen columns append) ----
     "q_schema_infer" -> ((s, dir) => {
       import scala.jdk.CollectionConverters._
       val rows: Seq[Map[String, Any]] = Seq(
@@ -379,6 +400,7 @@ object SparkEntry {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("col_name", org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("inferred_type", org.apache.spark.sql.types.StringType))))
+        .orderBy(col("col_name"))
     }),
 
     // ---- multimodal plumbing (rows-only: stubbed decode) ----
@@ -523,6 +545,12 @@ object SparkEntry {
         |            THEN value ELSE 0.0 END AS value
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "q_incremental_part" ->
+      """SELECT event_id, ts, user_id, event_type,
+        |       CASE WHEN ts > (SELECT MAX(ts) FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00')
+        |            THEN value ELSE 0.0 END AS value
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type, COUNT(1) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
@@ -560,6 +588,51 @@ object SparkEntry {
       """SELECT doc_id, regexp_replace(text, '[\x{10000}-\x{10FFFF}]', '???', 'g') AS clean_text,
         |       length(text) - length(regexp_replace(text, '[\x{10000}-\x{10FFFF}]', '???', 'g')) AS len_delta
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         lang || '_' || CAST(n_chars // 100 AS VARCHAR) AS block,
+        |         list_distinct(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |             len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |FROM p a JOIN p b ON a.block = b.block AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_schema_infer" ->
+      """SELECT * FROM (VALUES
+        | ('id', 'bigint'), ('name', 'string'), ('score', 'double'),
+        | ('flag', 'boolean'), ('note', 'void'), ('extra_col', 'bigint'))
+        | AS t(col_name, inferred_type) ORDER BY col_name""".stripMargin,
+
+    "q_langid" -> {
+      def ratio(words: Seq[String]): String = {
+        val lst = words.map(w => s"'$w'").mkString(", ")
+        s"CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> x IN ($lst))) AS DOUBLE) / len(toks) END"
+      }
+      val en = ratio(Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was", "with", "are", "his", "this", "they"))
+      val de = ratio(Seq("der", "die", "und", "das", "ist", "nicht", "von", "sie", "mit", "ein", "eine", "auf", "den", "dem", "zu"))
+      val fr = ratio(Seq("le", "la", "les", "de", "des", "et", "est", "une", "dans", "que", "pour", "qui", "sur", "pas", "au"))
+      val es = ratio(Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por", "con", "para", "del"))
+      s"""WITH t AS (
+         |  SELECT doc_id, lang AS labeled,
+         |         list_filter(regexp_split_to_array(lower(trim(text)), '[^\\p{L}]+'), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, labeled, $en AS r_en, $de AS r_de, $fr AS r_fr, $es AS r_es
+         |  FROM t)
+         |SELECT doc_id, labeled,
+         |       CASE WHEN GREATEST(r_en, r_de, r_fr, r_es) <= 0.08 THEN 'und'
+         |            WHEN r_en >= r_de AND r_en >= r_fr AND r_en >= r_es THEN 'en'
+         |            WHEN r_de >= r_fr AND r_de >= r_es THEN 'de'
+         |            WHEN r_fr >= r_es THEN 'fr'
+         |            ELSE 'es' END AS predicted
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
 
     "q_ann_cosine" ->
       """SELECT vec_id, ROUND(CAST(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 6) AS score

@@ -32,15 +32,15 @@ object Patterns {
     *    both collapse into one anti-join merge here (`UpsertWriter
     *    .mergeByKey`), published atomically.
     * Scale: the watermark filter pushes into the parquet scan (only fresh
-    * partitions read); the anti-join broadcasts the fresh-key side when
-    * small — the 100 TB steady state reads only the delta. */
+    * partitions read); the merge is the connector's `upsert` — on a
+    * [[graft.sources.PartitionedParquetConnector]] that is a
+    * partition-scoped copy-on-write merge, so the steady state reads the
+    * delta and rewrites only affected partitions, never the whole table. */
   def incrementalPipe(src: Connector, from: String, dst: Connector, to: String,
                       matcher: String = "updated_at", primaryKey: String = "id"): Long = {
-    if (!dst.exists(to)) dst.write(src.read(from).limit(0), to)
-    val wm = dst.maxTimestamp(to, matcher)
+    val wm = dst.maxTimestamp(to, matcher) // epoch when dst missing → full first load
     val fresh = src.read(from).filter(col(matcher) > lit(wm)) // strictly >, :83,:95
-    val merged = UpsertWriter.mergeByKey(dst.read(to), fresh, primaryKey)
-    dst.write(merged, to, SaveMode.Overwrite)
+    dst.upsert(fresh, to, primaryKey)      // lazy create on first write (:67)
     dst.count(to)
   }
 

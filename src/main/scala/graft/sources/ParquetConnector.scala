@@ -95,10 +95,10 @@ object ParquetConnector {
   }
 }
 
-class ParquetConnector(val spark: SparkSession, dir: String) extends Connector {
+class ParquetConnector(val spark: SparkSession, protected val dir: String) extends Connector {
   Files.createDirectories(Paths.get(dir))
 
-  private def path(table: String): Path = Paths.get(dir, table + ".parquet")
+  protected def path(table: String): Path = Paths.get(dir, table + ".parquet")
 
   override def read(table: String): DataFrame =
     ParquetConnector.readTable(spark, path(table).toString)
@@ -109,16 +109,46 @@ class ParquetConnector(val spark: SparkSession, dir: String) extends Connector {
 
   override def write(df: DataFrame, table: String, mode: SaveMode = SaveMode.Overwrite): Unit = mode match {
     case SaveMode.Append if exists(table) =>
-      // Append must also publish atomically: union-then-swap, not in-place
-      // append, so a failed job never leaves a half-appended table.
-      val merged = SchemaInfer.merge(read(table).schema, df.schema)
-      val out = SchemaInfer.evolve(read(table), merged)
-        .unionByName(SchemaInfer.evolve(df, merged))
-      atomicWrite(out, table)
+      // Parquet directories are naturally file-additive: when the incoming
+      // schema already conforms to the table's, write the new files to a
+      // tmp dir and move them in — O(delta), not O(table). Only a genuine
+      // schema evolution (new column / type widening) pays the
+      // union-rewrite. Per-file moves are atomic; a crash mid-move leaves
+      // a partial append of whole files (the reference's non-transactional
+      // multi-row INSERT has the same partial-failure contract,
+      // mysql.rb:87), never a torn file.
+      val existing = read(table).schema
+      if (SchemaInfer.merge(existing, df.schema) == existing)
+        additiveAppend(SchemaInfer.evolve(df, existing), table)
+      else {
+        val merged = SchemaInfer.merge(existing, df.schema)
+        val out = SchemaInfer.evolve(read(table), merged)
+          .unionByName(SchemaInfer.evolve(df, merged))
+        atomicWrite(out, table)
+      }
     case _ => atomicWrite(df, table)
   }
 
-  private def atomicWrite(df: DataFrame, table: String): Unit = {
+  private def additiveAppend(df: DataFrame, table: String): Unit = {
+    val tmp = Paths.get(dir, s".tmp_${table}_${System.nanoTime()}")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val dst = path(table)
+    val s = Files.list(tmp)
+    try {
+      val it = s.iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getFileName.toString
+        // only data files; spark part-file names carry a UUID so they
+        // cannot collide with existing files in the table dir
+        if (n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_"))
+          Files.move(f, dst.resolve(n), StandardCopyOption.ATOMIC_MOVE)
+      }
+    } finally s.close()
+    FileTableOps.deleteRecursively(tmp)
+  }
+
+  protected def atomicWrite(df: DataFrame, table: String): Unit = {
     val tmp = Paths.get(dir, s".tmp_${table}_${System.nanoTime()}")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     FileTableOps.replace(dir, tmp, path(table))
