@@ -118,7 +118,7 @@ class ParquetConnector(val spark: SparkSession, protected val dir: String) exten
       // multi-row INSERT has the same partial-failure contract,
       // mysql.rb:87), never a torn file.
       val existing = read(table).schema
-      if (SchemaInfer.merge(existing, df.schema) == existing)
+      if (!SchemaInfer.evolves(existing, df.schema))
         additiveAppend(SchemaInfer.evolve(df, existing), table)
       else {
         val merged = SchemaInfer.merge(existing, df.schema)
@@ -149,8 +149,12 @@ class ParquetConnector(val spark: SparkSession, protected val dir: String) exten
   }
 
   protected def atomicWrite(df: DataFrame, table: String): Unit = {
+    // NullType (the varchar(0) sentinel) is unwritable in parquet —
+    // promote to tagged string at the storage edge so it stays promotable
+    val out = if (df.schema.fields.exists(_.dataType == org.apache.spark.sql.types.NullType))
+      SchemaInfer.evolve(df, df.schema) else df
     val tmp = Paths.get(dir, s".tmp_${table}_${System.nanoTime()}")
-    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     FileTableOps.replace(dir, tmp, path(table))
   }
 

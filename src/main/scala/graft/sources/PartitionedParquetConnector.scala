@@ -68,11 +68,19 @@ class PartitionedParquetConnector(
 
   /** Partition-scoped copy-on-write upsert — the O(delta) merge. Falls
     * back to a full evolve+rewrite only when the incoming batch actually
-    * changes the schema (new columns / type widening). */
+    * changes the schema (new columns / type widening).
+    *
+    * Shape: (1) a narrow (pk, gpart) scan of the target finds the
+    * partitions holding old versions of updated keys; (2) those literals
+    * prune the rebuild scan statically; (3) dynamic partition overwrite
+    * publishes only the rebuilt partitions; (4) affected partitions whose
+    * every row was replaced produce NO output rows — dynamic overwrite
+    * cannot clear those, so they are deleted explicitly (the one
+    * sharp edge of the dynamic-overwrite contract). */
   override def upsert(df: DataFrame, table: String, primaryKey: String = "id"): Unit = {
     if (!exists(table)) { write(df, table); return }
     val logical = read(table).schema
-    if (SchemaInfer.merge(logical, df.schema) != logical) {
+    if (SchemaInfer.evolves(logical, df.schema)) {
       // schema evolution → full rewrite under the merged schema
       val merged = SchemaInfer.merge(logical, df.schema)
       val t = SchemaInfer.evolve(read(table), merged)
@@ -86,8 +94,22 @@ class PartitionedParquetConnector(
     val inc = addPart(SchemaInfer.evolve(df, logical))
     if (!inc.columns.contains(primaryKey)) { write(df, table, SaveMode.Append); return }
     val target = readWithPart(table)
-    val out = UpsertWriter.mergePartitionScoped(target, inc, primaryKey, partCol)
+    val freshKeys = inc.select(col(primaryKey)).distinct()
+    // (pk, gpart)-only scan of the target — column-pruned, no data read
+    val affected: Set[String] = target.join(freshKeys, Seq(primaryKey))
+      .select(col(partCol)).union(inc.select(col(partCol))).distinct()
+      .collect().map(_.getString(0)).toSet
+    val keep = target
+      .filter(col(partCol).isin(affected.toSeq: _*)) // static partition pruning
+      .join(freshKeys, Seq(primaryKey), "left_anti")
+    val out = keep.unionByName(inc.select(keep.columns.map(col).toIndexedSeq: _*))
     overwriteDynamic(out, table)
+    // partitions that lost every row write nothing — clear them by hand
+    val written = keep.select(col(partCol)).union(inc.select(col(partCol)))
+      .distinct().collect().map(_.getString(0)).toSet
+    (affected -- written).foreach { p =>
+      FileTableOps.deleteRecursively(path(table).resolve(s"$partCol=$p"))
+    }
   }
 
   /** Dynamic partition overwrite into the live table path: only the

@@ -98,43 +98,80 @@ object SchemaInfer {
     spark.createDataFrame(spark.sparkContext.parallelize(data, math.max(1, rows.size / 1000)), schema0)
   }
 
+  /** Field-metadata flag marking a storage column that is really the
+    * `varchar(0)` "type unknown yet" sentinel. Spark persists field
+    * metadata in the parquet footer, so the sentinel survives a storage
+    * round-trip and the column is STILL promotable when the first real
+    * value arrives — exact parity with the reference keeping the column
+    * at `varchar(0)` until `ensure_row_types` ALTERs it
+    * (`mysql.rb:258-279`). */
+  val NullSentinelKey = "graft_null_sentinel"
+
+  private def isSentinel(f: StructField): Boolean =
+    f.metadata.contains(NullSentinelKey) && f.metadata.getBoolean(NullSentinelKey)
+
+  /** The logical type of a field: sentinel-tagged storage strings are
+    * really NullType. */
+  def logicalType(f: StructField): DataType =
+    if (isSentinel(f)) NullType else f.dataType
+
   /** Merge two schemas: union of columns (left order first), types LUBed —
-    * the `varchar(0)` promotion + add-column evolution in one step. */
+    * the `varchar(0)` promotion + add-column evolution in one step.
+    * Output is the LOGICAL schema (still-unknown columns stay NullType). */
   def merge(a: StructType, b: StructType): StructType = {
-    val bMap = b.fields.map(f => f.name -> f.dataType).toMap
+    val bMap = b.fields.map(f => f.name -> logicalType(f)).toMap
     val fromA = a.fields.map { f =>
-      StructField(f.name, lub(f.dataType, bMap.getOrElse(f.name, f.dataType)), nullable = true)
+      val lt = logicalType(f)
+      StructField(f.name, lub(lt, bMap.getOrElse(f.name, lt)), nullable = true)
     }
     val extras = b.fields.filterNot(f => a.fieldNames.contains(f.name))
-      .map(f => StructField(f.name, f.dataType, nullable = true))
+      .map(f => StructField(f.name, logicalType(f), nullable = true))
     StructType(fromA ++ extras)
+  }
+
+  /** Does writing `incoming` into a table of schema `existing` require a
+    * schema change (new column, promotion)? Compared on storage
+    * (name, type) pairs so sentinel metadata does not cause false
+    * positives. */
+  def evolves(existing: StructType, incoming: StructType): Boolean = {
+    def physical(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    physical(writable(merge(existing, incoming))) != physical(existing)
   }
 
   /** Conform `df` to `target` schema: add missing columns as typed nulls,
     * cast promotable columns. Unseen columns in `df` are KEPT (the
     * reference defaults `crash_on_extral_col=false` and ALTERs them in,
-    * `mysql.rb:64-73`); pass `strict=true` for the crash behavior. */
+    * `mysql.rb:64-73`); pass `strict=true` for the crash behavior.
+    * Output columns carry storage types (+ sentinel metadata), safe to
+    * write to any sink. */
   def evolve(df: DataFrame, target: StructType, strict: Boolean = false): DataFrame = {
-    val merged = if (strict) {
+    if (strict) {
       val extra = df.schema.fieldNames.toSet -- target.fieldNames.toSet
       require(extra.isEmpty, s"extra columns not in target schema: ${extra.mkString(", ")}")
-      merge(target, df.schema)
-    } else merge(target, df.schema)
+    }
+    val merged = merge(target, df.schema)
     val dfCols = df.schema.fieldNames.toSet
-    df.select(merged.fields.map { f =>
-      if (dfCols.contains(f.name)) col(f.name).cast(promotedWritable(f.dataType)).as(f.name)
-      else lit(null).cast(promotedWritable(f.dataType)).as(f.name)
+    df.select(merged.fields.map { lf =>
+      val f = writableField(lf)
+      if (dfCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name, f.metadata)
+      else lit(null).cast(f.dataType).as(f.name, f.metadata)
     }.toIndexedSeq: _*)
   }
 
-  /** NullType is unwritable (the `varchar(0)` sentinel) — promote to
-    * string at the storage edge, like the reference's catchall `text`. */
+  /** NullType is unwritable — promote to string at the storage edge (the
+    * reference's catchall `text`), tagged so it stays promotable. */
   def promotedWritable(dt: DataType): DataType = dt match {
     case NullType => StringType
     case x        => x
   }
 
-  /** Writable version of a schema (no NullType columns). */
+  private def writableField(f: StructField): StructField = f.dataType match {
+    case NullType => StructField(f.name, StringType, nullable = true,
+      new MetadataBuilder().withMetadata(f.metadata).putBoolean(NullSentinelKey, true).build())
+    case _ => f
+  }
+
+  /** Writable version of a schema (no NullType columns; sentinels tagged). */
   def writable(s: StructType): StructType =
-    StructType(s.fields.map(f => f.copy(dataType = promotedWritable(f.dataType))))
+    StructType(s.fields.map(writableField))
 }

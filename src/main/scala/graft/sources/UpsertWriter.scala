@@ -50,25 +50,4 @@ object UpsertWriter {
     target.join(keys, Seq(primaryKey), "left_anti").unionByName(updates)
   }
 
-  /** Partition-scoped copy-on-write merge: returns ONLY the partitions
-    * that must be rewritten — (a) partitions holding an old version of an
-    * updated key, found via a narrow (pk, partCol)-column scan, and (b)
-    * partitions the delta lands in — with replaced keys anti-joined out
-    * and the delta unioned in. Written with dynamic partition overwrite,
-    * untouched partitions are never read or rewritten: the merge cost is
-    * O(delta + affected partitions), the fix for the full-table-rewrite
-    * anti-pattern. Dynamic partition pruning keeps the `keep` scan to the
-    * affected partitions (broadcast join on the partition column). */
-  def mergePartitionScoped(target: DataFrame, updates: DataFrame,
-                           primaryKey: String, partCol: String): DataFrame = {
-    val freshKeys = updates.select(col(primaryKey)).distinct()
-    val affected = target.join(freshKeys, Seq(primaryKey))      // prunes to (pk, partCol)
-      .select(col(partCol))
-      .union(updates.select(col(partCol)))
-      .distinct()
-    val keep = target
-      .join(broadcast(affected), Seq(partCol))                  // DPP → affected partitions only
-      .join(freshKeys, Seq(primaryKey), "left_anti")
-    keep.unionByName(updates.select(keep.columns.map(col).toIndexedSeq: _*))
-  }
 }

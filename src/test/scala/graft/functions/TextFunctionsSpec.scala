@@ -1,0 +1,87 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions._
+
+/** Scalar text functions: sanitize parity (T4) + the text-analysis
+  * operators (quality, langid, token counting, fingerprint). */
+class TextFunctionsSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("t", StringType)))
+
+  private def one(s: String) = df(schema, Seq(Row(1L, s)))
+
+  test("sanitizeUtf8 replaces supplementary-plane chars with ??? (mysql.rb:88-99)") {
+    val out = one("ok 😀 text").select(TextFunctions.sanitizeUtf8(col("t"))).head().getString(0)
+    assert(out == "ok ??? text")
+    // BMP chars (codepoint <= 65535) untouched
+    val bmp = one("café 中文").select(TextFunctions.sanitizeUtf8(col("t"))).head().getString(0)
+    assert(bmp == "café 中文")
+  }
+
+  test("tokenCount: whitespace tokens; blank -> 0") {
+    val d = df(schema, Seq(Row(1L, "one two  three"), Row(2L, "   "), Row(3L, "")))
+    val out = d.select(col("id"), TextFunctions.tokenCount(col("t")).as("c"))
+      .orderBy("id").collect().map(_.getInt(1)).toSeq
+    assert(out == Seq(3, 0, 0))
+  }
+
+  test("punctRatio and upperRatio") {
+    assert(one("ab!!").select(TextFunctions.punctRatio(col("t"))).head().getDouble(0) == 0.5)
+    assert(one("ABcd").select(TextFunctions.upperRatio(col("t"))).head().getDouble(0) == 0.5)
+    assert(one("").select(TextFunctions.punctRatio(col("t"))).head().getDouble(0) == 0.0)
+  }
+
+  test("stopwordRatio counts hits over non-empty tokens") {
+    val r = one("the cat and the hat").select(
+      TextFunctions.stopwordRatio(col("t"), Seq("the", "and"))).head().getDouble(0)
+    assert(r == 0.6) // 3 of 5
+  }
+
+  test("meanWordLen") {
+    val r = one("ab cdef").select(TextFunctions.meanWordLen(col("t"))).head().getDouble(0)
+    assert(r == 3.0)
+  }
+
+  test("qualityScore lands in [0,1]; English prose beats junk") {
+    val good = "the quick brown fox jumps over the lazy dog and it was a fine day for running in the sun with friends"
+    val junk = "@@@@ #### !!!! %%%% ^^^^ &&&& **** (((( )))) ____"
+    val d = df(schema, Seq(Row(1L, good), Row(2L, junk)))
+    val out = d.select(col("id"), TextFunctions.qualityScore(col("t")).as("q"))
+      .orderBy("id").collect().map(_.getDouble(1))
+    assert(out.forall(q => q >= 0.0 && q <= 1.0))
+    assert(out(0) > out(1))
+  }
+
+  test("langId identifies clear samples; gibberish -> und") {
+    val d = df(schema, Seq(
+      Row(1L, "the cat sat on the mat and it was happy with this"),
+      Row(2L, "der Hund ist nicht auf der Strasse und das ist gut"),
+      Row(3L, "le chat est dans la maison et il est content pour le moment"),
+      Row(4L, "el perro es un animal que vive en la casa con una familia"),
+      Row(5L, "zzz qqq kkk vvv www")))
+    val out = d.select(col("id"), TextFunctions.langId(col("t")).as("l"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(out == Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("fingerprint: normalization-invariant, content-sensitive, stable (RollingHash)") {
+    val d = df(schema, Seq(
+      Row(1L, "Hello   World"), Row(2L, "hello world"), Row(3L, "hello worlds")))
+    val out = d.select(col("id"), TextFunctions.fingerprint(col("t")).as("fp"))
+      .orderBy("id").collect().map(_.getLong(1))
+    assert(out(0) == out(1)) // case/whitespace-insensitive
+    assert(out(0) != out(2)) // content-sensitive
+    // stable across runs/plans (pure byte math)
+    val again = d.select(TextFunctions.fingerprint(col("t"))).collect().map(_.getLong(0))
+    assert(again(0) == out(0))
+  }
+
+  test("subwordCount splits on word/punct boundaries") {
+    val r = one("don't stop").select(TextFunctions.subwordCount(col("t"))).head().getInt(0)
+    assert(r == 5) // don / ' / t / stop + space piece filtering -> don,',t,stop + space
+  }
+}

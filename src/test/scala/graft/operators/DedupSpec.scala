@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions._
+
+/** Dedup-family correctness: exact keys, LSH recall (every mutated doc
+  * must pair with its original), Jaccard arithmetic, bucket capping. */
+class DedupSpec extends SparkSpec {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  /** Deterministic synthetic corpus: docs of 20-40 words over a fixed
+    * vocabulary (seeded), no two independently-drawn docs near-identical. */
+  private def corpus(n: Int): Seq[(Long, String)] = {
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+      "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+      "victor", "whiskey", "xray", "yankee", "zulu")
+    val rnd = new scala.util.Random(42)
+    (0L until n.toLong).map { i =>
+      val len = 20 + rnd.nextInt(21)
+      i -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+  }
+
+  private def corpusWithMutations(n: Int): org.apache.spark.sql.DataFrame = {
+    val base = corpus(n)
+    val mutated = base.map { case (i, t) => (i + 1000000L, t + " extra") }
+    df(docSchema, (base ++ mutated).map { case (i, t) => Row(i, t) })
+  }
+
+  test("exact dedup keeps the lowest id per normalized text") {
+    val d = df(docSchema, Seq(
+      Row(1L, "Hello  World"), Row(2L, "hello world"), // same after normalize
+      Row(3L, "different doc"), Row(4L, "HELLO WORLD  ")))
+    val out = Dedup.exact(d, "text", "doc_id")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
+  test("shingles: n-grams of normalized tokens; short docs yield empty array") {
+    val d = df(docSchema, Seq(Row(1L, "a b c d"), Row(2L, "a b")))
+    val out = d.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(out(1).getSeq[String](1).isEmpty)
+  }
+
+  test("minhash candidates: every mutated doc pairs with its original (recall = 1.0 here)") {
+    val n = 200
+    val cands = Dedup.minhashCandidates(corpusWithMutations(n), "text", "doc_id",
+      numHashes = 64, bands = 16, threshold = 0.5)
+    val pairs = cands.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallHits = (0L until n.toLong).count(i => pairs.contains((i, i + 1000000L)))
+    // 20+-word docs with one appended token stay well above threshold 0.5:
+    // a banding miss is the only loss mode and 16 bands make it negligible
+    assert(recallHits == n, s"missing ${n - recallHits} mutated pairs")
+    // sanity: ids ordered, no self-pairs
+    assert(cands.filter(col("id_a") >= col("id_b")).count() == 0)
+  }
+
+  test("minhash est_jaccard is within 0.15 of the exact shingle jaccard") {
+    val d = corpusWithMutations(50)
+    val est = Dedup.minhashCandidates(d, "text", "doc_id", numHashes = 64, bands = 16,
+      threshold = 0.4).withColumnRenamed("est_jaccard", "est")
+    val exact = Dedup.ngramJaccardPairs(d, "text", "doc_id", lit(1), n = 3, threshold = 0.0)
+    val joined = est.join(exact, Seq("id_a", "id_b")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val e = r.getAs[Double]("est"); val j = r.getAs[Double]("jaccard")
+      assert(math.abs(e - j) < 0.15, s"est $e vs exact $j")
+    }
+  }
+
+  test("minhashDedup drops mutated near-dups, keeps originals") {
+    val n = 100
+    val out = Dedup.minhashDedup(corpusWithMutations(n), "text", "doc_id",
+      numHashes = 64, bands = 16, threshold = 0.5)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    (0L until n.toLong).foreach { i =>
+      assert(ids.contains(i), s"original $i must survive")
+      assert(!ids.contains(i + 1000000L), s"mutation of $i must be dropped")
+    }
+  }
+
+  test("simhash candidates: identical docs at hamming 0; mutations within the bound") {
+    val n = 150
+    val cands = Dedup.simhashCandidates(corpusWithMutations(n), "text", "doc_id",
+      maxHamming = 6)
+    val pairs = cands.select("id_a", "id_b", "hamming").collect()
+    val byPair = pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val hits = (0L until n.toLong).flatMap(i => byPair.get((i, i + 1000000L)))
+    // one appended token flips few simhash bits on 20+-word docs; chunk
+    // blocking guarantees any pair <= hamming 3 is found, most <= 6 too
+    assert(hits.size >= (n * 0.9).toInt, s"only ${hits.size} of $n mutated pairs found")
+    assert(hits.forall(h => h >= 0 && h <= 6))
+  }
+
+  test("simhash of identical text is equal and pairs at hamming 0") {
+    val d = df(docSchema, Seq(Row(1L, "the quick brown fox jumps"),
+      Row(2L, "the quick brown fox jumps")))
+    val out = Dedup.simhashCandidates(d, "text", "doc_id", maxHamming = 0).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("id_a") == 1L && out.head.getAs[Int]("hamming") == 0)
+  }
+
+  test("ngram jaccard: hand-computed value on a crafted pair") {
+    // unigram sets: {a,b,c,d} vs {a,b,c,e} -> |∩|=3, |∪|=5 -> 0.6
+    val d = df(docSchema, Seq(Row(1L, "a b c d"), Row(2L, "a b c e")))
+    val out = Dedup.ngramJaccardPairs(d, "text", "doc_id", lit(1), n = 1, threshold = 0.5)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("jaccard") == 0.6)
+  }
+
+  test("ngram jaccard: blocking confines comparisons (cross-block pair not emitted)") {
+    val d = df(StructType(docSchema.fields :+ StructField("blk", LongType)), Seq(
+      Row(1L, "a b c d", 1L), Row(2L, "a b c d", 2L))) // identical but blocks differ
+    val out = Dedup.ngramJaccardPairs(d, "text", "doc_id", col("blk"), n = 1, threshold = 0.0)
+    assert(out.count() == 0)
+  }
+
+  test("langLengthBlock buckets by language and length band") {
+    val d = df(StructType(Seq(StructField("lang", StringType), StructField("n", LongType))),
+      Seq(Row("en", 150L), Row("en", 199L), Row("en", 250L), Row("de", 150L)))
+    val out = d.select(Dedup.langLengthBlock(col("lang"), col("n"), 100).as("b"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("en_1", "en_1", "en_2", "de_1"))
+  }
+
+  test("maxBucketSize drops degenerate buckets (all-identical corpus emits no pairs)") {
+    val rows = (1L to 60L).map(i => Row(i, "same text everywhere for all docs"))
+    val d = df(docSchema, rows)
+    val out = Dedup.minhashCandidates(d, "text", "doc_id",
+      numHashes = 64, bands = 16, threshold = 0.5, maxBucketSize = 50)
+    assert(out.count() == 0, "buckets over the cap must be skipped, not exploded")
+  }
+
+  test("embedding near-dup: scaled copies land in the same bucket with cosine 1") {
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(FloatType))))
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 50L).map(i => i -> Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val all = base ++ base.map { case (i, v) => (i + 1000L) -> v.map(x => x * 1.001f) }
+    val d = df(vecSchema, all.map { case (i, v) => Row(i, v.toSeq) })
+    val out = Dedup.embeddingNearDup(d, "v", "vec_id", dim = 16, planes = 8, threshold = 0.999)
+    val pairs = out.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 50L).foreach(i => assert(pairs.contains((i, i + 1000L)), s"pair $i missing"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions._
+
+/** ANN search: exact brute-force semantics and IVF recall vs that
+  * baseline (probing all cells must reproduce it exactly). */
+class SimilaritySpec extends SparkSpec {
+
+  private val vecSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("v", ArrayType(FloatType))))
+
+  /** Clustered corpus: `nClusters` centers, points = center + small noise
+    * — the IVF-friendly distribution. */
+  private def clustered(nClusters: Int, perCluster: Int, dim: Int) = {
+    val rnd = new scala.util.Random(11)
+    val centers = Seq.fill(nClusters)(Array.fill(dim)(rnd.nextFloat() * 10 - 5))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until perCluster
+    } yield Row((ci.toLong * perCluster) + j,
+      c.map(x => x + (rnd.nextFloat() * 0.2f - 0.1f)).toSeq)
+    df(vecSchema, rows)
+  }
+
+  test("bruteForceTopK: exact scores on a hand-crafted corpus") {
+    val d = df(vecSchema, Seq(
+      Row(1L, Seq(1.0f, 0.0f)), Row(2L, Seq(0.0f, 1.0f)),
+      Row(3L, Seq(1.0f, 1.0f)), Row(4L, Seq(-1.0f, 0.0f))))
+    val out = Similarity.bruteForceTopK(d, "v", "vec_id", Seq(1.0f, 0.0f), k = 3).collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 3L, 2L))
+    assert(out(0).getAs[Double]("score") == 1.0)
+    assert(math.abs(out(1).getAs[Double]("score") - math.sqrt(0.5)) < 1e-9)
+    assert(out(2).getAs[Double]("score") == 0.0)
+  }
+
+  test("bruteForceTopKBatch: per-query top-k over one corpus scan") {
+    val corpus = clustered(4, 25, 8)
+    val queries = corpus.filter(col("vec_id").isin(0L, 30L))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val out = Similarity.bruteForceTopKBatch(corpus, "v", "vec_id", queries, "qv", "q_id", k = 5)
+    assert(out.count() == 10)
+    // each query's own vector is its best match
+    val best = out.filter(col("_rn").isNull || lit(true)) // no _rn col left
+      .groupBy("q_id").agg(max(struct(col("score"), col("vec_id"))).as("m"))
+      .select(col("q_id"), col("m.vec_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(best(0L) == 0L && best(30L) == 30L)
+  }
+
+  test("IVF with nprobe = nlist reproduces brute force exactly (recall 1.0)") {
+    val corpus = clustered(8, 30, 8)
+    val q = corpus.filter(col("vec_id") === 17L).head().getSeq[Float](1)
+    val centroids = Similarity.trainCentroids(corpus, "v", "vec_id", nlist = 8, refineIterations = 1)
+    val index = Similarity.buildIvfIndex(corpus, "v", centroids)
+    val ivf = Similarity.ivfTopK(index, "v", "vec_id", "_cell", centroids, q, k = 10, nprobe = 8)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val brute = Similarity.bruteForceTopK(corpus, "v", "vec_id", q, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(ivf == brute)
+  }
+
+  test("IVF recall@10 with nprobe=2 of 8 on clustered data is high") {
+    val corpus = clustered(8, 30, 8)
+    val q = corpus.filter(col("vec_id") === 100L).head().getSeq[Float](1)
+    val centroids = Similarity.trainCentroids(corpus, "v", "vec_id", nlist = 8, refineIterations = 1)
+    val index = Similarity.buildIvfIndex(corpus, "v", centroids)
+    val ivf = Similarity.ivfTopK(index, "v", "vec_id", "_cell", centroids, q, k = 10, nprobe = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val brute = Similarity.bruteForceTopK(corpus, "v", "vec_id", q, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.7, s"recall@10 = $recall")
+  }
+
+  test("IVF index assigns every vector to a cell in range") {
+    val corpus = clustered(4, 10, 8)
+    val centroids = Similarity.trainCentroids(corpus, "v", "vec_id", nlist = 4)
+    val cells = Similarity.buildIvfIndex(corpus, "v", centroids)
+      .select("_cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf((0 until 4).toSet))
+  }
+}

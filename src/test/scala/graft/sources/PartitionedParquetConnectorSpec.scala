@@ -1,0 +1,133 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.{Row, SaveMode}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The O(delta) incremental sink: partition-scoped copy-on-write merges.
+  * The load-bearing assertion: untouched partitions' FILES are never
+  * rewritten — the fix for the full-table-rewrite anti-pattern. */
+class PartitionedParquetConnectorSpec extends SparkSpec {
+
+  private def fresh(): (PartitionedParquetConnector, String) = {
+    val d = tmpDir("graft_part_")
+    (new PartitionedParquetConnector(spark, d, matcher = "updated_at"), d)
+  }
+
+  private def partitionFiles(dir: String, table: String): Map[String, Set[String]] = {
+    val base = Paths.get(dir, table + ".parquet")
+    if (!Files.exists(base)) return Map.empty
+    Files.list(base).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("gpart="))
+      .map { p =>
+        p.getFileName.toString ->
+          Files.list(p).iterator().asScala.map(_.getFileName.toString)
+            .filter(_.endsWith(".parquet")).toSet
+      }.toMap
+  }
+
+  test("write lays out Hive partitions by date(matcher); read drops the partition column") {
+    val (c, d) = fresh()
+    c.write(usersDf, "users")
+    val parts = partitionFiles(d, "users")
+    assert(parts.keySet == (1 to 5).map(i => s"gpart=2024-01-0$i").toSet)
+    assert(!c.read("users").columns.contains("gpart"))
+    assert(c.read("users").count() == 5)
+    assert(c.columns("users").fieldNames.toSeq == usersSchema.fieldNames.toSeq)
+  }
+
+  test("upsert rewrites ONLY partitions containing updated keys — other files untouched") {
+    val (c, d) = fresh()
+    c.write(usersDf, "users")
+    val before = partitionFiles(d, "users")
+    // update id=3 (moves to a new date partition 2024-02-01)
+    val delta = df(usersSchema, Seq(
+      Row(3L, "moved@example.com", "First3", "Last3",
+        ts("2024-01-03 10:00:00"), ts("2024-02-01 09:00:00"))))
+    c.upsert(delta, "users", "id")
+    val after = partitionFiles(d, "users")
+    // the delta partition appeared; the old partition of id=3 lost its
+    // only row and must be CLEARED (dynamic overwrite writes nothing for
+    // an emptied partition — the connector deletes it explicitly)
+    assert(after.contains("gpart=2024-02-01"))
+    assert(!after.contains("gpart=2024-01-03"), "emptied partition must be cleared")
+    // ...but every OTHER partition kept its exact files
+    for (p <- Seq("gpart=2024-01-01", "gpart=2024-01-02", "gpart=2024-01-04", "gpart=2024-01-05"))
+      assert(after(p) == before(p), s"partition $p must not rewrite")
+    // correctness: 5 rows, id=3 updated
+    assert(c.count("users") == 5)
+    assert(c.read("users").filter(col("id") === 3).head().getAs[String]("email") == "moved@example.com")
+  }
+
+  test("upsert of a brand-new key touches only its landing partition") {
+    val (c, d) = fresh()
+    c.write(usersDf, "users")
+    val before = partitionFiles(d, "users")
+    val delta = df(usersSchema, Seq(
+      Row(99L, "new@example.com", "N", "U", ts("2024-03-01 00:00:00"), ts("2024-03-01 00:00:00"))))
+    c.upsert(delta, "users", "id")
+    val after = partitionFiles(d, "users")
+    assert(after.contains("gpart=2024-03-01"))
+    before.keys.foreach(p => assert(after(p) == before(p), s"partition $p must not rewrite"))
+    assert(c.count("users") == 6)
+  }
+
+  test("append is delta-scoped: only landing partitions rebuilt, rows kept") {
+    val (c, d) = fresh()
+    c.write(usersDf, "users")
+    val before = partitionFiles(d, "users")
+    // append a second row into the 2024-01-05 partition
+    val delta = df(usersSchema, Seq(
+      Row(50L, "x@example.com", "X", "X", ts("2024-01-05 00:00:00"), ts("2024-01-05 18:00:00"))))
+    c.write(delta, "users", SaveMode.Append)
+    val after = partitionFiles(d, "users")
+    for (p <- Seq("gpart=2024-01-01", "gpart=2024-01-02", "gpart=2024-01-03", "gpart=2024-01-04"))
+      assert(after(p) == before(p), s"partition $p must not rewrite")
+    assert(c.count("users") == 6)
+    // both the original 01-05 row and the appended one survive
+    assert(c.read("users").filter(col("id").isin(5L, 50L)).count() == 2)
+  }
+
+  test("schema evolution falls back to a full rewrite and keeps data") {
+    val (c, _) = fresh()
+    c.write(usersDf, "users")
+    val delta = df(usersSchema, Seq(
+      Row(1L, "u@x.com", "U", "U", ts("2024-01-01 00:00:00"), ts("2024-04-01 00:00:00"))))
+      .withColumn("vip", lit(true))
+    c.upsert(delta, "users", "id")
+    val out = c.read("users")
+    assert(out.columns.contains("vip"))
+    assert(out.count() == 5)
+    assert(out.filter(col("id") === 1).head().getAs[Boolean]("vip"))
+    assert(out.filter(col("vip").isNull).count() == 4)
+  }
+
+  test("upsert result matches the plain full-rewrite merge row-for-row") {
+    val (c, _) = fresh()
+    val plain = new ParquetConnector(spark, tmpDir("graft_plain_"))
+    c.write(usersDf, "users"); plain.write(usersDf, "users")
+    val delta = df(usersSchema, Seq(
+      Row(2L, "upd@example.com", "F", "L", ts("2024-01-02 10:00:00"), ts("2024-02-02 00:00:00")),
+      Row(77L, "add@example.com", "F", "L", ts("2024-02-02 00:00:00"), ts("2024-02-02 00:00:00"))))
+    c.upsert(delta, "users", "id"); plain.upsert(delta, "users", "id")
+    val a = c.read("users").orderBy("id").collect().toSeq
+    val b = plain.read("users").select(c.read("users").columns.map(col).toIndexedSeq: _*)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("incremental pipe into a partitioned sink: fresh rows merge, stale preserved") {
+    val (c, _) = fresh()
+    val src = new ParquetConnector(spark, tmpDir("graft_src_"))
+    src.write(usersDf, "users")
+    val stale = usersDf.filter(col("updated_at") < ts("2024-01-04 00:00:00"))
+    c.write(stale, "users")
+    graft.operators.Patterns.incrementalPipe(src, "users", c, "users",
+      matcher = "updated_at", primaryKey = "id")
+    assert(c.count("users") == 5)
+    assert(c.read("users").orderBy("id").collect().map(_.getAs[Long]("id")).toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+  }
+}
