@@ -1,0 +1,45 @@
+package graft.operators
+
+import java.time.format.DateTimeFormatter
+import java.time.{ZoneOffset, ZonedDateTime}
+import org.apache.spark.sql.SaveMode
+import graft.sources.Connector
+
+/** S13 snapshot/archival dump — the parquet re-expression of the
+  * reference's `mysqldump | gzip > file` sink (taskrabbit/forklift
+  * `transports/mysql.rb:209-232`): a timestamped, compressed, immutable
+  * snapshot of a table, written by the engine (executors in parallel)
+  * instead of a shelled-out dump process. */
+object Archive {
+
+  private val stamp = DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss")
+
+  /** Dump `table` to `<archiveDir>/<table>/<timestamp>/` as gzip parquet.
+    * Returns the snapshot path. */
+  def snapshot(conn: Connector, table: String, archiveDir: String,
+               at: ZonedDateTime = ZonedDateTime.now(ZoneOffset.UTC)): String = {
+    val path = s"$archiveDir/$table/${at.format(stamp)}"
+    conn.read(table).write
+      .mode(SaveMode.ErrorIfExists)   // snapshots are immutable
+      .option("compression", "gzip")  // the `| gzip` analog
+      .parquet(path)
+    path
+  }
+
+  /** Restore a snapshot into a connector table (the `mysql < dump` path). */
+  def restore(conn: Connector, snapshotPath: String, table: String): Unit =
+    conn.write(conn.spark.read.parquet(snapshotPath), table, SaveMode.Overwrite)
+
+  /** List snapshot timestamps for a table, newest first. */
+  def list(table: String, archiveDir: String): Seq[String] = {
+    val d = java.nio.file.Paths.get(archiveDir, table)
+    if (!java.nio.file.Files.isDirectory(d)) return Seq.empty
+    val s = java.nio.file.Files.list(d)
+    try {
+      val b = Seq.newBuilder[String]
+      val it = s.iterator()
+      while (it.hasNext) b += it.next().getFileName.toString
+      b.result().sorted.reverse
+    } finally s.close()
+  }
+}
