@@ -27,6 +27,16 @@ import graft.functions.{MinHashSignature, SimHash64, TextFunctions, VectorFuncti
   */
 object Dedup {
 
+  /** Input-parallelism guard: a corpus read from a handful of large
+    * files (or one) plans a handful of tasks and leaves the per-row
+    * sketch work nearly serial. Re-spread it across the cluster before
+    * the compute-heavy stage — one narrow shuffle of raw rows, a no-op
+    * at real scale where inputs already have thousands of splits. */
+  private def ensureParallel(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
+  }
+
   /** Exact dedup: keep the lowest-`idCol` row per normalized-text
     * fingerprint. Hash-groupBy, one shuffle of (fingerprint, id). */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
@@ -102,7 +112,7 @@ object Dedup {
                         maxBucketSize: Int = 2000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val sig = df.select(col(idCol).as("_id"),
+    val sig = ensureParallel(df).select(col(idCol).as("_id"),
       minhashSignature(shingles(col(textCol), shingleLen), numHashes).as("_sig"))
     val banded = sig.select(col("_id"), col("_sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -134,7 +144,7 @@ object Dedup {
     * bucket-pair machinery as MinHash. */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame = {
-    val withSim = df.select(col(idCol).as("_id"), simhash(col(textCol)).as("_sim"))
+    val withSim = ensureParallel(df).select(col(idCol).as("_id"), simhash(col(textCol)).as("_sim"))
     val chunked = withSim.select(col("_id"), col("_sim"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("_sim"), i * 16).bitwiseAND(0xffffL)): _*))
@@ -154,7 +164,7 @@ object Dedup {
     * See [[langLengthBlock]] for the recommended key. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: Column, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val prep = df.select(col(idCol).as("_id"), blockCol.as("_block"),
+    val prep = ensureParallel(df).select(col(idCol).as("_id"), blockCol.as("_block"),
       array_distinct(shingles(col(textCol), n)).as("_sh"))
     val l = prep.select(col("_block"), col("_id").as("id_a"), col("_sh").as("_sh_a"))
     val r = prep.select(col("_block"), col("_id").as("id_b"), col("_sh").as("_sh_b"))

@@ -103,20 +103,30 @@ class PartitionedParquetConnector(
       .filter(col(partCol).isin(affected.toSeq: _*)) // static partition pruning
       .join(freshKeys, Seq(primaryKey), "left_anti")
     val out = keep.unionByName(inc.select(keep.columns.map(col).toIndexedSeq: _*))
-    overwriteDynamic(out, table)
-    // partitions that lost every row write nothing — clear them by hand
-    val written = keep.select(col(partCol)).union(inc.select(col(partCol)))
-      .distinct().collect().map(_.getString(0)).toSet
-    (affected -- written).foreach { p =>
-      FileTableOps.deleteRecursively(path(table).resolve(s"$partCol=$p"))
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // delta-sized
+    try {
+      overwriteDynamic(out, table)
+      // partitions that lost every row write nothing — clear them by hand
+      // (cheap: reads the cached delta, not the table)
+      val written = out.select(col(partCol)).distinct().collect().map(_.getString(0)).toSet
+      (affected -- written).foreach { p =>
+        FileTableOps.deleteRecursively(path(table).resolve(s"$partCol=$p"))
+      }
+    } finally out.unpersist(false)
   }
+
+  /** Cluster rows by partition value before a partitioned write:
+    * without it every task opens a file in every partition dir —
+    * tasks × partitions small files, the classic partitioned-write
+    * explosion. One hash shuffle brings it to ~1 file per partition
+    * (AQE coalesces the small shuffle partitions). */
+  private def clustered(df: DataFrame): DataFrame = df.repartition(col(partCol))
 
   /** Dynamic partition overwrite into the live table path: only the
     * partitions present in `df` are replaced. Per-write option — no
     * session-global conf mutation. */
   private def overwriteDynamic(df: DataFrame, table: String): Unit =
-    df.write
+    clustered(df).write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)
@@ -124,7 +134,7 @@ class PartitionedParquetConnector(
 
   private def atomicWritePartitioned(df: DataFrame, table: String): Unit = {
     val tmp = Paths.get(dir, s".tmp_${table}_${System.nanoTime()}")
-    df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp.toString)
+    clustered(df).write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp.toString)
     FileTableOps.replace(dir, tmp, path(table))
   }
 
