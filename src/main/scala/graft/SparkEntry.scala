@@ -330,12 +330,15 @@ object SparkEntry {
     }),
 
     "q_ann_ivf" -> ((s, dir) => {
+      // full IVF lifecycle: train -> materialize CELL-PARTITIONED index ->
+      // probe (the cell filter is partition pruning at the file listing)
       val e = T(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)
       val centroids = Similarity.trainCentroids(e, "embedding", "vec_id", nlist = 8, refineIterations = 1)
-      val index = Similarity.buildIvfIndex(e, "embedding", centroids)
-      Similarity.ivfTopK(index, "embedding", "vec_id", "_cell", centroids, q, k = 10, nprobe = 2)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_").toString + "/index"
+      Similarity.writeIvfIndex(e, "embedding", centroids, idx)
+      Similarity.ivfTopKIndexed(s, idx, "embedding", "vec_id", centroids, q, k = 10, nprobe = 2)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 

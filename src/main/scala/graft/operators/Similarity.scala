@@ -94,10 +94,38 @@ object Similarity {
   }
 
   /** Build the IVF index table: corpus + `_cell` assignment; callers
-    * should persist it partitioned by `_cell` for pruning. */
+    * should persist it partitioned by `_cell` for pruning — see
+    * [[writeIvfIndex]]. */
   def buildIvfIndex(df: DataFrame, vecCol: String,
                     centroids: Array[(Int, Array[Double])]): DataFrame =
     df.withColumn("_cell", nearestCell(col(vecCol), centroids))
+
+  /** Materialize the IVF index as a parquet dataset PARTITIONED BY cell:
+    * the probe's cell filter then becomes partition pruning at the file
+    * listing — a 1000-executor cluster probing nprobe of nlist cells
+    * reads nprobe/nlist of 100 TB, and never opens the rest. Rows are
+    * clustered per cell first (one shuffle) so each cell is a handful of
+    * files, not tasks × cells fragments. */
+  def writeIvfIndex(df: DataFrame, vecCol: String,
+                    centroids: Array[(Int, Array[Double])], path: String): Unit =
+    buildIvfIndex(df, vecCol, centroids)
+      .repartition(col("_cell"))
+      .write.mode("overwrite").partitionBy("_cell").parquet(path)
+
+  /** Probe a materialized index: scan ONLY the `nprobe` nearest cells
+    * (partition-pruned), exact cosine top-k inside them. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                     vecCol: String, idCol: String,
+                     centroids: Array[(Int, Array[Double])],
+                     query: Seq[Float], k: Int, nprobe: Int = 4): DataFrame = {
+    val qv = query.map(_.toDouble).toArray
+    val probeCells = centroids
+      .map { case (i, cv) => (i, l2SqLocal(qv, cv)) }
+      .sortBy(_._2).take(nprobe).map(_._1)
+    val pruned = spark.read.parquet(indexPath)
+      .filter(col("_cell").isin(probeCells.toIndexedSeq: _*))
+    bruteForceTopK(pruned, vecCol, idCol, query, k)
+  }
 
   private def l2SqLocal(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0

@@ -50,6 +50,73 @@ object IncrementalStream {
     q
   }
 
+  /** One closed browsing session per output row. */
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Long)
+
+  /** An open session carried between micro-batches. */
+  case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+
+  /** Stateful streaming sessionization via `flatMapGroupsWithState` —
+    * the custom-state surface the reference cannot express at all
+    * (SURVEY §2.9): per-user session state lives in the state store
+    * across micro-batches, sessions CLOSE when the inactivity gap is
+    * exceeded (emitted downstream) or when event-time timeout fires
+    * after the watermark passes; state is bounded by the watermark, so
+    * the query runs unbounded without state growth.
+    *
+    * Input needs `user_id`, `event_id`, `ts` columns (the events table
+    * shape). Batch-mode sessionization of the same semantics is the
+    * window-lag query (`SparkEntry q_sessionize`) — this is its
+    * always-on form. */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30,
+                       lateness: String = "2 hours"): org.apache.spark.sql.Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(userId: Long, it: Iterator[(Long, java.sql.Timestamp)],
+               state: GroupState[OpenSession]): Iterator[Session] = {
+      def toSession(s: OpenSession) = Session(userId,
+        new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs), s.n)
+      if (state.hasTimedOut) {
+        // watermark passed the open session's gap window — close it
+        val out = state.getOption.map(toSession).iterator
+        state.remove()
+        return out
+      }
+      val times = it.map(_._2.getTime).toArray.sorted
+      var open = state.getOption
+      val closed = Seq.newBuilder[Session]
+      times.foreach { t =>
+        open match {
+          case Some(s) if t - s.lastMs <= gapMs =>
+            open = Some(OpenSession(s.startMs, math.max(s.lastMs, t), s.n + 1))
+          case Some(s) => // gap exceeded → close the old, start fresh
+            closed += toSession(s)
+            open = Some(OpenSession(t, t, 1))
+          case None =>
+            open = Some(OpenSession(t, t, 1))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.lastMs + gapMs) // event-time timeout
+      }
+      closed.result().iterator
+    }
+
+    events.selectExpr("user_id", "event_id", "ts")
+      .withWatermark("ts", lateness)
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (user, rows, state) => update(user, rows.map(r => (r._2, r._3)), state)
+      }
+  }
+
   /** The incremental-pipe-as-stream: append new rows of `src` into a
     * parquet sink with exactly-once file-sink semantics — the streaming
     * upgrade of `Patterns.incrementalPipe` (checkpoint = watermark). */

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Physical-plan evidence that the scale properties hold: filters reach
+  * the parquet scan, projections prune columns, small dims broadcast.
+  * These are the `.explain` audits the 100 TB design depends on, encoded
+  * as assertions so they cannot silently regress. */
+class PlanEvidenceSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec =
+    df.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }.head
+
+  test("connector read + filter: predicate pushes down to the parquet scan") {
+    val li = graft.sources.ParquetConnector.readTable(spark, s"$sf/lineitem.parquet")
+      .filter(col("l_orderkey") > 1000)
+      .select("l_orderkey", "l_quantity")
+    val scan = scanOf(li)
+    assert(scan.metadata("PushedFilters").contains("GreaterThan(l_orderkey,1000)"),
+      scan.metadata("PushedFilters"))
+  }
+
+  test("projection prunes the scan to the referenced columns (ReadSchema)") {
+    val li = graft.sources.ParquetConnector.readTable(spark, s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val rs = scanOf(li).metadata("ReadSchema")
+    assert(rs.contains("l_orderkey") && rs.contains("l_quantity"))
+    assert(!rs.contains("l_comment") && !rs.contains("l_extendedprice"), rs)
+  }
+
+  test("q_scan_project: shipdate filter reaches the scan") {
+    val df = SparkEntry.queries("q_scan_project")(spark, sf)
+    val pushed = scanOf(df).metadata("PushedFilters")
+    assert(pushed.contains("l_shipdate"), pushed)
+  }
+
+  test("q_join_nation_revenue: dims broadcast, no shuffle join on the small sides") {
+    val plan = SparkEntry.queries("q_join_nation_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "dims must broadcast")
+  }
+
+  test("q_agg_pricing: partial aggregation before the shuffle (map-side combine)") {
+    val plan = SparkEntry.queries("q_agg_pricing")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // two HashAggregate levels = partial + final; the shuffle moves
+    // pre-aggregated rows, not the fact table
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "expected partial+final aggregates")
+  }
+
+  test("q_ann_cosine: top-k is TakeOrdered, not a global sort") {
+    val plan = SparkEntry.queries("q_ann_cosine")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
+  test("whole-stage codegen covers the text-function pipeline (no codegen breaks)") {
+    val df = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+      .select(graft.functions.TextFunctions.qualityScore(col("text")).as("q"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen"), "text pipeline must stay codegen'd")
+  }
+
+  test("readSince: watermark predicate pushes into the scan (incremental = delta read)") {
+    val c = new graft.sources.ParquetConnector(spark, tmpDir("graft_push_"))
+    c.write(usersDf, "users")
+    val since = ts("2024-01-03 00:00:00")
+    val pushed = scanOf(c.readSince("users", "updated_at", since)).metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(updated_at"), pushed)
+  }
+}

@@ -76,6 +76,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"recall@10 = $recall")
   }
 
+  test("materialized IVF index: probes read ONLY the probed cells' files (partition pruning)") {
+    val corpus = clustered(8, 20, 8)
+    val centroids = Similarity.trainCentroids(corpus, "v", "vec_id", nlist = 8)
+    val idx = tmpDir("graft_ivf_idx_") + "/index"
+    Similarity.writeIvfIndex(corpus, "v", centroids, idx)
+    val q = corpus.filter(col("vec_id") === 0L).head().getSeq[Float](1)
+    val qv = q.map(_.toDouble).toArray
+    val probed = centroids.map { case (i, cv) =>
+      (i, cv.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy(_._2).take(2).map(_._1).toSet
+    val pruned = spark.read.parquet(idx)
+      .filter(col("_cell").isin(probed.toSeq: _*))
+    pruned.collect() // execute so scan metrics populate
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    // the cell filter must be a PARTITION filter (pruned at file listing,
+    // not evaluated per-row), and only the probed cells' files read
+    assert(scan.partitionFilters.exists(_.toString.contains("_cell")),
+      s"cell filter must prune partitions: ${scan.partitionFilters}")
+    val numFiles = scan.metrics("numFiles").value
+    assert(numFiles == probed.size,
+      s"expected ${probed.size} files (one per probed cell), scanned $numFiles")
+    // and the probe result matches the in-memory index path
+    val a = Similarity.ivfTopKIndexed(spark, idx, "v", "vec_id", centroids, q, k = 5, nprobe = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val b = Similarity.ivfTopK(Similarity.buildIvfIndex(corpus, "v", centroids),
+      "v", "vec_id", "_cell", centroids, q, k = 5, nprobe = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(a == b)
+  }
+
   test("IVF index assigns every vector to a cell in range") {
     val corpus = clustered(4, 10, 8)
     val centroids = Similarity.trainCentroids(corpus, "v", "vec_id", nlist = 4)

@@ -33,6 +33,31 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == 15) // no re-deliveries
   }
 
+  test("sessionizeStream closes sessions on gap via custom state (flatMapGroupsWithState)") {
+    val srcDir = tmpDir("graft_sess_src_")
+    // user 1: two sessions separated by a >30min gap; user 2: one session
+    df(evSchema, Seq(
+      Row(1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      Row(2L, ts("2024-01-01 10:05:00"), "click", 1.0),
+      Row(3L, ts("2024-01-01 11:00:00"), "click", 1.0),
+      Row(4L, ts("2024-01-01 11:02:00"), "click", 1.0),
+      Row(5L, ts("2024-01-01 10:00:00"), "view", 1.0)))
+      .withColumn("user_id", org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("event_id") === 5L, 2L).otherwise(1L))
+      .write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = IncrementalStream.readStream(spark, srcDir, schema)
+    val sessions = IncrementalStream.sessionizeStream(stream, gapMinutes = 30)
+    IncrementalStream.runToMemory(sessions.toDF(), "sess_test")
+    val out = spark.sql("SELECT * FROM sess_test ORDER BY user_id, session_start").collect()
+    // only user 1's FIRST session has closed (the rest await the watermark)
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("user_id") == 1L)
+    assert(out(0).getAs[java.sql.Timestamp]("session_start") == ts("2024-01-01 10:00:00"))
+    assert(out(0).getAs[java.sql.Timestamp]("session_end") == ts("2024-01-01 10:05:00"))
+    assert(out(0).getAs[Long]("n_events") == 2L)
+  }
+
   test("windowedEventAgg aggregates per tumbling window with watermark") {
     val srcDir = tmpDir("graft_streamw_src_")
     df(evSchema, Seq(
