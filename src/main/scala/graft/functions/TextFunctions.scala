@@ -8,10 +8,23 @@ import org.apache.spark.sql.functions._
   * text-analysis operators a large-scale training-data pipeline needs
   * (language-ID, quality scoring, token counting, fingerprinting).
   *
-  * All built from `org.apache.spark.sql.functions._` so they stay inside
-  * whole-stage codegen — no UDFs in the hot path.
+  * Everything stays inside whole-stage codegen — no UDFs, and no
+  * higher-order-function lambdas (those are `CodegenFallback` and drop
+  * the whole projection to interpreted eval): the token/stopword work is
+  * one native single-pass [[TextProfile]] expression, the rest is plain
+  * `org.apache.spark.sql.functions._` arithmetic over its struct fields.
+  * Spark's subexpression elimination collapses repeated field reads to a
+  * single profile call per row, so quality scoring + language ID together
+  * cost two passes over the document bytes — scan speed at 100 TB.
   */
 object TextFunctions {
+
+  import org.apache.spark.sql.graftshim.ColumnBridge
+
+  /** The native single-pass stats struct (see [[TextProfileOps]]). */
+  private def profile(c: Column, sets: Seq[Seq[String]] = Nil,
+                      asciiTokens: Boolean = false): Column =
+    ColumnBridge.column(TextProfile(ColumnBridge.expression(c), sets, asciiTokens))
 
   /** T4 UTF-8 sanitize: replace every char above `charBytecodeMax`
     * (default 65535, `lib/forklift/plan.rb:149`) with `???` — the
@@ -26,13 +39,15 @@ object TextFunctions {
     when(length(trim(c)) === 0, lit(0))
       .otherwise(size(split(trim(c), "\\s+")))
 
-  /** BPE-ish subword count estimate: splits on word/number/punct
-    * boundaries (a GPT-2-style pretokenizer regex, coarse), counting
-    * pieces — an upper-bound proxy for tokenizer cost at scale. */
-  def subwordCount(c: Column): Column =
-    when(length(trim(c)) === 0, lit(0)).otherwise(
-      size(filter(split(c, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
-        x => length(x) > 0)))
+  /** BPE-ish subword count estimate: pieces of a GPT-2-style pretokenizer
+    * split (runs of `[\p{L}\p{N}]` + one piece per other char) — an
+    * upper-bound proxy for tokenizer cost at scale. Native single-pass
+    * (the regex-split + `filter` lambda form was CodegenFallback). */
+  def subwordCount(c: Column): Column = {
+    val p = profile(c)
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise((p.getField("alnum_runs") + p.getField("non_alnum")).cast("int"))
+  }
 
   /** Punctuation ratio: punct chars / total chars (0 for empty). */
   def punctRatio(c: Column): Column =
@@ -53,24 +68,43 @@ object TextFunctions {
 
   /** Stopword hit ratio against a given stopword list — the workhorse of
     * both quality scoring and n-gram language ID. `splitRegex` is the
-    * token-boundary pattern (default: any non-letter). */
-  def stopwordRatio(c: Column, stopwords: Seq[String], splitRegex: String = "[^\\p{L}]+"): Column = {
-    val toks = split(lower(trim(c)), splitRegex)
-    val hits = size(filter(toks, t => t.isInCollection(stopwords)))
-    val total = size(filter(toks, t => length(t) > 0))
-    when(total === 0, lit(0.0)).otherwise(hits.cast("double") / total)
+    * token-boundary pattern (default: any non-letter); the two patterns
+    * the pipeline uses run through the native single-pass profile, any
+    * other regex falls back to a (non-codegen) lambda composition. */
+  def stopwordRatio(c: Column, stopwords: Seq[String], splitRegex: String = "[^\\p{L}]+"): Column =
+    splitRegex match {
+      case "[^\\p{L}]+" => ratioFromProfile(profile(c, Seq(stopwords)))
+      case "[^a-z]+"    => ratioFromProfile(profile(c, Seq(stopwords), asciiTokens = true))
+      case other =>
+        val toks = split(lower(trim(c)), other)
+        val hits = size(filter(toks, t => t.isInCollection(stopwords)))
+        val total = size(filter(toks, t => length(t) > 0))
+        when(total === 0, lit(0.0)).otherwise(hits.cast("double") / total)
+    }
+
+  private def ratioFromProfile(p: Column, setIdx: Int = 0): Column = {
+    val total = p.getField("letter_tokens")
+    when(total === 0L, lit(0.0))
+      .otherwise(p.getField("hits").getItem(setIdx).cast("double") / total)
   }
 
   /** Heuristic document quality score in [0,1]: rewards stopword density
-    * and sane word lengths, penalizes punctuation/uppercase excess —
-    * the classic Gopher/C4-style rule-based filter shape, built entirely
-    * from codegen'd expressions so it runs at scan speed over 100 TB. */
+    * and sane word lengths, penalizes punctuation/uppercase excess — the
+    * classic Gopher/C4-style rule-based filter shape. All five components
+    * read ONE [[TextProfile]] struct (subexpression elimination gives one
+    * profile call per row), so the full score is a single pass over the
+    * document inside whole-stage codegen — scan speed at 100 TB. */
   def qualityScore(c: Column, stopwords: Seq[String] = englishStopwords): Column = {
-    val sw = stopwordRatio(c, stopwords)           // 0..1, good ≈ 0.3-0.6
-    val punct = punctRatio(c)                      // good < 0.1
-    val upper = upperRatio(c)                      // good < 0.3
-    val mwl = meanWordLen(c)                       // good ≈ 3-10
-    val lenScore = least(length(c).cast("double") / 500.0, lit(1.0))
+    val p = profile(c, Seq(stopwords))
+    val chars = p.getField("chars")
+    val sw = ratioFromProfile(p)                                   // 0..1, good ≈ 0.3-0.6
+    val punct = when(chars === 0L, lit(0.0))                       // good < 0.1
+      .otherwise(p.getField("punct").cast("double") / chars)
+    val upper = when(p.getField("letters") === 0L, lit(0.0))       // good < 0.3
+      .otherwise(p.getField("upper").cast("double") / p.getField("letters"))
+    val mwl = when(p.getField("ws_tokens") === 0L, lit(0.0))       // good ≈ 3-10
+      .otherwise(p.getField("nonws_chars").cast("double") / p.getField("ws_tokens"))
+    val lenScore = least(chars.cast("double") / 500.0, lit(1.0))
     val swScore = least(sw * 2.5, lit(1.0))
     val punctScore = greatest(lit(0.0), lit(1.0) - punct * 4.0)
     val upperScore = greatest(lit(0.0), lit(1.0) - upper * 2.0)
@@ -80,21 +114,24 @@ object TextFunctions {
 
   /** N-gram-heuristic language ID over a small closed set: scores each
     * candidate language by stopword-hit ratio and returns the argmax
-    * (ties → 'und'). Cheap, fully codegen'd, embarrassingly parallel. */
+    * (ties → first language in [[langStopwords]] order; all ≤ 0.08 →
+    * 'und'). ONE profile pass computes all per-language hit counts; the
+    * argmax is codegen'd CaseWhen arithmetic. */
   def langId(c: Column): Column = {
-    val scored = langStopwords.map { case (lang, words) => (lang, stopwordRatio(c, words)) }
-    // argmax via chained when: keep (bestLang, bestScore) pair in expressions
-    val best = scored.reduceLeft[(Column, Column)] {
+    val p = profile(c, langStopwords.map(_._2))
+    val scored = langStopwords.zipWithIndex.map { case ((lang, _), i) =>
+      (lit(lang), ratioFromProfile(p, i))
+    }
+    scored.reduceLeft[(Column, Column)] {
       case ((aL: Column, aS: Column), (bL, bS)) => (when(bS > aS, bL).otherwise(aL), greatest(aS, bS))
     } match { case (l, s) => when(s > 0.08, l).otherwise(lit("und")) }
-    best
   }
-  // langStopwords pairs pre-lifted to Columns for reduceLeft above
-  private lazy val langStopwords: Seq[(Column, Seq[String])] = Seq(
-    lit("en") -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was", "with", "are", "his", "this", "they"),
-    lit("de") -> Seq("der", "die", "und", "das", "ist", "nicht", "von", "sie", "mit", "ein", "eine", "auf", "den", "dem", "zu"),
-    lit("fr") -> Seq("le", "la", "les", "de", "des", "et", "est", "une", "dans", "que", "pour", "qui", "sur", "pas", "au"),
-    lit("es") -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por", "con", "para", "del"),
+
+  private lazy val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was", "with", "are", "his", "this", "they"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "von", "sie", "mit", "ein", "eine", "auf", "den", "dem", "zu"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "une", "dans", "que", "pour", "qui", "sur", "pas", "au"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por", "con", "para", "del"),
   )
 
   val englishStopwords: Seq[String] = Seq(

@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.{FileSourceScanExec, ProjectExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 
 /** Physical-plan evidence that the scale properties hold: filters reach
@@ -11,8 +12,17 @@ class PlanEvidenceSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** Collect the file scans, descending through the AdaptiveSparkPlanExec
+    * wrapper AQE puts around any plan with an exchange (it is a leaf node,
+    * so a plain collect stops at it). */
+  private def scansIn(p: SparkPlan): Seq[FileSourceScanExec] =
+    p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scansIn(a.executedPlan)
+    }.flatten
+
   private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec =
-    df.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }.head
+    scansIn(df.queryExecution.executedPlan).head
 
   test("connector read + filter: predicate pushes down to the parquet scan") {
     val li = graft.sources.ParquetConnector.readTable(spark, s"$sf/lineitem.parquet")
@@ -58,11 +68,19 @@ class PlanEvidenceSpec extends SparkSpec {
   }
 
   test("whole-stage codegen covers the text-function pipeline (no codegen breaks)") {
+    // quality + langid + fingerprint in one projection: the r3 regression
+    // was higher-order lambdas (CodegenFallback) dropping this projection
+    // to interpreted eval — assert the ProjectExec sits INSIDE a
+    // WholeStageCodegen span, not merely that one exists somewhere.
     val df = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
       .select(graft.functions.TextFunctions.qualityScore(col("text")).as("q"),
+        graft.functions.TextFunctions.langId(col("text")).as("lang_pred"),
         graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("WholeStageCodegen"), "text pipeline must stay codegen'd")
+    val codegenProjects = df.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec => w.collect { case p: ProjectExec => p }
+    }.flatten
+    assert(codegenProjects.nonEmpty, "text projection must be inside WholeStageCodegen:\n" +
+      df.queryExecution.executedPlan.toString)
   }
 
   test("readSince: watermark predicate pushes into the scan (incremental = delta read)") {
