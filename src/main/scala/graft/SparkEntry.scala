@@ -375,8 +375,15 @@ object SparkEntry {
     }),
 
     "q_fingerprint" -> ((s, dir) => {
-      // native codegen'd RollingHash expression (rows-only)
-      T(s, dir, "documents")
+      // native codegen'd RollingHash over a PINNED fixture; the oracle is
+      // golden literal rows (q_schema_infer style) — the hash is
+      // deterministic byte math, so the exact 64-bit values pin it
+      // across JVMs, partitionings, and plan changes. Rows 1/2 differ
+      // only in case+whitespace and MUST collide (normalization).
+      import s.implicits._
+      Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "hello worlds"),
+          (4L, ""), (5L, "  Tabs\tand  Spaces  "))
+        .toDF("doc_id", "text")
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     }),
@@ -605,6 +612,15 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT), CAST(-3228224702038751617 AS BIGINT)),
+        | (2, -3228224702038751617),
+        | (3, -7841245394653541932),
+        | (4, -3750763034362895579),
+        | (5, 5356262287253956275))
+        | AS t(doc_id, fp) ORDER BY doc_id""".stripMargin,
 
     "q_schema_infer" ->
       """SELECT * FROM (VALUES

@@ -194,15 +194,18 @@ object Dedup {
     * chance ≈ angle/π); production runs shard the corpus and/or union
     * several independent plane sets to recover recall. */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String, dim: Int,
-                       planes: Int = 16, threshold: Double = 0.95): DataFrame = {
-    val keyed = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+                       planes: Int = 16, threshold: Double = 0.95,
+                       maxBucketSize: Int = 2000): DataFrame = {
+    // same join-free bucket-pair machinery as minhash/simhash: one shuffle
+    // of (bucket, id, vector), in-bucket pair explode, degenerate buckets
+    // (duplicate-heavy or low-entropy embedding sets — exactly what a
+    // dedup corpus contains) capped so no single task goes quadratic.
+    val keyed = ensureParallel(df).select(col(idCol).as("_id"), col(vecCol).as("_v"),
       VectorFunctions.hyperplaneBucket(col(vecCol), dim, planes).as("_bucket"))
-    val l = keyed.select(col("_bucket"), col("_id").as("id_a"), col("_v").as("_v_a"))
-    val r = keyed.select(col("_bucket"), col("_id").as("id_b"), col("_v").as("_v_b"))
-    l.join(r, Seq("_bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        VectorFunctions.cosine(col("_v_a"), col("_v_b")).as("cosine"))
+    bucketPairs(keyed, Seq("_bucket"), "_id", "_v", maxBucketSize)
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        VectorFunctions.cosine(col("pa"), col("pb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -36,8 +36,20 @@ object ConnectionConfig {
         k -> v
       }.toMap
 
-  /** Construct a connector from (type, config). */
-  def build(spark: SparkSession, kind: String, cfg: Map[String, String]): Connector = kind match {
+  /** Construct a connector from (type, config). A `class:` key names a
+    * user [[graft.sources.ConnectorFactory]] (object or zero-arg class) —
+    * the reference's auto-required user transports (`lib/forklift.rb:15-16`,
+    * README "Creating your own transport") as explicit reflection: the
+    * config file itself declares the implementation, the directory name
+    * is just the registry grouping. */
+  def build(spark: SparkSession, kind: String, cfg: Map[String, String]): Connector =
+    cfg.get("class") match {
+      case Some(cn) =>
+        graft.Reflect.instantiate[ConnectorFactory](cn).build(spark, cfg - "class")
+      case None => buildBuiltin(spark, kind, cfg)
+    }
+
+  private def buildBuiltin(spark: SparkSession, kind: String, cfg: Map[String, String]): Connector = kind match {
     case "parquet" => new ParquetConnector(spark, cfg("dir"))
     case "parquet_partitioned" =>
       new PartitionedParquetConnector(spark, cfg("dir"), cfg.getOrElse("matcher", "updated_at"))

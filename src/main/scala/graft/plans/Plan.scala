@@ -25,6 +25,13 @@ class Plan(val spark: SparkSession, val config: PlanConfig = PlanConfig()) {
   def connection(name: String, c: Connector): Plan = { connectors(name) = c; this }
   def connectionFor(name: String): Connector = connectors(name)
 
+  /** Batch-callback loop at the plan's configured `batch_size` — the
+    * reference threads `config[:batch_size]` into every transport's read
+    * loop (`plan.rb:148`); here the connectors are lazy DataFrames, so
+    * the plan-level batch size applies at the one place batches exist. */
+  def eachBatch(df: org.apache.spark.sql.DataFrame)(f: Seq[org.apache.spark.sql.Row] => Unit): Unit =
+    Connector.eachBatch(df, config.batchSize)(f)
+
   /** O3 `step` (`plan.rb:58-68`): register a named block with an optional
     * error handler. Duplicate names raise, as in the reference (`:60-62`). */
   def step(name: String, onError: (String, Throwable) => Unit = defaultHandler)(body: => Unit): Plan = {

@@ -69,7 +69,16 @@ trait Connector {
     * streams partitions through the driver one at a time, O(batch) driver
     * memory. For distributed per-row logic prefer DataFrame ops — this is
     * the escape hatch, as in the reference. */
-  def eachBatch(df: DataFrame, batchSize: Int = 1000)(f: Seq[org.apache.spark.sql.Row] => Unit): Unit = {
+  def eachBatch(df: DataFrame, batchSize: Int = 1000)(f: Seq[org.apache.spark.sql.Row] => Unit): Unit =
+    Connector.eachBatch(df, batchSize)(f)
+}
+
+object Connector {
+  /** Shared batch-callback driver loop (see the trait method); also used
+    * by [[graft.plans.Plan.eachBatch]] with the plan's configured
+    * `batch_size`. */
+  def eachBatch(df: DataFrame, batchSize: Int)(f: Seq[org.apache.spark.sql.Row] => Unit): Unit = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     val it = df.toLocalIterator()
     val buf = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
     while (it.hasNext) {
@@ -78,4 +87,14 @@ trait Connector {
     }
     if (buf.nonEmpty) f(buf.toSeq)
   }
+}
+
+/** SPI for config-driven user connectors (O11): a `class:` line in a
+  * `config/connections/<type>/<name>.yml` names an implementation of
+  * this trait (Scala object or zero-arg class), which builds the
+  * connector from the remaining config keys — the explicit-reflection
+  * analog of the reference's auto-required user transport files
+  * (taskrabbit/forklift `lib/forklift.rb:15-16`). */
+trait ConnectorFactory {
+  def build(spark: SparkSession, cfg: Map[String, String]): Connector
 }

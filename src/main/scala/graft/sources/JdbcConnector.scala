@@ -41,8 +41,14 @@ class JdbcConnector(
     quote: String = "\"")
   extends Connector {
 
-  private def props: Properties = {
+  /** JDBC properties for every read/write: user options plus `fetchsize`
+    * from `batchSize` (unless explicitly overridden) — the reference's
+    * `config[:batch_size]` page size (`plan.rb:148`) becomes the driver
+    * row-streaming window, so a 10B-row scan never buffers server-side
+    * results in one gulp. */
+  private[sources] def props: Properties = {
     val p = new Properties()
+    p.setProperty("fetchsize", batchSize.toString)
     options.foreach { case (k, v) => p.setProperty(k, v) }
     p
   }

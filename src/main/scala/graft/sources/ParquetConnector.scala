@@ -69,7 +69,12 @@ object ParquetConnector {
           while (found.isEmpty && it.hasNext) {
             val s = it.next()
             val n = s.getPath.getName
-            if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+            val parent = s.getPath.getParent.getName
+            // skip hidden files AND files inside metadata dirs (e.g. the
+            // partitioned connector's _graft_pkidx bloom sidecar) — those
+            // are not data files of this table
+            if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
+                !parent.startsWith("_") && !parent.startsWith("."))
               found = Some(s.getPath)
           }
           found

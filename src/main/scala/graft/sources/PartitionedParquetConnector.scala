@@ -1,8 +1,11 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+import scala.jdk.CollectionConverters._
 
 /** Parquet connector whose tables are Hive-layout partitioned by a
   * DERIVED date column (`gpart=yyyy-MM-dd/`, computed from `matcher`) —
@@ -56,7 +59,10 @@ class PartitionedParquetConnector(
   override def write(df: DataFrame, table: String, mode: SaveMode = SaveMode.Overwrite): Unit = mode match {
     case SaveMode.Append if exists(table) =>
       // delta-scoped append: rebuild only the partitions the new rows
-      // land in (existing rows in those partitions are kept).
+      // land in (existing rows in those partitions are kept). The append
+      // changes partition CONTENTS without going through the sidecar, so
+      // the pk index is invalidated (next upsert re-bootstraps it).
+      dropSidecar(table)
       val inc = addPart(SchemaInfer.evolve(df, read(table).schema))
       val out = readWithPart(table)
         .join(broadcast(inc.select(col(partCol)).distinct()), Seq(partCol))
@@ -95,16 +101,42 @@ class PartitionedParquetConnector(
     if (!inc.columns.contains(primaryKey)) { write(df, table, SaveMode.Append); return }
     val target = readWithPart(table)
     val freshKeys = inc.select(col(primaryKey)).distinct()
-    // (pk, gpart)-only scan of the target — column-pruned, no data read
-    val affected: Set[String] = target.join(freshKeys, Seq(primaryKey))
-      .select(col(partCol)).union(inc.select(col(partCol))).distinct()
-      .collect().map(_.getString(0)).toSet
+    val incParts = inc.select(col(partCol)).distinct().collect().map(_.getString(0)).toSet
+    val deltaHashes = inc.select(keyHash(col(primaryKey)).as("h")).distinct()
+      .collect().map(_.getLong(0))
+    // Discovery: which partitions hold old versions of the updated keys?
+    // Steady state probes the per-partition pk BLOOM sidecar — O(sidecar +
+    // delta), no table scan at all (the r3 full (pk, gpart) probe was
+    // O(table) per tick — a trillion-row scan every increment at 100 TB).
+    // A false positive only rebuilds an extra partition; never wrong.
+    // Missing/stale/pk-mismatched sidecar → one bootstrapping (pk, gpart)
+    // column-pruned scan rebuilds it, amortized across all later ticks.
+    val affected: Set[String] = (sidecarRows(table, primaryKey) match {
+      case Some(rows) => probeBlooms(rows, deltaHashes)
+      case None =>
+        commitSidecar(bloomRows(target.select(col(primaryKey), col(partCol)), primaryKey),
+          primaryKey, table)
+        probeBlooms(spark.read.parquet(idxPath(table).toString), deltaHashes)
+    }) ++ incParts
     val keep = target
       .filter(col(partCol).isin(affected.toSeq: _*)) // static partition pruning
       .join(freshKeys, Seq(primaryKey), "left_anti")
     val out = keep.unionByName(inc.select(keep.columns.map(col).toIndexedSeq: _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // delta-sized
     try {
+      // stage the refreshed sidecar BEFORE mutating the table (this also
+      // materializes `out`'s cache): unaffected partitions keep their
+      // blooms, rebuilt ones get fresh blooms from the delta-sized `out`,
+      // emptied ones drop out. The live sidecar is then deleted for the
+      // duration of the rewrite — a crash mid-publish leaves NO sidecar
+      // (next tick re-bootstraps), never a stale one.
+      val keptBlooms = spark.read.parquet(idxPath(table).toString)
+        .filter(!col("gpart_v").isin(affected.toSeq: _*))
+        .select(col("gpart_v"), col("bloom"))
+      val stagedIdx = stageSidecar(
+        keptBlooms.unionByName(bloomRows(out.select(col(primaryKey), col(partCol)), primaryKey)),
+        primaryKey, table)
+      dropSidecar(table)
       overwriteDynamic(out, table)
       // partitions that lost every row write nothing — clear them by hand
       // (cheap: reads the cached delta, not the table)
@@ -112,7 +144,107 @@ class PartitionedParquetConnector(
       (affected -- written).foreach { p =>
         FileTableOps.deleteRecursively(path(table).resolve(s"$partCol=$p"))
       }
+      Files.move(stagedIdx, idxPath(table), StandardCopyOption.ATOMIC_MOVE)
     } finally out.unpersist(false)
+  }
+
+  // ---- per-partition primary-key bloom sidecar ------------------------
+  // `<table>.parquet/_graft_pkidx/` — underscore-prefixed, so Spark's
+  // file index treats it as metadata and table reads never see it.
+  // Schema: (gpart_v string, pk string, bloom binary), one row per
+  // partition; `pk` records which key column the blooms were built over.
+
+  private def idxPath(table: String): Path = path(table).resolve("_graft_pkidx")
+
+  private def dropSidecar(table: String): Unit =
+    FileTableOps.deleteRecursively(idxPath(table))
+
+  /** Uniform key hashing on both build and probe sides: xxhash64 of the
+    * key's string form (type-agnostic, null-safe — computed by Spark
+    * expressions on the build side and matched here). */
+  private def keyHash(c: Column): Column = xxhash64(c.cast("string"))
+
+  private def listPartitions(table: String): Set[String] = {
+    if (!Files.isDirectory(path(table))) return Set.empty
+    val s = Files.list(path(table))
+    try s.iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filter(_.startsWith(partCol + "="))
+      .map(_.stripPrefix(partCol + "=")).toSet
+    finally s.close()
+  }
+
+  /** The sidecar as (gpart_v, pk, bloom) rows — only if present, built
+    * over the same primary key, and covering EXACTLY the table's current
+    * partitions (any external mutation fails the coverage check and
+    * forces a rebuild). */
+  private def sidecarRows(table: String, primaryKey: String): Option[DataFrame] = {
+    if (!Files.isDirectory(idxPath(table))) return None
+    try {
+      val df = spark.read.parquet(idxPath(table).toString)
+      val meta = df.select(col("pk"), col("gpart_v")).collect() // one row per partition
+      if (meta.exists(_.getString(0) != primaryKey)) return None
+      if (meta.map(_.getString(1)).toSet != listPartitions(table)) return None
+      Some(df)
+    } catch { case _: Exception => None }
+  }
+
+  /** One pk bloom per partition from a (primaryKey, gpart) projection.
+    * Exact-sized per partition at 1% fpp (~9.6 bits/key); the per-group
+    * hash buffer is 8 bytes/row of ONE partition — shard `gpart` further
+    * before partitions reach ~100M rows. */
+  private def bloomRows(keys: DataFrame, primaryKey: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    keys.select(col(partCol).cast("string").as("g"), keyHash(col(primaryKey)).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val hs = it.map(_._2).toArray
+        val bloom = BloomFilter.create(math.max(hs.length, 64L), 0.01)
+        hs.foreach(bloom.putLong)
+        val bos = new ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        (g, bos.toByteArray)
+      }.toDF("gpart_v", "bloom")
+  }
+
+  /** Executor-parallel probe: sidecar rows are the distributed side, the
+    * delta key hashes broadcast (delta-sized by the incremental
+    * contract). Returns the partitions whose bloom MIGHT contain any
+    * updated key. */
+  private def probeBlooms(rows: DataFrame, deltaHashes: Array[Long]): Set[String] = {
+    val session = spark
+    import session.implicits._
+    val bc = session.sparkContext.broadcast(deltaHashes)
+    try rows.select(col("gpart_v"), col("bloom")).as[(String, Array[Byte])]
+      .flatMap { case (g, bytes) =>
+        val bloom = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+        if (bc.value.exists(bloom.mightContainLong)) Iterator.single(g) else Iterator.empty
+      }.collect().toSet
+    finally bc.unpersist(false)
+  }
+
+  /** Write sidecar rows to a staging dir inside the table path; the
+    * caller commits it with an atomic move. */
+  private def stageSidecar(rows: DataFrame, primaryKey: String, table: String): Path = {
+    // clear staging dirs orphaned by an earlier crash
+    val s = Files.list(path(table))
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("_graft_pkidx_tmp_"))
+      .foreach(FileTableOps.deleteRecursively)
+    finally s.close()
+    val tmp = path(table).resolve(s"_graft_pkidx_tmp_${System.nanoTime()}")
+    rows.select(col("gpart_v"), lit(primaryKey).as("pk"), col("bloom"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    tmp
+  }
+
+  private def commitSidecar(rows: DataFrame, primaryKey: String, table: String): Unit = {
+    val tmp = stageSidecar(rows, primaryKey, table)
+    dropSidecar(table)
+    Files.move(tmp, idxPath(table), StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Cluster rows by partition value before a partitioned write:

@@ -151,4 +151,20 @@ class DedupSpec extends SparkSpec {
     val pairs = out.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     (0L until 50L).foreach(i => assert(pairs.contains((i, i + 1000L)), s"pair $i missing"))
   }
+
+  test("embedding near-dup: maxBucketSize caps degenerate buckets (identical vectors)") {
+    // an all-identical embedding set collapses into ONE bucket — without
+    // the cap that is a single quadratic task at corpus scale
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(FloatType))))
+    val vec = Array.fill(16)(0.5f).toSeq
+    val d = df(vecSchema, (1L to 60L).map(i => Row(i, vec)))
+    val capped = Dedup.embeddingNearDup(d, "v", "vec_id", dim = 16, planes = 8,
+      threshold = 0.5, maxBucketSize = 50)
+    assert(capped.count() == 0, "bucket over the cap must be skipped, not exploded")
+    val uncapped = Dedup.embeddingNearDup(d, "v", "vec_id", dim = 16, planes = 8,
+      threshold = 0.5, maxBucketSize = 100)
+    assert(uncapped.count() == 60L * 59 / 2)
+  }
 }

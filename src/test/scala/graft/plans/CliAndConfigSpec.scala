@@ -15,6 +15,15 @@ object TestCliPlan extends Main.PlanSpec {
   }
 }
 
+/** A user connector factory loadable from a `class:` config line (O11). */
+object SpecUserConnectorFactory extends graft.sources.ConnectorFactory {
+  var lastCfg: Map[String, String] = Map.empty
+  override def build(spark: SparkSession, cfg: Map[String, String]): Connector = {
+    lastCfg = cfg
+    new ParquetConnector(spark, cfg("dir"))
+  }
+}
+
 /** A loadable Transformation (T2 class-name dispatch target). */
 object SpecUserTransformation extends Transformation {
   var calls: Int = 0
@@ -53,6 +62,22 @@ class CliAndConfigSpec extends SparkSpec {
     val plan = new Plan(spark, PlanConfig(pidDir = tmpDir("graft_pid_")))
     ConnectionConfig.connectAll(plan, root) // must not throw
     assert(plan.logger.messages.exists(_.contains("broken")))
+  }
+
+  test("config-driven USER connector: `class:` names a ConnectorFactory (O11, forklift.rb:15-16)") {
+    val root = tmpDir("graft_cfg_user_")
+    val store = tmpDir("graft_cfg_store_")
+    Files.createDirectories(Paths.get(root, "connections/custom"))
+    Files.writeString(Paths.get(root, "connections/custom/mystore.yml"),
+      s"""class: graft.plans.SpecUserConnectorFactory
+         |dir: $store
+         |region: eu
+         |""".stripMargin)
+    val plan = new Plan(spark, PlanConfig(pidDir = tmpDir("graft_pid_")))
+    ConnectionConfig.connectAll(plan, root)
+    assert(plan.connectionFor("mystore").isInstanceOf[ParquetConnector])
+    // remaining config keys (minus class:) reach the factory
+    assert(SpecUserConnectorFactory.lastCfg == Map("dir" -> store, "region" -> "eu"))
   }
 
   test("ConnectionConfig.build constructs every connector type") {

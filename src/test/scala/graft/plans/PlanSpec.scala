@@ -10,6 +10,13 @@ class PlanSpec extends SparkSpec {
   private def freshPlan(): Plan =
     new Plan(spark, PlanConfig(pidDir = tmpDir("graft_pid_")))
 
+  test("plan.eachBatch batches at the configured batch_size (plan.rb:148)") {
+    val p = new Plan(spark, PlanConfig(batchSize = 3, pidDir = tmpDir("graft_pid_")))
+    val sizes = scala.collection.mutable.ArrayBuffer[Int]()
+    p.eachBatch(usersDf.limit(5).unionByName(usersDf.limit(2)))(b => sizes += b.size)
+    assert(sizes.toSeq == Seq(3, 3, 1))
+  }
+
   test("steps run in registration order") {
     val p = freshPlan()
     val order = scala.collection.mutable.ArrayBuffer[String]()

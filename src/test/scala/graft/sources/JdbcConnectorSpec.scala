@@ -16,6 +16,14 @@ class JdbcConnectorSpec extends SparkSpec {
       partitionColumn = Some("id"), numPartitions = 3, batchSize = 2)
   }
 
+  test("batchSize reaches the JDBC reader as fetchsize; explicit option wins") {
+    val c = new JdbcConnector(spark, "jdbc:derby:memory:graft_fetch;create=true", batchSize = 500)
+    assert(c.props.getProperty("fetchsize") == "500")
+    val o = new JdbcConnector(spark, "jdbc:derby:memory:graft_fetch2;create=true",
+      options = Map("fetchsize" -> "77"), batchSize = 500)
+    assert(o.props.getProperty("fetchsize") == "77")
+  }
+
   test("lazy create + append write + read roundtrip (S2/S4)") {
     val c = fresh()
     c.write(usersDf, "users", SaveMode.Append)

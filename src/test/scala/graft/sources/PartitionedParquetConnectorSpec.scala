@@ -118,6 +118,80 @@ class PartitionedParquetConnectorSpec extends SparkSpec {
     assert(a == b)
   }
 
+  private def idxDir(dir: String, table: String): Path =
+    Paths.get(dir, table + ".parquet", "_graft_pkidx")
+
+  test("pk-bloom sidecar: steady-state discovery reads no table data (scan evidence)") {
+    val (c, d) = fresh()
+    // one FAT partition (200k random-long pks — incompressible pk column,
+    // so any rescan of it is visible in task input metrics) + the small
+    // users partitions
+    val rnd = new scala.util.Random(11)
+    val session = spark
+    import session.implicits._
+    val fatRows = (1 to 200000).map(_ => rnd.nextLong()).distinct.map(k =>
+      (k, s"u$k@x.com", "F", "L",
+        java.sql.Timestamp.valueOf("2023-06-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2023-06-01 00:00:00")))
+      .toDF(usersSchema.fieldNames.toIndexedSeq: _*)
+    c.write(usersDf.unionByName(fatRows), "users")
+    // tick 1 bootstraps the sidecar (pays the one full (pk, gpart) scan)
+    c.upsert(df(usersSchema, Seq(Row(2L, "t1@x.com", "F", "L",
+      ts("2024-01-02 00:00:00"), ts("2024-01-02 01:00:00")))), "users", "id")
+    assert(Files.isDirectory(idxDir(d, "users")), "bootstrap must build the sidecar")
+    // tick 2 probes blooms only: bytes read must stay far below the fat
+    // partition's pk column (~1.6 MB of incompressible longs)
+    var bytes = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) bytes += t.taskMetrics.inputMetrics.bytesRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      c.upsert(df(usersSchema, Seq(Row(2L, "t2@x.com", "F", "L",
+        ts("2024-01-02 00:00:00"), ts("2024-01-02 02:00:00")))), "users", "id")
+      // listener events are async — poll until the counter stabilizes
+      var prev = -1L; var tries = 0
+      while (bytes != prev && tries < 20) { prev = bytes; Thread.sleep(250); tries += 1 }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(bytes < 400 * 1024,
+      s"steady-state upsert read $bytes bytes — discovery is rescanning the table")
+    assert(c.read("users").filter(col("id") === 2).head().getAs[String]("email") == "t2@x.com")
+  }
+
+  test("pk-bloom discovery finds old versions in distant partitions (no time horizon)") {
+    val (c, d) = fresh()
+    c.write(usersDf, "users")
+    // bootstrap tick
+    c.upsert(df(usersSchema, Seq(Row(5L, "b@x.com", "F", "L",
+      ts("2024-01-05 00:00:00"), ts("2024-01-05 01:00:00")))), "users", "id")
+    // steady-state tick: id=1 last touched 2024-01-01 jumps to 2024-06-01 —
+    // a min-matcher horizon prune would MISS the old partition; blooms must not
+    c.upsert(df(usersSchema, Seq(Row(1L, "far@x.com", "F", "L",
+      ts("2024-01-01 00:00:00"), ts("2024-06-01 00:00:00")))), "users", "id")
+    assert(c.read("users").filter(col("id") === 1).count() == 1, "old version must be replaced")
+    assert(!partitionFiles(d, "users").contains("gpart=2024-01-01"),
+      "emptied distant partition must be cleared")
+    assert(c.count("users") == 5)
+  }
+
+  test("append invalidates the pk-bloom sidecar; next upsert re-bootstraps correctly") {
+    val (c, d) = fresh()
+    c.write(usersDf, "users")
+    c.upsert(df(usersSchema, Seq(Row(4L, "x@x.com", "F", "L",
+      ts("2024-01-04 00:00:00"), ts("2024-01-04 01:00:00")))), "users", "id")
+    assert(Files.isDirectory(idxDir(d, "users")))
+    // append changes partition contents behind the sidecar's back → drop it
+    c.write(df(usersSchema, Seq(Row(60L, "a@x.com", "A", "A",
+      ts("2024-01-05 00:00:00"), ts("2024-01-05 02:00:00")))), "users", SaveMode.Append)
+    assert(!Files.isDirectory(idxDir(d, "users")), "append must invalidate the sidecar")
+    // and the re-bootstrapped path still merges correctly
+    c.upsert(df(usersSchema, Seq(Row(60L, "a2@x.com", "A", "A",
+      ts("2024-01-05 00:00:00"), ts("2024-01-05 03:00:00")))), "users", "id")
+    assert(c.read("users").filter(col("id") === 60).count() == 1)
+    assert(c.read("users").filter(col("id") === 60).head().getAs[String]("email") == "a2@x.com")
+  }
+
   test("incremental pipe into a partitioned sink: fresh rows merge, stale preserved") {
     val (c, _) = fresh()
     val src = new ParquetConnector(spark, tmpDir("graft_src_"))
