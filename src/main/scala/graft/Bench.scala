@@ -13,7 +13,10 @@ object Bench {
     "q_dedup_exact", "q_dedup_minhash", "q_ann_cosine", "q_upsert",
     // full-rewrite vs partition-scoped incremental merge, side by side —
     // the partitioned entry's cost tracks the delta, not the table
-    "q_incremental_pipe", "q_incremental_part")
+    "q_incremental_pipe", "q_incremental_part",
+    // text quality + language ID — the first-pass full-corpus operators;
+    // benched since r4 so the native-profile codegen path stays measured
+    "q_quality", "q_langid")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

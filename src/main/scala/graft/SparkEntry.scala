@@ -365,6 +365,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_subword" -> ((s, dir) => {
+      // BPE-ish subword count (native single-pass profile expression);
+      // oracled: pieces = alnum runs + one per other char, a formulation
+      // RE2 (DuckDB) can express — the old lookaround split could not
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.subwordCount(col("text")).as("n_subwords"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_langid" -> ((s, dir) => {
       // stopword-ratio-argmax heuristic language ID (oracled: the ratio
       // math and argmax tie-order are replicated exactly in DuckDB SQL)
@@ -612,6 +621,14 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_subword" ->
+      """SELECT doc_id,
+        |       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+        |         len(regexp_extract_all(text, '[\p{L}\p{N}]+')) +
+        |         len(regexp_extract_all(text, '[^\p{L}\p{N}]'))
+        |       END AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT * FROM (VALUES

@@ -52,7 +52,8 @@ object ConnectionConfig {
   private def buildBuiltin(spark: SparkSession, kind: String, cfg: Map[String, String]): Connector = kind match {
     case "parquet" => new ParquetConnector(spark, cfg("dir"))
     case "parquet_partitioned" =>
-      new PartitionedParquetConnector(spark, cfg("dir"), cfg.getOrElse("matcher", "updated_at"))
+      new PartitionedParquetConnector(spark, cfg("dir"), cfg.getOrElse("matcher", "updated_at"),
+        bloomIndexMinBytes = cfg.getOrElse("bloom_index_min_bytes", (1L << 30).toString).toLong)
     case "csv" => new CsvConnector(spark, cfg("dir"))
     case "jsondoc" => new JsonDocConnector(spark, cfg("dir"))
     case "jdbc" => new JdbcConnector(spark, cfg("url"),

@@ -23,6 +23,11 @@ class CsvConnector(val spark: SparkSession, dir: String) extends Connector {
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSS]")
       .csv(path(table).toString)
 
+  /** NOTE append rewrites the WHOLE file — O(table), not O(delta): the
+    * evolve/union pass re-reads existing rows so headers and inferred
+    * types stay consistent. Accepted for the interchange edge this
+    * connector is (see the class scale note + README gap table); bulk
+    * ingest should land in parquet, where appends are file-additive. */
   override def write(df: DataFrame, table: String, mode: SaveMode = SaveMode.Overwrite): Unit = {
     val out = mode match {
       case SaveMode.Append if exists(table) =>

@@ -32,6 +32,12 @@ class JsonDocConnector(val spark: SparkSession, dir: String) extends Connector {
     df
   }
 
+  /** NOTE append/upsert here rewrite the WHOLE index — O(index), not
+    * O(delta) (unlike ParquetConnector's additive file append). By
+    * design: this connector is a declared parity/interchange edge for
+    * small document sets; large corpora belong in parquet tables where
+    * appends are file-additive and merges partition-scoped. See the
+    * README gap table. */
   override def write(df: DataFrame, index: String, mode: SaveMode = SaveMode.Overwrite): Unit = {
     val out = mode match {
       case SaveMode.Append if exists(index) => read(index).unionByName(df, allowMissingColumns = true)

@@ -35,10 +35,19 @@ import scala.jdk.CollectionConverters._
   * needing all-or-nothing publish over small tables use the plain
   * connector.
   */
+/** @param bloomIndexMinBytes size cutover for upsert discovery, the
+  *   broadcast-threshold idiom: tables whose files total less than this
+  *   use the direct (pk, gpart) probe join — at that size the scan is a
+  *   few tasks and the bloom machinery's fixed per-job overhead would
+  *   dominate. At/above it, discovery maintains and probes the
+  *   per-partition pk bloom sidecar, making steady-state ticks
+  *   O(sidecar + delta) instead of O(table). An existing sidecar is
+  *   always used regardless of size. */
 class PartitionedParquetConnector(
     spark0: org.apache.spark.sql.SparkSession,
     dir0: String,
-    val matcher: String = "updated_at")
+    val matcher: String = "updated_at",
+    val bloomIndexMinBytes: Long = 1L << 30)
   extends ParquetConnector(spark0, dir0) {
 
   val partCol = "gpart"
@@ -97,55 +106,76 @@ class PartitionedParquetConnector(
       atomicWritePartitioned(addPart(result), table)
       return
     }
-    val inc = addPart(SchemaInfer.evolve(df, logical))
-    if (!inc.columns.contains(primaryKey)) { write(df, table, SaveMode.Append); return }
-    val target = readWithPart(table)
-    val freshKeys = inc.select(col(primaryKey)).distinct()
-    val incParts = inc.select(col(partCol)).distinct().collect().map(_.getString(0)).toSet
-    val deltaHashes = inc.select(keyHash(col(primaryKey)).as("h")).distinct()
-      .collect().map(_.getLong(0))
-    // Discovery: which partitions hold old versions of the updated keys?
-    // Steady state probes the per-partition pk BLOOM sidecar — O(sidecar +
-    // delta), no table scan at all (the r3 full (pk, gpart) probe was
-    // O(table) per tick — a trillion-row scan every increment at 100 TB).
-    // A false positive only rebuilds an extra partition; never wrong.
-    // Missing/stale/pk-mismatched sidecar → one bootstrapping (pk, gpart)
-    // column-pruned scan rebuilds it, amortized across all later ticks.
-    val affected: Set[String] = (sidecarRows(table, primaryKey) match {
-      case Some(rows) => probeBlooms(rows, deltaHashes)
-      case None =>
-        commitSidecar(bloomRows(target.select(col(primaryKey), col(partCol)), primaryKey),
-          primaryKey, table)
-        probeBlooms(spark.read.parquet(idxPath(table).toString), deltaHashes)
-    }) ++ incParts
-    val keep = target
-      .filter(col(partCol).isin(affected.toSeq: _*)) // static partition pruning
-      .join(freshKeys, Seq(primaryKey), "left_anti")
-    val out = keep.unionByName(inc.select(keep.columns.map(col).toIndexedSeq: _*))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // delta-sized
+    val inc0 = addPart(SchemaInfer.evolve(df, logical))
+    if (!inc0.columns.contains(primaryKey)) { write(df, table, SaveMode.Append); return }
+    // the delta's lineage is re-read by discovery, the merge, and the
+    // sidecar refresh — cache it once (delta-sized by contract)
+    val inc = inc0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // stage the refreshed sidecar BEFORE mutating the table (this also
-      // materializes `out`'s cache): unaffected partitions keep their
-      // blooms, rebuilt ones get fresh blooms from the delta-sized `out`,
-      // emptied ones drop out. The live sidecar is then deleted for the
-      // duration of the rewrite — a crash mid-publish leaves NO sidecar
-      // (next tick re-bootstraps), never a stale one.
-      val keptBlooms = spark.read.parquet(idxPath(table).toString)
-        .filter(!col("gpart_v").isin(affected.toSeq: _*))
-        .select(col("gpart_v"), col("bloom"))
-      val stagedIdx = stageSidecar(
-        keptBlooms.unionByName(bloomRows(out.select(col(primaryKey), col(partCol)), primaryKey)),
-        primaryKey, table)
-      dropSidecar(table)
-      overwriteDynamic(out, table)
-      // partitions that lost every row write nothing — clear them by hand
-      // (cheap: reads the cached delta, not the table)
-      val written = out.select(col(partCol)).distinct().collect().map(_.getString(0)).toSet
-      (affected -- written).foreach { p =>
-        FileTableOps.deleteRecursively(path(table).resolve(s"$partCol=$p"))
+      val target = readWithPart(table)
+      val freshKeys = inc.select(col(primaryKey)).distinct()
+      // one job over the delta yields both its landing partitions and its
+      // key hashes for the bloom probe
+      val keyParts = inc.select(keyHash(col(primaryKey)).as("h"), col(partCol)).distinct().collect()
+      val incParts = keyParts.map(_.getString(1)).toSet
+      val deltaHashes = keyParts.map(_.getLong(0)).distinct
+      // Discovery: which partitions hold old versions of the updated keys?
+      // Steady state probes the per-partition pk BLOOM sidecar — O(sidecar
+      // + delta), no table scan at all (the r3 full (pk, gpart) probe was
+      // O(table) per tick — a trillion-row scan every increment at 100 TB).
+      // A false positive only rebuilds an extra partition; never wrong.
+      // Missing/stale/pk-mismatched sidecar → one bootstrapping (pk, gpart)
+      // column-pruned scan rebuilds it, amortized across all later ticks.
+      val sidecar = sidecarRows(table, primaryKey)
+        .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val liveIdx: Option[org.apache.spark.sql.DataFrame] = sidecar.orElse {
+        if (tableBytes(table) < bloomIndexMinBytes) None // small table: direct probe wins
+        else {
+          val blooms = bloomRows(target.select(col(primaryKey), col(partCol)), primaryKey)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          commitSidecar(blooms, primaryKey, table)
+          Some(blooms)
+        }
       }
-      Files.move(stagedIdx, idxPath(table), StandardCopyOption.ATOMIC_MOVE)
-    } finally out.unpersist(false)
+      val affected: Set[String] = (liveIdx match {
+        case Some(idx) => probeBlooms(idx, deltaHashes)
+        case None => // sub-threshold: the r3 (pk, gpart) column-pruned probe join
+          target.join(freshKeys, Seq(primaryKey))
+            .select(col(partCol)).distinct().collect().map(_.getString(0)).toSet
+      }) ++ incParts
+      val keep = target
+        .filter(col(partCol).isin(affected.toSeq: _*)) // static partition pruning
+        .join(freshKeys, Seq(primaryKey), "left_anti")
+      val out = keep.unionByName(inc.select(keep.columns.map(col).toIndexedSeq: _*))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // delta-sized
+      try {
+        // when a sidecar is live, stage its refresh BEFORE mutating the
+        // table (this also materializes `out`'s cache): unaffected
+        // partitions keep their blooms, rebuilt ones get fresh blooms
+        // from the delta-sized `out`, emptied ones drop out. The live
+        // sidecar is then deleted for the duration of the rewrite — a
+        // crash mid-publish leaves NO sidecar (next tick re-bootstraps),
+        // never a stale one.
+        val stagedIdx = liveIdx.map { idx =>
+          val keptBlooms = idx
+            .filter(!col("gpart_v").isin(affected.toSeq: _*))
+            .select(col("gpart_v"), col("bloom"))
+          val staged = stageSidecar(
+            keptBlooms.unionByName(bloomRows(out.select(col(primaryKey), col(partCol)), primaryKey)),
+            primaryKey, table)
+          dropSidecar(table)
+          staged
+        }
+        overwriteDynamic(out, table)
+        // partitions that lost every row write nothing — clear them by hand
+        // (cheap: reads the cached delta, not the table)
+        val written = out.select(col(partCol)).distinct().collect().map(_.getString(0)).toSet
+        (affected -- written).foreach { p =>
+          FileTableOps.deleteRecursively(path(table).resolve(s"$partCol=$p"))
+        }
+        stagedIdx.foreach(Files.move(_, idxPath(table), StandardCopyOption.ATOMIC_MOVE))
+      } finally { out.unpersist(false); liveIdx.foreach(_.unpersist(false)) }
+    } finally inc.unpersist(false)
   }
 
   // ---- per-partition primary-key bloom sidecar ------------------------
@@ -153,6 +183,24 @@ class PartitionedParquetConnector(
   // file index treats it as metadata and table reads never see it.
   // Schema: (gpart_v string, pk string, bloom binary), one row per
   // partition; `pk` records which key column the blooms were built over.
+
+  /** Total data-file bytes of the table — a driver-side listing, the
+    * cheap size signal for the bloom-index cutover. */
+  private def tableBytes(table: String): Long = {
+    var total = 0L
+    Files.walkFileTree(path(table), new java.nio.file.SimpleFileVisitor[Path] {
+      override def preVisitDirectory(d: Path, a: java.nio.file.attribute.BasicFileAttributes) = {
+        val n = d.getFileName.toString
+        if (n.startsWith("_") || n.startsWith(".")) java.nio.file.FileVisitResult.SKIP_SUBTREE
+        else java.nio.file.FileVisitResult.CONTINUE
+      }
+      override def visitFile(f: Path, a: java.nio.file.attribute.BasicFileAttributes) = {
+        if (f.getFileName.toString.endsWith(".parquet")) total += a.size()
+        java.nio.file.FileVisitResult.CONTINUE
+      }
+    })
+    total
+  }
 
   private def idxPath(table: String): Path = path(table).resolve("_graft_pkidx")
 

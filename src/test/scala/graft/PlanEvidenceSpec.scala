@@ -83,6 +83,29 @@ class PlanEvidenceSpec extends SparkSpec {
       df.queryExecution.executedPlan.toString)
   }
 
+  test("LSH candidate generation is join-free: no join operator in any sketch-dedup plan") {
+    // the scale contract of minhash/simhash/embedding near-dup: band/chunk
+    // explode → groupBy → in-bucket pair explode. ONE shuffle, no
+    // self-join (a join would shuffle the corpus twice and give the
+    // optimizer a quadratic blow-up surface on skewed buckets).
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def joinsIn(p: SparkPlan): Seq[BaseJoinExec] =
+      p.collect {
+        case j: BaseJoinExec => Seq(j)
+        case a: AdaptiveSparkPlanExec => joinsIn(a.executedPlan)
+      }.flatten
+    val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+    val emb = graft.sources.ParquetConnector.readTable(spark, s"$sf/embeddings.parquet")
+    val plans = Seq(
+      "minhash" -> graft.operators.Dedup.minhashCandidates(docs, "text", "doc_id"),
+      "simhash" -> graft.operators.Dedup.simhashCandidates(docs, "text", "doc_id"),
+      "embedding" -> graft.operators.Dedup.embeddingNearDup(emb, "embedding", "vec_id", dim = 64))
+    plans.foreach { case (name, df) =>
+      assert(joinsIn(df.queryExecution.executedPlan).isEmpty,
+        s"$name candidates must be join-free:\n" + df.queryExecution.executedPlan)
+    }
+  }
+
   test("readSince: watermark predicate pushes into the scan (incremental = delta read)") {
     val c = new graft.sources.ParquetConnector(spark, tmpDir("graft_push_"))
     c.write(usersDf, "users")

@@ -16,6 +16,14 @@ class PartitionedParquetConnectorSpec extends SparkSpec {
     (new PartitionedParquetConnector(spark, d, matcher = "updated_at"), d)
   }
 
+  /** Connector with the bloom-index size cutover forced to 0, so the
+    * sidecar path runs even on these tiny fixtures. */
+  private def freshBloom(): (PartitionedParquetConnector, String) = {
+    val d = tmpDir("graft_part_")
+    (new PartitionedParquetConnector(spark, d, matcher = "updated_at",
+      bloomIndexMinBytes = 0L), d)
+  }
+
   private def partitionFiles(dir: String, table: String): Map[String, Set[String]] = {
     val base = Paths.get(dir, table + ".parquet")
     if (!Files.exists(base)) return Map.empty
@@ -122,7 +130,7 @@ class PartitionedParquetConnectorSpec extends SparkSpec {
     Paths.get(dir, table + ".parquet", "_graft_pkidx")
 
   test("pk-bloom sidecar: steady-state discovery reads no table data (scan evidence)") {
-    val (c, d) = fresh()
+    val (c, d) = freshBloom()
     // one FAT partition (200k random-long pks — incompressible pk column,
     // so any rescan of it is visible in task input metrics) + the small
     // users partitions
@@ -160,7 +168,7 @@ class PartitionedParquetConnectorSpec extends SparkSpec {
   }
 
   test("pk-bloom discovery finds old versions in distant partitions (no time horizon)") {
-    val (c, d) = fresh()
+    val (c, d) = freshBloom()
     c.write(usersDf, "users")
     // bootstrap tick
     c.upsert(df(usersSchema, Seq(Row(5L, "b@x.com", "F", "L",
@@ -176,7 +184,7 @@ class PartitionedParquetConnectorSpec extends SparkSpec {
   }
 
   test("append invalidates the pk-bloom sidecar; next upsert re-bootstraps correctly") {
-    val (c, d) = fresh()
+    val (c, d) = freshBloom()
     c.write(usersDf, "users")
     c.upsert(df(usersSchema, Seq(Row(4L, "x@x.com", "F", "L",
       ts("2024-01-04 00:00:00"), ts("2024-01-04 01:00:00")))), "users", "id")
