@@ -62,6 +62,97 @@ object SketchOps {
     new GenericArrayData(out)
   }
 
+  /** Byte offsets of token starts in a normalized (single-space-
+    * separated, trimmed) UTF8String. ASCII 0x20 never occurs inside a
+    * UTF-8 multibyte sequence, so a raw byte scan is exact. Returns
+    * starts(0..t-1) = first byte of each token, starts(t) = numBytes+1
+    * sentinel (so `starts(i+1)-1` is uniformly one past token i's end). */
+  private def tokenStarts(s: UTF8String): Array[Int] = {
+    val nb = s.numBytes()
+    if (nb == 0) return Array(1) // zero tokens
+    var spaces = 0
+    var i = 0
+    while (i < nb) { if (s.getByte(i) == ' '.toByte) spaces += 1; i += 1 }
+    val starts = new Array[Int](spaces + 2)
+    starts(0) = 0
+    var t = 1
+    i = 0
+    while (i < nb) { if (s.getByte(i) == ' '.toByte) { starts(t) = i + 1; t += 1 }; i += 1 }
+    starts(t) = nb + 1
+    starts
+  }
+
+  /** MinHash signature straight from normalized TEXT: shingles are
+    * contiguous byte spans of the single-space-normalized string, so each
+    * n-gram hashes IN PLACE — no split array, no per-shingle string, no
+    * higher-order `transform` (which is CodegenFallback and was dropping
+    * the whole signature projection to interpreted eval). Bit-identical
+    * to `minhash(shingles(text))`: the hashed bytes are exactly the
+    * `concat_ws(" ", tokens…)` string's bytes. */
+  def minhashText(s: UTF8String, shingleLen: Int, numHashes: Int): ArrayData = {
+    val (mult, add) = permConstants(numHashes)
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    val starts = tokenStarts(s)
+    val tokens = starts.length - 1
+    val windows = tokens - shingleLen + 1
+    var i = 0
+    while (i < windows) {
+      val from = starts(i)
+      val len = starts(i + shingleLen) - 1 - from
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset + from, len, 42L)
+      var j = 0
+      while (j < numHashes) {
+        val v = h * mult(j) + add(j)
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** SimHash straight from normalized text — token byte spans hashed in
+    * place (see [[minhashText]]); bit votes as in [[simhash]]. Empty
+    * text → 0L (no tokens vote). */
+  def simhashText(s: UTF8String): Long = {
+    val counts = new Array[Int](64)
+    val starts = tokenStarts(s)
+    val tokens = starts.length - 1
+    var i = 0
+    while (i < tokens) {
+      val from = starts(i)
+      val len = starts(i + 1) - 1 - from
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset + from, len, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Count of equal positions between two equal-length signatures —
+    * the est-jaccard numerator, natively (the `zip_with`+`filter`
+    * composition was CodegenFallback). */
+  def sigAgreement(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** 64-bit SimHash in one pass: per element one xxhash64 (seed 42 —
     * bit-compatible with the prior `xxhash64(token)` composition), its 64
     * bits voting +1/−1 per position; sign of each tally → output bit. */
@@ -128,4 +219,69 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(child = newChild)
   override def prettyName: String = "simhash64"
+}
+
+/** `minhash_text(normalizedText, shingleLen, numHashes)` → `array<long>`.
+  * The fused tokenize+shingle+hash path — see [[SketchOps.minhashText]]. */
+case class MinHashTextSignature(child: Expression, shingleLen: Int, numHashes: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_text needs string input, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.minhashText(input.asInstanceOf[UTF8String], shingleLen, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchOps$$.MODULE$$.minhashText($c, $shingleLen, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashTextSignature = copy(child = newChild)
+  override def prettyName: String = "minhash_text"
+}
+
+/** `simhash_text(normalizedText)` → `long` — fused token-span SimHash. */
+case class SimHashText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_text needs string input, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.simhashText(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchOps$$.MODULE$$.simhashText($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashText = copy(child = newChild)
+  override def prettyName: String = "simhash_text"
+}
+
+/** `sig_agreement(array<long>, array<long>)` → `int`: equal-position
+  * count between two signatures. */
+case class SignatureAgreement(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sig_agreement needs two array<long> inputs, got $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchOps.sigAgreement(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SketchOps$$.MODULE$$.sigAgreement($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SignatureAgreement =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sig_agreement"
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.graftshim.ColumnBridge
-import graft.functions.{MinHashSignature, SimHash64, TextFunctions, VectorFunctions}
+import graft.functions.{MinHashSignature, MinHashTextSignature, SignatureAgreement, SimHash64, SimHashText, TextFunctions, VectorFunctions}
 
 /** Deduplication operators for training-data pipelines. None of these
   * exist in the reference (its dedup story is "write pks, upsert replaces
@@ -67,20 +67,40 @@ object Dedup {
   def minhashSignature(shinglesCol: Column, numHashes: Int = 64): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shinglesCol), numHashes))
 
-  /** 64-bit SimHash over word tokens via the native single-pass
-    * expression (seed-42 xxhash64 per token, bit votes, sign → bit). */
+  /** MinHash signature FUSED from raw text: normalize → token byte
+    * spans → in-place shingle hashing, one expression. Bit-identical to
+    * `minhashSignature(shingles(c, n))` (the shingle strings ARE
+    * contiguous spans of the normalized text) but with no split array,
+    * no per-shingle string, and — decisively — no higher-order
+    * `transform` lambda: HOFs are CodegenFallback, and the composed form
+    * was dropping the whole signature projection out of whole-stage
+    * codegen. This is the hot path for corpus-scale dedup.
+    *
+    * Sole divergence: an EMPTY document yields sentinel signatures here
+    * (no tokens) where the composed form with shingleLen=1 hashed one
+    * empty token — under both, empty docs collide only with each other,
+    * the intended semantics. */
+  def minhashSignatureText(c: Column, shingleLen: Int = 3, numHashes: Int = 64): Column =
+    ColumnBridge.column(MinHashTextSignature(
+      ColumnBridge.expression(TextFunctions.normalizeForFingerprint(c)), shingleLen, numHashes))
+
+  /** 64-bit SimHash over word tokens — fused token-span hashing on the
+    * normalized text (seed-42 xxhash64 per token, bit votes, sign →
+    * bit); no intermediate token array. */
   def simhash(c: Column): Column =
-    ColumnBridge.column(SimHash64(ColumnBridge.expression(
-      split(TextFunctions.normalizeForFingerprint(c), " "))))
+    ColumnBridge.column(SimHashText(
+      ColumnBridge.expression(TextFunctions.normalizeForFingerprint(c))))
 
   /** Generic join-free LSH candidate pairing: explode each row into
     * (bucketKey parts, payload), group by bucket, emit all in-bucket
-    * pairs (i &lt; j positions) via nested transform + flatten — no
-    * self-join, no corpus-scale distinct. Buckets larger than
-    * `maxBucketSize` are dropped: they are degenerate (near-identical
-    * content that exact dedup owns) and would otherwise make one task
-    * quadratic. Returns one row per (pair, bucket) occurrence — callers
-    * dedup AFTER the cheap pair-level filter. */
+    * pairs (i &lt; j positions) via the native
+    * [[graft.functions.InBucketPairs]] generator — no self-join, no
+    * corpus-scale distinct, no interpreted nested-lambda explode.
+    * Buckets larger than `maxBucketSize` are dropped: they are
+    * degenerate (near-identical content that exact dedup owns) and would
+    * otherwise make one task quadratic. Returns one row per (pair,
+    * bucket) occurrence — callers dedup AFTER the cheap pair-level
+    * filter. */
   private def bucketPairs(exploded: DataFrame, bucketCols: Seq[String],
                           idCol: String, payloadCol: String,
                           maxBucketSize: Int): DataFrame = {
@@ -88,11 +108,8 @@ object Dedup {
     val grouped = exploded.groupBy(bucketCols.map(col): _*).agg(items)
       .filter(size(col("items")) >= 2 &&
         (if (maxBucketSize > 0) size(col("items")) <= maxBucketSize else lit(true)))
-    grouped.select(explode(flatten(transform(col("items"), (a, i) =>
-        transform(slice(col("items"), i + lit(2), size(col("items"))), b =>
-          struct(a.getField("i").as("ia"), b.getField("i").as("ib"),
-            a.getField("p").as("pa"), b.getField("p").as("pb")))))).as("_pair"))
-      .select(col("_pair.ia"), col("_pair.ib"), col("_pair.pa"), col("_pair.pb"))
+    grouped.select(ColumnBridge.column(graft.functions.InBucketPairs(
+      ColumnBridge.expression(col("items")))).as(Seq("ia", "ib", "pa", "pb")))
   }
 
   /** MinHash+LSH candidate pairs: signature → `bands` bands of
@@ -112,17 +129,28 @@ object Dedup {
                         maxBucketSize: Int = 2000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
+    // BARRIER between signature compute and banding: without an exchange,
+    // CollapseProject merges the signature projection into the banding
+    // one, re-evaluating the (expensive) signature expression once PER
+    // BAND REFERENCE — measured 17× per row. The repartition moves only
+    // (id, 8·numHashes-byte sig) rows, ~6% of the volume the banding
+    // groupBy shuffles anyway, and pins single-evaluation.
     val sig = ensureParallel(df).select(col(idCol).as("_id"),
-      minhashSignature(shingles(col(textCol), shingleLen), numHashes).as("_sig"))
+      minhashSignatureText(col(textCol), shingleLen, numHashes).as("_sig"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // band hashes as a STATIC array of slice+xxhash64 columns — a
+    // `transform` lambda here would be CodegenFallback and push the
+    // banding projection to interpreted eval
+    val bandHashes = array((0 until bands).map(b =>
+      xxhash64(lit(b), slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
     val banded = sig.select(col("_id"), col("_sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-        .as(Seq("_band", "_bucket")))
+      posexplode(bandHashes).as(Seq("_band", "_bucket")))
+    val agreement = ColumnBridge.column(SignatureAgreement(
+      ColumnBridge.expression(col("pa")), ColumnBridge.expression(col("pb"))))
     bucketPairs(banded, Seq("_band", "_bucket"), "_id", "_sig", maxBucketSize)
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"),
-        (size(filter(zip_with(col("pa"), col("pb"), (x, y) => (x === y).cast("int")),
-          v => v === 1)).cast("double") / numHashes).as("est_jaccard"))
+        (agreement.cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .distinct() // same pair from multiple bands has identical est — safe
   }
@@ -144,7 +172,10 @@ object Dedup {
     * bucket-pair machinery as MinHash. */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame = {
+    // barrier for the same CollapseProject reason as minhashCandidates:
+    // the chunk projection references _sim 5×; 16 bytes/row shuffled
     val withSim = ensureParallel(df).select(col(idCol).as("_id"), simhash(col(textCol)).as("_sim"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val chunked = withSim.select(col("_id"), col("_sim"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("_sim"), i * 16).bitwiseAND(0xffffL)): _*))

@@ -75,7 +75,9 @@ class PlanEvidenceSpec extends SparkSpec {
     val df = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
       .select(graft.functions.TextFunctions.qualityScore(col("text")).as("q"),
         graft.functions.TextFunctions.langId(col("text")).as("lang_pred"),
-        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"),
+        graft.operators.Dedup.minhashSignatureText(col("text")).as("sig"),
+        graft.operators.Dedup.simhash(col("text")).as("sim"))
     val codegenProjects = df.queryExecution.executedPlan.collect {
       case w: WholeStageCodegenExec => w.collect { case p: ProjectExec => p }
     }.flatten

@@ -77,6 +77,39 @@ class SketchExpressionsSpec extends SparkSpec {
     assert(hamming <= 16, s"hamming $hamming too large for 1-token change")
   }
 
+  test("fused text sketches are bit-identical to the composed array forms") {
+    // MinHashTextSignature hashes shingle BYTE SPANS of the normalized
+    // text; they must equal hashing the materialized shingle strings —
+    // and SimHashText must equal SimHash64 over the split tokens.
+    val sSchema = StructType(Seq(StructField("t", StringType)))
+    val docs = Seq("The quick   Brown fox JUMPS over the lazy dog",
+      "  één  deux  trois quatre cinq  ", // multibyte + messy whitespace
+      "single", "two words", "a b c d e f g")
+    val d = df(sSchema, docs.map(Row(_)))
+    val norm = graft.functions.TextFunctions.normalizeForFingerprint(col("t"))
+    for (n <- Seq(1, 2, 3)) {
+      val fused = d.select(graft.operators.Dedup.minhashSignatureText(col("t"), n, 32))
+        .collect().map(_.getSeq[Long](0)).toSeq
+      val composed = d.select(minhashCol(graft.operators.Dedup.shingles(col("t"), n), 32))
+        .collect().map(_.getSeq[Long](0)).toSeq
+      assert(fused == composed, s"shingleLen=$n")
+    }
+    val fusedSim = d.select(graft.operators.Dedup.simhash(col("t")))
+      .collect().map(_.getLong(0)).toSeq
+    val composedSim = d.select(simhashCol(split(norm, " ")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(fusedSim == composedSim)
+  }
+
+  test("SignatureAgreement counts equal positions") {
+    val aSchema = StructType(Seq(
+      StructField("a", ArrayType(LongType)), StructField("b", ArrayType(LongType))))
+    val d = df(aSchema, Seq(Row(Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 7L))))
+    val got = d.select(ColumnBridge.column(SignatureAgreement(
+      ColumnBridge.expression(col("a")), ColumnBridge.expression(col("b"))))).head().getInt(0)
+    assert(got == 2)
+  }
+
   test("expressions survive interpreted (no-codegen) mode with identical results") {
     val toks = Seq("interp", "check", "tokens")
     val d = df(schema, Seq(Row(1L, toks)))
