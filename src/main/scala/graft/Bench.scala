@@ -16,7 +16,9 @@ object Bench {
     "q_incremental_pipe", "q_incremental_part",
     // text quality + language ID — the first-pass full-corpus operators;
     // benched since r4 so the native-profile codegen path stays measured
-    "q_quality", "q_langid")
+    "q_quality", "q_langid",
+    // the other two LSH families (capped join-free bucket pairing)
+    "q_dedup_simhash", "q_embedding_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

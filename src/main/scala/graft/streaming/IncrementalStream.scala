@@ -117,6 +117,22 @@ object IncrementalStream {
       }
   }
 
+  /** Streaming exact dedup for continuous ingest: drop any document
+    * whose normalized-content fingerprint was already seen within the
+    * watermark horizon — the always-on form of `Dedup.exact`. State is
+    * one 8-byte fingerprint per distinct doc inside the horizon (never
+    * the text), expired by the watermark, so the query runs unbounded
+    * with bounded state. Cross-horizon duplicates are the accepted
+    * recall cost of bounded state; a periodic batch `Dedup.exact` pass
+    * over the sink closes them. */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("_fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
   /** The incremental-pipe-as-stream: append new rows of `src` into a
     * parquet sink with exactly-once file-sink semantics — the streaming
     * upgrade of `Patterns.incrementalPipe` (checkpoint = watermark). */

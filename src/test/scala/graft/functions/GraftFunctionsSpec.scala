@@ -1,0 +1,70 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+
+/** SQL surface: the native expressions registered as functions resolve
+  * from `spark.sql` text and agree with the Column API. */
+class GraftFunctionsSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("t", StringType)))
+
+  test("registered SQL functions resolve and match the Column API") {
+    GraftFunctions.register(spark)
+    df(schema, Seq(Row(1L, "the quick brown fox jumps over the lazy dog")))
+      .createOrReplaceTempView("gf_docs")
+    val viaSql = spark.sql(
+      """SELECT rolling_hash(t) AS rh, minhash_text(t, 3, 16) AS mh,
+        |       simhash_text(t) AS sh,
+        |       sig_agreement(minhash_text(t, 3, 16), minhash_text(t, 3, 16)) AS agree
+        |FROM gf_docs""".stripMargin).head()
+    // SQL forms take the text AS GIVEN; the Column wrappers pre-normalize.
+    // The fixture is already normalized (lowercase, single spaces), so
+    // both paths must agree exactly.
+    val viaCols = spark.table("gf_docs").select(
+      graft.operators.Dedup.minhashSignatureText(col("t"), 3, 16).as("mh"),
+      graft.operators.Dedup.simhash(col("t")).as("sh")).head()
+    assert(viaSql.getSeq[Long](viaSql.fieldIndex("mh")) ==
+      viaCols.getSeq[Long](viaCols.fieldIndex("mh")))
+    assert(viaSql.getAs[Long]("sh") == viaCols.getAs[Long]("sh"))
+    assert(viaSql.getAs[Int]("agree") == 16)
+  }
+
+  test("non-literal shingle length is rejected at analysis") {
+    GraftFunctions.register(spark)
+    df(schema, Seq(Row(1L, "x"))).createOrReplaceTempView("gf_bad")
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_text(t, id + 1, 16) FROM gf_bad").collect()
+    }
+    assert(e.getMessage.contains("integer literal") || e.getMessage.contains("shingleLen"),
+      e.getMessage)
+  }
+
+  test("GraftExtensions injects the same functions at session build") {
+    // the extension and the runtime helper share one registration table —
+    // apply the extension to a fresh extensions container (build-time
+    // path; a second live session cannot be built here since getOrCreate
+    // reuses the active one), then verify every descriptor constructs
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    GraftFunctions.all.foreach { case (name, build, _) =>
+      val args: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = name match {
+        case "rolling_hash" | "simhash_text" =>
+          Seq(org.apache.spark.sql.catalyst.expressions.Literal("x"))
+        case "minhash_text" => Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal("x"),
+          org.apache.spark.sql.catalyst.expressions.Literal(3),
+          org.apache.spark.sql.catalyst.expressions.Literal(16))
+        case "sig_agreement" => Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(1L),
+            ArrayType(LongType)),
+          org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(1L),
+            ArrayType(LongType)))
+      }
+      assert(build(args) != null, name)
+    }
+  }
+}

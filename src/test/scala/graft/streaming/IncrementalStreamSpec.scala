@@ -58,6 +58,28 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_events") == 2L)
   }
 
+  test("dedupStream drops same-content docs within the watermark (8-byte state)") {
+    val srcDir = tmpDir("graft_dedup_src_")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    df(docSchema, Seq(
+      Row(1L, ts("2024-01-01 10:00:00"), "Hello   World"),
+      Row(2L, ts("2024-01-01 10:01:00"), "hello world"),      // normalized dup of 1
+      Row(3L, ts("2024-01-01 10:02:00"), "something else"),
+      Row(4L, ts("2024-01-01 10:03:00"), "HELLO WORLD"),      // dup again
+      Row(5L, ts("2024-01-01 10:04:00"), "something else entirely")))
+      .write.mode("append").parquet(srcDir)
+    val stream = IncrementalStream.readStream(spark, srcDir, docSchema)
+    val deduped = IncrementalStream.dedupStream(stream, "text", "ts", lateness = "1 hour")
+    IncrementalStream.runToMemory(deduped, "dedup_test")
+    val out = spark.sql("SELECT doc_id FROM dedup_test ORDER BY doc_id").collect().map(_.getLong(0))
+    assert(out.length == 3, out.mkString(","))
+    // one survivor per content class, and the fp column does not leak out
+    assert(spark.table("dedup_test").columns.toSeq == Seq("doc_id", "ts", "text"))
+  }
+
   test("windowedEventAgg aggregates per tumbling window with watermark") {
     val srcDir = tmpDir("graft_streamw_src_")
     df(evSchema, Seq(
