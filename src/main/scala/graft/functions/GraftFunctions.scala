@@ -6,12 +6,18 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SQL surface for graft's native expressions, so `spark.sql` users get
-  * the same scan-speed operators as the Column API:
+  * the same scan-speed operators as the Column API.
+  *
+  * IMPORTANT: the SQL forms hash the text AS GIVEN — they do NOT apply
+  * the lowercase/whitespace normalization the Column wrappers
+  * (`TextFunctions.fingerprint`, `Dedup.minhashSignatureText`,
+  * `Dedup.simhash`) prepend. To match pipeline-built signatures,
+  * normalize explicitly:
   *
   * {{{
-  *   SELECT rolling_hash(text),             -- 64-bit content fingerprint
-  *          minhash_text(text, 3, 64),      -- fused shingle MinHash
-  *          simhash_text(text),             -- fused token SimHash
+  *   SELECT rolling_hash(regexp_replace(lower(trim(text)), '\\s+', ' ')),
+  *          minhash_text(regexp_replace(lower(trim(text)), '\\s+', ' '), 3, 64),
+  *          simhash_text(regexp_replace(lower(trim(text)), '\\s+', ' ')),
   *          sig_agreement(sig_a, sig_b)     -- equal-position count
   *   FROM documents
   * }}}
@@ -39,15 +45,19 @@ object GraftFunctions {
     ("rolling_hash", { args: Seq[Expression] =>
       require(args.length == 1, "rolling_hash(text)")
       RollingHash(args.head)
-    }, "rolling_hash(text) - 64-bit polynomial content hash"),
+    }, "rolling_hash(text) - 64-bit polynomial hash of text AS GIVEN (no normalization)"),
     ("minhash_text", { args: Seq[Expression] =>
       require(args.length == 3, "minhash_text(text, shingleLen, numHashes)")
-      MinHashTextSignature(args.head, intLit(args(1), "shingleLen"), intLit(args(2), "numHashes"))
-    }, "minhash_text(text, shingleLen, numHashes) - fused shingle MinHash signature"),
+      val n = intLit(args(1), "shingleLen")
+      val k = intLit(args(2), "numHashes")
+      require(n >= 1, s"shingleLen must be an integer literal >= 1, got $n")
+      require(k >= 1, s"numHashes must be an integer literal >= 1, got $k")
+      MinHashTextSignature(args.head, n, k)
+    }, "minhash_text(text, shingleLen, numHashes) - fused shingle MinHash over text AS GIVEN; pre-normalize to match the Column API"),
     ("simhash_text", { args: Seq[Expression] =>
       require(args.length == 1, "simhash_text(text)")
       SimHashText(args.head)
-    }, "simhash_text(text) - fused token-span 64-bit SimHash"),
+    }, "simhash_text(text) - fused token-span 64-bit SimHash over text AS GIVEN; pre-normalize to match the Column API"),
     ("sig_agreement", { args: Seq[Expression] =>
       require(args.length == 2, "sig_agreement(a, b)")
       SignatureAgreement(args.head, args(1))

@@ -183,6 +183,7 @@ object SketchOps {
 
 /** `minhash_signature(array<string>, numHashes)` → `array<long>`. */
 case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -225,6 +226,8 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * The fused tokenize+shingle+hash path — see [[SketchOps.minhashText]]. */
 case class MinHashTextSignature(child: Expression, shingleLen: Int, numHashes: Int)
   extends UnaryExpression {
+  require(shingleLen >= 1, s"shingleLen must be >= 1, got $shingleLen")
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

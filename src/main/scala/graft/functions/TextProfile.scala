@@ -32,8 +32,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `chars` = codepoint count (Spark `length`);
   *  - `punct` = ASCII `\p{Punct}` count;
   *  - `letters`/`upper` = Unicode `\p{L}` / `\p{Lu}` counts;
-  *  - `ws_tokens` = `size(split(trim(s), "\\s+"))`, blank → 0 (including
-  *    the leading-empty-token quirk of Java split on untrimmed tabs);
+  *  - `ws_tokens` = `size(split(trim(s), "\\s+"))`, blank → 0 — including
+  *    BOTH empty-token quirks of Spark's split (limit -1): a leading
+  *    ws-run after space-trim (e.g. a leading tab) contributes one empty
+  *    piece, and a trailing ws-run (e.g. a final newline) contributes
+  *    one more;
   *  - `nonws_chars` = chars minus `\s` whitespace;
   *  - `alnum_runs`/`non_alnum` = pieces of the GPT-2-ish pretokenizer
   *    split (runs of `[\p{L}\p{N}]` / single other chars);
@@ -80,7 +83,8 @@ object TextProfileOps {
     var b = 0; var e = s.length
     while (b < e && s.charAt(b) == ' ') b += 1
     while (e > b && s.charAt(e - 1) == ' ') e -= 1
-    var wsTokens = 0L; var inTok = false; var leadingWs = false
+    var wsTokens = 0L; var inTok = false
+    var leadingWs = false; var trailingWs = false
     var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
@@ -95,33 +99,42 @@ object TextProfileOps {
       if (isAlnum(cp)) { if (!inAlnum) { alnumRuns += 1; inAlnum = true } }
       else { nonAlnum += 1; inAlnum = false }
       if (i >= b && i < e) {
-        if (i == b && ws) leadingWs = true // Java split keeps one leading empty piece
+        // split with limit -1 keeps one empty piece per boundary ws-run
+        if (i == b && ws) leadingWs = true
+        if (i == e - Character.charCount(cp) && ws) trailingWs = true
         if (!ws) { if (!inTok) { wsTokens += 1; inTok = true } } else inTok = false
       }
       i += Character.charCount(cp)
     }
     if (e > b && leadingWs) wsTokens += 1
+    if (e > b && trailingWs) wsTokens += 1
 
     // token pass over the Spark-lowercased text (UTF8String.toLowerCase —
-    // bit-identical to the lower() the old composition applied)
-    val lower = input.toLowerCase.toString
+    // bit-identical to the lower() the old composition applied). Skipped
+    // entirely when no stopword sets were requested AND the caller is a
+    // stats-only consumer: letter_tokens/hits are defined only for
+    // profiles built with at least one set (stopwordRatio/quality/langid
+    // always pass one; subwordCount and token counters never read them).
     val hits = new Array[Long](sets.length)
     var letterTokens = 0L
-    val sb = new java.lang.StringBuilder
-    var j = 0
-    while (j <= lower.length) {
-      val cp = if (j < lower.length) lower.codePointAt(j) else -1
-      val tokChar = cp >= 0 &&
-        (if (asciiTokens) cp >= 'a' && cp <= 'z' else Character.isLetter(cp))
-      if (tokChar) sb.appendCodePoint(cp)
-      else if (sb.length > 0) {
-        letterTokens += 1
-        val tok = sb.toString
-        var k = 0
-        while (k < sets.length) { if (sets(k).contains(tok)) hits(k) += 1; k += 1 }
-        sb.setLength(0)
+    if (sets.length > 0) {
+      val lower = input.toLowerCase.toString
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j <= lower.length) {
+        val cp = if (j < lower.length) lower.codePointAt(j) else -1
+        val tokChar = cp >= 0 &&
+          (if (asciiTokens) cp >= 'a' && cp <= 'z' else Character.isLetter(cp))
+        if (tokChar) sb.appendCodePoint(cp)
+        else if (sb.length > 0) {
+          letterTokens += 1
+          val tok = sb.toString
+          var k = 0
+          while (k < sets.length) { if (sets(k).contains(tok)) hits(k) += 1; k += 1 }
+          sb.setLength(0)
+        }
+        j += (if (cp >= 0) Character.charCount(cp) else 1)
       }
-      j += (if (cp >= 0) Character.charCount(cp) else 1)
     }
     new GenericInternalRow(Array[Any](chars, punct, letters, upper, wsTokens,
       chars - wsChars, alnumRuns, nonAlnum, letterTokens, new GenericArrayData(hits)))

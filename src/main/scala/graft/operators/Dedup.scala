@@ -86,7 +86,13 @@ object Dedup {
 
   /** 64-bit SimHash over word tokens — fused token-span hashing on the
     * normalized text (seed-42 xxhash64 per token, bit votes, sign →
-    * bit); no intermediate token array. */
+    * bit); no intermediate token array.
+    *
+    * Divergence from the old `SimHash64(split(...))` composition: an
+    * EMPTY document yields 0L here (no tokens vote) where the split form
+    * hashed one empty token. Under both, empty docs collide only with
+    * each other (hamming 0) — the intended semantics — pinned by a
+    * spec. */
   def simhash(c: Column): Column =
     ColumnBridge.column(SimHashText(
       ColumnBridge.expression(TextFunctions.normalizeForFingerprint(c))))

@@ -173,7 +173,10 @@ class PartitionedParquetConnector(
         (affected -- written).foreach { p =>
           FileTableOps.deleteRecursively(path(table).resolve(s"$partCol=$p"))
         }
-        stagedIdx.foreach(Files.move(_, idxPath(table), StandardCopyOption.ATOMIC_MOVE))
+        stagedIdx.foreach { staged =>
+          Files.move(staged, idxPath(table), StandardCopyOption.ATOMIC_MOVE)
+          writePartState(table)
+        }
       } finally { out.unpersist(false); liveIdx.foreach(_.unpersist(false)) }
     } finally inc.unpersist(false)
   }
@@ -223,10 +226,49 @@ class PartitionedParquetConnector(
     finally s.close()
   }
 
+  /** Per-partition content fingerprint: FNV-64 over the sorted
+    * (fileName:size) list of data files. Spark part-file names carry a
+    * writer UUID, so any rewrite — ours or an external tool's — changes
+    * the fingerprint even at identical sizes. */
+  private def partitionState(table: String): Map[String, String] =
+    listPartitions(table).map { p =>
+      val dir = path(table).resolve(s"$partCol=$p")
+      val s = Files.list(dir)
+      val sig = try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => f.getFileName.toString + ":" + Files.size(f))
+        .toSeq.sorted.mkString("|")
+      finally s.close()
+      var h = 0xcbf29ce484222325L
+      sig.foreach(c => h = (h ^ c.toLong) * 0x100000001b3L)
+      p -> java.lang.Long.toHexString(h)
+    }.toMap
+
+  private def partStatePath(table: String): Path = idxPath(table).resolve("_partstate.json")
+
+  /** Record the table's partition fingerprints next to the blooms; called
+    * immediately after a sidecar commit. A crash in between leaves a
+    * sidecar without a state file → treated as stale → rebuilt. */
+  private def writePartState(table: String): Unit = {
+    val json = partitionState(table).toSeq.sorted
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    Files.writeString(partStatePath(table), json)
+  }
+
+  private def readPartState(table: String): Option[Map[String, String]] = {
+    if (!Files.isRegularFile(partStatePath(table))) return None
+    try Some("\"([^\"]+)\":\"([^\"]+)\"".r
+      .findAllMatchIn(Files.readString(partStatePath(table)))
+      .map(m => m.group(1) -> m.group(2)).toMap)
+    catch { case _: Exception => None }
+  }
+
   /** The sidecar as (gpart_v, pk, bloom) rows — only if present, built
-    * over the same primary key, and covering EXACTLY the table's current
-    * partitions (any external mutation fails the coverage check and
-    * forces a rebuild). */
+    * over the same primary key, covering exactly the table's current
+    * partitions, AND with every partition's file fingerprint unchanged
+    * since the sidecar was committed. Any mutation of partition contents
+    * outside the upsert path — an append, an external compaction, a
+    * second tool — changes file names/sizes and forces a rebuild. */
   private def sidecarRows(table: String, primaryKey: String): Option[DataFrame] = {
     if (!Files.isDirectory(idxPath(table))) return None
     try {
@@ -234,6 +276,7 @@ class PartitionedParquetConnector(
       val meta = df.select(col("pk"), col("gpart_v")).collect() // one row per partition
       if (meta.exists(_.getString(0) != primaryKey)) return None
       if (meta.map(_.getString(1)).toSet != listPartitions(table)) return None
+      if (!readPartState(table).contains(partitionState(table))) return None
       Some(df)
     } catch { case _: Exception => None }
   }
@@ -293,6 +336,7 @@ class PartitionedParquetConnector(
     val tmp = stageSidecar(rows, primaryKey, table)
     dropSidecar(table)
     Files.move(tmp, idxPath(table), StandardCopyOption.ATOMIC_MOVE)
+    writePartState(table)
   }
 
   /** Cluster rows by partition value before a partitioned write:

@@ -81,8 +81,17 @@ class PlanEvidenceSpec extends SparkSpec {
     val codegenProjects = df.queryExecution.executedPlan.collect {
       case w: WholeStageCodegenExec => w.collect { case p: ProjectExec => p }
     }.flatten
-    assert(codegenProjects.nonEmpty, "text projection must be inside WholeStageCodegen:\n" +
-      df.queryExecution.executedPlan.toString)
+    // the project INSIDE the codegen span must be the one holding OUR
+    // expressions — a trivial residual projection staying codegen'd while
+    // the expensive one falls out would otherwise keep this green
+    def hasExpr(pred: org.apache.spark.sql.catalyst.expressions.Expression => Boolean): Boolean =
+      codegenProjects.exists(_.projectList.exists(_.exists(pred)))
+    assert(hasExpr(_.isInstanceOf[graft.functions.TextProfile]),
+      "TextProfile must be inside WholeStageCodegen:\n" + df.queryExecution.executedPlan)
+    assert(hasExpr(_.isInstanceOf[graft.functions.RollingHash]), "RollingHash must be codegen'd")
+    assert(hasExpr(_.isInstanceOf[graft.functions.MinHashTextSignature]),
+      "MinHashTextSignature must be codegen'd")
+    assert(hasExpr(_.isInstanceOf[graft.functions.SimHashText]), "SimHashText must be codegen'd")
   }
 
   test("LSH candidate generation is join-free: no join operator in any sketch-dedup plan") {

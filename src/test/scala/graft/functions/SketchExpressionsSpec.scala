@@ -101,6 +101,20 @@ class SketchExpressionsSpec extends SparkSpec {
     assert(fusedSim == composedSim)
   }
 
+  test("fused sketches on EMPTY docs: sentinels / zero, and empty docs still pair together") {
+    // intentional divergence from the composed forms (which saw [""] from
+    // split and hashed one empty token): no tokens → minhash sentinels,
+    // simhash 0L. Both forms agree that empty docs collide ONLY with
+    // each other — pin the new values so the divergence stays deliberate.
+    val sSchema = StructType(Seq(StructField("t", StringType)))
+    val d = df(sSchema, Seq(Row(""), Row("   "))) // both normalize to ""
+    val mh = d.select(graft.operators.Dedup.minhashSignatureText(col("t"), 3, 8))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    assert(mh.forall(_ == Seq.fill(8)(Long.MaxValue)))
+    val sh = d.select(graft.operators.Dedup.simhash(col("t"))).collect().map(_.getLong(0)).toSeq
+    assert(sh.forall(_ == 0L), sh.mkString(","))
+  }
+
   test("SignatureAgreement counts equal positions") {
     val aSchema = StructType(Seq(
       StructField("a", ArrayType(LongType)), StructField("b", ArrayType(LongType))))

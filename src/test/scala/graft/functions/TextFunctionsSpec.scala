@@ -84,4 +84,23 @@ class TextFunctionsSpec extends SparkSpec {
     val r = one("don't stop").select(TextFunctions.subwordCount(col("t"))).head().getInt(0)
     assert(r == 5) // don / ' / t / stop + space piece filtering -> don,',t,stop + space
   }
+
+  test("profile ws_tokens replicates split(trim, \\s+) limit=-1 exactly (boundary quirks)") {
+    // Spark's split keeps one empty piece per boundary ws-run (limit -1):
+    // the profile's token count — qualityScore's mean-word-len
+    // denominator — must agree with the composed tokenCount on every
+    // tricky boundary shape, or quality scores drift for docs ending in
+    // newlines (most real documents).
+    val cases = Seq("hi ok go\n", "\ta b", "\t\t", "a b", "   ", "", "a\t", "\tx\n", "x", " x ")
+    val d = df(schema, cases.zipWithIndex.map { case (s, i) => Row(i.toLong, s) })
+    val composed = d.orderBy("id")
+      .select(when(length(trim(col("t"))) === 0, lit(0))
+        .otherwise(size(split(trim(col("t")), "\\s+"))))
+      .collect().map(_.getInt(0)).toSeq
+    val viaProfile = cases.map { s =>
+      TextProfileOps.profile(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        Array.empty, asciiTokens = false).getLong(4).toInt
+    }
+    assert(viaProfile == composed, s"profile=$viaProfile composed=$composed")
+  }
 }

@@ -183,6 +183,32 @@ class PartitionedParquetConnectorSpec extends SparkSpec {
     assert(c.count("users") == 5)
   }
 
+  test("external partition mutation invalidates the sidecar (file-fingerprint check)") {
+    val (c, d) = freshBloom()
+    c.write(usersDf, "users")
+    c.upsert(df(usersSchema, Seq(Row(2L, "t@x.com", "F", "L",
+      ts("2024-01-02 00:00:00"), ts("2024-01-02 01:00:00")))), "users", "id") // bootstrap
+    assert(Files.isDirectory(idxDir(d, "users")))
+    // an out-of-band writer drops a file with id=42 into an existing
+    // partition — same partition SET, different contents: only the
+    // per-partition file fingerprint can catch this
+    val ext = tmpDir("graft_ext_")
+    df(usersSchema, Seq(Row(42L, "ext@x.com", "E", "X",
+      ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"))))
+      .coalesce(1).write.mode("overwrite").parquet(ext)
+    val part = Files.list(Paths.get(ext)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part,
+      Paths.get(d, "users.parquet", "gpart=2024-01-01").resolve("ext-42.parquet"))
+    // update id=42 into a distant partition: a STALE bloom (no id=42 in
+    // any partition) would skip 2024-01-01 and leave a duplicate pk
+    c.upsert(df(usersSchema, Seq(Row(42L, "new@x.com", "E", "X",
+      ts("2024-01-01 00:00:00"), ts("2024-06-01 00:00:00")))), "users", "id")
+    assert(c.read("users").filter(col("id") === 42).count() == 1,
+      "stale sidecar must be rebuilt, old external row replaced")
+    assert(c.read("users").filter(col("id") === 42).head().getAs[String]("email") == "new@x.com")
+  }
+
   test("append invalidates the pk-bloom sidecar; next upsert re-bootstraps correctly") {
     val (c, d) = freshBloom()
     c.write(usersDf, "users")
