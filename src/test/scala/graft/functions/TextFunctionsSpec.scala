@@ -85,6 +85,57 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r == 5) // don / ' / t / stop + space piece filtering -> don,',t,stop + space
   }
 
+  test("profile fields ≡ the original regex compositions on 300 random strings") {
+    // the native profile replaced regex/HOF compositions wholesale — this
+    // pins every replicated field against the ORIGINAL Spark formulation
+    // on adversarial random text (unicode letters, boundary whitespace,
+    // punctuation runs), in one batch pass
+    val rnd = new scala.util.Random(1234)
+    val alphabet = "abzABZ019 \t\n.,!?'éÉßäÖ中ωΣ-_()"
+    val strings = (1 to 300).map { _ =>
+      val len = rnd.nextInt(40)
+      (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    } :+ "" :+ "   " :+ "\t\n" :+ "word\n"
+    val d = df(schema, strings.zipWithIndex.map { case (s, i) => Row(i.toLong, s) })
+    val sw = Seq("the", "ab", "za")
+    // original compositions (as shipped before the native profile)
+    val toks = split(lower(trim(col("t"))), "[^\\p{L}]+")
+    val oldStop = {
+      val hits = size(filter(toks, x => x.isInCollection(sw)))
+      val total = size(filter(toks, x => length(x) > 0))
+      when(total === 0, lit(0.0)).otherwise(hits.cast("double") / total)
+    }
+    val oldTok = when(length(trim(col("t"))) === 0, lit(0))
+      .otherwise(size(split(trim(col("t")), "\\s+")))
+    val oldPunct = when(length(col("t")) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(col("t"), "[^\\p{Punct}]", "")).cast("double") / length(col("t")))
+    val letters = length(regexp_replace(col("t"), "[^\\p{L}]", ""))
+    val oldUpper = when(letters === 0, lit(0.0))
+      .otherwise(length(regexp_replace(col("t"), "[^\\p{Lu}]", "")).cast("double") / letters)
+    val oldSubword = when(length(trim(col("t"))) === 0, lit(0)).otherwise(
+      size(filter(split(col("t"), "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
+        x => length(x) > 0)))
+    val rows = d.orderBy("id").select(
+      oldStop.as("o_stop"), TextFunctions.stopwordRatio(col("t"), sw).as("n_stop"),
+      oldTok.as("o_tok"), oldPunct.as("o_punct"), oldUpper.as("o_upper"),
+      oldSubword.as("o_sub"), TextFunctions.subwordCount(col("t")).as("n_sub")).collect()
+    rows.zip(strings).foreach { case (r, s) =>
+      assert(r.getDouble(0) == r.getDouble(1), s"stopwordRatio mismatch on ${s.take(40)}")
+      assert(r.getInt(5) == r.getInt(6), s"subwordCount mismatch on ${s.take(40)}")
+    }
+    // profile-backed quality components vs composition, via the struct
+    val prof = strings.map(s => TextProfileOps.profile(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), Array.empty, false))
+    rows.zip(prof).zip(strings).foreach { case ((r, p), s) =>
+      val chars = p.getLong(0)
+      val punct = if (chars == 0) 0.0 else p.getLong(1).toDouble / chars
+      val upper = if (p.getLong(2) == 0) 0.0 else p.getLong(3).toDouble / p.getLong(2)
+      assert(r.getInt(2) == p.getLong(4).toInt, s"ws_tokens mismatch on ${s.take(40)}")
+      assert(r.getDouble(3) == punct, s"punct mismatch on ${s.take(40)}")
+      assert(r.getDouble(4) == upper, s"upper mismatch on ${s.take(40)}")
+    }
+  }
+
   test("profile ws_tokens replicates split(trim, \\s+) limit=-1 exactly (boundary quirks)") {
     // Spark's split keeps one empty piece per boundary ws-run (limit -1):
     // the profile's token count — qualityScore's mean-word-len
