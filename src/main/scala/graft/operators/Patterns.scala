@@ -18,11 +18,21 @@ object Patterns {
     * publish. The connector's write already does tmp+rename, so the whole
     * reference sequence (DROP tmp / CREATE LIKE / INSERT SELECT / DROP dst
     * / RENAME) collapses to one overwrite. Returns rows moved. */
-  def pipe(src: Connector, from: String, dst: Connector, to: String): Long = {
-    val df = src.read(from)
-    dst.write(df, to, SaveMode.Overwrite)
-    dst.count(to)
+  /** Reference-parity pipe timer (`mysql_patterns.rb:29,41-42,96-98` logs
+    * "moved N rows in Ns" per pipe run). */
+  private def timed(what: String)(body: => Long): Long = {
+    val t0 = System.nanoTime()
+    val n = body
+    log.info(f"$what: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    n
   }
+
+  def pipe(src: Connector, from: String, dst: Connector, to: String): Long =
+    timed(s"pipe $from -> $to") {
+      val df = src.read(from)
+      dst.write(df, to, SaveMode.Overwrite)
+      dst.count(to)
+    }
 
   /** P2 `incremental_pipe` (`mysql_patterns.rb:60-99`): high-watermark CDC.
     *  - ensure dst exists (CREATE IF NOT EXISTS … LIKE, `:67`)
@@ -37,12 +47,13 @@ object Patterns {
     * partition-scoped copy-on-write merge, so the steady state reads the
     * delta and rewrites only affected partitions, never the whole table. */
   def incrementalPipe(src: Connector, from: String, dst: Connector, to: String,
-                      matcher: String = "updated_at", primaryKey: String = "id"): Long = {
-    val wm = dst.maxTimestamp(to, matcher) // epoch when dst missing → full first load
-    val fresh = src.read(from).filter(col(matcher) > lit(wm)) // strictly >, :83,:95
-    dst.upsert(fresh, to, primaryKey)      // lazy create on first write (:67)
-    dst.count(to)
-  }
+                      matcher: String = "updated_at", primaryKey: String = "id"): Long =
+    timed(s"incremental_pipe $from -> $to") {
+      val wm = dst.maxTimestamp(to, matcher) // epoch when dst missing → full first load
+      val fresh = src.read(from).filter(col(matcher) > lit(wm)) // strictly >, :83,:95
+      dst.upsert(fresh, to, primaryKey)      // lazy create on first write (:67)
+      dst.count(to)
+    }
 
   /** P3 `optimistic_pipe` (`mysql_patterns.rb:110-124`): try incremental,
     * fall back to full pipe on guard failure or error — runtime-adaptive
