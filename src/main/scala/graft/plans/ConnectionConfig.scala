@@ -53,7 +53,10 @@ object ConnectionConfig {
     case "parquet" => new ParquetConnector(spark, cfg("dir"))
     case "parquet_partitioned" =>
       new PartitionedParquetConnector(spark, cfg("dir"), cfg.getOrElse("matcher", "updated_at"),
-        bloomIndexMinBytes = cfg.getOrElse("bloom_index_min_bytes", (1L << 30).toString).toLong)
+        // `bloom_index_min_bytes` is the r4 name of the knob, kept as a
+        // fallback so existing connection files keep working
+        pkIndexMinBytes = cfg.get("pk_index_min_bytes")
+          .orElse(cfg.get("bloom_index_min_bytes")).getOrElse((1L << 30).toString).toLong)
     case "csv" => new CsvConnector(spark, cfg("dir"))
     case "jsondoc" => new JsonDocConnector(spark, cfg("dir"))
     case "jdbc" => new JdbcConnector(spark, cfg("url"),

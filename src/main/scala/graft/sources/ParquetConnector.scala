@@ -71,7 +71,7 @@ object ParquetConnector {
             val n = s.getPath.getName
             val parent = s.getPath.getParent.getName
             // skip hidden files AND files inside metadata dirs (e.g. the
-            // partitioned connector's _graft_pkidx bloom sidecar) — those
+            // partitioned connector's _graft_pkidx pk-hash sidecar) — those
             // are not data files of this table
             if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
                 !parent.startsWith("_") && !parent.startsWith("."))

@@ -1,10 +1,8 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.sketch.BloomFilter
 import scala.jdk.CollectionConverters._
 
 /** Parquet connector whose tables are Hive-layout partitioned by a
@@ -16,17 +14,19 @@ import scala.jdk.CollectionConverters._
   * read+rewrite — correct, atomic, and a scale-killer at 100 TB. Here
   * every merge is COPY-ON-WRITE, PARTITION-SCOPED:
   *
-  *  1. find the partitions that contain any updated key (a narrow
-  *     (pk, gpart)-column scan of the target + a broadcastable key set);
+  *  1. find the partitions that contain any updated key (steady state:
+  *     a join of the pk-hash sidecar index against the delta's key
+  *     hashes — see the index section below);
   *  2. rebuild ONLY those partitions (anti-join out replaced keys, union
   *     the delta);
   *  3. publish with dynamic partition overwrite — untouched partitions'
   *     files are never read, rewritten, or moved.
   *
-  * Steady-state incremental cost is O(delta + affected partitions), not
-  * O(table). The partition column is connector-internal: `read` drops it,
-  * so callers (and schema checks like `can_incremental_pipe?`) see
-  * exactly the logical schema they wrote.
+  * Steady-state incremental cost is O(index + delta + affected
+  * partitions), not O(table). The partition column is
+  * connector-internal: `read` drops it, so callers (and schema checks
+  * like `can_incremental_pipe?`) see exactly the logical schema they
+  * wrote.
   *
   * Trade-off vs the plain connector's tmp+swap: dynamic partition
   * overwrite commits per partition, so a mid-job crash can leave a mix of
@@ -35,19 +35,19 @@ import scala.jdk.CollectionConverters._
   * needing all-or-nothing publish over small tables use the plain
   * connector.
   */
-/** @param bloomIndexMinBytes size cutover for upsert discovery, the
+/** @param pkIndexMinBytes size cutover for upsert discovery, the
   *   broadcast-threshold idiom: tables whose files total less than this
   *   use the direct (pk, gpart) probe join — at that size the scan is a
-  *   few tasks and the bloom machinery's fixed per-job overhead would
+  *   few tasks and the index machinery's fixed per-job overhead would
   *   dominate. At/above it, discovery maintains and probes the
-  *   per-partition pk bloom sidecar, making steady-state ticks
-  *   O(sidecar + delta) instead of O(table). An existing sidecar is
+  *   partitioned pk-hash sidecar index, making steady-state ticks
+  *   O(index + delta) instead of O(table). An existing index is
   *   always used regardless of size. */
 class PartitionedParquetConnector(
     spark0: org.apache.spark.sql.SparkSession,
     dir0: String,
     val matcher: String = "updated_at",
-    val bloomIndexMinBytes: Long = 1L << 30)
+    val pkIndexMinBytes: Long = 1L << 30)
   extends ParquetConnector(spark0, dir0) {
 
   val partCol = "gpart"
@@ -69,7 +69,7 @@ class PartitionedParquetConnector(
     case SaveMode.Append if exists(table) =>
       // delta-scoped append: rebuild only the partitions the new rows
       // land in (existing rows in those partitions are kept). The append
-      // changes partition CONTENTS without going through the sidecar, so
+      // changes partition CONTENTS without going through the index, so
       // the pk index is invalidated (next upsert re-bootstraps it).
       dropSidecar(table)
       val inc = addPart(SchemaInfer.evolve(df, read(table).schema))
@@ -85,13 +85,16 @@ class PartitionedParquetConnector(
     * back to a full evolve+rewrite only when the incoming batch actually
     * changes the schema (new columns / type widening).
     *
-    * Shape: (1) a narrow (pk, gpart) scan of the target finds the
-    * partitions holding old versions of updated keys; (2) those literals
-    * prune the rebuild scan statically; (3) dynamic partition overwrite
-    * publishes only the rebuilt partitions; (4) affected partitions whose
-    * every row was replaced produce NO output rows — dynamic overwrite
-    * cannot clear those, so they are deleted explicitly (the one
-    * sharp edge of the dynamic-overwrite contract). */
+    * Shape: (1) discovery finds the partitions holding old versions of
+    * updated keys — steady state joins the pk-hash sidecar index against
+    * the delta's hashes, entirely on executors; sub-cutover tables use a
+    * direct (pk, gpart) column-pruned probe join and touch NO index
+    * machinery at all; (2) the affected-partition literals prune the
+    * rebuild scan statically; (3) dynamic partition overwrite publishes
+    * only the rebuilt partitions; (4) affected partitions whose every
+    * row was replaced produce NO output rows — dynamic overwrite cannot
+    * clear those, so they are deleted explicitly (the one sharp edge of
+    * the dynamic-overwrite contract). */
   override def upsert(df: DataFrame, table: String, primaryKey: String = "id"): Unit = {
     if (!exists(table)) { write(df, table); return }
     val logical = read(table).schema
@@ -109,37 +112,32 @@ class PartitionedParquetConnector(
     val inc0 = addPart(SchemaInfer.evolve(df, logical))
     if (!inc0.columns.contains(primaryKey)) { write(df, table, SaveMode.Append); return }
     // the delta's lineage is re-read by discovery, the merge, and the
-    // sidecar refresh — cache it once (delta-sized by contract)
+    // index refresh — cache it once (delta-sized by contract)
     val inc = inc0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val target = readWithPart(table)
       val freshKeys = inc.select(col(primaryKey)).distinct()
-      // one job over the delta yields both its landing partitions and its
-      // key hashes for the bloom probe
-      val keyParts = inc.select(keyHash(col(primaryKey)).as("h"), col(partCol)).distinct().collect()
-      val incParts = keyParts.map(_.getString(1)).toSet
-      val deltaHashes = keyParts.map(_.getLong(0)).distinct
-      // Discovery: which partitions hold old versions of the updated keys?
-      // Steady state probes the per-partition pk BLOOM sidecar — O(sidecar
-      // + delta), no table scan at all (the r3 full (pk, gpart) probe was
-      // O(table) per tick — a trillion-row scan every increment at 100 TB).
-      // A false positive only rebuilds an extra partition; never wrong.
-      // Missing/stale/pk-mismatched sidecar → one bootstrapping (pk, gpart)
-      // column-pruned scan rebuilds it, amortized across all later ticks.
-      val sidecar = sidecarRows(table, primaryKey)
-        .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val liveIdx: Option[org.apache.spark.sql.DataFrame] = sidecar.orElse {
-        if (tableBytes(table) < bloomIndexMinBytes) None // small table: direct probe wins
-        else {
-          val blooms = bloomRows(target.select(col(primaryKey), col(partCol)), primaryKey)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          commitSidecar(blooms, primaryKey, table)
-          Some(blooms)
-        }
+      // landing partitions of the delta: a partition-name list, bounded
+      // by the partition count, never by delta row count
+      val incParts = inc.select(col(partCol)).distinct().collect().map(_.getString(0)).toSet
+      // Discovery: which partitions hold old versions of the updated
+      // keys? Steady state joins the partitioned pk-hash sidecar index
+      // against the delta's key hashes — O(index + delta), no table scan
+      // (the r3 full (pk, gpart) probe was O(table) per tick — a
+      // trillion-row scan every increment at 100 TB). Missing/stale/
+      // pk-mismatched index → one bootstrapping (pk, gpart)
+      // column-pruned scan rebuilds it, amortized across later ticks.
+      // Sub-cutover tables skip ALL index bookkeeping: one meta-file
+      // stat, then the direct probe (the r4 bench regression was partly
+      // index fixed costs paid by tables that never benefit).
+      val liveIdx: Option[DataFrame] = sidecarRows(table, primaryKey).orElse {
+        if (tableBytes(table) < pkIndexMinBytes) None // small table: direct probe wins
+        else Some(bootstrapIndex(target, primaryKey, table))
       }
       val affected: Set[String] = (liveIdx match {
-        case Some(idx) => probeBlooms(idx, deltaHashes)
-        case None => // sub-threshold: the r3 (pk, gpart) column-pruned probe join
+        case Some(idx) => discoverAffected(idx, deltaHashes(inc, primaryKey))
+          .collect().map(_.getString(0)).toSet
+        case None => // sub-cutover: the (pk, gpart) column-pruned probe join
           target.join(freshKeys, Seq(primaryKey))
             .select(col(partCol)).distinct().collect().map(_.getString(0)).toSet
       }) ++ incParts
@@ -149,23 +147,13 @@ class PartitionedParquetConnector(
       val out = keep.unionByName(inc.select(keep.columns.map(col).toIndexedSeq: _*))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // delta-sized
       try {
-        // when a sidecar is live, stage its refresh BEFORE mutating the
-        // table (this also materializes `out`'s cache): unaffected
-        // partitions keep their blooms, rebuilt ones get fresh blooms
-        // from the delta-sized `out`, emptied ones drop out. The live
-        // sidecar is then deleted for the duration of the rewrite — a
-        // crash mid-publish leaves NO sidecar (next tick re-bootstraps),
-        // never a stale one.
-        val stagedIdx = liveIdx.map { idx =>
-          val keptBlooms = idx
-            .filter(!col("gpart_v").isin(affected.toSeq: _*))
-            .select(col("gpart_v"), col("bloom"))
-          val staged = stageSidecar(
-            keptBlooms.unionByName(bloomRows(out.select(col(primaryKey), col(partCol)), primaryKey)),
-            primaryKey, table)
-          dropSidecar(table)
-          staged
-        }
+        // Index commit protocol (meta-file-last): the meta file IS the
+        // index's validity token. Delete it before mutating anything,
+        // write it back only after table + index partitions are all
+        // published. A crash at ANY intermediate point leaves an index
+        // without (or with a mismatched) meta file → next tick treats it
+        // as stale and re-bootstraps — never trusts a torn index.
+        if (liveIdx.isDefined) invalidateSidecar(table)
         overwriteDynamic(out, table)
         // partitions that lost every row write nothing — clear them by hand
         // (cheap: reads the cached delta, not the table)
@@ -173,22 +161,52 @@ class PartitionedParquetConnector(
         (affected -- written).foreach { p =>
           FileTableOps.deleteRecursively(path(table).resolve(s"$partCol=$p"))
         }
-        stagedIdx.foreach { staged =>
-          Files.move(staged, idxPath(table), StandardCopyOption.ATOMIC_MOVE)
-          writePartState(table)
+        liveIdx.foreach { _ =>
+          // delta-scoped index refresh: dynamic overwrite replaces ONLY
+          // the rebuilt partitions' hash rows (from the cached delta-sized
+          // `out`); emptied partitions' index dirs are deleted; untouched
+          // partitions' index files are never rewritten — the index
+          // refresh is O(delta), like the merge it mirrors.
+          writeIndexPartitions(indexRows(out, primaryKey), table, dynamic = true)
+          (affected -- written).foreach { p =>
+            FileTableOps.deleteRecursively(idxPath(table).resolve(s"gpart_v=$p"))
+          }
+          commitSidecarMeta(table, primaryKey)
         }
-      } finally { out.unpersist(false); liveIdx.foreach(_.unpersist(false)) }
+      } finally out.unpersist(false)
     } finally inc.unpersist(false)
   }
 
-  // ---- per-partition primary-key bloom sidecar ------------------------
-  // `<table>.parquet/_graft_pkidx/` — underscore-prefixed, so Spark's
-  // file index treats it as metadata and table reads never see it.
-  // Schema: (gpart_v string, pk string, bloom binary), one row per
-  // partition; `pk` records which key column the blooms were built over.
+  // ---- partitioned primary-key hash sidecar index ---------------------
+  // `<table>.parquet/_graft_pkidx/gpart_v=<p>/*.parquet` — underscore-
+  // prefixed, so Spark's file index treats it as metadata and table
+  // reads never see it. One column `h` = xxhash64 of the key's string
+  // form; the Hive partition dir carries the table partition it indexes.
+  //
+  // Why hash ROWS and not per-partition bloom filters (the r4 design):
+  // a bloom is an unsplittable blob, which forced (a) the probe to
+  // materialize the delta's key hashes as a driver-side array+broadcast
+  // — O(delta) driver memory, the r4 scale defect; (b) the build to
+  // buffer one partition's hashes in one task — an OOM under partition
+  // skew; (c) a full sidecar rewrite every tick. Hash rows are ordinary
+  // columnar data: the build is a pure distributed projection+write (no
+  // per-task state at ALL — partition skew just means more rows in one
+  // write task's stream), the probe is an exact join that AQE plans as
+  // broadcast when the delta is small (executor-side, bounded by
+  // spark.sql.autoBroadcastJoinThreshold) or shuffle when it is not —
+  // no unbounded driver allocation on any path — and the refresh is a
+  // delta-scoped dynamic partition overwrite. Disk cost is ~8 bytes/key
+  // vs ~1.2 bytes/key for 1%-fpp blooms; the 6.6× is the price of
+  // splittability and is still ~1% of a table with 1 KB rows.
+  //
+  // Validity: `_graft_pkidx_meta.json` (stored NEXT TO the index dir,
+  // not inside it, so index writes never disturb it) records the key
+  // column and a fingerprint of every table partition's file listing.
+  // Any divergence — different pk, different partition set, any file
+  // added/removed/resized by ANY writer — reads as stale → rebuild.
 
   /** Total data-file bytes of the table — a driver-side listing, the
-    * cheap size signal for the bloom-index cutover. */
+    * cheap size signal for the index cutover. */
   private def tableBytes(table: String): Long = {
     var total = 0L
     Files.walkFileTree(path(table), new java.nio.file.SimpleFileVisitor[Path] {
@@ -206,14 +224,44 @@ class PartitionedParquetConnector(
   }
 
   private def idxPath(table: String): Path = path(table).resolve("_graft_pkidx")
+  private def metaPath(table: String): Path = path(table).resolve("_graft_pkidx_meta.json")
 
-  private def dropSidecar(table: String): Unit =
+  private def dropSidecar(table: String): Unit = {
+    Files.deleteIfExists(metaPath(table))
     FileTableOps.deleteRecursively(idxPath(table))
+  }
+
+  /** Invalidate without deleting files: the meta file is the validity
+    * token, and the stale files are overwritten by the coming refresh. */
+  private def invalidateSidecar(table: String): Unit =
+    Files.deleteIfExists(metaPath(table))
 
   /** Uniform key hashing on both build and probe sides: xxhash64 of the
-    * key's string form (type-agnostic, null-safe — computed by Spark
-    * expressions on the build side and matched here). */
+    * key's string form (type-agnostic, null-safe). A hash collision
+    * between two distinct keys can only mark an extra partition as
+    * affected (the merge itself anti-joins on the REAL key values) —
+    * a spurious rebuild, never a wrong row. */
   private def keyHash(c: Column): Column = xxhash64(c.cast("string"))
+
+  /** The delta's distinct key hashes — stays a DataFrame end to end;
+    * never collected. */
+  private def deltaHashes(inc: DataFrame, primaryKey: String): DataFrame =
+    inc.select(keyHash(col(primaryKey)).as("h")).distinct()
+
+  /** (h, gpart_v) index rows for a slice of the table. */
+  private def indexRows(slice: DataFrame, primaryKey: String): DataFrame =
+    slice.select(keyHash(col(primaryKey)).as("h"), col(partCol).cast("string").as("gpart_v"))
+
+  /** Distributed discovery: exact semi-join of the index against the
+    * delta's key hashes, grouped to the partitions that might hold old
+    * versions. Runs entirely on executors; the only thing the driver
+    * ever receives is the affected PARTITION-NAME list (bounded by the
+    * partition count). AQE picks the physical join: broadcast while the
+    * delta-hash side is below autoBroadcastJoinThreshold, shuffle join
+    * beyond it — so a 10⁹-key delta shuffles, it does not OOM the
+    * driver. Package-private so PlanEvidenceSpec can pin this shape. */
+  private[sources] def discoverAffected(idx: DataFrame, deltaH: DataFrame): DataFrame =
+    idx.join(deltaH, Seq("h"), "left_semi").select(col("gpart_v")).distinct()
 
   private def listPartitions(table: String): Set[String] = {
     if (!Files.isDirectory(path(table))) return Set.empty
@@ -229,7 +277,9 @@ class PartitionedParquetConnector(
   /** Per-partition content fingerprint: FNV-64 over the sorted
     * (fileName:size) list of data files. Spark part-file names carry a
     * writer UUID, so any rewrite — ours or an external tool's — changes
-    * the fingerprint even at identical sizes. */
+    * the fingerprint even at identical sizes. Driver-side metadata
+    * listing, O(partitions), the same order of work as the partitioned
+    * write's own commit. */
   private def partitionState(table: String): Map[String, String] =
     listPartitions(table).map { p =>
       val dir = path(table).resolve(s"$partCol=$p")
@@ -244,100 +294,63 @@ class PartitionedParquetConnector(
       p -> java.lang.Long.toHexString(h)
     }.toMap
 
-  private def partStatePath(table: String): Path = idxPath(table).resolve("_partstate.json")
-
-  /** Record the table's partition fingerprints next to the blooms; called
-    * immediately after a sidecar commit. A crash in between leaves a
-    * sidecar without a state file → treated as stale → rebuilt. */
-  private def writePartState(table: String): Unit = {
-    val json = partitionState(table).toSeq.sorted
+  /** Record the key column and the table's partition fingerprints —
+    * the LAST step of every index mutation (commit point). */
+  private def commitSidecarMeta(table: String, primaryKey: String): Unit = {
+    val state = partitionState(table).toSeq.sorted
       .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
-    Files.writeString(partStatePath(table), json)
+    Files.writeString(metaPath(table), s"""{"pk":"$primaryKey","state":$state}""")
   }
 
-  private def readPartState(table: String): Option[Map[String, String]] = {
-    if (!Files.isRegularFile(partStatePath(table))) return None
-    try Some("\"([^\"]+)\":\"([^\"]+)\"".r
-      .findAllMatchIn(Files.readString(partStatePath(table)))
-      .map(m => m.group(1) -> m.group(2)).toMap)
-    catch { case _: Exception => None }
-  }
-
-  /** The sidecar as (gpart_v, pk, bloom) rows — only if present, built
-    * over the same primary key, covering exactly the table's current
-    * partitions, AND with every partition's file fingerprint unchanged
-    * since the sidecar was committed. Any mutation of partition contents
-    * outside the upsert path — an append, an external compaction, a
-    * second tool — changes file names/sizes and forces a rebuild. */
-  private def sidecarRows(table: String, primaryKey: String): Option[DataFrame] = {
-    if (!Files.isDirectory(idxPath(table))) return None
+  private def readSidecarMeta(table: String): Option[(String, Map[String, String])] = {
+    if (!Files.isRegularFile(metaPath(table))) return None
     try {
-      val df = spark.read.parquet(idxPath(table).toString)
-      val meta = df.select(col("pk"), col("gpart_v")).collect() // one row per partition
-      if (meta.exists(_.getString(0) != primaryKey)) return None
-      if (meta.map(_.getString(1)).toSet != listPartitions(table)) return None
-      if (!readPartState(table).contains(partitionState(table))) return None
-      Some(df)
+      val text = Files.readString(metaPath(table))
+      val pk = "\"pk\":\"([^\"]+)\"".r.findFirstMatchIn(text).map(_.group(1))
+      val state = "\"([0-9-]+)\":\"([0-9a-f]+)\"".r
+        .findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toMap
+      pk.map(_ -> state)
     } catch { case _: Exception => None }
   }
 
-  /** One pk bloom per partition from a (primaryKey, gpart) projection.
-    * Exact-sized per partition at 1% fpp (~9.6 bits/key); the per-group
-    * hash buffer is 8 bytes/row of ONE partition — shard `gpart` further
-    * before partitions reach ~100M rows. */
-  private def bloomRows(keys: DataFrame, primaryKey: String): DataFrame = {
-    val session = spark
-    import session.implicits._
-    keys.select(col(partCol).cast("string").as("g"), keyHash(col(primaryKey)).as("h"))
-      .as[(String, Long)]
-      .groupByKey(_._1)
-      .mapGroups { (g, it) =>
-        val hs = it.map(_._2).toArray
-        val bloom = BloomFilter.create(math.max(hs.length, 64L), 0.01)
-        hs.foreach(bloom.putLong)
-        val bos = new ByteArrayOutputStream()
-        bloom.writeTo(bos)
-        (g, bos.toByteArray)
-      }.toDF("gpart_v", "bloom")
+  /** The index as (h, gpart_v) rows — only if the meta file is present,
+    * built over the same primary key, AND every table partition's file
+    * fingerprint is unchanged since the last commit. Any mutation of
+    * partition contents outside the upsert path — an append, an external
+    * compaction, a second tool — changes file names/sizes and forces a
+    * rebuild. For a table with no index this is a single file-stat. */
+  private def sidecarRows(table: String, primaryKey: String): Option[DataFrame] =
+    readSidecarMeta(table) match {
+      case Some((pk, state)) if pk == primaryKey && state == partitionState(table)
+          && Files.isDirectory(idxPath(table)) =>
+        try Some(spark.read.parquet(idxPath(table).toString)
+          .select(col("h"), col("gpart_v").cast("string").as("gpart_v")))
+        catch { case _: Exception => None }
+      case _ => None
+    }
+
+  /** One column-pruned (pk, gpart) scan of the table builds the full
+    * index; read back from its own files so the probe and later refresh
+    * reuse the written index instead of rescanning the table. Meta is
+    * NOT written here — the tick's single commit point writes it after
+    * the table publish, so a crash mid-tick always reads as stale. */
+  private def bootstrapIndex(target: DataFrame, primaryKey: String, table: String): DataFrame = {
+    writeIndexPartitions(indexRows(target, primaryKey), table, dynamic = false)
+    spark.read.parquet(idxPath(table).toString)
+      .select(col("h"), col("gpart_v").cast("string").as("gpart_v"))
   }
 
-  /** Executor-parallel probe: sidecar rows are the distributed side, the
-    * delta key hashes broadcast (delta-sized by the incremental
-    * contract). Returns the partitions whose bloom MIGHT contain any
-    * updated key. */
-  private def probeBlooms(rows: DataFrame, deltaHashes: Array[Long]): Set[String] = {
-    val session = spark
-    import session.implicits._
-    val bc = session.sparkContext.broadcast(deltaHashes)
-    try rows.select(col("gpart_v"), col("bloom")).as[(String, Array[Byte])]
-      .flatMap { case (g, bytes) =>
-        val bloom = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
-        if (bc.value.exists(bloom.mightContainLong)) Iterator.single(g) else Iterator.empty
-      }.collect().toSet
-    finally bc.unpersist(false)
-  }
-
-  /** Write sidecar rows to a staging dir inside the table path; the
-    * caller commits it with an atomic move. */
-  private def stageSidecar(rows: DataFrame, primaryKey: String, table: String): Path = {
-    // clear staging dirs orphaned by an earlier crash
-    val s = Files.list(path(table))
-    try s.iterator().asScala
-      .filter(_.getFileName.toString.startsWith("_graft_pkidx_tmp_"))
-      .foreach(FileTableOps.deleteRecursively)
-    finally s.close()
-    val tmp = path(table).resolve(s"_graft_pkidx_tmp_${System.nanoTime()}")
-    rows.select(col("gpart_v"), lit(primaryKey).as("pk"), col("bloom"))
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    tmp
-  }
-
-  private def commitSidecar(rows: DataFrame, primaryKey: String, table: String): Unit = {
-    val tmp = stageSidecar(rows, primaryKey, table)
-    dropSidecar(table)
-    Files.move(tmp, idxPath(table), StandardCopyOption.ATOMIC_MOVE)
-    writePartState(table)
-  }
+  /** Partitioned index write. `dynamic = false` (bootstrap) truncates and
+    * rewrites the whole index; `dynamic = true` (refresh) replaces only
+    * the partitions present in `rows` — the delta-scoped path. The
+    * pre-write cluster by gpart_v keeps it at ~1 file per index
+    * partition instead of tasks × partitions. */
+  private def writeIndexPartitions(rows: DataFrame, table: String, dynamic: Boolean): Unit =
+    rows.repartition(col("gpart_v"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
+      .partitionBy("gpart_v")
+      .parquet(idxPath(table).toString)
 
   /** Cluster rows by partition value before a partitioned write:
     * without it every task opens a file in every partition dir —
@@ -359,6 +372,10 @@ class PartitionedParquetConnector(
   private def atomicWritePartitioned(df: DataFrame, table: String): Unit = {
     val tmp = Paths.get(dir, s".tmp_${table}_${System.nanoTime()}")
     clustered(df).write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp.toString)
+    // the swap replaces the whole table dir — any index inside it is
+    // gone with the old files; the meta file lives in the OLD dir too,
+    // but delete defensively in case the meta survived a partial state
+    Files.deleteIfExists(metaPath(table))
     FileTableOps.replace(dir, tmp, path(table))
   }
 

@@ -16,12 +16,12 @@ class PartitionedParquetConnectorSpec extends SparkSpec {
     (new PartitionedParquetConnector(spark, d, matcher = "updated_at"), d)
   }
 
-  /** Connector with the bloom-index size cutover forced to 0, so the
-    * sidecar path runs even on these tiny fixtures. */
-  private def freshBloom(): (PartitionedParquetConnector, String) = {
+  /** Connector with the pk-index size cutover forced to 0, so the
+    * sidecar-index path runs even on these tiny fixtures. */
+  private def freshIdx(): (PartitionedParquetConnector, String) = {
     val d = tmpDir("graft_part_")
     (new PartitionedParquetConnector(spark, d, matcher = "updated_at",
-      bloomIndexMinBytes = 0L), d)
+      pkIndexMinBytes = 0L), d)
   }
 
   private def partitionFiles(dir: String, table: String): Map[String, Set[String]] = {
@@ -129,11 +129,9 @@ class PartitionedParquetConnectorSpec extends SparkSpec {
   private def idxDir(dir: String, table: String): Path =
     Paths.get(dir, table + ".parquet", "_graft_pkidx")
 
-  test("pk-bloom sidecar: steady-state discovery reads no table data (scan evidence)") {
-    val (c, d) = freshBloom()
-    // one FAT partition (200k random-long pks — incompressible pk column,
-    // so any rescan of it is visible in task input metrics) + the small
-    // users partitions
+  test("pk index: steady-state tick never opens unaffected partitions' data files (corruption canary)") {
+    val (c, d) = freshIdx()
+    // one FAT partition (200k random-long pks) + the small users partitions
     val rnd = new scala.util.Random(11)
     val session = spark
     import session.implicits._
@@ -143,38 +141,82 @@ class PartitionedParquetConnectorSpec extends SparkSpec {
         java.sql.Timestamp.valueOf("2023-06-01 00:00:00")))
       .toDF(usersSchema.fieldNames.toIndexedSeq: _*)
     c.write(usersDf.unionByName(fatRows), "users")
-    // tick 1 bootstraps the sidecar (pays the one full (pk, gpart) scan)
+    // tick 1 bootstraps the index (pays the one full (pk, gpart) scan)
     c.upsert(df(usersSchema, Seq(Row(2L, "t1@x.com", "F", "L",
       ts("2024-01-02 00:00:00"), ts("2024-01-02 01:00:00")))), "users", "id")
-    assert(Files.isDirectory(idxDir(d, "users")), "bootstrap must build the sidecar")
-    // tick 2 probes blooms only: bytes read must stay far below the fat
-    // partition's pk column (~1.6 MB of incompressible longs)
-    var bytes = 0L
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (t.taskMetrics != null) bytes += t.taskMetrics.inputMetrics.bytesRead
+    assert(Files.isDirectory(idxDir(d, "users")), "bootstrap must build the index")
+    // CANARY: corrupt the fat partition's data pages in place — same file
+    // name, same size, so the index fingerprint stays valid (footer and
+    // magic bytes kept intact so metadata-only access still works). Any
+    // code path that DECODES this partition's data now throws. A
+    // discovery that rescans the table, a merge that fails to prune, or
+    // an index refresh that rebuilds from the table instead of the delta
+    // all die loudly here.
+    val fatDir = Paths.get(d, "users.parquet", "gpart=2023-06-01")
+    val fatFiles = Files.list(fatDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(fatFiles.nonEmpty)
+    fatFiles.foreach { f =>
+      val bytes = Files.readAllBytes(f)
+      java.util.Arrays.fill(bytes, bytes.length / 4, bytes.length / 2, 0xDE.toByte)
+      Files.write(f, bytes)
     }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      c.upsert(df(usersSchema, Seq(Row(2L, "t2@x.com", "F", "L",
-        ts("2024-01-02 00:00:00"), ts("2024-01-02 02:00:00")))), "users", "id")
-      // listener events are async — poll until the counter stabilizes
-      var prev = -1L; var tries = 0
-      while (bytes != prev && tries < 20) { prev = bytes; Thread.sleep(250); tries += 1 }
-    } finally spark.sparkContext.removeSparkListener(listener)
-    assert(bytes < 400 * 1024,
-      s"steady-state upsert read $bytes bytes — discovery is rescanning the table")
-    assert(c.read("users").filter(col("id") === 2).head().getAs[String]("email") == "t2@x.com")
+    // record the fat partition's INDEX files: a delta-scoped refresh must
+    // not rewrite them
+    def idxFatListing(): Seq[(String, Long)] = {
+      val p = idxDir(d, "users").resolve("gpart_v=2023-06-01")
+      Files.list(p).iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => (f.getFileName.toString, Files.size(f))).toSeq.sortBy(_._1)
+    }
+    val idxFatBefore = idxFatListing()
+    // tick 2: steady state — index probe + partition-pruned merge +
+    // delta-scoped index refresh. Succeeds ONLY if the fat partition's
+    // data is never read.
+    c.upsert(df(usersSchema, Seq(Row(2L, "t2@x.com", "F", "L",
+      ts("2024-01-02 00:00:00"), ts("2024-01-02 02:00:00")))), "users", "id")
+    assert(idxFatListing() == idxFatBefore,
+      "index refresh must be delta-scoped: unaffected partitions' index files rewritten")
+    // verify through a partition-pruned read (the fat partition is still
+    // corrupt — reading it would throw, which is the point)
+    val row = c.readWithPart("users").filter(col("gpart") === "2024-01-02").head()
+    assert(row.getAs[String]("email") == "t2@x.com")
   }
 
-  test("pk-bloom discovery finds old versions in distant partitions (no time horizon)") {
-    val (c, d) = freshBloom()
+  test("discovery probe is a distributed semi-join, never a collected hash array (plan evidence)") {
+    val (c, d) = freshIdx()
+    c.write(usersDf, "users")
+    // bootstrap, then probe with the exact DataFrames upsert would build
+    c.upsert(df(usersSchema, Seq(Row(1L, "p@x.com", "F", "L",
+      ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")))), "users", "id")
+    val idx = spark.read.parquet(idxDir(d, "users").toString)
+      .select(col("h"), col("gpart_v").cast("string").as("gpart_v"))
+    // parquet-backed delta (a local fixture would itself plan as a
+    // LocalRelation and trip the assertion below for the wrong reason)
+    val deltaH = c.read("users").select(xxhash64(col("id").cast("string")).as("h")).distinct()
+    val probe = c.discoverAffected(idx, deltaH)
+    // the load-bearing shape: a LeftSemi JOIN between two distributed
+    // plans — the r4 design collected the delta hashes to a driver array
+    // and broadcast it by hand, which is exactly what this pins against
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LocalRelation}
+    val plan = probe.queryExecution.optimizedPlan
+    assert(plan.collect { case j: Join => j.joinType }.contains(LeftSemi),
+      s"probe must be a semi-join, got:\n$plan")
+    assert(plan.collect { case l: LocalRelation => l }.isEmpty,
+      "delta hashes must stay distributed — no driver-side LocalRelation in the probe")
+    // and it is correct: every user partition holds an old version
+    assert(probe.collect().map(_.getString(0)).toSet ==
+      (1 to 5).map(i => s"2024-01-0$i").toSet)
+  }
+
+  test("pk-index discovery finds old versions in distant partitions (no time horizon)") {
+    val (c, d) = freshIdx()
     c.write(usersDf, "users")
     // bootstrap tick
     c.upsert(df(usersSchema, Seq(Row(5L, "b@x.com", "F", "L",
       ts("2024-01-05 00:00:00"), ts("2024-01-05 01:00:00")))), "users", "id")
     // steady-state tick: id=1 last touched 2024-01-01 jumps to 2024-06-01 —
-    // a min-matcher horizon prune would MISS the old partition; blooms must not
+    // a min-matcher horizon prune would MISS the old partition; the index must not
     c.upsert(df(usersSchema, Seq(Row(1L, "far@x.com", "F", "L",
       ts("2024-01-01 00:00:00"), ts("2024-06-01 00:00:00")))), "users", "id")
     assert(c.read("users").filter(col("id") === 1).count() == 1, "old version must be replaced")
@@ -184,7 +226,7 @@ class PartitionedParquetConnectorSpec extends SparkSpec {
   }
 
   test("external partition mutation invalidates the sidecar (file-fingerprint check)") {
-    val (c, d) = freshBloom()
+    val (c, d) = freshIdx()
     c.write(usersDf, "users")
     c.upsert(df(usersSchema, Seq(Row(2L, "t@x.com", "F", "L",
       ts("2024-01-02 00:00:00"), ts("2024-01-02 01:00:00")))), "users", "id") // bootstrap
@@ -209,8 +251,8 @@ class PartitionedParquetConnectorSpec extends SparkSpec {
     assert(c.read("users").filter(col("id") === 42).head().getAs[String]("email") == "new@x.com")
   }
 
-  test("append invalidates the pk-bloom sidecar; next upsert re-bootstraps correctly") {
-    val (c, d) = freshBloom()
+  test("append invalidates the pk index; next upsert re-bootstraps correctly") {
+    val (c, d) = freshIdx()
     c.write(usersDf, "users")
     c.upsert(df(usersSchema, Seq(Row(4L, "x@x.com", "F", "L",
       ts("2024-01-04 00:00:00"), ts("2024-01-04 01:00:00")))), "users", "id")
