@@ -61,7 +61,109 @@ object GraftFunctions {
     ("sig_agreement", { args: Seq[Expression] =>
       require(args.length == 2, "sig_agreement(a, b)")
       SignatureAgreement(args.head, args(1))
-    }, "sig_agreement(a, b) - count of equal signature positions"))
+    }, "sig_agreement(a, b) - count of equal signature positions"),
+    // ---- text-curation operators (r5): the functions the
+    // TrainingDataPipeline leans on, reachable from pure SQL — the
+    // reference's whole audience writes SQL transformations
+    // (taskrabbit/forklift lib/forklift/base/connection.rb:43-51).
+    // Stopword sets are plan-constant string literals, so the whole
+    // score stays a single codegen'd TextProfile pass per row.
+    ("text_profile", { args: Seq[Expression] =>
+      require(args.length == 1, "text_profile(text)")
+      TextProfile(args.head, Nil, asciiTokens = false)
+    }, "text_profile(text) - single-pass stats struct (chars, letters, punct, upper, ws_tokens, nonws_chars, alnum_runs, non_alnum, letter_tokens)"),
+    ("quality_score", { args: Seq[Expression] =>
+      require(args.length == 1 || args.length == 2,
+        "quality_score(text[, 'stop,words,csv'])")
+      val stopwords =
+        if (args.length == 2) csvLit(args(1), "stopwords")
+        else TextFunctions.englishStopwords
+      qualityExpr(args.head, stopwords)
+    }, "quality_score(text[, 'stop,words,csv']) - [0,1] Gopher/C4-style quality heuristic; default English stopwords"),
+    ("lang_id", { args: Seq[Expression] =>
+      require(args.length == 1 || args.length == 2,
+        "lang_id(text[, 'en:the,and|xx:foo,bar'])")
+      val langs =
+        if (args.length == 2) langsLit(args(1))
+        else TextFunctions.defaultLanguages
+      langIdExpr(args.head, langs)
+    }, "lang_id(text[, 'tag:sw,sw|tag2:...']) - stopword-ratio argmax language ID; default en/de/fr/es; low confidence -> 'und'"))
+
+  // ---- catalyst builders for the composed text scores ----------------
+  // A Spark 4 Column is ColumnNode-backed: converting a COMPOSED Column
+  // back to a catalyst Expression inside a function builder yields an
+  // unresolvable ColumnNodeExpression (the node→expression conversion
+  // only runs at Dataset boundaries). So the SQL forms assemble the same
+  // formulas as parsed catalyst trees around the native TextProfile;
+  // GraftFunctionsSpec pins SQL-vs-Column equality so the two
+  // formulations cannot drift. `D` suffixes keep literals DoubleType
+  // (bare `0.0` parses as DECIMAL(1,1) in SQL).
+
+  /** Parse a formula and splice `p` in for the `__p__` placeholder
+    * (including `__p__.field` multi-part attributes). */
+  private def parsedWith(formula: String, p: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedExtractValue}
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(formula)
+      .transformUp {
+        case a: UnresolvedAttribute if a.nameParts.head == "__p__" =>
+          a.nameParts.tail.foldLeft(p)((e, part) => UnresolvedExtractValue(e, Literal(part)))
+      }
+  }
+
+  /** Mirrors [[TextFunctions.qualityScore]] component by component. */
+  private def qualityExpr(text: Expression, stopwords: Seq[String]): Expression = {
+    val f =
+      """round((
+        |  least(cast(__p__.chars as double) / 500.0D, 1.0D)
+        |+ least((case when __p__.letter_tokens = 0 then 0.0D
+        |          else cast(__p__.hits[0] as double) / __p__.letter_tokens end) * 2.5D, 1.0D)
+        |+ greatest(0.0D, 1.0D - (case when __p__.chars = 0 then 0.0D
+        |          else cast(__p__.punct as double) / __p__.chars end) * 4.0D)
+        |+ greatest(0.0D, 1.0D - (case when __p__.letters = 0 then 0.0D
+        |          else cast(__p__.upper as double) / __p__.letters end) * 2.0D)
+        |+ (case when (case when __p__.ws_tokens = 0 then 0.0D
+        |          else cast(__p__.nonws_chars as double) / __p__.ws_tokens end)
+        |     between 2.0D and 12.0D then 1.0D else 0.0D end)
+        |) / 5.0D, 4)""".stripMargin
+    parsedWith(f, TextProfile(text, Seq(stopwords), asciiTokens = false))
+  }
+
+  /** Mirrors [[TextFunctions.langId]]'s argmax fold. */
+  private def langIdExpr(text: Expression, langs: Seq[(String, Seq[String])]): Expression = {
+    require(langs.nonEmpty, "lang_id needs at least one candidate language")
+    langs.foreach { case (tag, _) =>
+      require(tag.matches("[A-Za-z0-9_-]+"), s"language tag must be alphanumeric, got '$tag'")
+    }
+    def score(i: Int) =
+      s"""(case when __p__.letter_tokens = 0 then 0.0D
+         | else cast(__p__.hits[$i] as double) / __p__.letter_tokens end)""".stripMargin
+    val (label, best) = langs.zipWithIndex.tail
+      .foldLeft((s"'${langs.head._1}'", score(0))) { case ((aL, aS), ((tag, _), i)) =>
+        (s"(case when ${score(i)} > $aS then '$tag' else $aL end)",
+          s"greatest($aS, ${score(i)})")
+      }
+    parsedWith(s"case when $best > 0.08D then $label else 'und' end",
+      TextProfile(text, langs.map(_._2), asciiTokens = false))
+  }
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(v, org.apache.spark.sql.types.StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  /** `'the,and,of'` → stopword list. */
+  private def csvLit(e: Expression, what: String): Seq[String] =
+    strLit(e, what).split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** `'en:the,and|xx:foo,bar'` → language candidate set. */
+  private def langsLit(e: Expression): Seq[(String, Seq[String])] =
+    strLit(e, "languages").split("\\|").toIndexedSeq.map { part =>
+      val i = part.indexOf(':')
+      require(i > 0, s"language spec needs 'tag:sw,sw,...', got '$part'")
+      part.substring(0, i).trim ->
+        part.substring(i + 1).split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+    }
 
   /** Register on a live session (idempotent — re-registration replaces). */
   def register(spark: SparkSession): Unit = {

@@ -112,14 +112,20 @@ object TextFunctions {
     round((lenScore + swScore + punctScore + upperScore + mwlScore) / 5.0, 4)
   }
 
-  /** N-gram-heuristic language ID over a small closed set: scores each
-    * candidate language by stopword-hit ratio and returns the argmax
-    * (ties → first language in [[langStopwords]] order; all ≤ 0.08 →
-    * 'und'). ONE profile pass computes all per-language hit counts; the
-    * argmax is codegen'd CaseWhen arithmetic. */
-  def langId(c: Column): Column = {
-    val p = profile(c, langStopwords.map(_._2))
-    val scored = langStopwords.zipWithIndex.map { case ((lang, _), i) =>
+  /** N-gram-heuristic language ID over a closed candidate set: scores
+    * each language by stopword-hit ratio and returns the argmax (ties →
+    * first language in `languages` order; all ≤ 0.08 → 'und'). ONE
+    * profile pass computes all per-language hit counts; the argmax is
+    * codegen'd CaseWhen arithmetic.
+    *
+    * The language set is pluggable: pass any `(tag, stopwords)` list —
+    * the profile expression already takes arbitrary sets, so adding a
+    * language is data, not engine surgery. [[defaultLanguages]] is the
+    * built-in 4-language European set. */
+  def langId(c: Column, languages: Seq[(String, Seq[String])] = defaultLanguages): Column = {
+    require(languages.nonEmpty, "langId needs at least one candidate language")
+    val p = profile(c, languages.map(_._2))
+    val scored = languages.zipWithIndex.map { case ((lang, _), i) =>
       (lit(lang), ratioFromProfile(p, i))
     }
     scored.reduceLeft[(Column, Column)] {
@@ -127,7 +133,8 @@ object TextFunctions {
     } match { case (l, s) => when(s > 0.08, l).otherwise(lit("und")) }
   }
 
-  private lazy val langStopwords: Seq[(String, Seq[String])] = Seq(
+  /** Built-in candidate set for [[langId]] — override per call. */
+  lazy val defaultLanguages: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was", "with", "are", "his", "this", "they"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "von", "sie", "mit", "ein", "eine", "auf", "den", "dem", "zu"),
     "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "une", "dans", "que", "pour", "qui", "sur", "pas", "au"),

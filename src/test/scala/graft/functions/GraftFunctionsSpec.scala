@@ -63,8 +63,42 @@ class GraftFunctionsSpec extends SparkSpec {
             ArrayType(LongType)),
           org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(1L),
             ArrayType(LongType)))
+        case "text_profile" | "quality_score" | "lang_id" =>
+          Seq(org.apache.spark.sql.catalyst.expressions.Literal("x"))
       }
       assert(build(args) != null, name)
     }
+  }
+
+  test("quality_score and lang_id from SQL match the Column API on documents") {
+    GraftFunctions.register(spark)
+    val docs = df(schema, Seq(
+      Row(1L, "The quick brown fox jumps over the lazy dog and it was not alone in the field."),
+      Row(2L, "Der Hund ist nicht auf dem Sofa und die Katze ist mit der Maus zu schnell."),
+      Row(3L, "zzz qqq xxx")))
+    docs.createOrReplaceTempView("gf_text")
+    val viaSql = spark.sql(
+      "SELECT id, quality_score(t) AS q, lang_id(t) AS l FROM gf_text ORDER BY id").collect()
+    val viaCols = docs.select(col("id"),
+      TextFunctions.qualityScore(col("t")).as("q"),
+      TextFunctions.langId(col("t")).as("l")).orderBy("id").collect()
+    assert(viaSql.toSeq.map(r => (r.getLong(0), r.getDouble(1), r.getString(2))) ==
+      viaCols.toSeq.map(r => (r.getLong(0), r.getDouble(1), r.getString(2))))
+    assert(viaSql.map(_.getString(2)).toSeq == Seq("en", "de", "und"))
+  }
+
+  test("custom stopword/language literals: quality_score CSV + lang_id spec string") {
+    GraftFunctions.register(spark)
+    df(schema, Seq(Row(1L, "lorem ipsum dolor sit amet lorem ipsum")))
+      .createOrReplaceTempView("gf_custom")
+    val r = spark.sql(
+      """SELECT quality_score(t, 'lorem,ipsum,dolor') AS q,
+        |       lang_id(t, 'la:lorem,ipsum,dolor,sit,amet|en:the,and,of') AS l
+        |FROM gf_custom""".stripMargin).head()
+    assert(r.getDouble(0) > 0.5, s"stopword-dense doc should score well, got ${r.getDouble(0)}")
+    assert(r.getString(1) == "la")
+    // and text_profile is reachable as a struct
+    val p = spark.sql("SELECT text_profile(t).ws_tokens AS w FROM gf_custom").head()
+    assert(p.getLong(0) == 7L)
   }
 }

@@ -68,6 +68,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out == Seq("en", "de", "fr", "es", "und"))
   }
 
+  test("langId language set is pluggable: a 5th language classifies without engine changes") {
+    // Italian is not in the built-in set — the default would answer 'es'
+    // (shared stopwords) or 'und'; with an extended candidate set the
+    // same fixture classifies as 'it', and the built-in four keep working
+    val it = "it" -> Seq("il", "di", "che", "non", "per", "con", "una", "sono", "della", "questo")
+    val d = df(schema, Seq(
+      Row(1L, "il gatto non sono per la casa che una storia di questo con della gente"),
+      Row(2L, "the cat sat on the mat and it was happy with this")))
+    val out = d.select(col("id"),
+      TextFunctions.langId(col("t"), TextFunctions.defaultLanguages :+ it).as("l"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(out == Seq("it", "en"))
+  }
+
   test("fingerprint: normalization-invariant, content-sensitive, stable (RollingHash)") {
     val d = df(schema, Seq(
       Row(1L, "Hello   World"), Row(2L, "hello world"), Row(3L, "hello worlds")))
