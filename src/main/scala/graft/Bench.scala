@@ -1,11 +1,21 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: runs the headline queries at SPARK_GRAFT_SF_DIR and
   * prints one JSON line (driver contract). Headline set = the queries
   * that exercise the scale-critical paths: scan+agg, multi-join,
-  * windows, dedup (exact + MinHash), ANN, sessionization. */
+  * windows, dedup (exact + MinHash), ANN, sessionization.
+  *
+  * Since r5 every query runs `SPARK_GRAFT_BENCH_REPS` times (default 3)
+  * and `queries` reports the per-query MEDIAN — the VERDICT r4 ask: a
+  * single fresh-JVM run folds codegen/janino compile time and scheduler
+  * jitter into every number, which is exactly what made the r4
+  * upsert-family "+32-43%" unjudgeable. The full per-rep matrix is
+  * emitted under `runs` so fixed cost (rep1 ≫ rep2≈rep3) is separable
+  * from asymptotic cost (all reps high) when reading BENCH_r{N}.
+  */
 object Bench {
   val headline: Seq[String] = Seq(
     "q_agg_pricing", "q_join_nation_revenue", "q_window_topk",
@@ -20,9 +30,49 @@ object Bench {
     // the other two LSH families (capped join-free bucket pairing)
     "q_dedup_simhash", "q_embedding_neardup")
 
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  /** Steady-state partitioned-upsert tick (VERDICT r4 #3): at sf0.1 the
+    * events table sits far below the 1 GiB index cutover, so the normal
+    * q_incremental_part entry never exercises the pk-index path — its
+    * cost was spec-only. This measures tick N>1 explicitly: same table,
+    * same delta, once with the index forced ON (`pkIndexMinBytes = 0`)
+    * and once forced OFF (`Long.MaxValue` → direct (pk, gpart) probe).
+    * Setup (initial load + bootstrap tick) is untimed; the reported
+    * number is the median of `reps` steady-state ticks. */
+  private def steadyTick(spark: SparkSession, sfDir: String, minBytes: Long,
+                         reps: Int): Seq[Double] = {
+    val work = java.nio.file.Files.createTempDirectory("graft_bench_tick_").toString
+    try {
+      val src = new graft.sources.ParquetConnector(spark, sfDir)
+      val dst = new graft.sources.PartitionedParquetConnector(
+        spark, work, matcher = "ts", pkIndexMinBytes = minBytes)
+      val events = src.read("events")
+      dst.write(events, "events")
+      // delta = the last ~2 days of events (the incremental contract's
+      // "recent rows" shape: lands in, and affects, few partitions)
+      val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+      val delta = events
+        .filter(col("ts") >= lit(maxTs) - expr("INTERVAL 2 DAYS"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      delta.count()
+      // untimed bootstrap tick (index build / first probe)
+      dst.upsert(delta, "events", "event_id")
+      val times = (1 to reps).map { i =>
+        val d = delta.withColumn("value", col("value") * lit(1.0 + i * 0.01))
+        val t0 = System.nanoTime()
+        dst.upsert(d, "events", "event_id")
+        (System.nanoTime() - t0) / 1e9
+      }
+      delta.unpersist(false)
+      times
+    } finally graft.sources.FileTableOps.deleteRecursively(java.nio.file.Paths.get(work))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -35,16 +85,30 @@ object Bench {
     // warm the JVM/codegen once on the smallest SF so headline numbers
     // measure the engine, not first-call JIT + classloading.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = headline.map { name =>
+    val runs: Seq[(String, Seq[Double])] = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      name -> (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+    } ++ Seq(
+      // the two steady-state tick entries (index path vs direct probe)
+      "q_part_tick_index" ->
+        (try steadyTick(spark, sfDir, 0L, reps)
+         catch { case e: Throwable => System.err.println(s"[bench] tick_index failed: ${e.getMessage}"); Seq(-1.0) }),
+      "q_part_tick_direct" ->
+        (try steadyTick(spark, sfDir, Long.MaxValue, reps)
+         catch { case e: Throwable => System.err.println(s"[bench] tick_direct failed: ${e.getMessage}"); Seq(-1.0) }))
+    val medians = runs.map { case (k, v) => k -> median(v) }
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val all = runs.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    // `value` = headline total of medians (comparable to prior rounds'
+    // single-run totals, minus their compile-time noise)
+    val total = medians.filter(m => headline.contains(m._1)).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$all,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -87,7 +87,28 @@ object GraftFunctions {
         if (args.length == 2) langsLit(args(1))
         else TextFunctions.defaultLanguages
       langIdExpr(args.head, langs)
-    }, "lang_id(text[, 'tag:sw,sw|tag2:...']) - stopword-ratio argmax language ID; default en/de/fr/es; low confidence -> 'und'"))
+    }, "lang_id(text[, 'tag:sw,sw|tag2:...']) - stopword-ratio argmax language ID; default en/de/fr/es; low confidence -> 'und'"),
+    ("fingerprint", { args: Seq[Expression] =>
+      require(args.length == 1, "fingerprint(text)")
+      // unlike rolling_hash (text AS GIVEN), this IS the normalized form
+      // the Column API and exact dedup use — lowercase, collapse
+      // whitespace, trim — so SQL fingerprints join against pipeline ones
+      RollingHash(parsedWith(
+        "regexp_replace(lower(trim(__t__)), '\\\\s+', ' ')", "__t__" -> args.head))
+    }, "fingerprint(text) - normalized 64-bit document fingerprint (matches the Column API / exact-dedup key)"),
+    ("token_count", { args: Seq[Expression] =>
+      require(args.length == 1, "token_count(text)")
+      parsedWith(
+        "case when length(trim(__t__)) = 0 then 0 else size(split(trim(__t__), '\\\\s+')) end",
+        "__t__" -> args.head)
+    }, "token_count(text) - whitespace token count; blank -> 0"),
+    ("subword_count", { args: Seq[Expression] =>
+      require(args.length == 1, "subword_count(text)")
+      parsedWith(
+        "case when length(trim(__t__)) = 0 then 0 else cast(__p__.alnum_runs + __p__.non_alnum as int) end",
+        "__t__" -> args.head,
+        "__p__" -> TextProfile(args.head, Nil, asciiTokens = false))
+    }, "subword_count(text) - GPT-2-ish pretokenizer piece count (BPE cost proxy)"))
 
   // ---- catalyst builders for the composed text scores ----------------
   // A Spark 4 Column is ColumnNode-backed: converting a COMPOSED Column
@@ -99,14 +120,16 @@ object GraftFunctions {
   // formulations cannot drift. `D` suffixes keep literals DoubleType
   // (bare `0.0` parses as DECIMAL(1,1) in SQL).
 
-  /** Parse a formula and splice `p` in for the `__p__` placeholder
-    * (including `__p__.field` multi-part attributes). */
-  private def parsedWith(formula: String, p: Expression): Expression = {
+  /** Parse a formula and splice expressions in for placeholder
+    * attributes (including `__x__.field` multi-part forms). */
+  private def parsedWith(formula: String, subs: (String, Expression)*): Expression = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedExtractValue}
+    val m = subs.toMap
     org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(formula)
       .transformUp {
-        case a: UnresolvedAttribute if a.nameParts.head == "__p__" =>
-          a.nameParts.tail.foldLeft(p)((e, part) => UnresolvedExtractValue(e, Literal(part)))
+        case a: UnresolvedAttribute if m.contains(a.nameParts.head) =>
+          a.nameParts.tail.foldLeft(m(a.nameParts.head))(
+            (e, part) => UnresolvedExtractValue(e, Literal(part)))
       }
   }
 
@@ -125,7 +148,7 @@ object GraftFunctions {
         |          else cast(__p__.nonws_chars as double) / __p__.ws_tokens end)
         |     between 2.0D and 12.0D then 1.0D else 0.0D end)
         |) / 5.0D, 4)""".stripMargin
-    parsedWith(f, TextProfile(text, Seq(stopwords), asciiTokens = false))
+    parsedWith(f, "__p__" -> TextProfile(text, Seq(stopwords), asciiTokens = false))
   }
 
   /** Mirrors [[TextFunctions.langId]]'s argmax fold. */
@@ -143,7 +166,7 @@ object GraftFunctions {
           s"greatest($aS, ${score(i)})")
       }
     parsedWith(s"case when $best > 0.08D then $label else 'und' end",
-      TextProfile(text, langs.map(_._2), asciiTokens = false))
+      "__p__" -> TextProfile(text, langs.map(_._2), asciiTokens = false))
   }
 
   private def strLit(e: Expression, what: String): String = e match {
