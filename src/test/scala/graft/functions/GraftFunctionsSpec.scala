@@ -52,8 +52,6 @@ class GraftFunctionsSpec extends SparkSpec {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     GraftFunctions.all.foreach { case (name, build, _) =>
       val args: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = name match {
-        case "rolling_hash" | "simhash_text" =>
-          Seq(org.apache.spark.sql.catalyst.expressions.Literal("x"))
         case "minhash_text" => Seq(
           org.apache.spark.sql.catalyst.expressions.Literal("x"),
           org.apache.spark.sql.catalyst.expressions.Literal(3),
@@ -63,7 +61,7 @@ class GraftFunctionsSpec extends SparkSpec {
             ArrayType(LongType)),
           org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(1L),
             ArrayType(LongType)))
-        case "text_profile" | "quality_score" | "lang_id" =>
+        case _ => // every other registered function takes a single text arg
           Seq(org.apache.spark.sql.catalyst.expressions.Literal("x"))
       }
       assert(build(args) != null, name)
