@@ -28,7 +28,9 @@ object Bench {
     // benched since r4 so the native-profile codegen path stays measured
     "q_quality", "q_langid",
     // the other two LSH families (capped join-free bucket pairing)
-    "q_dedup_simhash", "q_embedding_neardup")
+    "q_dedup_simhash", "q_embedding_neardup",
+    // temporal joins, new r6: union+window as-of and bucketed range join
+    "q_asof_join", "q_range_join")
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Multimodal, Patterns, Similarity}
+import graft.operators.{Curation, Dedup, Multimodal, Patterns, Similarity, TemporalJoin}
 import graft.sources.{ParquetConnector, SchemaInfer, UpsertWriter}
 
 /** Driver contract: the declared operator surface (SURVEY.md §2), one
@@ -422,6 +422,51 @@ object SparkEntry {
         .orderBy(col("col_name"))
     }),
 
+    // ---- temporal joins (operators Spark lacks, shuffle-once shapes) ----
+    "q_asof_join" -> ((s, dir) => {
+      // attribution: each click gains the user's latest at-or-before
+      // purchase (left-outer). Right side pre-aggregated to unique
+      // (user_id, ts) — the asof contract.
+      val ev = T(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+        .withColumnRenamed("ts", "purchase_ts")
+      TemporalJoin.asof(clicks, purchases, Seq("user_id"), "ts", "purchase_ts")
+        .orderBy(col("event_id"))
+    }),
+
+    "q_range_join" -> ((s, dir) => {
+      // overlapping promo windows (week start + 10 days) matched to the
+      // clicks they contain — bucketed equi-join, never a nested loop
+      val ev = T(s, dir, "events")
+      val promos = ev.filter(col("event_type") === "purchase")
+        .select(date_trunc("week", col("ts")).as("pstart")).distinct()
+        .withColumn("pend", col("pstart") + expr("INTERVAL '10' DAY"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"))
+      TemporalJoin.pointInInterval(clicks, promos, "ts", "pstart", "pend",
+          bucketSeconds = 7L * 86400)
+        .select(col("event_id"), col("ts"), col("pstart"), col("pend"))
+        .orderBy(col("event_id"), col("pstart"))
+    }),
+
+    // ---- corpus shaping (deterministic forms — exact SQL oracles) ----
+    "q_stratified_sample" -> ((s, dir) =>
+      Curation.stratifiedExact(
+          T(s, dir, "documents").select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+          Seq("lang"), 0.2, "doc_id")
+        .orderBy(col("doc_id"))),
+
+    "q_pack_sequences" -> ((s, dir) =>
+      Curation.packSequences(
+          T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          "n_chars", 16384L, Seq("lang"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("bin"))
+        .orderBy(col("doc_id"))),
+
     // ---- multimodal plumbing (rows-only: stubbed decode) ----
     "q_multimodal" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(T(s, dir, "documents"), "doc_id", "text", "image")
@@ -674,6 +719,44 @@ object SparkEntry {
       """SELECT vec_id, ROUND(CAST(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 6) AS score
         |FROM embeddings
         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |     purch  AS (SELECT user_id, ts AS purchase_ts, MAX(value) AS purchase_value
+        |                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ts, p.purchase_ts, p.purchase_value
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ts >= p.purchase_ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH promo AS (
+        |  SELECT DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP) AS pstart,
+        |         CAST(date_trunc('week', ts) AS TIMESTAMP) + INTERVAL 10 DAY AS pend
+        |  FROM events WHERE event_type = 'purchase'),
+        |clicks AS (SELECT event_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.ts, p.pstart, p.pend
+        |FROM clicks c JOIN promo p ON c.ts >= p.pstart AND c.ts < p.pend
+        |ORDER BY c.event_id, p.pstart""".stripMargin,
+
+    "q_stratified_sample" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+        |         COUNT(1)     OVER (PARTITION BY lang) AS cnt
+        |  FROM documents)
+        |SELECT doc_id, lang, source, n_chars FROM ranked
+        |WHERE rn <= CEIL(cnt * 0.2) ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |       CAST(FLOOR((cum - n_chars) / 16384.0) AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

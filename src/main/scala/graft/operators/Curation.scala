@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping operators for training-data pipelines: stratified
+  * sampling (hit a target fraction per stratum — language/source/quality
+  * band) and sequence packing (assign documents to fixed token-budget
+  * bins for concat-and-split pretraining batches).
+  *
+  * Both come in a DETERMINISTIC form (windowed, order-defined, so the
+  * same input always yields the same sample/packing — reproducible
+  * corpus builds, and an exact SQL oracle) and, for sampling, a seeded
+  * randomized form (per-stratum Bernoulli via `DataFrameStatFunctions
+  * .sampleBy` — unbiased, approximate counts).
+  */
+object Curation {
+
+  /** Deterministic stratified sample: the first `ceil(fraction × |g|)`
+    * rows of each stratum in `orderCol` order. Exact per-stratum counts,
+    * stable across runs and engines. Use a hash-ish `orderCol` (an id,
+    * a fingerprint) — ordering by a content-correlated column would bias
+    * the sample.
+    *
+    * Scale: one hash shuffle on the strata + per-partition sort (both
+    * window functions share the partitioning; the count has no ORDER BY
+    * and reuses the exchange). Strata parallelize; a single giant stratum
+    * is ordinary window skew. */
+  def stratifiedExact(df: DataFrame, strataCols: Seq[String], fraction: Double,
+                      orderCol: String): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction must be in (0, 1], got $fraction")
+    val part = strataCols.map(col)
+    val rn = row_number().over(Window.partitionBy(part: _*).orderBy(col(orderCol)))
+    val cnt = count(lit(1)).over(Window.partitionBy(part: _*))
+    df.withColumn("_rn", rn).withColumn("_cnt", cnt)
+      .filter(col("_rn") <= ceil(col("_cnt") * fraction))
+      .drop("_rn", "_cnt")
+  }
+
+  /** Seeded per-stratum Bernoulli sample — unbiased but approximate
+    * row counts; single stratum column (Spark's `sampleBy` key). */
+  def stratifiedSeeded(df: DataFrame, strataCol: String,
+                       fractions: Map[String, Double], seed: Long): DataFrame =
+    df.stat.sampleBy(strataCol, fractions, seed)
+
+  /** Sequence packing by contiguous budget chunking: order each group by
+    * `orderCol`, run a cumulative sum of `weightCol`, and assign row r to
+    * bin `floor(cumBefore(r) / budget)`. Every bin holds ~`budget` weight
+    * (a document may straddle a boundary — the concat-then-split
+    * pretraining contract, where the tokenizer stream is cut at exactly
+    * `budget` tokens and a straddling document contributes to both
+    * sides). Deterministic; bin ids are dense per group.
+    *
+    * For strict first-fit packing (no straddling, bins never exceed
+    * budget) the assignment is inherently sequential state — that
+    * variant belongs in a `mapGroups` over modest groups, not a window —
+    * and is intentionally not offered here.
+    *
+    * Scale: one shuffle + sort per group, same profile as sessionize.
+    * `groupCols` must be non-empty: packing a 100 TB corpus as ONE group
+    * would funnel it through a single sort partition — shard by
+    * language/source/hash-bucket instead. */
+  def packSequences(df: DataFrame, weightCol: String, budget: Long,
+                    groupCols: Seq[String], orderCol: String,
+                    binCol: String = "bin"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty — a global pack is a single-partition sort; shard first")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(col(weightCol)).over(w))
+      .withColumn(binCol,
+        floor((col("_cum") - col(weightCol)) / lit(budget.toDouble)))
+      .drop("_cum")
+  }
+}

@@ -224,6 +224,17 @@ class PartitionedParquetConnector(
   }
 
   private def idxPath(table: String): Path = path(table).resolve("_graft_pkidx")
+
+  /** Read the index rows back. The root dir is underscore-prefixed (so
+    * TABLE scans skip it), which makes a direct `read.parquet(root)`
+    * log a scary "All paths were ignored" warning before proceeding —
+    * globbing the partition dirs keeps every resolved leaf visible while
+    * `basePath` still derives `gpart_v` from the dir names. */
+  private def readIndex(table: String): DataFrame =
+    spark.read
+      .option("basePath", idxPath(table).toString)
+      .parquet(idxPath(table).toString + "/gpart_v=*")
+      .select(col("h"), col("gpart_v").cast("string").as("gpart_v"))
   private def metaPath(table: String): Path = path(table).resolve("_graft_pkidx_meta.json")
 
   private def dropSidecar(table: String): Unit = {
@@ -323,8 +334,7 @@ class PartitionedParquetConnector(
     readSidecarMeta(table) match {
       case Some((pk, state)) if pk == primaryKey && state == partitionState(table)
           && Files.isDirectory(idxPath(table)) =>
-        try Some(spark.read.parquet(idxPath(table).toString)
-          .select(col("h"), col("gpart_v").cast("string").as("gpart_v")))
+        try Some(readIndex(table))
         catch { case _: Exception => None }
       case _ => None
     }
@@ -336,8 +346,7 @@ class PartitionedParquetConnector(
     * the table publish, so a crash mid-tick always reads as stale. */
   private def bootstrapIndex(target: DataFrame, primaryKey: String, table: String): DataFrame = {
     writeIndexPartitions(indexRows(target, primaryKey), table, dynamic = false)
-    spark.read.parquet(idxPath(table).toString)
-      .select(col("h"), col("gpart_v").cast("string").as("gpart_v"))
+    readIndex(table)
   }
 
   /** Partitioned index write. `dynamic = false` (bootstrap) truncates and

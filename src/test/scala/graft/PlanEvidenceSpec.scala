@@ -117,6 +117,29 @@ class PlanEvidenceSpec extends SparkSpec {
     }
   }
 
+  test("q_asof_join is join-free: union + one keyed window, no per-row lookup join") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def joinsIn(p: SparkPlan): Seq[BaseJoinExec] =
+      p.collect {
+        case j: BaseJoinExec => Seq(j)
+        case a: AdaptiveSparkPlanExec => joinsIn(a.executedPlan)
+      }.flatten
+    val df = SparkEntry.queries("q_asof_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan
+    assert(joinsIn(plan).isEmpty,
+      "asof must be the union+carry-forward shape, not a theta join:\n" + plan)
+    assert(plan.toString.contains("Window"), "asof needs the carry-forward window")
+  }
+
+  test("q_range_join: bucketed equi-join, never a nested-loop/cartesian plan") {
+    val plan = SparkEntry.queries("q_range_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "range join must bucketize to an equi-join:\n" + plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      "expected an equi-join on the bucket id:\n" + plan)
+  }
+
   test("readSince: watermark predicate pushes into the scan (incremental = delta read)") {
     val c = new graft.sources.ParquetConnector(spark, tmpDir("graft_push_"))
     c.write(usersDf, "users")

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class CurationSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("w", LongType)))
+
+  private def docs = df(schema,
+    (1L to 10L).map(i => Row(i, "en", i * 10)) ++
+      (11L to 13L).map(i => Row(i, "de", 100L)) ++
+      Seq(Row(14L, "fr", 50L)))
+
+  test("stratifiedExact takes ceil(fraction * count) per stratum, deterministically") {
+    val out = Curation.stratifiedExact(docs, Seq("lang"), 0.25, "doc_id")
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("en" -> 3L, "de" -> 1L, "fr" -> 1L)) // ceil(10*.25)=3, ceil(3*.25)=1, ceil(1*.25)=1
+    // deterministic: the FIRST rows in orderCol order, and stable across runs
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L, 11L, 14L))
+    assert(Curation.stratifiedExact(docs, Seq("lang"), 0.25, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == ids)
+  }
+
+  test("stratifiedExact keeps the input schema and rejects bad fractions") {
+    assert(Curation.stratifiedExact(docs, Seq("lang"), 0.5, "doc_id")
+      .columns.toSeq == docs.columns.toSeq)
+    intercept[IllegalArgumentException] {
+      Curation.stratifiedExact(docs, Seq("lang"), 0.0, "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      Curation.stratifiedExact(docs, Seq("lang"), 1.5, "doc_id")
+    }
+  }
+
+  test("stratifiedSeeded is reproducible for a fixed seed") {
+    val a = Curation.stratifiedSeeded(docs, "lang", Map("en" -> 0.5, "de" -> 1.0), seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Curation.stratifiedSeeded(docs, "lang", Map("en" -> 0.5, "de" -> 1.0), seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a.forall(_ <= 13L)) // fr not in the fraction map → dropped
+  }
+
+  test("packSequences assigns contiguous budget chunks per group") {
+    // en weights 10,20,...,100 (cum 10,30,...,550); budget 100 →
+    // bin boundaries at cumBefore 0,10,30,60,100,150,210,280,360,450
+    val out = Curation.packSequences(docs, "w", 100L, Seq("lang"), "doc_id")
+      .orderBy("doc_id").collect()
+    val enBins = out.filter(_.getString(1) == "en").map(_.getAs[Long]("bin")).toSeq
+    assert(enBins == Seq(0L, 0L, 0L, 0L, 1L, 1L, 2L, 2L, 3L, 4L))
+    // every bin's PRECEDING-cum start is below i*budget + budget (chunk contract)
+    val deBins = out.filter(_.getString(1) == "de").map(_.getAs[Long]("bin")).toSeq
+    assert(deBins == Seq(0L, 1L, 2L)) // 100-weight docs fill a 100-budget bin each
+    assert(out.filter(_.getString(1) == "fr").map(_.getAs[Long]("bin")).toSeq == Seq(0L))
+  }
+
+  test("packSequences bins are dense and weight-bounded below budget + max(weight)") {
+    val out = Curation.packSequences(docs, "w", 120L, Seq("lang"), "doc_id")
+    val perBin = out.groupBy("lang", "bin").agg(sum(col("w")).as("tot"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val maxW = 100L
+    assert(perBin.forall { case (_, _, tot) => tot < 120L + maxW })
+    // bins are dense 0..max per group
+    perBin.groupBy(_._1).foreach { case (_, rows) =>
+      val bins = rows.map(_._2).sorted
+      assert(bins.toSeq == (0L until bins.length).toSeq)
+    }
+  }
+
+  test("packSequences rejects empty groupCols and non-positive budgets") {
+    intercept[IllegalArgumentException] {
+      Curation.packSequences(docs, "w", 100L, Seq.empty, "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      Curation.packSequences(docs, "w", 0L, Seq("lang"), "doc_id")
+    }
+  }
+}
