@@ -148,4 +148,29 @@ object IncrementalStream {
     q.awaitTermination()
     q
   }
+
+  /** Streaming UPSERT ingestion: every micro-batch merges into a
+    * connector table by primary key via `foreachBatch` — the streaming
+    * form of the reference's `pipe` (delete-then-insert by pk,
+    * `patterns/mysql_patterns.rb:12-32`), which `pipeStream`'s
+    * append-only file sink cannot express.
+    *
+    * Delivery is effectively-once: the checkpoint makes each source file
+    * processed exactly once per committed batch, and a batch REPLAYED
+    * after a crash re-upserts the same (pk, row) pairs — idempotent by
+    * the upsert contract. The connector decides the merge scale path
+    * (partition-scoped copy-on-write for `PartitionedParquetConnector`,
+    * tmp+swap for the plain one). */
+  def upsertStream(src: DataFrame, dst: graft.sources.Connector, table: String,
+                   primaryKey: String, checkpoint: String): StreamingQuery = {
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) dst.upsert(batch, table, primaryKey)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
 }

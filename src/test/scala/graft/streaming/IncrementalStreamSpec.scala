@@ -97,4 +97,27 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_events") == 2 && out(0).getAs[Double]("sum_value") == 3.0)
     assert(out(1).getAs[Long]("n_events") == 1 && out(1).getAs[Double]("sum_value") == 5.0)
   }
+
+  test("upsertStream merges micro-batches by pk into a connector (keyed streaming sink)") {
+    val srcDir = tmpDir("graft_ups_src_")
+    val dstDir = tmpDir("graft_ups_dst_")
+    val ckpt = tmpDir("graft_ups_ck_")
+    val dst = new graft.sources.ParquetConnector(spark, dstDir)
+    batch(1 to 10, 1).write.mode("append").parquet(srcDir)
+    def run(): Unit = IncrementalStream.upsertStream(
+      IncrementalStream.readStream(spark, srcDir, evSchema), dst, "events", "event_id", ckpt)
+    run()
+    assert(dst.read("events").count() == 10)
+    // second wave UPDATES keys 6-10 (value 9.0) and inserts 11-12
+    df(evSchema, ((6 to 10).map(i => Row(i.toLong, ts("2024-01-02 10:00:00"), "click", 9.0)) ++
+        (11 to 12).map(i => Row(i.toLong, ts("2024-01-02 10:00:00"), "click", 1.0))).toSeq)
+      .write.mode("append").parquet(srcDir)
+    run()
+    val out = dst.read("events")
+    assert(out.count() == 12) // merged, not appended
+    assert(out.filter(col("value") === 9.0).count() == 5)
+    // checkpoint holds: a run with no new input changes nothing
+    run()
+    assert(dst.read("events").count() == 12)
+  }
 }
