@@ -310,6 +310,21 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_dedup_clusters" -> ((s, dir) => {
+      // cluster resolution over the (SQL-expressible) n-gram Jaccard pair
+      // graph: connected components via large-star/small-star contraction;
+      // isolated docs are their own cluster. Oracle = DuckDB recursive-CTE
+      // transitive closure over the identical pair set.
+      val d = T(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+        Dedup.langLengthBlock(col("lang"), col("n_chars"), width = 100),
+        n = 1, threshold = 0.6)
+      val cc = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+      d.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_embedding_neardup" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
       val mutated = e.select((col("vec_id") + 1000000).as("vec_id"),
@@ -666,6 +681,26 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT doc_id,
+        |         lang || '_' || CAST(n_chars // 100 AS VARCHAR) AS block,
+        |         list_distinct(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM p a JOIN p b ON a.block = b.block AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |comp AS (SELECT u, LEAST(u, MIN(v)) AS c FROM reach GROUP BY u)
+        |SELECT d.doc_id, COALESCE(c.c, d.doc_id) AS cluster_id
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+        |ORDER BY doc_id""".stripMargin,
 
     "q_subword" ->
       """SELECT doc_id,

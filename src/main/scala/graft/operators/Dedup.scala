@@ -213,6 +213,85 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components of a candidate-pair graph — the cluster
+    * resolution step after any pairing family above. Pairs only say
+    * "a ~ b"; duplicate GROUPS are transitive, so keeping one canonical
+    * doc per group needs components, not pairs (the greedy
+    * drop-the-higher-id policy in [[minhashDedup]] over-deletes when
+    * chains a~b~c exist without a~c).
+    *
+    * Algorithm: alternating large-star / small-star contraction
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") — the 100 TB-safe choice: every round is two
+    * groupBy-min + join passes over the EDGE set, so no component is
+    * ever gathered into a single task (a `collect_set` or
+    * message-to-hub formulation puts the largest component — in a dedup
+    * graph, possibly millions of boilerplate docs — into one bucket).
+    * Converges in O(log² n) rounds on adversarial graphs, 3–6 rounds on
+    * real dedup graphs; each round's output is localCheckpoint'ed to
+    * truncate the iterative lineage (at cluster scale set a
+    * reliable `spark.sparkContext.setCheckpointDir` and swap the calls —
+    * localCheckpoint trades executor-loss tolerance for speed).
+    *
+    * Returns (id, component) for every id APPEARING IN `pairs`, with
+    * component = min id of its component; isolated docs never enter the
+    * graph — callers coalesce to their own id (see `q_dedup_clusters`).
+    * Oracled in SparkEntry against a DuckDB recursive-CTE transitive
+    * closure over the identical pair set. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+                          maxIter: Int = 30): DataFrame = {
+    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var prev = (-1L, 0L)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: attach every neighbor LARGER than u to u's min
+      // neighbor (including u itself) — breaks long chains in one hop
+      val und = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = und.groupBy("u").agg(min(col("v")).as("_mn"))
+        .select(col("u"), least(col("u"), col("_mn")).as("m"))
+      val large = und.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: orient large→small, attach all smaller neighbors
+      // (and u itself) to the per-node min
+      val dir = large.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val mins2 = dir.groupBy("u").agg(min(col("v")).as("m"))
+      val next = dir.join(mins2, "u")
+        .select(col("v").as("nu"), col("m").as("nv"))
+        .union(mins2.select(col("u").as("nu"), col("m").as("nv")))
+        .filter(col("nu") =!= col("nv")).distinct()
+        .select(col("nu").as("u"), col("nv").as("v"))
+        .localCheckpoint(true)
+      // fixpoint test on (count, order-free hash) of the edge set — one
+      // cheap aggregate, no exceptAll over the full set
+      val r = next.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      val chk = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      converged = chk == prev
+      prev = chk
+      edges = next
+      iter += 1
+    }
+    // at fixpoint every edge is (node → component root); roots self-map
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v").as("id"), col("v").as("component")))
+      .groupBy("id").agg(min(col("component")).as("component"))
+  }
+
+  /** Transitively-correct dedup: keep exactly one doc (the min id) per
+    * connected component of the pair graph, plus every unpaired doc. */
+  def clusterDedup(df: DataFrame, idCol: String, pairs: DataFrame,
+                   aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Recommended Jaccard blocking key: language + `width`-char length
     * bucket. Bounds block size by construction; pairs straddling a bucket
     * boundary are the accepted recall cost (standard practice — shrink

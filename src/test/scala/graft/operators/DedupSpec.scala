@@ -167,4 +167,67 @@ class DedupSpec extends SparkSpec {
       threshold = 0.5, maxBucketSize = 100)
     assert(uncapped.count() == 60L * 59 / 2)
   }
+
+  private val pairSchema = StructType(Seq(
+    StructField("id_a", LongType), StructField("id_b", LongType)))
+
+  private def ccMap(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(df(pairSchema, pairs.map(p => Row(p._1, p._2))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Driver-side BFS ground truth for the randomized equivalence test. */
+  private def bfsComponents(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
+    pairs.foreach { case (a, b) => adj(a) = b :: adj(a); adj(b) = a :: adj(b) }
+    val comp = scala.collection.mutable.Map.empty[Long, Long]
+    adj.keys.toSeq.sorted.foreach { s =>
+      if (!comp.contains(s)) {
+        var frontier = List(s); val seen = scala.collection.mutable.Set(s)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj).filterNot(seen)
+          frontier.foreach(seen.add)
+        }
+        val root = seen.min
+        seen.foreach(v => comp(v) = root)
+      }
+    }
+    comp.toMap
+  }
+
+  test("connectedComponents: chain, cycle, self-loop, and disjoint cliques") {
+    // chain 1-2-3-4 (no direct 1~3/1~4 pair — the case greedy pair-drop
+    // gets wrong), a cycle, a self-loop (ignored), two disjoint cliques
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 20L), (30L, 31L), (40L, 41L))
+    val got = ccMap(pairs)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 30L -> 30L, 31L -> 30L, 40L -> 40L, 41L -> 40L))
+  }
+
+  test("connectedComponents: long path converges (worst case for min propagation)") {
+    // a 60-node path is the adversarial diameter case: plain hash-min
+    // label propagation needs 60 rounds; star contraction stays O(log²)
+    val pairs = (0L until 59L).map(i => (i, i + 1))
+    val got = ccMap(pairs)
+    assert(got.size == 60 && got.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents matches BFS ground truth on random graphs") {
+    val rnd = new scala.util.Random(7)
+    (0 until 5).foreach { trial =>
+      val n = 80
+      val pairs = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      assert(ccMap(pairs) == bfsComponents(pairs), s"trial $trial diverged")
+    }
+  }
+
+  test("clusterDedup keeps exactly the min id per component plus unpaired docs") {
+    val d = df(docSchema, (1L to 8L).map(i => Row(i, s"doc $i")))
+    // components {1,2,3} (chain) and {5,6}; 4,7,8 unpaired
+    val pairs = df(pairSchema, Seq(Row(1L, 2L), Row(2L, 3L), Row(5L, 6L)))
+    val kept = Dedup.clusterDedup(d, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L, 7L, 8L))
+  }
 }
