@@ -102,6 +102,20 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    "q_salted_join" -> ((s, dir) => {
+      // skew-salted shuffle join: lineitem (probe, orderkey-skewed at
+      // scale) against an orders projection (build, replicated 8×).
+      // The oracle is the PLAIN join — salting must be result-invariant.
+      val li = T(s, dir, "lineitem")
+      val o = T(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(li, o, Seq("l_orderkey"), buckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(expr(s"CAST(SUM($Price * $Disc) AS DOUBLE)").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "q_semi_join" -> ((s, dir) => {
       val recent = T(s, dir, "orders").filter(expr("o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'"))
       T(s, dir, "customer")
@@ -532,6 +546,11 @@ object SparkEntry {
          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_salted_join" ->
+      s"""SELECT o_orderpriority, CAST(SUM($Price * $Disc) AS DOUBLE) AS revenue, COUNT(1) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer

@@ -140,6 +140,17 @@ class PlanEvidenceSpec extends SparkSpec {
       "expected an equi-join on the bucket id:\n" + plan)
   }
 
+  test("q_salted_join: salt is part of the join key and the build side is replicated") {
+    val df = SparkEntry.queries("q_salted_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the join must key on (l_orderkey, _graft_salt) — salt visible in the
+    // join criteria, not optimized away
+    assert(plan.contains("_graft_salt"),
+      "salt column missing from the physical plan:\n" + plan)
+    assert(plan.contains("Generate explode") || plan.contains("explode"),
+      "build side must be replicated via explode:\n" + plan)
+  }
+
   test("readSince: watermark predicate pushes into the scan (incremental = delta read)") {
     val c = new graft.sources.ParquetConnector(spark, tmpDir("graft_push_"))
     c.write(usersDf, "users")
