@@ -364,9 +364,86 @@ class PartitionedParquetConnector(
   /** Cluster rows by partition value before a partitioned write:
     * without it every task opens a file in every partition dir —
     * tasks × partitions small files, the classic partitioned-write
-    * explosion. One hash shuffle brings it to ~1 file per partition
-    * (AQE coalesces the small shuffle partitions). */
-  private def clustered(df: DataFrame): DataFrame = df.repartition(col(partCol))
+    * explosion. Uses the AQE REBALANCE hint rather than a plain
+    * `repartition(partCol)`: both cluster by partition value, but
+    * rebalance also SPLITS an oversized partition across tasks into
+    * advisory-sized chunks (`spark.sql.adaptive.advisoryPartitionSizeInBytes`)
+    * — a plain hash repartition funnels a 500 GB date partition into ONE
+    * task writing ONE file, serializing the write and every later read
+    * of that partition. Falls back to the hash cluster when AQE is off
+    * (rebalance is an AQE-runtime rule). */
+  private def clustered(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true") == "true")
+      df.hint("rebalance", partCol)
+    else df.repartition(col(partCol))
+
+  // ---- compaction -----------------------------------------------------
+
+  /** (partition, dataFileCount, dataFileBytes) — the driver-side listing
+    * maintenance decisions are made from. O(partitions + files) metadata
+    * walk, no data read. */
+  def partitionFileStats(table: String): Seq[(String, Int, Long)] =
+    listPartitions(table).toSeq.sorted.map { p =>
+      val dir = path(table).resolve(s"$partCol=$p")
+      val s = Files.list(dir)
+      val sizes = try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(Files.size).toSeq
+      finally s.close()
+      (p, sizes.size, sizes.sum)
+    }
+
+  /** Compact fragmented partitions: any partition holding at least
+    * `minFiles` data files AND more files than its byte size justifies
+    * at `targetFileBytes` is rewritten into ~ceil(bytes/target) files.
+    * Fragmentation sources are writers that bypass the clustered write:
+    * streaming appends (one file per micro-batch per partition),
+    * external tools, historical writes at higher parallelism.
+    *
+    * Same copy-on-write scale contract as upsert: only candidate
+    * partitions are read and dynamically overwritten; untouched
+    * partitions' files are never opened or moved. A pk-hash index that
+    * is VALID when compaction starts survives it: compaction permutes
+    * rows across files but never changes (key, partition) content, so
+    * only the meta fingerprints are recommitted — without that, the next
+    * upsert would see changed file listings and pay a full index
+    * rebootstrap. An index already stale at compaction start (e.g. an
+    * external writer added rows) stays stale — recommitting it would
+    * bless an index that is missing those rows' keys.
+    *
+    * Returns (partition, filesBefore, filesAfter) for each compacted
+    * partition. */
+  def compact(table: String, targetFileBytes: Long = 128L << 20,
+              minFiles: Int = 4): Seq[(String, Int, Int)] = {
+    require(exists(table), s"no such table: $table")
+    def want(bytes: Long): Long = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    val cands = partitionFileStats(table).filter { case (_, n, bytes) =>
+      n >= minFiles && n > want(bytes) }
+    if (cands.isEmpty) return Nil
+    val validMeta = readSidecarMeta(table).collect {
+      case (pk, state) if state == partitionState(table) => pk }
+    // per-partition desired file count rides in on a broadcast join; the
+    // salt spreads each partition's rows over exactly that many buckets,
+    // so one shuffle compacts every candidate in a single job
+    val desired = cands.map { case (p, _, bytes) => (p, want(bytes)) }
+    val desiredDf = spark.createDataFrame(desired).toDF(partCol, "_nb")
+    val slice = readWithPart(table)
+      .filter(col(partCol).isin(cands.map(_._1): _*))
+      .join(broadcast(desiredDf), Seq(partCol))
+      .withColumn("_cb", pmod(xxhash64(monotonically_increasing_id()), col("_nb")))
+      .repartition(col(partCol), col("_cb"))
+      .drop("_nb", "_cb")
+    // meta-file-last protocol, same as upsert: invalidate before mutating,
+    // recommit only after the rewrite published
+    if (validMeta.isDefined) invalidateSidecar(table)
+    slice.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(path(table).toString)
+    validMeta.foreach(pk => commitSidecarMeta(table, pk))
+    val after = partitionFileStats(table).map(s => s._1 -> s._2).toMap
+    cands.map { case (p, n, _) => (p, n, after(p)) }
+  }
 
   /** Dynamic partition overwrite into the live table path: only the
     * partitions present in `df` are replaced. Per-write option — no

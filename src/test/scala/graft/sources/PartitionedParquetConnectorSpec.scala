@@ -280,4 +280,87 @@ class PartitionedParquetConnectorSpec extends SparkSpec {
     assert(c.read("users").orderBy("id").collect().map(_.getAs[Long]("id")).toSeq ==
       Seq(1L, 2L, 3L, 4L, 5L))
   }
+
+  /** One-file external append into a partition dir — the fragmentation
+    * source compaction exists for (streaming/external writers bypass the
+    * clustered write). */
+  private def externalAppend(d: String, part: String, rows: Seq[Row]): Unit =
+    df(usersSchema, rows).coalesce(1).write.mode(SaveMode.Append)
+      .parquet(Paths.get(d, "users.parquet", s"gpart=$part").toString)
+
+  test("compact merges fragmented partitions copy-on-write; others untouched") {
+    val (c, d) = fresh()
+    c.write(usersDf, "users")
+    (1 to 5).foreach { i =>
+      externalAppend(d, "2024-01-03", Seq(Row(100L + i, s"x$i@example.com", "F", "L",
+        ts("2024-01-03 10:00:00"), ts("2024-01-03 12:00:00"))))
+    }
+    val rowsBefore = c.read("users").collect().map(_.mkString("|")).toSet
+    val before = partitionFiles(d, "users")
+    assert(before("gpart=2024-01-03").size == 6)
+    val out = c.compact("users", targetFileBytes = 1L << 30, minFiles = 2)
+    assert(out == Seq(("2024-01-03", 6, 1)))
+    val after = partitionFiles(d, "users")
+    assert(after("gpart=2024-01-03").size == 1)
+    (before.keySet - "gpart=2024-01-03").foreach(p =>
+      assert(after(p) == before(p), s"$p was touched"))
+    assert(c.read("users").collect().map(_.mkString("|")).toSet == rowsBefore)
+    assert(c.compact("users", 1L << 30, 2).isEmpty, "second compact must be a no-op")
+  }
+
+  test("compact recommits a VALID pk index: next tick probes it, no rebootstrap") {
+    val (c, d) = freshIdx()
+    c.write(usersDf, "users")
+    // tick 1 bootstraps the index
+    c.upsert(df(usersSchema, Seq(Row(1L, "t1@x.com", "F", "L",
+      ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))), "users", "id")
+    // external writer fragments a partition → index stale (missing keys)
+    (1 to 4).foreach { i =>
+      externalAppend(d, "2024-01-03", Seq(Row(200L + i, s"e$i@x.com", "F", "L",
+        ts("2024-01-03 10:00:00"), ts("2024-01-03 12:00:00"))))
+    }
+    // tick 2 (delta in a different partition) rebootstraps over the
+    // external rows; the fragmented partition keeps its 5 files
+    c.upsert(df(usersSchema, Seq(Row(2L, "t2@x.com", "F", "L",
+      ts("2024-01-02 10:00:00"), ts("2024-01-02 11:00:00")))), "users", "id")
+    assert(partitionFiles(d, "users")("gpart=2024-01-03").size == 5)
+    val out = c.compact("users", targetFileBytes = 1L << 30, minFiles = 2)
+    assert(out.map(_._1) == Seq("2024-01-03"))
+    // canary: a rebootstrap rewrites EVERY index partition; a reused index
+    // leaves unaffected ones' files alone
+    def idxFiles(p: String): Set[String] = {
+      val dir = Paths.get(d, "users.parquet", "_graft_pkidx", s"gpart_v=$p")
+      Files.list(dir).iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    val canary = idxFiles("2024-01-05")
+    c.upsert(df(usersSchema, Seq(Row(201L, "upd@x.com", "F", "L",
+      ts("2024-01-03 10:00:00"), ts("2024-01-03 13:00:00")))), "users", "id")
+    assert(idxFiles("2024-01-05") == canary,
+      "post-compact tick rebootstrapped the index — meta recommit failed")
+    val got = c.read("users").filter(col("id") === 201L).select("email").head().getString(0)
+    assert(got == "upd@x.com")
+    assert(c.read("users").count() == 9)
+  }
+
+  test("compact never blesses a STALE index (external rows' keys missing from it)") {
+    val (c, d) = freshIdx()
+    c.write(usersDf, "users")
+    c.upsert(df(usersSchema, Seq(Row(1L, "t1@x.com", "F", "L",
+      ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))), "users", "id")
+    (1 to 4).foreach { i =>
+      externalAppend(d, "2024-01-03", Seq(Row(300L + i, s"s$i@x.com", "F", "L",
+        ts("2024-01-03 10:00:00"), ts("2024-01-03 12:00:00"))))
+    }
+    // index is stale NOW; compact must not recommit its meta
+    assert(c.compact("users", 1L << 30, 2).map(_._1) == Seq("2024-01-03"))
+    // move external key 301 to a NEW date: only index/scan discovery can
+    // find the old row's partition. A wrongly-blessed stale index would
+    // miss it and leave a duplicate.
+    c.upsert(df(usersSchema, Seq(Row(301L, "fixed@x.com", "F", "L",
+      ts("2024-01-03 10:00:00"), ts("2024-01-04 09:00:00")))), "users", "id")
+    val rows = c.read("users").filter(col("id") === 301L).collect()
+    assert(rows.length == 1, s"duplicate after upsert: ${rows.length} rows for pk 301")
+    assert(rows.head.getAs[String]("email") == "fixed@x.com")
+  }
 }
