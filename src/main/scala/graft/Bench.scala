@@ -29,8 +29,11 @@ object Bench {
     "q_quality", "q_langid",
     // the other two LSH families (capped join-free bucket pairing)
     "q_dedup_simhash", "q_embedding_neardup",
-    // temporal joins, new r6: union+window as-of and bucketed range join
-    "q_asof_join", "q_range_join")
+    // temporal joins, new r5: union+window as-of and bucketed range join
+    "q_asof_join", "q_range_join",
+    // r6: iterative star-contraction components over the Jaccard pair
+    // graph, and the salted skew join vs its plain-join oracle
+    "q_dedup_clusters", "q_salted_join")
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
