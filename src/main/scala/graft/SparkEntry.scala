@@ -324,6 +324,31 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_embedding_centroid" -> ((s, dir) => {
+      // per-label mean pooling; flat (label, dim, c) form for exact
+      // comparison. Rounded: float32 summation order differs between
+      // engines; cast-to-double + round(4) absorbs it.
+      Similarity.groupCentroids(T(s, dir, "embeddings"), "embedding", "label")
+        .withColumn("c", round(col("c"), 4))
+        .orderBy(col("label"), col("dim"))
+    }),
+
+    "q_corpus_stats" -> ((s, dir) => {
+      // per-language corpus profile with EXACT interpolated percentiles —
+      // oracle-able against DuckDB quantile_cont. Scale note: exact
+      // percentile buffers each group's values (ObjectHashAggregate); at
+      // 100 TB swap in approx_percentile (t-digest, mergeable partials) —
+      // same query shape, no oracle equality.
+      T(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          round(percentile(col("n_chars"), lit(0.5)), 4).as("p50_chars"),
+          round(percentile(col("n_chars"), lit(0.95)), 4).as("p95_chars"))
+        .orderBy(col("lang"))
+    }),
+
     "q_dedup_clusters" -> ((s, dir) => {
       // cluster resolution over the (SQL-expressible) n-gram Jaccard pair
       // graph: connected components via large-star/small-star contraction;
@@ -700,6 +725,19 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_embedding_centroid" ->
+      """SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+        |       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS c
+        |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "q_corpus_stats" ->
+      """SELECT lang, COUNT(1) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+        |       ROUND(AVG(n_chars), 4) AS avg_chars,
+        |       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+        |       ROUND(quantile_cont(n_chars, 0.95), 4) AS p95_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE p AS (

@@ -38,6 +38,27 @@ object Similarity {
     joined.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")
   }
 
+  /** Per-group elementwise centroid (mean pooling) of an embedding
+    * column — class prototypes, cluster summaries, dedup-cluster
+    * representatives. Shape: posexplode to (group, dim, x) then
+    * per-(group, dim) mean. The explode looks expensive but partial
+    * aggregation collapses each task's contribution to groups × dim
+    * running sums before the exchange — the shuffle is index-sized, not
+    * corpus-sized, at any scale. Returns flat (group, dim, c) rows —
+    * the exact-compare-friendly form; [[assembleCentroids]] repacks to
+    * one array per group. */
+  def groupCentroids(df: DataFrame, vecCol: String, groupCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "_x")))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(avg(col("_x").cast("double")).as("c"))
+
+  /** (group, centroid array) from [[groupCentroids]] output — the
+    * collect_list is bounded by dim, never by corpus size. */
+  def assembleCentroids(flat: DataFrame, groupCol: String): DataFrame =
+    flat.groupBy(col(groupCol))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("_s"))
+      .select(col(groupCol), col("_s.c").as("centroid"))
+
   /** Deterministic IVF coarse centroids: the `nlist` lowest-id vectors
     * (a fixed, reproducible seeding — one Lloyd iteration refines them).
     * Returns (centroidId, vector) collected to the driver: nlist is small

@@ -115,4 +115,20 @@ class SimilaritySpec extends SparkSpec {
       .select("_cell").distinct().collect().map(_.getInt(0)).toSet
     assert(cells.subsetOf((0 until 4).toSet))
   }
+
+  test("groupCentroids: hand-computed elementwise means; assemble repacks in dim order") {
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("v", ArrayType(FloatType))))
+    val d = df(schema, Seq(
+      Row("a", Seq(1.0f, 2.0f, 3.0f)),
+      Row("a", Seq(3.0f, 2.0f, 1.0f)),
+      Row("b", Seq(10.0f, 0.0f, -10.0f))))
+    val flat = Similarity.groupCentroids(d, "v", "g")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(flat == Map(("a", 0) -> 2.0, ("a", 1) -> 2.0, ("a", 2) -> 2.0,
+      ("b", 0) -> 10.0, ("b", 1) -> 0.0, ("b", 2) -> -10.0))
+    val packed = Similarity.assembleCentroids(Similarity.groupCentroids(d, "v", "g"), "g")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(packed("a") == Seq(2.0, 2.0, 2.0) && packed("b") == Seq(10.0, 0.0, -10.0))
+  }
 }
