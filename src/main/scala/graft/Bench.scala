@@ -32,8 +32,9 @@ object Bench {
     // temporal joins, new r5: union+window as-of and bucketed range join
     "q_asof_join", "q_range_join",
     // r6: iterative star-contraction components over the Jaccard pair
-    // graph, and the salted skew join vs its plain-join oracle
-    "q_dedup_clusters", "q_salted_join")
+    // graph, the salted skew join vs its plain-join oracle, and
+    // incremental rollup maintenance (merge-by-partials tick)
+    "q_dedup_clusters", "q_salted_join", "q_incremental_agg")
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 

@@ -259,6 +259,30 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_incremental_agg" -> ((s, dir) => {
+      // Incremental rollup maintenance: build the per-(user, type) rollup
+      // from a stale cutoff, then one tick merges the fresh delta's
+      // partials — the final table must equal the full groupBy the oracle
+      // computes from scratch. Sums compared at round(4): the merge adds
+      // doubles in a different order than a single-pass sum.
+      val work = java.nio.file.Files.createTempDirectory("graft_iagg_").toString
+      val src = new ParquetConnector(s, dir)
+      val cut = new ParquetConnector(s, work)
+      val dst = new ParquetConnector(s, work)
+      cut.write(src.read("events").filter(expr("ts < TIMESTAMP '2024-01-20 00:00:00'")), "events_stale")
+      val aggs = Seq(("count", "*", "n_events"), ("sum", "value", "sum_value"),
+        ("max", "value", "max_value"))
+      Patterns.incrementalAggregate(cut, "events_stale", dst, "rollup",
+        Seq("user_id", "event_type"), aggs, matcher = "ts")
+      Patterns.incrementalAggregate(src, "events", dst, "rollup",
+        Seq("user_id", "event_type"), aggs, matcher = "ts")
+      dst.read("rollup")
+        .select(col("user_id"), col("event_type"), col("n_events"),
+          round(col("sum_value"), 4).as("sum_value"), col("max_value"),
+          col("_wm").as("last_ts"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     "q_incremental_part" -> ((s, dir) => {
       // Same P2 semantics as q_incremental_pipe, but the destination is a
       // date-PARTITIONED sink: the merge is partition-scoped copy-on-write
@@ -738,6 +762,13 @@ object SparkEntry {
         |       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
         |       ROUND(quantile_cont(n_chars, 0.95), 4) AS p95_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_incremental_agg" ->
+      """SELECT user_id, event_type, COUNT(1) AS n_events,
+        |       ROUND(SUM(value), 4) AS sum_value, MAX(value) AS max_value,
+        |       MAX(ts) AS last_ts
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE p AS (

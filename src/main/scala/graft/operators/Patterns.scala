@@ -116,6 +116,77 @@ object Patterns {
     src.exists(from) && src.columns(from).fieldNames.contains(matcher) &&
       dst.exists(to) && dst.columns(to).fieldNames.contains(matcher)
 
+  /** Incremental aggregate-table maintenance — keep
+    * `dst = src.groupBy(groupCols).agg(...)` fresh from an APPEND-ONLY
+    * source without ever re-reading old source rows. No reference analog
+    * (its transformations re-run full SQL each time,
+    * `lib/forklift/base/connection.rb:43-51`); this is the scale path
+    * for rollup tables over event streams.
+    *
+    * Only MERGEABLE aggregates are accepted (`sum`, `count`, `min`,
+    * `max` — avg = sum/count downstream): each tick aggregates the delta
+    * (rows with `matcher` past the stored watermark) to per-group
+    * partials, combines them with the OLD values of just the affected
+    * groups (one key-equi join, delta-group-sized), and upserts those
+    * groups. Cost per tick: O(delta + affected groups) — the source is
+    * never rescanned, which is also why updates/deletes of old rows are
+    * out of contract (min/max cannot be un-merged; use a rebuild for
+    * correction workloads).
+    *
+    * The watermark rides IN the aggregate table as `_wm = max(matcher)`
+    * per group, so the table is self-describing and the tick needs no
+    * side state. Composite group keys get a synthetic `_gkey` column
+    * (connector upserts key on one column).
+    *
+    * `aggs` = (func, srcCol, alias); func ∈ {sum,count,min,max};
+    * `("count", "*", alias)` counts rows. */
+  def incrementalAggregate(src: Connector, from: String, dst: Connector, to: String,
+                           groupCols: Seq[String], aggs: Seq[(String, String, String)],
+                           matcher: String = "updated_at"): Long =
+    timed(s"incremental_aggregate $from -> $to") {
+      require(groupCols.nonEmpty, "need at least one group column")
+      val okFuncs = Set("sum", "count", "min", "max")
+      aggs.foreach { case (f, _, _) => require(okFuncs.contains(f), s"non-mergeable agg: $f") }
+      val wm = dst.maxTimestamp(to, "_wm") // epoch when dst missing → full first build
+      val delta = src.read(from).filter(col(matcher) > lit(wm))
+      def partialOf(f: String, c: String): org.apache.spark.sql.Column = f match {
+        case "count" => count(if (c == "*") lit(1) else col(c))
+        case "sum"   => sum(col(c))
+        case "min"   => min(col(c))
+        case "max"   => max(col(c))
+      }
+      val partial = delta.groupBy(groupCols.map(col): _*)
+        .agg(aggs.head match { case (f, c, a) => partialOf(f, c).as(a) },
+          (aggs.tail.map { case (f, c, a) => partialOf(f, c).as(a) } :+
+            max(col(matcher)).as("_wm")): _*)
+      val pk = if (groupCols.size == 1) groupCols.head else "_gkey"
+      def withKey(d: DataFrame): DataFrame =
+        if (groupCols.size == 1) d
+        else d.withColumn("_gkey", concat_ws("\u0001", groupCols.map(c => col(c).cast("string")): _*))
+      val fresh = withKey(partial)
+      val merged =
+        if (!dst.exists(to)) fresh
+        else {
+          // old values of ONLY the affected groups ride in on a key join;
+          // combine columnwise by the function's own merge law
+          val old = dst.read(to).select((pk +: (aggs.map(_._3) :+ "_wm")).map(c =>
+            col(c).as(s"__old_$c")).toIndexedSeq: _*)
+          val joined = fresh.join(old, fresh(pk) === old(s"__old_$pk"), "left")
+          val combinedCols = aggs.map { case (f, _, a) =>
+            val n = col(a); val o = col(s"__old_$a")
+            (f match {
+              case "sum" | "count" => coalesce(n + o, n, o)
+              case "min"           => coalesce(least(n, o), n, o)
+              case "max"           => coalesce(greatest(n, o), n, o)
+            }).as(a)
+          } :+ coalesce(greatest(col("_wm"), col("__old__wm")), col("_wm")).as("_wm")
+          joined.select((groupCols.map(col) ++ combinedCols ++
+            (if (groupCols.size == 1) Nil else Seq(col("_gkey")))): _*)
+        }
+      dst.upsert(merged, to, pk)
+      dst.count(to)
+    }
+
   /** P9 `write_high_water_mark` (`mysql_patterns.rb:190-217`): append one
     * synthetic row with type-appropriate stub values and matcher = given
     * time, faking a watermark so partial runs can resume. */

@@ -104,6 +104,66 @@ class PatternsSpec extends SparkSpec {
     assert(dates.flatten.contains(java.sql.Date.valueOf("2024-06-01")))
   }
 
+  test("incrementalAggregate: ticks merge partials; old source rows never re-read") {
+    val src = new graft.sources.ParquetConnector(spark, tmpDir("graft_iasrc_"))
+    val dst = new graft.sources.ParquetConnector(spark, tmpDir("graft_iadst_"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("updated_at",
+        org.apache.spark.sql.types.TimestampType)))
+    val aggs = Seq(("count", "*", "n"), ("sum", "v", "sv"), ("min", "v", "mnv"), ("max", "v", "mxv"))
+    src.write(df(schema, Seq(
+      Row("a", 1L, ts("2024-01-01 10:00:00")), Row("a", 5L, ts("2024-01-01 11:00:00")),
+      Row("b", 7L, ts("2024-01-01 12:00:00")))), "ev")
+    Patterns.incrementalAggregate(src, "ev", dst, "ev_agg", Seq("k"), aggs)
+    // REPLACE the source with only the delta — if the tick re-read old
+    // source rows the old contributions would vanish from the result
+    src.write(df(schema, Seq(
+      Row("a", 100L, ts("2024-01-02 10:00:00")),   // existing group
+      Row("c", 9L, ts("2024-01-02 11:00:00")))), "ev") // brand-new group
+    Patterns.incrementalAggregate(src, "ev", dst, "ev_agg", Seq("k"), aggs)
+    val got = dst.read("ev_agg").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("a", 3L, 106L, 1L, 100L), ("b", 1L, 7L, 7L, 7L), ("c", 1L, 9L, 9L, 9L)))
+    // idempotent: nothing past the watermark → no change
+    Patterns.incrementalAggregate(src, "ev", dst, "ev_agg", Seq("k"), aggs)
+    assert(dst.read("ev_agg").count() == 3)
+  }
+
+  test("incrementalAggregate: composite group keys via synthetic _gkey") {
+    val src = new graft.sources.ParquetConnector(spark, tmpDir("graft_iasrc_"))
+    val dst = new graft.sources.ParquetConnector(spark, tmpDir("graft_iadst_"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k1", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("k2", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("updated_at",
+        org.apache.spark.sql.types.TimestampType)))
+    // ("ab","c") vs ("a","bc"): the separator must keep these distinct
+    src.write(df(schema, Seq(
+      Row("ab", "c", 1L, ts("2024-01-01 10:00:00")),
+      Row("a", "bc", 2L, ts("2024-01-01 10:00:00")))), "ev")
+    Patterns.incrementalAggregate(src, "ev", dst, "agg2", Seq("k1", "k2"),
+      Seq(("sum", "v", "sv")))
+    src.write(df(schema, Seq(Row("ab", "c", 10L, ts("2024-01-02 10:00:00")))), "ev")
+    Patterns.incrementalAggregate(src, "ev", dst, "agg2", Seq("k1", "k2"),
+      Seq(("sum", "v", "sv")))
+    val got = dst.read("agg2").orderBy("k1", "k2").collect()
+      .map(r => (r.getAs[String]("k1"), r.getAs[String]("k2"), r.getAs[Long]("sv")))
+    assert(got.toSeq == Seq(("a", "bc", 2L), ("ab", "c", 11L)))
+    assert(dst.read("agg2").count() == 2)
+  }
+
+  test("incrementalAggregate rejects non-mergeable aggregate functions") {
+    val src = new graft.sources.ParquetConnector(spark, tmpDir("graft_iasrc_"))
+    val dst = new graft.sources.ParquetConnector(spark, tmpDir("graft_iadst_"))
+    intercept[IllegalArgumentException] {
+      Patterns.incrementalAggregate(src, "ev", dst, "agg", Seq("k"),
+        Seq(("avg", "v", "a")))
+    }
+  }
+
   test("canIncrementalImport: src+dst must exist and carry the matcher (P8)") {
     val src = fresh(); val dst = fresh()
     src.write(usersDf, "users")
