@@ -259,6 +259,19 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_json_extract" -> ((s, dir) => {
+      // semi-structured props: typed scalar extraction + predicate +
+      // rollup, all over the JSON string column (metadata filtering, the
+      // standard curation-pipeline shape)
+      T(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") > 50)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_incremental_agg" -> ((s, dir) => {
       // Incremental rollup maintenance: build the per-(user, type) rollup
       // from a stale cutoff, then one tick merges the fresh delta's
@@ -762,6 +775,13 @@ object SparkEntry {
         |       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
         |       ROUND(quantile_cont(n_chars, 0.95), 4) AS p95_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, COUNT(1) AS n,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_incremental_agg" ->
       """SELECT user_id, event_type, COUNT(1) AS n_events,

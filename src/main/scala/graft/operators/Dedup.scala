@@ -252,9 +252,12 @@ object Dedup {
       val und = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val mins = und.groupBy("u").agg(min(col("v")).as("_mn"))
         .select(col("u"), least(col("u"), col("_mn")).as("m"))
+      // no distinct here: every large-star edge (v, m) already has v > m,
+      // so `dir` below is the same set and its distinct dedups both steps
+      // in one shuffle
       val large = und.join(mins, "u").where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
       // small-star: orient large→small, attach all smaller neighbors
       // (and u itself) to the per-node min
       val dir = large.select(greatest(col("u"), col("v")).as("u"),
