@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Curation, Dedup, Multimodal, Patterns, Similarity, TemporalJoin}
+import graft.operators.{Curation, Dedup, Multimodal, Patterns, Similarity, TemporalJoin, Validate}
 import graft.sources.{ParquetConnector, SchemaInfer, UpsertWriter}
 
 /** Driver contract: the declared operator surface (SURVEY.md §2), one
@@ -257,6 +257,17 @@ object SparkEntry {
       dst.read("events")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         .orderBy(col("event_id"))
+    }),
+
+    "q_validate" -> ((s, dir) => {
+      // declarative data-quality report: every rule is a conditional
+      // aggregate in ONE scan (uniqueness rides along as
+      // count - countDistinct)
+      Validate.check(T(s, dir, "lineitem"), Seq(
+        Validate.Predicate("qty_in_range", col("l_quantity").between(1, 50)),
+        Validate.NotNull("shipdate_not_null", "l_shipdate"),
+        Validate.Unique("orderkey_unique", "l_orderkey")))
+        .orderBy(col("rule"))
     }),
 
     "q_json_extract" -> ((s, dir) => {
@@ -775,6 +786,18 @@ object SparkEntry {
         |       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
         |       ROUND(quantile_cont(n_chars, 0.95), 4) AS p95_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_validate" ->
+      """WITH t AS (SELECT COUNT(1) AS total,
+        |  SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS r_qty,
+        |  SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS r_null,
+        |  COUNT(l_orderkey) - COUNT(DISTINCT l_orderkey) AS r_uni
+        |  FROM lineitem)
+        |SELECT rule, violations, total, violations = 0 AS pass FROM (
+        |  SELECT 'qty_in_range' AS rule, CAST(r_qty AS BIGINT) AS violations, total FROM t
+        |  UNION ALL SELECT 'shipdate_not_null', CAST(r_null AS BIGINT), total FROM t
+        |  UNION ALL SELECT 'orderkey_unique', CAST(r_uni AS BIGINT), total FROM t)
+        |ORDER BY rule""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, COUNT(1) AS n,

@@ -144,11 +144,30 @@ object Patterns {
                            groupCols: Seq[String], aggs: Seq[(String, String, String)],
                            matcher: String = "updated_at"): Long =
     timed(s"incremental_aggregate $from -> $to") {
-      require(groupCols.nonEmpty, "need at least one group column")
-      val okFuncs = Set("sum", "count", "min", "max")
-      aggs.foreach { case (f, _, _) => require(okFuncs.contains(f), s"non-mergeable agg: $f") }
+      validateAggArgs(groupCols, aggs)
+      incrementalAggregateTick(src.read(from), dst, to, groupCols, aggs, matcher)
+      dst.count(to)
+    }
+
+  private def validateAggArgs(groupCols: Seq[String],
+                              aggs: Seq[(String, String, String)]): Unit = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val okFuncs = Set("sum", "count", "min", "max")
+    aggs.foreach { case (f, _, _) => require(okFuncs.contains(f), s"non-mergeable agg: $f") }
+  }
+
+  /** One tick of [[incrementalAggregate]] from an already-read candidate
+    * DataFrame (the streaming `foreachBatch` entry point —
+    * [[graft.streaming.IncrementalStream.rollupStream]]). Rows at or
+    * before the stored watermark are filtered out, which is also what
+    * makes a REPLAYED micro-batch (crash between sink commit and
+    * checkpoint commit) a no-op instead of a double count. */
+  def incrementalAggregateTick(candidate: DataFrame, dst: Connector, to: String,
+                               groupCols: Seq[String], aggs: Seq[(String, String, String)],
+                               matcher: String = "updated_at"): Unit = {
+      validateAggArgs(groupCols, aggs)
       val wm = dst.maxTimestamp(to, "_wm") // epoch when dst missing → full first build
-      val delta = src.read(from).filter(col(matcher) > lit(wm))
+      val delta = candidate.filter(col(matcher) > lit(wm))
       def partialOf(f: String, c: String): org.apache.spark.sql.Column = f match {
         case "count" => count(if (c == "*") lit(1) else col(c))
         case "sum"   => sum(col(c))
@@ -184,7 +203,6 @@ object Patterns {
             (if (groupCols.size == 1) Nil else Seq(col("_gkey")))): _*)
         }
       dst.upsert(merged, to, pk)
-      dst.count(to)
     }
 
   /** P9 `write_high_water_mark` (`mysql_patterns.rb:190-217`): append one

@@ -173,4 +173,31 @@ object IncrementalStream {
     q.awaitTermination()
     q
   }
+
+  /** Streaming rollup maintenance: each micro-batch advances the
+    * incremental aggregate table via
+    * [[graft.operators.Patterns.incrementalAggregateTick]] — mergeable
+    * partials (sum/count/min/max) combined with the old values of just
+    * the affected groups, O(batch + affected groups) per trigger.
+    *
+    * Replay safety comes from the table's own `_wm` watermark, not the
+    * checkpoint: a micro-batch replayed after a crash carries rows at or
+    * before the stored `max(matcher)` and merges as a no-op. The same
+    * watermark imposes the contract that the source is matcher-ordered
+    * across batches (the engine-wide high-watermark CDC assumption). */
+  def rollupStream(src: DataFrame, dst: graft.sources.Connector, table: String,
+                   groupCols: Seq[String], aggs: Seq[(String, String, String)],
+                   matcher: String, checkpoint: String): StreamingQuery = {
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Patterns.incrementalAggregateTick(
+            batch, dst, table, groupCols, aggs, matcher)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
 }

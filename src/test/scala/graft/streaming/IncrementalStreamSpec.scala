@@ -120,4 +120,34 @@ class IncrementalStreamSpec extends SparkSpec {
     run()
     assert(dst.read("events").count() == 12)
   }
+
+  test("rollupStream advances the aggregate table per batch; replay is a no-op") {
+    val srcDir = tmpDir("graft_rs_src_")
+    val dstDir = tmpDir("graft_rs_dst_")
+    val ckpt = tmpDir("graft_rs_ck_")
+    val dst = new graft.sources.ParquetConnector(spark, dstDir)
+    val aggs = Seq(("count", "*", "n"), ("sum", "value", "sv"))
+    def run(): Unit = IncrementalStream.rollupStream(
+      IncrementalStream.readStream(spark, srcDir, evSchema), dst, "rollup",
+      Seq("event_type"), aggs, matcher = "ts", checkpoint = ckpt)
+    df(evSchema, Seq(
+      Row(1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      Row(2L, ts("2024-01-01 10:01:00"), "click", 2.0),
+      Row(3L, ts("2024-01-01 10:02:00"), "view", 5.0)))
+      .write.mode("append").parquet(srcDir)
+    run()
+    df(evSchema, Seq(Row(4L, ts("2024-01-02 10:00:00"), "click", 10.0)))
+      .write.mode("append").parquet(srcDir)
+    run()
+    val got = dst.read("rollup").orderBy("event_type").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Double]("sv")))
+    assert(got.toSeq == Seq(("click", 3L, 13.0), ("view", 1L, 5.0)))
+    // replay safety: wipe the CHECKPOINT so the whole source replays; the
+    // table watermark must make every replayed row a no-op
+    graft.sources.FileTableOps.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    run()
+    val again = dst.read("rollup").orderBy("event_type").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Double]("sv")))
+    assert(again.toSeq == got.toSeq, "replayed batches double-counted")
+  }
 }
