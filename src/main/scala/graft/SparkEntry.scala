@@ -259,6 +259,10 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_vocab" -> ((s, dir) => {
+      TextFunctions.vocabulary(T(s, dir, "documents"), "text", topK = 100)
+    }),
+
     "q_validate" -> ((s, dir) => {
       // declarative data-quality report: every rule is a conditional
       // aggregate in ONE scan (uniqueness rides along as
@@ -786,6 +790,14 @@ object SparkEntry {
         |       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
         |       ROUND(quantile_cont(n_chars, 0.95), 4) AS p95_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_vocab" ->
+      """SELECT token, COUNT(1) AS freq
+        |FROM (SELECT unnest(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |      FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
 
     "q_validate" ->
       """WITH t AS (SELECT COUNT(1) AS total,

@@ -159,4 +159,19 @@ object TextFunctions {
     * collapse whitespace, trim. */
   def normalizeForFingerprint(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Corpus vocabulary: top-k tokens of the normalized text by
+    * frequency (deterministic tie-break on the token) — the input a
+    * tokenizer-training step consumes. explode → groupBy(token) count is
+    * the scale shape: partial aggregation collapses each task to its
+    * distinct-token counts before the shuffle, and the top-k is a
+    * TakeOrdered (per-partition heads + driver merge of k·parts rows),
+    * never a global sort. */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 topK: Int = 10000): org.apache.spark.sql.DataFrame =
+    df.select(explode(split(normalizeForFingerprint(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(topK)
 }
