@@ -259,6 +259,18 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_quantize" -> ((s, dir) => {
+      // int8 quantize → dequantize fidelity report; floor-based half-up
+      // rounding keeps the arithmetic engine-identical
+      val e = T(s, dir, "embeddings")
+      val q = e.withColumn("_qs", VectorFunctions.quantize(col("embedding")))
+      q.select(col("vec_id"),
+          round(col("_qs.scale"), 6).as("scale"),
+          round(VectorFunctions.cosine(col("embedding"),
+            VectorFunctions.dequantize(col("_qs"))), 6).as("fidelity"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_vocab" -> ((s, dir) => {
       TextFunctions.vocabulary(T(s, dir, "documents"), "text", topK = 100)
     }),
@@ -790,6 +802,22 @@ object SparkEntry {
         |       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
         |       ROUND(quantile_cont(n_chars, 0.95), 4) AS p95_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) = 0
+        |              THEN 1.0
+        |              ELSE list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0
+        |         END AS scale
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT vec_id, v, scale,
+        |         CAST(CAST(list_transform(v, x -> floor(x / scale + 0.5) * scale) AS FLOAT[]) AS DOUBLE[]) AS dq
+        |  FROM s)
+        |SELECT vec_id, ROUND(scale, 6) AS scale,
+        |       ROUND(CAST(list_cosine_similarity(v, dq) AS DOUBLE), 6) AS fidelity
+        |FROM d ORDER BY vec_id""".stripMargin,
 
     "q_vocab" ->
       """SELECT token, COUNT(1) AS freq
