@@ -108,7 +108,44 @@ object GraftFunctions {
         "case when length(trim(__t__)) = 0 then 0 else cast(__p__.alnum_runs + __p__.non_alnum as int) end",
         "__t__" -> args.head,
         "__p__" -> TextProfile(args.head, Nil, asciiTokens = false))
-    }, "subword_count(text) - GPT-2-ish pretokenizer piece count (BPE cost proxy)"))
+    }, "subword_count(text) - GPT-2-ish pretokenizer piece count (BPE cost proxy)"),
+    // ---- vector functions (r6): SQL forms of VectorFunctions for
+    // spark.sql users — same deterministic left-fold arithmetic as the
+    // Column API (norms/scale are re-evaluated per reference in these
+    // convenience forms; the Column API remains the hot path)
+    ("vec_dot", { args: Seq[Expression] =>
+      require(args.length == 2, "vec_dot(a, b)")
+      parsedWith(dotSql, "__a__" -> args.head, "__b__" -> args(1))
+    }, "vec_dot(a, b) - dot product of two float/double arrays as a deterministic left fold"),
+    ("vec_cosine", { args: Seq[Expression] =>
+      require(args.length == 2, "vec_cosine(a, b)")
+      parsedWith(
+        s"case when ${normSql("__a__")} * ${normSql("__b__")} = 0.0D then 0.0D " +
+          s"else ($dotSql) / (${normSql("__a__")} * ${normSql("__b__")}) end",
+        "__a__" -> args.head, "__b__" -> args(1))
+    }, "vec_cosine(a, b) - cosine similarity; 0.0 when either norm is 0 (matches VectorFunctions.cosine)"),
+    ("vec_quantize", { args: Seq[Expression] =>
+      require(args.length == 1, "vec_quantize(a)")
+      parsedWith(
+        s"named_struct('scale', $scaleSql, " +
+          s"'q', transform(__a__, x -> cast(floor(cast(x as double) / ($scaleSql) + 0.5D) as tinyint)))",
+        "__a__" -> args.head)
+    }, "vec_quantize(a) - symmetric int8 quantization: struct(scale, q tinyint[]) (matches VectorFunctions.quantize)"),
+    ("vec_dequantize", { args: Seq[Expression] =>
+      require(args.length == 1, "vec_dequantize(qs)")
+      parsedWith(
+        "transform(__q__.q, x -> cast(cast(x as double) * __q__.scale as float))",
+        "__q__" -> args.head)
+    }, "vec_dequantize(qs) - reconstruct float32 vector from vec_quantize output"))
+
+  private val dotSql =
+    "aggregate(zip_with(__a__, __b__, (x, y) -> cast(x as double) * cast(y as double)), " +
+      "0.0D, (acc, x) -> acc + x)"
+  private def normSql(v: String): String =
+    s"sqrt(aggregate($v, 0.0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+  private val scaleSql =
+    "case when aggregate(__a__, 0.0D, (acc, x) -> greatest(acc, abs(cast(x as double)))) = 0.0D " +
+      "then 1.0D else aggregate(__a__, 0.0D, (acc, x) -> greatest(acc, abs(cast(x as double)))) / 127.0D end"
 
   // ---- catalyst builders for the composed text scores ----------------
   // A Spark 4 Column is ColumnNode-backed: converting a COMPOSED Column
@@ -124,12 +161,21 @@ object GraftFunctions {
     * attributes (including `__x__.field` multi-part forms). */
   private def parsedWith(formula: String, subs: (String, Expression)*): Expression = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedExtractValue}
+    import org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable
     val m = subs.toMap
+    def extract(parts: Seq[String]): Expression =
+      parts.tail.foldLeft(m(parts.head))(
+        (e, part) => UnresolvedExtractValue(e, Literal(part)))
     org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(formula)
       .transformUp {
         case a: UnresolvedAttribute if m.contains(a.nameParts.head) =>
-          a.nameParts.tail.foldLeft(m(a.nameParts.head))(
-            (e, part) => UnresolvedExtractValue(e, Literal(part)))
+          extract(a.nameParts)
+        // inside a lambda body the parser wraps EVERY identifier as a
+        // named lambda variable; placeholders there must substitute too
+        // (real lambda parameters never collide — the placeholder names
+        // are __x__-reserved)
+        case v: UnresolvedNamedLambdaVariable if m.contains(v.nameParts.head) =>
+          extract(v.nameParts)
       }
   }
 

@@ -56,8 +56,15 @@ object TrainingDataPipeline {
       val clean = work.read("docs_clean")
       val exact = Dedup.exact(clean, "text", "doc_id")
       work.write(exact, "docs_exact_unique")
-      work.write(Dedup.minhashDedup(work.read("docs_exact_unique"), "text", "doc_id",
-        threshold = minhashThreshold), "docs_unique")
+      // transitively-correct near-dedup (r6): candidate pairs → connected
+      // components → one doc per duplicate cluster. The greedy
+      // drop-every-id_b policy ([[Dedup.minhashDedup]]) over-KEEPS when a
+      // cluster's smaller member pairs only through a larger one
+      // (e.g. pairs (1,3),(2,3) keep both 1 and 2).
+      val base = work.read("docs_exact_unique")
+      val pairs = Dedup.minhashCandidates(base, "text", "doc_id",
+        threshold = minhashThreshold)
+      work.write(Dedup.clusterDedup(base, "doc_id", pairs), "docs_unique")
     }
 
     plan.step("report") {

@@ -61,6 +61,14 @@ class GraftFunctionsSpec extends SparkSpec {
             ArrayType(LongType)),
           org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(1L),
             ArrayType(LongType)))
+        case "vec_dot" | "vec_cosine" => Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(1.0f),
+            ArrayType(FloatType)),
+          org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(1.0f),
+            ArrayType(FloatType)))
+        case "vec_quantize" | "vec_dequantize" => Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(1.0f),
+            ArrayType(FloatType)))
         case _ => // every other registered function takes a single text arg
           Seq(org.apache.spark.sql.catalyst.expressions.Literal("x"))
       }
@@ -98,5 +106,33 @@ class GraftFunctionsSpec extends SparkSpec {
     // and text_profile is reachable as a struct
     val p = spark.sql("SELECT text_profile(t).ws_tokens AS w FROM gf_custom").head()
     assert(p.getLong(0) == 7L)
+  }
+
+  test("vec_* SQL functions match the VectorFunctions Column API") {
+    GraftFunctions.register(spark)
+    val vschema = StructType(Seq(
+      StructField("id", LongType), StructField("a", ArrayType(FloatType)),
+      StructField("b", ArrayType(FloatType))))
+    val rnd = new scala.util.Random(9)
+    val d = df(vschema, (1L to 20L).map(i => Row(i,
+      Seq.fill(16)(rnd.nextFloat() * 2 - 1), Seq.fill(16)(rnd.nextFloat() * 2 - 1))) :+
+      Row(21L, Seq.fill(16)(0.0f), Seq.fill(16)(1.0f)))
+    d.createOrReplaceTempView("gf_vec")
+    val viaSql = spark.sql(
+      """SELECT id, vec_dot(a, b) AS dt, vec_cosine(a, b) AS cs,
+        |       vec_dequantize(vec_quantize(a)) AS dq
+        |FROM gf_vec ORDER BY id""".stripMargin).collect()
+    val viaCols = d.select(col("id"),
+        graft.functions.VectorFunctions.dot(col("a"), col("b")).as("dt"),
+        graft.functions.VectorFunctions.cosine(col("a"), col("b")).as("cs"),
+        graft.functions.VectorFunctions.dequantize(
+          graft.functions.VectorFunctions.quantize(col("a"))).as("dq"))
+      .orderBy("id").collect()
+    viaSql.zip(viaCols).foreach { case (s, c) =>
+      assert(s.getDouble(1) == c.getDouble(1), s"dot diverged for id ${s.getLong(0)}")
+      assert(s.getDouble(2) == c.getDouble(2), s"cosine diverged for id ${s.getLong(0)}")
+      assert(s.getSeq[Float](3) == c.getSeq[Float](3), s"dequantize diverged for id ${s.getLong(0)}")
+    }
+    assert(viaSql.last.getDouble(2) == 0.0, "zero-norm guard must yield 0.0")
   }
 }
