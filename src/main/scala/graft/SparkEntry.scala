@@ -259,6 +259,15 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_mix_sources" -> ((s, dir) => {
+      // weighted language mix: en/de/fr at 2:1:1, bottleneck stratum sets
+      // the total, deterministic first-k per stratum by doc_id
+      Curation.mixSources(T(s, dir, "documents"), "lang",
+          Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25), orderCol = "doc_id")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_quantize" -> ((s, dir) => {
       // int8 quantize → dequantize fidelity report; floor-based half-up
       // rounding keeps the arithmetic engine-identical
@@ -802,6 +811,18 @@ object SparkEntry {
         |       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
         |       ROUND(quantile_cont(n_chars, 0.95), 4) AS p95_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_mix_sources" ->
+      """WITH c AS (SELECT lang, COUNT(1) AS n FROM documents
+        |           WHERE lang IN ('en','de','fr') GROUP BY lang),
+        |t AS (SELECT MIN(n / CASE lang WHEN 'en' THEN 0.5 ELSE 0.25 END) AS tv FROM c),
+        |k AS (SELECT lang, FLOOR(CASE lang WHEN 'en' THEN 0.5 ELSE 0.25 END * tv) AS kk
+        |      FROM c, t),
+        |r AS (SELECT doc_id, lang,
+        |             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |      FROM documents WHERE lang IN ('en','de','fr'))
+        |SELECT r.doc_id, r.lang FROM r JOIN k ON r.lang = k.lang
+        |WHERE r.rn <= k.kk ORDER BY doc_id""".stripMargin,
 
     "q_quantize" ->
       """WITH s AS (

@@ -44,6 +44,38 @@ object Curation {
                        fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
 
+  /** Weighted corpus mixing: draw from each stratum so the output
+    * matches `weights` (normalized) while using as much data as the
+    * bottleneck stratum allows. With per-stratum counts nₛ and
+    * normalized weights wₛ, the largest supportable total is
+    * T = min(nₛ/wₛ); each stratum contributes its first
+    * kₛ = floor(wₛ·T) rows in `orderCol` order (deterministic —
+    * reproducible corpus builds and an exact SQL oracle,
+    * `q_mix_sources`). Strata missing from the input contribute 0 and
+    * drag T to 0 — a loud failure beats a silently skewed mix.
+    *
+    * Scale: the driver sees only per-stratum counts (bounded by the
+    * number of strata); the take is one window over a hash shuffle on
+    * the stratum column, same profile as [[stratifiedExact]]. */
+  def mixSources(df: DataFrame, strataCol: String, weights: Map[String, Double],
+                 orderCol: String): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be a non-empty map of positive values")
+    val wsum = weights.values.sum
+    val norm = weights.map { case (k, v) => k -> v / wsum }
+    val counts = df.filter(col(strataCol).isin(weights.keySet.toSeq: _*))
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = norm.map { case (k, w) => counts.getOrElse(k, 0L) / w }.min
+    val target = norm.map { case (k, w) => k -> math.floor(w * t).toLong }
+    val spark = df.sparkSession
+    val targetDf = broadcast(spark.createDataFrame(target.toSeq).toDF(strataCol, "_k"))
+    val rn = row_number().over(Window.partitionBy(col(strataCol)).orderBy(col(orderCol)))
+    df.join(targetDf, Seq(strataCol))
+      .withColumn("_rn", rn).filter(col("_rn") <= col("_k"))
+      .drop("_rn", "_k")
+  }
+
   /** Sequence packing by contiguous budget chunking: order each group by
     * `orderCol`, run a cumulative sum of `weightCol`, and assign row r to
     * bin `floor(cumBefore(r) / budget)`. Every bin holds ~`budget` weight

@@ -82,4 +82,27 @@ class CurationSpec extends SparkSpec {
       Curation.packSequences(docs, "w", 0L, Seq("lang"), "doc_id")
     }
   }
+
+  test("mixSources: bottleneck stratum sets the total; first-k per stratum by order") {
+    // en: 10 docs, de: 3, fr: 1. Weights 2:1:1 → T = min(10/.5, 3/.25,
+    // 1/.25) = 4 → k = (en 2, de 1, fr 1)
+    val out = Curation.mixSources(docs, "lang",
+      Map("en" -> 2.0, "de" -> 1.0, "fr" -> 1.0), orderCol = "doc_id")
+    val got = out.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "en"), (2L, "en"), (11L, "de"), (14L, "fr")))
+    // deterministic across runs
+    assert(Curation.mixSources(docs, "lang",
+      Map("en" -> 2.0, "de" -> 1.0, "fr" -> 1.0), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == got.map(_._1))
+  }
+
+  test("mixSources: a weighted stratum absent from the input empties the mix (loud, not skewed)") {
+    val out = Curation.mixSources(docs, "lang",
+      Map("en" -> 1.0, "zh" -> 1.0), orderCol = "doc_id")
+    assert(out.count() == 0)
+    intercept[IllegalArgumentException] {
+      Curation.mixSources(docs, "lang", Map.empty, "doc_id")
+    }
+  }
 }
