@@ -308,6 +308,25 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q_scd2" -> ((s, dir) => {
+      // two-tick SCD-2 build over the events change stream must equal the
+      // from-scratch lead() window the oracle computes on full history
+      val work = java.nio.file.Files.createTempDirectory("graft_scd2_").toString
+      val src = new ParquetConnector(s, dir)
+      val cut = new ParquetConnector(s, work)
+      val dst = new ParquetConnector(s, work)
+      cut.write(src.read("events").filter(expr("ts < TIMESTAMP '2024-01-20 00:00:00'"))
+        .select("event_id", "ts", "user_id", "event_type", "value"), "events_stale")
+      Patterns.scdType2(cut, "events_stale", dst, "dim_user", "user_id", "ts")
+      val full = src.read("events").select("event_id", "ts", "user_id", "event_type", "value")
+      Patterns.scdType2Tick(full.filter(col("ts") > lit(dst.maxTimestamp("dim_user", "ts"))),
+        dst, "dim_user", "user_id", "ts")
+      dst.read("dim_user")
+        .select(col("user_id"), col("ts").as("valid_from"), col("valid_to"),
+          col("event_type"), col("value"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
     "q_incremental_agg" -> ((s, dir) => {
       // Incremental rollup maintenance: build the per-(user, type) rollup
       // from a stale cutoff, then one tick merges the fresh delta's
@@ -866,6 +885,12 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_scd2" ->
+      """SELECT user_id, ts AS valid_from,
+        |       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+        |       event_type, value
+        |FROM events ORDER BY user_id, valid_from""".stripMargin,
 
     "q_incremental_agg" ->
       """SELECT user_id, event_type, COUNT(1) AS n_events,

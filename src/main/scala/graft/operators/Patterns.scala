@@ -205,6 +205,54 @@ object Patterns {
       dst.upsert(merged, to, pk)
     }
 
+  /** SCD Type-2 dimension maintenance — the upsert that RETAINS history.
+    * Where [[incrementalPipe]]'s merge REPLACES a key's row (the
+    * reference's delete-then-insert, `transports/mysql.rb:78-87`), this
+    * keeps one row per (key, version): the source row plus `valid_to`
+    * (the next version's `matcher`; null = current version) and a
+    * synthetic `_scd_key` = key + version-time for the upsert identity.
+    *
+    * Tick shape: delta rows past the watermark chain into versions per
+    * key (`valid_to = lead(matcher)` within the delta), and each
+    * affected key's STORED current row is closed at the key's first
+    * delta version — an inner join against the delta's key-mins, so the
+    * tick is O(delta + affected current rows), never O(history).
+    * Contract: `matcher` strictly increases per key (the engine-wide
+    * high-watermark assumption) and (key, matcher) is unique.
+    *
+    * Oracled end to end (`q_scd2`): a two-tick build must equal the
+    * from-scratch window form `lead(ts) over (partition by key order by
+    * ts)` computed by DuckDB on the full history. */
+  def scdType2(src: Connector, from: String, dst: Connector, to: String,
+               primaryKey: String, matcher: String = "updated_at"): Long =
+    timed(s"scd2 $from -> $to") {
+      val wm = dst.maxTimestamp(to, matcher)
+      scdType2Tick(src.read(from).filter(col(matcher) > lit(wm)), dst, to, primaryKey, matcher)
+      dst.count(to)
+    }
+
+  /** One SCD-2 tick from an already-filtered delta (streaming
+    * foreachBatch entry point; replay relies on upsert idempotence —
+    * identical (_scd_key, row) pairs merge to the same state). */
+  def scdType2Tick(delta: DataFrame, dst: Connector, to: String,
+                   primaryKey: String, matcher: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(primaryKey)).orderBy(col(matcher))
+    val fresh = delta
+      .withColumn("valid_to", lead(col(matcher), 1).over(w))
+      .withColumn("_scd_key", concat_ws("\u0001",
+        col(primaryKey).cast("string"), col(matcher).cast("string")))
+    if (!dst.exists(to)) { dst.write(fresh, to); return }
+    // close each affected key's stored current row at its first delta
+    // version; inner join = only affected keys ride along
+    val firstNew = delta.groupBy(col(primaryKey)).agg(min(col(matcher)).as("_new_from"))
+    val closed = dst.read(to).filter(col("valid_to").isNull)
+      .join(firstNew, Seq(primaryKey))
+      .withColumn("valid_to", col("_new_from")).drop("_new_from")
+    dst.upsert(closed.unionByName(fresh.select(closed.columns.map(col).toIndexedSeq: _*)),
+      to, "_scd_key")
+  }
+
   /** P9 `write_high_water_mark` (`mysql_patterns.rb:190-217`): append one
     * synthetic row with type-appropriate stub values and matcher = given
     * time, faking a watermark so partial runs can resume. */

@@ -151,6 +151,16 @@ class PlanEvidenceSpec extends SparkSpec {
       "build side must be replicated via explode:\n" + plan)
   }
 
+  test("groupCentroids: partial aggregation before the exchange (index-sized shuffle)") {
+    val emb = graft.sources.ParquetConnector.readTable(spark, s"$sf/embeddings.parquet")
+    val plan = graft.operators.Similarity.groupCentroids(emb, "embedding", "label")
+      .queryExecution.executedPlan.toString
+    // map-side combine collapses each task to groups×dim partial sums —
+    // without it the exchange would carry every exploded element
+    assert(plan.contains("partial_avg"),
+      "centroid aggregation must have a partial (map-side) phase:\n" + plan)
+  }
+
   test("readSince: watermark predicate pushes into the scan (incremental = delta read)") {
     val c = new graft.sources.ParquetConnector(spark, tmpDir("graft_push_"))
     c.write(usersDf, "users")

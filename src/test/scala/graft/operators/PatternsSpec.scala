@@ -155,6 +155,37 @@ class PatternsSpec extends SparkSpec {
     assert(dst.read("agg2").count() == 2)
   }
 
+  test("scdType2: versions chain, current rows close on update, history never re-read") {
+    val src = new graft.sources.ParquetConnector(spark, tmpDir("graft_scds_"))
+    val dst = new graft.sources.ParquetConnector(spark, tmpDir("graft_scdd_"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("updated_at",
+        org.apache.spark.sql.types.TimestampType)))
+    src.write(df(schema, Seq(
+      Row(1L, "a1", ts("2024-01-01 10:00:00")), Row(1L, "a2", ts("2024-01-02 10:00:00")),
+      Row(2L, "b1", ts("2024-01-01 12:00:00")))), "chg")
+    Patterns.scdType2(src, "chg", dst, "dim", "k", "updated_at")
+    // REPLACE src with only the new changes — old history must come from dst
+    src.write(df(schema, Seq(
+      Row(1L, "a3", ts("2024-01-03 10:00:00")),   // closes (1, a2)
+      Row(3L, "c1", ts("2024-01-03 11:00:00")))), "chg") // brand-new key
+    Patterns.scdType2(src, "chg", dst, "dim", "k", "updated_at")
+    val got = dst.read("dim").orderBy("k", "updated_at").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        Option(r.getAs[java.sql.Timestamp]("valid_to")).map(_.toString).orNull))
+    assert(got.toSeq == Seq(
+      (1L, "a1", "2024-01-02 10:00:00.0"),
+      (1L, "a2", "2024-01-03 10:00:00.0"),   // closed by the tick
+      (1L, "a3", null),
+      (2L, "b1", null),
+      (3L, "c1", null)))
+    // idempotent: tick with nothing fresh changes nothing
+    Patterns.scdType2(src, "chg", dst, "dim", "k", "updated_at")
+    assert(dst.read("dim").count() == 5)
+  }
+
   test("incrementalAggregate rejects non-mergeable aggregate functions") {
     val src = new graft.sources.ParquetConnector(spark, tmpDir("graft_iasrc_"))
     val dst = new graft.sources.ParquetConnector(spark, tmpDir("graft_iadst_"))
