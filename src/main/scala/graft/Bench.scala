@@ -34,7 +34,10 @@ object Bench {
     // r6: iterative star-contraction components over the Jaccard pair
     // graph, the salted skew join vs its plain-join oracle, and
     // incremental rollup maintenance (merge-by-partials tick)
-    "q_dedup_clusters", "q_salted_join", "q_incremental_agg")
+    "q_dedup_clusters", "q_salted_join", "q_incremental_agg",
+    // r6: SCD-2 two-tick build, vocabulary top-k, int8 quantize
+    // round-trip, exact-percentile corpus profile
+    "q_scd2", "q_vocab", "q_quantize", "q_corpus_stats")
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 

@@ -61,6 +61,8 @@ object Curation {
                  orderCol: String): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be a non-empty map of positive values")
+    require(df.schema(strataCol).dataType == org.apache.spark.sql.types.StringType,
+      s"$strataCol must be a string column (weights key on its values)")
     val wsum = weights.values.sum
     val norm = weights.map { case (k, v) => k -> v / wsum }
     val counts = df.filter(col(strataCol).isin(weights.keySet.toSeq: _*))

@@ -279,6 +279,12 @@ object Dedup {
       edges = next
       iter += 1
     }
+    // a capped-out run may hold HALF-contracted components — wrong
+    // cluster ids, silently. Fail loudly instead; star contraction
+    // converges in O(log² n) rounds, so a legitimate graph never gets
+    // near the default cap.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
     // at fixpoint every edge is (node → component root); roots self-map
     edges.select(col("u").as("id"), col("v").as("component"))
       .union(edges.select(col("v").as("id"), col("v").as("component")))

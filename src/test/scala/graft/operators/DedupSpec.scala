@@ -222,6 +222,15 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents fails loudly when the iteration cap truncates contraction") {
+    val pairs = (0L until 59L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(df(pairSchema, pairs.map(p => Row(p._1, p._2))),
+        maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("clusterDedup keeps exactly the min id per component plus unpaired docs") {
     val d = df(docSchema, (1L to 8L).map(i => Row(i, s"doc $i")))
     // components {1,2,3} (chain) and {5,6}; 4,7,8 unpaired
