@@ -425,6 +425,15 @@ object SparkEntry {
         .orderBy(col("label"), col("dim"))
     }),
 
+    "q_histogram" -> ((s, dir) => {
+      // value-distribution profile: explicit floor bucketing (identical
+      // elementary arithmetic in every engine; DuckDB has no width_bucket)
+      T(s, dir, "events")
+        .groupBy((floor(col("value") / 25.0) + 1).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+        .orderBy(col("bucket"))
+    }),
+
     "q_corpus_stats" -> ((s, dir) => {
       // per-language corpus profile with EXACT interpolated percentiles —
       // oracle-able against DuckDB quantile_cont. Scale note: exact
@@ -823,6 +832,11 @@ object SparkEntry {
         |       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS c
         |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(value / 25.0) + 1 AS INTEGER) AS bucket,
+        |       COUNT(1) AS n, ROUND(AVG(value), 4) AS avg_value
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_corpus_stats" ->
       """SELECT lang, COUNT(1) AS n_docs, COUNT(DISTINCT source) AS n_sources,
