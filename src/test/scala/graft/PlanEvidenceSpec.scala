@@ -151,6 +151,17 @@ class PlanEvidenceSpec extends SparkSpec {
       "build side must be replicated via explode:\n" + plan)
   }
 
+  test("Validate.check: every rule evaluates in ONE scan of the input") {
+    val li = graft.sources.ParquetConnector.readTable(spark, s"$sf/lineitem.parquet")
+    val report = graft.operators.Validate.check(li, Seq(
+      graft.operators.Validate.Predicate("qty", col("l_quantity").between(1, 50)),
+      graft.operators.Validate.NotNull("ship", "l_shipdate"),
+      graft.operators.Validate.Unique("ok", "l_orderkey")))
+    assert(scansIn(report.queryExecution.executedPlan).size == 1,
+      "adding rules must add aggregate columns, never passes over the data:\n" +
+        report.queryExecution.executedPlan)
+  }
+
   test("groupCentroids: partial aggregation before the exchange (index-sized shuffle)") {
     val emb = graft.sources.ParquetConnector.readTable(spark, s"$sf/embeddings.parquet")
     val plan = graft.operators.Similarity.groupCentroids(emb, "embedding", "label")
