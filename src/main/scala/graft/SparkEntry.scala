@@ -318,9 +318,10 @@ object SparkEntry {
       cut.write(src.read("events").filter(expr("ts < TIMESTAMP '2024-01-20 00:00:00'"))
         .select("event_id", "ts", "user_id", "event_type", "value"), "events_stale")
       Patterns.scdType2(cut, "events_stale", dst, "dim_user", "user_id", "ts")
+      // tick 2 feeds the FULL history: the tick's per-key watermark must
+      // discard every already-applied row itself
       val full = src.read("events").select("event_id", "ts", "user_id", "event_type", "value")
-      Patterns.scdType2Tick(full.filter(col("ts") > lit(dst.maxTimestamp("dim_user", "ts"))),
-        dst, "dim_user", "user_id", "ts")
+      Patterns.scdType2Tick(full, dst, "dim_user", "user_id", "ts")
       dst.read("dim_user")
         .select(col("user_id"), col("ts").as("valid_from"), col("valid_to"),
           col("event_type"), col("value"))

@@ -126,9 +126,13 @@ object GraftFunctions {
     }, "vec_cosine(a, b) - cosine similarity; 0.0 when either norm is 0 (matches VectorFunctions.cosine)"),
     ("vec_quantize", { args: Seq[Expression] =>
       require(args.length == 1, "vec_quantize(a)")
+      // scale repeats into an array so the lambda sees it as an element —
+      // referencing the scale CASE inside the lambda would re-run its
+      // O(d) fold per element (same O(d²) hazard as the Column form)
       parsedWith(
         s"named_struct('scale', $scaleSql, " +
-          s"'q', transform(__a__, x -> cast(floor(cast(x as double) / ($scaleSql) + 0.5D) as tinyint)))",
+          s"'q', zip_with(__a__, array_repeat($scaleSql, size(__a__)), " +
+          "(x, s) -> cast(floor(cast(x as double) / s + 0.5D) as tinyint)))",
         "__a__" -> args.head)
     }, "vec_quantize(a) - symmetric int8 quantization: struct(scale, q tinyint[]) (matches VectorFunctions.quantize)"),
     ("vec_dequantize", { args: Seq[Expression] =>

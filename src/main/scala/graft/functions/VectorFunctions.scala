@@ -50,8 +50,13 @@ object VectorFunctions {
   def quantize(a: Column): Column = {
     val amax = aggregate(a, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
     val scale = when(amax === 0.0, lit(1.0)).otherwise(amax / 127.0)
+    // the scale rides in as a repeated array and the lambda divides by
+    // its ELEMENT — referencing `scale` inside the lambda body instead
+    // would re-evaluate the O(d) max-fold once per element (HOF lambdas
+    // are interpreted, no subexpression elimination): O(d²) per row
     struct(scale.as("scale"),
-      transform(a, x => floor(x.cast("double") / scale + 0.5).cast("tinyint")).as("q"))
+      zip_with(a, array_repeat(scale, size(a)),
+        (x, s) => floor(x.cast("double") / s + 0.5).cast("tinyint")).as("q"))
   }
 
   /** Reconstruct float32 vectors from [[quantize]] output; per-element

@@ -217,8 +217,9 @@ object Dedup {
     * resolution step after any pairing family above. Pairs only say
     * "a ~ b"; duplicate GROUPS are transitive, so keeping one canonical
     * doc per group needs components, not pairs (the greedy
-    * drop-the-higher-id policy in [[minhashDedup]] over-deletes when
-    * chains a~b~c exist without a~c).
+    * drop-the-higher-id policy in [[minhashDedup]] over-KEEPS when a
+    * cluster's smaller member pairs only through a larger one — pairs
+    * (1,3),(2,3) keep both 1 and 2 where the component keeps only 1).
     *
     * Algorithm: alternating large-star / small-star contraction
     * (Kiveris et al. 2014, "Connected Components in MapReduce and

@@ -152,8 +152,14 @@ object Patterns {
   private def validateAggArgs(groupCols: Seq[String],
                               aggs: Seq[(String, String, String)]): Unit = {
     require(groupCols.nonEmpty, "need at least one group column")
+    require(aggs.nonEmpty, "need at least one aggregate")
     val okFuncs = Set("sum", "count", "min", "max")
     aggs.foreach { case (f, _, _) => require(okFuncs.contains(f), s"non-mergeable agg: $f") }
+    val aliases = aggs.map(_._3)
+    require(aliases.distinct.size == aliases.size, "aggregate aliases must be unique")
+    val reserved = Set("_wm", "_gkey") ++ groupCols
+    aliases.foreach(a => require(!reserved.contains(a),
+      s"alias '$a' collides with a group column or a reserved name (_wm, _gkey)"))
   }
 
   /** One tick of [[incrementalAggregate]] from an already-read candidate
@@ -168,6 +174,7 @@ object Patterns {
       validateAggArgs(groupCols, aggs)
       val wm = dst.maxTimestamp(to, "_wm") // epoch when dst missing → full first build
       val delta = candidate.filter(col(matcher) > lit(wm))
+      if (delta.isEmpty) return // no-op tick (incl. replay): skip the merge rewrite
       def partialOf(f: String, c: String): org.apache.spark.sql.Column = f match {
         case "count" => count(if (c == "*") lit(1) else col(c))
         case "sum"   => sum(col(c))
@@ -212,13 +219,19 @@ object Patterns {
     * (the next version's `matcher`; null = current version) and a
     * synthetic `_scd_key` = key + version-time for the upsert identity.
     *
-    * Tick shape: delta rows past the watermark chain into versions per
-    * key (`valid_to = lead(matcher)` within the delta), and each
-    * affected key's STORED current row is closed at the key's first
-    * delta version — an inner join against the delta's key-mins, so the
-    * tick is O(delta + affected current rows), never O(history).
-    * Contract: `matcher` strictly increases per key (the engine-wide
-    * high-watermark assumption) and (key, matcher) is unique.
+    * Tick shape: candidate rows are filtered against a PER-KEY
+    * watermark (each key's stored current `matcher` — a global max
+    * would silently drop a key's legitimate update that happens to
+    * carry an earlier timestamp than some OTHER key's last version),
+    * chain into versions per key (`valid_to = lead(matcher)`), and
+    * each affected key's STORED current row is closed at the key's
+    * first delta version. The per-key filter also makes any replay a
+    * no-op: already-applied rows sit at or before their key's current
+    * `matcher`. Cost: O(delta + current rows), never O(history) — the
+    * current-row set (one row per key) is read per tick, like the
+    * watermark probe it replaces.
+    * Contract: `matcher` strictly increases per key and (key, matcher)
+    * is unique.
     *
     * Oracled end to end (`q_scd2`): a two-tick build must equal the
     * from-scratch window form `lead(ts) over (partition by key order by
@@ -226,29 +239,40 @@ object Patterns {
   def scdType2(src: Connector, from: String, dst: Connector, to: String,
                primaryKey: String, matcher: String = "updated_at"): Long =
     timed(s"scd2 $from -> $to") {
-      val wm = dst.maxTimestamp(to, matcher)
-      scdType2Tick(src.read(from).filter(col(matcher) > lit(wm)), dst, to, primaryKey, matcher)
+      scdType2Tick(src.read(from), dst, to, primaryKey, matcher)
       dst.count(to)
     }
 
-  /** One SCD-2 tick from an already-filtered delta (streaming
-    * foreachBatch entry point; replay relies on upsert idempotence —
-    * identical (_scd_key, row) pairs merge to the same state). */
-  def scdType2Tick(delta: DataFrame, dst: Connector, to: String,
+  /** One SCD-2 tick from a candidate DataFrame (streaming foreachBatch
+    * entry point). Applies the per-key watermark filter itself, so a
+    * replayed batch versions nothing twice. */
+  def scdType2Tick(candidate: DataFrame, dst: Connector, to: String,
                    primaryKey: String, matcher: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(primaryKey)).orderBy(col(matcher))
-    val fresh = delta
+    def versioned(delta: DataFrame): DataFrame = delta
       .withColumn("valid_to", lead(col(matcher), 1).over(w))
       .withColumn("_scd_key", concat_ws("\u0001",
         col(primaryKey).cast("string"), col(matcher).cast("string")))
-    if (!dst.exists(to)) { dst.write(fresh, to); return }
+    if (!dst.exists(to)) {
+      if (!candidate.isEmpty) dst.write(versioned(candidate), to)
+      return
+    }
+    // per-key watermark: only rows strictly past their key's stored
+    // current version are fresh (brand-new keys pass via the null arm)
+    val current = dst.read(to).filter(col("valid_to").isNull)
+      .select(col(primaryKey), col(matcher).as("_cur_from"))
+    val delta = candidate.join(current, Seq(primaryKey), "left")
+      .filter(col("_cur_from").isNull || col(matcher) > col("_cur_from"))
+      .drop("_cur_from")
+    if (delta.isEmpty) return // no-op tick: never pay the merge rewrite
     // close each affected key's stored current row at its first delta
     // version; inner join = only affected keys ride along
     val firstNew = delta.groupBy(col(primaryKey)).agg(min(col(matcher)).as("_new_from"))
     val closed = dst.read(to).filter(col("valid_to").isNull)
       .join(firstNew, Seq(primaryKey))
       .withColumn("valid_to", col("_new_from")).drop("_new_from")
+    val fresh = versioned(delta)
     dst.upsert(closed.unionByName(fresh.select(closed.columns.map(col).toIndexedSeq: _*)),
       to, "_scd_key")
   }

@@ -29,12 +29,17 @@ import org.apache.spark.sql.functions._
   * and `left_anti` are exact. Right/full-outer would multiply unmatched
   * build rows by the salt count and are rejected.
   *
-  * The salt is `xxhash64(monotonically_increasing_id) mod buckets` —
-  * per-row, no correlation with the key (hashing the KEY would send the
-  * hot key back to one bucket). It is nondeterministic across task
-  * retries, which is safe here: the result is salt-invariant (every
-  * left row joins the full build side regardless of which replica it
-  * meets). Oracled in SparkEntry (`q_salted_join`) against the plain
+  * The salt is `xxhash64(every probe column) mod buckets` — per-ROW
+  * content, no correlation with the key alone (hashing only the KEY
+  * would send the hot key back to one bucket). Content-hashing keeps
+  * the salt DETERMINISTIC under task retries: a recomputed map task
+  * assigns every row the same bucket, so a lost-executor recompute can
+  * never duplicate or drop rows across reducers (the
+  * nondeterministic-expression-above-a-shuffle hazard that
+  * `monotonically_increasing_id`/`rand` salts carry). The residual
+  * caveat: FULLY identical duplicate probe rows share a bucket — key
+  * skew (hot key, varying payload) spreads; identical-row skew does
+  * not. Oracled in SparkEntry (`q_salted_join`) against the plain
   * un-salted join in DuckDB.
   */
 object Skew {
@@ -48,7 +53,7 @@ object Skew {
     require(ok.contains(joinType.toLowerCase),
       s"saltedJoin supports $ok; right/full joins would duplicate unmatched build rows")
     val salted = probe.withColumn(SaltCol,
-      pmod(xxhash64(monotonically_increasing_id()), lit(buckets.toLong)).cast("int"))
+      pmod(xxhash64(probe.columns.map(col).toIndexedSeq: _*), lit(buckets.toLong)).cast("int"))
     val replicated = build.withColumn(SaltCol,
       explode(array((0 until buckets).map(i => lit(i)): _*)))
     salted.join(replicated, keys :+ SaltCol, joinType).drop(SaltCol)

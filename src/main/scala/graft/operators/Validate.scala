@@ -37,8 +37,9 @@ object Validate {
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
     require(rules.map(_.name).distinct.size == rules.size, "rule names must be unique")
-    require(rules.forall(_.name.matches("[A-Za-z0-9_]+")),
-      "rule names must be [A-Za-z0-9_]+ (they become aggregate aliases)")
+    require(rules.forall(_.name.matches("[A-Za-z][A-Za-z0-9_]*")),
+      "rule names must match [A-Za-z][A-Za-z0-9_]* (they become aggregate " +
+        "aliases; a leading underscore would collide with internal columns)")
     val aggCols = rules.map {
       case Predicate(n, p) =>
         sum(when(coalesce(p, lit(false)), 0L).otherwise(1L)).as(n)

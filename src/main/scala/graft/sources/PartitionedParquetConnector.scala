@@ -427,10 +427,15 @@ class PartitionedParquetConnector(
     // so one shuffle compacts every candidate in a single job
     val desired = cands.map { case (p, _, bytes) => (p, want(bytes)) }
     val desiredDf = spark.createDataFrame(desired).toDF(partCol, "_nb")
-    val slice = readWithPart(table)
+    val base = readWithPart(table)
+    // content-hash bucket, not monotonically_increasing_id: a retried map
+    // task must re-assign every row the SAME bucket or the repartition
+    // can duplicate/drop rows across reducers on executor loss
+    val rowHash = xxhash64(base.columns.map(col).toIndexedSeq: _*)
+    val slice = base
       .filter(col(partCol).isin(cands.map(_._1): _*))
       .join(broadcast(desiredDf), Seq(partCol))
-      .withColumn("_cb", pmod(xxhash64(monotonically_increasing_id()), col("_nb")))
+      .withColumn("_cb", pmod(rowHash, col("_nb")))
       .repartition(col(partCol), col("_cb"))
       .drop("_nb", "_cb")
     // meta-file-last protocol, same as upsert: invalidate before mutating,

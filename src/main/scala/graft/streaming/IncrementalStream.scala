@@ -203,20 +203,17 @@ object IncrementalStream {
 
   /** Streaming SCD Type-2: each micro-batch chains into versions and
     * closes affected current rows via
-    * [[graft.operators.Patterns.scdType2Tick]]. The per-batch watermark
-    * filter (rows past the table's stored max `matcher`) makes a
-    * replayed batch a no-op, same contract as [[rollupStream]]. */
+    * [[graft.operators.Patterns.scdType2Tick]]. The tick's own PER-KEY
+    * watermark (each key's stored current `matcher`) makes a replayed
+    * batch a no-op — and, unlike a global-max filter, never drops one
+    * key's legitimate update because another key carries a later
+    * timestamp. */
   def scdStream(src: DataFrame, dst: graft.sources.Connector, table: String,
                 primaryKey: String, matcher: String, checkpoint: String): StreamingQuery = {
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val wm = dst.maxTimestamp(table, matcher)
-          val fresh = batch.filter(org.apache.spark.sql.functions.col(matcher) >
-            org.apache.spark.sql.functions.lit(wm))
-          if (!fresh.isEmpty)
-            graft.operators.Patterns.scdType2Tick(fresh, dst, table, primaryKey, matcher)
-        }
+        if (!batch.isEmpty)
+          graft.operators.Patterns.scdType2Tick(batch, dst, table, primaryKey, matcher)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

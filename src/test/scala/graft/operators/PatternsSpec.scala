@@ -186,6 +186,31 @@ class PatternsSpec extends SparkSpec {
     assert(dst.read("dim").count() == 5)
   }
 
+  test("scdType2: per-key watermark keeps an update older than ANOTHER key's current version") {
+    val src = new graft.sources.ParquetConnector(spark, tmpDir("graft_scds_"))
+    val dst = new graft.sources.ParquetConnector(spark, tmpDir("graft_scdd_"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("updated_at",
+        org.apache.spark.sql.types.TimestampType)))
+    src.write(df(schema, Seq(
+      Row(1L, "a1", ts("2024-01-01 08:00:00")),
+      Row(2L, "b1", ts("2024-01-05 08:00:00")))), "chg") // key 2 far ahead
+    Patterns.scdType2(src, "chg", dst, "dim", "k", "updated_at")
+    // key 1's update is strictly increasing FOR KEY 1 but earlier than
+    // key 2's current version — a global max(matcher) filter drops it
+    src.write(df(schema, Seq(Row(1L, "a2", ts("2024-01-02 08:00:00")))), "chg")
+    Patterns.scdType2(src, "chg", dst, "dim", "k", "updated_at")
+    val got = dst.read("dim").orderBy("k", "updated_at").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        Option(r.getAs[java.sql.Timestamp]("valid_to")).map(_.toString).orNull))
+    assert(got.toSeq == Seq(
+      (1L, "a1", "2024-01-02 08:00:00.0"),
+      (1L, "a2", null),
+      (2L, "b1", null)), s"interleaved-key update lost: ${got.toSeq}")
+  }
+
   test("incrementalAggregate rejects non-mergeable aggregate functions") {
     val src = new graft.sources.ParquetConnector(spark, tmpDir("graft_iasrc_"))
     val dst = new graft.sources.ParquetConnector(spark, tmpDir("graft_iadst_"))

@@ -59,13 +59,17 @@ class SkewSpec extends SparkSpec {
     }
   }
 
-  test("the hot key's rows actually spread across salt buckets") {
+  test("the hot key's rows actually spread across salt buckets, deterministically") {
     // pin the mechanism, not just the result: the salted probe must place
-    // key 1's 500 rows in >1 bucket (with 8 buckets and 500 rows the
-    // chance of collapse is ~8^-499)
-    val salted = probe.withColumn("_s",
-      pmod(xxhash64(monotonically_increasing_id()), lit(8L)).cast("int"))
-    val buckets = salted.filter(col("k") === 1).select("_s").distinct().count()
-    assert(buckets > 1, "hot key stayed in one salt bucket")
+    // key 1's 500 rows (distinct payloads) in >1 bucket, and the content
+    // hash must assign the same buckets on re-evaluation (retry safety)
+    def salted = probe.withColumn("_s",
+      pmod(xxhash64(probe.columns.map(col).toIndexedSeq: _*), lit(8L)).cast("int"))
+    val a = salted.filter(col("k") === 1).select("lv", "_s").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a.values.toSet.size > 1, "hot key stayed in one salt bucket")
+    val b = salted.filter(col("k") === 1).select("lv", "_s").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b, "salt must be deterministic per row content")
   }
 }
