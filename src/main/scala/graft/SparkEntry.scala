@@ -426,6 +426,25 @@ object SparkEntry {
         .orderBy(col("label"), col("dim"))
     }),
 
+    "q_unpivot" -> ((s, dir) => {
+      // melt: the inverse of q_pivot — wide measure columns to
+      // (metric, val) rows, then a per-metric profile
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_extendedprice").cast("double").as("l_extendedprice"),
+          col("l_discount").cast("double").as("l_discount"),
+          col("l_tax").cast("double").as("l_tax"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "val")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"), round(avg(col("val")), 4).as("avg_val"),
+          round(max(col("val")), 4).as("max_val"))
+        .orderBy(col("metric"))
+    }),
+
     "q_histogram" -> ((s, dir) => {
       // value-distribution profile: explicit floor bucketing (identical
       // elementary arithmetic in every engine; DuckDB has no width_bucket)
@@ -833,6 +852,20 @@ object SparkEntry {
         |       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS c
         |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT metric, COUNT(1) AS n, ROUND(AVG(val), 4) AS avg_val,
+        |       ROUND(MAX(val), 4) AS max_val
+        |FROM (
+        |  UNPIVOT (SELECT l_orderkey, l_linenumber,
+        |                  CAST(l_quantity AS DOUBLE) AS l_quantity,
+        |                  CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+        |                  CAST(l_discount AS DOUBLE) AS l_discount,
+        |                  CAST(l_tax AS DOUBLE) AS l_tax
+        |           FROM lineitem)
+        |  ON l_quantity, l_extendedprice, l_discount, l_tax
+        |  INTO NAME metric VALUE val)
+        |GROUP BY metric ORDER BY metric""".stripMargin,
 
     "q_histogram" ->
       """SELECT CAST(FLOOR(value / 25.0) + 1 AS INTEGER) AS bucket,
