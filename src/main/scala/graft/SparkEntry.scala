@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{TextFunctions, VectorFunctions}
@@ -419,10 +419,18 @@ object SparkEntry {
 
     "q_embedding_centroid" -> ((s, dir) => {
       // per-label mean pooling; flat (label, dim, c) form for exact
-      // comparison. Rounded: float32 summation order differs between
-      // engines; cast-to-double + round(4) absorbs it.
-      Similarity.groupCentroids(T(s, dir, "embeddings"), "embedding", "label")
-        .withColumn("c", round(col("c"), 4))
+      // comparison. The oracle-parity form sums in DECIMAL (exact, so
+      // partial-aggregation ORDER cannot move the value — round(4) of an
+      // order-dependent double sum was a knife-edge that flipped at some
+      // SFs) and divides as double. The production operator
+      // (Similarity.groupCentroids) keeps the cheaper double avg.
+      T(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "_x")))
+        .groupBy(col("label"), col("dim"))
+        // + 0.0 folds IEEE -0.0 to 0.0: the engines can disagree on the
+        // SIGN of a rounded zero, which trips a string-keyed row sort
+        // even though -0.0 == 0.0 numerically
+        .agg((round(expr("CAST(SUM(CAST(_x AS DECIMAL(20,10))) AS DOUBLE)") / count(lit(1)), 4) + 0.0).as("c"))
         .orderBy(col("label"), col("dim"))
     }),
 
@@ -555,6 +563,46 @@ object SparkEntry {
       T(s, dir, "documents")
         .select(col("doc_id"), col("lang").as("labeled"),
           TextFunctions.langId(col("text")).as("predicted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_pii_scrub" -> ((s, dir) => {
+      // documents carry no real PII, so inject deterministic synthetic
+      // PII per row, then prove the rule chain strips it; counts are
+      // per-rule matches against the pre-redaction text
+      val rules = TextFunctions.defaultPiiRules
+      val dirty = concat(col("text"),
+        lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@example.com or call (555) 123-4567 from 10.0.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"), lit("."))
+      T(s, dir, "documents")
+        .select(col("doc_id"), dirty.as("dirty"))
+        .select(col("doc_id"),
+          TextFunctions.redactPii(col("dirty"), rules).as("clean"),
+          TextFunctions.piiCount(col("dirty"), rules(0)).as("n_emails"),
+          TextFunctions.piiCount(col("dirty"), rules(1)).as("n_ips"),
+          TextFunctions.piiCount(col("dirty"), rules(2)).as("n_phones"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_repetition" -> ((s, dir) => {
+      // Gopher-style repetition filters: ONE native profile pass per doc
+      // (subexpression elimination collapses the repeated field reads);
+      // the oracle recomputes every statistic — dup lines, top-{2,3}-gram
+      // coverage, duplicated-5-gram union coverage — in DuckDB list SQL
+      val p = TextFunctions.repetitionProfile(col("text"), topNs = Seq(2, 3), dupNs = Seq(5))
+      def frac(num: Column, den: Column): Column =
+        when(den === 0L, lit(0.0)).otherwise(round(num.cast("double") / den, 6))
+      T(s, dir, "documents")
+        .select(col("doc_id"), p.as("p"))
+        .select(col("doc_id"),
+          col("p.lines").as("n_lines"),
+          col("p.words").as("n_words"),
+          frac(col("p.dup_lines"), col("p.lines")).as("dup_line_frac"),
+          frac(col("p.dup_line_chars"), col("p.line_chars")).as("dup_line_char_frac"),
+          frac(col("p.top_chars").getItem(0), col("p.word_chars")).as("top2_frac"),
+          frac(col("p.top_chars").getItem(1), col("p.word_chars")).as("top3_frac"),
+          frac(col("p.dup_chars").getItem(0), col("p.word_chars")).as("dup5_frac"))
         .orderBy(col("doc_id"))
     }),
 
@@ -849,7 +897,7 @@ object SparkEntry {
 
     "q_embedding_centroid" ->
       """SELECT label, CAST(i - 1 AS INTEGER) AS dim,
-        |       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS c
+        |       ROUND(CAST(SUM(CAST(embedding[i] AS DECIMAL(20,10))) AS DOUBLE) / COUNT(1), 4) + 0.0 AS c
         |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
@@ -1014,6 +1062,89 @@ object SparkEntry {
          |            ELSE 'es' END AS predicted
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    "q_pii_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         text || ' Contact user' || CAST(doc_id AS VARCHAR) ||
+        |         '@example.com or call (555) 123-4567 from 10.0.0.' ||
+        |         CAST(doc_id % 256 AS VARCHAR) || '.' AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |       regexp_replace(regexp_replace(regexp_replace(dirty,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+        |           '\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}\b', '<PHONE>', 'g') AS clean,
+        |       len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |       len(regexp_extract_all(dirty, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS n_ips,
+        |       len(regexp_extract_all(dirty, '\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}\b')) AS n_phones
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS lns,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |lstat AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(cnt) AS BIGINT) AS n_lines,
+        |         CAST(SUM(cnt * len) AS BIGINT) AS line_chars,
+        |         CAST(SUM(cnt - 1) AS BIGINT) AS dup_lines,
+        |         CAST(SUM((cnt - 1) * len) AS BIGINT) AS dup_line_chars
+        |  FROM (SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+        |        FROM (SELECT doc_id, unnest(lns) AS line FROM base)
+        |        GROUP BY doc_id, line)
+        |  GROUP BY doc_id),
+        |wstat AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |         CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS word_chars
+        |  FROM base),
+        |g2 AS (SELECT doc_id, g, count(*) AS cnt, any_value(glen) AS glen FROM (
+        |         SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g,
+        |                length(w[i]) + length(w[i+1]) AS glen
+        |         FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM base))
+        |       GROUP BY doc_id, g),
+        |top2 AS (SELECT doc_id, cnt * glen AS top_chars FROM (
+        |           SELECT doc_id, cnt, glen,
+        |                  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rn
+        |           FROM g2) WHERE rn = 1 AND cnt >= 2),
+        |g3 AS (SELECT doc_id, g, count(*) AS cnt, any_value(glen) AS glen FROM (
+        |         SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g,
+        |                length(w[i]) + length(w[i+1]) + length(w[i+2]) AS glen
+        |         FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM base))
+        |       GROUP BY doc_id, g),
+        |top3 AS (SELECT doc_id, cnt * glen AS top_chars FROM (
+        |           SELECT doc_id, cnt, glen,
+        |                  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rn
+        |           FROM g3) WHERE rn = 1 AND cnt >= 2),
+        |g5 AS (SELECT doc_id, i, array_to_string(w[i:i+4], ' ') AS g
+        |       FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM base)),
+        |d5 AS (SELECT doc_id, g FROM g5 GROUP BY doc_id, g HAVING count(*) > 1),
+        |cov AS (SELECT DISTINCT g5.doc_id, unnest(range(g5.i, g5.i + 5)) AS pos
+        |        FROM g5 JOIN d5 ON g5.doc_id = d5.doc_id AND g5.g = d5.g),
+        |dup5 AS (SELECT cov.doc_id, CAST(SUM(length(base.w[CAST(pos AS INT)])) AS BIGINT) AS dup_chars
+        |         FROM cov JOIN base ON cov.doc_id = base.doc_id GROUP BY cov.doc_id)
+        |SELECT b.doc_id,
+        |       COALESCE(l.n_lines, 0) AS n_lines,
+        |       s.n_words AS n_words,
+        |       CASE WHEN COALESCE(l.n_lines, 0) = 0 THEN 0.0
+        |            ELSE ROUND(CAST(l.dup_lines AS DOUBLE) / l.n_lines, 6) END AS dup_line_frac,
+        |       CASE WHEN COALESCE(l.line_chars, 0) = 0 THEN 0.0
+        |            ELSE ROUND(CAST(l.dup_line_chars AS DOUBLE) / l.line_chars, 6) END AS dup_line_char_frac,
+        |       CASE WHEN s.word_chars = 0 THEN 0.0
+        |            ELSE ROUND(CAST(COALESCE(t2.top_chars, 0) AS DOUBLE) / s.word_chars, 6) END AS top2_frac,
+        |       CASE WHEN s.word_chars = 0 THEN 0.0
+        |            ELSE ROUND(CAST(COALESCE(t3.top_chars, 0) AS DOUBLE) / s.word_chars, 6) END AS top3_frac,
+        |       CASE WHEN s.word_chars = 0 THEN 0.0
+        |            ELSE ROUND(CAST(COALESCE(d.dup_chars, 0) AS DOUBLE) / s.word_chars, 6) END AS dup5_frac
+        |FROM base b
+        |LEFT JOIN lstat l ON b.doc_id = l.doc_id
+        |JOIN wstat s ON b.doc_id = s.doc_id
+        |LEFT JOIN top2 t2 ON b.doc_id = t2.doc_id
+        |LEFT JOIN top3 t3 ON b.doc_id = t3.doc_id
+        |LEFT JOIN dup5 d ON b.doc_id = d.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     "q_ann_cosine" ->
       """SELECT vec_id, ROUND(CAST(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 6) AS score

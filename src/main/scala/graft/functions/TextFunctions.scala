@@ -160,6 +160,67 @@ object TextFunctions {
   def normalizeForFingerprint(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  /** Within-document repetition statistics (Gopher-style filters) — one
+    * native single-pass struct; see [[RepetitionOps]] for field
+    * semantics. `topNs` selects the "most-frequent-n-gram coverage"
+    * lengths, `dupNs` the "duplicated-n-gram union coverage" lengths. */
+  def repetitionProfile(c: Column, topNs: Seq[Int] = Seq(2, 3, 4),
+                        dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): Column =
+    ColumnBridge.column(RepetitionProfile(ColumnBridge.expression(c), topNs, dupNs))
+
+  /** The Gopher repetition filter as a boolean keep/drop column: true =
+    * document survives every repetition threshold. Thresholds follow the
+    * published Gopher rules (dup-line fraction ≤ 0.30, dup-line-char
+    * fraction ≤ 0.20, top-{2,3,4}-gram coverage ≤ {0.20, 0.18, 0.16},
+    * dup-{5..10}-gram coverage ≤ {0.15 … 0.10}); fractions are over word
+    * chars (separator whitespace excluded). One profile pass per row,
+    * all comparisons codegen'd. */
+  def gopherRepetitionKeep(c: Column): Column = {
+    val p = repetitionProfile(c)
+    val lines = p.getField("lines")
+    val lineChars = p.getField("line_chars")
+    val wordChars = p.getField("word_chars")
+    def frac(num: Column, den: Column): Column =
+      when(den === 0L, lit(0.0)).otherwise(num.cast("double") / den)
+    val topLimits = Seq(0.20, 0.18, 0.16)
+    val dupLimits = Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)
+    val checks =
+      Seq(frac(p.getField("dup_lines"), lines) <= 0.30,
+          frac(p.getField("dup_line_chars"), lineChars) <= 0.20) ++
+      topLimits.zipWithIndex.map { case (lim, i) =>
+        frac(p.getField("top_chars").getItem(i), wordChars) <= lim } ++
+      dupLimits.zipWithIndex.map { case (lim, i) =>
+        frac(p.getField("dup_chars").getItem(i), wordChars) <= lim }
+    checks.reduce(_ && _)
+  }
+
+  /** One PII redaction rule: a regex and its replacement tag. Patterns
+    * MUST stay in the Java∩RE2 common subset (no lookaround, no
+    * backrefs) — the engine runs Java regex, the DuckDB oracle runs RE2,
+    * and a user porting the rules to another engine gets identical
+    * behavior only inside that subset. */
+  final case class PiiRule(name: String, pattern: String, replacement: String)
+
+  /** Default rule set, Dolma/C4-shaped: emails, IPv4 addresses, and
+    * NANP-style phone numbers. Order matters — emails first (their digit
+    * runs must not be phone-matched), then IPs, then phones. */
+  val defaultPiiRules: Seq[PiiRule] = Seq(
+    PiiRule("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    PiiRule("ipv4", "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IP>"),
+    PiiRule("phone", "\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4}\\b", "<PHONE>"))
+
+  /** Redact PII by applying each rule's `regexp_replace` in order. Pure
+    * codegen'd string work — no UDF, no shuffle; at 100 TB this runs at
+    * scan speed alongside the quality filters. */
+  def redactPii(c: Column, rules: Seq[PiiRule] = defaultPiiRules): Column =
+    rules.foldLeft(c)((acc, r) => regexp_replace(acc, r.pattern, r.replacement))
+
+  /** Match count for one rule against the ORIGINAL text (counts are
+    * per-rule independent; a digit run inside an email counts for both —
+    * deterministic and engine-portable, documented rather than hidden). */
+  def piiCount(c: Column, rule: PiiRule): Column =
+    size(regexp_extract_all(c, lit(rule.pattern), lit(0)))
+
   /** Corpus vocabulary: top-k tokens of the normalized text by
     * frequency (deterministic tie-break on the token) — the input a
     * tokenizer-training step consumes. explode → groupBy(token) count is

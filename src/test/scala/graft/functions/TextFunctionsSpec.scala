@@ -150,6 +150,24 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("redactPii: emails, IPs, phones redacted; clean text untouched; counts match") {
+    val cases = Seq(
+      "write to jane.doe+spam@mail.example.org today" -> "write to <EMAIL> today",
+      "server at 10.0.255.3 rebooted" -> "server at <IP> rebooted",
+      "call (555) 123-4567 or 555.987.6543 now" -> "call <PHONE> or <PHONE> now",
+      "version 1.2.3 of lib, 42 items, user_1@x.io" -> "version 1.2.3 of lib, 42 items, <EMAIL>",
+      "no pii here at all" -> "no pii here at all")
+    val d = df(StructType(Seq(StructField("id", LongType), StructField("t", StringType))),
+      cases.zipWithIndex.map { case ((in, _), i) => Row(i.toLong, in) })
+    val got = d.orderBy("id").select(TextFunctions.redactPii(col("t")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), got.mkString("\n"))
+    val counts = d.orderBy("id").select(
+      TextFunctions.piiCount(col("t"), TextFunctions.defaultPiiRules.head).as("emails"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(counts == Seq(1, 0, 0, 1, 0))
+  }
+
   test("profile ws_tokens replicates split(trim, \\s+) limit=-1 exactly (boundary quirks)") {
     // Spark's split keeps one empty piece per boundary ws-run (limit -1):
     // the profile's token count — qualityScore's mean-word-len
