@@ -566,6 +566,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_contamination" -> ((s, dir) => {
+      // benchmark-contamination: corpus docs vs a held-out "eval" split
+      // (doc_id % 20 == 0), word-5-gram overlap. A canary eval sentence
+      // is injected on BOTH sides deterministically so the metric
+      // provably fires; organic cross-doc overlap counts too.
+      val docs = T(s, dir, "documents")
+      val canary = " the quick brown fox jumps over the lazy dog"
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+        .select(when(col("doc_id") % 100 === 0, concat(col("text"), lit(canary)))
+          .otherwise(col("text")).as("text"))
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(canary)))
+            .otherwise(col("text")).as("text"))
+      operators.Curation.contamination(corpus, bench, "text", "doc_id", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_pii_scrub" -> ((s, dir) => {
       // documents carry no real PII, so inject deterministic synthetic
       // PII per row, then prove the rule chain strips it; counts are
@@ -1062,6 +1080,40 @@ object SparkEntry {
          |            ELSE 'es' END AS predicted
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    "q_contamination" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 20 = 0 AND doc_id % 100 = 0
+        |                THEN text || ' the quick brown fox jumps over the lazy dog'
+        |              WHEN doc_id % 20 <> 0 AND doc_id % 7 = 0
+        |                THEN text || ' the quick brown fox jumps over the lazy dog'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |norm AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |                     x -> len(x) > 0) AS w
+        |  FROM src),
+        |grams AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(w) >= 5
+        |              THEN list_distinct(list_transform(range(1, len(w) - 3),
+        |                                                i -> array_to_string(w[i:i+4], ' ')))
+        |              ELSE [] END AS gs
+        |  FROM norm),
+        |bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 20 = 0),
+        |corpus AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_ngrams, gs
+        |           FROM grams WHERE doc_id % 20 <> 0),
+        |hits AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+        |         FROM (SELECT doc_id, unnest(gs) AS g FROM corpus) e
+        |         JOIN bench b ON e.g = b.g GROUP BY e.doc_id)
+        |SELECT c.doc_id, c.n_ngrams,
+        |       COALESCE(h.n_hit, 0) AS n_contaminated,
+        |       CASE WHEN c.n_ngrams = 0 THEN 0.0
+        |            ELSE ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / c.n_ngrams, 6) END AS contamination_frac
+        |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
 
     "q_pii_scrub" ->
       """WITH d AS (

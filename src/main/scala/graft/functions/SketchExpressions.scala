@@ -139,6 +139,29 @@ object SketchOps {
     out
   }
 
+  /** All word n-gram hashes of a normalized (single-space, trimmed)
+    * string: each n-gram is a contiguous byte span (see [[minhashText]])
+    * hashed in place with xxhash64(seed 42) — no split array, no
+    * per-n-gram string allocation, no HOF lambda. Fewer than `n` tokens
+    * → empty array. The hash identifies the n-gram STRING exactly
+    * (64-bit, collision-odds ~n²/2⁶⁴), so joins on it are joins on the
+    * n-gram value — the contamination-check primitive. */
+  def wordNgramHashes(s: UTF8String, n: Int): ArrayData = {
+    val starts = tokenStarts(s)
+    val tokens = if (s.numBytes() == 0) 0 else starts.length - 1
+    val windows = tokens - n + 1
+    if (windows <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](windows)
+    var i = 0
+    while (i < windows) {
+      val from = starts(i)
+      val len = starts(i + n) - 1 - from
+      out(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset + from, len, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Count of equal positions between two equal-length signatures —
     * the est-jaccard numerator, natively (the `zip_with`+`filter`
     * composition was CodegenFallback). */
@@ -287,4 +310,27 @@ case class SignatureAgreement(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SignatureAgreement =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "sig_agreement"
+}
+
+/** `word_ngram_hashes(string, n)` → `array<long>`: one xxhash64 per word
+  * n-gram of a NORMALIZED (single-space, trimmed) string — apply after
+  * `TextFunctions.normalizeForFingerprint`. */
+case class WordNgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"word_ngram_hashes needs n >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_ngram_hashes needs string input, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.wordNgramHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchOps$$.MODULE$$.wordNgramHashes($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramHashes = copy(child = newChild)
+  override def prettyName: String = "word_ngram_hashes"
 }

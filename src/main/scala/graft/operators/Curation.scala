@@ -108,4 +108,45 @@ object Curation {
         floor((col("_cum") - col(weightCol)) / lit(budget.toDouble)))
       .drop("_cum")
   }
+
+  /** Benchmark-contamination check: for every corpus document, how many
+    * of its distinct word n-grams also occur in the benchmark set
+    * (normalized: lowercase, whitespace collapsed). The decontamination
+    * primitive of every serious pretraining pipeline — n-gram overlap
+    * against held-out eval sets, n ≈ 8–13 in the published recipes
+    * (smaller n for short benchmark strings).
+    *
+    * Output: idCol, `n_ngrams` (distinct n-grams in the doc),
+    * `n_contaminated` (of those, how many appear anywhere in the
+    * benchmark), `contamination_frac`.
+    *
+    * Scale shape: n-grams are 64-bit xxhash64 spans (native
+    * [[graft.functions.WordNgramHashes]] — no split arrays, no per-gram
+    * strings), so the join key is 8 bytes, never text. The benchmark
+    * side (eval sets — thousands of docs, not billions) aggregates to a
+    * distinct-hash set and BROADCASTS; the corpus side never shuffles
+    * documents — one explode of hashes, a broadcast hash join, and a
+    * partial-aggregated count by doc id. */
+  def contamination(corpus: DataFrame, bench: DataFrame, textCol: String,
+                    idCol: String, n: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    def grams(c: org.apache.spark.sql.Column) = array_distinct(ColumnBridge.column(
+      graft.functions.WordNgramHashes(
+        ColumnBridge.expression(TextFunctions.normalizeForFingerprint(c)), n)))
+    val benchGrams = bench
+      .select(explode(grams(col(textCol))).as("_g")).distinct()
+      .withColumn("_hit", lit(1))
+    val corpusGrams = corpus
+      .select(col(idCol), grams(col(textCol)).as("_gs"))
+      .select(col(idCol), size(col("_gs")).cast("long").as("n_ngrams"),
+        explode_outer(col("_gs")).as("_g"))
+    corpusGrams
+      .join(broadcast(benchGrams), Seq("_g"), "left")
+      .groupBy(col(idCol), col("n_ngrams"))
+      .agg(sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_contaminated"))
+      .withColumn("contamination_frac",
+        when(col("n_ngrams") === 0, lit(0.0))
+          .otherwise(round(col("n_contaminated").cast("double") / col("n_ngrams"), 6)))
+  }
 }

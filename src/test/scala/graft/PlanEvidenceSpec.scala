@@ -179,4 +179,15 @@ class PlanEvidenceSpec extends SparkSpec {
     val pushed = scanOf(c.readSince("users", "updated_at", since)).metadata("PushedFilters")
     assert(pushed.contains("GreaterThanOrEqual(updated_at"), pushed)
   }
+
+  test("contamination: benchmark side broadcasts; corpus docs never shuffle") {
+    val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+    val out = graft.operators.Curation.contamination(
+      docs.filter(col("doc_id") % 20 =!= 0), docs.filter(col("doc_id") % 20 === 0),
+      "text", "doc_id", n = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "bench n-gram set must broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "corpus side must not shuffle into the join")
+  }
 }

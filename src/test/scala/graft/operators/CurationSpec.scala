@@ -105,4 +105,48 @@ class CurationSpec extends SparkSpec {
       Curation.mixSources(docs, "lang", Map.empty, "doc_id")
     }
   }
+
+  private val textSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  test("contamination: overlap counted, clean docs zero, short docs empty") {
+    val bench = df(textSchema, Seq(Row(100L, "alpha beta gamma delta epsilon zeta")))
+    val corpus = df(textSchema, Seq(
+      // contains the bench 5-grams "alpha beta gamma delta epsilon" and
+      // "beta gamma delta epsilon zeta" plus 2 of its own
+      Row(1L, "x alpha beta gamma delta epsilon zeta y"),
+      Row(2L, "totally different words with no shared fivegram at all"),
+      Row(3L, "too short")))
+    val out = Curation.contamination(corpus, bench, "text", "doc_id", n = 5)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 4 && out(0).getLong(2) == 2) // 4 grams, 2 hits
+    assert(out(0).getDouble(3) == 0.5)
+    assert(out(1).getLong(2) == 0)
+    assert(out(2).getLong(1) == 0 && out(2).getLong(2) == 0 && out(2).getDouble(3) == 0.0)
+  }
+
+  test("contamination normalizes case and whitespace before matching") {
+    val bench = df(textSchema, Seq(Row(100L, "Alpha  Beta\tGamma Delta Epsilon")))
+    val corpus = df(textSchema, Seq(Row(1L, "alpha beta gamma delta epsilon tail")))
+    val out = Curation.contamination(corpus, bench, "text", "doc_id", n = 5).collect()
+    assert(out.head.getLong(2) == 1)
+  }
+
+  test("wordNgramHashes: distinct hash count == distinct n-gram string count (random)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val texts = (1 to 40).map { i =>
+      Row(i.toLong, (0 until rnd.nextInt(15)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val d = df(textSchema, texts)
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val viaHash = d.select(size(array_distinct(ColumnBridge.column(
+        graft.functions.WordNgramHashes(ColumnBridge.expression(col("text")), 3)))))
+      .collect().map(_.getInt(0)).toSeq
+    val viaString = texts.map { r =>
+      val w = r.getString(1).split(" ").filter(_.nonEmpty)
+      if (w.length < 3) 0 else w.sliding(3).map(_.mkString(" ")).toSet.size
+    }
+    assert(viaHash == viaString)
+  }
 }
