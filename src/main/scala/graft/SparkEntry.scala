@@ -566,6 +566,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_line_dedup" -> ((s, dir) => {
+      // CCNet cross-corpus line dedup. The synthetic docs are single-line,
+      // so compose 3-line docs with shared boilerplate (the exact target
+      // of line dedup) plus a within-doc duplicate on even ids.
+      val src = T(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          lit("Copyright 2024 Example Corp. All rights reserved."),
+          col("text"),
+          when(col("doc_id") % 2 === 0,
+            lit("Subscribe to our newsletter for updates!"))
+            .otherwise(col("text"))).as("text"))
+      Dedup.lineDedup(src, "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_contamination" -> ((s, dir) => {
       // benchmark-contamination: corpus docs vs a held-out "eval" split
       // (doc_id % 20 == 0), word-5-gram overlap. A canary eval sentence
@@ -1080,6 +1095,31 @@ object SparkEntry {
          |            ELSE 'es' END AS predicted
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    "q_line_dedup" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |         'Copyright 2024 Example Corp. All rights reserved.' || chr(10) ||
+        |         text || chr(10) ||
+        |         CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter for updates!'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, i AS pos, ln[i] AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ln FROM src),
+        |       UNNEST(generate_series(1, len(ln))) AS t(i)
+        |  WHERE len(ln[i]) > 0),
+        |k AS (
+        |  SELECT doc_id, pos, line,
+        |         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |  FROM l)
+        |SELECT doc_id,
+        |       string_agg(line, chr(10) ORDER BY pos) FILTER (rn = 1) AS text,
+        |       CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_lines,
+        |       CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_dropped
+        |FROM k GROUP BY doc_id
+        |HAVING count(*) FILTER (rn = 1) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q_contamination" ->
       """WITH src AS (

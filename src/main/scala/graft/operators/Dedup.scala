@@ -334,4 +334,45 @@ object Dedup {
         VectorFunctions.cosine(col("pa"), col("pb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Cross-corpus LINE-level dedup (the CCNet recipe): every occurrence
+    * beyond the first of each distinct non-empty line — boilerplate
+    * headers, cookie banners, nav text — is removed corpus-wide; "first"
+    * is the smallest `(idCol, line position)`. Documents whose every
+    * line is removed disappear from the output (CCNet drops them too).
+    *
+    * Output: idCol, `text` (surviving lines re-joined with `\n`),
+    * `n_lines` (surviving), `n_dropped` (THIS doc's lines removed as
+    * non-first duplicates).
+    *
+    * Scale shape — agg + join, NOT a window: the obvious
+    * `row_number() OVER (PARTITION BY line)` funnels every copy of a
+    * hyper-common line (empty boilerplate appears 10⁹ times at 100 TB)
+    * into ONE task. Instead: (1) per-line 64-bit fingerprint; (2)
+    * `groupBy(hash).agg(min(struct(id, pos)))` — partial aggregation
+    * collapses each map task to its distinct lines before the shuffle,
+    * so hot lines cost one row per task; (3) join winners back (the one
+    * shuffle that moves line text); (4) reassemble per doc. Collisions:
+    * two distinct lines sharing an xxhash64 would merge (one loses all
+    * its copies) — odds ~|distinct lines|²/2⁶⁴, the standard CCNet
+    * trade; swap in a 128-bit fingerprint if that's ever material. */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val lines = ensureParallel(df)
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+      .filter(length(col("_line")) > 0)
+      .withColumn("_h", xxhash64(col("_line")))
+    val firsts = lines.groupBy(col("_h"))
+      .agg(min(struct(col(idCol), col("_pos"))).as("_first"))
+    lines.join(firsts, Seq("_h"))
+      .withColumn("_keep",
+        col(idCol) === col("_first")(idCol) && col("_pos") === col("_first")("_pos"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(when(col("_keep"), struct(col("_pos"), col("_line"))))).as("_s"),
+        sum(when(col("_keep"), 0L).otherwise(1L)).as("n_dropped"))
+      .filter(size(col("_s")) > 0)
+      .select(col(idCol),
+        array_join(col("_s._line"), "\n").as(textCol),
+        size(col("_s")).cast("long").as("n_lines"),
+        col("n_dropped"))
+  }
 }

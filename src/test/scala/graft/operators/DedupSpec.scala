@@ -239,4 +239,26 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 4L, 5L, 7L, 8L))
   }
+
+  test("lineDedup: corpus-wide first occurrence wins; all-boilerplate docs vanish") {
+    val d = df(docSchema, Seq(
+      Row(1L, "BOILER\nunique one\nBOILER"),       // within-doc dup of BOILER too
+      Row(2L, "BOILER\nunique two"),
+      Row(3L, "BOILER"),                            // nothing survives
+      Row(4L, "unique four\n\nunique one")))        // empty line ignored; dup of doc 1's line
+    val out = Dedup.lineDedup(d, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    assert(out(0).getString(1) == "BOILER\nunique one" && out(0).getLong(3) == 1)
+    assert(out(1).getString(1) == "unique two" && out(1).getLong(3) == 1)
+    assert(out(2).getString(1) == "unique four" && out(2).getLong(3) == 1)
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 1L, 1L))
+  }
+
+  test("lineDedup keeps a no-duplicate corpus byte-identical") {
+    val d = df(docSchema, Seq(Row(1L, "a\nb"), Row(2L, "c\nd")))
+    val out = Dedup.lineDedup(d, "text", "doc_id").orderBy("doc_id").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("a\nb", "c\nd"))
+    assert(out.forall(_.getLong(3) == 0))
+  }
 }
