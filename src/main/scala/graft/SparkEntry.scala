@@ -566,6 +566,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_zorder" -> ((s, dir) => {
+      // Z-order clustered write + read-back: the oracle proves the
+      // layout pass is LOSSLESS (same rows); the 2-D pruning evidence
+      // (a box filter touches >=4x fewer files than an unclustered
+      // write) is asserted in LayoutSpec.
+      val ev = T(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      operators.Layout.zorderWrite(ev, out, Seq("user_id", "value"), numFiles = 8)
+      s.read.parquet(out)
+        .filter(col("user_id") % 10 === 0)
+        .orderBy(col("event_id"))
+    }),
+
     "q_line_dedup" -> ((s, dir) => {
       // CCNet cross-corpus line dedup. The synthetic docs are single-line,
       // so compose 3-line docs with shared boilerplate (the exact target
@@ -1095,6 +1109,10 @@ object SparkEntry {
          |            ELSE 'es' END AS predicted
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    "q_zorder" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE user_id % 10 = 0 ORDER BY event_id""".stripMargin,
 
     "q_line_dedup" ->
       """WITH src AS (

@@ -133,6 +133,35 @@ object IncrementalStream {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
+  /** Stream-stream interval join — the attribution primitive (impression
+    * ↔ conversion, click ↔ purchase): inner-join two UNBOUNDED streams
+    * where the right event lands within `[leftTs, leftTs + horizon]` of
+    * a matching key.
+    *
+    * Both ingredients of bounded state are mandatory and encoded here:
+    * each side carries a watermark (`lateness`), and the time-range
+    * predicate is part of the join condition — Spark derives exactly
+    * from those how long each side's rows must be retained, then evicts.
+    * An equi-join of two streams without the range bound would hold
+    * every row forever; that shape is rejected by requiring a positive
+    * `horizon`. Matches emit as they arrive (append mode; the watermark
+    * only bounds state, it does not delay output).
+    *
+    * Column names must be disjoint across the two sides (rename before
+    * calling) — the join condition references both unqualified. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTs: String, rightTs: String,
+                         horizon: String = "30 minutes",
+                         lateness: String = "1 hour"): DataFrame = {
+    require(horizon.trim.split("\\s+").head.toLong > 0, "horizon must be positive")
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r, expr(
+      s"$leftKey = $rightKey AND $rightTs >= $leftTs AND " +
+      s"$rightTs <= $leftTs + INTERVAL $horizon"))
+  }
+
   /** The incremental-pipe-as-stream: append new rows of `src` into a
     * parquet sink with exactly-once file-sink semantics — the streaming
     * upgrade of `Patterns.incrementalPipe` (checkpoint = watermark). */

@@ -80,6 +80,35 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(spark.table("dedup_test").columns.toSeq == Seq("doc_id", "ts", "text"))
   }
 
+  test("intervalJoinStream attributes conversions inside the horizon, both streams unbounded") {
+    val impDir = tmpDir("graft_ssj_imp_")
+    val convDir = tmpDir("graft_ssj_conv_")
+    val impSchema = StructType(Seq(
+      StructField("imp_id", LongType), StructField("imp_user", LongType),
+      StructField("imp_ts", TimestampType)))
+    val convSchema = StructType(Seq(
+      StructField("conv_id", LongType), StructField("conv_user", LongType),
+      StructField("conv_ts", TimestampType), StructField("amount", DoubleType)))
+    df(impSchema, Seq(
+      Row(1L, 100L, ts("2024-01-01 10:00:00")),
+      Row(2L, 200L, ts("2024-01-01 10:00:00")),
+      Row(3L, 100L, ts("2024-01-01 12:00:00")))).write.mode("append").parquet(impDir)
+    df(convSchema, Seq(
+      Row(10L, 100L, ts("2024-01-01 10:10:00"), 5.0),  // inside horizon of imp 1
+      Row(11L, 200L, ts("2024-01-01 11:00:00"), 7.0),  // 60 min after imp 2 — outside
+      Row(12L, 100L, ts("2024-01-01 12:20:00"), 9.0))) // inside horizon of imp 3 only
+      .write.mode("append").parquet(convDir)
+    val joined = IncrementalStream.intervalJoinStream(
+      IncrementalStream.readStream(spark, impDir, impSchema),
+      IncrementalStream.readStream(spark, convDir, convSchema),
+      "imp_user", "conv_user", "imp_ts", "conv_ts",
+      horizon = "30 minutes", lateness = "1 hour")
+    IncrementalStream.runToMemory(joined, "ssj_test")
+    val out = spark.sql("SELECT imp_id, conv_id, amount FROM ssj_test ORDER BY imp_id, conv_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, 10L, 5.0), (3L, 12L, 9.0)), out.mkString(","))
+  }
+
   test("windowedEventAgg aggregates per tumbling window with watermark") {
     val srcDir = tmpDir("graft_streamw_src_")
     df(evSchema, Seq(
