@@ -37,7 +37,13 @@ object Bench {
     "q_dedup_clusters", "q_salted_join", "q_incremental_agg",
     // r6: SCD-2 two-tick build, vocabulary top-k, int8 quantize
     // round-trip, exact-percentile corpus profile
-    "q_scd2", "q_vocab", "q_quantize", "q_corpus_stats")
+    "q_scd2", "q_vocab", "q_quantize", "q_corpus_stats",
+    // r7: the full-corpus curation scan ops — Gopher repetition profile
+    // (native single pass), PII scrub (regex chain), benchmark
+    // contamination (broadcast n-gram join), cross-corpus line dedup
+    // (agg+join), and the z-order clustered write+read round trip
+    "q_repetition", "q_pii_scrub", "q_contamination", "q_line_dedup",
+    "q_zorder")
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 

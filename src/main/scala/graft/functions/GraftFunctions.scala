@@ -109,6 +109,32 @@ object GraftFunctions {
         "__t__" -> args.head,
         "__p__" -> TextProfile(args.head, Nil, asciiTokens = false))
     }, "subword_count(text) - GPT-2-ish pretokenizer piece count (BPE cost proxy)"),
+    // ---- repetition / PII / contamination primitives (r7) ----
+    ("repetition_profile", { args: Seq[Expression] =>
+      require(args.length == 1, "repetition_profile(text)")
+      RepetitionProfile(args.head, topNs = Seq(2, 3, 4), dupNs = Seq(5, 6, 7, 8, 9, 10))
+    }, "repetition_profile(text) - Gopher repetition stats struct (lines, dup lines/chars, words, top_chars[2,3,4], dup_chars[5..10])"),
+    ("gopher_keep", { args: Seq[Expression] =>
+      require(args.length == 1, "gopher_keep(text)")
+      parsedWith(gopherKeepSql,
+        "__p__" -> RepetitionProfile(args.head, Seq(2, 3, 4), Seq(5, 6, 7, 8, 9, 10)))
+    }, "gopher_keep(text) - true when the document passes every Gopher repetition threshold (matches TextFunctions.gopherRepetitionKeep)"),
+    ("redact_pii", { args: Seq[Expression] =>
+      require(args.length == 1, "redact_pii(text)")
+      TextFunctions.defaultPiiRules.foldLeft(args.head) { (acc, r) =>
+        org.apache.spark.sql.catalyst.expressions.RegExpReplace(acc,
+          Literal.create(r.pattern), Literal.create(r.replacement))
+      }
+    }, "redact_pii(text) - replace emails/IPv4/phones with <EMAIL>/<IP>/<PHONE> (matches TextFunctions.redactPii defaults)"),
+    ("word_ngram_hashes", { args: Seq[Expression] =>
+      require(args.length == 2, "word_ngram_hashes(text, n)")
+      val n = intLit(args(1), "n")
+      require(n >= 1, s"n must be an integer literal >= 1, got $n")
+      // normalized form (like fingerprint) so SQL n-grams join against
+      // Curation.contamination's — NOT text as given
+      WordNgramHashes(parsedWith(
+        "regexp_replace(lower(trim(__t__)), '\\\\s+', ' ')", "__t__" -> args.head), n)
+    }, "word_ngram_hashes(text, n) - xxhash64 of each word n-gram of the NORMALIZED text (contamination join key)"),
     // ---- vector functions (r6): SQL forms of VectorFunctions for
     // spark.sql users — same deterministic left-fold arithmetic as the
     // Column API (norms/scale are re-evaluated per reference in these
@@ -141,6 +167,21 @@ object GraftFunctions {
         "transform(__q__.q, x -> cast(cast(x as double) * __q__.scale as float))",
         "__q__" -> args.head)
     }, "vec_dequantize(qs) - reconstruct float32 vector from vec_quantize output"))
+
+  /** The Gopher keep predicate over a `__p__` repetition-profile struct
+    * (thresholds mirror [[TextFunctions.gopherRepetitionKeep]]). */
+  private val gopherKeepSql: String = {
+    def frac(num: String, den: String) =
+      s"(case when __p__.$den = 0 then 0.0D else cast(__p__.$num as double) / __p__.$den end)"
+    val checks =
+      Seq(s"${frac("dup_lines", "lines")} <= 0.30D",
+        s"${frac("dup_line_chars", "line_chars")} <= 0.20D") ++
+      Seq(0.20, 0.18, 0.16).zipWithIndex.map { case (lim, i) =>
+        s"(case when __p__.word_chars = 0 then 0.0D else cast(__p__.top_chars[$i] as double) / __p__.word_chars end) <= ${lim}D" } ++
+      Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10).zipWithIndex.map { case (lim, i) =>
+        s"(case when __p__.word_chars = 0 then 0.0D else cast(__p__.dup_chars[$i] as double) / __p__.word_chars end) <= ${lim}D" }
+    checks.mkString(" AND ")
+  }
 
   private val dotSql =
     "aggregate(zip_with(__a__, __b__, (x, y) -> cast(x as double) * cast(y as double)), " +

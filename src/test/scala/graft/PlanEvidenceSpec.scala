@@ -94,6 +94,26 @@ class PlanEvidenceSpec extends SparkSpec {
     assert(hasExpr(_.isInstanceOf[graft.functions.SimHashText]), "SimHashText must be codegen'd")
   }
 
+  test("repetition profile + PII scrub + n-gram hashes stay inside WholeStageCodegen") {
+    val df = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+      .select(graft.functions.TextFunctions.repetitionProfile(col("text")).as("rep"),
+        graft.functions.TextFunctions.gopherRepetitionKeep(col("text")).as("keep"),
+        graft.functions.TextFunctions.redactPii(col("text")).as("clean"),
+        org.apache.spark.sql.graftshim.ColumnBridge.column(
+          graft.functions.WordNgramHashes(
+            org.apache.spark.sql.graftshim.ColumnBridge.expression(
+              graft.functions.TextFunctions.normalizeForFingerprint(col("text"))), 5)).as("gs"))
+    val codegenProjects = df.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec => w.collect { case p: ProjectExec => p }
+    }.flatten
+    def hasExpr(pred: org.apache.spark.sql.catalyst.expressions.Expression => Boolean): Boolean =
+      codegenProjects.exists(_.projectList.exists(_.exists(pred)))
+    assert(hasExpr(_.isInstanceOf[graft.functions.RepetitionProfile]),
+      "RepetitionProfile must be inside WholeStageCodegen:\n" + df.queryExecution.executedPlan)
+    assert(hasExpr(_.isInstanceOf[graft.functions.WordNgramHashes]),
+      "WordNgramHashes must be codegen'd")
+  }
+
   test("LSH candidate generation is join-free: no join operator in any sketch-dedup plan") {
     // the scale contract of minhash/simhash/embedding near-dup: band/chunk
     // explode → groupBy → in-bucket pair explode. ONE shuffle, no

@@ -69,6 +69,9 @@ class GraftFunctionsSpec extends SparkSpec {
         case "vec_quantize" | "vec_dequantize" => Seq(
           org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(1.0f),
             ArrayType(FloatType)))
+        case "word_ngram_hashes" => Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal("x"),
+          org.apache.spark.sql.catalyst.expressions.Literal(5))
         case _ => // every other registered function takes a single text arg
           Seq(org.apache.spark.sql.catalyst.expressions.Literal("x"))
       }
@@ -134,5 +137,34 @@ class GraftFunctionsSpec extends SparkSpec {
       assert(s.getSeq[Float](3) == c.getSeq[Float](3), s"dequantize diverged for id ${s.getLong(0)}")
     }
     assert(viaSql.last.getDouble(2) == 0.0, "zero-norm guard must yield 0.0")
+  }
+
+  test("r7 SQL forms (repetition/gopher/pii/ngram-hash) match the Column API") {
+    GraftFunctions.register(spark)
+    df(schema, Seq(
+      Row(1L, "spam spam spam spam\nreal content\nspam spam spam spam"),
+      Row(2L, "Perfectly Normal  prose with MANY distinct words."),
+      Row(3L, "mail me: a.b@x.org or 10.0.0.1 or (555) 123-4567")))
+      .createOrReplaceTempView("gf_r7")
+    val viaSql = spark.sql(
+      """SELECT id, repetition_profile(t) AS rep, gopher_keep(t) AS keep,
+        |       redact_pii(t) AS clean, word_ngram_hashes(t, 2) AS gs
+        |FROM gf_r7 ORDER BY id""".stripMargin).collect()
+    val viaCol = spark.table("gf_r7").select(col("id"),
+      TextFunctions.repetitionProfile(col("t")).as("rep"),
+      TextFunctions.gopherRepetitionKeep(col("t")).as("keep"),
+      TextFunctions.redactPii(col("t")).as("clean"),
+      ColumnBridge.column(WordNgramHashes(ColumnBridge.expression(
+        TextFunctions.normalizeForFingerprint(col("t"))), 2)).as("gs"))
+      .orderBy("id").collect()
+    viaSql.zip(viaCol).foreach { case (s, c) =>
+      assert(s.getStruct(1) == c.getStruct(1), s"profile diverged for id ${s.getLong(0)}")
+      assert(s.getBoolean(2) == c.getBoolean(2), s"keep diverged for id ${s.getLong(0)}")
+      assert(s.getString(3) == c.getString(3), s"redaction diverged for id ${s.getLong(0)}")
+      assert(s.getSeq[Long](4) == c.getSeq[Long](4), s"ngrams diverged for id ${s.getLong(0)}")
+    }
+    assert(!viaSql(0).getBoolean(2) && viaSql(1).getBoolean(2))
+    assert(viaSql(2).getString(3).contains("<EMAIL>") &&
+      viaSql(2).getString(3).contains("<IP>") && viaSql(2).getString(3).contains("<PHONE>"))
   }
 }
