@@ -2,7 +2,7 @@ package graft.pipelines
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.Dedup
+import graft.operators.{Curation, Dedup}
 import graft.plans.{Plan, Reporter}
 import graft.sources.ParquetConnector
 
@@ -12,7 +12,10 @@ import graft.sources.ParquetConnector
   * CLI / step selection / pid lock / reporting all apply:
   *
   *   ingest → profile (quality + langid + token stats) → filter →
-  *   dedup (exact, then MinHash near-dup) → report
+  *   scrub (PII redaction + Gopher repetition filter) →
+  *   dedup (exact, then MinHash near-dup) →
+  *   decontaminate (benchmark n-gram overlap, when a benchmark is
+  *   given) → report
   *
   * Every stage writes a parquet table into `work`, so each is
   * independently inspectable and the plan is resumable per step. At
@@ -22,15 +25,20 @@ import graft.sources.ParquetConnector
   */
 object TrainingDataPipeline {
 
-  /** Per-stage row counts, exposed for the report step and tests. */
+  /** Per-stage row counts, exposed for the report step and tests.
+    * `finalKept` = the decontaminated count when that stage ran, else
+    * the near-unique count. */
   case class Funnel(ingested: Long, profiled: Long, kept: Long,
-                    exactUnique: Long, nearUnique: Long)
+                    scrubbed: Long, exactUnique: Long, nearUnique: Long,
+                    finalKept: Long)
 
   /** Wire the pipeline steps onto `plan`. `src` must contain
     * `documents.parquet`; outputs land in `work`. */
   def build(plan: Plan, srcDir: String, workDir: String,
             minQuality: Double = 0.3, langs: Seq[String] = Seq("en", "de", "fr", "es"),
-            minhashThreshold: Double = 0.7): Plan = {
+            minhashThreshold: Double = 0.7,
+            benchDir: Option[String] = None,
+            maxContamination: Double = 0.05): Plan = {
     val spark = plan.spark
     val src = new ParquetConnector(spark, srcDir)
     val work = new ParquetConnector(spark, workDir)
@@ -52,8 +60,17 @@ object TrainingDataPipeline {
         "docs_clean")
     }
 
-    plan.step("dedup") {
+    plan.step("scrub") {
+      // PII out first (scan-speed regex chain), then the Gopher
+      // repetition thresholds — one native profile pass per doc
       val clean = work.read("docs_clean")
+      work.write(clean
+        .withColumn("text", TextFunctions.redactPii(col("text")))
+        .filter(TextFunctions.gopherRepetitionKeep(col("text"))), "docs_scrubbed")
+    }
+
+    plan.step("dedup") {
+      val clean = work.read("docs_scrubbed")
       val exact = Dedup.exact(clean, "text", "doc_id")
       work.write(exact, "docs_exact_unique")
       // transitively-correct near-dedup (r6): candidate pairs → connected
@@ -67,6 +84,21 @@ object TrainingDataPipeline {
       work.write(Dedup.clusterDedup(base, "doc_id", pairs), "docs_unique")
     }
 
+    benchDir.foreach { bd =>
+      plan.step("decontaminate") {
+        // n-gram overlap vs the benchmark corpus; the bench side
+        // broadcasts, corpus documents never shuffle (Curation
+        // .contamination), so this stays a linear scan of the survivors
+        val uniq = work.read("docs_unique")
+        val bench = new ParquetConnector(spark, bd).read("documents")
+        val frac = Curation.contamination(uniq, bench, "text", "doc_id", n = 8)
+          .select(col("doc_id"), col("contamination_frac"))
+        work.write(uniq.join(frac, Seq("doc_id"), "left")
+          .filter(coalesce(col("contamination_frac"), lit(0.0)) <= maxContamination)
+          .drop("contamination_frac"), "docs_final")
+      }
+    }
+
     plan.step("report") {
       val f = funnel(plan, srcDir, workDir)
       val body = Reporter.render(
@@ -74,11 +106,14 @@ object TrainingDataPipeline {
           |  ingested:      {{ingested}}
           |  profiled:      {{profiled}}
           |  quality+lang:  {{kept}}
+          |  scrubbed:      {{scrubbed}}
           |  exact-unique:  {{exact}}
-          |  near-unique:   {{near}}""".stripMargin,
+          |  near-unique:   {{near}}
+          |  final:         {{final}}""".stripMargin,
         Map("ingested" -> f.ingested.toString, "profiled" -> f.profiled.toString,
-          "kept" -> f.kept.toString, "exact" -> f.exactUnique.toString,
-          "near" -> f.nearUnique.toString))
+          "kept" -> f.kept.toString, "scrubbed" -> f.scrubbed.toString,
+          "exact" -> f.exactUnique.toString,
+          "near" -> f.nearUnique.toString, "final" -> f.finalKept.toString))
       body.split("\n").foreach(plan.logger.info)
     }
     plan
@@ -101,11 +136,14 @@ object TrainingDataPipeline {
   def funnel(plan: Plan, srcDir: String, workDir: String): Funnel = {
     val src = new ParquetConnector(plan.spark, srcDir)
     val work = new ParquetConnector(plan.spark, workDir)
+    val near = work.count("docs_unique")
     Funnel(
       ingested = src.count("documents"),
       profiled = work.count("doc_profile"),
       kept = work.count("docs_clean"),
+      scrubbed = work.count("docs_scrubbed"),
       exactUnique = work.count("docs_exact_unique"),
-      nearUnique = work.count("docs_unique"))
+      nearUnique = near,
+      finalKept = if (work.tables.contains("docs_final")) work.count("docs_final") else near)
   }
 }

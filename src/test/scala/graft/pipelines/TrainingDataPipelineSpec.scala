@@ -12,7 +12,7 @@ class TrainingDataPipelineSpec extends SparkSpec {
 
   private val src = "/root/testdata/sf0.001"
 
-  test("end-to-end: profile -> filter -> dedup -> report on the documents table") {
+  test("end-to-end: profile -> filter -> scrub -> dedup -> report on the documents table") {
     val work = tmpDir("graft_pipe_work_")
     val plan = new Plan(spark, PlanConfig(pidDir = tmpDir("graft_pid_")))
     TrainingDataPipeline.build(plan, src, work, minQuality = 0.2)
@@ -22,8 +22,11 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(f.profiled == f.ingested, "profile is a 1:1 map")
     assert(f.kept <= f.profiled)
     assert(f.kept > 0, "quality/lang filter must keep something at threshold 0.2")
-    assert(f.exactUnique <= f.kept)
+    assert(f.scrubbed <= f.kept)
+    assert(f.scrubbed > 0, "repetition filter must keep normal prose")
+    assert(f.exactUnique <= f.scrubbed)
     assert(f.nearUnique <= f.exactUnique)
+    assert(f.finalKept == f.nearUnique, "no benchmark -> final == near-unique")
     // the report rendered through the plan logger
     assert(plan.logger.messages.exists(_.contains("training-data funnel")))
     assert(plan.logger.messages.exists(_.contains(s"near-unique:   ${f.nearUnique}")))
@@ -42,9 +45,34 @@ class TrainingDataPipelineSpec extends SparkSpec {
         concat(col("text"), lit(" tiny suffix")).as("text"))
     workConn.write(clean.unionByName(planted, allowMissingColumns = true), "docs_clean")
     val before = workConn.count("docs_clean")
-    plan.run(Seq("dedup")) // selected-step rerun, same plan instance? steps run once —
+    plan.run(Seq("scrub", "dedup")) // selected-step rerun, same plan instance? steps run once —
     val f = TrainingDataPipeline.funnel(plan, src, work)
     assert(before == f.kept)
-    assert(f.nearUnique < before, "planted near-dup must be removed")
+    assert(f.nearUnique < f.scrubbed, "planted near-dup must be removed")
+  }
+
+  test("decontaminate stage drops documents overlapping the benchmark") {
+    val work = tmpDir("graft_pipe_work3_")
+    val benchDir = tmpDir("graft_pipe_bench_")
+    val plan = new Plan(spark, PlanConfig(pidDir = tmpDir("graft_pid3_")))
+    TrainingDataPipeline.build(plan, src, work, minQuality = 0.0,
+      benchDir = Some(benchDir), maxContamination = 0.05)
+    // run the funnel up to dedup, then build the benchmark from 5 DOCS
+    // THAT SURVIVED (scrub/dedup may legitimately drop any fixed choice),
+    // so decontaminate provably has overlapping targets
+    plan.run(Seq("profile", "filter", "scrub", "dedup"))
+    val workConn0 = new graft.sources.ParquetConnector(spark, work)
+    val benchConn = new graft.sources.ParquetConnector(spark, benchDir)
+    benchConn.write(workConn0.read("docs_unique").orderBy(col("doc_id")).limit(5)
+      .select("doc_id", "text"), "documents")
+    plan.run(Seq("decontaminate", "report"))
+    val f = TrainingDataPipeline.funnel(plan, src, work)
+    assert(f.finalKept < f.nearUnique, "benchmark members must be dropped")
+    val workConn = new graft.sources.ParquetConnector(spark, work)
+    val finalIds = workConn.read("docs_final").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val benchIds = benchConn.read("documents").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(benchIds.intersect(finalIds).isEmpty, "no benchmark doc survives")
   }
 }
