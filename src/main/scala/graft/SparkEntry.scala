@@ -566,6 +566,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_sample_group" -> ((s, dir) => {
+      // deterministic per-language sample via the mergeable bottom-k-by-
+      // hash aggregate — map tasks reduce to k pairs before the shuffle,
+      // no group is sorted (the oracle replays it as a window, which IS
+      // the sorted formulation this aggregate exists to avoid at scale)
+      operators.Curation.sampleGroups(T(s, dir, "documents"), Seq("lang"), "doc_id", k = 8)
+        .select(col("lang"), posexplode(col("sample_ids")).as(Seq("rank", "doc_id")))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
+    "q_chunk" -> ((s, dir) => {
+      // context-length chunking with overlap (64-token windows, stride
+      // 56) — row-local, shuffle-free; oracled against DuckDB slices
+      operators.Curation.chunkDocuments(T(s, dir, "documents"),
+          "text", "doc_id", chunkTokens = 64, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     "q_zorder" -> ((s, dir) => {
       // Z-order clustered write + read-back: the oracle proves the
       // layout pass is LOSSLESS (same rows); the 2-D pruning evidence
@@ -1109,6 +1127,30 @@ object SparkEntry {
          |            ELSE 'es' END AS predicted
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    "q_sample_group" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id, (doc_id * 2654435761) % 4294967296 AS p FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang ORDER BY p, doc_id) AS rn
+        |  FROM h)
+        |SELECT lang, CAST(rn - 1 AS INTEGER) AS rank, doc_id
+        |FROM r WHERE rn <= 8 ORDER BY lang, rank""".stripMargin,
+
+    "q_chunk" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |c AS (
+        |  SELECT doc_id, len(w) AS n, w,
+        |         unnest(range(0, (len(w) - 1) // 56 + 1)) AS chunk_idx
+        |  FROM w)
+        |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+        |       array_to_string(w[chunk_idx * 56 + 1 : least(chunk_idx * 56 + 64, n)], ' ') AS chunk_text,
+        |       CAST(least(64, n - chunk_idx * 56) AS BIGINT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_zorder" ->
       """SELECT event_id, user_id, value FROM events

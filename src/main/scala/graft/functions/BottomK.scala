@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Mergeable bottom-k aggregate: keeps the `k` payloads with the
+  * smallest `(priority, payload)` per group, as a bounded binary heap.
+  *
+  * Why an aggregate and not a window: `row_number() OVER (PARTITION BY g
+  * ORDER BY p) <= k` SORTS every group in full — a 10⁹-row group costs
+  * n·log n and one task. Bottom-k is MERGEABLE (bottom-k of a union =
+  * bottom-k of the merged bottom-ks), so this runs as partial
+  * aggregation: every map task reduces its slice to ≤ k pairs before the
+  * shuffle, the exchange carries k·tasks rows, and no group is ever
+  * materialized, let alone sorted. Same result, heap cost n·log k, full
+  * parallelism.
+  *
+  * With `priority = hash(id)` this is a deterministic uniform group
+  * sample (the bottom-k-by-hash sketch); with a real column it's
+  * per-group top-k/bottom-k. Ties break by payload — bit-stable across
+  * partitionings and engines.
+  */
+case class BottomKAgg(priority: Expression, payload: Expression, k: Int,
+                      override val mutableAggBufferOffset: Int = 0,
+                      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[BottomKAgg.Heap] {
+  require(k >= 1, s"bottom_k needs k >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(priority, payload)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (priority.dataType, payload.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bottom_k needs (long priority, long payload), got $other")
+    }
+
+  override def createAggregationBuffer(): BottomKAgg.Heap = new BottomKAgg.Heap(k)
+
+  override def update(buf: BottomKAgg.Heap, input: InternalRow): BottomKAgg.Heap = {
+    val p = priority.eval(input)
+    val v = payload.eval(input)
+    if (p != null && v != null) buf.offer(p.asInstanceOf[Long], v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: BottomKAgg.Heap, other: BottomKAgg.Heap): BottomKAgg.Heap = {
+    other.foreach((p, v) => buf.offer(p, v))
+    buf
+  }
+
+  override def eval(buf: BottomKAgg.Heap): Any =
+    new GenericArrayData(buf.sortedPayloads)
+
+  override def serialize(buf: BottomKAgg.Heap): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): BottomKAgg.Heap =
+    BottomKAgg.Heap.fromBytes(bytes, k)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): BottomKAgg =
+    copy(priority = newChildren(0), payload = newChildren(1))
+  override def prettyName: String = "bottom_k"
+}
+
+object BottomKAgg {
+
+  /** Bounded max-heap over (priority, payload) pairs: the ROOT is the
+    * LARGEST pair, so a full heap admits a new pair by evicting the
+    * root iff the newcomer is smaller. Flat long arrays, no boxing. */
+  final class Heap(k: Int) {
+    private val ps = new Array[Long](k)
+    private val vs = new Array[Long](k)
+    private var n = 0
+
+    @inline private def gt(p1: Long, v1: Long, p2: Long, v2: Long): Boolean =
+      p1 > p2 || (p1 == p2 && v1 > v2)
+
+    def offer(p: Long, v: Long): Unit = {
+      if (n < k) {
+        ps(n) = p; vs(n) = v; n += 1
+        var i = n - 1 // sift up
+        while (i > 0 && gt(ps(i), vs(i), ps((i - 1) / 2), vs((i - 1) / 2))) {
+          swap(i, (i - 1) / 2); i = (i - 1) / 2
+        }
+      } else if (gt(ps(0), vs(0), p, v)) {
+        ps(0) = p; vs(0) = v
+        var i = 0 // sift down
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1; val r = 2 * i + 2
+          var m = i
+          if (l < n && gt(ps(l), vs(l), ps(m), vs(m))) m = l
+          if (r < n && gt(ps(r), vs(r), ps(m), vs(m))) m = r
+          if (m == i) done = true else { swap(i, m); i = m }
+        }
+      }
+    }
+
+    @inline private def swap(i: Int, j: Int): Unit = {
+      val tp = ps(i); ps(i) = ps(j); ps(j) = tp
+      val tv = vs(i); vs(i) = vs(j); vs(j) = tv
+    }
+
+    def foreach(f: (Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i < n) { f(ps(i), vs(i)); i += 1 }
+    }
+
+    /** Payloads ascending by (priority, payload). */
+    def sortedPayloads: Array[Long] = {
+      val idx = (0 until n).sortWith { (a, b) =>
+        ps(a) < ps(b) || (ps(a) == ps(b) && vs(a) < vs(b))
+      }
+      idx.map(vs).toArray
+    }
+
+    def toBytes: Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 16 * n)
+      bb.putInt(n)
+      var i = 0
+      while (i < n) { bb.putLong(ps(i)); bb.putLong(vs(i)); i += 1 }
+      bb.array()
+    }
+  }
+
+  object Heap {
+    def fromBytes(bytes: Array[Byte], k: Int): Heap = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val h = new Heap(k)
+      var i = 0
+      while (i < n) { h.offer(bb.getLong, bb.getLong); i += 1 }
+      h
+    }
+  }
+}

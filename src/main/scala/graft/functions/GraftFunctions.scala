@@ -135,6 +135,12 @@ object GraftFunctions {
       WordNgramHashes(parsedWith(
         "regexp_replace(lower(trim(__t__)), '\\\\s+', ' ')", "__t__" -> args.head), n)
     }, "word_ngram_hashes(text, n) - xxhash64 of each word n-gram of the NORMALIZED text (contamination join key)"),
+    ("bottom_k", { args: Seq[Expression] =>
+      require(args.length == 3, "bottom_k(priority, payload, k)")
+      val k = intLit(args(2), "k")
+      require(k >= 1, s"k must be an integer literal >= 1, got $k")
+      BottomKAgg(args.head, args(1), k).toAggregateExpression()
+    }, "bottom_k(priority, payload, k) - mergeable per-group bottom-k aggregate: k payloads with smallest (priority, payload), ascending"),
     // ---- vector functions (r6): SQL forms of VectorFunctions for
     // spark.sql users — same deterministic left-fold arithmetic as the
     // Column API (norms/scale are re-evaluated per reference in these

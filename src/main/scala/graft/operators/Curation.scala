@@ -109,6 +109,56 @@ object Curation {
       .drop("_cum")
   }
 
+  /** Deterministic uniform per-group sample of `k` ids via the native
+    * bottom-k-by-hash aggregate ([[graft.functions.BottomKAgg]]): every
+    * map task reduces to ≤ k pairs before the shuffle — no group is ever
+    * sorted or materialized (a `row_number` window would sort each group
+    * in one task). Priority is the Knuth multiplicative hash
+    * `(id × 2654435761) mod 2³²` — spread enough for sampling and, unlike
+    * xxhash64, exactly replicable in plain SQL on any engine (the oracle
+    * recomputes it in DuckDB). Contract: `idCol` non-negative and below
+    * ~2³³ so the product stays inside a long on every engine; swap the
+    * priority expression for `xxhash64` when ids exceed that. */
+  def sampleGroups(df: DataFrame, groupCols: Seq[String], idCol: String,
+                   k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "sampleGroups needs at least one group column")
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val id = col(idCol).cast("long")
+    val agg = graft.functions.BottomKAgg(
+      ColumnBridge.expression((id * lit(2654435761L)) % lit(4294967296L)),
+      ColumnBridge.expression(id), k)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(ColumnBridge.column(agg.toAggregateExpression()).as("sample_ids"))
+  }
+
+  /** Split documents into fixed token-count chunks with overlap — the
+    * tokenize-and-chunk step upstream of [[packSequences]] (chunk to
+    * the model context length, pack the chunks). Words are whitespace
+    * tokens of the normalized (lowercase, single-space) text; chunk `i`
+    * starts at word `i × (chunkTokens − overlap)` and the last chunk may
+    * be short. Blank documents emit nothing.
+    *
+    * Scale shape: `split` → `posexplode(sequence(...))` → `slice` /
+    * `array_join` — all codegen'd builtins, no HOF lambda, no shuffle at
+    * all (chunking is embarrassingly row-local; the explode multiplies
+    * rows ~n/stride, exactly the output size). */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+                     chunkTokens: Int = 512, overlap: Int = 64): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val stride = chunkTokens - overlap
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        split(graft.functions.TextFunctions.normalizeForFingerprint(col(textCol)), " ").as("_w"))
+      .withColumn("_n", size(col("_w")))
+      .select(col(idCol), col("_w"), col("_n"),
+        posexplode(sequence(lit(0), expr(s"(_n - 1) div $stride"))).as(Seq("_seq", "chunk_idx")))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("_w"), col("chunk_idx") * stride + 1, lit(chunkTokens)), " ").as("chunk_text"),
+        least(lit(chunkTokens), col("_n") - col("chunk_idx") * stride).cast("long").as("n_tokens"))
+  }
+
   /** Benchmark-contamination check: for every corpus document, how many
     * of its distinct word n-grams also occur in the benchmark set
     * (normalized: lowercase, whitespace collapsed). The decontamination

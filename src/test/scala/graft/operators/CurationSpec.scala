@@ -132,6 +132,33 @@ class CurationSpec extends SparkSpec {
     assert(out.head.getLong(2) == 1)
   }
 
+  test("chunkDocuments: stride windows, short tail, blank docs vanish") {
+    val d = df(textSchema, Seq(
+      Row(1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
+      Row(2L, "only three words"),
+      Row(3L, "   ")))
+    val out = Curation.chunkDocuments(d, "text", "doc_id", chunkTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // stride 3: doc 1 chunks start at 0,3,6,9 -> 4 chunks; last has 1 token
+    val doc1 = out.filter(_.getLong(0) == 1L)
+    assert(doc1.length == 4)
+    assert(doc1.map(_.getString(2)).toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
+    assert(doc1.map(_.getLong(3)).toSeq == Seq(4L, 4L, 4L, 1L))
+    val doc2 = out.filter(_.getLong(0) == 2L)
+    assert(doc2.length == 1 && doc2.head.getString(2) == "only three words" &&
+      doc2.head.getLong(3) == 3L)
+    assert(!out.exists(_.getLong(0) == 3L))
+  }
+
+  test("chunkDocuments rejects bad overlap/chunk sizes") {
+    val d = df(textSchema, Seq(Row(1L, "a b")))
+    intercept[IllegalArgumentException] {
+      Curation.chunkDocuments(d, "text", "doc_id", chunkTokens = 4, overlap = 4) }
+    intercept[IllegalArgumentException] {
+      Curation.chunkDocuments(d, "text", "doc_id", chunkTokens = 0) }
+  }
+
   test("wordNgramHashes: distinct hash count == distinct n-gram string count (random)") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("aa", "bb", "cc", "dd")
