@@ -43,7 +43,10 @@ object Bench {
     // contamination (broadcast n-gram join), cross-corpus line dedup
     // (agg+join), and the z-order clustered write+read round trip
     "q_repetition", "q_pii_scrub", "q_contamination", "q_line_dedup",
-    "q_zorder")
+    "q_zorder",
+    // r7: shuffle-free context-length chunking and the mergeable
+    // bottom-k sample (partial-agg vs the window sort it replaces)
+    "q_chunk", "q_sample_group")
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 

@@ -114,6 +114,13 @@ class PlanEvidenceSpec extends SparkSpec {
       "WordNgramHashes must be codegen'd")
   }
 
+  test("chunkDocuments is shuffle-free: no exchange anywhere in the plan") {
+    val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+    val plan = graft.operators.Curation.chunkDocuments(docs, "text", "doc_id", 64, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "chunking must stay row-local:\n" + plan)
+  }
+
   test("LSH candidate generation is join-free: no join operator in any sketch-dedup plan") {
     // the scale contract of minhash/simhash/embedding near-dup: band/chunk
     // explode → groupBy → in-bucket pair explode. ONE shuffle, no
