@@ -46,7 +46,9 @@ object Bench {
     "q_zorder",
     // r7: shuffle-free context-length chunking and the mergeable
     // bottom-k sample (partial-agg vs the window sort it replaces)
-    "q_chunk", "q_sample_group")
+    "q_chunk", "q_sample_group",
+    // r7: the O(delta + index) dedup tick — corpus text never read
+    "q_dedup_incr")
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 

@@ -598,6 +598,24 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_dedup_incr" -> ((s, dir) => {
+      // incremental exact dedup: a delta ticks against the corpus's
+      // 8-byte fingerprint index — corpus text is never read. Delta =
+      // held-out docs + exact copies of corpus docs (cross-dups) +
+      // second copies of the held-outs (internal dups).
+      val docs = T(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val delta = docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text"))
+        .union(docs.filter(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        .union(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      Dedup.exactAgainst(delta, "text", "doc_id",
+          Dedup.fingerprintIndex(corpus, "text"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_line_dedup" -> ((s, dir) => {
       // CCNet cross-corpus line dedup. The synthetic docs are single-line,
       // so compose 3-line docs with shared boilerplate (the exact target
@@ -1155,6 +1173,22 @@ object SparkEntry {
     "q_zorder" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE user_id % 10 = 0 ORDER BY event_id""".stripMargin,
+
+    "q_dedup_incr" ->
+      """WITH corpus AS (
+        |  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |delta AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 1
+        |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 5 = 0),
+        |d AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM delta),
+        |surv AS (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+        |  FROM d WHERE norm NOT IN (SELECT norm FROM corpus))
+        |SELECT doc_id FROM surv WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q_line_dedup" ->
       """WITH src AS (

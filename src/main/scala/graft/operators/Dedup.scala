@@ -45,6 +45,52 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** The 8-byte fingerprint index of a corpus — what [[exactAgainst]]
+    * and [[incrementalExact]] dedup deltas against. One column `fp`,
+    * distinct; at 100 TB the index is ~10⁻⁴ of the corpus bytes. */
+  def fingerprintIndex(df: DataFrame, textCol: String): DataFrame =
+    df.select(TextFunctions.fingerprint(col(textCol)).as("fp")).distinct()
+
+  /** Incremental exact dedup, read-only form: keep the delta rows whose
+    * normalized text (a) does not appear in the corpus fingerprint index
+    * and (b) is the first occurrence (lowest id) within the delta
+    * itself. The corpus contributes 8-byte fingerprints only — its text
+    * is never read, so a daily tick costs O(delta + index), not
+    * O(corpus). */
+  def exactAgainst(delta: DataFrame, textCol: String, idCol: String,
+                   corpusFingerprints: DataFrame, fpCol: String = "fp"): DataFrame = {
+    val withFp = delta.withColumn("_fp", TextFunctions.fingerprint(col(textCol)))
+    val w = Window.partitionBy(col("_fp")).orderBy(col(idCol).asc)
+    withFp
+      .join(corpusFingerprints.select(col(fpCol).as("_fp")).distinct(),
+        Seq("_fp"), "left_anti")
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .drop("_rn", "_fp")
+  }
+
+  /** Index-maintaining form: dedup `delta` against the fingerprint
+    * index persisted as `indexTable` in `conn` (created on first tick),
+    * then append the survivors' fingerprints. Re-running the same delta
+    * is a no-op (its fingerprints are in the index) — replay-idempotent
+    * like the incremental pipes. Returns the surviving rows. */
+  def incrementalExact(delta: DataFrame, textCol: String, idCol: String,
+                       conn: graft.sources.Connector, indexTable: String): DataFrame = {
+    val empty = !conn.tables.contains(indexTable)
+    val index =
+      if (empty) delta.sparkSession.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("fp",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      else conn.read(indexTable)
+    // sever lineage BEFORE rewriting the index the join reads — a lazy
+    // result re-evaluated after the write would see its own fingerprints
+    // and dedup itself to nothing
+    val kept = exactAgainst(delta, textCol, idCol, index).localCheckpoint(true)
+    conn.write(fingerprintIndex(kept, textCol).union(index).distinct(), indexTable)
+    kept
+  }
+
   /** Word n-gram shingles of the normalized text (lowercase, whitespace
     * collapsed) as an array column — the input unit for MinHash/Jaccard.
     * Docs with fewer than `n` tokens yield an EMPTY array: `sequence` with

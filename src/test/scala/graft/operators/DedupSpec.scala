@@ -240,6 +240,26 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L, 7L, 8L))
   }
 
+  test("incrementalExact: ticks dedup against the persisted index; replay is a no-op") {
+    val conn = new graft.sources.ParquetConnector(spark, tmpDir("graft_fpidx_"))
+    val t1 = df(docSchema, Seq(Row(1L, "alpha doc"), Row(2L, "beta doc")))
+    assert(Dedup.incrementalExact(t1, "text", "doc_id", conn, "fp_index")
+      .count() == 2)
+    // tick 2: one corpus dup (normalized match), one internal dup pair, one new
+    val t2 = df(docSchema, Seq(
+      Row(10L, "ALPHA   doc"),     // dup of corpus doc 1 after normalization
+      Row(11L, "gamma doc"), Row(12L, "gamma doc"), // internal pair -> keep 11
+      Row(13L, "delta doc")))
+    val kept2 = Dedup.incrementalExact(t2, "text", "doc_id", conn, "fp_index")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(11L, 13L))
+    // replay of tick 2: everything already indexed
+    assert(Dedup.incrementalExact(t2, "text", "doc_id", conn, "fp_index")
+      .count() == 0)
+    // the index holds exactly the distinct fingerprints seen
+    assert(conn.read("fp_index").count() == 4)
+  }
+
   test("lineDedup: corpus-wide first occurrence wins; all-boilerplate docs vanish") {
     val d = df(docSchema, Seq(
       Row(1L, "BOILER\nunique one\nBOILER"),       // within-doc dup of BOILER too
