@@ -179,6 +179,43 @@ object Dedup {
                         numHashes: Int = 64, bands: Int = 16,
                         shingleLen: Int = 3, threshold: Double = 0.7,
                         maxBucketSize: Int = 2000): DataFrame = {
+    val banded = bandedSignatures(df, textCol, idCol, numHashes, bands, shingleLen)
+    val agreement = ColumnBridge.column(SignatureAgreement(
+      ColumnBridge.expression(col("pa")), ColumnBridge.expression(col("pb"))))
+    bucketPairs(banded, Seq("_band", "_bucket"), "_id", "_sig", maxBucketSize)
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        (agreement.cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .distinct() // same pair from multiple bands has identical est — safe
+  }
+
+  /** Banded MinHash index of a corpus — the persisted side of
+    * incremental NEAR-dup dedup ([[minhashAgainstIndex]]): one row per
+    * (band, bucket) per doc with the signature riding along, sketch
+    * bytes only (numHashes×8 per doc per band; the corpus text never
+    * leaves its scan). Buckets larger than `maxBucketSize` are dropped
+    * at build time — same degenerate-bucket semantics as the batch
+    * candidates, and it keeps a hot bucket (every empty doc shares one)
+    * from fanning out every future probe. The cap uses groupBy-count +
+    * semi-join, not a window, so a billion-row bucket never lands in one
+    * task. Probes MUST use the same (numHashes, bands, shingleLen). */
+  def minhashIndex(df: DataFrame, textCol: String, idCol: String,
+                   numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 3,
+                   maxBucketSize: Int = 2000): DataFrame = {
+    val banded = bandedSignatures(df, textCol, idCol, numHashes, bands, shingleLen)
+    if (maxBucketSize <= 0) banded
+    else {
+      val ok = banded.groupBy("_band", "_bucket").agg(count(lit(1)).as("_bc"))
+        .filter(col("_bc") <= maxBucketSize)
+      banded.join(ok, Seq("_band", "_bucket"), "left_semi")
+    }
+  }
+
+  /** (id, sig, band, bucket) rows for LSH — shared by the batch and
+    * index paths so their banding is bit-identical. */
+  private def bandedSignatures(df: DataFrame, textCol: String, idCol: String,
+                               numHashes: Int, bands: Int, shingleLen: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     // BARRIER between signature compute and banding: without an exchange,
@@ -195,16 +232,42 @@ object Dedup {
     // banding projection to interpreted eval
     val bandHashes = array((0 until bands).map(b =>
       xxhash64(lit(b), slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
-    val banded = sig.select(col("_id"), col("_sig"),
+    sig.select(col("_id"), col("_sig"),
       posexplode(bandHashes).as(Seq("_band", "_bucket")))
+  }
+
+  /** Incremental near-dup candidates: DELTA docs vs an already-indexed
+    * corpus ([[minhashIndex]], same parameters). The delta is banded the
+    * same way and equi-joined on (band, bucket); collisions verify by
+    * exact signature agreement. Cost: O(delta × bands) probe rows
+    * against an index equi-join — the corpus is touched only through
+    * its sketch index. Returns (deltaIdCol, corpusIdCol, est_jaccard)
+    * distinct pairs at `threshold`. */
+  def minhashAgainstIndex(delta: DataFrame, textCol: String, idCol: String,
+                          index: DataFrame, numHashes: Int = 64, bands: Int = 16,
+                          shingleLen: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val probes = bandedSignatures(delta, textCol, idCol, numHashes, bands, shingleLen)
+      .withColumnsRenamed(Map("_id" -> "_did", "_sig" -> "_dsig"))
+    val idx = index.withColumnsRenamed(Map("_id" -> "_cid", "_sig" -> "_csig"))
     val agreement = ColumnBridge.column(SignatureAgreement(
-      ColumnBridge.expression(col("pa")), ColumnBridge.expression(col("pb"))))
-    bucketPairs(banded, Seq("_band", "_bucket"), "_id", "_sig", maxBucketSize)
-      .select(least(col("ia"), col("ib")).as("id_a"),
-        greatest(col("ia"), col("ib")).as("id_b"),
+      ColumnBridge.expression(col("_dsig")), ColumnBridge.expression(col("_csig"))))
+    probes.join(idx, Seq("_band", "_bucket"))
+      .select(col("_did").as("delta_id"), col("_cid").as("corpus_id"),
         (agreement.cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .distinct() // same pair from multiple bands has identical est — safe
+      .distinct()
+  }
+
+  /** Incremental near-dup dedup tick: drop delta docs with a verified
+    * corpus match, then near-dedup the remainder within itself. */
+  def minhashDedupAgainst(delta: DataFrame, textCol: String, idCol: String,
+                          index: DataFrame, numHashes: Int = 64, bands: Int = 16,
+                          shingleLen: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val matched = minhashAgainstIndex(delta, textCol, idCol, index,
+      numHashes, bands, shingleLen, threshold)
+      .select(col("delta_id").as(idCol)).distinct()
+    minhashDedup(delta.join(matched, Seq(idCol), "left_anti"),
+      textCol, idCol, numHashes, bands, shingleLen, threshold)
   }
 
   /** MinHash-LSH dedup: drop every doc that is a candidate-duplicate of a

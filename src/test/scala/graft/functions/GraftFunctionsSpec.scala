@@ -72,6 +72,10 @@ class GraftFunctionsSpec extends SparkSpec {
         case "word_ngram_hashes" => Seq(
           org.apache.spark.sql.catalyst.expressions.Literal("x"),
           org.apache.spark.sql.catalyst.expressions.Literal(5))
+        case "bottom_k" => Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal(1L),
+          org.apache.spark.sql.catalyst.expressions.Literal(2L),
+          org.apache.spark.sql.catalyst.expressions.Literal(3))
         case _ => // every other registered function takes a single text arg
           Seq(org.apache.spark.sql.catalyst.expressions.Literal("x"))
       }

@@ -260,6 +260,42 @@ class DedupSpec extends SparkSpec {
     assert(conn.read("fp_index").count() == 4)
   }
 
+  test("minhashAgainstIndex == cross pairs of the batch candidates (same banding)") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val corpus = df(docSchema, (1L to 6L).map(i => Row(i, s"$base corpus doc $i unique tail $i")))
+    val delta = df(docSchema, Seq(
+      Row(101L, s"$base corpus doc 3 unique tail 3 x"), // near-dup of corpus 3
+      Row(102L, "completely different text about gardens and tulips in spring")))
+    val idx = Dedup.minhashIndex(corpus, "text", "doc_id", numHashes = 32, bands = 8)
+    val incr = Dedup.minhashAgainstIndex(delta, "text", "doc_id", idx,
+        numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // reference: batch candidates over the UNION, restricted to
+    // (delta, corpus) cross pairs — banding is shared code, so the
+    // bucket collisions (and est values) must be identical
+    val batch = Dedup.minhashCandidates(corpus.union(delta), "text", "doc_id",
+        numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a <= 6 && b >= 100 }
+      .map { case (a, b, e) => (b, a, e) }.toSet
+    assert(incr == batch, s"incr=$incr batch=$batch")
+    assert(incr.exists { case (d, c, _) => d == 101L && c == 3L })
+  }
+
+  test("minhashDedupAgainst drops corpus near-dups and internal delta near-dups") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val corpus = df(docSchema, Seq(Row(1L, s"$base original")))
+    val delta = df(docSchema, Seq(
+      Row(10L, s"$base original indeed"),                          // near-dup of corpus
+      Row(11L, "novel text about mountain weather and climbing gear today"),
+      Row(12L, "novel text about mountain weather and climbing gear today also")))
+    val idx = Dedup.minhashIndex(corpus, "text", "doc_id", numHashes = 32, bands = 8)
+    val kept = Dedup.minhashDedupAgainst(delta, "text", "doc_id", idx,
+        numHashes = 32, bands = 8, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L), kept.toString)
+  }
+
   test("lineDedup: corpus-wide first occurrence wins; all-boilerplate docs vanish") {
     val d = df(docSchema, Seq(
       Row(1L, "BOILER\nunique one\nBOILER"),       // within-doc dup of BOILER too
