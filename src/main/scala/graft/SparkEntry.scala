@@ -703,6 +703,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_normalize" -> ((s, dir) => {
+      // Unicode canonicalization over a PINNED fixture (the synthetic
+      // docs are ASCII): NFC + strip_accents, oracled against DuckDB's
+      // utf8proc-backed nfc_normalize/strip_accents on identical bytes
+      import s.implicits._
+      Seq((1L, "cafe\u0301 nai\u0308ve"),     // decomposed forms
+          (2L, "caf\u00e9 na\u00efve"),         // composed forms
+          (3L, "\u00c5ngstr\u00f6m \u00f1 \u00fc \u00e8"), (4L, ""),
+          (5L, "plain ascii text"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          TextFunctions.nfcNormalize(col("text")).as("nfc"),
+          TextFunctions.stripAccents(col("text")).as("stripped"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_sanitize" -> ((s, dir) => {
       T(s, dir, "documents")
         .select(col("doc_id"),
@@ -1265,6 +1281,16 @@ object SparkEntry {
         |       len(regexp_extract_all(dirty, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS n_ips,
         |       len(regexp_extract_all(dirty, '\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}\b')) AS n_phones
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_normalize" ->
+      """WITH f(doc_id, t) AS (VALUES
+        |  (1, 'cafe' || chr(769) || ' nai' || chr(776) || 've'),
+        |  (2, 'caf' || chr(233) || ' na' || chr(239) || 've'),
+        |  (3, chr(197) || 'ngstr' || chr(246) || 'm ' || chr(241) || ' ' || chr(252) || ' ' || chr(232)),
+        |  (4, ''),
+        |  (5, 'plain ascii text'))
+        |SELECT doc_id, nfc_normalize(t) AS nfc, strip_accents(t) AS stripped
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_repetition" ->
       """WITH base AS (

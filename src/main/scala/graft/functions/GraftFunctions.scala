@@ -135,6 +135,15 @@ object GraftFunctions {
       WordNgramHashes(parsedWith(
         "regexp_replace(lower(trim(__t__)), '\\\\s+', ' ')", "__t__" -> args.head), n)
     }, "word_ngram_hashes(text, n) - xxhash64 of each word n-gram of the NORMALIZED text (contamination join key)"),
+    ("normalize_text", { args: Seq[Expression] =>
+      require(args.length == 2, "normalize_text(text, 'nfc'|'nfd'|'strip_accents')")
+      val mode = args(1) match {
+        case Literal(v: org.apache.spark.unsafe.types.UTF8String, org.apache.spark.sql.types.StringType) => v.toString
+        case other => throw new IllegalArgumentException(
+          s"normalize_text mode must be a string literal, got $other")
+      }
+      NormalizeText(args.head, mode)
+    }, "normalize_text(text, mode) - Unicode normalization: nfc, nfd, or strip_accents (NFD + drop combining marks)"),
     ("bottom_k", { args: Seq[Expression] =>
       require(args.length == 3, "bottom_k(priority, payload, k)")
       val k = intLit(args(2), "k")

@@ -194,6 +194,17 @@ object TextFunctions {
     checks.reduce(_ && _)
   }
 
+  /** Unicode NFC canonicalization (native, codegen'd) — run before
+    * fingerprinting/dedup so composed and decomposed forms of the same
+    * visible text collide. */
+  def nfcNormalize(c: Column): Column =
+    ColumnBridge.column(NormalizeText(ColumnBridge.expression(c), "nfc"))
+
+  /** Accent stripping: NFD + drop combining marks (café→cafe); matches
+    * DuckDB `strip_accents` bit-for-bit on decomposable letters. */
+  def stripAccents(c: Column): Column =
+    ColumnBridge.column(NormalizeText(ColumnBridge.expression(c), "strip_accents"))
+
   /** One PII redaction rule: a regex and its replacement tag. Patterns
     * MUST stay in the Java∩RE2 common subset (no lookaround, no
     * backrefs) — the engine runs Java regex, the DuckDB oracle runs RE2,

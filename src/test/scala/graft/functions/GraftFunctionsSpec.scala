@@ -72,6 +72,9 @@ class GraftFunctionsSpec extends SparkSpec {
         case "word_ngram_hashes" => Seq(
           org.apache.spark.sql.catalyst.expressions.Literal("x"),
           org.apache.spark.sql.catalyst.expressions.Literal(5))
+        case "normalize_text" => Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal("x"),
+          org.apache.spark.sql.catalyst.expressions.Literal("nfc"))
         case "bottom_k" => Seq(
           org.apache.spark.sql.catalyst.expressions.Literal(1L),
           org.apache.spark.sql.catalyst.expressions.Literal(2L),

@@ -150,6 +150,25 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("nfcNormalize and stripAccents: composed/decomposed forms converge") {
+    val decomposed = "cafe\u0301 nai\u0308ve" // e + combining acute, i + combining diaeresis
+    val composed = "caf\u00e9 na\u00efve"
+    val d = df(StructType(Seq(StructField("id", LongType), StructField("t", StringType))),
+      Seq(Row(1L, decomposed), Row(2L, composed), Row(3L, "Ø plain ß")))
+    val out = d.orderBy("id").select(
+      TextFunctions.nfcNormalize(col("t")).as("nfc"),
+      TextFunctions.stripAccents(col("t")).as("stripped")).collect()
+    assert(out(0).getString(0) == composed, "NFC composes")
+    assert(out(0).getString(1) == "cafe naive" && out(1).getString(1) == "cafe naive")
+    // non-decomposable letters pass through (DuckDB strip_accents parity)
+    assert(out(2).getString(1) == "Ø plain ß")
+    // fingerprints collide after NFC, not before
+    val fps = d.filter(col("id") <= 2).select(
+      TextFunctions.fingerprint(TextFunctions.nfcNormalize(col("t"))).as("f"))
+      .collect().map(_.getLong(0)).toSet
+    assert(fps.size == 1, "normalized forms must share a fingerprint")
+  }
+
   test("redactPii: emails, IPs, phones redacted; clean text untouched; counts match") {
     val cases = Seq(
       "write to jane.doe+spam@mail.example.org today" -> "write to <EMAIL> today",
