@@ -48,7 +48,10 @@ object Bench {
     // bottom-k sample (partial-agg vs the window sort it replaces)
     "q_chunk", "q_sample_group",
     // r7: the O(delta + index) dedup tick — corpus text never read
-    "q_dedup_incr")
+    "q_dedup_incr",
+    // r7: multi-query ANN via the heap aggregate (k rows per task
+    // cross the exchange, vs the window form's Q x N shuffle)
+    "q_ann_batch")
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 

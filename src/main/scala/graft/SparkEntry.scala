@@ -512,6 +512,19 @@ object SparkEntry {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    "q_ann_batch" -> ((s, dir) => {
+      // multi-query exact top-k in ONE corpus scan via the bottom-k heap
+      // aggregate (map-side k entries per query cross the exchange — the
+      // window formulation this replaces shuffles Q x N scored rows);
+      // oracle IS that window formulation in DuckDB
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      Similarity.bruteForceTopKBatch(emb, "embedding", "vec_id", queries, "qv", "q_id", k = 10)
+        .withColumn("score", round(col("score"), 6) + 0.0)
+        .orderBy(col("q_id"), col("score").desc, col("vec_id"))
+    }),
+
     "q_ann_ivf" -> ((s, dir) => {
       // full IVF lifecycle: train -> materialize CELL-PARTITIONED index ->
       // probe (the cell filter is partition pruning at the file listing)
@@ -1357,6 +1370,22 @@ object SparkEntry {
         |LEFT JOIN top3 t3 ON b.doc_id = t3.doc_id
         |LEFT JOIN dup5 d ON b.doc_id = d.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+
+    "q_ann_batch" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        |  SELECT q.q_id, e.vec_id,
+        |         CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS DOUBLE) AS score
+        |  FROM embeddings e CROSS JOIN q),
+        |r AS (
+        |  SELECT q_id, vec_id, score,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+        |  FROM s)
+        |SELECT q_id, vec_id, ROUND(score, 6) + 0.0 AS score
+        |FROM r WHERE rn <= 10
+        |ORDER BY q_id, score DESC, vec_id""".stripMargin,
 
     "q_ann_cosine" ->
       """SELECT vec_id, ROUND(CAST(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 6) AS score

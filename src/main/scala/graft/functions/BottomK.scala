@@ -7,6 +7,30 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
+/** `sortable_bits_to_double(long)` — inverse of
+  * [[BottomKAgg.sortableBits]], so a query can decode a double priority
+  * that rode the long heap (e.g. a negated similarity score) without a
+  * second scan. */
+case class SortableBitsToDouble(child: Expression) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"needs long input, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    BottomKAgg.unsortableBits(input.asInstanceOf[Long])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BottomKAgg$$.MODULE$$.unsortableBits($c);")
+  override protected def withNewChildInternal(newChild: Expression): SortableBitsToDouble =
+    copy(child = newChild)
+  override def prettyName: String = "sortable_bits_to_double"
+}
+
 /** Mergeable bottom-k aggregate: keeps the `k` payloads with the
   * smallest `(priority, payload)` per group, as a bounded binary heap.
   *
@@ -25,6 +49,7 @@ import org.apache.spark.sql.types._
   * partitionings and engines.
   */
 case class BottomKAgg(priority: Expression, payload: Expression, k: Int,
+                      withPriorities: Boolean = false,
                       override val mutableAggBufferOffset: Int = 0,
                       override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[BottomKAgg.Heap] {
@@ -32,20 +57,32 @@ case class BottomKAgg(priority: Expression, payload: Expression, k: Int,
 
   override def children: Seq[Expression] = Seq(priority, payload)
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType =
+    if (withPriorities)
+      ArrayType(StructType(Seq(
+        StructField("p", LongType, nullable = false),
+        StructField("v", LongType, nullable = false))), containsNull = false)
+    else ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =
     (priority.dataType, payload.dataType) match {
-      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (LongType, LongType) | (DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"bottom_k needs (long priority, long payload), got $other")
+        s"bottom_k needs (long|double priority, long payload), got $other")
     }
+
+  @transient private lazy val doublePriority = priority.dataType == DoubleType
 
   override def createAggregationBuffer(): BottomKAgg.Heap = new BottomKAgg.Heap(k)
 
   override def update(buf: BottomKAgg.Heap, input: InternalRow): BottomKAgg.Heap = {
     val p = priority.eval(input)
     val v = payload.eval(input)
-    if (p != null && v != null) buf.offer(p.asInstanceOf[Long], v.asInstanceOf[Long])
+    if (p != null && v != null) {
+      val pl =
+        if (doublePriority) BottomKAgg.sortableBits(p.asInstanceOf[Double])
+        else p.asInstanceOf[Long]
+      buf.offer(pl, v.asInstanceOf[Long])
+    }
     buf
   }
 
@@ -55,7 +92,12 @@ case class BottomKAgg(priority: Expression, payload: Expression, k: Int,
   }
 
   override def eval(buf: BottomKAgg.Heap): Any =
-    new GenericArrayData(buf.sortedPayloads)
+    if (withPriorities)
+      new GenericArrayData(buf.sortedPairs.map { case (p, v) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](p, v)): Any
+      })
+    else new GenericArrayData(buf.sortedPayloads)
 
   override def serialize(buf: BottomKAgg.Heap): Array[Byte] = buf.toBytes
   override def deserialize(bytes: Array[Byte]): BottomKAgg.Heap =
@@ -71,6 +113,25 @@ case class BottomKAgg(priority: Expression, payload: Expression, k: Int,
 }
 
 object BottomKAgg {
+
+  /** Order-preserving double→long map (the classic sortable-bits
+    * transform), so a DOUBLE priority (a similarity score, a loss)
+    * rides the same long heap. −0.0 folds to 0.0 first — SQL ORDER BY
+    * treats them equal, and an oracle replaying the ordering must not
+    * see a divergence the engine invented. NaN sorts above +∞ (never
+    * enters a bottom-k unless the group is all-NaN). */
+  @inline def sortableBits(d: Double): Long = {
+    val x = d + 0.0 // fold -0.0
+    val bits = java.lang.Double.doubleToLongBits(x)
+    // Lucene's doubleToSortableLong: negatives flip their lower 63 bits
+    // (order within negatives reverses, sign bit keeps them below all
+    // positives). An involution — the inverse is the same map.
+    if (bits < 0) bits ^ Long.MaxValue else bits
+  }
+
+  /** Inverse of [[sortableBits]] (same involution, decoded). */
+  @inline def unsortableBits(l: Long): Double =
+    java.lang.Double.longBitsToDouble(if (l < 0) l ^ Long.MaxValue else l)
 
   /** Bounded max-heap over (priority, payload) pairs: the ROOT is the
     * LARGEST pair, so a full heap admits a new pair by evicting the
@@ -115,12 +176,14 @@ object BottomKAgg {
     }
 
     /** Payloads ascending by (priority, payload). */
-    def sortedPayloads: Array[Long] = {
-      val idx = (0 until n).sortWith { (a, b) =>
-        ps(a) < ps(b) || (ps(a) == ps(b) && vs(a) < vs(b))
-      }
-      idx.map(vs).toArray
-    }
+    def sortedPayloads: Array[Long] = sortedIdx.map(vs).toArray
+
+    /** (priority, payload) pairs ascending. */
+    def sortedPairs: Array[(Long, Long)] = sortedIdx.map(i => (ps(i), vs(i))).toArray
+
+    private def sortedIdx: Array[Int] = (0 until n).sortWith { (a, b) =>
+      ps(a) < ps(b) || (ps(a) == ps(b) && vs(a) < vs(b))
+    }.toArray
 
     def toBytes: Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(4 + 16 * n)

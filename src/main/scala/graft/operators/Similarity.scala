@@ -26,16 +26,33 @@ object Similarity {
       .limit(k)
   }
 
-  /** Exact top-k for MANY query vectors at once (cross join + window):
-    * queries are broadcast (small side), corpus scanned once. */
+  /** Exact top-k for MANY query vectors at once: queries broadcast,
+    * corpus scanned once, and per-query top-k via the mergeable
+    * [[graft.functions.BottomKAgg]] heap (priority = −score as sortable
+    * bits, decoded back with `sortable_bits_to_double` — no second
+    * scan). The previous window formulation shuffled ALL Q×N scored
+    * rows and sorted each query's partition; this shuffles Q×tasks×k
+    * heap entries — at a 10⁹-vector corpus that is the difference
+    * between a terabyte exchange and a few megabytes. Output and
+    * ordering are bit-identical to the window form (ties → lowest id),
+    * which the spec pins. */
   def bruteForceTopKBatch(corpus: DataFrame, vecCol: String, idCol: String,
                           queries: DataFrame, qVecCol: String, qIdCol: String,
                           k: Int): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
-      .select(col(qIdCol), col(idCol),
-        VectorFunctions.cosine(col(vecCol), col(qVecCol)).as("score"))
-    val w = Window.partitionBy(col(qIdCol)).orderBy(col("score").desc, col(idCol).asc)
-    joined.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col(qIdCol), col(idCol).cast("long").as("_cid"),
+        (-VectorFunctions.cosine(col(vecCol), col(qVecCol))).as("_negScore"))
+    val agg = graft.functions.BottomKAgg(
+      ColumnBridge.expression(col("_negScore")),
+      ColumnBridge.expression(col("_cid")), k, withPriorities = true)
+    scored.groupBy(col(qIdCol))
+      .agg(ColumnBridge.column(agg.toAggregateExpression()).as("_top"))
+      .select(col(qIdCol), explode(col("_top")).as("_e"))
+      .select(col(qIdCol), col("_e.v").as(idCol),
+        // + 0.0 folds the -0.0 a negated zero score would produce
+        (-ColumnBridge.column(graft.functions.SortableBitsToDouble(
+          ColumnBridge.expression(col("_e.p")))) + 0.0).as("score"))
   }
 
   /** Per-group elementwise centroid (mean pooling) of an embedding

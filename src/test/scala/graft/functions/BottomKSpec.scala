@@ -37,6 +37,18 @@ class BottomKSpec extends SparkSpec {
     assert(got.map(_.sorted) == Seq(Seq(1L, 7L, 7L), Seq(2L)))
   }
 
+  test("sortableBits is an order-preserving involution across signs") {
+    val rnd = new scala.util.Random(5)
+    val xs = Seq(-1e300, -2.5, -1.0, -1e-300, -0.0, 0.0, 1e-300, 0.5, 1.0, 42.0, 1e300) ++
+      Seq.fill(200)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(20) - 10))
+    val sorted = xs.sorted
+    val mapped = sorted.map(BottomKAgg.sortableBits)
+    assert(mapped == mapped.sorted, "must preserve order")
+    sorted.foreach { x =>
+      assert(BottomKAgg.unsortableBits(BottomKAgg.sortableBits(x)) == (x + 0.0), x.toString)
+    }
+  }
+
   test("heap serde round-trips") {
     val h = new BottomKAgg.Heap(3)
     Seq((5L, 50L), (1L, 10L), (9L, 90L), (2L, 20L), (9L, 91L)).foreach { case (p, v) => h.offer(p, v) }

@@ -42,13 +42,21 @@ class SimilaritySpec extends SparkSpec {
     val queries = corpus.filter(col("vec_id").isin(0L, 30L))
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val out = Similarity.bruteForceTopKBatch(corpus, "v", "vec_id", queries, "qv", "q_id", k = 5)
-    assert(out.count() == 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 10)
     // each query's own vector is its best match
-    val best = out.filter(col("_rn").isNull || lit(true)) // no _rn col left
-      .groupBy("q_id").agg(max(struct(col("score"), col("vec_id"))).as("m"))
-      .select(col("q_id"), col("m.vec_id")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val best = out.groupBy(_._1).map { case (q, rows) => q -> rows.maxBy(r => (r._3, -r._2))._2 }
     assert(best(0L) == 0L && best(30L) == 30L)
+    // bit-identical to the window formulation it replaced (heap priority
+    // is the sortable-bits transform of the same double; ties -> low id)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id").asc)
+    val ref = corpus.crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.VectorFunctions.cosine(col("v"), col("qv")).as("score"))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2) + 0.0)).toSet
+    assert(out.toSet == ref)
   }
 
   test("IVF with nprobe = nlist reproduces brute force exactly (recall 1.0)") {
