@@ -131,6 +131,29 @@ object Curation {
       .agg(ColumnBridge.column(agg.toAggregateExpression()).as("sample_ids"))
   }
 
+  /** Per-group top-k (or bottom-k) by a numeric score, via the
+    * mergeable heap aggregate — the scale-path replacement for
+    * `row_number() OVER (PARTITION BY g ORDER BY s) <= k`, which sorts
+    * every group in full inside one task. Map tasks reduce to k heap
+    * entries each; no group is materialized. Ties break to the lowest
+    * id. Output: groupCols ++ (rank from 0, idCol, scoreCol).
+    * `idCol` must fit a long (see [[sampleGroups]]). */
+  def topKBy(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+             idCol: String, k: Int, ascending: Boolean = false): DataFrame = {
+    require(groupCols.nonEmpty, "topKBy needs at least one group column")
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val sign = if (ascending) 1.0 else -1.0
+    val agg = graft.functions.BottomKAgg(
+      ColumnBridge.expression(col(scoreCol).cast("double") * sign),
+      ColumnBridge.expression(col(idCol).cast("long")), k, withPriorities = true)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(ColumnBridge.column(agg.toAggregateExpression()).as("_top"))
+      .select(groupCols.map(col) :+ posexplode(col("_top")).as(Seq("rank", "_e")): _*)
+      .select(groupCols.map(col) ++ Seq(col("rank"), col("_e.v").as(idCol),
+        (ColumnBridge.column(graft.functions.SortableBitsToDouble(
+          ColumnBridge.expression(col("_e.p")))) * sign + 0.0).as(scoreCol)): _*)
+  }
+
   /** Split documents into fixed token-count chunks with overlap — the
     * tokenize-and-chunk step upstream of [[packSequences]] (chunk to
     * the model context length, pack the chunks). Words are whitespace

@@ -56,6 +56,24 @@ class BottomKSpec extends SparkSpec {
     assert(back.sortedPayloads.toSeq == Seq(10L, 20L, 50L))
   }
 
+  test("topKBy == window reference, both directions, on random doubles") {
+    val rnd = new scala.util.Random(9)
+    val schema2 = StructType(Seq(StructField("g", StringType),
+      StructField("id", LongType), StructField("s", DoubleType)))
+    val rows = (1L to 500L).map(i => Row(s"g${i % 4}", i, rnd.nextGaussian()))
+    val d = df(schema2, rows).repartition(8)
+    for (asc <- Seq(true, false)) {
+      val got = graft.operators.Curation.topKBy(d, Seq("g"), "s", "id", k = 7, ascending = asc)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val w = Window.partitionBy("g")
+        .orderBy(if (asc) col("s").asc else col("s").desc, col("id").asc)
+      val ref = d.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= 7)
+        .select(col("g"), (col("_rn") - 1).cast("int").as("rank"), col("id"), col("s"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == ref, s"ascending=$asc")
+    }
+  }
+
   test("bottom_k SQL form matches the operator") {
     GraftFunctions.register(spark)
     df(schema, (1L to 50L).map(i => Row(s"g${i % 3}", i)))
