@@ -153,13 +153,19 @@ object IncrementalStream {
                          leftKey: String, rightKey: String,
                          leftTs: String, rightTs: String,
                          horizon: String = "30 minutes",
-                         lateness: String = "1 hour"): DataFrame = {
+                         lateness: String = "1 hour",
+                         joinType: String = "inner"): DataFrame = {
     require(horizon.trim.split("\\s+").head.toLong > 0, "horizon must be positive")
+    require(Set("inner", "leftOuter")(joinType),
+      s"stream-stream interval join supports inner|leftOuter, got $joinType")
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
+    // leftOuter emits the null-padded row only once the watermark proves
+    // no match can still arrive — unmatched attribution with an
+    // eventually-complete contract, not a guess
     l.join(r, expr(
       s"$leftKey = $rightKey AND $rightTs >= $leftTs AND " +
-      s"$rightTs <= $leftTs + INTERVAL $horizon"))
+      s"$rightTs <= $leftTs + INTERVAL $horizon"), joinType)
   }
 
   /** The incremental-pipe-as-stream: append new rows of `src` into a

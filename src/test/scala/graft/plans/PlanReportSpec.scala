@@ -1,0 +1,45 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PlanReportSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("reports pushed filters, pruned columns, exchanges, and broadcast join") {
+    val li = graft.sources.ParquetConnector.readTable(spark, s"$sf/lineitem.parquet")
+      .filter(col("l_orderkey") > 1000)
+    val nation = graft.sources.ParquetConnector.readTable(spark, s"$sf/nation.parquet")
+    val df = li.join(broadcast(nation), li("l_suppkey") % 25 === nation("n_nationkey"))
+      .groupBy(col("n_name")).agg(sum(col("l_quantity")).as("q"))
+    val r = PlanReport.of(df)
+    assert(r.scans.exists(_.pushedFilters.contains("GreaterThan(l_orderkey,1000)")), r.scans)
+    assert(r.scans.exists(s => s.readSchema.contains("l_quantity") &&
+      !s.readSchema.contains("l_comment")), "columns must prune")
+    assert(r.joins.exists(_.contains("BroadcastHashJoin")), r.joins)
+    assert(r.exchanges >= 1)
+    val text = PlanReport.render(df)
+    assert(text.contains("pushed:") && text.contains("exchanges:"))
+  }
+
+  test("flags interpreted projections (HOF lambda) and clean codegen plans") {
+    val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+    val clean = docs.select(graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+    assert(PlanReport.of(clean).fullyCodegen,
+      PlanReport.of(clean).interpretedProjections.mkString("; "))
+    // a higher-order-function lambda is CodegenFallback -> interpreted
+    val hof = docs.select(filter(split(col("text"), " "), x => length(x) > 3).as("toks"))
+    assert(!PlanReport.of(hof).fullyCodegen, PlanReport.render(hof))
+  }
+
+  test("no execution is triggered by the audit") {
+    // a query whose execution would throw (division guard removed) still audits
+    // ANSI division by a derived zero throws per-row AT EXECUTION (a
+    // constant 1/0 would already throw in the analyzer)
+    val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+      .select((col("doc_id") / (col("doc_id") - col("doc_id"))).as("boom"))
+    PlanReport.of(docs) // must not raise
+    intercept[Exception] { docs.head() } // sanity: executing it DOES throw
+  }
+}
