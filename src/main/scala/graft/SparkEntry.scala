@@ -632,7 +632,8 @@ object SparkEntry {
     "q_line_dedup" -> ((s, dir) => {
       // CCNet cross-corpus line dedup. The synthetic docs are single-line,
       // so compose 3-line docs with shared boilerplate (the exact target
-      // of line dedup) plus a within-doc duplicate on even ids.
+      // of line dedup); even ids add a second shared boilerplate line,
+      // odd ids repeat their own text (a within-doc duplicate).
       val src = T(s, dir, "documents").select(col("doc_id"),
         concat_ws("\n",
           lit("Copyright 2024 Example Corp. All rights reserved."),
@@ -1212,7 +1213,7 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 1
         |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 5 = 0),
         |d AS (
-        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
         |  FROM delta),
         |surv AS (
         |  SELECT doc_id, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn

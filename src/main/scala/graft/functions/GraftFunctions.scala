@@ -183,17 +183,18 @@ object GraftFunctions {
         "__q__" -> args.head)
     }, "vec_dequantize(qs) - reconstruct float32 vector from vec_quantize output"))
 
-  /** The Gopher keep predicate over a `__p__` repetition-profile struct
-    * (thresholds mirror [[TextFunctions.gopherRepetitionKeep]]). */
+  /** The Gopher keep predicate over a `__p__` repetition-profile
+    * struct, built FROM [[TextFunctions]]' threshold constants — one
+    * source of truth for the Column and SQL surfaces. */
   private val gopherKeepSql: String = {
     def frac(num: String, den: String) =
       s"(case when __p__.$den = 0 then 0.0D else cast(__p__.$num as double) / __p__.$den end)"
     val checks =
-      Seq(s"${frac("dup_lines", "lines")} <= 0.30D",
-        s"${frac("dup_line_chars", "line_chars")} <= 0.20D") ++
-      Seq(0.20, 0.18, 0.16).zipWithIndex.map { case (lim, i) =>
+      Seq(s"${frac("dup_lines", "lines")} <= ${TextFunctions.gopherDupLineLimit}D",
+        s"${frac("dup_line_chars", "line_chars")} <= ${TextFunctions.gopherDupLineCharLimit}D") ++
+      TextFunctions.gopherTopLimits.zipWithIndex.map { case (lim, i) =>
         s"(case when __p__.word_chars = 0 then 0.0D else cast(__p__.top_chars[$i] as double) / __p__.word_chars end) <= ${lim}D" } ++
-      Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10).zipWithIndex.map { case (lim, i) =>
+      TextFunctions.gopherDupLimits.zipWithIndex.map { case (lim, i) =>
         s"(case when __p__.word_chars = 0 then 0.0D else cast(__p__.dup_chars[$i] as double) / __p__.word_chars end) <= ${lim}D" }
     checks.mkString(" AND ")
   }

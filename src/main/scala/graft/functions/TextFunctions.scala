@@ -156,9 +156,13 @@ object TextFunctions {
   }
 
   /** Normalization used by [[fingerprint]] and exact dedup: lowercase,
-    * collapse whitespace, trim. */
+    * collapse whitespace, trim. The trim runs AFTER the collapse:
+    * Spark's `trim` strips spaces only, so a leading/trailing `\n` or
+    * `\t` would otherwise survive as a boundary space — and every
+    * space-splitting consumer (token spans, word n-grams, chunking)
+    * would see phantom empty tokens at the edges. */
   def normalizeForFingerprint(c: Column): Column =
-    regexp_replace(lower(trim(c)), "\\s+", " ")
+    trim(regexp_replace(lower(c), "\\s+", " "))
 
   /** Within-document repetition statistics (Gopher-style filters) — one
     * native single-pass struct; see [[RepetitionOps]] for field
@@ -175,6 +179,15 @@ object TextFunctions {
     * dup-{5..10}-gram coverage ≤ {0.15 … 0.10}); fractions are over word
     * chars (separator whitespace excluded). One profile pass per row,
     * all comparisons codegen'd. */
+  /** The published Gopher thresholds — the SINGLE source for both the
+    * Column predicate below and the SQL `gopher_keep` registration
+    * (GraftFunctions builds its formula from these, so the two surfaces
+    * cannot drift). */
+  val gopherDupLineLimit: Double = 0.30
+  val gopherDupLineCharLimit: Double = 0.20
+  val gopherTopLimits: Seq[Double] = Seq(0.20, 0.18, 0.16)   // n = 2, 3, 4
+  val gopherDupLimits: Seq[Double] = Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10) // n = 5..10
+
   def gopherRepetitionKeep(c: Column): Column = {
     val p = repetitionProfile(c)
     val lines = p.getField("lines")
@@ -182,14 +195,12 @@ object TextFunctions {
     val wordChars = p.getField("word_chars")
     def frac(num: Column, den: Column): Column =
       when(den === 0L, lit(0.0)).otherwise(num.cast("double") / den)
-    val topLimits = Seq(0.20, 0.18, 0.16)
-    val dupLimits = Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)
     val checks =
-      Seq(frac(p.getField("dup_lines"), lines) <= 0.30,
-          frac(p.getField("dup_line_chars"), lineChars) <= 0.20) ++
-      topLimits.zipWithIndex.map { case (lim, i) =>
+      Seq(frac(p.getField("dup_lines"), lines) <= gopherDupLineLimit,
+          frac(p.getField("dup_line_chars"), lineChars) <= gopherDupLineCharLimit) ++
+      gopherTopLimits.zipWithIndex.map { case (lim, i) =>
         frac(p.getField("top_chars").getItem(i), wordChars) <= lim } ++
-      dupLimits.zipWithIndex.map { case (lim, i) =>
+      gopherDupLimits.zipWithIndex.map { case (lim, i) =>
         frac(p.getField("dup_chars").getItem(i), wordChars) <= lim }
     checks.reduce(_ && _)
   }

@@ -117,8 +117,10 @@ object Curation {
     * `(id × 2654435761) mod 2³²` — spread enough for sampling and, unlike
     * xxhash64, exactly replicable in plain SQL on any engine (the oracle
     * recomputes it in DuckDB). Contract: `idCol` non-negative and below
-    * ~2³³ so the product stays inside a long on every engine; swap the
-    * priority expression for `xxhash64` when ids exceed that. */
+    * ~3.4×10⁹ (Long.MaxValue / 2654435761) so the product stays inside
+    * a long on every engine — above that Spark wraps silently while a
+    * replaying engine may raise; swap the priority expression for
+    * `xxhash64` when ids exceed that. */
   def sampleGroups(df: DataFrame, groupCols: Seq[String], idCol: String,
                    k: Int): DataFrame = {
     require(groupCols.nonEmpty, "sampleGroups needs at least one group column")
@@ -137,7 +139,9 @@ object Curation {
     * every group in full inside one task. Map tasks reduce to k heap
     * entries each; no group is materialized. Ties break to the lowest
     * id. Output: groupCols ++ (rank from 0, idCol, scoreCol).
-    * `idCol` must fit a long (see [[sampleGroups]]). */
+    * `idCol` must fit a long (see [[sampleGroups]]). NULL and NaN
+    * scores are EXCLUDED (the window formulation sorts them into the
+    * result set; exclusion is the useful semantics for a top-k). */
   def topKBy(df: DataFrame, groupCols: Seq[String], scoreCol: String,
              idCol: String, k: Int, ascending: Boolean = false): DataFrame = {
     require(groupCols.nonEmpty, "topKBy needs at least one group column")

@@ -34,8 +34,10 @@ object Similarity {
     * rows and sorted each query's partition; this shuffles Q×tasks×k
     * heap entries — at a 10⁹-vector corpus that is the difference
     * between a terabyte exchange and a few megabytes. Output and
-    * ordering are bit-identical to the window form (ties → lowest id),
-    * which the spec pins. */
+    * ordering are bit-identical to the window form (ties → lowest id)
+    * for non-null, non-NaN scores — null/NaN scores are excluded where
+    * a window would sort them into the results; cosine here never
+    * produces either (zero-norm guard returns 0.0). Spec-pinned. */
   def bruteForceTopKBatch(corpus: DataFrame, vecCol: String, idCol: String,
                           queries: DataFrame, qVecCol: String, qIdCol: String,
                           k: Int): DataFrame = {

@@ -34,6 +34,13 @@ object PlanReport {
   private def descend(p: SparkPlan): Seq[SparkPlan] =
     p.collect {
       case a: AdaptiveSparkPlanExec => descend(a.executedPlan)
+      // AQE materializes stages behind LEAF wrappers — without descending
+      // into them, a post-execution audit would report an empty plan and
+      // pass its assertions vacuously
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: descend(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        r +: descend(r.child)
       case other => Seq(other)
     }.flatten
 

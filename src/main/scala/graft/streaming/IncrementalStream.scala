@@ -155,7 +155,10 @@ object IncrementalStream {
                          horizon: String = "30 minutes",
                          lateness: String = "1 hour",
                          joinType: String = "inner"): DataFrame = {
-    require(horizon.trim.split("\\s+").head.toLong > 0, "horizon must be positive")
+    val lead = horizon.trim.split("\\s+").headOption.getOrElse("")
+    require(scala.util.Try(lead.toDouble).toOption.exists(_ > 0),
+      s"horizon must start with a positive number (got '$horizon') — " +
+        "the range bound is what makes stream-stream join state evictable")
     require(Set("inner", "leftOuter")(joinType),
       s"stream-stream interval join supports inner|leftOuter, got $joinType")
     val l = left.withWatermark(leftTs, lateness)

@@ -23,6 +23,21 @@ class PlanReportSpec extends SparkSpec {
     assert(text.contains("pushed:") && text.contains("exchanges:"))
   }
 
+  test("post-execution AQE plan still audits: query stages are descended") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val li = graft.sources.ParquetConnector.readTable(spark, s"$sf/lineitem.parquet")
+        .filter(col("l_orderkey") > 10)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      li.collect() // materialize AQE stages
+      val r = PlanReport.of(li)
+      assert(r.scans.nonEmpty, "scans must be visible through QueryStageExec")
+      assert(r.scans.exists(_.pushedFilters.contains("GreaterThan(l_orderkey,10)")), r.scans)
+      assert(r.exchanges >= 1, "the aggregate exchange must be counted post-AQE")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("flags interpreted projections (HOF lambda) and clean codegen plans") {
     val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
     val clean = docs.select(graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
