@@ -579,6 +579,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_topk_group" -> ((s, dir) => {
+      // per-language top-3 longest docs via the heap aggregate (k heap
+      // entries per map task cross the exchange; the oracle IS the
+      // window sort this replaces)
+      operators.Curation.topKBy(T(s, dir, "documents"),
+          Seq("lang"), "n_chars", "doc_id", k = 3)
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     "q_sample_group" -> ((s, dir) => {
       // deterministic per-language sample via the mergeable bottom-k-by-
       // hash aggregate — map tasks reduce to k pairs before the shuffle,
@@ -1175,6 +1184,15 @@ object SparkEntry {
          |            ELSE 'es' END AS predicted
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    "q_topk_group" ->
+      """SELECT lang, CAST(rn - 1 AS INTEGER) AS rank, doc_id,
+        |       CAST(n_chars AS DOUBLE) AS n_chars
+        |FROM (SELECT lang, doc_id, n_chars,
+        |             row_number() OVER (PARTITION BY lang
+        |                                ORDER BY n_chars DESC, doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn <= 3 ORDER BY lang, rank""".stripMargin,
 
     "q_sample_group" ->
       """WITH h AS (

@@ -41,10 +41,18 @@ object Similarity {
   def bruteForceTopKBatch(corpus: DataFrame, vecCol: String, idCol: String,
                           queries: DataFrame, qVecCol: String, qIdCol: String,
                           k: Int): DataFrame = {
-    import org.apache.spark.sql.graftshim.ColumnBridge
     val scored = corpus.crossJoin(broadcast(queries))
       .select(col(qIdCol), col(idCol).cast("long").as("_cid"),
         (-VectorFunctions.cosine(col(vecCol), col(qVecCol))).as("_negScore"))
+    heapTopK(scored, qIdCol, idCol, k)
+  }
+
+  /** Shared tail of the batched searches: per-`qIdCol` top-k over
+    * (_cid, _negScore) rows via the heap aggregate, scores decoded
+    * in-plan. */
+  private def heapTopK(scored: DataFrame, qIdCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
     val agg = graft.functions.BottomKAgg(
       ColumnBridge.expression(col("_negScore")),
       ColumnBridge.expression(col("_cid")), k, withPriorities = true)
@@ -55,6 +63,33 @@ object Similarity {
         // + 0.0 folds the -0.0 a negated zero score would produce
         (-ColumnBridge.column(graft.functions.SortableBitsToDouble(
           ColumnBridge.expression(col("_e.p")))) + 0.0).as("score"))
+  }
+
+  /** IVF search for MANY queries in one pass: each query probes its
+    * `nprobe` nearest cells, the scan reads only the UNION of probed
+    * cells (partition pruning on a [[writeIvfIndex]] table), each
+    * (vector, query) pair scores only where the vector's cell is in
+    * that query's probe set (broadcast join on cell), and per-query
+    * top-k rides the heap aggregate. Cost: |union cells| of the corpus
+    * read once, regardless of Q — vs Q full probes run serially. */
+  def ivfTopKBatch(indexed: DataFrame, vecCol: String, idCol: String, cellCol: String,
+                   centroids: Array[(Int, Array[Double])],
+                   queries: Seq[(Long, Seq[Float])], k: Int,
+                   nprobe: Int = 4): DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val probeRows = queries.flatMap { case (qid, qv) =>
+      val q = qv.map(_.toDouble).toArray
+      centroids.map { case (i, cv) => (i, l2SqLocal(q, cv)) }
+        .sortBy(_._2).take(nprobe).map { case (cell, _) => (qid, cell, qv) }
+    }
+    val probes = probeRows.toDF("q_id", "_cell_p", "_qv")
+    val cells = probeRows.map(_._2).distinct
+    val scored = indexed.filter(col(cellCol).isin(cells: _*))
+      .join(broadcast(probes), col(cellCol) === col("_cell_p"))
+      .select(col("q_id"), col(idCol).cast("long").as("_cid"),
+        (-VectorFunctions.cosine(col(vecCol), col("_qv"))).as("_negScore"))
+    heapTopK(scored, "q_id", idCol, k)
   }
 
   /** Per-group elementwise centroid (mean pooling) of an embedding

@@ -59,6 +59,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSet == ref)
   }
 
+  test("ivfTopKBatch with nprobe = nlist == bruteForceTopKBatch; partial probe recall high") {
+    val corpus = clustered(8, 30, 8)
+    val centroids = Similarity.trainCentroids(corpus, "v", "vec_id", nlist = 8)
+    val index = Similarity.buildIvfIndex(corpus, "v", centroids)
+    val qSeq = Seq(0L, 65L, 130L).map { id =>
+      id -> corpus.filter(col("vec_id") === id).head().getSeq[Float](1)
+    }
+    val full = Similarity.ivfTopKBatch(index, "v", "vec_id", "_cell", centroids, qSeq, k = 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val qDf = corpus.filter(col("vec_id").isin(0L, 65L, 130L))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val brute = Similarity.bruteForceTopKBatch(corpus, "v", "vec_id", qDf, "qv", "q_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full == brute, "probing every cell must reproduce brute force")
+    // nprobe=2 of 8 on clustered data: recall@10 >= 0.8 per query
+    val part = Similarity.ivfTopKBatch(index, "v", "vec_id", "_cell", centroids, qSeq, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    qSeq.foreach { case (qid, _) =>
+      val bruteIds = brute.filter(_._1 == qid).map(_._2)
+      val gotIds = part.getOrElse(qid, Array.empty).map(_._2).toSet
+      assert(gotIds.intersect(bruteIds).size >= 8, s"recall@10 for query $qid")
+    }
+  }
+
   test("IVF with nprobe = nlist reproduces brute force exactly (recall 1.0)") {
     val corpus = clustered(8, 30, 8)
     val q = corpus.filter(col("vec_id") === 17L).head().getSeq[Float](1)
