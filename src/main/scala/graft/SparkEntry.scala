@@ -579,6 +579,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_split" -> ((s, dir) => {
+      // deterministic train/val/test assignment — row-local hash
+      // arithmetic, no shuffle; membership survives corpus changes
+      operators.Curation.assignSplits(T(s, dir, "documents"),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), buckets = 10)
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_topk_group" -> ((s, dir) => {
       // per-language top-3 longest docs via the heap aggregate (k heap
       // entries per map task cross the exchange; the oracle IS the
@@ -1184,6 +1193,14 @@ object SparkEntry {
          |            ELSE 'es' END AS predicted
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    "q_split" ->
+      """SELECT doc_id, lang,
+        |       CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |             (doc_id * 2654435761) % 4294967296 % 10 AS b
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_topk_group" ->
       """SELECT lang, CAST(rn - 1 AS INTEGER) AS rank, doc_id,

@@ -133,6 +133,30 @@ object Curation {
       .agg(ColumnBridge.column(agg.toAggregateExpression()).as("sample_ids"))
   }
 
+  /** Deterministic train/validation/test split assignment: each row's
+    * id hashes (same engine-replicable Knuth hash and id contract as
+    * [[sampleGroups]]) into one of `buckets` buckets; splits own
+    * contiguous bucket ranges sized by their weights (the LAST split
+    * absorbs rounding remainder). Pure row-local codegen arithmetic —
+    * no shuffle, no sampling state, stable across runs, engines, and
+    * re-partitionings, and a document keeps its split when the corpus
+    * around it changes (the property random splits lack). */
+  def assignSplits(df: DataFrame, idCol: String,
+                   splits: Seq[(String, Double)] = Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+                   buckets: Int = 10000, splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "splits need positive weights")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "split weights must sum to 1")
+    val bounds = splits.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w * buckets)
+    }.tail.dropRight(1) :+ buckets.toLong
+    val bucket = (col(idCol).cast("long") * lit(2654435761L)) % lit(4294967296L) % buckets
+    val assignment = splits.map(_._1).zip(bounds).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, (name, hi)) =>
+        when(bucket < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn(splitCol, assignment)
+  }
+
   /** Per-group top-k (or bottom-k) by a numeric score, via the
     * mergeable heap aggregate — the scale-path replacement for
     * `row_number() OVER (PARTITION BY g ORDER BY s) <= k`, which sorts

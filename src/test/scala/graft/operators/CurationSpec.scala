@@ -132,6 +132,29 @@ class CurationSpec extends SparkSpec {
     assert(out.head.getLong(2) == 1)
   }
 
+  test("assignSplits: deterministic, weight-proportional, membership-stable") {
+    val ids = df(StructType(Seq(StructField("doc_id", LongType))),
+      (0L until 2000L).map(Row(_)))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Curation.assignSplits(ids, "doc_id", splits, buckets = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exact reference arithmetic
+    def ref(id: Long): String = {
+      val b = id * 2654435761L % 4294967296L % 10
+      if (b < 8) "train" else if (b < 9) "val" else "test"
+    }
+    assert(out.forall { case (id, s) => s == ref(id) })
+    val counts = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 1400 && counts("val") > 80 && counts("test") > 80)
+    // membership stability: a subset corpus assigns identically
+    val sub = Curation.assignSplits(ids.filter(col("doc_id") < 500), "doc_id", splits, buckets = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(sub.forall { case (id, s) => out(id) == s })
+    intercept[IllegalArgumentException] {
+      Curation.assignSplits(ids, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("chunkDocuments: stride windows, short tail, blank docs vanish") {
     val d = df(textSchema, Seq(
       Row(1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
