@@ -99,6 +99,13 @@ object TrainingDataPipeline {
       }
     }
 
+    plan.step("split") {
+      // deterministic, membership-stable train/val/test assignment over
+      // whatever survived the funnel — row-local, no shuffle
+      val src = if (work.tables.contains("docs_final")) "docs_final" else "docs_unique"
+      work.write(Curation.assignSplits(work.read(src), "doc_id"), "docs_split")
+    }
+
     plan.step("report") {
       val f = funnel(plan, srcDir, workDir)
       val body = Reporter.render(

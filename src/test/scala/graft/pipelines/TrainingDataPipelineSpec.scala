@@ -27,6 +27,12 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(f.exactUnique <= f.scrubbed)
     assert(f.nearUnique <= f.exactUnique)
     assert(f.finalKept == f.nearUnique, "no benchmark -> final == near-unique")
+    // the split stage covers every survivor, train dominating
+    val workConn = new graft.sources.ParquetConnector(spark, work)
+    val bySplit = workConn.read("docs_split").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum == f.finalKept)
+    assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("val", 0L))
     // the report rendered through the plan logger
     assert(plan.logger.messages.exists(_.contains("training-data funnel")))
     assert(plan.logger.messages.exists(_.contains(s"near-unique:   ${f.nearUnique}")))
