@@ -149,6 +149,9 @@ object Curation {
     val bounds = splits.scanLeft(0L) { case (acc, (_, w)) =>
       acc + math.round(w * buckets)
     }.tail.dropRight(1) :+ buckets.toLong
+    require((0L +: bounds).zip(bounds).forall { case (lo, hi) => hi > lo },
+      s"bucket resolution too coarse for the smallest weight — a split " +
+        s"would own zero buckets (weights ${splits.map(_._2)}, buckets $buckets); raise `buckets`")
     val bucket = (col(idCol).cast("long") * lit(2654435761L)) % lit(4294967296L) % buckets
     val assignment = splits.map(_._1).zip(bounds).reverse
       .foldLeft(lit(splits.last._1)) { case (acc, (name, hi)) =>

@@ -153,6 +153,12 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curation.assignSplits(ids, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
     }
+    // a split whose weight rounds to zero buckets must fail loudly,
+    // not silently produce an empty split
+    intercept[IllegalArgumentException] {
+      Curation.assignSplits(ids, "doc_id",
+        Seq("a" -> 0.999, "b" -> 0.001), buckets = 10)
+    }
   }
 
   test("chunkDocuments: stride windows, short tail, blank docs vanish") {
