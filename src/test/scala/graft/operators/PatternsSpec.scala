@@ -228,4 +228,30 @@ class PatternsSpec extends SparkSpec {
     assert(Patterns.canIncrementalImport(src, "users", dst, "users", "updated_at"))
     assert(!Patterns.canIncrementalImport(src, "users", dst, "users", "nope"))
   }
+
+  test("backfill: windows the range, records progress, resumes mid-run") {
+    val dst = new graft.sources.ParquetConnector(spark, tmpDir("graft_backfill_"))
+    val seen = scala.collection.mutable.Buffer[(String, String)]()
+    def window(lo: java.sql.Timestamp, hi: java.sql.Timestamp): Unit = {
+      seen += ((lo.toString, hi.toString))
+      // a sparse window writes one row at its LOW edge (rows lag hi)
+      dst.write(df(usersSchema, Seq(usersRows.head match { case r =>
+        org.apache.spark.sql.Row(seen.size.toLong, r.getString(1), r.getString(2),
+          r.getString(3), r.getTimestamp(4), lo)
+      })), "events_bf", org.apache.spark.sql.SaveMode.Append)
+    }
+    val start = ts("2024-01-01 00:00:00"); val end = ts("2024-01-01 06:00:00")
+    // first run processes 3 of 6 hours, then "crashes"
+    val n1 = Patterns.backfill(dst, "events_bf", "updated_at",
+      start, ts("2024-01-01 03:00:00"), stepMinutes = 60)(window)
+    assert(n1 == 3 && seen.size == 3)
+    // resumed run with the FULL range only executes the remaining 3
+    val n2 = Patterns.backfill(dst, "events_bf", "updated_at",
+      start, end, stepMinutes = 60)(window)
+    assert(n2 == 3, s"resume must skip finished windows, ran $n2")
+    assert(seen.size == 6 && seen.map(_._1).distinct.size == 6)
+    // fully-done range is a no-op
+    assert(Patterns.backfill(dst, "events_bf", "updated_at",
+      start, end, stepMinutes = 60)(window) == 0)
+  }
 }
