@@ -983,7 +983,7 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source, n_chars,
-        |         ROW_NUMBER() OVER (PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |         ROW_NUMBER() OVER (PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
         |                            ORDER BY doc_id) AS rn
         |  FROM documents) t WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
@@ -1016,7 +1016,7 @@ object SparkEntry {
       """WITH p AS (
         |  SELECT doc_id,
         |         lang || '_' || CAST(n_chars // 100 AS VARCHAR) AS block,
-        |         list_distinct(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS sh
+        |         list_distinct(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS sh
         |  FROM documents)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
@@ -1089,7 +1089,7 @@ object SparkEntry {
     "q_vocab" ->
       """SELECT token, COUNT(1) AS freq
         |FROM (SELECT unnest(regexp_split_to_array(
-        |        regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
         |      FROM documents)
         |WHERE length(token) > 0
         |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
@@ -1130,7 +1130,7 @@ object SparkEntry {
       """WITH RECURSIVE p AS (
         |  SELECT doc_id,
         |         lang || '_' || CAST(n_chars // 100 AS VARCHAR) AS block,
-        |         list_distinct(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS sh
+        |         list_distinct(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS sh
         |  FROM documents),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1241,7 +1241,7 @@ object SparkEntry {
 
     "q_dedup_incr" ->
       """WITH corpus AS (
-        |  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
         |  FROM documents WHERE doc_id % 5 <> 0),
         |delta AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
@@ -1291,7 +1291,7 @@ object SparkEntry {
         |  FROM documents),
         |norm AS (
         |  SELECT doc_id,
-        |         list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
         |                     x -> len(x) > 0) AS w
         |  FROM src),
         |grams AS (

@@ -78,10 +78,13 @@ case class BottomKAgg(priority: Expression, payload: Expression, k: Int,
     val p = priority.eval(input)
     val v = payload.eval(input)
     if (p != null && v != null) {
-      val pl =
-        if (doublePriority) BottomKAgg.sortableBits(p.asInstanceOf[Double])
-        else p.asInstanceOf[Long]
-      buf.offer(pl, v.asInstanceOf[Long])
+      if (doublePriority) {
+        val d = p.asInstanceOf[Double]
+        // NaN is EXCLUDED outright (not just sorted last): an under-full
+        // heap admits anything it is offered, so sorting alone would let
+        // NaN into small groups — divergent from the documented contract
+        if (!java.lang.Double.isNaN(d)) buf.offer(BottomKAgg.sortableBits(d), v.asInstanceOf[Long])
+      } else buf.offer(p.asInstanceOf[Long], v.asInstanceOf[Long])
     }
     buf
   }
@@ -118,8 +121,8 @@ object BottomKAgg {
     * transform), so a DOUBLE priority (a similarity score, a loss)
     * rides the same long heap. −0.0 folds to 0.0 first — SQL ORDER BY
     * treats them equal, and an oracle replaying the ordering must not
-    * see a divergence the engine invented. NaN sorts above +∞ (never
-    * enters a bottom-k unless the group is all-NaN). */
+    * see a divergence the engine invented. NaN never reaches the heap —
+    * [[BottomKAgg.update]] drops it like a null. */
   @inline def sortableBits(d: Double): Long = {
     val x = d + 0.0 // fold -0.0
     val bits = java.lang.Double.doubleToLongBits(x)

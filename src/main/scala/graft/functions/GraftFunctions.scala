@@ -15,9 +15,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * normalize explicitly:
   *
   * {{{
-  *   SELECT rolling_hash(regexp_replace(lower(trim(text)), '\\s+', ' ')),
-  *          minhash_text(regexp_replace(lower(trim(text)), '\\s+', ' '), 3, 64),
-  *          simhash_text(regexp_replace(lower(trim(text)), '\\s+', ' ')),
+  *   SELECT rolling_hash(trim(regexp_replace(lower(text), '\\s+', ' '))),
+  *          minhash_text(trim(regexp_replace(lower(text), '\\s+', ' ')), 3, 64),
+  *          simhash_text(trim(regexp_replace(lower(text), '\\s+', ' '))),
   *          sig_agreement(sig_a, sig_b)     -- equal-position count
   *   FROM documents
   * }}}
@@ -94,7 +94,7 @@ object GraftFunctions {
       // the Column API and exact dedup use — lowercase, collapse
       // whitespace, trim — so SQL fingerprints join against pipeline ones
       RollingHash(parsedWith(
-        "regexp_replace(lower(trim(__t__)), '\\\\s+', ' ')", "__t__" -> args.head))
+        "trim(regexp_replace(lower(__t__), '\\\\s+', ' '))", "__t__" -> args.head))
     }, "fingerprint(text) - normalized 64-bit document fingerprint (matches the Column API / exact-dedup key)"),
     ("token_count", { args: Seq[Expression] =>
       require(args.length == 1, "token_count(text)")
@@ -133,7 +133,7 @@ object GraftFunctions {
       // normalized form (like fingerprint) so SQL n-grams join against
       // Curation.contamination's — NOT text as given
       WordNgramHashes(parsedWith(
-        "regexp_replace(lower(trim(__t__)), '\\\\s+', ' ')", "__t__" -> args.head), n)
+        "trim(regexp_replace(lower(__t__), '\\\\s+', ' '))", "__t__" -> args.head), n)
     }, "word_ngram_hashes(text, n) - xxhash64 of each word n-gram of the NORMALIZED text (contamination join key)"),
     ("normalize_text", { args: Seq[Expression] =>
       require(args.length == 2, "normalize_text(text, 'nfc'|'nfd'|'strip_accents')")

@@ -202,9 +202,13 @@ object Curation {
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap must be in [0, chunkTokens), got $overlap")
     val stride = chunkTokens - overlap
-    df.filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol),
-        split(graft.functions.TextFunctions.normalizeForFingerprint(col(textCol)), " ").as("_w"))
+    // blank check runs on the NORMALIZED text: Spark trim strips spaces
+    // only, so filtering raw text would pass "\n" through and emit a
+    // phantom empty chunk
+    df.select(col(idCol),
+        graft.functions.TextFunctions.normalizeForFingerprint(col(textCol)).as("_t"))
+      .filter(length(col("_t")) > 0)
+      .select(col(idCol), split(col("_t"), " ").as("_w"))
       .withColumn("_n", size(col("_w")))
       .select(col(idCol), col("_w"), col("_n"),
         posexplode(sequence(lit(0), expr(s"(_n - 1) div $stride"))).as(Seq("_seq", "chunk_idx")))

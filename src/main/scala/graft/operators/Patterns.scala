@@ -282,32 +282,46 @@ object Patterns {
     * time, faking a watermark so partial runs can resume. */
   /** Resumable windowed backfill — the missing bulk counterpart of the
     * incremental tick: process `[start, end)` in `stepMinutes` windows,
-    * recording progress in the destination's own watermark after each
+    * recording progress in a dedicated marker table after each
     * window, so a crashed or interrupted backfill resumes at the first
     * unfinished window instead of restarting (exactly the
     * high-water-mark contract the incremental patterns use —
     * `mysql_patterns.rb:60-99` — applied to history instead of the
     * tail). `run(lo, hi)` must be idempotent for the at-least-once
     * window delivery this gives (an upsert by pk, a partition
-    * overwrite). Returns the number of windows executed THIS call. */
+    * overwrite). Returns the number of windows executed THIS call.
+    *
+    * Progress lives in a dedicated `<table>__backfill` marker table, NOT
+    * in the destination's own watermark — the destination usually also
+    * receives live tail data, and conflating "some row is newer than
+    * the window" with "the window was backfilled" would silently no-op
+    * any backfill of a historical hole behind current data. */
   def backfill(dst: Connector, table: String, matcher: String,
                start: java.sql.Timestamp, end: java.sql.Timestamp,
                stepMinutes: Int)(run: (java.sql.Timestamp, java.sql.Timestamp) => Unit): Int = {
     require(stepMinutes > 0, "stepMinutes must be positive")
     require(!end.before(start), "end must be >= start")
     val stepMs = stepMinutes * 60L * 1000L
-    // resume: the recorded watermark is the END of the last completed
-    // window; epoch (no table / no rows) → start from `start`
-    val done = dst.maxTimestamp(table, matcher).getTime
+    val progressTable = s"${table}__backfill"
+    // resume: the marker is the END of the last completed window;
+    // epoch (no marker yet) → start from `start`
+    val done = dst.maxTimestamp(progressTable, matcher).getTime
     var lo = math.max(start.getTime, done)
     var windows = 0
+    def pin(ts: java.sql.Timestamp): Unit =
+      if (dst.tables.contains(progressTable))
+        writeHighWaterMark(dst, progressTable, matcher, ts)
+      else { // first window creates the marker table: one matcher column
+        import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
+        dst.write(dst.spark.createDataFrame(
+          java.util.Collections.singletonList(org.apache.spark.sql.Row(ts)),
+          StructType(Seq(StructField(matcher, TimestampType)))),
+          progressTable, SaveMode.Append)
+      }
     while (lo < end.getTime) {
       val hi = math.min(lo + stepMs, end.getTime)
       run(new java.sql.Timestamp(lo), new java.sql.Timestamp(hi))
-      // the window's own rows may not reach `hi` (sparse history) — pin
-      // progress explicitly so resume never re-runs a finished window
-      if (dst.maxTimestamp(table, matcher).getTime < hi)
-        writeHighWaterMark(dst, table, matcher, new java.sql.Timestamp(hi))
+      pin(new java.sql.Timestamp(hi))
       windows += 1
       lo = hi
     }

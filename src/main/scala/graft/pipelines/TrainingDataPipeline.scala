@@ -101,13 +101,15 @@ object TrainingDataPipeline {
 
     plan.step("split") {
       // deterministic, membership-stable train/val/test assignment over
-      // whatever survived the funnel — row-local, no shuffle
-      val src = if (work.tables.contains("docs_final")) "docs_final" else "docs_unique"
+      // whatever survived the funnel — row-local, no shuffle. Source is
+      // chosen by CONFIG, not table existence: a workDir reused from an
+      // earlier benchmarked run must not feed a stale docs_final in
+      val src = if (benchDir.isDefined) "docs_final" else "docs_unique"
       work.write(Curation.assignSplits(work.read(src), "doc_id"), "docs_split")
     }
 
     plan.step("report") {
-      val f = funnel(plan, srcDir, workDir)
+      val f = funnel(plan, srcDir, workDir, useFinal = Some(benchDir.isDefined))
       val body = Reporter.render(
         """training-data funnel
           |  ingested:      {{ingested}}
@@ -140,7 +142,8 @@ object TrainingDataPipeline {
   }
 
   /** Stage counts (cheap: parquet count() uses footer row counts). */
-  def funnel(plan: Plan, srcDir: String, workDir: String): Funnel = {
+  def funnel(plan: Plan, srcDir: String, workDir: String,
+             useFinal: Option[Boolean] = None): Funnel = {
     val src = new ParquetConnector(plan.spark, srcDir)
     val work = new ParquetConnector(plan.spark, workDir)
     val near = work.count("docs_unique")
@@ -151,6 +154,9 @@ object TrainingDataPipeline {
       scrubbed = work.count("docs_scrubbed"),
       exactUnique = work.count("docs_exact_unique"),
       nearUnique = near,
-      finalKept = if (work.tables.contains("docs_final")) work.count("docs_final") else near)
+      finalKept =
+        if (useFinal.getOrElse(work.tables.contains("docs_final")))
+          work.count("docs_final")
+        else near)
   }
 }

@@ -39,10 +39,23 @@ object PlanReport {
       // pass its assertions vacuously
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
         q +: descend(q.plan)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-        r +: descend(r.child)
+      // ReusedExchangeExec POINTS AT an exchange that already appears
+      // elsewhere in the tree — descending into it would double-count
+      // exchanges and duplicate scan entries
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r)
       case other => Seq(other)
     }.flatten
+
+  /** Projections actually COMPILED INTO a codegen stage: traversal stops
+    * at `InputAdapter` — its subtree feeds the stage through the row
+    * interface and is NOT part of the generated function, so an
+    * interpreted projection hiding under one must not count as
+    * codegen'd. */
+  private def compiledProjects(p: SparkPlan): Seq[ProjectExec] = p match {
+    case _: org.apache.spark.sql.execution.InputAdapter => Seq.empty
+    case pr: ProjectExec => pr +: pr.children.flatMap(compiledProjects)
+    case other => other.children.flatMap(compiledProjects)
+  }
 
   def of(df: DataFrame): Report = {
     val nodes = descend(df.queryExecution.executedPlan)
@@ -56,7 +69,7 @@ object PlanReport {
     }
     val exchanges = nodes.count(_.nodeName.contains("Exchange"))
     val codegen = nodes.collect { case w: WholeStageCodegenExec => w }
-    val codegenProjects = codegen.flatMap(_.collect { case p: ProjectExec => p })
+    val codegenProjects = codegen.flatMap(w => compiledProjects(w.child))
     val allProjects = nodes.collect { case p: ProjectExec => p }
     val interpreted = allProjects.filterNot(p => codegenProjects.exists(_ eq p))
       .map(_.projectList.map(_.sql).mkString(", ").take(120))

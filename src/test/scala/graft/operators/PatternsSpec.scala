@@ -241,6 +241,10 @@ class PatternsSpec extends SparkSpec {
       })), "events_bf", org.apache.spark.sql.SaveMode.Append)
     }
     val start = ts("2024-01-01 00:00:00"); val end = ts("2024-01-01 06:00:00")
+    // live tail data NEWER than the backfill range must not suppress it:
+    // progress lives in a dedicated marker, not the table's own max
+    dst.write(df(usersSchema, Seq(org.apache.spark.sql.Row(999L, "t", "t", "t",
+      ts("2025-06-01 00:00:00"), ts("2025-06-01 00:00:00")))), "events_bf")
     // first run processes 3 of 6 hours, then "crashes"
     val n1 = Patterns.backfill(dst, "events_bf", "updated_at",
       start, ts("2024-01-01 03:00:00"), stepMinutes = 60)(window)
