@@ -284,6 +284,16 @@ object SparkEntry {
       TextFunctions.vocabulary(T(s, dir, "documents"), "text", topK = 100)
     }),
 
+    "q_vocab_sketch" -> ((s, dir) => {
+      // SpaceSaving sketch in its EXACT regime (summary >> distinct
+      // tokens → est = true count, err = 0), so DuckDB can hash-check
+      // it; the approximate regime's bounds are property-tested in
+      // HeavyHittersSpec. One aggregation, k counters per map task —
+      // no distinct-token shuffle.
+      TextFunctions.vocabularySketch(T(s, dir, "documents"), "text", topK = 10000)
+        .orderBy(col("est").desc, col("token"))
+    }),
+
     "q_validate" -> ((s, dir) => {
       // declarative data-quality report: every rule is a conditional
       // aggregate in ONE scan (uniqueness rides along as
@@ -1093,6 +1103,14 @@ object SparkEntry {
         |      FROM documents)
         |WHERE length(token) > 0
         |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+
+    "q_vocab_sketch" ->
+      """SELECT token, COUNT(1) AS est, CAST(0 AS BIGINT) AS err
+        |FROM (SELECT unnest(regexp_split_to_array(
+        |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |      FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token ORDER BY est DESC, token""".stripMargin,
 
     "q_validate" ->
       """WITH t AS (SELECT COUNT(1) AS total,

@@ -144,6 +144,12 @@ object GraftFunctions {
       }
       NormalizeText(args.head, mode)
     }, "normalize_text(text, mode) - Unicode normalization: nfc, nfd, or strip_accents (NFD + drop combining marks)"),
+    ("heavy_hitters", { args: Seq[Expression] =>
+      require(args.length == 2, "heavy_hitters(item, k)")
+      val k = intLit(args(1), "k")
+      require(k >= 1, s"k must be an integer literal >= 1, got $k")
+      HeavyHittersAgg(args.head, k).toAggregateExpression()
+    }, "heavy_hitters(item, k) - SpaceSaving top-k sketch: array<struct<item, est, err>>, est >= true >= est - err"),
     ("bottom_k", { args: Seq[Expression] =>
       require(args.length == 3, "bottom_k(priority, payload, k)")
       val k = intLit(args(2), "k")

@@ -243,6 +243,24 @@ object TextFunctions {
   def piiCount(c: Column, rule: PiiRule): Column =
     size(regexp_extract_all(c, lit(rule.pattern), lit(0)))
 
+  /** Sketch form of [[vocabulary]]: approximate top-k tokens via the
+    * SpaceSaving aggregate — ONE aggregation whose exchange carries k
+    * counters per map task, instead of a groupBy shuffling every
+    * DISTINCT token (billions at 100 TB). Output rows
+    * (token, est, err): est never undercounts and `est - err` lower-
+    * bounds the true frequency; any token with true frequency > N/k is
+    * guaranteed present. */
+  def vocabularySketch(df: org.apache.spark.sql.DataFrame, textCol: String,
+                       topK: Int = 10000): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val toks = df.select(explode(split(normalizeForFingerprint(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val agg = HeavyHittersAgg(ColumnBridge.expression(col("token")), topK)
+    toks.agg(ColumnBridge.column(agg.toAggregateExpression()).as("_hh"))
+      .select(explode(col("_hh")).as("_e"))
+      .select(col("_e.item").as("token"), col("_e.est").as("est"), col("_e.err").as("err"))
+  }
+
   /** Corpus vocabulary: top-k tokens of the normalized text by
     * frequency (deterministic tie-break on the token) — the input a
     * tokenizer-training step consumes. explode → groupBy(token) count is

@@ -75,6 +75,9 @@ class GraftFunctionsSpec extends SparkSpec {
         case "normalize_text" => Seq(
           org.apache.spark.sql.catalyst.expressions.Literal("x"),
           org.apache.spark.sql.catalyst.expressions.Literal("nfc"))
+        case "heavy_hitters" => Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal("x"),
+          org.apache.spark.sql.catalyst.expressions.Literal(4))
         case "bottom_k" => Seq(
           org.apache.spark.sql.catalyst.expressions.Literal(1L),
           org.apache.spark.sql.catalyst.expressions.Literal(2L),
