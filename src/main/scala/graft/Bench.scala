@@ -50,8 +50,9 @@ object Bench {
     // r7: the O(delta + index) dedup tick — corpus text never read
     "q_dedup_incr",
     // r7: multi-query ANN via the heap aggregate (k rows per task
-    // cross the exchange, vs the window form's Q x N shuffle)
-    "q_ann_batch")
+    // cross the exchange, vs the window form's Q x N shuffle), and the
+    // SpaceSaving sketch vocabulary vs its exact groupBy counterpart
+    "q_ann_batch", "q_vocab_sketch")
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
