@@ -67,7 +67,11 @@ object PlanReport {
         readSchema = f.metadata.getOrElse("ReadSchema", ""),
         partitionFilters = f.metadata.getOrElse("PartitionFilters", "[]"))
     }
-    val exchanges = nodes.count(_.nodeName.contains("Exchange"))
+    // ReusedExchangeExec's nodeName is "ReusedExchange" — it REFERENCES
+    // an exchange counted elsewhere in the tree, so counting it would
+    // inflate the shuffle count by one per reuse site
+    val exchanges = nodes.count(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
     val codegen = nodes.collect { case w: WholeStageCodegenExec => w }
     val codegenProjects = codegen.flatMap(w => compiledProjects(w.child))
     val allProjects = nodes.collect { case p: ProjectExec => p }

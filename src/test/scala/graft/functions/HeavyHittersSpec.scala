@@ -73,6 +73,71 @@ class HeavyHittersSpec extends SparkSpec {
     assert((exact intersect sketch).size >= 8, s"head overlap too low: $exact vs $sketch")
   }
 
+  /** The pre-heap reference algorithm: O(k) linear min-scan eviction
+    * with the identical deterministic rule (min est; tie → lexically
+    * largest key evicted). The heap-based Summary must be
+    * indistinguishable from this. */
+  private final class LinearScanSummary(k: Int) {
+    private val counts = new java.util.HashMap[String, Array[Long]](k * 2)
+    def offer(item: String, weight: Long, err: Long): Unit = {
+      val cur = counts.get(item)
+      if (cur != null) { cur(0) += weight; cur(1) += err }
+      else if (counts.size < k) counts.put(item, Array(weight, err))
+      else {
+        var minKey: String = null; var minEst = Long.MaxValue
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val est = e.getValue()(0)
+          if (est < minEst || (est == minEst && e.getKey > minKey)) {
+            minEst = est; minKey = e.getKey
+          }
+        }
+        counts.remove(minKey)
+        counts.put(item, Array(minEst + weight, minEst + err))
+      }
+    }
+    def sorted: Seq[(String, Long, Long)] = {
+      val b = Seq.newBuilder[(String, Long, Long)]
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        b += ((e.getKey, e.getValue()(0), e.getValue()(1)))
+      }
+      b.result().sortBy { case (s, c, _) => (-c, s) }
+    }
+  }
+
+  test("heap eviction is item-for-item identical to the linear-scan reference") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 20) {
+      val k = 1 + rnd.nextInt(16)
+      val heap = new HeavyHittersAgg.Summary(k)
+      val ref = new LinearScanSummary(k)
+      (0 until 2000).foreach { _ =>
+        // skewed + weighted offers, including merge-style carried error
+        val item = if (rnd.nextDouble() < 0.5) s"h${rnd.nextInt(4)}" else s"t${rnd.nextInt(60)}"
+        val w = 1L + rnd.nextInt(3)
+        val e = if (rnd.nextDouble() < 0.2) rnd.nextInt(2).toLong else 0L
+        heap.offer(item, w, e); ref.offer(item, w, e)
+      }
+      assert(heap.sorted.toSeq == ref.sorted,
+        s"trial $trial (k=$k) diverged from reference eviction")
+    }
+  }
+
+  test("saturated eviction stays sub-linear in k (heap beats linear scan)") {
+    val k = 10000
+    val n = 100000
+    // all-distinct stream: every offer past the first k is an eviction
+    val items = Array.tabulate(n)(i => s"item_$i")
+    def time(f: => Unit): Long = { val t0 = System.nanoTime(); f; System.nanoTime() - t0 }
+    val heapNs = time { val s = new HeavyHittersAgg.Summary(k); items.foreach(s.offer(_, 1, 0)) }
+    val linNs = time { val s = new LinearScanSummary(k); items.foreach(s.offer(_, 1, 0)) }
+    info(f"k=$k n=$n heap=${heapNs / 1e6}%.1fms linear=${linNs / 1e6}%.1fms (${linNs.toDouble / heapNs}%.0fx)")
+    assert(heapNs < linNs, s"heap eviction ($heapNs ns) should beat O(k) scan ($linNs ns)")
+  }
+
   test("heavy_hitters SQL form resolves") {
     GraftFunctions.register(spark)
     df(schema, Seq(Row("g1", "x"), Row("g1", "x"), Row("g1", "y")))

@@ -38,6 +38,24 @@ class PlanReportSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("ReusedExchange sites do not inflate the exchange count") {
+    val agg = graft.sources.ParquetConnector.readTable(spark, s"$sf/lineitem.parquet")
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("q"))
+    // self-join of the same aggregate: exchange reuse replaces the second
+    // identical shuffle with a ReusedExchange pointer
+    val both = agg.as("a").join(agg.as("b"), "l_returnflag")
+    val plan = both.queryExecution.executedPlan
+    val reused = plan.collect {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r }
+    assert(reused.nonEmpty, s"plan shape precondition: expected a ReusedExchange\n$plan")
+    val real = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e }
+    val r = PlanReport.of(both)
+    assert(r.exchanges == real.size,
+      s"exchanges=${r.exchanges} must count only the ${real.size} real exchange(s), " +
+        s"not the ${reused.size} reuse pointer(s)")
+  }
+
   test("flags interpreted projections (HOF lambda) and clean codegen plans") {
     val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
     val clean = docs.select(graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
