@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.graftshim.ColumnBridge
 import graft.functions.{MinHashSignature, MinHashTextSignature, SignatureAgreement, SimHash64, SimHashText, TextFunctions, VectorFunctions}
 
@@ -27,6 +26,8 @@ import graft.functions.{MinHashSignature, MinHashTextSignature, SignatureAgreeme
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Input-parallelism guard: a corpus read from a handful of large
     * files (or one) plans a handful of tasks and leaves the per-row
     * sketch work nearly serial. Re-spread it across the cluster before
@@ -37,13 +38,30 @@ object Dedup {
     if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
   }
 
-  /** Exact dedup: keep the lowest-`idCol` row per normalized-text
-    * fingerprint. Hash-groupBy, one shuffle of (fingerprint, id). */
-  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val fp = TextFunctions.fingerprint(col(textCol))
-    val w = Window.partitionBy(fp).orderBy(col(idCol).asc)
-    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  /** Keep the lowest-`idCol` row per value of `_fp` — the skew-safe
+    * shape shared by [[exact]] and [[exactAgainst]]: a per-fingerprint
+    * `row_number()` window funnels EVERY copy of a hot fingerprint
+    * (empty/boilerplate docs — 10⁹ copies at 100 TB) into one task,
+    * whereas `groupBy(fp).agg(min(id))` collapses each map task to one
+    * (fp, id) pair per distinct fingerprint BEFORE the shuffle (partial
+    * HashAggregate — a `min_by(row, …)` variant would carry a struct
+    * buffer and fall out of hash aggregation into SortAggregate), and
+    * the left-semi join back on the composite (fp, id) key distributes
+    * hot-fingerprint probe rows across tasks. Same winners, no funnel —
+    * the [[lineDedup]] recipe. */
+  private def keepMinIdPerFingerprint(withFp: DataFrame, idCol: String): DataFrame = {
+    val winners = withFp.groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+    withFp.join(winners, Seq("_fp", idCol), "left_semi")
   }
+
+  /** Exact dedup: keep the lowest-`idCol` row per normalized-text
+    * fingerprint. Hash-groupBy + semi-join, shuffling only
+    * (fingerprint, id) pairs into the winner set — see
+    * [[keepMinIdPerFingerprint]] for why this is not a window. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    keepMinIdPerFingerprint(
+      df.withColumn("_fp", TextFunctions.fingerprint(col(textCol))), idCol)
+      .drop("_fp")
 
   /** The 8-byte fingerprint index of a corpus — what [[exactAgainst]]
     * and [[incrementalExact]] dedup deltas against. One column `fp`,
@@ -60,12 +78,10 @@ object Dedup {
   def exactAgainst(delta: DataFrame, textCol: String, idCol: String,
                    corpusFingerprints: DataFrame, fpCol: String = "fp"): DataFrame = {
     val withFp = delta.withColumn("_fp", TextFunctions.fingerprint(col(textCol)))
-    val w = Window.partitionBy(col("_fp")).orderBy(col(idCol).asc)
-    withFp
+    val unseen = withFp
       .join(corpusFingerprints.select(col(fpCol).as("_fp")).distinct(),
         Seq("_fp"), "left_anti")
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .drop("_rn", "_fp")
+    keepMinIdPerFingerprint(unseen, idCol).drop("_fp")
   }
 
   /** Index-maintaining form: dedup `delta` against the fingerprint
@@ -307,11 +323,36 @@ object Dedup {
     * quadratic verify is confined to blocks — block on language PLUS a
     * length bucket (near-dups have near-equal lengths), never language
     * alone: a whole-language block is quadratic in the corpus at scale.
-    * See [[langLengthBlock]] for the recommended key. */
+    * See [[langLengthBlock]] for the recommended key.
+    *
+    * A blocking key SHRINKS blocks but cannot bound them — at 100 TB an
+    * (en, 1000–1100 chars) block holds billions of docs and the
+    * per-key join goes cartesian. So blocks larger than `maxBlockSize`
+    * are dropped outright (groupBy-count + semi-join, the
+    * [[minhashIndex]] cap shape — never a window), with a loud log of
+    * how many blocks/docs were skipped: such blocks are
+    * boilerplate-shaped and belong to [[exact]]/[[minhashCandidates]],
+    * not an all-pairs verify. The guard costs one column-pruned
+    * aggregate over the block keys — noise next to the O(block²) join
+    * it bounds. Set `maxBlockSize <= 0` to disable (test-only). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        blockCol: Column, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val prep = ensureParallel(df).select(col(idCol).as("_id"), blockCol.as("_block"),
-      array_distinct(shingles(col(textCol), n)).as("_sh"))
+                        blockCol: Column, n: Int = 3, threshold: Double = 0.5,
+                        maxBlockSize: Int = 10000): DataFrame = {
+    val keyed = ensureParallel(df).select(col(idCol).as("_id"), blockCol.as("_block"),
+      col(textCol).as("_text"))
+    val bounded = if (maxBlockSize <= 0) keyed else {
+      val counts = keyed.groupBy(col("_block")).agg(count(lit(1)).as("_bc"))
+      val over = counts.filter(col("_bc") > maxBlockSize)
+        .agg(count(lit(1)), coalesce(sum(col("_bc")), lit(0L))).head()
+      if (over.getLong(0) > 0) log.warn(
+        s"ngramJaccardPairs: dropping ${over.getLong(0)} blocks (${over.getLong(1)} docs) " +
+          s"larger than maxBlockSize=$maxBlockSize — their all-pairs verify would be " +
+          s"quadratic; tighten the blocking key or route them through minhashCandidates")
+      keyed.join(counts.filter(col("_bc") <= maxBlockSize).select(col("_block")),
+        Seq("_block"), "left_semi")
+    }
+    val prep = bounded.select(col("_id"), col("_block"),
+      array_distinct(shingles(col("_text"), n)).as("_sh"))
     val l = prep.select(col("_block"), col("_id").as("id_a"), col("_sh").as("_sh_a"))
     val r = prep.select(col("_block"), col("_id").as("id_b"), col("_sh").as("_sh_b"))
     l.join(r, Seq("_block"))

@@ -40,6 +40,36 @@ class DedupSpec extends SparkSpec {
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
   }
 
+  test("exact dedup is skew-safe: agg+semi-join plan, no per-fingerprint window") {
+    // one text value dominates the corpus — the shape that funnels into a
+    // single task under a row_number() window. The winner set must still
+    // be exact, and the plan must dedup via (partial) aggregation.
+    val hot = (1L to 500L).map(i => Row(i, "the same boilerplate text"))
+    val cold = Seq(Row(1000L, "a unique doc"), Row(1001L, "another unique doc"))
+    val out = Dedup.exact(df(docSchema, hot ++ cold), "text", "doc_id")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 1000L, 1001L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "exact dedup must not use a window")
+    assert(plan.contains("HashAggregate"), "winners must come from an aggregation")
+  }
+
+  test("ngramJaccardPairs drops blocks over maxBlockSize, keeps bounded blocks") {
+    // block 1L: 30 identical docs (pairs would be quadratic); block 2L: a
+    // crafted similar pair. With the cap below 30 only block 2 survives.
+    val big = (1L to 30L).map(i => Row(i, "w x y z", 1L))
+    val small = Seq(Row(100L, "a b c d", 2L), Row(101L, "a b c e", 2L))
+    val d = df(StructType(docSchema.fields :+ StructField("blk", LongType)), big ++ small)
+    val capped = Dedup.ngramJaccardPairs(d, "text", "doc_id", col("blk"),
+      n = 1, threshold = 0.5, maxBlockSize = 20)
+    val got = capped.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((100L, 101L)), "oversized block must be dropped whole")
+    // disabling the cap restores the all-pairs behavior on the big block
+    val uncapped = Dedup.ngramJaccardPairs(d, "text", "doc_id", col("blk"),
+      n = 1, threshold = 0.5, maxBlockSize = 0)
+    assert(uncapped.count() == 30L * 29 / 2 + 1)
+  }
+
   test("shingles: n-grams of normalized tokens; short docs yield empty array") {
     val d = df(docSchema, Seq(Row(1L, "a b c d"), Row(2L, "a b")))
     val out = d.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
