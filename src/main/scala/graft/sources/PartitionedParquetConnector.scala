@@ -50,6 +50,8 @@ class PartitionedParquetConnector(
     val pkIndexMinBytes: Long = 1L << 30)
   extends ParquetConnector(spark0, dir0) {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   val partCol = "gpart"
 
   private def addPart(df: DataFrame): DataFrame =
@@ -315,13 +317,23 @@ class PartitionedParquetConnector(
 
   private def readSidecarMeta(table: String): Option[(String, Map[String, String])] = {
     if (!Files.isRegularFile(metaPath(table))) return None
-    try {
-      val text = Files.readString(metaPath(table))
-      val pk = "\"pk\":\"([^\"]+)\"".r.findFirstMatchIn(text).map(_.group(1))
-      val state = "\"([0-9-]+)\":\"([0-9a-f]+)\"".r
-        .findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toMap
-      pk.map(_ -> state)
-    } catch { case _: Exception => None }
+    // Only the EXPECTED failure shapes degrade to "no meta → stale index"
+    // (VERDICT r8 #3): a concurrent invalidate deleting the file between
+    // the stat and the read, or a torn write leaving undecodable bytes.
+    // Any other I/O error propagates — swallowing it would silently turn
+    // a transient storage blip into an O(table) index re-bootstrap scan.
+    val text =
+      try Files.readString(metaPath(table))
+      catch {
+        case _: java.nio.file.NoSuchFileException => return None
+        case e: java.nio.charset.CharacterCodingException =>
+          log.warn(s"pk index meta for $table holds undecodable bytes ($e); treating index as stale")
+          return None
+      }
+    val pk = "\"pk\":\"([^\"]+)\"".r.findFirstMatchIn(text).map(_.group(1))
+    val state = "\"([0-9-]+)\":\"([0-9a-f]+)\"".r
+      .findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toMap
+    pk.map(_ -> state)
   }
 
   /** The index as (h, gpart_v) rows — only if the meta file is present,
@@ -334,8 +346,19 @@ class PartitionedParquetConnector(
     readSidecarMeta(table) match {
       case Some((pk, state)) if pk == primaryKey && state == partitionState(table)
           && Files.isDirectory(idxPath(table)) =>
+        // Narrow failure handling (VERDICT r8 #3): only the expected
+        // no-partitions-yet case (the gpart_v=* glob resolves nothing)
+        // degrades to a re-bootstrap, with one log line. Everything else
+        // — corrupt footers, storage errors — propagates loudly: a
+        // silently-swallowed blip here used to trigger an unsignalled
+        // O(table) rescan, a trillion-row job at 100 TB.
         try Some(readIndex(table))
-        catch { case _: Exception => None }
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "PATH_NOT_FOUND" =>
+            log.warn(s"pk index for $table has a valid meta but no partition files; re-bootstrapping")
+            None
+        }
       case _ => None
     }
 
@@ -411,10 +434,19 @@ class PartitionedParquetConnector(
     * external writer added rows) stays stale — recommitting it would
     * bless an index that is missing those rows' keys.
     *
+    * The content-hash bucket shuffle DESTROYS any within-partition sort
+    * order (z-order runs, matcher clustering) — rows land in buckets by
+    * hash, and each output file's min/max stats widen to the whole
+    * partition's range, so row-group pruning on the sorted column dies.
+    * Pass the cluster columns as `sortCols` (mirroring
+    * [[graft.operators.Layout.zorderWrite]]'s repartition+sort shape) to
+    * re-sort each output bucket before the write: same file counts, and
+    * min/max locality survives the rewrite.
+    *
     * Returns (partition, filesBefore, filesAfter) for each compacted
     * partition. */
   def compact(table: String, targetFileBytes: Long = 128L << 20,
-              minFiles: Int = 4): Seq[(String, Int, Int)] = {
+              minFiles: Int = 4, sortCols: Seq[String] = Nil): Seq[(String, Int, Int)] = {
     require(exists(table), s"no such table: $table")
     def want(bytes: Long): Long = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
     val cands = partitionFileStats(table).filter { case (_, n, bytes) =>
@@ -432,12 +464,18 @@ class PartitionedParquetConnector(
     // task must re-assign every row the SAME bucket or the repartition
     // can duplicate/drop rows across reducers on executor loss
     val rowHash = xxhash64(base.columns.map(col).toIndexedSeq: _*)
-    val slice = base
+    val slice0 = base
       .filter(col(partCol).isin(cands.map(_._1): _*))
       .join(broadcast(desiredDf), Seq(partCol))
       .withColumn("_cb", pmod(rowHash, col("_nb")))
       .repartition(col(partCol), col("_cb"))
       .drop("_nb", "_cb")
+    // partCol leads the sort: the partitioned write REQUIRES ordering by
+    // the partition column and would otherwise insert its own (unstable)
+    // sort on partCol alone, destroying the sortCols order just imposed
+    val slice =
+      if (sortCols.isEmpty) slice0
+      else slice0.sortWithinPartitions((partCol +: sortCols).map(col): _*)
     // meta-file-last protocol, same as upsert: invalidate before mutating,
     // recommit only after the rewrite published
     if (validMeta.isDefined) invalidateSidecar(table)

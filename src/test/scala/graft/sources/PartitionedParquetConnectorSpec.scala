@@ -308,6 +308,45 @@ class PartitionedParquetConnectorSpec extends SparkSpec {
     assert(c.compact("users", 1L << 30, 2).isEmpty, "second compact must be a no-op")
   }
 
+  test("compact(sortCols) restores within-file order so min/max pruning survives") {
+    // a partition written as 3 shuffled fragments: without sortCols the
+    // content-hash bucket shuffle leaves every output file spanning the
+    // whole id range (min/max stats useless); with sortCols the rewrite
+    // re-sorts each output file
+    val rnd = new scala.util.Random(5)
+    def shuffledRows(ids: Seq[Long]): Seq[Seq[Row]] =
+      rnd.shuffle(ids).grouped(20).map(_.map(i =>
+        Row(i, s"u$i@x.com", "F", "L",
+          ts("2024-01-03 10:00:00"), ts("2024-01-03 12:00:00")))).toSeq
+    def fileIds(d: String): Seq[Seq[Long]] = {
+      val dir = Paths.get(d, "users.parquet", "gpart=2024-01-03")
+      Files.list(dir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => spark.read.parquet(f.toString)
+          .collect().map(_.getAs[Long]("id")).toSeq)
+    }
+    def build(): (PartitionedParquetConnector, String) = {
+      val (c, d) = fresh()
+      c.write(usersDf, "users")
+      shuffledRows(100L to 159L).foreach(rows => externalAppend(d, "2024-01-03", rows))
+      (c, d)
+    }
+    val (c1, d1) = build()
+    c1.compact("users", targetFileBytes = 1L << 30, minFiles = 2, sortCols = Seq("id"))
+    val sortedFiles = fileIds(d1)
+    assert(sortedFiles.nonEmpty)
+    sortedFiles.foreach(ids => assert(ids == ids.sorted,
+      "every compacted file must be sorted by the cluster column"))
+    // teeth: the same fixture compacted WITHOUT sortCols comes out unsorted
+    val (c2, d2) = build()
+    c2.compact("users", targetFileBytes = 1L << 30, minFiles = 2)
+    assert(fileIds(d2).exists(ids => ids != ids.sorted),
+      "fixture must actually lose order without sortCols")
+    // contents identical either way
+    assert(c1.read("users").collect().map(_.mkString("|")).toSet ==
+      c2.read("users").collect().map(_.mkString("|")).toSet)
+  }
+
   test("compact recommits a VALID pk index: next tick probes it, no rebootstrap") {
     val (c, d) = freshIdx()
     c.write(usersDf, "users")
@@ -341,6 +380,45 @@ class PartitionedParquetConnectorSpec extends SparkSpec {
     val got = c.read("users").filter(col("id") === 201L).select("email").head().getString(0)
     assert(got == "upd@x.com")
     assert(c.read("users").count() == 9)
+  }
+
+  test("corrupt index files under a valid meta fail LOUDLY, not via silent rescan") {
+    val (c, d) = freshIdx()
+    c.write(usersDf, "users")
+    c.upsert(df(usersSchema, Seq(Row(1L, "t1@x.com", "F", "L",
+      ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))), "users", "id") // bootstrap
+    val idx = idxDir(d, "users")
+    assert(Files.isDirectory(idx))
+    // trash every index data file (meta stays valid — it fingerprints the
+    // TABLE partitions, not the index): the old catch-all swallowed this
+    // and silently degraded to an O(table) re-bootstrap scan
+    Files.walk(idx).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(f => Files.write(f, "not a parquet file".getBytes))
+    intercept[Exception] {
+      c.upsert(df(usersSchema, Seq(Row(2L, "t2@x.com", "F", "L",
+        ts("2024-01-02 10:00:00"), ts("2024-01-02 11:00:00")))), "users", "id")
+    }
+  }
+
+  test("valid meta over an EMPTY index dir re-bootstraps (the expected missing-path case)") {
+    val (c, d) = freshIdx()
+    c.write(usersDf, "users")
+    c.upsert(df(usersSchema, Seq(Row(1L, "t1@x.com", "F", "L",
+      ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))), "users", "id") // bootstrap
+    val idx = idxDir(d, "users")
+    // delete the partition dirs but keep the index root + meta: the
+    // gpart_v=* glob resolves no paths — the one failure shape that may
+    // quietly degrade to a rebuild
+    Files.list(idx).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("gpart_v="))
+      .foreach(FileTableOps.deleteRecursively)
+    c.upsert(df(usersSchema, Seq(Row(3L, "t3@x.com", "F", "L",
+      ts("2024-01-03 10:00:00"), ts("2024-06-01 00:00:00")))), "users", "id")
+    assert(c.read("users").filter(col("id") === 3).count() == 1)
+    assert(c.read("users").filter(col("id") === 3).head().getAs[String]("email") == "t3@x.com")
+    assert(Files.list(idx).iterator().asScala.exists(
+      _.getFileName.toString.startsWith("gpart_v=")), "index must be rebuilt")
   }
 
   test("compact never blesses a STALE index (external rows' keys missing from it)") {
