@@ -1447,6 +1447,59 @@ object SparkEntry {
         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
         |LIMIT 20""".stripMargin,
 
+    // Full IVF replay (every step of trainCentroids/writeIvfIndex/
+    // ivfTopKIndexed is deterministic, so DuckDB can re-derive it):
+    // seeds = the 8 lowest-vec_id vectors (cell = id rank); assign0 =
+    // argmin-L2 cell per vector with ties to the LOWER cell (Spark's
+    // nearestCell keeps the earlier centroid on ties); one Lloyd step
+    // with the DECIMAL-exact mean trainCentroids uses; re-assign against
+    // the refined centroids; probe = the 2 cells nearest the query
+    // (vec 0); cosine top-10 inside them.
+    "q_ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seeds AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, v AS cv
+        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+        |assign0 AS (
+        |  SELECT e.vec_id, s.cell,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_sum(list_transform(list_zip(e.v, s.cv),
+        |                     x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+        |                    s.cell ASC) AS rn
+        |  FROM e CROSS JOIN seeds s),
+        |cells0 AS (SELECT vec_id, cell FROM assign0 WHERE rn = 1),
+        |means AS (
+        |  SELECT c.cell, i AS dim,
+        |         CAST(SUM(CAST(e.v[i] AS DECIMAL(20,10))) AS DOUBLE) / COUNT(1) AS m
+        |  FROM cells0 c JOIN e USING (vec_id), UNNEST(generate_series(1, len(e.v))) AS t(i)
+        |  GROUP BY c.cell, i),
+        |refined AS (
+        |  SELECT s.cell, COALESCE(m.cv, s.cv) AS cv
+        |  FROM seeds s LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS cv FROM means GROUP BY cell) m
+        |    USING (cell)),
+        |assign1 AS (
+        |  SELECT e.vec_id, r.cell,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_sum(list_transform(list_zip(e.v, r.cv),
+        |                     x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+        |                    r.cell ASC) AS rn
+        |  FROM e CROSS JOIN refined r),
+        |cells1 AS (SELECT vec_id, cell FROM assign1 WHERE rn = 1),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |probe AS (
+        |  SELECT r.cell FROM refined r CROSS JOIN q
+        |  ORDER BY list_sum(list_transform(list_zip(q.qv, r.cv),
+        |             x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+        |           r.cell ASC
+        |  LIMIT 2)
+        |SELECT e.vec_id,
+        |       ROUND(CAST(list_cosine_similarity(e.v, q.qv) AS DOUBLE), 6) AS score
+        |FROM e JOIN cells1 c USING (vec_id) CROSS JOIN q
+        |WHERE c.cell IN (SELECT cell FROM probe)
+        |ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
+
     "q_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
         |     purch  AS (SELECT user_id, ts AS purchase_ts, MAX(value) AS purchase_value

@@ -116,7 +116,13 @@ object Similarity {
   /** Deterministic IVF coarse centroids: the `nlist` lowest-id vectors
     * (a fixed, reproducible seeding — one Lloyd iteration refines them).
     * Returns (centroidId, vector) collected to the driver: nlist is small
-    * (≤ a few thousand) by design; this is index metadata, not data. */
+    * (≤ a few thousand) by design; this is index metadata, not data.
+    *
+    * The Lloyd mean sums in DECIMAL (exact) and divides as double: a
+    * plain double `avg` is partial-aggregation-ORDER-dependent, which
+    * would make "deterministic" false in the last ulp across runs — and
+    * an index-building operator whose output drifts run-to-run can't be
+    * oracled or reproduced. Same trick as `q_embedding_centroid`. */
   def trainCentroids(df: DataFrame, vecCol: String, idCol: String,
                      nlist: Int, refineIterations: Int = 1): Array[(Int, Array[Double])] = {
     var centroids: Array[(Int, Array[Double])] =
@@ -130,7 +136,8 @@ object Similarity {
       // (nlist × dim doubles) is index metadata, safe to collect.
       val means = buildIvfIndex(df, vecCol, centroids)
         .select(col("_cell"), posexplode(transform(col(vecCol), _.cast("double"))).as(Seq("_i", "_x")))
-        .groupBy(col("_cell"), col("_i")).agg(avg(col("_x")).as("_m"))
+        .groupBy(col("_cell"), col("_i"))
+        .agg((expr("CAST(SUM(CAST(_x AS DECIMAL(20,10))) AS DOUBLE)") / count(lit(1))).as("_m"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cell, rows) =>
@@ -186,6 +193,39 @@ object Similarity {
     buildIvfIndex(df, vecCol, centroids)
       .repartition(col("_cell"))
       .write.mode("overwrite").partitionBy("_cell").parquet(path)
+
+  /** Incremental IVF maintenance: assign a DELTA of new vectors to the
+    * EXISTING centroids and merge them into the materialized index,
+    * dynamically overwriting ONLY the touched cell partitions —
+    * existing rows in those cells are kept (read back and unioned in),
+    * untouched cells' files are never opened or rewritten. A daily
+    * embedding delta costs O(delta + touched cells), not a full index
+    * rebuild — the same partition-scoped contract as the partitioned
+    * connector's upsert.
+    *
+    * Centroids are FROZEN: probes over the merged index are exactly as
+    * if [[writeIvfIndex]] had been rerun over the union corpus with the
+    * same centroids (spec-pinned). The standard IVF drift trade rides
+    * along: as the delta distribution shifts away from the training
+    * corpus, cell balance and probe recall decay — monitor cell-size
+    * skew and re-train ([[trainCentroids]] + [[writeIvfIndex]]) when it
+    * degrades. Callers own id-uniqueness across ticks (this is an
+    * append, not an upsert). */
+  def ivfIndexAppend(delta: DataFrame, vecCol: String,
+                     centroids: Array[(Int, Array[Double])], path: String): Unit = {
+    val spark = delta.sparkSession
+    val assigned = buildIvfIndex(delta, vecCol, centroids)
+    val touched = assigned.select(col("_cell")).distinct()
+    // existing rows of ONLY the touched cells — the cell filter prunes
+    // partitions at the file listing, so this reads O(touched cells)
+    val kept = spark.read.parquet(path)
+      .join(broadcast(touched), Seq("_cell"))
+    val out = kept.unionByName(assigned.select(kept.columns.map(col).toIndexedSeq: _*))
+    out.repartition(col("_cell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_cell").parquet(path)
+  }
 
   /** Probe a materialized index: scan ONLY the `nprobe` nearest cells
     * (partition-pruned), exact cosine top-k inside them. */

@@ -140,6 +140,46 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ivfIndexAppend == full rebuild on frozen centroids; untouched cells never rewritten") {
+    val corpus = clustered(8, 20, 8)
+    val base = corpus.filter(col("vec_id") < 150L)
+    val delta = corpus.filter(col("vec_id") >= 150L) // last half-cluster
+    val centroids = Similarity.trainCentroids(base, "v", "vec_id", nlist = 8)
+    val idx = tmpDir("graft_ivf_app_") + "/index"
+    Similarity.writeIvfIndex(base, "v", centroids, idx)
+    val touched = Similarity.buildIvfIndex(delta, "v", centroids)
+      .select("_cell").distinct().collect().map(_.getInt(0)).toSet
+    val untouched = Similarity.buildIvfIndex(base, "v", centroids)
+      .select("_cell").distinct().collect().map(_.getInt(0)).toSet -- touched
+    assert(untouched.nonEmpty, "fixture must leave some cells untouched")
+    def cellFiles(cell: Int): Set[String] = {
+      val dir = java.nio.file.Paths.get(idx, s"_cell=$cell")
+      val s = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+      } finally s.close()
+    }
+    val before = untouched.map(c => c -> cellFiles(c)).toMap
+    Similarity.ivfIndexAppend(delta, "v", centroids, idx)
+    untouched.foreach(c => assert(cellFiles(c) == before(c),
+      s"untouched cell $c was rewritten by the append"))
+    // the merged index is row-identical to a from-scratch rebuild over
+    // the union corpus with the SAME centroids...
+    val idx2 = tmpDir("graft_ivf_reb_") + "/index"
+    Similarity.writeIvfIndex(corpus, "v", centroids, idx2)
+    def rows(p: String) = spark.read.parquet(p).select("vec_id", "_cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows(idx) == rows(idx2))
+    // ...and so is the probe
+    val q = corpus.filter(col("vec_id") === 155L).head().getSeq[Float](1)
+    def probe(p: String) = Similarity.ivfTopKIndexed(spark, p, "v", "vec_id",
+      centroids, q, k = 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe(idx) == probe(idx2))
+  }
+
   test("IVF index assigns every vector to a cell in range") {
     val corpus = clustered(4, 10, 8)
     val centroids = Similarity.trainCentroids(corpus, "v", "vec_id", nlist = 4)
