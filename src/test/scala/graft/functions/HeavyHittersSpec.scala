@@ -127,8 +127,11 @@ class HeavyHittersSpec extends SparkSpec {
   }
 
   test("saturated eviction stays sub-linear in k (heap beats linear scan)") {
-    val k = 10000
-    val n = 100000
+    // sized so the linear baseline does ~4*10^7 ops (tens of ms), not
+    // ~10^9 (seconds) — the sub-linear margin is still ~100x, far above
+    // any CI jitter, and the differential test above is the merge gate
+    val k = 2000
+    val n = 20000
     // all-distinct stream: every offer past the first k is an eviction
     val items = Array.tabulate(n)(i => s"item_$i")
     def time(f: => Unit): Long = { val t0 = System.nanoTime(); f; System.nanoTime() - t0 }
