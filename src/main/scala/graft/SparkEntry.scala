@@ -831,7 +831,10 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"), col("bin"))
         .orderBy(col("doc_id"))),
 
-    // ---- multimodal plumbing (rows-only: stubbed decode) ----
+    // ---- multimodal plumbing (rows-only: the synthetic payloads are
+    // utf8 text, so the real ImageIO decode falls back to the
+    // deterministic byte-derived features — real decodes are spec'd
+    // with in-test PNG/BMP bytes in MultimodalSpec) ----
     "q_multimodal" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(T(s, dir, "documents"), "doc_id", "text", "image")
       Multimodal.extractImageFeatures(media).toDF()

@@ -4,9 +4,19 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing: schema contract, per-partition batch decode shape,
-  * frame sampling. The decode itself is the documented deterministic stub
-  * (no codecs in this container) — everything around it is real. */
+  * frame sampling — plus the REAL image decode path (JDK ImageIO readers:
+  * exact dimensions, BT.601 luminance, 8x8 average-hash) with the
+  * deterministic byte-derived fallback for unrecognized payloads. */
 class MultimodalSpec extends SparkSpec {
+
+  /** PNG/BMP/JPEG bytes for a solid or per-pixel-defined image. */
+  private def imageBytes(w: Int, h: Int, format: String)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, out)
+    out.toByteArray
+  }
 
   private def media = {
     val docs = graft.sources.ParquetConnector
@@ -35,6 +45,59 @@ class MultimodalSpec extends SparkSpec {
   test("empty payload yields the zero-feature row, not a crash") {
     val f = Multimodal.fakeDecodeImage(7L, Array.empty[Byte])
     assert(f == Multimodal.ImageFeatures(7L, 0, 0, 0.0, 0L))
+    assert(Multimodal.decodeImage(7L, Array.empty[Byte]) == f)
+  }
+
+  test("decodeImage reads real PNG/BMP bytes: exact dimensions, luminance, aHash") {
+    // uniform gray 100: every cell equals the grid mean -> no aHash bit
+    val gray = Multimodal.decodeImage(1L, imageBytes(16, 8, "png")((_, _) => 0x646464))
+    assert(gray.width == 16 && gray.height == 8)
+    assert(math.abs(gray.mean_intensity - 100.0) < 1e-9)
+    assert(gray.phash == 0L)
+    // left half black, right half white: grid columns 4-7 exceed the
+    // mean -> the high nibble of every byte of the hash
+    val split = Multimodal.decodeImage(2L,
+      imageBytes(16, 8, "png")((x, _) => if (x < 8) 0x000000 else 0xffffff))
+    assert(split.width == 16 && split.height == 8)
+    assert(math.abs(split.mean_intensity - 127.5) < 1e-9)
+    assert(split.phash == 0xF0F0F0F0F0F0F0F0L)
+    // same image through a second JDK reader (BMP) decodes identically
+    val bmp = Multimodal.decodeImage(3L,
+      imageBytes(16, 8, "bmp")((x, _) => if (x < 8) 0x000000 else 0xffffff))
+    assert(bmp.copy(media_id = 2L) == split)
+  }
+
+  test("aHash is stable across rescaling (the near-dup property)") {
+    // content constant within each 8x8 cell of the IMAGE (pseudo-random
+    // per cell): the same picture rendered at 64x64 and 32x32 must pool
+    // to the same grid and hash identically
+    def pattern(size: Int)(x: Int, y: Int): Int = {
+      val cx = x * 8 / size; val cy = y * 8 / size
+      val v = ((cx * 31 + cy * 17) % 7) * 36
+      (v << 16) | (v << 8) | v
+    }
+    val big = Multimodal.decodeImage(1L, imageBytes(64, 64, "png")(pattern(64)))
+    val small = Multimodal.decodeImage(2L, imageBytes(32, 32, "png")(pattern(32)))
+    assert(big.phash == small.phash,
+      s"rescaled phash hamming ${java.lang.Long.bitCount(big.phash ^ small.phash)}")
+    assert(big.phash != 0L, "fixture must produce a non-trivial hash")
+  }
+
+  test("unrecognized payloads fall back to the deterministic byte-derived features") {
+    val junk = "definitely not an image".getBytes("UTF-8")
+    assert(Multimodal.decodeImage(9L, junk) == Multimodal.fakeDecodeImage(9L, junk))
+  }
+
+  test("extractImageFeatures decodes real images end to end through Spark") {
+    import org.apache.spark.sql.Row
+    val rows = (0 until 8).map { i =>
+      Row(i.toLong, "image", s"mem://$i",
+        imageBytes(8 + i, 8, "png")((_, _) => 0x646464), null)
+    }
+    val m = df(Multimodal.mediaSchema, rows)
+    val feats = Multimodal.extractImageFeatures(m).collect().sortBy(_.media_id)
+    assert(feats.map(_.width).toSeq == (8 until 16).toSeq)
+    assert(feats.forall(f => f.height == 8 && math.abs(f.mean_intensity - 100.0) < 1e-9))
   }
 
   test("sampleFrames emits every Nth frame per video") {
