@@ -416,6 +416,23 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_hamming_neardup" -> ((s, dir) => {
+      // the generic chunk-blocked hamming pairing — the machinery under
+      // BOTH simhash text dedup and image-aHash dedup — made fully
+      // oracle-checkable with PLANTED near-collisions: groups of 5 ids
+      // share high bits, each member flips one distinct low bit, so
+      // in-group hamming is exactly 2 (adjacent groups can also land
+      // <= 3 via close group numbers; the oracle replays the identical
+      // integer arithmetic). Bucket cap disabled here: the fixture's
+      // chunk-0 buckets grow with the table and the oracle has no cap
+      // (cap semantics are pinned in DedupSpec).
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        (expr("doc_id DIV 5") * 65536L +
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 5 AS INT))")).as("h"))
+      Dedup.hammingNearDupPairs(d, col("h"), "doc_id", maxHamming = 3, maxBucketSize = 0)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_ngram_jaccard" -> ((s, dir) => {
       // lang + length-bucket blocking (never lang alone — quadratic in a
       // whole language at scale); oracle replicates the same blocking.
@@ -1449,6 +1466,21 @@ object SparkEntry {
         |FROM embeddings
         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
         |LIMIT 20""".stripMargin,
+
+    "q_hamming_neardup" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         (doc_id // 5) * 65536 + (CAST(1 AS BIGINT) << CAST(doc_id % 5 AS INTEGER)) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, h, i AS ci, (h >> CAST(i * 16 AS INTEGER)) & 65535 AS chunk
+        |  FROM h, UNNEST([0, 1, 2, 3]) AS t(i)),
+        |p AS (
+        |  SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+        |         CAST(bit_count(xor(l.h, r.h)) AS INTEGER) AS hamming
+        |  FROM c l JOIN c r ON l.ci = r.ci AND l.chunk = r.chunk AND l.doc_id < r.doc_id)
+        |SELECT DISTINCT id_a, id_b, hamming FROM p
+        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     // Full IVF replay (every step of trainCentroids/writeIvfIndex/
     // ivfTopKIndexed is deterministic, so DuckDB can re-derive it):

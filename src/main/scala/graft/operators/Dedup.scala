@@ -297,15 +297,19 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** SimHash near-dup candidates: block on 4×16-bit chunks (a pair within
-    * hamming distance ≤3 of 64 bits must agree on ≥1 chunk — pigeonhole),
-    * then verify hamming exactly via popcount — join-free, same
-    * bucket-pair machinery as MinHash. */
-  def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame = {
+  /** Near-dup candidate pairs over ANY precomputed 64-bit
+    * similarity-preserving hash column (SimHash of text, the image
+    * aHash from [[Multimodal.decodeImage]], …): block on 4×16-bit
+    * chunks (a pair within hamming distance ≤3 of 64 bits must agree on
+    * ≥1 chunk — pigeonhole; recall above 3 is high but not guaranteed),
+    * then verify hamming exactly via popcount — join-free, same capped
+    * bucket-pair machinery as MinHash. Returns (id_a, id_b, hamming)
+    * with id_a &lt; id_b. */
+  def hammingNearDupPairs(df: DataFrame, hashCol: Column, idCol: String,
+                          maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame = {
     // barrier for the same CollapseProject reason as minhashCandidates:
-    // the chunk projection references _sim 5×; 16 bytes/row shuffled
-    val withSim = ensureParallel(df).select(col(idCol).as("_id"), simhash(col(textCol)).as("_sim"))
+    // the chunk projection references the hash 5×; 16 bytes/row shuffled
+    val withSim = ensureParallel(df).select(col(idCol).as("_id"), hashCol.as("_sim"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val chunked = withSim.select(col("_id"), col("_sim"),
       posexplode(array((0 until 4).map(i =>
@@ -318,6 +322,12 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** SimHash near-dup candidates over text — [[simhash]] fused into the
+    * generic hamming pairing. */
+  def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame =
+    hammingNearDupPairs(df, simhash(col(textCol)), idCol, maxHamming, maxBucketSize)
 
   /** Exact n-gram Jaccard similarity pairs within a blocking key. The
     * quadratic verify is confined to blocks — block on language PLUS a

@@ -88,6 +88,25 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage(9L, junk) == Multimodal.fakeDecodeImage(9L, junk))
   }
 
+  test("decoded phash feeds hammingNearDupPairs: rescaled copies pair, distinct images don't") {
+    import org.apache.spark.sql.Row
+    def cells(seed: Int, size: Int)(x: Int, y: Int): Int = {
+      val v = (((x * 8 / size) * 31 + (y * 8 / size) * 17 + seed) % 7) * 36
+      (v << 16) | (v << 8) | v
+    }
+    val rows = Seq(
+      Row(1L, "image", "a", imageBytes(64, 64, "png")(cells(0, 64)), null),
+      Row(2L, "image", "a-small", imageBytes(32, 32, "png")(cells(0, 32)), null),
+      Row(3L, "image", "b", imageBytes(64, 64, "png")(cells(3, 64)), null),
+      Row(4L, "image", "c", imageBytes(64, 64, "png")(cells(5, 64)), null))
+    val feats = Multimodal.extractImageFeatures(df(Multimodal.mediaSchema, rows)).toDF()
+    val pairs = Dedup.hammingNearDupPairs(feats, col("phash"), "media_id", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "rescaled copy must pair with its original")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L),
+      s"distinct images must not pair: $pairs")
+  }
+
   test("extractImageFeatures decodes real images end to end through Spark") {
     import org.apache.spark.sql.Row
     val rows = (0 until 8).map { i =>
