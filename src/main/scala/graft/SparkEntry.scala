@@ -853,10 +853,15 @@ object SparkEntry {
     // deterministic byte-derived features — real decodes are spec'd
     // with in-test PNG/BMP bytes in MultimodalSpec) ----
     "q_multimodal" -> ((s, dir) => {
-      val media = Multimodal.syntheticMedia(T(s, dir, "documents"), "doc_id", "text", "image")
-      Multimodal.extractImageFeatures(media).toDF()
+      val docs = T(s, dir, "documents")
+      val img = Multimodal.syntheticMedia(docs, "doc_id", "text", "image")
+      val aud = Multimodal.syntheticMedia(docs, "doc_id", "text", "audio")
+      val fa = Multimodal.extractAudioFeatures(aud).toDF()
+        .select(col("media_id"), col("sample_rate"), round(col("rms"), 6).as("rms"))
+      Multimodal.extractImageFeatures(img).toDF()
         .select(col("media_id"), col("width"), col("height"),
           round(col("mean_intensity"), 4).as("mean_intensity"))
+        .join(fa, Seq("media_id"))
         .orderBy(col("media_id"))
     })
   )

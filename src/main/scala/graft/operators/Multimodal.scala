@@ -123,6 +123,89 @@ object Multimodal {
       .mapPartitions { it => it.map { case (id, bytes) => decoder(id, bytes) } }
   }
 
+  case class AudioFeatures(media_id: Long, sample_rate: Int, channels: Int,
+                           n_frames: Long, duration_s: Double, rms: Double)
+
+  /** Real audio decode via the JDK's bundled `javax.sound.sampled`
+    * readers (WAV/AIFF/AU — no external codecs): true sample rate,
+    * channel count, frame count, duration, and RMS amplitude
+    * (normalized to [0,1]) over the PCM samples — the standard
+    * loudness/silence signal a speech-data curation pass filters on.
+    * Handles 16-bit signed (either endianness) and 8-bit PCM directly;
+    * payloads no bundled reader recognizes, and exotic sample formats,
+    * degrade to [[fakeDecodeAudio]]'s deterministic byte-derived
+    * features — same totality contract as [[decodeImage]]. */
+  def decodeAudio(mediaId: Long, payload: Array[Byte]): AudioFeatures = {
+    if (payload == null || payload.isEmpty) return AudioFeatures(mediaId, 0, 0, 0L, 0.0, 0.0)
+    val stream =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (stream == null) return fakeDecodeAudio(mediaId, payload)
+    try {
+      val f = stream.getFormat
+      val pcmSigned = f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val pcmUnsigned = f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      val bits = f.getSampleSizeInBits
+      if (!((pcmSigned && bits == 16) || ((pcmSigned || pcmUnsigned) && bits == 8)))
+        return fakeDecodeAudio(mediaId, payload)
+      val data = stream.readAllBytes()
+      val bytesPerSample = bits / 8
+      val nSamples = data.length / bytesPerSample
+      val frames = nSamples.toLong / math.max(f.getChannels, 1)
+      var sumSq = 0.0
+      var i = 0
+      if (bits == 16) {
+        val be = f.isBigEndian
+        while (i + 1 < data.length) {
+          val lo = data(if (be) i + 1 else i) & 0xff
+          val hi = data(if (be) i else i + 1).toInt
+          val s = ((hi << 8) | lo).toShort / 32768.0
+          sumSq += s * s
+          i += 2
+        }
+      } else {
+        while (i < data.length) {
+          val s = if (pcmSigned) data(i) / 128.0 else ((data(i) & 0xff) - 128) / 128.0
+          sumSq += s * s
+          i += 1
+        }
+      }
+      val rate = f.getSampleRate
+      AudioFeatures(mediaId, rate.toInt, f.getChannels, frames,
+        if (rate > 0) frames / rate.toDouble else 0.0,
+        if (nSamples > 0) math.sqrt(sumSq / nSamples) else 0.0)
+    } finally stream.close()
+  }
+
+  /** FALLBACK AUDIO DECODER — deterministic byte-derived features for
+    * payloads no bundled reader handles, mirroring [[fakeDecodeImage]]. */
+  def fakeDecodeAudio(mediaId: Long, payload: Array[Byte]): AudioFeatures = {
+    if (payload == null || payload.isEmpty) return AudioFeatures(mediaId, 0, 0, 0L, 0.0, 0.0)
+    var h = 0xcbf29ce484222325L
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) { h = h * 31L + (payload(i) & 0xffL); sum += (payload(i) & 0xff); i += 1 }
+    val rate = 8000 + (math.abs(h % 4) * 8000).toInt        // 8/16/24/32 kHz
+    val channels = 1 + (math.abs((h >> 8) % 2)).toInt
+    val frames = payload.length.toLong
+    AudioFeatures(mediaId, rate, channels, frames, frames / rate.toDouble,
+      (sum.toDouble / payload.length) / 255.0)
+  }
+
+  /** Audio feature extraction — the same pluggable per-partition batch
+    * shape as [[extractImageFeatures]]. */
+  def extractAudioFeatures(media: DataFrame,
+                           decoder: (Long, Array[Byte]) => AudioFeatures = decodeAudio)
+      : Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it => it.map { case (id, bytes) => decoder(id, bytes) } }
+  }
+
   /** Frame-sampling plumbing for video: emits (media_id, frame_idx) rows
     * for every `everyN`th frame given a frame-count in `meta("frames")` —
     * the flatMap shape a real frame extractor plugs into. */

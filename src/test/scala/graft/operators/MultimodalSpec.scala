@@ -119,6 +119,53 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.forall(f => f.height == 8 && math.abs(f.mean_intensity - 100.0) < 1e-9))
   }
 
+  /** 16-bit signed PCM WAV bytes of a sine wave. */
+  private def wavBytes(rate: Float, seconds: Double, amplitude: Double,
+                       hz: Double = 440.0): Array[Byte] = {
+    val n = (rate * seconds).toInt
+    val data = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (amplitude * math.sin(2 * math.Pi * hz * i / rate) * 32767).toInt
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("decodeAudio reads real WAV bytes: rate, channels, duration, sine RMS") {
+    val a = Multimodal.decodeAudio(1L, wavBytes(8000f, 1.0, amplitude = 0.5))
+    assert(a.sample_rate == 8000 && a.channels == 1 && a.n_frames == 8000)
+    assert(math.abs(a.duration_s - 1.0) < 1e-9)
+    // RMS of a 0.5-amplitude sine = 0.5 / sqrt(2)
+    assert(math.abs(a.rms - 0.5 / math.sqrt(2)) < 1e-3, s"rms ${a.rms}")
+    // silence has zero RMS
+    assert(Multimodal.decodeAudio(2L, wavBytes(8000f, 0.5, amplitude = 0.0)).rms == 0.0)
+  }
+
+  test("unrecognized audio payloads fall back to the deterministic features") {
+    val junk = "not audio".getBytes("UTF-8")
+    assert(Multimodal.decodeAudio(5L, junk) == Multimodal.fakeDecodeAudio(5L, junk))
+    assert(Multimodal.decodeAudio(5L, Array.empty[Byte]) ==
+      Multimodal.AudioFeatures(5L, 0, 0, 0L, 0.0, 0.0))
+  }
+
+  test("extractAudioFeatures decodes real WAVs end to end through Spark") {
+    import org.apache.spark.sql.Row
+    val rows = (1 to 4).map { i =>
+      Row(i.toLong, "audio", s"mem://$i", wavBytes(8000f, i * 0.25, 0.5), null)
+    }
+    val feats = Multimodal.extractAudioFeatures(df(Multimodal.mediaSchema, rows))
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.n_frames).toSeq == Seq(2000L, 4000L, 6000L, 8000L))
+    assert(feats.forall(f => f.sample_rate == 8000 && math.abs(f.rms - 0.5 / math.sqrt(2)) < 2e-3))
+  }
+
   test("sampleFrames emits every Nth frame per video") {
     val m = media.withColumn("kind", lit("video"))
       .withColumn("meta", map(lit("frames"), lit("90")))
