@@ -215,11 +215,17 @@ object Similarity {
                      centroids: Array[(Int, Array[Double])], path: String): Unit = {
     val spark = delta.sparkSession
     val assigned = buildIvfIndex(delta, vecCol, centroids)
-    val touched = assigned.select(col("_cell")).distinct()
-    // existing rows of ONLY the touched cells — the cell filter prunes
-    // partitions at the file listing, so this reads O(touched cells)
+    // touched-cell ids to the driver: bounded by nlist (index metadata,
+    // ≤ a few thousand by design), never by delta size. The literal
+    // isin filter prunes the index scan STATICALLY at the file listing
+    // — a broadcast join on _cell would need runtime DPP to avoid
+    // reading every cell, and DPP is a planner heuristic, not a
+    // guarantee.
+    val cells = assigned.select(col("_cell")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    // existing rows of ONLY the touched cells
     val kept = spark.read.parquet(path)
-      .join(broadcast(touched), Seq("_cell"))
+      .filter(col("_cell").isin(cells: _*))
     val out = kept.unionByName(assigned.select(kept.columns.map(col).toIndexedSeq: _*))
     out.repartition(col("_cell"))
       .write.mode("overwrite")
