@@ -259,29 +259,30 @@ object Patterns {
       return
     }
     // the current-row set (one row per key) feeds both the watermark
-    // probe and the close step — read + filter it ONCE and cache, so a
-    // tick costs one scan of dst, not two (the point of the pattern is
-    // O(delta + current))
+    // probe and the close step from ONE definition. Deliberately NOT
+    // persisted: the probe consumer prunes its scan to (key, matcher) —
+    // a few bytes per row — while the close step reads full rows, so
+    // "two scans" is one cheap pruned pass plus one full pass; a cache
+    // would materialize FULL width for both and was measured ~25%
+    // slower at sf0.1 (and at scale trades pruned parquet reads for
+    // executor-storage churn on a possibly-billion-row current set).
     val currentRows = dst.read(to).filter(col("valid_to").isNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // per-key watermark: only rows strictly past their key's stored
-      // current version are fresh (brand-new keys pass via the null arm)
-      val current = currentRows.select(col(primaryKey), col(matcher).as("_cur_from"))
-      val delta = candidate.join(current, Seq(primaryKey), "left")
-        .filter(col("_cur_from").isNull || col(matcher) > col("_cur_from"))
-        .drop("_cur_from")
-      if (delta.isEmpty) return // no-op tick: never pay the merge rewrite
-      // close each affected key's stored current row at its first delta
-      // version; inner join = only affected keys ride along
-      val firstNew = delta.groupBy(col(primaryKey)).agg(min(col(matcher)).as("_new_from"))
-      val closed = currentRows
-        .join(firstNew, Seq(primaryKey))
-        .withColumn("valid_to", col("_new_from")).drop("_new_from")
-      val fresh = versioned(delta)
-      dst.upsert(closed.unionByName(fresh.select(closed.columns.map(col).toIndexedSeq: _*)),
-        to, "_scd_key")
-    } finally currentRows.unpersist(false)
+    // per-key watermark: only rows strictly past their key's stored
+    // current version are fresh (brand-new keys pass via the null arm)
+    val current = currentRows.select(col(primaryKey), col(matcher).as("_cur_from"))
+    val delta = candidate.join(current, Seq(primaryKey), "left")
+      .filter(col("_cur_from").isNull || col(matcher) > col("_cur_from"))
+      .drop("_cur_from")
+    if (delta.isEmpty) return // no-op tick: never pay the merge rewrite
+    // close each affected key's stored current row at its first delta
+    // version; inner join = only affected keys ride along
+    val firstNew = delta.groupBy(col(primaryKey)).agg(min(col(matcher)).as("_new_from"))
+    val closed = currentRows
+      .join(firstNew, Seq(primaryKey))
+      .withColumn("valid_to", col("_new_from")).drop("_new_from")
+    val fresh = versioned(delta)
+    dst.upsert(closed.unionByName(fresh.select(closed.columns.map(col).toIndexedSeq: _*)),
+      to, "_scd_key")
   }
 
   /** P9 `write_high_water_mark` (`mysql_patterns.rb:190-217`): append one
