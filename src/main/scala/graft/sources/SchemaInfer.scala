@@ -38,11 +38,26 @@ object SchemaInfer {
 
   /** Least upper bound: NullType is bottom; integral widens to fractional;
     * date widens to timestamp; anything else degrades to text — no silent
-    * narrowing, matching the reference's promote-only `ensure_row_types`. */
+    * narrowing, matching the reference's promote-only `ensure_row_types`.
+    *
+    * Container types recurse, widening nullability flags: a freshly
+    * computed `array<long> (containsNull = false)` and its parquet
+    * read-back twin (`containsNull = true`) are the SAME logical type —
+    * strict equality here used to drop both into the string catchall,
+    * which silently rewrote e.g. an embeddings or sketch-index column to
+    * strings on the connector's Append path. */
   def lub(a: DataType, b: DataType): DataType = (a, b) match {
     case (x, y) if x == y                              => x
     case (NullType, x)                                 => x
     case (x, NullType)                                 => x
+    case (x: ArrayType, y: ArrayType) =>
+      ArrayType(lub(x.elementType, y.elementType), x.containsNull || y.containsNull)
+    case (x: MapType, y: MapType) =>
+      MapType(lub(x.keyType, y.keyType), lub(x.valueType, y.valueType),
+        x.valueContainsNull || y.valueContainsNull)
+    case (x: StructType, y: StructType) if x.fieldNames.sameElements(y.fieldNames) =>
+      StructType(x.fields.zip(y.fields).map { case (fa, fb) =>
+        StructField(fa.name, lub(fa.dataType, fb.dataType), fa.nullable || fb.nullable) })
     case (LongType, DoubleType) | (DoubleType, LongType)       => DoubleType
     case (DateType, TimestampType) | (TimestampType, DateType) => TimestampType
     case _                                             => StringType

@@ -138,4 +138,37 @@ class SchemaInferSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("lub treats container types as equal modulo nullability (no string degrade)") {
+    val tight = ArrayType(LongType, containsNull = false)
+    val loose = ArrayType(LongType, containsNull = true)
+    assert(SchemaInfer.lub(tight, loose) == loose)
+    assert(SchemaInfer.lub(loose, tight) == loose)
+    // element types still widen through the lattice
+    assert(SchemaInfer.lub(ArrayType(LongType, false), ArrayType(DoubleType, true)) ==
+      ArrayType(DoubleType, true))
+    // and genuinely different shapes still degrade to text
+    assert(SchemaInfer.lub(ArrayType(LongType), MapType(StringType, LongType)) == StringType)
+    assert(SchemaInfer.lub(
+      StructType(Seq(StructField("a", LongType, nullable = false))),
+      StructType(Seq(StructField("a", LongType, nullable = true)))) ==
+      StructType(Seq(StructField("a", LongType, nullable = true))))
+  }
+
+  test("connector Append of an array column round-trips without schema evolution") {
+    // the regression shape: write array<long> (containsNull=false), read
+    // back (parquet widens to containsNull=true), append another batch —
+    // the old strict lub degraded the column to string and rewrote the
+    // whole table
+    val spark0 = spark
+    import spark0.implicits._
+    val conn = new ParquetConnector(spark, tmpDir("graft_arr_append_"))
+    conn.write(Seq((1L, Seq(1L, 2L))).toDF("id", "xs"), "t")
+    conn.write(Seq((2L, Seq(3L, 4L))).toDF("id", "xs"), "t",
+      org.apache.spark.sql.SaveMode.Append)
+    val out = conn.read("t")
+    assert(out.schema("xs").dataType.isInstanceOf[ArrayType],
+      s"array column degraded to ${out.schema("xs").dataType}")
+    assert(out.count() == 2)
+  }
 }
