@@ -286,6 +286,34 @@ object Dedup {
       textCol, idCol, numHashes, bands, shingleLen, threshold)
   }
 
+  /** Index-maintaining incremental NEAR-dup tick — the MinHash analog
+    * of [[incrementalExact]]: dedup `delta` against the banded index
+    * persisted as `indexTable` in `conn` (created on first tick), then
+    * append the SURVIVORS' banded signatures. Replaying a batch is a
+    * no-op: its docs are near-dups (est 1.0) of their own indexed
+    * signatures and drop out before touching the index. Cost per tick:
+    * O(delta × bands) probe join + sketch-only append — corpus text
+    * never re-read. The per-tick bucket cap bounds each tick's
+    * contribution; buckets can still grow ACROSS ticks, so periodically
+    * rebuild via [[minhashIndex]] over the full corpus to re-cap (the
+    * same periodic-batch-pass contract as the streaming exact dedup's
+    * cross-horizon recall). Returns the surviving rows. */
+  def incrementalMinhash(delta: DataFrame, textCol: String, idCol: String,
+                         conn: graft.sources.Connector, indexTable: String,
+                         numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 3,
+                         threshold: Double = 0.7, maxBucketSize: Int = 2000): DataFrame = {
+    val empty = !conn.tables.contains(indexTable)
+    val kept =
+      (if (empty) minhashDedup(delta, textCol, idCol, numHashes, bands, shingleLen, threshold)
+       else minhashDedupAgainst(delta, textCol, idCol, conn.read(indexTable),
+         numHashes, bands, shingleLen, threshold))
+        .localCheckpoint(true) // sever lineage before the index write below
+    val newBands = minhashIndex(kept, textCol, idCol, numHashes, bands, shingleLen, maxBucketSize)
+    if (empty) conn.write(newBands, indexTable)
+    else conn.write(newBands, indexTable, org.apache.spark.sql.SaveMode.Append)
+    kept
+  }
+
   /** MinHash-LSH dedup: drop every doc that is a candidate-duplicate of a
     * lower-id doc (transitive chains collapse to the min root greedily —
     * one connected-components-free pass, the standard near-dup policy). */

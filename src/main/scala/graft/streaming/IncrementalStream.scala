@@ -171,6 +171,36 @@ object IncrementalStream {
       s"$rightTs <= $leftTs + INTERVAL $horizon"), joinType)
   }
 
+  /** Streaming NEAR-dup dedup for continuous ingest: each micro-batch
+    * MinHash-dedups against the persisted banded index and appends its
+    * survivors to both the destination table and the index
+    * ([[graft.operators.Dedup.incrementalMinhash]]). Complements
+    * [[dedupStream]]: that one drops exact duplicates within the
+    * watermark horizon with in-state fingerprints; this one drops
+    * NEAR-duplicates against the ENTIRE ingested history, because the
+    * state is the sketch index table, not stream state — unbounded
+    * horizon, sketch-sized storage. Replayed batches are no-ops (their
+    * docs near-dup their own indexed signatures). */
+  def nearDedupStream(src: DataFrame, dst: graft.sources.Connector, table: String,
+                      indexTable: String, textCol: String, idCol: String,
+                      checkpoint: String, numHashes: Int = 64, bands: Int = 16,
+                      shingleLen: Int = 3, threshold: Double = 0.7): StreamingQuery = {
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val kept = graft.operators.Dedup.incrementalMinhash(
+            batch, textCol, idCol, dst, indexTable, numHashes, bands, shingleLen, threshold)
+          if (!kept.isEmpty)
+            dst.write(kept, table, org.apache.spark.sql.SaveMode.Append)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** The incremental-pipe-as-stream: append new rows of `src` into a
     * parquet sink with exactly-once file-sink semantics — the streaming
     * upgrade of `Patterns.incrementalPipe` (checkpoint = watermark). */

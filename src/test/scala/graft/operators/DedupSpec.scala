@@ -290,6 +290,28 @@ class DedupSpec extends SparkSpec {
     assert(conn.read("fp_index").count() == 4)
   }
 
+  test("incrementalMinhash: ticks near-dedup against the persisted index; replay is a no-op") {
+    val conn = new graft.sources.ParquetConnector(spark, tmpDir("graft_mhidx_"))
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val t1 = df(docSchema, Seq(Row(1L, s"$base original"),
+      Row(2L, "novel text about mountain weather and climbing gear today")))
+    assert(Dedup.incrementalMinhash(t1, "text", "doc_id", conn, "mh_idx",
+      numHashes = 32, bands = 8, threshold = 0.5).count() == 2)
+    val t2 = df(docSchema, Seq(
+      Row(10L, s"$base original indeed"),                          // corpus near-dup
+      Row(11L, "fresh desert text about camels and caravans in summer heat"),
+      Row(12L, "fresh desert text about camels and caravans in summer heat too"))) // internal pair
+    val kept2 = Dedup.incrementalMinhash(t2, "text", "doc_id", conn, "mh_idx",
+        numHashes = 32, bands = 8, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(11L), kept2.toString)
+    // replay: every doc near-dups its own (or its winner's) indexed sigs
+    assert(Dedup.incrementalMinhash(t2, "text", "doc_id", conn, "mh_idx",
+      numHashes = 32, bands = 8, threshold = 0.5).count() == 0)
+    // the index holds bands for exactly the three survivors
+    assert(conn.read("mh_idx").select("_id").distinct().count() == 3)
+  }
+
   test("minhashAgainstIndex == cross pairs of the batch candidates (same banding)") {
     val base = "the quick brown fox jumps over the lazy dog near the river bank"
     val corpus = df(docSchema, (1L to 6L).map(i => Row(i, s"$base corpus doc $i unique tail $i")))

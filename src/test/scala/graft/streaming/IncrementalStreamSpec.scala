@@ -80,6 +80,38 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(spark.table("dedup_test").columns.toSeq == Seq("doc_id", "ts", "text"))
   }
 
+  test("nearDedupStream drops near-dups against the FULL ingested history (index-backed)") {
+    val srcDir = tmpDir("graft_nd_src_")
+    val ckpt = tmpDir("graft_nd_ck_")
+    val dst = new graft.sources.ParquetConnector(spark, tmpDir("graft_nd_dst_"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    df(docSchema, Seq(
+      Row(1L, s"$base original"),
+      Row(2L, "novel text about mountain weather and climbing gear today")))
+      .write.mode("append").parquet(srcDir)
+    def run(): Unit = IncrementalStream.nearDedupStream(
+      IncrementalStream.readStream(spark, srcDir, docSchema), dst, "docs",
+      "docs_mh_idx", "text", "doc_id", ckpt,
+      numHashes = 32, bands = 8, threshold = 0.5)
+    run()
+    assert(dst.read("docs").count() == 2)
+    // wave 2 arrives much later than any stream-state watermark could
+    // hold: the near-dup of wave-1's doc 1 must still be caught, because
+    // the state is the persisted sketch index, not stream memory
+    df(docSchema, Seq(
+      Row(10L, s"$base original indeed"),
+      Row(11L, "completely fresh text regarding deserts and camels in summer")))
+      .write.mode("append").parquet(srcDir)
+    run()
+    val ids = dst.read("docs").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 11L), ids.toString)
+    // checkpointed: a run with no new input changes nothing
+    run()
+    assert(dst.read("docs").count() == 3)
+  }
+
   test("intervalJoinStream attributes conversions inside the horizon, both streams unbounded") {
     val impDir = tmpDir("graft_ssj_imp_")
     val convDir = tmpDir("graft_ssj_conv_")
