@@ -52,7 +52,11 @@ object Bench {
     // r7: multi-query ANN via the heap aggregate (k rows per task
     // cross the exchange, vs the window form's Q x N shuffle), and the
     // SpaceSaving sketch vocabulary vs its exact groupBy counterpart
-    "q_ann_batch", "q_vocab_sketch")
+    "q_ann_batch", "q_vocab_sketch",
+    // r9: the generic chunk-blocked hamming pairing (shared by simhash
+    // and image-aHash near-dup), and the full IVF lifecycle
+    // (train -> cell-partitioned index write -> pruned probe)
+    "q_hamming_neardup", "q_ann_ivf")
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
