@@ -624,6 +624,15 @@ object SparkEntry {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    "q_cap_group" -> ((s, dir) => {
+      // per-source cardinality cap (the per-domain cap of web curation
+      // recipes) — lowest-id winners via the mergeable bottom-k heap,
+      // never a per-group window; the oracle IS that window form
+      operators.Curation.capPerGroup(T(s, dir, "documents"), Seq("source"), "doc_id", maxN = 10)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_sample_group" -> ((s, dir) => {
       // deterministic per-language sample via the mergeable bottom-k-by-
       // hash aggregate — map tasks reduce to k pairs before the shuffle,
@@ -1253,6 +1262,13 @@ object SparkEntry {
         |                                ORDER BY n_chars DESC, doc_id) AS rn
         |      FROM documents)
         |WHERE rn <= 3 ORDER BY lang, rank""".stripMargin,
+
+    "q_cap_group" ->
+      """SELECT doc_id, source, lang FROM (
+        |  SELECT doc_id, source, lang,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
     "q_sample_group" ->
       """WITH h AS (

@@ -185,6 +185,31 @@ object Curation {
           ColumnBridge.expression(col("_e.p")))) * sign + 0.0).as(scoreCol)): _*)
   }
 
+  /** Per-group cardinality cap — the per-domain/per-source cap of
+    * web-scale curation recipes (a handful of boilerplate-heavy domains
+    * otherwise dominate the corpus): keep at most `maxN` rows per
+    * group, deterministically the lowest `idCol` values, so the winner
+    * set is stable across runs and engines, and appending new
+    * higher-id docs never evicts an existing winner. Winners come from
+    * the mergeable bottom-k heap aggregate (maxN entries per map task
+    * cross the exchange; no group is sorted, gathered, or windowed —
+    * a million-doc domain costs maxN rows per task) + a semi-join on
+    * the unique id. `idCol` must fit a long. Oracled (`q_cap_group`)
+    * against the row_number() formulation it replaces. */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+                  maxN: Int): DataFrame = {
+    require(groupCols.nonEmpty, "capPerGroup needs at least one group column")
+    require(maxN > 0, s"maxN must be positive, got $maxN")
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val id = col(idCol).cast("long")
+    val agg = graft.functions.BottomKAgg(
+      ColumnBridge.expression(id), ColumnBridge.expression(id), maxN)
+    val winners = df.groupBy(groupCols.map(col): _*)
+      .agg(ColumnBridge.column(agg.toAggregateExpression()).as("_keep"))
+      .select(explode(col("_keep")).as(idCol))
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
   /** Split documents into fixed token-count chunks with overlap — the
     * tokenize-and-chunk step upstream of [[packSequences]] (chunk to
     * the model context length, pack the chunks). Words are whitespace

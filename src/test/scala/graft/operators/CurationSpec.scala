@@ -48,6 +48,23 @@ class CurationSpec extends SparkSpec {
     assert(a.forall(_ <= 13L)) // fr not in the fraction map → dropped
   }
 
+  test("capPerGroup keeps the lowest maxN ids per group, full rows, no window") {
+    val out = Curation.capPerGroup(docs, Seq("lang"), "doc_id", maxN = 3)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // en capped 10 -> {1,2,3}; de (3 rows) and fr (1) fit under the cap
+    assert(ids == Set(1L, 2L, 3L, 11L, 12L, 13L, 14L))
+    assert(out.columns.toSeq == docs.columns.toSeq, "full input rows must survive")
+    // appending higher-id docs never evicts an existing winner
+    val grown = docs.union(df(schema, Seq(Row(99L, "en", 5L))))
+    assert(Curation.capPerGroup(grown, Seq("lang"), "doc_id", 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == ids)
+    // scale shape: heap aggregate + semi-join, never a per-group window
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "capPerGroup must not window-sort groups")
+    intercept[IllegalArgumentException](Curation.capPerGroup(docs, Nil, "doc_id", 3))
+    intercept[IllegalArgumentException](Curation.capPerGroup(docs, Seq("lang"), "doc_id", 0))
+  }
+
   test("packSequences assigns contiguous budget chunks per group") {
     // en weights 10,20,...,100 (cum 10,30,...,550); budget 100 →
     // bin boundaries at cumBefore 0,10,30,60,100,150,210,280,360,450
