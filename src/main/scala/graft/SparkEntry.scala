@@ -624,6 +624,16 @@ object SparkEntry {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    "q_mix_weighted" -> ((s, dir) => {
+      // token-budget-weighted corpus mix (n_chars as the token proxy):
+      // 50/25/25 across en/de/fr — weights chosen binary-exact so the
+      // driver-side normalization replays bit-identically in DuckDB
+      operators.Curation.mixByWeight(T(s, dir, "documents"), "lang",
+          Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25), "n_chars", "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_cap_group" -> ((s, dir) => {
       // per-source cardinality cap (the per-domain cap of web curation
       // recipes) — lowest-id winners via the mergeable bottom-k heap,
@@ -1262,6 +1272,25 @@ object SparkEntry {
         |                                ORDER BY n_chars DESC, doc_id) AS rn
         |      FROM documents)
         |WHERE rn <= 3 ORDER BY lang, rank""".stripMargin,
+
+    "q_mix_weighted" ->
+      """WITH avail AS (
+        |  SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS wsum
+        |  FROM documents WHERE lang IN ('en', 'de', 'fr') GROUP BY lang),
+        |t AS (
+        |  SELECT MIN(wsum / (CASE lang WHEN 'en' THEN 0.5 ELSE 0.25 END)) AS t
+        |  FROM avail),
+        |b AS (
+        |  SELECT lang, (CASE lang WHEN 'en' THEN 0.5 ELSE 0.25 END) * (SELECT t FROM t) AS budget
+        |  FROM avail),
+        |c AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM documents WHERE lang IN ('en', 'de', 'fr'))
+        |SELECT c.doc_id, c.lang, c.n_chars
+        |FROM c JOIN b USING (lang) WHERE c.cb < b.budget
+        |ORDER BY c.doc_id""".stripMargin,
 
     "q_cap_group" ->
       """SELECT doc_id, source, lang FROM (

@@ -78,6 +78,46 @@ object Curation {
       .drop("_rn", "_k")
   }
 
+  /** Weighted corpus mixing by a WEIGHT column (token counts), not row
+    * counts — the form real pretraining mixes use ("60% of tokens from
+    * web, 20% from code, …"): with per-stratum available weight
+    * Wₛ = Σ weightCol and normalized mix weights wₛ, the largest
+    * supportable total is T = min(Wₛ/wₛ); each stratum contributes its
+    * rows in `orderCol` order while the cumulative weight BEFORE the
+    * row stays under its budget wₛ·T — so a straddling document is
+    * INCLUDED (the cut-at-budget contract [[packSequences]] uses;
+    * per-stratum overshoot is bounded by one document's weight).
+    * Deterministic, exactly SQL-replayable (`q_mix_weighted`).
+    *
+    * Parity note: weights are normalized driver-side with double math —
+    * pass weights whose sum is binary-exact (0.5/0.25/0.25, 0.6 is
+    * not) when an external engine must replay the arithmetic bit-for-
+    * bit. Scale profile = [[mixSources]]: driver sees one scalar per
+    * stratum; one window over the stratum shuffle. */
+  def mixByWeight(df: DataFrame, strataCol: String, weights: Map[String, Double],
+                  weightCol: String, orderCol: String): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be a non-empty map of positive values")
+    require(df.schema(strataCol).dataType == org.apache.spark.sql.types.StringType,
+      s"$strataCol must be a string column (weights key on its values)")
+    val wsum = weights.values.sum
+    val norm = weights.map { case (k, v) => k -> v / wsum }
+    val avail = df.filter(col(strataCol).isin(weights.keySet.toSeq: _*))
+      .groupBy(col(strataCol)).agg(sum(col(weightCol)).as("_w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = norm.map { case (k, w) => avail.getOrElse(k, 0L).toDouble / w }.min
+    val budget = norm.map { case (k, w) => k -> w * t }
+    val spark = df.sparkSession
+    val budgetDf = broadcast(spark.createDataFrame(budget.toSeq).toDF(strataCol, "_b"))
+    val cumBefore = sum(col(weightCol)).over(
+      Window.partitionBy(col(strataCol)).orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, -1))
+    df.join(budgetDf, Seq(strataCol))
+      .withColumn("_cb", coalesce(cumBefore, lit(0L)))
+      .filter(col("_cb") < col("_b"))
+      .drop("_cb", "_b")
+  }
+
   /** Sequence packing by contiguous budget chunking: order each group by
     * `orderCol`, run a cumulative sum of `weightCol`, and assign row r to
     * bin `floor(cumBefore(r) / budget)`. Every bin holds ~`budget` weight

@@ -48,6 +48,22 @@ class CurationSpec extends SparkSpec {
     assert(a.forall(_ <= 13L)) // fr not in the fraction map → dropped
   }
 
+  test("mixByWeight: budgets by weight column; straddler included; bottleneck rules") {
+    // en: weights 10..100 (sum 550); de: 100x3 (sum 300); fr: 50.
+    // mix 0.5/0.25/0.25 -> T = min(550/.5, 300/.25, 50/.25) = 200
+    // budgets: en 100, de 50, fr 50
+    val out = Curation.mixByWeight(docs, "lang",
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25), "w", "doc_id")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // en: cumBefore 0,10,30,60,100 -> ids 1..4 kept (id 5 has cb=100, not < 100)
+    // de: id 11 (cb 0 < 50) kept, straddles to 100; id 12 cb=100 out
+    // fr: id 14 (cb 0 < 50) kept, straddles
+    assert(ids == Set(1L, 2L, 3L, 4L, 11L, 14L), ids.toString)
+    // a weighted stratum absent from the input -> empty mix (loud)
+    assert(Curation.mixByWeight(docs, "lang",
+      Map("en" -> 0.5, "ja" -> 0.5), "w", "doc_id").count() == 0)
+  }
+
   test("capPerGroup keeps the lowest maxN ids per group, full rows, no window") {
     val out = Curation.capPerGroup(docs, Seq("lang"), "doc_id", maxN = 3)
     val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
