@@ -420,15 +420,19 @@ object SparkEntry {
       // the generic chunk-blocked hamming pairing — the machinery under
       // BOTH simhash text dedup and image-aHash dedup — made fully
       // oracle-checkable with PLANTED near-collisions: groups of 5 ids
-      // share high bits, each member flips one distinct low bit, so
-      // in-group hamming is exactly 2 (adjacent groups can also land
-      // <= 3 via close group numbers; the oracle replays the identical
-      // integer arithmetic). Bucket cap disabled here: the fixture's
-      // chunk-0 buckets grow with the table and the oracle has no cap
+      // share every bit derived from the group number g, each member
+      // flips one distinct low bit, so in-group hamming is exactly 2.
+      // All four 16-bit chunks carry g-derived entropy (a realistic
+      // hash; leaving high chunks constant would put the whole corpus
+      // in one degenerate bucket), and the oracle replays the identical
+      // integer arithmetic. Bucket cap disabled: the oracle has no cap
       // (cap semantics are pinned in DedupSpec).
       val d = T(s, dir, "documents").select(col("doc_id"),
-        (expr("doc_id DIV 5") * 65536L +
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 5 AS INT))")).as("h"))
+        (expr("(doc_id DIV 5) * 7 % 2048") * 32L +
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 5 AS INT))") +
+          expr("(doc_id DIV 5) % 65536") * 65536L +
+          expr("(doc_id DIV 5) % 65536") * 4294967296L +
+          expr("(doc_id DIV 5) * 31 % 32768") * 281474976710656L).as("h"))
       Dedup.hammingNearDupPairs(d, col("h"), "doc_id", maxHamming = 3, maxBucketSize = 0)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -1520,7 +1524,11 @@ object SparkEntry {
     "q_hamming_neardup" ->
       """WITH h AS (
         |  SELECT doc_id,
-        |         (doc_id // 5) * 65536 + (CAST(1 AS BIGINT) << CAST(doc_id % 5 AS INTEGER)) AS h
+        |         ((doc_id // 5) * 7 % 2048) * 32
+        |         + (CAST(1 AS BIGINT) << CAST(doc_id % 5 AS INTEGER))
+        |         + ((doc_id // 5) % 65536) * 65536
+        |         + ((doc_id // 5) % 65536) * 4294967296
+        |         + ((doc_id // 5) * 31 % 32768) * 281474976710656 AS h
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, h, i AS ci, (h >> CAST(i * 16 AS INTEGER)) & 65535 AS chunk
