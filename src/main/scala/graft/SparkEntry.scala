@@ -566,7 +566,9 @@ object SparkEntry {
       val idx = java.nio.file.Files.createTempDirectory("graft_ivf_").toString + "/index"
       Similarity.writeIvfIndex(e, "embedding", centroids, idx)
       Similarity.ivfTopKIndexed(s, idx, "embedding", "vec_id", centroids, q, k = 10, nprobe = 2)
-        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        // + 0.0 folds a rounded -0.0 (engines can disagree on the sign
+        // of a rounded zero, which misaligns the string-keyed row sort)
+        .select(col("vec_id"), (round(col("score"), 6) + 0.0).as("score"))
     }),
 
     // ---- text analysis ----
@@ -1071,11 +1073,17 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
-      """WITH p AS (
+      """WITH p0 AS (
         |  SELECT doc_id,
         |         lang || '_' || CAST(n_chars // 100 AS VARCHAR) AS block,
         |         list_distinct(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS sh
-        |  FROM documents)
+        |  FROM documents),
+        |p AS (
+        |  -- mirror the operator's maxBlockSize=10000 guard: blocks over
+        |  -- the cap are dropped whole on BOTH sides
+        |  SELECT p0.* FROM p0
+        |  JOIN (SELECT block FROM p0 GROUP BY block HAVING COUNT(1) <= 10000) ok
+        |    USING (block))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |             len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
@@ -1193,11 +1201,16 @@ object SparkEntry {
         |ORDER BY user_id, event_type""".stripMargin,
 
     "q_dedup_clusters" ->
-      """WITH RECURSIVE p AS (
+      """WITH RECURSIVE p0 AS (
         |  SELECT doc_id,
         |         lang || '_' || CAST(n_chars // 100 AS VARCHAR) AS block,
         |         list_distinct(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS sh
         |  FROM documents),
+        |p AS (
+        |  -- mirror ngramJaccardPairs' maxBlockSize=10000 guard
+        |  SELECT p0.* FROM p0
+        |  JOIN (SELECT block FROM p0 GROUP BY block HAVING COUNT(1) <= 10000) ok
+        |    USING (block)),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM p a JOIN p b ON a.block = b.block AND a.doc_id < b.doc_id
@@ -1587,7 +1600,7 @@ object SparkEntry {
         |           r.cell ASC
         |  LIMIT 2)
         |SELECT e.vec_id,
-        |       ROUND(CAST(list_cosine_similarity(e.v, q.qv) AS DOUBLE), 6) AS score
+        |       ROUND(CAST(list_cosine_similarity(e.v, q.qv) AS DOUBLE), 6) + 0.0 AS score
         |FROM e JOIN cells1 c USING (vec_id) CROSS JOIN q
         |WHERE c.cell IN (SELECT cell FROM probe)
         |ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id

@@ -13,6 +13,11 @@ object Verify {
     // optional name filter for fast single-query iteration; the driver
     // passes exactly two args and gets the full dump
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty) { // a typo must not read as a clean run
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

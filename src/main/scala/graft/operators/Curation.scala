@@ -100,10 +100,17 @@ object Curation {
       "weights must be a non-empty map of positive values")
     require(df.schema(strataCol).dataType == org.apache.spark.sql.types.StringType,
       s"$strataCol must be a string column (weights key on its values)")
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(df.schema(weightCol).dataType),
+      s"$weightCol must be an integral column (token/char counts), got ${df.schema(weightCol).dataType}")
     val wsum = weights.values.sum
     val norm = weights.map { case (k, v) => k -> v / wsum }
+    // all-null strata sum to NULL — treat as zero available weight
     val avail = df.filter(col(strataCol).isin(weights.keySet.toSeq: _*))
-      .groupBy(col(strataCol)).agg(sum(col(weightCol)).as("_w"))
+      .groupBy(col(strataCol))
+      .agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)).as("_w"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val t = norm.map { case (k, w) => avail.getOrElse(k, 0L).toDouble / w }.min
     val budget = norm.map { case (k, w) => k -> w * t }

@@ -48,10 +48,18 @@ object Dedup {
     * buffer and fall out of hash aggregation into SortAggregate), and
     * the left-semi join back on the composite (fp, id) key distributes
     * hot-fingerprint probe rows across tasks. Same winners, no funnel —
-    * the [[lineDedup]] recipe. */
+    * the [[lineDedup]] recipe.
+    *
+    * The final dropDuplicates guards the duplicated-id edge (id =
+    * content hash ingested twice): every copy of the winning (fp, id)
+    * pair survives the semi-join, and a dedup operator must still emit
+    * ONE row per fingerprint. It is an aggregate, not a window — a
+    * hyper-common winner's copies collapse map-side before the
+    * exchange. */
   private def keepMinIdPerFingerprint(withFp: DataFrame, idCol: String): DataFrame = {
     val winners = withFp.groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
     withFp.join(winners, Seq("_fp", idCol), "left_semi")
+      .dropDuplicates("_fp")
   }
 
   /** Exact dedup: keep the lowest-`idCol` row per normalized-text
@@ -297,17 +305,28 @@ object Dedup {
     * contribution; buckets can still grow ACROSS ticks, so periodically
     * rebuild via [[minhashIndex]] over the full corpus to re-cap (the
     * same periodic-batch-pass contract as the streaming exact dedup's
-    * cross-horizon recall). Returns the surviving rows. */
+    * cross-horizon recall). Returns the surviving rows.
+    *
+    * CRASH-ORDERING CONTRACT: persist the survivors through `sink`,
+    * which runs BEFORE the index learns the batch — never from the
+    * returned DataFrame after the call. Once the index holds a batch's
+    * signatures, a replay of that batch dedups to nothing; if the
+    * crash hit between the index append and a caller-side write, the
+    * batch's rows would be silently lost forever. With `sink` ordered
+    * first (and an idempotent sink — an upsert by id), a crash on
+    * either side of the index append replays safely. */
   def incrementalMinhash(delta: DataFrame, textCol: String, idCol: String,
                          conn: graft.sources.Connector, indexTable: String,
                          numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 3,
-                         threshold: Double = 0.7, maxBucketSize: Int = 2000): DataFrame = {
+                         threshold: Double = 0.7, maxBucketSize: Int = 2000,
+                         sink: DataFrame => Unit = _ => ()): DataFrame = {
     val empty = !conn.tables.contains(indexTable)
     val kept =
       (if (empty) minhashDedup(delta, textCol, idCol, numHashes, bands, shingleLen, threshold)
        else minhashDedupAgainst(delta, textCol, idCol, conn.read(indexTable),
          numHashes, bands, shingleLen, threshold))
         .localCheckpoint(true) // sever lineage before the index write below
+    sink(kept) // survivors reach durable storage BEFORE the index append
     val newBands = minhashIndex(kept, textCol, idCol, numHashes, bands, shingleLen, maxBucketSize)
     if (empty) conn.write(newBands, indexTable)
     else conn.write(newBands, indexTable, org.apache.spark.sql.SaveMode.Append)
@@ -370,9 +389,11 @@ object Dedup {
     * [[minhashIndex]] cap shape — never a window), with a loud log of
     * how many blocks/docs were skipped: such blocks are
     * boilerplate-shaped and belong to [[exact]]/[[minhashCandidates]],
-    * not an all-pairs verify. The guard costs one column-pruned
-    * aggregate over the block keys — noise next to the O(block²) join
-    * it bounds. Set `maxBlockSize <= 0` to disable (test-only). */
+    * not an all-pairs verify. The guard costs two column-pruned
+    * aggregates over the block keys (the eager dropped-count check
+    * plus the semi-join's in-plan recount) — still noise next to the
+    * O(block²) join it bounds. Set `maxBlockSize <= 0` to disable
+    * (test-only; oracled callers must mirror the cap in their SQL). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: Column, n: Int = 3, threshold: Double = 0.5,
                         maxBlockSize: Int = 10000): DataFrame = {

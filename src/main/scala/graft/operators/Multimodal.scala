@@ -53,10 +53,16 @@ object Multimodal {
     * wanted (the fallback's fake dimensions are >= 64 by construction,
     * real failures are distinguishable by re-decoding, or swap in a
     * stricter decoder through the [[extractImageFeatures]] parameter). */
+  /** One-time per-JVM ImageIO configuration: never spill decode scratch
+    * to executor-local disk tmp files. A lazy val so the global setter
+    * runs once per executor, not once per decoded row. */
+  private lazy val imageIoConfigured: Boolean = {
+    javax.imageio.ImageIO.setUseCache(false); true
+  }
+
   def decodeImage(mediaId: Long, payload: Array[Byte]): ImageFeatures = {
     if (payload == null || payload.isEmpty) return ImageFeatures(mediaId, 0, 0, 0.0, 0L)
-    // never spill decode scratch to executor-local disk tmp files
-    javax.imageio.ImageIO.setUseCache(false)
+    imageIoConfigured
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case scala.util.control.NonFatal(_) => null }

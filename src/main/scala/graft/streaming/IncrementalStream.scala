@@ -179,8 +179,17 @@ object IncrementalStream {
     * watermark horizon with in-state fingerprints; this one drops
     * NEAR-duplicates against the ENTIRE ingested history, because the
     * state is the sketch index table, not stream state — unbounded
-    * horizon, sketch-sized storage. Replayed batches are no-ops (their
-    * docs near-dup their own indexed signatures). */
+    * horizon, sketch-sized storage.
+    *
+    * Crash safety under foreachBatch's at-least-once delivery:
+    * survivors are UPSERTED into the destination BEFORE the index
+    * learns the batch (the `sink` ordering of
+    * [[graft.operators.Dedup.incrementalMinhash]]). A crash before the
+    * index append replays the batch → identical survivors → idempotent
+    * upsert; a crash after it replays to an empty survivor set, but
+    * the rows already reached the destination. Writing the table
+    * AFTER the index would turn that second crash window into silent,
+    * permanent loss of the batch. */
   def nearDedupStream(src: DataFrame, dst: graft.sources.Connector, table: String,
                       indexTable: String, textCol: String, idCol: String,
                       checkpoint: String, numHashes: Int = 64, bands: Int = 16,
@@ -188,10 +197,10 @@ object IncrementalStream {
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val kept = graft.operators.Dedup.incrementalMinhash(
-            batch, textCol, idCol, dst, indexTable, numHashes, bands, shingleLen, threshold)
-          if (!kept.isEmpty)
-            dst.write(kept, table, org.apache.spark.sql.SaveMode.Append)
+          graft.operators.Dedup.incrementalMinhash(
+            batch, textCol, idCol, dst, indexTable, numHashes, bands, shingleLen, threshold,
+            sink = kept => if (!kept.isEmpty) dst.upsert(kept, table, idCol))
+          ()
         }
       }
       .option("checkpointLocation", checkpoint)

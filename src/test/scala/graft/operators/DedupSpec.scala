@@ -40,6 +40,17 @@ class DedupSpec extends SparkSpec {
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
   }
 
+  test("exact dedup emits ONE row even when the winning id itself is duplicated") {
+    // id = content hash ingested twice: the winning (fp, id) pair exists
+    // as two identical rows — a dedup operator must still return one
+    val d = df(docSchema, Seq(
+      Row(1L, "same doc"), Row(1L, "same doc"), Row(2L, "same doc"),
+      Row(9L, "other doc")))
+    val out = Dedup.exact(d, "text", "doc_id").collect()
+    assert(out.length == 2, out.mkString(";"))
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 9L))
+  }
+
   test("exact dedup is skew-safe: agg+semi-join plan, no per-fingerprint window") {
     // one text value dominates the corpus — the shape that funnels into a
     // single task under a row_number() window. The winner set must still
@@ -310,6 +321,26 @@ class DedupSpec extends SparkSpec {
       numHashes = 32, bands = 8, threshold = 0.5).count() == 0)
     // the index holds bands for exactly the three survivors
     assert(conn.read("mh_idx").select("_id").distinct().count() == 3)
+  }
+
+  test("incrementalMinhash runs the sink BEFORE the index learns the batch (crash ordering)") {
+    val conn = new graft.sources.ParquetConnector(spark, tmpDir("graft_mhord_"))
+    var indexedIdsAtSink: Option[Set[Long]] = None
+    def indexedIds(): Set[Long] =
+      if (!conn.tables.contains("mh_idx")) Set.empty
+      else conn.read("mh_idx").select("_id").distinct().collect().map(_.getLong(0)).toSet
+    val t1 = df(docSchema, Seq(Row(1L, "alpha doc about rivers and rain")))
+    Dedup.incrementalMinhash(t1, "text", "doc_id", conn, "mh_idx",
+      numHashes = 32, bands = 8, threshold = 0.5,
+      sink = _ => indexedIdsAtSink = Some(indexedIds()))
+    assert(indexedIdsAtSink == Some(Set.empty),
+      "sink must observe the index WITHOUT the current batch — a crash after the " +
+        "index append but before caller persistence would otherwise lose the batch")
+    val t2 = df(docSchema, Seq(Row(2L, "beta doc about deserts and heat")))
+    Dedup.incrementalMinhash(t2, "text", "doc_id", conn, "mh_idx",
+      numHashes = 32, bands = 8, threshold = 0.5,
+      sink = _ => indexedIdsAtSink = Some(indexedIds()))
+    assert(indexedIdsAtSink == Some(Set(1L)), "tick 2's sink sees only tick 1's index")
   }
 
   test("minhashAgainstIndex == cross pairs of the batch candidates (same banding)") {
