@@ -69,8 +69,25 @@ object VectorFunctions {
     * [0, 2^planes): the random-hyperplane LSH key for cosine similarity.
     * `seed` derives deterministic pseudo-random plane coefficients from
     * `xxhash64(seed, planeIdx, dimIdx)` so the key needs no broadcast
-    * side data and is reproducible across the cluster. */
+    * side data and is reproducible across the cluster.
+    *
+    * Native codegen'd expression ([[HyperplaneBucket]]) — the HOF
+    * composition it replaces ([[hyperplaneBucketHof]]) was
+    * CodegenFallback and ran ~planes × dim interpreted hash evals per
+    * row, the embedding-dedup hot-path killer. Bit-identical output
+    * (spec-pinned). */
   def hyperplaneBucket(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(HyperplaneBucket(ColumnBridge.expression(vec), dim, planes, seed))
+  }
+
+  /** REFERENCE FORMULATION of [[hyperplaneBucket]] — the interpreted
+    * `aggregate(zip_with(...))` composition, kept solely as the parity
+    * oracle for the native expression's spec. Do not use in pipelines:
+    * HOF lambdas are CodegenFallback and this form re-derives every
+    * coefficient per row. */
+  private[graft] def hyperplaneBucketHof(vec: Column, dim: Int, planes: Int,
+                                         seed: Long = 42L): Column = {
     val bits = (0 until planes).map { p =>
       // plane coefficient for (p, i): deterministic hash → [-1, 1)
       val proj = aggregate(
