@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,25 +17,93 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Exclusive per-stratum running aggregate — each row gains
+    * `prefixCol` = Σ `weight` over the rows strictly BEFORE it within
+    * its stratum in `orderCol` order (and, when `totalCol` is set, the
+    * stratum's full Σ `weight`) — the primitive under every
+    * deterministic sampler here, computed WITHOUT a per-stratum window.
+    *
+    * Why not `sum()/row_number() OVER (PARTITION BY stratum ORDER BY
+    * orderCol)`: that funnels EVERY row of a stratum into one task's
+    * sort. Strata here are languages/sources — at 100 TB the `en`
+    * stratum is most of the corpus, so the funnel is a hard
+    * scale-killer, not ordinary skew (VERDICT r9 #2). Shape instead:
+    *
+    *  1. range-repartition on (strata…, orderCol) — each stratum spans
+    *     MANY bounded partitions, in order;
+    *  2. per-(stratum, range-partition) totals: a tiny frame (≤
+    *     partitions + strata rows), so its prefix window is over
+    *     metadata, not data;
+    *  3. every row's prefix = its partition's per-stratum offset + a
+    *     LOCAL exclusive running sum over (stratum, partition-id) —
+    *     each window bucket is a slice of one range partition, bounded
+    *     by partition size regardless of stratum size.
+    *
+    * Costs one extra exchange versus the funnel form (range + the local
+    * window's hash), both balanced — the trade that keeps the biggest
+    * stratum off a single task. Exactness/determinism contract:
+    * `orderCol` must be UNIQUE within each stratum (ids, fingerprints);
+    * with ties the split of a tied run across range partitions — and
+    * therefore which tied row lands under a cutoff — is
+    * partitioning-dependent, run-to-run and engine-vs-oracle. */
+  private def withStrataPrefix(df: DataFrame, strataCols: Seq[String], orderCol: String,
+                               weight: Column, prefixCol: String,
+                               totalCol: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(32))
+    val strata = strataCols.map(col)
+    val ranged = df.repartitionByRange(parts, strata :+ col(orderCol): _*)
+      .withColumn("_gpid", spark_partition_id())
+    val perPart = ranged.groupBy(strata :+ col("_gpid"): _*)
+      .agg(sum(weight).as("_pw"))
+    val offsets = perPart.withColumn("_off",
+        coalesce(sum(col("_pw")).over(
+          Window.partitionBy(strata: _*).orderBy(col("_gpid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val withTotal = totalCol match {
+      case Some(t) => offsets.withColumn(t,
+        sum(col("_pw")).over(Window.partitionBy(strata: _*)))
+      case None => offsets
+    }
+    val localW = Window.partitionBy(strata :+ col("_gpid"): _*)
+      .orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, -1)
+    // re-select in the input's column order: the USING join floats its
+    // keys to the front, and samplers promise schema-preserving output
+    val outCols = df.columns.map(col).toIndexedSeq :+ col(prefixCol)
+    ranged.join(broadcast(withTotal.drop("_pw")), strataCols :+ "_gpid")
+      .withColumn(prefixCol, col("_off") + coalesce(sum(weight).over(localW), lit(0L)))
+      .select(outCols ++ totalCol.map(col): _*)
+  }
+
   /** Deterministic stratified sample: the first `ceil(fraction × |g|)`
     * rows of each stratum in `orderCol` order. Exact per-stratum counts,
     * stable across runs and engines. Use a hash-ish `orderCol` (an id,
     * a fingerprint) — ordering by a content-correlated column would bias
-    * the sample.
+    * the sample — and a UNIQUE one (see [[withStrataPrefix]]'s
+    * determinism contract).
     *
-    * Scale: one hash shuffle on the strata + per-partition sort (both
-    * window functions share the partitioning; the count has no ORDER BY
-    * and reuses the exchange). Strata parallelize; a single giant stratum
-    * is ordinary window skew. */
+    * Scale: the de-funneled prefix shape of [[withStrataPrefix]] — no
+    * stratum is ever sorted inside a single task. */
   def stratifiedExact(df: DataFrame, strataCols: Seq[String], fraction: Double,
                       orderCol: String): DataFrame = {
     require(fraction > 0 && fraction <= 1, s"fraction must be in (0, 1], got $fraction")
-    val part = strataCols.map(col)
-    val rn = row_number().over(Window.partitionBy(part: _*).orderBy(col(orderCol)))
-    val cnt = count(lit(1)).over(Window.partitionBy(part: _*))
-    df.withColumn("_rn", rn).withColumn("_cnt", cnt)
-      .filter(col("_rn") <= ceil(col("_cnt") * fraction))
-      .drop("_rn", "_cnt")
+    withStrataPrefix(df, strataCols, orderCol, lit(1L), "_pfx", totalCol = Some("_cnt"))
+      .filter(col("_pfx") + 1 <= ceil(col("_cnt") * fraction))
+      .drop("_pfx", "_cnt")
+  }
+
+  /** The "idCol must fit a long" contract of the heap-aggregate family
+    * (sampleGroups/topKBy/capPerGroup), ENFORCED: `cast("long")` on a
+    * string/decimal id yields nulls and the winner sets silently go
+    * wrong/empty (ADVICE r9) — fail at call time instead. */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+      .contains(dt),
+      s"$idCol must be an integral column (the heap aggregate keys on it as a long), got $dt")
   }
 
   /** Seeded per-stratum Bernoulli sample — unbiased but approximate
@@ -55,8 +123,9 @@ object Curation {
     * drag T to 0 — a loud failure beats a silently skewed mix.
     *
     * Scale: the driver sees only per-stratum counts (bounded by the
-    * number of strata); the take is one window over a hash shuffle on
-    * the stratum column, same profile as [[stratifiedExact]]. */
+    * number of strata); the take is the de-funneled prefix shape of
+    * [[withStrataPrefix]] — no stratum funnels into one task. `orderCol`
+    * must be unique per stratum (determinism contract, ibid.). */
   def mixSources(df: DataFrame, strataCol: String, weights: Map[String, Double],
                  orderCol: String): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
@@ -65,17 +134,17 @@ object Curation {
       s"$strataCol must be a string column (weights key on its values)")
     val wsum = weights.values.sum
     val norm = weights.map { case (k, v) => k -> v / wsum }
-    val counts = df.filter(col(strataCol).isin(weights.keySet.toSeq: _*))
-      .groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+    val kept = df.filter(col(strataCol).isin(weights.keySet.toSeq: _*))
+    val counts = kept.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val t = norm.map { case (k, w) => counts.getOrElse(k, 0L) / w }.min
     val target = norm.map { case (k, w) => k -> math.floor(w * t).toLong }
     val spark = df.sparkSession
     val targetDf = broadcast(spark.createDataFrame(target.toSeq).toDF(strataCol, "_k"))
-    val rn = row_number().over(Window.partitionBy(col(strataCol)).orderBy(col(orderCol)))
-    df.join(targetDf, Seq(strataCol))
-      .withColumn("_rn", rn).filter(col("_rn") <= col("_k"))
-      .drop("_rn", "_k")
+    withStrataPrefix(kept, Seq(strataCol), orderCol, lit(1L), "_pfx")
+      .join(targetDf, Seq(strataCol))
+      .filter(col("_pfx") < col("_k"))
+      .drop("_pfx", "_k")
   }
 
   /** Weighted corpus mixing by a WEIGHT column (token counts), not row
@@ -87,7 +156,10 @@ object Curation {
     * row stays under its budget wₛ·T — so a straddling document is
     * INCLUDED (the cut-at-budget contract [[packSequences]] uses;
     * per-stratum overshoot is bounded by one document's weight).
-    * Deterministic, exactly SQL-replayable (`q_mix_weighted`).
+    * Deterministic and exactly SQL-replayable (`q_mix_weighted`) ONLY
+    * when `orderCol` is unique per stratum: with ties, which straddling
+    * row lands under budget is partitioning/engine-dependent (see
+    * [[withStrataPrefix]]) — pass an id or fingerprint, never a score.
     *
     * Parity note: weights are normalized driver-side with double math —
     * pass weights whose sum is binary-exact (0.5/0.25/0.25, 0.6 is
@@ -116,11 +188,9 @@ object Curation {
     val budget = norm.map { case (k, w) => k -> w * t }
     val spark = df.sparkSession
     val budgetDf = broadcast(spark.createDataFrame(budget.toSeq).toDF(strataCol, "_b"))
-    val cumBefore = sum(col(weightCol)).over(
-      Window.partitionBy(col(strataCol)).orderBy(col(orderCol))
-        .rowsBetween(Window.unboundedPreceding, -1))
-    df.join(budgetDf, Seq(strataCol))
-      .withColumn("_cb", coalesce(cumBefore, lit(0L)))
+    withStrataPrefix(df.filter(col(strataCol).isin(weights.keySet.toSeq: _*)),
+        Seq(strataCol), orderCol, col(weightCol).cast("long"), "_cb")
+      .join(budgetDf, Seq(strataCol))
       .filter(col("_cb") < col("_b"))
       .drop("_cb", "_b")
   }
@@ -171,6 +241,7 @@ object Curation {
   def sampleGroups(df: DataFrame, groupCols: Seq[String], idCol: String,
                    k: Int): DataFrame = {
     require(groupCols.nonEmpty, "sampleGroups needs at least one group column")
+    requireIntegralId(df, idCol)
     import org.apache.spark.sql.graftshim.ColumnBridge
     val id = col(idCol).cast("long")
     val agg = graft.functions.BottomKAgg(
@@ -219,6 +290,7 @@ object Curation {
   def topKBy(df: DataFrame, groupCols: Seq[String], scoreCol: String,
              idCol: String, k: Int, ascending: Boolean = false): DataFrame = {
     require(groupCols.nonEmpty, "topKBy needs at least one group column")
+    requireIntegralId(df, idCol)
     import org.apache.spark.sql.graftshim.ColumnBridge
     val sign = if (ascending) 1.0 else -1.0
     val agg = graft.functions.BottomKAgg(
@@ -247,6 +319,7 @@ object Curation {
                   maxN: Int): DataFrame = {
     require(groupCols.nonEmpty, "capPerGroup needs at least one group column")
     require(maxN > 0, s"maxN must be positive, got $maxN")
+    requireIntegralId(df, idCol)
     import org.apache.spark.sql.graftshim.ColumnBridge
     val id = col(idCol).cast("long")
     val agg = graft.functions.BottomKAgg(

@@ -389,11 +389,13 @@ object Dedup {
     * [[minhashIndex]] cap shape — never a window), with a loud log of
     * how many blocks/docs were skipped: such blocks are
     * boilerplate-shaped and belong to [[exact]]/[[minhashCandidates]],
-    * not an all-pairs verify. The guard costs two column-pruned
-    * aggregates over the block keys (the eager dropped-count check
-    * plus the semi-join's in-plan recount) — still noise next to the
-    * O(block²) join it bounds. Set `maxBlockSize <= 0` to disable
-    * (test-only; oracled callers must mirror the cap in their SQL). */
+    * not an all-pairs verify. The guard is one column-pruned in-plan
+    * aggregate over the block keys feeding the semi-join — LAZY, like
+    * every other operator here (an eager dropped-count log ran an extra
+    * job at call time even if the result was never executed — ADVICE
+    * r9). Audit what a cap dropped with [[oversizedBlocks]]. Set
+    * `maxBlockSize <= 0` to disable (test-only; oracled callers must
+    * mirror the cap in their SQL). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: Column, n: Int = 3, threshold: Double = 0.5,
                         maxBlockSize: Int = 10000): DataFrame = {
@@ -401,12 +403,6 @@ object Dedup {
       col(textCol).as("_text"))
     val bounded = if (maxBlockSize <= 0) keyed else {
       val counts = keyed.groupBy(col("_block")).agg(count(lit(1)).as("_bc"))
-      val over = counts.filter(col("_bc") > maxBlockSize)
-        .agg(count(lit(1)), coalesce(sum(col("_bc")), lit(0L))).head()
-      if (over.getLong(0) > 0) log.warn(
-        s"ngramJaccardPairs: dropping ${over.getLong(0)} blocks (${over.getLong(1)} docs) " +
-          s"larger than maxBlockSize=$maxBlockSize — their all-pairs verify would be " +
-          s"quadratic; tighten the blocking key or route them through minhashCandidates")
       keyed.join(counts.filter(col("_bc") <= maxBlockSize).select(col("_block")),
         Seq("_block"), "left_semi")
     }
@@ -421,6 +417,15 @@ object Dedup {
           size(array_union(col("_sh_a"), col("_sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Audit companion to [[ngramJaccardPairs]]'s block cap: the blocks a
+    * given `maxBlockSize` WOULD drop, with their sizes — one
+    * column-pruned aggregate, run it when a cap's drop rate matters
+    * (the cap itself stays silent and lazy). */
+  def oversizedBlocks(df: DataFrame, blockCol: Column,
+                      maxBlockSize: Int): DataFrame =
+    df.groupBy(blockCol.as("block")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBlockSize)
 
   /** Connected components of a candidate-pair graph — the cluster
     * resolution step after any pairing family above. Pairs only say

@@ -144,6 +144,30 @@ class PlanEvidenceSpec extends SparkSpec {
     }
   }
 
+  test("deterministic samplers: no per-stratum window funnel (range-partitioned prefix)") {
+    // VERDICT r9 #2: row_number()/sum() OVER (PARTITION BY stratum ORDER
+    // BY orderCol) funnels each stratum into ONE task's sort — at 100 TB
+    // the `en` stratum is most of the corpus. The de-funneled shape must
+    // show (a) a RangePartitioning spread of (stratum, orderCol) and
+    // (b) no window partitioned by the stratum alone that orders by the
+    // order column (the local prefix windows also key on _gpid; the
+    // offsets window orders by _gpid and runs over a metadata-sized frame).
+    val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+    val w = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25)
+    val plans = Seq(
+      "stratifiedExact" -> graft.operators.Curation.stratifiedExact(docs, Seq("lang"), 0.2, "doc_id"),
+      "mixSources" -> graft.operators.Curation.mixSources(docs, "lang", w, "doc_id"),
+      "mixByWeight" -> graft.operators.Curation.mixByWeight(docs, "lang", w, "n_chars", "doc_id"))
+    val funnel = raw"windowspecdefinition\(lang#\d+, doc_id#\d+ ASC".r
+    plans.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("rangepartitioning"),
+        s"$name must range-spread (stratum, orderCol):\n$plan")
+      assert(funnel.findFirstIn(plan).isEmpty,
+        s"$name still has a per-stratum funnel window:\n$plan")
+    }
+  }
+
   test("q_asof_join is join-free: union + one keyed window, no per-row lookup join") {
     import org.apache.spark.sql.execution.joins.BaseJoinExec
     def joinsIn(p: SparkPlan): Seq[BaseJoinExec] =
