@@ -873,20 +873,29 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"), col("bin"))
         .orderBy(col("doc_id"))),
 
-    // ---- multimodal plumbing (rows-only: the synthetic payloads are
-    // utf8 text, so the real ImageIO decode falls back to the
-    // deterministic byte-derived features — real decodes are spec'd
-    // with in-test PNG/BMP bytes in MultimodalSpec) ----
+    // ---- multimodal: REAL codec decode end-to-end under the driver
+    // contract (PNG via ImageIO, WAV via javax.sound, animated GIF via
+    // the ImageIO sequence reader). Payload parameters derive
+    // arithmetically from doc_id, so every decoded feature has a closed
+    // form the DuckDB oracle replays exactly — hash-checkable real
+    // decodes (was rows-only through r9). Fallback decoders are spec'd
+    // separately with junk payloads in MultimodalSpec. ----
     "q_multimodal" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      val img = Multimodal.syntheticMedia(docs, "doc_id", "text", "image")
-      val aud = Multimodal.syntheticMedia(docs, "doc_id", "text", "audio")
-      val fa = Multimodal.extractAudioFeatures(aud).toDF()
-        .select(col("media_id"), col("sample_rate"), round(col("rms"), 6).as("rms"))
-      Multimodal.extractImageFeatures(img).toDF()
+      val img = Multimodal.syntheticRealMedia(docs, "doc_id", "image")
+      val aud = Multimodal.syntheticRealMedia(docs, "doc_id", "audio")
+      val vid = Multimodal.syntheticRealMedia(docs, "doc_id", "video")
+      val fi = Multimodal.extractImageFeatures(img).toDF()
         .select(col("media_id"), col("width"), col("height"),
           round(col("mean_intensity"), 4).as("mean_intensity"))
-        .join(fa, Seq("media_id"))
+      val fa = Multimodal.extractAudioFeatures(aud).toDF()
+        .select(col("media_id"), col("sample_rate"),
+          col("n_frames").as("n_samples"), round(col("rms"), 6).as("rms"))
+      val fv = Multimodal.extractVideoFrames(vid, everyN = 2).toDF()
+        .groupBy(col("media_id"))
+        .agg(max(col("n_frames")).as("n_video_frames"),
+          count(lit(1)).as("frames_sampled"))
+      fi.join(fa, Seq("media_id")).join(fv, Seq("media_id"))
         .orderBy(col("media_id"))
     })
   )
@@ -1642,6 +1651,30 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, n_chars,
         |       CAST(FLOOR((cum - n_chars) / 16384.0) AS BIGINT) AS bin
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Closed-form replay of the REAL decoders: syntheticRealMedia's
+    // payload parameters are arithmetic in doc_id, so the true decode
+    // outputs are predictable exactly — width/height are the PNG's
+    // encoded dims; mean_intensity is BT.601 of the solid gray (every
+    // pixel identical, so the mean is the per-pixel luminance to within
+    // an ulp — far inside round(4)); rms of a constant-amplitude PCM
+    // signal is |a|/32768 with dyadic-exact arithmetic (a²·2⁻³⁰ and its
+    // n-fold sum are exactly representable, so both engines take the
+    // same sqrt of the same double); GIF frame count and the everyN=2
+    // sample count are integer arithmetic.
+    "q_multimodal" ->
+      """SELECT doc_id AS media_id,
+        | CAST(8 + doc_id % 9 AS INTEGER) AS width,
+        | CAST(8 + doc_id % 5 AS INTEGER) AS height,
+        | ROUND(0.299 * (28 + doc_id % 200) + 0.587 * (28 + doc_id % 200)
+        |       + 0.114 * (28 + doc_id % 200), 4) AS mean_intensity,
+        | CAST(8000 AS INTEGER) AS sample_rate,
+        | CAST(800 + (doc_id % 5) * 160 AS BIGINT) AS n_samples,
+        | ROUND(SQRT(((1000 + doc_id % 1000) / 32768.0)
+        |            * ((1000 + doc_id % 1000) / 32768.0)), 6) AS rms,
+        | CAST(2 + doc_id % 4 AS INTEGER) AS n_video_frames,
+        | CAST((2 + doc_id % 4 + 1) // 2 AS BIGINT) AS frames_sampled
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 }

@@ -67,8 +67,14 @@ object Multimodal {
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return fakeDecodeImage(mediaId, payload)
+    imageStats(mediaId, img).getOrElse(fakeDecodeImage(mediaId, payload))
+  }
+
+  /** Shared luminance/aHash pass over a decoded frame — the per-frame
+    * worker of [[decodeImage]] and [[decodeVideoFrames]]. */
+  private def imageStats(mediaId: Long, img: java.awt.image.BufferedImage): Option[ImageFeatures] = {
     val w = img.getWidth; val h = img.getHeight
-    if (w == 0 || h == 0) return fakeDecodeImage(mediaId, payload)
+    if (w == 0 || h == 0) return None
     val grid = new Array[Double](64)
     val cnt = new Array[Long](64)
     var sum = 0.0
@@ -94,7 +100,7 @@ object Multimodal {
     var hash = 0L
     i = 0
     while (i < 64) { if (cnt(i) > 0 && grid(i) > gmean) hash |= (1L << i); i += 1 }
-    ImageFeatures(mediaId, w, h, sum / (w.toLong * h), hash)
+    Some(ImageFeatures(mediaId, w, h, sum / (w.toLong * h), hash))
   }
 
   /** FALLBACK DECODER — deterministic fake for payloads no bundled
@@ -214,7 +220,8 @@ object Multimodal {
 
   /** Frame-sampling plumbing for video: emits (media_id, frame_idx) rows
     * for every `everyN`th frame given a frame-count in `meta("frames")` —
-    * the flatMap shape a real frame extractor plugs into. */
+    * the flatMap shape a real frame extractor plugs into (the real one:
+    * [[extractVideoFrames]]). */
   def sampleFrames(media: DataFrame, everyN: Int = 30): DataFrame =
     media.filter(col("kind") === "video")
       .select(col("media_id"),
@@ -222,8 +229,82 @@ object Multimodal {
           greatest(coalesce(element_at(col("meta"), "frames").cast("int"), lit(0)) - 1, lit(0)),
           lit(everyN))).as("frame_idx"))
 
+  case class FrameFeatures(media_id: Long, n_frames: Int, frame_idx: Int,
+                           width: Int, height: Int, ahash: Long)
+
+  /** REAL multi-frame video decode for the container the JDK ships a
+    * reader for — animated GIF: true frame count, and every `everyN`th
+    * frame's dimensions + 64-bit average-hash (the same per-frame
+    * machinery as [[decodeImage]], so sampled frames feed the
+    * hamming-pairing dedup directly). Frames are decoded one at a time
+    * through the reader — never the whole animation buffered. Payloads
+    * no bundled reader recognizes (every real codec beyond GIF — MP4,
+    * WebM…) fall back to [[fakeDecodeVideo]]'s deterministic
+    * byte-derived frames, keeping the pipeline total; a JNI/javacv
+    * decoder slots into the same seam. */
+  def decodeVideoFrames(mediaId: Long, payload: Array[Byte],
+                        everyN: Int): Seq[FrameFeatures] = {
+    if (payload == null || payload.isEmpty) return Seq.empty
+    imageIoConfigured
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (iis == null) return fakeDecodeVideo(mediaId, payload, everyN)
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return fakeDecodeVideo(mediaId, payload, everyN)
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        if (n <= 0) return fakeDecodeVideo(mediaId, payload, everyN)
+        (0 until n by math.max(everyN, 1)).flatMap { idx =>
+          val img =
+            try reader.read(idx)
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) None
+          else imageStats(mediaId, img).map(f =>
+            FrameFeatures(mediaId, n, idx, f.width, f.height, f.phash))
+        }
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** FALLBACK VIDEO DECODER — deterministic byte-derived frames for
+    * unrecognized codecs, mirroring [[fakeDecodeImage]]: a pseudo frame
+    * count from the byte hash, each sampled frame's features derived
+    * from (payload, frame_idx). */
+  def fakeDecodeVideo(mediaId: Long, payload: Array[Byte],
+                      everyN: Int): Seq[FrameFeatures] = {
+    if (payload == null || payload.isEmpty) return Seq.empty
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < payload.length) { h = h * 31L + (payload(i) & 0xffL); i += 1 }
+    val n = 1 + (math.abs(h) % 240).toInt
+    val base = fakeDecodeImage(mediaId, payload)
+    (0 until n by math.max(everyN, 1)).map { idx =>
+      FrameFeatures(mediaId, n, idx, base.width, base.height,
+        base.phash * 31L + idx)
+    }
+  }
+
+  /** Per-partition batched frame extraction — the video analog of
+    * [[extractImageFeatures]]: one row per sampled frame. */
+  def extractVideoFrames(media: DataFrame, everyN: Int = 30,
+                         decoder: (Long, Array[Byte], Int) => Seq[FrameFeatures] = decodeVideoFrames)
+      : Dataset[FrameFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it => it.flatMap { case (id, bytes) => decoder(id, bytes, everyN) } }
+  }
+
   /** Build a media table from any (id, stringPayload) source —
-    * deterministic test fixture generator; payload = utf8 bytes. */
+    * deterministic test fixture generator; payload = utf8 bytes (these
+    * exercise the FALLBACK decoders; [[syntheticRealMedia]] exercises
+    * the real ones). */
   def syntheticMedia(df: DataFrame, idCol: String, textCol: String, kind: String): DataFrame =
     df.select(
       col(idCol).cast("long").as("media_id"),
@@ -231,4 +312,100 @@ object Multimodal {
       concat(lit("synthetic://"), col(idCol)).as("uri"),
       encode(col(textCol), "UTF-8").as("payload"),
       map(lit("frames"), (col(idCol) % 300 + 1).cast("string")).as("meta"))
+
+  /** Solid-gray PNG bytes — real codec output, decode-exact features. */
+  private[graft] def realPngBytes(w: Int, h: Int, gray: Int): Array[Byte] = {
+    imageIoConfigured
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Constant-amplitude 16-bit mono PCM WAV bytes (little-endian). */
+  private[graft] def realWavBytes(rate: Int, nSamples: Int, amplitude: Int): Array[Byte] = {
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      data(2 * i) = (amplitude & 0xff).toByte
+      data(2 * i + 1) = ((amplitude >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Animated-GIF bytes: `frames` solid-gray frames (each a distinct
+    * shade so per-frame features differ). Real multi-image container
+    * through the JDK's GIF writer. */
+  private[graft] def realGifBytes(w: Int, h: Int, frames: Int, gray0: Int): Array[Byte] = {
+    imageIoConfigured
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val g = (gray0 + f * 16) & 0xff
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Deterministic REAL media fixture: tiny solid-gray PNGs /
+    * constant-amplitude WAVs / multi-frame animated GIFs whose payload
+    * parameters derive arithmetically from the id — real codec bytes, so
+    * a driver-visible query exercises the true ImageIO / javax.sound
+    * decode paths, AND the decoded features have closed forms an
+    * external SQL engine can replay exactly (`q_multimodal`'s oracle):
+    *
+    *  - image: (8 + id%9) × (8 + id%5) PNG, gray 28 + id%200 →
+    *    width/height exact, mean_intensity = BT.601 of that gray;
+    *  - audio: 8 kHz mono WAV, 800 + (id%5)·160 samples at constant
+    *    amplitude 1000 + id%1000 → rms = |a|/32768 exactly (every
+    *    sample identical; a²·2⁻³⁰ and its n-fold sum are
+    *    dyadic-rational-exact in doubles);
+    *  - video: (2 + id%4)-frame animated GIF, 8×8, grays stepping from
+    *    28 + id%200 → n_frames exact.
+    *
+    * Generation runs in the same mapPartitions batch shape as the
+    * extractors — executors encode their partitions' payloads, the
+    * driver sees nothing. */
+  def syntheticRealMedia(df: DataFrame, idCol: String, kind: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val payload = kind match {
+      case "image" => (id: Long) =>
+        realPngBytes(8 + (id % 9).toInt, 8 + (id % 5).toInt, 28 + (id % 200).toInt)
+      case "audio" => (id: Long) =>
+        realWavBytes(8000, 800 + ((id % 5) * 160).toInt, 1000 + (id % 1000).toInt)
+      case "video" => (id: Long) =>
+        realGifBytes(8, 8, 2 + (id % 4).toInt, 28 + (id % 200).toInt)
+      case other => throw new IllegalArgumentException(
+        s"syntheticRealMedia kinds: image|audio|video, got $other")
+    }
+    df.select(col(idCol).cast("long").as("media_id"))
+      .as[Long]
+      .mapPartitions { it => it.map(id => (id, kind, s"synthetic://$id", payload(id))) }
+      .toDF("media_id", "kind", "uri", "payload")
+      .withColumn("meta", map(lit("codec"),
+        lit(kind match { case "image" => "png"; case "audio" => "wav"; case _ => "gif" })))
+  }
 }

@@ -210,7 +210,21 @@ object Similarity {
     * corpus, cell balance and probe recall decay — monitor cell-size
     * skew and re-train ([[trainCentroids]] + [[writeIvfIndex]]) when it
     * degrades. Callers own id-uniqueness across ticks (this is an
-    * append, not an upsert). */
+    * append, not an upsert).
+    *
+    * CRASH WINDOW: the merged cells are MATERIALIZED (localCheckpoint)
+    * before the overwrite — without that barrier the job both reads and
+    * deletes the same partitions, and correctness would hang on the
+    * committer deferring deletion to commit (object-store committers
+    * don't promise that). What remains is the commit itself: dynamic
+    * partition overwrite swaps the touched cells' directories
+    * non-atomically across partitions, so a crash MID-COMMIT can leave
+    * some touched cells new and some old — rerun the same tick to
+    * converge (the checkpoint means the rerun re-reads whatever state
+    * the files are in). At cluster scale prefer a reliable checkpoint
+    * dir + `checkpoint` over `localCheckpoint` (same trade as
+    * [[graft.operators.Dedup.connectedComponents]]), or a table format
+    * with atomic multi-partition commits. */
   def ivfIndexAppend(delta: DataFrame, vecCol: String,
                      centroids: Array[(Int, Array[Double])], path: String): Unit = {
     val spark = delta.sparkSession
@@ -223,9 +237,13 @@ object Similarity {
     // guarantee.
     val cells = assigned.select(col("_cell")).distinct()
       .collect().map(_.getInt(0)).toIndexedSeq
-    // existing rows of ONLY the touched cells
+    // existing rows of ONLY the touched cells, materialized BEFORE the
+    // overwrite below deletes the files this plan reads (ADVICE r9):
+    // lineage is severed the same way incrementalMinhash severs it
+    // before rewriting its own index table.
     val kept = spark.read.parquet(path)
       .filter(col("_cell").isin(cells: _*))
+      .localCheckpoint(true)
     val out = kept.unionByName(assigned.select(kept.columns.map(col).toIndexedSeq: _*))
     out.repartition(col("_cell"))
       .write.mode("overwrite")

@@ -166,6 +166,85 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.forall(f => f.sample_rate == 8000 && math.abs(f.rms - 0.5 / math.sqrt(2)) < 2e-3))
   }
 
+  test("decodeVideoFrames reads a real animated GIF: true frame count, per-frame aHash") {
+    // 5 frames: black/white split frames alternating orientation so the
+    // per-frame aHash is non-trivial AND palette-exact (2 colors — GIF
+    // quantization cannot perturb them)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until 5) {
+      val img = new java.awt.image.BufferedImage(16, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 16)
+        img.setRGB(x, y, if ((x < 8) == (f % 2 == 0)) 0x000000 else 0xffffff)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val gif = out.toByteArray
+
+    val all = Multimodal.decodeVideoFrames(1L, gif, everyN = 1)
+    assert(all.map(_.frame_idx) == Seq(0, 1, 2, 3, 4), s"got $all")
+    assert(all.forall(f => f.n_frames == 5 && f.width == 16 && f.height == 8))
+    // even frames: right half bright -> high nibbles; odd frames inverted
+    assert(all(0).ahash == 0xF0F0F0F0F0F0F0F0L, f"frame0 ${all(0).ahash}%x")
+    assert(all(1).ahash == 0x0F0F0F0F0F0F0F0FL, f"frame1 ${all(1).ahash}%x")
+    val sampled = Multimodal.decodeVideoFrames(1L, gif, everyN = 2)
+    assert(sampled.map(_.frame_idx) == Seq(0, 2, 4))
+  }
+
+  test("unrecognized video payloads fall back to deterministic byte-derived frames") {
+    val junk = "definitely not a video container".getBytes("UTF-8")
+    val frames = Multimodal.decodeVideoFrames(3L, junk, everyN = 10)
+    assert(frames == Multimodal.fakeDecodeVideo(3L, junk, 10))
+    assert(frames.nonEmpty && frames.forall(_.n_frames == frames.head.n_frames))
+    assert(Multimodal.decodeVideoFrames(3L, Array.empty[Byte], 10).isEmpty)
+  }
+
+  test("extractVideoFrames decodes real GIFs end to end through Spark") {
+    import org.apache.spark.sql.Row
+    val rows = (0 until 6).map { i =>
+      Row(i.toLong, "video", s"mem://$i",
+        Multimodal.realGifBytes(8, 8, frames = 2 + i % 4, gray0 = 40 + i), null)
+    }
+    val fv = Multimodal.extractVideoFrames(df(Multimodal.mediaSchema, rows), everyN = 2)
+      .collect().groupBy(_.media_id)
+    (0 until 6).foreach { i =>
+      val n = 2 + i % 4
+      val fs = fv(i.toLong).sortBy(_.frame_idx)
+      assert(fs.head.n_frames == n, s"media $i: ${fs.toSeq}")
+      assert(fs.map(_.frame_idx).toSeq == (0 until n by 2).toSeq)
+    }
+  }
+
+  test("syntheticRealMedia payloads decode through the REAL paths with closed-form features") {
+    val docs = graft.sources.ParquetConnector
+      .readTable(spark, "/root/testdata/sf0.001/documents.parquet").limit(30)
+    val img = Multimodal.extractImageFeatures(
+      Multimodal.syntheticRealMedia(docs, "doc_id", "image")).collect()
+    img.foreach { f =>
+      val id = f.media_id
+      assert(f.width == 8 + (id % 9).toInt && f.height == 8 + (id % 5).toInt,
+        s"real PNG dims must round-trip for $id")
+      val g = 28 + (id % 200).toDouble
+      assert(math.abs(f.mean_intensity - g) < 1e-9, s"solid-gray mean for $id: ${f.mean_intensity}")
+    }
+    val aud = Multimodal.extractAudioFeatures(
+      Multimodal.syntheticRealMedia(docs, "doc_id", "audio")).collect()
+    aud.foreach { f =>
+      val id = f.media_id
+      assert(f.sample_rate == 8000 && f.n_frames == 800 + (id % 5) * 160)
+      assert(f.rms == (1000 + id % 1000) / 32768.0, s"constant-signal rms exact for $id: ${f.rms}")
+    }
+    val vid = Multimodal.extractVideoFrames(
+      Multimodal.syntheticRealMedia(docs, "doc_id", "video"), everyN = 2)
+      .collect().groupBy(_.media_id)
+    vid.foreach { case (id, fs) =>
+      assert(fs.head.n_frames == 2 + (id % 4).toInt, s"GIF frame count for $id")
+    }
+  }
+
   test("sampleFrames emits every Nth frame per video") {
     val m = media.withColumn("kind", lit("video"))
       .withColumn("meta", map(lit("frames"), lit("90")))
