@@ -416,6 +416,28 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_minhash_banding" -> ((s, dir) => {
+      // the band/bucket/pair/est pipeline under minhashCandidates, made
+      // fully oracle-checkable with PLANTED signatures (the r9
+      // q_hamming_neardup trick): docs group by doc_id/4; member
+      // m = doc_id%4 holds the group's base value at positions j where
+      // j/2 < 4-m and a personal value elsewhere. So a pair's shared
+      // bands are exactly b < 4-max(m), every in-group pair shares band
+      // 0 (candidates), and est_jaccard = (8-2·max(m))/8 — closed
+      // integer arithmetic DuckDB replays by joining on group
+      // membership (bucket ids never reach the output; bucket equality
+      // IS band-slice equality). Bucket cap disabled: the oracle has no
+      // cap (cap semantics are pinned in DedupSpec).
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        expr("""transform(sequence(0, 7), j ->
+                 (doc_id DIV 4) * 1000 +
+                 CASE WHEN j DIV 2 < 4 - doc_id % 4 THEN CAST(j AS BIGINT)
+                      ELSE (doc_id % 4) * 100 + j END)""").as("sig"))
+      Dedup.minhashCandidatesFromSignatures(d, col("sig"), "doc_id",
+          numHashes = 8, bands = 4, threshold = 0.5, maxBucketSize = 0)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_hamming_neardup" -> ((s, dir) => {
       // the generic chunk-blocked hamming pairing — the machinery under
       // BOTH simhash text dedup and image-aHash dedup — made fully
@@ -1542,6 +1564,19 @@ object SparkEntry {
         |FROM embeddings
         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
         |LIMIT 20""".stripMargin,
+
+    // Planted-signature banding replay: member m agrees with member m'
+    // exactly on positions j < 2·(4-max(m,m')) (both base), so
+    // est = (8-2·max)/8; they share band b iff b < 4-max, which is ≥ 1
+    // for every in-group pair — all pairs are candidates, the threshold
+    // keeps max ≤ 2. Division by 8 is dyadic-exact in both engines.
+    "q_minhash_banding" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       (8 - 2 * GREATEST(a.m, b.m)) / 8.0 AS est_jaccard
+        |FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
+        |WHERE (8 - 2 * GREATEST(a.m, b.m)) / 8.0 >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_hamming_neardup" ->
       """WITH h AS (

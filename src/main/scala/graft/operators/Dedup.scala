@@ -202,8 +202,34 @@ object Dedup {
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         numHashes: Int = 64, bands: Int = 16,
                         shingleLen: Int = 3, threshold: Double = 0.7,
-                        maxBucketSize: Int = 2000): DataFrame = {
-    val banded = bandedSignatures(df, textCol, idCol, numHashes, bands, shingleLen)
+                        maxBucketSize: Int = 2000): DataFrame =
+    pairsFromBanded(
+      bandedSignatures(df, textCol, idCol, numHashes, bands, shingleLen),
+      numHashes, threshold, maxBucketSize)
+
+  /** Candidate pairing over a PRECOMPUTED signature column — the
+    * band/bucket/pair/verify pipeline of [[minhashCandidates]] minus the
+    * text sketch, for corpora whose signatures are already materialized
+    * (a signature store, a cross-engine exchange format) — and the seam
+    * that makes the LSH machinery oracle-checkable end-to-end: bucket
+    * ids never appear in the output, and two rows share a bucket iff
+    * their band SLICES are equal (64-bit band-hash collisions aside), so
+    * an external engine can replay the pipeline from planted arithmetic
+    * signatures by joining on slice equality (`q_minhash_banding`).
+    * `sigCol` must be `array<long>` of length `numHashes`. */
+  def minhashCandidatesFromSignatures(df: DataFrame, sigCol: Column, idCol: String,
+                                      numHashes: Int, bands: Int,
+                                      threshold: Double = 0.7,
+                                      maxBucketSize: Int = 2000): DataFrame = {
+    val sig = ensureParallel(df).select(col(idCol).as("_id"), sigCol.as("_sig"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    pairsFromBanded(bandExplode(sig, numHashes, bands), numHashes, threshold, maxBucketSize)
+  }
+
+  /** Shared tail of the batch candidate paths: in-bucket pair explode →
+    * exact signature agreement → threshold → distinct. */
+  private def pairsFromBanded(banded: DataFrame, numHashes: Int,
+                              threshold: Double, maxBucketSize: Int): DataFrame = {
     val agreement = ColumnBridge.column(SignatureAgreement(
       ColumnBridge.expression(col("pa")), ColumnBridge.expression(col("pb"))))
     bucketPairs(banded, Seq("_band", "_bucket"), "_id", "_sig", maxBucketSize)
@@ -240,8 +266,6 @@ object Dedup {
     * index paths so their banding is bit-identical. */
   private def bandedSignatures(df: DataFrame, textCol: String, idCol: String,
                                numHashes: Int, bands: Int, shingleLen: Int): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rowsPerBand = numHashes / bands
     // BARRIER between signature compute and banding: without an exchange,
     // CollapseProject merges the signature projection into the banding
     // one, re-evaluating the (expensive) signature expression once PER
@@ -251,6 +275,14 @@ object Dedup {
     val sig = ensureParallel(df).select(col(idCol).as("_id"),
       minhashSignatureText(col(textCol), shingleLen, numHashes).as("_sig"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    bandExplode(sig, numHashes, bands)
+  }
+
+  /** (id, sig) → one (band, bucket) row per band; bucket = xxhash64 of
+    * the band's signature slice. */
+  private def bandExplode(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
     // band hashes as a STATIC array of slice+xxhash64 columns — a
     // `transform` lambda here would be CodegenFallback and push the
     // banding projection to interpreted eval

@@ -103,6 +103,22 @@ class DedupSpec extends SparkSpec {
     assert(cands.filter(col("id_a") >= col("id_b")).count() == 0)
   }
 
+  test("minhashCandidatesFromSignatures == minhashCandidates on precomputed signatures") {
+    // the from-signatures seam must be the identical pipeline: computing
+    // the text signature first and feeding it back yields the same pairs
+    val d = corpusWithMutations(80)
+    val fromText = Dedup.minhashCandidates(d, "text", "doc_id",
+        numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val withSig = d.withColumn("sig",
+      Dedup.minhashSignatureText(col("text"), shingleLen = 3, numHashes = 64))
+    val fromSig = Dedup.minhashCandidatesFromSignatures(withSig, col("sig"), "doc_id",
+        numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromSig == fromText)
+    assert(fromSig.nonEmpty)
+  }
+
   test("minhash est_jaccard is within 0.15 of the exact shingle jaccard") {
     val d = corpusWithMutations(50)
     val est = Dedup.minhashCandidates(d, "text", "doc_id", numHashes = 64, bands = 16,
