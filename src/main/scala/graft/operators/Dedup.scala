@@ -581,6 +581,40 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Multi-table embedding near-dup — the recall lever
+    * [[embeddingNearDup]]'s doc points at, implemented: `tables`
+    * INDEPENDENT hyperplane sets (table t's planes derive from
+    * `seed + t·7919`), a vector lands in one bucket per table, pairs
+    * union across tables and dedup. A borderline pair at angle θ
+    * collides in one table with p = (1−θ/π)^planes; R tables lift
+    * recall to 1−(1−p)^R — e.g. cosine 0.95 / 16 planes: p ≈ 0.18
+    * single-table, ≈ 0.55 at R = 4 (spec-pinned on a planted fixture).
+    * Table 0 IS the single-table bucket set (same seed), so the
+    * multi-table pair set is a superset of the single-table one.
+    *
+    * Scale: identical join-free shape — one shuffle of (table, bucket,
+    * id, vector) rows, R× the single-table exchange volume (the recall
+    * cost is explicit and linear), capped buckets PER TABLE, native
+    * codegen'd bucket keys. `distinct()` dedups pairs found by several
+    * tables (cosine is a pure function of the pair — safe). */
+  def embeddingNearDupMulti(df: DataFrame, vecCol: String, idCol: String, dim: Int,
+                            planes: Int = 16, tables: Int = 4,
+                            threshold: Double = 0.95, maxBucketSize: Int = 2000,
+                            seed: Long = 42L): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    val keyed = ensureParallel(df).select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    val bucketCols = array((0 until tables).map(t =>
+      VectorFunctions.hyperplaneBucket(col("_v"), dim, planes, seed + t * 7919L)): _*)
+    val exploded = keyed.select(col("_id"), col("_v"),
+      posexplode(bucketCols).as(Seq("_table", "_bucket")))
+    bucketPairs(exploded, Seq("_table", "_bucket"), "_id", "_v", maxBucketSize)
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        VectorFunctions.cosine(col("pa"), col("pb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+
   /** Cross-corpus LINE-level dedup (the CCNet recipe): every occurrence
     * beyond the first of each distinct non-empty line — boilerplate
     * headers, cookie banners, nav text — is removed corpus-wide; "first"

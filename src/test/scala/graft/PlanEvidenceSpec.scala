@@ -137,7 +137,9 @@ class PlanEvidenceSpec extends SparkSpec {
     val plans = Seq(
       "minhash" -> graft.operators.Dedup.minhashCandidates(docs, "text", "doc_id"),
       "simhash" -> graft.operators.Dedup.simhashCandidates(docs, "text", "doc_id"),
-      "embedding" -> graft.operators.Dedup.embeddingNearDup(emb, "embedding", "vec_id", dim = 64))
+      "embedding" -> graft.operators.Dedup.embeddingNearDup(emb, "embedding", "vec_id", dim = 64),
+      "embedding_multi" -> graft.operators.Dedup.embeddingNearDupMulti(
+        emb, "embedding", "vec_id", dim = 64, tables = 4))
     plans.foreach { case (name, df) =>
       assert(joinsIn(df.queryExecution.executedPlan).isEmpty,
         s"$name candidates must be join-free:\n" + df.queryExecution.executedPlan)

@@ -251,6 +251,46 @@ class DedupSpec extends SparkSpec {
     comp.toMap
   }
 
+  test("embeddingNearDupMulti: independent tables recover borderline pairs one table misses") {
+    // 60 planted borderline pairs at cosine ≈ 0.95: w = v + 0.33·u with
+    // u an independent unit gaussian, so each hyperplane disagrees with
+    // probability ≈ θ/π ≈ 0.10 and a 16-plane table catches a pair with
+    // only p ≈ (1−0.10)^16 ≈ 0.18 — exactly the regime where one table's
+    // recall is poor and R independent tables multiply it.
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(FloatType))))
+    val rnd = new scala.util.Random(21)
+    val dim = 32
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val rows = (0 until 60).flatMap { i =>
+      val v = unit()
+      val u = unit()
+      val w = v.zip(u).map { case (a, b) => a + 0.33 * b }
+      Seq(Row(i.toLong, v.map(_.toFloat).toSeq),
+        Row((i + 1000).toLong, w.map(_.toFloat).toSeq))
+    }
+    val d = df(vecSchema, rows)
+    def planted(out: org.apache.spark.sql.DataFrame): Set[Long] =
+      out.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .collect { case (a, b) if b == a + 1000 => a }.toSet
+    val single = planted(Dedup.embeddingNearDup(d, "v", "vec_id", dim,
+      planes = 16, threshold = 0.9))
+    val multi = planted(Dedup.embeddingNearDupMulti(d, "v", "vec_id", dim,
+      planes = 16, tables = 4, threshold = 0.9))
+    assert(single.subsetOf(multi),
+      "table 0 shares the single-table seed, so multi must be a superset")
+    assert((multi -- single).nonEmpty,
+      "multi-table must recover pairs the single table missed")
+    assert(multi.size >= single.size + 5 && multi.size > 60 / 3,
+      s"expected a substantial recall lift: single=${single.size} multi=${multi.size}")
+  }
+
   test("connectedComponents: chain, cycle, self-loop, and disjoint cliques") {
     // chain 1-2-3-4 (no direct 1~3/1~4 pair — the case greedy pair-drop
     // gets wrong), a cycle, a self-loop (ignored), two disjoint cliques
