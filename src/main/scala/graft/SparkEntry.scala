@@ -721,6 +721,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_dedup_emb_incr" -> ((s, dir) => {
+      // incremental EMBEDDING dedup tick: a delta probes the corpus's
+      // persisted hyperplane-bucket index; kept ids are exact-oracle-able
+      // even though buckets aren't replayable, because the verified
+      // output is bucket-INDEPENDENT here: scaled copies (the only
+      // cos >= 0.999 pairs — organic max in this table is ~0.6) share
+      // their original's bucket by construction (positive scaling
+      // preserves every projection sign), and everything else fails the
+      // cosine verify regardless of bucketing. The oracle replays the
+      // dedup SEMANTICS (cosine joins + greedy min-id), not the
+      // expected answer.
+      val e = T(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") % 5 =!= 0).select(col("vec_id"), col("embedding"))
+      val delta = e.filter(col("vec_id") % 5 === 0).select(col("vec_id"), col("embedding"))
+        .union(e.filter(col("vec_id") % 10 === 1)
+          .select((col("vec_id") + 1000000).as("vec_id"),
+            transform(col("embedding"), x => x * lit(1.001f)).as("embedding")))
+        .union(e.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 2000000).as("vec_id"),
+            transform(col("embedding"), x => x * lit(1.002f)).as("embedding")))
+      Dedup.embeddingDedupAgainst(delta, "embedding", "vec_id",
+          Dedup.embeddingIndex(corpus, "embedding", "vec_id", dim = 64),
+          dim = 64, threshold = 0.999)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_line_dedup" -> ((s, dir) => {
       // CCNet cross-corpus line dedup. The synthetic docs are single-line,
       // so compose 3-line docs with shared boilerplate (the exact target
@@ -1564,6 +1591,32 @@ object SparkEntry {
         |FROM embeddings
         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
         |LIMIT 20""".stripMargin,
+
+    // Semantic replay of the incremental embedding tick: matched = delta
+    // vectors with a corpus cosine-match; losers = greedy min-id dedup
+    // within the remainder. Decision margins are enormous (planted pairs
+    // ~1.0 vs threshold 0.999 vs organic max ~0.6), so float-vs-double
+    // scaling differences cannot flip membership.
+    "q_dedup_emb_incr" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |corpus AS (SELECT vec_id, v FROM e WHERE vec_id % 5 <> 0),
+        |delta AS (
+        |  SELECT vec_id, v FROM e WHERE vec_id % 5 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x * 1.001) AS v
+        |  FROM e WHERE vec_id % 10 = 1
+        |  UNION ALL
+        |  SELECT vec_id + 2000000 AS vec_id, list_transform(v, x -> x * 1.002) AS v
+        |  FROM e WHERE vec_id % 5 = 0),
+        |matched AS (
+        |  SELECT DISTINCT d.vec_id FROM delta d JOIN corpus c
+        |    ON list_cosine_similarity(d.v, c.v) >= 0.999),
+        |rest AS (SELECT * FROM delta WHERE vec_id NOT IN (SELECT vec_id FROM matched)),
+        |losers AS (
+        |  SELECT DISTINCT b.vec_id FROM rest a JOIN rest b
+        |    ON a.vec_id < b.vec_id AND list_cosine_similarity(a.v, b.v) >= 0.999)
+        |SELECT vec_id FROM rest WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+        |ORDER BY vec_id""".stripMargin,
 
     // Planted-signature banding replay: member m agrees with member m'
     // exactly on positions j < 2·(4-max(m,m')) (both base), so

@@ -187,7 +187,18 @@ object GraftFunctions {
       parsedWith(
         "transform(__q__.q, x -> cast(cast(x as double) * __q__.scale as float))",
         "__q__" -> args.head)
-    }, "vec_dequantize(qs) - reconstruct float32 vector from vec_quantize output"))
+    }, "vec_dequantize(qs) - reconstruct float32 vector from vec_quantize output"),
+    ("hyperplane_bucket", { args: Seq[Expression] =>
+      require(args.length == 3 || args.length == 4,
+        "hyperplane_bucket(vec, dim, planes[, seed])")
+      val dim = intLit(args(1), "dim")
+      val planes = intLit(args(2), "planes")
+      require(dim >= 1, s"dim must be an integer literal >= 1, got $dim")
+      require(planes >= 1 && planes <= 62,
+        s"planes must be an integer literal in [1, 62], got $planes")
+      val seed = if (args.length == 4) longLit(args(3), "seed") else 42L
+      HyperplaneBucket(args.head, dim, planes, seed)
+    }, "hyperplane_bucket(vec, dim, planes[, seed]) - native random-hyperplane LSH bucket id in [0, 2^planes) for cosine similarity (matches VectorFunctions.hyperplaneBucket)"))
 
   /** The Gopher keep predicate over a `__p__` repetition-profile
     * struct, built FROM [[TextFunctions]]' threshold constants — one
@@ -280,6 +291,13 @@ object GraftFunctions {
       }
     parsedWith(s"case when $best > 0.08D then $label else 'und' end",
       "__p__" -> TextProfile(text, langs.map(_._2), asciiTokens = false))
+  }
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
   }
 
   private def strLit(e: Expression, what: String): String = e match {

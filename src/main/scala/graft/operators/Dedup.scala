@@ -572,18 +572,102 @@ object Dedup {
     * several independent plane sets to recover recall. */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String, dim: Int,
                        planes: Int = 16, threshold: Double = 0.95,
-                       maxBucketSize: Int = 2000): DataFrame = {
+                       maxBucketSize: Int = 2000, seed: Long = 42L): DataFrame = {
     // same join-free bucket-pair machinery as minhash/simhash: one shuffle
     // of (bucket, id, vector), in-bucket pair explode, degenerate buckets
     // (duplicate-heavy or low-entropy embedding sets — exactly what a
     // dedup corpus contains) capped so no single task goes quadratic.
     val keyed = ensureParallel(df).select(col(idCol).as("_id"), col(vecCol).as("_v"),
-      VectorFunctions.hyperplaneBucket(col(vecCol), dim, planes).as("_bucket"))
+      VectorFunctions.hyperplaneBucket(col(vecCol), dim, planes, seed).as("_bucket"))
     bucketPairs(keyed, Seq("_bucket"), "_id", "_v", maxBucketSize)
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"),
         VectorFunctions.cosine(col("pa"), col("pb")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Hyperplane-bucket index of an embedding corpus — the persisted
+    * side of incremental EMBEDDING dedup, completing the
+    * exact/minhash/embedding symmetry of the index family: one row
+    * (bucket, id, vector) per vector, buckets over `maxBucketSize`
+    * dropped at build time (groupBy-count + semi-join, the
+    * [[minhashIndex]] cap shape). Probes MUST use the same
+    * (dim, planes, seed). Storage is vector-sized (the one index here
+    * that isn't sketch-sized — cosine verification needs the vectors;
+    * quantize upstream via [[VectorFunctions.quantize]] when 4× matters). */
+  def embeddingIndex(df: DataFrame, vecCol: String, idCol: String, dim: Int,
+                     planes: Int = 16, seed: Long = 42L,
+                     maxBucketSize: Int = 2000): DataFrame = {
+    val keyed = ensureParallel(df).select(
+      VectorFunctions.hyperplaneBucket(col(vecCol), dim, planes, seed).as("_bucket"),
+      col(idCol).as("_id"), col(vecCol).as("_v"))
+    if (maxBucketSize <= 0) keyed
+    else {
+      val ok = keyed.groupBy("_bucket").agg(count(lit(1)).as("_bc"))
+        .filter(col("_bc") <= maxBucketSize)
+      keyed.join(ok.select("_bucket"), Seq("_bucket"), "left_semi")
+    }
+  }
+
+  /** Incremental embedding near-dup candidates: DELTA vectors vs an
+    * already-indexed corpus ([[embeddingIndex]], same parameters) —
+    * equi-join on the bucket key, verify cosine. O(delta) probe rows;
+    * the corpus is touched only through its index. Returns
+    * (delta_id, corpus_id, cosine) distinct pairs at `threshold`. */
+  def embeddingAgainstIndex(delta: DataFrame, vecCol: String, idCol: String,
+                            index: DataFrame, dim: Int, planes: Int = 16,
+                            seed: Long = 42L, threshold: Double = 0.95): DataFrame = {
+    val probes = ensureParallel(delta).select(
+      VectorFunctions.hyperplaneBucket(col(vecCol), dim, planes, seed).as("_bucket"),
+      col(idCol).as("_did"), col(vecCol).as("_dv"))
+    probes.join(index, Seq("_bucket"))
+      .select(col("_did").as("delta_id"), col("_id").as("corpus_id"),
+        VectorFunctions.cosine(col("_dv"), col("_v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+
+  /** Incremental embedding dedup tick: drop delta vectors with a
+    * verified corpus match, then near-dedup the remainder within
+    * itself (greedy min-id policy, as [[minhashDedupAgainst]]). */
+  def embeddingDedupAgainst(delta: DataFrame, vecCol: String, idCol: String,
+                            index: DataFrame, dim: Int, planes: Int = 16,
+                            seed: Long = 42L, threshold: Double = 0.95,
+                            maxBucketSize: Int = 2000): DataFrame = {
+    val matched = embeddingAgainstIndex(delta, vecCol, idCol, index, dim, planes, seed, threshold)
+      .select(col("delta_id").as(idCol)).distinct()
+    val rest = delta.join(matched, Seq(idCol), "left_anti")
+    val losers = embeddingNearDup(rest, vecCol, idCol, dim, planes, threshold, maxBucketSize, seed)
+      .select(col("id_b").as(idCol)).distinct()
+    rest.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Index-maintaining incremental EMBEDDING dedup tick — the embedding
+    * analog of [[incrementalMinhash]], same replay-idempotence and the
+    * same CRASH-ORDERING CONTRACT: persist survivors through `sink`
+    * (which runs BEFORE the index learns the batch) with an idempotent
+    * sink; never from the returned DataFrame after the call. Buckets
+    * re-cap per tick only — periodically rebuild via [[embeddingIndex]]
+    * over the full corpus, as with the minhash index. */
+  def incrementalEmbedding(delta: DataFrame, vecCol: String, idCol: String,
+                           conn: graft.sources.Connector, indexTable: String,
+                           dim: Int, planes: Int = 16, seed: Long = 42L,
+                           threshold: Double = 0.95, maxBucketSize: Int = 2000,
+                           sink: DataFrame => Unit = _ => ()): DataFrame = {
+    val empty = !conn.tables.contains(indexTable)
+    val kept =
+      (if (empty) {
+        val losers = embeddingNearDup(delta, vecCol, idCol, dim, planes, threshold, maxBucketSize, seed)
+          .select(col("id_b").as(idCol)).distinct()
+        delta.join(losers, Seq(idCol), "left_anti")
+      } else embeddingDedupAgainst(delta, vecCol, idCol, conn.read(indexTable),
+        dim, planes, seed, threshold, maxBucketSize))
+        .localCheckpoint(true) // sever lineage before the index write below
+    sink(kept) // survivors reach durable storage BEFORE the index append
+    val newRows = embeddingIndex(kept, vecCol, idCol, dim, planes, seed, maxBucketSize)
+    if (empty) conn.write(newRows, indexTable)
+    else conn.write(newRows, indexTable, org.apache.spark.sql.SaveMode.Append)
+    kept
   }
 
   /** Multi-table embedding near-dup — the recall lever

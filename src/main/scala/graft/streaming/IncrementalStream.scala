@@ -210,6 +210,36 @@ object IncrementalStream {
     q
   }
 
+  /** Streaming EMBEDDING near-dup dedup — the vector analog of
+    * [[nearDedupStream]], completing the exact/minhash/embedding
+    * symmetry: each micro-batch hyperplane-buckets its vectors, probes
+    * the persisted bucket index, drops verified cosine matches against
+    * the entire ingested history, near-dedups the remainder, and
+    * appends survivors to destination + index
+    * ([[graft.operators.Dedup.incrementalEmbedding]]). Same
+    * crash-ordering contract as [[nearDedupStream]]: the destination
+    * upsert runs BEFORE the index learns the batch, so at-least-once
+    * replay is safe on either side of the append. */
+  def embeddingDedupStream(src: DataFrame, dst: graft.sources.Connector, table: String,
+                           indexTable: String, vecCol: String, idCol: String,
+                           checkpoint: String, dim: Int, planes: Int = 16,
+                           seed: Long = 42L, threshold: Double = 0.95): StreamingQuery = {
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Dedup.incrementalEmbedding(
+            batch, vecCol, idCol, dst, indexTable, dim, planes, seed, threshold,
+            sink = kept => if (!kept.isEmpty) dst.upsert(kept, table, idCol))
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** The incremental-pipe-as-stream: append new rows of `src` into a
     * parquet sink with exactly-once file-sink semantics — the streaming
     * upgrade of `Patterns.incrementalPipe` (checkpoint = watermark). */

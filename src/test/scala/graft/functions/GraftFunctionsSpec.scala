@@ -82,6 +82,11 @@ class GraftFunctionsSpec extends SparkSpec {
           org.apache.spark.sql.catalyst.expressions.Literal(1L),
           org.apache.spark.sql.catalyst.expressions.Literal(2L),
           org.apache.spark.sql.catalyst.expressions.Literal(3))
+        case "hyperplane_bucket" => Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(1.0f),
+            ArrayType(FloatType)),
+          org.apache.spark.sql.catalyst.expressions.Literal(1),
+          org.apache.spark.sql.catalyst.expressions.Literal(4))
         case _ => // every other registered function takes a single text arg
           Seq(org.apache.spark.sql.catalyst.expressions.Literal("x"))
       }
@@ -133,18 +138,24 @@ class GraftFunctionsSpec extends SparkSpec {
     d.createOrReplaceTempView("gf_vec")
     val viaSql = spark.sql(
       """SELECT id, vec_dot(a, b) AS dt, vec_cosine(a, b) AS cs,
-        |       vec_dequantize(vec_quantize(a)) AS dq
+        |       vec_dequantize(vec_quantize(a)) AS dq,
+        |       hyperplane_bucket(a, 16, 8) AS hb,
+        |       hyperplane_bucket(a, 16, 8, 7) AS hb7
         |FROM gf_vec ORDER BY id""".stripMargin).collect()
     val viaCols = d.select(col("id"),
         graft.functions.VectorFunctions.dot(col("a"), col("b")).as("dt"),
         graft.functions.VectorFunctions.cosine(col("a"), col("b")).as("cs"),
         graft.functions.VectorFunctions.dequantize(
-          graft.functions.VectorFunctions.quantize(col("a"))).as("dq"))
+          graft.functions.VectorFunctions.quantize(col("a"))).as("dq"),
+        graft.functions.VectorFunctions.hyperplaneBucket(col("a"), 16, 8).as("hb"),
+        graft.functions.VectorFunctions.hyperplaneBucket(col("a"), 16, 8, 7L).as("hb7"))
       .orderBy("id").collect()
     viaSql.zip(viaCols).foreach { case (s, c) =>
       assert(s.getDouble(1) == c.getDouble(1), s"dot diverged for id ${s.getLong(0)}")
       assert(s.getDouble(2) == c.getDouble(2), s"cosine diverged for id ${s.getLong(0)}")
       assert(s.getSeq[Float](3) == c.getSeq[Float](3), s"dequantize diverged for id ${s.getLong(0)}")
+      assert(s.getLong(4) == c.getLong(4), s"bucket diverged for id ${s.getLong(0)}")
+      assert(s.getLong(5) == c.getLong(5), s"seeded bucket diverged for id ${s.getLong(0)}")
     }
     assert(viaSql.last.getDouble(2) == 0.0, "zero-norm guard must yield 0.0")
   }

@@ -435,6 +435,74 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(11L), kept.toString)
   }
 
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("v", ArrayType(FloatType))))
+
+  private def randVec(rnd: scala.util.Random, dim: Int = 16): Seq[Float] =
+    Seq.fill(dim)(rnd.nextFloat() * 2 - 1)
+
+  test("incrementalEmbedding: ticks dedup against the persisted index; replay is a no-op") {
+    val conn = new graft.sources.ParquetConnector(spark, tmpDir("graft_embidx_"))
+    val rnd = new scala.util.Random(31)
+    val v1 = randVec(rnd); val v2 = randVec(rnd)
+    val t1 = df(embSchema, Seq(Row(1L, v1), Row(2L, v2)))
+    assert(Dedup.incrementalEmbedding(t1, "v", "vec_id", conn, "emb_idx",
+      dim = 16, planes = 8, threshold = 0.999).count() == 2)
+    val v3 = randVec(rnd); val v4 = randVec(rnd)
+    val t2 = df(embSchema, Seq(
+      Row(10L, v1.map(x => x * 1.001f)),    // corpus near-dup (same bucket, cos ~1)
+      Row(11L, v3), Row(12L, v3.map(x => x * 1.001f)), // internal pair -> keep 11
+      Row(13L, v4)))
+    val kept2 = Dedup.incrementalEmbedding(t2, "v", "vec_id", conn, "emb_idx",
+        dim = 16, planes = 8, threshold = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(11L, 13L), kept2.toString)
+    // replay: every vector matches its own (or its winner's) indexed copy
+    assert(Dedup.incrementalEmbedding(t2, "v", "vec_id", conn, "emb_idx",
+      dim = 16, planes = 8, threshold = 0.999).count() == 0)
+    assert(conn.read("emb_idx").select("_id").distinct().count() == 4)
+  }
+
+  test("incrementalEmbedding runs the sink BEFORE the index learns the batch (crash ordering)") {
+    val conn = new graft.sources.ParquetConnector(spark, tmpDir("graft_embord_"))
+    val rnd = new scala.util.Random(32)
+    var indexedIdsAtSink: Option[Set[Long]] = None
+    def indexedIds(): Set[Long] =
+      if (!conn.tables.contains("emb_idx")) Set.empty
+      else conn.read("emb_idx").select("_id").distinct().collect().map(_.getLong(0)).toSet
+    Dedup.incrementalEmbedding(df(embSchema, Seq(Row(1L, randVec(rnd)))),
+      "v", "vec_id", conn, "emb_idx", dim = 16, planes = 8,
+      sink = _ => indexedIdsAtSink = Some(indexedIds()))
+    assert(indexedIdsAtSink == Some(Set.empty),
+      "sink must observe the index WITHOUT the current batch")
+    Dedup.incrementalEmbedding(df(embSchema, Seq(Row(2L, randVec(rnd)))),
+      "v", "vec_id", conn, "emb_idx", dim = 16, planes = 8,
+      sink = _ => indexedIdsAtSink = Some(indexedIds()))
+    assert(indexedIdsAtSink == Some(Set(1L)), "tick 2's sink sees only tick 1's index")
+  }
+
+  test("embeddingAgainstIndex == cross pairs of the batch candidates (same bucketing)") {
+    val rnd = new scala.util.Random(33)
+    val corpusVecs = (1L to 6L).map(i => i -> randVec(rnd))
+    val corpus = df(embSchema, corpusVecs.map { case (i, v) => Row(i, v) })
+    val delta = df(embSchema, Seq(
+      Row(101L, corpusVecs(2)._2.map(x => x * 1.001f)), // near-dup of corpus 3
+      Row(102L, randVec(rnd))))
+    val idx = Dedup.embeddingIndex(corpus, "v", "vec_id", dim = 16, planes = 8)
+    val incr = Dedup.embeddingAgainstIndex(delta, "v", "vec_id", idx,
+        dim = 16, planes = 8, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // reference: batch pairing over the UNION restricted to cross pairs —
+    // bucket keys and the (symmetric, fold-exact) cosine must be identical
+    val batch = Dedup.embeddingNearDup(corpus.union(delta), "v", "vec_id",
+        dim = 16, planes = 8, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a <= 6 && b >= 100 }
+      .map { case (a, b, c) => (b, a, c) }.toSet
+    assert(incr == batch, s"incr=$incr batch=$batch")
+    assert(incr.exists { case (d, c, _) => d == 101L && c == 3L })
+  }
+
   test("lineDedup: corpus-wide first occurrence wins; all-boilerplate docs vanish") {
     val d = df(docSchema, Seq(
       Row(1L, "BOILER\nunique one\nBOILER"),       // within-doc dup of BOILER too

@@ -112,6 +112,35 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(dst.read("docs").count() == 3)
   }
 
+  test("embeddingDedupStream drops vector near-dups against the FULL history (index-backed)") {
+    val srcDir = tmpDir("graft_emb_src_")
+    val ckpt = tmpDir("graft_emb_ck_")
+    val dst = new graft.sources.ParquetConnector(spark, tmpDir("graft_emb_dst_"))
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("v", ArrayType(FloatType))))
+    val rnd = new scala.util.Random(41)
+    def vec(): Seq[Float] = Seq.fill(16)(rnd.nextFloat() * 2 - 1)
+    val v1 = vec(); val v2 = vec()
+    df(embSchema, Seq(Row(1L, v1), Row(2L, v2))).write.mode("append").parquet(srcDir)
+    def run(): Unit = IncrementalStream.embeddingDedupStream(
+      IncrementalStream.readStream(spark, srcDir, embSchema), dst, "vectors",
+      "vec_idx", "v", "vec_id", ckpt, dim = 16, planes = 8, threshold = 0.999)
+    run()
+    assert(dst.read("vectors").count() == 2)
+    // wave 2: a scaled copy of wave-1's v1 must be caught via the
+    // persisted bucket index (no stream state could span the gap)
+    df(embSchema, Seq(
+      Row(10L, v1.map(x => x * 1.001f)),
+      Row(11L, vec())))
+      .write.mode("append").parquet(srcDir)
+    run()
+    val ids = dst.read("vectors").select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 11L), ids.toString)
+    // checkpointed: a run with no new input changes nothing
+    run()
+    assert(dst.read("vectors").count() == 3)
+  }
+
   test("intervalJoinStream attributes conversions inside the horizon, both streams unbounded") {
     val impDir = tmpDir("graft_ssj_imp_")
     val convDir = tmpDir("graft_ssj_conv_")
