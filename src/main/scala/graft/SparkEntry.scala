@@ -143,8 +143,15 @@ object SparkEntry {
     }),
 
     "q_running_sum" -> ((s, dir) => {
+      // l_quantity is the FINAL tiebreaker: (orderkey, linenumber) is
+      // not unique in the synthetic lineitem and full (shipdate,
+      // orderkey, linenumber) ties exist at sf0.1 — without it the
+      // running sum's intermediate values are legally order-dependent
+      // and engines (or two runs of one engine) can disagree. With it,
+      // remaining ties are identical rows, whose order cannot change
+      // any prefix sum.
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       T(s, dir, "lineitem")
         .withColumn("running_qty", sum(col("l_quantity")).over(w))
@@ -1014,7 +1021,7 @@ object SparkEntry {
     "q_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |       SUM(l_quantity) OVER (PARTITION BY l_suppkey
-        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 

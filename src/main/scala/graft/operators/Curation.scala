@@ -29,49 +29,71 @@ object Curation {
     * stratum is most of the corpus, so the funnel is a hard
     * scale-killer, not ordinary skew (VERDICT r9 #2). Shape instead:
     *
-    *  1. range-repartition on (strata…, orderCol) — each stratum spans
-    *     MANY bounded partitions, in order;
-    *  2. per-(stratum, range-partition) totals: a tiny frame (≤
-    *     partitions + strata rows), so its prefix window is over
-    *     metadata, not data;
-    *  3. every row's prefix = its partition's per-stratum offset + a
-    *     LOCAL exclusive running sum over (stratum, partition-id) —
-    *     each window bucket is a slice of one range partition, bounded
-    *     by partition size regardless of stratum size.
+    *  1. bin rows by `orderCol` VALUE: bin = clamp(⌊(v − lo)/w⌋) with
+    *     (lo, hi) collected once driver-side (two scalars off a
+    *     column-pruned scan) and w = (hi−lo)/bins — a PURE literal
+    *     expression, so every evaluation of the plan bins identically.
+    *     (A first cut used `repartitionByRange` + `spark_partition_id`
+    *     here; that is unsound — the range exchange SAMPLES its bounds
+    *     with a seed derived from the runtime RDD id, so the offsets
+    *     subtree and the data subtree can disagree on partition
+    *     labels whenever the exchange isn't physically reused, which
+    *     mis-shifted cutoffs at sf0.1. Value binning has one source of
+    *     truth.);
+    *  2. per-(stratum, bin) totals: a tiny frame (≤ bins × strata
+    *     rows), so its prefix window is over metadata, not data;
+    *  3. every row's prefix = its bin's per-stratum offset (broadcast
+    *     joined) + a LOCAL exclusive running sum over (stratum, bin) —
+    *     each window bucket holds one bin of one stratum, ~n/bins rows.
     *
-    * Costs one extra exchange versus the funnel form (range + the local
-    * window's hash), both balanced — the trade that keeps the biggest
-    * stratum off a single task. Exactness/determinism contract:
-    * `orderCol` must be UNIQUE within each stratum (ids, fingerprints);
-    * with ties the split of a tied run across range partitions — and
-    * therefore which tied row lands under a cutoff — is
-    * partitioning-dependent, run-to-run and engine-vs-oracle. */
+    * Contracts: `orderCol` must be NUMERIC, roughly uniformly
+    * distributed (ids, fingerprints — already the samplers' bias
+    * contract; a value-clustered column would imbalance bins), and
+    * UNIQUE within each stratum (with ties, which tied row lands under
+    * a cutoff is engine/partitioning-dependent). Null `orderCol` rows
+    * sort first (bin 0), matching the window formulation. */
   private def withStrataPrefix(df: DataFrame, strataCols: Seq[String], orderCol: String,
                                weight: Column, prefixCol: String,
                                totalCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
+    require(df.schema(orderCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$orderCol must be numeric (an id or fingerprint), got ${df.schema(orderCol).dataType}")
     val parts = math.max(spark.sparkContext.defaultParallelism,
       scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(32))
+    val oc = col(orderCol).cast("double")
+    val mm = df.agg(min(oc), max(oc)).head()
+    val outCols = df.columns.map(col).toIndexedSeq :+ col(prefixCol)
+    if (mm.isNullAt(0)) { // empty input / all-null orderCol: rank everything 0
+      val base = df.withColumn(prefixCol, lit(0L))
+      return totalCol.fold(base)(t => base.withColumn(t, lit(0L)))
+        .select(outCols ++ totalCol.map(col): _*)
+    }
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val bins = parts * 4 // finer than the shuffle width: a bin is the unit of window locality
+    val w = (hi - lo) / bins
+    val bin =
+      if (w == 0) lit(0)
+      else coalesce(
+        least(greatest(floor((oc - lit(lo)) / lit(w)), lit(0.0)), lit(bins.toDouble)),
+        lit(0.0)).cast("int")
+    val binned = df.withColumn("_gbin", bin)
     val strata = strataCols.map(col)
-    val ranged = df.repartitionByRange(parts, strata :+ col(orderCol): _*)
-      .withColumn("_gpid", spark_partition_id())
-    val perPart = ranged.groupBy(strata :+ col("_gpid"): _*)
+    val perBin = binned.groupBy(strata :+ col("_gbin"): _*)
       .agg(sum(weight).as("_pw"))
-    val offsets = perPart.withColumn("_off",
+    val offsets = perBin.withColumn("_off",
         coalesce(sum(col("_pw")).over(
-          Window.partitionBy(strata: _*).orderBy(col("_gpid"))
+          Window.partitionBy(strata: _*).orderBy(col("_gbin"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     val withTotal = totalCol match {
       case Some(t) => offsets.withColumn(t,
         sum(col("_pw")).over(Window.partitionBy(strata: _*)))
       case None => offsets
     }
-    val localW = Window.partitionBy(strata :+ col("_gpid"): _*)
+    val localW = Window.partitionBy(strata :+ col("_gbin"): _*)
       .orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, -1)
     // re-select in the input's column order: the USING join floats its
     // keys to the front, and samplers promise schema-preserving output
-    val outCols = df.columns.map(col).toIndexedSeq :+ col(prefixCol)
-    ranged.join(broadcast(withTotal.drop("_pw")), strataCols :+ "_gpid")
+    binned.join(broadcast(withTotal.drop("_pw")), strataCols :+ "_gbin")
       .withColumn(prefixCol, col("_off") + coalesce(sum(weight).over(localW), lit(0L)))
       .select(outCols ++ totalCol.map(col): _*)
   }

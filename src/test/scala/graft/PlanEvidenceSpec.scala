@@ -146,14 +146,14 @@ class PlanEvidenceSpec extends SparkSpec {
     }
   }
 
-  test("deterministic samplers: no per-stratum window funnel (range-partitioned prefix)") {
+  test("deterministic samplers: no per-stratum window funnel (value-binned prefix)") {
     // VERDICT r9 #2: row_number()/sum() OVER (PARTITION BY stratum ORDER
     // BY orderCol) funnels each stratum into ONE task's sort — at 100 TB
     // the `en` stratum is most of the corpus. The de-funneled shape must
-    // show (a) a RangePartitioning spread of (stratum, orderCol) and
+    // show (a) the _gbin value-binning column keying the data windows and
     // (b) no window partitioned by the stratum alone that orders by the
-    // order column (the local prefix windows also key on _gpid; the
-    // offsets window orders by _gpid and runs over a metadata-sized frame).
+    // order column (the offsets window orders by _gbin and runs over a
+    // metadata-sized frame).
     val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
     val w = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25)
     val plans = Seq(
@@ -163,8 +163,8 @@ class PlanEvidenceSpec extends SparkSpec {
     val funnel = raw"windowspecdefinition\(lang#\d+, doc_id#\d+ ASC".r
     plans.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
-      assert(plan.toLowerCase.contains("rangepartitioning"),
-        s"$name must range-spread (stratum, orderCol):\n$plan")
+      assert(plan.contains("_gbin"),
+        s"$name must bin (stratum, orderCol) by value:\n$plan")
       assert(funnel.findFirstIn(plan).isEmpty,
         s"$name still has a per-stratum funnel window:\n$plan")
     }
