@@ -217,6 +217,36 @@ object Curation {
       .drop("_cb", "_b")
   }
 
+  /** Temperature-scaled corpus mixing — the multilingual-pretraining
+    * rebalance (the XLM-R/mT5 recipe): mix weights pₛ ∝ Wₛ^α over the
+    * strata's AVAILABLE weights Wₛ = Σ `weightCol`, α ∈ (0, 1].
+    * α = 1 reproduces the natural distribution (no rebalance); α → 0
+    * approaches uniform; published multilingual runs use α ≈ 0.2–0.7 to
+    * up-sample low-resource strata without flattening entirely. The
+    * derived weights feed [[mixByWeight]]'s bottleneck-budget take, so
+    * all of its contracts (unique numeric `orderCol`, integral
+    * `weightCol`, straddler-included cuts) apply. Strata are taken from
+    * the DATA (every non-null stratum participates).
+    *
+    * Not SQL-oracled: the α-power and normalization arithmetic runs
+    * driver-side in doubles whose replay in another engine is
+    * ulp-knife-edged (Σ over unordered map iteration, non-correctly-
+    * rounded pow) — properties are spec-pinned instead (α=1 ≡
+    * proportional; smaller α lifts the smallest stratum's share). */
+  def mixByTemperature(df: DataFrame, strataCol: String, weightCol: String,
+                       orderCol: String, alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    // per-stratum available weight: bounded by the number of strata
+    val avail = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol))
+      .agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)).as("_w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .filter(_._2 > 0)
+    require(avail.nonEmpty, s"no stratum in $strataCol carries positive $weightCol weight")
+    val weights = avail.map { case (k, w) => k -> math.pow(w.toDouble, alpha) }.toMap
+    mixByWeight(df, strataCol, weights, weightCol, orderCol)
+  }
+
   /** Sequence packing by contiguous budget chunking: order each group by
     * `orderCol`, run a cumulative sum of `weightCol`, and assign row r to
     * bin `floor(cumBefore(r) / budget)`. Every bin holds ~`budget` weight

@@ -64,6 +64,37 @@ class CurationSpec extends SparkSpec {
       Map("en" -> 0.5, "ja" -> 0.5), "w", "doc_id").count() == 0)
   }
 
+  test("mixByTemperature: alpha=1 is the natural mix; smaller alpha lifts small strata") {
+    // synthetic: en dominates (100 docs x 100 chars), fr tiny (10 x 100)
+    val rows = (1L to 100L).map(i => Row(i, "en", 100L)) ++
+      (201L to 210L).map(i => Row(i, "fr", 100L))
+    val d = df(schema, rows)
+    def share(out: org.apache.spark.sql.DataFrame): Double = {
+      val byLang = out.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      byLang.getOrElse("fr", 0L).toDouble / math.max(out.count(), 1L)
+    }
+    // alpha = 1: proportional to availability — bottleneck math keeps
+    // everything (weights == availables), fr share == natural 10/110
+    val natural = Curation.mixByTemperature(d, "lang", "w", "doc_id", alpha = 1.0)
+    assert(natural.count() == 110, "alpha=1 must keep the full corpus")
+    assert(math.abs(share(natural) - 10.0 / 110) < 1e-9)
+    // alpha = 0.3: fr is up-weighted relative to en, so en (the
+    // bottleneck-capped giant) is cut while fr keeps everything
+    val warm = Curation.mixByTemperature(d, "lang", "w", "doc_id", alpha = 0.3)
+    assert(share(warm) > 10.0 / 110, s"fr share must rise: ${share(warm)}")
+    val frKept = warm.filter(col("lang") === "fr").count()
+    assert(frKept == 10, s"the small stratum keeps all docs, got $frKept")
+    assert(warm.filter(col("lang") === "en").count() < 100,
+      "the dominant stratum must be down-sampled")
+    // determinism: same input, same output
+    assert(Curation.mixByTemperature(d, "lang", "w", "doc_id", alpha = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      warm.select("doc_id").collect().map(_.getLong(0)).toSet)
+    intercept[IllegalArgumentException](
+      Curation.mixByTemperature(d, "lang", "w", "doc_id", alpha = 0.0))
+  }
+
   test("capPerGroup keeps the lowest maxN ids per group, full rows, no window") {
     val out = Curation.capPerGroup(docs, Seq("lang"), "doc_id", maxN = 3)
     val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
