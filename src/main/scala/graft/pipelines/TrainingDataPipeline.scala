@@ -15,7 +15,8 @@ import graft.sources.ParquetConnector
   *   scrub (PII redaction + Gopher repetition filter) →
   *   dedup (exact, then MinHash near-dup) →
   *   decontaminate (benchmark n-gram overlap, when a benchmark is
-  *   given) → report
+  *   given) → mix (temperature-scaled language rebalance) → split →
+  *   pack (context-length chunking + token-budget bins) → report
   *
   * Every stage writes a parquet table into `work`, so each is
   * independently inspectable and the plan is resumable per step. At
@@ -27,10 +28,12 @@ object TrainingDataPipeline {
 
   /** Per-stage row counts, exposed for the report step and tests.
     * `finalKept` = the decontaminated count when that stage ran, else
-    * the near-unique count. */
+    * the near-unique count; `mixed` = rows surviving the temperature
+    * rebalance; `packedChunks` = context-length chunks written by the
+    * pack stage. */
   case class Funnel(ingested: Long, profiled: Long, kept: Long,
                     scrubbed: Long, exactUnique: Long, nearUnique: Long,
-                    finalKept: Long)
+                    finalKept: Long, mixed: Long, packedChunks: Long)
 
   /** Wire the pipeline steps onto `plan`. `src` must contain
     * `documents.parquet`; outputs land in `work`. */
@@ -38,7 +41,10 @@ object TrainingDataPipeline {
             minQuality: Double = 0.3, langs: Seq[String] = Seq("en", "de", "fr", "es"),
             minhashThreshold: Double = 0.7,
             benchDir: Option[String] = None,
-            maxContamination: Double = 0.05): Plan = {
+            maxContamination: Double = 0.05,
+            mixAlpha: Double = 0.3,
+            chunkTokens: Int = 128, chunkOverlap: Int = 16,
+            packBudget: Long = 2048L): Plan = {
     val spark = plan.spark
     val src = new ParquetConnector(spark, srcDir)
     val work = new ParquetConnector(spark, workDir)
@@ -99,13 +105,35 @@ object TrainingDataPipeline {
       }
     }
 
-    plan.step("split") {
-      // deterministic, membership-stable train/val/test assignment over
-      // whatever survived the funnel — row-local, no shuffle. Source is
+    plan.step("mix") {
+      // temperature-scaled language rebalance over the survivors — the
+      // corpus-composition step between curation and split. Source is
       // chosen by CONFIG, not table existence: a workDir reused from an
       // earlier benchmarked run must not feed a stale docs_final in
       val src = if (benchDir.isDefined) "docs_final" else "docs_unique"
-      work.write(Curation.assignSplits(work.read(src), "doc_id"), "docs_split")
+      work.write(Curation.mixByTemperature(work.read(src),
+        "lang_pred", "n_tokens", "doc_id", alpha = mixAlpha), "docs_mixed")
+    }
+
+    plan.step("split") {
+      // deterministic, membership-stable train/val/test assignment over
+      // the mixed corpus — row-local, no shuffle
+      work.write(Curation.assignSplits(work.read("docs_mixed"), "doc_id"), "docs_split")
+    }
+
+    plan.step("pack") {
+      // context-length chunking (row-local explode) then token-budget
+      // bin assignment per (split, language) — the window shards by
+      // BOTH so no single sort task sees a whole split (the
+      // packSequences contract)
+      val split = work.read("docs_split")
+      val chunks = Curation.chunkDocuments(split, "text", "doc_id",
+        chunkTokens = chunkTokens, overlap = chunkOverlap)
+      val keyed = chunks
+        .join(split.select(col("doc_id"), col("lang_pred"), col("split")), Seq("doc_id"))
+        .withColumn("_ord", col("doc_id") * 100000L + col("chunk_idx"))
+      work.write(Curation.packSequences(keyed, "n_tokens", packBudget,
+        Seq("split", "lang_pred"), "_ord").drop("_ord"), "docs_packed")
     }
 
     plan.step("report") {
@@ -118,11 +146,14 @@ object TrainingDataPipeline {
           |  scrubbed:      {{scrubbed}}
           |  exact-unique:  {{exact}}
           |  near-unique:   {{near}}
-          |  final:         {{final}}""".stripMargin,
+          |  final:         {{final}}
+          |  mixed:         {{mixed}}
+          |  packed chunks: {{packed}}""".stripMargin,
         Map("ingested" -> f.ingested.toString, "profiled" -> f.profiled.toString,
           "kept" -> f.kept.toString, "scrubbed" -> f.scrubbed.toString,
           "exact" -> f.exactUnique.toString,
-          "near" -> f.nearUnique.toString, "final" -> f.finalKept.toString))
+          "near" -> f.nearUnique.toString, "final" -> f.finalKept.toString,
+          "mixed" -> f.mixed.toString, "packed" -> f.packedChunks.toString))
       body.split("\n").foreach(plan.logger.info)
     }
     plan
@@ -141,11 +172,13 @@ object TrainingDataPipeline {
     }
   }
 
-  /** Stage counts (cheap: parquet count() uses footer row counts). */
+  /** Stage counts (cheap: parquet count() uses footer row counts).
+    * Stages that have not run yet report 0 for their counts. */
   def funnel(plan: Plan, srcDir: String, workDir: String,
              useFinal: Option[Boolean] = None): Funnel = {
     val src = new ParquetConnector(plan.spark, srcDir)
     val work = new ParquetConnector(plan.spark, workDir)
+    def countIf(t: String): Long = if (work.tables.contains(t)) work.count(t) else 0L
     val near = work.count("docs_unique")
     Funnel(
       ingested = src.count("documents"),
@@ -157,6 +190,8 @@ object TrainingDataPipeline {
       finalKept =
         if (useFinal.getOrElse(work.tables.contains("docs_final")))
           work.count("docs_final")
-        else near)
+        else near,
+      mixed = countIf("docs_mixed"),
+      packedChunks = countIf("docs_packed"))
   }
 }

@@ -79,6 +79,10 @@ class DedupSpec extends SparkSpec {
     val uncapped = Dedup.ngramJaccardPairs(d, "text", "doc_id", col("blk"),
       n = 1, threshold = 0.5, maxBlockSize = 0)
     assert(uncapped.count() == 30L * 29 / 2 + 1)
+    // the audit companion reports exactly what the cap would drop
+    val audit = Dedup.oversizedBlocks(d, col("blk"), maxBlockSize = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(audit.toSeq == Seq((1L, 30L)), audit.mkString(","))
   }
 
   test("shingles: n-grams of normalized tokens; short docs yield empty array") {

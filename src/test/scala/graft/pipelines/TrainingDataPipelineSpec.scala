@@ -12,7 +12,7 @@ class TrainingDataPipelineSpec extends SparkSpec {
 
   private val src = "/root/testdata/sf0.001"
 
-  test("end-to-end: profile -> filter -> scrub -> dedup -> report on the documents table") {
+  test("end-to-end: profile -> filter -> scrub -> dedup -> mix -> split -> pack -> report") {
     val work = tmpDir("graft_pipe_work_")
     val plan = new Plan(spark, PlanConfig(pidDir = tmpDir("graft_pid_")))
     TrainingDataPipeline.build(plan, src, work, minQuality = 0.2)
@@ -27,15 +27,23 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(f.exactUnique <= f.scrubbed)
     assert(f.nearUnique <= f.exactUnique)
     assert(f.finalKept == f.nearUnique, "no benchmark -> final == near-unique")
-    // the split stage covers every survivor, train dominating
+    assert(f.mixed > 0 && f.mixed <= f.finalKept, "mix keeps a non-empty subset")
+    // the split stage covers every MIXED survivor, train dominating
     val workConn = new graft.sources.ParquetConnector(spark, work)
     val bySplit = workConn.read("docs_split").groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(bySplit.values.sum == f.finalKept)
+    assert(bySplit.values.sum == f.mixed)
     assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("val", 0L))
+    // the pack stage chunks every split doc (>= one chunk per non-blank
+    // doc) and bins carry dense ids per (split, lang)
+    assert(f.packedChunks >= f.mixed, "each doc yields at least one chunk")
+    val packed = workConn.read("docs_packed")
+    assert(packed.columns.contains("bin") && packed.columns.contains("chunk_text"))
+    assert(packed.filter(col("bin") < 0).count() == 0)
     // the report rendered through the plan logger
     assert(plan.logger.messages.exists(_.contains("training-data funnel")))
     assert(plan.logger.messages.exists(_.contains(s"near-unique:   ${f.nearUnique}")))
+    assert(plan.logger.messages.exists(_.contains(s"packed chunks: ${f.packedChunks}")))
   }
 
   test("near-dup stage drops a planted mutation; step selection reruns one stage") {
