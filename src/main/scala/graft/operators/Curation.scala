@@ -303,6 +303,27 @@ object Curation {
       .agg(ColumnBridge.column(agg.toAggregateExpression()).as("sample_ids"))
   }
 
+  /** SEEDED uniform per-group sample of `k` ids — the randomized
+    * counterpart of [[sampleGroups]] (whose Knuth-hash priority is fixed
+    * so engines can replay it): priority = xxhash64(seed, id), so
+    * different seeds draw independent samples — the reservoir-sampling
+    * use case (bootstrap resamples, refresh draws) — while one seed
+    * stays fully deterministic. Same mergeable bottom-k heap scale
+    * shape: k entries per map task cross the exchange, no group is ever
+    * sorted or gathered. */
+  def sampleGroupsSeeded(df: DataFrame, groupCols: Seq[String], idCol: String,
+                         k: Int, seed: Long): DataFrame = {
+    require(groupCols.nonEmpty, "sampleGroupsSeeded needs at least one group column")
+    requireIntegralId(df, idCol)
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val id = col(idCol).cast("long")
+    val agg = graft.functions.BottomKAgg(
+      ColumnBridge.expression(xxhash64(lit(seed), id)),
+      ColumnBridge.expression(id), k)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(ColumnBridge.column(agg.toAggregateExpression()).as("sample_ids"))
+  }
+
   /** Deterministic train/validation/test split assignment: each row's
     * id hashes (same engine-replicable Knuth hash and id contract as
     * [[sampleGroups]]) into one of `buckets` buckets; splits own

@@ -167,6 +167,8 @@ class PlanEvidenceSpec extends SparkSpec {
         s"$name must bin (stratum, orderCol) by value:\n$plan")
       assert(funnel.findFirstIn(plan).isEmpty,
         s"$name still has a per-stratum funnel window:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name's metadata-sized offsets frame must broadcast, not shuffle the data:\n$plan")
     }
   }
 

@@ -95,6 +95,20 @@ class CurationSpec extends SparkSpec {
       Curation.mixByTemperature(d, "lang", "w", "doc_id", alpha = 0.0))
   }
 
+  test("sampleGroupsSeeded: deterministic per seed, different across seeds, k-bounded") {
+    val rows = (1L to 200L).map(i => Row(i, if (i <= 150) "en" else "de", 1L))
+    val d = df(schema, rows)
+    def draw(seed: Long): Map[String, Seq[Long]] =
+      Curation.sampleGroupsSeeded(d, Seq("lang"), "doc_id", k = 10, seed)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val a = draw(1L); val b = draw(1L); val c = draw(2L)
+    assert(a == b, "same seed must reproduce the draw")
+    assert(a("en") != c("en"), "different seeds must draw differently")
+    assert(a.values.forall(_.size == 10) && a("en").distinct.size == 10)
+    // a sample is a subset of the group
+    assert(a("en").forall(_ <= 150) && a("de").forall(_ > 150))
+  }
+
   test("capPerGroup keeps the lowest maxN ids per group, full rows, no window") {
     val out = Curation.capPerGroup(docs, Seq("lang"), "doc_id", maxN = 3)
     val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
