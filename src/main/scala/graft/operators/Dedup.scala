@@ -303,7 +303,17 @@ object Dedup {
     * exact signature agreement. Cost: O(delta × bands) probe rows
     * against an index equi-join — the corpus is touched only through
     * its sketch index. Returns (deltaIdCol, corpusIdCol, est_jaccard)
-    * distinct pairs at `threshold`. */
+    * distinct pairs at `threshold`.
+    *
+    * Join-strategy trade at 100 TB: for a typical daily tick the probe
+    * side (delta × bands) is far under the broadcast threshold and
+    * AQE's runtime size estimate broadcasts it — the index is then
+    * scanned in place, never shuffled. For a BULK delta that exceeds
+    * broadcast size, the fallback shuffle join moves the sketch index
+    * once (index bytes ≈ 1-2% of corpus bytes — bounded, and the reason
+    * the index stores sketches, not text). No explicit broadcast() hint
+    * on purpose: forcing it would OOM exactly on the bulk case the
+    * fallback exists for. */
   def minhashAgainstIndex(delta: DataFrame, textCol: String, idCol: String,
                           index: DataFrame, numHashes: Int = 64, bands: Int = 16,
                           shingleLen: Int = 3, threshold: Double = 0.7): DataFrame = {
@@ -613,7 +623,11 @@ object Dedup {
     * already-indexed corpus ([[embeddingIndex]], same parameters) —
     * equi-join on the bucket key, verify cosine. O(delta) probe rows;
     * the corpus is touched only through its index. Returns
-    * (delta_id, corpus_id, cosine) distinct pairs at `threshold`. */
+    * (delta_id, corpus_id, cosine) distinct pairs at `threshold`.
+    * Same join-strategy trade as [[minhashAgainstIndex]]: small ticks
+    * broadcast the probe side via AQE; bulk deltas fall back to one
+    * shuffle of the index (vector-sized here — quantize upstream when
+    * that matters). */
   def embeddingAgainstIndex(delta: DataFrame, vecCol: String, idCol: String,
                             index: DataFrame, dim: Int, planes: Int = 16,
                             seed: Long = 42L, threshold: Double = 0.95): DataFrame = {

@@ -123,17 +123,22 @@ object TrainingDataPipeline {
 
     plan.step("pack") {
       // context-length chunking (row-local explode) then token-budget
-      // bin assignment per (split, language) — the window shards by
-      // BOTH so no single sort task sees a whole split (the
-      // packSequences contract)
+      // bin assignment per (split, language, hash shard). The shard key
+      // is mandatory at scale: (train, en) is most of any real corpus,
+      // and packSequences' per-group window would funnel it into one
+      // sort task — a doc_id hash shard bounds every window bucket at
+      // ~1/64 of a language (raise the modulus with corpus size). Bin
+      // ids are dense PER (split, lang, shard) — pack_shard is part of
+      // the bin's identity and rides along in the output.
       val split = work.read("docs_split")
       val chunks = Curation.chunkDocuments(split, "text", "doc_id",
         chunkTokens = chunkTokens, overlap = chunkOverlap)
       val keyed = chunks
         .join(split.select(col("doc_id"), col("lang_pred"), col("split")), Seq("doc_id"))
+        .withColumn("pack_shard", pmod(col("doc_id"), lit(64)))
         .withColumn("_ord", col("doc_id") * 100000L + col("chunk_idx"))
       work.write(Curation.packSequences(keyed, "n_tokens", packBudget,
-        Seq("split", "lang_pred"), "_ord").drop("_ord"), "docs_packed")
+        Seq("split", "lang_pred", "pack_shard"), "_ord").drop("_ord"), "docs_packed")
     }
 
     plan.step("report") {
