@@ -789,6 +789,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_contamination_attr" -> ((s, dir) => {
+      // reverse attribution over the SAME fixture as q_contamination:
+      // per benchmark item, how many of its 5-grams leak and how many
+      // distinct corpus docs carry them (the blast radius)
+      val docs = T(s, dir, "documents")
+      val canary = " the quick brown fox jumps over the lazy dog"
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("bench_id"),
+          when(col("doc_id") % 100 === 0, concat(col("text"), lit(canary)))
+            .otherwise(col("text")).as("text"))
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(canary)))
+            .otherwise(col("text")).as("text"))
+      operators.Curation.contaminationAttribution(corpus, bench, "text",
+          "doc_id", "bench_id", n = 5)
+        .orderBy(col("bench_id"))
+    }),
+
     "q_pii_scrub" -> ((s, dir) => {
       // documents carry no real PII, so inject deterministic synthetic
       // PII per row, then prove the rule chain strips it; counts are
@@ -1483,6 +1502,47 @@ object SparkEntry {
         |            ELSE ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / c.n_ngrams, 6) END AS contamination_frac
         |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
         |ORDER BY c.doc_id""".stripMargin,
+
+    // Reverse attribution replay: Spark joins on 64-bit gram hashes, the
+    // oracle on the gram STRINGS the hashes identify — identical modulo
+    // ~n²/2⁶⁴ collision odds (the q_contamination trade).
+    "q_contamination_attr" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 20 = 0 AND doc_id % 100 = 0
+        |                THEN text || ' the quick brown fox jumps over the lazy dog'
+        |              WHEN doc_id % 20 <> 0 AND doc_id % 7 = 0
+        |                THEN text || ' the quick brown fox jumps over the lazy dog'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |norm AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |                     x -> len(x) > 0) AS w
+        |  FROM src),
+        |grams AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(w) >= 5
+        |              THEN list_distinct(list_transform(range(1, len(w) - 3),
+        |                                                i -> array_to_string(w[i:i+4], ' ')))
+        |              ELSE [] END AS gs
+        |  FROM norm),
+        |bench AS (SELECT doc_id AS bench_id, gs FROM grams WHERE doc_id % 20 = 0),
+        |corpus AS (SELECT doc_id, gs FROM grams WHERE doc_id % 20 <> 0),
+        |bg AS (SELECT bench_id, unnest(gs) AS g FROM bench),
+        |cg AS (SELECT doc_id, unnest(gs) AS g FROM corpus),
+        |hits AS (
+        |  SELECT b.bench_id, CAST(count(DISTINCT b.g) AS BIGINT) AS n_hit_ngrams,
+        |         CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_corpus_docs
+        |  FROM bg b JOIN cg c ON b.g = c.g GROUP BY b.bench_id)
+        |SELECT b.bench_id, CAST(len(b.gs) AS BIGINT) AS n_ngrams,
+        |       COALESCE(h.n_hit_ngrams, 0) AS n_hit_ngrams,
+        |       COALESCE(h.n_corpus_docs, 0) AS n_corpus_docs,
+        |       CASE WHEN len(b.gs) = 0 THEN 0.0
+        |            ELSE ROUND(CAST(COALESCE(h.n_hit_ngrams, 0) AS DOUBLE) / len(b.gs), 6)
+        |       END AS hit_frac
+        |FROM bench b LEFT JOIN hits h USING (bench_id)
+        |ORDER BY bench_id""".stripMargin,
 
     "q_pii_scrub" ->
       """WITH d AS (

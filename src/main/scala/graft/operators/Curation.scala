@@ -455,11 +455,7 @@ object Curation {
     * partial-aggregated count by doc id. */
   def contamination(corpus: DataFrame, bench: DataFrame, textCol: String,
                     idCol: String, n: Int = 8): DataFrame = {
-    import graft.functions.TextFunctions
-    import org.apache.spark.sql.graftshim.ColumnBridge
-    def grams(c: org.apache.spark.sql.Column) = array_distinct(ColumnBridge.column(
-      graft.functions.WordNgramHashes(
-        ColumnBridge.expression(TextFunctions.normalizeForFingerprint(c)), n)))
+    def grams(c: org.apache.spark.sql.Column) = gramHashes(c, n)
     val benchGrams = bench
       .select(explode(grams(col(textCol))).as("_g")).distinct()
       .withColumn("_hit", lit(1))
@@ -474,5 +470,51 @@ object Curation {
       .withColumn("contamination_frac",
         when(col("n_ngrams") === 0, lit(0.0))
           .otherwise(round(col("n_contaminated").cast("double") / col("n_ngrams"), 6)))
+  }
+
+  /** Distinct 64-bit word-n-gram hashes of normalized text — shared by
+    * the contamination pair. */
+  private def gramHashes(c: Column, n: Int): Column =
+    array_distinct(org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.WordNgramHashes(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(
+          graft.functions.TextFunctions.normalizeForFingerprint(c)), n)))
+
+  /** Reverse contamination ATTRIBUTION — [[contamination]] asks "how
+    * dirty is each corpus doc"; this asks the eval team's question:
+    * "which BENCHMARK items are compromised, and how broadly" — per
+    * bench doc, its distinct n-gram count, how many of those n-grams
+    * occur anywhere in the corpus, and how many DISTINCT corpus docs
+    * share at least one (the blast radius: one leaked item quoted by a
+    * thousand pages is a different problem than a single mirror).
+    *
+    * Output: benchIdCol, `n_ngrams`, `n_hit_ngrams`, `n_corpus_docs`,
+    * `hit_frac` (= n_hit_ngrams / n_ngrams, rounded 6).
+    *
+    * Scale shape mirrors [[contamination]]: the benchmark side
+    * (thousands of docs) explodes to 8-byte gram hashes and BROADCASTS;
+    * the corpus explodes hashes in place, never shuffles documents, and
+    * the per-(bench, gram)/(bench, doc) distinct aggregation collapses
+    * map-side before the exchange. */
+  def contaminationAttribution(corpus: DataFrame, bench: DataFrame, textCol: String,
+                               corpusIdCol: String, benchIdCol: String,
+                               n: Int = 8): DataFrame = {
+    val benchGrams = bench
+      .select(col(benchIdCol), explode(gramHashes(col(textCol), n)).as("_g"))
+    val corpusGrams = corpus
+      .select(col(corpusIdCol).as("_cid"), explode(gramHashes(col(textCol), n)).as("_g"))
+    val base = bench.select(col(benchIdCol),
+      size(gramHashes(col(textCol), n)).cast("long").as("n_ngrams"))
+    val hits = corpusGrams.join(broadcast(benchGrams), Seq("_g"))
+      .groupBy(col(benchIdCol))
+      .agg(countDistinct(col("_g")).as("n_hit_ngrams"),
+        countDistinct(col("_cid")).as("n_corpus_docs"))
+    base.join(hits, Seq(benchIdCol), "left")
+      .select(col(benchIdCol), col("n_ngrams"),
+        coalesce(col("n_hit_ngrams"), lit(0L)).as("n_hit_ngrams"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"),
+        when(col("n_ngrams") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("n_hit_ngrams"), lit(0L)).cast("double") /
+            col("n_ngrams"), 6)).as("hit_frac"))
   }
 }

@@ -203,6 +203,26 @@ class CurationSpec extends SparkSpec {
     assert(out(2).getLong(1) == 0 && out(2).getLong(2) == 0 && out(2).getDouble(3) == 0.0)
   }
 
+  test("contaminationAttribution: per-bench leak counts and corpus blast radius") {
+    val bench = df(textSchema, Seq(
+      Row(100L, "alpha beta gamma delta epsilon zeta"), // leaked into docs 1 and 2
+      Row(101L, "one two three four five six")))        // clean
+      .withColumnRenamed("doc_id", "bench_id")
+    val corpus = df(textSchema, Seq(
+      Row(1L, "x alpha beta gamma delta epsilon zeta y"),   // both bench-100 grams
+      Row(2L, "alpha beta gamma delta epsilon other words"), // first gram only
+      Row(3L, "totally different words with no shared fivegram at all")))
+    val out = Curation.contaminationAttribution(corpus, bench, "text",
+        "doc_id", "bench_id", n = 5)
+      .orderBy("bench_id").collect()
+    // bench 100: 2 grams, both leaked, by 2 distinct corpus docs
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == 2 && out(0).getLong(3) == 2)
+    assert(out(0).getDouble(4) == 1.0)
+    // bench 101: 2 grams, none leaked, zero radius
+    assert(out(1).getLong(1) == 2 && out(1).getLong(2) == 0 && out(1).getLong(3) == 0)
+    assert(out(1).getDouble(4) == 0.0)
+  }
+
   test("contamination normalizes case and whitespace before matching") {
     val bench = df(textSchema, Seq(Row(100L, "Alpha  Beta\tGamma Delta Epsilon")))
     val corpus = df(textSchema, Seq(Row(1L, "alpha beta gamma delta epsilon tail")))
