@@ -56,8 +56,9 @@ object VectorOps {
     * (spec-pinned), including its edge semantics: a vector SHORTER than
     * `dim`, or containing a null element, poisons every projection to
     * null (zip_with pads with nulls; `null * c` nulls the whole fold)
-    * whose sign test then fails → bucket 0. Invoked from generated
-    * code. */
+    * whose sign test then fails → bucket 0; a NaN element poisons every
+    * projection to NaN, which counts as POSITIVE (Spark SQL ordering —
+    * see the sign test below). Invoked from generated code. */
   def hyperplaneBucket(arr: ArrayData, dim: Int, planes: Int, seed: Long,
                        isFloat: Boolean): Long = {
     val n = arr.numElements()
@@ -76,7 +77,12 @@ object VectorOps {
         proj += x * (if (j < dim) coefs(base + j) else coefs(base + dim))
         j += 1
       }
-      if (proj >= 0) bucket += (1L << p)
+      // NaN sets the bit (ADVICE r10): the HOF reference formulation's
+      // `when(proj >= 0, …)` uses Spark SQL ordering, where NaN is
+      // greater than every value — Java's `>=` would send a NaN
+      // projection (a NaN/±Inf vector element) to the OTHER bucket and
+      // break bit-parity, silently moving persisted embeddingIndex keys
+      if (proj >= 0 || java.lang.Double.isNaN(proj)) bucket += (1L << p)
       p += 1
     }
     bucket

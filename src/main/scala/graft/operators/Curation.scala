@@ -51,7 +51,14 @@ object Curation {
     * contract; a value-clustered column would imbalance bins), and
     * UNIQUE within each stratum (with ties, which tied row lands under
     * a cutoff is engine/partitioning-dependent). Null `orderCol` rows
-    * sort first (bin 0), matching the window formulation. */
+    * sort first (bin 0), matching the window formulation; null STRATA
+    * form their own group (null-safe join below), also matching it.
+    *
+    * EAGER: the min/max bin scan runs at call time (ADVICE r10) — this
+    * is not lazy like most operators here; the lo/hi literals also
+    * freeze a snapshot of `orderCol`'s range into the returned plan.
+    * Callers composing several samplers over one expensive input should
+    * cache it first. */
   private def withStrataPrefix(df: DataFrame, strataCols: Seq[String], orderCol: String,
                                weight: Column, prefixCol: String,
                                totalCol: Option[String] = None): DataFrame = {
@@ -91,11 +98,19 @@ object Curation {
     }
     val localW = Window.partitionBy(strata :+ col("_gbin"): _*)
       .orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, -1)
-    // re-select in the input's column order: the USING join floats its
-    // keys to the front, and samplers promise schema-preserving output
-    binned.join(broadcast(withTotal.drop("_pw")), strataCols :+ "_gbin")
-      .withColumn(prefixCol, col("_off") + coalesce(sum(weight).over(localW), lit(0L)))
-      .select(outCols ++ totalCol.map(col): _*)
+    // NULL-SAFE join keys (ADVICE r10): a USING/EqualTo join never
+    // matches NULL strata, so rows with a null stratum would silently
+    // vanish — the window formulation this replaced kept a null stratum
+    // as its own group (groupBy and Window.partitionBy both do). Rename
+    // the broadcast side and join on <=> so null strata survive; the
+    // re-select keeps the input's column order (samplers promise
+    // schema-preserving output).
+    val rhs0 = withTotal.drop("_pw")
+    val rhs = rhs0.columns.foldLeft(rhs0)((d, c) => d.withColumnRenamed(c, "_r_" + c))
+    val cond = (strataCols :+ "_gbin").map(c => col(c) <=> col("_r_" + c)).reduce(_ && _)
+    binned.join(broadcast(rhs), cond)
+      .withColumn(prefixCol, col("_r__off") + coalesce(sum(weight).over(localW), lit(0L)))
+      .select(outCols ++ totalCol.map(t => col("_r_" + t).as(t)): _*)
   }
 
   /** Deterministic stratified sample: the first `ceil(fraction × |g|)`
@@ -106,7 +121,9 @@ object Curation {
     * determinism contract).
     *
     * Scale: the de-funneled prefix shape of [[withStrataPrefix]] — no
-    * stratum is ever sorted inside a single task. */
+    * stratum is ever sorted inside a single task. Null strata are kept
+    * as their own stratum. NOT fully lazy: one eager min/max scan of
+    * `orderCol` runs at call time (see [[withStrataPrefix]]). */
   def stratifiedExact(df: DataFrame, strataCols: Seq[String], fraction: Double,
                       orderCol: String): DataFrame = {
     require(fraction > 0 && fraction <= 1, s"fraction must be in (0, 1], got $fraction")

@@ -136,7 +136,18 @@ object TrainingDataPipeline {
       val keyed = chunks
         .join(split.select(col("doc_id"), col("lang_pred"), col("split")), Seq("doc_id"))
         .withColumn("pack_shard", pmod(col("doc_id"), lit(64)))
-        .withColumn("_ord", col("doc_id") * 100000L + col("chunk_idx"))
+        // bit-packed (doc_id, chunk_idx) ordering key with ASSERTED
+        // bounds (ADVICE r10): the old doc_id*100000+chunk_idx collided
+        // once a doc yielded ≥100k chunks and overflowed long for
+        // doc_id ≳ 9.2e13 — exactly the silent-determinism-loss shape
+        // packSequences' unique-orderCol contract forbids. 2^20 chunks
+        // (≈134M tokens/doc at 128-token chunks) and 2^43 doc ids are
+        // loud limits, not cliffs.
+        .filter(assert_true(
+          col("chunk_idx") < lit(1 << 20) && col("doc_id").between(0L, (1L << 43) - 1),
+          concat(lit("pack ordering key out of range: doc_id="), col("doc_id").cast("string"),
+            lit(" chunk_idx="), col("chunk_idx").cast("string"))).isNull)
+        .withColumn("_ord", shiftleft(col("doc_id"), 20) + col("chunk_idx"))
       work.write(Curation.packSequences(keyed, "n_tokens", packBudget,
         Seq("split", "lang_pred", "pack_shard"), "_ord").drop("_ord"), "docs_packed")
     }

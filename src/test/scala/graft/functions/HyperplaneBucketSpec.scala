@@ -42,13 +42,20 @@ class HyperplaneBucketSpec extends SparkSpec {
     parity(df(dSchema, rows), dim = 64, planes = 16, seed = 42L)
   }
 
-  test("edge parity: short, long, null-element, and empty vectors") {
+  test("edge parity: short, long, null-element, empty, and non-finite vectors") {
     val rows = Seq(
       Row(1L, Seq(0.5f, -0.5f)),                      // shorter than dim → 0
       Row(2L, Seq.fill(10)(0.25f)),                    // longer than dim
       Row(3L, Seq(0.5f, null, 0.5f, 0.5f)),            // null element → 0
       Row(4L, Seq.empty[Float]),                       // empty → 0
-      Row(5L, Seq(0.1f, 0.2f, 0.3f, 0.4f)))            // exact dim
+      Row(5L, Seq(0.1f, 0.2f, 0.3f, 0.4f)),            // exact dim
+      // non-finite elements (ADVICE r10): NaN poisons every projection
+      // to NaN, which Spark SQL ordering ranks ABOVE zero — the native
+      // path must set the bit exactly like the HOF's `when(proj >= 0)`
+      Row(6L, Seq(Float.NaN, 0.2f, 0.3f, 0.4f)),
+      Row(7L, Seq(Float.PositiveInfinity, 0.2f, 0.3f, 0.4f)),
+      Row(8L, Seq(Float.NegativeInfinity, 0.2f, 0.3f, 0.4f)),
+      Row(9L, Seq(Float.PositiveInfinity, Float.NegativeInfinity, 0.3f, 0.4f)))
     val d = df(fSchema, rows)
     parity(d, dim = 4, planes = 6, seed = 42L)
     val native = d.select(col("id"),
@@ -57,6 +64,8 @@ class HyperplaneBucketSpec extends SparkSpec {
     assert(native(0).getLong(1) == 0L)
     assert(native(2).getLong(1) == 0L)
     assert(native(3).getLong(1) == 0L)
+    // all-NaN projections → every sign bit set
+    assert(native(5).getLong(1) == (1L << 6) - 1)
   }
 
   test("buckets spread and near-identical vectors collide") {

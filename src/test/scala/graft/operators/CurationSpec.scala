@@ -28,6 +28,19 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet == ids)
   }
 
+  test("stratifiedExact keeps NULL strata as their own stratum (ADVICE r10)") {
+    // the window formulation kept nulls as a group; the prefix-join
+    // rewrite must too (an EqualTo join would silently drop them)
+    val withNulls = df(schema,
+      (1L to 10L).map(i => Row(i, "en", i * 10)) ++
+        (11L to 14L).map(i => Row(i, null, 100L)))
+    val out = Curation.stratifiedExact(withNulls, Seq("lang"), 0.5, "doc_id")
+    val byLang = out.collect().groupBy(r => Option(r.getString(1)))
+      .map { case (k, v) => k -> v.map(_.getLong(0)).toSet }
+    assert(byLang(Some("en")) == Set(1L, 2L, 3L, 4L, 5L)) // ceil(10*.5)
+    assert(byLang(None) == Set(11L, 12L))                 // ceil(4*.5) of the null stratum
+  }
+
   test("stratifiedExact keeps the input schema and rejects bad fractions") {
     assert(Curation.stratifiedExact(docs, Seq("lang"), 0.5, "doc_id")
       .columns.toSeq == docs.columns.toSeq)

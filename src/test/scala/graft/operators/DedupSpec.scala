@@ -123,6 +123,18 @@ class DedupSpec extends SparkSpec {
     assert(fromSig.nonEmpty)
   }
 
+  test("minhashCandidatesFromSignatures fails loudly on a mismatched signature length (ADVICE r10)") {
+    // a signature store whose arrays don't match numHashes must not
+    // silently slice wrong bands — the in-plan guard kills the scan
+    val d = corpusWithMutations(10).withColumn("sig",
+      Dedup.minhashSignatureText(col("text"), shingleLen = 3, numHashes = 32))
+    val e = intercept[Exception] {
+      Dedup.minhashCandidatesFromSignatures(d, col("sig"), "doc_id",
+        numHashes = 64, bands = 16, threshold = 0.5).count()
+    }
+    assert(e.getMessage != null || e.getCause != null) // job failed, loudly
+  }
+
   test("minhash est_jaccard is within 0.15 of the exact shingle jaccard") {
     val d = corpusWithMutations(50)
     val est = Dedup.minhashCandidates(d, "text", "doc_id", numHashes = 64, bands = 16,
