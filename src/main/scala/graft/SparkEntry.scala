@@ -563,6 +563,30 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_emb_multi_lsh" -> ((s, dir) => {
+      // the multi-table LSH machinery (R-table union + per-table
+      // bucketing + in-bucket pairing + cosine verify + cross-table
+      // dedup) made fully oracle-checkable with PLANTED bucket keys and
+      // closed-form unit vectors (the q_minhash_banding trick): doc
+      // m = doc_id%8 gets the 2-d unit vector at angle 0.15·m, so a
+      // pair's cosine = cos(0.15·|Δm|) — ≥ 0.95 iff |Δm| ≤ 2
+      // (cos 0.30 ≈ 0.9553 vs cos 0.45 ≈ 0.9004: margin-safe in either
+      // engine's fp). Table 0 buckets groups of 4, table 1 groups of 8:
+      // every in-g4 pair is found by BOTH tables (the distinct() dedup
+      // is exercised), g8-only pairs only by table 1, and Δm = 3
+      // candidates are rejected by the verify — candidates ≠ results.
+      // Cosine is dropped from the output (the COMPARISON is
+      // margin-safe; the raw value is not hash-safe across engines).
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        array(cos(col("doc_id") % 8 * lit(0.15)),
+          sin(col("doc_id") % 8 * lit(0.15))).as("v"))
+      Dedup.embeddingNearDupMultiFromBuckets(d, "v", "doc_id",
+          Seq(expr("doc_id DIV 4"), expr("doc_id DIV 8")),
+          threshold = 0.95, maxBucketSize = 0)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- similarity search ----
     "q_ann_cosine" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
@@ -1696,6 +1720,17 @@ object SparkEntry {
         |       (8 - 2 * GREATEST(a.m, b.m)) / 8.0 AS est_jaccard
         |FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
         |WHERE (8 - 2 * GREATEST(a.m, b.m)) / 8.0 >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Multi-table LSH replay: the candidate union over (g4, g8) tables
+    // collapses to "same g8" (g4 ⊂ g8), and the cosine verify over the
+    // planted angle-0.15·m unit vectors keeps exactly |Δm| ≤ 2 — the
+    // oracle needs no vectors at all, just the closed-form angle math.
+    "q_emb_multi_lsh" ->
+      """WITH d AS (SELECT doc_id, doc_id // 8 AS g, doc_id % 8 AS m FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
+        |WHERE abs(a.m - b.m) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_hamming_neardup" ->

@@ -739,11 +739,29 @@ object Dedup {
                             threshold: Double = 0.95, maxBucketSize: Int = 2000,
                             seed: Long = 42L): DataFrame = {
     require(tables >= 1, s"tables must be >= 1, got $tables")
-    val keyed = ensureParallel(df).select(col(idCol).as("_id"), col(vecCol).as("_v"))
-    val bucketCols = array((0 until tables).map(t =>
-      VectorFunctions.hyperplaneBucket(col("_v"), dim, planes, seed + t * 7919L)): _*)
-    val exploded = keyed.select(col("_id"), col("_v"),
-      posexplode(bucketCols).as(Seq("_table", "_bucket")))
+    embeddingNearDupMultiFromBuckets(df, vecCol, idCol,
+      (0 until tables).map(t =>
+        VectorFunctions.hyperplaneBucket(col(vecCol), dim, planes, seed + t * 7919L)),
+      threshold, maxBucketSize)
+  }
+
+  /** The multi-table pairing machinery of [[embeddingNearDupMulti]] over
+    * CALLER-PROVIDED bucket keys — one Column per table; element t is
+    * table t's bucket id for the row. The seam that makes the R-table
+    * union + per-table cap + in-bucket pairing + cosine verify + dedup
+    * pipeline oracle-checkable end-to-end (the
+    * [[minhashCandidatesFromSignatures]] trick): bucket ids never reach
+    * the output, so an external engine can replay the pipeline from
+    * planted arithmetic bucket keys (`q_emb_multi_lsh`). Also the
+    * extension point for non-hyperplane table families (learned
+    * partitions, PQ codebooks). */
+  def embeddingNearDupMultiFromBuckets(df: DataFrame, vecCol: String, idCol: String,
+                                       bucketCols: Seq[Column],
+                                       threshold: Double = 0.95,
+                                       maxBucketSize: Int = 2000): DataFrame = {
+    require(bucketCols.nonEmpty, "at least one bucket column required")
+    val exploded = ensureParallel(df).select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      posexplode(array(bucketCols: _*)).as(Seq("_table", "_bucket")))
     bucketPairs(exploded, Seq("_table", "_bucket"), "_id", "_v", maxBucketSize)
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"),

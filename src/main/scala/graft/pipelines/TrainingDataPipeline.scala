@@ -36,7 +36,23 @@ object TrainingDataPipeline {
                     finalKept: Long, mixed: Long, packedChunks: Long)
 
   /** Wire the pipeline steps onto `plan`. `src` must contain
-    * `documents.parquet`; outputs land in `work`. */
+    * `documents.parquet`; outputs land in `work`.
+    *
+    * `nearDedup` selects the near-duplicate candidate family:
+    * `"minhash"` (default — probabilistic LSH banding, the 100 TB
+    * path) or `"jaccard"` (exact blocked n-gram Jaccard — deterministic
+    * and externally replayable, the choice when reproducibility or an
+    * external audit matters more than the minhash sketch's speed; both
+    * feed the same connected-components cluster dedup).
+    * `minhashThreshold` is the similarity threshold for whichever
+    * family runs.
+    *
+    * `mixWeights` switches the mix stage from temperature-scaled
+    * rebalance ([[Curation.mixByTemperature]], `mixAlpha`) to EXPLICIT
+    * per-language weights ([[Curation.mixByWeight]]) — the production
+    * form when the corpus composition is a spec, not a formula, and the
+    * deterministic one an external engine can replay
+    * (`q_pipeline_funnel`). */
   def build(plan: Plan, srcDir: String, workDir: String,
             minQuality: Double = 0.3, langs: Seq[String] = Seq("en", "de", "fr", "es"),
             minhashThreshold: Double = 0.7,
@@ -44,7 +60,11 @@ object TrainingDataPipeline {
             maxContamination: Double = 0.05,
             mixAlpha: Double = 0.3,
             chunkTokens: Int = 128, chunkOverlap: Int = 16,
-            packBudget: Long = 2048L): Plan = {
+            packBudget: Long = 2048L,
+            nearDedup: String = "minhash",
+            mixWeights: Option[Map[String, Double]] = None): Plan = {
+    require(Set("minhash", "jaccard").contains(nearDedup),
+      s"nearDedup must be 'minhash' or 'jaccard', got '$nearDedup'")
     val spark = plan.spark
     val src = new ParquetConnector(spark, srcDir)
     val work = new ParquetConnector(spark, workDir)

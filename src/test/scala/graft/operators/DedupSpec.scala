@@ -123,6 +123,27 @@ class DedupSpec extends SparkSpec {
     assert(fromSig.nonEmpty)
   }
 
+  test("embeddingNearDupMultiFromBuckets: union across tables, verify rejects, cross-table dedup") {
+    // planted geometry (the q_emb_multi_lsh fixture): id m = id%8 sits
+    // at angle 0.15·m on the unit circle; table 0 buckets ids by /4,
+    // table 1 by /8 — every in-/4 pair is found by BOTH tables, so the
+    // output must still carry each pair once, and the cosine verify
+    // keeps exactly |Δm| ≤ 2 (cos 0.30 ≈ 0.955 ≥ 0.95 > cos 0.45)
+    val vSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", ArrayType(DoubleType))))
+    val d = df(vSchema, (0L to 15L).map(i =>
+      Row(i, Seq(math.cos((i % 8) * 0.15), math.sin((i % 8) * 0.15)))))
+    val out = Dedup.embeddingNearDupMultiFromBuckets(d, "v", "id",
+        Seq(expr("id DIV 4"), expr("id DIV 8")), threshold = 0.95, maxBucketSize = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == out.distinct.length, "cross-table dedup must collapse double-found pairs")
+    val expected = (for {
+      a <- 0L to 15L; b <- 0L to 15L
+      if a < b && a / 8 == b / 8 && math.abs(a % 8 - b % 8) <= 2
+    } yield (a, b)).toSet
+    assert(out.toSet == expected)
+  }
+
   test("minhashCandidatesFromSignatures fails loudly on a mismatched signature length (ADVICE r10)") {
     // a signature store whose arrays don't match numHashes must not
     // silently slice wrong bands — the in-plan guard kills the scan
