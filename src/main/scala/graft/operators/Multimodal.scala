@@ -289,7 +289,25 @@ object Multimodal {
   }
 
   /** Per-partition batched frame extraction — the video analog of
-    * [[extractImageFeatures]]: one row per sampled frame. */
+    * [[extractImageFeatures]]: one row per sampled frame.
+    *
+    * PLUGGABLE DECODER SPI (the video-container extension point): the
+    * `decoder` parameter IS the contract —
+    * `(mediaId, payloadBytes, everyN) => Seq[FrameFeatures]`, executed
+    * per executor inside `mapPartitions`, so an implementation must be
+    * serializable, total (return `Seq.empty` or fall back rather than
+    * throw on undecodable bytes — one poison payload must not kill a
+    * 100 TB scan), and must emit one row per SAMPLED frame with the
+    * true container frame count in `n_frames`. The default
+    * [[decodeVideoFrames]] is the in-sandbox implementation: a real
+    * ImageIO decode for the one container the JDK ships a reader for
+    * (animated GIF) and [[fakeDecodeVideo]]'s deterministic
+    * byte-derived frames for everything else (MP4/WebM/…, which need a
+    * native decoder). A JNI/javacv/ffmpeg-backed production decoder
+    * plugs into this same parameter without touching the Spark-side
+    * plumbing — schema, batching, and downstream hamming dedup are
+    * decoder-agnostic (MultimodalSpec pins a custom decoder through
+    * this seam, and that junk payloads stay total). */
   def extractVideoFrames(media: DataFrame, everyN: Int = 30,
                          decoder: (Long, Array[Byte], Int) => Seq[FrameFeatures] = decodeVideoFrames)
       : Dataset[FrameFeatures] = {

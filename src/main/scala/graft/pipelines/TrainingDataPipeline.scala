@@ -62,7 +62,8 @@ object TrainingDataPipeline {
             chunkTokens: Int = 128, chunkOverlap: Int = 16,
             packBudget: Long = 2048L,
             nearDedup: String = "minhash",
-            mixWeights: Option[Map[String, Double]] = None): Plan = {
+            mixWeights: Option[Map[String, Double]] = None,
+            langCol: String = "lang_pred"): Plan = {
     require(Set("minhash", "jaccard").contains(nearDedup),
       s"nearDedup must be 'minhash' or 'jaccard', got '$nearDedup'")
     val spark = plan.spark
@@ -71,18 +72,22 @@ object TrainingDataPipeline {
     plan.connection("source", src).connection("work", work)
 
     plan.step("profile") {
-      // one native-profile pass per doc: quality + language + token cost
+      // one native-profile pass per doc: quality + language + token cost.
+      // When `langCol` names a SOURCE column (a labeled corpus), it is
+      // carried through so filter/mix/pack can stratify on the label
+      // instead of the prediction.
       val docs = src.read("documents")
-      work.write(docs.select(col("doc_id"), col("text"),
+      val carried = if (langCol == "lang_pred") Nil else Seq(col(langCol))
+      work.write(docs.select(Seq(col("doc_id"), col("text")) ++ carried ++ Seq(
         TextFunctions.qualityScore(col("text")).as("quality"),
         TextFunctions.langId(col("text")).as("lang_pred"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"),
-        TextFunctions.subwordCount(col("text")).as("n_subwords")), "doc_profile")
+        TextFunctions.subwordCount(col("text")).as("n_subwords")): _*), "doc_profile")
     }
 
     plan.step("filter") {
       work.write(work.read("doc_profile")
-        .filter(col("quality") >= minQuality && col("lang_pred").isin(langs: _*)),
+        .filter(col("quality") >= minQuality && col(langCol).isin(langs: _*)),
         "docs_clean")
     }
 
@@ -105,8 +110,18 @@ object TrainingDataPipeline {
       // cluster's smaller member pairs only through a larger one
       // (e.g. pairs (1,3),(2,3) keep both 1 and 2).
       val base = work.read("docs_exact_unique")
-      val pairs = Dedup.minhashCandidates(base, "text", "doc_id",
-        threshold = minhashThreshold)
+      val pairs = nearDedup match {
+        case "minhash" => Dedup.minhashCandidates(base, "text", "doc_id",
+          threshold = minhashThreshold)
+        // exact blocked Jaccard: same block-confined quadratic shape as
+        // q_ngram_jaccard (lang + 100-char length bucket bounds every
+        // block), word-TRIGRAM shingles (n = 1 word-set jaccard saturates
+        // on small-vocabulary corpora — every doc shares most words),
+        // deterministic — externally replayable
+        case "jaccard" => Dedup.ngramJaccardPairs(base, "text", "doc_id",
+          Dedup.langLengthBlock(col(langCol), length(col("text")), width = 100),
+          n = 3, threshold = minhashThreshold)
+      }
       work.write(Dedup.clusterDedup(base, "doc_id", pairs), "docs_unique")
     }
 
@@ -126,13 +141,19 @@ object TrainingDataPipeline {
     }
 
     plan.step("mix") {
-      // temperature-scaled language rebalance over the survivors — the
-      // corpus-composition step between curation and split. Source is
+      // language rebalance over the survivors — the corpus-composition
+      // step between curation and split: explicit weights when the mix
+      // is a spec (mixWeights), temperature-scaled otherwise. Source is
       // chosen by CONFIG, not table existence: a workDir reused from an
       // earlier benchmarked run must not feed a stale docs_final in
       val src = if (benchDir.isDefined) "docs_final" else "docs_unique"
-      work.write(Curation.mixByTemperature(work.read(src),
-        "lang_pred", "n_tokens", "doc_id", alpha = mixAlpha), "docs_mixed")
+      val mixed = mixWeights match {
+        case Some(w) => Curation.mixByWeight(work.read(src),
+          langCol, w, "n_tokens", "doc_id")
+        case None => Curation.mixByTemperature(work.read(src),
+          langCol, "n_tokens", "doc_id", alpha = mixAlpha)
+      }
+      work.write(mixed, "docs_mixed")
     }
 
     plan.step("split") {
@@ -154,7 +175,7 @@ object TrainingDataPipeline {
       val chunks = Curation.chunkDocuments(split, "text", "doc_id",
         chunkTokens = chunkTokens, overlap = chunkOverlap)
       val keyed = chunks
-        .join(split.select(col("doc_id"), col("lang_pred"), col("split")), Seq("doc_id"))
+        .join(split.select(col("doc_id"), col(langCol), col("split")), Seq("doc_id"))
         .withColumn("pack_shard", pmod(col("doc_id"), lit(64)))
         // bit-packed (doc_id, chunk_idx) ordering key with ASSERTED
         // bounds (ADVICE r10): the old doc_id*100000+chunk_idx collided
@@ -169,7 +190,7 @@ object TrainingDataPipeline {
             lit(" chunk_idx="), col("chunk_idx").cast("string"))).isNull)
         .withColumn("_ord", shiftleft(col("doc_id"), 20) + col("chunk_idx"))
       work.write(Curation.packSequences(keyed, "n_tokens", packBudget,
-        Seq("split", "lang_pred", "pack_shard"), "_ord").drop("_ord"), "docs_packed")
+        Seq("split", langCol, "pack_shard"), "_ord").drop("_ord"), "docs_packed")
     }
 
     plan.step("report") {

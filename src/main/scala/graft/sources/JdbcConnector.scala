@@ -29,6 +29,20 @@ import org.apache.spark.sql.types._
   * Identifier quoting defaults to ANSI double quotes (Derby, Postgres);
   * pass "`" for MySQL. Tested against embedded Derby (in-memory), the
   * same engine Spark itself uses for its Hive metastore tests.
+  *
+  * DERBY-TESTED vs MYSQL-STRING-EXACT: no MySQL server exists in this
+  * build's sandbox, so the MySQL-specific surfaces are reproduced
+  * string-for-string from the reference but exercised only against
+  * Derby semantics. Concretely: the CREATE TABLE type lattice
+  * (`mysql.rb:105-147` — BIGINT/DOUBLE/BOOLEAN/VARCHAR/CLOB choices)
+  * and the DELIMITER-aware script splitting are MySQL-faithful by
+  * construction; PK detection, add-column evolution, truncate, and
+  * atomic-rename go through standard JDBC metadata/DDL calls that both
+  * engines accept. Behaviors that genuinely differ server-side —
+  * MySQL's implicit-commit DDL, `RENAME TABLE` atomicity across
+  * schemas, index-length limits on long VARCHAR pks — are NOT covered
+  * by the Derby suite; point this connector at a live MySQL and run
+  * JdbcConnectorSpec before relying on them in production.
   */
 class JdbcConnector(
     val spark: SparkSession,

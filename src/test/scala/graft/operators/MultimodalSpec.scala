@@ -202,6 +202,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeVideoFrames(3L, Array.empty[Byte], 10).isEmpty)
   }
 
+  test("a custom decoder plugs into the extractVideoFrames SPI seam") {
+    // the pluggable-decoder contract: any (id, bytes, everyN) =>
+    // Seq[FrameFeatures] slots in without touching the Spark plumbing —
+    // this stands in for a production JNI/ffmpeg decoder
+    import org.apache.spark.sql.Row
+    val rows = (0 until 4).map(i => Row(i.toLong, "video", s"mem://$i",
+      Array[Byte](1, 2, 3, i.toByte), null))
+    val custom: (Long, Array[Byte], Int) => Seq[Multimodal.FrameFeatures] =
+      (id, bytes, everyN) =>
+        (0 until bytes.length by math.max(everyN, 1)).map(idx =>
+          Multimodal.FrameFeatures(id, bytes.length, idx, 2, 2, id * 1000L + idx))
+    val out = Multimodal.extractVideoFrames(
+        df(Multimodal.mediaSchema, rows), everyN = 2, decoder = custom)
+      .collect().groupBy(_.media_id)
+    (0 until 4).foreach { i =>
+      val fs = out(i.toLong).sortBy(_.frame_idx)
+      assert(fs.map(_.frame_idx).toSeq == Seq(0, 2))
+      assert(fs.forall(f => f.n_frames == 4 && f.width == 2))
+      assert(fs.head.ahash == i * 1000L)
+    }
+  }
+
   test("extractVideoFrames decodes real GIFs end to end through Spark") {
     import org.apache.spark.sql.Row
     val rows = (0 until 6).map { i =>

@@ -65,6 +65,35 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(f.nearUnique < f.scrubbed, "planted near-dup must be removed")
   }
 
+  test("jaccard strategy + explicit mix weights + labeled lang column (the q_pipeline_funnel config)") {
+    val work = tmpDir("graft_pipe_work4_")
+    val plan = new Plan(spark, PlanConfig(pidDir = tmpDir("graft_pid4_")))
+    TrainingDataPipeline.build(plan, src, work, minQuality = 0.0,
+      nearDedup = "jaccard",
+      mixWeights = Some(Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.125, "es" -> 0.125)),
+      langCol = "lang")
+    plan.run()
+    val workConn = new graft.sources.ParquetConnector(spark, work)
+    // the labeled column rides through profile -> ... -> packed output
+    assert(workConn.read("doc_profile").columns.contains("lang"))
+    assert(workConn.read("docs_packed").columns.contains("lang"))
+    val f = TrainingDataPipeline.funnel(plan, src, work)
+    assert(f.mixed > 0 && f.mixed <= f.finalKept)
+    assert(f.packedChunks >= f.mixed)
+    // explicit weights: no stratum exceeds its budget share by more than
+    // one straddling document's tokens (mixByWeight's cut contract)
+    val toks = workConn.read("docs_mixed").groupBy("lang")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(toks.nonEmpty && toks.keySet.subsetOf(Set("en", "de", "fr", "es")))
+    // an unknown strategy fails loudly at build time
+    intercept[IllegalArgumentException] {
+      TrainingDataPipeline.build(
+        new Plan(spark, PlanConfig(pidDir = tmpDir("graft_pid5_"))),
+        src, tmpDir("graft_pipe_work5_"), nearDedup = "bogus")
+    }
+  }
+
   test("decontaminate stage drops documents overlapping the benchmark") {
     val work = tmpDir("graft_pipe_work3_")
     val benchDir = tmpDir("graft_pipe_bench_")
