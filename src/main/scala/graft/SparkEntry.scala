@@ -795,6 +795,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_span_scrub" -> ((s, dir) => {
+      // corpus-wide exact duplicated-SUBSTRING scrub (Lee et al.): a
+      // 16-word license canary is appended to every doc_id % 3 == 0 doc;
+      // its interior 8-gram windows are corpus-duplicated, so the
+      // lowest such doc keeps the canary and every other loses exactly
+      // those 16 tokens (boundary grams differ per doc and stay).
+      // Organic duplicated 8-grams count too — both engines see the
+      // identical occurrence set.
+      val canary = " redistribution and use in source and binary forms" +
+        " with or without modification are permitted provided that"
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(canary)))
+          .otherwise(col("text")).as("text"))
+      Dedup.duplicateSpanScrub(d, "text", "doc_id", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_contamination" -> ((s, dir) => {
       // benchmark-contamination: corpus docs vs a held-out "eval" split
       // (doc_id % 20 == 0), word-5-gram overlap. A canary eval sentence
@@ -1042,7 +1059,17 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by name).
-    * Omitted keys → driver records a rows-only check. */
+    * Omitted keys → driver records a rows-only check.
+    *
+    * THE ROWS-ONLY FLOOR (3 queries, by construction): `q_dedup_minhash`,
+    * `q_dedup_simhash`, and `q_embedding_neardup` run their LSH families
+    * over xxhash64-derived sketches, which DuckDB cannot replay — no
+    * SQL formulation exists, so these stay rows-only permanently. Each
+    * family's machinery is separately hash-green through a planted
+    * arithmetic twin on the same code path: `q_minhash_banding`
+    * (band/bucket/pair/est pipeline), `q_hamming_neardup` (chunk-blocked
+    * hamming pairing under simhash), and `q_emb_multi_lsh` (multi-table
+    * bucket union + cosine verify + cross-table dedup). */
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
@@ -1534,6 +1561,45 @@ object SparkEntry {
         |FROM k GROUP BY doc_id
         |HAVING count(*) FILTER (rn = 1) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    // Span-scrub replay on gram STRINGS (Spark joins on xxhash64 gram
+    // fingerprints — identical modulo ~|grams|²/2⁶⁴ collision odds, the
+    // q_contamination/lineDedup trade). first-occurrence-keeps = rn 1
+    // over (doc_id, i); covered positions union per doc; kept tokens
+    // reassemble in position order.
+    "q_span_scrub" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN text || ' redistribution and use in source and binary forms with or without modification are permitted provided that'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |t AS MATERIALIZED (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id,
+        |           regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |    FROM src)
+        |  WHERE len(w) > 0 AND length(w[1]) > 0),
+        |occ AS (
+        |  SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 7, 0) + 1)) AS i FROM t)),
+        |r AS (
+        |  SELECT doc_id, i,
+        |         row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
+        |  FROM occ),
+        |rm AS (SELECT doc_id, i FROM r WHERE rn > 1),
+        |cov AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(range(i, i + 8)) AS p FROM rm),
+        |kept AS (
+        |  SELECT t.doc_id, x.p, t.w[CAST(x.p AS INT)] AS tok
+        |  FROM t, UNNEST(range(1, len(w) + 1)) AS x(p)
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov WHERE cov.doc_id = t.doc_id AND cov.p = x.p)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text, count(*) AS n_tokens
+        |  FROM kept GROUP BY doc_id)
+        |SELECT a.doc_id, a.text, CAST(a.n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(len(t.w) - a.n_tokens AS BIGINT) AS n_tokens_removed
+        |FROM agg a JOIN t ON a.doc_id = t.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
 
     "q_contamination" ->
       """WITH src AS (

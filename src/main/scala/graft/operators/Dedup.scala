@@ -770,6 +770,74 @@ object Dedup {
       .distinct()
   }
 
+  /** Corpus-wide EXACT duplicated-substring scrub — the span-level dedup
+    * family doc-level dedup (exact/minhash) misses entirely: boilerplate
+    * EMBEDDED in otherwise-unique documents (license blocks, navigation
+    * chrome, quoted passages). The Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better") recipe re-expressed
+    * for Spark: every `n`-token span whose normalized text occurs more
+    * than once in the corpus is removed from every occurrence EXCEPT
+    * the first (first = smallest `(doc, position)`); overlapping
+    * removed spans merge, so a duplicated region of any length ≥ n is
+    * excised whole. A kept first occurrence can still lose tokens to a
+    * DIFFERENT span's non-first occurrence overlapping it — the
+    * standard behavior of occurrence-level scrubbing, documented rather
+    * than special-cased.
+    *
+    * Output: (idCol, textCol = scrubbed NORMALIZED token stream,
+    * n_tokens kept, n_tokens_removed). Documents whose every token is
+    * removed disappear (as [[lineDedup]]).
+    *
+    * Scale shape — agg + join, never a window over gram occurrences
+    * (the suffix-array formulation is a single-machine algorithm; this
+    * is the distributed equivalent at fixed n): (1) one row per n-gram
+    * start (pos, 64-bit gram fingerprint); (2) `groupBy(fp)` count +
+    * min (doc, pos) — partial aggregation collapses each map task's
+    * repeats before the shuffle, so a billion-copy boilerplate gram
+    * costs one row per task; (3) join winners back to occurrences;
+    * (4) covered positions → left-anti against the token stream →
+    * per-doc reassembly, all linear. Collisions: two distinct spans
+    * sharing an xxhash64 merge (~|grams|²/2⁶⁴ odds, the [[lineDedup]]
+    * trade); the oracle replays gram STRINGS — identical modulo those
+    * odds. */
+  def duplicateSpanScrub(df: DataFrame, textCol: String, idCol: String,
+                         n: Int = 10): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = ensureParallel(df)
+      .select(col(idCol), split(TextFunctions.normalizeForFingerprint(col(textCol)), " ").as("_w"))
+      .filter(size(col("_w")) > 0 && length(element_at(col("_w"), 1)) > 0)
+    // gram starts WITHOUT a transform lambda (HOFs are CodegenFallback):
+    // explode the start range, then hash the slice per row — slice/
+    // concat_ws/xxhash64 all stay inside whole-stage codegen
+    val occ = toks
+      .select(col(idCol).as("_id"), col("_w"),
+        explode(when(size(col("_w")) >= n, sequence(lit(1), size(col("_w")) - lit(n - 1)))
+          .otherwise(array().cast("array<int>"))).as("_i"))
+      .select(col("_id"), col("_i"),
+        xxhash64(concat_ws(" ", slice(col("_w"), col("_i"), lit(n)))).as("_h"))
+    val dups = occ.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_c"), min(struct(col("_id"), col("_i"))).as("_f"))
+      .filter(col("_c") > 1)
+    val removedStarts = occ.join(dups, Seq("_h"))
+      .filter(!(col("_id") === col("_f._id") && col("_i") === col("_f._i")))
+      .select(col("_id"), col("_i"))
+    val covered = removedStarts
+      .select(col("_id"), explode(sequence(col("_i"), col("_i") + lit(n - 1))).as("_p"))
+      .distinct()
+    val tokens = toks
+      .select(col(idCol).as("_id"), posexplode(col("_w")).as(Seq("_p0", "_t")))
+      .select(col("_id"), (col("_p0") + 1).as("_p"), col("_t"))
+    val kept = tokens.join(covered, Seq("_id", "_p"), "left_anti")
+      .groupBy(col("_id"))
+      .agg(array_sort(collect_list(struct(col("_p"), col("_t")))).as("_s"))
+    toks.select(col(idCol).as("_id"), size(col("_w")).as("_tot"))
+      .join(kept, Seq("_id")) // inner: fully-scrubbed docs disappear
+      .select(col("_id").as(idCol),
+        array_join(col("_s._t"), " ").as(textCol),
+        size(col("_s")).cast("long").as("n_tokens"),
+        (col("_tot") - size(col("_s"))).cast("long").as("n_tokens_removed"))
+  }
+
   /** Cross-corpus LINE-level dedup (the CCNet recipe): every occurrence
     * beyond the first of each distinct non-empty line — boilerplate
     * headers, cookie banners, nav text — is removed corpus-wide; "first"

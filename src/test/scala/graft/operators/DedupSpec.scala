@@ -123,6 +123,53 @@ class DedupSpec extends SparkSpec {
     assert(fromSig.nonEmpty)
   }
 
+  test("duplicateSpanScrub removes every non-first occurrence of a duplicated span, merged") {
+    // per-doc-unique filler words guarantee ZERO organic duplicated
+    // grams — the only cross-doc 4-grams are the planted license's
+    val license = "all rights reserved by example corp"
+    def filler(id: Int): String = (0 until 12).map(j => s"w${id}x$j").mkString(" ")
+    val rows = Seq(
+      Row(10L, s"${filler(0)} $license"),
+      Row(11L, s"${filler(1)} $license"),
+      Row(12L, s"${filler(2)} $license"),
+      Row(13L, filler(3)),
+      Row(14L, "")) // blank doc: no tokens -> disappears
+    val out = Dedup.duplicateSpanScrub(df(docSchema, rows), "text", "doc_id", n = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 10 is the first occurrence of every license gram — keeps it
+    val t10 = out(10L).getString(1)
+    assert(t10.endsWith(license), s"first occurrence must keep the span: $t10")
+    assert(out(10L).getLong(3) == 0, "nothing removed from the first occurrence")
+    // docs 11/12 lose exactly the 6 license tokens (boundary grams
+    // differ per doc, interior grams cover the whole span)
+    Seq(11L, 12L).foreach { id =>
+      val t = out(id).getString(1)
+      assert(!t.contains("rights reserved"), s"doc $id must lose the license: $t")
+      assert(t.startsWith(s"w${id - 10}x0"), s"doc $id must keep its own text: $t")
+      assert(out(id).getLong(3) == 6, s"doc $id removed ${out(id).getLong(3)}")
+    }
+    // doc 13 shares no 4-gram with anything — untouched
+    assert(out(13L).getLong(3) == 0)
+    assert(out(13L).getString(1) == filler(3))
+    // blank doc gone
+    assert(!out.contains(14L))
+  }
+
+  test("duplicateSpanScrub merges overlapping duplicated regions into one excision") {
+    // two docs share a 10-word region; with n = 4 the 7 interior gram
+    // starts overlap — covered positions must merge to exactly the
+    // 10-token region in the non-first doc
+    val shared = "one two three four five six seven eight nine ten"
+    val rows = Seq(
+      Row(1L, s"alpha unique prefix $shared"),
+      Row(2L, s"totally different words here $shared"))
+    val out = Dedup.duplicateSpanScrub(df(docSchema, rows), "text", "doc_id", n = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(3) == 0)
+    assert(out(2L).getString(1) == "totally different words here")
+    assert(out(2L).getLong(2) == 4 && out(2L).getLong(3) == 10)
+  }
+
   test("embeddingNearDupMultiFromBuckets: union across tables, verify rejects, cross-table dedup") {
     // planted geometry (the q_emb_multi_lsh fixture): id m = id%8 sits
     // at angle 0.15·m on the unit circle; table 0 buckets ids by /4,
