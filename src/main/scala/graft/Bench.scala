@@ -56,7 +56,12 @@ object Bench {
     // r9: the generic chunk-blocked hamming pairing (shared by simhash
     // and image-aHash near-dup), and the full IVF lifecycle
     // (train -> cell-partitioned index write -> pruned probe)
-    "q_hamming_neardup", "q_ann_ivf")
+    "q_hamming_neardup", "q_ann_ivf",
+    // r11: CCNet bigram-LM scoring (train on the en slice + score the
+    // whole corpus: two broadcast vocab joins, counts join, per-doc
+    // partial agg) and SemDeDup cluster-blocked embedding dedup
+    // (within-cluster capped pairing + components + keep-policy aggs)
+    "q_perplexity", "q_semdedup")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

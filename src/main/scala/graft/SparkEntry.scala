@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Curation, Dedup, Multimodal, Patterns, Similarity, TemporalJoin, Validate}
+import graft.operators.{Curation, Dedup, LanguageModel, Multimodal, Patterns, Similarity, TemporalJoin, Validate}
 import graft.sources.{ParquetConnector, SchemaInfer, UpsertWriter}
 
 /** Driver contract: the declared operator surface (SURVEY.md §2), one
@@ -299,6 +299,45 @@ object SparkEntry {
       // no distinct-token shuffle.
       TextFunctions.vocabularySketch(T(s, dir, "documents"), "text", topK = 10000)
         .orderBy(col("est").desc, col("token"))
+    }),
+
+    "q_perplexity" -> ((s, dir) => {
+      // CCNet-style LM quality scoring: bigram LM trained on the 'en'
+      // slice (the trusted-reference stand-in), every document scored by
+      // mean bigram NLL. vocabSize 1000 < the corpus vocabulary, so the
+      // UNK mass is genuinely exercised; the oracle re-derives vocab,
+      // counts, and scores from scratch in DuckDB.
+      val d = T(s, dir, "documents")
+      val lm = LanguageModel.train(d.filter(col("lang") === "en"), "text", vocabSize = 1000)
+      LanguageModel.scoreNll(d, "text", "doc_id", lm, addK = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_semdedup" -> ((s, dir) => {
+      // SemDeDup resolution machinery under the oracle via the planted
+      // seam: clusters = the embeddings table's label column (a stand-in
+      // for k-means cells DuckDB can replay trivially), rank = first
+      // coordinate (replayable; distinct between an original and its
+      // planted 1.001f-scaled copy, so keep-min-rank picks a definite
+      // winner — the NEGATIVE-coordinate originals lose to their copies,
+      // exercising a non-trivial keep). Planted near-dups: every 10th
+      // vector re-entered at +1000000 with each coordinate * 1.001f —
+      // cosine ≈ 1 ≫ 0.999 while the max ORGANIC pair is ~0.51
+      // (margin-safe in either engine's fp). The trained-centroid path
+      // (nearestCellWithDist + keep-farthest) is spec-pinned in
+      // DedupSpec instead — k-means cells are replayable (q_ann_ivf
+      // does) but add nothing to this query's machinery coverage.
+      val e = T(s, dir, "embeddings")
+      val planted = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding"),
+          col("label"))
+      val corpus = e.select(col("vec_id"), col("embedding"), col("label")).union(planted)
+      Dedup.semanticDedupFromClusters(corpus, "embedding", "vec_id",
+          col("label"), element_at(col("embedding"), 1).cast("double"),
+          threshold = 0.999, maxClusterSize = 5000)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
     }),
 
     "q_validate" -> ((s, dir) => {
@@ -992,8 +1031,9 @@ object SparkEntry {
     // ---- the flagship pipeline, end-to-end under the oracle ----
     "q_pipeline_funnel" -> ((s, dir) => {
       // TrainingDataPipeline.funnel as ONE oracled query: profile
-      // (quality + langid + token count) → filter → scrub (PII redact +
-      // Gopher repetition) → exact dedup → near-dedup → decontaminate →
+      // (quality + langid + token count) → filter → LM perplexity gate →
+      // scrub (PII redact + Gopher repetition) → exact dedup →
+      // near-dedup → decontaminate →
       // mix → split → chunk → pack, every stage in its deterministic,
       // externally-replayable configuration: nearDedup = blocked exact
       // Jaccard + connected components (the q_dedup_clusters replay),
@@ -1023,7 +1063,12 @@ object SparkEntry {
         chunkTokens = 16, chunkOverlap = 4, packBudget = 32L,
         nearDedup = "jaccard",
         mixWeights = Some(Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.125, "es" -> 0.125)),
-        langCol = "lang")
+        langCol = "lang",
+        // r11: the CCNet perplexity gate runs INSIDE the oracled funnel —
+        // LM trained on the quality-filtered en slice, cap 3.45 drops a
+        // real fraction at sf0.01 AND sf0.1 (scores are 4-decimal-rounded
+        // on both engines, so the boundary comparison is exact)
+        maxAvgNll = Some(3.45))
       plan.run()
       new ParquetConnector(s, workDir).read("docs_packed")
         .select(col("doc_id"), col("chunk_idx"), col("lang"), col("split"),
@@ -1841,6 +1886,93 @@ object SparkEntry {
         |WHERE abs(a.m - b.m) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // Full LM replay: vocabulary, UNK mapping, bigram/first-position
+    // counts over the en slice, add-k NLL per corpus bigram (rounded to
+    // 8 decimals, summed in DECIMAL — order-independent, so Spark's
+    // parallel sum and this serial one agree bit-for-bit).
+    "q_perplexity" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |vocab AS MATERIALIZED (
+        |  SELECT token FROM (
+        |    SELECT unnest(t) AS token FROM toks WHERE lang = 'en')
+        |  WHERE length(token) > 0
+        |  GROUP BY token ORDER BY COUNT(1) DESC, token LIMIT 1000),
+        |big AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |         unnest(t[1:len(t)-1]) AS w1r, unnest(t[2:len(t)]) AS w2r
+        |  FROM toks WHERE len(t) >= 2),
+        |bigm AS MATERIALIZED (
+        |  SELECT b.doc_id, b.lang,
+        |         CASE WHEN v1.token IS NULL THEN chr(1) ELSE b.w1r END AS w1,
+        |         CASE WHEN v2.token IS NULL THEN chr(1) ELSE b.w2r END AS w2
+        |  FROM big b
+        |  LEFT JOIN vocab v1 ON b.w1r = v1.token
+        |  LEFT JOIN vocab v2 ON b.w2r = v2.token),
+        |c12 AS MATERIALIZED (
+        |  SELECT w1, w2, COUNT(1) AS c12 FROM bigm WHERE lang = 'en' GROUP BY w1, w2),
+        |c1 AS MATERIALIZED (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+        |vsz AS (SELECT COUNT(1) + 1.0 AS v FROM vocab),
+        |nll AS (
+        |  SELECT b.doc_id,
+        |         ROUND(-ln((COALESCE(c12.c12, 0) + 0.5) /
+        |                   (COALESCE(c1.c1, 0) + 0.5 * vsz.v)), 8) AS nll8
+        |  FROM bigm b
+        |  LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+        |  LEFT JOIN c1 ON b.w1 = c1.w1
+        |  CROSS JOIN vsz),
+        |agg AS (
+        |  SELECT doc_id, COUNT(1) AS n_bigrams,
+        |         ROUND(CAST(SUM(CAST(nll8 AS DECIMAL(30,8))) AS DOUBLE) / COUNT(1), 4) AS avg_nll
+        |  FROM nll GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.avg_nll,
+        |       ROUND(exp(a.avg_nll), 4) + 0.0 AS ppl
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // SemDeDup resolution replay over the planted label clustering:
+    // within-label pairs at cosine >= 0.999 (planted copies ~1.0, max
+    // organic pair ~0.51 — margin-safe), transitive closure, winner =
+    // min (rank, id) per component. The 1.001f copy is emulated as a
+    // double multiply rounded back to FLOAT — exact: a 24-bit x 24-bit
+    // product fits a double, so fl32(double product) = float32 multiply.
+    "q_semdedup" ->
+      """WITH RECURSIVE base AS MATERIALIZED (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |         CAST(embedding[1] AS DOUBLE) AS rank
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, label,
+        |         CAST(c AS DOUBLE[]) AS v, CAST(c[1] AS DOUBLE) AS rank
+        |  FROM (SELECT vec_id, label,
+        |          CAST(list_transform(CAST(embedding AS DOUBLE[]),
+        |            x -> x * CAST(CAST(1.001 AS FLOAT) AS DOUBLE)) AS FLOAT[]) AS c
+        |        FROM embeddings WHERE vec_id % 10 = 0)),
+        |ok AS (SELECT label FROM base GROUP BY label HAVING COUNT(1) <= 5000),
+        |b AS MATERIALIZED (SELECT base.* FROM base JOIN ok USING (label)),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+        |  FROM b a JOIN b b2 ON a.label = b2.label AND a.vec_id < b2.vec_id
+        |  WHERE list_cosine_similarity(a.v, b2.v) >= 0.999),
+        |edges AS (SELECT id_a AS u, id_b AS w FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (SELECT u, w FROM edges
+        |          UNION SELECT r.u, e.w FROM reach r JOIN edges e ON r.w = e.u),
+        |comp AS (SELECT u AS id, LEAST(u, MIN(w)) AS component FROM reach GROUP BY u),
+        |m AS (SELECT c.id, c.component, base.rank
+        |      FROM comp c JOIN base ON base.vec_id = c.id),
+        |minr AS (SELECT component, MIN(rank) AS mr FROM m GROUP BY component),
+        |w AS (SELECT m.component, MIN(m.id) AS winner
+        |      FROM m JOIN minr ON m.component = minr.component AND m.rank = minr.mr
+        |      GROUP BY m.component),
+        |losers AS (SELECT m.id FROM m JOIN w ON m.component = w.component
+        |           WHERE m.id <> w.winner)
+        |SELECT vec_id, label FROM base
+        |WHERE vec_id NOT IN (SELECT id FROM losers)
+        |ORDER BY vec_id""".stripMargin,
+
     "q_hamming_neardup" ->
       """WITH h AS (
         |  SELECT doc_id,
@@ -2022,16 +2154,52 @@ object SparkEntry {
          |              + (CASE WHEN ws_tokens > 0 AND CAST(nonws AS DOUBLE) / ws_tokens >= 2.0 AND CAST(nonws AS DOUBLE) / ws_tokens <= 12.0 THEN 1.0 ELSE 0.0 END)
          |              ) / 5.0, 4) AS quality
          |  FROM qstat),
-         |clean AS (
+         |clean AS MATERIALIZED (
          |  SELECT doc_id, text, n_tokens, lang FROM prof
          |  WHERE quality >= 0.75 AND lang IN ('en', 'de', 'fr', 'es')),
+         |lmtoks AS MATERIALIZED (
+         |  SELECT doc_id, lang,
+         |         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+         |  FROM clean),
+         |lmvocab AS MATERIALIZED (
+         |  SELECT token FROM (SELECT unnest(t) AS token FROM lmtoks WHERE lang = 'en')
+         |  WHERE length(token) > 0
+         |  GROUP BY token ORDER BY COUNT(1) DESC, token LIMIT 50000),
+         |lmbig AS MATERIALIZED (
+         |  SELECT doc_id, lang, unnest(t[1:len(t)-1]) AS w1r, unnest(t[2:len(t)]) AS w2r
+         |  FROM lmtoks WHERE len(t) >= 2),
+         |lmbigm AS MATERIALIZED (
+         |  SELECT b.doc_id, b.lang,
+         |         CASE WHEN v1.token IS NULL THEN chr(1) ELSE b.w1r END AS w1,
+         |         CASE WHEN v2.token IS NULL THEN chr(1) ELSE b.w2r END AS w2
+         |  FROM lmbig b
+         |  LEFT JOIN lmvocab v1 ON b.w1r = v1.token
+         |  LEFT JOIN lmvocab v2 ON b.w2r = v2.token),
+         |lmc12 AS MATERIALIZED (
+         |  SELECT w1, w2, COUNT(1) AS c12 FROM lmbigm WHERE lang = 'en' GROUP BY w1, w2),
+         |lmc1 AS MATERIALIZED (SELECT w1, SUM(c12) AS c1 FROM lmc12 GROUP BY w1),
+         |lmvsz AS (SELECT COUNT(1) + 1.0 AS v FROM lmvocab),
+         |lmnll AS (
+         |  SELECT b.doc_id,
+         |         ROUND(-ln((COALESCE(lmc12.c12, 0) + 0.5) /
+         |                   (COALESCE(lmc1.c1, 0) + 0.5 * lmvsz.v)), 8) AS nll8
+         |  FROM lmbigm b
+         |  LEFT JOIN lmc12 ON b.w1 = lmc12.w1 AND b.w2 = lmc12.w2
+         |  LEFT JOIN lmc1 ON b.w1 = lmc1.w1
+         |  CROSS JOIN lmvsz),
+         |lmkeep AS MATERIALIZED (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |           ROUND(CAST(SUM(CAST(nll8 AS DECIMAL(30,8))) AS DOUBLE) / COUNT(1), 4) AS avg_nll
+         |    FROM lmnll GROUP BY doc_id)
+         |  WHERE avg_nll <= 3.45),
          |scrub0 AS MATERIALIZED (
          |  SELECT doc_id, lang, n_tokens,
          |         regexp_replace(regexp_replace(regexp_replace(text,
          |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
          |             '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '<IP>', 'g'),
          |             '\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4}\\b', '<PHONE>', 'g') AS text
-         |  FROM clean),
+         |  FROM clean JOIN lmkeep USING (doc_id)),
          |words AS MATERIALIZED (
          |  SELECT doc_id,
          |         list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS w,

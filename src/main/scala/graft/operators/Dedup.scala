@@ -770,6 +770,84 @@ object Dedup {
       .distinct()
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * embedding space, find cosine near-dup groups WITHIN each cluster,
+    * and keep one representative per group — by the paper's policy the
+    * member FARTHEST from its cluster centroid (the most boundary-ish
+    * exemplar carries the most marginal information; `keepFarthest =
+    * false` keeps the smallest id instead). Differs from
+    * [[embeddingNearDup]] exactly as the paper differs from LSH dedup:
+    * buckets are LEARNED semantic cells, not random hyperplane slices,
+    * so recall within a semantic neighborhood is structural rather than
+    * probabilistic — and the cluster assignment doubles as the keep
+    * policy's distance rank.
+    *
+    * `centroids` come from [[Similarity.trainCentroids]] (deterministic
+    * seeded Lloyd) or any caller-provided codebook; assignment + rank
+    * are ONE argmin pass inlined as literals
+    * ([[Similarity.nearestCellWithDist]]) — no join, no shuffle on the
+    * assignment side. Keep-farthest rank = −(squared L2 to the assigned
+    * centroid), which for the unit-normalized embeddings SemDeDup
+    * assumes is exactly the paper's min-cosine-to-centroid order.
+    *
+    * Scale: one shuffle of (cell, id, vector); within-cell pairing is
+    * the capped [[minhashCandidates]] machinery (`maxClusterSize` bounds
+    * the quadratic site — SemDeDup's k is chosen so cells average
+    * corpus/k members; cap ≈ 10× that); group resolution is
+    * [[connectedComponents]] over verified pairs (edge-set-only
+    * iteration), winner selection two small aggs over component members
+    * only. */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+                    centroids: Array[(Int, Array[Double])],
+                    threshold: Double = 0.95, maxClusterSize: Int = 2000,
+                    keepFarthest: Boolean = true): DataFrame = {
+    require(centroids.nonEmpty, "at least one centroid required")
+    val (cell, d2) = Similarity.nearestCellWithDist(col(vecCol), centroids)
+    semanticDedupFromClusters(df, vecCol, idCol, cell,
+      if (keepFarthest) -d2 else lit(0.0), threshold, maxClusterSize)
+  }
+
+  /** [[semanticDedup]]'s machinery over CALLER-PROVIDED cluster and rank
+    * columns — the oracle seam ([[embeddingNearDupMultiFromBuckets]]
+    * pattern): cluster ids and ranks never reach the output, so an
+    * external engine can replay the whole pipeline (within-cluster
+    * pairing → cosine verify → connected components → keep the min-rank,
+    * tie-break min-id, member per component) from planted arithmetic
+    * keys — `q_semdedup` uses the embeddings table's label column as the
+    * clustering and a coordinate as the rank. Also the extension point
+    * for externally-computed assignments (a trained classifier's cells,
+    * pre-sharded corpora). Winner per component = min (rank, id)
+    * lexicographically; rows outside any near-dup component always
+    * survive. Resolution is two aggregations over component members
+    * (min rank, then min id among rank-ties) + one semi-style join —
+    * never a window, and never a struct-valued agg buffer (those fall
+    * out of HashAggregate). */
+  def semanticDedupFromClusters(df: DataFrame, vecCol: String, idCol: String,
+                                clusterCol: Column, rankCol: Column,
+                                threshold: Double = 0.95,
+                                maxClusterSize: Int = 2000): DataFrame = {
+    val keyed = ensureParallel(df).select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      clusterCol.as("_cluster"), rankCol.cast("double").as("_rank"))
+    val pairs = bucketPairs(keyed, Seq("_cluster"), "_id", "_v", maxClusterSize)
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        VectorFunctions.cosine(col("pa"), col("pb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b")
+    val members = connectedComponents(pairs)
+      .join(keyed.select(col("_id"), col("_rank")), col("id") === col("_id"))
+      .select(col("id"), col("component"), col("_rank"))
+    val minRank = members.groupBy("component").agg(min("_rank").as("_mr"))
+    val winners = members.join(minRank, Seq("component"))
+      .filter(col("_rank") === col("_mr"))
+      .groupBy("component").agg(min("id").as("_w"))
+    val losers = members.join(winners, Seq("component"))
+      .filter(col("id") =!= col("_w"))
+      .select(col("id").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Corpus-wide EXACT duplicated-substring scrub — the span-level dedup
     * family doc-level dedup (exact/minhash) misses entirely: boilerplate
     * EMBEDDED in otherwise-unique documents (license blocks, navigation

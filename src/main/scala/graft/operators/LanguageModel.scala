@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** KenLM-style n-gram language-model quality scoring — the CCNet recipe
+  * (Wenzek et al. 2020): train add-k-smoothed bigram counts on a trusted
+  * reference slice (CCNet uses Wikipedia), then score every corpus
+  * document by its mean per-bigram negative log-likelihood under that
+  * model. High-NLL documents are gibberish, boilerplate, or
+  * out-of-domain; the score is the standard threshold input for
+  * head/middle/tail quality binning of a pretraining corpus.
+  *
+  * Everything is count arithmetic — no floating-point model state — so
+  * the whole train→score pipeline is deterministic and externally
+  * replayable (the `q_perplexity` oracle recomputes it end-to-end in
+  * DuckDB).
+  *
+  * Scale shape: the model side is bounded by the REFERENCE slice, not
+  * the corpus — vocabulary is a driver-collected top-K token array
+  * (≤ `vocabSize` strings, the [[Similarity.trainCentroids]] trade),
+  * bigram/first-token count tables are lazy DataFrames that broadcast
+  * when small (a reference-slice LM is; AQE falls back to a shuffle
+  * join on (w1, w2) for a corpus-sized one). The corpus side never
+  * shuffles text: documents explode to (doc, w1, w2) bigram rows
+  * map-side, join the broadcast counts, and partially aggregate to one
+  * (doc, sum, count) row per task before the per-doc exchange.
+  */
+object LanguageModel {
+
+  /** Out-of-vocabulary sentinel. U+0001 cannot survive
+    * [[TextFunctions.normalizeForFingerprint]]'s lowercase/collapse
+    * pipeline as a standalone token of real text, so it never collides
+    * with a vocabulary entry. */
+  val Unk = "\u0001"
+
+  /** A trained bigram LM: `vocabTokens` is the driver-side top-K
+    * vocabulary (frequency desc, token asc — deterministic tie-break),
+    * `bigrams` the (w1, w2, c12) counts and `totals` the (w1, c1)
+    * first-position totals over the UNK-mapped reference stream. The
+    * count DataFrames are lazy and unpersisted: a caller scoring many
+    * corpora against one model should persist them (train once, score
+    * many — the CCNet usage), otherwise the reference is re-scanned per
+    * score run. */
+  final case class BigramLm(vocabTokens: Array[String],
+                            bigrams: DataFrame,
+                            totals: DataFrame) {
+    /** Smoothing event space: vocabulary plus the UNK bucket. */
+    def eventSpace: Double = vocabTokens.length + 1.0
+  }
+
+  /** Normalized token array of `c` (lowercase, whitespace collapsed) —
+    * empty/whitespace-only text yields a single empty token, which the
+    * `size >= 2` bigram guard then drops. */
+  private def tokensCol(c: Column): Column =
+    split(TextFunctions.normalizeForFingerprint(c), " ")
+
+  /** Exploded (id, w1, w2) bigram stream of `df`. Codegen-friendly by
+    * construction: slice + arrays_zip + explode are native expressions
+    * (no higher-order lambdas, which would drop the projection to
+    * interpreted eval). Documents with fewer than two tokens contribute
+    * no rows. */
+  private def bigramStream(df: DataFrame, textCol: String, idExpr: Column): DataFrame =
+    df.select(idExpr.as("_lmid"), tokensCol(col(textCol)).as("_t"))
+      .withColumn("_n", size(col("_t")))
+      .filter(col("_n") >= 2)
+      .withColumn("_w1s", slice(col("_t"), lit(1), col("_n") - 1))
+      .withColumn("_w2s", slice(col("_t"), lit(2), col("_n") - 1))
+      .select(col("_lmid"), explode(arrays_zip(col("_w1s"), col("_w2s"))).as("_bg"))
+      .select(col("_lmid"), col("_bg._w1s").as("_w1"), col("_bg._w2s").as("_w2"))
+
+  /** Map both bigram positions through the vocabulary, OOV → [[Unk]].
+    * The vocabulary is a driver array — the membership test is two
+    * broadcast joins against a tiny local relation, never a shuffle of
+    * the stream. */
+  private def mapUnk(stream: DataFrame, vocabTokens: Array[String]): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val v1 = broadcast(vocabTokens.toSeq.toDF("_v1"))
+    val v2 = broadcast(vocabTokens.toSeq.toDF("_v2"))
+    stream
+      .join(v1, col("_w1") === col("_v1"), "left")
+      .join(v2, col("_w2") === col("_v2"), "left")
+      .select(col("_lmid"),
+        when(col("_v1").isNull, lit(Unk)).otherwise(col("_w1")).as("_w1"),
+        when(col("_v2").isNull, lit(Unk)).otherwise(col("_w2")).as("_w2"))
+  }
+
+  /** Train a bigram LM on `ref` (the trusted reference slice). Runs ONE
+    * eager job — the top-`vocabSize` vocabulary is collected to the
+    * driver (bounded: `vocabSize` strings; same documented trade as the
+    * samplers' min/max scan and [[Similarity.trainCentroids]]). The
+    * bigram and first-token count tables remain lazy. */
+  def train(ref: DataFrame, textCol: String, vocabSize: Int = 50000): BigramLm = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val vocabTokens = TextFunctions.vocabulary(ref, textCol, vocabSize)
+      .select("token").collect().map(_.getString(0))
+    val mapped = mapUnk(bigramStream(ref, textCol, lit(0L)), vocabTokens)
+    val bigrams = mapped.groupBy("_w1", "_w2").agg(count(lit(1)).as("_c12"))
+    val totals = bigrams.groupBy("_w1").agg(sum("_c12").as("_c1"))
+    BigramLm(vocabTokens, bigrams, totals)
+  }
+
+  /** Score every document of `df`: (id, n_bigrams, avg_nll, ppl) where
+    * avg_nll = mean over the document's UNK-mapped bigrams of
+    * −ln((c12 + k) / (c1 + k·(|V|+1))) and ppl = e^avg_nll. Documents
+    * with no bigram (fewer than two tokens) keep n_bigrams = 0 and null
+    * scores — callers decide their fate, the scorer doesn't.
+    *
+    * Determinism across engines: each bigram NLL is rounded to 8
+    * decimals and summed as DECIMAL(30,8) — an order-independent exact
+    * sum, so the mean is bit-identical no matter how Spark parallelizes
+    * (and identical to the DuckDB oracle's serial replay). */
+  def scoreNll(df: DataFrame, textCol: String, idCol: String,
+               lm: BigramLm, addK: Double = 0.5): DataFrame = {
+    require(addK > 0.0, s"addK must be > 0 (unsmoothed zero-count bigrams have no finite NLL), got $addK")
+    val stream = mapUnk(bigramStream(df, textCol, col(idCol)), lm.vocabTokens)
+    val nll = -log(
+      (coalesce(col("_c12"), lit(0L)).cast("double") + lit(addK)) /
+        (coalesce(col("_c1"), lit(0L)).cast("double") + lit(addK) * lit(lm.eventSpace)))
+    val perDoc = stream
+      .join(lm.bigrams, Seq("_w1", "_w2"), "left")
+      .join(lm.totals, Seq("_w1"), "left")
+      .select(col("_lmid"), round(nll, 8).cast("decimal(30,8)").as("_nll8"))
+      .groupBy("_lmid")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("_nll8")).cast("double") / count(lit(1)), 4).as("avg_nll"))
+    df.select(col(idCol))
+      .join(perDoc.withColumnRenamed("_lmid", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_nll"),
+        (round(exp(col("avg_nll")), 4) + lit(0.0)).as("ppl"))
+  }
+}

@@ -151,13 +151,21 @@ object Similarity {
   /** argmin over centroids of L2 distance, as pure column expressions —
     * the centroid table is tiny and inlined as literals (no broadcast
     * join needed, no shuffle). */
-  def nearestCell(vec: Column, centroids: Array[(Int, Array[Double])]): Column = {
+  def nearestCell(vec: Column, centroids: Array[(Int, Array[Double])]): Column =
+    nearestCellWithDist(vec, centroids)._1
+
+  /** [[nearestCell]] plus the squared L2 distance to that centroid, from
+    * the same single argmin pass (one l2Sq per centroid, shared by both
+    * outputs). The distance is [[Dedup.semanticDedup]]'s keep-farthest
+    * rank: for unit-normalized embeddings, max L2 distance to the
+    * centroid is exactly min cosine similarity to it. */
+  def nearestCellWithDist(vec: Column, centroids: Array[(Int, Array[Double])]): (Column, Column) = {
     val scored: Seq[(Column, Column)] = centroids.toIndexedSeq.map { case (i, cv) =>
       (lit(i), VectorFunctions.l2Sq(vec, typedLit(cv.toSeq)))
     }
     scored.reduceLeft[(Column, Column)] { case ((ai, ad), (bi, bd)) =>
       (when(bd < ad, bi).otherwise(ai), least(ad, bd))
-    }._1
+    }
   }
 
   /** IVF search: restrict the scan to the `nprobe` cells nearest the

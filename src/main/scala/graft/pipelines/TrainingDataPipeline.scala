@@ -2,7 +2,7 @@ package graft.pipelines
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{Curation, Dedup}
+import graft.operators.{Curation, Dedup, LanguageModel}
 import graft.plans.{Plan, Reporter}
 import graft.sources.ParquetConnector
 
@@ -33,7 +33,8 @@ object TrainingDataPipeline {
     * pack stage. */
   case class Funnel(ingested: Long, profiled: Long, kept: Long,
                     scrubbed: Long, exactUnique: Long, nearUnique: Long,
-                    finalKept: Long, mixed: Long, packedChunks: Long)
+                    finalKept: Long, mixed: Long, packedChunks: Long,
+                    lmKept: Long = 0L)
 
   /** Wire the pipeline steps onto `plan`. `src` must contain
     * `documents.parquet`; outputs land in `work`.
@@ -52,7 +53,14 @@ object TrainingDataPipeline {
     * per-language weights ([[Curation.mixByWeight]]) — the production
     * form when the corpus composition is a spec, not a formula, and the
     * deterministic one an external engine can replay
-    * (`q_pipeline_funnel`). */
+    * (`q_pipeline_funnel`).
+    *
+    * `maxAvgNll` enables the CCNet perplexity gate (`lm_filter` step,
+    * [[graft.operators.LanguageModel]]): a bigram LM trained on the
+    * quality-filtered `lmRefLang` slice scores every document; those
+    * above the cap — or too short to score — drop before scrubbing.
+    * Off by default (`None`): the gate only makes sense when the
+    * reference slice is actually trustworthy for the corpus mix. */
   def build(plan: Plan, srcDir: String, workDir: String,
             minQuality: Double = 0.3, langs: Seq[String] = Seq("en", "de", "fr", "es"),
             minhashThreshold: Double = 0.7,
@@ -63,7 +71,11 @@ object TrainingDataPipeline {
             packBudget: Long = 2048L,
             nearDedup: String = "minhash",
             mixWeights: Option[Map[String, Double]] = None,
-            langCol: String = "lang_pred"): Plan = {
+            langCol: String = "lang_pred",
+            maxAvgNll: Option[Double] = None,
+            lmRefLang: String = "en",
+            lmVocabSize: Int = 50000,
+            lmAddK: Double = 0.5): Plan = {
     require(Set("minhash", "jaccard").contains(nearDedup),
       s"nearDedup must be 'minhash' or 'jaccard', got '$nearDedup'")
     val spark = plan.spark
@@ -91,10 +103,30 @@ object TrainingDataPipeline {
         "docs_clean")
     }
 
+    maxAvgNll.foreach { cap =>
+      plan.step("lm_filter") {
+        // CCNet perplexity gate: bigram LM trained on the pipeline's own
+        // `lmRefLang` survivors of the quality filter (the best trusted
+        // slice available without an external reference corpus), every
+        // document scored by mean bigram NLL, kept iff avg_nll <= cap.
+        // Documents too short to produce a bigram score NULL and drop —
+        // "no evidence" is a drop, not a free pass (deliberate: a
+        // <2-token document is not useful pretraining data, and NULL <=
+        // cap filters identically in Spark and the replaying engine).
+        val clean = work.read("docs_clean")
+        val lm = LanguageModel.train(clean.filter(col(langCol) === lmRefLang),
+          "text", lmVocabSize)
+        val kept = LanguageModel.scoreNll(clean, "text", "doc_id", lm, lmAddK)
+          .filter(col("avg_nll") <= cap)
+        work.write(clean.join(kept.select("doc_id"), Seq("doc_id"), "left_semi"),
+          "docs_lm")
+      }
+    }
+
     plan.step("scrub") {
       // PII out first (scan-speed regex chain), then the Gopher
       // repetition thresholds — one native profile pass per doc
-      val clean = work.read("docs_clean")
+      val clean = work.read(if (maxAvgNll.isDefined) "docs_lm" else "docs_clean")
       work.write(clean
         .withColumn("text", TextFunctions.redactPii(col("text")))
         .filter(TextFunctions.gopherRepetitionKeep(col("text"))), "docs_scrubbed")
@@ -200,6 +232,7 @@ object TrainingDataPipeline {
           |  ingested:      {{ingested}}
           |  profiled:      {{profiled}}
           |  quality+lang:  {{kept}}
+          |  lm-kept:       {{lm}}
           |  scrubbed:      {{scrubbed}}
           |  exact-unique:  {{exact}}
           |  near-unique:   {{near}}
@@ -207,7 +240,8 @@ object TrainingDataPipeline {
           |  mixed:         {{mixed}}
           |  packed chunks: {{packed}}""".stripMargin,
         Map("ingested" -> f.ingested.toString, "profiled" -> f.profiled.toString,
-          "kept" -> f.kept.toString, "scrubbed" -> f.scrubbed.toString,
+          "kept" -> f.kept.toString, "lm" -> f.lmKept.toString,
+          "scrubbed" -> f.scrubbed.toString,
           "exact" -> f.exactUnique.toString,
           "near" -> f.nearUnique.toString, "final" -> f.finalKept.toString,
           "mixed" -> f.mixed.toString, "packed" -> f.packedChunks.toString))
@@ -249,6 +283,7 @@ object TrainingDataPipeline {
           work.count("docs_final")
         else near,
       mixed = countIf("docs_mixed"),
-      packedChunks = countIf("docs_packed"))
+      packedChunks = countIf("docs_packed"),
+      lmKept = countIf("docs_lm"))
   }
 }

@@ -245,4 +245,25 @@ class PlanEvidenceSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       "corpus side must not shuffle into the join")
   }
+
+  test("LM scoring: model side broadcasts, corpus bigrams never sort-merge-join") {
+    val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+    val lm = graft.operators.LanguageModel.train(
+      docs.filter(col("lang") === "en"), "text", vocabSize = 1000)
+    val out = graft.operators.LanguageModel.scoreNll(docs, "text", "doc_id", lm)
+    out.collect() // the count-table joins broadcast via AQE: inspect the FINAL plan
+    // AdaptiveSparkPlan.toString prints the final plan followed by the
+    // pre-AQE initial one — only the final section is the verdict
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), "vocab/count tables must broadcast")
+    // the ONLY join allowed to sort-merge is the final doc-level assembly
+    // (documents ⟕ per-doc scores on doc_id — both sides corpus-sized at
+    // scale, SMJ is the right plan there; AQE may or may not demote it to
+    // broadcast at this SF). Token-keyed joins (vocab mapping, bigram
+    // counts) must never shuffle the exploded bigram stream.
+    val badSmj = plan.linesIterator.filter(_.contains("SortMergeJoin"))
+      .filterNot(l => l.contains("doc_id") || l.contains("_lmid"))
+    assert(badSmj.isEmpty,
+      "a token-keyed join sort-merged the corpus bigram stream:\n" + badSmj.mkString("\n"))
+  }
 }

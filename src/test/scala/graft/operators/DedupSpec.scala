@@ -608,4 +608,80 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_.getString(1)).toSeq == Seq("a\nb", "c\nd"))
     assert(out.forall(_.getLong(3) == 0))
   }
+
+  // ---- SemDeDup ----
+
+  private val semSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("v", ArrayType(FloatType)),
+    StructField("cl", IntegerType)))
+
+  test("semanticDedupFromClusters: winner = min (rank, id) per component; cross-cluster pairs never form") {
+    // cluster 0: ids 1,2,3 all colinear (cosine 1); ranks pick id 2.
+    // cluster 1: id 4 is colinear with them TOO — but sits in another
+    // cluster, so it must survive untouched (the clustering IS the
+    // blocking). id 5 in cluster 0 is orthogonal — no pair.
+    val rows = Seq(
+      Row(1L, Seq(1.0f, 0.0f), 0), Row(2L, Seq(2.0f, 0.0f), 0), Row(3L, Seq(3.0f, 0.0f), 0),
+      Row(4L, Seq(1.0f, 0.0f), 1), Row(5L, Seq(0.0f, 1.0f), 0))
+    val d = df(semSchema, rows)
+    val ranks = map(lit(1L), lit(5.0), lit(2L), lit(1.0), lit(3L), lit(7.0),
+      lit(4L), lit(0.0), lit(5L), lit(0.0))
+    val kept = Dedup.semanticDedupFromClusters(d, "v", "vec_id",
+      col("cl"), element_at(ranks, col("vec_id")), threshold = 0.999, maxClusterSize = 100)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 5L), s"got $kept")
+  }
+
+  test("semanticDedupFromClusters: rank ties fall back to min id") {
+    val rows = Seq(Row(1L, Seq(1.0f, 0.0f), 0), Row(2L, Seq(1.0f, 0.0f), 0),
+      Row(3L, Seq(1.0f, 0.0f), 0))
+    val d = df(semSchema, rows)
+    val kept = Dedup.semanticDedupFromClusters(d, "v", "vec_id",
+      col("cl"), lit(0.0), threshold = 0.999, maxClusterSize = 100)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
+  test("semanticDedup: trained centroids, keep-farthest drops the copy nearer its cell centroid") {
+    // three tight, well-separated direction groups; every member i also
+    // re-entered as i+1000 scaled by 1.004f (cosine 1, different radius).
+    // k-means (seeded, deterministic) recovers the groups; within each
+    // near-dup component the survivor must be the member with the LARGER
+    // squared distance to its assigned centroid (tie -> lower id) —
+    // verified against ranks recomputed here with the same fold order.
+    // members are 4 degrees apart within a group (cosine 0.9976 < the
+    // 0.999 threshold — distinct members never pair) while a scaled
+    // copy is colinear with its original (cosine ~1 — always pairs);
+    // groups live in three orthogonal planes (cross-group cosine <= 0.59).
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("v", ArrayType(FloatType))))
+    val base = (0L until 30L).map { i =>
+      val phi = (i / 3) * 4.0 * math.Pi / 180.0
+      val (c0, s0) = (10.0 * math.cos(phi), 10.0 * math.sin(phi))
+      val v = (i % 3) match {
+        case 0 => Array(c0.toFloat, s0.toFloat, 0.0f)
+        case 1 => Array(0.0f, c0.toFloat, s0.toFloat)
+        case _ => Array(s0.toFloat, 0.0f, c0.toFloat)
+      }
+      i -> v
+    }
+    val all = base ++ base.map { case (i, v) => (i + 1000L) -> v.map(_ * 1.004f) }
+    val d = df(vecSchema, all.map { case (i, v) => Row(i, v.toSeq) })
+    val centroids = Similarity.trainCentroids(d, "v", "vec_id", nlist = 3)
+    val kept = Dedup.semanticDedup(d, "v", "vec_id", centroids,
+      threshold = 0.999, maxClusterSize = 100)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def minD2(v: Array[Float]): Double = centroids.map { case (_, c) =>
+      v.zip(c).foldLeft(0.0) { case (acc, (x, y)) => acc + (x.toDouble - y) * (x.toDouble - y) }
+    }.min
+    val byId = all.toMap
+    base.foreach { case (i, _) =>
+      val (da, db) = (minD2(byId(i)), minD2(byId(i + 1000L)))
+      val expect = if (da > db || (da == db && i < i + 1000L)) i else i + 1000L
+      assert(kept.contains(expect) && !kept.contains(if (expect == i) i + 1000L else i),
+        s"component $i: d2($i)=$da d2(${i + 1000L})=$db kept=$kept")
+    }
+    assert(kept.size == 30)
+  }
 }

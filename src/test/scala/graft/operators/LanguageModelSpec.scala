@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions._
+
+/** LM quality scoring: hand-computed add-k bigram NLLs, UNK mapping at a
+  * capped vocabulary, short-document edges, partition-order invariance
+  * (the DECIMAL-sum determinism claim). */
+class LanguageModelSpec extends SparkSpec {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  // ref bigrams: "a b a b" -> (a,b),(b,a),(a,b); "a b" -> (a,b)
+  // c12: (a,b)=3, (b,a)=1; totals: a=3, b=1; vocab {a,b}; event space 3.
+  private def refDf = df(docSchema, Seq(Row(1L, "a b a b"), Row(2L, "a b")))
+
+  private def score(corpus: Seq[(Long, String)], vocabSize: Int = 100): Map[Long, Row] = {
+    val lm = LanguageModel.train(refDf, "text", vocabSize)
+    LanguageModel.scoreNll(df(docSchema, corpus.map { case (i, t) => Row(i, t) }),
+      "text", "doc_id", lm, addK = 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+  }
+
+  test("hand-computed NLL: seen bigram, unseen-word bigrams, mixed doc") {
+    val out = score(Seq(10L -> "a b", 11L -> "z q", 12L -> "a b z"))
+    // (a,b): -ln((3+.5)/(3+.5*3)) = ln(9/7) = 0.2513
+    assert(out(10L).getLong(1) == 1L)
+    assert(out(10L).getDouble(2) == 0.2513)
+    assert(out(10L).getDouble(3) == 1.2857) // round(exp(0.2513), 4)
+    // z,q are OOV -> (unk,unk): -ln(0.5/(0+1.5)) = ln 3 = 1.09861229 -> avg 1.0986
+    assert(out(11L).getLong(1) == 1L)
+    assert(out(11L).getDouble(2) == 1.0986)
+    // (a,b) then (b,unk): -ln((0+.5)/(1+1.5)) = ln 5 = 1.60943791
+    // avg = (0.25131443 + 1.60943791) / 2 = 0.93037617 -> 0.9304
+    assert(out(12L).getLong(1) == 2L)
+    assert(out(12L).getDouble(2) == 0.9304)
+  }
+
+  test("documents with fewer than two tokens keep n_bigrams 0 and null scores") {
+    val out = score(Seq(20L -> "solo", 21L -> "", 22L -> "   \n\t "))
+    Seq(20L, 21L, 22L).foreach { id =>
+      assert(out(id).getLong(1) == 0L, s"doc $id")
+      assert(out(id).isNullAt(2) && out(id).isNullAt(3), s"doc $id")
+    }
+  }
+
+  test("vocabSize caps the vocabulary with a deterministic tie-break") {
+    // a and b tie at freq 3; token asc keeps 'a'. Ref maps to
+    // a,unk,a,unk / a,unk: c12 (a,unk)=3, (unk,a)=1; totals a=3, unk=1;
+    // event space 2. Doc "a b": (a,unk) -> -ln(3.5/(3+1)) = ln(8/7) = 0.1335
+    val out = score(Seq(30L -> "a b"), vocabSize = 1)
+    assert(out(30L).getDouble(2) == 0.1335)
+  }
+
+  test("normalization feeds the LM: case and whitespace collapse before bigramming") {
+    val out = score(Seq(40L -> "  A   B ", 41L -> "a b"))
+    assert(out(40L).getDouble(2) == out(41L).getDouble(2))
+  }
+
+  test("score is invariant to corpus partitioning (order-independent DECIMAL sum)") {
+    val corpus = (0L until 50L).map(i => i -> s"a b a z${i % 7} b a")
+    val lm = LanguageModel.train(refDf, "text", 100)
+    val one = LanguageModel.scoreNll(
+      df(docSchema, corpus.map { case (i, t) => Row(i, t) }).coalesce(1),
+      "text", "doc_id", lm).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val many = LanguageModel.scoreNll(
+      df(docSchema, corpus.map { case (i, t) => Row(i, t) }).repartition(13),
+      "text", "doc_id", lm).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(one == many)
+  }
+}

@@ -94,6 +94,35 @@ class TrainingDataPipelineSpec extends SparkSpec {
     }
   }
 
+  test("lm_filter stage keeps exactly the docs at or under the NLL cap; short docs drop") {
+    val work = tmpDir("graft_pipe_lm_")
+    val planA = new Plan(spark, PlanConfig(pidDir = tmpDir("graft_pid_lm_a_")))
+    TrainingDataPipeline.build(planA, src, work, minQuality = 0.0, langCol = "lang")
+    planA.run(Seq("profile", "filter"))
+    val workConn = new graft.sources.ParquetConnector(spark, work)
+    val clean = workConn.read("docs_clean")
+    // cap = the median score, computed with the SAME operator — the
+    // stage must then keep a strict, non-empty subset
+    val lm = graft.operators.LanguageModel.train(
+      clean.filter(col("lang") === "en"), "text", 50000)
+    val scored = graft.operators.LanguageModel.scoreNll(clean, "text", "doc_id", lm)
+    val cap = scored.filter(col("avg_nll").isNotNull)
+      .stat.approxQuantile("avg_nll", Array(0.5), 0.0).head
+    val expected = scored.filter(col("avg_nll") <= cap)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty && expected.size < clean.count())
+    val planB = new Plan(spark, PlanConfig(pidDir = tmpDir("graft_pid_lm_b_")))
+    TrainingDataPipeline.build(planB, src, work, minQuality = 0.0, langCol = "lang",
+      maxAvgNll = Some(cap))
+    planB.run(Seq("lm_filter", "scrub"))
+    val gotLm = workConn.read("docs_lm").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(gotLm == expected, "stage keep set must equal the operator's")
+    val f = TrainingDataPipeline.funnel(planB, src, work)
+    assert(f.lmKept == expected.size)
+    assert(f.scrubbed <= f.lmKept, "scrub consumes the LM-gated set")
+  }
+
   test("decontaminate stage drops documents overlapping the benchmark") {
     val work = tmpDir("graft_pipe_work3_")
     val benchDir = tmpDir("graft_pipe_bench_")
