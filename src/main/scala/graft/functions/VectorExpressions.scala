@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
@@ -121,4 +121,172 @@ case class HyperplaneBucket(child: Expression, dim: Int, planes: Int, seed: Long
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
     copy(child = newChild)
   override def prettyName: String = "hyperplane_bucket"
+}
+
+/** Fused per-row vector arithmetic invoked from generated code.
+  *
+  * Same motivation as [[VectorOps.hyperplaneBucket]]: the
+  * `aggregate(zip_with(...))` HOF formulations of dot / cosine / L2²
+  * are CodegenFallback, so every candidate-pair verify (embedding
+  * near-dup, SemDeDup, ANN scoring) paid interpreted per-element boxing
+  * — measured as ~7 s of q_semdedup's 9 s at sf0.1 for only ~250k
+  * dim-64 cosines. Each helper below is ONE tight loop per row with
+  * primitive accumulators, and reproduces the HOF forms' semantics
+  * EXACTLY (parity-spec'd in VectorFunctionsSpec):
+  *
+  *  - accumulation order is the same left-to-right element order, so
+  *    results are bit-identical doubles (oracle hashes cannot move);
+  *  - a null element anywhere → null (zip_with/aggregate null-poison);
+  *  - mismatched lengths → null dot/L2² (zip_with pads the shorter side
+  *    with nulls), EXCEPT cosine's either-norm-zero case which is 0.0
+  *    regardless of the null dot — `when(n === 0.0, 0.0)` tests the
+  *    norms first and norms never zip;
+  *  - NaN/±Inf flow through IEEE arithmetic exactly as the fold does
+  *    (NaN norms fail `== 0.0` in both engines' semantics).
+  *
+  * Boxed `java.lang.Double` returns carry the null channel: one box per
+  * ROW (vs one per element interpreted) is noise. */
+object VectorArith {
+  @inline private def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  def dot(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      d += elem(a, i, aF) * elem(b, i, bF)
+      i += 1
+    }
+    d
+  }
+
+  def l2Sq(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = elem(a, i, aF) - elem(b, i, bF)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  def cosine(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): java.lang.Double = {
+    val la = a.numElements()
+    val lb = b.numElements()
+    if (la == lb) {
+      var d = 0.0
+      var na2 = 0.0
+      var nb2 = 0.0
+      var i = 0
+      while (i < la) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        val x = elem(a, i, aF)
+        val y = elem(b, i, bF)
+        d += x * y; na2 += x * x; nb2 += y * y
+        i += 1
+      }
+      val nrm = Math.sqrt(na2) * Math.sqrt(nb2)
+      if (nrm == 0.0) 0.0 else d / nrm
+    } else {
+      // mismatched lengths: the HOF dot is null (zip_with null-pad), but
+      // the norms are computed over each FULL array — either-norm-zero
+      // still short-circuits to 0.0 before the null dot is consulted
+      var na2 = 0.0
+      var i = 0
+      while (i < la) {
+        if (a.isNullAt(i)) return null
+        val x = elem(a, i, aF); na2 += x * x; i += 1
+      }
+      var nb2 = 0.0
+      i = 0
+      while (i < lb) {
+        if (b.isNullAt(i)) return null
+        val y = elem(b, i, bF); nb2 += y * y; i += 1
+      }
+      if (Math.sqrt(na2) * Math.sqrt(nb2) == 0.0) 0.0 else null
+    }
+  }
+}
+
+/** Base for the fused binary vector expressions: both inputs
+  * `array<float|double>` (mixed element types allowed — the HOF forms
+  * cast each element to double), output double, null on null INPUT via
+  * nullSafeCodeGen plus a per-row null channel from the helper (null
+  * element / length mismatch — see [[VectorArith]]). */
+abstract class BinaryVectorExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two array<float|double> inputs, got $other")
+    }
+
+  protected def leftIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  protected def rightIsFloat: Boolean = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** [[VectorArith]] method name; must accept (ArrayData, ArrayData,
+    * Boolean, Boolean) and return a boxed Double-or-null. */
+  protected def arithMethod: String
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = arithMethod match {
+      case "dot" => VectorArith.dot(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], leftIsFloat, rightIsFloat)
+      case "l2Sq" => VectorArith.l2Sq(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], leftIsFloat, rightIsFloat)
+      case "cosine" => VectorArith.cosine(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], leftIsFloat, rightIsFloat)
+    }
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("vecArith")
+      s"""java.lang.Double $r = graft.functions.VectorArith$$.MODULE$$.$arithMethod(
+         |  $a, $b, $leftIsFloat, $rightIsFloat);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+         |""".stripMargin
+    })
+}
+
+/** `vec dot` — Σ aᵢ·bᵢ, bit-identical to the sequential HOF left fold. */
+case class DotProduct(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override protected def arithMethod: String = "dot"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_dot_native"
+}
+
+/** Cosine similarity; 0.0 when either norm is 0. */
+case class CosineSimilarity(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override protected def arithMethod: String = "cosine"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_cosine_native"
+}
+
+/** Squared euclidean distance. */
+case class L2SqDistance(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override protected def arithMethod: String = "l2Sq"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2SqDistance =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_l2sq_native"
 }

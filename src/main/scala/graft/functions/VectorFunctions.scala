@@ -3,18 +3,36 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Embedding-vector math over `array<float>` columns, built from the
-  * higher-order functions (`zip_with`/`aggregate`/`transform`) so it
-  * stays codegen'd and distributed — no UDF boxing per element.
+/** Embedding-vector math over `array<float>` columns. The binary forms
+  * (dot / cosine / L2²) are native fused-loop expressions
+  * ([[VectorArith]]) — the `zip_with`/`aggregate` HOF compositions they
+  * replace are CodegenFallback (interpreted, boxed per element) and were
+  * the dominant cost of candidate-pair verification; each HOF reference
+  * formulation is kept `private[graft]` and parity spec-pinned.
   *
-  * Elements are cast to double before folding: the fold is sequential and
-  * deterministic, which keeps scores reproducible across partitionings
-  * (and bit-identical to a DuckDB oracle doing the same left fold).
+  * Elements are cast to double and accumulated in the same sequential
+  * left-to-right order as the folds: scores stay reproducible across
+  * partitionings and bit-identical to a DuckDB oracle doing the same
+  * left fold.
   */
 object VectorFunctions {
+  import org.apache.spark.sql.graftshim.ColumnBridge
 
-  /** Σ aᵢ·bᵢ as a sequential left fold. */
-  def dot(a: Column, b: Column): Column =
+  private def binaryNative(a: Column, b: Column,
+                           mk: (org.apache.spark.sql.catalyst.expressions.Expression,
+                                org.apache.spark.sql.catalyst.expressions.Expression)
+                             => org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    ColumnBridge.column(mk(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Σ aᵢ·bᵢ, bit-identical to the sequential left fold the HOF
+    * formulation ([[dotHof]]) computes — but as ONE fused codegen'd loop
+    * per row ([[VectorArith]]): the HOF form is CodegenFallback and was
+    * the dominant cost of every candidate-pair verify. Parity (null /
+    * length-mismatch / NaN semantics included) is spec-pinned. */
+  def dot(a: Column, b: Column): Column = binaryNative(a, b, DotProduct.apply)
+
+  /** The HOF reference formulation of [[dot]], kept for the parity spec. */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
@@ -24,15 +42,21 @@ object VectorFunctions {
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
   /** Cosine similarity; 0.0 when either norm is 0 (never NaN/null on
-    * well-formed input). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
+    * well-formed input). Native fused loop — see [[dot]]; the HOF
+    * reference formulation is [[cosineHof]], parity spec-pinned. */
+  def cosine(a: Column, b: Column): Column = binaryNative(a, b, CosineSimilarity.apply)
+
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
+    val d = dotHof(a, b)
     val n = l2Norm(a) * l2Norm(b)
     when(n === 0.0, lit(0.0)).otherwise(d / n)
   }
 
-  /** Squared euclidean distance. */
-  def l2Sq(a: Column, b: Column): Column =
+  /** Squared euclidean distance. Native fused loop — see [[dot]]; HOF
+    * reference formulation [[l2SqHof]], parity spec-pinned. */
+  def l2Sq(a: Column, b: Column): Column = binaryNative(a, b, L2SqDistance.apply)
+
+  private[graft] def l2SqHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => {
         val dd = x.cast("double") - y.cast("double"); dd * dd

@@ -45,4 +45,82 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(out(1).getSeq[Byte](1) == Seq[Byte](0, 0, 0))
     assert(out(1).getSeq[Float](2) == Seq(0.0f, 0.0f, 0.0f))
   }
+
+  // ---- native fused-loop vs HOF reference formulation parity ----
+  // The native expressions must be BIT-identical to the zip_with/
+  // aggregate folds they replaced (same element order, same double
+  // arithmetic), including every null / length-mismatch / non-finite
+  // edge — these results feed oracle-hashed queries, so ANY divergence
+  // moves persisted hashes.
+
+  private val pairSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("a", ArrayType(FloatType)),
+    StructField("b", ArrayType(FloatType))))
+
+  private def parityRows: Seq[Row] = {
+    val rnd = new scala.util.Random(7)
+    def vec(n: Int) = Seq.fill(n)(rnd.nextFloat() * 4 - 2)
+    val random = (1L to 200L).map(i => Row(i, vec(64), vec(64)))
+    val edges = Seq(
+      Row(1001L, Seq(1.0f, 2.0f), Seq(1.0f, 2.0f)),            // identical
+      Row(1002L, Seq.empty[Float], Seq.empty[Float]),          // both empty
+      Row(1003L, Seq(1.0f, 2.0f), Seq(1.0f)),                  // length mismatch
+      Row(1004L, Seq(0.0f, 0.0f), Seq(1.0f)),                  // mismatch + zero norm
+      Row(1005L, Seq(1.0f, null), Seq(1.0f, 2.0f)),            // null element left
+      Row(1006L, Seq(1.0f, 2.0f), Seq(null, 2.0f)),            // null element right
+      Row(1007L, Seq(Float.NaN, 1.0f), Seq(1.0f, 1.0f)),       // NaN
+      Row(1008L, Seq(Float.PositiveInfinity, 1.0f), Seq(1.0f, 1.0f)), // +Inf
+      Row(1009L, Seq(0.0f, 0.0f), Seq(0.0f, 0.0f)),            // both zero
+      Row(1010L, Seq(-0.0f, 1.0f), Seq(0.0f, 1.0f)),           // signed zero
+      Row(1011L, null, Seq(1.0f)),                             // null column
+      Row(1012L, Seq(1.0f, 2.0f, 3.0f), Seq.empty[Float]))     // empty vs non-empty
+    random ++ edges
+  }
+
+  test("native dot/cosine/l2Sq are bit-identical to the HOF reference formulations") {
+    val d = df(pairSchema, parityRows)
+    val a = col("a"); val b = col("b")
+    val cmp = d.select(col("id"),
+      VectorFunctions.dot(a, b).as("dn"), VectorFunctions.dotHof(a, b).as("dh"),
+      VectorFunctions.cosine(a, b).as("cn"), VectorFunctions.cosineHof(a, b).as("ch"),
+      VectorFunctions.l2Sq(a, b).as("ln"), VectorFunctions.l2SqHof(a, b).as("lh"))
+      .collect()
+    cmp.foreach { r =>
+      for ((ni, hi, name) <- Seq((1, 2, "dot"), (3, 4, "cosine"), (5, 6, "l2Sq"))) {
+        val n = if (r.isNullAt(ni)) None else Some(r.getDouble(ni))
+        val h = if (r.isNullAt(hi)) None else Some(r.getDouble(hi))
+        // bit-compare: NaN == NaN must pass, +0.0 vs -0.0 must fail
+        val same = (n, h) match {
+          case (None, None) => true
+          case (Some(x), Some(y)) =>
+            java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y)
+          case _ => false
+        }
+        assert(same, s"$name diverged for id ${r.getLong(0)}: native=$n hof=$h")
+      }
+    }
+  }
+
+  test("native cosine stays inside whole-stage codegen (the point of the rewrite)") {
+    val rnd = new scala.util.Random(11)
+    val d = df(pairSchema,
+      (1L to 10L).map(i => Row(i, Seq.fill(8)(rnd.nextFloat()), Seq.fill(8)(rnd.nextFloat()))))
+    // repartition blocks ConvertToLocalRelation from folding the whole
+    // projection into a LocalTableScan at plan time
+    val out = d.repartition(2)
+      .select(VectorFunctions.cosine(col("a"), col("b")).as("c"),
+        VectorFunctions.l2Sq(col("a"), col("b")).as("l"))
+    out.collect() // finalize the adaptive plan before inspecting it
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // `*(n)` prefixes a plan node INSIDE a WholeStageCodegen span in
+    // toString form — the projection carrying the native expressions
+    // must have one (a CodegenFallback expression would strip it)
+    val proj = plan.linesIterator.find(_.contains("vec_cosine_native")).getOrElse("")
+    assert(proj.contains("*("),
+      "fused vector arithmetic must codegen:\n" + plan)
+    // and the projection is NOT an interpreted fallback carrying a lambda
+    assert(!plan.contains("lambdafunction"),
+      "no HOF lambda may remain in the projection:\n" + plan)
+  }
 }
