@@ -403,11 +403,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: distributed path (localFinishEdges=0) matches the driver union-find") {
+    // the small graphs above all resolve through the bounded driver
+    // union-find; this pins the ALL-DISTRIBUTED star-contraction path
+    // (what actually runs at scale) against the same BFS ground truth
+    val rnd = new scala.util.Random(13)
+    val n = 60
+    val pairs = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(p => p._1 != p._2)
+    val dist = Dedup.connectedComponents(df(pairSchema, pairs.map(p => Row(p._1, p._2))),
+        localFinishEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == bfsComponents(pairs))
+  }
+
   test("connectedComponents fails loudly when the iteration cap truncates contraction") {
     val pairs = (0L until 59L).map(i => (i, i + 1))
     val e = intercept[IllegalStateException] {
+      // localFinishEdges = 0 forces the all-distributed path: the driver
+      // union-find would otherwise resolve this tiny graph exactly and
+      // (correctly) never hit the cap
       Dedup.connectedComponents(df(pairSchema, pairs.map(p => Row(p._1, p._2))),
-        maxIter = 1)
+        maxIter = 1, localFinishEdges = 0)
     }
     assert(e.getMessage.contains("did not converge"))
   }
