@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Curation, Dedup, LanguageModel, Multimodal, Patterns, Similarity, TemporalJoin, Validate}
+import graft.operators.{Curation, Dedup, LanguageModel, Multimodal, Patterns, Similarity, TemporalJoin, TextClassifier, Validate}
 import graft.sources.{ParquetConnector, SchemaInfer, UpsertWriter}
 
 /** Driver contract: the declared operator surface (SURVEY.md §2), one
@@ -310,6 +310,32 @@ object SparkEntry {
       val d = T(s, dir, "documents")
       val lm = LanguageModel.train(d.filter(col("lang") === "en"), "text", vocabSize = 1000)
       LanguageModel.scoreNll(d, "text", "doc_id", lm, addK = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_quality_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail thirds over the perplexity-scored corpus:
+      // cutoffs are the exact ranked boundary (avg_nll, doc_id) pairs at
+      // ⌈n/3⌉ and ⌈2n/3⌉ — tie-safe and engine-exact since the scores are
+      // 4-decimal-rounded identically on both sides. Unscored docs
+      // (n_bigrams = 0) keep a NULL bucket.
+      val d = T(s, dir, "documents")
+      val lm = LanguageModel.train(d.filter(col("lang") === "en"), "text", vocabSize = 1000)
+      val scored = LanguageModel.scoreNll(d, "text", "doc_id", lm, addK = 0.5)
+      LanguageModel.qualityBuckets(scored, "doc_id")
+        .select(col("doc_id"), col("avg_nll"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_nb_classify" -> ((s, dir) => {
+      // trained multinomial Naive Bayes (the fastText-style linear
+      // curation classifier), demonstrated as trained language-ID:
+      // train on the labeled corpus (lang), classify every document.
+      // vocabSize 1000 < corpus vocabulary, so the UNK mass is genuinely
+      // exercised; DuckDB replays train→score→argmax from scratch.
+      val d = T(s, dir, "documents")
+      val m = TextClassifier.train(d, "text", "lang", vocabSize = 1000)
+      TextClassifier.classify(d, "text", "doc_id", m, addK = 0.5)
         .orderBy(col("doc_id"))
     }),
 
@@ -1930,6 +1956,119 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.avg_nll,
         |       ROUND(exp(a.avg_nll), 4) + 0.0 AS ppl
         |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // CCNet thirds replay: the same LM chain down to per-doc avg_nll,
+    // then the ⌈n/3⌉ / ⌈2n/3⌉ ranked boundary (score, id) pairs via
+    // row_number over the identical total order, and lexicographic
+    // pair comparison for membership — tie-exact in both engines.
+    "q_quality_buckets" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |vocab AS MATERIALIZED (
+        |  SELECT token FROM (
+        |    SELECT unnest(t) AS token FROM toks WHERE lang = 'en')
+        |  WHERE length(token) > 0
+        |  GROUP BY token ORDER BY COUNT(1) DESC, token LIMIT 1000),
+        |big AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |         unnest(t[1:len(t)-1]) AS w1r, unnest(t[2:len(t)]) AS w2r
+        |  FROM toks WHERE len(t) >= 2),
+        |bigm AS MATERIALIZED (
+        |  SELECT b.doc_id, b.lang,
+        |         CASE WHEN v1.token IS NULL THEN chr(1) ELSE b.w1r END AS w1,
+        |         CASE WHEN v2.token IS NULL THEN chr(1) ELSE b.w2r END AS w2
+        |  FROM big b
+        |  LEFT JOIN vocab v1 ON b.w1r = v1.token
+        |  LEFT JOIN vocab v2 ON b.w2r = v2.token),
+        |c12 AS MATERIALIZED (
+        |  SELECT w1, w2, COUNT(1) AS c12 FROM bigm WHERE lang = 'en' GROUP BY w1, w2),
+        |c1 AS MATERIALIZED (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+        |vsz AS (SELECT COUNT(1) + 1.0 AS v FROM vocab),
+        |nll AS (
+        |  SELECT b.doc_id,
+        |         ROUND(-ln((COALESCE(c12.c12, 0) + 0.5) /
+        |                   (COALESCE(c1.c1, 0) + 0.5 * vsz.v)), 8) AS nll8
+        |  FROM bigm b
+        |  LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+        |  LEFT JOIN c1 ON b.w1 = c1.w1
+        |  CROSS JOIN vsz),
+        |scored AS MATERIALIZED (
+        |  SELECT d.doc_id, a.avg_nll FROM documents d
+        |  LEFT JOIN (
+        |    SELECT doc_id,
+        |           ROUND(CAST(SUM(CAST(nll8 AS DECIMAL(30,8))) AS DOUBLE) / COUNT(1), 4) AS avg_nll
+        |    FROM nll GROUP BY doc_id) a USING (doc_id)),
+        |ranked AS MATERIALIZED (
+        |  SELECT avg_nll AS s, doc_id AS i,
+        |         ROW_NUMBER() OVER (ORDER BY avg_nll, doc_id) AS rn,
+        |         COUNT(1) OVER () AS n
+        |  FROM scored WHERE avg_nll IS NOT NULL),
+        |b1 AS (SELECT s, i FROM ranked WHERE rn = CAST(ceil(n / 3.0) AS BIGINT)),
+        |b2 AS (SELECT s, i FROM ranked WHERE rn = CAST(ceil(2.0 * n / 3.0) AS BIGINT))
+        |SELECT doc_id, avg_nll,
+        |       CASE WHEN avg_nll IS NULL THEN NULL
+        |            WHEN avg_nll < (SELECT s FROM b1)
+        |                 OR (avg_nll = (SELECT s FROM b1) AND doc_id <= (SELECT i FROM b1)) THEN 'head'
+        |            WHEN avg_nll < (SELECT s FROM b2)
+        |                 OR (avg_nll = (SELECT s FROM b2) AND doc_id <= (SELECT i FROM b2)) THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM scored
+        |ORDER BY doc_id""".stripMargin,
+
+    // Full NB replay: vocabulary over the WHOLE labeled corpus, UNK
+    // mapping, per-(class, token) counts, priors and per-token log-probs
+    // as 1e-8 FIXED-POINT BIGINTS (floor(x*1e8) is pure IEEE arithmetic,
+    // bit-identical across engines — round(double, 8) is NOT: its
+    // half-way cases resolve by decimal string in Spark but by binary
+    // value in DuckDB), long sums, exact argmax with ties to the
+    // ascending label, one exact decimal ×1e-8 + round(4) at the end.
+    "q_nb_classify" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |tokf AS MATERIALIZED (
+        |  SELECT doc_id, lang, w FROM (
+        |    SELECT doc_id, lang, unnest(t) AS w FROM toks)
+        |  WHERE length(w) > 0),
+        |vocab AS MATERIALIZED (
+        |  SELECT w AS token FROM tokf
+        |  GROUP BY w ORDER BY COUNT(1) DESC, w LIMIT 1000),
+        |mapped AS MATERIALIZED (
+        |  SELECT f.doc_id, f.lang,
+        |         CASE WHEN v.token IS NULL THEN chr(1) ELSE f.w END AS w
+        |  FROM tokf f LEFT JOIN vocab v ON f.w = v.token),
+        |counts AS MATERIALIZED (
+        |  SELECT lang AS label, w, COUNT(1) AS c FROM mapped GROUP BY 1, 2),
+        |totals AS MATERIALIZED (SELECT label, SUM(c) AS tot FROM counts GROUP BY 1),
+        |vsz AS (SELECT COUNT(1) + 1.0 AS v FROM vocab),
+        |priors AS MATERIALIZED (
+        |  SELECT lang AS label,
+        |         CAST(floor(ln(COUNT(1) / (SELECT CAST(COUNT(1) AS DOUBLE) FROM documents)) * 1e8) AS BIGINT) AS priorf
+        |  FROM documents GROUP BY 1),
+        |scored AS MATERIALIZED (
+        |  SELECT m.doc_id, p.label,
+        |         CAST(floor(ln((COALESCE(c.c, 0) + 0.5) / (t.tot + 0.5 * vsz.v)) * 1e8) AS BIGINT) AS lpf
+        |  FROM mapped m
+        |  CROSS JOIN priors p
+        |  JOIN totals t ON t.label = p.label
+        |  LEFT JOIN counts c ON c.label = p.label AND c.w = m.w
+        |  CROSS JOIN vsz),
+        |joint AS MATERIALIZED (
+        |  SELECT s.doc_id, s.label, SUM(lpf) + p.priorf AS jointf
+        |  FROM scored s JOIN priors p USING (label)
+        |  GROUP BY s.doc_id, s.label, p.priorf),
+        |mx AS (SELECT doc_id, MAX(jointf) AS mj FROM joint GROUP BY 1),
+        |best AS (
+        |  SELECT j.doc_id, MIN(j.label) AS label,
+        |         CAST(ROUND(CAST(j.jointf AS DECIMAL(20,0)) * 0.00000001, 4) AS DOUBLE) AS score
+        |  FROM joint j JOIN mx ON j.doc_id = mx.doc_id AND j.jointf = mx.mj
+        |  GROUP BY j.doc_id, j.jointf)
+        |SELECT d.doc_id, b.label, b.score + 0.0 AS score
+        |FROM documents d LEFT JOIN best b USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
     // SemDeDup resolution replay over the planted label clustering:

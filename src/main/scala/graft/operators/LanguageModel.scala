@@ -134,4 +134,60 @@ object LanguageModel {
         col("avg_nll"),
         (round(exp(col("avg_nll")), 4) + lit(0.0)).as("ppl"))
   }
+
+  /** CCNet head/middle/tail quality binning (Wenzek et al. 2020 §4.3):
+    * split the SCORED corpus into perplexity thirds — `head` = the
+    * best-scored third (lowest NLL), `tail` = the worst — the standard
+    * curriculum/quality partition of a pretraining corpus (CCNet
+    * computes thirds per language; call per language slice for that).
+    *
+    * Deterministic at any parallelism and externally replayable: the
+    * two cutoffs are the EXACT ranked boundary elements of the total
+    * order (`scoreCol` asc, `idCol` asc) at positions ⌈n/3⌉ and ⌈2n/3⌉,
+    * and membership compares the (score, id) PAIR lexicographically —
+    * ties cannot overfill a bucket in either engine. Documents with a
+    * null score (no bigram evidence) keep a null bucket; callers decide
+    * their fate, as with [[scoreNll]].
+    *
+    * Scale shape: eager driver actions at call time (a count and two
+    * ranked-boundary lookups — the documented sampler trade:
+    * plan-construction runs jobs), then one comparison pass; no window
+    * over the corpus, no full sort. The boundary lookup is a top-⌈2n/3⌉
+    * TakeOrdered — cheap up to ~10⁸ scored docs per call (CCNet bins per
+    * LANGUAGE slice, which holds slices in that regime); for a larger
+    * slice swap the cutoffs to `approx_percentile`, losing external
+    * replayability but nothing else. */
+  def qualityBuckets(scored: DataFrame, idCol: String,
+                     scoreCol: String = "avg_nll",
+                     bucketCol: String = "bucket"): DataFrame = {
+    val s = scored.filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("_s"), col(idCol).as("_i"))
+    val n = s.count()
+    if (n == 0L) return scored.withColumn(bucketCol, lit(null).cast("string"))
+    def boundary(k: Long): (Double, Any) = {
+      // k-th element of the (score, id) total order: TakeOrdered(k) then
+      // one struct-max — distributed top-k, never a full sort
+      val r = s.orderBy(col("_s"), col("_i")).limit(k.toInt)
+        .agg(max(struct(col("_s"), col("_i"))).as("m"))
+        .head().getStruct(0)
+      (r.getDouble(0), r.get(1))
+    }
+    val k1 = math.ceil(n / 3.0).toLong
+    val k2 = math.ceil(2.0 * n / 3.0).toLong
+    // TakeOrdered caps at Int.MaxValue rows; beyond ~6B scored docs the
+    // exact ranked boundary needs a two-pass rank (or switch cutoffs to
+    // approx_percentile and give up external replayability)
+    require(k2 <= Int.MaxValue.toLong,
+      s"qualityBuckets exact boundary lookup caps at ${Int.MaxValue} scored docs per call, got $n")
+    val (c1s, c1i) = boundary(k1)
+    val (c2s, c2i) = boundary(k2)
+    def le(cs: Double, ci: Any): Column =
+      (col(scoreCol) < cs) ||
+        ((col(scoreCol) === cs) && (col(idCol) <= lit(ci)))
+    scored.withColumn(bucketCol,
+      when(col(scoreCol).isNull, lit(null).cast("string"))
+        .when(le(c1s, c1i), "head")
+        .when(le(c2s, c2i), "middle")
+        .otherwise("tail"))
+  }
 }

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Trained multinomial Naive Bayes document classifier — the
+  * linear-classifier quality/domain filter of the published LLM
+  * pipelines (the GPT-3 WebText-vs-CommonCrawl quality classifier and
+  * fastText-style curation filters are exactly this shape: bag-of-words
+  * features, per-class token log-odds, argmax/threshold). Complements
+  * the UNTRAINED n-gram heuristic in `TextFunctions.langId`: this one
+  * learns its table from a labeled reference slice.
+  *
+  * Like [[LanguageModel]], everything is count arithmetic: the whole
+  * train→score→argmax pipeline is deterministic and externally
+  * replayable (`q_nb_classify` recomputes it end-to-end in DuckDB).
+  * Per-token log-probabilities quantize to FIXED-POINT LONGS at 1e-8
+  * scale — `floor(logp * 1e8)` is pure IEEE double arithmetic plus an
+  * exact floor, so the quantized value is bit-identical in any engine
+  * (unlike `round(double, 8)`, whose half-way cases resolve by
+  * decimal-string in Spark but by binary value in DuckDB — a live 1-ulp
+  * divergence found at sf0.01). Long sums are order-independent AND
+  * cheaper than DECIMAL aggregation; the only decimal op is the final
+  * exact ×1e-8 + round(4) for the reported score. Argmax resolves ties
+  * by label ascending through an exact min over the tied label set.
+  *
+  * Scale shape: model state is bounded by (vocabSize × numLabels)
+  * counts and collected ONLY for labels/priors (numLabels scalars);
+  * the count table stays a DataFrame that broadcasts when small. The
+  * corpus side explodes to tokens map-side, crosses with the tiny
+  * label list (|labels|× row multiplier — the standard NB scoring
+  * join), joins the counts, and partially aggregates per (doc, label)
+  * before the only exchange of the stream.
+  */
+object TextClassifier {
+
+  /** A trained model: `labels` sorted ascending with `logPriorsFixed`
+    * aligned (ln of class doc-share as 1e-8 fixed-point longs — see the
+    * class doc for why fixed-point); `tokenCounts` = (_label, _w, _c)
+    * over the UNK-mapped reference token stream; `totals` = per-class
+    * token totals aligned with `labels` (collected — numLabels
+    * scalars); `vocabTokens` the driver-side top-K vocabulary
+    * ([[LanguageModel.train]] trade). */
+  final case class NaiveBayesModel(labels: Array[String],
+                                   logPriorsFixed: Array[Long],
+                                   totals: Array[Long],
+                                   tokenCounts: DataFrame,
+                                   vocabTokens: Array[String]) {
+    def eventSpace: Double = vocabTokens.length + 1.0
+  }
+
+  /** Normalized non-empty token stream (id, w) of `df` — lowercase,
+    * whitespace-collapsed, empty tokens dropped (an empty document
+    * contributes no rows and classifies to null). */
+  private def tokenStream(df: DataFrame, textCol: String, idExpr: Column): DataFrame =
+    df.select(idExpr.as("_nbid"),
+        explode(split(TextFunctions.normalizeForFingerprint(col(textCol)), " ")).as("_w"))
+      .filter(length(col("_w")) > 0)
+
+  /** OOV → the [[LanguageModel.Unk]] sentinel via one broadcast join
+    * against the driver-side vocabulary. */
+  private def mapUnk(stream: DataFrame, vocabTokens: Array[String]): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val v = broadcast(vocabTokens.toSeq.toDF("_v"))
+    stream.join(v, col("_w") === col("_v"), "left")
+      .select(col("_nbid"),
+        when(col("_v").isNull, lit(LanguageModel.Unk)).otherwise(col("_w")).as("_w"))
+  }
+
+  /** Train on `ref` with classes from `labelCol` (null labels are
+    * rejected loudly — a silent "null" class is never what a caller
+    * wants). Eager driver work is bounded: the top-`vocabSize`
+    * vocabulary, the sorted label list, one (docs, tokens) scalar pair
+    * per label. */
+  def train(ref: DataFrame, textCol: String, labelCol: String,
+            vocabSize: Int = 50000): NaiveBayesModel = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val nullLabels = ref.filter(col(labelCol).isNull).limit(1).count()
+    require(nullLabels == 0L, s"train: null values in label column '$labelCol'")
+    val vocabTokens = TextFunctions.vocabulary(ref, textCol, vocabSize)
+      .select("token").collect().map(_.getString(0))
+    val perClass = ref.groupBy(col(labelCol).cast("string").as("_label"))
+      .agg(count(lit(1)).as("_docs"))
+      .orderBy("_label").collect()
+    val labels = perClass.map(_.getString(0))
+    val nTotal = perClass.map(_.getLong(1)).sum.toDouble
+    val logPriorsFixed = perClass.map(r =>
+      math.floor(math.log(r.getLong(1) / nTotal) * 1e8).toLong)
+    val mapped = mapUnk(
+      tokenStream(ref, textCol, col(labelCol).cast("string")), vocabTokens)
+      .withColumnRenamed("_nbid", "_label")
+    val tokenCounts = mapped.groupBy("_label", "_w").agg(count(lit(1)).as("_c"))
+    val totalRows = tokenCounts.groupBy("_label").agg(sum("_c").as("_tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a class whose docs are all empty has zero tokens — still a valid
+    // class (all its token probabilities are the smoothed floor)
+    val totals = labels.map(l => totalRows.getOrElse(l, 0L))
+    NaiveBayesModel(labels, logPriorsFixed, totals, tokenCounts, vocabTokens)
+  }
+
+  /** Classify every document of `df`: (id, label, score) where label is
+    * the argmax class (ties → label ascending) of
+    * logPrior(c) + Σ_tokens ln((count(w,c) + k) / (total(c) + k·(|V|+1)))
+    * and score is that log-joint (1e-8 fixed-point internally) rounded
+    * to 4 decimals. Documents with no token keep null label and score —
+    * callers decide their fate. */
+  def classify(df: DataFrame, textCol: String, idCol: String,
+               model: NaiveBayesModel, addK: Double = 0.5): DataFrame = {
+    require(addK > 0.0, s"addK must be > 0, got $addK")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // tiny literal label table: label, fixed-point prior, smoothing
+    // denominator — crossed with the token stream (the |labels|× NB
+    // scoring multiplier), broadcast by construction
+    val labelRows = model.labels.indices.map { i =>
+      (model.labels(i), model.logPriorsFixed(i),
+        model.totals(i).toDouble + addK * model.eventSpace)
+    }
+    val labelDf = broadcast(labelRows.toDF("_label", "_priorF", "_denom"))
+    val stream = mapUnk(tokenStream(df, textCol, col(idCol)), model.vocabTokens)
+      .crossJoin(labelDf)
+      .join(model.tokenCounts, Seq("_label", "_w"), "left")
+    val logp = log((coalesce(col("_c"), lit(0L)).cast("double") + lit(addK)) / col("_denom"))
+    val perDocClass = stream
+      .select(col("_nbid"), col("_label"), col("_priorF"),
+        // 1e-8 fixed-point quantization: double multiply + exact floor,
+        // bit-identical in every engine (see class doc)
+        floor(logp * lit(1e8)).cast("long").as("_lpF"))
+      .groupBy("_nbid", "_label", "_priorF")
+      .agg(sum(col("_lpF")).as("_sumF"))
+      .select(col("_nbid"), col("_label"),
+        (col("_sumF") + col("_priorF")).as("_jointF"))
+    // exact argmax without a struct-valued agg buffer (those fall out of
+    // HashAggregate): max joint per doc, join back, min label among the
+    // exact-LONG ties — the same winner pattern as semanticDedup
+    val maxJoint = perDocClass.groupBy("_nbid").agg(max("_jointF").as("_mj"))
+    val best = perDocClass.join(maxJoint, Seq("_nbid"))
+      .filter(col("_jointF") === col("_mj"))
+      .groupBy(col("_nbid"), col("_mj"))
+      .agg(min("_label").as("_bestLabel"))
+      .select(col("_nbid"), col("_bestLabel"),
+        // fixed → decimal is an EXACT ×1e-8 (decimal scales add under
+        // multiplication), then one exact decimal round(4); both engines
+        // agree on every half-way case by construction
+        round(col("_mj").cast("decimal(20,0)") * lit(BigDecimal("0.00000001")), 4)
+          .cast("double").as("_bestScore"))
+    df.select(col(idCol))
+      .join(best.withColumnRenamed("_nbid", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("_bestLabel").as("label"),
+        (col("_bestScore") + lit(0.0)).as("score"))
+  }
+}

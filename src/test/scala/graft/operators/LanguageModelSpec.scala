@@ -71,4 +71,32 @@ class LanguageModelSpec extends SparkSpec {
       "text", "doc_id", lm).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(one == many)
   }
+
+  test("qualityBuckets: exact thirds, lexicographic tie handling, null passthrough") {
+    // 9 scored docs -> k1 = 3, k2 = 6. Scores engineered with a TIE
+    // across the head/middle boundary: docs 3,4,5 share 0.5 — the
+    // (score, id) pair order puts 3 in head, 4..5 in middle.
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("avg_nll", DoubleType)))
+    val rows = Seq(
+      Row(1L, 0.1), Row(2L, 0.2), Row(3L, 0.5), Row(4L, 0.5), Row(5L, 0.5),
+      Row(6L, 0.7), Row(7L, 0.8), Row(8L, 0.9), Row(9L, 1.0),
+      Row(10L, null)) // unscored: bucket stays null
+    val out = LanguageModel.qualityBuckets(df(schema, rows), "doc_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(out == Map(
+      1L -> "head", 2L -> "head", 3L -> "head",
+      4L -> "middle", 5L -> "middle", 6L -> "middle",
+      7L -> "tail", 8L -> "tail", 9L -> "tail",
+      10L -> null), out.toString)
+  }
+
+  test("qualityBuckets: all-null scores yield all-null buckets") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("avg_nll", DoubleType)))
+    val out = LanguageModel.qualityBuckets(
+      df(schema, Seq(Row(1L, null), Row(2L, null))), "doc_id")
+      .collect()
+    assert(out.length == 2 && out.forall(_.isNullAt(2)))
+  }
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Naive Bayes classifier: hand-computed log-joints, UNK handling,
+  * argmax tie-break, empty-doc nulls, partition-order invariance. */
+class TextClassifierSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("cls", StringType)))
+
+  // ref: x: "a b", "a"; y: "b b b" → vocab [b, a] (freq desc), V+1 = 3,
+  // denominators tot + 0.5·3 = 4.5 for both classes.
+  // priors (1e-8 fixed-point floor): ln(2/3) → −40546511,
+  // ln(1/3) → −109861229.
+  private def model = TextClassifier.train(
+    df(schema, Seq(Row(1L, "a b", "x"), Row(2L, "a", "x"), Row(3L, "b b b", "y"))),
+    "text", "cls", vocabSize = 100)
+
+  private def classify(corpus: Seq[(Long, String)]): Map[Long, Row] =
+    TextClassifier.classify(
+      df(StructType(schema.fields.take(2)), corpus.map { case (i, t) => Row(i, t) }),
+      "text", "doc_id", model, addK = 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("hand-computed log-joint scores and argmax") {
+    val out = classify(Seq(10L -> "a b", 11L -> "z"))
+    // "a b": x = −0.40546511 + ln(2.5/4.5) + ln(1.5/4.5) → −2.0919
+    //        y = −1.09861229 + ln(0.5/4.5) + ln(3.5/4.5) → −3.5472
+    assert(out(10L).getString(1) == "x")
+    assert(out(10L).getDouble(2) == -2.0919)
+    // OOV token → UNK floor in both classes; the prior decides
+    assert(out(11L).getString(1) == "x")
+    assert(out(11L).getDouble(2) == -2.6027)
+  }
+
+  test("model internals: sorted labels, fixed-point priors, per-class totals") {
+    val m = model
+    assert(m.labels.toSeq == Seq("x", "y"))
+    assert(m.logPriorsFixed.toSeq == Seq(-40546511L, -109861229L))
+    assert(m.totals.toSeq == Seq(3L, 3L))
+    assert(m.vocabTokens.toSeq == Seq("b", "a"))
+  }
+
+  test("exact score tie resolves to the ascending label") {
+    val m = TextClassifier.train(
+      df(schema, Seq(Row(1L, "a", "y"), Row(2L, "a", "x"))),
+      "text", "cls", vocabSize = 100)
+    val out = TextClassifier.classify(
+      df(StructType(schema.fields.take(2)), Seq(Row(10L, "a"))),
+      "text", "doc_id", m).collect()
+    assert(out.head.getString(1) == "x")
+  }
+
+  test("empty / whitespace-only documents keep null label and score") {
+    val out = classify(Seq(20L -> "", 21L -> "  \n\t "))
+    Seq(20L, 21L).foreach { id =>
+      assert(out(id).isNullAt(1) && out(id).isNullAt(2), s"doc $id")
+    }
+  }
+
+  test("null training labels are rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      TextClassifier.train(
+        df(schema, Seq(Row(1L, "a", "x"), Row(2L, "b", null))),
+        "text", "cls")
+    }
+    assert(e.getMessage.contains("null values in label column"))
+  }
+
+  test("scores are invariant to corpus partitioning (order-independent DECIMAL sum)") {
+    val corpus = (0L until 40L).map(i => i -> s"a b z${i % 5} b a")
+    val m = model
+    def run(parts: Int) = TextClassifier.classify(
+      df(StructType(schema.fields.take(2)),
+        corpus.map { case (i, t) => Row(i, t) }).repartition(parts),
+      "text", "doc_id", m)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(run(1) == run(13))
+  }
+}
