@@ -1943,15 +1943,16 @@ object SparkEntry {
         |vsz AS (SELECT COUNT(1) + 1.0 AS v FROM vocab),
         |nll AS (
         |  SELECT b.doc_id,
-        |         ROUND(-ln((COALESCE(c12.c12, 0) + 0.5) /
-        |                   (COALESCE(c1.c1, 0) + 0.5 * vsz.v)), 8) AS nll8
+        |         CAST(floor(-ln((COALESCE(c12.c12, 0) + 0.5) /
+        |                        (COALESCE(c1.c1, 0) + 0.5 * vsz.v)) * 1e8) AS BIGINT) AS nllf
         |  FROM bigm b
         |  LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
         |  LEFT JOIN c1 ON b.w1 = c1.w1
         |  CROSS JOIN vsz),
         |agg AS (
         |  SELECT doc_id, COUNT(1) AS n_bigrams,
-        |         ROUND(CAST(SUM(CAST(nll8 AS DECIMAL(30,8))) AS DOUBLE) / COUNT(1), 4) AS avg_nll
+        |         CAST(CAST((CAST(SUM(nllf) AS BIGINT) + COUNT(1) * 5000)
+        |                    // (COUNT(1) * 10000) AS DECIMAL(20,0)) * 0.0001 AS DOUBLE) AS avg_nll
         |  FROM nll GROUP BY doc_id)
         |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.avg_nll,
         |       ROUND(exp(a.avg_nll), 4) + 0.0 AS ppl
@@ -1989,8 +1990,8 @@ object SparkEntry {
         |vsz AS (SELECT COUNT(1) + 1.0 AS v FROM vocab),
         |nll AS (
         |  SELECT b.doc_id,
-        |         ROUND(-ln((COALESCE(c12.c12, 0) + 0.5) /
-        |                   (COALESCE(c1.c1, 0) + 0.5 * vsz.v)), 8) AS nll8
+        |         CAST(floor(-ln((COALESCE(c12.c12, 0) + 0.5) /
+        |                        (COALESCE(c1.c1, 0) + 0.5 * vsz.v)) * 1e8) AS BIGINT) AS nllf
         |  FROM bigm b
         |  LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
         |  LEFT JOIN c1 ON b.w1 = c1.w1
@@ -1999,7 +2000,8 @@ object SparkEntry {
         |  SELECT d.doc_id, a.avg_nll FROM documents d
         |  LEFT JOIN (
         |    SELECT doc_id,
-        |           ROUND(CAST(SUM(CAST(nll8 AS DECIMAL(30,8))) AS DOUBLE) / COUNT(1), 4) AS avg_nll
+        |           CAST(CAST((CAST(SUM(nllf) AS BIGINT) + COUNT(1) * 5000)
+        |                      // (COUNT(1) * 10000) AS DECIMAL(20,0)) * 0.0001 AS DOUBLE) AS avg_nll
         |    FROM nll GROUP BY doc_id) a USING (doc_id)),
         |ranked AS MATERIALIZED (
         |  SELECT avg_nll AS s, doc_id AS i,
@@ -2320,8 +2322,8 @@ object SparkEntry {
          |lmvsz AS (SELECT COUNT(1) + 1.0 AS v FROM lmvocab),
          |lmnll AS (
          |  SELECT b.doc_id,
-         |         ROUND(-ln((COALESCE(lmc12.c12, 0) + 0.5) /
-         |                   (COALESCE(lmc1.c1, 0) + 0.5 * lmvsz.v)), 8) AS nll8
+         |         CAST(floor(-ln((COALESCE(lmc12.c12, 0) + 0.5) /
+         |                        (COALESCE(lmc1.c1, 0) + 0.5 * lmvsz.v)) * 1e8) AS BIGINT) AS nllf
          |  FROM lmbigm b
          |  LEFT JOIN lmc12 ON b.w1 = lmc12.w1 AND b.w2 = lmc12.w2
          |  LEFT JOIN lmc1 ON b.w1 = lmc1.w1
@@ -2329,7 +2331,8 @@ object SparkEntry {
          |lmkeep AS MATERIALIZED (
          |  SELECT doc_id FROM (
          |    SELECT doc_id,
-         |           ROUND(CAST(SUM(CAST(nll8 AS DECIMAL(30,8))) AS DOUBLE) / COUNT(1), 4) AS avg_nll
+         |           CAST(CAST((CAST(SUM(nllf) AS BIGINT) + COUNT(1) * 5000)
+         |                      // (COUNT(1) * 10000) AS DECIMAL(20,0)) * 0.0001 AS DOUBLE) AS avg_nll
          |    FROM lmnll GROUP BY doc_id)
          |  WHERE avg_nll <= 3.45),
          |scrub0 AS MATERIALIZED (

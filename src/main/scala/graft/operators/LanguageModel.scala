@@ -109,10 +109,16 @@ object LanguageModel {
     * with no bigram (fewer than two tokens) keep n_bigrams = 0 and null
     * scores — callers decide their fate, the scorer doesn't.
     *
-    * Determinism across engines: each bigram NLL is rounded to 8
-    * decimals and summed as DECIMAL(30,8) — an order-independent exact
-    * sum, so the mean is bit-identical no matter how Spark parallelizes
-    * (and identical to the DuckDB oracle's serial replay). */
+    * Determinism across engines: each bigram NLL quantizes to a 1e-8
+    * FIXED-POINT LONG via `floor(nll * 1e8)` — pure IEEE double
+    * arithmetic plus an exact floor, bit-identical in any engine. (The
+    * previous `round(nll, 8)` was NOT: its half-way cases resolve by
+    * decimal string in Spark but by binary value in DuckDB — the 1-ulp
+    * divergence that bit the NB classifier at sf0.01.) Long sums are
+    * order-independent, and the 4-decimal mean is computed half-up in
+    * pure integer arithmetic (nll ≥ 0 always, since the smoothed bigram
+    * probability is < 1), so the reported average involves no
+    * engine-defined double rounding at all. */
   def scoreNll(df: DataFrame, textCol: String, idCol: String,
                lm: BigramLm, addK: Double = 0.5): DataFrame = {
     require(addK > 0.0, s"addK must be > 0 (unsmoothed zero-count bigrams have no finite NLL), got $addK")
@@ -123,10 +129,16 @@ object LanguageModel {
     val perDoc = stream
       .join(lm.bigrams, Seq("_w1", "_w2"), "left")
       .join(lm.totals, Seq("_w1"), "left")
-      .select(col("_lmid"), round(nll, 8).cast("decimal(30,8)").as("_nll8"))
+      .select(col("_lmid"), floor(nll * lit(1e8)).cast("long").as("_nllF"))
       .groupBy("_lmid")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("_nll8")).cast("double") / count(lit(1)), 4).as("avg_nll"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_nllF")).as("_sumF"))
+      .select(col("_lmid"), col("n_bigrams"),
+        // exact half-up mean at 4 decimals in integer arithmetic:
+        // avg4 = ⌊(Σ + n·5000) / (n·10000)⌋ (all terms ≥ 0, so the
+        // `div` truncation IS floor), then an exact decimal ×1e-4
+        (expr("(_sumF + n_bigrams * 5000) div (n_bigrams * 10000)")
+          .cast("decimal(20,0)") * lit(BigDecimal("0.0001")))
+          .cast("double").as("avg_nll"))
     df.select(col(idCol))
       .join(perDoc.withColumnRenamed("_lmid", idCol), Seq(idCol), "left")
       .select(col(idCol),

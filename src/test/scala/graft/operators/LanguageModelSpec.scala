@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 /** LM quality scoring: hand-computed add-k bigram NLLs, UNK mapping at a
   * capped vocabulary, short-document edges, partition-order invariance
-  * (the DECIMAL-sum determinism claim). */
+  * (the fixed-point-long-sum determinism claim). */
 class LanguageModelSpec extends SparkSpec {
 
   private val docSchema = StructType(Seq(
