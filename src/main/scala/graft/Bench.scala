@@ -61,7 +61,11 @@ object Bench {
     // whole corpus: two broadcast vocab joins, counts join, per-doc
     // partial agg) and SemDeDup cluster-blocked embedding dedup
     // (within-cluster capped pairing + components + keep-policy aggs)
-    "q_perplexity", "q_semdedup")
+    "q_perplexity", "q_semdedup",
+    // r11: CCNet head/middle/tail thirds (ranked-boundary TakeOrdered
+    // over the scored corpus — no full sort) and the trained NB
+    // classifier (corpus x label-list cross, fixed-point long sums)
+    "q_quality_buckets", "q_nb_classify")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is
