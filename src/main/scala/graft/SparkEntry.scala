@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Curation, Dedup, LanguageModel, Multimodal, Patterns, Similarity, TemporalJoin, TextClassifier, Validate}
+import graft.operators.{Curation, Dedup, Dsir, LanguageModel, Multimodal, Patterns, Similarity, TemporalJoin, TextClassifier, Validate}
 import graft.sources.{ParquetConnector, SchemaInfer, UpsertWriter}
 
 /** Driver contract: the declared operator surface (SURVEY.md §2), one
@@ -337,6 +337,22 @@ object SparkEntry {
       val m = TextClassifier.train(d, "text", "lang", vocabSize = 1000)
       TextClassifier.classify(d, "text", "doc_id", m, addK = 0.5)
         .orderBy(col("doc_id"))
+    }),
+
+    "q_dsir" -> ((s, dir) => {
+      // DSIR importance resampling (target = the src1 slice, raw = the
+      // whole corpus) under the ORACLE-REPLAYABLE arithmetic bucketer —
+      // the polynomial-over-codepoints fold DuckDB replays exactly; the
+      // production path swaps in the codegen'd xxhash64 bucketer on the
+      // identical pipeline (DsirSpec pins both). Fixed-point weights,
+      // exact ranked-boundary top-30% keep.
+      val d = T(s, dir, "documents")
+      val arith = Some(Dsir.arithBucket(256) _)
+      val table = Dsir.importanceTable(d, d.filter(col("source") === "src1"), "text",
+        numBuckets = 256, bucket = arith)
+      val w = Dsir.importanceWeights(d, "text", "doc_id", table,
+        numBuckets = 256, bucket = arith)
+      Dsir.resampleTop(w, "doc_id", 0.3).orderBy(col("doc_id"))
     }),
 
     "q_semdedup" -> ((s, dir) => {
@@ -2072,6 +2088,59 @@ object SparkEntry {
         |SELECT d.doc_id, b.label, b.score + 0.0 AS score
         |FROM documents d LEFT JOIN best b USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Full DSIR replay: unigram+bigram stream, polynomial codepoint
+    // buckets (list_reduce fold — same integer chain as arithBucket),
+    // smoothed target/raw bucket shares, fixed-point log-ratios, long
+    // per-doc sums, ranked top-30% keep with the (weight desc, id asc)
+    // total order.
+    "q_dsir" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |         list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |                     x -> len(x) > 0) AS t
+        |  FROM documents),
+        |grams AS MATERIALIZED (
+        |  SELECT doc_id, source, g FROM (
+        |    SELECT doc_id, source, unnest(t) AS g FROM toks WHERE len(t) > 0
+        |    UNION ALL
+        |    SELECT doc_id, source, w1 || ' ' || w2 AS g FROM (
+        |      SELECT doc_id, source, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |      FROM toks WHERE len(t) >= 2))),
+        |bg AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                       list_transform(string_split(g, ''), x -> CAST(unicode(x) AS BIGINT))),
+        |                     (a, b) -> (a * 31 + b) % 256) AS b
+        |  FROM grams),
+        |cr AS MATERIALIZED (SELECT b, COUNT(1) AS c FROM bg GROUP BY b),
+        |ct AS MATERIALIZED (SELECT b, COUNT(1) AS c FROM bg WHERE source = 'src1' GROUP BY b),
+        |nr AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cr),
+        |nt AS (SELECT CAST(COALESCE(SUM(c), 0) AS DOUBLE) AS n FROM ct),
+        |lr AS MATERIALIZED (
+        |  SELECT r.b,
+        |         CAST(floor((ln((COALESCE(ct.c, 0) + 0.5) / (nt.n + 0.5 * 256)) -
+        |                     ln((COALESCE(cr.c, 0) + 0.5) / (nr.n + 0.5 * 256))) * 1e8) AS BIGINT) AS lrf
+        |  FROM range(256) r(b)
+        |  LEFT JOIN cr ON r.b = cr.b
+        |  LEFT JOIN ct ON r.b = ct.b
+        |  CROSS JOIN nr CROSS JOIN nt),
+        |w AS MATERIALIZED (
+        |  SELECT d.doc_id,
+        |         COALESCE(s.n_ngrams, 0) AS n_ngrams, s.lw_fixed,
+        |         CAST(ROUND(CAST(s.lw_fixed AS DECIMAL(20,0)) * 0.00000001, 4) AS DOUBLE) AS log_weight
+        |  FROM documents d LEFT JOIN (
+        |    SELECT g.doc_id, COUNT(1) AS n_ngrams, CAST(SUM(lr.lrf) AS BIGINT) AS lw_fixed
+        |    FROM bg g JOIN lr ON g.b = lr.b
+        |    GROUP BY g.doc_id) s USING (doc_id)),
+        |ranked AS MATERIALIZED (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY lw_fixed DESC, doc_id) AS rn,
+        |         COUNT(1) OVER () AS n
+        |  FROM w WHERE lw_fixed IS NOT NULL)
+        |SELECT w.doc_id, w.n_ngrams, w.lw_fixed, w.log_weight,
+        |       COALESCE(r.rn <= CAST(ceil(r.n * 0.3) AS BIGINT), FALSE) AS kept
+        |FROM w LEFT JOIN ranked r USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin,
 
     // SemDeDup resolution replay over the planted label clustering:
     // within-label pairs at cosine >= 0.999 (planted copies ~1.0, max
