@@ -273,4 +273,27 @@ class PlanEvidenceSpec extends SparkSpec {
     assert(plan.contains("partial_sum") || plan.contains("partial_count"),
       "per-doc aggregation must be partial before the exchange:\n" + plan)
   }
+
+  test("DSIR scoring: ratio table broadcasts; per-doc weights aggregate map-side") {
+    val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+    val table = graft.operators.Dsir.importanceTable(
+      docs, docs.filter(col("source") === "src1"), "text", numBuckets = 64)
+    val out = graft.operators.Dsir.importanceWeights(docs, "text", "doc_id", table,
+      numBuckets = 64)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the bounded (numBuckets-row) log-ratio table is explicitly
+    // broadcast-hinted — the exploded n-gram stream must never shuffle
+    // into that join on the bucket key
+    assert(plan.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("_b#")),
+      "ratio table must broadcast-join on _b:\n" + plan)
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("_b#")),
+      "n-gram stream must never sort-merge on the bucket key:\n" + plan)
+    // per-doc weight aggregation partial before the exchange: only
+    // (doc, partial sum) rows cross, never raw n-gram rows
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      "per-doc aggregation must be partial before the exchange:\n" + plan)
+  }
 }
