@@ -143,8 +143,13 @@ object Dsir {
   def resampleTop(weights: DataFrame, idCol: String, fraction: Double,
                   keptCol: String = "kept"): DataFrame = {
     require(fraction > 0.0 && fraction <= 1.0, s"fraction must be in (0, 1], got $fraction")
+    // persist the narrow (weight, id) projection across the two eager
+    // lookups (count + boundary) — otherwise each re-evaluates the
+    // caller's full scoring chain (qualityBuckets' documented trade)
     val scored = weights.filter(col("lw_fixed").isNotNull)
       .select(col("lw_fixed").as("_w"), col(idCol).as("_i"))
+      .persist()
+    try {
     val n = scored.count()
     if (n == 0L) return weights.withColumn(keptCol, lit(false))
     val k = math.ceil(n * fraction).toLong
@@ -161,5 +166,6 @@ object Dsir {
       col("lw_fixed").isNotNull &&
         ((col("lw_fixed") > bw) ||
           (col("lw_fixed") === bw && col(idCol) <= lit(bi))))
+    } finally scored.unpersist(false)
   }
 }

@@ -172,8 +172,15 @@ object LanguageModel {
   def qualityBuckets(scored: DataFrame, idCol: String,
                      scoreCol: String = "avg_nll",
                      bucketCol: String = "bucket"): DataFrame = {
+    // persist the (score, id) projection for the three eager lookups
+    // below (count + two ranked boundaries): without it each lookup
+    // re-evaluates the caller's full upstream chain — for an LM-scored
+    // corpus that is the whole train+score pipeline, 3x. Two narrow
+    // columns, so the cache is corpus-row-count-bounded, not text-sized.
     val s = scored.filter(col(scoreCol).isNotNull)
       .select(col(scoreCol).cast("double").as("_s"), col(idCol).as("_i"))
+      .persist()
+    try {
     val n = s.count()
     if (n == 0L) return scored.withColumn(bucketCol, lit(null).cast("string"))
     def boundary(k: Long): (Double, Any) = {
@@ -201,5 +208,6 @@ object LanguageModel {
         .when(le(c1s, c1i), "head")
         .when(le(c2s, c2i), "middle")
         .otherwise("tail"))
+    } finally s.unpersist(false)
   }
 }
