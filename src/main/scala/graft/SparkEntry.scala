@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Curation, Dedup, Dsir, LanguageModel, Multimodal, Patterns, Similarity, TemporalJoin, TextClassifier, Validate}
+import graft.operators.{Bpe, Curation, Dedup, Dsir, LanguageModel, Multimodal, Patterns, Similarity, TemporalJoin, TextClassifier, Validate}
 import graft.sources.{ParquetConnector, SchemaInfer, UpsertWriter}
 
 /** Driver contract: the declared operator surface (SURVEY.md §2), one
@@ -337,6 +337,40 @@ object SparkEntry {
       val m = TextClassifier.train(d, "text", "lang", vocabSize = 1000)
       TextClassifier.classify(d, "text", "doc_id", m, addK = 0.5)
         .orderBy(col("doc_id"))
+    }),
+
+    "q_bpe_train" -> ((s, dir) => {
+      // BPE merge training on the PINNED Sennrich fixture — the merge
+      // sequence is a data-dependent N-round argmax chain, so the oracle
+      // is golden literal rows (q_fingerprint pattern): the exact ranks,
+      // pairs, and dict frequencies pin the algorithm across JVMs and
+      // partitionings. Corpus-scale behavior is spec-pinned (BpeSpec).
+      import s.implicits._
+      val fixture = Seq(
+        (1L, "low low low low low"), (2L, "lower lower newest newest"),
+        (3L, "newest newest newest newest"), (4L, "widest widest widest"))
+        .toDF("doc_id", "text")
+      Bpe.train(fixture, "text", numMerges = 8).merges
+        .toDF("rank", "left", "right", "pair_freq")
+        .orderBy(col("rank"))
+    }),
+
+    "q_bpe_segment" -> ((s, dir) => {
+      // segmentation through the trained model: seen words resolve via
+      // the final-dict join, unseen words ("lowest", "unknown") replay
+      // the merge folds — golden rows again.
+      import s.implicits._
+      val fixture = Seq(
+        (1L, "low low low low low"), (2L, "lower lower newest newest"),
+        (3L, "newest newest newest newest"), (4L, "widest widest widest"))
+        .toDF("doc_id", "text")
+      val model = Bpe.train(fixture, "text", numMerges = 8)
+      val corpus = Seq((10L, "Low lowest newest"), (11L, "widest unknown lower"))
+        .toDF("doc_id", "text")
+      Bpe.segmentCorpus(corpus, "text", "doc_id", model)
+        .select(col("doc_id"), col("pos"), col("word"),
+          concat_ws(" ", col("syms")).as("subwords"))
+        .orderBy(col("doc_id"), col("pos"))
     }),
 
     "q_dsir" -> ((s, dir) => {
@@ -2088,6 +2122,27 @@ object SparkEntry {
         |SELECT d.doc_id, b.label, b.score + 0.0 AS score
         |FROM documents d LEFT JOIN best b USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Golden rows: the reference BPE merge sequence for the fixture
+    // (word freqs low:5 lower:2 newest:6 widest:3), hand-verified
+    // against an independent reference implementation.
+    "q_bpe_train" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS INTEGER), 'e', 's', CAST(9 AS BIGINT)),
+        |  (2, 'es', 't', 9), (3, 'l', 'o', 7), (4, 'lo', 'w', 7),
+        |  (5, 'e', 'w', 6), (6, 'ew', 'est', 6), (7, 'n', 'ewest', 6),
+        |  (8, 'd', 'est', 3)) AS t(rank, "left", "right", pair_freq)
+        |ORDER BY rank""".stripMargin,
+
+    "q_bpe_segment" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(10 AS BIGINT), CAST(0 AS INTEGER), 'low', 'low'),
+        |  (10, 1, 'lowest', 'low est'),
+        |  (10, 2, 'newest', 'newest'),
+        |  (11, 0, 'widest', 'w i dest'),
+        |  (11, 1, 'unknown', 'u n k n o w n'),
+        |  (11, 2, 'lower', 'low e r')) AS t(doc_id, pos, word, subwords)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // Full DSIR replay: unigram+bigram stream, polynomial codepoint
     // buckets (list_reduce fold — same integer chain as arithBucket),

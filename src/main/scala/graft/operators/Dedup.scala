@@ -518,7 +518,7 @@ object Dedup {
     * leaf) — the only handle through which those blocks can be
     * explicitly unpersisted; `Dataset.unpersist` touches only the
     * CacheManager and is a no-op for checkpoints. */
-  private def checkpointedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+  private[operators] def checkpointedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }

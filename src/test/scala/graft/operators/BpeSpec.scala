@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** BPE merge training on the classic Sennrich fixture: golden merge
+  * sequence, final-dict segmentation, unseen-word encode, stopping
+  * rule, partition invariance. */
+class BpeSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  // word freqs: low 5, lower 2, newest 6, widest 3 — the reference
+  // merge sequence (freq-desc, pair-lex-asc ties):
+  //   1 (e,s,9) 2 (es,t,9) 3 (l,o,7) 4 (lo,w,7)
+  //   5 (e,w,6) 6 (ew,est,6) 7 (n,ewest,6) 8 (d,est,3)
+  private def fixture = df(schema, Seq(
+    Row(1L, "low low low low low"),
+    Row(2L, "lower lower newest newest"),
+    Row(3L, "newest newest newest newest"),
+    Row(4L, "widest widest widest")))
+
+  private lazy val model = Bpe.train(fixture, "text", numMerges = 8)
+
+  test("golden merge sequence: ranks, pairs, frequencies") {
+    assert(model.merges == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L),
+      (4, "lo", "w", 7L), (5, "e", "w", 6L), (6, "ew", "est", 6L),
+      (7, "n", "ewest", 6L), (8, "d", "est", 3L)))
+  }
+
+  test("final dict state segments every training word") {
+    val seg = model.segments.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(seg == Map(
+      "low" -> Seq("low"), "lower" -> Seq("low", "e", "r"),
+      "newest" -> Seq("newest"), "widest" -> Seq("w", "i", "dest")))
+  }
+
+  test("segmentCorpus: seen words join, unseen words replay the merges") {
+    val corpus = df(schema, Seq(Row(10L, "Low lowest  unknown")))
+    val out = Bpe.segmentCorpus(corpus, "text", "doc_id", model)
+      .collect().map(r => r.getInt(1) -> (r.getString(2), r.getSeq[String](3))).toMap
+    assert(out(0) == ("low", Seq("low")))                  // seen (normalized case)
+    assert(out(1) == ("lowest", Seq("low", "est")))        // unseen: merges apply
+    assert(out(2) == ("unknown", "unknown".map(_.toString))) // unseen: nothing merges
+  }
+
+  test("stopping rule: best pair below minPairFreq ends training early") {
+    val m = Bpe.train(df(schema, Seq(Row(1L, "ab cd ef"))), "text",
+      numMerges = 5, minPairFreq = 2L)
+    assert(m.merges.isEmpty)
+    // and the dict is still the char-split state
+    val seg = m.segments.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(seg("ab") == Seq("a", "b"))
+  }
+
+  test("merge sequence is invariant to corpus partitioning") {
+    val text = (0 until 30).map(i => s"alpha${i % 3} beta gamma beta").mkString(" ")
+    val corpus = df(schema, Seq(Row(1L, text), Row(2L, text + " delta beta")))
+    def run(parts: Int) =
+      Bpe.train(corpus.repartition(parts), "text", numMerges = 6).merges
+    assert(run(1) == run(7))
+  }
+}
