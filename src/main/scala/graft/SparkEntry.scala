@@ -389,6 +389,22 @@ object SparkEntry {
       Dsir.resampleTop(w, "doc_id", 0.3).orderBy(col("doc_id"))
     }),
 
+    "q_dsir_gumbel" -> ((s, dir) => {
+      // the paper's SAMPLED resample: Gumbel-top-k at T=1 over the same
+      // DSIR weights, with the engine-portable seeded LCG noise — the
+      // whole probabilistic draw replays exactly in DuckDB (BIGINT LCG +
+      // IEEE -ln(-ln(u)) + fixed-point key).
+      val d = T(s, dir, "documents")
+      val arith = Some(Dsir.arithBucket(256) _)
+      val table = Dsir.importanceTable(d, d.filter(col("source") === "src1"), "text",
+        numBuckets = 256, bucket = arith)
+      val w = Dsir.importanceWeights(d, "text", "doc_id", table,
+        numBuckets = 256, bucket = arith)
+      Dsir.resampleGumbel(w, "doc_id", 0.3, temperature = 1.0, seed = 12345L)
+        .select(col("doc_id"), col("lw_fixed"), col("gumbel_fixed"), col("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_semdedup" -> ((s, dir) => {
       // SemDeDup resolution machinery under the oracle via the planted
       // seam: clusters = the embeddings table's label column (a stand-in
@@ -2196,6 +2212,63 @@ object SparkEntry {
         |       COALESCE(r.rn <= CAST(ceil(r.n * 0.3) AS BIGINT), FALSE) AS kept
         |FROM w LEFT JOIN ranked r USING (doc_id)
         |ORDER BY w.doc_id""".stripMargin,
+
+    // Gumbel-top-k replay on the same weight chain: BIGINT LCG scramble
+    // of the id (exact modular arithmetic), u -> -ln(-ln(u)) in IEEE
+    // doubles, fixed-point key, ranked keep.
+    "q_dsir_gumbel" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |         list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |                     x -> len(x) > 0) AS t
+        |  FROM documents),
+        |grams AS MATERIALIZED (
+        |  SELECT doc_id, source, g FROM (
+        |    SELECT doc_id, source, unnest(t) AS g FROM toks WHERE len(t) > 0
+        |    UNION ALL
+        |    SELECT doc_id, source, w1 || ' ' || w2 AS g FROM (
+        |      SELECT doc_id, source, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |      FROM toks WHERE len(t) >= 2))),
+        |bg AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                       list_transform(string_split(g, ''), x -> CAST(unicode(x) AS BIGINT))),
+        |                     (a, b) -> (a * 31 + b) % 256) AS b
+        |  FROM grams),
+        |cr AS MATERIALIZED (SELECT b, COUNT(1) AS c FROM bg GROUP BY b),
+        |ct AS MATERIALIZED (SELECT b, COUNT(1) AS c FROM bg WHERE source = 'src1' GROUP BY b),
+        |nr AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cr),
+        |nt AS (SELECT CAST(COALESCE(SUM(c), 0) AS DOUBLE) AS n FROM ct),
+        |lr AS MATERIALIZED (
+        |  SELECT r.b,
+        |         CAST(floor((ln((COALESCE(ct.c, 0) + 0.5) / (nt.n + 0.5 * 256)) -
+        |                     ln((COALESCE(cr.c, 0) + 0.5) / (nr.n + 0.5 * 256))) * 1e8) AS BIGINT) AS lrf
+        |  FROM range(256) r(b)
+        |  LEFT JOIN cr ON r.b = cr.b
+        |  LEFT JOIN ct ON r.b = ct.b
+        |  CROSS JOIN nr CROSS JOIN nt),
+        |w AS MATERIALIZED (
+        |  SELECT d.doc_id, s.lw_fixed
+        |  FROM documents d LEFT JOIN (
+        |    SELECT g.doc_id, CAST(SUM(lr.lrf) AS BIGINT) AS lw_fixed
+        |    FROM bg g JOIN lr ON g.b = lr.b
+        |    GROUP BY g.doc_id) s USING (doc_id)),
+        |keyed AS MATERIALIZED (
+        |  SELECT doc_id, lw_fixed,
+        |         CASE WHEN lw_fixed IS NOT NULL THEN
+        |           CAST(floor(CAST(lw_fixed AS DOUBLE) / 1.0 +
+        |                  (-ln(-ln((CAST(((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS DOUBLE) + 0.5)
+        |                            / 2147483648.0))) * 1e8) AS BIGINT)
+        |         END AS gumbel_fixed
+        |  FROM w),
+        |ranked AS MATERIALIZED (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY gumbel_fixed DESC, doc_id) AS rn,
+        |         COUNT(1) OVER () AS n
+        |  FROM keyed WHERE gumbel_fixed IS NOT NULL)
+        |SELECT k.doc_id, k.lw_fixed, k.gumbel_fixed,
+        |       COALESCE(r.rn <= CAST(ceil(r.n * 0.3) AS BIGINT), FALSE) AS kept
+        |FROM keyed k LEFT JOIN ranked r USING (doc_id)
+        |ORDER BY k.doc_id""".stripMargin,
 
     // SemDeDup resolution replay over the planted label clustering:
     // within-label pairs at cosine >= 0.999 (planted copies ~1.0, max

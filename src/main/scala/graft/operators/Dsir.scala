@@ -133,39 +133,74 @@ object Dsir {
           .cast("double").as("log_weight"))
   }
 
-  /** Deterministic top-fraction resample over scored weights: keep the
-    * ⌈fraction·n⌉ documents ranked by (lw_fixed desc, id asc). The
-    * cutoff is the exact ranked boundary PAIR (TakeOrdered — no full
-    * sort), and membership compares the pair lexicographically, so ties
-    * cannot overfill the keep set in any engine. Unscored documents
-    * (null lw_fixed) are never kept. Adds a `kept` boolean; filter on
-    * it or select where kept. */
-  def resampleTop(weights: DataFrame, idCol: String, fraction: Double,
-                  keptCol: String = "kept"): DataFrame = {
+  /** Shared ranked-keep core: flag the ⌈fraction·n⌉ rows ranked by
+    * (`keyCol` desc, id asc). The cutoff is the exact ranked boundary
+    * PAIR (TakeOrdered — no full sort), and membership compares the
+    * pair lexicographically, so ties cannot overfill the keep set in
+    * any engine. Null keys are never kept. */
+  private def keepTopByKey(df: DataFrame, keyCol: String, idCol: String,
+                           fraction: Double, keptCol: String): DataFrame = {
     require(fraction > 0.0 && fraction <= 1.0, s"fraction must be in (0, 1], got $fraction")
-    // persist the narrow (weight, id) projection across the two eager
+    // persist the narrow (key, id) projection across the two eager
     // lookups (count + boundary) — otherwise each re-evaluates the
     // caller's full scoring chain (qualityBuckets' documented trade)
-    val scored = weights.filter(col("lw_fixed").isNotNull)
-      .select(col("lw_fixed").as("_w"), col(idCol).as("_i"))
+    val scored = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("_w"), col(idCol).as("_i"))
       .persist()
     try {
     val n = scored.count()
-    if (n == 0L) return weights.withColumn(keptCol, lit(false))
+    if (n == 0L) return df.withColumn(keptCol, lit(false))
     val k = math.ceil(n * fraction).toLong
     require(k <= Int.MaxValue.toLong,
-      s"resampleTop exact boundary lookup caps at ${Int.MaxValue} scored docs per call, got $k")
-    // k-th element of the (weight desc, id asc) total order == max of
-    // struct(-w, id) over the top-k prefix (negation flips the order;
-    // weights are sums of |log-ratios| ≤ ~40·1e8 per gram — no overflow)
+      s"ranked-keep exact boundary lookup caps at ${Int.MaxValue} scored docs per call, got $k")
+    // k-th element of the (key desc, id asc) total order == max of
+    // struct(-key, id) over the top-k prefix (negation flips the order;
+    // keys are 1e-8-scaled log quantities ≤ ~2⁴⁰ — no overflow)
     val b = scored.orderBy(col("_w").desc, col("_i")).limit(k.toInt)
       .agg(max(struct((-col("_w")).as("_nw"), col("_i").as("_bi"))).as("m"))
       .head().getStruct(0)
     val (bw, bi) = (-b.getLong(0), b.get(1))
-    weights.withColumn(keptCol,
-      col("lw_fixed").isNotNull &&
-        ((col("lw_fixed") > bw) ||
-          (col("lw_fixed") === bw && col(idCol) <= lit(bi))))
+    df.withColumn(keptCol,
+      col(keyCol).isNotNull &&
+        ((col(keyCol) > bw) ||
+          (col(keyCol) === bw && col(idCol) <= lit(bi))))
     } finally scored.unpersist(false)
+  }
+
+  /** Deterministic top-fraction resample over scored weights: keep the
+    * ⌈fraction·n⌉ documents ranked by (lw_fixed desc, id asc). Unscored
+    * documents (null lw_fixed) are never kept. Adds a `kept` boolean;
+    * filter on it or select where kept. */
+  def resampleTop(weights: DataFrame, idCol: String, fraction: Double,
+                  keptCol: String = "kept"): DataFrame =
+    keepTopByKey(weights, "lw_fixed", idCol, fraction, keptCol)
+
+  /** The paper's SAMPLED resample: Gumbel-top-k draws ⌈fraction·n⌉
+    * documents without replacement with probability ∝
+    * softmax(log-weight / temperature) — per-doc keys
+    * lw/T + Gumbel(0,1), top-k by key. Lower temperature → closer to
+    * the deterministic [[resampleTop]]; 1.0 is the paper setting.
+    *
+    * The noise is a SEEDED, ENGINE-PORTABLE generator so the whole draw
+    * is replayable: u from an LCG scramble of the document id in exact
+    * BIGINT modular arithmetic (identical in any engine), g =
+    * −ln(−ln(u)) in IEEE doubles, and the key quantizes fixed-point —
+    * `floor(lwF/T + g·1e8)` (the [[LanguageModel.scoreNll]] contract).
+    * An id-keyed LCG is a demo-grade bit mixer — ids correlate with
+    * nothing in the corpus, which is all sampling noise needs here —
+    * but swap `noiseU` for a seeded xxhash64 when replayability is not
+    * required. Requires integral ids (the LCG multiplies the id). */
+  def resampleGumbel(weights: DataFrame, idCol: String, fraction: Double,
+                     temperature: Double = 1.0, seed: Long = 12345L,
+                     keptCol: String = "kept"): DataFrame = {
+    require(temperature > 0.0, s"temperature must be > 0, got $temperature")
+    val m = 2147483648L // 2^31: (m-1)·1103515245 stays inside Long exactly
+    val u = (pmod(pmod(col(idCol).cast("long"), lit(m)) * lit(1103515245L) + lit(seed), lit(m))
+      .cast("double") + lit(0.5)) / lit(m.toDouble)
+    val g = -log(-log(u))
+    val keyed = weights.withColumn("gumbel_fixed",
+      when(col("lw_fixed").isNotNull,
+        floor(col("lw_fixed").cast("double") / lit(temperature) + g * lit(1e8)).cast("long")))
+    keepTopByKey(keyed, "gumbel_fixed", idCol, fraction, keptCol)
   }
 }

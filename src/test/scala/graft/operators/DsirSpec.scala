@@ -92,6 +92,28 @@ class DsirSpec extends SparkSpec {
     assert(run(1) == run(13))
   }
 
+  test("resampleGumbel: seeded draw is deterministic; tiny temperature recovers top-k") {
+    val wSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_ngrams", LongType),
+      StructField("lw_fixed", LongType), StructField("log_weight", DoubleType)))
+    // DISTINCT weights: with ties the cold draw ranks inside a tie group
+    // by Gumbel key while resampleTop ranks by id — only the tie-free
+    // ordering makes the two keep sets provably equal
+    val w = df(wSchema, (1L to 40L).map(i =>
+      Row(i, 1L, i * 10000000L - 200000000L, 0.0)) :+ Row(99L, 0L, null, null))
+    def keptSet(d: org.apache.spark.sql.DataFrame) =
+      d.filter(col("kept")).collect().map(_.getLong(0)).toSet
+    val a = keptSet(Dsir.resampleGumbel(w, "doc_id", 0.5, seed = 7L))
+    val b = keptSet(Dsir.resampleGumbel(w, "doc_id", 0.5, seed = 7L))
+    assert(a == b, "same seed must draw the same set")
+    assert(a.size == 20, s"fraction 0.5 of 40 scored docs → 20 kept, got ${a.size}")
+    assert(!a.contains(99L), "unscored docs are never kept")
+    // T → 0: lw/T dominates any Gumbel draw → exactly the deterministic keep
+    val cold = keptSet(Dsir.resampleGumbel(w, "doc_id", 0.5, temperature = 1e-9))
+    val det = keptSet(Dsir.resampleTop(w, "doc_id", 0.5))
+    assert(cold == det, "cold draw must equal resampleTop")
+  }
+
   test("arithmetic and xxhash bucketers agree on the bucket RANGE contract") {
     val grams = df(StructType(Seq(StructField("g", StringType))),
       Seq(Row("a"), Row("hello world"), Row("z9 q"), Row("Ab")))
