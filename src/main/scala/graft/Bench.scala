@@ -65,7 +65,11 @@ object Bench {
     // r11: CCNet head/middle/tail thirds (ranked-boundary TakeOrdered
     // over the scored corpus — no full sort) and the trained NB
     // classifier (corpus x label-list cross, fixed-point long sums)
-    "q_quality_buckets", "q_nb_classify")
+    "q_quality_buckets", "q_nb_classify",
+    // r11: DSIR importance weighting + ranked resample (broadcast
+    // ratio-table join over the exploded n-gram stream; the oracle's
+    // arithmetic bucketer — production swaps in codegen'd xxhash64)
+    "q_dsir")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

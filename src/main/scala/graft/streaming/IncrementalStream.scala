@@ -240,6 +240,39 @@ object IncrementalStream {
     q
   }
 
+  /** Streaming DSIR scoring: each micro-batch scores its documents
+    * against the PERSISTED importance table (re-read per batch, so a
+    * refit picks up without restart) and upserts (id, n_ngrams,
+    * lw_fixed, log_weight) — with an optional fixed-point weight
+    * threshold gate. The batch never touches the raw/target corpora:
+    * the bounded ratio table is the entire model, so the tick is
+    * O(batch + numBuckets) — the sampler analog of the dedup ticks'
+    * O(delta + index) contract. Ranked-fraction resampling is
+    * deliberately NOT offered here: a top-k% cut is corpus-global,
+    * meaningless per batch — calibrate `minWeightFixed` offline (e.g.
+    * the boundary weight of a batch [[graft.operators.Dsir.resampleTop]]
+    * run) and gate on it. */
+  def dsirScoreStream(src: DataFrame, dst: graft.sources.Connector, table: String,
+                      ratioTable: String, textCol: String, idCol: String,
+                      checkpoint: String, numBuckets: Int = 4096,
+                      minWeightFixed: Option[Long] = None): StreamingQuery = {
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val w = graft.operators.Dsir.importanceWeights(
+            batch, textCol, idCol, dst.read(ratioTable), numBuckets)
+          val kept = minWeightFixed.map(t => w.filter(col("lw_fixed") >= t)).getOrElse(w)
+          if (!kept.isEmpty) dst.upsert(kept, table, idCol)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** The incremental-pipe-as-stream: append new rows of `src` into a
     * parquet sink with exactly-once file-sink semantics — the streaming
     * upgrade of `Patterns.incrementalPipe` (checkpoint = watermark). */

@@ -112,6 +112,47 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(dst.read("docs").count() == 3)
   }
 
+  test("dsirScoreStream scores batches against the persisted ratio table, threshold-gated") {
+    val srcDir = tmpDir("graft_dsir_src_")
+    val ckpt = tmpDir("graft_dsir_ck_")
+    val dst = new graft.sources.ParquetConnector(spark, tmpDir("graft_dsir_dst_"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // fit offline on a raw/target split; persist the bounded model table
+    val raw = df(docSchema, Seq(
+      Row(1L, "alpha beta gamma"), Row(2L, "delta epsilon zeta"), Row(3L, "alpha beta")))
+    val target = df(docSchema, Seq(Row(100L, "alpha beta alpha")))
+    dst.write(graft.operators.Dsir.importanceTable(raw, target, "text", numBuckets = 64),
+      "dsir_ratios")
+    // expected weights computed by the BATCH operator on the same table
+    // for BOTH waves — the gate is derived from them (self-calibrating:
+    // weights are gram SUMS, so hand-guessing relative order is fragile)
+    val expect = graft.operators.Dsir.importanceWeights(
+      df(docSchema, Seq(Row(10L, "alpha beta"), Row(11L, "delta zeta"),
+        Row(20L, "alpha beta alpha"))),
+      "text", "doc_id", dst.read("dsir_ratios"), numBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // target-like docs must outscore the raw-only one, then gate between
+    assert(expect(10L) > expect(11L) && expect(20L) > expect(11L), expect.toString)
+    val gate = expect(11L) + 1L
+    def run(): Unit = IncrementalStream.dsirScoreStream(
+      IncrementalStream.readStream(spark, srcDir, docSchema), dst, "scored",
+      "dsir_ratios", "text", "doc_id", ckpt, numBuckets = 64,
+      minWeightFixed = Some(gate))
+    df(docSchema, Seq(Row(10L, "alpha beta"), Row(11L, "delta zeta")))
+      .write.mode("append").parquet(srcDir)
+    run()
+    val out = dst.read("scored").collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(10L -> expect(10L)), s"gate must keep only the target-like doc: $out")
+    // wave 2 through the SAME checkpoint: only the delta is scored
+    df(docSchema, Seq(Row(20L, "alpha beta alpha"))).write.mode("append").parquet(srcDir)
+    run()
+    val ids = dst.read("scored").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(10L, 20L), ids.toString)
+    run() // no new input: nothing changes
+    assert(dst.read("scored").count() == 2)
+  }
+
   test("embeddingDedupStream drops vector near-dups against the FULL history (index-backed)") {
     val srcDir = tmpDir("graft_emb_src_")
     val ckpt = tmpDir("graft_emb_ck_")
