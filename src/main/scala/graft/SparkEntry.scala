@@ -381,7 +381,7 @@ object SparkEntry {
       // identical pipeline (DsirSpec pins both). Fixed-point weights,
       // exact ranked-boundary top-30% keep.
       val d = T(s, dir, "documents")
-      val arith = Some(Dsir.arithBucket(256) _)
+      val arith = Some(Dsir.polyBucket(256) _)
       val table = Dsir.importanceTable(d, d.filter(col("source") === "src1"), "text",
         numBuckets = 256, bucket = arith)
       val w = Dsir.importanceWeights(d, "text", "doc_id", table,
@@ -395,7 +395,7 @@ object SparkEntry {
       // whole probabilistic draw replays exactly in DuckDB (BIGINT LCG +
       // IEEE -ln(-ln(u)) + fixed-point key).
       val d = T(s, dir, "documents")
-      val arith = Some(Dsir.arithBucket(256) _)
+      val arith = Some(Dsir.polyBucket(256) _)
       val table = Dsir.importanceTable(d, d.filter(col("source") === "src1"), "text",
         numBuckets = 256, bucket = arith)
       val w = Dsir.importanceWeights(d, "text", "doc_id", table,

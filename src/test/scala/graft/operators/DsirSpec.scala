@@ -114,6 +114,18 @@ class DsirSpec extends SparkSpec {
     assert(cold == det, "cold draw must equal resampleTop")
   }
 
+  test("native polyBucket is value-identical to the HOF fold reference") {
+    val rnd = new scala.util.Random(23)
+    val words = (1 to 300).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString) ++
+      Seq("a", "hello world", "Ab cD", "ümlaut tökens", "x" * 200)
+    val d = df(StructType(Seq(StructField("g", StringType))), words.map(Row(_)))
+    Seq(8, 256, 4096).foreach { b =>
+      val cmp = d.select(Dsir.polyBucket(b)(col("g")).as("n"),
+        Dsir.arithBucket(b)(col("g")).as("h")).collect()
+      cmp.foreach(r => assert(r.getLong(0) == r.getLong(1), s"B=$b diverged"))
+    }
+  }
+
   test("arithmetic and xxhash bucketers agree on the bucket RANGE contract") {
     val grams = df(StructType(Seq(StructField("g", StringType))),
       Seq(Row("a"), Row("hello world"), Row("z9 q"), Row("Ab")))
