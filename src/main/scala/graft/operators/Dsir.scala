@@ -33,8 +33,8 @@ import graft.functions.TextFunctions
   * contract as [[LanguageModel.scoreNll]]), so per-doc weights are long
   * sums: bit-identical under any parallelism and externally replayable.
   * The default bucketer is seeded xxhash64 (codegen'd, the 100 TB
-  * path); `arithBucket` is the polynomial-over-codepoints variant a SQL
-  * oracle can replay exactly (`q_dsir` uses it end-to-end).
+  * path); [[polyBucket]] is the native codepoint-polynomial variant a
+  * SQL oracle can replay exactly (`q_dsir` uses it end-to-end).
   */
 object Dsir {
 
