@@ -156,21 +156,23 @@ object GraftFunctions {
       require(k >= 1, s"k must be an integer literal >= 1, got $k")
       BottomKAgg(args.head, args(1), k).toAggregateExpression()
     }, "bottom_k(priority, payload, k) - mergeable per-group bottom-k aggregate: k payloads with smallest (priority, payload), ascending"),
-    // ---- vector functions (r6): SQL forms of VectorFunctions for
-    // spark.sql users — same deterministic left-fold arithmetic as the
-    // Column API (norms/scale are re-evaluated per reference in these
-    // convenience forms; the Column API remains the hot path)
+    // ---- vector functions (r6; r11: routed to the FUSED native
+    // expressions): SQL forms of VectorFunctions for spark.sql users —
+    // bit-identical to the deterministic left folds they replaced
+    // (VectorFunctionsSpec parity), but one codegen'd loop per row
+    // instead of an interpreted HOF chain
     ("vec_dot", { args: Seq[Expression] =>
       require(args.length == 2, "vec_dot(a, b)")
-      parsedWith(dotSql, "__a__" -> args.head, "__b__" -> args(1))
-    }, "vec_dot(a, b) - dot product of two float/double arrays as a deterministic left fold"),
+      DotProduct(args.head, args(1))
+    }, "vec_dot(a, b) - dot product of two float/double arrays (fused native loop, left-fold-exact)"),
     ("vec_cosine", { args: Seq[Expression] =>
       require(args.length == 2, "vec_cosine(a, b)")
-      parsedWith(
-        s"case when ${normSql("__a__")} * ${normSql("__b__")} = 0.0D then 0.0D " +
-          s"else ($dotSql) / (${normSql("__a__")} * ${normSql("__b__")}) end",
-        "__a__" -> args.head, "__b__" -> args(1))
+      CosineSimilarity(args.head, args(1))
     }, "vec_cosine(a, b) - cosine similarity; 0.0 when either norm is 0 (matches VectorFunctions.cosine)"),
+    ("poly_bucket", { args: Seq[Expression] =>
+      require(args.length == 2, "poly_bucket(s, numBuckets)")
+      PolyBucket(args.head, intLit(args(1), "numBuckets"))
+    }, "poly_bucket(s, numBuckets) - codepoint polynomial (acc*31+cp) mod B; SQL-replayable bucket hash (Dsir)"),
     ("vec_quantize", { args: Seq[Expression] =>
       require(args.length == 1, "vec_quantize(a)")
       // scale repeats into an array so the lambda sees it as an element —
@@ -216,11 +218,6 @@ object GraftFunctions {
     checks.mkString(" AND ")
   }
 
-  private val dotSql =
-    "aggregate(zip_with(__a__, __b__, (x, y) -> cast(x as double) * cast(y as double)), " +
-      "0.0D, (acc, x) -> acc + x)"
-  private def normSql(v: String): String =
-    s"sqrt(aggregate($v, 0.0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"
   private val scaleSql =
     "case when aggregate(__a__, 0.0D, (acc, x) -> greatest(acc, abs(cast(x as double)))) = 0.0D " +
       "then 1.0D else aggregate(__a__, 0.0D, (acc, x) -> greatest(acc, abs(cast(x as double)))) / 127.0D end"

@@ -72,6 +72,9 @@ class GraftFunctionsSpec extends SparkSpec {
         case "word_ngram_hashes" => Seq(
           org.apache.spark.sql.catalyst.expressions.Literal("x"),
           org.apache.spark.sql.catalyst.expressions.Literal(5))
+        case "poly_bucket" => Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal("x"),
+          org.apache.spark.sql.catalyst.expressions.Literal(64))
         case "normalize_text" => Seq(
           org.apache.spark.sql.catalyst.expressions.Literal("x"),
           org.apache.spark.sql.catalyst.expressions.Literal("nfc"))
@@ -158,6 +161,18 @@ class GraftFunctionsSpec extends SparkSpec {
       assert(s.getLong(5) == c.getLong(5), s"seeded bucket diverged for id ${s.getLong(0)}")
     }
     assert(viaSql.last.getDouble(2) == 0.0, "zero-norm guard must yield 0.0")
+  }
+
+  test("poly_bucket SQL matches the Dsir Column form") {
+    GraftFunctions.register(spark)
+    val d = df(StructType(Seq(StructField("g", StringType))),
+      Seq(Row("hello world"), Row("a"), Row("Ab cD"), Row("x" * 50)))
+    d.createOrReplaceTempView("gf_pb")
+    val viaSql = spark.sql("SELECT g, poly_bucket(g, 256) AS b FROM gf_pb ORDER BY g")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaCol = d.select(col("g"), graft.operators.Dsir.polyBucket(256)(col("g")).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaCol)
   }
 
   test("r7 SQL forms (repetition/gopher/pii/ngram-hash) match the Column API") {
