@@ -62,7 +62,16 @@ object Bpe {
     * 1-row TakeOrdered collect) plus the dict transform; rounds stop
     * early when the best pair's frequency drops below `minPairFreq`
     * (the reference's stopping rule — merging hapax pairs memorizes
-    * noise). */
+    * noise).
+    *
+    * Practicality bound: each merge is a driver round trip, so this
+    * loop is sized for hundreds-to-low-thousands of merges (subword
+    * vocab prototyping, domain-specific token tables). A full 30k+
+    * production vocabulary wants the batched variant of the algorithm
+    * (re-count pair deltas instead of full recounts, pick many
+    * non-interfering merges per round) — the per-round dict transform
+    * and checkpoint lifecycle here are the building blocks it would
+    * reuse. */
   def train(corpus: DataFrame, textCol: String, numMerges: Int,
             minPairFreq: Long = 2L): BpeModel = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")

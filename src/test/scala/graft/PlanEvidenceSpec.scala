@@ -274,6 +274,25 @@ class PlanEvidenceSpec extends SparkSpec {
       "per-doc aggregation must be partial before the exchange:\n" + plan)
   }
 
+  test("NB classify: label table broadcasts; per-(doc,label) scores aggregate map-side") {
+    val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+    val m = graft.operators.TextClassifier.train(docs, "text", "lang", vocabSize = 500)
+    val out = graft.operators.TextClassifier.classify(docs, "text", "doc_id", m)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the |labels|-row prior/denominator table is explicitly broadcast —
+    // the token stream must cross it without an exchange
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "label table must broadcast into the scoring cross:\n" + plan)
+    // vocab UNK-mapping is a broadcast join on the driver-bounded array
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("_v#")),
+      "vocab mapping must never sort-merge the token stream:\n" + plan)
+    // per-(doc,label) joint aggregation partial before the exchange
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      "per-doc-label aggregation must be partial before the exchange:\n" + plan)
+  }
+
   test("DSIR scoring: ratio table broadcasts; per-doc weights aggregate map-side") {
     val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
     val table = graft.operators.Dsir.importanceTable(
