@@ -339,6 +339,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      // jsonl write + read-back of the documents table: the oracle
+      // (SELECT from the original) proves the interchange codec is
+      // LOSSLESS for the corpus columns — JSON string escaping handles
+      // embedded newlines/quotes exactly; connector semantics (append
+      // evolution, truncate, rename) are spec'd in JsonlConnectorSpec.
+      val d = T(s, dir, "documents")
+      val work = java.nio.file.Files.createTempDirectory("graft_jsonl_q_").toString
+      val c = new graft.sources.JsonlConnector(s, work)
+      c.write(d.select("doc_id", "text", "lang", "source", "n_chars"), "documents")
+      c.read("documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_bpe_train" -> ((s, dir) => {
       // BPE merge training on the PINNED Sennrich fixture — the merge
       // sequence is a data-dependent N-round argmax chain, so the oracle
@@ -2138,6 +2153,11 @@ object SparkEntry {
         |SELECT d.doc_id, b.label, b.score + 0.0 AS score
         |FROM documents d LEFT JOIN best b USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // jsonl codec losslessness: read-back must equal the source table
+    "q_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Golden rows: the reference BPE merge sequence for the fixture
     // (word freqs low:5 lower:2 newest:6 widest:3), hand-verified
