@@ -84,6 +84,7 @@ class CliAndConfigSpec extends SparkSpec {
     val d = tmpDir("graft_build_")
     assert(ConnectionConfig.build(spark, "parquet", Map("dir" -> d)).isInstanceOf[ParquetConnector])
     assert(ConnectionConfig.build(spark, "csv", Map("dir" -> d)).isInstanceOf[graft.sources.CsvConnector])
+    assert(ConnectionConfig.build(spark, "jsonl", Map("dir" -> d)).isInstanceOf[graft.sources.JsonlConnector])
     assert(ConnectionConfig.build(spark, "jsondoc", Map("dir" -> d)).isInstanceOf[graft.sources.JsonDocConnector])
     assert(ConnectionConfig.build(spark, "parquet_partitioned", Map("dir" -> d))
       .isInstanceOf[graft.sources.PartitionedParquetConnector])
