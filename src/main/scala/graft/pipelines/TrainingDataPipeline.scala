@@ -15,7 +15,9 @@ import graft.sources.ParquetConnector
   *   scrub (PII redaction + Gopher repetition filter) →
   *   dedup (exact, then MinHash near-dup) →
   *   decontaminate (benchmark n-gram overlap, when a benchmark is
-  *   given) → mix (temperature-scaled language rebalance) → split →
+  *   given) → dsir_select (target-matched importance resampling, when
+  *   a target corpus is given) → mix (temperature-scaled language
+  *   rebalance) → split →
   *   pack (context-length chunking + token-budget bins) → report
   *
   * Every stage writes a parquet table into `work`, so each is
@@ -34,7 +36,7 @@ object TrainingDataPipeline {
   case class Funnel(ingested: Long, profiled: Long, kept: Long,
                     scrubbed: Long, exactUnique: Long, nearUnique: Long,
                     finalKept: Long, mixed: Long, packedChunks: Long,
-                    lmKept: Long = 0L)
+                    lmKept: Long = 0L, dsirKept: Long = 0L)
 
   /** Wire the pipeline steps onto `plan`. `src` must contain
     * `documents.parquet`; outputs land in `work`.
@@ -75,7 +77,10 @@ object TrainingDataPipeline {
             maxAvgNll: Option[Double] = None,
             lmRefLang: String = "en",
             lmVocabSize: Int = 50000,
-            lmAddK: Double = 0.5): Plan = {
+            lmAddK: Double = 0.5,
+            dsirTargetDir: Option[String] = None,
+            dsirKeepFraction: Double = 0.5,
+            dsirNumBuckets: Int = 4096): Plan = {
     require(Set("minhash", "jaccard").contains(nearDedup),
       s"nearDedup must be 'minhash' or 'jaccard', got '$nearDedup'")
     val spark = plan.spark
@@ -172,13 +177,33 @@ object TrainingDataPipeline {
       }
     }
 
+    dsirTargetDir.foreach { td =>
+      plan.step("dsir_select") {
+        // DSIR target-matched selection (Xie et al. 2023) between
+        // curation and mixing — published pipelines select first, then
+        // rebalance. Target = the trusted reference corpus at `td`
+        // (its `documents` table); raw = this pipeline's survivors. The
+        // bounded bucket log-ratio table broadcasts; keep = the exact
+        // ranked top `dsirKeepFraction` by fixed-point weight.
+        val in = work.read(if (benchDir.isDefined) "docs_final" else "docs_unique")
+        val target = new ParquetConnector(spark, td).read("documents")
+        val table = graft.operators.Dsir.importanceTable(in, target, "text", dsirNumBuckets)
+        val w = graft.operators.Dsir.importanceWeights(in, "text", "doc_id", table, dsirNumBuckets)
+        val kept = graft.operators.Dsir.resampleTop(w, "doc_id", dsirKeepFraction)
+          .filter(col("kept"))
+        work.write(in.join(kept.select("doc_id"), Seq("doc_id"), "left_semi"),
+          "docs_selected")
+      }
+    }
+
     plan.step("mix") {
       // language rebalance over the survivors — the corpus-composition
       // step between curation and split: explicit weights when the mix
       // is a spec (mixWeights), temperature-scaled otherwise. Source is
       // chosen by CONFIG, not table existence: a workDir reused from an
       // earlier benchmarked run must not feed a stale docs_final in
-      val src = if (benchDir.isDefined) "docs_final" else "docs_unique"
+      val src = if (dsirTargetDir.isDefined) "docs_selected"
+        else if (benchDir.isDefined) "docs_final" else "docs_unique"
       val mixed = mixWeights match {
         case Some(w) => Curation.mixByWeight(work.read(src),
           langCol, w, "n_tokens", "doc_id")
@@ -237,6 +262,7 @@ object TrainingDataPipeline {
           |  exact-unique:  {{exact}}
           |  near-unique:   {{near}}
           |  final:         {{final}}
+          |  dsir-selected: {{dsir}}
           |  mixed:         {{mixed}}
           |  packed chunks: {{packed}}""".stripMargin,
         Map("ingested" -> f.ingested.toString, "profiled" -> f.profiled.toString,
@@ -244,6 +270,7 @@ object TrainingDataPipeline {
           "scrubbed" -> f.scrubbed.toString,
           "exact" -> f.exactUnique.toString,
           "near" -> f.nearUnique.toString, "final" -> f.finalKept.toString,
+          "dsir" -> f.dsirKept.toString,
           "mixed" -> f.mixed.toString, "packed" -> f.packedChunks.toString))
       body.split("\n").foreach(plan.logger.info)
     }
@@ -284,6 +311,7 @@ object TrainingDataPipeline {
         else near,
       mixed = countIf("docs_mixed"),
       packedChunks = countIf("docs_packed"),
-      lmKept = countIf("docs_lm"))
+      lmKept = countIf("docs_lm"),
+      dsirKept = countIf("docs_selected"))
   }
 }

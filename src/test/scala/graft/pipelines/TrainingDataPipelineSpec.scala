@@ -46,6 +46,21 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(plan.logger.messages.exists(_.contains(s"packed chunks: ${f.packedChunks}")))
   }
 
+  test("dsir_select stage keeps the exact top fraction and feeds the mix") {
+    val work = tmpDir("graft_pipe_dsir_")
+    val plan = new Plan(spark, PlanConfig(pidDir = tmpDir("graft_pid_")))
+    // target = the source corpus itself: selection semantics (exact
+    // ranked keep, stage wiring) are what's under test, not the weights
+    TrainingDataPipeline.build(plan, src, work, minQuality = 0.2,
+      dsirTargetDir = Some(src), dsirKeepFraction = 0.4, dsirNumBuckets = 256)
+    plan.run()
+    val f = TrainingDataPipeline.funnel(plan, src, work)
+    assert(f.dsirKept == math.ceil(f.nearUnique * 0.4).toLong,
+      s"exact top-40% of ${f.nearUnique}, got ${f.dsirKept}")
+    assert(f.mixed <= f.dsirKept, "mix must read the SELECTED set")
+    assert(plan.logger.messages.exists(_.contains(s"dsir-selected: ${f.dsirKept}")))
+  }
+
   test("near-dup stage drops a planted mutation; step selection reruns one stage") {
     val work = tmpDir("graft_pipe_work2_")
     val plan = new Plan(spark, PlanConfig(pidDir = tmpDir("graft_pid2_")))
