@@ -839,6 +839,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_unimax" -> ((s, dir) => {
+      // UniMax epoch-capped mixing (Chung et al. 2023): budget = 4x the
+      // corpus weight, cap 6 epochs — small languages saturate at the
+      // cap, the rest split the leftover equally; allocation is pure
+      // integer water-filling, so the oracle replays it exactly
+      val d = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      val total = d.filter(col("lang").isNotNull)
+        .agg(sum(col("n_chars").cast("long"))).head().getLong(0)
+      operators.Curation.unimaxMix(d, "lang", "n_chars", "doc_id",
+          budget = 4L * total, maxEpochs = 6)
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
+    "q_bm25" -> ((s, dir) => {
+      // Okapi BM25 top-k against a fixed probe-term set: two corpus
+      // scans (integer stats -> literal-embedded scoring projection),
+      // no shuffle, TakeOrdered(k); per-term scores quantized to 1e-8
+      // fixed-point longs before the per-doc sum (the scoreNll parity
+      // contract), so the oracle replays every double op 1:1
+      operators.Retrieval.bm25TopK(T(s, dir, "documents"), "text", "doc_id",
+        terms = Seq("spark", "vector", "merge"), k = 25)
+    }),
+
     "q_cap_group" -> ((s, dir) => {
       // per-source cardinality cap (the per-domain cap of web curation
       // recipes) — lowest-id winners via the mergeable bottom-k heap,
@@ -1637,6 +1660,79 @@ object SparkEntry {
         |SELECT c.doc_id, c.lang, c.n_chars
         |FROM c JOIN b USING (lang) WHERE c.cb < b.budget
         |ORDER BY c.doc_id""".stripMargin,
+
+    "q_unimax" ->
+      """WITH avail AS MATERIALIZED (
+        |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS w FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY lang HAVING SUM(n_chars) > 0),
+        |b AS (SELECT 4 * SUM(w) AS budget FROM avail),
+        |ord AS (
+        |  SELECT lang, w, 6 * w AS c,
+        |         row_number() OVER (ORDER BY 6 * w, lang) AS i,
+        |         COUNT(*) OVER () AS m,
+        |         COALESCE(SUM(6 * w) OVER (ORDER BY 6 * w, lang
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+        |  FROM avail),
+        |flag AS MATERIALIZED (
+        |  SELECT ord.*, (c * (m - i + 1) <= (SELECT budget FROM b) - p) AS sat FROM ord),
+        |agg AS (
+        |  SELECT COALESCE(SUM(CASE WHEN sat THEN c END), 0) AS satsum,
+        |         COUNT(*) FILTER (WHERE sat) AS j, MAX(m) AS m FROM flag),
+        |alloc AS (
+        |  SELECT f.lang, f.w,
+        |         CASE WHEN f.sat THEN f.c
+        |              ELSE ((SELECT budget FROM b) - a.satsum) // (a.m - a.j) END AS alc
+        |  FROM flag f CROSS JOIN agg a),
+        |parts AS (SELECT lang, CAST(alc // w AS BIGINT) AS fe,
+        |                 CAST(alc % w AS BIGINT) AS rem FROM alloc),
+        |cb AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars,
+        |         COALESCE(SUM(d.n_chars) OVER (PARTITION BY d.lang ORDER BY d.doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM documents d WHERE d.lang IN (SELECT lang FROM avail)),
+        |sel AS (
+        |  SELECT c.doc_id, c.lang, c.n_chars,
+        |         unnest(range(0, p.fe + CASE WHEN c.cb < p.rem THEN 1 ELSE 0 END)) AS e
+        |  FROM cb c JOIN parts p USING (lang))
+        |SELECT doc_id, lang, n_chars, CAST(e AS BIGINT) AS epoch
+        |FROM sel ORDER BY doc_id, epoch""".stripMargin,
+
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'),
+        |                     x -> len(x) > 0) AS t
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, len(t) AS dl,
+        |         len(list_filter(t, x -> x = 'spark')) AS tf0,
+        |         len(list_filter(t, x -> x = 'vector')) AS tf1,
+        |         len(list_filter(t, x -> x = 'merge')) AS tf2
+        |  FROM toks),
+        |s AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
+        |         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM d),
+        |sc AS (
+        |  SELECT d.doc_id,
+        |    CAST(FLOOR(ln(1.0 + (CAST(s.n - s.df0 AS DOUBLE) + 0.5) / (CAST(s.df0 AS DOUBLE) + 0.5))
+        |      * (CAST(d.tf0 AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(d.tf0 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))))) * 1e8) AS BIGINT)
+        |    + CAST(FLOOR(ln(1.0 + (CAST(s.n - s.df1 AS DOUBLE) + 0.5) / (CAST(s.df1 AS DOUBLE) + 0.5))
+        |      * (CAST(d.tf1 AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(d.tf1 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))))) * 1e8) AS BIGINT)
+        |    + CAST(FLOOR(ln(1.0 + (CAST(s.n - s.df2 AS DOUBLE) + 0.5) / (CAST(s.df2 AS DOUBLE) + 0.5))
+        |      * (CAST(d.tf2 AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(d.tf2 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))))) * 1e8) AS BIGINT)
+        |    AS score_fp,
+        |    CAST((CASE WHEN d.tf0 > 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN d.tf1 > 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN d.tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS matched
+        |  FROM d CROSS JOIN s)
+        |SELECT doc_id, score_fp, matched FROM sc
+        |ORDER BY score_fp DESC, doc_id LIMIT 25""".stripMargin,
 
     "q_cap_group" ->
       """SELECT doc_id, source, lang FROM (

@@ -264,6 +264,93 @@ object Curation {
     mixByWeight(df, strataCol, weights, weightCol, orderCol)
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): split a total token `budget` across strata by
+    * water-filling under a per-stratum cap of `maxEpochs` passes over
+    * its available weight. Strata too small to absorb an equal share
+    * are saturated at `maxEpochs`·Wₛ; the leftover is split equally
+    * among the rest — low-resource languages are up-sampled (bounded by
+    * the epoch cap, so never degenerately repeated) without the
+    * unbounded head-crushing of temperature mixing.
+    *
+    * PURE INTEGER arithmetic (the cross-engine determinism contract):
+    * with capacities cₛ = maxEpochs·Wₛ sorted ascending (ties broken by
+    * stratum name), stratum i is saturated iff
+    * cᵢ·(m−i+1) ≤ budget − Σ_{k<i} cₖ — the exact rational
+    * water-filling criterion via cross-multiplication, which is
+    * prefix-closed in that order — and each unsaturated stratum gets
+    * ⌊(budget − Σ_sat c) / (m − #sat)⌋. Up to m−#sat−1 tokens of the
+    * budget go unassigned (floor division); saturated leftover is
+    * intentionally unassigned (UniMax caps, it does not redistribute
+    * past the epoch bound — §3.1 of the paper).
+    */
+  private[graft] def unimaxAllocate(avail: Seq[(String, Long)], budget: Long,
+                                    maxEpochs: Int): Seq[(String, Long, Long)] = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    avail.foreach { case (s, w) =>
+      require(w > 0, s"stratum $s has non-positive available weight $w")
+      require(w <= Long.MaxValue / maxEpochs / math.max(avail.size, 1),
+        s"stratum $s: capacity arithmetic would overflow long") }
+    val sorted = avail.map { case (s, w) => (s, w, maxEpochs * w) }
+      .sortBy { case (s, _, c) => (c, s) }
+    val m = sorted.size
+    // prefix-closed saturation scan (see scaladoc): find #saturated
+    var p = 0L; var j = 0
+    while (j < m && { val c = sorted(j)._3; c * (m - j) <= budget - p }) {
+      p += sorted(j)._3; j += 1
+    }
+    val fair = if (j < m) (budget - p) / (m - j) else 0L
+    sorted.zipWithIndex.map { case ((s, w, c), i) => (s, w, if (i < j) c else fair) }
+  }
+
+  /** UniMax corpus mixing: allocate `budget` (in `weightCol` units —
+    * tokens/chars) across the strata present in the data via
+    * [[unimaxAllocate]], then materialize each stratum's share as
+    * FULL EPOCHS plus a partial-epoch prefix: with allocation bₛ over
+    * available weight Wₛ, every row of the stratum is emitted with
+    * `epochCol` = 0 … ⌊bₛ/Wₛ⌋−1, and the stratum's `orderCol`-prefix
+    * whose cumulative weight BEFORE the row stays under bₛ mod Wₛ is
+    * emitted once more (straddler included — the [[mixByWeight]] cut
+    * contract, overshoot bounded by one document per stratum per
+    * epoch boundary). A saturated stratum therefore emits exactly
+    * `maxEpochs` full copies and no partial.
+    *
+    * Deterministic and exactly SQL-replayable (`q_unimax`): the
+    * allocation is pure integer arithmetic, the prefix is the
+    * de-funneled [[withStrataPrefix]] shape, and the epoch expansion is
+    * a bounded `sequence` explode (≤ maxEpochs+1 per row). `orderCol`
+    * must be unique per stratum (ibid.). Scale: driver sees one scalar
+    * per stratum; one broadcast of m (stratum, full, rem) rows; the
+    * corpus shuffles once for the prefix and explodes map-side — row
+    * replication is the OPERATOR'S OUTPUT semantics (an epoch-expanded
+    * corpus), so the ≤(maxEpochs+1)× output volume is the contract,
+    * not overhead. */
+  def unimaxMix(df: DataFrame, strataCol: String, weightCol: String,
+                orderCol: String, budget: Long, maxEpochs: Int = 4,
+                epochCol: String = "epoch"): DataFrame = {
+    require(df.schema(strataCol).dataType == org.apache.spark.sql.types.StringType,
+      s"$strataCol must be a string column")
+    val avail = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol))
+      .agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)).as("_w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .filter(_._2 > 0).sortBy(_._1).toSeq
+    require(avail.nonEmpty, s"no stratum in $strataCol carries positive $weightCol weight")
+    val alloc = unimaxAllocate(avail, budget, maxEpochs)
+    val parts = alloc.map { case (s, w, b) => (s, b / w, b % w) }
+    val spark = df.sparkSession
+    val partsDf = broadcast(spark.createDataFrame(parts).toDF(strataCol, "_full", "_rem"))
+    withStrataPrefix(df.filter(col(strataCol).isin(avail.map(_._1): _*)),
+        Seq(strataCol), orderCol, col(weightCol).cast("long"), "_cb")
+      .join(partsDf, Seq(strataCol))
+      .withColumn("_ne", col("_full") + when(col("_cb") < col("_rem"), 1L).otherwise(0L))
+      .filter(col("_ne") > 0)
+      .withColumn(epochCol, explode(sequence(lit(0L), col("_ne") - 1)))
+      .select(df.columns.map(col).toIndexedSeq :+ col(epochCol): _*)
+  }
+
   /** Sequence packing by contiguous budget chunking: order each group by
     * `orderCol`, run a cumulative sum of `weightCol`, and assign row r to
     * bin `floor(cumBefore(r) / budget)`. Every bin holds ~`budget` weight

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Lexical retrieval scoring over a document corpus: Okapi BM25 against
+  * a FIXED probe-term set — the shape curation pipelines actually run
+  * (score 100 TB of web text against a benchmark's query terms, a
+  * quality-probe vocabulary, or a contamination watch-list), as opposed
+  * to serving ad-hoc user queries (that is an index server's job, not a
+  * batch engine's).
+  *
+  * The probe terms are LITERALS, which buys the whole plan its shape:
+  * per-document term frequencies are `size(filter(tokens, = term))`
+  * projections — no token explode, no (doc × term) shuffle, everything
+  * whole-stage-codegen — so scoring is two sequential corpus scans:
+  *
+  *  1. stats: one aggregate emitting N (docs), Σdl (corpus token
+  *     count), and one document-frequency counter per term — a single
+  *     driver row, embedded into pass 2 as literals (the "broadcast"
+  *     is plan constants; nothing executor-side).
+  *  2. score: per-doc BM25 sum + `TakeOrdered(k)` — no corpus-wide
+  *     sort; k rows per task cross the exchange.
+  *
+  * Scoring is the Lucene BM25 form: per term t with doc frequency df,
+  * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) ≥ 0, and per doc with
+  * length dl and term frequency tf,
+  * score += idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+  *
+  * Cross-engine exactness (`q_bm25`): N/df/Σdl are integer aggregates;
+  * every double op mirrors the oracle SQL's expression tree 1:1 (same
+  * literals, same association — see the parity notes inline), and each
+  * per-term score quantizes to 1e-8 fixed-point (`floor(x·1e8)` long,
+  * the [[LanguageModel.scoreNll]] contract) BEFORE the per-doc sum, so
+  * doc scores are order-independent long sums. ln parity between
+  * engines is the same empirical contract `q_perplexity` relies on.
+  */
+object Retrieval {
+
+  /** Default BM25 free parameters (the Robertson/Lucene standard). */
+  val DefaultK1 = 1.2
+  val DefaultB = 0.75
+
+  private def tokens(textCol: String): Column = {
+    // null text scores like an empty doc (dl = 0), not as NULL rows
+    val toks = split(TextFunctions.normalizeForFingerprint(
+      coalesce(col(textCol), lit(""))), " ")
+    filter(toks, t => length(t) > 0)
+  }
+
+  /** Per-document BM25 scores against `terms`: one row per input doc —
+    * (`idCol`, `score_fp` = Σ_t floor(score_t·1e8) as a long,
+    * `matched` = #probe terms present). Docs matching no term score 0
+    * (kept: the caller decides whether 0 is a filter or a floor). */
+  def bm25Scores(df: DataFrame, textCol: String, idCol: String, terms: Seq[String],
+                 k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.distinct == terms, "terms must be distinct")
+    val toked = df.select(col(idCol), tokens(textCol).as("_t"))
+      .select(col(idCol) +: size(col("_t")).as("_dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("_t"), x => x === lit(t))).as(s"_tf$i") }: _*)
+    // pass 1: N, Σdl, df_t — one driver row of longs
+    val statCols = count(lit(1)).as("_n") +:
+      coalesce(sum(col("_dl").cast("long")), lit(0L)).as("_sumdl") +:
+      terms.indices.map(i => sum((col(s"_tf$i") > 0).cast("long")).as(s"_df$i"))
+    val stats = toked.agg(statCols.head, statCols.tail: _*).head()
+    val n = stats.getLong(0)
+    val sumdl = stats.getLong(1)
+    require(n > 0, "empty corpus")
+    // driver-side doubles, same IEEE ops the oracle runs:
+    // avgdl = CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)
+    val avgdl = sumdl.toDouble / n.toDouble
+    val dlNorm = // k1·(1 − b + b·dl/avgdl): literal-for-literal the oracle's tree
+      lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (col("_dl").cast("double") / lit(avgdl)))
+    val perTerm = terms.indices.map { i =>
+      val dfT = stats.getLong(2 + i)
+      // idf = ln(1 + (N − df + 0.5)/(df + 0.5)) — (N − df) stays a long
+      // before the cast, matching CAST(n - df AS DOUBLE) + 0.5
+      val idf = math.log(1.0 + ((n - dfT).toDouble + 0.5) / (dfT.toDouble + 0.5))
+      val tf = col(s"_tf$i").cast("double")
+      floor(lit(idf) * (tf * (lit(k1) + lit(1.0))) / (tf + dlNorm) * lit(1e8)).as(s"_s$i")
+    }
+    val matched = terms.indices.map(i => (col(s"_tf$i") > 0).cast("long"))
+      .reduce(_ + _)
+    toked.select(col(idCol) +: matched.as("matched") +: perTerm: _*)
+      .select(col(idCol),
+        terms.indices.map(i => col(s"_s$i")).reduce(_ + _).as("score_fp"),
+        col("matched"))
+  }
+
+  /** Top-`k` documents by BM25 score, ties broken by ascending `idCol`
+    * (a total order — deterministic and oracle-replayable). Planned as
+    * `TakeOrdered`: each task surfaces k candidates, never a global
+    * sort. */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String, terms: Seq[String],
+               k: Int, k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    bm25Scores(df, textCol, idCol, terms, k1, b)
+      .orderBy(col("score_fp").desc, col(idCol)).limit(k)
+  }
+}

@@ -77,6 +77,60 @@ class CurationSpec extends SparkSpec {
       Map("en" -> 0.5, "ja" -> 0.5), "w", "doc_id").count() == 0)
   }
 
+  test("unimaxAllocate: water-fills small strata to the epoch cap, splits the rest equally") {
+    // capacities at 2 epochs: a 200, b 2000, c 20000; budget 6000:
+    // a saturates (200*3 <= 6000), b saturates (2000*2 <= 5800),
+    // c gets the leftover 3800
+    val alloc = Curation.unimaxAllocate(
+      Seq("a" -> 100L, "b" -> 1000L, "c" -> 10000L), budget = 6000L, maxEpochs = 2)
+      .map { case (s, _, b) => s -> b }.toMap
+    assert(alloc == Map("a" -> 200L, "b" -> 2000L, "c" -> 3800L))
+    // budget above total capacity: everything saturates, surplus unassigned
+    val all = Curation.unimaxAllocate(
+      Seq("a" -> 100L, "b" -> 1000L), budget = 1000000L, maxEpochs = 3)
+      .map { case (s, _, b) => s -> b }.toMap
+    assert(all == Map("a" -> 300L, "b" -> 3000L))
+    // budget below m * min capacity: equal floor shares, nothing saturates
+    val tight = Curation.unimaxAllocate(
+      Seq("a" -> 100L, "b" -> 1000L, "c" -> 10000L), budget = 500L, maxEpochs = 2)
+      .map { case (s, _, b) => s -> b }.toMap
+    assert(tight == Map("a" -> 166L, "b" -> 166L, "c" -> 166L))
+    intercept[IllegalArgumentException](
+      Curation.unimaxAllocate(Seq("a" -> 100L), budget = 0L, maxEpochs = 2))
+    intercept[IllegalArgumentException](
+      Curation.unimaxAllocate(Seq("a" -> 100L), budget = 10L, maxEpochs = 0))
+  }
+
+  test("unimaxMix: saturated strata emit exactly maxEpochs copies; others epochs + prefix") {
+    // docs: en w 10..100 (sum 550), de 3x100 (sum 300), fr 50.
+    // capacities at 2 epochs: fr 100, de 600, en 1100; budget 1000:
+    // fr saturates (100*3 <= 1000); de: 600*2 <= 900 fails ->
+    // fair = 900/2 = 450 each for de and en.
+    val out = Curation.unimaxMix(docs, "lang", "w", "doc_id",
+      budget = 1000L, maxEpochs = 2).cache()
+    val byLangEpoch = out.groupBy("lang", "epoch").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // fr (sat): 2 full epochs of its 1 doc, no partial
+    assert(byLangEpoch.get(("fr", 0L)).contains(1L) &&
+      byLangEpoch.get(("fr", 1L)).contains(1L) && !byLangEpoch.contains(("fr", 2L)))
+    // de: 450 over sum 300 -> 1 full epoch (3 docs) + prefix under rem=150:
+    // cb 0,100 < 150 -> docs 11, 12 (straddler included)
+    assert(byLangEpoch.get(("de", 0L)).contains(3L) &&
+      byLangEpoch.get(("de", 1L)).contains(2L))
+    assert(out.filter(col("lang") === "de" && col("epoch") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(11L, 12L))
+    // en: 450 over sum 550 -> 0 full epochs, prefix cb < 450 -> ids 1..9
+    assert(byLangEpoch.get(("en", 0L)).contains(9L) && !byLangEpoch.contains(("en", 1L)))
+    assert(out.filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == (1L to 9L).toSet)
+    // schema: input columns + epoch; deterministic across runs
+    assert(out.columns.toSeq == docs.columns.toSeq :+ "epoch")
+    assert(Curation.unimaxMix(docs, "lang", "w", "doc_id", 1000L, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet ==
+      out.collect().map(r => (r.getLong(0), r.getLong(3))).toSet)
+    out.unpersist()
+  }
+
   test("mixByTemperature: alpha=1 is the natural mix; smaller alpha lifts small strata") {
     // synthetic: en dominates (100 docs x 100 chars), fr tiny (10 x 100)
     val rows = (1L to 100L).map(i => Row(i, "en", 100L)) ++

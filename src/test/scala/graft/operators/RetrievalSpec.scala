@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class RetrievalSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def corpus = df(schema, Seq(
+    Row(1L, "spark fast fast"),
+    Row(2L, "slow table"),
+    Row(3L, "Spark  spark TABLE"), // normalization: case + whitespace
+    Row(4L, ""),
+    Row(5L, null)))
+
+  /** The operator's exact driver-side arithmetic, repeated here so the
+    * spec pins the FORMULA (Lucene BM25 + 1e-8 fixed-point), not just
+    * internal consistency of one implementation. */
+  private def expectedFp(n: Long, sumdl: Long, tfDlDf: Seq[(Int, Int, Long)],
+                         k1: Double = 1.2, b: Double = 0.75): Long = {
+    val avgdl = sumdl.toDouble / n.toDouble
+    tfDlDf.map { case (tf, dl, dfT) =>
+      val idf = math.log(1.0 + ((n - dfT).toDouble + 0.5) / (dfT.toDouble + 0.5))
+      val score = idf * (tf.toDouble * (k1 + 1.0)) /
+        (tf.toDouble + k1 * ((1.0 - b) + b * (dl.toDouble / avgdl)))
+      math.floor(score * 1e8).toLong
+    }.sum
+  }
+
+  test("bm25Scores: hand-checked fixed-point scores, matched counts, null/empty = 0") {
+    val out = Retrieval.bm25Scores(corpus, "text", "doc_id", Seq("spark", "table"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // N=5, dl = 3,2,3,0,0 -> sumdl=8; df(spark)=2, df(table)=2
+    assert(out(1L) == (expectedFp(5, 8, Seq((1, 3, 2))), 1L))
+    assert(out(2L) == (expectedFp(5, 8, Seq((1, 2, 2))), 1L))
+    assert(out(3L) == (expectedFp(5, 8, Seq((2, 3, 2), (1, 3, 2))), 2L))
+    assert(out(4L) == (0L, 0L), "empty doc scores zero, stays in the output")
+    assert(out(5L) == (0L, 0L), "null text scores like an empty doc")
+    assert(out(3L)._1 > out(1L)._1 && out(1L)._1 > 0,
+      "two matched terms must outscore one")
+  }
+
+  test("bm25Scores: longer docs score below shorter ones at equal tf (length norm)") {
+    val d = df(schema, Seq(
+      Row(1L, "spark a b c d e f g h i j k l m n o p"),
+      Row(2L, "spark a b")))
+    val out = Retrieval.bm25Scores(d, "text", "doc_id", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(2L) > out(1L), s"short doc must win: $out")
+  }
+
+  test("bm25TopK: ordered by score desc then id, k-bounded, deterministic") {
+    val top = Retrieval.bm25TopK(corpus, "text", "doc_id", Seq("spark", "table"), k = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top.head == 3L, "doc 3 matches both terms")
+    assert(top.size == 3)
+    // ties at score 0 (docs 4, 5) break by ascending id — run with k
+    // large enough to cross the tie boundary
+    val all = Retrieval.bm25TopK(corpus, "text", "doc_id", Seq("spark", "table"), k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(all.takeRight(2) == Seq(4L, 5L), s"zero-score ties by id: $all")
+    assert(Retrieval.bm25TopK(corpus, "text", "doc_id", Seq("spark", "table"), k = 3)
+      .collect().map(_.getLong(0)).toSeq == top)
+  }
+
+  test("bm25Scores rejects empty and duplicate term lists; topK rejects k<=0") {
+    intercept[IllegalArgumentException](
+      Retrieval.bm25Scores(corpus, "text", "doc_id", Seq.empty))
+    intercept[IllegalArgumentException](
+      Retrieval.bm25Scores(corpus, "text", "doc_id", Seq("spark", "spark")))
+    intercept[IllegalArgumentException](
+      Retrieval.bm25TopK(corpus, "text", "doc_id", Seq("spark"), k = 0))
+  }
+
+  test("bm25 scoring pass is shuffle-free; topK plans as TakeOrdered, not a sort") {
+    val plan = Retrieval.bm25TopK(corpus, "text", "doc_id", Seq("spark"), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"),
+      s"scoring must be a scan-side projection (stats ride in as literals):\n$plan")
+  }
+}
