@@ -69,7 +69,11 @@ object Bench {
     // r11: DSIR importance weighting + ranked resample (broadcast
     // ratio-table join over the exploded n-gram stream; the oracle's
     // arithmetic bucketer — production swaps in codegen'd xxhash64)
-    "q_dsir")
+    "q_dsir",
+    // r11: UniMax epoch-capped budget mixing (integer water-filling +
+    // bounded sequence explode) and BM25 probe-term scoring (two
+    // shuffle-free corpus scans, stats embedded as plan literals)
+    "q_unimax", "q_bm25")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

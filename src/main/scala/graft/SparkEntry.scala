@@ -1096,6 +1096,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_url_normalize" -> ((s, dir) => {
+      // URL canonicalization + registered domain over PLANTED urls built
+      // from document fields (mixed case, default port, utm params, a
+      // modular fragment) — the oracle states the expected output BY
+      // CONSTRUCTION, independently of the regex chain under test
+      val url = concat(lit("HTTPS://"), upper(col("source")),
+        lit(".Example.COM:443/docs/"), col("doc_id"),
+        lit("?utm_source=feed&ref="), col("lang"), lit("&utm_campaign=x"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("#frag")).otherwise(lit("")))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.urlNormalize(url).as("url_norm"),
+          TextFunctions.urlRegisteredDomain(url).as("domain"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- schema inference (oracle = golden literal rows pinning the
     // value→type lattice: BigDecimal narrows to double, all-null stays
     // the NullType sentinel, unseen columns append) ----
@@ -1418,6 +1434,13 @@ object SparkEntry {
         |         ROUND(CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','were','that','it','for','on','with','as','at','by','this','be','from','has','have','not','but','they','his','her'))) AS DOUBLE) / len(toks), 4)
         |       END AS stop_ratio
         |FROM u ORDER BY doc_id""".stripMargin,
+
+    "q_url_normalize" ->
+      """SELECT doc_id,
+        |       'https://' || lower(source) || '.example.com/docs/' ||
+        |         CAST(doc_id AS VARCHAR) || '?ref=' || lang AS url_norm,
+        |       'example.com' AS domain
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_sanitize" ->
       """SELECT doc_id, regexp_replace(text, '[\x{10000}-\x{10FFFF}]', '???', 'g') AS clean_text,

@@ -205,4 +205,38 @@ class TextFunctionsSpec extends SparkSpec {
     }
     assert(viaProfile == composed, s"profile=$viaProfile composed=$composed")
   }
+
+  private def norm(s: String): String =
+    one(s).select(TextFunctions.urlNormalize(col("t"))).head().getString(0)
+  private def dom(s: String): String =
+    one(s).select(TextFunctions.urlRegisteredDomain(col("t"))).head().getString(0)
+
+  test("urlNormalize: case, default ports, fragments, tracking params") {
+    assert(norm("HTTPS://Example.COM:443/Docs/A?utm_source=f&ref=x&utm_campaign=c#top")
+      == "https://example.com/Docs/A?ref=x")
+    // path case preserved; non-default port kept; http strips :80 not :443
+    assert(norm("http://HOST.org:80/KeepCase") == "http://host.org/KeepCase")
+    assert(norm("http://host.org:443/p") == "http://host.org:443/p")
+    assert(norm("https://host.org:8443/p") == "https://host.org:8443/p")
+    // tracking-only query vanishes entirely; bare host gains /
+    assert(norm("https://a.b/?utm_a=1&utm_b=2") == "https://a.b/")
+    assert(norm("https://a.b") == "https://a.b/")
+    assert(norm("https://a.b/p?fbclid=xyz") == "https://a.b/p")
+    assert(norm("https://a.b/p?gclid=1&keep=2") == "https://a.b/p?keep=2")
+    // mid-list tracking param: the & it owned is consumed, list stays valid
+    assert(norm("https://a.b/p?x=1&utm_s=2&y=3") == "https://a.b/p?x=1&y=3")
+    // non-URL input passes through trimmed
+    assert(norm("  not a url  ") == "not a url")
+  }
+
+  test("urlRegisteredDomain: last two labels, userinfo/port stripped, naive by contract") {
+    assert(dom("https://a.b.Example.COM/x") == "example.com")
+    assert(dom("http://user:pw@deep.sub.host.ORG:8080/p?q=1") == "host.org")
+    assert(dom("https://example.com") == "example.com")
+    // documented naivety: multi-part TLDs reduce to the suffix pair
+    assert(dom("https://shop.foo.co.uk/") == "co.uk")
+    // dot-less hosts and non-URLs -> empty
+    assert(dom("https://localhost:9000/x") == "")
+    assert(dom("plain text") == "")
+  }
 }
