@@ -71,9 +71,10 @@ object Bench {
     // arithmetic bucketer — production swaps in codegen'd xxhash64)
     "q_dsir",
     // r11: UniMax epoch-capped budget mixing (integer water-filling +
-    // bounded sequence explode) and BM25 probe-term scoring (two
-    // shuffle-free corpus scans, stats embedded as plan literals)
-    "q_unimax", "q_bm25")
+    // bounded sequence explode), BM25 probe-term scoring (two
+    // shuffle-free corpus scans, stats embedded as plan literals), and
+    // the BM25+ANN hybrid fused by pure-integer reciprocal-rank fusion
+    "q_unimax", "q_bm25", "q_rrf_hybrid")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

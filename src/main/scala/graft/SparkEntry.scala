@@ -862,6 +862,26 @@ object SparkEntry {
         terms = Seq("spark", "vector", "merge"), k = 25)
     }),
 
+    "q_rrf_hybrid" -> ((s, dir) => {
+      // hybrid retrieval: BM25 lexical top-50 fused with embedding-
+      // cosine top-50 over the shared doc/vec id space via PURE-INTEGER
+      // reciprocal-rank fusion (sum of 10^12 div (60+rank)) — the
+      // expensive work stays in the two retrievers; fusion touches
+      // 2x50 rows
+      val emb = T(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val lex = operators.Retrieval.rankTopK(
+        operators.Retrieval.bm25Scores(T(s, dir, "documents"), "text", "doc_id",
+          Seq("spark", "vector", "merge")),
+        "doc_id", "score_fp", k = 50)
+      val sem = operators.Retrieval.rankTopK(
+        Similarity.bruteForceTopK(emb, "embedding", "vec_id", qv, k = 50)
+          .withColumnRenamed("vec_id", "doc_id"),
+        "doc_id", "score", k = 50)
+      operators.Retrieval.rrfFuse(Seq(lex, sem), "doc_id", topK = 20)
+    }),
+
     "q_cap_group" -> ((s, dir) => {
       // per-source cardinality cap (the per-domain cap of web curation
       // recipes) — lowest-id winners via the mergeable bottom-k heap,
@@ -1756,6 +1776,56 @@ object SparkEntry {
         |  FROM d CROSS JOIN s)
         |SELECT doc_id, score_fp, matched FROM sc
         |ORDER BY score_fp DESC, doc_id LIMIT 25""".stripMargin,
+
+    "q_rrf_hybrid" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'),
+        |                     x -> len(x) > 0) AS t
+        |  FROM documents),
+        |d AS MATERIALIZED (
+        |  SELECT doc_id, len(t) AS dl,
+        |         len(list_filter(t, x -> x = 'spark')) AS tf0,
+        |         len(list_filter(t, x -> x = 'vector')) AS tf1,
+        |         len(list_filter(t, x -> x = 'merge')) AS tf2
+        |  FROM toks),
+        |s AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
+        |         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM d),
+        |sc AS (
+        |  SELECT d.doc_id,
+        |    CAST(FLOOR(ln(1.0 + (CAST(s.n - s.df0 AS DOUBLE) + 0.5) / (CAST(s.df0 AS DOUBLE) + 0.5))
+        |      * (CAST(d.tf0 AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(d.tf0 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))))) * 1e8) AS BIGINT)
+        |    + CAST(FLOOR(ln(1.0 + (CAST(s.n - s.df1 AS DOUBLE) + 0.5) / (CAST(s.df1 AS DOUBLE) + 0.5))
+        |      * (CAST(d.tf1 AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(d.tf1 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))))) * 1e8) AS BIGINT)
+        |    + CAST(FLOOR(ln(1.0 + (CAST(s.n - s.df2 AS DOUBLE) + 0.5) / (CAST(s.df2 AS DOUBLE) + 0.5))
+        |      * (CAST(d.tf2 AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(d.tf2 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))))) * 1e8) AS BIGINT)
+        |    AS score_fp
+        |  FROM d CROSS JOIN s),
+        |lexr AS (
+        |  SELECT doc_id, r FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY score_fp DESC, doc_id) AS r
+        |    FROM sc) WHERE r <= 50),
+        |semr AS (
+        |  SELECT doc_id, r FROM (
+        |    SELECT vec_id AS doc_id,
+        |           row_number() OVER (ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+        |             vec_id) AS r
+        |    FROM embeddings) WHERE r <= 50)
+        |SELECT doc_id,
+        |       CAST(COALESCE(1000000000000 // (60 + l.r), 0)
+        |          + COALESCE(1000000000000 // (60 + s2.r), 0) AS BIGINT) AS rrf_fp,
+        |       CAST((CASE WHEN l.r IS NULL THEN 0 ELSE 1 END)
+        |          + (CASE WHEN s2.r IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS lists_hit
+        |FROM lexr l FULL OUTER JOIN semr s2 USING (doc_id)
+        |ORDER BY rrf_fp DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_cap_group" ->
       """SELECT doc_id, source, lang FROM (

@@ -101,4 +101,57 @@ object Retrieval {
     bm25Scores(df, textCol, idCol, terms, k1, b)
       .orderBy(col("score_fp").desc, col(idCol)).limit(k)
   }
+
+  /** Rank a scored result as a top-`k` list: (`idCol`, `rank` 1-based)
+    * by `scoreCol` descending (or ascending for distance metrics), ties
+    * by ascending id. The global selection is `TakeOrdered`; the
+    * row_number window then runs over AT MOST k rows — a deliberate
+    * single-partition step bounded by k, not by the corpus (k here is
+    * a retrieval depth, tens to thousands). */
+  def rankTopK(df: DataFrame, idCol: String, scoreCol: String, k: Int,
+               ascending: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val ord =
+      if (ascending) Seq(col(scoreCol), col(idCol))
+      else Seq(col(scoreCol).desc, col(idCol))
+    df.orderBy(ord: _*).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
+      .select(col(idCol), col("rank"))
+  }
+
+  /** Reciprocal-Rank Fusion (Cormack/Clarke/Buettcher 2009) of ranked
+    * lists — THE standard hybrid-retrieval combiner (lexical BM25 +
+    * embedding ANN): each list contributes 1/(k0 + rank) for the docs
+    * it ranked; docs absent from a list contribute 0 from it.
+    *
+    * Scored in PURE INTEGERS: `rrf_fp` = Σᵢ ⌊10¹² / (k0 + rankᵢ)⌋ via
+    * integral division — no floating point anywhere, so any engine
+    * replays it bit-for-bit, and the quantization error vs the real
+    * formula is < 10⁻¹² per list (rank order is preserved for every
+    * realistic k0/depth). Ties (identical rank sets) break by
+    * ascending id.
+    *
+    * Scale: inputs are top-k lists (driver-bounded by construction —
+    * see [[rankTopK]]), so the full-outer-join chain and final sort
+    * touch k·L rows, not the corpus; the expensive work stays in the
+    * upstream retrievers. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, topK: Int,
+              k0: Int = 60): DataFrame = {
+    require(lists.size >= 2, "rrfFuse needs at least two ranked lists")
+    require(topK > 0 && k0 >= 0, s"bad topK=$topK / k0=$k0")
+    lists.foreach(d => require(d.columns.contains("rank") && d.columns.contains(idCol),
+      s"each list must have ($idCol, rank) columns, got ${d.columns.mkString(",")}"))
+    val renamed = lists.zipWithIndex.map { case (d, i) =>
+      d.select(col(idCol), col("rank").cast("long").as(s"_r$i")) }
+    val joined = renamed.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val contrib = lists.indices.map(i =>
+      coalesce(expr(s"CAST(1000000000000 AS BIGINT) div (${k0}L + _r$i)"), lit(0L)))
+    val hit = lists.indices.map(i => when(col(s"_r$i").isNotNull, 1L).otherwise(0L))
+    joined
+      .withColumn("rrf_fp", contrib.reduce(_ + _))
+      .withColumn("lists_hit", hit.reduce(_ + _))
+      .select(col(idCol), col("rrf_fp"), col("lists_hit"))
+      .orderBy(col("rrf_fp").desc, col(idCol)).limit(topK)
+  }
 }

@@ -76,6 +76,41 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.bm25TopK(corpus, "text", "doc_id", Seq("spark"), k = 0))
   }
 
+  private val rankedSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("rank", IntegerType)))
+
+  test("rankTopK: 1-based ranks by score desc then id; ascending flag for distances") {
+    val scored = df(StructType(Seq(
+      StructField("doc_id", LongType), StructField("s", LongType))),
+      Seq(Row(1L, 10L), Row(2L, 30L), Row(3L, 30L), Row(4L, 5L)))
+    val r = Retrieval.rankTopK(scored, "doc_id", "s", k = 3)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r == Map(2L -> 1, 3L -> 2, 1L -> 3), s"tie 2/3 by id: $r")
+    val asc = Retrieval.rankTopK(scored, "doc_id", "s", k = 2, ascending = true)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(asc == Map(4L -> 1, 1L -> 2))
+  }
+
+  test("rrfFuse: integer RRF sums, absent-list zero, lists_hit, tie by id") {
+    val a = df(rankedSchema, Seq(Row(1L, 1), Row(2L, 2), Row(3L, 3)))
+    val b = df(rankedSchema, Seq(Row(2L, 1), Row(4L, 2)))
+    val out = Retrieval.rrfFuse(Seq(a, b), "doc_id", topK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def c(r: Int) = 1000000000000L / (60L + r)
+    // doc2: both lists (ranks 2,1) wins; doc1: rank1 only; doc4: rank2 of b; doc3: rank3
+    assert(out.toSeq == Seq(
+      (2L, c(2) + c(1), 2L), (1L, c(1), 1L), (4L, c(2), 1L), (3L, c(3), 1L)), out.mkString(","))
+    // identical rank sets tie -> ascending id decides
+    val t1 = df(rankedSchema, Seq(Row(7L, 1), Row(5L, 2)))
+    val t2 = df(rankedSchema, Seq(Row(5L, 1), Row(7L, 2)))
+    val tie = Retrieval.rrfFuse(Seq(t1, t2), "doc_id", topK = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(tie == Seq(5L, 7L), s"equal scores break by id: $tie")
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq(a), "doc_id", 2))
+    intercept[IllegalArgumentException](
+      Retrieval.rrfFuse(Seq(a, b.drop("rank")), "doc_id", 2))
+  }
+
   test("bm25 scoring pass is shuffle-free; topK plans as TakeOrdered, not a sort") {
     val plan = Retrieval.bm25TopK(corpus, "text", "doc_id", Seq("spark"), k = 2)
       .queryExecution.executedPlan.toString
