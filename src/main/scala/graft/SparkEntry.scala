@@ -1119,11 +1119,13 @@ object SparkEntry {
     "q_url_normalize" -> ((s, dir) => {
       // URL canonicalization + registered domain over PLANTED urls built
       // from document fields (mixed case, default port, utm params, a
-      // modular fragment) — the oracle states the expected output BY
-      // CONSTRUCTION, independently of the regex chain under test
-      val url = concat(lit("HTTPS://"), upper(col("source")),
-        lit(".Example.COM:443/docs/"), col("doc_id"),
-        lit("?utm_source=feed&ref="), col("lang"), lit("&utm_campaign=x"),
+      // look-alike `xfbclid` param that must SURVIVE, a modular empty
+      // path, a modular fragment) — the oracle states the expected
+      // output BY CONSTRUCTION, independently of the regex chain under test
+      val url = concat(lit("HTTPS://"), upper(col("source")), lit(".Example.COM:443"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(""))
+          .otherwise(concat(lit("/docs/"), col("doc_id"))),
+        lit("?utm_source=feed&ref="), col("lang"), lit("&xfbclid=1&utm_campaign=x"),
         when(pmod(col("doc_id"), lit(3)) === 0, lit("#frag")).otherwise(lit("")))
       T(s, dir, "documents")
         .select(col("doc_id"),
@@ -1457,8 +1459,10 @@ object SparkEntry {
 
     "q_url_normalize" ->
       """SELECT doc_id,
-        |       'https://' || lower(source) || '.example.com/docs/' ||
-        |         CAST(doc_id AS VARCHAR) || '?ref=' || lang AS url_norm,
+        |       'https://' || lower(source) || '.example.com' ||
+        |         CASE WHEN doc_id % 5 = 0 THEN '/'
+        |              ELSE '/docs/' || CAST(doc_id AS VARCHAR) END ||
+        |         '?ref=' || lang || '&xfbclid=1' AS url_norm,
         |       'example.com' AS domain
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -2466,7 +2470,9 @@ object SparkEntry {
         |  SELECT doc_id, lw_fixed,
         |         CASE WHEN lw_fixed IS NOT NULL THEN
         |           CAST(floor(CAST(lw_fixed AS DOUBLE) / 1.0 +
-        |                  (-ln(-ln((CAST(((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS DOUBLE) + 0.5)
+        |                  -- ((x % m) + m) % m mirrors Spark's pmod (non-negative
+        |                  -- residue) so the draw replays for NEGATIVE ids too
+        |                  (-ln(-ln((CAST(((((doc_id % 2147483648) + 2147483648) % 2147483648) * 1103515245 + 12345) % 2147483648 AS DOUBLE) + 0.5)
         |                            / 2147483648.0))) * 1e8) AS BIGINT)
         |         END AS gumbel_fixed
         |  FROM w),

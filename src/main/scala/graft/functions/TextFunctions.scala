@@ -241,11 +241,20 @@ object TextFunctions {
       .when(scheme === "http", regexp_replace(auth, ":80$", ""))
       .otherwise(auth)
     val noFrag = regexp_replace(rest, "#.*$", "")
-    val noTrack = regexp_replace(noFrag, "(utm_[A-Za-z0-9]+|fbclid|gclid)=[^&]*&?", "")
-    val clean = regexp_replace(noTrack, "[&?]+$", "")
+    // Tracking-param removal is anchored to its `?`/`&` separator so
+    // look-alike names survive (`xfbclid`, `my_gclid`) and path segments
+    // (`/utm_page=3`) are never touched; the kept separator then absorbs
+    // any `&` run it left behind (`?&ref=x` → `?ref=x`).
+    val noTrack = regexp_replace(noFrag, "([?&])(utm_[A-Za-z0-9]+|fbclid|gclid)=[^&]*", "$1")
+    val collapsed = regexp_replace(noTrack, "([?&])&+", "$1")
+    val clean = regexp_replace(collapsed, "[&?]+$", "")
     when(scheme === "", u)
       .otherwise(concat(scheme, lit("://"), authNoPort,
-        when(clean === "", lit("/")).otherwise(clean)))
+        when(clean === "", lit("/"))
+          // empty path with a surviving query: `https://h?a=1` and
+          // `https://h/?a=1` are the same resource — render both as `/?a=1`
+          .when(clean.startsWith("?"), concat(lit("/"), clean))
+          .otherwise(clean)))
   }
 
   /** Registered domain of a URL — the per-domain cap / blocklist key:

@@ -193,17 +193,23 @@ object Dsir {
     *
     * The noise is a SEEDED, ENGINE-PORTABLE generator so the whole draw
     * is replayable: u from an LCG scramble of the document id in exact
-    * BIGINT modular arithmetic (identical in any engine), g =
-    * −ln(−ln(u)) in IEEE doubles, and the key quantizes fixed-point —
-    * `floor(lwF/T + g·1e8)` (the [[LanguageModel.scoreNll]] contract).
-    * An id-keyed LCG is a demo-grade bit mixer — ids correlate with
-    * nothing in the corpus, which is all sampling noise needs here —
-    * but swap `noiseU` for a seeded xxhash64 when replayability is not
-    * required. Requires integral ids (the LCG multiplies the id). */
+    * BIGINT modular arithmetic, g = −ln(−ln(u)) in IEEE doubles, and
+    * the key quantizes fixed-point — `floor(lwF/T + g·1e8)` (the
+    * [[LanguageModel.scoreNll]] contract). Spark's `pmod` returns the
+    * NON-NEGATIVE residue; an engine whose `%` follows the dividend's
+    * sign must mirror it as `((x % m) + m) % m` or the draw diverges
+    * for negative ids (the committed q_dsir_gumbel oracle does exactly
+    * this). The seed must be ≥ 0 so the post-multiply residue stays
+    * sign-free under either convention. An id-keyed LCG is a demo-grade
+    * bit mixer — ids correlate with nothing in the corpus, which is all
+    * sampling noise needs here — but swap `noiseU` for a seeded
+    * xxhash64 when replayability is not required. Requires integral
+    * ids (the LCG multiplies the id). */
   def resampleGumbel(weights: DataFrame, idCol: String, fraction: Double,
                      temperature: Double = 1.0, seed: Long = 12345L,
                      keptCol: String = "kept"): DataFrame = {
     require(temperature > 0.0, s"temperature must be > 0, got $temperature")
+    require(seed >= 0L, s"seed must be >= 0 for engine-portable modular arithmetic, got $seed")
     val m = 2147483648L // 2^31: (m-1)·1103515245 stays inside Long exactly
     val u = (pmod(pmod(col(idCol).cast("long"), lit(m)) * lit(1103515245L) + lit(seed), lit(m))
       .cast("double") + lit(0.5)) / lit(m.toDouble)

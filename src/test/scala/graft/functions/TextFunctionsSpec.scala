@@ -229,6 +229,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(norm("  not a url  ") == "not a url")
   }
 
+  test("urlNormalize: boundary-anchored tracking removal and empty-path query") {
+    // look-alike param names are NOT tracking params — they must survive
+    assert(norm("https://a.b/p?xfbclid=1") == "https://a.b/p?xfbclid=1")
+    assert(norm("https://a.b/p?my_gclid=2&keep=3") == "https://a.b/p?my_gclid=2&keep=3")
+    assert(norm("https://a.b/p?xutm_source=1") == "https://a.b/p?xutm_source=1")
+    // a path SEGMENT that looks like a tracking param is never touched
+    assert(norm("https://a.b/utm_page=3") == "https://a.b/utm_page=3")
+    assert(norm("https://a.b/fbclid=9?keep=1") == "https://a.b/fbclid=9?keep=1")
+    // leading tracking param: its `?` survives and absorbs the orphan `&`
+    assert(norm("https://a.b/p?utm_s=1&keep=2") == "https://a.b/p?keep=2")
+    // consecutive tracking params mid-list collapse to a single `&`
+    assert(norm("https://a.b/p?x=1&utm_a=2&utm_b=3&y=4") == "https://a.b/p?x=1&y=4")
+    // empty path with surviving query gains the canonical `/`
+    assert(norm("https://a.b?keep=1") == "https://a.b/?keep=1")
+    assert(norm("https://a.b/?keep=1") == "https://a.b/?keep=1")
+    assert(norm("https://a.b?utm_s=1&keep=2") == "https://a.b/?keep=2")
+  }
+
   test("urlRegisteredDomain: last two labels, userinfo/port stripped, naive by contract") {
     assert(dom("https://a.b.Example.COM/x") == "example.com")
     assert(dom("http://user:pw@deep.sub.host.ORG:8080/p?q=1") == "host.org")

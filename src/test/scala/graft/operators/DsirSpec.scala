@@ -114,6 +114,22 @@ class DsirSpec extends SparkSpec {
     assert(cold == det, "cold draw must equal resampleTop")
   }
 
+  test("resampleGumbel: negative ids draw a valid key (pmod, not sign-of-dividend %)") {
+    val wSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_ngrams", LongType),
+      StructField("lw_fixed", LongType), StructField("log_weight", DoubleType)))
+    // ids straddling 0 including Long.MinValue-adjacent: pmod keeps u in
+    // (0,1) so -ln(-ln(u)) is finite; a sign-of-dividend % would go NaN
+    val ids = Seq(-1L, -7L, -2147483649L, Long.MinValue + 1, 0L, 5L)
+    val w = df(wSchema, ids.map(i => Row(i, 1L, 100000000L, 1.0)))
+    val keys = Dsir.resampleGumbel(w, "doc_id", 1.0)
+      .select(col("doc_id"), col("gumbel_fixed")).collect()
+    assert(keys.length == ids.length)
+    keys.foreach(r => assert(!r.isNullAt(1), s"id ${r.getLong(0)} drew a null key"))
+    assert(Dsir.resampleGumbel(w, "doc_id", 1.0).filter(col("kept")).count() == ids.length)
+    intercept[IllegalArgumentException](Dsir.resampleGumbel(w, "doc_id", 0.5, seed = -1L))
+  }
+
   test("native polyBucket is value-identical to the HOF fold reference") {
     val rnd = new scala.util.Random(23)
     val words = (1 to 300).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString) ++
