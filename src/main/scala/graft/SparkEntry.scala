@@ -1206,7 +1206,7 @@ object SparkEntry {
       // externally-replayable configuration: nearDedup = blocked exact
       // Jaccard + connected components (the q_dedup_clusters replay),
       // mixWeights = binary-exact explicit weights (the q_mix_weighted
-      // replay), benchmark = the doc_id % 97 slice of the corpus
+      // replay), benchmark = the doc_id % 13 slice of the corpus
       // written to a real benchmark dir (the q_contamination replay at
       // n = 8). Output = the final packed-chunk set minus chunk_text —
       // one row per surviving chunk pins every stage's survivor set AND
