@@ -15,8 +15,14 @@ import graft.functions.TextFunctions
   * The probe terms are LITERALS, which buys the whole plan its shape:
   * per-document term frequencies are `size(filter(tokens, = term))`
   * projections — no token explode, no (doc × term) shuffle, everything
-  * whole-stage-codegen — so scoring is two sequential corpus scans:
+  * whole-stage-codegen — so scoring is ONE corpus scan plus two passes
+  * over its narrow projection:
   *
+  *  0. tokenize: the corpus text is read once, reduced to the
+  *     (id, dl, tf…) integer projection, and `localCheckpoint`ed —
+  *     both later passes read the materialized projection, never the
+  *     text again (at 100 TB the text scan is the dominant cost; the
+  *     projection is a few longs per doc).
   *  1. stats: one aggregate emitting N (docs), Σdl (corpus token
   *     count), and one document-frequency counter per term — a single
   *     driver row, embedded into pass 2 as literals (the "broadcast"
@@ -58,10 +64,17 @@ object Retrieval {
                  k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     require(terms.distinct == terms, "terms must be distinct")
+    // pass 0: tokenize once — the text scan happens exactly once; the
+    // checkpointed frame is the narrow (id, dl, tf…) projection both
+    // passes below read (r11 advice: the stats pass was a second full
+    // corpus read). Lifecycle: the checkpoint backs the RETURNED frame,
+    // so it is not unpersisted here; it is freed with the session (or
+    // by the caller once the scores are persisted).
     val toked = df.select(col(idCol), tokens(textCol).as("_t"))
       .select(col(idCol) +: size(col("_t")).as("_dl") +:
         terms.zipWithIndex.map { case (t, i) =>
           size(filter(col("_t"), x => x === lit(t))).as(s"_tf$i") }: _*)
+      .localCheckpoint(true)
     // pass 1: N, Σdl, df_t — one driver row of longs
     val statCols = count(lit(1)).as("_n") +:
       coalesce(sum(col("_dl").cast("long")), lit(0L)).as("_sumdl") +:

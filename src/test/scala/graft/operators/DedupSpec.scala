@@ -375,6 +375,48 @@ class DedupSpec extends SparkSpec {
       s"expected a substantial recall lift: single=${single.size} multi=${multi.size}")
   }
 
+  test("embeddingNearDupMulti equals the seam fed PRECOMPUTED hyperplane buckets (planted fixture)") {
+    // q_emb_multi_lsh oracles the seam with planted ARITHMETIC buckets;
+    // this closes the remaining branch (r11 ask #8): the trained path's
+    // inline hyperplaneBucket expressions must compose with the seam
+    // machinery exactly as if the bucket ids were data. Buckets are
+    // evaluated once into materialized columns (localCheckpoint severs
+    // the expression lineage — they really are data afterwards) and fed
+    // back through embeddingNearDupMultiFromBuckets; the pair SETS with
+    // cosines must match the trained path bit-for-bit.
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("v", ArrayType(FloatType))))
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val rows = (0 until 40).flatMap { i =>
+      val v = unit()
+      val w = v.zip(unit()).map { case (a, b) => a + 0.33 * b }
+      Seq(Row(i.toLong, v.map(_.toFloat).toSeq),
+        Row((i + 1000).toLong, w.map(_.toFloat).toSeq))
+    }
+    val d = df(vecSchema, rows)
+    val (planes, tables, seed) = (8, 3, 42L)
+    def pairSet(out: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val trained = pairSet(Dedup.embeddingNearDupMulti(d, "v", "vec_id", dim,
+      planes = planes, tables = tables, threshold = 0.9, seed = seed))
+    val precomputed = d.select(col("vec_id") +: col("v") +:
+        (0 until tables).map(t => graft.functions.VectorFunctions
+          .hyperplaneBucket(col("v"), dim, planes, seed + t * 7919L).as(s"_b$t")): _*)
+      .localCheckpoint(true)
+    val seam = pairSet(Dedup.embeddingNearDupMultiFromBuckets(precomputed, "v", "vec_id",
+      (0 until tables).map(t => col(s"_b$t")), threshold = 0.9))
+    assert(trained.nonEmpty, "fixture must produce pairs")
+    assert(trained == seam,
+      s"trained path and precomputed-bucket seam diverge: only-trained=" +
+        s"${(trained -- seam).take(5)} only-seam=${(seam -- trained).take(5)}")
+  }
+
   test("connectedComponents: chain, cycle, self-loop, and disjoint cliques") {
     // chain 1-2-3-4 (no direct 1~3/1~4 pair — the case greedy pair-drop
     // gets wrong), a cycle, a self-loop (ignored), two disjoint cliques

@@ -117,5 +117,9 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("Exchange"),
       s"scoring must be a scan-side projection (stats ride in as literals):\n$plan")
+    // r11 advice: the text is tokenized ONCE — the scoring pass reads
+    // the checkpointed (id, dl, tf…) projection, never the corpus again
+    assert(plan.contains("ExistingRDD"),
+      s"scoring must read the materialized tokenized projection:\n$plan")
   }
 }
