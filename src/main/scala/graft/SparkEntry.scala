@@ -1244,6 +1244,37 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    "q_funnel_bpe" -> ((s, dir) => {
+      // the funnel under TRAINED-tokenizer accounting (r11 ask #3):
+      // same deterministic profile → filter → scrub → dedup → mix →
+      // split prefix (LM gate and decontamination off — both already
+      // oracled inside q_pipeline_funnel), then pack on REAL BPE token
+      // counts: a 12-merge vocabulary trains on the quality-filtered
+      // en slice, every surviving word segments through the trained
+      // dict, and chunk/pack budgets count subwords
+      // (Bpe.tokenBudgetChunks). The oracle replays EVERYTHING
+      // including the training: 12 unrolled argmax+fold rounds over
+      // the word-frequency dict — sep-joined symbol strings, where
+      // sequential string replace IS the leftmost-greedy merge fold.
+      val root = java.nio.file.Files.createTempDirectory("graft_funnel_bpe_").toString
+      val workDir = root + "/work"
+      val plan = new plans.Plan(s, plans.PlanConfig(
+        pidDir = java.nio.file.Files.createTempDirectory("graft_funnel_bpe_pid_").toString))
+      pipelines.TrainingDataPipeline.build(plan, dir, workDir,
+        minQuality = 0.75, langs = Seq("en", "de", "fr", "es"),
+        minhashThreshold = 0.7,
+        chunkTokens = 16, chunkOverlap = 0, packBudget = 32L,
+        nearDedup = "jaccard",
+        mixWeights = Some(Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.125, "es" -> 0.125)),
+        langCol = "lang",
+        tokenizer = "bpe", bpeMerges = 12, bpeMinPairFreq = 2L)
+      plan.run()
+      new ParquetConnector(s, workDir).read("docs_packed")
+        .select(col("doc_id"), col("chunk_idx"), col("lang"), col("split"),
+          col("pack_shard"), col("n_tokens"), col("bin"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // ---- multimodal: REAL codec decode end-to-end under the driver
     // contract (PNG via ImageIO, WAV via javax.sound, animated GIF via
     // the ImageIO sequence reader). Payload parameters derive
@@ -2646,239 +2677,16 @@ object SparkEntry {
     // constants are interpolated from TextFunctions so the two surfaces
     // cannot drift. NOTE s-interpolation processes escapes even in
     // triple quotes — every regex backslash below is doubled.
-    "q_pipeline_funnel" -> {
-      val enStops = graft.functions.TextFunctions.englishStopwords
-        .map(w => s"'$w'").mkString(", ")
-      // one top-1-n-gram coverage block per n (the q_repetition shape)
-      def topBlock(n: Int): String = {
-        val glen = (0 until n).map(k => s"length(w[i+$k])").mkString(" + ")
-        s"""gt$n AS (SELECT doc_id, g, count(*) AS cnt, any_value(glen) AS glen FROM (
-           |  SELECT doc_id, array_to_string(w[i:i+${n - 1}], ' ') AS g, $glen AS glen
-           |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${n - 2})) AS i FROM words))
-           |  GROUP BY doc_id, g),
-           |top$n AS (SELECT doc_id, cnt * glen AS top_chars FROM (
-           |  SELECT doc_id, cnt, glen,
-           |         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rn
-           |  FROM gt$n) WHERE rn = 1 AND cnt >= 2)""".stripMargin
-      }
-      // one duplicated-n-gram union-coverage block per n (ditto)
-      def dupBlock(n: Int): String =
-        s"""gd$n AS MATERIALIZED (SELECT doc_id, i, array_to_string(w[i:i+${n - 1}], ' ') AS g
-           |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${n - 2})) AS i FROM words)),
-           |dd$n AS (SELECT doc_id, g FROM gd$n GROUP BY doc_id, g HAVING count(*) > 1),
-           |cov$n AS (SELECT DISTINCT gd$n.doc_id, unnest(range(gd$n.i, gd$n.i + $n)) AS pos
-           |  FROM gd$n JOIN dd$n ON gd$n.doc_id = dd$n.doc_id AND gd$n.g = dd$n.g),
-           |dup$n AS (SELECT cov$n.doc_id, CAST(SUM(length(words.w[CAST(pos AS INT)])) AS BIGINT) AS dup_chars
-           |  FROM cov$n JOIN words ON cov$n.doc_id = words.doc_id GROUP BY cov$n.doc_id)""".stripMargin
-      def wfrac(col: String) =
-        s"(CASE WHEN s.word_chars = 0 THEN 0.0 ELSE CAST(COALESCE($col, 0) AS DOUBLE) / s.word_chars END)"
-      val tf = graft.functions.TextFunctions
-      val topChecks = tf.gopherTopLimits.zipWithIndex.map { case (lim, i) =>
-        s"${wfrac(s"t${i + 2}.top_chars")} <= $lim" }.mkString("\n    AND ")
-      val dupChecks = tf.gopherDupLimits.zipWithIndex.map { case (lim, i) =>
-        s"${wfrac(s"d${i + 5}.dup_chars")} <= $lim" }.mkString("\n    AND ")
-      val topJoins = (2 to 4).map(n => s"LEFT JOIN top$n t$n ON s.doc_id = t$n.doc_id").mkString("\n  ")
-      val dupJoins = (5 to 10).map(n => s"LEFT JOIN dup$n d$n ON s.doc_id = d$n.doc_id").mkString("\n  ")
-      val gopherBlocks = ((2 to 4).map(topBlock) ++ (5 to 10).map(dupBlock)).mkString(",\n")
-      val ngram8 =
-        """CASE WHEN len(w) >= 8
-          |   THEN list_distinct(list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' ')))
-          |   ELSE [] END""".stripMargin
-      s"""WITH RECURSIVE ptk AS (
-         |  SELECT doc_id, text, lang,
-         |         list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), x -> len(x) > 0) AS ltoks
-         |  FROM documents),
-         |qstat AS (
-         |  SELECT doc_id, text, lang, ltoks,
-         |         length(text) AS chars,
-         |         len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS punct,
-         |         len(regexp_extract_all(text, '\\p{L}')) AS letters,
-         |         len(regexp_extract_all(text, '\\p{Lu}')) AS uppers,
-         |         CASE WHEN len(trim(text)) = 0 THEN 0
-         |              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
-         |         length(regexp_replace(text, '\\s', '', 'g')) AS nonws
-         |  FROM ptk),
-         |prof AS (
-         |  SELECT doc_id, text, lang, ws_tokens AS n_tokens,
-         |         ROUND((least(CAST(chars AS DOUBLE) / 500.0, 1.0)
-         |              + least((CASE WHEN len(ltoks) = 0 THEN 0.0 ELSE CAST(len(list_filter(ltoks, x -> x IN ($enStops))) AS DOUBLE) / len(ltoks) END) * 2.5, 1.0)
-         |              + greatest(0.0, 1.0 - (CASE WHEN chars = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / chars END) * 4.0)
-         |              + greatest(0.0, 1.0 - (CASE WHEN letters = 0 THEN 0.0 ELSE CAST(uppers AS DOUBLE) / letters END) * 2.0)
-         |              + (CASE WHEN ws_tokens > 0 AND CAST(nonws AS DOUBLE) / ws_tokens >= 2.0 AND CAST(nonws AS DOUBLE) / ws_tokens <= 12.0 THEN 1.0 ELSE 0.0 END)
-         |              ) / 5.0, 4) AS quality
-         |  FROM qstat),
-         |clean AS MATERIALIZED (
-         |  SELECT doc_id, text, n_tokens, lang FROM prof
-         |  WHERE quality >= 0.75 AND lang IN ('en', 'de', 'fr', 'es')),
-         |lmtoks AS MATERIALIZED (
-         |  SELECT doc_id, lang,
-         |         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
-         |  FROM clean),
-         |lmvocab AS MATERIALIZED (
-         |  SELECT token FROM (SELECT unnest(t) AS token FROM lmtoks WHERE lang = 'en')
-         |  WHERE length(token) > 0
-         |  GROUP BY token ORDER BY COUNT(1) DESC, token LIMIT 50000),
-         |lmbig AS MATERIALIZED (
-         |  SELECT doc_id, lang, unnest(t[1:len(t)-1]) AS w1r, unnest(t[2:len(t)]) AS w2r
-         |  FROM lmtoks WHERE len(t) >= 2),
-         |lmbigm AS MATERIALIZED (
-         |  SELECT b.doc_id, b.lang,
-         |         CASE WHEN v1.token IS NULL THEN chr(1) ELSE b.w1r END AS w1,
-         |         CASE WHEN v2.token IS NULL THEN chr(1) ELSE b.w2r END AS w2
-         |  FROM lmbig b
-         |  LEFT JOIN lmvocab v1 ON b.w1r = v1.token
-         |  LEFT JOIN lmvocab v2 ON b.w2r = v2.token),
-         |lmc12 AS MATERIALIZED (
-         |  SELECT w1, w2, COUNT(1) AS c12 FROM lmbigm WHERE lang = 'en' GROUP BY w1, w2),
-         |lmc1 AS MATERIALIZED (SELECT w1, SUM(c12) AS c1 FROM lmc12 GROUP BY w1),
-         |lmvsz AS (SELECT COUNT(1) + 1.0 AS v FROM lmvocab),
-         |lmnll AS (
-         |  SELECT b.doc_id,
-         |         CAST(floor(-ln((COALESCE(lmc12.c12, 0) + 0.5) /
-         |                        (COALESCE(lmc1.c1, 0) + 0.5 * lmvsz.v)) * 1e8) AS BIGINT) AS nllf
-         |  FROM lmbigm b
-         |  LEFT JOIN lmc12 ON b.w1 = lmc12.w1 AND b.w2 = lmc12.w2
-         |  LEFT JOIN lmc1 ON b.w1 = lmc1.w1
-         |  CROSS JOIN lmvsz),
-         |lmkeep AS MATERIALIZED (
-         |  SELECT doc_id FROM (
-         |    SELECT doc_id,
-         |           CAST(CAST((CAST(SUM(nllf) AS BIGINT) + COUNT(1) * 5000)
-         |                      // (COUNT(1) * 10000) AS DECIMAL(20,0)) * 0.0001 AS DOUBLE) AS avg_nll
-         |    FROM lmnll GROUP BY doc_id)
-         |  WHERE avg_nll <= 3.45),
-         |scrub0 AS MATERIALIZED (
-         |  SELECT doc_id, lang, n_tokens,
-         |         regexp_replace(regexp_replace(regexp_replace(text,
-         |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-         |             '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '<IP>', 'g'),
-         |             '\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4}\\b', '<PHONE>', 'g') AS text
-         |  FROM clean JOIN lmkeep USING (doc_id)),
-         |words AS MATERIALIZED (
-         |  SELECT doc_id,
-         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS w,
-         |         list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS lns
-         |  FROM scrub0),
-         |lstat AS (
-         |  SELECT doc_id,
-         |         CAST(SUM(cnt) AS BIGINT) AS n_lines,
-         |         CAST(SUM(cnt * len) AS BIGINT) AS line_chars,
-         |         CAST(SUM(cnt - 1) AS BIGINT) AS dup_lines,
-         |         CAST(SUM((cnt - 1) * len) AS BIGINT) AS dup_line_chars
-         |  FROM (SELECT doc_id, line, count(*) AS cnt, length(line) AS len
-         |        FROM (SELECT doc_id, unnest(lns) AS line FROM words)
-         |        GROUP BY doc_id, line)
-         |  GROUP BY doc_id),
-         |wstat AS (
-         |  SELECT doc_id,
-         |         CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS word_chars
-         |  FROM words),
-         |$gopherBlocks,
-         |keep AS (
-         |  SELECT s.doc_id FROM wstat s
-         |  LEFT JOIN lstat l ON s.doc_id = l.doc_id
-         |  $topJoins
-         |  $dupJoins
-         |  WHERE (CASE WHEN COALESCE(l.n_lines, 0) = 0 THEN 0.0 ELSE CAST(l.dup_lines AS DOUBLE) / l.n_lines END) <= ${tf.gopherDupLineLimit}
-         |    AND (CASE WHEN COALESCE(l.line_chars, 0) = 0 THEN 0.0 ELSE CAST(l.dup_line_chars AS DOUBLE) / l.line_chars END) <= ${tf.gopherDupLineCharLimit}
-         |    AND $topChecks
-         |    AND $dupChecks),
-         |scrub AS (SELECT s0.* FROM scrub0 s0 JOIN keep k ON s0.doc_id = k.doc_id),
-         |exact AS MATERIALIZED (
-         |  SELECT doc_id, lang, n_tokens, text FROM (
-         |    SELECT sc.*, ROW_NUMBER() OVER (
-         |      PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) ORDER BY doc_id) AS rn
-         |    FROM scrub sc) WHERE rn = 1),
-         |jp0 AS MATERIALIZED (
-         |  SELECT doc_id,
-         |         lang || '_' || CAST(length(text) // 100 AS VARCHAR) AS block,
-         |         CASE WHEN len(nw) >= 3
-         |              THEN list_distinct(list_transform(range(1, len(nw) - 1),
-         |                                               i -> array_to_string(nw[i:i+2], ' ')))
-         |              ELSE [] END AS sh
-         |  FROM (SELECT doc_id, lang, text,
-         |               regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS nw
-         |        FROM exact)),
-         |jp AS MATERIALIZED (
-         |  SELECT jp0.* FROM jp0
-         |  JOIN (SELECT block FROM jp0 GROUP BY block HAVING COUNT(1) <= 10000) ok USING (block)),
-         |pairs AS MATERIALIZED (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM jp a JOIN jp b ON a.block = b.block AND a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
-         |edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
-         |reach AS (SELECT u, v FROM edges
-         |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-         |comp AS (SELECT u, LEAST(u, MIN(v)) AS c FROM reach GROUP BY u),
-         |uniq AS MATERIALIZED (
-         |  SELECT e.* FROM exact e LEFT JOIN comp c ON e.doc_id = c.u
-         |  WHERE c.u IS NULL OR c.c = e.doc_id),
-         |bgrams AS (
-         |  SELECT DISTINCT unnest($ngram8) AS g
-         |  FROM (SELECT list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
-         |                           x -> len(x) > 0) AS w
-         |        FROM documents WHERE doc_id % 13 = 0)),
-         |ug AS MATERIALIZED (
-         |  SELECT doc_id, $ngram8 AS gs
-         |  FROM (SELECT doc_id,
-         |               list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
-         |                           x -> len(x) > 0) AS w
-         |        FROM uniq)),
-         |ghits AS (
-         |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_hit
-         |  FROM (SELECT doc_id, unnest(gs) AS g FROM ug) e JOIN bgrams b ON e.g = b.g
-         |  GROUP BY e.doc_id),
-         |contam AS (
-         |  SELECT ug.doc_id, CAST(len(ug.gs) AS BIGINT) AS n_ngrams,
-         |         COALESCE(h.n_hit, 0) AS n_hit
-         |  FROM ug LEFT JOIN ghits h ON ug.doc_id = h.doc_id),
-         |final AS MATERIALIZED (
-         |  SELECT u.* FROM uniq u JOIN contam f ON u.doc_id = f.doc_id
-         |  WHERE (CASE WHEN f.n_ngrams = 0 THEN 0.0
-         |              ELSE ROUND(CAST(f.n_hit AS DOUBLE) / f.n_ngrams, 6) END) <= 0.05),
-         |lw(lang, wt) AS (VALUES ('en', 0.5), ('de', 0.25), ('fr', 0.125), ('es', 0.125)),
-         |avail AS (
-         |  SELECT lw.lang, lw.wt, CAST(COALESCE(SUM(f.n_tokens), 0) AS DOUBLE) AS wsum
-         |  FROM lw LEFT JOIN final f ON lw.lang = f.lang
-         |  GROUP BY lw.lang, lw.wt),
-         |tt AS (SELECT MIN(wsum / wt) AS t FROM avail),
-         |bdg AS (SELECT lang, wt * (SELECT t FROM tt) AS budget FROM avail),
-         |cum AS (
-         |  SELECT doc_id, lang, n_tokens, text,
-         |         COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-         |  FROM final),
-         |mixed AS (SELECT cum.doc_id, cum.lang, cum.text FROM cum JOIN bdg USING (lang)
-         |          WHERE cum.cb < bdg.budget),
-         |sp AS (
-         |  SELECT doc_id, lang, text,
-         |         CASE WHEN (doc_id * 2654435761) % 4294967296 % 10000 < 9800 THEN 'train'
-         |              WHEN (doc_id * 2654435761) % 4294967296 % 10000 < 9900 THEN 'val'
-         |              ELSE 'test' END AS split
-         |  FROM mixed),
-         |cw AS (
-         |  SELECT doc_id, lang, split,
-         |         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS w
-         |  FROM sp WHERE len(trim(text)) > 0),
-         |ck AS (
-         |  SELECT doc_id, lang, split, len(w) AS n,
-         |         unnest(range(0, (len(w) - 1) // 12 + 1)) AS chunk_idx
-         |  FROM cw),
-         |ct AS (
-         |  SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, lang, split,
-         |         doc_id % 64 AS pack_shard,
-         |         CAST(least(16, n - chunk_idx * 12) AS BIGINT) AS n_tokens
-         |  FROM ck),
-         |pk AS (
-         |  SELECT *, SUM(n_tokens) OVER (PARTITION BY split, lang, pack_shard
-         |            ORDER BY doc_id, chunk_idx
-         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM ct)
-         |SELECT doc_id, chunk_idx, lang, split, pack_shard, n_tokens,
-         |       CAST(FLOOR((cum - n_tokens) / 32.0) AS BIGINT) AS bin
-         |FROM pk ORDER BY doc_id, chunk_idx""".stripMargin
-    },
+    // Full funnel replay incl. LM gate + decontamination, whitespace
+    // token accounting — built programmatically (FunnelOracle shares
+    // the prefix with q_funnel_bpe)
+    "q_pipeline_funnel" -> FunnelOracle(lm = true, contam = true, bpe = false),
+
+    // Same funnel prefix (gates off) under TRAINED-BPE accounting: the
+    // oracle replays the 12 tokenizer-training merge rounds themselves
+    // (unrolled argmax+fold CTEs), then quota-chunks/packs on subword
+    // counts — see FunnelOracle scaladoc for the replay argument
+    "q_funnel_bpe" -> FunnelOracle(lm = false, contam = false, bpe = true),
 
     // Closed-form replay of the REAL decoders: syntheticRealMedia's
     // payload parameters are arithmetic in doc_id, so the true decode

@@ -65,17 +65,64 @@ object Bpe {
     * noise).
     *
     * Practicality bound: each merge is a driver round trip, so this
-    * loop is sized for hundreds-to-low-thousands of merges (subword
+    * form is sized for hundreds-to-low-thousands of merges (subword
     * vocab prototyping, domain-specific token tables). A full 30k+
-    * production vocabulary wants the batched variant of the algorithm
-    * (re-count pair deltas instead of full recounts, pick many
-    * non-interfering merges per round) — the per-round dict transform
-    * and checkpoint lifecycle here are the building blocks it would
-    * reuse. */
+    * production vocabulary wants [[trainBatched]] — many
+    * non-interfering merges per round trip; this method IS
+    * `trainBatched(batchSize = 1)`, the sequential reference the
+    * batched variant is spec-pinned against. */
   def train(corpus: DataFrame, textCol: String, numMerges: Int,
-            minPairFreq: Long = 2L): BpeModel = {
+            minPairFreq: Long = 2L): BpeModel =
+    trainBatched(corpus, textCol, numMerges, batchSize = 1, minPairFreq)
+
+  /** Adjacent-pair frequencies over the dict, ranked (freq desc, then
+    * (left, right) binary-ascending — the deterministic argmax order). */
+  private def rankedPairs(dict: DataFrame): DataFrame =
+    dict.filter(size(col("syms")) >= 2)
+      .select(col("freq"),
+        slice(col("syms"), lit(1), size(col("syms")) - 1).as("_as"),
+        slice(col("syms"), lit(2), size(col("syms")) - 1).as("_bs"))
+      .select(col("freq"), explode(arrays_zip(col("_as"), col("_bs"))).as("_p"))
+      .groupBy(col("_p._as").as("_a"), col("_p._bs").as("_b"))
+      .agg(sum(col("freq")).as("_pf"))
+      .orderBy(col("_pf").desc, col("_a"), col("_b"))
+
+  /** Batched merge training — the production-vocabulary variant the
+    * sequential loop's scaladoc points at: each DRIVER ROUND TRIP
+    * harvests up to `batchSize` merges instead of one, so a 30k-merge
+    * vocabulary is ~500 rounds at batch 64, not 30k. One round ranks
+    * the pair counts once, then accepts pairs in rank order, SKIPPING
+    * any pair that interferes with an already-accepted one — shares a
+    * symbol, or involves a symbol an accepted merge creates. Disjoint
+    * merges have invariant counts (an occurrence of `c d` cannot gain
+    * or lose from merging `a b` when {a,b} ∩ {c,d} = ∅) and their
+    * folds commute, so every ACCEPTED merge carries exactly the count
+    * and effect it would have had sequentially; a SKIPPED pair stays a
+    * candidate for the next round under its then-updated counts.
+    *
+    * Fidelity contract: `batchSize = 1` IS the sequential reference
+    * algorithm (what [[train]] delegates to). For larger batches the
+    * merge SEQUENCE may legally diverge from sequential BPE — after a
+    * merge, a newly-formed pair (e.g. `(ab, c)`) can out-rank the
+    * round's remaining candidates, which sequential training would see
+    * and a batch cannot — the standard frequency-snapshot trade every
+    * batched BPE implementation makes (spec-pinned: equality on
+    * disjoint-family fixtures, batch-1 equality always).
+    *
+    * `batchSize` is capped at 64: the round's merges apply as ONE
+    * chained projection of `batchSize` nested folds — dict-sized work,
+    * but expression-tree depth is a JVM/analyzer cost that should stay
+    * bounded. `candidateSlack` × batchSize ranked rows are collected
+    * per round (bounded driver metadata) so interference skips rarely
+    * starve a batch. */
+  def trainBatched(corpus: DataFrame, textCol: String, numMerges: Int,
+                   batchSize: Int, minPairFreq: Long = 2L,
+                   candidateSlack: Int = 4): BpeModel = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(minPairFreq >= 1L, s"minPairFreq must be >= 1, got $minPairFreq")
+    require(batchSize >= 1 && batchSize <= 64,
+      s"batchSize must be in [1, 64], got $batchSize")
+    require(candidateSlack >= 1, s"candidateSlack must be >= 1, got $candidateSlack")
     var dict = wordFreq(corpus, textCol)
       .select(col("word"), col("freq"), split(col("word"), "").as("syms"))
       .localCheckpoint(true)
@@ -84,28 +131,34 @@ object Bpe {
     var rank = 1
     var done = false
     while (rank <= numMerges && !done) {
-      val best = dict.filter(size(col("syms")) >= 2)
-        .select(col("freq"),
-          slice(col("syms"), lit(1), size(col("syms")) - 1).as("_as"),
-          slice(col("syms"), lit(2), size(col("syms")) - 1).as("_bs"))
-        .select(col("freq"), explode(arrays_zip(col("_as"), col("_bs"))).as("_p"))
-        .groupBy(col("_p._as").as("_a"), col("_p._bs").as("_b"))
-        .agg(sum(col("freq")).as("_pf"))
-        .orderBy(col("_pf").desc, col("_a"), col("_b"))
-        .limit(1).collect()
-      if (best.isEmpty || best.head.getLong(2) < minPairFreq) done = true
+      val want = math.min(batchSize, numMerges - rank + 1)
+      val top = rankedPairs(dict)
+        .filter(col("_pf") >= minPairFreq)
+        .limit(want * candidateSlack).collect()
+      if (top.isEmpty) done = true
       else {
-        val (a, b, pf) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
-        merges += ((rank, a, b, pf))
-        val next = dict
-          .withColumn("syms", mergeFold(col("syms"), a, b))
-          // merging can collapse two dict entries' symbol forms, but the
-          // WORD key stays distinct — no re-group needed
-          .localCheckpoint(true)
+        val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        val used = scala.collection.mutable.HashSet[String]()
+        top.iterator.foreach { r =>
+          val (a, b, pf) = (r.getString(0), r.getString(1), r.getLong(2))
+          if (accepted.size < want && !used(a) && !used(b)) {
+            accepted += ((a, b, pf))
+            used += a; used += b; used += (a + b)
+          }
+        }
+        // apply the round's merges in acceptance order as one chained
+        // projection — identical to replaying them sequentially (the
+        // folds commute only across DISJOINT pairs, but acceptance
+        // order is preserved within the chain regardless). Merging can
+        // collapse two dict entries' symbol forms, but the WORD key
+        // stays distinct — no re-group needed.
+        val folded = accepted.foldLeft(col("syms")) { case (c, (a, b, _)) =>
+          mergeFold(c, a, b) }
+        val next = dict.withColumn("syms", folded).localCheckpoint(true)
         dictRdd.foreach(_.unpersist(false))
         dict = next
         dictRdd = Dedup.checkpointedRdd(dict)
-        rank += 1
+        accepted.foreach { case (a, b, pf) => merges += ((rank, a, b, pf)); rank += 1 }
       }
     }
     BpeModel(merges.toSeq, dict.select(col("word"), col("syms"), col("freq")))
@@ -131,6 +184,41 @@ object Bpe {
       }
     }
     out
+  }
+
+  /** Chunk documents on TRAINED-tokenizer token counts — the BPE
+    * accounting for [[graft.pipelines.TrainingDataPipeline]]'s pack
+    * stage (r11 ask: a real pretraining pipeline budgets context
+    * windows in tokenizer tokens, not whitespace words). Chunk
+    * boundaries stay on word boundaries (segmentation is word-keyed);
+    * a word belongs to chunk `⌊(subword-prefix-sum − n_sub)/chunkTokens⌋`
+    * — the same cumulative-quota convention as
+    * [[Curation.packSequences]] (chunks may straddle the budget by at
+    * most one word; no overlap — packing-oriented chunking does not
+    * window). Output: (`idCol`, `chunk_idx`, `n_tokens` = the chunk's
+    * subword count, `chunk_text` = its words joined) — the
+    * [[Curation.chunkDocuments]] schema, so the two are drop-in
+    * alternatives upstream of packSequences.
+    *
+    * Scale: [[segmentCorpus]]'s word-keyed join (never per-occurrence
+    * fold work), one per-document window (documents bound the
+    * partition, never the corpus), one (id, chunk) aggregate. */
+  def tokenBudgetChunks(df: DataFrame, textCol: String, idCol: String,
+                        model: BpeModel, chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    segmentCorpus(df, textCol, idCol, model)
+      .select(col(idCol), col("pos"), col("word"), size(col("syms")).as("_nsub"))
+      .withColumn("_cum", sum(col("_nsub")).over(w))
+      .withColumn("chunk_idx",
+        floor((col("_cum") - col("_nsub")) / lit(chunkTokens.toDouble)).cast("int"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(sum(col("_nsub")).cast("long").as("n_tokens"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")), " ").as("chunk_text"))
   }
 
   /** Ordered subword segmentation of every document: (id, pos, word,

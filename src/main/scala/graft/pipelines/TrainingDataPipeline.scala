@@ -62,7 +62,18 @@ object TrainingDataPipeline {
     * quality-filtered `lmRefLang` slice scores every document; those
     * above the cap — or too short to score — drop before scrubbing.
     * Off by default (`None`): the gate only makes sense when the
-    * reference slice is actually trustworthy for the corpus mix. */
+    * reference slice is actually trustworthy for the corpus mix.
+    *
+    * `tokenizer` selects the pack stage's token accountant:
+    * `"whitespace"` (default — [[Curation.chunkDocuments]] on word
+    * counts) or `"bpe"` — a real subword vocabulary is TRAINED on the
+    * quality-filtered `lmRefLang` slice (the same trusted slice the LM
+    * gate trains on; `bpe_train` step, [[graft.operators.Bpe]]),
+    * persisted to `work` as `bpe_merges`/`bpe_dict`, and the pack
+    * stage chunks and bins on trained-tokenizer token counts
+    * ([[Bpe.tokenBudgetChunks]] — `chunkTokens`/`packBudget` are then
+    * budgets in SUBWORDS, and `chunkOverlap` is ignored: quota
+    * chunking does not window). */
   def build(plan: Plan, srcDir: String, workDir: String,
             minQuality: Double = 0.3, langs: Seq[String] = Seq("en", "de", "fr", "es"),
             minhashThreshold: Double = 0.7,
@@ -80,9 +91,14 @@ object TrainingDataPipeline {
             lmAddK: Double = 0.5,
             dsirTargetDir: Option[String] = None,
             dsirKeepFraction: Double = 0.5,
-            dsirNumBuckets: Int = 4096): Plan = {
+            dsirNumBuckets: Int = 4096,
+            tokenizer: String = "whitespace",
+            bpeMerges: Int = 200,
+            bpeMinPairFreq: Long = 2L): Plan = {
     require(Set("minhash", "jaccard").contains(nearDedup),
       s"nearDedup must be 'minhash' or 'jaccard', got '$nearDedup'")
+    require(Set("whitespace", "bpe").contains(tokenizer),
+      s"tokenizer must be 'whitespace' or 'bpe', got '$tokenizer'")
     val spark = plan.spark
     val src = new ParquetConnector(spark, srcDir)
     val work = new ParquetConnector(spark, workDir)
@@ -106,6 +122,24 @@ object TrainingDataPipeline {
       work.write(work.read("doc_profile")
         .filter(col("quality") >= minQuality && col(langCol).isin(langs: _*)),
         "docs_clean")
+    }
+
+    if (tokenizer == "bpe") {
+      plan.step("bpe_train") {
+        // subword vocabulary for the pack stage's token accounting,
+        // trained (like the LM gate) on the pipeline's own quality-
+        // filtered lmRefLang survivors. Both halves of the model
+        // persist into `work`: the merge table (bounded — bpeMerges
+        // rows, the driver-metadata side) and the final dict state
+        // (word → segmentation — the distributed side the pack stage
+        // joins against).
+        import spark.implicits._
+        val clean = work.read("docs_clean")
+        val model = graft.operators.Bpe.train(
+          clean.filter(col(langCol) === lmRefLang), "text", bpeMerges, bpeMinPairFreq)
+        work.write(model.merges.toDF("rank", "left", "right", "pair_freq"), "bpe_merges")
+        work.write(model.segments, "bpe_dict")
+      }
     }
 
     maxAvgNll.foreach { cap =>
@@ -229,8 +263,16 @@ object TrainingDataPipeline {
       // ids are dense PER (split, lang, shard) — pack_shard is part of
       // the bin's identity and rides along in the output.
       val split = work.read("docs_split")
-      val chunks = Curation.chunkDocuments(split, "text", "doc_id",
-        chunkTokens = chunkTokens, overlap = chunkOverlap)
+      val chunks =
+        if (tokenizer == "bpe") {
+          // re-hydrate the trained tokenizer: the merge list is bounded
+          // driver metadata (bpeMerges rows); the dict stays distributed
+          val merges = work.read("bpe_merges").orderBy(col("rank")).collect()
+            .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+          val model = graft.operators.Bpe.BpeModel(merges, work.read("bpe_dict"))
+          graft.operators.Bpe.tokenBudgetChunks(split, "text", "doc_id", model, chunkTokens)
+        } else Curation.chunkDocuments(split, "text", "doc_id",
+          chunkTokens = chunkTokens, overlap = chunkOverlap)
       val keyed = chunks
         .join(split.select(col("doc_id"), col(langCol), col("split")), Seq("doc_id"))
         .withColumn("pack_shard", pmod(col("doc_id"), lit(64)))

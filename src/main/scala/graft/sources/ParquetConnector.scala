@@ -18,16 +18,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * a metastore pointer swap — the connector API is the stable seam.
   */
 object ParquetConnector {
-  /** Parquet read that tolerates TIMESTAMP(NANOS) columns (written by
-    * arrow-based producers; Spark has no nanos timestamp type). With
-    * `nanosAsLong` the column surfaces as LongType nanos; we convert to
-    * micros with integer `div` (NOT double division — 2024 epoch-nanos
-    * ≈ 1.7e18 exceeds a double's 53-bit mantissa) and cast to timestamp,
-    * matching how nanos-aware engines truncate ns→us.
+  /** Parquet read that normalizes the timestamp shapes arrow-based
+    * producers emit to ONE public type (session-zoned TimestampType):
     *
-    * The conversion is keyed on the parquet footer's TIMESTAMP(NANOS)
-    * logical-type annotation — never on a column's name — so ordinary
-    * bigint columns (epoch millis/seconds counters, ids) are untouched. */
+    *  - TIMESTAMP(NANOS) (Spark has no nanos type): with `nanosAsLong`
+    *    the column surfaces as LongType nanos; convert to micros with
+    *    integer `div` (NOT double division — 2024 epoch-nanos ≈ 1.7e18
+    *    exceeds a double's 53-bit mantissa) and cast, matching how
+    *    nanos-aware engines truncate ns→us. Keyed on the parquet
+    *    footer's logical-type annotation — never on a column's name —
+    *    so ordinary bigint columns (epoch counters, ids) are untouched.
+    *  - TIMESTAMP(isAdjustedToUTC=false) (pandas naive timestamps):
+    *    surfaces as TimestampNTZType; cast to TimestampType under the
+    *    pinned-UTC session, which preserves every wall-clock value. */
   def readTable(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
     // Without this flag Spark refuses TIMESTAMP(NANOS) files outright, so
     // it is an availability-only setting; with footer-keyed detection it
@@ -39,6 +42,14 @@ object ParquetConnector {
     df.schema.fields.foldLeft(df) { (d, f) =>
       if (nanos.contains(f.name) && f.dataType == org.apache.spark.sql.types.LongType)
         d.withColumn(f.name, expr(s"timestamp_micros(`${f.name}` div 1000)"))
+      // isAdjustedToUTC=false files (pandas/arrow naive timestamps — the
+      // other shape arrow producers emit) surface as TimestampNTZType;
+      // normalize to the session-zoned TimestampType so the connector has
+      // ONE public timestamp type. Sessions here pin UTC, so the
+      // wall-clock values — and every replaying engine's view of them —
+      // are unchanged by the cast.
+      else if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        d.withColumn(f.name, col(f.name).cast(org.apache.spark.sql.types.TimestampType))
       else d
     }
   }

@@ -57,6 +57,58 @@ class BpeSpec extends SparkSpec {
     assert(seg("ab") == Seq("a", "b"))
   }
 
+  test("tokenBudgetChunks: quota chunking on trained subword counts") {
+    // subword counts under the trained model: low=1 lower=3 newest=1
+    // widest=3 lowest=2 (lowest is UNSEEN — the fold replay path);
+    // prefix sums 1,4,5,8,10; chunkTokens=4 → chunk = ⌊(cum−n)/4⌋ →
+    // chunk0 "low lower" (4), chunk1 "newest widest" (4), chunk2
+    // "lowest" (2). Blank docs emit nothing.
+    val corpus = df(schema, Seq(
+      Row(10L, "low lower newest widest lowest"), Row(11L, " ")))
+    val out = Bpe.tokenBudgetChunks(corpus, "text", "doc_id", model, chunkTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out.keySet == Set((10L, 0), (10L, 1), (10L, 2)))
+    assert(out((10L, 0)) == ((4L, "low lower")))
+    assert(out((10L, 1)) == ((4L, "newest widest")))
+    assert(out((10L, 2)) == ((2L, "lowest")))
+    intercept[IllegalArgumentException](
+      Bpe.tokenBudgetChunks(corpus, "text", "doc_id", model, chunkTokens = 0))
+  }
+
+  test("trainBatched(1) IS sequential train; disjoint families batch to the sequential sequence") {
+    // batch-1 delegation: identical merge table on the Sennrich fixture
+    assert(Bpe.trainBatched(fixture, "text", numMerges = 8, batchSize = 1).merges
+      == model.merges)
+    // three symbol-disjoint pair families: one batched round must equal
+    // three sequential rounds, counts and order included
+    val dis = df(schema, Seq(
+      Row(1L, "ab ab ab ab"), Row(2L, "cd cd cd"), Row(3L, "ef ef")))
+    val seqM = Bpe.train(dis, "text", numMerges = 3, minPairFreq = 1L).merges
+    val batM = Bpe.trainBatched(dis, "text", numMerges = 3, batchSize = 3,
+      minPairFreq = 1L).merges
+    assert(seqM == Seq((1, "a", "b", 4L), (2, "c", "d", 3L), (3, "e", "f", 2L)))
+    assert(batM == seqM)
+  }
+
+  test("trainBatched skips interfering pairs within a round (resolves them next round)") {
+    // "aba": pairs (a,b) and (b,a) both freq 2 and share symbols — the
+    // round accepts only (a,b); round 2 re-counts and finds (ab, a),
+    // exactly the sequential sequence
+    val d = df(schema, Seq(Row(1L, "aba aba")))
+    val seqM = Bpe.train(d, "text", numMerges = 2).merges
+    val batM = Bpe.trainBatched(d, "text", numMerges = 2, batchSize = 2).merges
+    assert(seqM == Seq((1, "a", "b", 2L), (2, "ab", "a", 2L)))
+    assert(batM == seqM)
+    // and the batched final dict segments identically
+    val seg = Bpe.trainBatched(d, "text", numMerges = 2, batchSize = 2)
+      .segments.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(seg("aba") == Seq("aba"))
+    intercept[IllegalArgumentException](
+      Bpe.trainBatched(d, "text", numMerges = 2, batchSize = 0))
+    intercept[IllegalArgumentException](
+      Bpe.trainBatched(d, "text", numMerges = 2, batchSize = 65))
+  }
+
   test("merge sequence is invariant to corpus partitioning") {
     val text = (0 until 30).map(i => s"alpha${i % 3} beta gamma beta").mkString(" ")
     val corpus = df(schema, Seq(Row(1L, text), Row(2L, text + " delta beta")))

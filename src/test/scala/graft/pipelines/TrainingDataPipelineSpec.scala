@@ -46,6 +46,34 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(plan.logger.messages.exists(_.contains(s"packed chunks: ${f.packedChunks}")))
   }
 
+  test("bpe tokenizer: vocab trains and persists; pack accounts in trained subwords") {
+    val work = tmpDir("graft_pipe_bpe_")
+    val plan = new Plan(spark, PlanConfig(pidDir = tmpDir("graft_pid_")))
+    TrainingDataPipeline.build(plan, src, work, minQuality = 0.2,
+      chunkTokens = 16, chunkOverlap = 0, packBudget = 32L,
+      tokenizer = "bpe", bpeMerges = 6)
+    plan.run()
+    val workConn = new graft.sources.ParquetConnector(spark, work)
+    // both halves of the model persisted as inspectable work tables
+    val merges = workConn.read("bpe_merges").orderBy(col("rank")).collect()
+    assert(merges.nonEmpty && merges.length <= 6)
+    assert(workConn.read("bpe_dict").columns.toSeq == Seq("word", "syms", "freq"))
+    // the packed chunks account in SUBWORDS: per doc, chunk n_tokens
+    // must sum to the document's independently-recomputed subword count
+    val model = graft.operators.Bpe.BpeModel(
+      merges.map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq,
+      workConn.read("bpe_dict"))
+    val expected = graft.operators.Bpe
+      .segmentCorpus(workConn.read("docs_split"), "text", "doc_id", model)
+      .groupBy("doc_id").agg(sum(size(col("syms"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = workConn.read("docs_packed")
+      .groupBy("doc_id").agg(sum(col("n_tokens")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "chunk token totals must be the trained-tokenizer counts")
+    assert(workConn.read("docs_packed").filter(col("bin") < 0).count() == 0)
+  }
+
   test("dsir_select stage keeps the exact top fraction and feeds the mix") {
     val work = tmpDir("graft_pipe_dsir_")
     val plan = new Plan(spark, PlanConfig(pidDir = tmpDir("graft_pid_")))
