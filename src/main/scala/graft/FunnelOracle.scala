@@ -34,8 +34,11 @@ package graft
   * final dict state segments seen and unseen words alike — the same
   * single-pass equivalence `Bpe.segmentCorpus` relies on.
   *
-  * Chunking on BPE counts is cumulative-quota binning over each
-  * document's word stream (`⌊(prefix-sum − n_sub)/chunkTokens⌋` — the
+  * Under the BPE accountant EVERY downstream budget counts trained
+  * tokens: the mix stage's language budgets aggregate per-doc subword
+  * totals (`ftot` — wordless docs weigh 0), and chunking is
+  * cumulative-quota binning over each document's word stream
+  * (`⌊(prefix-sum − n_sub)/chunkTokens⌋` — the
   * [[operators.Curation.packSequences]] convention,
   * [[operators.Bpe.tokenBudgetChunks]]); packing is unchanged.
   *
@@ -249,46 +252,19 @@ private[graft] object FunnelOracle {
     } else {
       ctes += """final AS MATERIALIZED (SELECT * FROM uniq)""".stripMargin
     }
-    ctes += """lw(lang, wt) AS (VALUES ('en', 0.5), ('de', 0.25), ('fr', 0.125), ('es', 0.125))""".stripMargin
-    ctes += """avail AS (
-       |  SELECT lw.lang, lw.wt, CAST(COALESCE(SUM(f.n_tokens), 0) AS DOUBLE) AS wsum
-       |  FROM lw LEFT JOIN final f ON lw.lang = f.lang
-       |  GROUP BY lw.lang, lw.wt)""".stripMargin
-    ctes += """tt AS (SELECT MIN(wsum / wt) AS t FROM avail)""".stripMargin
-    ctes += """bdg AS (SELECT lang, wt * (SELECT t FROM tt) AS budget FROM avail)""".stripMargin
-    ctes += """cum AS (
-       |  SELECT doc_id, lang, n_tokens, text,
-       |         COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-       |  FROM final)""".stripMargin
-    ctes += """mixed AS (SELECT cum.doc_id, cum.lang, cum.text FROM cum JOIN bdg USING (lang)
-       |          WHERE cum.cb < bdg.budget)""".stripMargin
-    ctes += """sp AS (
-       |  SELECT doc_id, lang, text,
-       |         CASE WHEN (doc_id * 2654435761) % 4294967296 % 10000 < 9800 THEN 'train'
-       |              WHEN (doc_id * 2654435761) % 4294967296 % 10000 < 9900 THEN 'val'
-       |              ELSE 'test' END AS split
-       |  FROM mixed)""".stripMargin
-    ctes += """cw AS MATERIALIZED (
-       |  SELECT doc_id, lang, split,
-       |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS w
-       |  FROM sp WHERE len(trim(text)) > 0)""".stripMargin
-    if (!bpe) {
-      // whitespace accounting: fixed 16-word windows at stride 12
-      ctes += """ck AS (
-         |  SELECT doc_id, lang, split, len(w) AS n,
-         |         unnest(range(0, (len(w) - 1) // 12 + 1)) AS chunk_idx
-         |  FROM cw)""".stripMargin
-      ctes += """ct AS (
-         |  SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, lang, split,
-         |         doc_id % 64 AS pack_shard,
-         |         CAST(least(16, n - chunk_idx * 12) AS BIGINT) AS n_tokens
-         |  FROM ck)""".stripMargin
-    } else {
-      // BPE accounting: train the tokenizer on the clean en slice, fold
-      // the corpus' distinct words through the same merges (freq 0 —
-      // invisible to training), then quota-chunk on subword counts
-      ctes += """cwords AS (SELECT DISTINCT unnest(w) AS word FROM cw)""".stripMargin
+    if (bpe) {
+      // BPE training + dict, BEFORE the mix CTEs: under the trained
+      // accountant the language-mix budgets count subwords, so the
+      // dict must exist by the time `avail` aggregates. Train on the
+      // clean en slice; ride the MIX INPUT's (`final`) distinct words
+      // through the same merges at freq 0 — invisible to training,
+      // segmented by the same folds. `final` ⊇ the post-split docs, so
+      // the chunking tail reuses the same dict.
+      ctes += """fw AS MATERIALIZED (
+         |  SELECT doc_id, lang,
+         |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS w
+         |  FROM final WHERE len(trim(text)) > 0)""".stripMargin
+      ctes += """cwords AS (SELECT DISTINCT unnest(w) AS word FROM fw)""".stripMargin
       ctes += """bwf AS (
          |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
          |    SELECT unnest(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
@@ -319,6 +295,69 @@ private[graft] object FunnelOracle {
       }
       ctes += s"""wcnt AS MATERIALIZED (
          |  SELECT word, len(string_split(s, chr(31))) - 1 AS n_sub FROM d$BpeMerges)""".stripMargin
+      // per-doc trained-token totals over the mix input; wordless docs
+      // are absent here and COALESCE to weight 0 downstream
+      ctes += """ftot AS MATERIALIZED (
+         |  SELECT doc_id, CAST(SUM(n_sub) AS BIGINT) AS nbpe FROM (
+         |    SELECT doc_id, w[CAST(i AS BIGINT)] AS word FROM (
+         |      SELECT doc_id, w, unnest(range(1, len(w)+1)) AS i FROM fw))
+         |  JOIN wcnt USING (word) GROUP BY doc_id)""".stripMargin
+    }
+    ctes += """lw(lang, wt) AS (VALUES ('en', 0.5), ('de', 0.25), ('fr', 0.125), ('es', 0.125))""".stripMargin
+    if (bpe) {
+      ctes += """avail AS (
+         |  SELECT lw.lang, lw.wt, CAST(COALESCE(SUM(ft.nbpe), 0) AS DOUBLE) AS wsum
+         |  FROM lw LEFT JOIN (SELECT f.lang, COALESCE(t.nbpe, 0) AS nbpe
+         |                     FROM final f LEFT JOIN ftot t USING (doc_id)) ft
+         |    ON lw.lang = ft.lang
+         |  GROUP BY lw.lang, lw.wt)""".stripMargin
+    } else {
+      ctes += """avail AS (
+         |  SELECT lw.lang, lw.wt, CAST(COALESCE(SUM(f.n_tokens), 0) AS DOUBLE) AS wsum
+         |  FROM lw LEFT JOIN final f ON lw.lang = f.lang
+         |  GROUP BY lw.lang, lw.wt)""".stripMargin
+    }
+    ctes += """tt AS (SELECT MIN(wsum / wt) AS t FROM avail)""".stripMargin
+    ctes += """bdg AS (SELECT lang, wt * (SELECT t FROM tt) AS budget FROM avail)""".stripMargin
+    if (bpe) {
+      ctes += """cum AS (
+         |  SELECT f.doc_id, f.lang, f.text,
+         |         COALESCE(SUM(COALESCE(t.nbpe, 0)) OVER (PARTITION BY f.lang ORDER BY f.doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM final f LEFT JOIN ftot t USING (doc_id))""".stripMargin
+    } else {
+      ctes += """cum AS (
+         |  SELECT doc_id, lang, n_tokens, text,
+         |         COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM final)""".stripMargin
+    }
+    ctes += """mixed AS (SELECT cum.doc_id, cum.lang, cum.text FROM cum JOIN bdg USING (lang)
+       |          WHERE cum.cb < bdg.budget)""".stripMargin
+    ctes += """sp AS (
+       |  SELECT doc_id, lang, text,
+       |         CASE WHEN (doc_id * 2654435761) % 4294967296 % 10000 < 9800 THEN 'train'
+       |              WHEN (doc_id * 2654435761) % 4294967296 % 10000 < 9900 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM mixed)""".stripMargin
+    ctes += """cw AS MATERIALIZED (
+       |  SELECT doc_id, lang, split,
+       |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS w
+       |  FROM sp WHERE len(trim(text)) > 0)""".stripMargin
+    if (!bpe) {
+      // whitespace accounting: fixed 16-word windows at stride 12
+      ctes += """ck AS (
+         |  SELECT doc_id, lang, split, len(w) AS n,
+         |         unnest(range(0, (len(w) - 1) // 12 + 1)) AS chunk_idx
+         |  FROM cw)""".stripMargin
+      ctes += """ct AS (
+         |  SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, lang, split,
+         |         doc_id % 64 AS pack_shard,
+         |         CAST(least(16, n - chunk_idx * 12) AS BIGINT) AS n_tokens
+         |  FROM ck)""".stripMargin
+    } else {
+      // quota-chunk the post-split docs on subword counts (the dict
+      // covers them: cw's words ⊆ fw's words since sp ⊆ final)
       ctes += """wpos AS (
          |  SELECT doc_id, lang, split, i AS pos, w[CAST(i AS BIGINT)] AS word FROM (
          |    SELECT doc_id, lang, split, w, unnest(range(1, len(w)+1)) AS i FROM cw))""".stripMargin

@@ -69,8 +69,11 @@ object TrainingDataPipeline {
     * counts) or `"bpe"` — a real subword vocabulary is TRAINED on the
     * quality-filtered `lmRefLang` slice (the same trusted slice the LM
     * gate trains on; `bpe_train` step, [[graft.operators.Bpe]]),
-    * persisted to `work` as `bpe_merges`/`bpe_dict`, and the pack
-    * stage chunks and bins on trained-tokenizer token counts
+    * persisted to `work` as `bpe_merges`/`bpe_dict`, and every
+    * downstream budget counts trained-tokenizer tokens: the MIX
+    * stage's language budgets (per-doc subword totals — whitespace
+    * budgets skew against languages that fragment into more subwords)
+    * and the pack stage's chunks and bins
     * ([[Bpe.tokenBudgetChunks]] — `chunkTokens`/`packBudget` are then
     * budgets in SUBWORDS, and `chunkOverlap` is ignored: quota
     * chunking does not window). */
@@ -238,11 +241,25 @@ object TrainingDataPipeline {
       // earlier benchmarked run must not feed a stale docs_final in
       val src = if (dsirTargetDir.isDefined) "docs_selected"
         else if (benchDir.isDefined) "docs_final" else "docs_unique"
+      val base = work.read(src)
+      // under the BPE accountant the language budgets count TRAINED
+      // tokens too — the published mixing recipes (UniMax, mT5) budget
+      // in tokenizer tokens, and a whitespace-word budget skews against
+      // languages that fragment into more subwords. Per-doc totals come
+      // from the persisted model; wordless docs weigh 0.
+      val (mixIn, weightCol) =
+        if (tokenizer == "bpe") {
+          val model = readBpeModel(work)
+          val totals = graft.operators.Bpe.segmentCorpus(base, "text", "doc_id", model)
+            .groupBy(col("doc_id")).agg(sum(size(col("syms"))).as("n_bpe_tokens"))
+          (base.join(totals, Seq("doc_id"), "left")
+            .withColumn("n_bpe_tokens", coalesce(col("n_bpe_tokens"), lit(0L))),
+            "n_bpe_tokens")
+        } else (base, "n_tokens")
       val mixed = mixWeights match {
-        case Some(w) => Curation.mixByWeight(work.read(src),
-          langCol, w, "n_tokens", "doc_id")
-        case None => Curation.mixByTemperature(work.read(src),
-          langCol, "n_tokens", "doc_id", alpha = mixAlpha)
+        case Some(w) => Curation.mixByWeight(mixIn, langCol, w, weightCol, "doc_id")
+        case None => Curation.mixByTemperature(mixIn, langCol, weightCol, "doc_id",
+          alpha = mixAlpha)
       }
       work.write(mixed, "docs_mixed")
     }
@@ -264,14 +281,10 @@ object TrainingDataPipeline {
       // the bin's identity and rides along in the output.
       val split = work.read("docs_split")
       val chunks =
-        if (tokenizer == "bpe") {
-          // re-hydrate the trained tokenizer: the merge list is bounded
-          // driver metadata (bpeMerges rows); the dict stays distributed
-          val merges = work.read("bpe_merges").orderBy(col("rank")).collect()
-            .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
-          val model = graft.operators.Bpe.BpeModel(merges, work.read("bpe_dict"))
-          graft.operators.Bpe.tokenBudgetChunks(split, "text", "doc_id", model, chunkTokens)
-        } else Curation.chunkDocuments(split, "text", "doc_id",
+        if (tokenizer == "bpe")
+          graft.operators.Bpe.tokenBudgetChunks(split, "text", "doc_id",
+            readBpeModel(work), chunkTokens)
+        else Curation.chunkDocuments(split, "text", "doc_id",
           chunkTokens = chunkTokens, overlap = chunkOverlap)
       val keyed = chunks
         .join(split.select(col("doc_id"), col(langCol), col("split")), Seq("doc_id"))
@@ -317,6 +330,15 @@ object TrainingDataPipeline {
       body.split("\n").foreach(plan.logger.info)
     }
     plan
+  }
+
+  /** Re-hydrate the persisted tokenizer from a work connector: the
+    * merge list is bounded driver metadata (`bpeMerges` rows); the
+    * dict stays a distributed frame. */
+  private def readBpeModel(work: ParquetConnector): graft.operators.Bpe.BpeModel = {
+    val merges = work.read("bpe_merges").orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    graft.operators.Bpe.BpeModel(merges, work.read("bpe_dict"))
   }
 
   /** CLI entry point — `graft run graft.pipelines.TrainingDataPipeline$Cli
