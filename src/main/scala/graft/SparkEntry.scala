@@ -1196,6 +1196,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"), col("bin"))
         .orderBy(col("doc_id"))),
 
+    "q_pack_strict" -> ((s, dir) =>
+      // strict next-fit bins (never exceed the budget — the
+      // context-window contract); the oracle replays the sequential
+      // state machine as a per-group LOCK-STEP recursive CTE (one row
+      // per group per iteration, rn-joined), exact on the real table
+      Curation.packSequencesStrict(
+          T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          "n_chars", 16384L, Seq("lang"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("bin"))
+        .orderBy(col("doc_id"))),
+
     // ---- the flagship pipeline, end-to-end under the oracle ----
     "q_pipeline_funnel" -> ((s, dir) => {
       // TrainingDataPipeline.funnel as ONE oracled query: profile
@@ -2666,6 +2677,27 @@ object SparkEntry {
         |SELECT doc_id, lang, n_chars,
         |       CAST(FLOOR((cum - n_chars) / 16384.0) AS BIGINT) AS bin
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // strict next-fit replay: the per-group sequential (bin, used)
+    // state advances one row per group per recursion step — the rn
+    // join is the lock-step clock, so iterations = the largest group,
+    // not the row count
+    "q_pack_strict" ->
+      """WITH RECURSIVE o AS MATERIALIZED (
+        |  SELECT lang, doc_id, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, rn, doc_id, n_chars,
+        |         CAST(0 AS BIGINT) AS bin, CAST(n_chars AS BIGINT) AS used
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.lang, o.rn, o.doc_id, o.n_chars,
+        |         CASE WHEN r.used + o.n_chars > 16384 THEN r.bin + 1 ELSE r.bin END,
+        |         CASE WHEN r.used + o.n_chars > 16384 THEN CAST(o.n_chars AS BIGINT)
+        |              ELSE r.used + o.n_chars END
+        |  FROM r JOIN o ON o.lang = r.lang AND o.rn = r.rn + 1)
+        |SELECT doc_id, lang, n_chars, bin FROM r ORDER BY doc_id""".stripMargin,
 
     // Full-funnel replay: every stage's already-proven oracle pattern
     // (q_quality/q_langid profile math, q_pii_scrub redaction chain,

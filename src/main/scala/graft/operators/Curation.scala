@@ -359,10 +359,12 @@ object Curation {
     * `budget` tokens and a straddling document contributes to both
     * sides). Deterministic; bin ids are dense per group.
     *
-    * For strict first-fit packing (no straddling, bins never exceed
-    * budget) the assignment is inherently sequential state — that
-    * variant belongs in a `mapGroups` over modest groups, not a window —
-    * and is intentionally not offered here.
+    * For strict packing (no straddling, bins never exceed budget) the
+    * assignment is inherently sequential state and cannot be a window —
+    * that variant is [[packSequencesStrict]] (shuffle + in-partition
+    * walk); this quota form stays preferable when approximate bins are
+    * acceptable, because it composes into one window pass with other
+    * per-group analytics.
     *
     * Scale: one shuffle + sort per group, same profile as sessionize.
     * `groupCols` must be non-empty: packing a 100 TB corpus as ONE group
@@ -380,6 +382,58 @@ object Curation {
       .withColumn(binCol,
         floor((col("_cum") - col(weightCol)) / lit(budget.toDouble)))
       .drop("_cum")
+  }
+
+  /** STRICT sequence packing — bins NEVER exceed `budget` (the
+    * context-window contract batch assembly actually needs: a packed
+    * window that overflows the model's context is unusable, where
+    * [[packSequences]]' quota bins may straddle). Next-fit in
+    * `orderCol` order per group: a bin closes when the next item would
+    * overflow; an item larger than the budget itself fails LOUDLY
+    * (chunk first — `chunkTokens ≤ budget` makes oversize impossible;
+    * silently splitting or spilling would corrupt the bin contract).
+    * Null weights are rejected for the same reason. Bin ids are dense
+    * per group, `orderCol` must be unique per group (same determinism
+    * contract as [[packSequences]]).
+    *
+    * Scale shape: the inherently sequential state machine runs as ONE
+    * shuffle on `groupCols` + an in-partition sort + a single
+    * mapPartitions walk that detects group boundaries — no window over
+    * an unsharded corpus, no driver state; `groupCols` must be
+    * non-empty and sharded exactly like [[packSequences]]. */
+  def packSequencesStrict(df: DataFrame, weightCol: String, budget: Long,
+                          groupCols: Seq[String], orderCol: String,
+                          binCol: String = "bin"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty — a global pack is a single-partition walk; shard first")
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(df.schema(weightCol).dataType),
+      s"$weightCol must be an integral column, got ${df.schema(weightCol).dataType}")
+    val outSchema = df.schema.add(binCol, org.apache.spark.sql.types.LongType)
+    val gIdx = groupCols.map(df.schema.fieldIndex)
+    val wIdx = df.schema.fieldIndex(weightCol)
+    df.repartition(groupCols.map(col): _*)
+      .sortWithinPartitions(groupCols.map(col) :+ col(orderCol): _*)
+      .mapPartitions { it =>
+        var curKey: Seq[Any] = null
+        var bin = 0L
+        var used = 0L
+        it.map { r =>
+          val k = gIdx.map(r.get)
+          if (k != curKey) { curKey = k; bin = 0L; used = 0L }
+          val wRaw = r.get(wIdx)
+          require(wRaw != null, s"null $weightCol in strict pack (group $k)")
+          val w = wRaw.asInstanceOf[Number].longValue
+          require(w >= 0 && w <= budget,
+            s"item weight $w outside [0, $budget] in strict pack (group $k) — chunk first")
+          if (used + w > budget) { bin += 1L; used = 0L }
+          used += w
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bin)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Deterministic uniform per-group sample of `k` ids via the native

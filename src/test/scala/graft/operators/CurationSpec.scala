@@ -219,6 +219,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("packSequencesStrict: bins never exceed budget; next-fit boundaries exact; oversize fails loudly") {
+    // en weights 10..100, budget 100: 10+20+30+40 = 100 exactly fills
+    // bin 0; every later item overflows its predecessor's bin alone
+    val out = Curation.packSequencesStrict(docs, "w", 100L, Seq("lang"), "doc_id")
+      .orderBy("doc_id").collect()
+    val enBins = out.filter(_.getString(1) == "en").map(_.getAs[Long]("bin")).toSeq
+    assert(enBins == Seq(0L, 0L, 0L, 0L, 1L, 2L, 3L, 4L, 5L, 6L))
+    assert(out.filter(_.getString(1) == "de").map(_.getAs[Long]("bin")).toSeq
+      == Seq(0L, 1L, 2L))
+    // the STRICT contract: no bin total exceeds the budget, any group
+    val perBin = Curation.packSequencesStrict(docs, "w", 120L, Seq("lang"), "doc_id")
+      .groupBy("lang", "bin").agg(sum(col("w")).as("tot")).collect()
+    assert(perBin.forall(_.getLong(2) <= 120L))
+    // deterministic under repartitioning (the shuffle+sort walk)
+    val a = Curation.packSequencesStrict(docs.repartition(1), "w", 100L, Seq("lang"), "doc_id")
+      .orderBy("doc_id").collect().map(_.getAs[Long]("bin")).toSeq
+    val b = Curation.packSequencesStrict(docs.repartition(7), "w", 100L, Seq("lang"), "doc_id")
+      .orderBy("doc_id").collect().map(_.getAs[Long]("bin")).toSeq
+    assert(a == b)
+    // an item wider than the budget must fail the job, not spill over
+    intercept[Exception] {
+      Curation.packSequencesStrict(docs, "w", 99L, Seq("lang"), "doc_id").count()
+    }
+    intercept[IllegalArgumentException] {
+      Curation.packSequencesStrict(docs, "w", 100L, Seq.empty, "doc_id")
+    }
+  }
+
   test("packSequences rejects empty groupCols and non-positive budgets") {
     intercept[IllegalArgumentException] {
       Curation.packSequences(docs, "w", 100L, Seq.empty, "doc_id")
