@@ -36,18 +36,25 @@ object ParquetConnector {
     // it is an availability-only setting; with footer-keyed detection it
     // never changes the type of a non-nanos column.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Read isAdjustedToUTC=false micros as session-zoned TimestampType AT
+    // THE SCAN (not NTZ + a cast above it): the values are identical
+    // under the pinned-UTC session, and a cast above the scan would block
+    // parquet predicate pushdown on the timestamp — fatal for the
+    // incremental readSince watermark at scale (PlanEvidenceSpec pins
+    // pushdown on the naive-timestamp events table).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val nanos = nanosAnnotatedColumns(spark, path)
     val df = spark.read.parquet(path)
     import org.apache.spark.sql.functions.{col, expr}
     df.schema.fields.foldLeft(df) { (d, f) =>
       if (nanos.contains(f.name) && f.dataType == org.apache.spark.sql.types.LongType)
         d.withColumn(f.name, expr(s"timestamp_micros(`${f.name}` div 1000)"))
-      // isAdjustedToUTC=false files (pandas/arrow naive timestamps — the
-      // other shape arrow producers emit) surface as TimestampNTZType;
-      // normalize to the session-zoned TimestampType so the connector has
-      // ONE public timestamp type. Sessions here pin UTC, so the
-      // wall-clock values — and every replaying engine's view of them —
-      // are unchanged by the cast.
+      // Defensive fallback only: with inferTimestampNTZ disabled above,
+      // naive-timestamp columns already surface as TimestampType at the
+      // scan. If an NTZ column still appears (schema evolution, an
+      // upstream frame merged in), normalize it — value-preserving under
+      // the pinned-UTC session — so the connector keeps ONE public
+      // timestamp type.
       else if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
         d.withColumn(f.name, col(f.name).cast(org.apache.spark.sql.types.TimestampType))
       else d

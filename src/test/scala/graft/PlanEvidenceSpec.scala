@@ -235,6 +235,20 @@ class PlanEvidenceSpec extends SparkSpec {
     assert(pushed.contains("GreaterThanOrEqual(updated_at"), pushed)
   }
 
+  test("naive-timestamp (isAdjustedToUTC=false) scan: ts predicate still pushes down") {
+    // the events table carries pandas-style naive micros; reading them
+    // as NTZ + a cast above the scan would silently kill timestamp
+    // pushdown — the incremental readSince watermark would scan 100 TB.
+    // readTable must surface TimestampType AT THE SCAN and keep the
+    // filter in PushedFilters.
+    val ev = graft.sources.ParquetConnector.readTable(spark, s"$sf/events.parquet")
+      .filter(expr("ts >= TIMESTAMP '2024-01-25 00:00:00'"))
+      .select("event_id", "ts")
+    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val pushed = scanOf(ev).metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(ts"), pushed)
+  }
+
   test("contamination: benchmark side broadcasts; corpus docs never shuffle") {
     val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
     val out = graft.operators.Curation.contamination(
