@@ -121,6 +121,32 @@ class PlanEvidenceSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "chunking must stay row-local:\n" + plan)
   }
 
+  test("packSequencesStrict: ONE exchange (the group shuffle), no window, no cartesian") {
+    val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val plan = graft.operators.Curation
+      .packSequencesStrict(docs, "n_chars", 16384L, Seq("lang"), "doc_id")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"strict pack = one group shuffle, found $exchanges:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Cartesian"), plan)
+  }
+
+  test("tokenBudgetChunks: per-doc window only, no cartesian, dict joins are equi-joins") {
+    val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+    val model = graft.operators.Bpe.train(docs.limit(50), "text", numMerges = 4,
+      minPairFreq = 1L)
+    val plan = graft.operators.Bpe
+      .tokenBudgetChunks(docs, "text", "doc_id", model, chunkTokens = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      "word-keyed segmentation must stay an equi-join:\n" + plan)
+    // the only window is the per-document prefix sum (partitioned by id —
+    // bounded by a document, never the corpus)
+    assert("windowspecdefinition\\(doc_id".r.findAllIn(plan.toLowerCase).nonEmpty
+      || plan.contains("Window"), plan)
+  }
+
   test("LSH candidate generation is join-free: no join operator in any sketch-dedup plan") {
     // the scale contract of minhash/simhash/embedding near-dup: band/chunk
     // explode → groupBy → in-bucket pair explode. ONE shuffle, no
