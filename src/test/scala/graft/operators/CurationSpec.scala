@@ -247,6 +247,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("packSequencesStrict matches an in-memory next-fit reference on random fixtures") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 300L).map { i =>
+      Row(i, s"g${rnd.nextInt(4)}", (1 + rnd.nextInt(50)).toLong) }
+    val budget = 60L
+    val got = Curation.packSequencesStrict(df(schema, rows).repartition(5),
+        "w", budget, Seq("lang"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("bin")).toMap
+    // reference: per-group sequential next-fit over doc_id order
+    val ref = rows.groupBy(_.getString(1)).flatMap { case (_, rs) =>
+      var bin = 0L; var used = 0L
+      rs.sortBy(_.getLong(0)).map { r =>
+        val w = r.getLong(2)
+        if (used + w > budget) { bin += 1; used = 0L }
+        used += w
+        r.getLong(0) -> bin
+      }
+    }
+    assert(got == ref)
+  }
+
   test("packSequences rejects empty groupCols and non-positive budgets") {
     intercept[IllegalArgumentException] {
       Curation.packSequences(docs, "w", 100L, Seq.empty, "doc_id")
