@@ -388,6 +388,22 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    "q_bpe_ids" -> ((s, dir) => {
+      // trainer-ready token ids through the trained model: the vocab is
+      // alphabet chars binary-ascending from 0, then merge outputs in
+      // rank order — a pure function of the model, so the ids are
+      // golden; 'u'/'k' sit outside the training alphabet → <unk> (-1)
+      import s.implicits._
+      val fixture = Seq(
+        (1L, "low low low low low"), (2L, "lower lower newest newest"),
+        (3L, "newest newest newest newest"), (4L, "widest widest widest"))
+        .toDF("doc_id", "text")
+      val model = Bpe.train(fixture, "text", numMerges = 8)
+      val corpus = Seq((10L, "Low lowest newest"), (11L, "widest unknown lower"))
+        .toDF("doc_id", "text")
+      Bpe.encodeIds(corpus, "text", "doc_id", model).orderBy(col("doc_id"))
+    }),
+
     "q_dsir" -> ((s, dir) => {
       // DSIR importance resampling (target = the src1 slice, raw = the
       // whole corpus) under the ORACLE-REPLAYABLE arithmetic bucketer —
@@ -2414,6 +2430,14 @@ object SparkEntry {
         |  (11, 1, 'unknown', 'u n k n o w n'),
         |  (11, 2, 'lower', 'low e r')) AS t(doc_id, pos, word, subwords)
         |ORDER BY doc_id, pos""".stripMargin,
+
+    // Golden ids: alphabet d,e,i,l,n,o,r,s,t,w = 0..9, merges
+    // es,est,lo,low,ew,ewest,newest,dest = 10..17; u/k → <unk> = -1
+    "q_bpe_ids" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(10 AS BIGINT), CAST([13,13,11,16] AS BIGINT[])),
+        |  (11, CAST([9,2,17,-1,4,-1,4,5,9,4,13,1,6] AS BIGINT[]))) AS t(doc_id, token_ids)
+        |ORDER BY doc_id""".stripMargin,
 
     // Full DSIR replay: unigram+bigram stream, polynomial codepoint
     // buckets (list_reduce fold — same integer chain as arithBucket),

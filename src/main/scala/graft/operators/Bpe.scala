@@ -221,6 +221,47 @@ object Bpe {
           x => x.getField("word")), " ").as("chunk_text"))
   }
 
+  /** Token-id vocabulary of a trained model — the standard BPE layout:
+    * the ALPHABET (every distinct character of the dict's words),
+    * binary-ascending from id 0, then one id per merge output in rank
+    * order. A pure function of the model, so ids are stable across
+    * runs, partitionings, and engines. Returns (`token`, `id`).
+    *
+    * The alphabet collects to the driver — bounded by the character
+    * set (≤ the vocabulary size by construction; a few hundred for
+    * Latin corpora, tens of thousands for CJK — driver metadata
+    * either way, like the merge list itself). */
+  def vocab(model: BpeModel): Seq[(String, Long)] = {
+    val alphabet = model.segments
+      .select(explode(split(col("word"), "")).as("tok"))
+      .filter(length(col("tok")) > 0).distinct()
+      .collect().map(_.getString(0)).sortBy(identity)
+    val fromMerges = model.merges.sortBy(_._1).map { case (_, a, b, _) => a + b }
+    (alphabet ++ fromMerges).zipWithIndex.map { case (t, i) => (t, i.toLong) }
+  }
+
+  /** Documents → trainer-ready token-id sequences: (`idCol`,
+    * `token_ids`) with ids from [[vocab]]; characters outside the
+    * training alphabet encode as `unkId` (a real tokenizer's `<unk>`).
+    * The vocab rides in as a broadcast literal table (it is driver
+    * metadata); ordering inside a document is (word position, subword
+    * position) — deterministic. Scale: [[segmentCorpus]]'s word-keyed
+    * join + one per-doc aggregate; nothing corpus-sized ever sorts
+    * globally. */
+  def encodeIds(df: DataFrame, textCol: String, idCol: String,
+                model: BpeModel, unkId: Long = -1L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = broadcast(vocab(model).toDF("_tok", "_tid"))
+    segmentCorpus(df, textCol, idCol, model)
+      .select(col(idCol), col("pos"), posexplode(col("syms")).as(Seq("sub", "_tok")))
+      .join(v, Seq("_tok"), "left")
+      .withColumn("_tid", coalesce(col("_tid"), lit(unkId)))
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sub"), col("_tid")))),
+        x => x.getField("_tid")).as("token_ids"))
+  }
+
   /** Ordered subword segmentation of every document: (id, pos, word,
     * syms). Seen words resolve through the `segments` table (a
     * word-keyed join — the scale path); unseen words re-derive their

@@ -75,6 +75,19 @@ class BpeSpec extends SparkSpec {
       Bpe.tokenBudgetChunks(corpus, "text", "doc_id", model, chunkTokens = 0))
   }
 
+  test("vocab: alphabet-then-merges layout; encodeIds: ordered ids, <unk> for unseen chars") {
+    val v = Bpe.vocab(model).toMap
+    assert(v.size == 18, v)
+    assert(v("d") == 0L && v("w") == 9L, "alphabet binary-ascending from 0")
+    assert(v("es") == 10L && v("dest") == 17L, "merge outputs in rank order after the alphabet")
+    val corpus = df(schema, Seq(
+      Row(10L, "Low lowest newest"), Row(11L, "widest unknown lower")))
+    val out = Bpe.encodeIds(corpus, "text", "doc_id", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(10L) == Seq(13L, 13L, 11L, 16L))
+    assert(out(11L) == Seq(9L, 2L, 17L, -1L, 4L, -1L, 4L, 5L, 9L, 4L, 13L, 1L, 6L))
+  }
+
   test("trainBatched(1) IS sequential train; disjoint families batch to the sequential sequence") {
     // batch-1 delegation: identical merge table on the Sennrich fixture
     assert(Bpe.trainBatched(fixture, "text", numMerges = 8, batchSize = 1).merges
