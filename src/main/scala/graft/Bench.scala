@@ -78,7 +78,10 @@ object Bench {
     // bounded sequence explode), BM25 probe-term scoring (two
     // shuffle-free corpus scans, stats embedded as plan literals), and
     // the BM25+ANN hybrid fused by pure-integer reciprocal-rank fusion
-    "q_unimax", "q_bm25", "q_rrf_hybrid")
+    "q_unimax", "q_bm25", "q_rrf_hybrid",
+    // r12: deterministic seeded trainer-shard shuffle (scan-level LCG
+    // key + the de-funneled per-shard rank — no shard sorts in a task)
+    "q_shard_shuffle")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

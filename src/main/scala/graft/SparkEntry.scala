@@ -404,6 +404,42 @@ object SparkEntry {
       Bpe.encodeIds(corpus, "text", "doc_id", model).orderBy(col("doc_id"))
     }),
 
+    "q_bpe_decode" -> ((s, dir) => {
+      // decode inverts encode on the same fixture: ids → subwords, the
+      // eow id (100, one past any vocab id) → the word separator, the
+      // out-of-alphabet chars (u, k) → <unk>. Golden rows — the decoded
+      // strings are hand-derivable from the q_bpe_segment segmentation.
+      import s.implicits._
+      val fixture = Seq(
+        (1L, "low low low low low"), (2L, "lower lower newest newest"),
+        (3L, "newest newest newest newest"), (4L, "widest widest widest"))
+        .toDF("doc_id", "text")
+      val model = Bpe.train(fixture, "text", numMerges = 8)
+      val corpus = Seq((10L, "Low lowest newest"), (11L, "widest unknown lower"))
+        .toDF("doc_id", "text")
+      val enc = Bpe.encodeIds(corpus, "text", "doc_id", model, eowId = Some(100L))
+      Bpe.decodeIds(enc, "token_ids", "doc_id", model, eowId = Some(100L))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_bpe_roundtrip" -> ((s, dir) => {
+      // end-to-end tokenizer round trip on the REAL documents table:
+      // train on the en slice, encode EVERY document with an eow
+      // marker, decode, keep docs with no <unk>. The oracle derives the
+      // same rows WITHOUT running BPE at all — normalized text of every
+      // document whose characters all appear in the en slice — so any
+      // defect in training, segmentation, vocab layout, id assignment,
+      // or decode ordering breaks the hash.
+      val d = T(s, dir, "documents")
+      val model = Bpe.trainBatched(d.filter(col("lang") === "en"), "text",
+        numMerges = 64, batchSize = 32)
+      val eow = Bpe.vocab(model).size.toLong
+      val enc = Bpe.encodeIds(d, "text", "doc_id", model, eowId = Some(eow))
+        .filter(!array_contains(col("token_ids"), lit(-1L)))
+      Bpe.decodeIds(enc, "token_ids", "doc_id", model, eowId = Some(eow))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dsir" -> ((s, dir) => {
       // DSIR importance resampling (target = the src1 slice, raw = the
       // whole corpus) under the ORACLE-REPLAYABLE arithmetic bucketer —
@@ -833,6 +869,18 @@ object SparkEntry {
       operators.Curation.assignSplits(T(s, dir, "documents"),
           "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), buckets = 10)
         .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_shard_shuffle" -> ((s, dir) => {
+      // deterministic seeded global shuffle → 8 trainer shards with a
+      // dense within-shard position: the reproducible "shuffle and
+      // shard the corpus" step before writing training files. The LCG
+      // key replays exactly in DuckDB; pos is the exact (key, id) rank
+      // via the de-funneled prefix (no shard ever sorts in one task).
+      operators.Curation.shardShuffle(T(s, dir, "documents"),
+          "doc_id", numShards = 8, seed = 42L)
+        .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1738,6 +1786,19 @@ object SparkEntry {
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    // Seeded-LCG shard + exact (key, id) rank; pmod mirrored as
+    // ((x % m) + m) % m so the replay holds for any long id
+    "q_shard_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |         ((((((doc_id % 2147483648) + 2147483648) % 2147483648)
+        |            * 1103515245 + 42) % 2147483648) + 2147483648) % 2147483648 AS key
+        |  FROM documents)
+        |SELECT doc_id, CAST(((key % 8) + 8) % 8 AS INTEGER) AS shard,
+        |       row_number() OVER (PARTITION BY ((key % 8) + 8) % 8
+        |                          ORDER BY key, doc_id) AS pos
+        |FROM k ORDER BY doc_id""".stripMargin,
+
     "q_topk_group" ->
       """SELECT lang, CAST(rn - 1 AS INTEGER) AS rank, doc_id,
         |       CAST(n_chars AS DOUBLE) AS n_chars
@@ -2438,6 +2499,36 @@ object SparkEntry {
         |  (CAST(10 AS BIGINT), CAST([13,13,11,16] AS BIGINT[])),
         |  (11, CAST([9,2,17,-1,4,-1,4,5,9,4,13,1,6] AS BIGINT[]))) AS t(doc_id, token_ids)
         |ORDER BY doc_id""".stripMargin,
+
+    // Golden decode: the q_bpe_segment segmentations re-joined, eow →
+    // space, the out-of-alphabet u/k in "unknown" → <unk>
+    "q_bpe_decode" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(10 AS BIGINT), 'low lowest newest'),
+        |  (11, 'widest <unk>n<unk>nown lower')) AS t(doc_id, text)
+        |ORDER BY doc_id""".stripMargin,
+
+    // The round trip's independent derivation — NO BPE anywhere: a doc
+    // decodes back to its normalized text iff every character appears
+    // in the training (en) slice's alphabet; the oracle computes
+    // exactly that set and the normalized text directly.
+    "q_bpe_roundtrip" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lang, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |alpha AS (
+        |  SELECT DISTINCT unnest(string_split(replace(t, ' ', ''), '')) AS c
+        |  FROM norm WHERE lang = 'en' AND len(t) > 0),
+        |chars AS (
+        |  SELECT doc_id, unnest(string_split(replace(t, ' ', ''), '')) AS c
+        |  FROM norm WHERE len(t) > 0),
+        |bad AS (
+        |  SELECT DISTINCT ch.doc_id
+        |  FROM chars ch LEFT JOIN alpha a USING (c) WHERE a.c IS NULL)
+        |SELECT n.doc_id, n.t AS text
+        |FROM norm n LEFT JOIN bad b USING (doc_id)
+        |WHERE b.doc_id IS NULL AND len(n.t) > 0
+        |ORDER BY n.doc_id""".stripMargin,
 
     // Full DSIR replay: unigram+bigram stream, polynomial codepoint
     // buckets (list_reduce fold — same integer chain as arithBucket),

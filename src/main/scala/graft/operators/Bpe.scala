@@ -245,21 +245,78 @@ object Bpe {
     * training alphabet encode as `unkId` (a real tokenizer's `<unk>`).
     * The vocab rides in as a broadcast literal table (it is driver
     * metadata); ordering inside a document is (word position, subword
-    * position) — deterministic. Scale: [[segmentCorpus]]'s word-keyed
-    * join + one per-doc aggregate; nothing corpus-sized ever sorts
-    * globally. */
+    * position) — deterministic. When `eowId` is set, that id is
+    * emitted after each word's subwords (an explicit end-of-word /
+    * separator token, the GPT-2-style space marker) — with it,
+    * [[decodeIds]] reconstructs the normalized text exactly. Scale:
+    * [[segmentCorpus]]'s word-keyed join + one per-doc aggregate;
+    * nothing corpus-sized ever sorts globally. */
   def encodeIds(df: DataFrame, textCol: String, idCol: String,
-                model: BpeModel, unkId: Long = -1L): DataFrame = {
+                model: BpeModel, unkId: Long = -1L,
+                eowId: Option[Long] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val v = broadcast(vocab(model).toDF("_tok", "_tid"))
-    segmentCorpus(df, textCol, idCol, model)
+    // The end-of-word marker rides as a sentinel SYMBOL " " appended to
+    // each word's segmentation: a subword is a substring of a
+    // space-split word, so no real symbol can be a single space — the
+    // sentinel cannot collide, and the vocab join resolves it like any
+    // other token through one extra broadcast row.
+    val base = vocab(model)
+    (eowId.toSeq :+ unkId).foreach(id => require(id < 0 || id >= base.size,
+      s"eowId/unkId $id collides with a vocab id (vocab size ${base.size}) — decode would be ambiguous"))
+    require(!eowId.contains(unkId),
+      s"eowId and unkId are both $unkId — decode would be ambiguous")
+    val entries = base ++ eowId.map((" ", _)).toSeq
+    val v = broadcast(entries.toDF("_tok", "_tid"))
+    val segd = segmentCorpus(df, textCol, idCol, model)
+    val marked = eowId.fold(segd)(_ =>
+      segd.withColumn("syms", concat(col("syms"), array(lit(" ")))))
+    marked
       .select(col(idCol), col("pos"), posexplode(col("syms")).as(Seq("sub", "_tok")))
       .join(v, Seq("_tok"), "left")
       .withColumn("_tid", coalesce(col("_tid"), lit(unkId)))
       .groupBy(col(idCol))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("sub"), col("_tid")))),
         x => x.getField("_tid")).as("token_ids"))
+  }
+
+  /** The inverse of [[encodeIds]]: token-id sequences → text. Ids map
+    * back through the model's [[vocab]] (broadcast — driver metadata),
+    * `eowId` renders as the word separator, `unkId` as `unkToken`, and
+    * the subwords concatenate in sequence order. When the sequences
+    * were encoded with the SAME model, an `eowId`, and contain no
+    * `unkId`, the output is exactly
+    * [[TextFunctions.normalizeForFingerprint]] of the source text —
+    * the round trip `q_bpe_roundtrip` oracles end-to-end against an
+    * independent derivation that never runs BPE at all.
+    *
+    * Rows whose id array is empty or null produce no output row
+    * (matching [[encodeIds]], which emits nothing for documents that
+    * normalize to the empty string). Scale: explode + broadcast-join +
+    * one per-doc aggregate — the decode mirror of the encode shape;
+    * nothing corpus-sized sorts globally. */
+  def decodeIds(df: DataFrame, idsCol: String, idCol: String, model: BpeModel,
+                unkId: Long = -1L, unkToken: String = "<unk>",
+                eowId: Option[Long] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = vocab(model)
+    (eowId.toSeq :+ unkId).foreach(id => require(id < 0 || id >= base.size,
+      s"eowId/unkId $id collides with a vocab id (vocab size ${base.size}) — decode would be ambiguous"))
+    require(!eowId.contains(unkId),
+      s"eowId and unkId are both $unkId — decode would be ambiguous")
+    val entries = base.map(_.swap) ++
+      eowId.map((_, " ")).toSeq :+ ((unkId, unkToken))
+    val v = broadcast(entries.toDF("_tid", "_tok"))
+    df.select(col(idCol), posexplode(col(idsCol)).as(Seq("_tpos", "_tid")))
+      .join(v, Seq("_tid"), "left")
+      // an id outside the vocab entirely (corrupt input) also renders
+      // as unkToken rather than silently vanishing from the text
+      .withColumn("_tok", coalesce(col("_tok"), lit(unkToken)))
+      .groupBy(col(idCol))
+      .agg(rtrim(array_join(
+        transform(array_sort(collect_list(struct(col("_tpos"), col("_tok")))),
+          x => x.getField("_tok")), "")).as("text"))
   }
 
   /** Ordered subword segmentation of every document: (id, pos, word,

@@ -50,7 +50,8 @@ object Curation {
     * distributed (ids, fingerprints — already the samplers' bias
     * contract; a value-clustered column would imbalance bins), and
     * UNIQUE within each stratum (with ties, which tied row lands under
-    * a cutoff is engine/partitioning-dependent). Null `orderCol` rows
+    * a cutoff is engine/partitioning-dependent — unless `tieCols`
+    * extends the sort to a total order). Null `orderCol` rows
     * sort first (bin 0), matching the window formulation; null STRATA
     * form their own group (null-safe join below), also matching it.
     *
@@ -61,7 +62,8 @@ object Curation {
     * cache it first. */
   private def withStrataPrefix(df: DataFrame, strataCols: Seq[String], orderCol: String,
                                weight: Column, prefixCol: String,
-                               totalCol: Option[String] = None): DataFrame = {
+                               totalCol: Option[String] = None,
+                               tieCols: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     require(df.schema(orderCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"$orderCol must be numeric (an id or fingerprint), got ${df.schema(orderCol).dataType}")
@@ -96,8 +98,13 @@ object Curation {
         sum(col("_pw")).over(Window.partitionBy(strata: _*)))
       case None => offsets
     }
+    // tieCols extend the in-bin sort to a TOTAL order (callers that
+    // need an exact deterministic rank under orderCol duplicates —
+    // shardShuffle — pass the unique id here; the sampler callers'
+    // contract already demands a unique orderCol and pass nothing)
     val localW = Window.partitionBy(strata :+ col("_gbin"): _*)
-      .orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, -1)
+      .orderBy(col(orderCol) +: tieCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
     // NULL-SAFE join keys (ADVICE r10): a USING/EqualTo join never
     // matches NULL strata, so rows with a null stratum would silently
     // vanish — the window formulation this replaced kept a null stratum
@@ -507,6 +514,49 @@ object Curation {
         when(bucket < hi, lit(name)).otherwise(acc)
       }
     df.withColumn(splitCol, assignment)
+  }
+
+  /** Deterministic seeded global shuffle → trainer shards: every row
+    * gets a `shard` in [0, numShards) and a dense 1-based `pos` within
+    * its shard, both pure functions of (`idCol`, `seed`) — the
+    * reproducible "shuffle the corpus and write N shard files" step a
+    * pretraining run needs (data order affects the model; reruns and
+    * other engines must agree byte-for-byte). Reading shards
+    * round-robin by (`pos`, `shard`) is a deterministic global
+    * training order.
+    *
+    * The shuffle key is the seeded LCG `(id·1103515245 + seed) mod 2³¹`
+    * — the [[Dsir.resampleGumbel]] convention: replayable in any
+    * engine with 64-bit integer arithmetic (the oracle mirrors `pmod`
+    * as `((x % m) + m) % m`). Key COLLISIONS are expected at corpus
+    * scale (ids 2³¹ apart collide exactly; distinct ids collide
+    * birthday-style) and are ordered by id ascending — `pos` is the
+    * exact rank under (key, id), total and deterministic. A production
+    * pipeline that doesn't need cross-engine replay can pass a
+    * stronger `keyFn` (e.g. `xxhash64(seed, id)`) over the identical
+    * pipeline.
+    *
+    * Scale: shard assignment is a scan-level expression; `pos` uses
+    * the de-funneled prefix shape of [[withStrataPrefix]] (id as the
+    * tie-breaker), so no shard — at 100 TB each holds corpus/N rows —
+    * is ever sorted inside a single task. Ids must be non-null and
+    * unique ([[requireIntegralId]] enforces integral). Output: the
+    * input columns + (`shard` int, `pos` long). */
+  def shardShuffle(df: DataFrame, idCol: String, numShards: Int, seed: Long,
+                   keyFn: Option[Column => Column] = None): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    requireIntegralId(df, idCol)
+    val m = 2147483648L
+    val key = keyFn.fold(
+      pmod(pmod(col(idCol).cast("long"), lit(m)) * lit(1103515245L) + lit(seed), lit(m)))(
+      f => f(col(idCol)))
+    val keyed = df
+      .withColumn("_skey", key)
+      .withColumn("shard", pmod(col("_skey"), lit(numShards.toLong)).cast("int"))
+    withStrataPrefix(keyed, Seq("shard"), "_skey", lit(1L), "_pfx",
+        tieCols = Seq(idCol))
+      .withColumn("pos", (col("_pfx") + 1L).cast("long"))
+      .drop("_skey", "_pfx")
   }
 
   /** Per-group top-k (or bottom-k) by a numeric score, via the

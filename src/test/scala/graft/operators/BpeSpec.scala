@@ -122,6 +122,49 @@ class BpeSpec extends SparkSpec {
       Bpe.trainBatched(d, "text", numMerges = 2, batchSize = 65))
   }
 
+  test("decodeIds inverts encodeIds: eow renders as space, unk as <unk>, corrupt ids as <unk>") {
+    val corpus = df(schema, Seq(
+      Row(10L, "Low lowest newest"), Row(11L, "widest unknown lower")))
+    val enc = Bpe.encodeIds(corpus, "text", "doc_id", model, eowId = Some(100L))
+    // eow id appended after each word's subwords
+    val ids = enc.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(ids(10L) == Seq(13L, 100L, 13L, 11L, 100L, 16L, 100L))
+    val dec = Bpe.decodeIds(enc, "token_ids", "doc_id", model, eowId = Some(100L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dec(10L) == "low lowest newest")
+    assert(dec(11L) == "widest <unk>n<unk>nown lower")
+    // an id outside vocab ∪ {eow, unk} renders as <unk>, never vanishes
+    val corrupt = df(StructType(Seq(StructField("doc_id", LongType),
+        StructField("token_ids", ArrayType(LongType)))),
+      Seq(Row(1L, Seq(13L, 999L, 100L))))
+    val d2 = Bpe.decodeIds(corrupt, "token_ids", "doc_id", model, eowId = Some(100L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d2(1L) == "low<unk>")
+    // ambiguous marker ids fail loudly
+    intercept[IllegalArgumentException](
+      Bpe.encodeIds(corpus, "text", "doc_id", model, eowId = Some(3L)))
+    intercept[IllegalArgumentException](
+      Bpe.decodeIds(enc, "token_ids", "doc_id", model, unkId = 100L, eowId = Some(100L)))
+  }
+
+  test("round trip: decode(encode(x)) == normalized x when every char is in the alphabet") {
+    // training corpus supplies the alphabet; the round-trip corpus
+    // reuses those characters in unseen word shapes (merge folds replay)
+    val corpus = df(schema, Seq(
+      Row(1L, "  Low LOWER newest\tlowest "), Row(2L, "wid didoODD dts"),
+      Row(3L, "o"), Row(4L, "newestnewest low est")))
+    val eow = Bpe.vocab(model).size.toLong
+    val enc = Bpe.encodeIds(corpus, "text", "doc_id", model, eowId = Some(eow))
+    val dec = Bpe.decodeIds(enc, "token_ids", "doc_id", model, eowId = Some(eow))
+    import org.apache.spark.sql.functions.col
+    val normalized = corpus.select(col("doc_id"),
+        graft.functions.TextFunctions.normalizeForFingerprint(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = dec.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    out.foreach { case (id, t) => assert(t == normalized(id), s"doc $id") }
+  }
+
   test("merge sequence is invariant to corpus partitioning") {
     val text = (0 until 30).map(i => s"alpha${i % 3} beta gamma beta").mkString(" ")
     val corpus = df(schema, Seq(Row(1L, text), Row(2L, text + " delta beta")))

@@ -375,6 +375,53 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("shardShuffle: exact (key, id) ranks per shard, dense pos, partition-invariant") {
+    val ids = df(StructType(Seq(StructField("doc_id", LongType))),
+      (0L until 500L).map(Row(_)))
+    val out = Curation.shardShuffle(ids, "doc_id", numShards = 8, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length == 500 && out.map(_._1).toSet.size == 500)
+    // reference arithmetic: LCG key, shard, exact (key, id) rank
+    val m = 2147483648L
+    def key(id: Long) = Math.floorMod(Math.floorMod(id, m) * 1103515245L + 42L, m)
+    val expected = (0L until 500L).map(id => id -> (key(id) % 8).toInt).toMap
+    out.foreach { case (id, sh, _) => assert(sh == expected(id), s"shard of $id") }
+    val byShard = out.groupBy(_._2)
+    byShard.foreach { case (sh, rows) =>
+      // dense 1..n positions, ordered exactly by (key, id)
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq, s"shard $sh pos density")
+      val got = rows.sortBy(_._3).map(_._1).toSeq
+      val want = rows.map(_._1).sortBy(id => (key(id), id)).toSeq
+      assert(got == want, s"shard $sh order")
+    }
+    // every shard populated and roughly balanced on 500 sequential ids
+    assert(byShard.keySet == (0 until 8).toSet)
+    // partition invariance
+    val re = Curation.shardShuffle(ids.repartition(7), "doc_id", 8, 42L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(re.toSeq == out.sortBy(_._1).toSeq)
+  }
+
+  test("shardShuffle: key collisions (ids 2^31 apart) order by id; schema kept; bad args fail") {
+    // 5 and 5 + 2^31 produce the SAME key — the tie-break must put the
+    // smaller id first, deterministically
+    val twin = df(StructType(Seq(StructField("doc_id", LongType), StructField("lang", StringType))),
+      Seq(Row(5L, "a"), Row(5L + 2147483648L, "b"), Row(7L, "c")))
+    val out = Curation.shardShuffle(twin, "doc_id", numShards = 1, seed = 9L)
+    assert(out.columns.toSeq == Seq("doc_id", "lang", "shard", "pos"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    val collided = rows.filter(t => t._1 == 5L || t._1 == 5L + 2147483648L)
+    assert(collided.map(_._3).toSet.size == 2, "tied keys still get distinct ranks")
+    assert(collided.minBy(_._1)._3 < collided.maxBy(_._1)._3, "id ascending inside a key tie")
+    assert(rows.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L))
+    // a custom key function rides the identical pipeline
+    val alt = Curation.shardShuffle(twin, "doc_id", 2, 0L,
+      keyFn = Some((c: org.apache.spark.sql.Column) => pmod(xxhash64(lit(1L), c), lit(1000000L))))
+    assert(alt.count() == 3)
+    intercept[IllegalArgumentException](Curation.shardShuffle(twin, "doc_id", 0, 1L))
+    intercept[IllegalArgumentException](Curation.shardShuffle(twin, "lang", 2, 1L))
+  }
+
   test("chunkDocuments: stride windows, short tail, blank docs vanish") {
     val d = df(textSchema, Seq(
       Row(1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
