@@ -81,7 +81,11 @@ object Bench {
     "q_unimax", "q_bm25", "q_rrf_hybrid",
     // r12: deterministic seeded trainer-shard shuffle (scan-level LCG
     // key + the de-funneled per-shard rank — no shard sorts in a task)
-    "q_shard_shuffle")
+    "q_shard_shuffle",
+    // r12: product-quantization lifecycle (one-pass multi-subspace
+    // Lloyd train, expression-argmin encode, ADC table-lookup scoring
+    // over the m-byte codes, exact re-rank of the shortlist)
+    "q_ann_pq")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

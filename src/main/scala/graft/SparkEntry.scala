@@ -822,6 +822,28 @@ object SparkEntry {
         .select(col("vec_id"), (round(col("score"), 6) + 0.0).as("score"))
     }),
 
+    "q_ann_pq" -> ((s, dir) => {
+      // product-quantization lifecycle: train m=4 x k=8 codebooks (one
+      // exploded Lloyd pass for ALL subspaces) -> encode the corpus to
+      // 4 small ints/vector (the compressed index; 64 floats -> 4 bytes
+      // at scale) -> ADC top-40 shortlist via driver-built distance
+      // tables (fixed-order double adds, engine-replayable) -> re-rank
+      // the shortlist against the full-precision vectors, exact cosine
+      // top-10. Oracle re-derives every stage, codebook training included.
+      val e = T(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val books = Similarity.trainPq(e, "embedding", "vec_id", m = 4, k = 8, refineIterations = 1)
+      val codes = Similarity.pqEncode(e, "embedding", books).select(col("vec_id"), col("_code"))
+      val short = Similarity.pqTopKAdc(codes, "_code", "vec_id", books, q, k = 40)
+      short.join(e, "vec_id")
+        .select(col("vec_id"),
+          (round(col("adc_dist"), 6) + 0.0).as("adc"),
+          (round(VectorFunctions.cosine(col("embedding"), typedLit(q)), 6) + 0.0).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // ---- text analysis ----
     "q_token_stats" -> ((s, dir) => {
       T(s, dir, "documents")
@@ -2753,6 +2775,75 @@ object SparkEntry {
         |FROM e JOIN cells1 c USING (vec_id) CROSS JOIN q
         |WHERE c.cell IN (SELECT cell FROM probe)
         |ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
+
+    // Full PQ replay: seeds = the 8 lowest-vec_id vectors sliced into
+    // 4 subspaces of 16 dims (code = id rank); per-subspace argmin-L2
+    // assignment with ties to the LOWER code; one Lloyd step with the
+    // DECIMAL-exact mean trainPq uses; re-encode against the refined
+    // books; ADC table from the query (vec 0); per-vector approximate
+    // distance as the FIXED-ORDER sum d0+d1+d2+d3 (matching Spark's
+    // reduceLeft); top-40 shortlist; exact-cosine re-rank top-10.
+    "q_ann_pq" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seeds AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, v
+        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+        |sub AS (SELECT s FROM (VALUES (0),(1),(2),(3)) AS t(s)),
+        |books0 AS (
+        |  SELECT sub.s, seeds.code, list_slice(seeds.v, sub.s*16+1, sub.s*16+16) AS cv
+        |  FROM seeds CROSS JOIN sub),
+        |assign0 AS (
+        |  SELECT e.vec_id, b.s, b.code,
+        |         row_number() OVER (PARTITION BY e.vec_id, b.s
+        |           ORDER BY list_sum(list_transform(
+        |                      list_zip(list_slice(e.v, b.s*16+1, b.s*16+16), b.cv),
+        |                      x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+        |                    b.code ASC) AS rn
+        |  FROM e CROSS JOIN books0 b),
+        |codes0 AS (SELECT vec_id, s, code FROM assign0 WHERE rn = 1),
+        |means AS (
+        |  SELECT c.s, c.code, i AS w,
+        |         CAST(SUM(CAST(e.v[c.s*16 + i] AS DECIMAL(20,10))) AS DOUBLE) / COUNT(1) AS m
+        |  FROM codes0 c JOIN e USING (vec_id), UNNEST(generate_series(1, 16)) AS t(i)
+        |  GROUP BY c.s, c.code, i),
+        |books1 AS (
+        |  SELECT b.s, b.code, COALESCE(m.cv, b.cv) AS cv
+        |  FROM books0 b LEFT JOIN
+        |    (SELECT s, code, list(m ORDER BY w) AS cv FROM means GROUP BY s, code) m
+        |    USING (s, code)),
+        |assign1 AS (
+        |  SELECT e.vec_id, b.s, b.code,
+        |         row_number() OVER (PARTITION BY e.vec_id, b.s
+        |           ORDER BY list_sum(list_transform(
+        |                      list_zip(list_slice(e.v, b.s*16+1, b.s*16+16), b.cv),
+        |                      x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+        |                    b.code ASC) AS rn
+        |  FROM e CROSS JOIN books1 b),
+        |codes1 AS (SELECT vec_id, s, code FROM assign1 WHERE rn = 1),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |dt AS (
+        |  SELECT b.s, b.code,
+        |         list_sum(list_transform(
+        |           list_zip(list_slice(q.qv, b.s*16+1, b.s*16+16), b.cv),
+        |           x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+        |  FROM books1 b CROSS JOIN q),
+        |adc AS (
+        |  SELECT v0.vec_id, d0.d + d1.d + d2.d + d3.d AS adc_dist
+        |  FROM (SELECT vec_id, code FROM codes1 WHERE s = 0) v0
+        |  JOIN (SELECT vec_id, code FROM codes1 WHERE s = 1) v1 USING (vec_id)
+        |  JOIN (SELECT vec_id, code FROM codes1 WHERE s = 2) v2 USING (vec_id)
+        |  JOIN (SELECT vec_id, code FROM codes1 WHERE s = 3) v3 USING (vec_id)
+        |  JOIN dt d0 ON d0.s = 0 AND d0.code = v0.code
+        |  JOIN dt d1 ON d1.s = 1 AND d1.code = v1.code
+        |  JOIN dt d2 ON d2.s = 2 AND d2.code = v2.code
+        |  JOIN dt d3 ON d3.s = 3 AND d3.code = v3.code),
+        |short AS (SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT 40)
+        |SELECT s.vec_id, ROUND(s.adc_dist, 6) + 0.0 AS adc,
+        |       ROUND(CAST(list_cosine_similarity(e.v, q.qv) AS DOUBLE), 6) + 0.0 AS score
+        |FROM short s JOIN e USING (vec_id) CROSS JOIN q
+        |ORDER BY ROUND(CAST(list_cosine_similarity(e.v, q.qv) AS DOUBLE), 6) + 0.0 DESC, s.vec_id
         |LIMIT 10""".stripMargin,
 
     "q_asof_join" ->

@@ -279,4 +279,117 @@ object Similarity {
     while (i < a.length && i < b.length) { val d = a(i) - b(i); s += d * d; i += 1 }
     s
   }
+
+  // ---- Product quantization (the ANN memory path) ----
+  //
+  // IVF prunes WHICH vectors a probe reads; PQ shrinks WHAT each read
+  // costs: the d-dim float vector (d·4 bytes) becomes m codebook ids
+  // (m bytes for k ≤ 256) — a 64-dim float corpus compresses 64× at
+  // m=4, which is the difference between an index that fits in cluster
+  // memory and one that doesn't at 10⁹–10¹¹ vectors. Search scores the
+  // CODES (asymmetric distance: per-subspace lookup tables built from
+  // the query on the driver) and only the shortlist ever touches the
+  // full-precision vectors again.
+
+  /** Nearest PQ code in subspace `s` — argmin over the codebook of L2
+    * distance on the sliced sub-vector, ties to the LOWER code (same
+    * contract as [[nearestCell]]). Pure column expressions: the
+    * codebook is index metadata, inlined as literals. */
+  def pqNearestCode(vec: Column, s: Int, subDim: Int,
+                    book: Array[Array[Double]]): Column = {
+    val sv = slice(vec, s * subDim + 1, subDim)
+    val scored: Seq[(Column, Column)] = book.toIndexedSeq.zipWithIndex.map { case (cv, i) =>
+      (lit(i), VectorFunctions.l2Sq(sv, typedLit(cv.toSeq)))
+    }
+    scored.reduceLeft[(Column, Column)] { case ((ai, ad), (bi, bd)) =>
+      (when(bd < ad, bi).otherwise(ai), least(ad, bd))
+    }._1
+  }
+
+  /** Deterministic PQ codebooks: `m` subspaces of dim/m dims, `k`
+    * codes each. Seeding and refinement follow [[trainCentroids]]'s
+    * reproducibility contract exactly — seeds are the `k` lowest-id
+    * vectors' sub-slices, each Lloyd iteration assigns with
+    * ties-to-lower-code and re-centers with DECIMAL-exact means (a
+    * plain double avg is partial-aggregation-order-dependent; an index
+    * whose codebooks drift run-to-run can't be oracled or rebuilt
+    * byte-identically). ALL m subspaces train in ONE pass per
+    * iteration: the vector explodes once, each element routes to its
+    * (subspace, code, withinDim) cell, one aggregation — not m corpus
+    * scans. Returns books(s)(c) = centroid sub-vector; m·k·(dim/m)
+    * doubles of index metadata, safe to collect. */
+  def trainPq(df: DataFrame, vecCol: String, idCol: String,
+              m: Int, k: Int, refineIterations: Int = 1): Array[Array[Array[Double]]] = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val seedVecs = df.orderBy(col(idCol).asc).limit(k)
+      .select(transform(col(vecCol), _.cast("double")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(seedVecs.length == k, s"need at least k=$k vectors to seed PQ codebooks")
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => seedVecs.map(v => v.slice(s * subDim, (s + 1) * subDim)))
+    (0 until refineIterations).foreach { _ =>
+      val codes = array((0 until m).map(s =>
+        pqNearestCode(col(vecCol), s, subDim, books(s))): _*)
+      val means = df
+        .select(posexplode(transform(col(vecCol), _.cast("double"))).as(Seq("_i", "_x")),
+          codes.as("_codes"))
+        .select((col("_i") / subDim).cast("int").as("_s"),
+          (col("_i") % subDim).as("_w"),
+          element_at(col("_codes"), (col("_i") / subDim).cast("int") + 1).as("_c"),
+          col("_x"))
+        .groupBy(col("_s"), col("_c"), col("_w"))
+        .agg((expr("CAST(SUM(CAST(_x AS DECIMAL(20,10))) AS DOUBLE)") / count(lit(1))).as("_m"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          (key, rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray)
+        }
+      books = Array.tabulate(m)(s => Array.tabulate(k)(c =>
+        means.getOrElse((s, c), books(s)(c))))
+    }
+    books
+  }
+
+  /** Encode a corpus against trained codebooks: adds `_code`, an
+    * array<int> of length m (store as the compressed index — m bytes
+    * per vector once written as tinyint at k ≤ 256; the full-precision
+    * column stays behind in the source table for re-ranking, it does
+    * NOT travel with the index). Pure expression argmins — one
+    * codegen'd scan, no shuffle. */
+  def pqEncode(df: DataFrame, vecCol: String,
+               books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val subDim = books(0)(0).length
+    df.withColumn("_code",
+      array((0 until m).map(s => pqNearestCode(col(vecCol), s, subDim, books(s))): _*))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query builds
+    * per-subspace lookup tables dt(s)(c) = ‖q_s − book(s)(c)‖² on the
+    * DRIVER (m·k doubles), and each row's approximate distance is m
+    * literal-array lookups summed in subspace order — fixed-order
+    * double adds, so the score is engine-replayable exactly. The scan
+    * touches ONLY the code column (m bytes/vector); global top-k is
+    * TakeOrdered, no shuffle of data. Compose with IVF by running this
+    * inside the probed cells, and re-rank the shortlist against the
+    * full-precision vectors (see `q_ann_pq`). */
+  def pqTopKAdc(encoded: DataFrame, codeCol: String, idCol: String,
+                books: Array[Array[Array[Double]]], query: Seq[Float],
+                k: Int): DataFrame = {
+    val subDim = books(0)(0).length
+    val qv = query.map(_.toDouble).toArray
+    require(qv.length == books.length * subDim,
+      s"query dim ${qv.length} != m*subDim ${books.length * subDim}")
+    val dts: Array[Array[Double]] = books.zipWithIndex.map { case (book, s) =>
+      book.map(cv => l2SqLocal(qv.slice(s * subDim, (s + 1) * subDim), cv))
+    }
+    val score = dts.toIndexedSeq.zipWithIndex.map { case (dt, s) =>
+      element_at(typedLit(dt.toSeq), col(codeCol).getItem(s) + lit(1))
+    }.reduceLeft(_ + _)
+    encoded.select(col(idCol), score.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k)
+  }
 }

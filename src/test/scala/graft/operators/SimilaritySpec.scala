@@ -203,4 +203,101 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
     assert(packed("a") == Seq(2.0, 2.0, 2.0) && packed("b") == Seq(10.0, 0.0, -10.0))
   }
+
+  // ---- product quantization ----
+
+  test("trainPq: refineIterations=0 books ARE the seed slices; refined books are DECIMAL-exact means") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("v", ArrayType(FloatType))))
+    // 4-dim, m=2 sub of 2 dims, k=2 codes; seeds = ids 0,1
+    val d = df(schema, Seq(
+      Row(0L, Seq(0.0f, 0.0f, 10.0f, 10.0f)),
+      Row(1L, Seq(8.0f, 8.0f, 0.0f, 0.0f)),
+      Row(2L, Seq(1.0f, 1.0f, 9.0f, 9.0f)),   // sub0 -> code 0, sub1 -> code 0
+      Row(3L, Seq(7.0f, 7.0f, 1.0f, 1.0f)))) // sub0 -> code 1, sub1 -> code 1
+    val seeds = Similarity.trainPq(d, "v", "vec_id", m = 2, k = 2, refineIterations = 0)
+    assert(seeds(0)(0).toSeq == Seq(0.0, 0.0) && seeds(0)(1).toSeq == Seq(8.0, 8.0))
+    assert(seeds(1)(0).toSeq == Seq(10.0, 10.0) && seeds(1)(1).toSeq == Seq(0.0, 0.0))
+    val books = Similarity.trainPq(d, "v", "vec_id", m = 2, k = 2, refineIterations = 1)
+    // Lloyd means over the assigned members: sub0 code0 = mean([0,0],[1,1]),
+    // code1 = mean([8,8],[7,7]); sub1 code0 = mean([10,10],[9,9]), code1 = mean([0,0],[1,1])
+    assert(books(0)(0).toSeq == Seq(0.5, 0.5) && books(0)(1).toSeq == Seq(7.5, 7.5))
+    assert(books(1)(0).toSeq == Seq(9.5, 9.5) && books(1)(1).toSeq == Seq(0.5, 0.5))
+  }
+
+  test("trainPq: empty codes keep their seed sub-vector; dim must divide m") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("v", ArrayType(FloatType))))
+    // both non-seed rows sit on code 0 in both subspaces; code 1 gets no
+    // members beyond its own seed -> refined book keeps/means accordingly
+    val d = df(schema, Seq(
+      Row(0L, Seq(0.0f, 0.0f)),
+      Row(1L, Seq(100.0f, 100.0f)),
+      Row(2L, Seq(0.5f, 0.5f))))
+    val books = Similarity.trainPq(d, "v", "vec_id", m = 1, k = 2, refineIterations = 1)
+    // code1's only member is its seed itself -> mean is the seed
+    assert(books(0)(1).toSeq == Seq(100.0, 100.0))
+    assert(books(0)(0).toSeq == Seq(0.25, 0.25))
+    intercept[IllegalArgumentException] {
+      Similarity.trainPq(d, "v", "vec_id", m = 3, k = 2)
+    }
+  }
+
+  test("pqEncode: argmin per subspace with ties to the lower code") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("v", ArrayType(FloatType))))
+    val books: Array[Array[Array[Double]]] = Array(
+      Array(Array(0.0, 0.0), Array(4.0, 4.0)),
+      Array(Array(1.0, 1.0), Array(3.0, 3.0)))
+    val d = df(schema, Seq(
+      Row(0L, Seq(0.1f, 0.1f, 3.1f, 3.1f)),  // codes (0, 1)
+      Row(1L, Seq(2.0f, 2.0f, 2.0f, 2.0f)))) // equidistant BOTH subspaces -> ties -> (0, 0)
+    val codes = Similarity.pqEncode(d, "v", books)
+      .select(col("vec_id"), col("_code")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(0L) == Seq(0, 1))
+    assert(codes(1L) == Seq(0, 0))
+  }
+
+  test("pqTopKAdc: distance is the fixed-order sum of per-subspace table lookups") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("v", ArrayType(FloatType))))
+    val d = df(schema, Seq(
+      Row(0L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      Row(1L, Seq(4.0f, 4.0f, 0.0f, 0.0f)),
+      Row(2L, Seq(4.0f, 4.0f, 3.0f, 3.0f))))
+    val books: Array[Array[Array[Double]]] = Array(
+      Array(Array(0.0, 0.0), Array(4.0, 4.0)),
+      Array(Array(0.0, 0.0), Array(3.0, 3.0)))
+    val enc = Similarity.pqEncode(d, "v", books)
+    val q = Seq(0.0f, 0.0f, 0.0f, 0.0f)
+    val out = Similarity.pqTopKAdc(enc, "_code", "vec_id", books, q, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // codes: v0=(0,0) d=0; v1=(1,0) d=32; v2=(1,1) d=32+18=50
+    assert(out.toSeq == Seq((0L, 0.0), (1L, 32.0), (2L, 50.0)))
+  }
+
+  test("PQ recall: ADC shortlist + exact re-rank recovers brute-force top-10 on clustered data") {
+    val corpus = clustered(8, 40, 16)
+    val q = corpus.filter(col("vec_id") === 0L).select("v").head().getSeq[Float](0)
+    val books = Similarity.trainPq(corpus, "v", "vec_id", m = 4, k = 8, refineIterations = 1)
+    val enc = Similarity.pqEncode(corpus, "v", books)
+    val short = Similarity.pqTopKAdc(enc, "_code", "vec_id", books, q, k = 40)
+    val reranked = short.join(corpus, "vec_id")
+      .select(col("vec_id"), graft.functions.VectorFunctions.cosine(col("v"), typedLit(q)).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val exact = Similarity.bruteForceTopK(corpus, "v", "vec_id", q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (reranked & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall@10 $recall below 0.8: ADC shortlist missed the true neighborhood")
+  }
+
+  test("pqEncode codes bound by k; every subspace emits a code for every row") {
+    val corpus = clustered(4, 20, 8)
+    val books = Similarity.trainPq(corpus, "v", "vec_id", m = 2, k = 4, refineIterations = 1)
+    val rows = Similarity.pqEncode(corpus, "v", books)
+      .select(col("_code")).collect().map(_.getSeq[Int](0))
+    assert(rows.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 4)))
+  }
 }
