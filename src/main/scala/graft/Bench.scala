@@ -85,7 +85,11 @@ object Bench {
     // r12: product-quantization lifecycle (one-pass multi-subspace
     // Lloyd train, expression-argmin encode, ADC table-lookup scoring
     // over the m-byte codes, exact re-rank of the shortlist)
-    "q_ann_pq")
+    "q_ann_pq",
+    // r12: fixed-point integer PageRank over the customer->supplier
+    // graph (edges partitioned-by-src once, rank side shuffles each
+    // iteration, superseded checkpoints freed)
+    "q_pagerank")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

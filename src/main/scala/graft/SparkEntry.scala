@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Bpe, Curation, Dedup, Dsir, LanguageModel, Multimodal, Patterns, Similarity, TemporalJoin, TextClassifier, Validate}
+import graft.operators.{Bpe, Curation, Dedup, Dsir, LanguageModel, LinkGraph, Multimodal, Patterns, Similarity, TemporalJoin, TextClassifier, Validate}
 import graft.sources.{ParquetConnector, SchemaInfer, UpsertWriter}
 
 /** Driver contract: the declared operator surface (SURVEY.md §2), one
@@ -842,6 +842,22 @@ object SparkEntry {
           (round(VectorFunctions.cosine(col("embedding"), typedLit(q)), 6) + 0.0).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)
+    }),
+
+    "q_pagerank" -> ((s, dir) => {
+      // link-graph importance prior (the web-curation domain-rank
+      // pattern) over a who-buys-from-whom graph: customer -> supplier
+      // edges via orders x lineitem, suppliers offset into their own id
+      // space. Fixed-point integer PageRank — every division integer,
+      // every sum a long — so the oracle replays all 3 iterations
+      // EXACTLY (no tolerance), partial-agg order notwithstanding.
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), (lit(1000000L) + col("l_suppkey")).as("dst"))
+        .distinct()
+      LinkGraph.pageRank(edges, "src", "dst", iterations = 3)
+        .orderBy(col("rank_fp").desc, col("node"))
     }),
 
     // ---- text analysis ----
@@ -2845,6 +2861,50 @@ object SparkEntry {
         |FROM short s JOIN e USING (vec_id) CROSS JOIN q
         |ORDER BY ROUND(CAST(list_cosine_similarity(e.v, q.qv) AS DOUBLE), 6) + 0.0 DESC, s.vec_id
         |LIMIT 10""".stripMargin,
+
+    // Fixed-point PageRank replay: the recurrence is pure BIGINT
+    // arithmetic (integer divisions, long sums), so the oracle unrolls
+    // the 3 iterations and matches EXACTLY. base and init mirror the
+    // operator's left-assoc integer divisions verbatim; dangling mass
+    // (supplier nodes have no out-edges) decays, as documented.
+    "q_pagerank" ->
+      """WITH edges AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |p AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+        |outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |r0 AS MATERIALIZED (
+        |  SELECT node, 1000000000000 // n AS r FROM nodes CROSS JOIN p),
+        |it1 AS MATERIALIZED (
+        |  SELECT nd.node,
+        |         CAST(1000000000000 * 15 // 100 // p.n
+        |              + 85 * COALESCE(c.s, 0) // 100 AS BIGINT) AS r
+        |  FROM nodes nd CROSS JOIN p
+        |  LEFT JOIN (SELECT e.dst AS node, SUM(r.r // o.deg) AS s
+        |             FROM edges e JOIN r0 r ON r.node = e.src
+        |             JOIN outdeg o ON o.src = e.src
+        |             GROUP BY e.dst) c ON c.node = nd.node),
+        |it2 AS MATERIALIZED (
+        |  SELECT nd.node,
+        |         CAST(1000000000000 * 15 // 100 // p.n
+        |              + 85 * COALESCE(c.s, 0) // 100 AS BIGINT) AS r
+        |  FROM nodes nd CROSS JOIN p
+        |  LEFT JOIN (SELECT e.dst AS node, SUM(r.r // o.deg) AS s
+        |             FROM edges e JOIN it1 r ON r.node = e.src
+        |             JOIN outdeg o ON o.src = e.src
+        |             GROUP BY e.dst) c ON c.node = nd.node),
+        |it3 AS MATERIALIZED (
+        |  SELECT nd.node,
+        |         CAST(1000000000000 * 15 // 100 // p.n
+        |              + 85 * COALESCE(c.s, 0) // 100 AS BIGINT) AS r
+        |  FROM nodes nd CROSS JOIN p
+        |  LEFT JOIN (SELECT e.dst AS node, SUM(r.r // o.deg) AS s
+        |             FROM edges e JOIN it2 r ON r.node = e.src
+        |             JOIN outdeg o ON o.src = e.src
+        |             GROUP BY e.dst) c ON c.node = nd.node)
+        |SELECT node, r AS rank_fp FROM it3
+        |ORDER BY rank_fp DESC, node""".stripMargin,
 
     "q_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank: exact equality with a local integer reference
+  * (the arithmetic is deterministic by design — no tolerance anywhere). */
+class LinkGraphSpec extends SparkSpec {
+
+  private val edgeSchema = StructType(Seq(
+    StructField("src", LongType), StructField("dst", LongType)))
+
+  /** Local replay of the exact integer recurrence pageRank runs. */
+  private def ref(edges: Seq[(Long, Long)], iters: Int,
+                  scale: Long = 1000000000000L,
+                  dn: Long = 85L, dd: Long = 100L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val base = scale * (dd - dn) / dd / n
+    var r = nodes.map(_ -> scale / n).toMap
+    (0 until iters).foreach { _ =>
+      val sums = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => r(s) / outdeg(s) }.sum
+      }
+      r = nodes.map(v => v -> (base + dn * sums.getOrElse(v, 0L) / dd)).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    LinkGraph.pageRank(df(edgeSchema, edges.map(e => Row(e._1, e._2))), "src", "dst",
+        iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("cycle + dangling sink: exact equality with the integer reference") {
+    // 1 -> 2 -> 3 -> 1 cycle, 2 -> 4 dangling sink (4 has no out-edges:
+    // its mass decays — the documented drop-dangling variant)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L))
+    val got = run(edges, 3)
+    assert(got == ref(edges, 3))
+    // sink received mass but re-emits nothing; total stays under scale
+    assert(got(4L) > 0 && got.values.sum <= 1000000000000L)
+  }
+
+  test("symmetric cycle: equal ranks; iterations=0 is the uniform init") {
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val got = run(cycle, 4)
+    assert(got.values.toSet.size == 1, s"cycle ranks must be equal: $got")
+    val init = run(cycle, 0)
+    assert(init.values.toSet == Set(1000000000000L / 3))
+  }
+
+  test("parallel edges act as weights (outdeg counts rows), matching the reference") {
+    // 1 links to 2 twice and to 3 once: 2 gets 2/3 of 1's mass
+    val edges = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+    val got = run(edges, 3)
+    assert(got == ref(edges, 3))
+    assert(got(2L) > got(3L))
+  }
+
+  test("result is partitioning-invariant (exact long arithmetic end to end)") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    val d1 = df(edgeSchema, edges.map(e => Row(e._1, e._2)))
+    val d2 = d1.repartition(13)
+    val r1 = LinkGraph.pageRank(d1, "src", "dst", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r2 = LinkGraph.pageRank(d2, "src", "dst", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == r2)
+    assert(r1 == ref(edges, 5))
+  }
+
+  test("hub graph: authorities outrank leaves; empty edges rejected") {
+    // every leaf links to the hub; hub links back to leaf 10 only
+    val edges = (11L to 15L).map(l => (l, 1L)) :+ (1L, 10L)
+    val got = run(edges, 5)
+    assert(got(1L) > got(11L) && got(10L) > got(11L))
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(df(edgeSchema, Seq.empty), "src", "dst").collect()
+    }
+  }
+}
