@@ -860,6 +860,25 @@ object SparkEntry {
         .orderBy(col("rank_fp").desc, col("node"))
     }),
 
+    "q_corpus_diff" -> ((s, dir) => {
+      // release diff between corpus v_old (= documents) and a derived
+      // v_new: every 17th doc dropped, every surviving 13th doc's text
+      // edited, every 19th doc re-added under a fresh id. Statuses come
+      // from 8-byte fingerprint comparison after per-side reduction to
+      // (id, fp) — text never crosses the join shuffle; the oracle
+      // compares the normalized text directly (equivalent sans
+      // collisions).
+      val d = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newC = d.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .union(d.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            concat(lit("fresh doc "), col("doc_id").cast("string")).as("text")))
+      Curation.corpusDiff(d, newC, "doc_id", "text").orderBy(col("doc_id"))
+    }),
+
     // ---- text analysis ----
     "q_token_stats" -> ((s, dir) => {
       T(s, dir, "documents")
@@ -2905,6 +2924,30 @@ object SparkEntry {
         |             GROUP BY e.dst) c ON c.node = nd.node)
         |SELECT node, r AS rank_fp FROM it3
         |ORDER BY rank_fp DESC, node""".stripMargin,
+
+    // Release-diff replay: rebuild v_new with the same three mutations,
+    // then a full-outer join on doc_id comparing NORMALIZED text (the
+    // fingerprint-equality contract, replayed as direct string compare).
+    "q_corpus_diff" ->
+      """WITH oldc AS MATERIALIZED (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |newc AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(lower(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END),
+        |                             '\s+', ' ', 'g')) AS nt
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000,
+        |         trim(regexp_replace(lower('fresh doc ' || CAST(doc_id AS VARCHAR)), '\s+', ' ', 'g'))
+        |  FROM documents WHERE doc_id % 19 = 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN o.nt = n.nt THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

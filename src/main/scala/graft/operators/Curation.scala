@@ -725,4 +725,34 @@ object Curation {
           .otherwise(round(coalesce(col("n_hit_ngrams"), lit(0L)).cast("double") /
             col("n_ngrams"), 6)).as("hit_frac"))
   }
+
+  /** Corpus-release diff: per-document status between two corpus
+    * versions — `added` (id only in `newDf`), `removed` (only in
+    * `oldDf`), `changed` (both, content differs), `unchanged`. The
+    * release-management primitive behind "what moved between v3 and
+    * v4": attrition audits, incremental re-embedding (re-process only
+    * added ∪ changed), changelog reports.
+    *
+    * Content equality is the exact-dedup contract: the 8-byte
+    * [[graft.functions.TextFunctions.fingerprint]] of the normalized
+    * text. Each side's scan reduces to (id, fp) BEFORE the full-outer
+    * join, so document text never crosses the shuffle — at 100 TB the
+    * exchange carries ~10⁻⁴ of the corpus bytes (hash-collision odds at
+    * 10¹¹ docs are the same birthday bound the dedup index documents;
+    * a collision maps `changed` → `unchanged`). Ids are assumed unique
+    * per side (a corpus contract; [[Dedup.exact]] upstream enforces
+    * it). */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("_id"),
+      graft.functions.TextFunctions.fingerprint(col(textCol)).as("_fpo"))
+    val n = newDf.select(col(idCol).as("_id"),
+      graft.functions.TextFunctions.fingerprint(col(textCol)).as("_fpn"))
+    o.join(n, Seq("_id"), "full_outer")
+      .select(col("_id").as(idCol),
+        when(col("_fpo").isNull, lit("added"))
+          .when(col("_fpn").isNull, lit("removed"))
+          .when(col("_fpo") === col("_fpn"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

@@ -466,4 +466,23 @@ class CurationSpec extends SparkSpec {
     }
     assert(viaHash == viaString)
   }
+
+  test("corpusDiff: added/removed/changed/unchanged; whitespace-only edits are unchanged") {
+    val s = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val oldC = df(s, Seq(
+      Row(1L, "same text"),
+      Row(2L, "will change"),
+      Row(3L, "will be removed"),
+      Row(4L, "Spacing   And Case")))
+    val newC = df(s, Seq(
+      Row(1L, "same text"),
+      Row(2L, "has changed"),
+      Row(4L, " spacing and  case "), // normalization-equal -> unchanged
+      Row(5L, "brand new")))
+    val got = Curation.corpusDiff(oldC, newC, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"))
+  }
 }
