@@ -89,7 +89,11 @@ object Bench {
     // r12: fixed-point integer PageRank over the customer->supplier
     // graph (edges partitioned-by-src once, rank side shuffles each
     // iteration, superseded checkpoints freed)
-    "q_pagerank")
+    "q_pagerank",
+    // r12: interpolated Kneser–Ney trigram scoring (the real CCNet
+    // gate shape: five count-table joins over the trigram stream,
+    // fixed-point NLL sums)
+    "q_kn_trigram")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

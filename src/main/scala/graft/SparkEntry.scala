@@ -313,6 +313,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_kn_trigram" -> ((s, dir) => {
+      // the REAL CCNet gate shape: interpolated Kneser–Ney trigram LM
+      // (fixed D = 3/4) trained on the 'en' slice, every document
+      // scored by mean trigram NLL with full backoff and a
+      // uniform-floor unigram (so all-UNK trigrams stay finite). The
+      // oracle re-derives the vocabulary, all five count tables, and
+      // the fixed-order probability arithmetic from scratch in DuckDB.
+      val d = T(s, dir, "documents")
+      val lm = LanguageModel.trainKn(d.filter(col("lang") === "en"), "text", vocabSize = 1000)
+      LanguageModel.scoreKnNll(d, "text", "doc_id", lm)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_quality_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail thirds over the perplexity-scored corpus:
       // cutoffs are the exact ranked boundary (avg_nll, doc_id) pairs at
@@ -2405,6 +2418,93 @@ object SparkEntry {
         |                    // (COUNT(1) * 10000) AS DECIMAL(20,0)) * 0.0001 AS DOUBLE) AS avg_nll
         |  FROM nll GROUP BY doc_id)
         |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.avg_nll,
+        |       ROUND(exp(a.avg_nll), 4) + 0.0 AS ppl
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Interpolated-KN trigram replay: vocabulary and the UNK-mapped
+    // trigram stream as in q_perplexity (one order up), then the five
+    // count tables (plain trigram counts + prefix totals/diversity;
+    // continuation counts at bigram and unigram order all derived from
+    // the SAME trigram table), and the nested backoff probability as a
+    // token-for-token copy of scoreKnNll's fixed-order IEEE expression
+    // (P1 inlined at each of its four occurrences). NLLs floor-quantize
+    // at 1e-8; the per-doc mean is the exact half-up integer formula.
+    "q_kn_trigram" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |vocab AS MATERIALIZED (
+        |  SELECT token FROM (
+        |    SELECT unnest(t) AS token FROM toks WHERE lang = 'en')
+        |  WHERE length(token) > 0
+        |  GROUP BY token ORDER BY COUNT(1) DESC, token LIMIT 1000),
+        |trig AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |         unnest(t[1:len(t)-2]) AS w1r, unnest(t[2:len(t)-1]) AS w2r, unnest(t[3:len(t)]) AS w3r
+        |  FROM toks WHERE len(t) >= 3),
+        |trm AS MATERIALIZED (
+        |  SELECT g.doc_id, g.lang,
+        |         CASE WHEN v1.token IS NULL THEN chr(1) ELSE g.w1r END AS w1,
+        |         CASE WHEN v2.token IS NULL THEN chr(1) ELSE g.w2r END AS w2,
+        |         CASE WHEN v3.token IS NULL THEN chr(1) ELSE g.w3r END AS w3
+        |  FROM trig g
+        |  LEFT JOIN vocab v1 ON g.w1r = v1.token
+        |  LEFT JOIN vocab v2 ON g.w2r = v2.token
+        |  LEFT JOIN vocab v3 ON g.w3r = v3.token),
+        |tri AS MATERIALIZED (
+        |  SELECT w1, w2, w3, COUNT(1) AS c3 FROM trm WHERE lang = 'en' GROUP BY w1, w2, w3),
+        |pre12 AS MATERIALIZED (
+        |  SELECT w1, w2, SUM(c3) AS t12, COUNT(1) AS n12 FROM tri GROUP BY w1, w2),
+        |contbi AS MATERIALIZED (
+        |  SELECT w2, w3, COUNT(DISTINCT w1) AS n1p23 FROM tri GROUP BY w2, w3),
+        |contmid AS MATERIALIZED (
+        |  SELECT w2, SUM(n1p23) AS t2c, COUNT(1) AS n2f FROM contbi GROUP BY w2),
+        |contuni AS MATERIALIZED (
+        |  SELECT w3, COUNT(1) AS n1p3 FROM contbi GROUP BY w3),
+        |gl AS MATERIALIZED (
+        |  SELECT CAST((SELECT COUNT(1) FROM contbi) AS DOUBLE) AS n1pall,
+        |         CAST((SELECT COUNT(1) FROM contuni) AS DOUBLE) AS t1types,
+        |         (SELECT COUNT(1) + 1.0 FROM vocab) AS v),
+        |nll AS (
+        |  SELECT m.doc_id,
+        |    CAST(floor(-ln(
+        |      CASE WHEN COALESCE(p.t12, 0) > 0 THEN
+        |        (GREATEST(CAST(COALESCE(t.c3, 0) AS DOUBLE) - 0.75, 0.0)
+        |         + 0.75 * CAST(COALESCE(p.n12, 0) AS DOUBLE) *
+        |           (CASE WHEN COALESCE(cm.t2c, 0) > 0 THEN
+        |              (GREATEST(CAST(COALESCE(cb.n1p23, 0) AS DOUBLE) - 0.75, 0.0)
+        |               + 0.75 * CAST(COALESCE(cm.n2f, 0) AS DOUBLE) *
+        |                 ((GREATEST(CAST(COALESCE(u.n1p3, 0) AS DOUBLE) - 0.75, 0.0)
+        |                   + 0.75 * g.t1types / g.v) / g.n1pall))
+        |              / CAST(COALESCE(cm.t2c, 0) AS DOUBLE)
+        |            ELSE ((GREATEST(CAST(COALESCE(u.n1p3, 0) AS DOUBLE) - 0.75, 0.0)
+        |                   + 0.75 * g.t1types / g.v) / g.n1pall) END))
+        |        / CAST(COALESCE(p.t12, 0) AS DOUBLE)
+        |      ELSE
+        |        CASE WHEN COALESCE(cm.t2c, 0) > 0 THEN
+        |          (GREATEST(CAST(COALESCE(cb.n1p23, 0) AS DOUBLE) - 0.75, 0.0)
+        |           + 0.75 * CAST(COALESCE(cm.n2f, 0) AS DOUBLE) *
+        |             ((GREATEST(CAST(COALESCE(u.n1p3, 0) AS DOUBLE) - 0.75, 0.0)
+        |               + 0.75 * g.t1types / g.v) / g.n1pall))
+        |          / CAST(COALESCE(cm.t2c, 0) AS DOUBLE)
+        |        ELSE ((GREATEST(CAST(COALESCE(u.n1p3, 0) AS DOUBLE) - 0.75, 0.0)
+        |               + 0.75 * g.t1types / g.v) / g.n1pall) END
+        |      END) * 1e8) AS BIGINT) AS nllf
+        |  FROM trm m
+        |  LEFT JOIN tri t ON m.w1 = t.w1 AND m.w2 = t.w2 AND m.w3 = t.w3
+        |  LEFT JOIN pre12 p ON m.w1 = p.w1 AND m.w2 = p.w2
+        |  LEFT JOIN contbi cb ON m.w2 = cb.w2 AND m.w3 = cb.w3
+        |  LEFT JOIN contmid cm ON m.w2 = cm.w2
+        |  LEFT JOIN contuni u ON m.w3 = u.w3
+        |  CROSS JOIN gl g),
+        |agg AS (
+        |  SELECT doc_id, COUNT(1) AS n_trigrams,
+        |         CAST(CAST((CAST(SUM(nllf) AS BIGINT) + COUNT(1) * 5000)
+        |                    // (COUNT(1) * 10000) AS DECIMAL(20,0)) * 0.0001 AS DOUBLE) AS avg_nll
+        |  FROM nll GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.n_trigrams, 0) AS n_trigrams, a.avg_nll,
         |       ROUND(exp(a.avg_nll), 4) + 0.0 AS ppl
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,

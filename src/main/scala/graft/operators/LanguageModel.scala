@@ -210,4 +210,145 @@ object LanguageModel {
         .otherwise("tail"))
     } finally s.unpersist(false)
   }
+
+  // ---- Interpolated Kneser–Ney trigram LM ----
+  //
+  // The production CCNet gate is a KenLM n-gram model with modified
+  // Kneser–Ney smoothing (Wenzek et al. 2020 §4.2; Heafield 2011) — the
+  // add-k bigram above is its teaching-size stand-in. This is the real
+  // recipe at trigram order with a single fixed discount D:
+  //
+  //   P(w3|w1w2) = (max(c(w1w2w3)−D, 0) + D·N1+(w1w2•)·P(w3|w2)) / c(w1w2•)
+  //   P(w3|w2)   = (max(N1+(•w2w3)−D, 0) + D·N1+(w2•)·P(w3)) / N1+(•w2•)
+  //   P(w3)      = (max(N1+(•w3)−D, 0) + D·T1/(|V|+1)) / N1+(••)
+  //
+  // with full backoff (an unseen context falls through to the next
+  // order) and the unigram interpolating against the uniform
+  // distribution over the closed UNK-mapped event space — so every
+  // trigram, including all-UNK, has P > 0 and a finite NLL. ALL
+  // statistics (plain and continuation counts) derive from the single
+  // UNK-mapped trigram event stream of the reference slice — one
+  // consistent event space, no separate bigram pass.
+  //
+  // Engine parity is the [[scoreNll]] contract: counts are exact
+  // integers; the probability arithmetic is IEEE doubles composed in a
+  // FIXED operator order (mirrored token-for-token by the `q_kn_trigram`
+  // oracle); each trigram NLL floor-quantizes to a 1e-8 fixed-point
+  // long; per-doc means are pure integer arithmetic. P ≤ 1 by
+  // construction, so the quantized NLL is never negative and the
+  // half-up integer mean's `div` truncation is exact floor.
+
+  /** A trained KN trigram model. Count DataFrames are lazy and
+    * unpersisted (train once / score many callers should persist, as
+    * with [[BigramLm]]); `n1pAll` (distinct (w2,w3) context pairs) and
+    * `t1Types` (distinct continuation types) are driver scalars — two
+    * bounded count jobs at train time. */
+  final case class KnTrigramLm(vocabTokens: Array[String],
+                               tri: DataFrame,      // (_w1,_w2,_w3) -> _c3
+                               pre12: DataFrame,    // (_w1,_w2) -> _t12, _n12
+                               contBi: DataFrame,   // (_w2,_w3) -> _n1p23
+                               contMid: DataFrame,  // (_w2) -> _t2c, _n2f
+                               contUni: DataFrame,  // (_w3) -> _n1p3
+                               n1pAll: Long, t1Types: Long) {
+    def eventSpace: Double = vocabTokens.length + 1.0
+  }
+
+  /** Exploded (id, w1, w2, w3) trigram stream — the [[bigramStream]]
+    * shape one order up; documents with fewer than three tokens
+    * contribute no rows. */
+  private def trigramStream(df: DataFrame, textCol: String, idExpr: Column): DataFrame =
+    df.select(idExpr.as("_lmid"), tokensCol(col(textCol)).as("_t"))
+      .withColumn("_n", size(col("_t")))
+      .filter(col("_n") >= 3)
+      .withColumn("_w1s", slice(col("_t"), lit(1), col("_n") - 2))
+      .withColumn("_w2s", slice(col("_t"), lit(2), col("_n") - 2))
+      .withColumn("_w3s", slice(col("_t"), lit(3), col("_n") - 2))
+      .select(col("_lmid"), explode(arrays_zip(col("_w1s"), col("_w2s"), col("_w3s"))).as("_tg"))
+      .select(col("_lmid"), col("_tg._w1s").as("_w1"),
+        col("_tg._w2s").as("_w2"), col("_tg._w3s").as("_w3"))
+
+  /** UNK-map all three trigram positions (broadcast joins, as
+    * [[mapUnk]]). */
+  private def mapUnk3(stream: DataFrame, vocabTokens: Array[String]): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val v1 = broadcast(vocabTokens.toSeq.toDF("_v1"))
+    val v2 = broadcast(vocabTokens.toSeq.toDF("_v2"))
+    val v3 = broadcast(vocabTokens.toSeq.toDF("_v3"))
+    stream
+      .join(v1, col("_w1") === col("_v1"), "left")
+      .join(v2, col("_w2") === col("_v2"), "left")
+      .join(v3, col("_w3") === col("_v3"), "left")
+      .select(col("_lmid"),
+        when(col("_v1").isNull, lit(Unk)).otherwise(col("_w1")).as("_w1"),
+        when(col("_v2").isNull, lit(Unk)).otherwise(col("_w2")).as("_w2"),
+        when(col("_v3").isNull, lit(Unk)).otherwise(col("_w3")).as("_w3"))
+  }
+
+  /** Train the KN trigram model on `ref`. One vocabulary job + two
+    * scalar count jobs run eagerly; the count tables stay lazy. */
+  def trainKn(ref: DataFrame, textCol: String, vocabSize: Int = 50000): KnTrigramLm = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val vocabTokens = TextFunctions.vocabulary(ref, textCol, vocabSize)
+      .select("token").collect().map(_.getString(0))
+    val m = mapUnk3(trigramStream(ref, textCol, lit(0L)), vocabTokens)
+    val tri = m.groupBy("_w1", "_w2", "_w3").agg(count(lit(1)).as("_c3"))
+    val pre12 = tri.groupBy("_w1", "_w2")
+      .agg(sum("_c3").as("_t12"), count(lit(1)).as("_n12"))
+    val contBi = tri.groupBy("_w2", "_w3")
+      .agg(countDistinct("_w1").as("_n1p23"))
+    val contMid = contBi.groupBy("_w2")
+      .agg(sum("_n1p23").as("_t2c"), count(lit(1)).as("_n2f"))
+    val contUni = contBi.groupBy("_w3").agg(count(lit(1)).as("_n1p3"))
+    KnTrigramLm(vocabTokens, tri, pre12, contBi, contMid, contUni,
+      n1pAll = contBi.count(), t1Types = contUni.count())
+  }
+
+  /** Score every document of `df` by mean interpolated-KN trigram NLL:
+    * (id, n_trigrams, avg_nll, ppl), nulls for documents with fewer
+    * than three tokens — the [[scoreNll]] output contract one order
+    * up. `discountNum/discountDen` is the exact rational discount D
+    * (default 3/4 — the classic fixed-D choice; estimate
+    * n1/(n1+2·n2) offline for a tuned value). */
+  def scoreKnNll(df: DataFrame, textCol: String, idCol: String,
+                 lm: KnTrigramLm, discountNum: Long = 3L,
+                 discountDen: Long = 4L): DataFrame = {
+    require(discountNum >= 0 && discountDen > 0 && discountNum <= discountDen,
+      s"need 0 <= D = $discountNum/$discountDen <= 1")
+    val dD = lit(discountNum.toDouble / discountDen.toDouble)
+    val stream = mapUnk3(trigramStream(df, textCol, col(idCol)), lm.vocabTokens)
+    val joined = stream
+      .join(lm.tri, Seq("_w1", "_w2", "_w3"), "left")
+      .join(lm.pre12, Seq("_w1", "_w2"), "left")
+      .join(lm.contBi, Seq("_w2", "_w3"), "left")
+      .join(lm.contMid, Seq("_w2"), "left")
+      .join(lm.contUni, Seq("_w3"), "left")
+    // fixed-order IEEE composition, mirrored verbatim by the oracle
+    val p1 = (greatest(coalesce(col("_n1p3"), lit(0L)).cast("double") - dD, lit(0.0)) +
+      dD * lit(lm.t1Types.toDouble) / lit(lm.eventSpace)) / lit(lm.n1pAll.toDouble)
+    val p2 = when(coalesce(col("_t2c"), lit(0L)) > 0,
+      (greatest(coalesce(col("_n1p23"), lit(0L)).cast("double") - dD, lit(0.0)) +
+        dD * coalesce(col("_n2f"), lit(0L)).cast("double") * p1) /
+        coalesce(col("_t2c"), lit(0L)).cast("double"))
+      .otherwise(p1)
+    val p3 = when(coalesce(col("_t12"), lit(0L)) > 0,
+      (greatest(coalesce(col("_c3"), lit(0L)).cast("double") - dD, lit(0.0)) +
+        dD * coalesce(col("_n12"), lit(0L)).cast("double") * p2) /
+        coalesce(col("_t12"), lit(0L)).cast("double"))
+      .otherwise(p2)
+    val perDoc = joined
+      .select(col("_lmid"), floor(-log(p3) * lit(1e8)).cast("long").as("_nllF"))
+      .groupBy("_lmid")
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("_nllF")).as("_sumF"))
+      .select(col("_lmid"), col("n_trigrams"),
+        (expr("(_sumF + n_trigrams * 5000) div (n_trigrams * 10000)")
+          .cast("decimal(20,0)") * lit(BigDecimal("0.0001")))
+          .cast("double").as("avg_nll"))
+    df.select(col(idCol))
+      .join(perDoc.withColumnRenamed("_lmid", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("avg_nll"),
+        (round(exp(col("avg_nll")), 4) + lit(0.0)).as("ppl"))
+  }
 }

@@ -99,4 +99,100 @@ class LanguageModelSpec extends SparkSpec {
       .collect()
     assert(out.length == 2 && out.forall(_.isNullAt(2)))
   }
+
+  // ---- interpolated Kneser–Ney trigram ----
+
+  // KN ref corpus: one doc "a b c a b d" ->
+  // trigrams (a,b,c) (b,c,a) (c,a,b) (a,b,d)
+  private def knRefDf = df(docSchema, Seq(Row(1L, "a b c a b d")))
+
+  /** Local model mirror of trainKn's tables on the tiny ref corpus. */
+  private object KnRef {
+    val tri = Map(("a","b","c") -> 1L, ("b","c","a") -> 1L, ("c","a","b") -> 1L, ("a","b","d") -> 1L)
+    val pre12 = Map(("a","b") -> (2L, 2L), ("b","c") -> (1L, 1L), ("c","a") -> (1L, 1L))
+    val contBi = Map(("b","c") -> 1L, ("c","a") -> 1L, ("a","b") -> 1L, ("b","d") -> 1L)
+    val contMid = Map("b" -> (2L, 2L), "c" -> (1L, 1L), "a" -> (1L, 1L))
+    val contUni = Map("c" -> 1L, "a" -> 1L, "b" -> 1L, "d" -> 1L)
+    val n1pAll = 4L; val t1Types = 4L
+    val vocab = Seq("a", "b", "c", "d") // freq desc (a2 b2 c1 d1), token asc
+    val v = vocab.size + 1.0
+    val D = 0.75
+    def mapU(w: String): String = if (vocab.contains(w)) w else LanguageModel.Unk
+    // fixed-order IEEE mirror of scoreKnNll's expression tree
+    def p1(w3: String): Double = {
+      val n1p3 = contUni.getOrElse(w3, 0L)
+      (math.max(n1p3.toDouble - D, 0.0) + D * t1Types.toDouble / v) / n1pAll.toDouble
+    }
+    def p2(w2: String, w3: String): Double = {
+      val (t2c, n2f) = contMid.getOrElse(w2, (0L, 0L))
+      if (t2c > 0)
+        (math.max(contBi.getOrElse((w2, w3), 0L).toDouble - D, 0.0) + D * n2f.toDouble * p1(w3)) / t2c.toDouble
+      else p1(w3)
+    }
+    def p3(w1: String, w2: String, w3: String): Double = {
+      val (t12, n12) = pre12.getOrElse((w1, w2), (0L, 0L))
+      if (t12 > 0)
+        (math.max(tri.getOrElse((w1, w2, w3), 0L).toDouble - D, 0.0) + D * n12.toDouble * p2(w2, w3)) / t12.toDouble
+      else p2(w2, w3)
+    }
+    /** Quantized per-doc expectation replaying the fixed-point mean. */
+    def avgNll(trigrams: Seq[(String, String, String)]): Double = {
+      val fs = trigrams.map { case (a, b, c) =>
+        math.floor(-math.log(p3(mapU(a), mapU(b), mapU(c))) * 1e8).toLong }
+      val n = fs.size
+      ((fs.sum + n * 5000L) / (n * 10000L)) * 0.0001
+    }
+  }
+
+  test("trainKn: hand-counted tables on the tiny corpus") {
+    val lm = LanguageModel.trainKn(knRefDf, "text", vocabSize = 100)
+    assert(lm.vocabTokens.toSeq == KnRef.vocab)
+    assert(lm.tri.collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3))).toMap == KnRef.tri)
+    assert(lm.pre12.collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap == KnRef.pre12)
+    assert(lm.contBi.collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap == KnRef.contBi)
+    assert(lm.contMid.collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap == KnRef.contMid)
+    assert(lm.contUni.collect().map(r => (r.getString(0), r.getLong(1))).toMap == KnRef.contUni)
+    assert(lm.n1pAll == KnRef.n1pAll && lm.t1Types == KnRef.t1Types)
+  }
+
+  test("KN probabilities sum to exactly 1 over the closed event space (local mirror)") {
+    // seen context (a,b); backoff context (z,a) -> order-2; double-backoff
+    // (z,z) -> order-1: each must normalize over V + UNK
+    val events = KnRef.vocab :+ LanguageModel.Unk
+    for (ctx <- Seq(("a", "b"), (LanguageModel.Unk, "a"), (LanguageModel.Unk, LanguageModel.Unk))) {
+      val s = events.map(w3 => KnRef.p3(ctx._1, ctx._2, w3)).sum
+      assert(math.abs(s - 1.0) < 1e-12, s"sum over events for $ctx was $s")
+    }
+  }
+
+  test("scoreKnNll: exact equality with the local fixed-point mirror, backoff included") {
+    val lm = LanguageModel.trainKn(knRefDf, "text", vocabSize = 100)
+    val docs = Seq(
+      10L -> "a b c",        // fully seen trigram
+      11L -> "a b x",        // seen context, UNK continuation
+      12L -> "x y z",        // all-UNK: double backoff to the unigram floor
+      13L -> "c a b d",      // mixed: seen + unseen-context trigrams
+      14L -> "a b")          // too short: no trigram
+    val out = LanguageModel.scoreKnNll(
+      df(docSchema, docs.map { case (i, t) => Row(i, t) }), "text", "doc_id", lm)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def grams(t: String) = t.split(" ").toSeq.sliding(3).filter(_.size == 3)
+      .map(w => (w(0), w(1), w(2))).toSeq
+    for ((id, text) <- docs if text.split(" ").length >= 3) {
+      assert(out(id).getLong(1) == grams(text).size)
+      assert(out(id).getDouble(2) == KnRef.avgNll(grams(text)),
+        s"doc $id ($text): got ${out(id).getDouble(2)}")
+    }
+    assert(out(14L).getLong(1) == 0L && out(14L).isNullAt(2))
+  }
+
+  test("scoreKnNll is partition-order invariant (long-sum determinism)") {
+    val lm = LanguageModel.trainKn(knRefDf, "text", vocabSize = 100)
+    val docs = df(docSchema, (1L to 40L).map(i => Row(i, "a b c a b d x " * (i % 5 + 1).toInt)))
+    val a = LanguageModel.scoreKnNll(docs, "text", "doc_id", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = LanguageModel.scoreKnNll(docs.repartition(17), "text", "doc_id", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a == b)
+  }
 }
