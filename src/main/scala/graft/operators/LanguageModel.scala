@@ -317,12 +317,16 @@ object LanguageModel {
       s"need 0 <= D = $discountNum/$discountDen <= 1")
     val dD = lit(discountNum.toDouble / discountDen.toDouble)
     val stream = mapUnk3(trigramStream(df, textCol, col(idCol)), lm.vocabTokens)
+    // tri/pre12/contBi scale with context diversity (up to (V+1)³ /
+    // (V+1)² / (V+1)² types) — shuffle joins; contMid and contUni are
+    // bounded by V+1 ROWS, broadcast them so the stream crosses two
+    // fewer exchanges.
     val joined = stream
       .join(lm.tri, Seq("_w1", "_w2", "_w3"), "left")
       .join(lm.pre12, Seq("_w1", "_w2"), "left")
       .join(lm.contBi, Seq("_w2", "_w3"), "left")
-      .join(lm.contMid, Seq("_w2"), "left")
-      .join(lm.contUni, Seq("_w3"), "left")
+      .join(broadcast(lm.contMid), Seq("_w2"), "left")
+      .join(broadcast(lm.contUni), Seq("_w3"), "left")
     // fixed-order IEEE composition, mirrored verbatim by the oracle
     val p1 = (greatest(coalesce(col("_n1p3"), lit(0L)).cast("double") - dD, lit(0.0)) +
       dD * lit(lm.t1Types.toDouble) / lit(lm.eventSpace)) / lit(lm.n1pAll.toDouble)

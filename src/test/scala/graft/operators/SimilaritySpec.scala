@@ -293,6 +293,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall@10 $recall below 0.8: ADC shortlist missed the true neighborhood")
   }
 
+  test("IVF + PQ compose (the FAISS IVF-PQ shape): ADC inside probed cells, exact re-rank") {
+    val corpus = clustered(8, 40, 16)
+    val centroids = Similarity.trainCentroids(corpus, "v", "vec_id", nlist = 8)
+    val indexed = Similarity.buildIvfIndex(corpus, "v", centroids)
+    val books = Similarity.trainPq(corpus, "v", "vec_id", m = 4, k = 8)
+    val enc = Similarity.pqEncode(indexed, "v", books).select("vec_id", "_cell", "_code")
+    val q = corpus.filter(col("vec_id") === 5L).select("v").head().getSeq[Float](0)
+    val qv = q.map(_.toDouble).toArray
+    def l2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val probe = centroids.map { case (i, cv) => (i, l2(qv, cv)) }.sortBy(_._2).take(4).map(_._1)
+    val short = Similarity.pqTopKAdc(
+      enc.filter(col("_cell").isin(probe.toIndexedSeq: _*)), "_code", "vec_id", books, q, k = 30)
+    val reranked = short.join(corpus, "vec_id")
+      .select(col("vec_id"), graft.functions.VectorFunctions.cosine(col("v"), typedLit(q)).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val exact = Similarity.bruteForceTopK(corpus, "v", "vec_id", q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((reranked & exact).size >= 8,
+      s"IVF-PQ recall@10 too low: ${(reranked & exact).size}/10")
+  }
+
   test("pqEncode codes bound by k; every subspace emits a code for every row") {
     val corpus = clustered(4, 20, 8)
     val books = Similarity.trainPq(corpus, "v", "vec_id", m = 2, k = 4, refineIterations = 1)
