@@ -333,6 +333,52 @@ class PlanEvidenceSpec extends SparkSpec {
       "per-doc-label aggregation must be partial before the exchange:\n" + plan)
   }
 
+  test("KN trigram scoring: vocab + bounded count tables broadcast; NLL aggregates map-side") {
+    val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+    val lm = graft.operators.LanguageModel.trainKn(
+      docs.filter(col("lang") === "en"), "text", vocabSize = 500)
+    val out = graft.operators.LanguageModel.scoreKnNll(docs, "text", "doc_id", lm)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the three vocab-mapping joins are broadcast-hinted (driver arrays)
+    val vocabJoins = plan.linesIterator.filter(_.contains("_v1#")).toSeq
+    assert(vocabJoins.exists(_.contains("BroadcastHashJoin")),
+      "vocab mapping must broadcast-join:\n" + plan)
+    // contMid (_t2c/_n2f) and contUni (_n1p3) are bounded by |V|+1 rows
+    // and explicitly broadcast — the trigram stream must never
+    // sort-merge into them (tri/pre12/contBi are deliberately unhinted,
+    // as with the bigram scorer's count tables)
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && (l.contains("_t2c#") || l.contains("_n1p3#"))),
+      "vocab-bounded count tables must broadcast, not sort-merge:\n" + plan)
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      "per-doc NLL aggregation must be partial before the exchange:\n" + plan)
+  }
+
+  test("PQ ADC over a materialized code index: scan prunes to (id, code); top-k is TakeOrdered") {
+    val emb = graft.sources.ParquetConnector.readTable(spark, s"$sf/embeddings.parquet")
+    val books = graft.operators.Similarity.trainPq(emb, "embedding", "vec_id", m = 4, k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_plan_").toString
+    try {
+      // the compressed index carries codes only — full vectors stay in
+      // the source table for re-ranking
+      graft.operators.Similarity.pqEncode(emb, "embedding", books)
+        .select(col("vec_id"), col("_code"), col("label"))
+        .write.parquet(s"$dir/codes")
+      val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+      val out = graft.operators.Similarity.pqTopKAdc(
+        spark.read.parquet(s"$dir/codes"), "_code", "vec_id", books, q, k = 10)
+      val scan = scanOf(out)
+      // ADC reads m bytes of code + the id, NEVER the unused columns
+      assert(scan.schema.fieldNames.toSet == Set("vec_id", "_code"),
+        s"ADC must prune the index scan to (vec_id, _code), got ${scan.schema.fieldNames.mkString(",")}")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        "PQ top-k must be TakeOrdered, not a global sort:\n" + plan)
+      assert(!plan.contains("SortExec"), "no global sort in the ADC plan:\n" + plan)
+    } finally graft.sources.FileTableOps.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("DSIR scoring: ratio table broadcasts; per-doc weights aggregate map-side") {
     val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
     val table = graft.operators.Dsir.importanceTable(
