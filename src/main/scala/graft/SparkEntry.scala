@@ -764,6 +764,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_dedup_keepbest" -> ((s, dir) => {
+      // clusterDedup with the QUALITY keep policy over the same
+      // SQL-expressible Jaccard pair graph as q_dedup_clusters: per
+      // cluster keep the longest doc (n_chars as the quality signal,
+      // ties -> lowest id); isolated docs survive untouched. Oracle =
+      // the identical recursive-CTE components + winner resolution.
+      val d = T(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+        Dedup.langLengthBlock(col("lang"), col("n_chars"), width = 100),
+        n = 1, threshold = 0.6)
+      Dedup.clusterDedupByScore(d, "doc_id", "n_chars", pairs)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_embedding_neardup" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
       val mutated = e.select((col("vec_id") + 1000000).as("vec_id"),
@@ -1799,6 +1814,43 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(c.c, d.doc_id) AS cluster_id
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
         |ORDER BY doc_id""".stripMargin,
+
+    // Keep-best replay: identical pair graph + transitive closure as
+    // q_dedup_clusters, then the quality winner per component (max
+    // n_chars, tie -> min doc_id); losers = paired members that are not
+    // winners; everything else survives.
+    "q_dedup_keepbest" ->
+      """WITH RECURSIVE p0 AS (
+        |  SELECT doc_id,
+        |         lang || '_' || CAST(n_chars // 100 AS VARCHAR) AS block,
+        |         list_distinct(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS sh
+        |  FROM documents),
+        |p AS (
+        |  SELECT p0.* FROM p0
+        |  JOIN (SELECT block FROM p0 GROUP BY block HAVING COUNT(1) <= 10000) ok
+        |    USING (block)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM p a JOIN p b ON a.block = b.block AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |comp AS (SELECT u, LEAST(u, MIN(v)) AS c FROM reach GROUP BY u),
+        |sc AS (SELECT c.u AS doc_id, c.c AS cluster_id, d.n_chars
+        |       FROM comp c JOIN documents d ON d.doc_id = c.u),
+        |best AS (SELECT cluster_id, MAX(n_chars) AS smax FROM sc GROUP BY cluster_id),
+        |winners AS (
+        |  SELECT s.cluster_id, MIN(s.doc_id) AS doc_id
+        |  FROM sc s JOIN best b ON s.cluster_id = b.cluster_id AND s.n_chars = b.smax
+        |  GROUP BY s.cluster_id),
+        |losers AS (SELECT doc_id FROM sc
+        |           WHERE doc_id NOT IN (SELECT doc_id FROM winners))
+        |SELECT d.doc_id, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_subword" ->
       """SELECT doc_id,

@@ -661,6 +661,36 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[clusterDedup]] with a QUALITY keep policy: per duplicate cluster
+    * keep the best-`scoreCol` member (ties → lowest id) instead of the
+    * lowest id. Min-id keep discards information whenever the
+    * near-duplicates differ — the canonical curation policy keeps the
+    * longest / highest-quality copy (the one with the boilerplate
+    * stripped, the complete text, the best LM score).
+    *
+    * Components whose scores are all NULL keep their lowest id (the
+    * null-safe `<=>` winner match — a component must never vanish
+    * because its quality signal is missing). Shape: the component table
+    * is pair-graph-sized (not corpus-sized); the winner resolution is
+    * two hash aggregations + joins on it — deliberately NOT
+    * `max_by(id, struct(score))`, whose struct agg buffer falls out of
+    * HashAggregate into SortAggregate. The corpus itself is touched
+    * only by the final anti-join on the 8-byte id. */
+  def clusterDedupByScore(df: DataFrame, idCol: String, scoreCol: String,
+                          pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+    val scored = comp.join(df.select(col(idCol).as("id"), col(scoreCol).as("_s")), Seq("id"))
+    val best = scored.groupBy(col("component")).agg(max(col("_s")).as("_smax"))
+    val winners = scored.join(best, Seq("component"))
+      .filter(col("_s") <=> col("_smax"))
+      .groupBy(col("component")).agg(min(col("id")).as("id"))
+    val losers = comp.select(col("id"))
+      .join(winners.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Recommended Jaccard blocking key: language + `width`-char length
     * bucket. Bounds block size by construction; pairs straddling a bucket
     * boundary are the accepted recall cost (standard practice — shrink

@@ -480,6 +480,20 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L, 7L, 8L))
   }
 
+  test("clusterDedupByScore: best score wins, ties -> min id, all-null cluster keeps min id") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("q", DoubleType)))
+    val d = df(schema, Seq(
+      Row(1L, 1.0), Row(2L, 9.0), Row(3L, 2.0),   // {1,2,3}: 2 wins on score
+      Row(5L, 4.0), Row(6L, 4.0),                 // {5,6}: tie -> 5
+      Row(7L, null), Row(8L, null),               // {7,8}: all-null -> 7 survives
+      Row(9L, 0.5)))                              // unpaired
+    val pairs = df(pairSchema, Seq(Row(1L, 2L), Row(2L, 3L), Row(5L, 6L), Row(7L, 8L)))
+    val kept = Dedup.clusterDedupByScore(d, "doc_id", "q", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 5L, 7L, 9L))
+  }
+
   test("incrementalExact: ticks dedup against the persisted index; replay is a no-op") {
     val conn = new graft.sources.ParquetConnector(spark, tmpDir("graft_fpidx_"))
     val t1 = df(docSchema, Seq(Row(1L, "alpha doc"), Row(2L, "beta doc")))
