@@ -907,6 +907,41 @@ object SparkEntry {
       Curation.corpusDiff(d, newC, "doc_id", "text").orderBy(col("doc_id"))
     }),
 
+    "q_ann_ivfpq" -> ((s, dir) => {
+      // the composed production search path (FAISS IVF-PQ shape, flat
+      // variant: codebooks on raw vectors, not residuals — documented
+      // simplification): coarse IVF centroids prune WHICH vectors are
+      // read (2 of 8 cells), PQ codes shrink WHAT each read costs (4
+      // bytes/vector), ADC scores the codes, and the exact-cosine
+      // re-rank touches only the 40-row shortlist. Both trainings and
+      // the whole search replay in the oracle.
+      val e = T(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val centroids = Similarity.trainCentroids(e, "embedding", "vec_id", nlist = 8, refineIterations = 1)
+      val books = Similarity.trainPq(e, "embedding", "vec_id", m = 4, k = 8, refineIterations = 1)
+      val indexed = Similarity.pqEncode(
+        Similarity.buildIvfIndex(e, "embedding", centroids), "embedding", books)
+        .select(col("vec_id"), col("_cell"), col("_code"))
+      val qv = q.map(_.toDouble).toArray
+      def l2(a: Array[Double], b: Array[Double]): Double = {
+        var s0 = 0.0; var i = 0
+        while (i < a.length && i < b.length) { val d = a(i) - b(i); s0 += d * d; i += 1 }
+        s0
+      }
+      val probe = centroids.map { case (i, cv) => (i, l2(qv, cv)) }
+        .sortBy(_._2).take(2).map(_._1)
+      val short = Similarity.pqTopKAdc(
+        indexed.filter(col("_cell").isin(probe.toIndexedSeq: _*)),
+        "_code", "vec_id", books, q, k = 40)
+      short.join(e, "vec_id")
+        .select(col("vec_id"),
+          (round(col("adc_dist"), 6) + 0.0).as("adc"),
+          (round(VectorFunctions.cosine(col("embedding"), typedLit(q)), 6) + 0.0).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // ---- text analysis ----
     "q_token_stats" -> ((s, dir) => {
       T(s, dir, "documents")
@@ -3100,6 +3135,109 @@ object SparkEntry {
         |            ELSE 'changed' END AS status
         |FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // Composed IVF-PQ replay: the q_ann_ivf coarse-quantizer chain
+    // (seeds -> one Lloyd step -> re-assign -> probe the 2 nearest
+    // cells) + the q_ann_pq codebook chain (per-subspace seeds -> Lloyd
+    // -> re-encode -> ADC tables), joined: ADC runs over the vectors of
+    // the probed cells only, top-40 shortlist, exact-cosine re-rank.
+    "q_ann_ivfpq" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |iseeds AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, v AS cv
+        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+        |iassign0 AS (
+        |  SELECT e.vec_id, s.cell,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_sum(list_transform(list_zip(e.v, s.cv),
+        |                     x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+        |                    s.cell ASC) AS rn
+        |  FROM e CROSS JOIN iseeds s),
+        |icells0 AS MATERIALIZED (SELECT vec_id, cell FROM iassign0 WHERE rn = 1),
+        |imeans AS MATERIALIZED (
+        |  SELECT c.cell, i AS dim,
+        |         CAST(SUM(CAST(e.v[i] AS DECIMAL(20,10))) AS DOUBLE) / COUNT(1) AS m
+        |  FROM icells0 c JOIN e USING (vec_id), UNNEST(generate_series(1, len(e.v))) AS t(i)
+        |  GROUP BY c.cell, i),
+        |irefined AS MATERIALIZED (
+        |  SELECT s.cell, COALESCE(m.cv, s.cv) AS cv
+        |  FROM iseeds s LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS cv FROM imeans GROUP BY cell) m
+        |    USING (cell)),
+        |iassign1 AS (
+        |  SELECT e.vec_id, r.cell,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_sum(list_transform(list_zip(e.v, r.cv),
+        |                     x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+        |                    r.cell ASC) AS rn
+        |  FROM e CROSS JOIN irefined r),
+        |icells1 AS MATERIALIZED (SELECT vec_id, cell FROM iassign1 WHERE rn = 1),
+        |q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |probe AS MATERIALIZED (
+        |  SELECT r.cell FROM irefined r CROSS JOIN q
+        |  ORDER BY list_sum(list_transform(list_zip(q.qv, r.cv),
+        |             x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+        |           r.cell ASC
+        |  LIMIT 2),
+        |seeds AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, v
+        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+        |sub AS (SELECT s FROM (VALUES (0),(1),(2),(3)) AS t(s)),
+        |books0 AS MATERIALIZED (
+        |  SELECT sub.s, seeds.code, list_slice(seeds.v, sub.s*16+1, sub.s*16+16) AS cv
+        |  FROM seeds CROSS JOIN sub),
+        |assign0 AS (
+        |  SELECT e.vec_id, b.s, b.code,
+        |         row_number() OVER (PARTITION BY e.vec_id, b.s
+        |           ORDER BY list_sum(list_transform(
+        |                      list_zip(list_slice(e.v, b.s*16+1, b.s*16+16), b.cv),
+        |                      x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+        |                    b.code ASC) AS rn
+        |  FROM e CROSS JOIN books0 b),
+        |codes0 AS MATERIALIZED (SELECT vec_id, s, code FROM assign0 WHERE rn = 1),
+        |means AS MATERIALIZED (
+        |  SELECT c.s, c.code, i AS w,
+        |         CAST(SUM(CAST(e.v[c.s*16 + i] AS DECIMAL(20,10))) AS DOUBLE) / COUNT(1) AS m
+        |  FROM codes0 c JOIN e USING (vec_id), UNNEST(generate_series(1, 16)) AS t(i)
+        |  GROUP BY c.s, c.code, i),
+        |books1 AS MATERIALIZED (
+        |  SELECT b.s, b.code, COALESCE(m.cv, b.cv) AS cv
+        |  FROM books0 b LEFT JOIN
+        |    (SELECT s, code, list(m ORDER BY w) AS cv FROM means GROUP BY s, code) m
+        |    USING (s, code)),
+        |assign1 AS (
+        |  SELECT e.vec_id, b.s, b.code,
+        |         row_number() OVER (PARTITION BY e.vec_id, b.s
+        |           ORDER BY list_sum(list_transform(
+        |                      list_zip(list_slice(e.v, b.s*16+1, b.s*16+16), b.cv),
+        |                      x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+        |                    b.code ASC) AS rn
+        |  FROM e CROSS JOIN books1 b),
+        |codes1 AS MATERIALIZED (SELECT vec_id, s, code FROM assign1 WHERE rn = 1),
+        |dt AS MATERIALIZED (
+        |  SELECT b.s, b.code,
+        |         list_sum(list_transform(
+        |           list_zip(list_slice(q.qv, b.s*16+1, b.s*16+16), b.cv),
+        |           x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+        |  FROM books1 b CROSS JOIN q),
+        |adc AS (
+        |  SELECT v0.vec_id, d0.d + d1.d + d2.d + d3.d AS adc_dist
+        |  FROM (SELECT vec_id, code FROM codes1 WHERE s = 0) v0
+        |  JOIN (SELECT vec_id, code FROM codes1 WHERE s = 1) v1 USING (vec_id)
+        |  JOIN (SELECT vec_id, code FROM codes1 WHERE s = 2) v2 USING (vec_id)
+        |  JOIN (SELECT vec_id, code FROM codes1 WHERE s = 3) v3 USING (vec_id)
+        |  JOIN icells1 ic ON ic.vec_id = v0.vec_id
+        |  JOIN dt d0 ON d0.s = 0 AND d0.code = v0.code
+        |  JOIN dt d1 ON d1.s = 1 AND d1.code = v1.code
+        |  JOIN dt d2 ON d2.s = 2 AND d2.code = v2.code
+        |  JOIN dt d3 ON d3.s = 3 AND d3.code = v3.code
+        |  WHERE ic.cell IN (SELECT cell FROM probe)),
+        |short AS (SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT 40)
+        |SELECT s.vec_id, ROUND(s.adc_dist, 6) + 0.0 AS adc,
+        |       ROUND(CAST(list_cosine_similarity(e.v, q.qv) AS DOUBLE), 6) + 0.0 AS score
+        |FROM short s JOIN e USING (vec_id) CROSS JOIN q
+        |ORDER BY ROUND(CAST(list_cosine_similarity(e.v, q.qv) AS DOUBLE), 6) + 0.0 DESC, s.vec_id
+        |LIMIT 10""".stripMargin,
 
     "q_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
