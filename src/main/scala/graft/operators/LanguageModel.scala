@@ -304,6 +304,40 @@ object LanguageModel {
       n1pAll = contBi.count(), t1Types = contUni.count())
   }
 
+  /** Persist a trained KN model into `conn` under `prefix`: the five
+    * count tables plus a (rank, token) vocab table and a 1-row meta
+    * table of the driver scalars — the train-once / serve-many
+    * lifecycle (offline training job writes the model; scoring jobs
+    * and [[graft.streaming.IncrementalStream.knScoreStream]] load it
+    * without touching the reference corpus again). */
+  def saveKn(lm: KnTrigramLm, conn: graft.sources.Connector, prefix: String): Unit = {
+    val spark = lm.tri.sparkSession
+    import spark.implicits._
+    conn.write(lm.tri, s"${prefix}_tri")
+    conn.write(lm.pre12, s"${prefix}_pre12")
+    conn.write(lm.contBi, s"${prefix}_contbi")
+    conn.write(lm.contMid, s"${prefix}_contmid")
+    conn.write(lm.contUni, s"${prefix}_contuni")
+    conn.write(lm.vocabTokens.toSeq.zipWithIndex
+      .map { case (t, i) => (i, t) }.toDF("rank", "token"), s"${prefix}_vocab")
+    conn.write(Seq((lm.n1pAll, lm.t1Types)).toDF("n1p_all", "t1_types"), s"${prefix}_meta")
+  }
+
+  /** Load a [[saveKn]]-persisted model. The vocab collect is bounded by
+    * vocabSize; the count tables stay lazy reads of the persisted
+    * parquet — scoring against a loaded model re-reads the MODEL, never
+    * the reference corpus. */
+  def loadKn(conn: graft.sources.Connector, prefix: String): KnTrigramLm = {
+    val vocab = conn.read(s"${prefix}_vocab").orderBy(col("rank"))
+      .select("token").collect().map(_.getString(0))
+    val meta = conn.read(s"${prefix}_meta").head()
+    KnTrigramLm(vocab,
+      conn.read(s"${prefix}_tri"), conn.read(s"${prefix}_pre12"),
+      conn.read(s"${prefix}_contbi"), conn.read(s"${prefix}_contmid"),
+      conn.read(s"${prefix}_contuni"),
+      meta.getAs[Long]("n1p_all"), meta.getAs[Long]("t1_types"))
+  }
+
   /** Score every document of `df` by mean interpolated-KN trigram NLL:
     * (id, n_trigrams, avg_nll, ppl), nulls for documents with fewer
     * than three tokens — the [[scoreNll]] output contract one order

@@ -273,6 +273,36 @@ object IncrementalStream {
     q
   }
 
+  /** Streaming LM quality gate: score arriving documents against a
+    * PERSISTED Kneser–Ney trigram model ([[graft.operators.LanguageModel.saveKn]]
+    * — train offline once, serve every tick) and upsert
+    * (id, n_trigrams, avg_nll, ppl) into `table`. With `maxAvgNll`,
+    * only documents at or below the NLL gate land — including dropping
+    * UNSCORED docs (fewer than three tokens ⇒ null score ⇒ no evidence
+    * ⇒ no pass, plain SQL filter semantics). The model is loaded ONCE
+    * at stream construction (vocab collect bounded by vocabSize; count
+    * tables are lazy parquet reads) — each batch re-reads the MODEL
+    * tables, never the reference corpus. */
+  def knScoreStream(src: DataFrame, dst: graft.sources.Connector, table: String,
+                    modelPrefix: String, textCol: String, idCol: String,
+                    checkpoint: String, maxAvgNll: Option[Double] = None): StreamingQuery = {
+    val lm = graft.operators.LanguageModel.loadKn(dst, modelPrefix)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val scored = graft.operators.LanguageModel.scoreKnNll(batch, textCol, idCol, lm)
+          val kept = maxAvgNll.map(t => scored.filter(col("avg_nll") <= t)).getOrElse(scored)
+          if (!kept.isEmpty) dst.upsert(kept, table, idCol)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** The incremental-pipe-as-stream: append new rows of `src` into a
     * parquet sink with exactly-once file-sink semantics — the streaming
     * upgrade of `Patterns.incrementalPipe` (checkpoint = watermark). */

@@ -186,6 +186,21 @@ class LanguageModelSpec extends SparkSpec {
     assert(out(14L).getLong(1) == 0L && out(14L).isNullAt(2))
   }
 
+  test("saveKn/loadKn round trip: the loaded model scores bit-identically") {
+    val conn = new graft.sources.ParquetConnector(spark,
+      java.nio.file.Files.createTempDirectory("graft_knmodel_").toString)
+    val lm = LanguageModel.trainKn(knRefDf, "text", vocabSize = 100)
+    LanguageModel.saveKn(lm, conn, "km")
+    val loaded = LanguageModel.loadKn(conn, "km")
+    assert(loaded.vocabTokens.toSeq == lm.vocabTokens.toSeq)
+    assert(loaded.n1pAll == lm.n1pAll && loaded.t1Types == lm.t1Types)
+    val docs = df(docSchema, Seq(Row(1L, "a b c x"), Row(2L, "x y z"), Row(3L, "c a b d")))
+    def scores(m: LanguageModel.KnTrigramLm) =
+      LanguageModel.scoreKnNll(docs, "text", "doc_id", m)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(scores(loaded) == scores(lm))
+  }
+
   test("scoreKnNll is partition-order invariant (long-sum determinism)") {
     val lm = LanguageModel.trainKn(knRefDf, "text", vocabSize = 100)
     val docs = df(docSchema, (1L to 40L).map(i => Row(i, "a b c a b d x " * (i % 5 + 1).toInt)))

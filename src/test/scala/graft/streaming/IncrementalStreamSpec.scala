@@ -153,6 +153,43 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(dst.read("scored").count() == 2)
   }
 
+  test("knScoreStream scores batches against the persisted model; NLL gate drops unscored docs") {
+    val srcDir = tmpDir("graft_kn_src_")
+    val ckpt = tmpDir("graft_kn_ck_")
+    val dst = new graft.sources.ParquetConnector(spark, tmpDir("graft_kn_dst_"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // train offline on the reference slice; persist the model
+    val ref = df(docSchema, Seq(Row(1L, "a b c a b d a b c")))
+    graft.operators.LanguageModel.saveKn(
+      graft.operators.LanguageModel.trainKn(ref, "text", vocabSize = 100), dst, "km")
+    // expected scores from the BATCH scorer on the loaded model
+    val loaded = graft.operators.LanguageModel.loadKn(dst, "km")
+    val expect = graft.operators.LanguageModel.scoreKnNll(
+      df(docSchema, Seq(Row(10L, "a b c"), Row(11L, "x y z w"), Row(20L, "a b d"))),
+      "text", "doc_id", loaded)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // in-domain docs must beat the all-UNK one; gate between them
+    assert(expect(10L) < expect(11L) && expect(20L) < expect(11L), expect.toString)
+    val gate = (expect(10L) max expect(20L)) + 0.0001
+    def run(): Unit = IncrementalStream.knScoreStream(
+      IncrementalStream.readStream(spark, srcDir, docSchema), dst, "scored",
+      "km", "text", "doc_id", ckpt, maxAvgNll = Some(gate))
+    // wave 1: one in-domain, one all-UNK (gated), one too short (null
+    // score — no evidence, no pass)
+    df(docSchema, Seq(Row(10L, "a b c"), Row(11L, "x y z w"), Row(12L, "a b")))
+      .write.mode("append").parquet(srcDir)
+    run()
+    val out = dst.read("scored").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out == Map(10L -> expect(10L)), s"gate must keep only the in-domain doc: $out")
+    // wave 2 through the SAME checkpoint: only the delta is scored
+    df(docSchema, Seq(Row(20L, "a b d"))).write.mode("append").parquet(srcDir)
+    run()
+    assert(dst.read("scored").select("doc_id").collect().map(_.getLong(0)).toSet == Set(10L, 20L))
+    run() // no new input: nothing changes
+    assert(dst.read("scored").count() == 2)
+  }
+
   test("embeddingDedupStream drops vector near-dups against the FULL history (index-backed)") {
     val srcDir = tmpDir("graft_emb_src_")
     val ckpt = tmpDir("graft_emb_ck_")
