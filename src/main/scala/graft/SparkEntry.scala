@@ -1391,6 +1391,36 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"), col("bin"))
         .orderBy(col("doc_id"))),
 
+    "q_assemble" -> ((s, dir) => {
+      // trainer-batch assembly end to end: whitespace tokens -> global
+      // frequency-ranked vocab ids (rank window runs over the VOCAB,
+      // not the corpus) -> strict next-fit pack per lang on token
+      // counts -> per-bin flat id stream with -1 document separators +
+      // doc-boundary metadata. The last mile from documents to the id
+      // arrays a training loop memory-maps, all under the oracle.
+      val d = T(s, dir, "documents")
+      val toks = d
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.normalizeForFingerprint(col("text")).as("_nt"))
+        .filter(length(col("_nt")) > 0)
+        .select(col("doc_id"), col("lang"), split(col("_nt"), " ").as("_w"))
+      val ranked = toks.select(explode(col("_w")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("_cnt"))
+        .select(col("token"),
+          (row_number().over(Window.orderBy(col("_cnt").desc, col("token"))) - 1)
+            .cast("long").as("_tid"))
+      val ids = toks
+        .select(col("doc_id"), col("lang"), posexplode(col("_w")).as(Seq("_pos", "token")))
+        .join(ranked, Seq("token"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_tid")))),
+          x => x.getField("_tid")).as("token_ids"))
+        .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+      val packed = Curation.packSequencesStrict(ids, "n_tokens", 8192L, Seq("lang"), "doc_id")
+      Curation.assembleSequences(packed, "token_ids", "doc_id", Seq("lang"), sepId = Some(-1L))
+        .orderBy(col("lang"), col("bin"))
+    }),
+
     // ---- the flagship pipeline, end-to-end under the oracle ----
     "q_pipeline_funnel" -> ((s, dir) => {
       // TrainingDataPipeline.funnel as ONE oracled query: profile
@@ -3297,6 +3327,52 @@ object SparkEntry {
         |              ELSE r.used + o.n_chars END
         |  FROM r JOIN o ON o.lang = r.lang AND o.rn = r.rn + 1)
         |SELECT doc_id, lang, n_chars, bin FROM r ORDER BY doc_id""".stripMargin,
+
+    // Assembly replay: vocab ranks, per-doc id lists (parallel unnest
+    // zips token with position), the q_pack_strict lock-step recursive
+    // pack on token counts, then per-bin list aggregation ordered by
+    // doc_id — sep appended after every doc, trailing one sliced off.
+    "q_assemble" ->
+      """WITH RECURSIVE toks AS MATERIALIZED (
+        |  SELECT doc_id, lang, regexp_split_to_array(nt, ' ') AS t
+        |  FROM (SELECT doc_id, lang,
+        |               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |        FROM documents)
+        |  WHERE length(nt) > 0),
+        |vocab AS MATERIALIZED (
+        |  SELECT token,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS tid
+        |  FROM (SELECT token, COUNT(1) AS cnt
+        |        FROM (SELECT unnest(t) AS token FROM toks)
+        |        GROUP BY token)),
+        |ids AS MATERIALIZED (
+        |  SELECT u.doc_id, u.lang, list(v.tid ORDER BY u.pos) AS token_ids,
+        |         CAST(COUNT(1) AS BIGINT) AS n
+        |  FROM (SELECT doc_id, lang, unnest(t) AS token,
+        |               unnest(generate_series(1, len(t))) AS pos FROM toks) u
+        |  JOIN vocab v USING (token)
+        |  GROUP BY u.doc_id, u.lang),
+        |o AS MATERIALIZED (
+        |  SELECT lang, doc_id, token_ids, n,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM ids),
+        |r AS (
+        |  SELECT lang, rn, doc_id, token_ids, n, CAST(0 AS BIGINT) AS bin, n AS used
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.lang, o.rn, o.doc_id, o.token_ids, o.n,
+        |         CASE WHEN r.used + o.n > 8192 THEN r.bin + 1 ELSE r.bin END,
+        |         CASE WHEN r.used + o.n > 8192 THEN o.n ELSE r.used + o.n END
+        |  FROM r JOIN o ON o.lang = r.lang AND o.rn = r.rn + 1),
+        |asm AS (
+        |  SELECT lang, bin,
+        |         list(doc_id ORDER BY doc_id) AS doc_ids,
+        |         flatten(list(list_concat(token_ids, [CAST(-1 AS BIGINT)]) ORDER BY doc_id)) AS ws
+        |  FROM r GROUP BY lang, bin)
+        |SELECT lang, bin, doc_ids,
+        |       ws[1:len(ws)-1] AS input_ids,
+        |       CAST(len(ws) - 1 AS BIGINT) AS n_tokens
+        |FROM asm ORDER BY lang, bin""".stripMargin,
 
     // Full-funnel replay: every stage's already-proven oracle pattern
     // (q_quality/q_langid profile math, q_pii_scrub redaction chain,

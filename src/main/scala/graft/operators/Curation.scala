@@ -726,6 +726,42 @@ object Curation {
             col("n_ngrams"), 6)).as("hit_frac"))
   }
 
+  /** Assemble packed bins into trainer-ready token streams: one row per
+    * (groupCols, bin) with `doc_ids` (members in id order), `input_ids`
+    * (the members' token-id arrays concatenated in that order,
+    * optionally joined by `sepId` BETWEEN documents — the EOS/document
+    * separator every causal-LM batch layout needs), and `n_tokens`.
+    * The last mile from a packed corpus ([[packSequencesStrict]] over
+    * [[graft.operators.Bpe.encodeIds]] counts) to the flat id stream a
+    * training loop memory-maps.
+    *
+    * Members order by `idCol` — pack with `orderCol = idCol` (or carry
+    * the pack rank as the id) so bin membership and assembly order
+    * agree. Scale: the collect_list per bin is bounded by the pack
+    * BUDGET (a context window, thousands of ids), never by group size;
+    * the aggregation partial-collapses map-side like any other. */
+  def assembleSequences(packed: DataFrame, idsCol: String, idCol: String,
+                        groupCols: Seq[String], binCol: String = "bin",
+                        sepId: Option[Long] = None): DataFrame = {
+    require(groupCols.nonEmpty, "assembleSequences needs the pack's group columns")
+    val doc = struct(col(idCol).cast("long").as("_did"), col(idsCol).as("_ids"))
+    val grouped = packed.groupBy((groupCols.map(col) :+ col(binCol)): _*)
+      .agg(array_sort(collect_list(doc)).as("_docs"))
+    val flat = sepId match {
+      case Some(sep) =>
+        // sep after EVERY doc, then drop the trailing one — two exact
+        // array ops, engine-replayable (no indexed lambda needed)
+        val withSep = flatten(transform(col("_docs"),
+          d => concat(d.getField("_ids"), array(lit(sep)))))
+        slice(withSep, lit(1), size(withSep) - 1)
+      case None => flatten(transform(col("_docs"), d => d.getField("_ids")))
+    }
+    grouped.select(groupCols.map(col) ++ Seq(col(binCol),
+      col("_docs._did").as("doc_ids"),
+      flat.as("input_ids")): _*)
+      .withColumn("n_tokens", size(col("input_ids")).cast("long"))
+  }
+
   /** Corpus-release diff: per-document status between two corpus
     * versions — `added` (id only in `newDf`), `removed` (only in
     * `oldDf`), `changed` (both, content differs), `unchanged`. The

@@ -467,6 +467,29 @@ class CurationSpec extends SparkSpec {
     assert(viaHash == viaString)
   }
 
+  test("assembleSequences: id-ordered concat, separator between docs only, boundaries kept") {
+    val s = StructType(Seq(
+      StructField("doc_id", LongType), StructField("g", StringType),
+      StructField("ids", ArrayType(LongType)), StructField("bin", LongType)))
+    val packed = df(s, Seq(
+      Row(3L, "en", Seq(30L, 31L), 0L),
+      Row(1L, "en", Seq(10L), 0L),      // same bin, lower id -> comes first
+      Row(7L, "en", Seq(70L), 1L),
+      Row(2L, "de", Seq[Long](), 0L),   // empty doc: contributes only its separator slot
+      Row(4L, "de", Seq(40L), 0L)))
+    val out = Curation.assembleSequences(packed, "ids", "doc_id", Seq("g"), sepId = Some(-1L))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getSeq[Long](2), r.getSeq[Long](3), r.getLong(4)))).toMap
+    assert(out(("en", 0L)) == ((Seq(1L, 3L), Seq(10L, -1L, 30L, 31L), 4L)))
+    assert(out(("en", 1L)) == ((Seq(7L), Seq(70L), 1L)))
+    assert(out(("de", 0L)) == ((Seq(2L, 4L), Seq(-1L, 40L), 2L)))
+    // no separator: plain concatenation in id order
+    val plain = Curation.assembleSequences(packed, "ids", "doc_id", Seq("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[Long](3)).toMap
+    assert(plain(("en", 0L)) == Seq(10L, 30L, 31L))
+    assert(plain(("de", 0L)) == Seq(40L))
+  }
+
   test("corpusDiff: added/removed/changed/unchanged; whitespace-only edits are unchanged") {
     val s = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))

@@ -316,6 +316,13 @@ class SimilaritySpec extends SparkSpec {
       s"IVF-PQ recall@10 too low: ${(reranked & exact).size}/10")
   }
 
+  test("trainPq is partition-invariant (DECIMAL-exact Lloyd means)") {
+    val corpus = clustered(6, 30, 8)
+    val b1 = Similarity.trainPq(corpus, "v", "vec_id", m = 2, k = 4, refineIterations = 2)
+    val b2 = Similarity.trainPq(corpus.repartition(13), "v", "vec_id", m = 2, k = 4, refineIterations = 2)
+    assert(b1.map(_.map(_.toSeq).toSeq).toSeq == b2.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("pqEncode codes bound by k; every subspace emits a code for every row") {
     val corpus = clustered(4, 20, 8)
     val books = Similarity.trainPq(corpus, "v", "vec_id", m = 2, k = 4, refineIterations = 1)
