@@ -93,7 +93,10 @@ object Bench {
     // r12: interpolated Kneser–Ney trigram scoring (the real CCNet
     // gate shape: five count-table joins over the trigram stream,
     // fixed-point NLL sums)
-    "q_kn_trigram")
+    "q_kn_trigram",
+    // r12: trainer-batch assembly (vocab-rank ids -> strict pack ->
+    // per-bin flat id streams; bin state bounded by the pack budget)
+    "q_assemble")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is
