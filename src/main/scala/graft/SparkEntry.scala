@@ -3364,13 +3364,22 @@ object SparkEntry {
         |         CASE WHEN r.used + o.n > 8192 THEN r.bin + 1 ELSE r.bin END,
         |         CASE WHEN r.used + o.n > 8192 THEN o.n ELSE r.used + o.n END
         |  FROM r JOIN o ON o.lang = r.lang AND o.rn = r.rn + 1),
+        |binm AS MATERIALIZED (
+        |  SELECT lang, bin, doc_id, token_ids,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY lang, bin ORDER BY doc_id) - 1 AS BIGINT) AS ord
+        |  FROM r),
         |asm AS (
         |  SELECT lang, bin,
         |         list(doc_id ORDER BY doc_id) AS doc_ids,
-        |         flatten(list(list_concat(token_ids, [CAST(-1 AS BIGINT)]) ORDER BY doc_id)) AS ws
-        |  FROM r GROUP BY lang, bin)
+        |         flatten(list(list_concat(token_ids, [CAST(-1 AS BIGINT)]) ORDER BY doc_id)) AS ws,
+        |         flatten(list(list_transform(list_concat(token_ids, [CAST(-1 AS BIGINT)]),
+        |                                     x -> ord) ORDER BY doc_id)) AS sg,
+        |         flatten(list(generate_series(0, len(token_ids)) ORDER BY doc_id)) AS ps
+        |  FROM binm GROUP BY lang, bin)
         |SELECT lang, bin, doc_ids,
         |       ws[1:len(ws)-1] AS input_ids,
+        |       sg[1:len(sg)-1] AS segment_ids,
+        |       ps[1:len(ps)-1] AS position_ids,
         |       CAST(len(ws) - 1 AS BIGINT) AS n_tokens
         |FROM asm ORDER BY lang, bin""".stripMargin,
 

@@ -747,18 +747,35 @@ object Curation {
     val doc = struct(col(idCol).cast("long").as("_did"), col(idsCol).as("_ids"))
     val grouped = packed.groupBy((groupCols.map(col) :+ col(binCol)): _*)
       .agg(array_sort(collect_list(doc)).as("_docs"))
-    val flat = sepId match {
+    def dlen(d: Column) = size(d.getField("_ids")).cast("long")
+    // alongside the id stream, the two per-token arrays a causal-LM
+    // batch needs for document-aware attention: `segment_ids` (which
+    // member each token belongs to — the intra-bin attention-mask key)
+    // and `position_ids` (positions RESET at each document start). A
+    // separator slot carries its preceding document's segment and the
+    // next position after it.
+    val (flat, seg, pos) = sepId match {
       case Some(sep) =>
-        // sep after EVERY doc, then drop the trailing one — two exact
-        // array ops, engine-replayable (no indexed lambda needed)
-        val withSep = flatten(transform(col("_docs"),
-          d => concat(d.getField("_ids"), array(lit(sep)))))
-        slice(withSep, lit(1), size(withSep) - 1)
-      case None => flatten(transform(col("_docs"), d => d.getField("_ids")))
+        // sep after EVERY doc, then drop the trailing one — exact
+        // array ops, engine-replayable
+        def dropLast(c: Column) = slice(c, lit(1), size(c) - 1)
+        (dropLast(flatten(transform(col("_docs"),
+           d => concat(d.getField("_ids"), array(lit(sep)))))),
+         dropLast(flatten(transform(col("_docs"),
+           (d, i) => array_repeat(i.cast("long"), (dlen(d) + 1).cast("int"))))),
+         dropLast(flatten(transform(col("_docs"),
+           d => sequence(lit(0L), dlen(d))))))
+      case None =>
+        (flatten(transform(col("_docs"), d => d.getField("_ids"))),
+         flatten(transform(col("_docs"),
+           (d, i) => array_repeat(i.cast("long"), dlen(d).cast("int")))),
+         flatten(transform(col("_docs"),
+           d => when(dlen(d) === 0, array().cast("array<bigint>"))
+             .otherwise(sequence(lit(0L), dlen(d) - 1)))))
     }
     grouped.select(groupCols.map(col) ++ Seq(col(binCol),
       col("_docs._did").as("doc_ids"),
-      flat.as("input_ids")): _*)
+      flat.as("input_ids"), seg.as("segment_ids"), pos.as("position_ids")): _*)
       .withColumn("n_tokens", size(col("input_ids")).cast("long"))
   }
 

@@ -479,15 +479,24 @@ class CurationSpec extends SparkSpec {
       Row(4L, "de", Seq(40L), 0L)))
     val out = Curation.assembleSequences(packed, "ids", "doc_id", Seq("g"), sepId = Some(-1L))
       .collect().map(r => (r.getString(0), r.getLong(1)) ->
-        ((r.getSeq[Long](2), r.getSeq[Long](3), r.getLong(4)))).toMap
-    assert(out(("en", 0L)) == ((Seq(1L, 3L), Seq(10L, -1L, 30L, 31L), 4L)))
-    assert(out(("en", 1L)) == ((Seq(7L), Seq(70L), 1L)))
-    assert(out(("de", 0L)) == ((Seq(2L, 4L), Seq(-1L, 40L), 2L)))
-    // no separator: plain concatenation in id order
+        ((r.getSeq[Long](2), r.getSeq[Long](3), r.getSeq[Long](4), r.getSeq[Long](5), r.getLong(6)))).toMap
+    // en bin 0: docs 1 [10] then 3 [30, 31]; separator carries the
+    // PRECEDING doc's segment and the next position after it
+    assert(out(("en", 0L)) == ((Seq(1L, 3L),
+      Seq(10L, -1L, 30L, 31L),   // input_ids
+      Seq(0L, 0L, 1L, 1L),       // segment_ids
+      Seq(0L, 1L, 0L, 1L),       // position_ids (reset per doc)
+      4L)))
+    assert(out(("en", 1L)) == ((Seq(7L), Seq(70L), Seq(0L), Seq(0L), 1L)))
+    // de bin 0: empty doc 2 contributes its separator slot (seg 0,
+    // pos 0), then doc 4 restarts at seg 1 / pos 0
+    assert(out(("de", 0L)) == ((Seq(2L, 4L), Seq(-1L, 40L), Seq(0L, 1L), Seq(0L, 0L), 2L)))
+    // no separator: plain concatenation in id order; empty docs vanish
     val plain = Curation.assembleSequences(packed, "ids", "doc_id", Seq("g"))
-      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[Long](3)).toMap
-    assert(plain(("en", 0L)) == Seq(10L, 30L, 31L))
-    assert(plain(("de", 0L)) == Seq(40L))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getSeq[Long](3), r.getSeq[Long](4), r.getSeq[Long](5)))).toMap
+    assert(plain(("en", 0L)) == ((Seq(10L, 30L, 31L), Seq(0L, 1L, 1L), Seq(0L, 0L, 1L))))
+    assert(plain(("de", 0L)) == ((Seq(40L), Seq(1L), Seq(0L))))
   }
 
   test("corpusDiff: added/removed/changed/unchanged; whitespace-only edits are unchanged") {
