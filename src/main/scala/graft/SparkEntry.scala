@@ -942,6 +942,33 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "q_pagerank_weighted" -> ((s, dir) => {
+      // weighted domain-rank: the same customer->supplier graph but
+      // each edge weighted by its lineitem count, so mass splits
+      // proportionally ((r*w) div totw — exact longs, oracle-unrolled)
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("src"), (lit(1000000L) + col("l_suppkey")).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      LinkGraph.pageRank(edges, "src", "dst", iterations = 3, weightCol = Some("w"))
+        .orderBy(col("rank_fp").desc, col("node"))
+    }),
+
+    "q_domain_cap" -> ((s, dir) => {
+      // the web-curation staple: at most K documents per registered
+      // domain — planted urls whose host embeds the source (one
+      // registered domain per source), extraction through the real
+      // urlRegisteredDomain chain, cap keeps the K lowest doc_ids per
+      // domain via the mergeable bottom-k heap (15 < the 25/source at sf0.01, so the cap binds)
+      val url = concat(lit("HTTPS://docs."), upper(col("source")), lit(".COM:443/docs/"),
+        col("doc_id"))
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.urlRegisteredDomain(url).as("domain"))
+      Curation.capPerGroup(d, Seq("domain"), "doc_id", maxN = 15)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- text analysis ----
     "q_token_stats" -> ((s, dir) => {
       T(s, dir, "documents")
@@ -3268,6 +3295,58 @@ object SparkEntry {
         |FROM short s JOIN e USING (vec_id) CROSS JOIN q
         |ORDER BY ROUND(CAST(list_cosine_similarity(e.v, q.qv) AS DOUBLE), 6) + 0.0 DESC, s.vec_id
         |LIMIT 10""".stripMargin,
+
+    // Weighted PageRank replay: same unrolled recurrence, mass split
+    // proportionally — per-edge (r·w) // Σw, exact BIGINT throughout.
+    "q_pagerank_weighted" ->
+      """WITH edges AS MATERIALIZED (
+        |  SELECT o_custkey AS src, 1000000 + l_suppkey AS dst, CAST(COUNT(1) AS BIGINT) AS w
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |p AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+        |outw AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS tw FROM edges GROUP BY src),
+        |r0 AS MATERIALIZED (
+        |  SELECT node, 1000000000000 // n AS r FROM nodes CROSS JOIN p),
+        |it1 AS MATERIALIZED (
+        |  SELECT nd.node,
+        |         CAST(1000000000000 * 15 // 100 // p.n
+        |              + 85 * COALESCE(c.s, 0) // 100 AS BIGINT) AS r
+        |  FROM nodes nd CROSS JOIN p
+        |  LEFT JOIN (SELECT e.dst AS node, SUM((r.r * e.w) // o.tw) AS s
+        |             FROM edges e JOIN r0 r ON r.node = e.src
+        |             JOIN outw o ON o.src = e.src
+        |             GROUP BY e.dst) c ON c.node = nd.node),
+        |it2 AS MATERIALIZED (
+        |  SELECT nd.node,
+        |         CAST(1000000000000 * 15 // 100 // p.n
+        |              + 85 * COALESCE(c.s, 0) // 100 AS BIGINT) AS r
+        |  FROM nodes nd CROSS JOIN p
+        |  LEFT JOIN (SELECT e.dst AS node, SUM((r.r * e.w) // o.tw) AS s
+        |             FROM edges e JOIN it1 r ON r.node = e.src
+        |             JOIN outw o ON o.src = e.src
+        |             GROUP BY e.dst) c ON c.node = nd.node),
+        |it3 AS MATERIALIZED (
+        |  SELECT nd.node,
+        |         CAST(1000000000000 * 15 // 100 // p.n
+        |              + 85 * COALESCE(c.s, 0) // 100 AS BIGINT) AS r
+        |  FROM nodes nd CROSS JOIN p
+        |  LEFT JOIN (SELECT e.dst AS node, SUM((r.r * e.w) // o.tw) AS s
+        |             FROM edges e JOIN it2 r ON r.node = e.src
+        |             JOIN outw o ON o.src = e.src
+        |             GROUP BY e.dst) c ON c.node = nd.node)
+        |SELECT node, r AS rank_fp FROM it3
+        |ORDER BY rank_fp DESC, node""".stripMargin,
+
+    // Domain-cap replay: the planted url's registered domain is
+    // lower(source)||'.com' BY CONSTRUCTION; keep the 40 lowest ids per
+    // domain.
+    "q_domain_cap" ->
+      """WITH d AS (SELECT doc_id, lower(source) || '.com' AS domain FROM documents),
+        |k AS (SELECT doc_id, domain,
+        |             ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+        |      FROM d)
+        |SELECT doc_id, domain FROM k WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
 
     "q_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

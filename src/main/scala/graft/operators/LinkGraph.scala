@@ -55,13 +55,28 @@ object LinkGraph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 5,
                dampNum: Long = 85L, dampDen: Long = 100L,
-               scale: Long = 1000000000000L): DataFrame = {
+               scale: Long = 1000000000000L,
+               weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 0 && dampNum >= 0 && dampNum <= dampDen,
       s"need 0 <= d = $dampNum/$dampDen <= 1 and iterations >= 0")
     val spark = edges.sparkSession
+    // weighted graphs (link counts, click counts) split a source's mass
+    // proportionally: contribution = (r·w) div Σw — still exact longs.
+    // Weights are bounded so r·w stays inside a long: r ≤ scale, so
+    // w ≤ Long.Max/scale (~9.2·10⁶ at the default scale) — checked
+    // eagerly below (silent wrap-around would corrupt ranks, and an
+    // engine replaying in wider arithmetic would silently diverge).
     val e = edges.select(col(srcCol).cast("long").as("_src"),
-      col(dstCol).cast("long").as("_dst"))
-    // nodes and out-degrees are iteration-invariant: compute once,
+      col(dstCol).cast("long").as("_dst"),
+      weightCol.map(w => col(w).cast("long")).getOrElse(lit(1L)).as("_w"))
+    weightCol.foreach { _ =>
+      val mm = e.agg(min(col("_w")), max(col("_w"))).head()
+      require(!mm.isNullAt(0) && mm.getLong(0) >= 0,
+        s"edge weights must be non-negative, found min ${mm.get(0)}")
+      require(mm.getLong(1) <= Long.MaxValue / scale,
+        s"edge weight ${mm.getLong(1)} overflows rank·weight at scale $scale")
+    }
+    // nodes and out-weights are iteration-invariant: compute once,
     // persist; the edge table is partitioned by src once so each
     // iteration's rank join shuffles only the rank side.
     val nodes = e.select(col("_src").as("node"))
@@ -69,7 +84,7 @@ object LinkGraph {
       .distinct().localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "empty edge table")
-    val outdeg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
+    val outdeg = e.groupBy(col("_src")).agg(sum(col("_w")).as("_tw"))
     val esrc = e.join(outdeg, "_src")
       .repartition(col("_src")).localCheckpoint(true)
     // base = scale·(1−d)/N and init = scale/N, both exact left-assoc
@@ -78,8 +93,11 @@ object LinkGraph {
     var ranks = nodes.withColumn("_r", lit(scale / n)).localCheckpoint(true)
     var ranksRdd = Dedup.checkpointedRdd(ranks)
     (0 until iterations).foreach { _ =>
-      val contribs = esrc.join(ranks.withColumnRenamed("node", "_src"), "_src")
-        .select(col("_dst"), expr("CAST(_r div _deg AS BIGINT)").as("_c"))
+      // zero-total sources (all-zero weights) emit nothing — same
+      // decay contract as dangling nodes
+      val contribs = esrc.filter(col("_tw") > 0)
+        .join(ranks.withColumnRenamed("node", "_src"), "_src")
+        .select(col("_dst"), expr("CAST((_r * _w) div _tw AS BIGINT)").as("_c"))
         .groupBy(col("_dst")).agg(sum(col("_c")).as("_s"))
       val next = nodes.join(contribs.withColumnRenamed("_dst", "node"), Seq("node"), "left")
         .select(col("node"),

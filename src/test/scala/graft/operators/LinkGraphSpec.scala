@@ -75,6 +75,40 @@ class LinkGraphSpec extends SparkSpec {
     assert(r1 == ref(edges, 5))
   }
 
+  test("weighted pageRank: mass splits proportionally; unit weights equal the unweighted run") {
+    val ws = StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType),
+      StructField("w", LongType)))
+    // 1 sends 3/4 of its mass to 2 and 1/4 to 3; cycle back edges
+    val weighted = df(ws, Seq(Row(1L, 2L, 3L), Row(1L, 3L, 1L), Row(2L, 1L, 1L), Row(3L, 1L, 1L)))
+    val got = LinkGraph.pageRank(weighted, "src", "dst", iterations = 4, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) > got(3L), s"heavier edge must carry more mass: $got")
+    // local exact mirror of one weighted iteration from uniform init
+    val n = 3L; val scale = 1000000000000L
+    val r0 = scale / n; val base = scale * 15L / 100L / n
+    val s2 = r0 * 3L / 4L // (r*w) div tw for edge 1->2
+    assert {
+      val oneIter = LinkGraph.pageRank(weighted, "src", "dst", iterations = 1, weightCol = Some("w"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      oneIter(2L) == base + 85L * s2 / 100L
+    }
+    // unit weights reproduce the unweighted path exactly
+    val unit = weighted.withColumn("w", lit(1L))
+    val a = LinkGraph.pageRank(unit, "src", "dst", iterations = 3, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = LinkGraph.pageRank(unit.drop("w"), "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // negative and overflow-scale weights rejected eagerly
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(df(ws, Seq(Row(1L, 2L, -1L))), "src", "dst", weightCol = Some("w"))
+    }
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(df(ws, Seq(Row(1L, 2L, Long.MaxValue))), "src", "dst", weightCol = Some("w"))
+    }
+  }
+
   test("hub graph: authorities outrank leaves; empty edges rejected") {
     // every leaf links to the hub; hub links back to leaf 10 only
     val edges = (11L to 15L).map(l => (l, 1L)) :+ (1L, 10L)
