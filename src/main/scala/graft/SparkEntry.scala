@@ -453,6 +453,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_tokenizer_coverage" -> ((s, dir) => {
+      // tokenizer-ops coverage report: after training on the en slice,
+      // how much of each language the vocabulary can encode — docs,
+      // <unk> token counts, affected docs, per lang. An unk id arises
+      // EXACTLY at an out-of-alphabet character (seen-alphabet words
+      // always segment into vocab symbols; learned merges never touch
+      // unseen chars), so the oracle derives the counts from the
+      // training alphabet without replaying the tokenizer — while the
+      // Spark side runs the REAL train → encode path end to end.
+      val d = T(s, dir, "documents")
+      val model = Bpe.trainBatched(d.filter(col("lang") === "en"), "text",
+        numMerges = 64, batchSize = 32)
+      val enc = Bpe.encodeIds(d, "text", "doc_id", model)
+      d.select(col("doc_id"), col("lang")).join(enc, Seq("doc_id"), "left")
+        .select(col("lang"),
+          coalesce(size(filter(col("token_ids"), x => x === lit(-1L))).cast("long"), lit(0L))
+            .as("_oov"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_oov")).as("oov_tokens"),
+          sum(when(col("_oov") > 0, 1L).otherwise(0L)).as("docs_with_oov"))
+        .orderBy(col("lang"))
+    }),
+
     "q_dsir" -> ((s, dir) => {
       // DSIR importance resampling (target = the src1 slice, raw = the
       // whole corpus) under the ORACLE-REPLAYABLE arithmetic bucketer —
@@ -2830,6 +2854,28 @@ object SparkEntry {
         |FROM norm n LEFT JOIN bad b USING (doc_id)
         |WHERE b.doc_id IS NULL AND len(n.t) > 0
         |ORDER BY n.doc_id""".stripMargin,
+
+    // Coverage replay WITHOUT the tokenizer: the en training alphabet,
+    // then per-doc counts of characters outside it (= the exact unk
+    // count the encode path emits); blank docs carry zero.
+    "q_tokenizer_coverage" ->
+      """WITH norm AS MATERIALIZED (
+        |  SELECT doc_id, lang, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |alpha AS MATERIALIZED (
+        |  SELECT DISTINCT unnest(string_split(replace(t, ' ', ''), '')) AS c
+        |  FROM norm WHERE lang = 'en' AND len(t) > 0),
+        |chars AS MATERIALIZED (
+        |  SELECT doc_id, unnest(string_split(replace(t, ' ', ''), '')) AS c
+        |  FROM norm WHERE len(t) > 0),
+        |oov AS MATERIALIZED (
+        |  SELECT ch.doc_id, COUNT(*) FILTER (WHERE a.c IS NULL) AS oovn
+        |  FROM chars ch LEFT JOIN alpha a USING (c) GROUP BY ch.doc_id)
+        |SELECT n.lang, CAST(COUNT(1) AS BIGINT) AS n_docs,
+        |       CAST(SUM(COALESCE(o.oovn, 0)) AS BIGINT) AS oov_tokens,
+        |       CAST(SUM(CASE WHEN COALESCE(o.oovn, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_oov
+        |FROM norm n LEFT JOIN oov o USING (doc_id)
+        |GROUP BY n.lang ORDER BY n.lang""".stripMargin,
 
     // Full DSIR replay: unigram+bigram stream, polynomial codepoint
     // buckets (list_reduce fold — same integer chain as arithBucket),
