@@ -966,6 +966,22 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "q_pagerank_warm" -> ((s, dir) => {
+      // warm-start continuation: 3 cold iterations, then 2 more via
+      // pageRankFrom on the saved ranks. The oracle runs 5 COLD
+      // iterations — the exact-equivalence claim
+      // pageRankFrom(pageRank(k), m) == pageRank(k+m) checked
+      // externally, not just in-suite.
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), (lit(1000000L) + col("l_suppkey")).as("dst"))
+        .distinct()
+      val prior = LinkGraph.pageRank(edges, "src", "dst", iterations = 3)
+      LinkGraph.pageRankFrom(edges, prior, "src", "dst", iterations = 2)
+        .orderBy(col("rank_fp").desc, col("node"))
+    }),
+
     "q_pagerank_weighted" -> ((s, dir) => {
       // weighted domain-rank: the same customer->supplier graph but
       // each edge weighted by its lineitem count, so mass splits
@@ -3341,6 +3357,33 @@ object SparkEntry {
         |FROM short s JOIN e USING (vec_id) CROSS JOIN q
         |ORDER BY ROUND(CAST(list_cosine_similarity(e.v, q.qv) AS DOUBLE), 6) + 0.0 DESC, s.vec_id
         |LIMIT 10""".stripMargin,
+
+    // Warm-start replay: 5 unrolled COLD iterations — equal by the
+    // recurrence to the Spark side's 3 cold + 2 warm (generated
+    // programmatically; the per-iteration block is the q_pagerank one).
+    "q_pagerank_warm" -> {
+      val head = """WITH edges AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |p AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+        |outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |r0 AS MATERIALIZED (
+        |  SELECT node, 1000000000000 // n AS r FROM nodes CROSS JOIN p)""".stripMargin
+      def it(cur: String, prev: String) =
+        s"""$cur AS MATERIALIZED (
+           |  SELECT nd.node,
+           |         CAST(1000000000000 * 15 // 100 // p.n
+           |              + 85 * COALESCE(c.s, 0) // 100 AS BIGINT) AS r
+           |  FROM nodes nd CROSS JOIN p
+           |  LEFT JOIN (SELECT e.dst AS node, SUM(r.r // o.deg) AS s
+           |             FROM edges e JOIN $prev r ON r.node = e.src
+           |             JOIN outdeg o ON o.src = e.src
+           |             GROUP BY e.dst) c ON c.node = nd.node)""".stripMargin
+      head + ",\n" +
+        (1 to 5).map(i => it(s"it$i", if (i == 1) "r0" else s"it${i - 1}")).mkString(",\n") +
+        "\nSELECT node, r AS rank_fp FROM it5\nORDER BY rank_fp DESC, node"
+    },
 
     // Weighted PageRank replay: same unrolled recurrence, mass split
     // proportionally — per-edge (r·w) // Σw, exact BIGINT throughout.

@@ -56,7 +56,33 @@ object LinkGraph {
                iterations: Int = 5,
                dampNum: Long = 85L, dampDen: Long = 100L,
                scale: Long = 1000000000000L,
-               weightCol: Option[String] = None): DataFrame = {
+               weightCol: Option[String] = None): DataFrame =
+    pageRankIter(edges, srcCol, dstCol, iterations, dampNum, dampDen, scale,
+      weightCol, priorRanks = None)
+
+  /** Warm-start continuation: run `iterations` more power iterations
+    * from a PREVIOUS run's (node, rank_fp) output instead of the
+    * uniform init — the daily-refresh path (yesterday's ranks are a far
+    * better starting point than uniform, so an updated graph re-ranks
+    * in 1–2 iterations instead of a full cold run). Exactly the same
+    * recurrence: on an UNCHANGED graph,
+    * `pageRankFrom(pageRank(g, k), m) == pageRank(g, k+m)` bit-for-bit
+    * (spec-pinned). Nodes NEW to the graph (absent from `priorRanks`)
+    * start at the uniform scale/N; departed nodes' prior rows are
+    * ignored. */
+  def pageRankFrom(edges: DataFrame, priorRanks: DataFrame,
+                   srcCol: String, dstCol: String,
+                   iterations: Int = 2,
+                   dampNum: Long = 85L, dampDen: Long = 100L,
+                   scale: Long = 1000000000000L,
+                   weightCol: Option[String] = None): DataFrame =
+    pageRankIter(edges, srcCol, dstCol, iterations, dampNum, dampDen, scale,
+      weightCol, priorRanks = Some(priorRanks))
+
+  private def pageRankIter(edges: DataFrame, srcCol: String, dstCol: String,
+                           iterations: Int, dampNum: Long, dampDen: Long,
+                           scale: Long, weightCol: Option[String],
+                           priorRanks: Option[DataFrame]): DataFrame = {
     require(iterations >= 0 && dampNum >= 0 && dampNum <= dampDen,
       s"need 0 <= d = $dampNum/$dampDen <= 1 and iterations >= 0")
     val spark = edges.sparkSession
@@ -90,7 +116,13 @@ object LinkGraph {
     // base = scale·(1−d)/N and init = scale/N, both exact left-assoc
     // integer division (mirrored verbatim in the oracle)
     val base = scale * (dampDen - dampNum) / dampDen / n
-    var ranks = nodes.withColumn("_r", lit(scale / n)).localCheckpoint(true)
+    val init = priorRanks match {
+      case Some(pr) =>
+        nodes.join(pr.select(col("node"), col("rank_fp").as("_pr")), Seq("node"), "left")
+          .select(col("node"), coalesce(col("_pr"), lit(scale / n)).as("_r"))
+      case None => nodes.withColumn("_r", lit(scale / n))
+    }
+    var ranks = init.localCheckpoint(true)
     var ranksRdd = Dedup.checkpointedRdd(ranks)
     (0 until iterations).foreach { _ =>
       // zero-total sources (all-zero weights) emit nothing — same

@@ -109,6 +109,33 @@ class LinkGraphSpec extends SparkSpec {
     }
   }
 
+  test("pageRankFrom: warm start == continued cold run; new nodes join at uniform") {
+    val rnd = new scala.util.Random(19)
+    val edges = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2)
+    val d = df(edgeSchema, edges.map(e => Row(e._1, e._2)))
+    val cold5 = LinkGraph.pageRank(d, "src", "dst", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val warm = LinkGraph.pageRankFrom(d,
+        LinkGraph.pageRank(d, "src", "dst", iterations = 3), "src", "dst", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warm == cold5)
+    // a node unseen in the prior ranks starts at uniform: grafting a
+    // fresh edge (100 -> 0) and warm-starting must equal a cold run of
+    // the SAME iteration count whose init matches (1 warm iteration
+    // from cold-0 prior == 1 cold iteration, priors all uniform)
+    val d2 = df(edgeSchema, (edges :+ ((100L, 0L))).map(e => Row(e._1, e._2)))
+    val fromZero = LinkGraph.pageRankFrom(d2,
+        LinkGraph.pageRank(d, "src", "dst", iterations = 0), "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold1 = LinkGraph.pageRank(d2, "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // iteration-0 priors are uniform over d's 30 nodes = scale/30; d2
+    // has 31 nodes (uniform scale/31), so the two inits differ — but
+    // node 100 (absent from priors) must be present and ranked in both
+    assert(fromZero.keySet == cold1.keySet && fromZero.contains(100L))
+  }
+
   test("hub graph: authorities outrank leaves; empty edges rejected") {
     // every leaf links to the hub; hub links back to leaf 10 only
     val edges = (11L to 15L).map(l => (l, 1L)) :+ (1L, 10L)
