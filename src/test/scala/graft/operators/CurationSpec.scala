@@ -499,6 +499,38 @@ class CurationSpec extends SparkSpec {
     assert(plain(("de", 0L)) == ((Seq(40L), Seq(1L), Seq(0L))))
   }
 
+  test("corpusDiff random-fixture: matches a local reference; reversal swaps added/removed") {
+    val rnd = new scala.util.Random(23)
+    val s = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def norm(t: String) = t.toLowerCase.replaceAll("\\s+", " ").trim
+    (0 until 3).foreach { round =>
+      def text(i: Long, v: Int) = s"doc $i  Version $v " + ("pad " * (i % 3).toInt)
+      val oldRows = (0L until 60L).filter(_ => rnd.nextDouble() < 0.8).map(i => i -> text(i, 0))
+      val newRows = (0L until 60L).filter(_ => rnd.nextDouble() < 0.8)
+        .map(i => i -> (if (rnd.nextBoolean()) text(i, 0) else text(i, 1)))
+      val om = oldRows.toMap; val nm = newRows.toMap
+      val expect = (om.keySet ++ nm.keySet).map { i =>
+        i -> ((om.get(i), nm.get(i)) match {
+          case (None, Some(_)) => "added"
+          case (Some(_), None) => "removed"
+          case (Some(a), Some(b)) if norm(a) == norm(b) => "unchanged"
+          case _ => "changed"
+        })
+      }.toMap
+      val odf = df(s, oldRows.map { case (i, t) => Row(i, t) })
+      val ndf = df(s, newRows.map { case (i, t) => Row(i, t) })
+      val got = Curation.corpusDiff(odf, ndf, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expect, s"round $round")
+      val rev = Curation.corpusDiff(ndf, odf, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rev == expect.map { case (k, v) => k -> (v match {
+        case "added" => "removed"; case "removed" => "added"; case x => x
+      }) }, s"round $round reversed")
+    }
+  }
+
   test("corpusDiff: added/removed/changed/unchanged; whitespace-only edits are unchanged") {
     val s = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
