@@ -42,4 +42,21 @@ object Archive {
       b.result().sorted.reverse
     } finally s.close()
   }
+
+  /** Retention: delete all but the newest `keepLast` snapshots of
+    * `table` and return the deleted timestamps (newest-first order, as
+    * [[list]]). A dump-per-tick plan accumulates snapshots without
+    * bound; this is the `find … -mtime +N -delete` of the dump-file
+    * world, made explicit. Idempotent — re-running deletes nothing
+    * further. `keepLast` must be ≥ 1: an archive that can silently
+    * drop its ONLY snapshot is a footgun, not a retention policy. */
+  def prune(table: String, archiveDir: String, keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val doomed = list(table, archiveDir).drop(keepLast)
+    doomed.foreach { ts =>
+      graft.sources.FileTableOps.deleteRecursively(
+        java.nio.file.Paths.get(archiveDir, table, ts))
+    }
+    doomed
+  }
 }

@@ -81,4 +81,23 @@ class ArchiveSpec extends SparkSpec {
     Archive.snapshot(c, "users", archive, ZonedDateTime.of(2024, 2, 1, 0, 0, 0, 0, ZoneOffset.UTC))
     assert(Archive.list("users", archive) == Seq("20240201T000000", "20240101T000000"))
   }
+
+  test("prune keeps the newest keepLast snapshots, is idempotent, survivors restore") {
+    val c = new ParquetConnector(spark, tmpDir("graft_arch3_src_"))
+    val archive = tmpDir("graft_arch3_")
+    c.write(usersDf, "users")
+    (1 to 5).foreach { m =>
+      Archive.snapshot(c, "users", archive, ZonedDateTime.of(2024, m, 1, 0, 0, 0, 0, ZoneOffset.UTC))
+    }
+    val deleted = Archive.prune("users", archive, keepLast = 2)
+    assert(deleted == Seq("20240301T000000", "20240201T000000", "20240101T000000"))
+    assert(Archive.list("users", archive) == Seq("20240501T000000", "20240401T000000"))
+    assert(Archive.prune("users", archive, keepLast = 2).isEmpty) // idempotent
+    // a surviving snapshot still restores intact
+    Archive.restore(c, s"$archive/users/20240401T000000", "users_r")
+    assert(c.count("users_r") == c.count("users"))
+    intercept[IllegalArgumentException] { Archive.prune("users", archive, keepLast = 0) }
+    // unknown table: nothing to delete, no error
+    assert(Archive.prune("ghost", archive, keepLast = 1).isEmpty)
+  }
 }
