@@ -111,8 +111,16 @@ object LinkGraph {
     val n = nodes.count()
     require(n > 0, "empty edge table")
     val outdeg = e.groupBy(col("_src")).agg(sum(col("_w")).as("_tw"))
+    // persist (NOT localCheckpoint): a checkpoint erases the plan's
+    // outputPartitioning, so on a graph whose rank table exceeds the
+    // broadcast threshold every iteration would re-shuffle the EDGES
+    // too. Cached, the src partitioning survives and each iteration's
+    // join moves only the |V|-sized rank side — which Spark broadcasts
+    // outright at domain-graph sizes (plan-audited: BroadcastHashJoin,
+    // edges never exchanged).
     val esrc = e.join(outdeg, "_src")
-      .repartition(col("_src")).localCheckpoint(true)
+      .repartition(col("_src")).persist()
+    esrc.count()
     // base = scale·(1−d)/N and init = scale/N, both exact left-assoc
     // integer division (mirrored verbatim in the oracle)
     val base = scale * (dampDen - dampNum) / dampDen / n
@@ -141,7 +149,7 @@ object LinkGraph {
       ranksRdd.foreach(_.unpersist(false))
       ranks = next; ranksRdd = nextRdd
     }
-    Dedup.checkpointedRdd(esrc).foreach(_.unpersist(false))
+    esrc.unpersist(false)
     Dedup.checkpointedRdd(nodes).foreach(_.unpersist(false))
     ranks.select(col("node"), col("_r").as("rank_fp"))
   }
