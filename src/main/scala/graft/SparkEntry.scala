@@ -453,6 +453,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_chunk_sentences" -> ((s, dir) => {
+      // sentence-boundary chunking at a 40-token budget: sentences
+      // never split, chunks never exceed the budget (unless one
+      // sentence alone does -> singleton). The synthetic corpus has no
+      // punctuation, so sentence breaks are PLANTED deterministically
+      // (a period closes every 12th word) — 12-token sentences pack 3
+      // per 40-token chunk, so the packer genuinely binds. Oracle
+      // replays the planting, the RE2-safe extraction, the per-doc
+      // lock-step next-fit recursion, and the ordered assembly.
+      val punct = T(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.normalizeForFingerprint(col("text")).as("_nt"))
+        .filter(length(col("_nt")) > 0)
+        .select(col("doc_id"), array_join(
+          transform(split(col("_nt"), " "), (w, i) =>
+            when((i + 1) % 12 === 0, concat(w, lit("."))).otherwise(w)), " ").as("text"))
+      Curation.chunkSentences(punct, "text", "doc_id", budgetTokens = 40)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     "q_tokenizer_coverage" -> ((s, dir) => {
       // tokenizer-ops coverage report: after training on the en slice,
       // how much of each language the vocabulary can encode — docs,
@@ -2870,6 +2889,53 @@ object SparkEntry {
         |FROM norm n LEFT JOIN bad b USING (doc_id)
         |WHERE b.doc_id IS NULL AND len(n.t) > 0
         |ORDER BY n.doc_id""".stripMargin,
+
+    // Sentence-chunk replay: parallel unnest keeps the PRE-FILTER
+    // sentence index (blank segments drop but indices don't renumber,
+    // as in the Spark posexplode→filter order); weights cap at the
+    // budget for the recursion; chunk text re-joins in sentence order.
+    "q_chunk_sentences" ->
+      """WITH RECURSIVE norm0 AS MATERIALIZED (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt0
+        |  FROM documents),
+        |words AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(nt0, ' ')) AS tok,
+        |         unnest(generate_series(0, len(regexp_split_to_array(nt0, ' ')) - 1)) AS i
+        |  FROM norm0 WHERE length(nt0) > 0),
+        |norm AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         string_agg(tok || CASE WHEN (i + 1) % 12 = 0 THEN '.' ELSE '' END,
+        |                    ' ' ORDER BY i) AS nt
+        |  FROM words GROUP BY doc_id),
+        |sraw AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         unnest(regexp_extract_all(nt, '[^.!?]+[.!?]*')) AS s0,
+        |         unnest(generate_series(0, len(regexp_extract_all(nt, '[^.!?]+[.!?]*')) - 1)) AS sidx
+        |  FROM norm WHERE length(nt) > 0),
+        |sents AS MATERIALIZED (
+        |  SELECT doc_id, sidx, trim(s0) AS sent,
+        |         CAST(len(regexp_split_to_array(trim(s0), ' ')) AS BIGINT) AS stok
+        |  FROM sraw WHERE length(trim(s0)) > 0),
+        |o AS MATERIALIZED (
+        |  SELECT doc_id, sidx, sent, stok, LEAST(stok, 40) AS w,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sidx) AS rn
+        |  FROM sents),
+        |r AS (
+        |  SELECT doc_id, rn, sidx, sent, stok,
+        |         CAST(0 AS BIGINT) AS bin, w AS used
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.doc_id, o.rn, o.sidx, o.sent, o.stok,
+        |         CASE WHEN r.used + o.w > 40 THEN r.bin + 1 ELSE r.bin END,
+        |         CASE WHEN r.used + o.w > 40 THEN o.w ELSE r.used + o.w END
+        |  FROM r JOIN o ON o.doc_id = r.doc_id AND o.rn = r.rn + 1)
+        |SELECT doc_id, bin AS chunk_idx,
+        |       string_agg(sent, ' ' ORDER BY sidx) AS chunk_text,
+        |       CAST(COUNT(1) AS BIGINT) AS n_sentences,
+        |       CAST(SUM(stok) AS BIGINT) AS n_tokens
+        |FROM r GROUP BY doc_id, bin
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // Coverage replay WITHOUT the tokenizer: the en training alphabet,
     // then per-doc counts of characters outside it (= the exact unk

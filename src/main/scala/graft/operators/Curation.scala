@@ -643,6 +643,44 @@ object Curation {
         least(lit(chunkTokens), col("_n") - col("chunk_idx") * stride).cast("long").as("n_tokens"))
   }
 
+  /** Sentence-boundary-respecting chunking — the RAG / context-window
+    * chunker that never splits mid-sentence: sentences pack greedily
+    * (next-fit, in document order) into chunks of at most
+    * `budgetTokens` whitespace tokens. A sentence is a run of
+    * non-terminator characters plus its closing `[.!?]` run, extracted
+    * from the normalized text with an RE2∩Java-safe pattern (no
+    * lookbehind — external engines replay it; `q_chunk_sentences`).
+    *
+    * Sentences LONGER than the budget become singleton chunks (their
+    * weight caps at the budget for the pack walk; the reported
+    * `n_tokens` is the true count) — split such outliers with the word
+    * chunker downstream if a hard ceiling matters. Shape: sentence
+    * explode → [[packSequencesStrict]] on (doc, sentence-order) → one
+    * per-(doc, chunk) aggregation whose state is bounded by the budget,
+    * exactly the [[assembleSequences]] scale contract. */
+  def chunkSentences(df: DataFrame, textCol: String, idCol: String,
+                     budgetTokens: Int): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val sents = df
+      .select(col(idCol),
+        graft.functions.TextFunctions.normalizeForFingerprint(col(textCol)).as("_nt"))
+      .filter(length(col("_nt")) > 0)
+      .select(col(idCol),
+        posexplode(expr("regexp_extract_all(_nt, '[^.!?]+[.!?]*', 0)")).as(Seq("_sidx", "_s")))
+      .select(col(idCol), col("_sidx"), trim(col("_s")).as("_sent"))
+      .filter(length(col("_sent")) > 0)
+      .withColumn("_stok", size(split(col("_sent"), " ")).cast("long"))
+      .withColumn("_w", least(col("_stok"), lit(budgetTokens.toLong)))
+    val packed = packSequencesStrict(sents, "_w", budgetTokens.toLong,
+      Seq(idCol), "_sidx", binCol = "chunk_idx")
+    packed.groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("_sidx"), col("_sent")))),
+          x => x.getField("_sent")), " ").as("chunk_text"),
+        count(lit(1)).as("n_sentences"),
+        sum(col("_stok")).as("n_tokens"))
+  }
+
   /** Benchmark-contamination check: for every corpus document, how many
     * of its distinct word n-grams also occur in the benchmark set
     * (normalized: lowercase, whitespace collapsed). The decontamination

@@ -499,6 +499,31 @@ class CurationSpec extends SparkSpec {
     assert(plain(("de", 0L)) == ((Seq(40L), Seq(1L), Seq(0L))))
   }
 
+  test("chunkSentences: sentences never split; budget holds except lone oversize; text reassembles") {
+    val s = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val d = df(s, Seq(
+      Row(1L, "one two three. four five six! seven eight? nine ten"),
+      Row(2L, ("w " * 12).trim + "."),                // oversize single sentence (12 > 8)
+      Row(3L, "   "),                                  // blank: no chunks
+      Row(4L, "Tiny. Doc.")))
+    val out = Curation.chunkSentences(d, "text", "doc_id", budgetTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 1: sentences of 3/3/2/2 tokens -> [3+3+2=8][2]
+    assert(out((1L, 0L)) == (("one two three. four five six! seven eight?", 3L, 8L)))
+    assert(out((1L, 1L)) == (("nine ten", 1L, 2L)))
+    // doc 2: a single 12-token sentence becomes a singleton chunk with
+    // its TRUE token count reported
+    assert(out((2L, 0L))._3 == 12L && out((2L, 0L))._2 == 1L)
+    assert(!out.keySet.exists(_._1 == 3L))
+    // doc 4: both tiny sentences fit one chunk; normalization lowercases
+    assert(out((4L, 0L)) == (("tiny. doc.", 2L, 2L)))
+    // chunks concatenated in order reproduce the normalized text
+    val joined = out.toSeq.filter(_._1._1 == 1L).sortBy(_._1._2).map(_._2._1).mkString(" ")
+    assert(joined == "one two three. four five six! seven eight? nine ten")
+  }
+
   test("corpusDiff random-fixture: matches a local reference; reversal swaps added/removed") {
     val rnd = new scala.util.Random(23)
     val s = StructType(Seq(
