@@ -1152,6 +1152,26 @@ object SparkEntry {
       operators.Retrieval.rrfFuse(Seq(lex, sem), "doc_id", topK = 20)
     }),
 
+    "q_tfidf" -> ((s, dir) => {
+      // smoothed TF-IDF keyword extraction (sklearn form): top-5 terms
+      // per document, hapaxes dropped (minDf = 2); tf/df/N integer
+      // aggregates, idf computed in-plan, scores 1e-8 fixed-point; the
+      // per-doc window partitions by document (groups bounded by doc
+      // length, never corpus-sized)
+      operators.Retrieval.tfidfTopK(T(s, dir, "documents"), "text", "doc_id",
+          k = 5, minDf = 2)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    "q_pmi" -> ((s, dir) => {
+      // PMI collocations (Church & Hanks): corpus top-30 adjacent
+      // bigrams by ln(N*c_xy/(c_x*c_y)), pairs under 5 occurrences
+      // dropped; log-domain scoring (no count products to overflow),
+      // one tokenize scan feeding both count families, TakeOrdered tail
+      operators.Retrieval.pmiCollocations(T(s, dir, "documents"), "text",
+        k = 30, minCount = 5)
+    }),
+
     "q_cap_group" -> ((s, dir) => {
       // per-source cardinality cap (the per-domain cap of web curation
       // recipes) — lowest-id winners via the mergeable bottom-k heap,
@@ -2222,6 +2242,45 @@ object SparkEntry {
         |          + (CASE WHEN s2.r IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS lists_hit
         |FROM lexr l FULL OUTER JOIN semr s2 USING (doc_id)
         |ORDER BY rrf_fp DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'),
+        |                x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(1) AS tf FROM toks GROUP BY 1, 2),
+        |n AS (SELECT COUNT(1) AS n FROM documents),
+        |dft AS (SELECT token, COUNT(1) AS df_t FROM tf GROUP BY 1 HAVING COUNT(1) >= 2),
+        |s AS (
+        |  SELECT tf.doc_id, tf.token,
+        |         CAST(FLOOR(CAST(tf.tf AS DOUBLE)
+        |           * (ln((1.0 + CAST(n.n AS DOUBLE)) / (1.0 + CAST(dft.df_t AS DOUBLE))) + 1.0)
+        |           * 1e8) AS BIGINT) AS tfidf_fp
+        |  FROM tf JOIN dft USING (token) CROSS JOIN n)
+        |SELECT doc_id, rank, token, tfidf_fp FROM (
+        |  SELECT doc_id, token, tfidf_fp,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_fp DESC, token) AS rank
+        |  FROM s)
+        |WHERE rank <= 5
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "q_pmi" ->
+      """WITH toks AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'),
+        |                     x -> len(x) > 0) AS t
+        |  FROM documents),
+        |p0 AS (SELECT t, unnest(range(1, len(t))) AS i FROM toks),
+        |pc AS (SELECT t[i] AS term_a, t[i + 1] AS term_b, COUNT(1) AS pair_n
+        |       FROM p0 GROUP BY 1, 2 HAVING COUNT(1) >= 5),
+        |uc AS (SELECT term, COUNT(1) AS n1
+        |       FROM (SELECT unnest(t) AS term FROM toks) GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(n1) AS BIGINT) AS n FROM uc)
+        |SELECT term_a, term_b, pair_n,
+        |       CAST(FLOOR((ln(CAST(nt.n AS DOUBLE)) + ln(CAST(pair_n AS DOUBLE))
+        |         - ln(CAST(a.n1 AS DOUBLE)) - ln(CAST(b.n1 AS DOUBLE))) * 1e8) AS BIGINT) AS pmi_fp
+        |FROM pc JOIN uc a ON pc.term_a = a.term JOIN uc b ON pc.term_b = b.term CROSS JOIN nt
+        |ORDER BY pmi_fp DESC, term_a, term_b LIMIT 30""".stripMargin,
 
     "q_cap_group" ->
       """SELECT doc_id, source, lang FROM (

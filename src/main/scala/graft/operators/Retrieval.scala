@@ -133,6 +133,102 @@ object Retrieval {
       .select(col(idCol), col("rank"))
   }
 
+  /** TF-IDF keyword extraction: the top-`k` terms of every document by
+    * smoothed TF-IDF (the sklearn `TfidfVectorizer` form:
+    * idf = ln((1+N)/(1+df)) + 1, score = tf·idf) — the corpus-analysis
+    * primitive behind topic tagging, per-domain vocabulary drift
+    * reports, and cheap extractive keywording of a crawl.
+    *
+    * Output: (`idCol`, rank 1-based, token, `tfidf_fp`) — one row per
+    * kept (doc, term); terms seen in fewer than `minDf` documents are
+    * dropped (hapaxes under smooth-idf otherwise dominate every list).
+    *
+    * Scale shape: one tokenize scan → explode → (doc, term) partial-
+    * aggregated counts (hot terms collapse map-side); document
+    * frequency is a second aggregate OVER THE COUNTS (vocab-sized, not
+    * corpus-sized); idf is computed IN-PLAN from `df_t` (N is the only
+    * driver scalar — no vocab ever collects). The per-doc top-k window
+    * partitions by document — groups are bounded by document length,
+    * never corpus-sized, so this is the one place a window beats the
+    * heap aggregate (string payloads, small groups).
+    *
+    * Cross-engine exactness: tf/df/N are integer aggregates; the one
+    * double expression mirrors the oracle tree 1:1 and quantizes to
+    * 1e-8 fixed point (the [[bm25Scores]] contract), ties break
+    * (score desc, token asc). */
+  def tfidfTopK(df: DataFrame, textCol: String, idCol: String, k: Int,
+                minDf: Int = 2): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val n = df.count()
+    require(n > 0, "empty corpus")
+    val tf = df.select(col(idCol), explode(tokens(textCol)).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df_t"))
+      .filter(col("df_t") >= minDf)
+    // idf = ln((1+N)/(1+df)) + 1 — (1+N) constant-folds to the same
+    // IEEE literal the oracle computes; df_t stays in-plan (no vocab
+    // collect)
+    val idf =
+      log((lit(1.0) + lit(n.toDouble)) / (lit(1.0) + col("df_t").cast("double"))) + lit(1.0)
+    val scored = tf.join(dfT, "token")
+      .withColumn("tfidf_fp", floor(col("tf").cast("double") * idf * lit(1e8)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf_fp").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("tfidf_fp"))
+  }
+
+  /** PMI collocation mining: the corpus-wide top-`k` adjacent-token
+    * bigrams by pointwise mutual information,
+    * pmi = ln(N·c_xy / (c_x·c_y)) with N = total token count — the
+    * classic collocation detector (Church & Hanks 1990) curation
+    * pipelines run to find boilerplate phrases, named entities, and
+    * tokenizer-merge candidates. Bigrams below `minCount` are dropped
+    * (PMI is degenerate on rare pairs).
+    *
+    * Output: (term_a, term_b, pair_n, `pmi_fp`), top-k by pmi desc,
+    * ties by (term_a, term_b) asc.
+    *
+    * Scale shape: one tokenize scan feeds BOTH count families —
+    * unigrams and adjacent pairs — each a partial-aggregated groupBy
+    * (hot pairs collapse map-side); the unigram table is vocab-sized,
+    * joined twice onto the (filtered, far smaller) bigram table; the
+    * final top-k is `TakeOrdered`, never a global sort. PMI is
+    * computed in LOGS (ln(N)+ln(c_xy)−ln(c_x)−ln(c_y)) so 100 TB-scale
+    * counts never overflow an integer product, then quantized to 1e-8
+    * fixed point for cross-engine replay. */
+  def pmiCollocations(df: DataFrame, textCol: String, k: Int,
+                      minCount: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toked = df.select(tokens(textCol).as("_t"))
+    val uni = toked.select(explode(col("_t")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n1"))
+    // adjacent pairs: zip the token array with its tail — row-local,
+    // codegen'd, no self-join
+    val pairs = toked
+      .select(explode(zip_with(
+        slice(col("_t"), lit(1), greatest(size(col("_t")) - 1, lit(0))),
+        slice(col("_t"), lit(2), greatest(size(col("_t")) - 1, lit(0))),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("_p"))
+      .groupBy(col("_p.a").as("term_a"), col("_p.b").as("term_b"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minCount)
+    val nTok = uni.agg(coalesce(sum(col("n1")), lit(0L))).head().getLong(0)
+    require(nTok > 0, "empty corpus")
+    val na = uni.select(col("term").as("term_a"), col("n1").as("_na"))
+    val nb = uni.select(col("term").as("term_b"), col("n1").as("_nb"))
+    pairs.join(na, "term_a").join(nb, "term_b")
+      .withColumn("pmi_fp", floor(
+        (lit(math.log(nTok.toDouble)) + log(col("pair_n").cast("double"))
+          - log(col("_na").cast("double")) - log(col("_nb").cast("double")))
+          * lit(1e8)))
+      .select(col("term_a"), col("term_b"), col("pair_n"), col("pmi_fp"))
+      .orderBy(col("pmi_fp").desc, col("term_a"), col("term_b")).limit(k)
+  }
+
   /** Reciprocal-Rank Fusion (Cormack/Clarke/Buettcher 2009) of ranked
     * lists — THE standard hybrid-retrieval combiner (lexical BM25 +
     * embedding ANN): each list contributes 1/(k0 + rank) for the docs

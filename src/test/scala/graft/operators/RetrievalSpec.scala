@@ -122,4 +122,79 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("ExistingRDD"),
       s"scoring must read the materialized tokenized projection:\n$plan")
   }
+
+  /** The operator's smoothed-idf arithmetic (sklearn form), repeated so
+    * the spec pins the formula, not one implementation's consistency. */
+  private def tfidfFp(tf: Long, n: Long, dfT: Long): Long =
+    math.floor(tf.toDouble *
+      (math.log((1.0 + n.toDouble) / (1.0 + dfT.toDouble)) + 1.0) * 1e8).toLong
+
+  test("tfidfTopK: hand-checked scores, minDf drops hapaxes, ranks tie by token") {
+    val d = df(schema, Seq(
+      Row(1L, "alpha alpha beta rare"),
+      Row(2L, "alpha beta"),
+      Row(3L, "beta  BETA gamma"), // normalization: case + whitespace
+      Row(4L, "gamma"),
+      Row(5L, null)))
+    // N=5; df: alpha=2, beta=3, gamma=2, rare=1 (dropped at minDf=2)
+    val out = Retrieval.tfidfTopK(d, "text", "doc_id", k = 3, minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(3))).toMap
+    assert(!out.values.exists(_._1 == "rare"), "hapax must be dropped by minDf")
+    assert(out((1L, 1)) == ("alpha", tfidfFp(2, 5, 2)), s"doc1 rank1: $out")
+    assert(out((1L, 2)) == ("beta", tfidfFp(1, 5, 3)))
+    assert(out((3L, 1)) == ("beta", tfidfFp(2, 5, 3)), "normalized tf=2")
+    assert(out((3L, 2)) == ("gamma", tfidfFp(1, 5, 2)))
+    // doc2: alpha and beta both tf=1 — alpha (rarer) outscores beta; if
+    // scores were EQUAL the token-asc tie-break would give the same order
+    assert(out((2L, 1))._1 == "alpha" && out((2L, 2))._1 == "beta")
+    assert(!out.contains((5L, 1)), "null text emits no keywords")
+    // doc1's third term (rare) was dropped: the list is 2 long, not k=3
+    assert(out.keys.filter(_._1 == 1L).map(_._2).toSeq.sorted == Seq(1, 2))
+  }
+
+  test("tfidfTopK: k bounds each list; equal-score ties order by token asc") {
+    val d = df(schema, Seq(
+      Row(1L, "zz aa mm"), // all tf=1, all df=2 -> equal scores
+      Row(2L, "zz aa mm")))
+    val out = Retrieval.tfidfTopK(d, "text", "doc_id", k = 2, minDf = 2)
+      .filter(col("doc_id") === 1L).orderBy(col("rank"))
+      .collect().map(_.getString(2)).toSeq
+    assert(out == Seq("aa", "mm"), s"tie by token asc, k=2 bounds: $out")
+    intercept[IllegalArgumentException](Retrieval.tfidfTopK(d, "text", "doc_id", 0))
+    intercept[IllegalArgumentException](Retrieval.tfidfTopK(d, "text", "doc_id", 1, minDf = 0))
+  }
+
+  test("pmiCollocations: hand-checked log-domain PMI, minCount filter, short docs inert") {
+    val d = df(schema, Seq(
+      Row(1L, "big data big data big data"),
+      Row(2L, "big data stack"),
+      Row(3L, "solo"),
+      Row(4L, ""),
+      Row(5L, null)))
+    // tokens: big x4, data x4, stack x1, solo x1 -> N=10
+    // adjacent pairs: (big,data) x4, (data,big) x2, (data,stack) x1
+    val out = Retrieval.pmiCollocations(d, "text", k = 10, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == Set(("big", "data"), ("data", "big")),
+      s"minCount=2 keeps only the repeated pairs: ${out.keySet}")
+    def pmi(cxy: Long, cx: Long, cy: Long, n: Long): Long =
+      math.floor((math.log(n.toDouble) + math.log(cxy.toDouble)
+        - math.log(cx.toDouble) - math.log(cy.toDouble)) * 1e8).toLong
+    assert(out(("big", "data")) == (4L, pmi(4, 4, 4, 10)))
+    assert(out(("data", "big")) == (2L, pmi(2, 4, 4, 10)))
+    // ordering: higher pmi first
+    val ordered = Retrieval.pmiCollocations(d, "text", k = 10, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(ordered == Seq(("big", "data"), ("data", "big")))
+  }
+
+  test("pmiCollocations: k truncates; one-token and empty docs produce no pairs") {
+    val d = df(schema, Seq(
+      Row(1L, "a b a b a b"),
+      Row(2L, "c d c d c d"),
+      Row(3L, "x"), Row(4L, "")))
+    val out = Retrieval.pmiCollocations(d, "text", k = 1, minCount = 2).collect()
+    assert(out.length == 1, "k=1 truncates the collocation list")
+    intercept[IllegalArgumentException](Retrieval.pmiCollocations(d, "text", 0))
+  }
 }
