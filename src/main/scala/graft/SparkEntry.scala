@@ -1172,6 +1172,18 @@ object SparkEntry {
         k = 30, minCount = 5)
     }),
 
+    "q_fuzzy_join" -> ((s, dir) => {
+      // blocked edit-distance record linkage over the part catalog:
+      // first/last-token blocking -> capped in-bucket pair explode (no
+      // self-join, no cross product) -> levenshtein verify on candidates
+      // only; the block cap (2000) exceeds every sf0.01 bucket (max
+      // 269), so candidates are exhaustive-within-blocks and DuckDB
+      // replays the identical semantics as a join
+      operators.FuzzyJoin.blockedSelfJoin(T(s, dir, "part"), "p_name", "p_partkey",
+          maxDist = 1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_cap_group" -> ((s, dir) => {
       // per-source cardinality cap (the per-domain cap of web curation
       // recipes) — lowest-id winners via the mergeable bottom-k heap,
@@ -2281,6 +2293,21 @@ object SparkEntry {
         |         - ln(CAST(a.n1 AS DOUBLE)) - ln(CAST(b.n1 AS DOUBLE))) * 1e8) AS BIGINT) AS pmi_fp
         |FROM pc JOIN uc a ON pc.term_a = a.term JOIN uc b ON pc.term_b = b.term CROSS JOIN nt
         |ORDER BY pmi_fp DESC, term_a, term_b LIMIT 30""".stripMargin,
+
+    "q_fuzzy_join" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS id,
+        |         trim(regexp_replace(lower(p_name), '\s+', ' ', 'g')) AS key
+        |  FROM part),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.key AS key_a, b.key AS key_b
+        |  FROM p a JOIN p b ON a.id < b.id AND
+        |    ((str_split(a.key, ' '))[1] = (str_split(b.key, ' '))[1]
+        |     OR (str_split(a.key, ' '))[-1] = (str_split(b.key, ' '))[-1]))
+        |SELECT DISTINCT id_a, id_b, key_a, key_b,
+        |       CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist
+        |FROM pairs WHERE levenshtein(key_a, key_b) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_cap_group" ->
       """SELECT doc_id, source, lang FROM (
