@@ -1172,6 +1172,22 @@ object SparkEntry {
         k = 30, minCount = 5)
     }),
 
+    "q_bloom_join" -> ((s, dir) => {
+      // explicit bloom-filter join pre-filter: lineitem (probe) rows
+      // are might-contain tested against the NATION_3 suppliers' key
+      // set AT THE SCAN, before any exchange; bloom false positives die
+      // in the exact join, so the oracle is the plain join
+      val sup = T(s, dir, "supplier")
+        .join(T(s, dir, "nation").filter(col("n_name") === "NATION_3"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      operators.BloomJoin.join(T(s, dir, "lineitem"), "l_suppkey", sup, "s_suppkey")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy(col("l_suppkey"))
+    }),
+
     "q_fuzzy_join" -> ((s, dir) => {
       // blocked edit-distance record linkage over the part catalog:
       // first/last-token blocking -> capped in-bucket pair explode (no
@@ -2293,6 +2309,15 @@ object SparkEntry {
         |         - ln(CAST(a.n1 AS DOUBLE)) - ln(CAST(b.n1 AS DOUBLE))) * 1e8) AS BIGINT) AS pmi_fp
         |FROM pc JOIN uc a ON pc.term_a = a.term JOIN uc b ON pc.term_b = b.term CROSS JOIN nt
         |ORDER BY pmi_fp DESC, term_a, term_b LIMIT 30""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT l_suppkey, COUNT(1) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |JOIN (SELECT s_suppkey FROM supplier JOIN nation
+        |      ON s_nationkey = n_nationkey WHERE n_name = 'NATION_3') s
+        |  ON l_suppkey = s_suppkey
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
     "q_fuzzy_join" ->
       """WITH p AS (
