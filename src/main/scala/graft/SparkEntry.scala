@@ -1172,6 +1172,17 @@ object SparkEntry {
         k = 30, minCount = 5)
     }),
 
+    "q_gapfill" -> ((s, dir) => {
+      // time-series regularization: hourly per-user grid from each
+      // user's first to last observed hour, silent hours emitted as
+      // zero-event rows, value forward-filled; grid rows come from a
+      // row-local sequence explode (no calendar cross join), the fill
+      // window is per-entity bounded
+      operators.TimeSeries.gapFill(T(s, dir, "events"), "user_id", "ts", "value",
+          stepSeconds = 3600)
+        .orderBy(col("user_id"), col("bucket"))
+    }),
+
     "q_bloom_join" -> ((s, dir) => {
       // explicit bloom-filter join pre-filter: lineitem (probe) rows
       // are might-contain tested against the NATION_3 suppliers' key
@@ -2309,6 +2320,24 @@ object SparkEntry {
         |         - ln(CAST(a.n1 AS DOUBLE)) - ln(CAST(b.n1 AS DOUBLE))) * 1e8) AS BIGINT) AS pmi_fp
         |FROM pc JOIN uc a ON pc.term_a = a.term JOIN uc b ON pc.term_b = b.term CROSS JOIN nt
         |ORDER BY pmi_fp DESC, term_a, term_b LIMIT 30""".stripMargin,
+
+    "q_gapfill" ->
+      """WITH obs AS MATERIALIZED (
+        |  SELECT user_id,
+        |         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket,
+        |         COUNT(1) AS n_events,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(lo, hi + 3600, 3600)) AS bucket FROM span)
+        |SELECT g.user_id, g.bucket,
+        |       COALESCE(o.n_events, 0) AS n_events,
+        |       o.value_sum,
+        |       last_value(o.value_sum IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
+        |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket
+        |ORDER BY g.user_id, g.bucket""".stripMargin,
 
     "q_bloom_join" ->
       """SELECT l_suppkey, COUNT(1) AS n_items,
