@@ -1172,6 +1172,16 @@ object SparkEntry {
         k = 30, minCount = 5)
     }),
 
+    "q_profile" -> ((s, dir) => {
+      // one-scan column profiling (ANALYZE analog) in exact-NDV
+      // verification mode; the scale default swaps countDistinct for
+      // the mergeable HLL sketch (same single scan, no Expand)
+      operators.Profile.profileColumns(T(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"),
+          exactNdv = true)
+        .orderBy(col("col_name"))
+    }),
+
     "q_gapfill" -> ((s, dir) => {
       // time-series regularization: hourly per-user grid from each
       // user's first to last observed hour, silent hours emitted as
@@ -2320,6 +2330,33 @@ object SparkEntry {
         |         - ln(CAST(a.n1 AS DOUBLE)) - ln(CAST(b.n1 AS DOUBLE))) * 1e8) AS BIGINT) AS pmi_fp
         |FROM pc JOIN uc a ON pc.term_a = a.term JOIN uc b ON pc.term_b = b.term CROSS JOIN nt
         |ORDER BY pmi_fp DESC, term_a, term_b LIMIT 30""".stripMargin,
+
+    "q_profile" ->
+      """SELECT 'l_orderkey' AS col_name, COUNT(1) AS n_rows,
+        |       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        |       CAST(MIN(l_orderkey) AS VARCHAR) AS min_val,
+        |       CAST(MAX(l_orderkey) AS VARCHAR) AS max_val
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_suppkey', COUNT(1),
+        |       CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT),
+        |       CAST(MIN(l_suppkey) AS VARCHAR), CAST(MAX(l_suppkey) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', COUNT(1),
+        |       CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+        |       CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linestatus', COUNT(1),
+        |       CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(COUNT(DISTINCT l_linestatus) AS BIGINT),
+        |       CAST(MIN(l_linestatus) AS VARCHAR), CAST(MAX(l_linestatus) AS VARCHAR)
+        |FROM lineitem
+        |ORDER BY col_name""".stripMargin,
 
     "q_gapfill" ->
       """WITH obs AS MATERIALIZED (
