@@ -1182,6 +1182,16 @@ object SparkEntry {
         .orderBy(col("col_name"))
     }),
 
+    "q_percentiles" -> ((s, dir) => {
+      // per-type PERCENTILE_DISC summary (selected elements, never
+      // interpolated arithmetic) in exact verification mode; the scale
+      // default is the mergeable percentile_approx sketch, identical
+      // in its exact regime (spec-pinned)
+      operators.Profile.percentiles(T(s, dir, "events"), Seq("event_type"), "value",
+          ps = Seq(0.5, 0.9, 0.99), exact = true)
+        .orderBy(col("event_type"))
+    }),
+
     "q_gapfill" -> ((s, dir) => {
       // time-series regularization: hourly per-user grid from each
       // user's first to last observed hour, silent hours emitted as
@@ -2357,6 +2367,18 @@ object SparkEntry {
         |       CAST(MIN(l_linestatus) AS VARCHAR), CAST(MAX(l_linestatus) AS VARCHAR)
         |FROM lineitem
         |ORDER BY col_name""".stripMargin,
+
+    "q_percentiles" ->
+      """WITH v AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |         COUNT(1) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, COUNT(1) AS n,
+        |       MAX(CASE WHEN rn = CAST(CEIL(CAST(0.5 AS DOUBLE) * n) AS BIGINT) THEN value END) AS p_50,
+        |       MAX(CASE WHEN rn = CAST(CEIL(CAST(0.9 AS DOUBLE) * n) AS BIGINT) THEN value END) AS p_90,
+        |       MAX(CASE WHEN rn = CAST(CEIL(CAST(0.99 AS DOUBLE) * n) AS BIGINT) THEN value END) AS p_99
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_gapfill" ->
       """WITH obs AS MATERIALIZED (

@@ -24,6 +24,49 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Per-group discrete percentiles of `valueCol` (nulls excluded):
+    * one row per group — groupCols ++ (n, p_<pct>…), each percentile
+    * the element at rank `ceil(p·n)` of the group's ascending values
+    * (PERCENTILE_DISC — a SELECTED value, never interpolated
+    * arithmetic, so any engine replays it bit-for-bit).
+    *
+    * Two modes, same contract as [[profileColumns]]'s NDV:
+    * `exact = false` (the 100 TB default) runs
+    * `percentile_approx` — a mergeable sketch, map-side partials, one
+    * exchange of sketch bytes, no group ever sorted. `exact = true` is
+    * the verification mode the oracle replays: a rank window PER GROUP
+    * — bounded by the group's row count, the right tool for audits and
+    * test-scale parity but a per-group sort at scale. In the sketch's
+    * exact regime (accuracy ≥ group size) both modes return identical
+    * values (spec-pinned). */
+  def percentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                  exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(groupCols.nonEmpty, "percentiles needs at least one group column")
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"percentiles must be in (0, 1], got $ps")
+    def pName(p: Double): String = "p_" + (p * 100).round.toString
+    val vals = df.filter(col(valueCol).isNotNull)
+    if (exact) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+      val ranked = vals
+        .withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(groupCols.map(col): _*)))
+      val aggs = count(lit(1)).as("n") +: ps.map(p =>
+        max(when(col("_rn") === ceil(lit(p) * col("_n")), col(valueCol))).as(pName(p)))
+      ranked.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    } else {
+      val pArr = array(ps.map(lit): _*)
+      val aggs = count(lit(1)).as("n") +:
+        Seq(percentile_approx(col(valueCol), pArr, lit(accuracy)).as("_pa"))
+      vals.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        .select(groupCols.map(col) ++ (col("n") +:
+          ps.zipWithIndex.map { case (p, i) => col("_pa").getItem(i).as(pName(p)) }): _*)
+    }
+  }
+
   /** Profile `cols` of `df`: one row per column —
     * (col_name, n_rows, n_nulls, n_distinct, min_val, max_val). */
   def profileColumns(df: DataFrame, cols: Seq[String],

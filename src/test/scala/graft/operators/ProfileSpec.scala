@@ -34,6 +34,36 @@ class ProfileSpec extends SparkSpec {
     assert(out("id") == 3L && out("s") == 2L)
   }
 
+  private val pSchema = StructType(Seq(
+    StructField("g", StringType), StructField("v", DoubleType)))
+
+  test("percentiles (exact): element at rank ceil(p*n), nulls excluded, per group") {
+    val rows = (1 to 10).map(i => Row("a", i.toDouble)) ++
+      Seq(Row("b", 5.0), Row("b", 1.0), Row("b", null))
+    val out = Profile.percentiles(df(pSchema, rows), Seq("g"), "v",
+        ps = Seq(0.5, 0.9, 1.0), exact = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // g=a: n=10, p50 = rank ceil(5)=5 -> 5.0; p90 = rank 9 -> 9.0; p100 -> 10.0
+    assert(out("a") == (10L, 5.0, 9.0, 10.0), s"got ${out("a")}")
+    // g=b: null excluded -> n=2; p50 = rank 1 -> 1.0; p90/p100 = rank 2 -> 5.0
+    assert(out("b") == (2L, 1.0, 5.0, 5.0))
+  }
+
+  test("percentiles: sketch mode in its exact regime equals the exact mode") {
+    val rows = (1 to 97).map(i => Row(if (i % 2 == 0) "x" else "y", (i * 7 % 31).toDouble))
+    val d = df(pSchema, rows)
+    val ex = Profile.percentiles(d, Seq("g"), "v", exact = true)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val ap = Profile.percentiles(d, Seq("g"), "v", exact = false, accuracy = 100000)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(ex == ap, s"exact=$ex approx=$ap")
+    intercept[IllegalArgumentException](
+      Profile.percentiles(d, Seq.empty, "v"))
+    intercept[IllegalArgumentException](
+      Profile.percentiles(d, Seq("g"), "v", ps = Seq(1.5)))
+  }
+
   test("profileColumns: one scan — a single aggregate node, no join or union of scans") {
     val plan = Profile.profileColumns(data, Seq("id", "s", "d"))
       .queryExecution.optimizedPlan.toString
