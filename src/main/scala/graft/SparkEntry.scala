@@ -1182,6 +1182,24 @@ object SparkEntry {
         .orderBy(col("col_name"))
     }),
 
+    "q_html_strip" -> ((s, dir) => {
+      // HTML -> text extraction parity at corpus scale: each document
+      // is wrapped in a deterministic HTML shell (script/style/comment
+      // subtrees, tags, the six named entities) IN-PLAN from its own
+      // fields, then stripped; the oracle builds the identical shell
+      // and replays the identical Java-cap-RE2 regex chain
+      val html = concat(
+        lit("<html><head><title>doc</title><style>p { color: #000; }</style></head><body><h1>"),
+        col("source"),
+        lit("</h1><!-- doc "), col("doc_id").cast("string"), lit(" --><p>"),
+        coalesce(col("text"), lit("")),
+        lit("</p><script type=\"text/javascript\">var x = 1 && 2;</script>" +
+          "<div>tail &amp; &lt;raw&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.stripHtml(html).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_percentiles" -> ((s, dir) => {
       // per-type PERCENTILE_DISC summary (selected elements, never
       // interpolated arithmetic) in exact verification mode; the scale
@@ -2367,6 +2385,29 @@ object SparkEntry {
         |       CAST(MIN(l_linestatus) AS VARCHAR), CAST(MAX(l_linestatus) AS VARCHAR)
         |FROM lineitem
         |ORDER BY col_name""".stripMargin,
+
+    "q_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>doc</title><style>p { color: #000; }</style></head><body><h1>'
+        |    || source || '</h1><!-- doc ' || CAST(doc_id AS VARCHAR) || ' --><p>'
+        |    || coalesce(text, '')
+        |    || '</p><script type="text/javascript">var x = 1 && 2;</script><div>tail &amp; &lt;raw&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>'
+        |    AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "q_percentiles" ->
       """WITH v AS (

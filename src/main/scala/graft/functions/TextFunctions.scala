@@ -216,6 +216,34 @@ object TextFunctions {
   def stripAccents(c: Column): Column =
     ColumnBridge.column(NormalizeText(ColumnBridge.expression(c), "strip_accents"))
 
+  /** HTML → text extraction (the RefinedWeb/C4 "strip the markup"
+    * step, minus a real DOM): drop `<script>`/`<style>` subtrees and
+    * comments wholesale, strip every remaining tag, decode the common
+    * named entities (`&amp; &lt; &gt; &quot; &#39; &nbsp;` — numeric
+    * character references are NOT decoded; add a lookup pass if a
+    * crawl needs them), then collapse whitespace to single spaces.
+    * Entity decode runs AFTER tag removal — markup that arrives
+    * entity-encoded is treated as text, never re-parsed as tags — and
+    * `&amp;` decodes last, per the usual unescape order.
+    *
+    * Known regex-stripper limitation (shared by every non-DOM
+    * extractor): a bare `<`…`>` span in prose is eaten as a tag.
+    *
+    * Pure codegen'd `regexp_replace` chain in the Java∩RE2 subset
+    * (inline `(?is)` flags, non-greedy spans, no lookaround/backrefs)
+    * — scan-speed at 100 TB and externally replayable, which is how
+    * `q_html_strip` oracles it in DuckDB. */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (col0, (e, r)) => regexp_replace(col0, e, r) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** URL canonicalization for web-corpus dedup and per-domain curation
     * (the RefinedWeb/C4 pre-dedup step): lowercase the scheme and
     * authority, strip the default port (`:443` for https, `:80` for

@@ -247,6 +247,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(norm("https://a.b?utm_s=1&keep=2") == "https://a.b/?keep=2")
   }
 
+  private def strip(s: String): String =
+    one(s).select(TextFunctions.stripHtml(col("t"))).head().getString(0)
+
+  test("stripHtml: scripts/styles/comments die wholesale, tags strip, entities decode") {
+    assert(strip("<html><head><style>p{x:1}</style></head><body>" +
+      "<h1>Title</h1><p>Hello <b>world</b></p>" +
+      "<script>var i = 0; if (i<1) i++;</script></body></html>") == "Title Hello world")
+    assert(strip("a<!-- hidden\nmultiline -->b") == "a b")
+    assert(strip("<SCRIPT>\nmulti\nline()\n</SCRIPT>ok") == "ok",
+      "case-insensitive, dotall script removal")
+    assert(strip("x &amp; y &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;z")
+      == "x & y <tag> \"q\" 's' z")
+    // entity decode AFTER tag removal: encoded markup stays as text
+    assert(strip("&lt;script&gt;alert(1)&lt;/script&gt;") == "<script>alert(1)</script>")
+    // &amp; decodes last: double-encoded stays single-encoded
+    assert(strip("&amp;lt;") == "&lt;")
+    assert(strip("  multiple\t\nspaces  ") == "multiple spaces")
+  }
+
   test("urlRegisteredDomain: last two labels, userinfo/port stripped, naive by contract") {
     assert(dom("https://a.b.Example.COM/x") == "example.com")
     assert(dom("http://user:pw@deep.sub.host.ORG:8080/p?q=1") == "host.org")
