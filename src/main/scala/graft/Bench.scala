@@ -96,7 +96,18 @@ object Bench {
     "q_kn_trigram",
     // r12: trainer-batch assembly (vocab-rank ids -> strict pack ->
     // per-bin flat id streams; bin state bounded by the pack budget)
-    "q_assemble")
+    "q_assemble",
+    // r12 continuation: TF-IDF keyword extraction (explode + two
+    // partial aggs + doc-bounded top-k window) and PMI collocations
+    // (log-domain scoring, one tokenize scan for both count families)
+    "q_tfidf", "q_pmi",
+    // r12 continuation: blocked levenshtein record linkage (capped
+    // in-bucket pairing, verify on candidates only) and the per-user
+    // hourly gap-fill (row-local grid explode + co-partitioned fill)
+    "q_fuzzy_join", "q_gapfill",
+    // r12 continuation: corpus-shell HTML stripping (the full
+    // regexp_replace extraction chain at scan speed)
+    "q_html_strip")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is
