@@ -1249,6 +1249,16 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_fuzzy_canon" -> ((s, dir) => {
+      // entity resolution: fuzzy pairs -> star-contraction components
+      // (bounded driver finish) -> min-id canonical mapping; unmatched
+      // parts canonicalize to themselves. The oracle rebuilds the pair
+      // graph and resolves it with a recursive-CTE transitive closure
+      operators.FuzzyJoin.canonicalize(T(s, dir, "part"), "p_name", "p_partkey",
+          maxDist = 1)
+        .orderBy(col("id"))
+    }),
+
     "q_cap_group" -> ((s, dir) => {
       // per-source cardinality cap (the per-domain cap of web curation
       // recipes) — lowest-id winners via the mergeable bottom-k heap,
@@ -2462,6 +2472,29 @@ object SparkEntry {
         |       CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist
         |FROM pairs WHERE levenshtein(key_a, key_b) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_fuzzy_canon" ->
+      """WITH RECURSIVE p AS MATERIALIZED (
+        |  SELECT p_partkey AS id,
+        |         trim(regexp_replace(lower(p_name), '\s+', ' ', 'g')) AS key
+        |  FROM part),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM p a JOIN p b ON a.id < b.id AND
+        |    ((str_split(a.key, ' '))[1] = (str_split(b.key, ' '))[1]
+        |     OR (str_split(a.key, ' '))[-1] = (str_split(b.key, ' '))[-1])
+        |  WHERE levenshtein(a.key, b.key) <= 1),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |comp AS (SELECT u, LEAST(u, MIN(v)) AS c FROM reach GROUP BY u)
+        |SELECT p.id, p.key,
+        |       COALESCE(comp.c, p.id) AS canonical_id,
+        |       ck.key AS canonical_key
+        |FROM p LEFT JOIN comp ON p.id = comp.u
+        |JOIN p ck ON ck.id = COALESCE(comp.c, p.id)
+        |ORDER BY p.id""".stripMargin,
 
     "q_cap_group" ->
       """SELECT doc_id, source, lang FROM (

@@ -88,4 +88,35 @@ object FuzzyJoin {
       .filter(col("dist") <= maxDist)
       .distinct()
   }
+
+  /** Entity resolution on top of the fuzzy self-join: map every record
+    * to the MINIMUM id of its fuzzy-match connected component (matching
+    * is transitive by construction — "blue bolt" ~ "blue bolts" ~
+    * "blue bolty" land in one entity even if the ends differ by 2), and
+    * surface the canonical record's key for downstream display/joins.
+    * Unmatched records canonicalize to themselves.
+    *
+    * Components come from [[Dedup.connectedComponents]] — star
+    * contraction over the pair graph with the bounded driver union-find
+    * finish, so no entity cluster is ever gathered into one task.
+    * Output: (id, key, canonical_id, canonical_key), one row per input
+    * record; `key` is the normalized form (the comparison domain).
+    *
+    * Oracled end-to-end (`q_fuzzy_canon`): DuckDB rebuilds the pair
+    * graph and resolves it with a recursive-CTE transitive closure. */
+  def canonicalize(df: DataFrame, keyCol: String, idCol: String,
+                   maxDist: Int,
+                   blockers: Seq[Column => Column] = defaultBlockers,
+                   maxBlockSize: Int = 2000): DataFrame = {
+    val pairs = blockedSelfJoin(df, keyCol, idCol, maxDist, blockers, maxBlockSize)
+    val comp = Dedup.connectedComponents(pairs) // (id, component=min id)
+    val base = df.select(col(idCol).cast("long").as("id"),
+      TextFunctions.normalizeForFingerprint(col(keyCol)).as("key"))
+    val canon = base.select(col("id").as("canonical_id"),
+      col("key").as("canonical_key"))
+    base.join(comp, Seq("id"), "left")
+      .withColumn("canonical_id", coalesce(col("component"), col("id")))
+      .join(canon, Seq("canonical_id"))
+      .select(col("id"), col("key"), col("canonical_id"), col("canonical_key"))
+  }
 }

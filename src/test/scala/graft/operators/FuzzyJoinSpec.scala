@@ -43,6 +43,22 @@ class FuzzyJoinSpec extends SparkSpec {
       FuzzyJoin.blockedSelfJoin(d, "name", "id", maxDist = -1))
   }
 
+  test("canonicalize: transitive entities resolve to the min id; singletons self-map") {
+    val d = df(schema, Seq(
+      Row(5L, "blue bolt"),
+      Row(2L, "blue bolts"),  // ~ 5 (dist 1)
+      Row(7L, "blue boltsy"), // ~ 2 (dist 1) but dist 2 from 5: only
+                              // TRANSITIVITY puts {2, 5, 7} in one entity
+      Row(9L, "red gear")))   // singleton
+    val out = FuzzyJoin.canonicalize(d, "name", "id", maxDist = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(5L) == (2L, "blue bolts"), "canonical is the MIN id's key")
+    assert(out(2L) == (2L, "blue bolts"))
+    assert(out(7L) == (2L, "blue bolts"), "transitive: boltsy joins via bolts")
+    assert(out(9L) == (9L, "red gear"), "unmatched record canonicalizes to itself")
+    assert(out.size == 4, "one output row per input record")
+  }
+
   test("blockedSelfJoin: hot blocks drop at maxBlockSize instead of going quadratic") {
     val rows = (1L to 10L).map(i => Row(i, s"common tail$i")) :+ Row(99L, "common tail1")
     val d = df(schema, rows)
