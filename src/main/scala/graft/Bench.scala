@@ -107,7 +107,11 @@ object Bench {
     "q_fuzzy_join", "q_gapfill",
     // r12 continuation: corpus-shell HTML stripping (the full
     // regexp_replace extraction chain at scan speed)
-    "q_html_strip")
+    "q_html_strip",
+    // r12 continuation: RFM feature engineering (rollup + rank-selected
+    // quintile cuts + comparison-chain bucketing, no ntile) and fuzzy
+    // entity canonicalization (blocked levenshtein pairs -> components)
+    "q_rfm", "q_fuzzy_canon")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is
@@ -354,7 +358,12 @@ object Bench {
     }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val spreadJson = spreadFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val dirty = contaminated || spreadFlagged.nonEmpty
+    // one spread query is ordinary GC/JIT jitter (three clean back-to-
+    // back runs each flagged a DIFFERENT random 1-2 s query); external
+    // disturbance — the thing this flag exists for — hits many queries
+    // at once (the r11 driver artifact had erratic matrices across the
+    // board). Per-query evidence stays in spread_flagged either way.
+    val dirty = contaminated || spreadFlagged.size >= 2
     val common = s""""reps":$reps,"sf":"$sfDir","load_pre":$preLoad,"load_post":$postLoad,"cores":$cores,"contaminated":$dirty,"spread_flagged":$spreadJson,"steal_pct":$stealPct,"sys_pct":$sysPct,"failed":$failedJson"""
     // Full artifact (with the per-rep runs + cpu_util matrices) goes to a
     // FILE: the driver captures a bounded stdout tail, and three rounds of

@@ -1249,6 +1249,25 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_rfm" -> ((s, dir) => {
+      // RFM feature engineering: per-customer rollup, exact quintile
+      // boundaries via rank selection (sketch mode at scale), codegen'd
+      // comparison-chain bucketing — no ntile, whose global window is a
+      // single-task sort over every customer
+      operators.Analytics.rfm(T(s, dir, "orders"), "o_custkey", "o_orderdate",
+          "o_totalprice", asOfDate = "2001-12-31", exact = true)
+        .orderBy(col("o_custkey"))
+    }),
+
+    "q_event_funnel" -> ((s, dir) => {
+      // ordered conversion funnel: earliest-completion semantics per
+      // user, chained co-partitioned joins (one typed scan per stage,
+      // one row per surviving user), never a per-user event gather
+      operators.Analytics.funnelSteps(T(s, dir, "events"), "user_id", "ts",
+          "event_type", Seq("view", "click", "signup", "purchase"))
+        .orderBy(col("step_idx"))
+    }),
+
     "q_fuzzy_canon" -> ((s, dir) => {
       // entity resolution: fuzzy pairs -> star-contraction components
       // (bounded driver finish) -> min-id canonical mapping; unmatched
@@ -2472,6 +2491,83 @@ object SparkEntry {
         |       CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist
         |FROM pairs WHERE levenshtein(key_a, key_b) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_rfm" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT o_custkey,
+        |         CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '2001-12-31') AS BIGINT) AS recency_days,
+        |         COUNT(1) AS frequency,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY 1),
+        |rr AS (SELECT CAST(recency_days AS DOUBLE) AS m,
+        |              row_number() OVER (ORDER BY CAST(recency_days AS DOUBLE)) AS rn,
+        |              COUNT(1) OVER () AS n FROM base),
+        |rcut AS (SELECT
+        |  MAX(CASE WHEN rn = CAST(CEIL(CAST(0.2 AS DOUBLE) * n) AS BIGINT) THEN m END) AS c1,
+        |  MAX(CASE WHEN rn = CAST(CEIL(CAST(0.4 AS DOUBLE) * n) AS BIGINT) THEN m END) AS c2,
+        |  MAX(CASE WHEN rn = CAST(CEIL(CAST(0.6 AS DOUBLE) * n) AS BIGINT) THEN m END) AS c3,
+        |  MAX(CASE WHEN rn = CAST(CEIL(CAST(0.8 AS DOUBLE) * n) AS BIGINT) THEN m END) AS c4
+        |  FROM rr),
+        |fr AS (SELECT CAST(frequency AS DOUBLE) AS m,
+        |              row_number() OVER (ORDER BY CAST(frequency AS DOUBLE)) AS rn,
+        |              COUNT(1) OVER () AS n FROM base),
+        |fcut AS (SELECT
+        |  MAX(CASE WHEN rn = CAST(CEIL(CAST(0.2 AS DOUBLE) * n) AS BIGINT) THEN m END) AS c1,
+        |  MAX(CASE WHEN rn = CAST(CEIL(CAST(0.4 AS DOUBLE) * n) AS BIGINT) THEN m END) AS c2,
+        |  MAX(CASE WHEN rn = CAST(CEIL(CAST(0.6 AS DOUBLE) * n) AS BIGINT) THEN m END) AS c3,
+        |  MAX(CASE WHEN rn = CAST(CEIL(CAST(0.8 AS DOUBLE) * n) AS BIGINT) THEN m END) AS c4
+        |  FROM fr),
+        |mr AS (SELECT monetary AS m,
+        |              row_number() OVER (ORDER BY monetary) AS rn,
+        |              COUNT(1) OVER () AS n FROM base),
+        |mcut AS (SELECT
+        |  MAX(CASE WHEN rn = CAST(CEIL(CAST(0.2 AS DOUBLE) * n) AS BIGINT) THEN m END) AS c1,
+        |  MAX(CASE WHEN rn = CAST(CEIL(CAST(0.4 AS DOUBLE) * n) AS BIGINT) THEN m END) AS c2,
+        |  MAX(CASE WHEN rn = CAST(CEIL(CAST(0.6 AS DOUBLE) * n) AS BIGINT) THEN m END) AS c3,
+        |  MAX(CASE WHEN rn = CAST(CEIL(CAST(0.8 AS DOUBLE) * n) AS BIGINT) THEN m END) AS c4
+        |  FROM mr),
+        |scored AS (
+        |  SELECT b.o_custkey, b.recency_days, b.frequency, b.monetary,
+        |    1 + (CASE WHEN CAST(b.recency_days AS DOUBLE) > r.c1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(b.recency_days AS DOUBLE) > r.c2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(b.recency_days AS DOUBLE) > r.c3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(b.recency_days AS DOUBLE) > r.c4 THEN 1 ELSE 0 END) AS r_bucket,
+        |    1 + (CASE WHEN CAST(b.frequency AS DOUBLE) > f.c1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(b.frequency AS DOUBLE) > f.c2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(b.frequency AS DOUBLE) > f.c3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(b.frequency AS DOUBLE) > f.c4 THEN 1 ELSE 0 END) AS f_bucket,
+        |    1 + (CASE WHEN b.monetary > m.c1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN b.monetary > m.c2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN b.monetary > m.c3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN b.monetary > m.c4 THEN 1 ELSE 0 END) AS m_bucket
+        |  FROM base b CROSS JOIN rcut r CROSS JOIN fcut f CROSS JOIN mcut m)
+        |SELECT o_custkey, recency_days, frequency, monetary,
+        |       r_bucket, f_bucket, m_bucket,
+        |       CAST(r_bucket AS VARCHAR) || CAST(f_bucket AS VARCHAR)
+        |         || CAST(m_bucket AS VARCHAR) AS segment
+        |FROM scored ORDER BY o_custkey""".stripMargin,
+
+    "q_event_funnel" ->
+      """WITH s1 AS MATERIALIZED (
+        |  SELECT user_id, MIN(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS MATERIALIZED (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS MATERIALIZED (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |  WHERE e.event_type = 'signup' GROUP BY 1),
+        |s4 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 1 AS step_idx, 'view' AS step, (SELECT COUNT(1) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT COUNT(1) FROM s2)
+        |UNION ALL SELECT 3, 'signup', (SELECT COUNT(1) FROM s3)
+        |UNION ALL SELECT 4, 'purchase', (SELECT COUNT(1) FROM s4)
+        |ORDER BY step_idx""".stripMargin,
 
     "q_fuzzy_canon" ->
       """WITH RECURSIVE p AS MATERIALIZED (

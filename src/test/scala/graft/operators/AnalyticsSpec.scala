@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class AnalyticsSpec extends SparkSpec {
+
+  private val orderSchema = StructType(Seq(
+    StructField("cust", LongType), StructField("d", TimestampType),
+    StructField("amt", DoubleType)))
+
+  private def ts(day: Int) = // 2024-01-<day>
+    java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+
+  test("rfm: rollup metrics, quintile buckets by strict comparison, segment digits") {
+    // 5 customers with strictly increasing frequency/monetary and
+    // decreasing recency: every quintile boundary separates them
+    val rows = (1 to 5).flatMap { c =>
+      (1 to c).map(i => Row(c.toLong, ts(c * 5), c * 100.0 + i))
+    }
+    val out = Analytics.rfm(df(orderSchema, rows), "cust", "d", "amt",
+        asOfDate = "2024-02-01", exact = true)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(4), r.getInt(5), r.getInt(6),
+          r.getString(7))).toMap
+    // cust 5: most recent (recency 7 days), most orders (5), most revenue
+    assert(out(5L) == (7L, 5L, 1, 5, 5, "155"), s"got ${out(5L)}")
+    // cust 1: least recent (27 days), single order, least revenue
+    assert(out(1L) == (27L, 1L, 5, 1, 1, "511"))
+    // middle customer sits mid-bucket on every axis
+    assert(out(3L) == (17L, 3L, 3, 3, 3, "333"))
+  }
+
+  test("rfm: sketch mode in its exact regime equals exact mode") {
+    val rows = (1 to 40).map(i => Row((i % 8).toLong, ts(i % 28 + 1), i * 3.0))
+    val d = df(orderSchema, rows)
+    val ex = Analytics.rfm(d, "cust", "d", "amt", "2024-03-01", exact = true)
+      .collect().map(r => r.getLong(0) -> r.getString(7)).toMap
+    val ap = Analytics.rfm(d, "cust", "d", "amt", "2024-03-01", exact = false)
+      .collect().map(r => r.getLong(0) -> r.getString(7)).toMap
+    assert(ex == ap)
+  }
+
+  private val eventSchema = StructType(Seq(
+    StructField("uid", LongType), StructField("ts", TimestampType),
+    StructField("et", StringType)))
+
+  test("funnelSteps: strictly-ordered completion, earliest-completion semantics") {
+    val d = df(eventSchema, Seq(
+      // u1 completes the whole funnel in order
+      Row(1L, ts(1), "view"), Row(1L, ts(2), "click"), Row(1L, ts(3), "buy"),
+      // u2 clicks BEFORE viewing: click doesn't count, funnel stops at view
+      Row(2L, ts(5), "click"), Row(2L, ts(6), "view"),
+      // u3 views then clicks twice; earliest qualifying click wins, no buy
+      Row(3L, ts(1), "view"), Row(3L, ts(4), "click"), Row(3L, ts(8), "click"),
+      // u4 never views
+      Row(4L, ts(2), "click"), Row(4L, ts(3), "buy")))
+    val out = Analytics.funnelSteps(d, "uid", "ts", "et", Seq("view", "click", "buy"))
+      .orderBy("step_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1, "view", 3L), (2, "click", 2L), (3, "buy", 1L)), s"got $out")
+  }
+
+  test("funnelSteps: same-timestamp events do NOT advance (strict >); bad args rejected") {
+    val d = df(eventSchema, Seq(
+      Row(1L, ts(1), "view"), Row(1L, ts(1), "click")))
+    val out = Analytics.funnelSteps(d, "uid", "ts", "et", Seq("view", "click"))
+      .orderBy("step_idx").collect().map(_.getLong(2)).toSeq
+    assert(out == Seq(1L, 0L), "simultaneous click is not 'after' the view")
+    intercept[IllegalArgumentException](
+      Analytics.funnelSteps(d, "uid", "ts", "et", Seq.empty))
+    intercept[IllegalArgumentException](
+      Analytics.funnelSteps(d, "uid", "ts", "et", Seq("view", "view")))
+  }
+}
