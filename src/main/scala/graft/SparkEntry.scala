@@ -1241,9 +1241,11 @@ object SparkEntry {
       // blocked edit-distance record linkage over the part catalog:
       // first/last-token blocking -> capped in-bucket pair explode (no
       // self-join, no cross product) -> levenshtein verify on candidates
-      // only; the block cap (2000) exceeds every sf0.01 bucket (max
-      // 269), so candidates are exhaustive-within-blocks and DuckDB
-      // replays the identical semantics as a join
+      // only. The oracle mirrors the 2000 block cap per blocker, so the
+      // contract holds at ANY sf: sf0.01 blocks (max 269) pair
+      // exhaustively; sf0.1's degenerate 8-name-buckets catalog (every
+      // block ~2500) drops every block in BOTH engines — exactly the
+      // documented near-identical-content case exact dedup owns
       operators.FuzzyJoin.blockedSelfJoin(T(s, dir, "part"), "p_name", "p_partkey",
           maxDist = 1)
         .orderBy(col("id_a"), col("id_b"))
@@ -2478,15 +2480,25 @@ object SparkEntry {
         |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
     "q_fuzzy_join" ->
-      """WITH p AS (
+      """WITH p AS MATERIALIZED (
         |  SELECT p_partkey AS id,
-        |         trim(regexp_replace(lower(p_name), '\s+', ' ', 'g')) AS key
+        |         trim(regexp_replace(lower(p_name), '\s+', ' ', 'g')) AS key,
+        |         (str_split(trim(regexp_replace(lower(p_name), '\s+', ' ', 'g')), ' '))[1] AS fk,
+        |         (str_split(trim(regexp_replace(lower(p_name), '\s+', ' ', 'g')), ' '))[-1] AS lk
         |  FROM part),
+        |-- mirror blockedSelfJoin's maxBlockSize=2000 per-blocker cap
+        |fb AS MATERIALIZED (SELECT fk, COUNT(1) AS c FROM p GROUP BY 1),
+        |lb AS MATERIALIZED (SELECT lk, COUNT(1) AS c FROM p GROUP BY 1),
         |pairs AS (
         |  SELECT a.id AS id_a, b.id AS id_b, a.key AS key_a, b.key AS key_b
-        |  FROM p a JOIN p b ON a.id < b.id AND
-        |    ((str_split(a.key, ' '))[1] = (str_split(b.key, ' '))[1]
-        |     OR (str_split(a.key, ' '))[-1] = (str_split(b.key, ' '))[-1]))
+        |  FROM p a JOIN p b ON a.fk = b.fk AND a.id < b.id
+        |  JOIN fb ON fb.fk = a.fk
+        |  WHERE fb.c <= 2000
+        |  UNION
+        |  SELECT a.id, b.id, a.key, b.key
+        |  FROM p a JOIN p b ON a.lk = b.lk AND a.id < b.id
+        |  JOIN lb ON lb.lk = a.lk
+        |  WHERE lb.c <= 2000)
         |SELECT DISTINCT id_a, id_b, key_a, key_b,
         |       CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist
         |FROM pairs WHERE levenshtein(key_a, key_b) <= 1
@@ -2572,14 +2584,25 @@ object SparkEntry {
     "q_fuzzy_canon" ->
       """WITH RECURSIVE p AS MATERIALIZED (
         |  SELECT p_partkey AS id,
-        |         trim(regexp_replace(lower(p_name), '\s+', ' ', 'g')) AS key
+        |         trim(regexp_replace(lower(p_name), '\s+', ' ', 'g')) AS key,
+        |         (str_split(trim(regexp_replace(lower(p_name), '\s+', ' ', 'g')), ' '))[1] AS fk,
+        |         (str_split(trim(regexp_replace(lower(p_name), '\s+', ' ', 'g')), ' '))[-1] AS lk
         |  FROM part),
+        |-- mirror blockedSelfJoin's maxBlockSize=2000 per-blocker cap
+        |fb AS MATERIALIZED (SELECT fk, COUNT(1) AS c FROM p GROUP BY 1),
+        |lb AS MATERIALIZED (SELECT lk, COUNT(1) AS c FROM p GROUP BY 1),
         |pairs AS MATERIALIZED (
-        |  SELECT a.id AS id_a, b.id AS id_b
-        |  FROM p a JOIN p b ON a.id < b.id AND
-        |    ((str_split(a.key, ' '))[1] = (str_split(b.key, ' '))[1]
-        |     OR (str_split(a.key, ' '))[-1] = (str_split(b.key, ' '))[-1])
-        |  WHERE levenshtein(a.key, b.key) <= 1),
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.id AS id_a, b.id AS id_b, a.key AS key_a, b.key AS key_b
+        |    FROM p a JOIN p b ON a.fk = b.fk AND a.id < b.id
+        |    JOIN fb ON fb.fk = a.fk
+        |    WHERE fb.c <= 2000
+        |    UNION
+        |    SELECT a.id, b.id, a.key, b.key
+        |    FROM p a JOIN p b ON a.lk = b.lk AND a.id < b.id
+        |    JOIN lb ON lb.lk = a.lk
+        |    WHERE lb.c <= 2000)
+        |  WHERE levenshtein(key_a, key_b) <= 1),
         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
         |          UNION SELECT id_b, id_a FROM pairs),
         |reach AS (SELECT u, v FROM edges

@@ -37,10 +37,11 @@ import graft.functions.TextFunctions
   * single-space — [[TextFunctions.normalizeForFingerprint]]), so
   * "Blue  Bolt" vs "blue bolt" is distance 0.
   *
-  * Oracled end-to-end (`q_fuzzy_join`): at test scale the block cap is
-  * set above every bucket so candidate generation is exhaustive within
-  * blocks and DuckDB replays the identical semantics as a join; the cap
-  * is the 100 TB safety, same contract as `q_minhash_banding`.
+  * Oracled end-to-end (`q_fuzzy_join`): the oracle mirrors the block
+  * cap per blocker (the `q_dedup_clusters` precedent), so the contract
+  * holds at any SF — under the cap, candidates are exhaustive within
+  * blocks and DuckDB replays the semantics as a capped join; over it,
+  * both engines drop the block.
   */
 object FuzzyJoin {
 
