@@ -1714,6 +1714,51 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    "q_skew_profile" -> ((s, dir) => {
+      // join-key skew diagnostics: per-key counts (map-side combined),
+      // TakeOrdered top-20, fixed-point share and max/avg ratio — the
+      // audit run before sizing a salted join or trusting a shuffle
+      operators.Diagnostics.keySkewProfile(T(s, dir, "events"), Seq("user_id"), topN = 20)
+        .orderBy(col("rank"))
+    }),
+
+    "q_corpus_overlap" -> ((s, dir) => {
+      // mixture-design leakage audit: dense ordered source-pair matrix
+      // of 5-gram containment/jaccard — per-gram collect_set expansion,
+      // never a corpus self-join; hash-keyed, string-replayed oracle
+      operators.Curation.corpusOverlap(T(s, dir, "documents"),
+          "text", "source", n = 5)
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    "q_cooccur" -> ((s, dir) => {
+      // association mining over order baskets: capped distinct items,
+      // co-partitioned self-join pair counts, fixed-point support /
+      // confidence / lift via DECIMAL-exact truncating DIV
+      operators.Analytics.cooccurrence(T(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minPairs = 2L, maxItemsPerTxn = 64)
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
+    "q_outlier_mad" -> ((s, dir) => {
+      // robust per-type outlier audit: median/MAD rank selections (the
+      // oracle-replayable exact mode; sketch mode is the 100 TB path),
+      // gate |x - med| > 3*MAD — output is the flagged rows only
+      operators.Profile.robustOutliers(
+          T(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+          Seq("event_type"), "value", k = 3.0, exact = true)
+        .orderBy(col("event_id"))
+    }),
+
+    "q_kanon" -> ((s, dir) => {
+      // k-anonymity release audit: QI equivalence-class sizes over
+      // (nation, market segment), classes under k=10 flagged — one
+      // partial-aggregated pass, NULL treated as a QI value
+      operators.Diagnostics.kAnonymity(T(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    }),
+
     // ---- multimodal: REAL codec decode end-to-end under the driver
     // contract (PNG via ImageIO, WAV via javax.sound, animated GIF via
     // the ImageIO sequence reader). Payload parameters derive
@@ -4052,6 +4097,121 @@ object SparkEntry {
         |            * ((1000 + doc_id % 1000) / 32768.0)), 6) AS rms,
         | CAST(2 + doc_id % 4 AS INTEGER) AS n_video_frames,
         | CAST((2 + doc_id % 4 + 1) // 2 AS BIGINT) AS frames_sampled
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // Every metric is truncating integer arithmetic (// here, DIV in the
+    // Spark plan) so the fixed-point columns are bit-equal by design.
+    "q_skew_profile" ->
+      """WITH counts AS MATERIALIZED (
+        |  SELECT user_id, COUNT(1) AS cnt FROM events GROUP BY 1),
+        |g AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+        |             COUNT(1) AS nkeys, MAX(cnt) AS maxc FROM counts),
+        |topn AS (
+        |  SELECT user_id, cnt,
+        |         row_number() OVER (ORDER BY cnt DESC, user_id) AS rank
+        |  FROM counts ORDER BY cnt DESC, user_id LIMIT 20)
+        |SELECT CAST(rank AS INTEGER) AS rank, user_id, cnt,
+        |       CAST(cnt * 100000000 // g.total AS BIGINT) AS share_fp,
+        |       g.total AS total_rows,
+        |       CAST(g.nkeys AS BIGINT) AS n_keys,
+        |       g.maxc AS max_cnt,
+        |       CAST(g.maxc * g.nkeys * 10000 // g.total AS BIGINT) AS skew_x10000
+        |FROM topn CROSS JOIN g ORDER BY rank""".stripMargin,
+
+    // Spark intersects 64-bit gram hashes; the oracle intersects the
+    // gram STRINGS those hashes identify — identical counts modulo
+    // ~n²/2⁶⁴ collision odds (the q_contamination trade). Truncating
+    // integer division both sides.
+    "q_corpus_overlap" ->
+      """WITH norm AS (
+        |  SELECT source,
+        |         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |                     x -> len(x) > 0) AS w
+        |  FROM documents),
+        |grams AS MATERIALIZED (
+        |  SELECT DISTINCT source AS src,
+        |         unnest(CASE WHEN len(w) >= 5
+        |                THEN list_transform(range(1, len(w) - 3),
+        |                                    i -> array_to_string(w[i:i+4], ' '))
+        |                ELSE [] END) AS g
+        |  FROM norm),
+        |sizes AS MATERIALIZED (SELECT src, COUNT(1) AS n FROM grams GROUP BY 1),
+        |inter AS (
+        |  SELECT a.src AS ia, b.src AS ib, COUNT(1) AS n_common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.src <> b.src
+        |  GROUP BY 1, 2),
+        |ap AS (SELECT sa.src AS src_a, sa.n AS n_a, sb.src AS src_b, sb.n AS n_b
+        |       FROM sizes sa CROSS JOIN sizes sb WHERE sa.src <> sb.src)
+        |SELECT ap.src_a, ap.src_b, ap.n_a, ap.n_b,
+        |       COALESCE(i.n_common, 0) AS n_common,
+        |       CAST(COALESCE(i.n_common, 0) * 100000000 // ap.n_a AS BIGINT) AS containment_fp,
+        |       CAST(COALESCE(i.n_common, 0) * 100000000
+        |            // (ap.n_a + ap.n_b - COALESCE(i.n_common, 0)) AS BIGINT) AS jaccard_fp
+        |FROM ap LEFT JOIN inter i ON i.ia = ap.src_a AND i.ib = ap.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // HUGEINT // mirrors Spark's DECIMAL(38,0) DIV: both exact
+    // truncating integer division, immune to the long overflow a
+    // 10^9-transaction corpus would hit. The rn <= 64 cap mirrors
+    // maxItemsPerTxn (a no-op on <=7-line TPC-H orders; the contract
+    // holds at any SF).
+    "q_cooccur" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS txn, l_partkey AS item FROM lineitem),
+        |capped AS MATERIALIZED (
+        |  SELECT txn, item FROM (
+        |    SELECT txn, item,
+        |           row_number() OVER (PARTITION BY txn ORDER BY item) AS rn FROM d)
+        |  WHERE rn <= 64),
+        |g AS (SELECT COUNT(DISTINCT txn) AS n_txn FROM capped),
+        |ic AS (SELECT item, COUNT(1) AS n FROM capped GROUP BY 1),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b, COUNT(1) AS pair_n
+        |      FROM capped x JOIN capped y ON x.txn = y.txn AND x.item < y.item
+        |      GROUP BY 1, 2 HAVING COUNT(1) >= 2)
+        |SELECT p.item_a, p.item_b, p.pair_n, a.n AS n_a, b.n AS n_b,
+        |       CAST(g.n_txn AS BIGINT) AS n_txn,
+        |       CAST(CAST(p.pair_n AS HUGEINT) * 100000000 // g.n_txn AS BIGINT) AS support_fp,
+        |       CAST(CAST(p.pair_n AS HUGEINT) * 100000000 // a.n AS BIGINT) AS conf_ab_fp,
+        |       CAST(CAST(p.pair_n AS HUGEINT) * 100000000 // b.n AS BIGINT) AS conf_ba_fp,
+        |       CAST(CAST(p.pair_n AS HUGEINT) * g.n_txn * 10000
+        |            // (CAST(a.n AS HUGEINT) * b.n) AS BIGINT) AS lift_x10000
+        |FROM p JOIN ic a ON a.item = p.item_a JOIN ic b ON b.item = p.item_b
+        |CROSS JOIN g
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // Median and MAD are rank SELECTIONS (PERCENTILE_DISC semantics,
+    // rank = ceil(n/2)): actual data values, so dev > 3.0*mad is the
+    // same IEEE multiply+compare in both engines. Ties in `value` are
+    // rank-order-arbitrary but value-deterministic (the SELECTED value
+    // at the rank is the same whichever tied row holds it).
+    "q_outlier_mad" ->
+      """WITH m AS MATERIALIZED (
+        |  SELECT event_type, med FROM (
+        |    SELECT event_type, value AS med,
+        |           row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |           COUNT(1) OVER (PARTITION BY event_type) AS n
+        |    FROM events WHERE value IS NOT NULL)
+        |  WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)),
+        |d AS MATERIALIZED (
+        |  SELECT e.event_id, e.event_type, e.value, m.med,
+        |         ABS(e.value - m.med) AS dev
+        |  FROM events e JOIN m USING (event_type) WHERE e.value IS NOT NULL),
+        |md AS (
+        |  SELECT event_type, mad FROM (
+        |    SELECT event_type, dev AS mad,
+        |           row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+        |           COUNT(1) OVER (PARTITION BY event_type) AS n
+        |    FROM d)
+        |  WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT))
+        |SELECT d.event_id, d.event_type, d.value, d.med, md.mad
+        |FROM d JOIN md USING (event_type)
+        |WHERE d.dev > 3.0 * md.mad
+        |ORDER BY d.event_id""".stripMargin,
+
+    "q_kanon" ->
+      """SELECT c_nationkey, c_mktsegment, COUNT(1) AS group_n,
+        |       CASE WHEN COUNT(1) < 10 THEN 1 ELSE 0 END AS at_risk
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin
   )
 }

@@ -89,4 +89,74 @@ object Analytics {
     }
     out
   }
+
+  /** Market-basket co-occurrence mining: for every unordered item pair
+    * sharing a transaction, the support / confidence / lift triple of
+    * classic association analysis — fixed-point, so the ranking is
+    * bit-stable across engines.
+    *
+    * Metrics (N = transaction count, n_x = transactions containing x,
+    * pair_n = transactions containing both):
+    *   support_fp   = pair_n·10⁸ ÷ N
+    *   conf_ab_fp   = pair_n·10⁸ ÷ n_a   (P(b|a)), conf_ba_fp likewise
+    *   lift_x10000  = pair_n·N·10⁴ ÷ (n_a·n_b)   (10000 = independent)
+    * All divisions are truncating integer DIV over DECIMAL(38,0)
+    * intermediates — `pair_n·N·10⁴` and `n_a·n_b` overflow a long at
+    * ~10⁹-transaction corpora, the decimal widening keeps the math
+    * exact and the oracle replays it with HUGEINT `//`.
+    *
+    * Scale shape: the pair explosion is the hazard — a transaction with
+    * t items emits t(t−1)/2 pairs, so one 10⁶-item basket is 5·10¹¹
+    * rows. `maxItemsPerTxn` caps every basket to its lowest-`cap` item
+    * ids BEFORE pairing (the same deterministic blocking-cap contract
+    * as the fuzzy join, mirrored in the oracle) via the mergeable
+    * bottom-k aggregate — never a per-basket window. After the cap:
+    * distinct (txn, item) → self-join on txn (co-partitioned, both
+    * sides the same frame) → partial-aggregated pair counts; the item
+    * frequency table joins in on the item key.
+    *
+    * Output: (item_a, item_b, pair_n, n_a, n_b, n_txn, support_fp,
+    * conf_ab_fp, conf_ba_fp, lift_x10000), item_a < item_b, pairs with
+    * `pair_n >= minPairs` only. */
+  def cooccurrence(df: DataFrame, txnCol: String, itemCol: String,
+                   minPairs: Long = 2L, maxItemsPerTxn: Int = 64): DataFrame = {
+    require(minPairs >= 1L, s"minPairs must be >= 1, got $minPairs")
+    require(maxItemsPerTxn >= 2, s"maxItemsPerTxn must be >= 2, got $maxItemsPerTxn")
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val item = col(itemCol).cast("long")
+    val capAgg = graft.functions.BottomKAgg(
+      ColumnBridge.expression(item), ColumnBridge.expression(item), maxItemsPerTxn)
+    val base = df.select(col(txnCol), item.as(itemCol)).distinct()
+      .groupBy(col(txnCol))
+      .agg(ColumnBridge.column(capAgg.toAggregateExpression()).as("_items"))
+      .select(col(txnCol), explode(col("_items")).as(itemCol))
+      .localCheckpoint(true) // 3 readers: txn count, item counts, the self-join
+    val nTxn = base.agg(countDistinct(col(txnCol))).head().getLong(0)
+    require(nTxn > 0, "cooccurrence: empty input")
+    val ic = base.groupBy(col(itemCol)).agg(count(lit(1)).as("_n"))
+    val pairs = base.as("x")
+      .join(base.as("y"), col(s"x.$txnCol") === col(s"y.$txnCol") &&
+        col(s"x.$itemCol") < col(s"y.$itemCol"))
+      .select(col(s"x.$itemCol").as("item_a"), col(s"y.$itemCol").as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= lit(minPairs))
+    pairs
+      .join(ic.select(col(itemCol).as("item_a"), col("_n").as("n_a")), Seq("item_a"))
+      .join(ic.select(col(itemCol).as("item_b"), col("_n").as("n_b")), Seq("item_b"))
+      .withColumn("n_txn", lit(nTxn))
+      // DIV (truncating integral divide) over DECIMAL(38,0) products:
+      // exact at any corpus size, replayed by the oracle as HUGEINT //
+      .withColumn("support_fp",
+        expr("CAST(pair_n AS DECIMAL(38,0)) * 100000000 DIV n_txn"))
+      .withColumn("conf_ab_fp",
+        expr("CAST(pair_n AS DECIMAL(38,0)) * 100000000 DIV n_a"))
+      .withColumn("conf_ba_fp",
+        expr("CAST(pair_n AS DECIMAL(38,0)) * 100000000 DIV n_b"))
+      .withColumn("lift_x10000",
+        expr("CAST(pair_n AS DECIMAL(38,0)) * n_txn * 10000 DIV (CAST(n_a AS DECIMAL(38,0)) * n_b)"))
+      .select(col("item_a"), col("item_b"), col("pair_n"), col("n_a"), col("n_b"),
+        col("n_txn"), col("support_fp"), col("conf_ab_fp"), col("conf_ba_fp"),
+        col("lift_x10000"))
+  }
 }

@@ -764,6 +764,65 @@ object Curation {
             col("n_ngrams"), 6)).as("hit_frac"))
   }
 
+  /** Cross-corpus overlap matrix — for every ORDERED pair of sources,
+    * how much of A's distinct n-gram vocabulary also appears in B:
+    * `containment_fp` = |A∩B|·10⁸ ÷ |A| (directional — a small corpus
+    * fully quoted by a big one shows 10⁸ one way, a sliver the other)
+    * and the symmetric `jaccard_fp` = |A∩B|·10⁸ ÷ |A∪B|. The mixture-
+    * design / leakage audit run before weighting sources
+    * ([[mixWeighted]]) or trusting a "held-out" source as clean.
+    *
+    * Join keys are the 8-byte word-n-gram hashes ([[contamination]]'s
+    * trade: the oracle replays counts on the gram STRINGS, identical
+    * modulo ~n²/2⁶⁴ collision odds). Truncating long division; the
+    * numerator overflows past ~9·10¹⁰ distinct grams per source —
+    * documented, not guarded, like every other `_fp` metric here.
+    *
+    * Scale shape: one explode → distinct (source, gram) pass; source
+    * sizes partial-aggregate from it; co-membership aggregates per
+    * GRAM (`collect_set(source)` — bounded by the source count, never
+    * by occurrences) and expands to ordered pairs by a plan-level
+    * lambda over the sorted set, so no corpus-sized frame is ever
+    * self-joined. Sources are enum-cardinality (a mixture has tens,
+    * not millions); the pair table is |sources|² rows.
+    *
+    * Output: (src_a, src_b, n_a, n_b, n_common, containment_fp,
+    * jaccard_fp), ordered pairs with src_a ≠ src_b; pairs with an
+    * empty intersection still appear (n_common = 0) so the matrix is
+    * dense and a zero overlap is visible, not missing. */
+  def corpusOverlap(df: DataFrame, textCol: String, srcCol: String,
+                    n: Int = 8): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = df
+      .select(col(srcCol).cast("string").as("_src"),
+        explode(gramHashes(col(textCol), n)).as("_g"))
+      .distinct()
+    val sizes = grams.groupBy(col("_src")).agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true) // |sources| rows: the pair frame joins it twice
+    val pairCounts = grams
+      .groupBy(col("_g")).agg(sort_array(collect_set(col("_src"))).as("_ss"))
+      .filter(size(col("_ss")) > 1)
+      .select(explode(expr(
+        // ordered pairs (x, y), x < y in sort order, from the gram's source set
+        "flatten(transform(_ss, (x, i) -> transform(slice(_ss, i + 2, size(_ss))," +
+          " y -> struct(x AS a, y AS b))))")).as("_p"))
+      .groupBy(col("_p.a").as("src_a"), col("_p.b").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    // densify: every ordered source pair, zero-filled, both directions
+    val allPairs = sizes.select(col("_src").as("src_a"), col("_n").as("n_a"))
+      .crossJoin(sizes.select(col("_src").as("src_b"), col("_n").as("n_b")))
+      .filter(col("src_a") =!= col("src_b"))
+    val sym = pairCounts.unionAll(pairCounts.select(
+      col("src_b").as("src_a"), col("src_a").as("src_b"), col("n_common")))
+    allPairs.join(sym, Seq("src_a", "src_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("containment_fp", expr("n_common * 100000000L DIV n_a"))
+      .withColumn("jaccard_fp",
+        expr("n_common * 100000000L DIV (n_a + n_b - n_common)"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_common"),
+        col("containment_fp"), col("jaccard_fp"))
+  }
+
   /** Assemble packed bins into trainer-ready token streams: one row per
     * (groupCols, bin) with `doc_ids` (members in id order), `input_ids`
     * (the members' token-id arrays concatenated in that order,

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Operational diagnostics for data at shuffle scale — the audits run
+  * BEFORE committing a 100 TB job shape, with no reference analog (the
+  * reference delegates joins and grouping to MySQL, SURVEY.md §2.9;
+  * key-distribution problems are distributed-shuffle problems by
+  * nature).
+  *
+  * Everything here emits integers / fixed-point longs so the result is
+  * bit-stable across engines (the DuckDB oracle replays each metric
+  * with the same truncating integer arithmetic).
+  */
+object Diagnostics {
+
+  /** Join/partition-key skew profile: per-key row counts, the global
+    * distribution metrics a shuffle planner needs (total rows, distinct
+    * keys, max per-key count), and the top-`topN` heaviest keys with
+    * their corpus share.
+    *
+    * Why: a shuffled join or aggregation degenerates when one reducer
+    * receives `max_cnt` rows while the average task gets
+    * `total/n_keys`; `skew_x10000` = `max·n_keys·10⁴ ÷ total` is that
+    * ratio in fixed-point (10000 = perfectly uniform). Feed the result
+    * into [[Skew.saltedJoin]] bucket sizing or an AQE decision.
+    *
+    * Scale shape: one partial-aggregated `groupBy(keys).count` pass —
+    * map-side combine collapses hot keys before the only exchange —
+    * then the tiny counts frame is checkpointed and read twice: one
+    * single-row global aggregate, and a `TakeOrdered` top-N (each task
+    * surfaces N candidates; no global sort). The rank window runs over
+    * the N surviving rows only.
+    *
+    * Fixed-point: `share_fp` = `cnt·10⁸ ÷ total` (truncating long
+    * division). Overflow bounds: `cnt·10⁸` holds to ~9·10¹⁰ rows per
+    * key; `max·n_keys` to products ~9·10¹⁸ — both far past any real
+    * shuffle input; documented rather than guarded so the expression
+    * stays a two-op codegen'd long multiply/divide.
+    *
+    * Output: (rank, keyCols…, cnt, share_fp, total_rows, n_keys,
+    * max_cnt, skew_x10000), `topN` rows ordered by rank. */
+  def keySkewProfile(df: DataFrame, keyCols: Seq[String], topN: Int = 20): DataFrame = {
+    require(keyCols.nonEmpty, "keySkewProfile needs at least one key column")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // global pass + top-N pass read this, not the input scan
+    val g = counts.agg(
+      coalesce(sum(col("cnt")), lit(0L)).as("_total"),
+      count(lit(1)).as("_nkeys"),
+      coalesce(max(col("cnt")), lit(0L)).as("_max")).head()
+    val (total, nKeys, maxC) = (g.getLong(0), g.getLong(1), g.getLong(2))
+    require(total > 0, "keySkewProfile: empty input")
+    val ord = col("cnt").desc +: keyCols.map(col(_).asc)
+    val ordered = counts
+      .orderBy(ord: _*)
+      .limit(topN) // plans as TakeOrderedAndProject: no global sort
+    val w = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
+    ordered
+      .withColumn("rank", row_number().over(w)) // N rows only: bounded
+      // `div`, not `/`: Spark's `/` on longs is a DOUBLE divide; DIV is
+      // the truncating long division the oracle replays with `//`
+      .withColumn("share_fp", expr(s"cnt * 100000000L DIV ${total}L"))
+      .withColumn("total_rows", lit(total))
+      .withColumn("n_keys", lit(nKeys))
+      .withColumn("max_cnt", lit(maxC))
+      .withColumn("skew_x10000", lit(maxC * nKeys * 10000L / total))
+      .select((col("rank") +: keyCols.map(col)) ++ Seq(col("cnt"), col("share_fp"),
+        col("total_rows"), col("n_keys"), col("max_cnt"), col("skew_x10000")): _*)
+  }
+
+  /** k-anonymity audit over quasi-identifier columns: the size of every
+    * QI equivalence class, flagged when fewer than `k` records share
+    * the combination — the re-identification risk check run before a
+    * dataset release (Sweeney 2002; `group_n = 1` is a unique,
+    * directly re-identifiable record).
+    *
+    * NULL is a QI value like any other (a missing ZIP code still
+    * narrows a record), so grouping treats NULLs as equal — Spark's
+    * groupBy and SQL GROUP BY already agree on that.
+    *
+    * Scale shape: one partial-aggregated groupBy — identical cost to
+    * the count it wraps; the flag is a codegen'd comparison. Callers
+    * wanting only the risky classes filter `at_risk` and the predicate
+    * reaches the aggregate's output, not the scan.
+    *
+    * Output: (qiCols…, group_n, at_risk), one row per equivalence
+    * class. */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymity needs at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+      .withColumn("at_risk", (col("group_n") < lit(k.toLong)).cast("int"))
+  }
+}

@@ -67,6 +67,43 @@ object Profile {
     }
   }
 
+  /** Robust outlier detection per group: median / MAD (median absolute
+    * deviation) gating — `|x − median| > k·MAD` — the audit that
+    * survives the outliers it hunts (mean/stddev gates move with the
+    * contamination; the median breaks down only past 50%). Runs on any
+    * numeric column; rows with NULL `valueCol` are never flagged.
+    *
+    * Both location estimates are PERCENTILE_DISC rank selections
+    * ([[percentiles]]): selected data values, never interpolated, so
+    * the gate `dev > k·mad` is one IEEE multiply+compare of values any
+    * engine reproduces bit-for-bit (no consistency constant — fold
+    * 1.4826 into `k` if a normal-σ scale is wanted).
+    *
+    * Scale shape: two grouped percentile passes (sketch mode by
+    * default — mergeable partials, no group sorted; `exact = true` is
+    * the oracle-replayable audit mode) plus two group-table joins —
+    * the group tables are one row per group, broadcast-sized in any
+    * realistic grouping. The input is scanned per pass rather than
+    * checkpointed: an audit reads the corpus thrice rather than
+    * pinning 100 TB to executor storage.
+    *
+    * Output: the flagged rows only — input columns ++ (med, mad) —
+    * bounded by the true outlier count, not the corpus. */
+  def robustOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     k: Double = 3.0, exact: Boolean = false): DataFrame = {
+    require(groupCols.nonEmpty, "robustOutliers needs at least one group column")
+    require(k > 0.0, s"k must be positive, got $k")
+    val med = percentiles(df, groupCols, valueCol, ps = Seq(0.5), exact = exact)
+      .select(groupCols.map(col) :+ col("p_50").as("_med"): _*)
+    val dev = df.join(med, groupCols)
+      .withColumn("_dev", abs(col(valueCol) - col("_med")))
+    val mad = percentiles(dev, groupCols, "_dev", ps = Seq(0.5), exact = exact)
+      .select(groupCols.map(col) :+ col("p_50").as("_mad"): _*)
+    dev.join(mad, groupCols)
+      .filter(col("_dev") > lit(k) * col("_mad"))
+      .select(df.columns.map(col) :+ col("_med").as("med") :+ col("_mad").as("mad"): _*)
+  }
+
   /** Profile `cols` of `df`: one row per column —
     * (col_name, n_rows, n_nulls, n_distinct, min_val, max_val). */
   def profileColumns(df: DataFrame, cols: Seq[String],

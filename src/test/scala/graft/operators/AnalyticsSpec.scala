@@ -74,4 +74,48 @@ class AnalyticsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Analytics.funnelSteps(d, "uid", "ts", "et", Seq("view", "view")))
   }
+
+  private val basketSchema = StructType(Seq(
+    StructField("txn", LongType), StructField("item", LongType)))
+
+  test("cooccurrence: pair counts, fixed-point support/confidence/lift") {
+    // 4 txns: {1,2} x3, {1,3} x1 -> pair (1,2) n=3, (1,3) n=1 (cut by minPairs)
+    val rows = Seq(
+      Row(10L, 1L), Row(10L, 2L),
+      Row(11L, 1L), Row(11L, 2L),
+      Row(12L, 1L), Row(12L, 2L),
+      Row(13L, 1L), Row(13L, 3L))
+    val out = Analytics.cooccurrence(df(basketSchema, rows), "txn", "item",
+      minPairs = 2L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("item_a") == 1L && r.getAs[Long]("item_b") == 2L)
+    assert(r.getAs[Long]("pair_n") == 3L)
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("n_txn") == 4L)
+    assert(r.getAs[Long]("support_fp") == 75000000L)  // 3e8/4
+    assert(r.getAs[Long]("conf_ab_fp") == 75000000L)  // 3e8/4
+    assert(r.getAs[Long]("conf_ba_fp") == 100000000L) // 3e8/3
+    assert(r.getAs[Long]("lift_x10000") == 10000L)    // 3*4e4/(4*3): independent
+  }
+
+  test("cooccurrence: duplicate rows collapse; the per-txn cap keeps lowest item ids") {
+    val rows = Seq( // txn 1 has items 1..5 (item 5 twice); cap=3 keeps {1,2,3}
+      Row(1L, 5L), Row(1L, 5L), Row(1L, 4L), Row(1L, 3L), Row(1L, 2L), Row(1L, 1L),
+      Row(2L, 1L), Row(2L, 2L), Row(2L, 3L))
+    val out = Analytics.cooccurrence(df(basketSchema, rows), "txn", "item",
+      minPairs = 2L, maxItemsPerTxn = 3).collect()
+      .map(r => (r.getAs[Long]("item_a"), r.getAs[Long]("item_b"),
+        r.getAs[Long]("pair_n"))).toSet
+    // only pairs within {1,2,3} survive, each co-occurring twice
+    assert(out == Set((1L, 2L, 2L), (1L, 3L, 2L), (2L, 3L, 2L)), s"got $out")
+  }
+
+  test("cooccurrence: bad args rejected") {
+    val d = df(basketSchema, Seq(Row(1L, 1L)))
+    intercept[IllegalArgumentException](
+      Analytics.cooccurrence(d, "txn", "item", minPairs = 0L))
+    intercept[IllegalArgumentException](
+      Analytics.cooccurrence(d, "txn", "item", maxItemsPerTxn = 1))
+  }
 }

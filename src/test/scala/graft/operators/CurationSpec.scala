@@ -574,4 +574,35 @@ class CurationSpec extends SparkSpec {
     assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
       4L -> "unchanged", 5L -> "added"))
   }
+
+  private val srcTextSchema = StructType(Seq(
+    StructField("src", StringType), StructField("text", StringType)))
+
+  test("corpusOverlap: dense ordered matrix, directional containment, zero pairs kept") {
+    val d = df(srcTextSchema, Seq(
+      Row("A", "a b c"),  // bigrams {a b, b c}  -> n=2
+      Row("B", "a b x"),  // bigrams {a b, b x}  -> n=2; A∩B = {a b}
+      Row("C", "z z z"))) // bigrams {z z}       -> n=1 (distinct); no overlap
+    val out = Curation.corpusOverlap(d, "text", "src", n = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_common"),
+          r.getAs[Long]("containment_fp"), r.getAs[Long]("jaccard_fp"))).toMap
+    assert(out.size == 6, s"expected dense 3x2 matrix, got ${out.keySet}")
+    assert(out(("A", "B")) == (2L, 1L, 50000000L, 33333333L)) // 1/2, 1/3
+    assert(out(("B", "A")) == (2L, 1L, 50000000L, 33333333L))
+    assert(out(("A", "C")) == (2L, 0L, 0L, 0L)) // zero overlap is VISIBLE
+    assert(out(("C", "A")) == (1L, 0L, 0L, 0L))
+  }
+
+  test("corpusOverlap: duplicate grams within a source count once") {
+    val d = df(srcTextSchema, Seq(
+      Row("A", "p q p q p q"), // bigrams all in {p q, q p} -> n_a = 2
+      Row("B", "p q")))        // {p q} -> n_b = 1; common = 1
+    val out = Curation.corpusOverlap(d, "text", "src", n = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_common"),
+          r.getAs[Long]("containment_fp"))).toMap
+    assert(out(("A", "B")) == (2L, 1L, 1L, 50000000L))  // |A∩B|/|A| = 1/2
+    assert(out(("B", "A")) == (1L, 2L, 1L, 100000000L)) // B fully contained
+  }
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class DiagnosticsSpec extends SparkSpec {
+
+  private val kv = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+
+  test("keySkewProfile: counts, ordering, fixed-point share and skew ratio") {
+    // key 7 is hot (6 rows), keys 1..4 get 1 row each -> total 10, 5 keys
+    val rows = (1 to 6).map(i => Row(7L, s"h$i")) ++
+      (1L to 4L).map(k => Row(k, "x"))
+    val out = Diagnostics.keySkewProfile(df(kv, rows), Seq("k"), topN = 3)
+      .collect()
+    assert(out.length == 3)
+    val top = out.head
+    assert(top.getAs[Int]("rank") == 1 && top.getAs[Long]("k") == 7L)
+    assert(top.getAs[Long]("cnt") == 6L)
+    // 6 * 1e8 / 10 = 60_000_000, truncating long division
+    assert(top.getAs[Long]("share_fp") == 60000000L)
+    assert(top.getAs[Long]("total_rows") == 10L && top.getAs[Long]("n_keys") == 5L)
+    assert(top.getAs[Long]("max_cnt") == 6L)
+    // max * n_keys * 1e4 / total = 6*5*10000/10 = 30000 (3x uniform)
+    assert(top.getAs[Long]("skew_x10000") == 30000L)
+    // ties on cnt=1 break by ascending key: ranks 2,3 are keys 1,2
+    assert(out(1).getAs[Long]("k") == 1L && out(2).getAs[Long]("k") == 2L)
+    assert(out(1).getAs[Int]("rank") == 2 && out(2).getAs[Int]("rank") == 3)
+  }
+
+  test("keySkewProfile: uniform keys report skew_x10000 = 10000") {
+    val rows = (1L to 4L).flatMap(k => (1 to 3).map(i => Row(k, s"$i")))
+    val out = Diagnostics.keySkewProfile(df(kv, rows), Seq("k"), topN = 10)
+      .collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[Long]("skew_x10000") == 10000L))
+    assert(out.forall(_.getAs[Long]("cnt") == 3L))
+  }
+
+  test("keySkewProfile: empty input is rejected, topN bounds output") {
+    intercept[IllegalArgumentException] {
+      Diagnostics.keySkewProfile(df(kv, Seq.empty), Seq("k"))
+    }
+    val rows = (1L to 9L).map(k => Row(k, "x"))
+    assert(Diagnostics.keySkewProfile(df(kv, rows), Seq("k"), topN = 4).count() == 4)
+  }
+
+  private val qi = StructType(Seq(
+    StructField("zip", StringType), StructField("seg", StringType),
+    StructField("id", LongType)))
+
+  test("kAnonymity: class sizes and the at-risk flag, NULL is a QI value") {
+    val rows = Seq(
+      Row("94110", "A", 1L), Row("94110", "A", 2L), Row("94110", "A", 3L),
+      Row("94110", "B", 4L), // unique -> at risk
+      Row(null, "B", 5L), Row(null, "B", 6L)) // NULL zip groups together
+    val out = Diagnostics.kAnonymity(df(qi, rows), Seq("zip", "seg"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("group_n"), r.getAs[Int]("at_risk"))).toMap
+    assert(out(("94110", "A")) == (3L, 0))
+    assert(out(("94110", "B")) == (1L, 1))
+    assert(out((null, "B")) == (2L, 1)) // 2 < k: still risky
+    assert(out.size == 3)
+  }
+
+  test("kAnonymity: k must be at least 2") {
+    intercept[IllegalArgumentException] {
+      Diagnostics.kAnonymity(df(qi, Seq(Row("z", "s", 1L))), Seq("zip"), k = 1)
+    }
+  }
+}

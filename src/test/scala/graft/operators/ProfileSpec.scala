@@ -64,6 +64,43 @@ class ProfileSpec extends SparkSpec {
       Profile.percentiles(d, Seq("g"), "v", ps = Seq(1.5)))
   }
 
+  test("robustOutliers: planted outlier flagged, inliers and NULLs are not") {
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("id", LongType),
+      StructField("v", DoubleType)))
+    // group a: 9 values tightly around 10 (med=10, MAD=1) + one at 100;
+    // group b: constant (MAD=0 -> nothing can exceed 3*0 strictly... except
+    // any deviation > 0; plant one deviating row to pin that edge)
+    val rows = Seq(9.0, 9.0, 10.0, 10.0, 10.0, 11.0, 11.0, 12.0, 8.0)
+      .zipWithIndex.map { case (v, i) => Row("a", i.toLong, v) } ++
+      Seq(Row("a", 90L, 100.0), Row("a", 91L, null)) ++
+      (0 to 4).map(i => Row("b", 100L + i, 5.0)) ++ Seq(Row("b", 105L, 5.5))
+    val out = Profile.robustOutliers(df(schema, rows), Seq("g"), "v", exact = true)
+      .collect().map(r => r.getLong(1) -> (r.getDouble(3), r.getDouble(4))).toMap
+    // a: med=10, deviations sorted [0,0,0,1,1,1,1,2,2,90,..] -> MAD=1; only 100.0 flagged
+    assert(out.keySet == Set(90L, 105L), s"got ${out.keySet}")
+    assert(out(90L) == (10.0, 1.0))
+    // b: med=5, MAD=0 -> any nonzero deviation is an outlier
+    assert(out(105L) == (5.0, 0.0))
+  }
+
+  test("robustOutliers: sketch mode in its exact regime equals exact mode; bad args") {
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("id", LongType),
+      StructField("v", DoubleType)))
+    val rows = (0 until 60).map(i =>
+      Row(if (i % 2 == 0) "x" else "y", i.toLong, (i % 7).toDouble)) ++
+      Seq(Row("x", 200L, 999.0), Row("y", 201L, -999.0))
+    val d = df(schema, rows)
+    val ex = Profile.robustOutliers(d, Seq("g"), "v", exact = true)
+      .collect().map(_.getLong(1)).toSet
+    val sk = Profile.robustOutliers(d, Seq("g"), "v", exact = false)
+      .collect().map(_.getLong(1)).toSet
+    assert(ex == sk && ex == Set(200L, 201L), s"exact $ex vs sketch $sk")
+    intercept[IllegalArgumentException](Profile.robustOutliers(d, Seq.empty, "v"))
+    intercept[IllegalArgumentException](Profile.robustOutliers(d, Seq("g"), "v", k = 0.0))
+  }
+
   test("profileColumns: one scan — a single aggregate node, no join or union of scans") {
     val plan = Profile.profileColumns(data, Seq("id", "s", "d"))
       .queryExecution.optimizedPlan.toString
