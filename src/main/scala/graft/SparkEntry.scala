@@ -1722,6 +1722,19 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q_random_proj" -> ((s, dir) => {
+      // JL dimensionality reduction, dim 64 -> 8: seeded sparse
+      // Achlioptas projection, elements fixed-point-quantized BEFORE
+      // the signed sum, so the output longs are engine-exact — one
+      // codegen'd loop per row, no shuffle at all
+      import org.apache.spark.sql.graftshim.ColumnBridge
+      val proj = ColumnBridge.column(graft.functions.RandomProjectFp(
+        ColumnBridge.expression(col("embedding")), 64, 8, 42L))
+      T(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(proj).as(Seq("j", "value_fp")))
+        .orderBy(col("vec_id"), col("j"))
+    }),
+
     "q_corpus_overlap" -> ((s, dir) => {
       // mixture-design leakage audit: dense ordered source-pair matrix
       // of 5-gram containment/jaccard — per-gram collect_set expansion,
@@ -4117,6 +4130,26 @@ object SparkEntry {
         |       g.maxc AS max_cnt,
         |       CAST(g.maxc * g.nkeys * 10000 // g.total AS BIGINT) AS skew_x10000
         |FROM topn CROSS JOIN g ORDER BY rank""".stripMargin,
+
+    // The LCG sign rule and the fixed-point quantization are integer
+    // arithmetic end-to-end: the oracle regenerates the sign matrix
+    // with plain % (operands non-negative) and sums the same longs.
+    "q_random_proj" ->
+      """WITH el AS MATERIALIZED (
+        |  SELECT vec_id,
+        |         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS c,
+        |         unnest(range(0, len(embedding))) AS i
+        |  FROM embeddings),
+        |jd AS (SELECT unnest(range(0, 8)) AS j),
+        |terms AS (
+        |  SELECT el.vec_id, jd.j,
+        |         CASE ((jd.j * 64 + el.i) * 1103515245 + 42) % 2147483648 % 6
+        |           WHEN 0 THEN el.c WHEN 1 THEN -el.c ELSE 0 END AS t
+        |  FROM el CROSS JOIN jd
+        |  WHERE el.i < 64)
+        |SELECT vec_id, CAST(j AS INTEGER) AS j, CAST(SUM(t) AS BIGINT) AS value_fp
+        |FROM terms GROUP BY 1, 2
+        |ORDER BY vec_id, j""".stripMargin,
 
     // Spark intersects 64-bit gram hashes; the oracle intersects the
     // gram STRINGS those hashes identify — identical counts modulo

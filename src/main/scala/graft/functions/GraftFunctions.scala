@@ -200,7 +200,15 @@ object GraftFunctions {
         s"planes must be an integer literal in [1, 62], got $planes")
       val seed = if (args.length == 4) longLit(args(3), "seed") else 42L
       HyperplaneBucket(args.head, dim, planes, seed)
-    }, "hyperplane_bucket(vec, dim, planes[, seed]) - native random-hyperplane LSH bucket id in [0, 2^planes) for cosine similarity (matches VectorFunctions.hyperplaneBucket)"))
+    }, "hyperplane_bucket(vec, dim, planes[, seed]) - native random-hyperplane LSH bucket id in [0, 2^planes) for cosine similarity (matches VectorFunctions.hyperplaneBucket)"),
+    ("random_project_fp", { args: Seq[Expression] =>
+      require(args.length == 3 || args.length == 4,
+        "random_project_fp(vec, dim, outDim[, seed])")
+      val dim = intLit(args(1), "dim")
+      val outDim = intLit(args(2), "outDim")
+      val seed = if (args.length == 4) longLit(args(3), "seed") else 42L
+      RandomProjectFp(args.head, dim, outDim, seed)
+    }, "random_project_fp(vec, dim, outDim[, seed]) - seeded sparse (Achlioptas) random projection to outDim fixed-point longs; integer-exact, SQL-replayable"))
 
   /** The Gopher keep predicate over a `__p__` repetition-profile
     * struct, built FROM [[TextFunctions]]' threshold constants — one

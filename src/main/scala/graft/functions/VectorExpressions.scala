@@ -290,3 +290,118 @@ case class L2SqDistance(left: Expression, right: Expression) extends BinaryVecto
     copy(left = l, right = r)
   override def prettyName: String = "vec_l2sq_native"
 }
+
+/** Seeded sparse random projection (Achlioptas 2003 / JL lemma), fully
+  * integer and therefore bit-replayable by any SQL engine.
+  *
+  * Entry (j, i) of the outDim×dim projection matrix is derived from the
+  * LCG residue r = (k·1103515245 + seed) mod 2³¹ with k = j·dim + i
+  * (the engine's standard oracle-replayable generator — shardShuffle /
+  * DSIR use the same recurrence): sign = +1 if r mod 6 = 0, −1 if
+  * r mod 6 = 1, else 0 — the density-1/3 sparse scheme (E[s²] = 1/3;
+  * fold the √3 variance correction into downstream thresholds, like
+  * the MAD gate folds 1.4826). Output j = Σᵢ s(j,i)·⌊xᵢ·10⁶⌋: elements
+  * quantize to fixed-point BEFORE summing, so every engine sums the
+  * same longs in any order — no IEEE accumulation-order hazard at all.
+  *
+  * Why it's here: at 10⁹+ vectors the projection is the cheap gateway
+  * that turns dim-768 similarity work into dim-16 work for bucketing /
+  * pre-filtering (brute-force verify stays on the full vector). One
+  * codegen'd loop per row (outDim·dim multiplies-by-{-1,0,1} — i.e.,
+  * adds), matrix cached per (seed, dim, outDim) per executor JVM.
+  *
+  * Edge semantics (the [[VectorOps.hyperplaneBucket]] mold): vector
+  * shorter than `dim` or any null element → null output; elements past
+  * `dim` are ignored. Seeds must be non-negative (the oracle's plain
+  * `%` agrees with floorMod only for non-negative operands). */
+object RandomProjection {
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Byte]]()
+
+  def signs(seed: Long, dim: Int, outDim: Int): Array[Byte] =
+    signCache.computeIfAbsent((seed, dim, outDim), { _ =>
+      val out = new Array[Byte](outDim * dim)
+      var k = 0
+      while (k < out.length) {
+        val r = java.lang.Math.floorMod(k.toLong * 1103515245L + seed, 2147483648L)
+        out(k) = (r % 6L) match {
+          case 0L => 1
+          case 1L => -1
+          case _ => 0
+        }
+        k += 1
+      }
+      out
+    })
+
+  /** Invoked from generated code. Null-poison semantics documented on
+    * [[RandomProjection]]. */
+  def projectFp(arr: ArrayData, dim: Int, outDim: Int, seed: Long,
+                isFloat: Boolean): ArrayData = {
+    val n = arr.numElements()
+    if (n < dim) return null
+    val cents = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      if (arr.isNullAt(i)) return null
+      val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      cents(i) = math.floor(x * 1000000.0).toLong
+      i += 1
+    }
+    val s = signs(seed, dim, outDim)
+    val out = new Array[Long](outDim)
+    var j = 0
+    while (j < outDim) {
+      val base = j * dim
+      var acc = 0L
+      var d = 0
+      while (d < dim) {
+        val sg = s(base + d)
+        if (sg == 1) acc += cents(d) else if (sg == -1) acc -= cents(d)
+        d += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `random_project_fp(array<float|double>, dim, outDim, seed)` →
+  * `array<long>` of length outDim — see [[RandomProjection]]. */
+case class RandomProjectFp(child: Expression, dim: Int, outDim: Int, seed: Long)
+  extends UnaryExpression {
+  require(dim >= 1, s"dim must be >= 1, got $dim")
+  require(outDim >= 1, s"outDim must be >= 1, got $outDim")
+  require(seed >= 0L, s"seed must be non-negative (oracle % parity), got $seed")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"random_project_fp needs array<float> or array<double> input, got $other")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    RandomProjection.projectFp(input.asInstanceOf[ArrayData], dim, outDim, seed, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("proj")
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.RandomProjection$$.MODULE$$.projectFp($c, $dim, $outDim, ${seed}L, $isFloat);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RandomProjectFp =
+    copy(child = newChild)
+  override def prettyName: String = "random_project_fp"
+}

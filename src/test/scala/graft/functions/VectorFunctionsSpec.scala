@@ -123,4 +123,52 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(!plan.contains("lambdafunction"),
       "no HOF lambda may remain in the projection:\n" + plan)
   }
+
+  test("randomProjectFp: matches a scalar reference; null/short vectors poison") {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val dim = 8; val outDim = 3; val seed = 7L
+    // scalar reference: same LCG sign rule, same fixed-point floor
+    def signOf(k: Int): Int =
+      (java.lang.Math.floorMod(k.toLong * 1103515245L + seed, 2147483648L) % 6L) match {
+        case 0L => 1; case 1L => -1; case _ => 0
+      }
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 20L).map(i => i -> Seq.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val rows = vecs.map { case (i, v) => Row(i, v) } ++
+      Seq(Row(100L, Seq.fill(dim - 1)(0.5f)), // short -> null
+        Row(101L, null))                      // null vec -> null
+    val d = df(schema, rows)
+    val out = d.select(col("id"), ColumnBridge.column(RandomProjectFp(
+        ColumnBridge.expression(col("v")), dim, outDim, seed)).as("p"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(out(100L) == null && out(101L) == null)
+    for ((i, v) <- vecs) {
+      val cents = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+      val exp = (0 until outDim).map(j =>
+        (0 until dim).map(dd => signOf(j * dim + dd) * cents(dd)).sum)
+      assert(out(i) == exp, s"vec $i: got ${out(i)}, want $exp")
+    }
+  }
+
+  test("randomProjectFp: sign density ~1/3 and projections stay in codegen") {
+    val s = RandomProjection.signs(42L, 64, 8)
+    val nz = s.count(_ != 0)
+    assert(nz > s.length / 5 && nz < s.length / 2,
+      s"density 1/3 expected, got $nz/${s.length}")
+    val rows = (1L to 5L).map(i => Row(i, Seq.fill(64)(0.25f)))
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    // repartition: ConvertToLocalRelation would otherwise fold the whole
+    // projection into a LocalTableScan and there'd be no plan to assert on
+    val out = df(schema, rows).repartition(2)
+      .select(ColumnBridge.column(RandomProjectFp(
+        ColumnBridge.expression(col("v")), 64, 8, 42L)).as("p"))
+    out.collect() // finalize the adaptive plan before inspecting it
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // `*(n)` prefixes a node inside a WholeStageCodegen span (the
+    // vec_cosine_native test's evidence pattern)
+    val proj = plan.linesIterator.find(_.contains("random_project_fp")).getOrElse("")
+    assert(proj.contains("*("),
+      "random_project_fp must stay inside codegen:\n" + plan)
+  }
 }
