@@ -1722,6 +1722,27 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q_neyman" -> ((s, dir) =>
+      // optimal-allocation stratified sample: per-priority budget share
+      // proportional to N_h*sigma_h via DECIMAL-exact integer variance +
+      // largest-remainder rounding; deterministic prefix take per stratum
+      Curation.neymanSample(T(s, dir, "orders"), "o_orderpriority",
+          "o_totalprice", "o_orderkey", budget = 500L)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    "q_pack_report" -> ((s, dir) => {
+      // packing-efficiency audit over the strict pack: per-lang bin
+      // count, fill rate, and min/max bin fill in fixed-point — two
+      // partial-aggregated passes over the packed projection
+      val packed = Curation.packSequencesStrict(
+        T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "n_chars", 16384L, Seq("lang"), "doc_id")
+      Curation.packEfficiency(packed, "n_chars", 16384L, Seq("lang"))
+        .orderBy(col("lang"))
+    }),
+
     "q_random_proj" -> ((s, dir) => {
       // JL dimensionality reduction, dim 64 -> 8: seeded sparse
       // Achlioptas projection, elements fixed-point-quantized BEFORE
@@ -4130,6 +4151,78 @@ object SparkEntry {
         |       g.maxc AS max_cnt,
         |       CAST(g.maxc * g.nkeys * 10000 // g.total AS BIGINT) AS skew_x10000
         |FROM topn CROSS JOIN g ORDER BY rank""".stripMargin,
+
+    // Allocation replay: HUGEINT-exact variance numerator per stratum,
+    // the same IEEE sqrt of the same double cast, truncating // and
+    // largest-remainder ranks (rem DESC, stratum ASC — binary string
+    // order both sides for these ASCII keys). The Σw=0 proportional
+    // fallback never fires on this data and isn't replayed.
+    "q_neyman" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice,
+        |         CAST(FLOOR(COALESCE(o_totalprice, 0) * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |st AS MATERIALIZED (
+        |  SELECT o_orderpriority AS k, COUNT(1) AS n,
+        |         SUM(CAST(cents AS HUGEINT)) AS s1,
+        |         SUM(CAST(cents AS HUGEINT) * cents) AS s2
+        |  FROM c GROUP BY 1),
+        |w AS MATERIALIZED (
+        |  SELECT k, n,
+        |         CAST(FLOOR(SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE))) AS BIGINT) AS wt
+        |  FROM st),
+        |tot AS (SELECT SUM(CAST(wt AS HUGEINT)) AS tw FROM w),
+        |base AS MATERIALIZED (
+        |  SELECT w.k, w.n,
+        |         CAST(500 * CAST(w.wt AS HUGEINT) // tot.tw AS BIGINT) AS b,
+        |         CAST(500 * CAST(w.wt AS HUGEINT) % tot.tw AS BIGINT) AS rem
+        |  FROM w CROSS JOIN tot),
+        |lo AS (SELECT 500 - SUM(b) AS leftover FROM base),
+        |alloc AS MATERIALIZED (
+        |  SELECT k, CASE WHEN rnk <= (SELECT leftover FROM lo)
+        |                 THEN LEAST(n, b + 1) ELSE LEAST(n, b) END AS a
+        |  FROM (SELECT k, n, b,
+        |               ROW_NUMBER() OVER (ORDER BY rem DESC, k) AS rnk FROM base)),
+        |rk AS (SELECT c.*,
+        |              ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                                 ORDER BY o_orderkey) AS rn FROM c)
+        |SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+        |FROM rk JOIN alloc ON rk.o_orderpriority = alloc.k
+        |WHERE rk.rn <= alloc.a
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // The q_pack_strict lock-step recursive pack, then the two
+    // aggregation levels the report runs — all integer arithmetic.
+    "q_pack_report" ->
+      """WITH RECURSIVE o AS MATERIALIZED (
+        |  SELECT lang, doc_id, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, rn, doc_id, n_chars,
+        |         CAST(0 AS BIGINT) AS bin, CAST(n_chars AS BIGINT) AS used
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.lang, o.rn, o.doc_id, o.n_chars,
+        |         CASE WHEN r.used + o.n_chars > 16384 THEN r.bin + 1 ELSE r.bin END,
+        |         CASE WHEN r.used + o.n_chars > 16384 THEN CAST(o.n_chars AS BIGINT)
+        |              ELSE r.used + o.n_chars END
+        |  FROM r JOIN o ON o.lang = r.lang AND o.rn = r.rn + 1),
+        |bins AS MATERIALIZED (
+        |  SELECT lang, bin, COUNT(1) AS items, MAX(used) AS used
+        |  FROM r GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT lang, COUNT(1) AS n_bins,
+        |         CAST(SUM(items) AS BIGINT) AS n_items,
+        |         CAST(SUM(used) AS BIGINT) AS used_tokens,
+        |         CAST(MIN(used * 100000000 // 16384) AS BIGINT) AS min_bin_fill_fp,
+        |         CAST(MAX(used * 100000000 // 16384) AS BIGINT) AS max_bin_fill_fp
+        |  FROM bins GROUP BY 1)
+        |SELECT lang, n_bins, n_items, used_tokens,
+        |       n_bins * 16384 AS capacity,
+        |       CAST(used_tokens * 100000000 // (n_bins * 16384) AS BIGINT) AS fill_fp,
+        |       min_bin_fill_fp, max_bin_fill_fp
+        |FROM agg ORDER BY lang""".stripMargin,
 
     // The LCG sign rule and the fixed-point quantization are integer
     // arithmetic end-to-end: the oracle regenerates the sign matrix

@@ -139,6 +139,80 @@ object Curation {
       .drop("_pfx", "_cnt")
   }
 
+  /** Neyman-allocation stratified sampling: a `budget`-row sample whose
+    * per-stratum share is proportional to N_h·σ_h — the optimal
+    * allocation for estimating a population mean (Neyman 1934): volatile
+    * strata get more of the budget than uniform ones of the same size,
+    * which proportional allocation cannot do.
+    *
+    * Every step is engine-exact so the sampled ROW SET is reproducible
+    * anywhere: values quantize to 1e-2 fixed-point (cents); the spread
+    * weight per stratum is w_h = ⌊√(N_h·Σc² − (Σc)²)⌋ — the integer
+    * variance numerator, DECIMAL-exact, equal to N_h·σ_h up to the
+    * shared constant √N̄ that allocation ratios cancel; the sqrt runs on
+    * the same IEEE double both engines cast to. Allocation is largest-
+    * remainder: base_h = budget·w_h ÷ Σw truncating, the leftover goes
+    * +1 each to the largest `budget·w_h mod Σw`, ties broken by stratum
+    * value ascending. A stratum's award is capped at its population
+    * (no redistribution — the shortfall is reported by the row count,
+    * not silently shifted; re-run with a larger budget if exactness
+    * matters). All-constant corpora (Σw = 0) fall back to proportional
+    * allocation by N_h. The take is the first alloc_h rows per stratum
+    * in `orderCol` order ([[mixSources]]' de-funneled prefix shape —
+    * no stratum sorts inside one task; `orderCol` must be unique per
+    * stratum, an id or fingerprint, never a content-correlated score).
+    *
+    * Driver state: one row of (n, Σc, Σc²) per stratum — enum-bounded,
+    * like every mixer here. NULL values count as 0 cents (they still
+    * occupy sample slots; filter first if not wanted). */
+  def neymanSample(df: DataFrame, strataCol: String, valueCol: String,
+                   orderCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val cents = floor(coalesce(col(valueCol).cast("double"), lit(0.0)) * 100.0).cast("long")
+    val stats = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("_n"),
+        sum(cents.cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("_s1"),
+        // widen BEFORE squaring: cents² overflows a long past ~3·10⁹ cents
+        sum(cents.cast(org.apache.spark.sql.types.DecimalType(38, 0)) * cents).as("_s2"))
+      .collect()
+      .map { r =>
+        val n = r.getLong(1)
+        val s1 = BigInt(r.getDecimal(2).toBigInteger)
+        val s2 = BigInt(r.getDecimal(3).toBigInteger)
+        val m = BigInt(n) * s2 - s1 * s1 // >= 0 by Cauchy-Schwarz
+        (r.get(0), n, math.floor(math.sqrt(m.toDouble)).toLong)
+      }
+    require(stats.nonEmpty, "neymanSample: empty input")
+    val wSum = stats.map(s => BigInt(s._3)).sum
+    val weights: Seq[(Any, Long, BigInt)] =
+      if (wSum == 0) stats.map(s => (s._1, s._2, BigInt(s._2))).toSeq
+      else stats.map(s => (s._1, s._2, BigInt(s._3))).toSeq
+    val totalW = weights.map(_._3).sum
+    val based = weights.map { case (k, n, w) =>
+      val base = (BigInt(budget) * w / totalW).toLong
+      val rem = (BigInt(budget) * w % totalW).toLong
+      (k, n, base, rem)
+    }
+    val leftover = budget - based.map(_._3).sum
+    val bumped = based.sortBy { case (k, _, _, rem) => (-rem, String.valueOf(k)) }
+      .zipWithIndex
+      .map { case ((k, n, base, _), i) =>
+        k -> math.min(n, base + (if (i < leftover) 1L else 0L))
+      }
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val targetDf = broadcast(spark.createDataFrame(
+      bumped.map { case (k, a) => org.apache.spark.sql.Row(k, a) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        df.schema(strataCol).copy(name = "_sk"),
+        org.apache.spark.sql.types.StructField("_alloc",
+          org.apache.spark.sql.types.LongType, nullable = false)))))
+    withStrataPrefix(df, Seq(strataCol), orderCol, lit(1L), "_pfx")
+      .join(targetDf, col(strataCol) <=> col("_sk")) // null stratum survives
+      .filter(col("_pfx") < col("_alloc"))
+      .drop("_pfx", "_sk", "_alloc")
+  }
+
   /** The "idCol must fit a long" contract of the heap-aggregate family
     * (sampleGroups/topKBy/capPerGroup), ENFORCED: `cast("long")` on a
     * string/decimal id yields nulls and the winner sets silently go
@@ -441,6 +515,44 @@ object Curation {
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bin)
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Packing-efficiency report over a packed corpus ([[packSequences]] /
+    * [[packSequencesStrict]] output): per group, how well the bins use
+    * the context-window budget — the number every batch-assembly
+    * pipeline watches, because wasted bin tail is wasted training
+    * compute at exactly the corpus scale.
+    *
+    * Output (one row per group): (groupCols…, n_bins, n_items,
+    * used_tokens, capacity = n_bins·budget, fill_fp = used·10⁸ ÷
+    * capacity, min_bin_fill_fp, max_bin_fill_fp). Truncating long
+    * division, so the report is bit-stable; for [[packSequencesStrict]]
+    * output fill never exceeds 10⁸, while quota bins
+    * ([[packSequences]]) may straddle above it — both visible here.
+    *
+    * Scale shape: two partial-aggregated groupBys (bin level, then
+    * group level) over the packed frame's (group, bin, weight)
+    * projection — no window, no join. */
+  def packEfficiency(packed: DataFrame, weightCol: String, budget: Long,
+                     groupCols: Seq[String], binCol: String = "bin"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(groupCols.nonEmpty, "packEfficiency needs the pack's group columns")
+    val bins = packed
+      .groupBy((groupCols :+ binCol).map(col): _*)
+      .agg(count(lit(1)).as("_items"),
+        sum(col(weightCol).cast("long")).as("_used"))
+      .withColumn("_fill", expr(s"_used * 100000000L DIV ${budget}L"))
+    bins.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("_items")).as("n_items"),
+        sum(col("_used")).as("used_tokens"),
+        min(col("_fill")).as("min_bin_fill_fp"),
+        max(col("_fill")).as("max_bin_fill_fp"))
+      .withColumn("capacity", col("n_bins") * lit(budget))
+      .withColumn("fill_fp", expr("used_tokens * 100000000L DIV capacity"))
+      .select(groupCols.map(col) ++ Seq(col("n_bins"), col("n_items"),
+        col("used_tokens"), col("capacity"), col("fill_fp"),
+        col("min_bin_fill_fp"), col("max_bin_fill_fp")): _*)
   }
 
   /** Deterministic uniform per-group sample of `k` ids via the native

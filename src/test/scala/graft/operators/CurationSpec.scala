@@ -575,6 +575,64 @@ class CurationSpec extends SparkSpec {
       4L -> "unchanged", 5L -> "added"))
   }
 
+  private val stratValSchema = StructType(Seq(
+    StructField("g", StringType), StructField("id", LongType),
+    StructField("v", DoubleType)))
+
+  test("neymanSample: volatile strata get more budget than uniform ones of equal size") {
+    // stratum "flat": 20 rows, constant value -> sigma 0 -> weight 0
+    // stratum "wild": 20 rows, high spread -> gets (almost) all the budget
+    val rows = (0 until 20).map(i => Row("flat", i.toLong, 10.0)) ++
+      (0 until 20).map(i => Row("wild", 100L + i, if (i % 2 == 0) 0.0 else 1000.0))
+    val out = Curation.neymanSample(df(stratValSchema, rows), "g", "v", "id", budget = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byG = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byG.getOrElse("wild", 0) == 10 && byG.getOrElse("flat", 0) == 0,
+      s"all budget should go to the volatile stratum, got $byG")
+    // the take is the id-order prefix of the stratum
+    assert(out.filter(_._1 == "wild").map(_._2).sorted.toSeq == (100L to 109L))
+  }
+
+  test("neymanSample: all-constant corpus falls back to proportional; award capped at population") {
+    val rows = (0 until 30).map(i => Row("big", i.toLong, 5.0)) ++
+      (0 until 10).map(i => Row("small", 100L + i, 5.0))
+    val out = Curation.neymanSample(df(stratValSchema, rows), "g", "v", "id", budget = 20L)
+      .collect().map(r => r.getString(0))
+    val byG = out.groupBy(identity).view.mapValues(_.length).toMap
+    // proportional: 20 * 30/40 = 15, 20 * 10/40 = 5
+    assert(byG == Map("big" -> 15, "small" -> 5), s"got $byG")
+    // budget larger than a stratum: award capped at its population
+    val capped = Curation.neymanSample(
+        df(stratValSchema, (0 until 4).map(i => Row("only", i.toLong, i.toDouble))),
+        "g", "v", "id", budget = 100L)
+      .count()
+    assert(capped == 4L)
+    intercept[IllegalArgumentException](
+      Curation.neymanSample(df(stratValSchema, Seq(Row("a", 1L, 1.0))), "g", "v", "id", 0L))
+  }
+
+  private val packedSchema = StructType(Seq(
+    StructField("g", StringType), StructField("id", LongType),
+    StructField("w", LongType)))
+
+  test("packEfficiency: per-group bin stats in fixed-point") {
+    // group A, budget 10: strict next-fit over w = [6, 3, 5, 9] in id
+    // order -> bins {6,3}=9, {5}=5, {9}=9
+    val d = df(packedSchema, Seq(
+      Row("A", 1L, 6L), Row("A", 2L, 3L), Row("A", 3L, 5L), Row("A", 4L, 9L)))
+    val packed = Curation.packSequencesStrict(d, "w", 10L, Seq("g"), "id")
+    val out = Curation.packEfficiency(packed, "w", 10L, Seq("g")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_bins") == 3L && r.getAs[Long]("n_items") == 4L)
+    assert(r.getAs[Long]("used_tokens") == 23L && r.getAs[Long]("capacity") == 30L)
+    assert(r.getAs[Long]("fill_fp") == 76666666L)        // 23e8 // 30
+    assert(r.getAs[Long]("min_bin_fill_fp") == 50000000L) // 5/10
+    assert(r.getAs[Long]("max_bin_fill_fp") == 90000000L) // 9/10
+    intercept[IllegalArgumentException](Curation.packEfficiency(packed, "w", 0L, Seq("g")))
+    intercept[IllegalArgumentException](Curation.packEfficiency(packed, "w", 10L, Seq.empty))
+  }
+
   private val srcTextSchema = StructType(Seq(
     StructField("src", StringType), StructField("text", StringType)))
 
