@@ -1722,6 +1722,29 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q_cohort_retention" -> ((s, dir) =>
+      // retention triangle: first-event-week cohorts x activity-week
+      // offsets, window-free (distinct activity -> min-week join ->
+      // matrix aggregate), fixed-point shares
+      operators.Analytics.cohortRetention(T(s, dir, "events"), "user_id", "ts")
+        .orderBy(col("cohort_week"), col("week_offset"))),
+
+    "q_transitions" -> ((s, dir) =>
+      // first-order Markov transition matrix over user event streams:
+      // per-user window (bounded partitions), total-ordered by
+      // (ts, event_id), pair counts + P(to|from) in fixed-point
+      operators.Analytics.transitionMatrix(T(s, dir, "events"), "user_id",
+          "ts", "event_id", "event_type")
+        .orderBy(col("from_type"), col("to_type"))),
+
+    "q_dp_counts" -> ((s, dir) =>
+      // epsilon-DP histogram release: seeded replayable Laplace noise
+      // (poly-hash -> LCG -> inverse CDF) on per-lang counts, rounded
+      // and clamped — the oracle regenerates the identical draw
+      operators.Diagnostics.dpNoisyCounts(T(s, dir, "documents"), "lang",
+          epsilon = 1.0, seed = 7L)
+        .orderBy(col("lang"))),
+
     "q_neyman" -> ((s, dir) =>
       // optimal-allocation stratified sample: per-priority budget share
       // proportional to N_h*sigma_h via DECIMAL-exact integer variance +
@@ -4151,6 +4174,63 @@ object SparkEntry {
         |       g.maxc AS max_cnt,
         |       CAST(g.maxc * g.nkeys * 10000 // g.total AS BIGINT) AS skew_x10000
         |FROM topn CROSS JOIN g ORDER BY rank""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH acts AS MATERIALIZED (
+        |  SELECT DISTINCT user_id,
+        |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk
+        |  FROM events),
+        |fw AS MATERIALIZED (
+        |  SELECT user_id, MIN(wk) AS cohort_week FROM acts GROUP BY 1),
+        |mat AS MATERIALIZED (
+        |  SELECT f.cohort_week, a.wk - f.cohort_week AS week_offset,
+        |         COUNT(1) AS n_users
+        |  FROM acts a JOIN fw f USING (user_id) GROUP BY 1, 2),
+        |sizes AS (SELECT cohort_week, n_users AS cohort_size
+        |          FROM mat WHERE week_offset = 0)
+        |SELECT m.cohort_week, m.week_offset, m.n_users, s.cohort_size,
+        |       CAST(m.n_users * 100000000 // s.cohort_size AS BIGINT) AS retention_fp
+        |FROM mat m JOIN sizes s USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q_transitions" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |pc AS MATERIALIZED (
+        |  SELECT from_type, to_type, COUNT(1) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        |       FROM pc GROUP BY 1)
+        |SELECT pc.from_type, pc.to_type, pc.n, ft.n_from,
+        |       CAST(pc.n * 100000000 // ft.n_from AS BIGINT) AS prob_fp
+        |FROM pc JOIN ft USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    // The identical seeded draw: per-step-mod codepoint polynomial
+    // (PolyBucket), LCG residue, u = (r + 0.5)/2^31, inverse Laplace
+    // CDF with the DSIR-established IEEE ln parity, floor(x+0.5),
+    // clamp at 0.
+    "q_dp_counts" ->
+      """WITH c AS MATERIALIZED (SELECT lang, COUNT(1) AS n FROM documents GROUP BY 1),
+        |h AS (
+        |  SELECT lang, n,
+        |         COALESCE(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                    list_transform(string_split(CAST(lang AS VARCHAR), ''),
+        |                                   x -> CAST(unicode(x) AS BIGINT))),
+        |                  (a, b) -> (a * 31 + b) % 16777216), 0) AS hh
+        |  FROM c),
+        |u AS (SELECT lang, n,
+        |             (((hh + 7) * 1103515245 + 12345) % 2147483648 + 0.5) / 2147483648.0 AS u
+        |      FROM h)
+        |SELECT lang,
+        |       GREATEST(n + CAST(FLOOR((CASE WHEN u < 0.5 THEN LN(2.0 * u)
+        |                                     ELSE -LN(2.0 * (1.0 - u)) END) + 0.5)
+        |                         AS BIGINT), 0) AS noisy_n,
+        |       CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM u ORDER BY lang""".stripMargin,
 
     // Allocation replay: HUGEINT-exact variance numerator per stratum,
     // the same IEEE sqrt of the same double cast, truncating // and

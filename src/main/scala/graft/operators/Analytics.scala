@@ -90,6 +90,74 @@ object Analytics {
     out
   }
 
+  /** Cohort retention matrix: users grouped by the week of their FIRST
+    * event; for every (cohort, week-offset) cell, how many of them were
+    * active that many weeks later and the fixed-point retention share —
+    * the standard product-analytics retention triangle, window-free.
+    *
+    * Weeks are `epoch_days DIV 7` (truncating integer division on days
+    * since 1970-01-01) — engine-exact, no timezone arithmetic beyond
+    * the date cast. Offset 0 is the cohort week itself, so
+    * `cohort_size` = the offset-0 cell by construction and every
+    * retention_fp = n_users·10⁸ ÷ cohort_size.
+    *
+    * Scale shape: distinct (user, week) activity → per-user min week
+    * (both partial-aggregated) → a co-partitioned join on the user key
+    * → the matrix aggregate. State is one row per (user, active week),
+    * never an event gather; no window anywhere.
+    *
+    * Output: (cohort_week, week_offset, n_users, cohort_size,
+    * retention_fp). */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val week = expr(
+      s"datediff(CAST($tsCol AS DATE), DATE '1970-01-01') DIV 7").cast("long")
+    val acts = events.select(col(userCol), week.as("_wk")).distinct()
+    val first = acts.groupBy(col(userCol)).agg(min(col("_wk")).as("cohort_week"))
+    val mat = acts.join(first, Seq(userCol))
+      .groupBy(col("cohort_week"), (col("_wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users")) // (user, week) is distinct: count = users
+    val sizes = mat.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    mat.join(sizes, Seq("cohort_week"))
+      .withColumn("retention_fp", expr("n_users * 100000000L DIV cohort_size"))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        col("cohort_size"), col("retention_fp"))
+  }
+
+  /** First-order event transition matrix: for every ordered pair of
+    * consecutive event types within a user's stream, the transition
+    * count and fixed-point probability P(to | from) — the Markov-chain
+    * view of user behavior (next-step prediction, funnel leak hunting).
+    *
+    * Consecutive = by (`tsCol`, `idCol`) within the user — the id
+    * tiebreak makes the sequence a TOTAL order, so the pair set is
+    * deterministic under same-timestamp bursts. A user's last event has
+    * no successor and emits nothing.
+    *
+    * Scale shape: one window partitioned BY USER (bounded by a user's
+    * event count — never a global sort) feeding a partial-aggregated
+    * pair count; `n_from` aggregates from the pair table (counts
+    * transitions out of a type), not a second event scan.
+    *
+    * Output: (from_type, to_type, n, n_from, prob_fp = n·10⁸ ÷ n_from). */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                       idCol: String, typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(fromTotals, Seq("from_type"))
+      .withColumn("prob_fp", expr("n * 100000000L DIV n_from"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        col("prob_fp"))
+  }
+
   /** Market-basket co-occurrence mining: for every unordered item pair
     * sharing a transaction, the support / confidence / lift triple of
     * classic association analysis — fixed-point, so the ranking is

@@ -95,4 +95,45 @@ object Diagnostics {
       .agg(count(lit(1)).as("group_n"))
       .withColumn("at_risk", (col("group_n") < lit(k.toLong)).cast("int"))
   }
+
+  /** Differentially-private count release: per-group counts with seeded
+    * Laplace noise (scale 1/ε — counts have sensitivity 1), rounded to
+    * integers and clamped at 0 — the ε-DP histogram every public data
+    * card needs when exact per-slice counts would leak membership.
+    *
+    * The draw is SEEDED AND REPLAYABLE, not cryptographic: u derives
+    * from the group key's codepoint polynomial hash
+    * ([[graft.functions.PolyBucket]], the engine's oracle-replayable
+    * string hash) through the standard LCG recurrence, then the inverse
+    * Laplace CDF — `±(1/ε)·ln(2u or 2(1−u))` — the same empirical
+    * IEEE-ln parity contract the DSIR Gumbel draw relies on. That makes
+    * releases REPRODUCIBLE (and auditable against the oracle) at the
+    * cost of a publicly-derivable noise stream: treat `seed` as part of
+    * the secret in a real release, exactly like [[graft.operators.Dsir]]
+    * documents for its draws.
+    *
+    * Scale shape: one partial-aggregated groupBy; the noise is a
+    * codegen'd per-ROW (per-group-row) expression over the tiny count
+    * table. Output: (groupCol, noisy_n, epsilon); true counts are NOT
+    * in the output (that's the point). */
+  def dpNoisyCounts(df: DataFrame, groupCol: String, epsilon: Double,
+                    seed: Long): DataFrame = {
+    require(epsilon > 0.0, s"epsilon must be positive, got $epsilon")
+    require(seed >= 0L, s"seed must be non-negative (oracle % parity), got $seed")
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    val h = coalesce(ColumnBridge.column(graft.functions.PolyBucket(
+      ColumnBridge.expression(col(groupCol).cast("string")), 16777216)), lit(0L))
+    // seed mixes BEFORE the multiply: a +1 seed step must swing u, not
+    // nudge it by 2^-31 (which the rounding would erase)
+    val r = pmod((h + lit(seed)) * lit(1103515245L) + lit(12345L), lit(2147483648L))
+    val u = (r.cast("double") + lit(0.5)) / lit(2147483648.0) // in (0, 1)
+    val b = lit(1.0 / epsilon)
+    val lap = when(u < 0.5, b * log(lit(2.0) * u))
+      .otherwise(-b * log(lit(2.0) * (lit(1.0) - u)))
+    counts
+      .withColumn("noisy_n",
+        greatest(col("_n") + floor(lap + lit(0.5)).cast("long"), lit(0L)))
+      .select(col(groupCol), col("noisy_n"), lit(epsilon).as("epsilon"))
+  }
 }

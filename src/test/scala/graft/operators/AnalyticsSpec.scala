@@ -75,6 +75,42 @@ class AnalyticsSpec extends SparkSpec {
       Analytics.funnelSteps(d, "uid", "ts", "et", Seq("view", "view")))
   }
 
+  private val evSchema = StructType(Seq(
+    StructField("uid", LongType), StructField("eid", LongType),
+    StructField("ts", TimestampType), StructField("et", StringType)))
+
+  test("cohortRetention: cohorts by first week, offsets, fixed-point share") {
+    // epoch weeks: 2024-01-01 is day 19723 -> week 2817 (19723 DIV 7)
+    val rows = Seq(
+      Row(1L, 1L, ts(1), "a"), Row(1L, 2L, ts(10), "b"), // u1: wk W, W+1
+      Row(2L, 3L, ts(2), "a"),                           // u2: wk W only
+      Row(3L, 4L, ts(9), "a"), Row(3L, 5L, ts(16), "b")) // u3: wk W+1, W+2
+    val out = Analytics.cohortRetention(df(evSchema, rows), "uid", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val w0 = out.keys.map(_._1).min
+    // cohort w0 = {u1, u2}: offset 0 -> 2 users, offset 1 -> u1 only
+    assert(out((w0, 0L)) == (2L, 2L, 100000000L))
+    assert(out((w0, 1L)) == (1L, 2L, 50000000L))
+    // cohort w0+1 = {u3}: retained into its offset 1
+    assert(out((w0 + 1, 0L)) == (1L, 1L, 100000000L))
+    assert(out((w0 + 1, 1L)) == (1L, 1L, 100000000L))
+    assert(out.size == 4)
+  }
+
+  test("transitionMatrix: consecutive pairs per user, id tiebreak, P(to|from)") {
+    val rows = Seq( // u1: a->b->a ; u2 (same ts burst, id order): a->b
+      Row(1L, 1L, ts(1), "a"), Row(1L, 2L, ts(2), "b"), Row(1L, 3L, ts(3), "a"),
+      Row(2L, 10L, ts(5), "a"), Row(2L, 11L, ts(5), "b"))
+    val out = Analytics.transitionMatrix(df(evSchema, rows), "uid", "ts", "eid", "et")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // from a: 2x a->b; from b: 1x b->a
+    assert(out(("a", "b")) == (2L, 2L, 100000000L))
+    assert(out(("b", "a")) == (1L, 1L, 100000000L))
+    assert(out.size == 2, s"last events emit nothing: $out")
+  }
+
   private val basketSchema = StructType(Seq(
     StructField("txn", LongType), StructField("item", LongType)))
 

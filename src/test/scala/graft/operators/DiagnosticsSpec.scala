@@ -71,4 +71,36 @@ class DiagnosticsSpec extends SparkSpec {
       Diagnostics.kAnonymity(df(qi, Seq(Row("z", "s", 1L))), Seq("zip"), k = 1)
     }
   }
+
+  test("dpNoisyCounts: matches the scalar inverse-CDF reference, clamps at 0, seeded") {
+    val rows = (1 to 40).map(i => Row(s"g${i % 4}", "x", i.toLong))
+    val d = df(qi, rows).withColumnRenamed("zip", "g")
+    def reference(group: String, n: Long, eps: Double, seed: Long): Long = {
+      val h = group.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % 16777216L)
+      val r = java.lang.Math.floorMod((h + seed) * 1103515245L + 12345L, 2147483648L)
+      val u = (r + 0.5) / 2147483648.0
+      val lap = if (u < 0.5) (1.0 / eps) * math.log(2.0 * u)
+                else -(1.0 / eps) * math.log(2.0 * (1.0 - u))
+      math.max(n + math.floor(lap + 0.5).toLong, 0L)
+    }
+    val out = Diagnostics.dpNoisyCounts(d, "g", epsilon = 1.0, seed = 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (g <- Seq("g0", "g1", "g2", "g3"))
+      assert(out(g) == reference(g, 10L, 1.0, 7L), s"group $g: got ${out(g)}")
+    // determinism: same seed -> same release; noise is not identically 0 across seeds
+    val again = Diagnostics.dpNoisyCounts(d, "g", 1.0, 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == out)
+    val shifted = (0L to 30L).map(s => Diagnostics.dpNoisyCounts(
+      d.limit(40), "g", 0.3, s).collect().map(_.getLong(1)).toSeq)
+    assert(shifted.distinct.length > 1, "different seeds must move the noise")
+    // clamp: tiny groups with strong noise never go negative
+    val tiny = df(qi, Seq(Row("only", "x", 1L))).withColumnRenamed("zip", "g")
+    (0L to 50L).foreach { s =>
+      val v = Diagnostics.dpNoisyCounts(tiny, "g", 0.05, s).head().getLong(1)
+      assert(v >= 0L, s"seed $s produced negative release $v")
+    }
+    intercept[IllegalArgumentException](Diagnostics.dpNoisyCounts(d, "g", 0.0, 1L))
+    intercept[IllegalArgumentException](Diagnostics.dpNoisyCounts(d, "g", 1.0, -1L))
+  }
 }
