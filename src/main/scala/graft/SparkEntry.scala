@@ -1722,6 +1722,25 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q_curriculum" -> ((s, dir) =>
+      // curriculum-learning data order: 10 difficulty deciles from
+      // rank-selected boundaries (strict >, ties low), dense global
+      // position via per-bucket de-funneled prefix — nothing global sorts
+      Curation.curriculumOrder(
+          T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          "n_chars", "doc_id", buckets = 10, exact = true)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("difficulty_bucket"), col("curriculum_pos"))
+        .orderBy(col("curriculum_pos"))),
+
+    "q_robust_scale" -> ((s, dir) =>
+      // RobustScaler standardization: (x - median) / IQR per event type
+      // from rank-selected quartiles; constant groups scale to 0.0
+      operators.Profile.robustScale(
+          T(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+          Seq("event_type"), "value", exact = true)
+        .orderBy(col("event_id"))),
+
     "q_cohort_retention" -> ((s, dir) =>
       // retention triangle: first-event-week cohorts x activity-week
       // offsets, window-free (distinct activity -> min-week join ->
@@ -4174,6 +4193,61 @@ object SparkEntry {
         |       g.maxc AS max_cnt,
         |       CAST(g.maxc * g.nkeys * 10000 // g.total AS BIGINT) AS skew_x10000
         |FROM topn CROSS JOIN g ORDER BY rank""".stripMargin,
+
+    // Decile boundaries replay the RFM pattern: rank = CEIL(CAST(p AS
+    // DOUBLE) * n) — the DOUBLE cast is load-bearing (DuckDB decimal
+    // literals would CEIL a different product than Spark's double
+    // multiply). Prefix + bucket offsets replay as windows.
+    "q_curriculum" ->
+      ("""WITH s AS MATERIALIZED (
+        |  SELECT doc_id, lang, n_chars, CAST(n_chars AS DOUBLE) AS m FROM documents),
+        |rr AS (SELECT m, row_number() OVER (ORDER BY m) AS rn,
+        |              COUNT(1) OVER () AS n FROM s),
+        |cuts AS (SELECT
+        |""".stripMargin +
+        (1 to 9).map(i =>
+          s"  MAX(CASE WHEN rn = CAST(CEIL(CAST(0.$i AS DOUBLE) * n) AS BIGINT) THEN m END) AS c$i")
+          .mkString("", ",\n", "\n") +
+        """  FROM rr),
+        |b AS MATERIALIZED (
+        |  SELECT s.doc_id, s.lang, s.n_chars,
+        |         1""".stripMargin +
+        (1 to 9).map(i => s" + (CASE WHEN s.m > c.c$i THEN 1 ELSE 0 END)").mkString +
+        """ AS difficulty_bucket
+        |  FROM s CROSS JOIN cuts c),
+        |r AS (SELECT b.*,
+        |             row_number() OVER (PARTITION BY difficulty_bucket
+        |                                ORDER BY doc_id) - 1 AS pfx
+        |      FROM b),
+        |sz AS (SELECT difficulty_bucket, COUNT(1) AS n FROM b GROUP BY 1),
+        |o2 AS (SELECT difficulty_bucket,
+        |              COALESCE(SUM(n) OVER (ORDER BY difficulty_bucket
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |       FROM sz)
+        |SELECT r.doc_id, r.lang, r.n_chars, r.difficulty_bucket,
+        |       CAST(o2.off + r.pfx AS BIGINT) AS curriculum_pos
+        |FROM r JOIN o2 USING (difficulty_bucket)
+        |ORDER BY curriculum_pos""".stripMargin),
+
+    "q_robust_scale" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT event_id, event_type, value FROM events),
+        |q AS MATERIALIZED (
+        |  SELECT event_type,
+        |    MAX(CASE WHEN rn = CAST(CEIL(CAST(0.25 AS DOUBLE) * n) AS BIGINT) THEN value END) AS p25,
+        |    MAX(CASE WHEN rn = CAST(CEIL(CAST(0.5 AS DOUBLE) * n) AS BIGINT) THEN value END) AS med,
+        |    MAX(CASE WHEN rn = CAST(CEIL(CAST(0.75 AS DOUBLE) * n) AS BIGINT) THEN value END) AS p75
+        |  FROM (SELECT event_type, value,
+        |               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |               COUNT(1) OVER (PARTITION BY event_type) AS n
+        |        FROM v WHERE value IS NOT NULL)
+        |  GROUP BY 1)
+        |SELECT v.event_id, v.event_type, v.value, q.med,
+        |       q.p75 - q.p25 AS iqr,
+        |       CASE WHEN q.p75 - q.p25 = 0.0 THEN 0.0
+        |            ELSE (v.value - q.med) / (q.p75 - q.p25) END AS scaled
+        |FROM v JOIN q USING (event_type)
+        |ORDER BY v.event_id""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH acts AS MATERIALIZED (

@@ -517,6 +517,57 @@ object Curation {
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Curriculum ordering: rank the corpus easy→hard by a difficulty
+    * score without ever sorting it globally — the data-ordering step of
+    * curriculum learning (Bengio et al. 2009), where training sees
+    * cheap examples first and the ordering must be reproducible.
+    *
+    * Mechanics: `buckets` difficulty levels from rank-selected quantile
+    * boundaries ([[Profile.percentiles]] — exact mode for oracle
+    * replay, the sketch at scale), bucket = 1 + #(boundaries < score)
+    * with strict comparison (ties land low, the RFM contract); within
+    * a bucket, rows order by `idCol` (unique, the determinism contract
+    * of every prefix op here); `curriculum_pos` = bucket offset +
+    * within-bucket rank, a dense global 0-based order.
+    *
+    * Scale shape: the boundary pass aggregates; bucket sizes collect
+    * driver-side (`buckets` rows); the within-bucket rank is
+    * [[withStrataPrefix]]'s de-funneled prefix — no bucket funnels into
+    * one task, nothing global ever sorts. Output: input columns +
+    * (difficulty_bucket, curriculum_pos). NULL scores are rejected
+    * loudly (a null difficulty has no place in the order — filter or
+    * impute first). */
+  def curriculumOrder(df: DataFrame, scoreCol: String, idCol: String,
+                      buckets: Int = 10, exact: Boolean = false): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val ps = (1 until buckets).map(_.toDouble / buckets)
+    val head = Profile.percentiles(
+      df.select(col(scoreCol).cast("double").as("_m")).withColumn("_g", lit(1)),
+      Seq("_g"), "_m", ps = ps, exact = exact).head()
+    val cuts = (2 until buckets + 1).map(head.getDouble)
+    val bucketCol = cuts.map(b => when(col(scoreCol).cast("double") > lit(b), 1)
+      .otherwise(0)).reduce(_ + _) + lit(1)
+    val withB = df
+      .withColumn("_nullScore", col(scoreCol).isNull)
+      .withColumn("difficulty_bucket", bucketCol)
+    val sizes = withB.groupBy(col("difficulty_bucket"))
+      .agg(count(lit(1)).as("_n"), sum(col("_nullScore").cast("long")).as("_nulls"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    require(sizes.forall(_._3 == 0L),
+      s"curriculumOrder: NULL $scoreCol values present — filter or impute first")
+    val offsets = sizes.sortBy(_._1)
+      .scanLeft((0, 0L)) { case ((_, acc), (b, n, _)) => (b, acc + n) }
+    val offMap = offsets.sliding(2).collect {
+      case Array((_, acc), (b, _)) => (b, acc)
+    }.toMap
+    val offExpr = offMap.foldLeft(lit(0L)) { case (e, (b, off)) =>
+      when(col("difficulty_bucket") === b, lit(off)).otherwise(e)
+    }
+    withStrataPrefix(withB, Seq("difficulty_bucket"), idCol, lit(1L), "_pfx")
+      .withColumn("curriculum_pos", offExpr + col("_pfx"))
+      .drop("_pfx", "_nullScore")
+  }
+
   /** Packing-efficiency report over a packed corpus ([[packSequences]] /
     * [[packSequencesStrict]] output): per group, how well the bins use
     * the context-window budget — the number every batch-assembly

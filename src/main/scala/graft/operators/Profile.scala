@@ -104,6 +104,34 @@ object Profile {
       .select(df.columns.map(col) :+ col("_med").as("med") :+ col("_mad").as("mad"): _*)
   }
 
+  /** Robust feature scaling: `(x − median) / IQR` per group — the
+    * outlier-immune standardization (scikit-learn's RobustScaler) for
+    * feature pipelines where one corrupt reading would drag a
+    * mean/stddev scale arbitrarily far.
+    *
+    * Median and quartiles are rank SELECTIONS ([[percentiles]]): data
+    * values, so the scale arithmetic is the same two IEEE ops in every
+    * engine. Degenerate groups (IQR = 0) scale to 0.0 rather than
+    * ±Inf — a constant feature carries no signal either way. NULL
+    * values pass through as NULL scaled.
+    *
+    * Scale shape: one grouped percentile pass (sketch by default,
+    * `exact = true` for the oracle) + one broadcast-sized group-table
+    * join. Output: input columns + (med, iqr, scaled). */
+  def robustScale(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  exact: Boolean = false): DataFrame = {
+    require(groupCols.nonEmpty, "robustScale needs at least one group column")
+    val q = percentiles(df, groupCols, valueCol, ps = Seq(0.25, 0.5, 0.75),
+        exact = exact)
+      .select(groupCols.map(col) ++ Seq(col("p_50").as("med"),
+        (col("p_75") - col("p_25")).as("iqr")): _*)
+    df.join(q, groupCols)
+      .withColumn("scaled",
+        when(col("iqr") === 0.0, lit(0.0))
+          .otherwise((col(valueCol) - col("med")) / col("iqr")))
+      .select(df.columns.map(col) ++ Seq(col("med"), col("iqr"), col("scaled")): _*)
+  }
+
   /** Profile `cols` of `df`: one row per column —
     * (col_name, n_rows, n_nulls, n_distinct, min_val, max_val). */
   def profileColumns(df: DataFrame, cols: Seq[String],

@@ -611,6 +611,30 @@ class CurationSpec extends SparkSpec {
       Curation.neymanSample(df(stratValSchema, Seq(Row("a", 1L, 1.0))), "g", "v", "id", 0L))
   }
 
+  test("curriculumOrder: dense global easy-to-hard order, ties low, nulls rejected") {
+    val sch = StructType(Seq(
+      StructField("id", LongType), StructField("score", DoubleType)))
+    // scores 1..12 over 4 quartile buckets; ids deliberately NOT in
+    // score order so the position must come from the score
+    val rows = Seq(5L -> 1.0, 1L -> 2.0, 9L -> 3.0, 2L -> 4.0, 11L -> 5.0,
+      3L -> 6.0, 8L -> 7.0, 4L -> 8.0, 12L -> 9.0, 6L -> 10.0, 10L -> 11.0,
+      7L -> 12.0).map { case (i, s) => Row(i, s) }
+    val out = Curation.curriculumOrder(df(sch, rows), "score", "id",
+        buckets = 4, exact = true)
+      .collect().map(r => r.getAs[Long]("curriculum_pos") ->
+        (r.getAs[Int]("difficulty_bucket"), r.getAs[Long]("id"))).toMap
+    assert(out.keySet == (0L until 12L).toSet, "positions are dense 0-based")
+    // quartile cuts at 3,6,9 (rank selection): bucket 1 = scores <= 3
+    // = ids {5,1,9}, within-bucket order by ID: 1,5,9
+    assert((0L to 2L).map(out) == Seq((1, 1L), (1, 5L), (1, 9L)))
+    // hardest bucket = scores 10..12 = ids {6,10,7} -> id order 6,7,10
+    assert((9L to 11L).map(out) == Seq((4, 6L), (4, 7L), (4, 10L)))
+    intercept[IllegalArgumentException](
+      Curation.curriculumOrder(df(sch, rows :+ Row(99L, null)), "score", "id", 4, exact = true))
+    intercept[IllegalArgumentException](
+      Curation.curriculumOrder(df(sch, rows), "score", "id", buckets = 1))
+  }
+
   private val packedSchema = StructType(Seq(
     StructField("g", StringType), StructField("id", LongType),
     StructField("w", LongType)))

@@ -101,6 +101,26 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException](Profile.robustOutliers(d, Seq("g"), "v", k = 0.0))
   }
 
+  test("robustScale: (x - med)/IQR per group; constant group scales to 0; NULL passes through") {
+    val sch = StructType(Seq(
+      StructField("g", StringType), StructField("id", LongType),
+      StructField("v", DoubleType)))
+    // group a: values 1..8 -> q1 = 2 (rank 2), med = 4, q3 = 6 -> IQR 4
+    val rows = (1 to 8).map(i => Row("a", i.toLong, i.toDouble)) ++
+      Seq(Row("a", 9L, null)) ++
+      (1 to 4).map(i => Row("b", 100L + i, 7.0))
+    val out = Profile.robustScale(df(sch, rows), Seq("g"), "v", exact = true)
+      .collect().map(r => r.getLong(1) ->
+        (Option(r.get(2)), r.getDouble(3), r.getDouble(4),
+          Option(r.get(5)))).toMap
+    assert(out(4L) == (Some(4.0), 4.0, 4.0, Some(0.0)))   // the median itself
+    assert(out(8L) == (Some(8.0), 4.0, 4.0, Some(1.0)))   // (8-4)/4
+    assert(out(1L) == (Some(1.0), 4.0, 4.0, Some(-0.75))) // (1-4)/4
+    assert(out(9L)._4.isEmpty, "NULL value stays NULL scaled")
+    assert(out(101L) == (Some(7.0), 7.0, 0.0, Some(0.0)), "IQR 0 -> 0.0")
+    intercept[IllegalArgumentException](Profile.robustScale(df(sch, rows), Seq.empty, "v"))
+  }
+
   test("profileColumns: one scan — a single aggregate node, no join or union of scans") {
     val plan = Profile.profileColumns(data, Seq("id", "s", "d"))
       .queryExecution.optimizedPlan.toString
