@@ -1722,6 +1722,27 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q_link_extract" -> ((s, dir) => {
+      // crawl -> link graph edges: planted anchors (mixed case/quotes,
+      // a no-href decoy) built in-plan from doc fields, extracted with
+      // the RE2-safe href regex, canonicalized, domain-keyed — the
+      // oracle states the expected edges BY CONSTRUCTION
+      val a1 = concat(lit("HTTPS://Docs."), col("source"), lit(".COM:443/guide/"),
+        col("doc_id").cast("string"), lit("?utm_source=x&ref="), col("lang"))
+      val a2 = concat(lit("http://www.partner"),
+        pmod(col("doc_id"), lit(7)).cast("string"), lit(".org:80/p#sec"))
+      val html = concat(
+        lit("<div>intro <A class=\"x\" HREF=\""), a1,
+        lit("\">one</A> mid <a href='"), a2,
+        lit("'>two</a> <a name=\"no-href\">none</a></div>"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFunctions.extractLinks(html)).as("raw"))
+        .select(col("doc_id"),
+          TextFunctions.urlNormalize(col("raw")).as("url"),
+          TextFunctions.urlRegisteredDomain(col("raw")).as("domain"))
+        .orderBy(col("doc_id"), col("url"))
+    }),
+
     "q_curriculum" -> ((s, dir) =>
       // curriculum-learning data order: 10 difficulty deciles from
       // rank-selected boundaries (strict >, ties low), dense global
@@ -4193,6 +4214,24 @@ object SparkEntry {
         |       g.maxc AS max_cnt,
         |       CAST(g.maxc * g.nkeys * 10000 // g.total AS BIGINT) AS skew_x10000
         |FROM topn CROSS JOIN g ORDER BY rank""".stripMargin,
+
+    // Expected edges BY CONSTRUCTION (the q_url_normalize pattern): the
+    // planted anchors canonicalize to known strings — host lowercased,
+    // default ports dropped, utm param stripped with its separator
+    // absorbed, fragment dropped, registered domain = last two labels.
+    "q_link_extract" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |         'https://docs.' || source || '.com/guide/' || CAST(doc_id AS VARCHAR)
+        |           || '?ref=' || lang AS url,
+        |         source || '.com' AS domain
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |         'http://www.partner' || CAST(doc_id % 7 AS VARCHAR) || '.org/p' AS url,
+        |         'partner' || CAST(doc_id % 7 AS VARCHAR) || '.org' AS domain
+        |  FROM documents)
+        |SELECT doc_id, url, domain FROM l ORDER BY doc_id, url""".stripMargin,
 
     // Decile boundaries replay the RFM pattern: rank = CEIL(CAST(p AS
     // DOUBLE) * n) — the DOUBLE cast is load-bearing (DuckDB decimal

@@ -298,6 +298,21 @@ object TextFunctions {
     regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
   }
 
+  /** href targets of anchor tags — the edge extractor that turns a
+    * crawled HTML corpus into the link graph [[graft.operators.LinkGraph]]
+    * ranks: `<a ... href="URL">` (either quote style, any attribute
+    * order, case-insensitive) → array of raw URL strings, in document
+    * order. Chain [[urlNormalize]] / [[urlRegisteredDomain]] on the
+    * results for canonical edges. Regex stays in the Java∩RE2 subset
+    * (`(?i)`, `\b`, char classes — no lookaround), so any replaying
+    * engine extracts the same list; unquoted hrefs and hrefs containing
+    * a quote are NOT matched (malformed-markup recall is a parser's
+    * job — [[htmlToText]]'s caveats apply here too). Pure codegen'd
+    * `regexp_extract_all`: scan-speed edge extraction, no UDF. */
+  def extractLinks(c: Column): Column =
+    regexp_extract_all(coalesce(c, lit("")),
+      lit("(?i)<a[^>]*\\bhref\\s*=\\s*[\"']([^\"'<>]+)[\"']"), lit(1))
+
   /** One PII redaction rule: a regex and its replacement tag. Patterns
     * MUST stay in the Java∩RE2 common subset (no lookaround, no
     * backrefs) — the engine runs Java regex, the DuckDB oracle runs RE2,

@@ -276,4 +276,17 @@ class TextFunctionsSpec extends SparkSpec {
     assert(dom("https://localhost:9000/x") == "")
     assert(dom("plain text") == "")
   }
+
+  private def links(s: String): Seq[String] =
+    one(s).select(TextFunctions.extractLinks(col("t"))).head().getSeq[String](0)
+
+  test("extractLinks: quote styles, case, attribute order, decoys, document order") {
+    assert(links("""<p><a href="http://a.com/1">x</a> and <A CLASS='c' HREF='http://b.com/2?q=1'>y</A></p>""")
+      == Seq("http://a.com/1", "http://b.com/2?q=1"))
+    // no-href anchors, hrefs on non-anchor tags, unquoted hrefs: not matched
+    assert(links("""<a name="anchor">n</a><link href="style.css"><a href=bare>u</a>""").isEmpty)
+    // whitespace around =, relative urls kept raw (normalize decides later)
+    assert(links("""<a href = '/relative/path'>r</a>""") == Seq("/relative/path"))
+    assert(links("").isEmpty && links("no markup at all").isEmpty)
+  }
 }
