@@ -1722,6 +1722,25 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q_join_audit" -> ((s, dir) =>
+      // pre-join cardinality audit: exact inner-join output size and
+      // max key fan-out from the two count tables — the pre-flight that
+      // catches an accidental many-to-many before it materializes
+      operators.Diagnostics.joinSizeAudit(
+        T(s, dir, "orders"), Seq("o_orderkey"),
+        T(s, dir, "lineitem"), Seq("l_orderkey"))),
+
+    "q_triangles" -> ((s, dir) => {
+      // community density over the co-purchase graph: degree-ordered
+      // wedge counting (work bounded by arboricity, not max degree),
+      // all joins/aggregates — replays exactly in SQL
+      val pairs = operators.Analytics.cooccurrence(T(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minPairs = 2L, maxItemsPerTxn = 64)
+        .select(col("item_a").as("src"), col("item_b").as("dst"))
+      LinkGraph.triangleCounts(pairs, "src", "dst")
+        .orderBy(col("node"))
+    }),
+
     "q_link_extract" -> ((s, dir) => {
       // crawl -> link graph edges: planted anchors (mixed case/quotes,
       // a no-href decoy) built in-plan from doc fields, extracted with
@@ -4214,6 +4233,57 @@ object SparkEntry {
         |       g.maxc AS max_cnt,
         |       CAST(g.maxc * g.nkeys * 10000 // g.total AS BIGINT) AS skew_x10000
         |FROM topn CROSS JOIN g ORDER BY rank""".stripMargin,
+
+    "q_join_audit" ->
+      """WITH lc AS MATERIALIZED (
+        |  SELECT o_orderkey AS k, COUNT(1) AS ln FROM orders GROUP BY 1),
+        |rc AS MATERIALIZED (
+        |  SELECT l_orderkey AS k, COUNT(1) AS rn FROM lineitem GROUP BY 1),
+        |f AS (SELECT ln, rn,
+        |             (ln IS NOT NULL AND rn IS NOT NULL) AS m
+        |      FROM lc FULL OUTER JOIN rc ON lc.k = rc.k)
+        |SELECT
+        |  (SELECT COUNT(1) FROM orders) AS left_rows,
+        |  (SELECT COUNT(1) FROM lineitem) AS right_rows,
+        |  CAST(SUM(CASE WHEN ln IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS left_keys,
+        |  CAST(SUM(CASE WHEN rn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS right_keys,
+        |  CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS matched_keys,
+        |  CAST(SUM(CASE WHEN ln IS NOT NULL AND NOT m THEN 1 ELSE 0 END) AS BIGINT) AS left_only_keys,
+        |  CAST(SUM(CASE WHEN rn IS NOT NULL AND NOT m THEN 1 ELSE 0 END) AS BIGINT) AS right_only_keys,
+        |  CAST(COALESCE(SUM(CASE WHEN m THEN CAST(ln AS HUGEINT) * rn END), 0) AS HUGEINT) AS est_rows,
+        |  CAST(COALESCE(MAX(CASE WHEN m THEN CAST(ln AS HUGEINT) * rn END), 0) AS HUGEINT) AS max_key_product
+        |FROM f""".stripMargin,
+
+    // The q_cooccur capped pair graph, then degree-ordered wedge
+    // closing — every step a deterministic join/aggregate.
+    "q_triangles" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS txn, l_partkey AS item FROM lineitem),
+        |capped AS MATERIALIZED (
+        |  SELECT txn, item FROM (
+        |    SELECT txn, item,
+        |           row_number() OVER (PARTITION BY txn ORDER BY item) AS rn FROM d)
+        |  WHERE rn <= 64),
+        |p AS MATERIALIZED (
+        |  SELECT x.item AS a, y.item AS b, COUNT(1) AS n
+        |  FROM capped x JOIN capped y ON x.txn = y.txn AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING COUNT(1) >= 2),
+        |deg AS MATERIALIZED (
+        |  SELECT node, COUNT(1) AS dg FROM (
+        |    SELECT a AS node FROM p UNION ALL SELECT b FROM p) GROUP BY 1),
+        |o AS MATERIALIZED (
+        |  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND p.a < p.b)
+        |              THEN p.a ELSE p.b END AS s,
+        |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND p.a < p.b)
+        |              THEN p.b ELSE p.a END AS t
+        |  FROM p JOIN deg da ON da.node = p.a JOIN deg db ON db.node = p.b),
+        |tri AS (
+        |  SELECT w.apex, w.b, w.c FROM (
+        |    SELECT e1.s AS apex, e1.t AS b, e2.t AS c
+        |    FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.t < e2.t) w
+        |  JOIN p ON p.a = LEAST(w.b, w.c) AND p.b = GREATEST(w.b, w.c)),
+        |u AS (SELECT unnest([apex, b, c]) AS node FROM tri)
+        |SELECT node, COUNT(1) AS n_triangles FROM u GROUP BY 1 ORDER BY node""".stripMargin,
 
     // Expected edges BY CONSTRUCTION (the q_url_normalize pattern): the
     // planted anchors canonicalize to known strings — host lowercased,

@@ -96,6 +96,60 @@ object Diagnostics {
       .withColumn("at_risk", (col("group_n") < lit(k.toLong)).cast("int"))
   }
 
+  /** Pre-join cardinality audit: BEFORE running a join at corpus scale,
+    * exactly how many rows it would produce and where the fan-out
+    * concentrates — the pre-flight that catches the accidental
+    * many-to-many (a "unique" key that isn't) which would otherwise
+    * materialize 10¹³ rows three hours into the job.
+    *
+    * est_rows = Σ_k cntL(k)·cntR(k) is EXACT for an inner equi-join
+    * (not an estimate — the name keeps the planner-statistics idiom).
+    * Products and their sum widen to DECIMAL(38,0): the whole point is
+    * detecting joins whose output overflows a long.
+    *
+    * Scale shape: one partial-aggregated count per side (tiny vs the
+    * join it previews — no payload columns move), a count-table join on
+    * the key, one global aggregate row. NULL keys are counted in the
+    * per-side totals but never match — exactly like the join itself.
+    *
+    * Output (one row): (left_rows, right_rows, left_keys, right_keys,
+    * matched_keys, left_only_keys, right_only_keys, est_rows,
+    * max_key_product). */
+  def joinSizeAudit(left: DataFrame, leftKeys: Seq[String],
+                    right: DataFrame, rightKeys: Seq[String]): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+      s"key lists must be non-empty and same length, got $leftKeys vs $rightKeys")
+    val ks = leftKeys.indices.map(i => s"_k$i")
+    val lc = left
+      .select(leftKeys.zip(ks).map { case (c, k) => col(c).as(k) }: _*)
+      .groupBy(ks.map(col): _*).agg(count(lit(1)).as("_ln"))
+    val rc = right
+      .select(rightKeys.zip(ks).map { case (c, k) => col(c).as(k) }: _*)
+      .groupBy(ks.map(col): _*).agg(count(lit(1)).as("_rn"))
+    val lt = left.agg(count(lit(1)).as("left_rows"))
+    val rt = right.agg(count(lit(1)).as("right_rows"))
+    val f = lc.join(rc, ks, "full_outer")
+      .withColumn("_matchable",
+        ks.map(k => col(k).isNotNull).reduce(_ && _) &&
+          col("_ln").isNotNull && col("_rn").isNotNull)
+      .withColumn("_prod", expr(
+        "CASE WHEN _matchable THEN CAST(_ln AS DECIMAL(38,0)) * _rn ELSE CAST(0 AS DECIMAL(38,0)) END"))
+    f.agg(
+        sum((col("_ln").isNotNull).cast("long")).as("left_keys"),
+        sum((col("_rn").isNotNull).cast("long")).as("right_keys"),
+        sum(col("_matchable").cast("long")).as("matched_keys"),
+        sum((col("_ln").isNotNull && !col("_matchable")).cast("long")).as("left_only_keys"),
+        sum((col("_rn").isNotNull && !col("_matchable")).cast("long")).as("right_only_keys"),
+        coalesce(sum(col("_prod")), lit(0)).cast(
+          org.apache.spark.sql.types.DecimalType(38, 0)).as("est_rows"),
+        coalesce(max(col("_prod")), lit(0)).cast(
+          org.apache.spark.sql.types.DecimalType(38, 0)).as("max_key_product"))
+      .crossJoin(lt).crossJoin(rt)
+      .select(col("left_rows"), col("right_rows"), col("left_keys"),
+        col("right_keys"), col("matched_keys"), col("left_only_keys"),
+        col("right_only_keys"), col("est_rows"), col("max_key_product"))
+  }
+
   /** Differentially-private count release: per-group counts with seeded
     * Laplace noise (scale 1/ε — counts have sensitivity 1), rounded to
     * integers and clamped at 0 — the ε-DP histogram every public data

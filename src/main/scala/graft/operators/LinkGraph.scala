@@ -153,4 +153,53 @@ object LinkGraph {
     Dedup.checkpointedRdd(nodes).foreach(_.unpersist(false))
     ranks.select(col("node"), col("_r").as("rank_fp"))
   }
+
+  /** Per-node triangle counts of an undirected graph — the local
+    * clustering signal (community density, spam-farm detection: link
+    * farms are triangle-poor stars, organic neighborhoods are
+    * triangle-rich). Degree-ordered wedge counting, the standard
+    * distributed algorithm:
+    *
+    *  1. canonicalize: self-loops dropped, (u, v) with u < v, distinct;
+    *  2. ORIENT each edge from its (degree, id)-smaller endpoint to the
+    *     larger — every wedge is then enumerated exactly once AT ITS
+    *     LOWEST-DEGREE VERTEX, bounding per-vertex wedge work by
+    *     O(arboricity²) instead of O(max_degree²): a 10⁶-degree hub
+    *     generates no wedges unless BOTH neighbors out-rank it;
+    *  3. wedge self-join on the oriented source + one hash join back to
+    *     the undirected edge set closes the triangles;
+    *  4. each triangle credits its three corners (explode + count).
+    *
+    * Every step is a deterministic join/aggregate — no randomness, no
+    * floats — so the counts replay exactly in SQL. Output: (node,
+    * n_triangles), only nodes in ≥ 1 triangle (join with the node set
+    * for a zero-filled left side if needed). */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") < col("v")) // drops self-loops AND null endpoints
+      .distinct()
+      .localCheckpoint(true) // 3 readers: degrees, orientation, closing join
+    val deg = und.select(col("u").as("n")).unionAll(und.select(col("v")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("n").as("u"), col("d").as("_du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("_dv")), "v")
+      .select(
+        when(col("_du") < col("_dv") ||
+          (col("_du") === col("_dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(col("_du") < col("_dv") ||
+          (col("_du") === col("_dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("apex"), col("e1.t").as("b"), col("e2.t").as("c"))
+    wedges
+      .join(und, col("u") === least(col("b"), col("c")) &&
+        col("v") === greatest(col("b"), col("c")))
+      .select(explode(array(col("apex"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

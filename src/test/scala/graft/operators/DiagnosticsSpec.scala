@@ -72,6 +72,26 @@ class DiagnosticsSpec extends SparkSpec {
     }
   }
 
+  test("joinSizeAudit: exact inner-join size, fan-out, unmatched keys, NULL keys never match") {
+    val l = df(kv, Seq(Row(1L, "a"), Row(1L, "b"), Row(2L, "c"), Row(3L, "d"),
+      Row(null, "e")))
+    val r = df(kv, Seq(Row(1L, "x"), Row(1L, "y"), Row(1L, "z"), Row(2L, "w"),
+      Row(9L, "v"), Row(null, "u")))
+    val out = Diagnostics.joinSizeAudit(l, Seq("k"), r, Seq("k")).head()
+    assert(out.getAs[Long]("left_rows") == 5L && out.getAs[Long]("right_rows") == 6L)
+    assert(out.getAs[Long]("left_keys") == 4L)  // 1, 2, 3, NULL
+    assert(out.getAs[Long]("right_keys") == 4L) // 1, 2, 9, NULL
+    assert(out.getAs[Long]("matched_keys") == 2L)
+    assert(out.getAs[Long]("left_only_keys") == 2L)  // 3 and NULL
+    assert(out.getAs[Long]("right_only_keys") == 2L) // 9 and NULL
+    // est = 2*3 (key 1) + 1*1 (key 2) = 7; the actual join agrees
+    assert(out.getDecimal(7).longValueExact() == 7L)
+    assert(l.join(r, Seq("k")).count() == 7L)
+    assert(out.getDecimal(8).longValueExact() == 6L) // key 1 fan-out
+    intercept[IllegalArgumentException](
+      Diagnostics.joinSizeAudit(l, Seq.empty, r, Seq.empty))
+  }
+
   test("dpNoisyCounts: matches the scalar inverse-CDF reference, clamps at 0, seeded") {
     val rows = (1 to 40).map(i => Row(s"g${i % 4}", "x", i.toLong))
     val d = df(qi, rows).withColumnRenamed("zip", "g")

@@ -145,4 +145,44 @@ class LinkGraphSpec extends SparkSpec {
       LinkGraph.pageRank(df(edgeSchema, Seq.empty), "src", "dst").collect()
     }
   }
+
+  private val triSchema = StructType(Seq(
+    StructField("src", LongType), StructField("dst", LongType)))
+
+  test("triangleCounts: K4 minus an edge, duplicates/self-loops/direction ignored") {
+    // K4 on {1,2,3,4} minus edge (3,4): triangles (1,2,3) and (1,2,4).
+    // Edges listed in mixed directions, one duplicate, one self-loop.
+    val edges = Seq((1L, 2L), (3L, 1L), (1L, 4L), (2L, 3L), (4L, 2L),
+      (2L, 1L) /* dup reversed */, (3L, 3L) /* self-loop */)
+    val out = LinkGraph.triangleCounts(
+        df(triSchema, edges.map { case (a, b) => Row(a, b) }), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L), s"got $out")
+  }
+
+  test("triangleCounts: triangle-free graphs emit nothing; hub stars have no triangles") {
+    // star: hub 0 connected to 1..6 — max-degree node, zero triangles
+    val star = (1L to 6L).map(i => Row(0L, i))
+    assert(LinkGraph.triangleCounts(df(triSchema, star), "src", "dst").count() == 0L)
+    // path 1-2-3-4
+    val path = Seq(Row(1L, 2L), Row(2L, 3L), Row(3L, 4L))
+    assert(LinkGraph.triangleCounts(df(triSchema, path), "src", "dst").count() == 0L)
+  }
+
+  test("triangleCounts: matches a brute-force reference on a random graph") {
+    val rnd = new scala.util.Random(19)
+    val es = (0 until 120).map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+    val und = es.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val ref = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      Seq(x, y, z) <- nodes.combinations(3)
+      if und((x, y)) && und((x, z)) && und((y, z))
+      n <- Seq(x, y, z)
+    } ref(n) += 1L
+    val out = LinkGraph.triangleCounts(
+        df(triSchema, es.map { case (a, b) => Row(a, b) }), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == ref.toMap, s"got $out want $ref")
+  }
 }
