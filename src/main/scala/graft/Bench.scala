@@ -111,7 +111,18 @@ object Bench {
     // r12 continuation: RFM feature engineering (rollup + rank-selected
     // quintile cuts + comparison-chain bucketing, no ntile) and fuzzy
     // entity canonicalization (blocked levenshtein pairs -> components)
-    "q_rfm", "q_fuzzy_canon")
+    "q_rfm", "q_fuzzy_canon",
+    // r12 second continuation — the audit/analytics batch: co-purchase
+    // association mining (capped basket self-join), MAD outlier gating
+    // (two grouped percentile passes), cross-source n-gram overlap
+    // matrix (per-gram source sets, no corpus self-join), native
+    // seeded random projection (one codegen'd loop/row, no shuffle),
+    // Neyman-allocation sampling (stats pass + prefix take), triangle
+    // counting (degree-ordered wedge closing), curriculum ordering
+    // (boundary pass + de-funneled prefix), Markov transitions
+    // (per-user window + pair aggs)
+    "q_cooccur", "q_outlier_mad", "q_corpus_overlap", "q_random_proj",
+    "q_neyman", "q_triangles", "q_curriculum", "q_transitions")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

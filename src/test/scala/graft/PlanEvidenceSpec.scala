@@ -379,6 +379,55 @@ class PlanEvidenceSpec extends SparkSpec {
     } finally graft.sources.FileTableOps.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("keySkewProfile: top-N plans as TakeOrdered; counts aggregate partial") {
+    val ev = graft.sources.ParquetConnector.readTable(spark, s"$sf/events.parquet")
+    val out = graft.operators.Diagnostics.keySkewProfile(ev, Seq("user_id"), topN = 5)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the heavy-key pass must surface N candidates per task, never global-sort:\n" + plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("robustOutliers sketch mode (the 100 TB path) has NO window anywhere") {
+    val ev = graft.sources.ParquetConnector.readTable(spark, s"$sf/events.parquet")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val out = graft.operators.Profile.robustOutliers(ev, Seq("event_type"), "value",
+      exact = false)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"),
+      "sketch percentiles must be mergeable aggregates, not per-group sorts:\n" + plan)
+    assert(plan.contains("percentile_approx") || plan.contains("ApproximatePercentile"),
+      "sketch mode must actually run the sketch:\n" + plan)
+  }
+
+  test("corpusOverlap: co-membership aggregates per gram — no join ever touches the gram stream") {
+    val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+    val out = graft.operators.Curation.corpusOverlap(docs, "text", "source", n = 5)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // joins exist only over the |sources|^2 pair frame; the corpus-sized
+    // gram frame reaches only groupBy aggregates (no _g in any join line)
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("Join") && l.contains("_g#")),
+      "the gram stream must aggregate, never self-join:\n" + plan)
+  }
+
+  test("cooccurrence and triangleCounts: equi-joins only, never a cartesian/nested-loop") {
+    val li = graft.sources.ParquetConnector.readTable(spark, s"$sf/lineitem.parquet")
+    val pairs = graft.operators.Analytics.cooccurrence(li, "l_orderkey", "l_partkey",
+      minPairs = 1L, maxItemsPerTxn = 16)
+    val tri = graft.operators.LinkGraph.triangleCounts(
+      pairs.select(col("item_a").as("src"), col("item_b").as("dst")), "src", "dst")
+    tri.collect()
+    for ((name, df) <- Seq("cooccurrence" -> pairs, "triangles" -> tri)) {
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must stay equi-join:\n" + plan)
+    }
+  }
+
   test("DSIR scoring: ratio table broadcasts; per-doc weights aggregate map-side") {
     val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
     val table = graft.operators.Dsir.importanceTable(

@@ -90,6 +90,11 @@ class GraftFunctionsSpec extends SparkSpec {
             ArrayType(FloatType)),
           org.apache.spark.sql.catalyst.expressions.Literal(1),
           org.apache.spark.sql.catalyst.expressions.Literal(4))
+        case "random_project_fp" => Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(1.0f),
+            ArrayType(FloatType)),
+          org.apache.spark.sql.catalyst.expressions.Literal(1),
+          org.apache.spark.sql.catalyst.expressions.Literal(1))
         case _ => // every other registered function takes a single text arg
           Seq(org.apache.spark.sql.catalyst.expressions.Literal("x"))
       }
