@@ -1132,6 +1132,18 @@ object SparkEntry {
         terms = Seq("spark", "vector", "merge"), k = 25)
     }),
 
+    "q_inverted_bm25" -> ((s, dir) => {
+      // full inverted-index lifecycle: build the bucket-partitioned
+      // postings/termdf/stats layout, then probe 3 terms reading only
+      // their buckets (file-listing pruning, the IVF cell contract);
+      // scores are bit-identical to the q_bm25 scan path, minus the
+      // docs no probe term touches (absent, not scored 0)
+      val idx = java.nio.file.Files.createTempDirectory("graft_inv_").toString + "/index"
+      operators.Retrieval.buildInvertedIndex(T(s, dir, "documents"), "text", "doc_id", idx)
+      operators.Retrieval.bm25TopKIndexed(s, idx,
+        Seq("spark", "vector", "merge"), k = 25)
+    }),
+
     "q_rrf_hybrid" -> ((s, dir) => {
       // hybrid retrieval: BM25 lexical top-50 fused with embedding-
       // cosine top-50 over the shared doc/vec id space via PURE-INTEGER
@@ -2460,6 +2472,47 @@ object SparkEntry {
         |       + (CASE WHEN d.tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS matched
         |  FROM d CROSS JOIN s)
         |SELECT doc_id, score_fp, matched FROM sc
+        |ORDER BY score_fp DESC, doc_id LIMIT 25""".stripMargin,
+
+    // The q_bm25 replay restricted to matched docs — an inverted index
+    // never visits a doc containing no probe term, so the index path's
+    // candidate set is exactly `matched > 0`; scores are the identical
+    // expression tree.
+    "q_inverted_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'),
+        |                     x -> len(x) > 0) AS t
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, len(t) AS dl,
+        |         len(list_filter(t, x -> x = 'spark')) AS tf0,
+        |         len(list_filter(t, x -> x = 'vector')) AS tf1,
+        |         len(list_filter(t, x -> x = 'merge')) AS tf2
+        |  FROM toks),
+        |s AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
+        |         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM d),
+        |sc AS (
+        |  SELECT d.doc_id,
+        |    CAST(FLOOR(ln(1.0 + (CAST(s.n - s.df0 AS DOUBLE) + 0.5) / (CAST(s.df0 AS DOUBLE) + 0.5))
+        |      * (CAST(d.tf0 AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(d.tf0 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))))) * 1e8) AS BIGINT)
+        |    + CAST(FLOOR(ln(1.0 + (CAST(s.n - s.df1 AS DOUBLE) + 0.5) / (CAST(s.df1 AS DOUBLE) + 0.5))
+        |      * (CAST(d.tf1 AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(d.tf1 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))))) * 1e8) AS BIGINT)
+        |    + CAST(FLOOR(ln(1.0 + (CAST(s.n - s.df2 AS DOUBLE) + 0.5) / (CAST(s.df2 AS DOUBLE) + 0.5))
+        |      * (CAST(d.tf2 AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(d.tf2 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))))) * 1e8) AS BIGINT)
+        |    AS score_fp,
+        |    CAST((CASE WHEN d.tf0 > 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN d.tf1 > 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN d.tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS matched
+        |  FROM d CROSS JOIN s)
+        |SELECT doc_id, score_fp, matched FROM sc WHERE matched > 0
         |ORDER BY score_fp DESC, doc_id LIMIT 25""".stripMargin,
 
     "q_rrf_hybrid" ->

@@ -115,6 +115,103 @@ object Retrieval {
       .orderBy(col("score_fp").desc, col(idCol)).limit(k)
   }
 
+  /** Materialize a persisted inverted text index under `dir` — the
+    * text-side analog of [[Similarity.writeIvfIndex]]'s lifecycle:
+    * build once, probe many times touching only the slivers a query
+    * needs.
+    *
+    * Layout (all parquet):
+    *  - `postings/`, PARTITIONED BY term-hash bucket: (term, doc_id,
+    *    tf, dl) — the doc length is DENORMALIZED into each posting
+    *    (the Lucene-norms trade: +8 bytes/posting buys probe-time
+    *    scoring with NO join against a corpus-wide length table);
+    *  - `termdf/`, same bucketing: (term, df) document frequencies;
+    *  - `stats/`: one row (n_docs, sum_dl).
+    *
+    * A probe for T terms reads: 1 stats row, ≤T termdf buckets, ≤T
+    * posting buckets — partition pruning at the FILE LISTING, exactly
+    * the IVF cell contract. Tokenization is [[bm25Scores]]' normalize+
+    * split, so index-path scores are bit-identical to the scan path. */
+  def buildInvertedIndex(df: DataFrame, textCol: String, idCol: String,
+                         dir: String, buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val toked = df.select(col(idCol), tokens(textCol).as("_t"))
+      .select(col(idCol), col("_t"), size(col("_t")).cast("long").as("dl"))
+      .localCheckpoint(true) // stats pass + posting pass share one tokenize
+    toked.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    val postings = toked
+      .select(col(idCol), col("dl"), explode(col("_t")).as("term"))
+      .groupBy(col("term"), col(idCol), col("dl"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .localCheckpoint(true) // posting write + df aggregation share it
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+    postings.groupBy(col("bucket"), col("term"))
+      .agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/termdf")
+    toked.unpersist()
+    postings.unpersist()
+  }
+
+  /** Driver-side bucket of a term — the same xxhash64(seed 42) Spark's
+    * `xxhash64` column computes, so the probe's partition filter lands
+    * on exactly the files the build wrote. */
+  private def termBucket(term: String, buckets: Int): Long = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(term)
+    java.lang.Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L), buckets.toLong)
+  }
+
+  /** BM25 top-`k` through the persisted index: identical scores to
+    * [[bm25TopK]] (same stats, same literal-for-literal expression
+    * tree, same 1e-8 fixed-point floor before the per-doc sum) with one
+    * contract difference — docs matching NO probe term are absent, not
+    * scored 0 (an inverted index never visits them; that is its point).
+    *
+    * Cost: one stats row + the probe terms' termdf/posting buckets
+    * (partition-pruned at file listing) + a posting-sized aggregate +
+    * TakeOrdered(k). The corpus itself is never read. */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      terms: Seq[String], k: Int, buckets: Int = 64,
+                      idCol: String = "doc_id",
+                      k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.distinct == terms, "terms must be distinct")
+    require(k > 0, s"k must be positive, got $k")
+    val st = spark.read.parquet(s"$dir/stats").head()
+    val n = st.getLong(0)
+    val sumdl = st.getLong(1)
+    require(n > 0, "empty index")
+    val avgdl = sumdl.toDouble / n.toDouble
+    val bs = terms.map(termBucket(_, buckets)).distinct
+    val dfT = spark.read.parquet(s"$dir/termdf")
+      .filter(col("bucket").isin(bs: _*) && col("term").isin(terms: _*))
+      .collect().map(r => r.getString(r.fieldIndex("term")) ->
+        r.getLong(r.fieldIndex("df"))).toMap
+    // idf literals: (n - df) stays a long before the cast — the
+    // bm25Scores expression tree, computed once on the driver
+    val idf = terms.map { t =>
+      val d = dfT.getOrElse(t, 0L)
+      t -> math.log(1.0 + ((n - d).toDouble + 0.5) / (d.toDouble + 0.5))
+    }.toMap
+    val idfCol = idf.foldLeft(lit(0.0)) { case (e, (t, v)) =>
+      when(col("term") === t, lit(v)).otherwise(e)
+    }
+    val tf = col("tf").cast("double")
+    val dlNorm = lit(k1) * ((lit(1.0) - lit(b)) +
+      lit(b) * (col("dl").cast("double") / lit(avgdl)))
+    spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(bs: _*) && col("term").isin(terms: _*))
+      .withColumn("_s",
+        floor(idfCol * (tf * (lit(k1) + lit(1.0))) / (tf + dlNorm) * lit(1e8)))
+      .groupBy(col(idCol))
+      .agg(sum(col("_s")).as("score_fp"), count(lit(1)).as("matched"))
+      .orderBy(col("score_fp").desc, col(idCol)).limit(k)
+  }
+
   /** Rank a scored result as a top-`k` list: (`idCol`, `rank` 1-based)
     * by `scoreCol` descending (or ascending for distance metrics), ties
     * by ascending id. The global selection is `TakeOrdered`; the

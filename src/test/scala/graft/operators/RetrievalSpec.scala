@@ -197,4 +197,33 @@ class RetrievalSpec extends SparkSpec {
     assert(out.length == 1, "k=1 truncates the collocation list")
     intercept[IllegalArgumentException](Retrieval.pmiCollocations(d, "text", 0))
   }
+
+  test("inverted index: probe scores bit-equal the scan path on matched docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inv_spec_").toString + "/idx"
+    Retrieval.buildInvertedIndex(corpus, "text", "doc_id", dir, buckets = 8)
+    val viaIndex = Retrieval.bm25TopKIndexed(spark, dir,
+        Seq("spark", "table"), k = 10, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaScan = Retrieval.bm25TopK(corpus, "text", "doc_id",
+        Seq("spark", "table"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._3 > 0).toSeq // the index never visits unmatched docs
+    assert(viaIndex == viaScan, s"index $viaIndex vs scan $viaScan")
+    assert(viaIndex.map(_._1).toSet == Set(1L, 2L, 3L), "docs 4/5 match nothing")
+  }
+
+  test("inverted index probe: partition filter prunes to the probe terms' buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inv_spec2_").toString + "/idx"
+    Retrieval.buildInvertedIndex(corpus, "text", "doc_id", dir, buckets = 8)
+    val probe = Retrieval.bm25TopKIndexed(spark, dir, Seq("spark"), k = 5, buckets = 8)
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      "the posting scan must carry a bucket partition filter:\n" + plan)
+    // an unknown term probes cleanly (idf of df=0; zero candidates)
+    assert(Retrieval.bm25TopKIndexed(spark, dir, Seq("zzz_absent"), k = 5,
+      buckets = 8).count() == 0L)
+    intercept[IllegalArgumentException](
+      Retrieval.bm25TopKIndexed(spark, dir, Seq.empty, k = 5))
+  }
 }
