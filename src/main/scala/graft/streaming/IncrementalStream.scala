@@ -36,6 +36,33 @@ object IncrementalStream {
       .groupBy(window(col(tsCol), window_), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
+  /** Session-window aggregation via Spark's NATIVE `session_window` —
+    * the built-in complement to [[sessionizeStream]]'s custom
+    * `flatMapGroupsWithState` state machine. Prefer this form when the
+    * per-session output is an aggregate (count/sum/min/max): the state
+    * store holds one MERGING window per open session (gap-extended on
+    * every event, sessions merge when late events bridge two windows),
+    * eviction rides the watermark, and the whole thing stays inside
+    * Spark's aggregation codegen — no user state class, no encoder, no
+    * iterator contract to get wrong. Reach for the custom state op only
+    * when the output is not a merge-able aggregate (e.g. the reference-
+    * style "emit the full ordered event list per session").
+    *
+    * Output (append mode, on watermark close): (userCol,
+    * session_start, session_end, n_events, sum_value). */
+  def sessionWindowAgg(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts", valueCol: String = "value",
+                       gap: String = "30 minutes",
+                       lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
+      .select(col(userCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Run a streaming query into an in-memory sink and block until all
     * currently-available input is processed — the harness used by specs
     * (no always-on cluster in this environment). */

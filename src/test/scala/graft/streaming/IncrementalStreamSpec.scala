@@ -58,6 +58,43 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_events") == 2L)
   }
 
+  test("sessionWindowAgg: native session_window closes on gap, merges within it") {
+    val srcDir = tmpDir("graft_sesswin_src_")
+    // user 1: events at 10:00/10:05 (one session) then 11:00/11:02
+    // (second session, still open at the final watermark); user 2: one
+    // event at 10:00. The 11:02 event drives the watermark to 09:02
+    // (2h lateness)... use a late driver event at 14:00 to close all.
+    df(evSchema, Seq(
+      Row(1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      Row(2L, ts("2024-01-01 10:05:00"), "click", 2.0),
+      Row(3L, ts("2024-01-01 11:00:00"), "click", 4.0),
+      Row(4L, ts("2024-01-01 11:02:00"), "click", 8.0),
+      Row(5L, ts("2024-01-01 10:00:00"), "view", 16.0),
+      Row(6L, ts("2024-01-01 14:00:00"), "tick", 0.0)))
+      .withColumn("user_id", org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("event_id") === 5L, 2L)
+        .otherwise(org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("event_id") === 6L, 99L).otherwise(1L)))
+      .write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = IncrementalStream.readStream(spark, srcDir, schema)
+    val agg = IncrementalStream.sessionWindowAgg(stream, gap = "30 minutes",
+      lateness = "1 hour")
+    IncrementalStream.runToMemory(agg, "sesswin_test")
+    val out = spark.sql(
+        "SELECT * FROM sesswin_test ORDER BY user_id, session_start").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[java.sql.Timestamp]("session_end"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+    // watermark = 14:00 - 1h = 13:00: every user-1/2 session has closed
+    assert(out.length == 3, s"got ${out.mkString("; ")}")
+    // session end = last event + gap (the session_window contract)
+    assert(out(0) == (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:35:00"), 2L, 3.0))
+    assert(out(1) == (1L, ts("2024-01-01 11:00:00"), ts("2024-01-01 11:32:00"), 2L, 12.0))
+    assert(out(2) == (2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00"), 1L, 16.0))
+  }
+
   test("dedupStream drops same-content docs within the watermark (8-byte state)") {
     val srcDir = tmpDir("graft_dedup_src_")
     val docSchema = StructType(Seq(
