@@ -1734,6 +1734,19 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q_split_leakage" -> ((s, dir) => {
+      // train/test leakage via NEAR-dups: assignSplits (row-local hash
+      // membership) -> blocked jaccard pairs -> cross-split filter; the
+      // audit run before trusting any held-out metric
+      val d = Curation.assignSplits(T(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), buckets = 10)
+      Curation.splitLeakage(d, "text", "doc_id", "split",
+          Dedup.langLengthBlock(col("lang"), col("n_chars"), width = 100),
+          n = 1, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_join_audit" -> ((s, dir) =>
       // pre-join cardinality audit: exact inner-join output size and
       // max key fan-out from the two count tables — the pre-flight that
@@ -4286,6 +4299,36 @@ object SparkEntry {
         |       g.maxc AS max_cnt,
         |       CAST(g.maxc * g.nkeys * 10000 // g.total AS BIGINT) AS skew_x10000
         |FROM topn CROSS JOIN g ORDER BY rank""".stripMargin,
+
+    // The q_ngram_jaccard replay (same blocking, same cap) + the
+    // q_split Knuth-hash membership + the cross-split filter.
+    "q_split_leakage" ->
+      """WITH sp AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         CASE WHEN (doc_id * 2654435761) % 4294967296 % 10 < 8 THEN 'train'
+        |              WHEN (doc_id * 2654435761) % 4294967296 % 10 < 9 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents),
+        |p0 AS (
+        |  SELECT doc_id,
+        |         lang || '_' || CAST(n_chars // 100 AS VARCHAR) AS block,
+        |         list_distinct(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS sh
+        |  FROM documents),
+        |p AS (
+        |  SELECT p0.* FROM p0
+        |  JOIN (SELECT block FROM p0 GROUP BY block HAVING COUNT(1) <= 10000) ok
+        |    USING (block))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       sa.split AS split_a, sb.split AS split_b,
+        |       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |             len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |FROM p a JOIN p b ON a.block = b.block AND a.doc_id < b.doc_id
+        |JOIN sp sa ON sa.doc_id = a.doc_id
+        |JOIN sp sb ON sb.doc_id = b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        |  AND sa.split <> sb.split
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_join_audit" ->
       """WITH lc AS MATERIALIZED (

@@ -927,6 +927,38 @@ object Curation {
             col("n_ngrams"), 6)).as("hit_frac"))
   }
 
+  /** Cross-split near-duplicate leakage audit: the pairs of documents
+    * that are near-duplicates of each other AND live in different
+    * train/val/test splits — the contamination [[contamination]]'s
+    * n-gram overlap can't see (a paraphrased or lightly-edited eval doc
+    * shares few exact 8-grams with its train twin but has high shingle
+    * Jaccard). Run it after [[assignSplits]], before trusting any
+    * held-out metric: one leaked near-dup inflates eval scores
+    * silently.
+    *
+    * Composition: [[Dedup.ngramJaccardPairs]]' blocked verify (its
+    * block-cap contract included — mirror it in any oracle) + two id
+    * joins to attach splits + the cross-split filter. Scale shape is
+    * the pairing op's; the split table is (id, split) — joins on the
+    * unique id.
+    *
+    * Output: (id_a, id_b, split_a, split_b, jaccard), cross-split
+    * pairs only, both orders of split naming preserved as the id order
+    * has them. */
+  def splitLeakage(df: DataFrame, textCol: String, idCol: String,
+                   splitCol: String, blockCol: Column, n: Int = 3,
+                   threshold: Double = 0.5, maxBlockSize: Int = 10000): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(df, textCol, idCol, blockCol,
+      n, threshold, maxBlockSize)
+    val s = df.select(col(idCol), col(splitCol))
+    pairs
+      .join(s.select(col(idCol).as("id_a"), col(splitCol).as("split_a")), Seq("id_a"))
+      .join(s.select(col(idCol).as("id_b"), col(splitCol).as("split_b")), Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+        col("jaccard"))
+  }
+
   /** Cross-corpus overlap matrix — for every ORDERED pair of sources,
     * how much of A's distinct n-gram vocabulary also appears in B:
     * `containment_fp` = |A∩B|·10⁸ ÷ |A| (directional — a small corpus

@@ -611,6 +611,24 @@ class CurationSpec extends SparkSpec {
       Curation.neymanSample(df(stratValSchema, Seq(Row("a", 1L, 1.0))), "g", "v", "id", 0L))
   }
 
+  test("splitLeakage: only cross-split near-dup pairs survive") {
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("split", StringType)))
+    val d = df(sch, Seq(
+      Row(1L, "alpha beta gamma delta", "train"),
+      Row(2L, "alpha beta gamma delta epsilon", "test"),  // near-dup of 1, cross-split
+      Row(3L, "alpha beta gamma delta", "train"),         // exact dup of 1, SAME split
+      Row(4L, "totally different content here", "test")))
+    val out = Curation.splitLeakage(d, "text", "doc_id", "split",
+        blockCol = org.apache.spark.sql.functions.lit("b"), n = 1, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3))).toSet
+    // (1,3) is a dup but within train -> excluded; 4 matches nothing
+    assert(out == Set((1L, 2L, "train", "test"), (2L, 3L, "test", "train")),
+      s"got $out")
+  }
+
   test("curriculumOrder: dense global easy-to-hard order, ties low, nulls rejected") {
     val sch = StructType(Seq(
       StructField("id", LongType), StructField("score", DoubleType)))
