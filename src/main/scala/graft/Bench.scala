@@ -122,7 +122,12 @@ object Bench {
     // (boundary pass + de-funneled prefix), Markov transitions
     // (per-user window + pair aggs)
     "q_cooccur", "q_outlier_mad", "q_corpus_overlap", "q_random_proj",
-    "q_neyman", "q_triangles", "q_curriculum", "q_transitions")
+    "q_neyman", "q_triangles", "q_curriculum", "q_transitions",
+    // r12 second continuation: the full inverted-index lifecycle
+    // (build the bucket-partitioned postings + pruned 3-term probe)
+    // and the cross-split near-dup leakage audit (blocked jaccard +
+    // split joins — pair-heavy on this corpus: ~150k leaked pairs)
+    "q_inverted_bm25", "q_split_leakage")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is
