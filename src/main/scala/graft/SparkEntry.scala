@@ -1734,6 +1734,25 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q_ewma" -> ((s, dir) =>
+      // per-user exponential smoothing: the literal recursion evaluated
+      // as one sharded sequential fold (never the closed-form power
+      // sum); the oracle replays the same left fold via list_reduce
+      // over each user's ordered prefix — bit-equal doubles
+      operators.TimeSeries.ewma(
+          T(s, dir, "events").select(col("user_id"), col("event_id"), col("value")),
+          "user_id", "event_id", "value", alpha = 0.3)
+        .orderBy(col("event_id"))),
+
+    "q_cusum" -> ((s, dir) =>
+      // drift detection: one-sided CUSUM in 1e-6 fixed-point — the
+      // whole fold is integer arithmetic, exact on any engine/partitioning
+      operators.TimeSeries.cusum(
+          T(s, dir, "events").select(col("user_id"), col("event_id"), col("value")),
+          "user_id", "event_id", "value", target = 50.0, slack = 10.0,
+          threshold = 200.0)
+        .orderBy(col("event_id"))),
+
     "q_split_leakage" -> ((s, dir) => {
       // train/test leakage via NEAR-dups: assignSplits (row-local hash
       // membership) -> blocked jaccard pairs -> cross-split filter; the
@@ -4299,6 +4318,43 @@ object SparkEntry {
         |       g.maxc AS max_cnt,
         |       CAST(g.maxc * g.nkeys * 10000 // g.total AS BIGINT) AS skew_x10000
         |FROM topn CROSS JOIN g ORDER BY rank""".stripMargin,
+
+    // list_reduce over each user's ordered prefix IS the operator's
+    // left fold — same doubles, same order, bit-equal; (1.0 - 0.3)
+    // mirrors the driver's `1.0 - alpha` computation.
+    "q_ewma" ->
+      """WITH e AS MATERIALIZED (SELECT user_id, event_id, value FROM events),
+        |l AS MATERIALIZED (
+        |  SELECT user_id, list(value ORDER BY event_id) AS vs,
+        |         list(event_id ORDER BY event_id) AS ids
+        |  FROM e GROUP BY 1),
+        |x AS (SELECT user_id, unnest(ids) AS event_id,
+        |             unnest(range(1, len(ids) + 1)) AS i, vs
+        |      FROM l)
+        |SELECT x.user_id, x.event_id, e.value,
+        |       list_reduce(vs[1:i], (acc, v) -> 0.3 * v + (1.0 - 0.3) * acc) AS ewma
+        |FROM x JOIN e ON e.event_id = x.event_id
+        |ORDER BY x.event_id""".stripMargin,
+
+    // The prepended 0 makes the fold's first step max(0, c0 - mu - k),
+    // the operator's init; everything is 1e-6 fixed-point longs.
+    "q_cusum" ->
+      """WITH e AS MATERIALIZED (SELECT user_id, event_id, value FROM events),
+        |l AS MATERIALIZED (
+        |  SELECT user_id,
+        |         list(CAST(FLOOR(value * 1000000) AS BIGINT) ORDER BY event_id) AS cs,
+        |         list(event_id ORDER BY event_id) AS ids
+        |  FROM e GROUP BY 1),
+        |x AS (SELECT user_id, unnest(ids) AS event_id,
+        |             unnest(range(1, len(ids) + 1)) AS i, cs FROM l),
+        |f AS (SELECT user_id, event_id,
+        |             list_reduce(list_prepend(CAST(0 AS BIGINT), cs[1:i]),
+        |               (acc, c) -> GREATEST(CAST(0 AS BIGINT), acc + c - 60000000)) AS cusum_fp
+        |      FROM x)
+        |SELECT f.user_id, f.event_id, e.value, f.cusum_fp,
+        |       CASE WHEN f.cusum_fp > 200000000 THEN 1 ELSE 0 END AS alarm
+        |FROM f JOIN e ON e.event_id = f.event_id
+        |ORDER BY f.event_id""".stripMargin,
 
     // The q_ngram_jaccard replay (same blocking, same cap) + the
     // q_split Knuth-hash membership + the cross-split filter.

@@ -69,4 +69,81 @@ object TimeSeries {
         col("value_sum"),
         last(col("value_sum"), ignoreNulls = true).over(w).as("value_ff"))
   }
+
+  /** Shared shape of the per-entity SEQUENTIAL folds below (EWMA,
+    * CUSUM): one shuffle on the entity key, an in-partition sort by
+    * (entity, order), and a single mapPartitions walk that resets its
+    * state at entity boundaries — the [[Curation.packSequencesStrict]]
+    * contract. Never a window over an unsharded stream, no driver
+    * state; `orderCol` must be UNIQUE per entity (ties would make the
+    * fold order — and therefore every downstream value — partitioning-
+    * dependent), and `valueCol` must be non-null (a hole in a recursion
+    * has no defined value — gap-fill first). */
+  private def entityFold(df: DataFrame, entityCol: String, orderCol: String,
+                         valueCol: String, outField: org.apache.spark.sql.types.StructField)(
+                         init: Double => Any, step: (Any, Double) => Any): DataFrame = {
+    val outSchema = df.schema.add(outField)
+    val eIdx = df.schema.fieldIndex(entityCol)
+    val vIdx = df.schema.fieldIndex(valueCol)
+    df.repartition(col(entityCol))
+      .sortWithinPartitions(col(entityCol), col(orderCol))
+      .mapPartitions { it =>
+        var curKey: Any = null
+        var first = true
+        var state: Any = null
+        it.map { r =>
+          val k = r.get(eIdx)
+          val vRaw = r.get(vIdx)
+          require(vRaw != null,
+            s"null $valueCol in sequential fold (entity $k) — gap-fill or filter first")
+          val x = vRaw.asInstanceOf[Number].doubleValue
+          if (first || k != curKey) { curKey = k; first = false; state = init(x) }
+          else state = step(state, x)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ state)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Exponentially-weighted moving average per entity:
+    * y₀ = x₀, yₜ = α·xₜ + (1−α)·yₜ₋₁ in `orderCol` order — the
+    * smoothing baseline under anomaly scores, trend dashboards, and
+    * rate limiters. The recursion is evaluated LITERALLY (never the
+    * closed-form power sum, whose different rounding would diverge), so
+    * any engine replaying the same left fold — e.g. DuckDB's
+    * `list_reduce` over the ordered prefix — reproduces every double
+    * bit-for-bit (`q_ewma`); `1−α` is computed once, as the oracle
+    * writes `(1.0 − α)`. Output: input columns + `ewma`. */
+  def ewma(df: DataFrame, entityCol: String, orderCol: String, valueCol: String,
+           alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val oneMinus = 1.0 - alpha
+    entityFold(df, entityCol, orderCol, valueCol,
+      org.apache.spark.sql.types.StructField("ewma",
+        org.apache.spark.sql.types.DoubleType, nullable = false))(
+      init = x => x,
+      step = (acc, x) => alpha * x + oneMinus * acc.asInstanceOf[Double])
+  }
+
+  /** One-sided (upper) CUSUM change-point statistic per entity:
+    * s₀ = max(0, c₀ − μ − k), sₜ = max(0, sₜ₋₁ + cₜ − μ − k), alarm
+    * when sₜ > h — the classic drift detector over metric streams
+    * (Page 1954). ENTIRELY fixed-point: values quantize to 1e-6 longs
+    * (c = ⌊x·10⁶⌋) and μ/k/h quantize the same way once, so the fold is
+    * integer arithmetic with NO accumulation-order or rounding hazard
+    * at all — bit-exact on any engine, any partitioning (`q_cusum`).
+    * Output: input columns + (`cusum_fp` long, `alarm` int). */
+  def cusum(df: DataFrame, entityCol: String, orderCol: String, valueCol: String,
+            target: Double, slack: Double, threshold: Double): DataFrame = {
+    require(slack >= 0.0 && threshold > 0.0,
+      s"slack must be >= 0 and threshold positive, got k=$slack h=$threshold")
+    val muK = math.floor(target * 1e6).toLong + math.floor(slack * 1e6).toLong
+    val hFp = math.floor(threshold * 1e6).toLong
+    val folded = entityFold(df, entityCol, orderCol, valueCol,
+      org.apache.spark.sql.types.StructField("cusum_fp",
+        org.apache.spark.sql.types.LongType, nullable = false))(
+      init = x => math.max(0L, math.floor(x * 1e6).toLong - muK),
+      step = (acc, x) =>
+        math.max(0L, acc.asInstanceOf[Long] + math.floor(x * 1e6).toLong - muK))
+    folded.withColumn("alarm", (col("cusum_fp") > lit(hFp)).cast("int"))
+  }
 }

@@ -51,4 +51,47 @@ class TimeSeriesSpec extends SparkSpec {
     assert(e.getMessage != null)
     intercept[IllegalArgumentException](TimeSeries.gapFill(d, "uid", "ts", "v", 0))
   }
+
+  private val seqSchema = StructType(Seq(
+    StructField("uid", LongType), StructField("ord", LongType),
+    StructField("v", DoubleType)))
+
+  test("ewma: literal recursion per entity, state resets at entity boundary") {
+    val rows = Seq( // uid 1: 10, 20, 30; uid 2: 100 (fresh state)
+      Row(1L, 1L, 10.0), Row(1L, 2L, 20.0), Row(1L, 3L, 30.0),
+      Row(2L, 1L, 100.0))
+    val out = TimeSeries.ewma(df(seqSchema, rows), "uid", "ord", "v", alpha = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // exact IEEE recursion, computed the same way here
+    val y1 = 10.0
+    val y2 = 0.25 * 20.0 + 0.75 * y1
+    val y3 = 0.25 * 30.0 + 0.75 * y2
+    assert(out((1L, 1L)) == y1 && out((1L, 2L)) == y2 && out((1L, 3L)) == y3)
+    assert(out((2L, 1L)) == 100.0, "entity boundary must reset the fold")
+    // result is partitioning-invariant (the fold re-sorts per entity)
+    val shuffled = TimeSeries.ewma(df(seqSchema, scala.util.Random.shuffle(rows))
+        .repartition(7), "uid", "ord", "v", alpha = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(shuffled == out)
+    intercept[IllegalArgumentException](
+      TimeSeries.ewma(df(seqSchema, rows), "uid", "ord", "v", alpha = 0.0))
+  }
+
+  test("cusum: fixed-point drift statistic, clamp at zero, alarms past threshold") {
+    // target 10, slack 0: values at target keep s = 0; a +5 drift
+    // accumulates 5e6/step and alarms once past h = 12
+    val rows = (1L to 3L).map(i => Row(1L, i, 10.0)) ++
+      (4L to 7L).map(i => Row(1L, i, 15.0)) ++
+      Seq(Row(1L, 8L, 2.0)) // big dip drags s back down (clamped at 0)
+    val out = TimeSeries.cusum(df(seqSchema, rows), "uid", "ord", "v",
+        target = 10.0, slack = 0.0, threshold = 12.0)
+      .collect().map(r => r.getLong(1) -> (r.getLong(3), r.getInt(4))).toMap
+    assert(out(3L) == (0L, 0))            // on-target: s stays 0
+    assert(out(4L) == (5000000L, 0))      // drift starts
+    assert(out(6L) == (15000000L, 1))     // crosses h = 12e6 -> alarm
+    assert(out(7L) == (20000000L, 1))
+    assert(out(8L) == (12000000L, 0))     // 20 + 2 - 10 = 12, NOT > 12
+    intercept[IllegalArgumentException](
+      TimeSeries.cusum(df(seqSchema, rows), "uid", "ord", "v", 10.0, -1.0, 12.0))
+  }
 }
