@@ -367,6 +367,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_orc_roundtrip" -> ((s, dir) => {
+      // ORC write + read-back of the documents table: the oracle
+      // (SELECT from the original parquet) proves the ORC lake codec is
+      // LOSSLESS for the corpus columns; connector semantics (additive
+      // append, evolution, pushdown/pruning plan evidence) are spec'd
+      // in OrcConnectorSpec.
+      val d = T(s, dir, "documents")
+      val work = java.nio.file.Files.createTempDirectory("graft_orc_q_").toString
+      val c = new graft.sources.OrcConnector(s, work)
+      c.write(d.select("doc_id", "text", "lang", "source", "n_chars"), "documents")
+      c.read("documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_bpe_train" -> ((s, dir) => {
       // BPE merge training on the PINNED Sennrich fixture — the merge
       // sequence is a data-dependent N-round argmax chain, so the oracle
@@ -3466,6 +3481,11 @@ object SparkEntry {
 
     // jsonl codec losslessness: read-back must equal the source table
     "q_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // orc lake codec losslessness: read-back must equal the source table
+    "q_orc_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 

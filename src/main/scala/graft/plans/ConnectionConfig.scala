@@ -58,6 +58,7 @@ object ConnectionConfig {
         pkIndexMinBytes = cfg.get("pk_index_min_bytes")
           .orElse(cfg.get("bloom_index_min_bytes")).getOrElse((1L << 30).toString).toLong)
     case "csv" => new CsvConnector(spark, cfg("dir"))
+    case "orc" => new OrcConnector(spark, cfg("dir"))
     case "jsonl" => new JsonlConnector(spark, cfg("dir"))
     case "jsondoc" => new JsonDocConnector(spark, cfg("dir"))
     case "jdbc" => new JdbcConnector(spark, cfg("url"),
