@@ -1768,6 +1768,15 @@ object SparkEntry {
           threshold = 200.0)
         .orderBy(col("event_id"))),
 
+    "q_holt" -> ((s, dir) =>
+      // trend-aware forecasting: Holt level+trend recursion, again the
+      // LITERAL fold; α=0.5 γ=0.25 are exact doubles so 1−α/1−γ are too,
+      // and DuckDB's struct-list fold reproduces every double bit-for-bit
+      operators.TimeSeries.holt(
+          T(s, dir, "events").select(col("user_id"), col("event_id"), col("value")),
+          "user_id", "event_id", "value", alpha = 0.5, gamma = 0.25)
+        .orderBy(col("event_id"))),
+
     "q_split_leakage" -> ((s, dir) => {
       // train/test leakage via NEAR-dups: assignSplits (row-local hash
       // membership) -> blocked jaccard pairs -> cross-split filter; the
@@ -4373,6 +4382,33 @@ object SparkEntry {
         |      FROM x)
         |SELECT f.user_id, f.event_id, e.value, f.cusum_fp,
         |       CASE WHEN f.cusum_fp > 200000000 THEN 1 ELSE 0 END AS alarm
+        |FROM f JOIN e ON e.event_id = f.event_id
+        |ORDER BY f.event_id""".stripMargin,
+
+    // The recursive CTE IS Holt's recursion, one row per (entity, step):
+    // scalar doubles only (DuckDB 1.0's list_reduce mis-evaluates
+    // chained multi-field struct folds, so the state lives in two plain
+    // columns); lNew is recomputed inline for the trend term — the
+    // identical IEEE sequence the operator runs, bit-exact.
+    "q_holt" ->
+      """WITH RECURSIVE
+        |e AS MATERIALIZED (SELECT user_id, event_id, value FROM events),
+        |l AS MATERIALIZED (
+        |  SELECT user_id, list(value ORDER BY event_id) AS vs,
+        |         list(event_id ORDER BY event_id) AS ids
+        |  FROM e GROUP BY 1),
+        |s AS (
+        |  SELECT user_id, 1 AS i, vs[1] AS lvl, CAST(0 AS DOUBLE) AS trd FROM l
+        |  UNION ALL
+        |  SELECT s.user_id, s.i + 1,
+        |         0.5 * l.vs[s.i + 1] + 0.5 * (s.lvl + s.trd),
+        |         0.25 * ((0.5 * l.vs[s.i + 1] + 0.5 * (s.lvl + s.trd)) - s.lvl) + 0.75 * s.trd
+        |  FROM s JOIN l ON l.user_id = s.user_id
+        |  WHERE s.i < len(l.vs)),
+        |f AS (SELECT s.user_id, l.ids[s.i] AS event_id, s.lvl, s.trd
+        |      FROM s JOIN l ON l.user_id = s.user_id)
+        |SELECT f.user_id, f.event_id, e.value, f.lvl AS level, f.trd AS trend,
+        |       f.lvl + f.trd AS forecast
         |FROM f JOIN e ON e.event_id = f.event_id
         |ORDER BY f.event_id""".stripMargin,
 

@@ -80,9 +80,10 @@ object TimeSeries {
     * dependent), and `valueCol` must be non-null (a hole in a recursion
     * has no defined value — gap-fill first). */
   private def entityFold(df: DataFrame, entityCol: String, orderCol: String,
-                         valueCol: String, outField: org.apache.spark.sql.types.StructField)(
-                         init: Double => Any, step: (Any, Double) => Any): DataFrame = {
-    val outSchema = df.schema.add(outField)
+                         valueCol: String, outFields: Seq[org.apache.spark.sql.types.StructField])(
+                         init: Double => Any, step: (Any, Double) => Any,
+                         emit: Any => Seq[Any]): DataFrame = {
+    val outSchema = org.apache.spark.sql.types.StructType(df.schema.fields ++ outFields)
     val eIdx = df.schema.fieldIndex(entityCol)
     val vIdx = df.schema.fieldIndex(valueCol)
     df.repartition(col(entityCol))
@@ -99,7 +100,7 @@ object TimeSeries {
           val x = vRaw.asInstanceOf[Number].doubleValue
           if (first || k != curKey) { curKey = k; first = false; state = init(x) }
           else state = step(state, x)
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ state)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ emit(state))
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
@@ -118,10 +119,50 @@ object TimeSeries {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
     val oneMinus = 1.0 - alpha
     entityFold(df, entityCol, orderCol, valueCol,
-      org.apache.spark.sql.types.StructField("ewma",
-        org.apache.spark.sql.types.DoubleType, nullable = false))(
+      Seq(org.apache.spark.sql.types.StructField("ewma",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))(
       init = x => x,
-      step = (acc, x) => alpha * x + oneMinus * acc.asInstanceOf[Double])
+      step = (acc, x) => alpha * x + oneMinus * acc.asInstanceOf[Double],
+      emit = s => Seq(s))
+  }
+
+  /** Holt double-exponential smoothing (level + linear trend) per
+    * entity: l₀ = x₀, b₀ = 0;
+    * lₜ = α·xₜ + (1−α)·(lₜ₋₁ + bₜ₋₁),
+    * bₜ = γ·(lₜ − lₜ₋₁) + (1−γ)·bₜ₋₁ — the trend-aware forecaster EWMA
+    * can't be (EWMA lags a drifting series forever; Holt's trend term
+    * tracks it). Like [[ewma]], the recursion is evaluated LITERALLY so
+    * an engine replaying the same fold reproduces every double
+    * bit-for-bit — DuckDB replays it as a recursive CTE with one row
+    * per (entity, step), scalar doubles only (`q_holt`; its 1.0
+    * list_reduce mis-evaluates chained multi-field struct folds, so the
+    * two-state fold must NOT be a struct-lambda). For bit-parity choose
+    * α/γ exactly representable as doubles (0.5, 0.25, …): then
+    * `1−α`/`1−γ` are exact in both the JVM and the SQL literal.
+    * Output: input columns + (`level`, `trend`, `forecast` = l + b,
+    * the one-step-ahead prediction). */
+  def holt(df: DataFrame, entityCol: String, orderCol: String, valueCol: String,
+           alpha: Double, gamma: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(gamma >= 0.0 && gamma <= 1.0, s"gamma must be in [0, 1], got $gamma")
+    val omA = 1.0 - alpha
+    val omG = 1.0 - gamma
+    val d = org.apache.spark.sql.types.DoubleType
+    entityFold(df, entityCol, orderCol, valueCol,
+      Seq(org.apache.spark.sql.types.StructField("level", d, nullable = false),
+          org.apache.spark.sql.types.StructField("trend", d, nullable = false),
+          org.apache.spark.sql.types.StructField("forecast", d, nullable = false)))(
+      init = x => (x, 0.0),
+      step = (acc, x) => {
+        val (l, b) = acc.asInstanceOf[(Double, Double)]
+        val lNew = alpha * x + omA * (l + b)
+        val bNew = gamma * (lNew - l) + omG * b
+        (lNew, bNew)
+      },
+      emit = s => {
+        val (l, b) = s.asInstanceOf[(Double, Double)]
+        Seq(l, b, l + b)
+      })
   }
 
   /** One-sided (upper) CUSUM change-point statistic per entity:
@@ -139,11 +180,12 @@ object TimeSeries {
     val muK = math.floor(target * 1e6).toLong + math.floor(slack * 1e6).toLong
     val hFp = math.floor(threshold * 1e6).toLong
     val folded = entityFold(df, entityCol, orderCol, valueCol,
-      org.apache.spark.sql.types.StructField("cusum_fp",
-        org.apache.spark.sql.types.LongType, nullable = false))(
+      Seq(org.apache.spark.sql.types.StructField("cusum_fp",
+        org.apache.spark.sql.types.LongType, nullable = false)))(
       init = x => math.max(0L, math.floor(x * 1e6).toLong - muK),
       step = (acc, x) =>
-        math.max(0L, acc.asInstanceOf[Long] + math.floor(x * 1e6).toLong - muK))
+        math.max(0L, acc.asInstanceOf[Long] + math.floor(x * 1e6).toLong - muK),
+      emit = s => Seq(s))
     folded.withColumn("alarm", (col("cusum_fp") > lit(hFp)).cast("int"))
   }
 }

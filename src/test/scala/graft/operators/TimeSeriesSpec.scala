@@ -77,6 +77,32 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.ewma(df(seqSchema, rows), "uid", "ord", "v", alpha = 0.0))
   }
 
+  test("holt: level+trend recursion tracks a linear drift EWMA would lag") {
+    // perfectly linear series 10, 20, 30, ... — Holt's forecast converges
+    // onto the true next value; EWMA lags below it forever
+    val rows = (1L to 12L).map(i => Row(1L, i, 10.0 * i))
+    val out = TimeSeries.holt(df(seqSchema, rows), "uid", "ord", "v",
+        alpha = 0.5, gamma = 0.25)
+      .collect().map(r => r.getLong(1) -> (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // replay the recursion exactly
+    var l = 10.0; var b = 0.0
+    for (t <- 2L to 12L) {
+      val lN = 0.5 * (10.0 * t) + 0.5 * (l + b)
+      b = 0.25 * (lN - l) + 0.75 * b
+      l = lN
+      assert(out(t) == ((l, b, l + b)), s"t=$t")
+    }
+    // trend has locked on by t=12: forecast within ~2% of the true next value
+    assert(math.abs(out(12L)._3 - 130.0) < 3.0)
+    // entity boundary resets (fresh series starts at its own x0)
+    val two = rows :+ Row(2L, 1L, 7.0)
+    val o2 = TimeSeries.holt(df(seqSchema, two), "uid", "ord", "v", 0.5, 0.25)
+      .filter(col("uid") === 2L).head()
+    assert(o2.getDouble(3) == 7.0 && o2.getDouble(4) == 0.0)
+    intercept[IllegalArgumentException](
+      TimeSeries.holt(df(seqSchema, rows), "uid", "ord", "v", 0.5, 1.5))
+  }
+
   test("cusum: fixed-point drift statistic, clamp at zero, alarms past threshold") {
     // target 10, slack 0: values at target keep s = 0; a +5 drift
     // accumulates 5e6/step and alarms once past h = 12
