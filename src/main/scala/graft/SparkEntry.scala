@@ -1924,6 +1924,19 @@ object SparkEntry {
         .orderBy(col("item_a"), col("item_b"))
     }),
 
+    "q_group_ols" -> ((s, dir) => {
+      // per-segment OLS trend from exact fixed-point moment sums:
+      // revenue = extendedprice·(1−discount) regressed on extendedprice
+      // per returnflag — slope ≈ mean(1−discount), r² near 1; only the
+      // final stats touch doubles, in the pinned sequence the oracle
+      // replays over HUGEINT sums
+      operators.Analytics.groupedOls(
+          T(s, dir, "lineitem")
+            .withColumn("revenue", col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+          "l_returnflag", "l_extendedprice", "revenue", scale = 6)
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q_outlier_mad" -> ((s, dir) => {
       // robust per-type outlier audit: median/MAD rank selections (the
       // oracle-replayable exact mode; sketch mode is the 100 TB path),
@@ -4775,6 +4788,29 @@ object SparkEntry {
         |FROM p JOIN ic a ON a.item = p.item_a JOIN ic b ON b.item = p.item_b
         |CROSS JOIN g
         |ORDER BY item_a, item_b""".stripMargin,
+
+    // HUGEINT sums ARE the operator's DECIMAL(38,0) sums (both exact
+    // 128-bit integers); the final double expressions mirror the
+    // operator's sequence term for term, so every double is bit-equal.
+    "q_group_ols" ->
+      """WITH q AS (SELECT l_returnflag AS grp,
+        |   CAST(FLOOR(l_extendedprice * 1000000.0) AS HUGEINT) AS x,
+        |   CAST(FLOOR((l_extendedprice * (1.0 - l_discount)) * 1000000.0) AS HUGEINT) AS y
+        |   FROM lineitem),
+        |a AS (SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |             SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+        |      FROM q GROUP BY 1),
+        |s AS (SELECT grp, n, sx, sy, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den,
+        |             n*syy - sy*sy AS deny FROM a)
+        |SELECT grp AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |       CASE WHEN den <> 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope,
+        |       CASE WHEN den <> 0 THEN
+        |         (CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |           / (CAST(n AS DOUBLE) * 1000000.0) END AS intercept,
+        |       CASE WHEN den <> 0 AND deny <> 0 THEN
+        |         (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+        |           / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) END AS r2
+        |FROM s ORDER BY l_returnflag""".stripMargin,
 
     // Median and MAD are rank SELECTIONS (PERCENTILE_DISC semantics,
     // rank = ceil(n/2)): actual data values, so dev > 3.0*mad is the

@@ -227,4 +227,51 @@ object Analytics {
         col("n_txn"), col("support_fp"), col("conf_ab_fp"), col("conf_ba_fp"),
         col("lift_x10000"))
   }
+
+  /** Per-group simple linear regression (OLS y = a + b·x) from EXACT
+    * fixed-point moment sums — the trend-per-segment primitive (price
+    * curves per brand, score drift per source, …) computed as ONE
+    * partial-aggregated pass: quantize x/y to ⌊v·10^scale⌋ and
+    * accumulate n, Σx, Σy, Σxy, Σx², Σy² as DECIMAL(38,0) integers, so
+    * the sums are order/partitioning-independent and exact at any group
+    * size (fp products ≤1e18/row leave 20 digits of row-count headroom).
+    * Only the FINAL stats touch doubles, in a pinned expression
+    * sequence over the exact sums (slope = num/den, intercept =
+    * (Σy − slope·Σx)/(n·10^scale), r² = num²/(den·deny)) — so any
+    * engine with exact 128-bit sums replays every double bit-for-bit
+    * (`q_group_ols` replays via HUGEINT). Degenerate groups (constant
+    * x) surface null slope/intercept/r², not a divide-by-zero.
+    *
+    * Output: (group, n, slope, intercept, r2), one row per group. */
+  def groupedOls(df: DataFrame, groupCol: String, xCol: String, yCol: String,
+                 scale: Int = 6): DataFrame = {
+    require(scale >= 0 && scale <= 9, s"scale must be in [0, 9], got $scale")
+    val p = math.pow(10.0, scale)
+    // floor(v·10^s): double multiply + floor are exactly-rounded IEEE ops,
+    // so the quantized integer is engine-independent
+    def fp(c: String) = floor(col(c) * lit(p)).cast("decimal(38,0)")
+    df.select(col(groupCol), fp(xCol).as("_x"), fp(yCol).as("_y"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("_n"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y") * col("_y")).as("_syy"))
+      .withColumn("_num", col("_n") * col("_sxy") - col("_sx") * col("_sy"))
+      .withColumn("_den", col("_n") * col("_sxx") - col("_sx") * col("_sx"))
+      .withColumn("_deny", col("_n") * col("_syy") - col("_sy") * col("_sy"))
+      .withColumn("slope",
+        when(col("_den") =!= 0, col("_num").cast("double") / col("_den").cast("double")))
+      .withColumn("intercept",
+        when(col("_den") =!= 0,
+          (col("_sy").cast("double") - col("slope") * col("_sx").cast("double")) /
+            (col("_n").cast("double") * lit(p))))
+      .withColumn("r2",
+        when(col("_den") =!= 0 && col("_deny") =!= 0,
+          (col("_num").cast("double") * col("_num").cast("double")) /
+            (col("_den").cast("double") * col("_deny").cast("double"))))
+      .select(col(groupCol), col("_n").cast("long").as("n"),
+        col("slope"), col("intercept"), col("r2"))
+  }
 }

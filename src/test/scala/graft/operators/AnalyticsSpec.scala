@@ -154,4 +154,38 @@ class AnalyticsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Analytics.cooccurrence(d, "txn", "item", maxItemsPerTxn = 1))
   }
+
+  private val olsSchema = StructType(Seq(
+    StructField("g", StringType), StructField("x", DoubleType),
+    StructField("y", DoubleType)))
+
+  test("groupedOls: exact line recovered; noise lowers r2; constant x is null-safe") {
+    val exact = (1 to 5).map(i => Row("a", i.toDouble, 2.0 * i + 3.0))
+    val noisy = Seq(Row("b", 1.0, 5.1), Row("b", 2.0, 6.9), Row("b", 3.0, 9.2),
+      Row("b", 4.0, 10.8))
+    val const = Seq(Row("c", 7.0, 1.0), Row("c", 7.0, 2.0))
+    val out = Analytics.groupedOls(df(olsSchema, exact ++ noisy ++ const),
+      "g", "x", "y").collect().map(r => r.getString(0) -> r).toMap
+    // y = 2x + 3 exactly: fixed-point moments reproduce it to the quantum
+    assert(out.values.forall(r => r.getString(0) == "c" || !r.isNullAt(2)),
+      s"rows: ${out.values.mkString(" | ")}")
+    assert(math.abs(out("a").getDouble(2) - 2.0) < 1e-9)
+    assert(math.abs(out("a").getDouble(3) - 3.0) < 1e-9)
+    assert(math.abs(out("a").getDouble(4) - 1.0) < 1e-12)
+    // noisy line: slope near 2, r2 high but < 1
+    val b = out("b")
+    assert(math.abs(b.getDouble(2) - 1.94) < 0.1)
+    assert(b.getDouble(4) > 0.98 && b.getDouble(4) < 1.0)
+    // degenerate group: den = 0 -> nulls, never a divide-by-zero
+    assert(out("c").isNullAt(2) && out("c").isNullAt(3) && out("c").isNullAt(4))
+    assert(out("c").getLong(1) == 2L)
+    // partitioning-invariance: the sums are exact integers
+    val shuffled = Analytics.groupedOls(
+      df(olsSchema, scala.util.Random.shuffle(exact ++ noisy ++ const)).repartition(7),
+      "g", "x", "y").collect().filterNot(_.isNullAt(2))
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(shuffled("a") == out("a").getDouble(2))
+    intercept[IllegalArgumentException](
+      Analytics.groupedOls(df(olsSchema, exact), "g", "x", "y", scale = 12))
+  }
 }
