@@ -352,6 +352,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_chi2_terms" -> ((s, dir) =>
+      // χ² feature selection: per-class discriminative vocabulary from
+      // the document-presence contingency grid — integer counts all the
+      // way down, the χ² doubles in a pinned sequence over HUGEINT-exact
+      // (ad−bc); the curation-classifier front door
+      TextClassifier.chi2Terms(T(s, dir, "documents"),
+          "text", "doc_id", "lang", vocabSize = 300, topK = 10)
+        .orderBy(col("label"), col("rank"))),
+
     "q_jsonl_roundtrip" -> ((s, dir) => {
       // jsonl write + read-back of the documents table: the oracle
       // (SELECT from the original) proves the interchange codec is
@@ -3500,6 +3509,50 @@ object SparkEntry {
         |SELECT d.doc_id, b.label, b.score + 0.0 AS score
         |FROM documents d LEFT JOIN best b USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Full χ² replay: same vocab selection, same distinct-presence
+    // contingency, HUGEINT (ad−bc), the same pinned left-associated
+    // double sequence — bit-equal χ² per (label, term).
+    "q_chi2_terms" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, CAST(lang AS VARCHAR) AS label, w FROM (
+        |    SELECT doc_id, lang, unnest(regexp_split_to_array(
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        |    FROM documents)
+        |  WHERE length(w) > 0),
+        |vocab AS MATERIALIZED (
+        |  SELECT w AS term FROM (
+        |    SELECT w, COUNT(1) AS f FROM tok GROUP BY 1 ORDER BY f DESC, w LIMIT 300)),
+        |nc AS (SELECT CAST(lang AS VARCHAR) AS label, COUNT(1) AS nc FROM documents GROUP BY 1),
+        |n AS (SELECT COUNT(1) AS n FROM documents),
+        |pres AS (SELECT DISTINCT t.doc_id, t.label, t.w AS term
+        |         FROM tok t JOIN vocab v ON v.term = t.w),
+        |a AS (SELECT term, label, COUNT(1) AS a FROM pres GROUP BY 1, 2),
+        |td AS (SELECT term, SUM(a) AS td FROM a GROUP BY 1),
+        |grid AS (
+        |  SELECT v.term, c.label, c.nc, COALESCE(a.a, 0) AS a, COALESCE(td.td, 0) AS td
+        |  FROM vocab v CROSS JOIN nc c
+        |  LEFT JOIN a ON a.term = v.term AND a.label = c.label
+        |  LEFT JOIN td ON td.term = v.term),
+        |x AS (
+        |  SELECT term, label, a, td - a AS b, nc - a AS c, n.n - nc - (td - a) AS d,
+        |         td, nc, n.n AS n
+        |  FROM grid CROSS JOIN n),
+        |s AS (
+        |  SELECT term, label, a, b, c, d,
+        |         CASE WHEN td <> 0 AND td <> n THEN
+        |           (CAST(n AS DOUBLE)
+        |              * CAST(CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c AS DOUBLE)
+        |              * CAST(CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c AS DOUBLE))
+        |           / (CAST(td AS DOUBLE) * CAST(n - td AS DOUBLE)
+        |              * CAST(nc AS DOUBLE) * CAST(n - nc AS DOUBLE))
+        |         END AS chi2
+        |  FROM x)
+        |SELECT label, term, a, b, c, d, chi2,
+        |       CAST(row_number() OVER (PARTITION BY label ORDER BY chi2 DESC, term) AS INTEGER) AS rank
+        |FROM s WHERE chi2 IS NOT NULL
+        |QUALIFY rank <= 10
+        |ORDER BY label, rank""".stripMargin,
 
     // jsonl codec losslessness: read-back must equal the source table
     "q_jsonl_roundtrip" ->

@@ -152,4 +152,71 @@ object TextClassifier {
       .select(col(idCol), col("_bestLabel").as("label"),
         (col("_bestScore") + lit(0.0)).as("score"))
   }
+
+  /** χ² feature selection over the labeled corpus: for each (term,
+    * class) build the document-presence contingency table (a = docs of
+    * the class containing the term, b = other docs containing it, c =
+    * class docs without it, d = the rest) and score
+    * χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) — the classic filter
+    * that picks the class-discriminative vocabulary BEFORE training the
+    * NB/fastText-style classifier above. Everything upstream of the
+    * score is exact integer counting (one distinct-presence pass over
+    * the token stream, partial-aggregated; the grid is the bounded
+    * vocab × labels frame, never corpus-scale). ad−bc is computed in
+    * DECIMAL(38,0) (a,d are doc counts — products overflow longs at
+    * 100 TB class sizes) and only the final χ² touches doubles, each
+    * factor cast from its exact integer separately in a pinned
+    * left-associated sequence, so any engine with 128-bit integers
+    * replays every double bit-for-bit (`q_chi2_terms` via HUGEINT).
+    * Degenerate terms (present in every document) get null χ² and are
+    * dropped from the ranking, not a divide-by-zero.
+    *
+    * Output: (label, term, a, b, c, d, chi2, rank) — the topK terms
+    * per class by (χ² desc, term asc). */
+  def chi2Terms(ref: DataFrame, textCol: String, idCol: String, labelCol: String,
+                vocabSize: Int = 1000, topK: Int = 20): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val nullLabels = ref.filter(col(labelCol).isNull).limit(1).count()
+    require(nullLabels == 0L, s"chi2Terms: null values in label column '$labelCol'")
+    val vocab = TextFunctions.vocabulary(ref, textCol, vocabSize)
+      .select(col("token").as("term"))
+    val docs = ref.select(col(idCol).as("_nbid"), col(labelCol).cast("string").as("label"))
+    val nc = docs.groupBy("label").agg(count(lit(1)).as("nc")) // |labels| rows
+    val n = docs.count()
+    require(n > 0L, "chi2Terms: empty input")
+    // doc-presence of vocab terms, with the class attached
+    val presence = tokenStream(ref, textCol, col(idCol))
+      .join(broadcast(vocab.withColumnRenamed("term", "_w")), Seq("_w"))
+      .distinct()
+      .join(docs, Seq("_nbid"))
+    val a = presence.groupBy(col("_w").as("term"), col("label"))
+      .agg(count(lit(1)).as("a"))
+    val termDocs = a.groupBy("term").agg(sum("a").as("td")) // ≤ vocabSize rows
+    // full vocab × labels grid so zero-presence cells score too
+    val dec = "decimal(38,0)"
+    val grid = broadcast(vocab).crossJoin(broadcast(nc))
+      .join(a, Seq("term", "label"), "left")
+      .join(broadcast(termDocs), Seq("term"), "left")
+      .withColumn("a", coalesce(col("a"), lit(0L)))
+      .withColumn("td", coalesce(col("td"), lit(0L)))
+      .withColumn("b", col("td") - col("a"))
+      .withColumn("c", col("nc") - col("a"))
+      .withColumn("d", lit(n) - col("nc") - col("b"))
+      .withColumn("_diff",
+        col("a").cast(dec) * col("d") - col("b").cast(dec) * col("c"))
+      .withColumn("chi2",
+        when(col("td") =!= 0 && col("td") =!= n,
+          (lit(n).cast("double") * col("_diff").cast("double") * col("_diff").cast("double")) /
+            (col("td").cast("double") * (lit(n) - col("td")).cast("double") *
+              col("nc").cast("double") * (lit(n) - col("nc")).cast("double"))))
+    // the grid is vocab × labels — bounded, so the rank window is safe
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("chi2").desc, col("term").asc)
+    grid.filter(col("chi2").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("label"), col("term"), col("a"), col("b"), col("c"), col("d"),
+        col("chi2"), col("rank"))
+  }
 }

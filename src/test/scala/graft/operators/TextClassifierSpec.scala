@@ -81,4 +81,34 @@ class TextClassifierSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     assert(run(1) == run(13))
   }
+
+  test("chi2Terms: hand-computed contingency; ubiquitous terms dropped; topK ranks") {
+    // 4 docs, 2 classes; "hot" only in class x docs, "all" everywhere,
+    // "rare" in one y doc; repeated tokens collapse to doc-presence
+    val d = df(schema, Seq(
+      Row(1L, "hot hot all", "x"), Row(2L, "hot all", "x"),
+      Row(3L, "all rare", "y"), Row(4L, "all", "y")))
+    val out = TextClassifier.chi2Terms(d, "text", "doc_id", "cls",
+      vocabSize = 10, topK = 5).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // hot/x: a=2 b=0 c=0 d=2 → χ² = 4·(2·2−0)²/(2·2·2·2) = 4 exactly
+    val hx = out(("x", "hot"))
+    assert((hx.getLong(2), hx.getLong(3), hx.getLong(4), hx.getLong(5)) == ((2L, 0L, 0L, 2L)))
+    assert(hx.getDouble(6) == 4.0 && hx.getInt(7) == 1)
+    // symmetric for the y side: absence is as discriminative as presence
+    assert(out(("y", "hot")).getDouble(6) == 4.0)
+    // rare/y: a=1 b=0 c=1 d=2 → χ² = 4·(1·2−0)²/(1·3·2·2) = 16/12
+    assert(math.abs(out(("y", "rare")).getDouble(6) - 16.0 / 12.0) < 1e-12)
+    // "all" is in every doc (td = n) → null χ², dropped from the ranking
+    assert(!out.contains(("x", "all")) && !out.contains(("y", "all")))
+    // ranks are dense 1..k per label, ordered by χ² desc then term asc
+    val xRanks = out.collect { case ((l, _), r) if l == "x" => (r.getInt(7), r.getString(1)) }
+      .toSeq.sorted
+    assert(xRanks.map(_._1) == (1 to xRanks.size))
+    intercept[IllegalArgumentException](
+      TextClassifier.chi2Terms(d, "text", "doc_id", "cls", vocabSize = 0))
+    intercept[IllegalArgumentException](
+      TextClassifier.chi2Terms(
+        df(schema, Seq(Row(1L, "a", null))), "text", "doc_id", "cls"))
+  }
 }
