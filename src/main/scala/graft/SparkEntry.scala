@@ -1786,6 +1786,17 @@ object SparkEntry {
           "user_id", "event_id", "value", alpha = 0.5, gamma = 0.25)
         .orderBy(col("event_id"))),
 
+    "q_interval_merge" -> ((s, dir) => {
+      // gaps-and-islands: per-user activity spans (ts .. ts + 600·⌊value⌋
+      // seconds, integer epoch arithmetic) merged where they overlap or
+      // touch — both windows sharded by the entity, exact long compares
+      val iv = T(s, dir, "events").select(col("user_id"),
+        unix_timestamp(col("ts")).as("start_s"),
+        (unix_timestamp(col("ts")) + floor(col("value")).cast("long") * 600).as("end_s"))
+      operators.TimeSeries.coalesceIntervals(iv, "user_id", "start_s", "end_s")
+        .orderBy(col("user_id"), col("island"))
+    }),
+
     "q_split_leakage" -> ((s, dir) => {
       // train/test leakage via NEAR-dups: assignSplits (row-local hash
       // membership) -> blocked jaccard pairs -> cross-split filter; the
@@ -4477,6 +4488,32 @@ object SparkEntry {
         |       f.lvl + f.trd AS forecast
         |FROM f JOIN e ON e.event_id = f.event_id
         |ORDER BY f.event_id""".stripMargin,
+
+    // The same two-window island computation: running max of end over
+    // preceding rows marks breaks, running sum numbers islands — all
+    // integer epoch arithmetic, exact.
+    "q_interval_merge" ->
+      """WITH iv AS MATERIALIZED (
+        |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS start_s,
+        |         CAST(FLOOR(epoch(ts)) AS BIGINT)
+        |           + CAST(FLOOR(value) AS BIGINT) * 600 AS end_s
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, start_s, end_s,
+        |         CASE WHEN max(end_s) OVER w IS NULL OR start_s > max(end_s) OVER w
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM iv
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY start_s, end_s
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |i AS (
+        |  SELECT user_id, start_s, end_s,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY start_s, end_s
+        |                        ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM b)
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |       MIN(start_s) AS start, MAX(end_s) AS "end",
+        |       COUNT(1) AS n_merged
+        |FROM i GROUP BY 1, 2 ORDER BY user_id, island""".stripMargin,
 
     // The q_ngram_jaccard replay (same blocking, same cap) + the
     // q_split Knuth-hash membership + the cross-split filter.

@@ -188,4 +188,43 @@ object TimeSeries {
       emit = s => Seq(s))
     folded.withColumn("alarm", (col("cusum_fp") > lit(hFp)).cast("int"))
   }
+
+  /** Merge overlapping-or-touching [start, end] spans per entity —
+    * gaps-and-islands: session spans from heartbeats, outage windows
+    * from alerts, retention holds from audit intervals. The classic
+    * two-window shape, both windows partitioned BY THE ENTITY (never an
+    * unsharded stream): running max of `end` over preceding rows marks
+    * island breaks (`start > prevMax`, so touching spans merge), a
+    * running sum of breaks numbers the islands, and one groupBy
+    * collapses each island to (start, end, n_merged). All comparisons
+    * are on the raw column values — exact in any engine; ties on
+    * (start, end) are value-deterministic (the break flag depends only
+    * on values, not order within ties). Rows with `end < start` fail
+    * loudly — a silently dropped invalid span hides a producer bug.
+    *
+    * Output: (entity, island, start, end, n_merged), one row per
+    * merged span. */
+  def coalesceIntervals(df: DataFrame, entityCol: String, startCol: String,
+                        endCol: String): DataFrame = {
+    val pre = Window.partitionBy(col(entityCol))
+      .orderBy(col(startCol).asc, col(endCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy(col(entityCol))
+      .orderBy(col(startCol).asc, col(endCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the assert lives INSIDE the break expression (a dead check column
+    // would be pruned by the optimizer and never fire)
+    val ok = assert_true(
+      col(startCol).isNotNull && col(endCol).isNotNull && col(endCol) >= col(startCol),
+      concat(lit("coalesceIntervals: null or inverted span for entity "),
+        col(entityCol).cast("string")))
+    df.withColumn("_prevMax", max(col(endCol)).over(pre))
+      .withColumn("_break",
+        when(col("_prevMax").isNull || col(startCol) > col("_prevMax"), 1L).otherwise(0L) +
+          coalesce(ok.cast("long"), lit(0L)))
+      .withColumn("island", sum(col("_break")).over(run))
+      .groupBy(col(entityCol), col("island"))
+      .agg(min(col(startCol)).as("start"), max(col(endCol)).as("end"),
+        count(lit(1)).as("n_merged"))
+  }
 }

@@ -103,6 +103,37 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.holt(df(seqSchema, rows), "uid", "ord", "v", 0.5, 1.5))
   }
 
+  private val ivSchema = StructType(Seq(
+    StructField("uid", LongType), StructField("s", LongType),
+    StructField("e", LongType)))
+
+  test("coalesceIntervals: overlap and touch merge, gaps split, per-entity isolation") {
+    val rows = Seq(
+      Row(1L, 0L, 10L), Row(1L, 5L, 20L),   // overlap -> one island
+      Row(1L, 20L, 30L),                     // touching -> still merged
+      Row(1L, 40L, 50L),                     // gap -> new island
+      Row(1L, 42L, 44L),                     // contained -> absorbed
+      Row(2L, 0L, 5L))                       // other entity untouched
+    val out = TimeSeries.coalesceIntervals(df(ivSchema, rows), "uid", "s", "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out((1L, 1L)) == ((0L, 30L, 3L)))
+    assert(out((1L, 2L)) == ((40L, 50L, 2L)))
+    assert(out((2L, 1L)) == ((0L, 5L, 1L)))
+    assert(out.size == 3)
+    // result is input-partitioning-invariant
+    val shuffled = TimeSeries.coalesceIntervals(
+      df(ivSchema, scala.util.Random.shuffle(rows)).repartition(5), "uid", "s", "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(shuffled == out)
+    // inverted span fails loudly, never silently drops
+    val bad = df(ivSchema, Seq(Row(1L, 10L, 5L)))
+    val ex = intercept[Exception](
+      TimeSeries.coalesceIntervals(bad, "uid", "s", "e").collect())
+    assert(ex.getMessage != null)
+  }
+
   test("cusum: fixed-point drift statistic, clamp at zero, alarms past threshold") {
     // target 10, slack 0: values at target keep s = 0; a +5 drift
     // accumulates 5e6/step and alarms once past h = 12
