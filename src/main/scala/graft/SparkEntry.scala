@@ -1786,6 +1786,13 @@ object SparkEntry {
           "user_id", "event_id", "value", alpha = 0.5, gamma = 0.25)
         .orderBy(col("event_id"))),
 
+    "q_ohlc" -> ((s, dir) =>
+      // daily candles per user: one mergeable-aggregate groupBy — the
+      // metric-downsampling shape; exact integer buckets, fixed-point sum
+      operators.TimeSeries.downsample(T(s, dir, "events"),
+          "user_id", "ts", "value", "event_id", bucketSeconds = 86400L)
+        .orderBy(col("user_id"), col("bucket"))),
+
     "q_interval_merge" -> ((s, dir) => {
       // gaps-and-islands: per-user activity spans (ts .. ts + 600·⌊value⌋
       // seconds, integer epoch arithmetic) merged where they overlap or
@@ -4488,6 +4495,21 @@ object SparkEntry {
         |       f.lvl + f.trd AS forecast
         |FROM f JOIN e ON e.event_id = f.event_id
         |ORDER BY f.event_id""".stripMargin,
+
+    // arg_min/arg_max key on epoch micros — (user, ts) is unique in this
+    // data so the composite (ts, id) tie-break never fires (tie
+    // determinism is spec-pinned instead); everything else is mergeable
+    // min/max/count plus the exact fixed-point sum.
+    "q_ohlc" ->
+      """SELECT user_id,
+        |       CAST(FLOOR(epoch(ts)) AS BIGINT)
+        |         - CAST(FLOOR(epoch(ts)) AS BIGINT) % 86400 AS bucket,
+        |       arg_min(value, epoch_us(ts)) AS open,
+        |       MAX(value) AS high, MIN(value) AS low,
+        |       arg_max(value, epoch_us(ts)) AS close,
+        |       COUNT(1) AS n_events,
+        |       SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, bucket""".stripMargin,
 
     // The same two-window island computation: running max of end over
     // preceding rows marks breaks, running sum numbers islands — all

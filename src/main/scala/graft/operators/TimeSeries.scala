@@ -189,6 +189,34 @@ object TimeSeries {
     folded.withColumn("alarm", (col("cusum_fp") > lit(hFp)).cast("int"))
   }
 
+  /** OHLC downsampling: collapse an event stream to one candle per
+    * (entity, fixed bucket) — open/high/low/close/count plus an EXACT
+    * fixed-point value sum. ONE partial-aggregated groupBy is the whole
+    * operator (min_by/max_by and min/max/count are all mergeable
+    * aggregates — map-side partials collapse each task before the
+    * single exchange; never a window). Buckets are integer epoch
+    * arithmetic (`unix_seconds div width × width`); open/close order by
+    * (ts, id) so exact-timestamp ties resolve deterministically; the
+    * value sum quantizes to 1e-2 longs (order-independent — a double
+    * sum would be partitioning-dependent). Output: (entity, bucket,
+    * open, high, low, close, n_events, sum_cents). */
+  def downsample(df: DataFrame, entityCol: String, tsCol: String, valueCol: String,
+                 idCol: String, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0L, s"bucketSeconds must be positive, got $bucketSeconds")
+    val sec = unix_timestamp(col(tsCol))
+    val key = struct(col(tsCol), col(idCol))
+    df.groupBy(col(entityCol),
+        // sec − (sec mod width): pure integer ops, exact in any engine
+        (sec - pmod(sec, lit(bucketSeconds))).as("bucket"))
+      .agg(
+        min_by(col(valueCol), key).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), key).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(floor(col(valueCol) * lit(100.0)).cast("long")).as("sum_cents"))
+  }
+
   /** Merge overlapping-or-touching [start, end] spans per entity —
     * gaps-and-islands: session spans from heartbeats, outage windows
     * from alerts, retention holds from audit intervals. The classic

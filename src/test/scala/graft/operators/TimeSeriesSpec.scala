@@ -103,6 +103,38 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.holt(df(seqSchema, rows), "uid", "ord", "v", 0.5, 1.5))
   }
 
+  private val ohlcSchema = StructType(Seq(
+    StructField("uid", LongType), StructField("ts", TimestampType),
+    StructField("v", DoubleType), StructField("id", LongType)))
+
+  test("downsample: OHLC candles with deterministic tie-break and exact sum") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      Row(1L, t("2024-01-01 00:00:05"), 3.0, 10L),
+      Row(1L, t("2024-01-01 00:00:05"), 9.0, 11L), // same ts: id breaks tie
+      Row(1L, t("2024-01-01 00:09:59"), 1.0, 12L),
+      Row(1L, t("2024-01-01 00:10:00"), 7.0, 13L), // next 600s bucket
+      Row(2L, t("2024-01-01 00:00:01"), 5.5, 14L))
+    val out = TimeSeries.downsample(df(ohlcSchema, rows), "uid", "ts", "v", "id", 600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6), r.getLong(7))).toMap
+    // bucket 0 of uid 1: open = id-10 row (3.0), close = latest ts (1.0)
+    val b0 = out((1L, 1704067200L))
+    assert(b0 == ((3.0, 9.0, 1.0, 1.0, 3L, 1300L)), s"got $b0")
+    assert(out((1L, 1704067800L)) == ((7.0, 7.0, 7.0, 7.0, 1L, 700L)))
+    assert(out((2L, 1704067200L)) == ((5.5, 5.5, 5.5, 5.5, 1L, 550L)))
+    // partitioning-invariant (mergeable aggregates + exact sum)
+    val shuffled = TimeSeries.downsample(
+      df(ohlcSchema, scala.util.Random.shuffle(rows)).repartition(5),
+      "uid", "ts", "v", "id", 600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(shuffled.view.mapValues(identity).toMap ==
+      out.view.mapValues(_._1).toMap)
+    intercept[IllegalArgumentException](
+      TimeSeries.downsample(df(ohlcSchema, rows), "uid", "ts", "v", "id", 0L))
+  }
+
   private val ivSchema = StructType(Seq(
     StructField("uid", LongType), StructField("s", LongType),
     StructField("e", LongType)))
