@@ -144,6 +144,50 @@ object IncrementalStream {
       }
   }
 
+  /** One scored point of a streaming CUSUM fold. */
+  case class DriftPoint(key: Long, order_id: Long, value: Double,
+                        cusum_fp: Long, alarm: Boolean)
+
+  /** Always-on drift detection: the batch [[graft.operators.TimeSeries.cusum]]
+    * fold lifted into `flatMapGroupsWithState` — per-key one-sided CUSUM
+    * state (a single 8-byte fixed-point long) carried across
+    * micro-batches, every arriving point emitted with its statistic and
+    * alarm flag. The fold is the IDENTICAL 1e-6 fixed-point integer
+    * arithmetic as the batch operator (CUSUM's init is `step(0)`, so an
+    * empty state and a fresh series coincide) — DriftAlarmSpec pins
+    * stream-equals-batch on the same data split across micro-batches.
+    *
+    * Ordering contract: rows are folded in `orderCol` order WITHIN each
+    * micro-batch, and batches are folded in arrival order — the file
+    * source's mtime ordering. A key's state is one long, so state is
+    * bounded by key cardinality (no watermark eviction needed; evicting
+    * would silently restart the statistic mid-series). */
+  def driftAlarmStream(src: DataFrame, keyCol: String, orderCol: String,
+                       valueCol: String, target: Double, slack: Double,
+                       threshold: Double): org.apache.spark.sql.Dataset[DriftPoint] = {
+    require(slack >= 0.0 && threshold > 0.0,
+      s"slack must be >= 0 and threshold positive, got k=$slack h=$threshold")
+    val spark = src.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val muK = math.floor(target * 1e6).toLong + math.floor(slack * 1e6).toLong
+    val hFp = math.floor(threshold * 1e6).toLong
+    src.select(col(keyCol).cast("long"), col(orderCol).cast("long"),
+        col(valueCol).cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, DriftPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) { (key, rows, state) =>
+        var s = state.getOption.getOrElse(0L)
+        val out = rows.toArray.sortBy(_._2).map { case (_, oid, v) =>
+          s = math.max(0L, s + math.floor(v * 1e6).toLong - muK)
+          DriftPoint(key, oid, v, s, s > hFp)
+        }
+        state.update(s)
+        out.iterator
+      }
+  }
+
   /** Streaming exact dedup for continuous ingest: drop any document
     * whose normalized-content fingerprint was already seen within the
     * watermark horizon — the always-on form of `Dedup.exact`. State is

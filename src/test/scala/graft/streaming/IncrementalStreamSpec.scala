@@ -387,4 +387,35 @@ class IncrementalStreamSpec extends SparkSpec {
     run()
     assert(snapshot().toSeq == got.toSeq, "replayed batches created duplicate versions")
   }
+
+  test("driftAlarmStream equals the batch CUSUM fold across micro-batches") {
+    val seqSchema = StructType(Seq(
+      StructField("uid", LongType), StructField("ord", LongType),
+      StructField("v", DoubleType)))
+    // uid 1 drifts (15 vs target 10 → +5e6/step, alarms past h=12);
+    // uid 2 stays on target (s pinned at 0)
+    val fileA = Seq(Row(1L, 1L, 10.0), Row(1L, 2L, 15.0), Row(1L, 3L, 15.0),
+      Row(2L, 1L, 10.0))
+    val fileB = Seq(Row(1L, 4L, 15.0), Row(1L, 5L, 2.0), Row(2L, 2L, 10.0))
+    val srcDir = tmpDir("graft_drift_src_")
+    df(seqSchema, fileA).coalesce(1).write.mode("append").parquet(srcDir)
+    Thread.sleep(1500) // distinct mtimes → deterministic file order
+    df(seqSchema, fileB).coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = IncrementalStream.readStream(spark, srcDir, seqSchema,
+      maxFilesPerTrigger = 1) // forces one micro-batch PER FILE
+    val scored = IncrementalStream.driftAlarmStream(stream, "uid", "ord", "v",
+      target = 10.0, slack = 0.0, threshold = 12.0)
+    IncrementalStream.runToMemory(scored.toDF(), "drift_test")
+    val got = spark.sql("SELECT * FROM drift_test ORDER BY key, order_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getBoolean(4))).toMap
+    // the batch fold over the SAME full series is the ground truth
+    val batch = graft.operators.TimeSeries.cusum(
+      df(seqSchema, fileA ++ fileB), "uid", "ord", "v", 10.0, 0.0, 12.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getInt(4) == 1)).toMap
+    assert(got == batch, s"stream $got\nbatch $batch")
+    // and the drift actually alarmed (guards against vacuous parity)
+    assert(got((1L, 4L))._2 && !got((1L, 5L))._2)
+  }
 }
