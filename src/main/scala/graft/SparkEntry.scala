@@ -1786,6 +1786,14 @@ object SparkEntry {
           "user_id", "event_id", "value", alpha = 0.5, gamma = 0.25)
         .orderBy(col("event_id"))),
 
+    "q_neg_sample" -> ((s, dir) =>
+      // contrastive negatives: k seeded uniform draws per anchor over
+      // the other N−1 docs — collision-free by construction, zero
+      // shuffles (a projection + posexplode); the LCG replays in SQL
+      operators.Curation.negativeSample(T(s, dir, "documents"), "doc_id",
+          k = 4, seed = 777L)
+        .orderBy(col("anchor"), col("j"))),
+
     "q_ohlc" -> ((s, dir) =>
       // daily candles per user: one mergeable-aggregate groupBy — the
       // metric-downsampling shape; exact integer buckets, fixed-point sum
@@ -4495,6 +4503,19 @@ object SparkEntry {
         |       f.lvl + f.trd AS forecast
         |FROM f JOIN e ON e.event_id = f.event_id
         |ORDER BY f.event_id""".stripMargin,
+
+    // Exact BIGINT modular replay of the LCG draw; ids are >= 0 so
+    // DuckDB's sign-of-dividend % equals Spark's pmod everywhere here.
+    "q_neg_sample" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |j AS (SELECT unnest(range(0, 4)) AS j),
+        |d AS (SELECT doc_id AS anchor FROM documents)
+        |SELECT anchor, CAST(j AS INTEGER) AS j,
+        |       (anchor + 1 +
+        |        (((anchor % 2147483648) * 1103515245 + 777 + j * 12345)
+        |          % 2147483648) % (n - 1)) % n AS neg_id
+        |FROM d CROSS JOIN j CROSS JOIN n
+        |ORDER BY anchor, j""".stripMargin,
 
     // arg_min/arg_max key on epoch micros — (user, ts) is unique in this
     // data so the composite (ts, id) tie-break never fires (tie

@@ -1100,4 +1100,41 @@ object Curation {
           .when(col("_fpo") === col("_fpn"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /** Seeded in-batch negative sampling for contrastive training
+    * (embedding models train on (anchor, positive, k·negatives); the
+    * negatives are uniform draws over the corpus excluding the anchor).
+    * Requires DENSE ids 0..N−1 (asserted from one bounded agg — the
+    * standard contract after a pack/shard stage assigns row numbers):
+    * then `neg = (anchor + 1 + draw mod (N−1)) mod N` is uniform over
+    * the other N−1 documents and can NEVER collide with the anchor —
+    * no rejection loop, no join, no shuffle; the whole operator is a
+    * codegen'd projection + a k-wide posexplode, embarrassingly
+    * parallel at any corpus size.
+    *
+    * The draw is the [[Dsir.resampleGumbel]] LCG contract: exact BIGINT
+    * modular arithmetic on (id, j, seed) with Spark's sign-free `pmod`,
+    * replayable in any engine (`q_neg_sample`; mirror `%` as
+    * `((x%m)+m)%m` where it follows the dividend's sign). Seed ≥ 0 for
+    * the same reason. Output: (anchor = id, j in 0..k−1, neg_id). */
+  def negativeSample(docs: DataFrame, idCol: String, k: Int,
+                     seed: Long = 12345L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(seed >= 0L, s"seed must be >= 0, got $seed")
+    val b = docs.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long"),
+      count(lit(1))).head()
+    val (lo, hi, n) = (b.getLong(0), b.getLong(1), b.getLong(2))
+    require(n >= 2L, s"negativeSample: need at least 2 documents, got $n")
+    require(lo == 0L && hi == n - 1L,
+      s"negativeSample: ids must be dense 0..N-1 (got min=$lo max=$hi n=$n) — " +
+        "assign row numbers in a shard/pack stage first")
+    val m = 2147483648L // 2^31: (m-1)·1103515245 stays inside Long exactly
+    val anchor = col("anchor")
+    val j = col("j").cast("long")
+    val mix = pmod(pmod(anchor, lit(m)) * lit(1103515245L) + lit(seed) + j * lit(12345L), lit(m))
+    docs.select(col(idCol).cast("long").as("anchor"),
+        posexplode(array_repeat(lit(1), k)).as(Seq("j", "_one")))
+      .select(anchor, col("j"),
+        pmod(anchor + lit(1L) + pmod(mix, lit(n - 1L)), lit(n)).as("neg_id"))
+  }
 }

@@ -705,4 +705,31 @@ class CurationSpec extends SparkSpec {
     assert(out(("A", "B")) == (2L, 1L, 1L, 50000000L))  // |A∩B|/|A| = 1/2
     assert(out(("B", "A")) == (1L, 2L, 1L, 100000000L)) // B fully contained
   }
+
+  test("negativeSample: k collision-free uniform draws per anchor; dense-id contract") {
+    val idSchema = StructType(Seq(StructField("doc_id", LongType)))
+    val d = df(idSchema, (0L until 10L).map(Row(_)))
+    val out = Curation.negativeSample(d, "doc_id", k = 3, seed = 42L).collect()
+    assert(out.length == 30)
+    // never the anchor itself, always in [0, N)
+    assert(out.forall(r => r.getLong(2) != r.getLong(0)))
+    assert(out.forall(r => r.getLong(2) >= 0L && r.getLong(2) < 10L))
+    // deterministic: same seed same draws; different seed diverges somewhere
+    val again = Curation.negativeSample(d, "doc_id", k = 3, seed = 42L).collect()
+    assert(out.map(_.toSeq).toSeq.sortBy(_.toString) ==
+      again.map(_.toSeq).toSeq.sortBy(_.toString))
+    val other = Curation.negativeSample(d, "doc_id", k = 3, seed = 43L).collect()
+    assert(out.map(_.toSeq).toSet != other.map(_.toSeq).toSet)
+    // draws spread over the corpus (not all identical offsets)
+    assert(out.map(_.getLong(2)).distinct.length > 3)
+    // non-dense ids fail loudly
+    val sparse = df(idSchema, Seq(Row(0L), Row(5L)))
+    val ex = intercept[IllegalArgumentException](
+      Curation.negativeSample(sparse, "doc_id", k = 1))
+    assert(ex.getMessage.contains("dense"))
+    intercept[IllegalArgumentException](
+      Curation.negativeSample(d, "doc_id", k = 0))
+    intercept[IllegalArgumentException](
+      Curation.negativeSample(df(idSchema, Seq(Row(0L))), "doc_id", k = 1))
+  }
 }
