@@ -1786,6 +1786,14 @@ object SparkEntry {
           "user_id", "event_id", "value", alpha = 0.5, gamma = 0.25)
         .orderBy(col("event_id"))),
 
+    "q_benford" -> ((s, dir) =>
+      // leading-digit audit per returnflag: exact integer digit
+      // extraction (cents → string, no log10), literal Benford table,
+      // DECIMAL-exact deviations — the fabricated-numbers smoke test
+      operators.Profile.benford(T(s, dir, "lineitem"),
+          Seq("l_returnflag"), "l_extendedprice")
+        .orderBy(col("l_returnflag"), col("digit"))),
+
     "q_neg_sample" -> ((s, dir) =>
       // contrastive negatives: k seeded uniform draws per anchor over
       // the other N−1 docs — collision-free by construction, zero
@@ -4503,6 +4511,30 @@ object SparkEntry {
         |       f.lvl + f.trd AS forecast
         |FROM f JOIN e ON e.event_id = f.event_id
         |ORDER BY f.event_id""".stripMargin,
+
+    // Same exact integer digit path (cents → VARCHAR first char), same
+    // literal Benford fixed-point table — no transcendental anywhere.
+    "q_benford" ->
+      """WITH p AS (SELECT * FROM (VALUES
+        |  (1, CAST(30102999 AS BIGINT)), (2, 17609125), (3, 12493873),
+        |  (4, 9691001), (5, 7918124), (6, 6694678), (7, 5799194),
+        |  (8, 5115252), (9, 4575749)) AS t(digit, p_fp)),
+        |d AS (SELECT l_returnflag,
+        |             CAST(substr(CAST(ABS(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+        |                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |      FROM lineitem
+        |      WHERE l_extendedprice IS NOT NULL
+        |        AND ABS(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) > 0),
+        |o AS (SELECT l_returnflag, digit, COUNT(1) AS n_obs FROM d GROUP BY 1, 2),
+        |t AS (SELECT l_returnflag, SUM(n_obs) AS n_total FROM o GROUP BY 1)
+        |SELECT t.l_returnflag, p.digit, COALESCE(o.n_obs, 0) AS n_obs,
+        |       CAST(t.n_total AS BIGINT) AS n_total,
+        |       CAST(CAST(t.n_total AS HUGEINT) * p.p_fp AS BIGINT) AS expected_fp,
+        |       CAST(CAST(COALESCE(o.n_obs, 0) AS HUGEINT) * 100000000
+        |            - CAST(t.n_total AS HUGEINT) * p.p_fp AS BIGINT) AS dev_x1e8
+        |FROM t CROSS JOIN p
+        |LEFT JOIN o ON o.l_returnflag = t.l_returnflag AND o.digit = p.digit
+        |ORDER BY t.l_returnflag, p.digit""".stripMargin,
 
     // Exact BIGINT modular replay of the LCG draw; ids are >= 0 so
     // DuckDB's sign-of-dividend % equals Spark's pmod everywhere here.

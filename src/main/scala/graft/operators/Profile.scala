@@ -158,4 +158,49 @@ object Profile {
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_val"), col("max_val"))
   }
+
+  /** Benford leading-digit audit — the classic fabricated-numbers
+    * smoke test over any monetary/measure column, one partial-aggregated
+    * pass per group. The digit extraction is EXACT integer work (no
+    * log10, whose last-ulp differs across libm implementations):
+    * quantize to |⌊v·100⌋| cents, print the long (integer→string is
+    * identical in every engine), take the first character. Expected
+    * Benford mass is a LITERAL fixed-point table (⌊log₁₀(1+1/d)·10⁸⌋
+    * precomputed here, so no engine evaluates a transcendental), and
+    * the deviation is exact DECIMAL arithmetic: dev_x1e8 =
+    * n_d·10⁸ − n_total·p_fp. Zero-valued rows carry no leading digit
+    * and are excluded (their count is the n_total complement callers
+    * can audit separately); digits with zero observations still emit a
+    * row (their deficit IS the signal). Output: (group…, digit, n_obs,
+    * n_total, expected_fp, dev_x1e8). */
+  def benford(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "benford: need at least one group column")
+    // ⌊log10(1 + 1/d)·1e8⌋ for d = 1..9 — literals, not runtime math
+    val pFp = Array(30102999L, 17609125L, 12493873L, 9691001L, 7918124L,
+      6694678L, 5799194L, 5115252L, 4575749L)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pTable = broadcast(pFp.indices.map(i => (i + 1, pFp(i))).toDF("digit", "p_fp"))
+    val gs = groupCols.map(col)
+    val cents = abs(floor(col(valueCol) * lit(100.0)).cast("long"))
+    val digits = df
+      .filter(col(valueCol).isNotNull)
+      .withColumn("_cents", cents)
+      .filter(col("_cents") > 0L)
+      .withColumn("digit", substring(col("_cents").cast("string"), 1, 1).cast("int"))
+      .groupBy(gs :+ col("digit"): _*)
+      .agg(count(lit(1)).as("n_obs"))
+    val totals = digits.groupBy(gs: _*).agg(sum(col("n_obs")).as("n_total"))
+    // group × 9 grid so zero-observation digits surface
+    totals.crossJoin(pTable)
+      .join(digits, groupCols :+ "digit", "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("expected_fp",
+        (col("n_total").cast("decimal(38,0)") * col("p_fp")).cast("long"))
+      .withColumn("dev_x1e8",
+        (col("n_obs").cast("decimal(38,0)") * lit(100000000L) -
+          col("n_total").cast("decimal(38,0)") * col("p_fp")).cast("long"))
+      .select((gs :+ col("digit") :+ col("n_obs") :+ col("n_total") :+
+        col("expected_fp") :+ col("dev_x1e8")): _*)
+  }
 }

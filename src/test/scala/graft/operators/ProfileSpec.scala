@@ -129,4 +129,30 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException](Profile.profileColumns(data, Seq.empty))
     intercept[IllegalArgumentException](Profile.profileColumns(data, Seq("nope")))
   }
+
+  test("benford: exact digit extraction, zero/null exclusion, full digit grid") {
+    val sch = StructType(Seq(
+      StructField("g", StringType), StructField("v", DoubleType)))
+    val rows = Seq(
+      Row("a", 1.0),    // cents 100   -> digit 1
+      Row("a", 19.99),  // cents 1999  -> digit 1
+      Row("a", 95.0),   // cents 9500  -> digit 9
+      Row("a", -2.5),   // cents -250 -> |.| -> digit 2
+      Row("a", 0.004),  // floor(0.4) = 0 cents -> excluded
+      Row("a", null))   // excluded
+    val out = Profile.benford(df(sch, rows), Seq("g"), "v")
+      .collect().map(r => r.getInt(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.size == 9, "all nine digits must emit a row")
+    // n_total = 4 qualifying rows everywhere
+    assert(out.values.forall(_._2 == 4L))
+    assert(out(1)._1 == 2L && out(2)._1 == 1L && out(9)._1 == 1L)
+    assert(out(5)._1 == 0L, "zero-observation digit still emits")
+    // exact expected/dev: digit 1 expects 4·30102999, observed 2·1e8
+    assert(out(1)._3 == 4L * 30102999L)
+    assert(out(1)._4 == 2L * 100000000L - 4L * 30102999L)
+    // the deficit signal on the unobserved digit
+    assert(out(5)._4 == -4L * 7918124L)
+    intercept[IllegalArgumentException](Profile.benford(df(sch, rows), Seq.empty, "v"))
+  }
 }
