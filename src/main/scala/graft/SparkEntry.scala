@@ -1786,6 +1786,14 @@ object SparkEntry {
           "user_id", "event_id", "value", alpha = 0.5, gamma = 0.25)
         .orderBy(col("event_id"))),
 
+    "q_quantile_norm" -> ((s, dir) =>
+      // cross-source score calibration: per-source cume rank → pooled
+      // quantile grid — selected values and integer arithmetic only;
+      // the single ordered pass is over the NDV-bounded distinct table
+      operators.Profile.quantileNormalize(T(s, dir, "documents"),
+          "source", "n_chars", "doc_id", gridSize = 50)
+        .orderBy(col("doc_id"))),
+
     "q_benford" -> ((s, dir) =>
       // leading-digit audit per returnflag: exact integer digit
       // extraction (cents → string, no log10), literal Benford table,
@@ -4511,6 +4519,29 @@ object SparkEntry {
         |       f.lvl + f.trd AS forecast
         |FROM f JOIN e ON e.event_id = f.event_id
         |ORDER BY f.event_id""".stripMargin,
+
+    // Same selected-value pipeline: distinct-value cumulative counts →
+    // ⌈i·N/Q⌉ grid targets, per-source (value, id)-ordered ranks,
+    // integer ceil-div grid index — every number an exact selection.
+    "q_quantile_norm" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT doc_id, source, n_chars FROM documents WHERE n_chars IS NOT NULL),
+        |n AS (SELECT COUNT(1) AS n FROM v),
+        |cnt AS (SELECT n_chars AS val, COUNT(1) AS c FROM v GROUP BY 1),
+        |cum AS (SELECT val, SUM(c) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS cum
+        |        FROM cnt),
+        |tgt AS (SELECT CAST(i AS INTEGER) AS grid_idx, (i * n.n + 49) // 50 AS r
+        |        FROM range(1, 51) t(i) CROSS JOIN n),
+        |grid AS (SELECT grid_idx, MIN(val) AS norm_value
+        |         FROM tgt JOIN cum ON cum.cum >= tgt.r GROUP BY 1),
+        |rk AS (SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |         COUNT(1) OVER (PARTITION BY source) AS ns FROM v),
+        |m AS (SELECT doc_id, source, n_chars,
+        |        CAST((rn * 50 + ns - 1) // ns AS INTEGER) AS grid_idx FROM rk)
+        |SELECT m.doc_id, m.source, m.n_chars, m.grid_idx, g.norm_value
+        |FROM m JOIN grid g USING (grid_idx)
+        |ORDER BY m.doc_id""".stripMargin,
 
     // Same exact integer digit path (cents → VARCHAR first char), same
     // literal Benford fixed-point table — no transcendental anywhere.

@@ -159,6 +159,63 @@ object Profile {
         col("n_distinct"), col("min_val"), col("max_val"))
   }
 
+  /** Quantile normalization across sources — score calibration for
+    * mixed corpora: each source's `valueCol` distribution maps onto the
+    * POOLED distribution, so "top 10% within its source" means the same
+    * number everywhere (the cross-scorer comparability a mixing stage
+    * needs). Every step is integer arithmetic over SELECTED values —
+    * never interpolation — so any engine replays it bit-for-bit
+    * (`q_quantile_norm`):
+    *
+    *  1. global grid: the value at global rank ⌈i·N/Q⌉ for i = 1..Q,
+    *     selected from the cumulative counts of DISTINCT values — the
+    *     only ordered pass is a window over the NDV-bounded distinct
+    *     table, never a corpus-wide row sort (the NDV table is to a
+    *     row sort what a histogram is to raw data);
+    *  2. per-source rank: row_number partitioned BY SOURCE (sharded),
+    *     ordered by (value, id) so ties are deterministic;
+    *  3. map: grid index ⌈rn·Q/n_s⌉ (exact integer ceil-div), join the
+    *     Q-row grid (broadcast).
+    *
+    * Output: input id/source/value + (grid_idx, norm_value). Null
+    * values pass through with null norm. Q bounds the resolution;
+    * sources smaller than Q just hit a coarser subset of the grid. */
+  def quantileNormalize(df: DataFrame, sourceCol: String, valueCol: String,
+                        idCol: String, gridSize: Int = 100): DataFrame = {
+    require(gridSize >= 2, s"gridSize must be >= 2, got $gridSize")
+    val spark = df.sparkSession
+    val vals = df.filter(col(valueCol).isNotNull)
+    val n = vals.count()
+    require(n > 0L, "quantileNormalize: no non-null values")
+    // cumulative counts over DISTINCT values (NDV rows, not corpus rows)
+    val cum = vals.groupBy(col(valueCol).as("_v")).agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    // grid value i = first value whose cumulative count reaches ⌈i·N/Q⌉
+    val targets = spark.range(1, gridSize + 1).select(col("id").cast("int").as("grid_idx"),
+      // ⌈i·N/Q⌉ via exact integer div (Column./ is double division)
+      expr(s"(id * CAST($n AS BIGINT) + ${gridSize - 1}) div $gridSize").as("_r"))
+    val grid = broadcast(targets).join(cum, col("_cum") >= col("_r"))
+      .groupBy("grid_idx").agg(min(col("_v")).as("norm_value"))
+    val bySource = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col(valueCol).asc, col(idCol).asc)
+    val ranked = vals
+      .withColumn("_rn", row_number().over(bySource))
+      .withColumn("_ns", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(sourceCol))))
+      .withColumn("grid_idx",
+        expr(s"CAST((CAST(_rn AS BIGINT) * $gridSize + _ns - 1) div _ns AS INT)"))
+    val normed = ranked.join(broadcast(grid), Seq("grid_idx"))
+      .select(col(idCol), col(sourceCol), col(valueCol), col("grid_idx"),
+        col("norm_value"))
+    df.filter(col(valueCol).isNull)
+      .select(col(idCol), col(sourceCol), col(valueCol),
+        lit(null).cast("int").as("grid_idx"),
+        lit(null).cast(normed.schema("norm_value").dataType).as("norm_value"))
+      .unionByName(normed)
+  }
+
   /** Benford leading-digit audit — the classic fabricated-numbers
     * smoke test over any monetary/measure column, one partial-aggregated
     * pass per group. The digit extraction is EXACT integer work (no

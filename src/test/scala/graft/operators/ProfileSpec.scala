@@ -155,4 +155,32 @@ class ProfileSpec extends SparkSpec {
     assert(out(5)._4 == -4L * 7918124L)
     intercept[IllegalArgumentException](Profile.benford(df(sch, rows), Seq.empty, "v"))
   }
+
+  test("quantileNormalize: per-source ranks map onto the pooled grid; selected values only") {
+    val sch = StructType(Seq(
+      StructField("id", LongType), StructField("src", StringType),
+      StructField("v", DoubleType)))
+    // source A is shifted low (1..4), source B high (101..104); pooled
+    // values interleave — after normalization equal within-source ranks
+    // get equal pooled values
+    val rows = Seq(
+      Row(1L, "A", 1.0), Row(2L, "A", 2.0), Row(3L, "A", 3.0), Row(4L, "A", 4.0),
+      Row(5L, "B", 101.0), Row(6L, "B", 102.0), Row(7L, "B", 103.0), Row(8L, "B", 104.0),
+      Row(9L, "A", null))
+    val out = Profile.quantileNormalize(df(sch, rows), "src", "v", "id", gridSize = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // rank 1 of A and rank 1 of B share grid_idx 1 → pooled q1
+    assert(out(1L).getInt(3) == out(5L).getInt(3))
+    assert(out(1L).getDouble(4) == out(5L).getDouble(4))
+    // the top of each source maps to the pooled max (a SELECTED value)
+    assert(out(4L).getDouble(4) == 104.0 && out(8L).getDouble(4) == 104.0)
+    // every normalized value is an actual pooled value
+    val pooled = rows.filter(_.get(2) != null).map(_.getDouble(2)).toSet
+    assert(out.values.filterNot(_.isNullAt(4)).forall(r => pooled(r.getDouble(4))))
+    // nulls pass through with null norm
+    assert(out(9L).isNullAt(3) && out(9L).isNullAt(4))
+    assert(out.size == 9)
+    intercept[IllegalArgumentException](
+      Profile.quantileNormalize(df(sch, rows), "src", "v", "id", gridSize = 1))
+  }
 }
