@@ -2014,6 +2014,17 @@ object SparkEntry {
     // form the DuckDB oracle replays exactly — hash-checkable real
     // decodes (was rows-only through r9). Fallback decoders are spec'd
     // separately with junk payloads in MultimodalSpec. ----
+    "q_image_neardup" -> ((s, dir) => {
+      // perceptual image near-dup through the REAL PNG decode path:
+      // striped fixtures give the aHash a closed form, so the oracle
+      // computes every 64-bit hash arithmetically and replays the
+      // pigeonhole-blocked hamming pairing as a plain self-join
+      val docs = T(s, dir, "documents").filter(col("doc_id") % 29 === 0)
+      val media = Multimodal.syntheticStripedImages(docs, "doc_id")
+      Multimodal.imageNearDup(media, maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_multimodal" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       val img = Multimodal.syntheticRealMedia(docs, "doc_id", "image")
@@ -4416,6 +4427,22 @@ object SparkEntry {
     // Closed-form replay of the REAL decoders: syntheticRealMedia's
     // payload parameters are arithmetic in doc_id, so the true decode
     // outputs are predictable exactly — width/height are the PNG's
+    // The striped fixture's aHash closed form: stripe columns replicate
+    // down the 8 rows (×0x0101010101010101), the marker pixel ORs in
+    // bit 62 (already inside the stripe mask when bright=7). The
+    // pairing replays as a plain self-join + bit_count(xor).
+    "q_image_neardup" ->
+      """WITH d AS (SELECT doc_id AS id FROM documents WHERE doc_id % 29 = 0),
+        |h AS (SELECT id,
+        |        ((CAST(1 AS BIGINT) << CAST(1 + id % 7 AS INTEGER)) - 1) * 72340172838076673
+        |          | CASE WHEN id % 2 = 1 THEN 4611686018427387904 ELSE 0 END AS ph
+        |      FROM d)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // encoded dims; mean_intensity is BT.601 of the solid gray (every
     // pixel identical, so the mean is the per-pixel luminance to within
     // an ulp — far inside round(4)); rms of a constant-amplitude PCM

@@ -387,6 +387,60 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** 8×8 striped PNG: pixel bright iff `x < bright` (or the (6,7)
+    * marker pixel when `mark`) — each pixel IS its aHash grid cell, so
+    * the perceptual hash has the closed form
+    * `(2^bright − 1)·0x0101010101010101 | (mark ? 2^62 : 0)` an
+    * external engine can compute arithmetically (`q_image_neardup`'s
+    * oracle; the mark bit ORs into the stripe mask, so bright=7 odd
+    * ids degrade gracefully). Real PNG codec bytes throughout. */
+  private[graft] def realPngStriped(bright: Int, mark: Boolean): Array[Byte] = {
+    require(bright >= 1 && bright <= 7, s"bright columns must be in [1, 7], got $bright")
+    imageIoConfigured
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val hi = (220 << 16) | (220 << 8) | 220
+    val lo = (30 << 16) | (30 << 8) | 30
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val b = x < bright || (mark && x == 6 && y == 7)
+        img.setRGB(x, y, if (b) hi else lo)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Striped-image fixture frame: bright = 1 + id%7 columns, marker on
+    * odd ids — same mapPartitions batch shape as [[syntheticRealMedia]].
+    * Same-stripe images are aHash near-dups (hamming ≤ 1: the marker
+    * bit); different stripes differ by ≥ 8 bits. */
+  def syntheticStripedImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, "image", s"synthetic://$id",
+          realPngStriped(1 + (id % 7).toInt, id % 2 == 1))
+      })
+      .toDF("media_id", "kind", "uri", "payload")
+  }
+
+  /** Perceptual near-duplicate image pairs: decode → 64-bit aHash →
+    * the generic pigeonhole-blocked hamming pairing
+    * ([[Dedup.hammingNearDupPairs]] — join-free, capped buckets).
+    * The decode is the corpus-scale cost; the pairing shuffles 16
+    * bytes/row. Returns (id_a, id_b, hamming), id_a < id_b. */
+  def imageNearDup(media: DataFrame, maxHamming: Int = 3,
+                   maxBucketSize: Int = 2000): DataFrame = {
+    val feats = extractImageFeatures(media).toDF().select(col("media_id"), col("phash"))
+    Dedup.hammingNearDupPairs(feats, col("phash"), "media_id", maxHamming, maxBucketSize)
+  }
+
   /** Deterministic REAL media fixture: tiny solid-gray PNGs /
     * constant-amplitude WAVs / multi-frame animated GIFs whose payload
     * parameters derive arithmetically from the id — real codec bytes, so

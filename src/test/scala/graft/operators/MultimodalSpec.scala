@@ -1,7 +1,9 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Multimodal plumbing: schema contract, per-partition batch decode shape,
   * frame sampling — plus the REAL image decode path (JDK ImageIO readers:
@@ -275,5 +277,26 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count() == 50 * 3)
     val idx = frames.select("frame_idx").distinct().collect().map(_.getInt(0)).toSet
     assert(idx == Set(0, 30, 60))
+  }
+
+  test("striped PNG aHash has its closed form; imageNearDup pairs same-stripe images") {
+    // direct decode: bright=3 stripes → bits of columns 0..2 down all rows
+    val f3 = Multimodal.decodeImage(1L, Multimodal.realPngStriped(3, mark = false))
+    assert(f3.phash == 7L * 0x0101010101010101L, f3.phash.toHexString)
+    // marker pixel adds bit 62; at bright=7 it's already inside the mask
+    val f3m = Multimodal.decodeImage(2L, Multimodal.realPngStriped(3, mark = true))
+    assert(f3m.phash == (7L * 0x0101010101010101L | (1L << 62)))
+    val f7m = Multimodal.decodeImage(3L, Multimodal.realPngStriped(7, mark = true))
+    assert(f7m.phash == 127L * 0x0101010101010101L)
+    // planted set: ids 0, 7, 14 share stripes (id%7=0); 1 differs
+    val idSchema = StructType(Seq(StructField("doc_id", LongType)))
+    val ids = df(idSchema, Seq(Row(0L), Row(7L), Row(14L), Row(1L)))
+    val pairs = Multimodal.imageNearDup(
+      Multimodal.syntheticStripedImages(ids, "doc_id"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // 0 (even) vs 7 (odd): marker differs → hamming 1; 0 vs 14: identical
+    assert(pairs((0L, 7L)) == 1 && pairs((0L, 14L)) == 0 && pairs((7L, 14L)) == 1)
+    assert(!pairs.keySet.exists(p => p._1 == 1L || p._2 == 1L),
+      "different stripes must not pair")
   }
 }
