@@ -1786,6 +1786,12 @@ object SparkEntry {
           "user_id", "event_id", "value", alpha = 0.5, gamma = 0.25)
         .orderBy(col("event_id"))),
 
+    "q_zipf" -> ((s, dir) =>
+      // corpus-health power law: rank-frequency log-log OLS over the
+      // top-500 vocab — the bounded vocab table is the only ordered
+      // pass; the fit is the exact fixed-point moment machinery
+      functions.TextFunctions.zipfFit(T(s, dir, "documents"), "text", topK = 500)),
+
     "q_quantile_norm" -> ((s, dir) =>
       // cross-source score calibration: per-source cume rank → pooled
       // quantile grid — selected values and integer arithmetic only;
@@ -4546,6 +4552,34 @@ object SparkEntry {
         |       f.lvl + f.trd AS forecast
         |FROM f JOIN e ON e.event_id = f.event_id
         |ORDER BY f.event_id""".stripMargin,
+
+    // q_vocab's replayed vocabulary → rank → ln doubles of exact ints →
+    // the q_group_ols HUGEINT moment replay at 1e-8 scale.
+    "q_zipf" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT token, COUNT(1) AS freq
+        |  FROM (SELECT unnest(regexp_split_to_array(
+        |          trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |        FROM documents)
+        |  WHERE length(token) > 0
+        |  GROUP BY token ORDER BY freq DESC, token LIMIT 500),
+        |r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank FROM v),
+        |q AS (SELECT CAST(FLOOR(ln(CAST(rank AS DOUBLE)) * 100000000.0) AS HUGEINT) AS x,
+        |             CAST(FLOOR(ln(CAST(freq AS DOUBLE)) * 100000000.0) AS HUGEINT) AS y
+        |      FROM r),
+        |a AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |             SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy FROM q),
+        |s AS (SELECT n, sx, sy, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den,
+        |             n*syy - sy*sy AS deny FROM a)
+        |SELECT 'corpus' AS corpus, CAST(n AS BIGINT) AS n,
+        |       CASE WHEN den <> 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope,
+        |       CASE WHEN den <> 0 THEN
+        |         (CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |           / (CAST(n AS DOUBLE) * 100000000.0) END AS intercept,
+        |       CASE WHEN den <> 0 AND deny <> 0 THEN
+        |         (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+        |           / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) END AS r2
+        |FROM s""".stripMargin,
 
     // Same selected-value pipeline: distinct-value cumulative counts →
     // ⌈i·N/Q⌉ grid targets, per-source (value, id)-ordered ranks,

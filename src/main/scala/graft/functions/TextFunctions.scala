@@ -372,4 +372,30 @@ object TextFunctions {
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token"))
       .limit(topK)
+
+  /** Zipf power-law fit over the corpus rank-frequency curve — the
+    * one-row corpus-health diagnostic (natural text slopes ≈ −1;
+    * boilerplate-heavy or template-spam corpora bend away from it, so a
+    * drifting slope between snapshots flags contamination upstream of
+    * any per-document filter). [[vocabulary]]'s top-K feeds a
+    * log₁₀-free log-log regression: rank is a row_number over the
+    * K-row vocab table (bounded — the only ordered pass), ln(rank)/
+    * ln(freq) are IEEE doubles of exact integers (the
+    * [[graft.operators.LanguageModel]] ln-parity contract), and the
+    * fit is [[graft.operators.Analytics.groupedOls]]'s exact
+    * fixed-point moment machinery at 1e-8 scale. Output: (corpus = the
+    * constant group, n, slope, intercept, r2). */
+  def zipfFit(df: org.apache.spark.sql.DataFrame, textCol: String,
+              topK: Int = 1000): org.apache.spark.sql.DataFrame = {
+    require(topK >= 2, s"zipfFit needs topK >= 2, got $topK")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token"))
+    vocabulary(df, textCol, topK)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("corpus", lit("corpus"))
+      .withColumn("ln_rank", log(col("rank").cast("double")))
+      .withColumn("ln_freq", log(col("freq").cast("double")))
+      .transform(v => graft.operators.Analytics.groupedOls(
+        v, "corpus", "ln_rank", "ln_freq", scale = 8))
+  }
 }

@@ -289,4 +289,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(links("""<a href = '/relative/path'>r</a>""") == Seq("/relative/path"))
     assert(links("").isEmpty && links("no markup at all").isEmpty)
   }
+
+  test("zipfFit: planted power law recovers slope -1; flat corpus scores near 0") {
+    val sch = StructType(Seq(StructField("text", StringType)))
+    // token w<r> appears ⌊1000/r⌋ times → freq ∝ 1/rank exactly
+    val zipfTokens = (1 to 40).flatMap(r => Seq.fill(1000 / r)(s"w$r"))
+    val zipf = df(sch, Seq(Row(zipfTokens.mkString(" "))))
+    val fit = TextFunctions.zipfFit(zipf, "text", topK = 40).head()
+    assert(fit.getLong(1) == 40L)
+    assert(math.abs(fit.getDouble(2) - (-1.0)) < 0.05, s"slope ${fit.getDouble(2)}")
+    assert(fit.getDouble(4) > 0.99, s"r2 ${fit.getDouble(4)}")
+    // uniform frequencies: slope 0 (template spam signature)
+    val flat = df(sch, Seq(Row((1 to 30).map(r => s"u$r u$r u$r").mkString(" "))))
+    val flatFit = TextFunctions.zipfFit(flat, "text", topK = 30).head()
+    assert(math.abs(flatFit.getDouble(2)) < 1e-9)
+    intercept[IllegalArgumentException](TextFunctions.zipfFit(zipf, "text", topK = 1))
+  }
 }
