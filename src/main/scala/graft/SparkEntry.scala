@@ -1786,6 +1786,17 @@ object SparkEntry {
           "user_id", "event_id", "value", alpha = 0.5, gamma = 0.25)
         .orderBy(col("event_id"))),
 
+    "q_js_divergence" -> ((s, dir) => {
+      // snapshot drift: JS divergence between the src0–9 and src10–19
+      // slices over the pooled vocab + UNK — per-term contributions in
+      // 1e-12 fixed point, the total an order-independent integer sum
+      val d = T(s, dir, "documents")
+      val isA = col("source").rlike("^src[0-9]$")
+      operators.Curation.jsDivergence(d.filter(isA), d.filter(!isA),
+          "text", vocabSize = 200)
+        .orderBy(col("term"))
+    }),
+
     "q_zipf" -> ((s, dir) =>
       // corpus-health power law: rank-frequency log-log OLS over the
       // top-500 vocab — the bounded vocab table is the only ordered
@@ -4552,6 +4563,47 @@ object SparkEntry {
         |       f.lvl + f.trd AS forecast
         |FROM f JOIN e ON e.event_id = f.event_id
         |ORDER BY f.event_id""".stripMargin,
+
+    // Full JS replay: pooled vocab + UNK mapping, exact counts, the
+    // identical pinned double sequence per term (each CAST separate,
+    // left-associated products), 1e-12 fixed-point quantization.
+    "q_js_divergence" ->
+      """WITH d2 AS (SELECT text,
+        |        CASE WHEN regexp_matches(source, '^src[0-9]$') THEN 'a' ELSE 'b' END AS side
+        |      FROM documents),
+        |tok AS MATERIALIZED (
+        |  SELECT side, w FROM (
+        |    SELECT side, unnest(regexp_split_to_array(
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w FROM d2)
+        |  WHERE length(w) > 0),
+        |vocab AS MATERIALIZED (
+        |  SELECT w AS term FROM (
+        |    SELECT w, COUNT(1) AS f FROM tok GROUP BY 1 ORDER BY f DESC, w LIMIT 200)),
+        |mapped AS (SELECT side, COALESCE(v.term, '<unk>') AS term
+        |           FROM tok t LEFT JOIN vocab v ON v.term = t.w),
+        |c AS (SELECT term, COUNT(1) FILTER (side = 'a') AS c_a,
+        |             COUNT(1) FILTER (side = 'b') AS c_b FROM mapped GROUP BY 1),
+        |grid AS (SELECT g.term, COALESCE(c.c_a, 0) AS c_a, COALESCE(c.c_b, 0) AS c_b
+        |         FROM (SELECT term FROM vocab UNION ALL SELECT '<unk>') g
+        |         LEFT JOIN c ON c.term = g.term),
+        |n AS (SELECT SUM(c_a) AS na, SUM(c_b) AS nb FROM grid),
+        |s AS (SELECT term, c_a, c_b,
+        |  CASE WHEN c_a > 0 THEN CAST(FLOOR(
+        |    (CAST(c_a AS DOUBLE) / CAST(na AS DOUBLE))
+        |      * ln((CAST(c_a AS DOUBLE) / CAST(na AS DOUBLE))
+        |           / ((CAST(c_a AS DOUBLE) / CAST(na AS DOUBLE)
+        |               + CAST(c_b AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))
+        |      * 1000000000000.0) AS BIGINT) ELSE 0 END AS contrib_a_fp,
+        |  CASE WHEN c_b > 0 THEN CAST(FLOOR(
+        |    (CAST(c_b AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      * ln((CAST(c_b AS DOUBLE) / CAST(nb AS DOUBLE))
+        |           / ((CAST(c_a AS DOUBLE) / CAST(na AS DOUBLE)
+        |               + CAST(c_b AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))
+        |      * 1000000000000.0) AS BIGINT) ELSE 0 END AS contrib_b_fp
+        |  FROM grid CROSS JOIN n)
+        |SELECT term, c_a, c_b, contrib_a_fp, contrib_b_fp,
+        |       (SELECT SUM(contrib_a_fp + contrib_b_fp) FROM s) AS js_total_fp
+        |FROM s ORDER BY term""".stripMargin,
 
     // q_vocab's replayed vocabulary → rank → ln doubles of exact ints →
     // the q_group_ols HUGEINT moment replay at 1e-8 scale.

@@ -1101,6 +1101,65 @@ object Curation {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** Jensen–Shannon divergence between two corpus slices' unigram
+    * distributions — the drift detector between snapshots / sources
+    * (symmetric, bounded by ln 2, defined even where one side's count
+    * is zero — exactly why it beats raw KL for corpus monitoring).
+    * Distributions live on the POOLED top-`vocabSize` vocabulary plus
+    * an UNK bucket, so both sides cover identical events and all mass
+    * is accounted. All counting is exact integer aggregation; each
+    * term's contribution p·ln(p/m) is a pinned double sequence over
+    * those exact counts quantized to 1e-12 fixed-point longs, so the
+    * TOTAL is an order-independent integer sum (a raw double sum would
+    * be partitioning-dependent) and any engine replays it
+    * (`q_js_divergence`; ln parity is the LanguageModel contract).
+    *
+    * Output: one row per pooled-vocab term + UNK — (term, c_a, c_b,
+    * contrib_a_fp, contrib_b_fp, js_total_fp) with js_total_fp =
+    * Σ(contribs) constant across rows; JS = js_total / 2 / 1e12. The
+    * per-term rows ARE the diagnostic (which tokens drove the drift). */
+  def jsDivergence(a: DataFrame, b: DataFrame, textCol: String,
+                   vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val Unk = "<unk>"
+    def toks(df: DataFrame) = df
+      .select(explode(split(
+        graft.functions.TextFunctions.normalizeForFingerprint(col(textCol)), " ")).as("_w"))
+      .filter(length(col("_w")) > 0)
+    val vocab = graft.functions.TextFunctions
+      .vocabulary(a.select(col(textCol)).unionAll(b.select(col(textCol))), textCol, vocabSize)
+      .select(col("token").as("term"))
+    // one tokenize scan per side: OOV maps to UNK through the broadcast
+    // vocab (the TextClassifier.mapUnk shape), then one partial-agg count
+    def counts(df: DataFrame, out: String) = toks(df)
+      .join(broadcast(vocab.select(col("term").as("_v"))), col("_w") === col("_v"), "left")
+      .select(when(col("_v").isNull, lit(Unk)).otherwise(col("_w")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as(out))
+    val ca = counts(a, "c_a")
+    val cb = counts(b, "c_b")
+    val grid = vocab.unionAll(a.sparkSession.range(1).select(lit(Unk).as("term")))
+      .join(ca, Seq("term"), "left").join(cb, Seq("term"), "left")
+      .withColumn("c_a", coalesce(col("c_a"), lit(0L)))
+      .withColumn("c_b", coalesce(col("c_b"), lit(0L)))
+    val na = grid.agg(sum("c_a")).head().getLong(0)
+    val nb = grid.agg(sum("c_b")).head().getLong(0)
+    require(na > 0L && nb > 0L, s"jsDivergence: empty side (na=$na nb=$nb)")
+    val pd = col("c_a").cast("double") / lit(na.toDouble)
+    val qd = col("c_b").cast("double") / lit(nb.toDouble)
+    val md = (pd + qd) / lit(2.0)
+    val scored = grid
+      .withColumn("contrib_a_fp",
+        when(col("c_a") > 0L, floor(pd * log(pd / md) * lit(1e12)).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("contrib_b_fp",
+        when(col("c_b") > 0L, floor(qd * log(qd / md) * lit(1e12)).cast("long"))
+          .otherwise(lit(0L)))
+    val total = scored.agg(sum(col("contrib_a_fp") + col("contrib_b_fp"))).head().getLong(0)
+    scored.withColumn("js_total_fp", lit(total))
+      .select(col("term"), col("c_a"), col("c_b"),
+        col("contrib_a_fp"), col("contrib_b_fp"), col("js_total_fp"))
+  }
+
   /** Seeded in-batch negative sampling for contrastive training
     * (embedding models train on (anchor, positive, k·negatives); the
     * negatives are uniform draws over the corpus excluding the anchor).

@@ -706,6 +706,26 @@ class CurationSpec extends SparkSpec {
     assert(out(("B", "A")) == (1L, 2L, 1L, 100000000L)) // B fully contained
   }
 
+  test("jsDivergence: identical corpora score 0; disjoint score ln 2; drift terms surface") {
+    val sch = StructType(Seq(StructField("text", StringType)))
+    val a = df(sch, Seq(Row("x x y"), Row("x y z")))
+    // identical distributions → every contribution 0
+    val same = Curation.jsDivergence(a, a, "text", vocabSize = 10).collect()
+    assert(same.forall(r => r.getLong(3) == 0L && r.getLong(4) == 0L))
+    assert(same.head.getLong(5) == 0L)
+    // fully disjoint vocabularies → JS = ln 2 (the upper bound)
+    val b = df(sch, Seq(Row("p p q"), Row("p q r")))
+    val disj = Curation.jsDivergence(a, b, "text", vocabSize = 10).collect()
+    val js = disj.head.getLong(5).toDouble / 2.0 / 1e12
+    assert(math.abs(js - math.log(2.0)) < 1e-6, s"js $js")
+    // the total is constant across rows and counts are per-side exact
+    assert(disj.map(_.getLong(5)).distinct.length == 1)
+    val byTerm = disj.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byTerm("x") == ((3L, 0L)) && byTerm("p") == ((0L, 3L)))
+    intercept[IllegalArgumentException](
+      Curation.jsDivergence(a, df(sch, Seq(Row(""))), "text"))
+  }
+
   test("negativeSample: k collision-free uniform draws per anchor; dense-id contract") {
     val idSchema = StructType(Seq(StructField("doc_id", LongType)))
     val d = df(idSchema, (0L until 10L).map(Row(_)))
