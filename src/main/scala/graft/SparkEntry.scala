@@ -1786,6 +1786,14 @@ object SparkEntry {
           "user_id", "event_id", "value", alpha = 0.5, gamma = 0.25)
         .orderBy(col("event_id"))),
 
+    "q_skipgram" -> ((s, dir) =>
+      // word2vec training pairs: ±3-token neighborhoods, one codegen'd
+      // row-local projection (array zipped with its shifted self, all
+      // offsets flattened) — the only shuffle is the pair count
+      operators.Retrieval.skipGramPairs(T(s, dir, "documents"), "text",
+          window = 3, minCount = 5)
+        .orderBy(col("center"), col("context"))),
+
     "q_js_divergence" -> ((s, dir) => {
       // snapshot drift: JS divergence between the src0–9 and src10–19
       // slices over the pooled vocab + UNK — per-term contributions in
@@ -4563,6 +4571,27 @@ object SparkEntry {
         |       f.lvl + f.trd AS forecast
         |FROM f JOIN e ON e.event_id = f.event_id
         |ORDER BY f.event_id""".stripMargin,
+
+    // Index-range list comprehensions build each offset's shifted
+    // pairs; symmetric union; exact counts.
+    "q_skipgram" ->
+      """WITH t AS (
+        |  SELECT list_filter(regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |    w -> length(w) > 0) AS arr
+        |  FROM documents),
+        |p AS (
+        |  SELECT unnest(list_concat(list_concat(
+        |    [{'a': arr[i], 'b': arr[i+1]} for i in range(1, greatest(len(arr), 1))],
+        |    [{'a': arr[i], 'b': arr[i+2]} for i in range(1, greatest(len(arr) - 1, 1))]),
+        |    [{'a': arr[i], 'b': arr[i+3]} for i in range(1, greatest(len(arr) - 2, 1))])) AS pr
+        |  FROM t),
+        |sym AS (SELECT pr.a AS center, pr.b AS context FROM p
+        |        UNION ALL
+        |        SELECT pr.b AS center, pr.a AS context FROM p)
+        |SELECT center, context, COUNT(1) AS n
+        |FROM sym GROUP BY 1, 2 HAVING COUNT(1) >= 5
+        |ORDER BY center, context""".stripMargin,
 
     // Full JS replay: pooled vocab + UNK mapping, exact counts, the
     // identical pinned double sequence per term (each CAST separate,

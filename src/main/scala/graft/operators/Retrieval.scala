@@ -296,6 +296,37 @@ object Retrieval {
     * computed in LOGS (ln(N)+ln(c_xy)−ln(c_x)−ln(c_y)) so 100 TB-scale
     * counts never overflow an integer product, then quantized to 1e-8
     * fixed point for cross-engine replay. */
+  /** Skip-gram (center, context) pair counts within a ±`window` token
+    * neighborhood — the word2vec/GloVe training-pair generator.
+    * ENTIRELY row-local until the final count: each offset k's pairs
+    * are the token array zipped with its k-shifted self (the
+    * [[pmiCollocations]] adjacent-pair trick generalized), all offsets
+    * flattened in ONE codegen'd projection — one corpus scan, no
+    * self-join, no window function; the only shuffle is the
+    * partial-aggregated pair count. Pairs are emitted symmetrically
+    * (center→context both directions, the word2vec convention), so
+    * `n(center, context) = n(context, center)`. Pairs under `minCount`
+    * drop (they dominate the tail and train nothing).
+    * Output: (center, context, n). */
+  def skipGramPairs(df: DataFrame, textCol: String, window: Int = 3,
+                    minCount: Int = 2): DataFrame = {
+    require(window >= 1 && window <= 16, s"window must be in [1, 16], got $window")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val t = col("_t")
+    val perOffset = (1 to window).map { k =>
+      zip_with(
+        slice(t, lit(1), greatest(size(t) - k, lit(0))),
+        slice(t, lit(k + 1), greatest(size(t) - k, lit(0))),
+        (a, b) => struct(a.as("a"), b.as("b")))
+    }
+    val all = df.select(tokens(textCol).as("_t"))
+      .select(explode(flatten(array(perOffset: _*))).as("_p"))
+    all.select(col("_p.a").as("center"), col("_p.b").as("context"))
+      .unionAll(all.select(col("_p.b").as("center"), col("_p.a").as("context")))
+      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   def pmiCollocations(df: DataFrame, textCol: String, k: Int,
                       minCount: Int = 5): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

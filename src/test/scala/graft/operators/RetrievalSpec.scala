@@ -226,4 +226,28 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Retrieval.bm25TopKIndexed(spark, dir, Seq.empty, k = 5))
   }
+
+  test("skipGramPairs: symmetric windowed pairs, boundaries clipped, minCount gates") {
+    val sch = StructType(Seq(StructField("text", StringType)))
+    // "a b c d": window 2 → ordered pairs ab, bc, cd, ac, bd (then mirrored)
+    val out = Retrieval.skipGramPairs(df(sch, Seq(Row("a b c d"))),
+      "text", window = 2, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val expected = Seq("a" -> "b", "b" -> "c", "c" -> "d", "a" -> "c", "b" -> "d")
+    expected.foreach { case (x, y) =>
+      assert(out((x, y)) == 1L && out((y, x)) == 1L, s"pair $x,$y")
+    }
+    assert(out.size == 10, s"got ${out.keySet}")
+    assert(!out.contains(("a", "d")), "window 2 must not reach offset 3")
+    // symmetric counts always equal; minCount gates the tail
+    val rep = Retrieval.skipGramPairs(
+      df(sch, Seq(Row("x y x y x"), Row("z q"))), "text", window = 1, minCount = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rep == Map(("x", "y") -> 4L, ("y", "x") -> 4L), s"got $rep")
+    // short/empty docs contribute nothing and never error
+    assert(Retrieval.skipGramPairs(df(sch, Seq(Row("solo"), Row(""), Row(null))),
+      "text", window = 3, minCount = 1).count() == 0L)
+    intercept[IllegalArgumentException](
+      Retrieval.skipGramPairs(df(sch, Seq(Row("a"))), "text", window = 0))
+  }
 }
