@@ -127,7 +127,20 @@ object Bench {
     // (build the bucket-partitioned postings + pruned 3-term probe)
     // and the cross-split near-dup leakage audit (blocked jaccard +
     // split joins — pair-heavy on this corpus: ~150k leaked pairs)
-    "q_inverted_bm25", "q_split_leakage")
+    "q_inverted_bm25", "q_split_leakage",
+    // r12 third continuation — sequential folds and calibration:
+    // per-entity EWMA/CUSUM/Holt (one shuffle + in-partition walk),
+    // grouped OLS + chi2 terms (fixed-point moment/contingency aggs),
+    // interval coalescing + OHLC (entity-sharded windows / one
+    // mergeable agg), quantile normalization (NDV-bounded grid),
+    // JS divergence (pooled-vocab fixed-point contributions),
+    // skip-grams (row-local shifted-zip pairs), negative sampling
+    // (pure projection), Benford + Zipf audits, perceptual image
+    // near-dup (real PNG decode + hamming pairing), ORC round-trip
+    "q_ewma", "q_cusum", "q_holt", "q_group_ols", "q_chi2_terms",
+    "q_interval_merge", "q_ohlc", "q_quantile_norm", "q_js_divergence",
+    "q_skipgram", "q_neg_sample", "q_benford", "q_zipf",
+    "q_image_neardup", "q_orc_roundtrip")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

@@ -319,10 +319,14 @@ object Retrieval {
         slice(t, lit(k + 1), greatest(size(t) - k, lit(0))),
         (a, b) => struct(a.as("a"), b.as("b")))
     }
-    val all = df.select(tokens(textCol).as("_t"))
-      .select(explode(flatten(array(perOffset: _*))).as("_p"))
-    all.select(col("_p.a").as("center"), col("_p.b").as("context"))
-      .unionAll(all.select(col("_p.b").as("center"), col("_p.a").as("context")))
+    // mirror row-locally (concat with the swapped transform) — a
+    // symmetric unionAll would scan the corpus twice
+    val fwd = flatten(array(perOffset: _*))
+    val both = concat(fwd, transform(fwd,
+      p => struct(p.getField("b").as("a"), p.getField("a").as("b"))))
+    df.select(tokens(textCol).as("_t"))
+      .select(explode(both).as("_p"))
+      .select(col("_p.a").as("center"), col("_p.b").as("context"))
       .groupBy("center", "context").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
   }

@@ -450,4 +450,36 @@ class PlanEvidenceSpec extends SparkSpec {
     assert(plan.contains("partial_sum") || plan.contains("partial_count"),
       "per-doc aggregation must be partial before the exchange:\n" + plan)
   }
+
+  test("skipGramPairs: one corpus scan, no join, no window — shifted-zip pairs") {
+    val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+    val out = graft.operators.Retrieval.skipGramPairs(docs, "text", window = 3)
+    val opt = out.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("Join"), "skip-grams must not self-join:\n" + opt)
+    assert(!opt.contains("Window"), "skip-grams must not use a window:\n" + opt)
+    val scans = out.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.length == 1, s"one corpus scan expected, got ${scans.length}:\n$opt")
+  }
+
+  test("downsample: a single partial-aggregated groupBy, never a window") {
+    val ev = graft.sources.ParquetConnector.readTable(spark, s"$sf/events.parquet")
+    val out = graft.operators.TimeSeries.downsample(ev, "user_id", "ts", "value",
+      "event_id", 86400L)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), "OHLC must not use a window:\n" + plan)
+    assert(plan.contains("partial_min_by") || plan.contains("partial_min"),
+      "candle aggregates must be map-side partial before the exchange:\n" + plan)
+  }
+
+  test("negativeSample: pure projection + generate — zero exchanges") {
+    val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+    val out = graft.operators.Curation.negativeSample(docs, "doc_id", k = 4)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange"),
+      "negative sampling must be shuffle-free:\n" + plan)
+  }
 }
