@@ -1786,6 +1786,15 @@ object SparkEntry {
           "user_id", "event_id", "value", alpha = 0.5, gamma = 0.25)
         .orderBy(col("event_id"))),
 
+    "q_cdc_apply" -> ((s, dir) =>
+      // log compaction: the events stream read as a changelog
+      // (pk=user, op=event_type, delete='error') reduced to final
+      // state in ONE partial-aggregated max_by pass — never a window
+      operators.Changelog.compact(T(s, dir, "events"),
+          pkCol = "user_id", tsCol = "ts", tieCol = "event_id",
+          opCol = "event_type", deleteOp = "error", payloadCols = Seq("value"))
+        .orderBy(col("user_id"))),
+
     "q_skipgram" -> ((s, dir) =>
       // word2vec training pairs: ±3-token neighborhoods, one codegen'd
       // row-local projection (array zipped with its shifted self, all
@@ -4571,6 +4580,18 @@ object SparkEntry {
         |       f.lvl + f.trd AS forecast
         |FROM f JOIN e ON e.event_id = f.event_id
         |ORDER BY f.event_id""".stripMargin,
+
+    // arg_max keys on epoch micros ((user, ts) unique here; composite
+    // tie determinism is spec-pinned); last op 'error' drops the key.
+    "q_cdc_apply" ->
+      """WITH last AS (
+        |  SELECT user_id,
+        |         arg_max(event_type, epoch_us(ts)) AS op,
+        |         arg_max(value, epoch_us(ts)) AS value,
+        |         max(ts) AS ts
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, value, ts FROM last
+        |WHERE op <> 'error' ORDER BY user_id""".stripMargin,
 
     // Index-range list comprehensions build each offset's shifted
     // pairs; symmetric union; exact counts.
