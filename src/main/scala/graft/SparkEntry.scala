@@ -1786,6 +1786,13 @@ object SparkEntry {
           "user_id", "event_id", "value", alpha = 0.5, gamma = 0.25)
         .orderBy(col("event_id"))),
 
+    "q_time_split" -> ((s, dir) =>
+      // sequence-safe train/val: per-user chronological 80/20 — the
+      // future never leaks into training; exact integer ceil threshold
+      operators.Curation.timeSplit(T(s, dir, "events"),
+          "user_id", "ts", "event_id", trainPermille = 800)
+        .orderBy(col("event_id"))),
+
     "q_cdc_apply" -> ((s, dir) =>
       // log compaction: the events stream read as a changelog
       // (pk=user, op=event_type, delete='error') reduced to final
@@ -4580,6 +4587,16 @@ object SparkEntry {
         |       f.lvl + f.trd AS forecast
         |FROM f JOIN e ON e.event_id = f.event_id
         |ORDER BY f.event_id""".stripMargin,
+
+    // Identical rank window + integer ceil threshold.
+    "q_time_split" ->
+      """SELECT user_id, event_id, ts,
+        |       CASE WHEN rn <= (n * 800 + 999) // 1000 THEN 'train' ELSE 'val' END AS split
+        |FROM (SELECT user_id, event_id, ts,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |             COUNT(1) OVER (PARTITION BY user_id) AS n
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
 
     // arg_max keys on epoch micros ((user, ts) unique here; composite
     // tie determinism is spec-pinned); last op 'error' drops the key.

@@ -1101,6 +1101,29 @@ object Curation {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** Chronological train/validation split per entity — forecasting and
+    * recommendation models must validate on each entity's FUTURE, so
+    * the split boundary is per-entity time order, never a row hash
+    * (the hash split `assignSplits` covers i.i.d. corpora; this one
+    * covers sequences, where hashing leaks the future into training).
+    * The first ⌈trainPermille·n/1000⌉ events by (ts, tie) are `train`,
+    * the rest `val` — the threshold is exact integer ceil-division, the
+    * rank a per-entity window (sharded by the entity key), ties made
+    * deterministic by `tieCol`. Output: (entity, tie, ts, split). */
+  def timeSplit(df: DataFrame, entityCol: String, tsCol: String, tieCol: String,
+                trainPermille: Int = 800): DataFrame = {
+    require(trainPermille >= 1 && trainPermille <= 999,
+      s"trainPermille must be in [1, 999], got $trainPermille")
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
+    df.select(col(entityCol), col(tieCol), col(tsCol))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(entityCol))))
+      .withColumn("split",
+        when(col("_rn") <= expr(s"(_n * $trainPermille + 999) div 1000"),
+          lit("train")).otherwise(lit("val")))
+      .select(col(entityCol), col(tieCol), col(tsCol), col("split"))
+  }
+
   /** Jensen–Shannon divergence between two corpus slices' unigram
     * distributions — the drift detector between snapshots / sources
     * (symmetric, bounded by ln 2, defined even where one side's count

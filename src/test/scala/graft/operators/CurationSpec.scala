@@ -706,6 +706,29 @@ class CurationSpec extends SparkSpec {
     assert(out(("B", "A")) == (1L, 2L, 1L, 100000000L)) // B fully contained
   }
 
+  test("timeSplit: per-entity chronological boundary, ceil threshold, no future in train") {
+    val sch = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", TimestampType),
+      StructField("id", LongType)))
+    // uid 1: 5 events → ceil(0.8·5)=4 train; uid 2: 1 event → train
+    val rows = (1 to 5).map(i => Row(1L, ts(s"2024-01-0$i 10:00:00"), i.toLong)) :+
+      Row(2L, ts("2024-01-01 10:00:00"), 9L)
+    val out = Curation.timeSplit(df(sch, rows), "uid", "ts", "id", 800)
+      .collect().map(r => r.getLong(1) -> r.getString(3)).toMap
+    assert(out == Map(1L -> "train", 2L -> "train", 3L -> "train", 4L -> "train",
+      5L -> "val", 9L -> "train"), s"got $out")
+    // every train ts strictly precedes every val ts within an entity
+    val d2 = Curation.timeSplit(df(sch, rows), "uid", "ts", "id", 400)
+      .collect().groupBy(_.getLong(0))
+    d2.values.foreach { g =>
+      val tr = g.filter(_.getString(3) == "train").map(_.getTimestamp(2).getTime)
+      val va = g.filter(_.getString(3) == "val").map(_.getTimestamp(2).getTime)
+      if (tr.nonEmpty && va.nonEmpty) assert(tr.max < va.min, "future leaked into train")
+    }
+    intercept[IllegalArgumentException](
+      Curation.timeSplit(df(sch, rows), "uid", "ts", "id", 1000))
+  }
+
   test("jsDivergence: identical corpora score 0; disjoint score ln 2; drift terms surface") {
     val sch = StructType(Seq(StructField("text", StringType)))
     val a = df(sch, Seq(Row("x x y"), Row("x y z")))
