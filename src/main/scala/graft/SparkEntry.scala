@@ -1786,6 +1786,17 @@ object SparkEntry {
           "user_id", "event_id", "value", alpha = 0.5, gamma = 0.25)
         .orderBy(col("event_id"))),
 
+    "q_ab_test" -> ((s, dir) =>
+      // experiment readout: user-parity variants per event_type,
+      // conversion = value > 50 — exact counts, pinned z / lift / Wald CI
+      operators.Analytics.abTest(
+          T(s, dir, "events").select(col("event_type").as("experiment"),
+            when(pmod(col("user_id"), lit(2L)) === 0L, lit("control"))
+              .otherwise(lit("treatment")).as("variant"),
+            (col("value") > lit(50.0)).as("converted")),
+          "experiment", "variant", "converted")
+        .orderBy(col("experiment"))),
+
     "q_time_split" -> ((s, dir) =>
       // sequence-safe train/val: per-user chronological 80/20 — the
       // future never leaks into training; exact integer ceil threshold
@@ -4587,6 +4598,37 @@ object SparkEntry {
         |       f.lvl + f.trd AS forecast
         |FROM f JOIN e ON e.event_id = f.event_id
         |ORDER BY f.event_id""".stripMargin,
+
+    // Exact counts; the z / lift / CI doubles mirror the operator's
+    // expression tree factor for factor (each CAST separate, products
+    // left-associated, same sqrt input).
+    "q_ab_test" ->
+      """WITH e AS (SELECT event_type AS experiment,
+        |        CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS variant,
+        |        CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS conv
+        |      FROM events),
+        |g AS (SELECT experiment, variant, COUNT(1) AS n, CAST(SUM(conv) AS BIGINT) AS c
+        |      FROM e GROUP BY 1, 2),
+        |j AS (SELECT a.experiment, a.variant AS variant_a, b.variant AS variant_b,
+        |             a.n AS n_a, a.c AS conv_a, b.n AS n_b, b.c AS conv_b
+        |      FROM g a JOIN g b
+        |        ON a.experiment = b.experiment AND a.variant < b.variant),
+        |s AS (SELECT *,
+        |        CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        |        CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+        |        CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+        |      FROM j)
+        |SELECT experiment, variant_a, variant_b, n_a, conv_a, n_b, conv_b,
+        |       pb - pa AS lift,
+        |       CASE WHEN pp > 0.0 AND pp < 1.0 THEN
+        |         (pb - pa) / sqrt((pp * (1.0 - pp))
+        |            * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |       END AS z,
+        |       (pb - pa) - 1.96 * sqrt(pa * (1.0 - pa) / CAST(n_a AS DOUBLE)
+        |                               + pb * (1.0 - pb) / CAST(n_b AS DOUBLE)) AS ci_lo,
+        |       (pb - pa) + 1.96 * sqrt(pa * (1.0 - pa) / CAST(n_a AS DOUBLE)
+        |                               + pb * (1.0 - pb) / CAST(n_b AS DOUBLE)) AS ci_hi
+        |FROM s ORDER BY experiment""".stripMargin,
 
     // Identical rank window + integer ceil threshold.
     "q_time_split" ->

@@ -228,6 +228,54 @@ object Analytics {
         col("lift_x10000"))
   }
 
+  /** Two-proportion A/B analysis per experiment: conversion counts per
+    * variant (exact integers, one partial-aggregated pass), pooled
+    * two-proportion z statistic, absolute lift, and a ±z* Wald interval
+    * on the difference — the experiment-readout primitive. Only the
+    * final statistics touch doubles, each factor cast from its exact
+    * count separately in a pinned sequence (`q_ab_test` replays it
+    * term for term), with sqrt of the same double on both engines.
+    * Exactly two variants per experiment are required (a silent
+    * many-armed readout with pairwise stats is a stats bug, not a
+    * feature) — more arms fail loudly. Degenerate pooled rates (0% or
+    * 100%) surface null z, not a division by zero.
+    *
+    * Output: (experiment, variant_a, variant_b, n_a, conv_a, n_b,
+    * conv_b, lift, z, ci_lo, ci_hi) — variant_a < variant_b. */
+  def abTest(df: DataFrame, expCol: String, variantCol: String,
+             convertedCol: String, zStar: Double = 1.96): DataFrame = {
+    require(zStar > 0.0, s"zStar must be positive, got $zStar")
+    val agg = df.groupBy(col(expCol), col(variantCol).cast("string").as("_v"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col(convertedCol).cast("int").cast("long")).as("_c"))
+    val arms = agg.groupBy(col(expCol)).agg(count(lit(1)).as("_arms"))
+      .filter(col("_arms") =!= 2).limit(1).collect()
+    require(arms.isEmpty,
+      s"abTest: experiment '${if (arms.nonEmpty) arms.head.get(0) else ""}' does not " +
+        "have exactly two variants — split multi-armed readouts explicitly")
+    val a = agg.select(col(expCol), col("_v").as("variant_a"),
+      col("_n").as("n_a"), col("_c").as("conv_a"))
+    val b = agg.select(col(expCol), col("_v").as("variant_b"),
+      col("_n").as("n_b"), col("_c").as("conv_b"))
+    val joined = a.join(b, Seq(expCol)).filter(col("variant_a") < col("variant_b"))
+    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pPool = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val sePool = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    val seWald = sqrt(pa * (lit(1.0) - pa) / col("n_a").cast("double") +
+      pb * (lit(1.0) - pb) / col("n_b").cast("double"))
+    joined
+      .withColumn("lift", pb - pa)
+      .withColumn("z", when(pPool > 0.0 && pPool < 1.0, (pb - pa) / sePool))
+      .withColumn("ci_lo", (pb - pa) - lit(zStar) * seWald)
+      .withColumn("ci_hi", (pb - pa) + lit(zStar) * seWald)
+      .select(col(expCol), col("variant_a"), col("variant_b"), col("n_a"),
+        col("conv_a"), col("n_b"), col("conv_b"), col("lift"), col("z"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
   /** Per-group simple linear regression (OLS y = a + b·x) from EXACT
     * fixed-point moment sums — the trend-per-segment primitive (price
     * curves per brand, score drift per source, …) computed as ONE

@@ -155,6 +155,39 @@ class AnalyticsSpec extends SparkSpec {
       Analytics.cooccurrence(d, "txn", "item", maxItemsPerTxn = 1))
   }
 
+  private val abSchema = StructType(Seq(
+    StructField("exp", StringType), StructField("variant", StringType),
+    StructField("conv", BooleanType)))
+
+  test("abTest: hand-computed z and CI; two-arm contract enforced") {
+    // control: 2/4 convert; treatment: 3/4 convert
+    val rows = Seq(
+      Row("e1", "a_ctl", true), Row("e1", "a_ctl", true),
+      Row("e1", "a_ctl", false), Row("e1", "a_ctl", false),
+      Row("e1", "b_trt", true), Row("e1", "b_trt", true),
+      Row("e1", "b_trt", true), Row("e1", "b_trt", false))
+    val r = Analytics.abTest(df(abSchema, rows), "exp", "variant", "conv").head()
+    assert(r.getString(1) == "a_ctl" && r.getString(2) == "b_trt")
+    assert(r.getLong(3) == 4L && r.getLong(4) == 2L &&
+      r.getLong(5) == 4L && r.getLong(6) == 3L)
+    val (pa, pb, pp) = (0.5, 0.75, 5.0 / 8.0)
+    assert(math.abs(r.getDouble(7) - 0.25) < 1e-12) // lift
+    val z = (pb - pa) / math.sqrt(pp * (1 - pp) * (1.0 / 4 + 1.0 / 4))
+    assert(math.abs(r.getDouble(8) - z) < 1e-12)
+    val se = math.sqrt(pa * (1 - pa) / 4 + pb * (1 - pb) / 4)
+    assert(math.abs(r.getDouble(9) - (0.25 - 1.96 * se)) < 1e-12)
+    assert(math.abs(r.getDouble(10) - (0.25 + 1.96 * se)) < 1e-12)
+    // degenerate pooled rate → null z, real CI
+    val allConv = Seq(Row("e2", "a", true), Row("e2", "b", true))
+    assert(Analytics.abTest(df(abSchema, allConv), "exp", "variant", "conv")
+      .head().isNullAt(8))
+    // three arms fail loudly
+    val multi = rows :+ Row("e1", "c_x", true)
+    val ex = intercept[IllegalArgumentException](
+      Analytics.abTest(df(abSchema, multi), "exp", "variant", "conv"))
+    assert(ex.getMessage.contains("exactly two variants"))
+  }
+
   private val olsSchema = StructType(Seq(
     StructField("g", StringType), StructField("x", DoubleType),
     StructField("y", DoubleType)))
