@@ -1786,6 +1786,14 @@ object SparkEntry {
           "user_id", "event_id", "value", alpha = 0.5, gamma = 0.25)
         .orderBy(col("event_id"))),
 
+    "q_seasonal" -> ((s, dir) =>
+      // hour-of-week seasonal anomaly: each point vs the trailing mean
+      // of its own slot — long sums over the frame (never a double avg,
+      // whose frame-summation order differs per engine), integer gate
+      operators.TimeSeries.seasonalBaseline(T(s, dir, "events"),
+          "user_id", "ts", "event_id", "value", k = 4)
+        .orderBy(col("event_id"))),
+
     "q_ab_test" -> ((s, dir) =>
       // experiment readout: user-parity variants per event_type,
       // conversion = value > 50 — exact counts, pinned z / lift / Wald CI
@@ -4598,6 +4606,30 @@ object SparkEntry {
         |       f.lvl + f.trd AS forecast
         |FROM f JOIN e ON e.event_id = f.event_id
         |ORDER BY f.event_id""".stripMargin,
+
+    // Identical (entity, slot) frame; long sums and integer div make
+    // the baseline engine-exact (values are non-negative here, so
+    // truncating and flooring division agree).
+    "q_seasonal" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CAST((CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) % 168 AS INTEGER) AS slot,
+        |         CAST(FLOOR(value * 1000000.0) AS BIGINT) AS vfp
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, ts, value, slot, vfp,
+        |         SUM(vfp) OVER f AS hsum,
+        |         COUNT(1) OVER f AS n_hist
+        |  FROM v
+        |  WINDOW f AS (PARTITION BY user_id, slot ORDER BY ts, event_id
+        |               ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, ts, value, slot, n_hist,
+        |       CASE WHEN n_hist > 0 THEN CAST(hsum AS BIGINT) // n_hist END AS baseline_fp,
+        |       CASE WHEN n_hist > 0
+        |             AND abs(vfp - CAST(hsum AS BIGINT) // n_hist) * 1000
+        |                 > 500 * abs(CAST(hsum AS BIGINT) // n_hist)
+        |            THEN 1 ELSE 0 END AS anomaly
+        |FROM w ORDER BY event_id""".stripMargin,
 
     // Exact counts; the z / lift / CI doubles mirror the operator's
     // expression tree factor for factor (each CAST separate, products

@@ -189,6 +189,50 @@ object TimeSeries {
     folded.withColumn("alarm", (col("cusum_fp") > lit(hFp)).cast("int"))
   }
 
+  /** Seasonal-baseline anomaly detection: compare each point against
+    * the trailing mean of its OWN seasonal slot (same hour-of-week by
+    * default) — the traffic-metrics detector CUSUM can't be (CUSUM
+    * finds sustained drift; this finds "Tuesday 9am looks nothing like
+    * the last k Tuesday 9ams" while ignoring ordinary weekly shape).
+    * ENTIRELY fixed-point: values quantize to 1e-6 longs, the trailing
+    * window is a LONG sum over the frame (a double avg would inherit
+    * the engine's frame-summation order — DuckDB's segment tree sums
+    * in tree order, not left-to-right), the baseline is an exact
+    * integer div, and the gate is integer arithmetic
+    * (|v − b| · 1000 > permille · |b|). The window is per
+    * (entity, slot), ordered by (ts, tie) — sharded by the entity key.
+    * Points with no history keep a null baseline and never flag.
+    * Output: input keys + (slot, n_hist, baseline_fp, anomaly). */
+  def seasonalBaseline(df: DataFrame, entityCol: String, tsCol: String,
+                       tieCol: String, valueCol: String,
+                       slotSeconds: Long = 3600L, periodSlots: Int = 168,
+                       k: Int = 4, relPermille: Long = 500L): DataFrame = {
+    require(slotSeconds > 0L && periodSlots >= 2, s"bad slot grid: $slotSeconds/$periodSlots")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(relPermille > 0L, s"relPermille must be positive, got $relPermille")
+    val vFp = floor(col(valueCol) * lit(1e6)).cast("long")
+    val frame = Window.partitionBy(col(entityCol), col("slot"))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(-k, -1)
+    df.select(col(entityCol), col(tieCol), col(tsCol), col(valueCol))
+      .withColumn("_sec", unix_timestamp(col(tsCol)))
+      // integer div, not Column./ (double division)
+      .withColumn("slot",
+        expr(s"CAST(pmod(_sec div $slotSeconds, $periodSlots) AS INT)"))
+      .withColumn("_vfp", vFp)
+      .withColumn("_hsum", sum(col("_vfp")).over(frame))
+      .withColumn("n_hist", count(lit(1)).over(frame))
+      .withColumn("baseline_fp",
+        when(col("n_hist") > 0L, expr("_hsum div n_hist")))
+      .withColumn("anomaly",
+        (col("n_hist") > 0L &&
+          abs(col("_vfp") - col("baseline_fp")) * lit(1000L) >
+            lit(relPermille) * abs(col("baseline_fp"))).cast("int"))
+      .select(col(entityCol), col(tieCol), col(tsCol), col(valueCol),
+        col("slot"), col("n_hist"), col("baseline_fp"), col("anomaly"))
+      .withColumn("anomaly", coalesce(col("anomaly"), lit(0)))
+  }
+
   /** OHLC downsampling: collapse an event stream to one candle per
     * (entity, fixed bucket) — open/high/low/close/count plus an EXACT
     * fixed-point value sum. ONE partial-aggregated groupBy is the whole

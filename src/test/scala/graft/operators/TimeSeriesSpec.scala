@@ -135,6 +135,34 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.downsample(df(ohlcSchema, rows), "uid", "ts", "v", "id", 0L))
   }
 
+  test("seasonalBaseline: per-slot trailing mean, cross-slot isolation, cold start") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val sch = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", TimestampType),
+      StructField("id", LongType), StructField("v", DoubleType)))
+    // same hour-of-week slot across 4 weeks: 10, 10, 10, then a 3x spike;
+    // one off-slot event in between must not pollute the baseline
+    val rows = Seq(
+      Row(1L, t("2024-01-01 09:30:00"), 1L, 10.0),
+      Row(1L, t("2024-01-08 09:30:00"), 2L, 10.0),
+      Row(1L, t("2024-01-10 14:00:00"), 3L, 999.0), // different slot
+      Row(1L, t("2024-01-15 09:30:00"), 4L, 10.0),
+      Row(1L, t("2024-01-22 09:30:00"), 5L, 30.0))  // 3x the slot baseline
+    val out = TimeSeries.seasonalBaseline(df(sch, rows), "uid", "ts", "id", "v",
+        k = 4, relPermille = 500L)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(5), if (r.isNullAt(6)) -1L else r.getLong(6), r.getInt(7))).toMap
+    assert(out(1L) == ((0L, -1L, 0)), "cold start: no history, null baseline, no flag")
+    assert(out(2L) == ((1L, 10000000L, 0)))
+    assert(out(4L) == ((2L, 10000000L, 0)))
+    // spike: baseline 10, |30-10|*1000 > 500*10 → anomaly
+    assert(out(5L) == ((3L, 10000000L, 1)), s"got ${out(5L)}")
+    // the off-slot 999 never entered any 09:30 baseline
+    assert(out(3L)._1 == 0L, "different slot has its own empty history")
+    intercept[IllegalArgumentException](
+      TimeSeries.seasonalBaseline(df(sch, rows), "uid", "ts", "id", "v", k = 0))
+  }
+
   private val ivSchema = StructType(Seq(
     StructField("uid", LongType), StructField("s", LongType),
     StructField("e", LongType)))
