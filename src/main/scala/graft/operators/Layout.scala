@@ -75,4 +75,45 @@ object Layout {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-files compaction: rewrite a parquet table dir into
+    * ⌈totalBytes / targetFileBytes⌉ files — the maintenance pass every
+    * streaming/incremental sink needs (a thousand 100 KB part files
+    * make the NEXT reader pay a task per file and the namenode pay an
+    * inode each; at 100 TB the small-files problem kills clusters
+    * before capacity does). SHUFFLE-FREE by construction: the scan
+    * already groups small files into `maxPartitionBytes` splits, and
+    * `coalesce` (never `repartition`) narrows to the target count.
+    * Publish is the connector contract — write to a tmp dir, one
+    * atomic rename — so readers never observe partial state.
+    * Returns (filesBefore, filesAfter). */
+  def compactSmallFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+                        targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetFileBytes > 0L, s"targetFileBytes must be positive, got $targetFileBytes")
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val dataFiles = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.LocatedFileStatus]()
+      while (it.hasNext) {
+        val s = it.next()
+        val n = s.getPath.getName
+        if (s.isFile && n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_"))
+          buf += s
+      }
+      buf.toSeq
+    }
+    require(dataFiles.nonEmpty, s"compactSmallFiles: no data files under $path")
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val target = math.max(1L, (totalBytes + targetFileBytes - 1L) / targetFileBytes).toInt
+    val dir = java.nio.file.Paths.get(path).getParent
+    val tmp = java.nio.file.Paths.get(dir.toString,
+      s".tmp_compact_${System.nanoTime()}")
+    spark.read.parquet(path).coalesce(target)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+    graft.sources.FileTableOps.replace(dir.toString, tmp, java.nio.file.Paths.get(path))
+    (dataFiles.length, target)
+  }
 }

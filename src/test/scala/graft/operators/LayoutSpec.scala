@@ -49,4 +49,37 @@ class LayoutSpec extends SparkSpec {
     assert(back.agg(sum(col("x") * 64 + col("y"))).head().getLong(0) ==
       d.agg(sum(col("x") * 64 + col("y"))).head().getLong(0))
   }
+
+  test("compactSmallFiles: many tiny files collapse to the byte target, rows intact") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir("graft_compact_") + "/t.parquet"
+    val spark2 = spark
+    import spark2.implicits._
+    // 40 separate appends → ≥40 small part files
+    (1 to 40).foreach { i =>
+      Seq.tabulate(50)(j => (i.toLong * 1000 + j, s"row_${i}_$j"))
+        .toDF("id", "s").coalesce(1).write.mode("append").parquet(dir)
+    }
+    def files() = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_"))
+      .toSeq
+    val before = files().size
+    assert(before >= 40)
+    val sumBefore = spark.read.parquet(dir).agg(sum("id")).head().getLong(0)
+    // huge target → everything folds into ONE file
+    val (nb, na) = Layout.compactSmallFiles(spark, dir, targetFileBytes = 1L << 30)
+    assert(nb == before && na == 1)
+    assert(files().size == 1, s"got ${files()}")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 2000)
+    assert(after.agg(sum("id")).head().getLong(0) == sumBefore)
+    // plan sanity: the compaction itself must be coalesce, not a shuffle
+    val plan = spark.read.parquet(dir).coalesce(1).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "compaction read must be shuffle-free:\n" + plan)
+    intercept[IllegalArgumentException](
+      Layout.compactSmallFiles(spark, dir, targetFileBytes = 0L))
+  }
 }
