@@ -188,6 +188,47 @@ object IncrementalStream {
       }
   }
 
+  /** One smoothed point of a streaming EWMA fold. */
+  case class SmoothedPoint(key: Long, order_id: Long, value: Double, ewma: Double)
+
+  /** Always-on exponential smoothing: the batch
+    * [[graft.operators.TimeSeries.ewma]] recursion carried across
+    * micro-batches — per-key state is the single last smoothed double,
+    * every arriving point emitted with its EWMA. The fold is the
+    * IDENTICAL IEEE arithmetic as the batch operator (the first value a
+    * key ever sees initializes the state, exactly the batch init), so
+    * stream-equals-batch holds bit-for-bit on the same series split
+    * across micro-batches (spec-pinned, like [[driftAlarmStream]]).
+    * Same ordering contract and bounded-state story as the drift
+    * alarm: one double per key, no watermark eviction (evicting would
+    * silently restart the smoothing mid-series). */
+  def ewmaStream(src: DataFrame, keyCol: String, orderCol: String,
+                 valueCol: String, alpha: Double): org.apache.spark.sql.Dataset[SmoothedPoint] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val spark = src.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val oneMinus = 1.0 - alpha
+    src.select(col(keyCol).cast("long"), col(orderCol).cast("long"),
+        col(valueCol).cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Double, SmoothedPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) { (key, rows, state) =>
+        var s = state.getOption
+        val out = rows.toArray.sortBy(_._2).map { case (_, oid, v) =>
+          val next = s match {
+            case Some(prev) => alpha * v + oneMinus * prev
+            case None => v
+          }
+          s = Some(next)
+          SmoothedPoint(key, oid, v, next)
+        }
+        s.foreach(state.update)
+        out.iterator
+      }
+  }
+
   /** Streaming exact dedup for continuous ingest: drop any document
     * whose normalized-content fingerprint was already seen within the
     * watermark horizon — the always-on form of `Dedup.exact`. State is

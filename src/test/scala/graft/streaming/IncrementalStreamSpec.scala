@@ -388,6 +388,30 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(snapshot().toSeq == got.toSeq, "replayed batches created duplicate versions")
   }
 
+  test("ewmaStream equals the batch EWMA recursion across micro-batches") {
+    val seqSchema = StructType(Seq(
+      StructField("uid", LongType), StructField("ord", LongType),
+      StructField("v", DoubleType)))
+    val fileA = Seq(Row(1L, 1L, 10.0), Row(1L, 2L, 20.0), Row(2L, 1L, 5.0))
+    val fileB = Seq(Row(1L, 3L, 30.0), Row(2L, 2L, 7.0))
+    val srcDir = tmpDir("graft_ewma_src_")
+    df(seqSchema, fileA).coalesce(1).write.mode("append").parquet(srcDir)
+    Thread.sleep(1500)
+    df(seqSchema, fileB).coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = IncrementalStream.readStream(spark, srcDir, seqSchema,
+      maxFilesPerTrigger = 1)
+    val smoothed = IncrementalStream.ewmaStream(stream, "uid", "ord", "v", alpha = 0.25)
+    IncrementalStream.runToMemory(smoothed.toDF(), "ewma_test")
+    val got = spark.sql("SELECT * FROM ewma_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val batch = graft.operators.TimeSeries.ewma(
+      df(seqSchema, fileA ++ fileB), "uid", "ord", "v", alpha = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(got == batch, s"stream $got\nbatch $batch")
+    // bit-equality on the cross-batch point (state carried, not re-inited)
+    assert(got((1L, 3L)) == 0.25 * 30.0 + 0.75 * (0.25 * 20.0 + 0.75 * 10.0))
+  }
+
   test("driftAlarmStream equals the batch CUSUM fold across micro-batches") {
     val seqSchema = StructType(Seq(
       StructField("uid", LongType), StructField("ord", LongType),
