@@ -1786,6 +1786,27 @@ object SparkEntry {
           "user_id", "event_id", "value", alpha = 0.5, gamma = 0.25)
         .orderBy(col("event_id"))),
 
+    "q_winsorize" -> ((s, dir) =>
+      // tail taming: clamp value into its event_type's [p5, p95]
+      // rank-selected band — actual data values as clamp edges
+      operators.Profile.winsorize(
+          T(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+          Seq("event_type"), "value", loP = 0.05, hiP = 0.95, exact = true)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("lo"), col("hi"), col("value_w"))
+        .orderBy(col("event_id"))),
+
+    "q_welch_t" -> ((s, dir) =>
+      // continuous-metric experiment readout: Welch's unequal-variance
+      // t from DECIMAL-exact moment sums, pinned doubles at the end
+      operators.Analytics.welchT(
+          T(s, dir, "events").select(col("event_type").as("experiment"),
+            when(pmod(col("user_id"), lit(2L)) === 0L, lit("control"))
+              .otherwise(lit("treatment")).as("variant"),
+            col("value")),
+          "experiment", "variant", "value", scale = 6)
+        .orderBy(col("experiment"))),
+
     "q_seasonal" -> ((s, dir) =>
       // hour-of-week seasonal anomaly: each point vs the trailing mean
       // of its own slot — long sums over the frame (never a double avg,
@@ -4606,6 +4627,56 @@ object SparkEntry {
         |       f.lvl + f.trd AS forecast
         |FROM f JOIN e ON e.event_id = f.event_id
         |ORDER BY f.event_id""".stripMargin,
+
+    // PERCENTILE_DISC rank selections (rank = ceil(p·n)) as clamp
+    // edges; LEAST/GREATEST of actual data values — exact everywhere.
+    "q_winsorize" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT event_type,
+        |         MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT) THEN value END) AS lo,
+        |         MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN value END) AS hi
+        |  FROM (SELECT event_type, value,
+        |               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |               COUNT(1) OVER (PARTITION BY event_type) AS n
+        |        FROM events WHERE value IS NOT NULL)
+        |  GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value, b.lo, b.hi,
+        |       CASE WHEN e.value IS NULL THEN NULL
+        |            ELSE LEAST(GREATEST(e.value, b.lo), b.hi) END AS value_w
+        |FROM events e LEFT JOIN b USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+
+    // HUGEINT moment sums; mean/variance/se/t/df mirror the operator's
+    // double sequence term for term (each CAST separate, left-assoc).
+    "q_welch_t" ->
+      """WITH e AS (SELECT event_type AS experiment,
+        |        CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS v,
+        |        CAST(FLOOR(value * 1000000.0) AS HUGEINT) AS x
+        |      FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT experiment, v, CAST(COUNT(*) AS HUGEINT) AS n,
+        |             SUM(x) AS sx, SUM(x*x) AS sxx FROM e GROUP BY 1, 2),
+        |j AS (SELECT a.experiment, a.v AS variant_a, b.v AS variant_b,
+        |             a.n AS na, a.sx AS sxa, a.sxx AS sxxa,
+        |             b.n AS nb, b.sx AS sxb, b.sxx AS sxxb
+        |      FROM g a JOIN g b ON a.experiment = b.experiment AND a.v < b.v),
+        |s AS (SELECT *,
+        |        CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) / 1000000.0 AS ma,
+        |        CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) / 1000000.0 AS mb,
+        |        CASE WHEN na > 1 THEN CAST(na * sxxa - sxa * sxa AS DOUBLE)
+        |             / CAST(na * (na - 1) AS DOUBLE) / 1000000.0 / 1000000.0 END AS va,
+        |        CASE WHEN nb > 1 THEN CAST(nb * sxxb - sxb * sxb AS DOUBLE)
+        |             / CAST(nb * (nb - 1) AS DOUBLE) / 1000000.0 / 1000000.0 END AS vb
+        |      FROM j),
+        |s2 AS (SELECT *, va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE) AS sesq FROM s)
+        |SELECT experiment, variant_a, variant_b,
+        |       CAST(na AS BIGINT) AS n_a, ma AS mean_a,
+        |       CAST(nb AS BIGINT) AS n_b, mb AS mean_b, mb - ma AS diff,
+        |       CASE WHEN sesq > 0.0 THEN (mb - ma) / sqrt(sesq) END AS t,
+        |       CASE WHEN sesq > 0.0 THEN (sesq * sesq)
+        |         / ((va / CAST(na AS DOUBLE)) * (va / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0)
+        |            + (vb / CAST(nb AS DOUBLE)) * (vb / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0))
+        |       END AS df
+        |FROM s2 ORDER BY experiment""".stripMargin,
 
     // Identical (entity, slot) frame; long sums and integer div make
     // the baseline engine-exact (values are non-negative here, so

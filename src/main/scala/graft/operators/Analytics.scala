@@ -276,6 +276,64 @@ object Analytics {
         col("ci_lo"), col("ci_hi"))
   }
 
+  /** Welch's two-sample t statistic per experiment over a CONTINUOUS
+    * metric (revenue per user, latency, tokens per doc) — the unequal-
+    * variance companion of [[abTest]]'s proportion z. Same exactness
+    * contract as [[groupedOls]]: values quantize to ⌊v·10^scale⌋ and
+    * n, Σx, Σx² accumulate as DECIMAL(38,0) integers per variant (one
+    * partial-aggregated pass); mean, sample variance (n−1), the Welch
+    * standard error, t, and the Welch–Satterthwaite df are pinned
+    * double sequences over those exact sums (`q_welch_t` replays them
+    * over HUGEINT). Exactly two variants per experiment (enforced
+    * loudly); single-observation or zero-variance-pair arms surface
+    * null t/df, never a division by zero.
+    *
+    * Output: (experiment, variant_a, variant_b, n_a, mean_a, n_b,
+    * mean_b, diff, t, df) — variant_a < variant_b, means in original
+    * units. */
+  def welchT(df: DataFrame, expCol: String, variantCol: String,
+             valueCol: String, scale: Int = 6): DataFrame = {
+    require(scale >= 0 && scale <= 9, s"scale must be in [0, 9], got $scale")
+    val p = math.pow(10.0, scale)
+    val agg = df.filter(col(valueCol).isNotNull)
+      .select(col(expCol), col(variantCol).cast("string").as("_v"),
+        floor(col(valueCol) * lit(p)).cast("decimal(38,0)").as("_x"))
+      .groupBy(col(expCol), col("_v"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("_n"),
+        sum(col("_x")).as("_sx"), sum(col("_x") * col("_x")).as("_sxx"))
+    val arms = agg.groupBy(col(expCol)).agg(count(lit(1)).as("_arms"))
+      .filter(col("_arms") =!= 2).limit(1).collect()
+    require(arms.isEmpty,
+      s"welchT: experiment '${if (arms.nonEmpty) arms.head.get(0) else ""}' does not " +
+        "have exactly two variants")
+    def side(s: String) = agg.select(col(expCol), col("_v").as(s"variant_$s"),
+      col("_n").as(s"_n$s"), col("_sx").as(s"_sx$s"), col("_sxx").as(s"_sxx$s"))
+    val j = side("a").join(side("b"), Seq(expCol))
+      .filter(col("variant_a") < col("variant_b"))
+    // mean and (n−1)-variance from exact sums; var numerator n·Σx²−(Σx)²
+    // stays DECIMAL-exact, denominators n·(n−1) too
+    def stats(s: String) = {
+      val n = col(s"_n$s"); val sx = col(s"_sx$s"); val sxx = col(s"_sxx$s")
+      val mean = sx.cast("double") / n.cast("double") / lit(p)
+      val varNum = n * sxx - sx * sx
+      val varD = when(n > 1,
+        varNum.cast("double") / (n * (n - 1)).cast("double") / lit(p) / lit(p))
+      (mean, varD, n)
+    }
+    val (ma, va, na) = stats("a")
+    val (mb, vb, nb) = stats("b")
+    val seSq = va / na.cast("double") + vb / nb.cast("double")
+    val t = when(seSq > 0.0, (mb - ma) / sqrt(seSq))
+    val dfW = when(seSq > 0.0,
+      (seSq * seSq) /
+        ((va / na.cast("double")) * (va / na.cast("double")) / (na.cast("double") - 1.0) +
+         (vb / nb.cast("double")) * (vb / nb.cast("double")) / (nb.cast("double") - 1.0)))
+    j.select(col(expCol), col("variant_a"), col("variant_b"),
+      na.cast("long").as("n_a"), ma.as("mean_a"),
+      nb.cast("long").as("n_b"), mb.as("mean_b"),
+      (mb - ma).as("diff"), t.as("t"), dfW.as("df"))
+  }
+
   /** Per-group simple linear regression (OLS y = a + b·x) from EXACT
     * fixed-point moment sums — the trend-per-segment primitive (price
     * curves per brand, score drift per source, …) computed as ONE

@@ -159,6 +159,35 @@ object Profile {
         col("n_distinct"), col("min_val"), col("max_val"))
   }
 
+  /** Per-group winsorization: clamp `valueCol` into its group's
+    * [p_lo, p_hi] rank-selected band — the outlier TAMER next to
+    * [[robustOutliers]]'s outlier FLAGGER (training pipelines usually
+    * want heavy tails pulled in, not rows dropped). Bounds come from
+    * [[percentiles]] — PERCENTILE_DISC selections, so both clamp edges
+    * are actual data values any engine reproduces; same
+    * exact-vs-sketch mode contract (sketch is the 100 TB default, the
+    * rank window the oracle-replayable audit mode). The bounds table
+    * is one row per group (broadcast); null values pass through null.
+    * Output: input columns + (lo, hi, value_w). */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                loP: Double = 0.05, hiP: Double = 0.95,
+                exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(loP > 0.0 && loP < hiP && hiP <= 1.0,
+      s"need 0 < loP < hiP <= 1, got $loP/$hiP")
+    def pName(p: Double): String = "p_" + (p * 100).round.toString
+    val bounds = percentiles(df, groupCols, valueCol, Seq(loP, hiP), exact, accuracy)
+      .select(groupCols.map(col) :+ col(pName(loP)).as("lo") :+
+        col(pName(hiP)).as("hi"): _*)
+    // left join: groups with no non-null values keep their rows (null
+    // bounds are skipped by least/greatest, so the value passes
+    // through); null VALUES must be guarded explicitly — the same
+    // null-skipping would otherwise clamp them onto the lower bound
+    df.join(broadcast(bounds), groupCols, "left")
+      .withColumn("value_w",
+        when(col(valueCol).isNull, lit(null))
+          .otherwise(least(greatest(col(valueCol), col("lo")), col("hi"))))
+  }
+
   /** Quantile normalization across sources — score calibration for
     * mixed corpora: each source's `valueCol` distribution maps onto the
     * POOLED distribution, so "top 10% within its source" means the same

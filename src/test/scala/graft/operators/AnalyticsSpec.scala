@@ -188,6 +188,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(ex.getMessage.contains("exactly two variants"))
   }
 
+  private val wtSchema = StructType(Seq(
+    StructField("exp", StringType), StructField("variant", StringType),
+    StructField("v", DoubleType)))
+
+  test("welchT: hand-computed t and Welch-Satterthwaite df; degenerate arms null-safe") {
+    // control [1,2,3]: mean 2 var 1; treatment [2,4,6]: mean 4 var 4
+    val rows = Seq(1.0, 2.0, 3.0).map(Row("e1", "a_ctl", _)) ++
+      Seq(2.0, 4.0, 6.0).map(Row("e1", "b_trt", _))
+    val r = Analytics.welchT(df(wtSchema, rows), "exp", "variant", "v").head()
+    assert(r.getLong(3) == 3L && r.getLong(5) == 3L)
+    assert(math.abs(r.getDouble(4) - 2.0) < 1e-9 && math.abs(r.getDouble(6) - 4.0) < 1e-9)
+    assert(math.abs(r.getDouble(7) - 2.0) < 1e-9) // diff
+    val seSq = 1.0 / 3 + 4.0 / 3
+    assert(math.abs(r.getDouble(8) - 2.0 / math.sqrt(seSq)) < 1e-9)
+    val dfW = seSq * seSq / ((1.0 / 3) * (1.0 / 3) / 2 + (4.0 / 3) * (4.0 / 3) / 2)
+    assert(math.abs(r.getDouble(9) - dfW) < 1e-9) // 50/17
+    // single-observation arm → null variance → null t and df
+    val tiny = Seq(Row("e2", "a", 1.0), Row("e2", "b", 2.0), Row("e2", "b", 3.0))
+    val r2 = Analytics.welchT(df(wtSchema, tiny), "exp", "variant", "v").head()
+    assert(r2.isNullAt(8) && r2.isNullAt(9))
+    assert(math.abs(r2.getDouble(7) - 1.5) < 1e-9, "diff still reported")
+    intercept[IllegalArgumentException](
+      Analytics.welchT(df(wtSchema, rows :+ Row("e1", "c", 1.0)), "exp", "variant", "v"))
+  }
+
   private val olsSchema = StructType(Seq(
     StructField("g", StringType), StructField("x", DoubleType),
     StructField("y", DoubleType)))

@@ -156,6 +156,30 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException](Profile.benford(df(sch, rows), Seq.empty, "v"))
   }
 
+  test("winsorize: rank-selected clamp band, null passthrough, sketch agrees at test scale") {
+    val sch = StructType(Seq(
+      StructField("g", StringType), StructField("v", DoubleType)))
+    val rows = (1 to 20).map(i => Row("a", i.toDouble)) :+ Row("a", null) :+ Row("b", 7.0)
+    val out = Profile.winsorize(df(sch, rows), Seq("g"), "v",
+      loP = 0.05, hiP = 0.95, exact = true)
+      .collect().map(r => (r.getString(0), Option(r.get(1))) ->
+        (Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    // band for a: [1, 19] (ceil(.05*20)=1st, ceil(.95*20)=19th value)
+    assert(out(("a", Some(20.0))) == ((Some(1.0), Some(19.0), Some(19.0))))
+    assert(out(("a", Some(1.0)))._3 == Some(1.0), "lower edge value stays")
+    assert(out(("a", Some(10.0)))._3 == Some(10.0), "interior untouched")
+    assert(out(("a", None))._3 == None, "null value stays null")
+    // singleton group clamps onto itself
+    assert(out(("b", Some(7.0))) == ((Some(7.0), Some(7.0), Some(7.0))))
+    // sketch mode agrees in its exact regime
+    val sk = Profile.winsorize(df(sch, rows), Seq("g"), "v", 0.05, 0.95,
+      exact = false, accuracy = 10000)
+      .collect().map(r => (r.getString(0), Option(r.get(1))) -> Option(r.get(4))).toMap
+    assert(sk == out.view.mapValues(_._3).toMap)
+    intercept[IllegalArgumentException](
+      Profile.winsorize(df(sch, rows), Seq("g"), "v", 0.9, 0.5))
+  }
+
   test("quantileNormalize: per-source ranks map onto the pooled grid; selected values only") {
     val sch = StructType(Seq(
       StructField("id", LongType), StructField("src", StringType),
