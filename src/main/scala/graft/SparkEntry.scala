@@ -1786,6 +1786,13 @@ object SparkEntry {
           "user_id", "event_id", "value", alpha = 0.5, gamma = 0.25)
         .orderBy(col("event_id"))),
 
+    "q_bootstrap_ci" -> ((s, dir) =>
+      // uncertainty at scale: Poisson bootstrap of mean(n_chars) — a
+      // seeded weight per (row, replica), integer replica means,
+      // rank-selected CI band; no doubles anywhere
+      operators.Analytics.bootstrapMeanCI(T(s, dir, "documents"),
+          "n_chars", "doc_id", replicas = 50, seed = 999L)),
+
     "q_winsorize" -> ((s, dir) =>
       // tail taming: clamp value into its event_type's [p5, p95]
       // rank-selected band — actual data values as clamp edges
@@ -4627,6 +4634,37 @@ object SparkEntry {
         |       f.lvl + f.trd AS forecast
         |FROM f JOIN e ON e.event_id = f.event_id
         |ORDER BY f.event_id""".stripMargin,
+
+    // The identical LCG → literal Poisson CDF table → integer replica
+    // means → rank-selected band; ids non-negative so % == pmod.
+    "q_bootstrap_ci" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT doc_id AS id, CAST(FLOOR(n_chars * 1000000.0) AS BIGINT) AS vfp
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |rr AS (SELECT unnest(range(0, 50)) AS r),
+        |e AS (SELECT id, vfp, r,
+        |        (((id * 50 + r + 999) % 2147483648) * 1103515245 + 999) % 2147483648 AS u
+        |      FROM v CROSS JOIN rr),
+        |w AS (SELECT r, vfp,
+        |        CASE WHEN u < 790015084 THEN 0 WHEN u < 1580030168 THEN 1
+        |             WHEN u < 1975037710 THEN 2 WHEN u < 2106706891 THEN 3
+        |             WHEN u < 2139624186 THEN 4 WHEN u < 2146207645 THEN 5
+        |             WHEN u < 2147304888 THEN 6 WHEN u < 2147461638 THEN 7
+        |             WHEN u < 2147481231 THEN 8 ELSE 9 END AS w
+        |      FROM e),
+        |pr AS (SELECT r, SUM(w * vfp) // SUM(w) AS mean_fp
+        |       FROM w GROUP BY r HAVING SUM(w) > 0),
+        |bc AS (SELECT COUNT(1) AS b FROM pr),
+        |rk AS (SELECT mean_fp, row_number() OVER (ORDER BY mean_fp, r) AS rn FROM pr),
+        |band AS (
+        |  SELECT MAX(CASE WHEN rn = (50 * b + 1999) // 2000 THEN mean_fp END) AS ci_lo_fp,
+        |         MAX(CASE WHEN rn = (1950 * b + 1999) // 2000 THEN mean_fp END) AS ci_hi_fp
+        |  FROM rk CROSS JOIN bc),
+        |fl AS (SELECT COUNT(1) AS n, SUM(vfp) // COUNT(1) AS mean_fp FROM v)
+        |SELECT fl.n, bc.b AS replicas, CAST(fl.mean_fp AS BIGINT) AS mean_fp,
+        |       CAST(band.ci_lo_fp AS BIGINT) AS ci_lo_fp,
+        |       CAST(band.ci_hi_fp AS BIGINT) AS ci_hi_fp
+        |FROM fl CROSS JOIN band CROSS JOIN bc""".stripMargin,
 
     // PERCENTILE_DISC rank selections (rank = ceil(p·n)) as clamp
     // edges; LEAST/GREATEST of actual data values — exact everywhere.

@@ -276,6 +276,71 @@ object Analytics {
         col("ci_lo"), col("ci_hi"))
   }
 
+  /** Poisson-bootstrap confidence interval for a mean — THE bootstrap
+    * that survives scale (resampling n rows with replacement needs a
+    * global index; giving every row an independent Poisson(1) weight
+    * per replica needs nothing but the row — one projection + one
+    * partial-aggregated pass, embarrassingly parallel at any corpus
+    * size; Chamandy et al., "Estimating Uncertainty for Massive Data
+    * Streams", Google 2012). ENTIRELY integer-exact: the per-(row,
+    * replica) weight comes from the [[Dsir.resampleGumbel]] LCG
+    * contract mapped through a LITERAL fixed-point Poisson(1) CDF
+    * table (no engine evaluates exp), values quantize to 1e-6 longs,
+    * replica means are integer divisions of exact sums, and the CI
+    * bounds are rank-SELECTED replica means — no doubles anywhere, so
+    * any engine replays every output bit (`q_bootstrap_ci`).
+    *
+    * Output: one row — (n, replicas, mean_fp = the full-sample mean,
+    * ci_lo_fp, ci_hi_fp), all 1e-6 fixed-point longs; the interval is
+    * the [⌈α/2·B⌉, ⌈(1−α/2)·B⌉] rank band of the replica means.
+    * Replicas with zero effective weight (possible only for tiny n)
+    * are dropped from the band. */
+  def bootstrapMeanCI(df: DataFrame, valueCol: String, idCol: String,
+                      replicas: Int = 50, seed: Long = 12345L,
+                      alphaPermille: Int = 50): DataFrame = {
+    require(replicas >= 4, s"replicas must be >= 4, got $replicas")
+    require(seed >= 0L, s"seed must be >= 0, got $seed")
+    require(alphaPermille >= 1 && alphaPermille < 1000,
+      s"alphaPermille must be in [1, 999], got $alphaPermille")
+    val m = 2147483648L // 2^31
+    // ⌊CDF_Poisson(1)(k)·2^31⌋ for k = 0..8 — literals, not runtime exp;
+    // u past the last threshold draws weight 9 (mass ~1e-9)
+    val th = Seq(790015084L, 1580030168L, 1975037710L, 2106706891L,
+      2139624186L, 2146207645L, 2147304888L, 2147461638L, 2147481231L)
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol).cast("long").as("_id"),
+        floor(col(valueCol) * lit(1e6)).cast("long").as("_vfp"))
+    val exploded = vals
+      .select(col("_id"), col("_vfp"),
+        posexplode(array_repeat(lit(1), replicas)).as(Seq("_r", "_one")))
+      // seed sits INSIDE the multiply: a +1 seed then shifts u by the
+      // full multiplier, not by 1 (additive-only seeding left the
+      // weight table nearly unchanged between adjacent seeds)
+      .withColumn("_u", pmod(
+        pmod(col("_id") * replicas + col("_r") + lit(seed), lit(m)) * lit(1103515245L) +
+          lit(seed), lit(m)))
+      .withColumn("_w", th.zipWithIndex.foldRight(lit(9L): Column) {
+        case ((t, k), rest) => when(col("_u") < t, k.toLong).otherwise(rest)
+      })
+    val perReplica = exploded.groupBy(col("_r"))
+      .agg(sum(col("_w") * col("_vfp")).as("_ws"), sum(col("_w")).as("_wn"))
+      .filter(col("_wn") > 0L)
+      .select(col("_r"), expr("_ws div _wn").as("_mean_fp"))
+    // B rows: rank-select the band edges (tiny, but stay distributed)
+    val b = perReplica.count()
+    val loRank = (alphaPermille.toLong * b + 1999L) / 2000L // ceil(α/2·B)
+    val hiRank = ((2000L - alphaPermille) * b + 1999L) / 2000L
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_mean_fp"), col("_r"))
+    val band = perReplica.withColumn("_rn", row_number().over(w))
+      .agg(max(when(col("_rn") === loRank, col("_mean_fp"))).as("ci_lo_fp"),
+        max(when(col("_rn") === hiRank, col("_mean_fp"))).as("ci_hi_fp"))
+    val full = vals.agg(count(lit(1)).as("n"), sum(col("_vfp")).as("_s"))
+      .select(col("n"), expr("_s div n").as("mean_fp"))
+    full.crossJoin(band)
+      .select(col("n"), lit(b).as("replicas"), col("mean_fp"),
+        col("ci_lo_fp"), col("ci_hi_fp"))
+  }
+
   /** Welch's two-sample t statistic per experiment over a CONTINUOUS
     * metric (revenue per user, latency, tokens per doc) — the unequal-
     * variance companion of [[abTest]]'s proportion z. Same exactness

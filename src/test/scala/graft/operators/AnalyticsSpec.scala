@@ -188,6 +188,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(ex.getMessage.contains("exactly two variants"))
   }
 
+  test("bootstrapMeanCI: band brackets the mean, seeded-deterministic, width shrinks with n") {
+    val sch = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    def data(n: Int) = df(sch, (0 until n).map(i =>
+      Row(i.toLong, 10.0 + (i % 7).toDouble)))
+    val r = Analytics.bootstrapMeanCI(data(200), "v", "id", replicas = 50,
+      seed = 42L).head()
+    val (n, b, mean, lo, hi) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    assert(n == 200L && b == 50L)
+    assert(lo <= mean && mean <= hi && lo < hi, s"band [$lo, $hi] vs mean $mean")
+    // the band is a real interval around the true mean 13 (fp 1.3e7)
+    assert(math.abs(mean - 13000000L) < 200000L)
+    // deterministic under the seed; a different seed moves the band
+    val again = Analytics.bootstrapMeanCI(data(200), "v", "id", 50, 42L).head()
+    assert(again.getLong(3) == lo && again.getLong(4) == hi)
+    val other = Analytics.bootstrapMeanCI(data(200), "v", "id", 50, 43L).head()
+    assert((other.getLong(3), other.getLong(4)) != ((lo, hi)))
+    // 8x the data → a visibly narrower interval (sqrt-n behavior)
+    val big = Analytics.bootstrapMeanCI(data(1600), "v", "id", 50, 42L).head()
+    assert(big.getLong(4) - big.getLong(3) < (hi - lo), "CI must shrink with n")
+    intercept[IllegalArgumentException](
+      Analytics.bootstrapMeanCI(data(10), "v", "id", replicas = 2))
+  }
+
   private val wtSchema = StructType(Seq(
     StructField("exp", StringType), StructField("variant", StringType),
     StructField("v", DoubleType)))
