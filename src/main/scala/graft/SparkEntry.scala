@@ -4643,7 +4643,8 @@ object SparkEntry {
         |  FROM documents WHERE n_chars IS NOT NULL),
         |rr AS (SELECT unnest(range(0, 50)) AS r),
         |e AS (SELECT id, vfp, r,
-        |        (((id * 50 + r + 999) % 2147483648) * 1103515245 + 999) % 2147483648 AS u
+        |        -- 1786503607 = (999 * 2654435761) % 2^31, the Knuth-mixed seed offset
+        |        (((id * 50 + r + 1786503607) % 2147483648) * 1103515245 + 999) % 2147483648 AS u
         |      FROM v CROSS JOIN rr),
         |w AS (SELECT r, vfp,
         |        CASE WHEN u < 790015084 THEN 0 WHEN u < 1580030168 THEN 1

@@ -313,11 +313,14 @@ object Analytics {
     val exploded = vals
       .select(col("_id"), col("_vfp"),
         posexplode(array_repeat(lit(1), replicas)).as(Seq("_r", "_one")))
-      // seed sits INSIDE the multiply: a +1 seed then shifts u by the
-      // full multiplier, not by 1 (additive-only seeding left the
-      // weight table nearly unchanged between adjacent seeds)
+      // the seed enters via a Knuth-multiplied offset: a raw `+ seed`
+      // aliases with the replica index (seed+1 ≡ r+1, leaving the
+      // replica-mean MULTISET — and so the CI band — unchanged), and a
+      // post-multiply `+ seed` barely moves any weight; both were live
+      // bugs caught by the seed-sensitivity spec
       .withColumn("_u", pmod(
-        pmod(col("_id") * replicas + col("_r") + lit(seed), lit(m)) * lit(1103515245L) +
+        pmod(col("_id") * replicas + col("_r") +
+          lit((seed % m) * 2654435761L % m), lit(m)) * lit(1103515245L) +
           lit(seed), lit(m)))
       .withColumn("_w", th.zipWithIndex.foldRight(lit(9L): Column) {
         case ((t, k), rest) => when(col("_u") < t, k.toLong).otherwise(rest)
