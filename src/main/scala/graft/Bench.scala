@@ -140,7 +140,14 @@ object Bench {
     "q_ewma", "q_cusum", "q_holt", "q_group_ols", "q_chi2_terms",
     "q_interval_merge", "q_ohlc", "q_quantile_norm", "q_js_divergence",
     "q_skipgram", "q_neg_sample", "q_benford", "q_zipf",
-    "q_image_neardup", "q_orc_roundtrip")
+    "q_image_neardup", "q_orc_roundtrip",
+    // r12 fourth continuation — CDC compaction (one max_by pass),
+    // sequence-safe time split, experiment readouts (z and Welch t
+    // from exact sums), seasonal anomaly frames, winsorization,
+    // skip-grams' heavier sibling the Poisson bootstrap (B=50
+    // weighted replicas over the corpus), A/B z-test
+    "q_cdc_apply", "q_time_split", "q_ab_test", "q_welch_t",
+    "q_seasonal", "q_winsorize", "q_bootstrap_ci")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is
