@@ -147,7 +147,13 @@ object Bench {
     // skip-grams' heavier sibling the Poisson bootstrap (B=50
     // weighted replicas over the corpus), A/B z-test
     "q_cdc_apply", "q_time_split", "q_ab_test", "q_welch_t",
-    "q_seasonal", "q_winsorize", "q_bootstrap_ci")
+    "q_seasonal", "q_winsorize", "q_bootstrap_ci",
+    // r12 fifth continuation — model-eval + preference-data ops: the
+    // per-query ranked-retrieval eval (group-local rank + integer DCG),
+    // histogram-shaped tie-aware AUC, Bradley-Terry preference solve
+    // (corpus pass + driver MM), the one-pass Pearson moment matrix,
+    // and exact histogram matching (two count aggs + broadcast filter)
+    "q_eval_rank", "q_auc", "q_bradley_terry", "q_corr", "q_dist_match")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

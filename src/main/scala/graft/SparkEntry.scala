@@ -2130,6 +2130,104 @@ object SparkEntry {
           count(lit(1)).as("frames_sampled"))
       fi.join(fa, Seq("media_id")).join(fv, Seq("media_id"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- model-evaluation metrics: the offline-eval pass after every
+    // ranker / classifier / reward-model change ----
+    "q_eval_rank" -> ((s, dir) =>
+      // ranked-retrieval eval per user: rank events by value, relevance
+      // = purchase; NDCG/MRR from inlined gain literals (integer sums),
+      // the only doubles pinned divisions
+      operators.Evaluation.rankedEval(
+          T(s, dir, "events").select(col("user_id"), col("event_id"),
+            col("value"), (col("event_type") === "purchase").as("rel")),
+          "user_id", "event_id", "value", "rel", k = 10)
+        .orderBy(col("user_id"))),
+
+    "q_auc" -> ((s, dir) =>
+      // tie-aware Mann-Whitney AUC per event_type in histogram shape:
+      // corpus pass = one (group, score) aggregate; rank arithmetic
+      // runs on the distinct-score table only
+      operators.Evaluation.rocAuc(
+          T(s, dir, "events").select(col("event_type"), col("value"),
+            (pmod(col("user_id"), lit(3L)) === 0L).as("label")),
+          "event_type", "value", "label")
+        .orderBy(col("event_type"))),
+
+    "q_eval_f1" -> ((s, dir) =>
+      // confusion-matrix rollup of our OWN langid against the labeled
+      // lang column — per-class precision/recall/F1, label set = truth
+      // ∪ predicted so 'und' still reports precision
+      operators.Evaluation.classifierEval(
+          T(s, dir, "documents").select(col("lang").as("truth"),
+            TextFunctions.langId(col("text")).as("pred")),
+          "truth", "pred")
+        .orderBy(col("label"))),
+
+    "q_calibration" -> ((s, dir) => {
+      // calibration bins of a replayable pseudo-score (the q_split hash
+      // as a probability) against conversion: exact counts + the
+      // fixed-point gap whose sum IS the ECE numerator
+      val prob = (pmod(col("event_id") * lit(2654435761L), lit(4294967296L))
+        % lit(1000L)).cast("double") / lit(1000.0)
+      operators.Evaluation.calibrationBins(
+          T(s, dir, "events").select(col("event_type"), prob.as("prob"),
+            (col("value") > lit(50.0)).as("label")),
+          "event_type", "prob", "label", bins = 10)
+        .orderBy(col("event_type"), col("bin"))
+    }),
+
+    // ---- preference-data operators: judgments → reward/DPO data ----
+    "q_bradley_terry" -> ((s, dir) => {
+      // per-user pairwise event-type preferences (winner = larger
+      // fixed-point value total, ties to the lexicographically smaller
+      // type) aggregated by the integer-exact MM solve — the corpus
+      // passes once; the driver sees item-cardinality state
+      val base = T(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          floor(col("value") * lit(1000000.0)).cast("long").as("_vfp"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(col("_vfp")).as("_tot"))
+      val a = base.select(col("user_id"), col("event_type").as("_ta"), col("_tot").as("_sa"))
+      val b = base.select(col("user_id"), col("event_type").as("_tb"), col("_tot").as("_sb"))
+      val pairs = a.join(b, Seq("user_id")).filter(col("_ta") < col("_tb"))
+        .select(
+          when(col("_sa") >= col("_sb"), col("_ta")).otherwise(col("_tb")).as("winner"),
+          when(col("_sa") >= col("_sb"), col("_tb")).otherwise(col("_ta")).as("loser"))
+      operators.Preference.bradleyTerry(pairs, "winner", "loser", iterations = 3)
+        .orderBy(col("item"))
+    }),
+
+    "q_pref_pairs" -> ((s, dir) =>
+      // DPO pair construction: per source, best-vs-worst doc by length
+      // score with a 50-char margin gate — one max/min-struct pass
+      operators.Preference.preferencePairs(
+          T(s, dir, "documents").select(col("source"), col("doc_id"),
+            col("n_chars").cast("double").as("score")),
+          "source", "doc_id", "score", minMargin = 50.0)
+        .orderBy(col("source"))),
+
+    "q_corr" -> ((s, dir) =>
+      // pairwise Pearson matrix over the lineitem numerics from ONE
+      // pass of exact DECIMAL fixed-point moments (scale 2: cents)
+      operators.Profile.corrMatrix(
+          T(s, dir, "lineitem").select(col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), scale = 2)
+        .orderBy(col("col_a"), col("col_b"))),
+
+    "q_dist_match" -> ((s, dir) => {
+      // histogram matching: thin the src0-9 slice so its length-bucket
+      // distribution matches the src1x slice's — exact integer keep
+      // fractions, seeded LCG survival, corpus read once
+      val d = T(s, dir, "documents")
+      val isA = col("source").rlike("^src[0-9]$")
+      def bucketed(df: DataFrame) =
+        df.withColumn("bucket", expr("CAST(n_chars AS BIGINT) DIV 100"))
+      operators.Curation.distMatch(bucketed(d.filter(isA)),
+          bucketed(d.filter(!isA)), "bucket", "doc_id", seed = 77L)
+        .select(col("doc_id"), col("bucket"), col("keep_fp"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -5405,6 +5503,276 @@ object SparkEntry {
       """SELECT c_nationkey, c_mktsegment, COUNT(1) AS group_n,
         |       CASE WHEN COUNT(1) < 10 THEN 1 ELSE 0 END AS at_risk
         |FROM customer GROUP BY 1, 2
-        |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // DCG gains and ideal prefixes are the SAME driver-computed
+    // literals the Spark plan inlines (Evaluation.ndcgGains) — neither
+    // engine evaluates log2 at query time, so libm can't split them.
+    "q_eval_rank" -> {
+      val g = operators.Evaluation.ndcgGains(10)
+      val ideal = operators.Evaluation.ndcgIdealPrefix(10)
+      val gCase = g.zipWithIndex
+        .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }.mkString(" ")
+      s"""WITH r AS (
+         |  SELECT user_id, event_id, value, (event_type = 'purchase') AS rel,
+         |         row_number() OVER (PARTITION BY user_id
+         |                            ORDER BY value DESC NULLS LAST, event_id) AS rank
+         |  FROM events),
+         |g AS (
+         |  SELECT user_id, COUNT(1) AS n,
+         |         CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+         |         CAST(SUM(CASE WHEN rel AND rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits_k,
+         |         MIN(CASE WHEN rel THEN rank END) AS first_rel_rank,
+         |         CAST(SUM(CASE WHEN rel AND rank <= 10
+         |                       THEN CASE rank $gCase END ELSE 0 END) AS BIGINT) AS dcg_fp
+         |  FROM r GROUP BY 1),
+         |s AS (
+         |  SELECT user_id, n, n_rel, hits_k, first_rel_rank,
+         |         CASE WHEN first_rel_rank IS NOT NULL
+         |              THEN 1000000000000 // first_rel_rank END AS rr_fp,
+         |         dcg_fp,
+         |         CASE WHEN n_rel > 0
+         |              THEN ([${ideal.mkString(", ")}])[CAST(LEAST(n_rel, 10) AS INTEGER)]
+         |         END AS idcg_fp
+         |  FROM g)
+         |SELECT user_id, n, n_rel, hits_k, first_rel_rank, rr_fp, dcg_fp, idcg_fp,
+         |       CASE WHEN idcg_fp IS NOT NULL
+         |            THEN CAST(dcg_fp AS DOUBLE) / CAST(idcg_fp AS DOUBLE) END AS ndcg,
+         |       CAST(hits_k AS DOUBLE) / 10.0 AS precision_k,
+         |       CASE WHEN n_rel > 0
+         |            THEN CAST(hits_k AS DOUBLE) / CAST(n_rel AS DOUBLE) END AS recall_k
+         |FROM s ORDER BY user_id""".stripMargin
+    },
+
+    // Rank arithmetic on the distinct-score table; auc_num2 exact, the
+    // division mirrored factor for factor.
+    "q_auc" ->
+      """WITH e AS (
+        |  SELECT event_type, value AS s, (((user_id % 3) + 3) % 3 = 0) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |ps AS (
+        |  SELECT event_type, s,
+        |         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |         CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |  FROM e GROUP BY 1, 2),
+        |c AS (
+        |  SELECT *, SUM(nn) OVER (PARTITION BY event_type ORDER BY s
+        |                          ROWS UNBOUNDED PRECEDING) AS cumn
+        |  FROM ps),
+        |g AS (
+        |  SELECT event_type, CAST(SUM(np) AS BIGINT) AS n_pos,
+        |         CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |         CAST(SUM(np * (2 * (cumn - nn) + nn)) AS BIGINT) AS auc_num2
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, n_pos, n_neg, auc_num2,
+        |       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |         CAST(auc_num2 AS DOUBLE)
+        |           / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END AS auc
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    // The langid CTE is q_langid's oracle verbatim; the rollup mirrors
+    // classifierEval (label set = truth ∪ predicted via FULL JOIN).
+    "q_eval_f1" -> {
+      def ratio(words: Seq[String]): String = {
+        val lst = words.map(w => s"'$w'").mkString(", ")
+        s"CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> x IN ($lst))) AS DOUBLE) / len(toks) END"
+      }
+      val en = ratio(Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was", "with", "are", "his", "this", "they"))
+      val de = ratio(Seq("der", "die", "und", "das", "ist", "nicht", "von", "sie", "mit", "ein", "eine", "auf", "den", "dem", "zu"))
+      val fr = ratio(Seq("le", "la", "les", "de", "des", "et", "est", "une", "dans", "que", "pour", "qui", "sur", "pas", "au"))
+      val es = ratio(Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por", "con", "para", "del"))
+      s"""WITH t AS (
+         |  SELECT lang AS truth,
+         |         list_filter(regexp_split_to_array(lower(trim(text)), '[^\\p{L}]+'), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |r AS (
+         |  SELECT truth, $en AS r_en, $de AS r_de, $fr AS r_fr, $es AS r_es
+         |  FROM t),
+         |pd AS (
+         |  SELECT truth,
+         |       CASE WHEN GREATEST(r_en, r_de, r_fr, r_es) <= 0.08 THEN 'und'
+         |            WHEN r_en >= r_de AND r_en >= r_fr AND r_en >= r_es THEN 'en'
+         |            WHEN r_de >= r_fr AND r_de >= r_es THEN 'de'
+         |            WHEN r_fr >= r_es THEN 'fr'
+         |            ELSE 'es' END AS pred
+         |  FROM r),
+         |conf AS (SELECT truth, pred, COUNT(1) AS n FROM pd GROUP BY 1, 2),
+         |tn AS (SELECT truth AS label, CAST(SUM(n) AS BIGINT) AS n_true FROM conf GROUP BY 1),
+         |pn AS (SELECT pred AS label, CAST(SUM(n) AS BIGINT) AS n_pred FROM conf GROUP BY 1),
+         |tp AS (SELECT truth AS label, CAST(SUM(n) AS BIGINT) AS tp
+         |       FROM conf WHERE truth = pred GROUP BY 1),
+         |base AS (
+         |  SELECT COALESCE(tn.label, pn.label) AS label,
+         |         COALESCE(n_true, 0) AS n_true, COALESCE(n_pred, 0) AS n_pred
+         |  FROM tn FULL JOIN pn ON tn.label = pn.label),
+         |b2 AS (
+         |  SELECT base.label, n_true, n_pred, COALESCE(tp.tp, 0) AS tp
+         |  FROM base LEFT JOIN tp ON base.label = tp.label),
+         |pr AS (
+         |  SELECT label, n_true, n_pred, tp,
+         |    CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS "precision",
+         |    CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall
+         |  FROM b2)
+         |SELECT label, n_true, n_pred, tp, "precision", recall,
+         |       CASE WHEN "precision" IS NOT NULL AND recall IS NOT NULL
+         |                 AND "precision" + recall > 0.0
+         |            THEN 2.0 * "precision" * recall / ("precision" + recall) END AS f1
+         |FROM pr ORDER BY label""".stripMargin
+    },
+
+    // The q_split hash reread as a pseudo-probability; counts and the
+    // gap are exact integers, the two ratios pinned.
+    "q_calibration" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST((event_id * 2654435761) % 4294967296 % 1000 AS DOUBLE) / 1000.0 AS prob,
+        |         (value > 50.0) AS y
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, LEAST(CAST(FLOOR(prob * 10.0) AS BIGINT), 9) AS bin,
+        |         y, CAST(FLOOR(prob * 1000000000.0) AS BIGINT) AS cfp
+        |  FROM e),
+        |g AS (
+        |  SELECT event_type, bin, COUNT(1) AS n,
+        |         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |         CAST(SUM(cfp) AS BIGINT) AS conf_fp
+        |  FROM b GROUP BY 1, 2)
+        |SELECT event_type, bin, n, n_pos, conf_fp,
+        |       ABS(conf_fp - n_pos * 1000000000) AS gap_fp,
+        |       CAST(conf_fp AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0 AS avg_conf,
+        |       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy
+        |FROM g ORDER BY event_type, bin""".stripMargin,
+
+    // Full replay of the integer-exact MM solve: HUGEINT floor
+    // divisions, three unrolled rounds, renormalize each round —
+    // bit-identical to the driver's BigInt arithmetic.
+    "q_bradley_terry" -> {
+      val S = "CAST(1000000000000 AS HUGEINT)"
+      def round(t: Int): String = {
+        val prev = if (t == 1) "p0" else s"p${t - 1}"
+        s"""d$t AS (
+           |  SELECT adj.i AS item,
+           |         SUM((CAST(adj.n AS HUGEINT) * $S) // (pi.s + pj.s)) AS d
+           |  FROM adj JOIN $prev pi ON pi.item = adj.i
+           |           JOIN $prev pj ON pj.item = adj.j
+           |  GROUP BY 1),
+           |r$t AS (
+           |  SELECT p.item,
+           |         CASE WHEN d.d > 0
+           |              THEN (CAST(COALESCE(w.wn, 0) AS HUGEINT) * $S * $S) // d.d
+           |              ELSE p.s END AS raw
+           |  FROM $prev p LEFT JOIN d$t d ON d.item = p.item
+           |               LEFT JOIN wins w ON w.item = p.item),
+           |t$t AS (SELECT SUM(raw) AS tot FROM r$t),
+           |p$t AS (SELECT item, (raw * $S) // tot AS s FROM r$t, t$t)""".stripMargin
+      }
+      s"""WITH b0 AS (
+         |  SELECT user_id, event_type,
+         |         SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS tot
+         |  FROM events GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT CASE WHEN x.tot >= y.tot THEN x.event_type ELSE y.event_type END AS wi,
+         |         CASE WHEN x.tot >= y.tot THEN y.event_type ELSE x.event_type END AS lo
+         |  FROM b0 x JOIN b0 y
+         |    ON x.user_id = y.user_id AND x.event_type < y.event_type),
+         |cw AS (SELECT wi, lo, COUNT(1) AS n FROM pr GROUP BY 1, 2),
+         |wins AS (SELECT wi AS item, CAST(SUM(n) AS BIGINT) AS wn FROM cw GROUP BY 1),
+         |und AS (
+         |  SELECT CASE WHEN wi < lo THEN wi ELSE lo END AS a,
+         |         CASE WHEN wi < lo THEN lo ELSE wi END AS b,
+         |         CAST(SUM(n) AS BIGINT) AS n
+         |  FROM cw GROUP BY 1, 2),
+         |adj AS (SELECT a AS i, b AS j, n FROM und
+         |        UNION ALL SELECT b, a, n FROM und),
+         |items AS (SELECT DISTINCT i AS item FROM adj),
+         |cmp AS (SELECT i AS item, CAST(SUM(n) AS BIGINT) AS comparisons
+         |        FROM adj GROUP BY 1),
+         |p0 AS (SELECT item, $S // (SELECT COUNT(1) FROM items) AS s FROM items),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT it.item, CAST(COALESCE(w.wn, 0) AS BIGINT) AS wins,
+         |       cmp.comparisons, CAST(p3.s AS BIGINT) AS strength_fp,
+         |       CAST(row_number() OVER (ORDER BY p3.s DESC, it.item) AS INTEGER) AS rank
+         |FROM items it JOIN p3 ON p3.item = it.item
+         |              JOIN cmp ON cmp.item = it.item
+         |              LEFT JOIN wins w ON w.item = it.item
+         |ORDER BY it.item""".stripMargin
+    },
+
+    // Tie pinning mirrored: chosen = lowest id among max-score rows,
+    // rejected = lowest id among min-score rows.
+    "q_pref_pairs" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS s
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |g AS (SELECT source, COUNT(1) AS n, MAX(s) AS mx, MIN(s) AS mn
+        |      FROM d GROUP BY 1),
+        |ch AS (SELECT d.source, MIN(doc_id) AS chosen_id
+        |       FROM d JOIN g USING (source) WHERE d.s = g.mx GROUP BY 1),
+        |rj AS (SELECT d.source, MIN(doc_id) AS rejected_id
+        |       FROM d JOIN g USING (source) WHERE d.s = g.mn GROUP BY 1)
+        |SELECT g.source, chosen_id, rejected_id, mx AS chosen_score,
+        |       mn AS rejected_score, mx - mn AS margin, n
+        |FROM g JOIN ch USING (source) JOIN rj USING (source)
+        |WHERE n >= 2 AND chosen_id <> rejected_id AND mx - mn >= 50.0
+        |ORDER BY source""".stripMargin,
+
+    // HUGEINT moment sums (scale 2 = cents, exact); r's double tree
+    // mirrored term for term from the exact sums.
+    "q_corr" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def f(c: String) = s"CAST(FLOOR($c * 100.0) AS HUGEINT)"
+      val pairs = for (i <- cols.indices; j <- cols.indices if i < j) yield (i, j)
+      val moments = pairs.map { case (i, j) =>
+        val (x, y) = (cols(i), cols(j))
+        val m = s"$x IS NOT NULL AND $y IS NOT NULL"
+        s"""SELECT '$x' AS col_a, '$y' AS col_b,
+           |  CAST(SUM(CASE WHEN $m THEN 1 ELSE 0 END) AS BIGINT) AS n,
+           |  CAST(SUM(CASE WHEN $m THEN ${f(x)} END) AS DOUBLE) AS sx,
+           |  CAST(SUM(CASE WHEN $m THEN ${f(y)} END) AS DOUBLE) AS sy,
+           |  CAST(SUM(CASE WHEN $m THEN ${f(x)} * ${f(y)} END) AS DOUBLE) AS sxy,
+           |  CAST(SUM(CASE WHEN $m THEN ${f(x)} * ${f(x)} END) AS DOUBLE) AS sxx,
+           |  CAST(SUM(CASE WHEN $m THEN ${f(y)} * ${f(y)} END) AS DOUBLE) AS syy
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH p AS (
+         |$moments),
+         |v AS (
+         |  SELECT col_a, col_b, n,
+         |         CAST(n AS DOUBLE) * sxy - sx * sy AS covn,
+         |         CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+         |         CAST(n AS DOUBLE) * syy - sy * sy AS vy
+         |  FROM p)
+         |SELECT col_a, col_b, n,
+         |       CASE WHEN n > 1 AND vx > 0.0 AND vy > 0.0
+         |            THEN covn / sqrt(vx * vy) END AS r
+         |FROM v ORDER BY col_a, col_b""".stripMargin
+    },
+
+    // Exact HUGEINT keep fractions; survival = the shardShuffle LCG
+    // mirrored with ((x % m) + m) % m.
+    "q_dist_match" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) // 100 AS bucket,
+        |         regexp_matches(source, '^src[0-9]$') AS isa
+        |  FROM documents),
+        |s AS (SELECT bucket, COUNT(1) AS sb FROM d WHERE isa GROUP BY 1),
+        |t AS (SELECT bucket, COUNT(1) AS tb FROM d WHERE NOT isa GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(SUM(sb) AS HUGEINT) FROM s) AS st,
+        |               (SELECT CAST(SUM(tb) AS HUGEINT) FROM t) AS tt),
+        |ratio AS (
+        |  SELECT s.bucket,
+        |         (CAST(tb AS HUGEINT) * st * 1000000) // (CAST(sb AS HUGEINT) * tt) AS r
+        |  FROM s JOIN t USING (bucket), tot),
+        |mx AS (SELECT MAX(r) AS m FROM ratio),
+        |keep AS (SELECT bucket, CAST((r * 1000000) // m AS BIGINT) AS keep_fp
+        |         FROM ratio, mx)
+        |SELECT d.doc_id, d.bucket, k.keep_fp
+        |FROM d JOIN keep k USING (bucket)
+        |WHERE isa AND
+        |  ((((((doc_id % 2147483648) + 2147483648) % 2147483648) * 1103515245 + 77)
+        |    % 2147483648 + 2147483648) % 2147483648) % 1000000 < k.keep_fp
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -1219,4 +1219,56 @@ object Curation {
       .select(anchor, col("j"),
         pmod(anchor + lit(1L) + pmod(mix, lit(n - 1L)), lit(n)).as("neg_id"))
   }
+
+  /** Distribution matching by seeded downsampling: thin `src` so its
+    * share per bucket (a caller-supplied integer feature bucket —
+    * length decile, domain, quality band, …) matches the TARGET
+    * corpus's bucket distribution — "make the web slice look like the
+    * curated slice in length" without importance-weight machinery
+    * ([[Dsir]] is the n-gram-feature big sibling; this is the exact
+    * histogram-matching small one).
+    *
+    * Per bucket b the ideal keep fraction is (t_b/T)/(s_b/S), scaled so
+    * the binding bucket keeps 100% (maximal data retention):
+    * ratio_b = ⌊t_b·S·scale / (s_b·T)⌋ in DECIMAL(38,0) — exact at any
+    * corpus size — then keep_fp_b = ⌊ratio_b·scale / max_b ratio_b⌋ ≤
+    * scale, a long. A row survives iff LCG(id, seed) mod scale <
+    * keep_fp_b — the [[shardShuffle]] LCG, replayable in any engine.
+    * Buckets absent from the target are dropped entirely (keep 0);
+    * buckets absent from the source simply can't contribute.
+    *
+    * Scale shape: two count aggregates (bucket-cardinality results),
+    * their single-row totals cross-joined broadcast-style, and ONE
+    * broadcast hash join of the tiny (bucket, keep_fp) table back onto
+    * the source scan — the corpus is read once and filtered at scan
+    * level; nothing corpus-sized shuffles.
+    *
+    * Output: the src columns + (`keep_fp` long). */
+  def distMatch(src: DataFrame, tgt: DataFrame, bucketCol: String,
+                idCol: String, seed: Long, scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1000 && scale <= 1000000000L,
+      s"scale must be in [1e3, 1e9], got $scale")
+    requireIntegralId(src, idCol)
+    val sCnt = src.groupBy(col(bucketCol).as("_b")).agg(count(lit(1)).as("_sb"))
+    val tCnt = tgt.groupBy(col(bucketCol).as("_b")).agg(count(lit(1)).as("_tb"))
+    val sTot = sCnt.agg(sum(col("_sb")).cast("decimal(38,0)").as("_S"))
+    val tTot = tCnt.agg(sum(col("_tb")).cast("decimal(38,0)").as("_T"))
+    val ratios = sCnt.join(tCnt, Seq("_b"))
+      .crossJoin(broadcast(sTot)).crossJoin(broadcast(tTot))
+      .select(col("_b"), expr(
+        s"""(CAST(_tb AS DECIMAL(38,0)) * _S * CAST($scale AS DECIMAL(38,0)))
+           | DIV (CAST(_sb AS DECIMAL(38,0)) * _T)""".stripMargin.replace("\n", ""))
+        .cast("decimal(38,0)").as("_ratio"))
+    val mx = ratios.agg(max(col("_ratio")).as("_mx"))
+    val keep = ratios.crossJoin(broadcast(mx))
+      .select(col("_b"), expr(
+        s"CAST((_ratio * CAST($scale AS DECIMAL(38,0))) DIV _mx AS BIGINT)")
+        .as("keep_fp"))
+    val m = 2147483648L
+    val key = pmod(
+      pmod(col(idCol).cast("long"), lit(m)) * lit(1103515245L) + lit(seed), lit(m))
+    src.join(broadcast(keep), col(bucketCol) === col("_b"))
+      .filter(pmod(key, lit(scale)) < col("keep_fp"))
+      .drop("_b")
+  }
 }

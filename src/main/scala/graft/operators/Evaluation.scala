@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation metrics at corpus scale — the offline-eval pass a
+  * training pipeline runs after every retrieval / classifier / reward
+  * model change. Every metric is one partial-aggregated pass (plus a
+  * group-local rank where ranking IS the semantics); every fractional
+  * output is either an exact integer or a pinned double computed from
+  * exact integer sums, so an external engine replays them bit-for-bit.
+  */
+object Evaluation {
+
+  /** Fixed-point discount gains for DCG: gain(rank) =
+    * ⌊10¹² / log₂(rank+1)⌋, precomputed HERE (driver-side, once) and
+    * inlined as literals on both the Spark side and the oracle side —
+    * the two engines never each evaluate `log2`, so libm last-ulp
+    * differences can't split them. */
+  def ndcgGains(k: Int): IndexedSeq[Long] =
+    (1 to k).map(r => math.floor(1e12 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** Prefix sums of [[ndcgGains]]: ideal DCG when the group holds
+    * exactly `i` relevant items (i = 1..k). */
+  def ndcgIdealPrefix(k: Int): IndexedSeq[Long] =
+    ndcgGains(k).scanLeft(0L)(_ + _).tail
+
+  /** Ranked-retrieval evaluation: NDCG@k, MRR, precision@k and recall@k
+    * per query, over a (query, item, score, relevant) table — the
+    * "did the new ranker actually rank better" readout.
+    *
+    * Ranking is rank-by-(score DESC, item ASC) WITHIN each query — a
+    * group-local sort, the one place a window is the semantics. A query
+    * group is one ranked result list (10²–10⁴ rows), so the per-group
+    * sort never concentrates the corpus in one task; the metric rollup
+    * after it is an ordinary partial aggregate.
+    *
+    * Determinism: binary relevance; DCG/IDCG are integer sums of the
+    * [[ndcgGains]] literals (order-independent long adds); MRR's
+    * reciprocal is the integer `10¹² DIV first_rel_rank`. The only
+    * doubles are final pinned divisions of those integers.
+    *
+    * Output per query: (queryCol, n, n_rel, hits_k, first_rel_rank,
+    * rr_fp, dcg_fp, idcg_fp, ndcg, precision_k, recall_k). A query with
+    * no relevant item keeps NULL first_rel_rank/rr_fp/ndcg/recall_k —
+    * it has no ideal ranking to compare against. */
+  def rankedEval(df: DataFrame, queryCol: String, itemCol: String,
+                 scoreCol: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val gains = ndcgGains(k)
+    val ideal = ndcgIdealPrefix(k)
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(itemCol).asc)
+    val ranked = df.select(col(queryCol), col(itemCol), col(scoreCol),
+        col(relCol).cast("boolean").as("_rel"))
+      .withColumn("_rank", row_number().over(w))
+    val inK = col("_rank") <= k
+    val grp = ranked.groupBy(col(queryCol)).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("_rel"), 1L).otherwise(0L)).as("n_rel"),
+      sum(when(col("_rel") && inK, 1L).otherwise(0L)).as("hits_k"),
+      min(when(col("_rel"), col("_rank").cast("long"))).as("first_rel_rank"),
+      sum(when(col("_rel") && inK,
+        element_at(typedLit(gains), col("_rank"))).otherwise(0L)).as("dcg_fp"))
+    grp.select(col(queryCol), col("n"), col("n_rel"), col("hits_k"),
+        col("first_rel_rank"),
+        when(col("first_rel_rank").isNotNull,
+          expr("1000000000000 DIV first_rel_rank")).as("rr_fp"),
+        col("dcg_fp"),
+        when(col("n_rel") > 0,
+          element_at(typedLit(ideal), least(col("n_rel"), lit(k.toLong)).cast("int")))
+          .as("idcg_fp"))
+      .withColumn("ndcg", when(col("idcg_fp").isNotNull,
+        col("dcg_fp").cast("double") / col("idcg_fp").cast("double")))
+      .withColumn("precision_k", col("hits_k").cast("double") / lit(k.toDouble))
+      .withColumn("recall_k", when(col("n_rel") > 0,
+        col("hits_k").cast("double") / col("n_rel").cast("double")))
+  }
+
+  /** ROC AUC per group via the Mann-Whitney rank-sum, tie-aware, in
+    * histogram shape: the corpus-sized pass is ONE partial aggregate to
+    * (group, score) → (n_pos, n_neg); the rank arithmetic then runs on
+    * the DISTINCT-SCORE table (bounded by score cardinality, not row
+    * count — for quantized model scores, thousands of rows where the
+    * corpus has billions). AUC = P(score⁺ > score⁻) + ½·P(tie),
+    * accumulated exactly: auc_num2 = Σ_scores n_pos·(2·neg_below +
+    * neg_same) — an integer, so the only double is the final pinned
+    * division by 2·P·N.
+    *
+    * Output: (groupCol, n_pos, n_neg, auc_num2, auc); auc NULL when a
+    * group lacks both classes. Null-scored rows are excluded up front —
+    * a null score has no rank position (and engines disagree on where
+    * nulls sort), so it must not move the statistic. */
+  def rocAuc(df: DataFrame, groupCol: String, scoreCol: String,
+             labelCol: String): DataFrame = {
+    val perScore = df
+      .filter(col(scoreCol).isNotNull)
+      .select(col(groupCol), col(scoreCol).as("_s"),
+        col(labelCol).cast("boolean").as("_y"))
+      .groupBy(col(groupCol), col("_s"))
+      .agg(sum(when(col("_y"), 1L).otherwise(0L)).as("_np"),
+        sum(when(col("_y"), 0L).otherwise(1L)).as("_nn"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perScore.withColumn("_cumn", sum(col("_nn")).over(w))
+    cum.groupBy(col(groupCol)).agg(
+        sum(col("_np")).as("n_pos"),
+        sum(col("_nn")).as("n_neg"),
+        sum(col("_np") * (lit(2L) * (col("_cumn") - col("_nn")) + col("_nn")))
+          .as("auc_num2"))
+      .withColumn("auc", when(col("n_pos") > 0 && col("n_neg") > 0,
+        col("auc_num2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double"))))
+  }
+
+  /** Per-class precision / recall / F1 from a (truth, prediction)
+    * table — the confusion-matrix rollup for any labeler (langid,
+    * quality classifier, …). The corpus-sized pass is the single
+    * groupBy(truth, pred) count; marginals and the class list (the
+    * UNION of truth and predicted labels, so a never-predicted class
+    * still reports recall and a spurious prediction still reports
+    * precision) are label-cardinality-sized derivations from it.
+    *
+    * Doubles are pinned divisions of exact counts; F1 = 2·p·r/(p+r)
+    * with that exact tree. A class with no predictions has NULL
+    * precision (0/0); with no truth rows, NULL recall; F1 is NULL
+    * unless both are defined and p+r > 0.
+    *
+    * Output: (label, n_true, n_pred, tp, precision, recall, f1). */
+  def classifierEval(df: DataFrame, truthCol: String, predCol: String): DataFrame = {
+    val conf = df.select(col(truthCol).cast("string").as("_t"),
+        col(predCol).cast("string").as("_p"))
+      .groupBy(col("_t"), col("_p")).agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true) // label-cardinality rows; 3 readers below
+    val truthN = conf.groupBy(col("_t").as("label")).agg(sum(col("_n")).as("n_true"))
+    val predN = conf.groupBy(col("_p").as("label")).agg(sum(col("_n")).as("n_pred"))
+    val tp = conf.filter(col("_t") === col("_p"))
+      .select(col("_t").as("label"), col("_n").as("tp"))
+    val base = truthN.join(predN, Seq("label"), "full_outer")
+      .join(tp, Seq("label"), "left_outer")
+      .select(col("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+    val p = when(col("n_pred") > 0, col("tp").cast("double") / col("n_pred").cast("double"))
+    val r = when(col("n_true") > 0, col("tp").cast("double") / col("n_true").cast("double"))
+    base.withColumn("precision", p).withColumn("recall", r)
+      .withColumn("f1", when(p.isNotNull && r.isNotNull && (p + r) > 0.0,
+        lit(2.0) * p * r / (p + r)))
+  }
+
+  /** Calibration-bin report (the per-bin view behind expected
+    * calibration error): predicted probabilities bucketed into `bins`
+    * equal-width bins, each bin reporting exact counts, the fixed-point
+    * confidence sum, and the integer calibration gap
+    * |Σconf_fp − n_pos·scale| — so ECE = Σ gap_fp / (N·scale) is a
+    * ratio of exact integers computable downstream without revisiting
+    * the corpus. ONE partial-aggregated pass; state is groups × bins.
+    *
+    * Binning is ⌊prob·bins⌋ clamped to bins−1 (prob 1.0 joins the top
+    * bin). A below-range probability surfaces as a NEGATIVE bin row
+    * rather than being silently folded into bin 0 — a mis-scaled score
+    * column shows up in the report instead of corrupting it.
+    * Determinism: prob·bins is a single IEEE multiply of the stored
+    * double — identical on any engine evaluating the same tree.
+    *
+    * Output: (groupCol, bin, n, n_pos, conf_fp, gap_fp, avg_conf,
+    * accuracy), avg_conf / accuracy pinned doubles. */
+  def calibrationBins(df: DataFrame, groupCol: String, probCol: String,
+                      labelCol: String, bins: Int = 10,
+                      scale: Long = 1000000000L): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000], got $bins")
+    val bin = least(floor(col(probCol) * lit(bins.toDouble)).cast("long"),
+      lit(bins - 1L))
+    df.select(col(groupCol), bin.as("bin"),
+        col(labelCol).cast("boolean").as("_y"),
+        floor(col(probCol) * lit(scale.toDouble)).cast("long").as("_cfp"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("_cfp")).as("conf_fp"))
+      .withColumn("gap_fp", abs(col("conf_fp") - col("n_pos") * lit(scale)))
+      .withColumn("avg_conf",
+        col("conf_fp").cast("double") / col("n").cast("double") / lit(scale.toDouble))
+      .withColumn("accuracy", col("n_pos").cast("double") / col("n").cast("double"))
+  }
+}

@@ -289,4 +289,60 @@ object Profile {
       .select((gs :+ col("digit") :+ col("n_obs") :+ col("n_total") :+
         col("expected_fp") :+ col("dev_x1e8")): _*)
   }
+
+  /** Pairwise Pearson correlation matrix over numeric columns, in ONE
+    * corpus pass: every moment the formula needs — per-pair n (pairwise-
+    * complete: both sides non-null), Σx, Σy, Σx², Σy², Σxy — is an
+    * EXACT fixed-point DECIMAL(38,0) sum in a single aggregate (values
+    * scaled by 10^scale and floored, products taken in decimal so
+    * nothing overflows a long), and the single result row explodes into
+    * the C(k,2) pair rows without a second scan. r is then the pinned
+    * double (n·Σxy − Σx·Σy)/√((n·Σx²−(Σx)²)·(n·Σy²−(Σy)²)) — same
+    * term-for-term tree on any engine, so identical sums give identical
+    * doubles. The scale trade is [[Analytics.welchT]]'s: pick `scale`
+    * so |x|·10^scale·√rows stays far inside 38 digits.
+    *
+    * Output: (col_a, col_b, n, r), col_a < col_b by input order,
+    * r NULL when either side is constant (zero variance). */
+  def corrMatrix(df: DataFrame, cols: Seq[String], scale: Int = 6): DataFrame = {
+    require(cols.size >= 2, s"corrMatrix needs at least 2 columns, got ${cols.size}")
+    require(cols.distinct == cols, s"columns must be distinct, got $cols")
+    require(scale >= 0 && scale <= 9, s"scale must be in [0, 9], got $scale")
+    val p = math.pow(10.0, scale)
+    val fixed = df.select(cols.map(c =>
+      floor(col(c) * lit(p)).cast("decimal(38,0)").as(s"_$c")): _*)
+    val pairsIdx = for (i <- cols.indices; j <- cols.indices if i < j) yield (i, j)
+    def both(i: Int, j: Int) =
+      col(s"_${cols(i)}").isNotNull && col(s"_${cols(j)}").isNotNull
+    // one aggregate: per-pair moments under pairwise-complete masking
+    val aggs = pairsIdx.flatMap { case (i, j) =>
+      val (x, y) = (col(s"_${cols(i)}"), col(s"_${cols(j)}"))
+      val m = both(i, j)
+      Seq(
+        sum(when(m, 1L).otherwise(0L)).as(s"n_${i}_$j"),
+        sum(when(m, x)).as(s"sx_${i}_$j"),
+        sum(when(m, y)).as(s"sy_${i}_$j"),
+        sum(when(m, x * y)).as(s"sxy_${i}_$j"),
+        sum(when(m, x * x)).as(s"sxx_${i}_$j"),
+        sum(when(m, y * y)).as(s"syy_${i}_$j"))
+    }
+    val one = fixed.agg(aggs.head, aggs.tail: _*)
+    // single row → pair rows via an inline-exploded literal-shaped array
+    val pairStructs = pairsIdx.map { case (i, j) =>
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        col(s"n_${i}_$j").as("n"),
+        col(s"sx_${i}_$j").cast("double").as("sx"),
+        col(s"sy_${i}_$j").cast("double").as("sy"),
+        col(s"sxy_${i}_$j").cast("double").as("sxy"),
+        col(s"sxx_${i}_$j").cast("double").as("sxx"),
+        col(s"syy_${i}_$j").cast("double").as("syy"))
+    }
+    val rows = one.select(explode(array(pairStructs: _*)).as("_p")).select(col("_p.*"))
+    val nD = col("n").cast("double")
+    val covN = nD * col("sxy") - col("sx") * col("sy")
+    val vx = nD * col("sxx") - col("sx") * col("sx")
+    val vy = nD * col("syy") - col("sy") * col("sy")
+    rows.select(col("col_a"), col("col_b"), col("n"),
+      when(col("n") > 1 && vx > 0.0 && vy > 0.0, covN / sqrt(vx * vy)).as("r"))
+  }
 }

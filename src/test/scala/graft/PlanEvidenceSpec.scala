@@ -482,4 +482,79 @@ class PlanEvidenceSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       "negative sampling must be shuffle-free:\n" + plan)
   }
+
+  test("corrMatrix: ONE corpus scan feeds every pair's moments — no join, no window") {
+    val li = graft.sources.ParquetConnector.readTable(spark, s"$sf/lineitem.parquet")
+      .select("l_quantity", "l_extendedprice", "l_discount")
+    val out = graft.operators.Profile.corrMatrix(li,
+      Seq("l_quantity", "l_extendedprice", "l_discount"))
+    val opt = out.queryExecution.optimizedPlan
+    val scans = opt.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.length == 1, s"one scan for all C(k,2) pairs, got ${scans.length}")
+    val s = opt.toString
+    assert(!s.contains("Join") && !s.contains("Window"),
+      "moment matrix is a single aggregate:\n" + s)
+    out.collect()
+    val phys = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(phys.contains("partial_sum"),
+      "moments must partial-aggregate before the exchange:\n" + phys)
+  }
+
+  test("rocAuc: corpus partial-aggregates to (group, score); window is group-partitioned") {
+    val ev = graft.sources.ParquetConnector.readTable(spark, s"$sf/events.parquet")
+      .select(col("event_type"), col("value"), (col("user_id") % 3 === 0).as("y"))
+    val out = graft.operators.Evaluation.rocAuc(ev, "event_type", "value", "y")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("partial_sum"),
+      "per-score counts must combine map-side:\n" + plan)
+    val winLine = plan.linesIterator.find(_.contains("windowspecdefinition"))
+    assert(winLine.exists(_.contains("event_type")),
+      "rank window must partition by the group, never run global:\n" + plan)
+  }
+
+  test("rankedEval: rank window partitions per query — no global sort task") {
+    val ev = graft.sources.ParquetConnector.readTable(spark, s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"), col("value"),
+        (col("event_type") === "purchase").as("rel"))
+    val out = graft.operators.Evaluation.rankedEval(ev, "user_id", "event_id",
+      "value", "rel", k = 10)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val winLine = plan.linesIterator.find(_.contains("windowspecdefinition"))
+    assert(winLine.exists(_.contains("user_id")),
+      "ranking must be group-local:\n" + plan)
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      "metric rollup must partial-aggregate:\n" + plan)
+  }
+
+  test("preferencePairs: one scan, one partial-aggregated pass, no window") {
+    val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+      .select(col("source"), col("doc_id"), col("n_chars").cast("double").as("sc"))
+    val out = graft.operators.Preference.preferencePairs(docs, "source", "doc_id", "sc")
+    out.collect()
+    val opt = out.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("Join") && !opt.contains("Window"),
+      "best-vs-worst is a single max/min-struct aggregate:\n" + opt)
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("partial_max") || plan.contains("partial_min"),
+      "struct extremes must combine map-side:\n" + plan)
+  }
+
+  test("distMatch: keep-fraction table broadcast-joins back; corpus never sort-merges") {
+    val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+      .withColumn("bucket", expr("CAST(n_chars AS BIGINT) DIV 100"))
+    val src = docs.filter(col("source").rlike("^src[0-9]$"))
+    val tgt = docs.filter(!col("source").rlike("^src[0-9]$"))
+    val out = graft.operators.Curation.distMatch(src, tgt, "bucket", "doc_id", seed = 5L)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      "the tiny (bucket, keep_fp) table must broadcast:\n" + plan)
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("bucket")),
+      "the corpus must never shuffle on the bucket key:\n" + plan)
+  }
 }

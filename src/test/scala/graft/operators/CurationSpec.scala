@@ -775,4 +775,46 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Curation.negativeSample(df(idSchema, Seq(Row(0L))), "doc_id", k = 1))
   }
+
+  private val dmSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("bucket", LongType)))
+
+  test("distMatch: binding bucket keeps 100%, others thin proportionally") {
+    // source uniform over buckets 1/2; target 3:1 toward bucket 1
+    val src = df(dmSchema, (0L until 40L).map(i => Row(i, 1L + i % 2)))
+    val tgt = df(dmSchema,
+      (0L until 30L).map(i => Row(100L + i, 1L)) ++
+        (0L until 10L).map(i => Row(200L + i, 2L)))
+    val out = Curation.distMatch(src, tgt, "bucket", "doc_id", seed = 7L)
+    val keepByBucket = out.select("bucket", "keep_fp").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ratios ∝ (t_b/T)/(s_b/S) = 1.5 and 0.5 → bucket 1 binds at scale,
+    // bucket 2 keeps exactly one third of it
+    assert(keepByBucket(1L) == 1000000L, s"got $keepByBucket")
+    assert(keepByBucket(2L) == 333333L)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val m = 2147483648L
+    def lcgMod(id: Long): Long =
+      ((id % m + m) % m * 1103515245L + 7L) % m % 1000000L
+    val expect = (0L until 40L).filter { i =>
+      lcgMod(i) < keepByBucket(1L + i % 2)
+    }.toSet
+    assert(kept == expect, "kept set is exactly the LCG predicate")
+    // bucket-1 rows all survive (keep_fp = scale ⇒ predicate always true)
+    assert((0L until 40L).filter(_ % 2 == 0).forall(kept), "bucket 1 keeps all")
+  }
+
+  test("distMatch: source bucket absent from the target is dropped") {
+    val src = df(dmSchema, (0L until 20L).map(i => Row(i, i % 4)))
+    val tgt = df(dmSchema, (0L until 12L).map(i => Row(100L + i, i % 3)))
+    val out = Curation.distMatch(src, tgt, "bucket", "doc_id", seed = 1L)
+    assert(out.filter(col("bucket") === 3L).count() == 0L,
+      "bucket 3 has no target mass")
+    // equal target shares over equal source buckets: every surviving
+    // bucket keeps 100%
+    val keeps = out.select("keep_fp").distinct().collect().map(_.getLong(0)).toSeq
+    assert(keeps == Seq(1000000L), s"got $keeps")
+    intercept[IllegalArgumentException](
+      Curation.distMatch(src, tgt, "bucket", "doc_id", seed = 1L, scale = 10L))
+  }
 }

@@ -207,4 +207,44 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Profile.quantileNormalize(df(sch, rows), "src", "v", "id", gridSize = 1))
   }
+
+  private val corrSchema = StructType(Seq(
+    StructField("x", DoubleType), StructField("y", DoubleType),
+    StructField("z", DoubleType)))
+
+  test("corrMatrix: exact ±1 on linear columns, NULL on constant, all pairs") {
+    val rows = (1 to 8).map(i => Row(i.toDouble, 2.0 * i, 10.0 - i))
+    val out = Profile.corrMatrix(df(corrSchema, rows), Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet == Set(("x", "y"), ("x", "z"), ("y", "z")),
+      "C(3,2) pairs in input column order")
+    assert(out(("x", "y")).getDouble(3) == 1.0, "y = 2x exactly correlates")
+    assert(out(("x", "z")).getDouble(3) == -1.0, "z = 10 − x anti-correlates")
+    assert(out.values.forall(_.getLong(2) == 8L))
+    val const = (1 to 4).map(i => Row(i.toDouble, 5.0, null))
+    val c = Profile.corrMatrix(df(corrSchema, const), Seq("x", "y"))
+      .collect().head
+    assert(c.isNullAt(3), "zero-variance side: r undefined")
+    intercept[IllegalArgumentException](
+      Profile.corrMatrix(df(corrSchema, rows), Seq("x")))
+    intercept[IllegalArgumentException](
+      Profile.corrMatrix(df(corrSchema, rows), Seq("x", "x")))
+  }
+
+  test("corrMatrix: pairwise-complete n under nulls; fixed-point tolerance") {
+    val rows = Seq(
+      Row(1.0, 1.0, null), Row(2.0, 4.0, 7.0), Row(3.0, 9.0, 5.0),
+      Row(4.0, null, 3.0), Row(5.0, 25.0, 1.0))
+    val out = Profile.corrMatrix(df(corrSchema, rows), Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out(("x", "y")).getLong(2) == 4L, "rows where both present")
+    assert(out(("x", "z")).getLong(2) == 4L)
+    assert(out(("y", "z")).getLong(2) == 3L)
+    // x vs quadratic y: strong but not perfect; exact value from the
+    // fixed-point sums is stable, just sanity-band it
+    val r = out(("x", "y")).getDouble(3)
+    assert(r > 0.95 && r < 1.0, s"got $r")
+    // z over the x-complete rows is exactly linear in x → r = −1
+    assert(out(("x", "z")).getDouble(3) == -1.0)
+  }
 }
