@@ -153,7 +153,12 @@ object Bench {
     // histogram-shaped tie-aware AUC, Bradley-Terry preference solve
     // (corpus pass + driver MM), the one-pass Pearson moment matrix,
     // and exact histogram matching (two count aggs + broadcast filter)
-    "q_eval_rank", "q_auc", "q_bradley_terry", "q_corr", "q_dist_match")
+    "q_eval_rank", "q_auc", "q_bradley_terry", "q_corr", "q_dist_match",
+    // r12 sixth continuation — agreement + overlap eval and the SQ8
+    // compression path: Cohen/Fleiss kappa (one confusion pass each),
+    // corpus BLEU-4 (gram-string explode + co-partitioned join), int8
+    // scalar quantization (train/encode/integer asymmetric top-k)
+    "q_kappa", "q_fleiss", "q_bleu", "q_sq8")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

@@ -2228,6 +2228,72 @@ object SparkEntry {
           bucketed(d.filter(!isA)), "bucket", "doc_id", seed = 77L)
         .select(col("doc_id"), col("bucket"), col("keep_fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- annotator-agreement + generation-overlap eval ----
+    "q_kappa" -> ((s, dir) =>
+      // chance-corrected agreement of our langid with the gold lang
+      // column, per source slice — one confusion pass, all-integer
+      // numerators, pinned final divisions
+      operators.Evaluation.cohenKappa(
+          T(s, dir, "documents").select(col("source"),
+            col("lang").as("gold"), TextFunctions.langId(col("text")).as("pred")),
+          "source", "gold", "pred")
+        .select(col("source"), col("n"), col("agree"),
+          col("pe_num").cast("long").as("pe_num"),
+          col("po"), col("pe"), col("kappa"))
+        .orderBy(col("source"))),
+
+    "q_fleiss" -> ((s, dir) => {
+      // three raters per document (gold lang, our langid, and a seeded
+      // degradation of gold) → the variable-rater Fleiss kappa; one
+      // corpus pass to (item, category) counts, exact decimal sums
+      val d = T(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextFunctions.langId(col("text")).as("pred"))
+      val rated = d.select(col("doc_id"), explode(array(col("lang"), col("pred"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("und"))
+          .otherwise(col("lang")))).as("cat"))
+      operators.Evaluation.fleissKappa(rated, "doc_id", "cat")
+        .select(col("n_items"), col("n_ratings"),
+          col("a_num").cast("long").as("a_num"),
+          col("d_num").cast("long").as("d_num"),
+          col("s_num").cast("long").as("s_num"),
+          col("pbar"), col("pbar_e"), col("kappa"))
+    }),
+
+    "q_bleu" -> ((s, dir) => {
+      // corpus BLEU-4 of a stopword-stripping transform against the
+      // original text — the distortion readout any cleaning stage
+      // should publish; gram strings (not hashes) on both engines
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(col("text"),
+          "(?i)\\b(the|and|of|to|in|is|that|it|for|was)\\b", " ").as("cand"),
+        col("text").as("ref"))
+      val ov = operators.Evaluation.ngramOverlap(d, "cand", "ref", "doc_id", maxN = 4)
+      operators.Evaluation.bleuSummary(ov)
+        .withColumn("bp", round(col("bp"), 9) + 0.0)
+    }),
+
+    "q_sq8" -> ((s, dir) => {
+      // int8 scalar quantization of the embedding corpus: train per-dim
+      // ranges, encode, rank by the integer asymmetric dot against
+      // vec 0, and report each hit's worst-dim reconstruction error
+      val e = T(s, dir, "embeddings")
+      val stats = operators.Similarity.sq8Train(e, "embedding")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      // materialize the codes (in production: write the index) so the
+      // score/error branches reference the stored column instead of
+      // re-inlining 64 encode expressions each — the collapsed
+      // single-projection form overflows the 64 KB codegen method
+      // limit and drops the scan to interpreted eval
+      val enc = operators.Similarity.sq8Encode(e, "embedding", stats)
+        .localCheckpoint(true)
+      val withErr = operators.Similarity.sq8Error(enc, "embedding", "_sq", stats)
+      operators.Similarity.sq8TopK(enc, "_sq", "vec_id", stats, q, k = 50)
+        .join(withErr.select(col("vec_id"), col("err_fp")), Seq("vec_id"))
+        .select(col("vec_id"), col("score_fp"), col("err_fp"))
+        .orderBy(col("score_fp").desc, col("vec_id"))
     })
   )
 
@@ -2243,6 +2309,27 @@ object SparkEntry {
     * (band/bucket/pair/est pipeline), `q_hamming_neardup` (chunk-blocked
     * hamming pairing under simhash), and `q_emb_multi_lsh` (multi-table
     * bucket union + cosine verify + cross-table dedup). */
+  /** The langid replay (q_langid / q_eval_f1's oracle verbatim) as a
+    * reusable `pd` CTE body: expects a CTE `t` providing `$carry` plus
+    * `toks`, yields `$carry` plus `pred`. */
+  private def langidPdSql(carry: String): String = {
+    def ratio(words: Seq[String]): String = {
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> x IN ($lst))) AS DOUBLE) / len(toks) END"
+    }
+    val en = ratio(Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was", "with", "are", "his", "this", "they"))
+    val de = ratio(Seq("der", "die", "und", "das", "ist", "nicht", "von", "sie", "mit", "ein", "eine", "auf", "den", "dem", "zu"))
+    val fr = ratio(Seq("le", "la", "les", "de", "des", "et", "est", "une", "dans", "que", "pour", "qui", "sur", "pas", "au"))
+    val es = ratio(Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por", "con", "para", "del"))
+    s"""SELECT $carry,
+       |       CASE WHEN GREATEST(r_en, r_de, r_fr, r_es) <= 0.08 THEN 'und'
+       |            WHEN r_en >= r_de AND r_en >= r_fr AND r_en >= r_es THEN 'en'
+       |            WHEN r_de >= r_fr AND r_de >= r_es THEN 'de'
+       |            WHEN r_fr >= r_es THEN 'fr'
+       |            ELSE 'es' END AS pred
+       |  FROM (SELECT $carry, $en AS r_en, $de AS r_de, $fr AS r_fr, $es AS r_es FROM t) r""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
@@ -5773,6 +5860,164 @@ object SparkEntry {
         |WHERE isa AND
         |  ((((((doc_id % 2147483648) + 2147483648) % 2147483648) * 1103515245 + 77)
         |    % 2147483648 + 2147483648) % 2147483648) % 1000000 < k.keep_fp
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // The langid CTE is q_langid's oracle verbatim (carrying source);
+    // kappa reduces to the single integer ratio
+    // (n·agree − Σrow·col)/(n² − Σrow·col).
+    "q_kappa" -> {
+      s"""WITH t AS (
+         |  SELECT source, lang AS gold,
+         |         list_filter(regexp_split_to_array(lower(trim(text)), '[^\\p{L}]+'), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |pd AS MATERIALIZED (
+         |${langidPdSql("source, gold")}),
+         |conf AS MATERIALIZED (
+         |  SELECT source, gold, pred, COUNT(1) AS n FROM pd GROUP BY 1, 2, 3),
+         |rm AS (SELECT source, gold AS k, SUM(n) AS rn FROM conf GROUP BY 1, 2),
+         |cm AS (SELECT source, pred AS k, SUM(n) AS cn FROM conf GROUP BY 1, 2),
+         |pe AS (SELECT source, CAST(SUM(CAST(rn AS HUGEINT) * cn) AS BIGINT) AS pe_num
+         |       FROM rm JOIN cm USING (source, k) GROUP BY 1),
+         |b AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n,
+         |             CAST(SUM(CASE WHEN gold = pred THEN n ELSE 0 END) AS BIGINT) AS agree
+         |      FROM conf GROUP BY 1)
+         |SELECT b.source, n, agree, pe_num,
+         |       CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         |       CAST(pe_num AS DOUBLE) / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS pe,
+         |       CASE WHEN CAST(n AS HUGEINT) * n <> pe_num
+         |            THEN CAST(CAST(n AS HUGEINT) * agree - pe_num AS DOUBLE)
+         |                 / CAST(CAST(n AS HUGEINT) * n - pe_num AS DOUBLE) END AS kappa
+         |FROM b JOIN pe USING (source) ORDER BY b.source""".stripMargin
+    },
+
+    // Three UNION ALL rater streams; every Fleiss numerator/denominator
+    // an exact HUGEINT sum; kappa = (A·T² − D·S)/(D·(T² − S)).
+    "q_fleiss" -> {
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |         list_filter(regexp_split_to_array(lower(trim(text)), '[^\\p{L}]+'), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |pd AS MATERIALIZED (
+         |${langidPdSql("doc_id, lang")}),
+         |rt AS (SELECT doc_id, lang AS cat FROM pd
+         |       UNION ALL SELECT doc_id, pred FROM pd
+         |       UNION ALL SELECT doc_id,
+         |         CASE WHEN doc_id % 7 = 0 THEN 'und' ELSE lang END FROM pd),
+         |cnt AS MATERIALIZED (
+         |  SELECT doc_id, cat, COUNT(1) AS n FROM rt GROUP BY 1, 2),
+         |pi AS (SELECT doc_id, SUM(CAST(n AS HUGEINT) * n) AS sq, SUM(n) AS m
+         |       FROM cnt GROUP BY 1),
+         |ia AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_items,
+         |              CAST(SUM(m) AS BIGINT) AS n_ratings,
+         |              CAST(SUM(sq - m) AS BIGINT) AS a_num,
+         |              CAST(SUM(CAST(m AS HUGEINT) * (m - 1)) AS BIGINT) AS d_num
+         |       FROM pi),
+         |ca AS (SELECT CAST(SUM(CAST(cc AS HUGEINT) * cc) AS BIGINT) AS s_num
+         |       FROM (SELECT cat, SUM(n) AS cc FROM cnt GROUP BY 1))
+         |SELECT n_items, n_ratings, a_num, d_num, s_num,
+         |       CASE WHEN d_num > 0
+         |            THEN CAST(a_num AS DOUBLE) / CAST(d_num AS DOUBLE) END AS pbar,
+         |       CAST(s_num AS DOUBLE)
+         |         / CAST(CAST(n_ratings AS HUGEINT) * n_ratings AS DOUBLE) AS pbar_e,
+         |       CASE WHEN d_num > 0 AND
+         |                 CAST(d_num AS HUGEINT) * (CAST(n_ratings AS HUGEINT) * n_ratings - s_num) <> 0
+         |            THEN CAST(CAST(a_num AS HUGEINT) * (CAST(n_ratings AS HUGEINT) * n_ratings)
+         |                      - CAST(d_num AS HUGEINT) * s_num AS DOUBLE)
+         |                 / CAST(CAST(d_num AS HUGEINT) * (CAST(n_ratings AS HUGEINT) * n_ratings - s_num) AS DOUBLE)
+         |       END AS kappa
+         |FROM ia, ca""".stripMargin
+    },
+
+    // Gram STRINGS on both engines (no hash floor); parallel
+    // unnest(range(...)) generates gram starts; the only libm term (the
+    // brevity penalty's exp) is rounded to 9 decimals on both sides.
+    "q_bleu" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(
+        |      regexp_replace(text, '(?i)\b(the|and|of|to|in|is|that|it|for|was)\b', ' ', 'g')),
+        |      '\s+', ' ', 'g')), ' ') AS cw,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS rw
+        |  FROM documents),
+        |ns AS (SELECT unnest([1, 2, 3, 4]) AS n),
+        |cg AS MATERIALIZED (
+        |  SELECT doc_id, n, g, COUNT(1) AS cc FROM (
+        |    SELECT doc_id, n, cw, unnest(range(1, len(cw) - n + 2)) AS i
+        |    FROM base CROSS JOIN ns) s
+        |  CROSS JOIN LATERAL (SELECT array_to_string(cw[i:i+n-1], ' ') AS g) x
+        |  GROUP BY 1, 2, 3),
+        |rg AS MATERIALIZED (
+        |  SELECT doc_id, n, g, COUNT(1) AS rc FROM (
+        |    SELECT doc_id, n, rw, unnest(range(1, len(rw) - n + 2)) AS i
+        |    FROM base CROSS JOIN ns) s
+        |  CROSS JOIN LATERAL (SELECT array_to_string(rw[i:i+n-1], ' ') AS g) x
+        |  GROUP BY 1, 2, 3),
+        |m AS (SELECT n, CAST(SUM(LEAST(cc, rc)) AS BIGINT) AS matches
+        |      FROM cg JOIN rg USING (doc_id, n, g) GROUP BY 1),
+        |tot AS (SELECT n,
+        |          CAST(SUM(GREATEST(len(cw) - n + 1, 0)) AS BIGINT) AS cand_ngrams,
+        |          CAST(SUM(GREATEST(len(rw) - n + 1, 0)) AS BIGINT) AS ref_ngrams
+        |        FROM base CROSS JOIN ns GROUP BY 1),
+        |ov AS (SELECT tot.n, COALESCE(matches, 0) AS matches, cand_ngrams, ref_ngrams,
+        |         CASE WHEN cand_ngrams > 0
+        |              THEN CAST(COALESCE(matches, 0) AS DOUBLE) / CAST(cand_ngrams AS DOUBLE) END AS p
+        |       FROM tot LEFT JOIN m USING (n)),
+        |wide AS (
+        |  SELECT MAX(CASE WHEN n = 1 THEN cand_ngrams END) AS cand_tokens,
+        |         MAX(CASE WHEN n = 1 THEN ref_ngrams END) AS ref_tokens,
+        |         MAX(CASE WHEN n = 1 THEN matches END) AS m1,
+        |         MAX(CASE WHEN n = 2 THEN matches END) AS m2,
+        |         MAX(CASE WHEN n = 3 THEN matches END) AS m3,
+        |         MAX(CASE WHEN n = 4 THEN matches END) AS m4,
+        |         MAX(CASE WHEN n = 1 THEN p END) AS p1,
+        |         MAX(CASE WHEN n = 2 THEN p END) AS p2,
+        |         MAX(CASE WHEN n = 3 THEN p END) AS p3,
+        |         MAX(CASE WHEN n = 4 THEN p END) AS p4
+        |  FROM ov),
+        |w2 AS (
+        |  SELECT *,
+        |    CASE WHEN cand_tokens > 0 THEN
+        |      CASE WHEN cand_tokens >= ref_tokens THEN 1.0
+        |           ELSE exp(1.0 - CAST(ref_tokens AS DOUBLE) / CAST(cand_tokens AS DOUBLE)) END
+        |    END AS bp_raw
+        |  FROM wide)
+        |SELECT cand_tokens, ref_tokens, m1, m2, m3, m4, p1, p2, p3, p4,
+        |       ROUND(bp_raw, 9) + 0.0 AS bp,
+        |       CASE WHEN cand_tokens > 0 THEN
+        |         CASE WHEN p1 > 0.0 AND p2 > 0.0 AND p3 > 0.0 AND p4 > 0.0
+        |              THEN ROUND(bp_raw * sqrt(sqrt(p1 * p2 * p3 * p4)), 9) + 0.0
+        |              ELSE 0.0 END
+        |       END AS bleu
+        |FROM w2""".stripMargin,
+
+    // Per-dim float min/max are exact data values; codes, the integer
+    // asymmetric weights, and both fixed-point outputs replay exactly.
+    "q_sq8" ->
+      """WITH ex AS MATERIALIZED (
+        |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS d,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings),
+        |st AS MATERIALIZED (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY d),
+        |c AS MATERIALIZED (
+        |  SELECT vec_id, ex.d, x, mn, mx,
+        |    CASE WHEN mx = mn THEN 0
+        |         ELSE GREATEST(-128, LEAST(127,
+        |           CAST(FLOOR((x - mn) * (255.0 / (mx - mn)) + 0.5) AS BIGINT) - 128)) END AS code
+        |  FROM ex JOIN st ON ex.d = st.d),
+        |q AS (SELECT d, x AS qx FROM ex WHERE vec_id = 0),
+        |w AS (SELECT st.d,
+        |        CASE WHEN mx = mn THEN 0
+        |             ELSE CAST(FLOOR(qx / (255.0 / (mx - mn)) * 16777216.0) AS BIGINT) END AS wfp
+        |      FROM st JOIN q ON st.d = q.d),
+        |sc AS (SELECT vec_id, CAST(SUM(wfp * (code + 128)) AS BIGINT) AS score_fp
+        |       FROM c JOIN w ON c.d = w.d GROUP BY 1),
+        |er AS (SELECT vec_id,
+        |         CAST(FLOOR(MAX(CASE WHEN mx = mn THEN ABS(x - mn)
+        |                             ELSE ABS(x - (mn + (code + 128) / (255.0 / (mx - mn)))) END)
+        |                    * 1000000000.0) AS BIGINT) AS err_fp
+        |       FROM c GROUP BY 1)
+        |SELECT sc.vec_id, score_fp, err_fp
+        |FROM sc JOIN er ON sc.vec_id = er.vec_id
+        |ORDER BY score_fp DESC, sc.vec_id LIMIT 50""".stripMargin
   )
 }

@@ -274,6 +274,115 @@ object Similarity {
     bruteForceTopK(pruned, vecCol, idCol, query, k)
   }
 
+  // ---- Scalar quantization (SQ8, the no-codebook compression path) ----
+  //
+  // PQ compresses 64× but pays a codebook train/assign; SQ8 is the
+  // simpler Faiss-style companion: one affine (min, max) pair PER
+  // DIMENSION, each float becomes one int8 — 4× smaller, zero training
+  // beyond a min/max pass, and the decode is a multiply-add (no table
+  // lookups), so scans over codes stay trivially codegen'd. The right
+  // tool when the index must shrink but recall can't afford PQ's
+  // sub-space distortion.
+
+  /** Per-dimension (min, max) ranges: ONE posexplode pass,
+    * partial-aggregated to dim-cardinality state before the exchange.
+    * min/max of floats are exact data values (no arithmetic), so the
+    * result — and everything derived from it — is engine-independent.
+    * Returned collected: dim pairs of index metadata, never data. */
+  def sq8Train(df: DataFrame, vecCol: String): Array[(Double, Double)] =
+    df.select(posexplode(col(vecCol)).as(Seq("_d", "_x")))
+      .groupBy(col("_d"))
+      .agg(min(col("_x").cast("double")).as("_mn"),
+        max(col("_x").cast("double")).as("_mx"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+
+  /** Quantization scale for one dimension: 255/(max−min). Kept as a
+    * method so the Spark side, the driver, and any oracle replay share
+    * ONE expression tree (IEEE-identical doubles). */
+  private def sq8Scale(mn: Double, mx: Double): Double = 255.0 / (mx - mn)
+
+  /** Encode: adds `codeCol`, an array<int> of per-dim codes in
+    * [−128, 127] — code = clamp(⌊(x−min)·s + 0.5⌋ − 128). Pure unrolled
+    * per-dim expressions (dim element_at + arithmetic, like [[pqEncode]]
+    * — no higher-order lambdas, one codegen'd scan, no shuffle).
+    * A constant dimension (max == min) encodes as 0. Values outside the
+    * trained range (a drifted delta batch) clamp to the boundary codes
+    * rather than overflowing. Store the codes cast to tinyint for the
+    * 4× footprint win; the float column stays in the source table for
+    * re-ranking.
+    *
+    * MATERIALIZE the encoded output (write the index, or checkpoint)
+    * before layering [[sq8Error]]/[[sq8TopK]] on top in the same plan:
+    * CollapseProject otherwise re-inlines all dim encode expressions
+    * into every downstream element_at, and past ~64 dims the fused
+    * projection overflows the JVM's 64 KB method limit and the scan
+    * silently drops out of codegen (see q_sq8). */
+  def sq8Encode(df: DataFrame, vecCol: String,
+                stats: Array[(Double, Double)],
+                codeCol: String = "_sq"): DataFrame = {
+    val codes = stats.toIndexedSeq.zipWithIndex.map { case ((mn, mx), d) =>
+      if (mx == mn) lit(0)
+      else {
+        val x = element_at(col(vecCol), d + 1).cast("double")
+        greatest(lit(-128), least(lit(127),
+          (floor((x - lit(mn)) * lit(sq8Scale(mn, mx)) + lit(0.5)) - 128).cast("int")))
+      }
+    }
+    df.withColumn(codeCol, array(codes: _*))
+  }
+
+  /** Per-vector reconstruction-error report: adds `err_fp` =
+    * ⌊max_d |x_d − dequant(code_d)|·10⁹⌋ — the worst-dimension absolute
+    * error as a fixed-point long (dequant = min + (code+128)/s). The
+    * max runs over identically-computed doubles, so it is
+    * order-independent and engine-replayable. Monitor its distribution
+    * to decide when SQ8's 4× is too lossy and the corpus needs
+    * re-ranking against full-precision vectors. */
+  def sq8Error(df: DataFrame, vecCol: String, codeCol: String,
+               stats: Array[(Double, Double)]): DataFrame = {
+    val errs = stats.toIndexedSeq.zipWithIndex.map { case ((mn, mx), d) =>
+      if (mx == mn) abs(element_at(col(vecCol), d + 1).cast("double") - lit(mn))
+      else {
+        val x = element_at(col(vecCol), d + 1).cast("double")
+        val deq = lit(mn) +
+          (element_at(col(codeCol), d + 1).cast("double") + lit(128.0)) /
+            lit(sq8Scale(mn, mx))
+        abs(x - deq)
+      }
+    }
+    df.withColumn("err_fp", floor(greatest(errs: _*) * lit(1e9)).cast("long"))
+  }
+
+  /** Asymmetric top-k over SQ8 codes: rank by
+    * score_fp = Σ_d wfp_d·(code_d + 128), where wfp_d = ⌊(q_d/s_d)·2²⁴⌋
+    * is a per-dim integer weight built from the query ON THE DRIVER
+    * (dim longs of metadata). score_fp is rank-equivalent to
+    * dot(q, dequant(codes)) up to the vector-independent constant
+    * Σ_d q_d·min_d — identical ordering, but the sum is an INTEGER, so
+    * it is order-independent and ties break exactly (by id), where a
+    * float dot would be at the mercy of engine addition order. Constant
+    * dimensions contribute nothing (wfp = 0). The scan touches ONLY the
+    * code column (dim bytes/vector as tinyint); global top-k is
+    * TakeOrdered — no shuffle of data. */
+  def sq8TopK(encoded: DataFrame, codeCol: String, idCol: String,
+              stats: Array[(Double, Double)], query: Seq[Float],
+              k: Int): DataFrame = {
+    require(query.length == stats.length,
+      s"query dim ${query.length} != trained dim ${stats.length}")
+    val wfp = stats.toIndexedSeq.zip(query).map { case ((mn, mx), q) =>
+      if (mx == mn) 0L
+      else math.floor(q.toDouble / sq8Scale(mn, mx) * 16777216.0).toLong
+    }
+    val score = wfp.zipWithIndex.collect { case (w, d) if w != 0L =>
+      lit(w) * (element_at(col(codeCol), d + 1).cast("long") + 128L)
+    }.reduceOption[Column](_ + _).getOrElse(lit(0L))
+    encoded.select(col(idCol), score.as("score_fp"))
+      .orderBy(col("score_fp").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   private def l2SqLocal(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length && i < b.length) { val d = a(i) - b(i); s += d * d; i += 1 }

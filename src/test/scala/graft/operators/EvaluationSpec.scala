@@ -119,4 +119,109 @@ class EvaluationSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Evaluation.calibrationBins(d, "g", "prob", "y", bins = 1))
   }
+
+  private val kappaSchema = StructType(Seq(
+    StructField("g", StringType), StructField("a", StringType),
+    StructField("b", StringType)))
+
+  test("cohenKappa: textbook 2x2 table gives exactly 0.4; constant raters NULL") {
+    // 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no: po=0.7, pe=0.5, kappa=0.4
+    val rows =
+      Seq.fill(20)(Row("g1", "y", "y")) ++ Seq.fill(5)(Row("g1", "y", "n")) ++
+      Seq.fill(10)(Row("g1", "n", "y")) ++ Seq.fill(15)(Row("g1", "n", "n")) ++
+      Seq.fill(4)(Row("g2", "x", "x")) // both raters constant: chance explains all
+    val out = Evaluation.cohenKappa(df(kappaSchema, rows), "g", "a", "b")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = out("g1")
+    assert(g1.getLong(1) == 50L && g1.getLong(2) == 35L)
+    assert(g1.getDecimal(3).longValueExact == 1250L, "pe_num = 25*30 + 25*20")
+    assert(g1.getDouble(4) == 0.7 && g1.getDouble(5) == 0.5)
+    assert(g1.getDouble(6) == 0.4, "kappa = (50*35-1250)/(2500-1250)")
+    assert(out("g2").isNullAt(6), "n^2 == pe_num: kappa NULL, not 0/0")
+  }
+
+  private val fleissSchema = StructType(Seq(
+    StructField("item", LongType), StructField("cat", StringType)))
+
+  test("fleissKappa: exact variable-rater formula, incl. negative kappa and m=1 items") {
+    // items: 1:(A,A) 2:(A,B) -> A=2 D=4 pbar=.5; C_A=3 C_B=1 T=4 S=10
+    // kappa = (2*16-4*10)/(4*(16-10)) = -8/24 = -1/3
+    val two = df(fleissSchema, Seq(Row(1L, "A"), Row(1L, "A"),
+      Row(2L, "A"), Row(2L, "B")))
+    val r = Evaluation.fleissKappa(two, "item", "cat").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L)
+    assert(r.getDecimal(2).longValueExact == 2L && r.getDecimal(3).longValueExact == 4L &&
+      r.getDecimal(4).longValueExact == 10L)
+    assert(r.getDouble(5) == 0.5 && r.getDouble(6) == 0.625)
+    assert(math.abs(r.getDouble(7) - (-1.0 / 3.0)) < 1e-15)
+    // add a single-rating item: marginals move, agreement mass doesn't
+    val ragged = df(fleissSchema, Seq(Row(1L, "A"), Row(1L, "A"),
+      Row(2L, "A"), Row(2L, "B"), Row(3L, "B")))
+    val r2 = Evaluation.fleissKappa(ragged, "item", "cat").head()
+    assert(r2.getLong(0) == 3L && r2.getLong(1) == 5L)
+    assert(r2.getDecimal(2).longValueExact == 2L && r2.getDecimal(3).longValueExact == 4L &&
+      r2.getDecimal(4).longValueExact == 13L)
+    assert(math.abs(r2.getDouble(7) - (-1.0 / 24.0)) < 1e-15,
+      "kappa = (2*25-4*13)/(4*(25-13))")
+  }
+
+  test("fleissKappa: perfect agreement gives kappa 1; one item only -> pe=1 NULL") {
+    val perfect = df(fleissSchema, Seq(Row(1L, "A"), Row(1L, "A"),
+      Row(2L, "B"), Row(2L, "B")))
+    assert(Evaluation.fleissKappa(perfect, "item", "cat").head().getDouble(7) == 1.0)
+    val onecat = df(fleissSchema, Seq(Row(1L, "A"), Row(1L, "A")))
+    assert(Evaluation.fleissKappa(onecat, "item", "cat").head().isNullAt(7),
+      "T^2 == S: chance explains everything, kappa NULL")
+  }
+
+  private val bleuSchema = StructType(Seq(
+    StructField("id", LongType), StructField("cand", StringType),
+    StructField("ref", StringType)))
+
+  test("ngramOverlap: clipped matches, totals from lengths, micro-average") {
+    val d = df(bleuSchema, Seq(
+      Row(1L, "a b x d", "a b c d"),   // n1: 3 match; n2: 1; n3: 0
+      Row(2L, "a a a", "a b")))        // clipping: min(3,1)=1 unigram match
+    val out = Evaluation.ngramOverlap(d, "cand", "ref", "id", maxN = 3)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val n1 = out(1)
+    assert(n1.getLong(1) == 4L, "matches = 3 (doc1) + 1 clipped (doc2)")
+    assert(n1.getLong(2) == 7L && n1.getLong(3) == 6L)
+    assert(n1.getDouble(4) == 4.0 / 7.0 && n1.getDouble(5) == 4.0 / 6.0)
+    val n2 = out(2)
+    assert(n2.getLong(1) == 1L, """only "a b" survives at n=2""")
+    assert(n2.getLong(2) == 5L && n2.getLong(3) == 4L)
+    val n3 = out(3)
+    assert(n3.getLong(1) == 0L && n3.getLong(2) == 3L && n3.getLong(3) == 2L)
+    assert(n3.getDouble(4) == 0.0, "precision 0, not NULL, when grams exist")
+  }
+
+  test("ngramOverlap: case/whitespace normalization; doc shorter than n contributes 0 grams") {
+    val d = df(bleuSchema, Seq(Row(1L, "  A    b ", "a B")))
+    val out = Evaluation.ngramOverlap(d, "cand", "ref", "id", maxN = 4)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(1).getLong(1) == 2L && out(1).getLong(2) == 2L)
+    assert(out(2).getLong(1) == 1L, "bigram 'a b' matches after normalization")
+    assert(out(3).getLong(1) == 0L && out(3).getLong(2) == 0L && out(3).getLong(3) == 0L)
+    assert(out(3).isNullAt(4) && out(3).isNullAt(5), "no grams: NULL, not 0/0")
+  }
+
+  test("bleuSummary: perfect overlap = 1.0; brevity penalty branch; zero p_n floors to 0") {
+    val same = df(bleuSchema, Seq(Row(1L, "a b c d e", "a b c d e")))
+    val s1 = Evaluation.bleuSummary(
+      Evaluation.ngramOverlap(same, "cand", "ref", "id", 4)).head()
+    assert(s1.getAs[Double]("bleu") == 1.0 && s1.getAs[Double]("bp") == 1.0)
+    // candidate a strict suffix: all precisions 1, bp = exp(1 - 5/4)
+    val short = df(bleuSchema, Seq(Row(1L, "b c d e", "a b c d e")))
+    val s2 = Evaluation.bleuSummary(
+      Evaluation.ngramOverlap(short, "cand", "ref", "id", 4)).head()
+    assert(s2.getAs[Long]("cand_tokens") == 4L && s2.getAs[Long]("ref_tokens") == 5L)
+    assert(s2.getAs[Double]("p1") == 1.0 && s2.getAs[Double]("p4") == 1.0)
+    assert(math.abs(s2.getAs[Double]("bleu") - math.exp(-0.25)) < 1e-9)
+    // any zero precision: unsmoothed corpus BLEU is 0
+    val broken = df(bleuSchema, Seq(Row(1L, "a x c y e", "a b c d e")))
+    val s3 = Evaluation.bleuSummary(
+      Evaluation.ngramOverlap(broken, "cand", "ref", "id", 4)).head()
+    assert(s3.getAs[Double]("bleu") == 0.0)
+  }
 }

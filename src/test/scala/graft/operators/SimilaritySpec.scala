@@ -330,4 +330,70 @@ class SimilaritySpec extends SparkSpec {
       .select(col("_code")).collect().map(_.getSeq[Int](0))
     assert(rows.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 4)))
   }
+
+  test("sq8: train ranges, hand-checked codes, constant dim encodes 0") {
+    val d = df(vecSchema, Seq(
+      Row(1L, Seq(0.0f, 10.0f, 5.0f)),
+      Row(2L, Seq(10.0f, 0.0f, 5.0f)),
+      Row(3L, Seq(5.0f, 5.0f, 5.0f))))
+    val stats = Similarity.sq8Train(d, "v")
+    assert(stats.toSeq == Seq((0.0, 10.0), (0.0, 10.0), (5.0, 5.0)))
+    val codes = Similarity.sq8Encode(d, "v", stats)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    assert(codes(1L) == Seq(-128, 127, 0), "range endpoints hit the boundary codes")
+    assert(codes(2L) == Seq(127, -128, 0))
+    // mid-range 5.0: floor(5*25.5 + 0.5) - 128 = 127.5+0.5=128 -> floor 128 - 128 = 0
+    assert(codes(3L) == Seq(0, 0, 0))
+  }
+
+  test("sq8Error: exact on boundary codes, bounded by half a quantization step") {
+    val d = df(vecSchema, Seq(
+      Row(1L, Seq(0.0f, 10.0f, 5.0f)),
+      Row(2L, Seq(10.0f, 0.0f, 5.0f)),
+      Row(3L, Seq(5.0f, 5.0f, 5.0f)),
+      Row(4L, Seq(3.3f, 7.7f, 5.0f))))
+    val stats = Similarity.sq8Train(d, "v")
+    val errs = Similarity.sq8Error(
+        Similarity.sq8Encode(d, "v", stats), "v", "_sq", stats)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("err_fp")).toMap
+    assert(errs(1L) == 0L, "min and max dequantize exactly; constant dim err 0")
+    // half-step bound: (mx-mn)/255/2 = 10/510 ~ 0.0196; + rounding slack
+    val halfStep = (1e9 * 10.0 / 255.0 / 2.0).toLong
+    assert(errs.values.forall(_ <= halfStep + 1),
+      s"worst-dim error within half a step, got ${errs.values.max}")
+    assert(errs(4L) > 0L, "interior values carry real quantization error")
+  }
+
+  test("sq8Encode: out-of-range values clamp to boundary codes instead of overflowing") {
+    val trainStats = Array((0.0, 10.0), (0.0, 10.0))
+    val drifted = df(StructType(Seq(
+        StructField("vec_id", LongType), StructField("v", ArrayType(FloatType)))),
+      Seq(Row(1L, Seq(-5.0f, 15.0f))))
+    val c = Similarity.sq8Encode(drifted, "v", trainStats).head().getSeq[Int](2)
+    assert(c == Seq(-128, 127))
+  }
+
+  test("sq8TopK: integer ranking matches the dequantized-dot ranking; dim guard") {
+    val corpus = clustered(3, 15, 6)
+    val stats = Similarity.sq8Train(corpus, "v")
+    val q = corpus.orderBy(col("vec_id")).select(col("v")).head().getSeq[Float](0)
+    val enc = Similarity.sq8Encode(corpus, "v", stats)
+    val got = Similarity.sq8TopK(enc, "_sq", "vec_id", stats, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // independent local replay: dot(q, dequant(codes)) ordering, ties by id
+    val local = enc.select(col("vec_id"), col("_sq")).collect().map { r =>
+      val codes = r.getSeq[Int](1)
+      val s = stats.indices.map { i =>
+        val (mn, mx) = stats(i)
+        if (mx == mn) 0.0
+        else q(i).toDouble / (255.0 / (mx - mn)) * (codes(i) + 128).toDouble
+      }.sum
+      (r.getLong(0), s)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(got.map(_._1).toSeq == local.map(_._1).toSeq,
+      "integer asymmetric ranking == dequantized-dot ranking")
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted(Ordering[Long].reverse).toSeq)
+    intercept[IllegalArgumentException](
+      Similarity.sq8TopK(enc, "_sq", "vec_id", stats, q.take(3), k = 5))
+  }
 }
