@@ -158,7 +158,12 @@ object Bench {
     // compression path: Cohen/Fleiss kappa (one confusion pass each),
     // corpus BLEU-4 (gram-string explode + co-partitioned join), int8
     // scalar quantization (train/encode/integer asymmetric top-k)
-    "q_kappa", "q_fleiss", "q_bleu", "q_sq8")
+    "q_kappa", "q_fleiss", "q_bleu", "q_sq8",
+    // r12 seventh continuation — privacy audit/suppression (one pass +
+    // one co-partitioned semi-join), interval-overlap join (bucket
+    // equi-join, max-start-bucket dedup), indexed BM25 hard-negative
+    // mining (one pruned postings read for the whole query batch)
+    "q_ldiversity", "q_kanon_suppress", "q_overlap_join", "q_hard_neg")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

@@ -2294,6 +2294,63 @@ object SparkEntry {
         .join(withErr.select(col("vec_id"), col("err_fp")), Seq("vec_id"))
         .select(col("vec_id"), col("score_fp"), col("err_fp"))
         .orderBy(col("score_fp").desc, col("vec_id"))
+    }),
+
+    // ---- privacy audit, interval overlap, hard-negative mining ----
+    "q_ldiversity" -> ((s, dir) =>
+      // k-anonymity / l-diversity audit over (event_type, value band)
+      // quasi-identifiers with user_id sensitive: one pass, exact
+      // count_distinct, group-cardinality output
+      operators.Privacy.kAnonymityAudit(
+          T(s, dir, "events").select(col("event_type"),
+            floor(col("value") / 10.0).cast("long").as("value_band"),
+            col("user_id")),
+          Seq("event_type", "value_band"), "user_id", k = 150, l = 60)
+        .orderBy(col("event_type"), col("value_band"))),
+
+    "q_kanon_suppress" -> ((s, dir) =>
+      // the release-safe subset: rows whose quasi group passes both
+      // thresholds survive via one co-partitioned left_semi join
+      operators.Privacy.suppress(
+          T(s, dir, "events").select(col("event_id"), col("event_type"),
+            floor(col("value") / 10.0).cast("long").as("value_band"),
+            col("user_id")),
+          Seq("event_type", "value_band"), "user_id", k = 150, l = 60)
+        .select(col("event_id"), col("event_type"), col("value_band"))
+        .orderBy(col("event_id"))),
+
+    "q_overlap_join" -> ((s, dir) => {
+      // concurrent-activity pairing: per-user daily click sessions ×
+      // daily view sessions whose half-open windows intersect — bucket
+      // equi-join, pair counted only in its max-start bucket, never a
+      // nested loop
+      val ev = T(s, dir, "events")
+      def daily(t: String, p: String) = ev.filter(col("event_type") === t)
+        .groupBy(col("user_id"), to_date(col("ts")).as(s"${p}_day"))
+        .agg(min(col("ts")).as(s"${p}_start"),
+          (max(col("ts")) + expr("INTERVAL 1 SECOND")).as(s"${p}_end"))
+      operators.TemporalJoin.intervalOverlap(
+          daily("click", "a"), daily("view", "b"), Seq("user_id"),
+          "a_start", "a_end", "b_start", "b_end", bucketSeconds = 21600)
+        .select(col("user_id"), col("a_day"), col("b_day"),
+          col("a_start"), col("a_end"), col("b_start"), col("b_end"))
+        .orderBy(col("user_id"), col("a_day"), col("b_day"))
+    }),
+
+    "q_hard_neg" -> ((s, dir) => {
+      // BM25 hard negatives for 3 queries in ONE index pass: top-15
+      // highest-scoring docs per query that are NOT in its relevance
+      // set (doc_id % 7 == q_id), per-query top-k on the mergeable heap
+      val docs = T(s, dir, "documents")
+      val idx = java.nio.file.Files.createTempDirectory("graft_hn_").toString + "/index"
+      operators.Retrieval.buildInvertedIndex(docs, "text", "doc_id", idx)
+      val qs = Seq(1L -> Seq("spark", "vector"), 2L -> Seq("merge", "spark"),
+        3L -> Seq("data", "model"))
+      val rel = docs.select(explode(typedLit(Seq(1L, 2L, 3L))).as("q_id"),
+          col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(7)) === col("q_id"))
+      operators.Retrieval.bm25HardNegativesIndexed(s, idx, qs, rel, k = 15)
+        .orderBy(col("q_id"), col("score_fp").desc, col("doc_id"))
     })
   )
 
@@ -6018,6 +6075,79 @@ object SparkEntry {
         |       FROM c GROUP BY 1)
         |SELECT sc.vec_id, score_fp, err_fp
         |FROM sc JOIN er ON sc.vec_id = er.vec_id
-        |ORDER BY score_fp DESC, sc.vec_id LIMIT 50""".stripMargin
+        |ORDER BY score_fp DESC, sc.vec_id LIMIT 50""".stripMargin,
+
+    "q_ldiversity" ->
+      """SELECT event_type, CAST(FLOOR(value / 10.0) AS BIGINT) AS value_band,
+        |       COUNT(1) AS n, COUNT(DISTINCT user_id) AS l,
+        |       COUNT(1) < 150 AS k_violation,
+        |       COUNT(DISTINCT user_id) < 60 AS l_violation
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_kanon_suppress" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(FLOOR(value / 10.0) AS BIGINT) AS value_band
+        |  FROM events GROUP BY 1, 2
+        |  HAVING COUNT(1) >= 150 AND COUNT(DISTINCT user_id) >= 60)
+        |SELECT e.event_id, e.event_type,
+        |       CAST(FLOOR(e.value / 10.0) AS BIGINT) AS value_band
+        |FROM events e
+        |JOIN g ON e.event_type = g.event_type
+        |      AND CAST(FLOOR(e.value / 10.0) AS BIGINT) = g.value_band
+        |ORDER BY e.event_id""".stripMargin,
+
+    // Plain overlap predicate — the bucket machinery must be invisible
+    // in the result.
+    "q_overlap_join" ->
+      """WITH a AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS a_day,
+        |         MIN(ts) AS a_start, MAX(ts) + INTERVAL 1 SECOND AS a_end
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |b AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS b_day,
+        |         MIN(ts) AS b_start, MAX(ts) + INTERVAL 1 SECOND AS b_end
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT a.user_id, a_day, b_day, a_start, a_end, b_start, b_end
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |             AND a_start < b_end AND b_start < a_end
+        |ORDER BY a.user_id, a_day, b_day""".stripMargin,
+
+    // The q_bm25 per-term replay once per query over the shared token
+    // CTE, relevance expressed arithmetically (doc_id % 7 = q_id),
+    // per-query top-15 then a stable global order.
+    "q_hard_neg" -> {
+      val qs = Seq(1L -> Seq("spark", "vector"), 2L -> Seq("merge", "spark"),
+        3L -> Seq("data", "model"))
+      def one(q: Long, terms: Seq[String]): String = {
+        val tfs = terms.zipWithIndex.map { case (t, i) =>
+          s"len(list_filter(t, x -> x = '$t')) AS tf$i" }.mkString(", ")
+        val dfs = terms.indices.map(i =>
+          s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+        val score = terms.indices.map(i =>
+          s"""CAST(FLOOR(ln(1.0 + (CAST(s.n - s.df$i AS DOUBLE) + 0.5) / (CAST(s.df$i AS DOUBLE) + 0.5))
+             | * (CAST(d.tf$i AS DOUBLE) * (1.2 + 1.0))
+             | / (CAST(d.tf$i AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))))) * 1e8) AS BIGINT)""".stripMargin)
+          .mkString("\n    + ")
+        val matched = terms.indices.map(i =>
+          s"(CASE WHEN d.tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""(SELECT CAST($q AS BIGINT) AS q_id, doc_id, score_fp FROM (
+           |  SELECT d.doc_id,
+           |    $score AS score_fp,
+           |    $matched AS matched
+           |  FROM (SELECT doc_id, len(t) AS dl, $tfs FROM toks) d CROSS JOIN
+           |       (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl, $dfs
+           |        FROM (SELECT len(t) AS dl, $tfs FROM toks)) s) x
+           | WHERE matched > 0 AND doc_id % 7 <> $q
+           | ORDER BY score_fp DESC, doc_id LIMIT 15)""".stripMargin
+      }
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+         |                     x -> len(x) > 0) AS t
+         |  FROM documents)
+         |SELECT * FROM (
+         |${qs.map { case (q, ts) => one(q, ts) }.mkString("\nUNION ALL\n")}
+         |) u ORDER BY q_id, score_fp DESC, doc_id""".stripMargin
+    }
   )
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Privacy-shape audits a corpus publishes before release: k-anonymity
+  * (no quasi-identifier combination isolates fewer than k rows) and
+  * l-diversity (each combination covers at least l distinct sensitive
+  * values). Complements the row-local PII detectors in
+  * [[graft.functions.TextFunctions]] — those find identifiers IN text;
+  * this measures whether the STRUCTURED columns re-identify — and
+  * extends [[Diagnostics.kAnonymity]] (the size-only class audit,
+  * `q_kanon`) with the sensitive-column dimension and the suppression
+  * transform.
+  */
+object Privacy {
+
+  /** Per-quasi-identifier-group audit: ONE corpus pass to
+    * (quasi…, n, l) — `n` the group size, `l` the number of distinct
+    * sensitive values — plus the two violation flags. count_distinct
+    * is Spark's exact two-phase distinct aggregate: partials collapse
+    * per (group, sensitive) map-side, so the exchange carries at most
+    * group×sensitive cardinality, never the corpus.
+    *
+    * `k_violation`: the group isolates fewer than k individuals.
+    * `l_violation`: everyone in the group shares few sensitive values —
+    * an attacker who locates the group learns the secret even without
+    * isolating a row (why k alone is not enough).
+    *
+    * NULL quasi values group together (standard SQL GROUP BY NULL
+    * semantics on both engines) — a null is itself a quasi-identifier
+    * value. Output: quasi columns + (n, l, k_violation, l_violation). */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, k: Long, l: Long = 1L): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(l >= 1, s"l must be >= 1, got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("l"))
+      .withColumn("k_violation", col("n") < k)
+      .withColumn("l_violation", col("l") < l)
+  }
+
+  /** Suppression: drop every row whose quasi-identifier group violates
+    * k-anonymity or l-diversity — the release-safe subset (suppression
+    * is the blunt instrument; generalization — coarsening the quasi
+    * columns first — is the caller's lever for keeping more rows).
+    *
+    * Shape: the audit aggregate (group-cardinality), then ONE left_semi
+    * join of the corpus against the passing groups on the quasi key —
+    * co-partitioned on the same key the aggregate just shuffled by, and
+    * null-safe (`<=>`) so null-valued quasi groups are suppressed or
+    * kept as groups, exactly as audited. */
+  def suppress(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+               k: Long, l: Long = 1L): DataFrame = {
+    val ok = kAnonymityAudit(df, quasiCols, sensitiveCol, k, l)
+      .filter(!col("k_violation") && !col("l_violation"))
+      .select(quasiCols.map(c => col(c).as(s"_ok_$c")): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"_ok_$c")).reduce(_ && _)
+    df.join(ok, cond, "left_semi")
+  }
+}

@@ -212,6 +212,85 @@ object Retrieval {
       .orderBy(col("score_fp").desc, col(idCol)).limit(k)
   }
 
+  /** Hard-negative mining for contrastive training: for EVERY query in
+    * a batch, the top-`k` highest-BM25 documents that are NOT in that
+    * query's relevance set — the standard "BM25 negatives" recipe for
+    * dense-retriever and reranker training data.
+    *
+    * Runs against a [[buildInvertedIndex]] directory, so the corpus is
+    * never read: ONE partition-pruned postings read covers the whole
+    * batch (the union of all queries' term buckets), a broadcast
+    * (q_id, term, idf) weight table fans each posting row out to the
+    * queries that probe its term, per-(query, doc) scores
+    * partial-aggregate before the exchange, known-positives leave via
+    * ONE left_anti join on (q_id, doc), and per-query top-k rides the
+    * mergeable bottom-k heap (k·tasks heap entries cross the exchange,
+    * never the scored candidate stream — the [[Similarity]] batch
+    * contract).
+    *
+    * Scores are the [[bm25TopKIndexed]] expression tree row for row
+    * (idf a driver double carried through the broadcast join instead of
+    * a literal when-chain; same value, same 1e-8 fixed-point floor per
+    * posting), so a negative's score_fp equals what the single-query
+    * path reports. Index-path contract rides along: docs matching NO
+    * probe term of a query are absent, not scored 0 — they are "easy"
+    * negatives by construction, not hard ones. Ties at the k boundary
+    * break by ascending doc id.
+    *
+    * `rel` is a (q_id, `idCol`) table of known positives. Output:
+    * (q_id, `idCol`, score_fp). */
+  def bm25HardNegativesIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                               queries: Seq[(Long, Seq[String])], rel: DataFrame,
+                               k: Int, buckets: Int = 64, idCol: String = "doc_id",
+                               k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    require(queries.nonEmpty, "queries must be non-empty")
+    queries.foreach { case (q, ts) =>
+      require(ts.nonEmpty && ts.distinct == ts, s"query $q terms must be non-empty and distinct")
+    }
+    require(k > 0, s"k must be positive, got $k")
+    import spark.implicits._
+    val st = spark.read.parquet(s"$dir/stats").head()
+    val n = st.getLong(0)
+    val sumdl = st.getLong(1)
+    require(n > 0, "empty index")
+    val avgdl = sumdl.toDouble / n.toDouble
+    val allTerms = queries.flatMap(_._2).distinct
+    val bs = allTerms.map(termBucket(_, buckets)).distinct
+    val dfT = spark.read.parquet(s"$dir/termdf")
+      .filter(col("bucket").isin(bs: _*) && col("term").isin(allTerms: _*))
+      .collect().map(r => r.getString(r.fieldIndex("term")) ->
+        r.getLong(r.fieldIndex("df"))).toMap
+    // (q_id, term, idf): query-batch × terms rows of driver metadata —
+    // the idf doubles are bm25TopKIndexed's values verbatim
+    val weights = queries.flatMap { case (q, ts) =>
+      ts.map { t =>
+        val d = dfT.getOrElse(t, 0L)
+        (q, t, math.log(1.0 + ((n - d).toDouble + 0.5) / (d.toDouble + 0.5)))
+      }
+    }.toDF("q_id", "term", "_idf")
+    val tf = col("tf").cast("double")
+    val dlNorm = lit(k1) * ((lit(1.0) - lit(b)) +
+      lit(b) * (col("dl").cast("double") / lit(avgdl)))
+    val scored = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(bs: _*) && col("term").isin(allTerms: _*))
+      .join(broadcast(weights), Seq("term"))
+      .withColumn("_s",
+        floor(col("_idf") * (tf * (lit(k1) + lit(1.0))) / (tf + dlNorm) * lit(1e8)))
+      .groupBy(col("q_id"), col(idCol))
+      .agg(sum(col("_s")).as("score_fp"))
+      .join(rel.select(col("q_id"), col(idCol)), Seq("q_id", idCol), "left_anti")
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val agg = graft.functions.BottomKAgg(
+      ColumnBridge.expression((-col("score_fp")).cast("double")),
+      ColumnBridge.expression(col(idCol).cast("long")), k, withPriorities = true)
+    scored.groupBy(col("q_id"))
+      .agg(ColumnBridge.column(agg.toAggregateExpression()).as("_top"))
+      .select(col("q_id"), explode(col("_top")).as("_e"))
+      .select(col("q_id"), col("_e.v").as(idCol),
+        (-ColumnBridge.column(graft.functions.SortableBitsToDouble(
+          ColumnBridge.expression(col("_e.p")))) + 0.0).cast("long").as("score_fp"))
+  }
+
   /** Rank a scored result as a top-`k` list: (`idCol`, `rank` 1-based)
     * by `scoreCol` descending (or ascending for distance metrics), ties
     * by ascending id. The global selection is `TakeOrdered`; the

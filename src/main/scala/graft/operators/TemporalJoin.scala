@@ -91,4 +91,47 @@ object TemporalJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("_pb")
   }
+
+  /** Interval×interval overlap join: every (left, right) pair sharing a
+    * key whose half-open windows intersect (`lStart < rEnd && rStart <
+    * lEnd`) — shift overlap detection, concurrent-session pairing,
+    * conflicting-booking audits. Never a nested-loop/cartesian plan:
+    * both sides explode their bucket range and meet in an equi-join on
+    * (key…, bucket).
+    *
+    * De-duplication is join-free and exact: a qualifying pair occupies
+    * every bucket from max(start buckets) onward on BOTH sides (the
+    * later-starting interval starts there; the earlier one reaches it
+    * because overlap means its end passes the later start), so the pair
+    * is counted ONLY in `bucket == max(floor(lStart/b), floor(rStart/b))`
+    * — no distinct over the blown-up pair stream, which at corpus scale
+    * would be a second full shuffle of the largest intermediate.
+    *
+    * An interval spanning more than `maxBucketsPerInterval` buckets
+    * fails LOUDLY in-plan (the [[graft.operators.TimeSeries.gapFill]]
+    * contract): a mis-sized `bucketSeconds` otherwise silently explodes
+    * the intermediate by orders of magnitude. Non-key payload columns
+    * must be disjoint between the two sides (rename before joining). */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      lStart: String, lEnd: String, rStart: String, rEnd: String,
+                      bucketSeconds: Long,
+                      maxBucketsPerInterval: Int = 10000): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(keys.nonEmpty, "keys must be non-empty")
+    val b = lit(bucketSeconds)
+    def buckets(df: DataFrame, s: String, e: String): DataFrame = {
+      val sb = floor(unix_timestamp(col(s)) / b)
+      val eb = floor(unix_timestamp(col(e)) / b)
+      val guarded = when(eb - sb > maxBucketsPerInterval, raise_error(concat(
+          lit(s"intervalOverlap: interval spans more than $maxBucketsPerInterval " +
+            s"buckets of ${bucketSeconds}s ("), (eb - sb).cast("string"),
+          lit(") — widen bucketSeconds")))).otherwise(eb)
+      df.withColumn("_b", explode(sequence(sb, guarded)))
+    }
+    buckets(left, lStart, lEnd).join(buckets(right, rStart, rEnd), keys :+ "_b")
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+        col("_b") === greatest(floor(unix_timestamp(col(lStart)) / b),
+          floor(unix_timestamp(col(rStart)) / b)))
+      .drop("_b")
+  }
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class PrivacySpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("age_band", StringType), StructField("zip", StringType),
+    StructField("disease", StringType)))
+
+  private def rows = Seq(
+    // group (30s, 111): 3 rows, 2 distinct diseases
+    Row("30s", "111", "flu"), Row("30s", "111", "flu"), Row("30s", "111", "cold"),
+    // group (40s, 222): 1 row — k-violation at k=2
+    Row("40s", "222", "flu"),
+    // group (50s, 333): 2 rows, 1 disease — l-violation at l=2
+    Row("50s", "333", "cold"), Row("50s", "333", "cold"),
+    // null quasi value is a group of its own
+    Row(null, "111", "flu"), Row(null, "111", "cold"))
+
+  test("kAnonymityAudit: exact n and l per group, both violation flags, null groups") {
+    val out = Privacy.kAnonymityAudit(df(schema, rows),
+        Seq("age_band", "zip"), "disease", k = 2, l = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val g1 = out(("30s", "111"))
+    assert(g1.getLong(2) == 3L && g1.getLong(3) == 2L)
+    assert(!g1.getBoolean(4) && !g1.getBoolean(5))
+    val g2 = out(("40s", "222"))
+    assert(g2.getLong(2) == 1L && g2.getBoolean(4), "singleton group k-violates")
+    assert(g2.getBoolean(5), "one row has one distinct value: l-violates too")
+    val g3 = out(("50s", "333"))
+    assert(!g3.getBoolean(4) && g3.getBoolean(5),
+      "k ok but everyone shares the secret: l-violation")
+    val gn = out((null, "111"))
+    assert(gn.getLong(2) == 2L && gn.getLong(3) == 2L, "null quasi groups together")
+  }
+
+  test("suppress: violating groups leave entirely; passing groups keep every row") {
+    val kept = Privacy.suppress(df(schema, rows),
+        Seq("age_band", "zip"), "disease", k = 2, l = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(kept.count(_ == ("30s", "111")) == 3)
+    assert(kept.count(_ == (null, "111")) == 2, "null-safe join keeps the null group")
+    assert(!kept.exists(_ == ("40s", "222")) && !kept.exists(_ == ("50s", "333")))
+  }
+
+  test("suppress at k=1,l=1 is the identity; guards reject bad thresholds") {
+    assert(Privacy.suppress(df(schema, rows),
+      Seq("age_band", "zip"), "disease", k = 1, l = 1).count() == rows.length)
+    intercept[IllegalArgumentException](
+      Privacy.kAnonymityAudit(df(schema, rows), Seq.empty, "disease", k = 2))
+    intercept[IllegalArgumentException](
+      Privacy.kAnonymityAudit(df(schema, rows), Seq("zip"), "disease", k = 0))
+  }
+}

@@ -250,4 +250,30 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Retrieval.skipGramPairs(df(sch, Seq(Row("a"))), "text", window = 0))
   }
+
+  test("bm25HardNegativesIndexed: per query == single-query index path minus positives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hn_spec_").toString + "/idx"
+    Retrieval.buildInvertedIndex(corpus, "text", "doc_id", dir, buckets = 8)
+    val relSchema = StructType(Seq(
+      StructField("q_id", LongType), StructField("doc_id", LongType)))
+    // q1 holds doc 3 relevant; q2 holds nothing relevant
+    val rel = df(relSchema, Seq(Row(10L, 3L)))
+    val qs = Seq(10L -> Seq("spark", "table"), 20L -> Seq("table"))
+    val got = Retrieval.bm25HardNegativesIndexed(spark, dir, qs, rel,
+        k = 5, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    // independent expectation: the pinned single-query path, positives removed
+    def single(terms: Seq[String], drop: Set[Long]) =
+      Retrieval.bm25TopKIndexed(spark, dir, terms, k = 5, buckets = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filterNot { case (id, _) => drop(id) }.toSet
+    assert(got(10L) == single(Seq("spark", "table"), Set(3L)),
+      s"q10: ${got(10L)}")
+    assert(got(20L) == single(Seq("table"), Set.empty),
+      "empty relevance set: hard negatives are just the top-k")
+    assert(!got(10L).exists(_._1 == 3L), "known positive never surfaces")
+    intercept[IllegalArgumentException](
+      Retrieval.bm25HardNegativesIndexed(spark, dir, Seq(1L -> Seq.empty), rel, k = 5))
+  }
 }

@@ -90,4 +90,52 @@ class TemporalJoinSpec extends SparkSpec {
       assert(fast == naive, s"bucket width $width")
     }
   }
+
+  private val ovLSchema = StructType(Seq(
+    StructField("k", StringType), StructField("la", StringType),
+    StructField("ls", TimestampType), StructField("le", TimestampType)))
+  private val ovRSchema = StructType(Seq(
+    StructField("k", StringType), StructField("rb", StringType),
+    StructField("rs", TimestampType), StructField("re", TimestampType)))
+
+  private def ovLeft = df(ovLSchema, Seq(
+    Row("u", "A1", ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+    Row("u", "A2", ts("2024-01-01 14:00:00"), ts("2024-01-01 15:00:00")),
+    Row("v", "A3", ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"))))
+  private def ovRight = df(ovRSchema, Seq(
+    Row("u", "B1", ts("2024-01-01 11:00:00"), ts("2024-01-01 13:00:00")), // overlaps A1
+    Row("u", "B2", ts("2024-01-01 12:00:00"), ts("2024-01-01 13:00:00")), // abuts A1: half-open, no
+    Row("u", "B3", ts("2024-01-01 09:00:00"), ts("2024-01-01 16:00:00")), // covers A1 and A2
+    Row("w", "B4", ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")))) // key mismatch with A1
+
+  test("intervalOverlap: half-open semantics, containment, key isolation") {
+    val out = TemporalJoin.intervalOverlap(ovLeft, ovRight, Seq("k"),
+        "ls", "le", "rs", "re", bucketSeconds = 1800)
+      .select(col("la"), col("rb")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSet == Set(("A1", "B1"), ("A1", "B3"), ("A2", "B3")))
+    assert(out.length == 3, "each pair exactly once — max-start-bucket dedup, no distinct")
+  }
+
+  test("intervalOverlap: pair set invariant to bucket width; each pair emitted once") {
+    for (width <- Seq(60L, 600L, 3600L, 86400L)) {
+      val out = TemporalJoin.intervalOverlap(ovLeft, ovRight, Seq("k"),
+          "ls", "le", "rs", "re", bucketSeconds = width)
+        .select(col("la"), col("rb")).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(out.toSet == Set(("A1", "B1"), ("A1", "B3"), ("A2", "B3")),
+        s"bucket width $width")
+      assert(out.length == 3, s"duplicate pairs at bucket width $width")
+    }
+  }
+
+  test("intervalOverlap: runaway interval fails loudly in-plan") {
+    val ex = intercept[Exception] {
+      TemporalJoin.intervalOverlap(ovLeft, ovRight, Seq("k"),
+        "ls", "le", "rs", "re", bucketSeconds = 1,
+        maxBucketsPerInterval = 100).count()
+    }
+    assert(ex.getMessage.contains("widen bucketSeconds") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("widen bucketSeconds"))
+  }
 }
