@@ -163,7 +163,11 @@ object Bench {
     // one co-partitioned semi-join), interval-overlap join (bucket
     // equi-join, max-start-bucket dedup), indexed BM25 hard-negative
     // mining (one pruned postings read for the whole query batch)
-    "q_ldiversity", "q_kanon_suppress", "q_overlap_join", "q_hard_neg")
+    "q_ldiversity", "q_kanon_suppress", "q_overlap_join", "q_hard_neg",
+    // r12 eighth continuation — DoReMi softmax domain reweighting (one
+    // corpus aggregate + domain-cardinality softmax on e_fp integers)
+    // and the run-over-run snapshot diff (one co-partitioned full-outer)
+    "q_doremi", "q_snapshot_diff")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

@@ -2351,6 +2351,38 @@ object SparkEntry {
         .filter(pmod(col("doc_id"), lit(7)) === col("q_id"))
       operators.Retrieval.bm25HardNegativesIndexed(s, idx, qs, rel, k = 15)
         .orderBy(col("q_id"), col("score_fp").desc, col("doc_id"))
+    }),
+
+    "q_doremi" -> ((s, dir) => {
+      // DoReMi readout: per-source token-weighted excess NLL under the
+      // en-trained bigram LM → exponentiated-gradient mixture weights,
+      // softmax on order-independent e_fp integers
+      val d = T(s, dir, "documents")
+      val lm = LanguageModel.train(d.filter(col("lang") === "en"), "text",
+        vocabSize = 1000)
+      val scored = LanguageModel.scoreNll(d, "text", "doc_id", lm, addK = 0.5)
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      operators.Curation.domainSoftmaxWeights(scored, "source",
+          "avg_nll", "n_bigrams", eta = 1.0, smoothing = 0.2)
+        .orderBy(col("source"))
+    }),
+
+    "q_snapshot_diff" -> ((s, dir) => {
+      // run-over-run audit: orders vs a deterministically perturbed
+      // copy (drop %101, reprice %97, add %103 under shifted keys) —
+      // one co-partitioned full-outer diff, unchanged keys absent
+      val o = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice").cast("double").as("o_totalprice"))
+      val n = o.filter(pmod(col("o_orderkey"), lit(101)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(97)) === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(pmod(col("o_orderkey"), lit(103)) === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice")))
+      operators.Changelog.snapshotDiff(o, n, "o_orderkey",
+          Seq("o_orderstatus", "o_totalprice"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -6148,6 +6180,101 @@ object SparkEntry {
          |SELECT * FROM (
          |${qs.map { case (q, ts) => one(q, ts) }.mkString("\nUNION ALL\n")}
          |) u ORDER BY q_id, score_fp DESC, doc_id""".stripMargin
-    }
+    },
+
+    // The q_perplexity LM replay verbatim, then the DoReMi rollup:
+    // half-up integer domain means, excess clamped at the corpus mean,
+    // softmax over floor(exp(.)*1e9) integers.
+    "q_doremi" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |vocab AS MATERIALIZED (
+        |  SELECT token FROM (
+        |    SELECT unnest(t) AS token FROM toks WHERE lang = 'en')
+        |  WHERE length(token) > 0
+        |  GROUP BY token ORDER BY COUNT(1) DESC, token LIMIT 1000),
+        |big AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |         unnest(t[1:len(t)-1]) AS w1r, unnest(t[2:len(t)]) AS w2r
+        |  FROM toks WHERE len(t) >= 2),
+        |bigm AS MATERIALIZED (
+        |  SELECT b.doc_id, b.lang,
+        |         CASE WHEN v1.token IS NULL THEN chr(1) ELSE b.w1r END AS w1,
+        |         CASE WHEN v2.token IS NULL THEN chr(1) ELSE b.w2r END AS w2
+        |  FROM big b
+        |  LEFT JOIN vocab v1 ON b.w1r = v1.token
+        |  LEFT JOIN vocab v2 ON b.w2r = v2.token),
+        |c12 AS MATERIALIZED (
+        |  SELECT w1, w2, COUNT(1) AS c12 FROM bigm WHERE lang = 'en' GROUP BY w1, w2),
+        |c1 AS MATERIALIZED (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+        |vsz AS (SELECT COUNT(1) + 1.0 AS v FROM vocab),
+        |nll AS (
+        |  SELECT b.doc_id,
+        |         CAST(floor(-ln((COALESCE(c12.c12, 0) + 0.5) /
+        |                        (COALESCE(c1.c1, 0) + 0.5 * vsz.v)) * 1e8) AS BIGINT) AS nllf
+        |  FROM bigm b
+        |  LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+        |  LEFT JOIN c1 ON b.w1 = c1.w1
+        |  CROSS JOIN vsz),
+        |agg AS (
+        |  SELECT doc_id, COUNT(1) AS n_bigrams,
+        |         CAST(CAST((CAST(SUM(nllf) AS BIGINT) + COUNT(1) * 5000)
+        |                    // (COUNT(1) * 10000) AS DECIMAL(20,0)) * 0.0001 AS DOUBLE) AS avg_nll
+        |  FROM nll GROUP BY doc_id),
+        |dom AS (
+        |  SELECT d.source, COUNT(1) AS n_docs,
+        |         CAST(SUM(a.n_bigrams) AS BIGINT) AS tokens,
+        |         CAST(SUM(CAST(a.n_bigrams AS HUGEINT) *
+        |                   CAST(FLOOR(a.avg_nll * 10000.0 + 0.5) AS BIGINT)) AS HUGEINT) AS w4
+        |  FROM documents d JOIN agg a USING (doc_id)
+        |  WHERE a.n_bigrams > 0
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t, CAST(SUM(w4) AS HUGEINT) AS s FROM dom),
+        |x AS (
+        |  SELECT source, n_docs, tokens,
+        |         CAST((w4 + tokens // 2) // tokens AS BIGINT) AS nll_x1e4,
+        |         GREATEST(CAST((w4 + tokens // 2) // tokens AS BIGINT)
+        |                  - CAST((s + t // 2) // t AS BIGINT), 0) AS excess_x1e4
+        |  FROM dom, tot),
+        |e AS (SELECT *, CAST(FLOOR(exp(1.0 * excess_x1e4 / 10000.0) * 1000000000.0) AS BIGINT) AS e_fp
+        |      FROM x),
+        |nz AS (SELECT CAST(SUM(e_fp) AS BIGINT) AS se, COUNT(1) AS k FROM e)
+        |SELECT source, n_docs, tokens, nll_x1e4, excess_x1e4, e_fp,
+        |       CAST(e_fp AS DOUBLE) / CAST(se AS DOUBLE) AS weight,
+        |       (1.0 - 0.2) * (CAST(e_fp AS DOUBLE) / CAST(se AS DOUBLE))
+        |         + 0.2 / CAST(k AS DOUBLE) AS weight_smoothed
+        |FROM e, nz ORDER BY source""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |  FROM orders),
+        |n AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 10.0
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM o WHERE o_orderkey % 101 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM o WHERE o_orderkey % 103 = 0)
+        |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |            WHEN n.o_orderkey IS NULL THEN 'removed'
+        |            WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+        |                      AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+        |            THEN 'changed' END AS change,
+        |       o.o_orderstatus AS old_o_orderstatus,
+        |       o.o_totalprice AS old_o_totalprice,
+        |       n.o_orderstatus AS new_o_orderstatus,
+        |       n.o_totalprice AS new_o_totalprice
+        |FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey
+        |WHERE (CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |            WHEN n.o_orderkey IS NULL THEN 'removed'
+        |            WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+        |                      AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+        |            THEN 'changed' END) IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -35,4 +35,36 @@ object Changelog {
       .select(col(pkCol) +: payloadCols.map(c => col(s"_last.$c").as(c)) :+
         col(s"_last.$tsCol").as(tsCol): _*)
   }
+
+  /** Row-level diff of two snapshots by primary key — the audit behind
+    * "what did this pipeline run actually change": every key classified
+    * `added` / `removed` / `changed`, unchanged keys absent. The
+    * inverse companion of [[compact]] (which applies a changelog; this
+    * derives one), and the verification step for any snapshot-replace
+    * publish.
+    *
+    * ONE full-outer join on the key — co-partitioned, payload compared
+    * null-safely (`<=>`: a NULL→value transition is a change, NULL→NULL
+    * is not). Output: (pkCol, change, old_<c>…, new_<c>…) with the
+    * absent side's payload NULL. Keys must be unique per side (it is a
+    * snapshot diff, not a changelog merge) — duplicate keys fan out
+    * exactly like the join they'd corrupt, so run
+    * [[graft.operators.Diagnostics.joinSizeAudit]] first when unsure. */
+  def snapshotDiff(old: DataFrame, neu: DataFrame, pkCol: String,
+                   payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "snapshotDiff: need at least one payload column")
+    val o = old.select((col(pkCol) +: payloadCols.map(c => col(c).as(s"old_$c"))) :+
+      lit(1).as("_in_old"): _*)
+    val n = neu.select((col(pkCol) +: payloadCols.map(c => col(c).as(s"new_$c"))) :+
+      lit(1).as("_in_new"): _*)
+    val same = payloadCols.map(c => col(s"old_$c") <=> col(s"new_$c")).reduce(_ && _)
+    o.join(n, Seq(pkCol), "full_outer")
+      .withColumn("change",
+        when(col("_in_old").isNull, "added")
+          .when(col("_in_new").isNull, "removed")
+          .when(!same, "changed"))
+      .filter(col("change").isNotNull)
+      .select(col(pkCol) +: col("change") +:
+        (payloadCols.map(c => col(s"old_$c")) ++ payloadCols.map(c => col(s"new_$c"))): _*)
+  }
 }

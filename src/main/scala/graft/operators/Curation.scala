@@ -1271,4 +1271,61 @@ object Curation {
       .filter(pmod(key, lit(scale)) < col("keep_fp"))
       .drop("_b")
   }
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023): turn measured
+    * per-domain excess loss into mixture weights via the exponentiated-
+    * gradient update w_i ∝ exp(η·excess_i), smoothed with the uniform
+    * mixture — the readout step of DoReMi given a scored corpus (the
+    * iterative proxy-retraining loop is a training-cluster job; what
+    * the DATA pipeline owns is exactly this: loss rollup → softmax →
+    * smoothed weights → hand to [[mixWeighted]]).
+    *
+    * Input: a per-document scored table ([[LanguageModel.scoreNll]]
+    * shape): `nllCol` the 4-decimal mean NLL, `weightCol` the token
+    * count it averages over. Unscored docs (NULL nll / zero tokens)
+    * are excluded — they carry no loss signal.
+    *
+    * Exactness: the 4-decimal fixed point is recovered as
+    * ⌊nll·10⁴ + 0.5⌋ (exact — the stored double is within 1 ulp of
+    * k·10⁻⁴), token-weighted domain means are half-up INTEGER
+    * divisions of DECIMAL(38,0) sums, excess clamps at 0 against the
+    * token-weighted corpus mean, and the softmax runs on
+    * e_fp = ⌊exp(η·excess)·10⁹⌋ integers so the normalizing sum is
+    * order-independent; weight/weight_smoothed are the only doubles,
+    * pinned divisions of those integers. Corpus-sized work: ONE
+    * partial-aggregated pass; everything after is domain-cardinality.
+    *
+    * Output per domain: (domainCol, n_docs, tokens, nll_x1e4,
+    * excess_x1e4, e_fp, weight, weight_smoothed). */
+  def domainSoftmaxWeights(scored: DataFrame, domainCol: String,
+                           nllCol: String, weightCol: String,
+                           eta: Double = 1.0, smoothing: Double = 0.2): DataFrame = {
+    require(eta > 0.0, s"eta must be > 0, got $eta")
+    require(smoothing >= 0.0 && smoothing < 1.0,
+      s"smoothing must be in [0, 1), got $smoothing")
+    val nll4 = floor(col(nllCol) * lit(10000.0) + lit(0.5)).cast("long")
+    val dom = scored
+      .filter(col(nllCol).isNotNull && col(weightCol) > 0)
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol)).as("tokens"),
+        sum((col(weightCol) * nll4).cast("decimal(38,0)")).as("_w4"))
+    val tot = dom.agg(sum(col("tokens")).as("_t"), sum(col("_w4")).as("_s"))
+    val x = dom.crossJoin(broadcast(tot))
+      .withColumn("nll_x1e4",
+        expr("(_w4 + CAST(tokens div 2 AS DECIMAL(38,0))) div tokens").cast("long"))
+      .withColumn("excess_x1e4", greatest(col("nll_x1e4") -
+        expr("(_s + CAST(_t div 2 AS DECIMAL(38,0))) div _t").cast("long"), lit(0L)))
+      .withColumn("e_fp", floor(
+        exp(lit(eta) * col("excess_x1e4").cast("double") / lit(10000.0)) * lit(1e9))
+        .cast("long"))
+    val norm = x.agg(sum(col("e_fp")).as("_se"), count(lit(1)).as("_k"))
+    val w = col("e_fp").cast("double") / col("_se").cast("double")
+    x.crossJoin(broadcast(norm))
+      .select(col(domainCol), col("n_docs"), col("tokens"),
+        col("nll_x1e4"), col("excess_x1e4"), col("e_fp"),
+        w.as("weight"),
+        ((lit(1.0) - lit(smoothing)) * w +
+          lit(smoothing) / col("_k").cast("double")).as("weight_smoothed"))
+  }
 }

@@ -557,4 +557,63 @@ class PlanEvidenceSpec extends SparkSpec {
         l.contains("SortMergeJoin") && l.contains("bucket")),
       "the corpus must never shuffle on the bucket key:\n" + plan)
   }
+
+  test("intervalOverlap: bucket equi-join, never a cartesian/nested-loop plan") {
+    val ev = graft.sources.ParquetConnector.readTable(spark, s"$sf/events.parquet")
+    def daily(t: String, p: String) = ev.filter(col("event_type") === t)
+      .groupBy(col("user_id"), to_date(col("ts")).as(s"${p}_day"))
+      .agg(min(col("ts")).as(s"${p}_start"),
+        (max(col("ts")) + expr("INTERVAL 1 SECOND")).as(s"${p}_end"))
+    val out = graft.operators.TemporalJoin.intervalOverlap(
+      daily("click", "a"), daily("view", "b"), Seq("user_id"),
+      "a_start", "a_end", "b_start", "b_end", bucketSeconds = 21600)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "overlap must resolve through the bucket equi-join:\n" + plan)
+  }
+
+  test("bm25HardNegativesIndexed: postings scan carries the bucket partition filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pe_hn_").toString + "/idx"
+    val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+    graft.operators.Retrieval.buildInvertedIndex(docs, "text", "doc_id", dir, buckets = 8)
+    val rel = docs.select(lit(1L).as("q_id"), col("doc_id")).limit(0)
+    val out = graft.operators.Retrieval.bm25HardNegativesIndexed(spark, dir,
+      Seq(1L -> Seq("spark")), rel, k = 5, buckets = 8)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      "the whole batch must read only its terms' posting buckets:\n" + plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      "the (q_id, term, idf) weight table must broadcast:\n" + plan)
+  }
+
+  test("sq8 encode scan stays inside whole-stage codegen once codes are materialized") {
+    val e = graft.sources.ParquetConnector.readTable(spark, s"$sf/embeddings.parquet")
+    val stats = graft.operators.Similarity.sq8Train(e, "embedding")
+    val enc = graft.operators.Similarity.sq8Encode(e, "embedding", stats)
+    // encode alone (the index-build scan) must be codegen'd — 64
+    // unrolled affine expressions are fine; it is the COLLAPSED
+    // encode+error+score projection that overflows 64 KB (q_sq8
+    // checkpoints between them; sq8Encode documents the contract)
+    val hasCodegenProject = enc.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec if w.collect { case p: ProjectExec => p }.nonEmpty => w
+    }.nonEmpty
+    assert(hasCodegenProject, enc.queryExecution.executedPlan.toString)
+  }
+
+  test("domainSoftmaxWeights: one corpus aggregate; normalizers broadcast back") {
+    val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+      .select(col("source"), (col("n_chars") % 7).cast("double").as("avg_nll"),
+        col("n_chars").as("n_bigrams"))
+    val out = graft.operators.Curation.domainSoftmaxWeights(
+      docs, "source", "avg_nll", "n_bigrams")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "the single-row totals must broadcast, never shuffle the domain table:\n" + plan)
+    assert(!plan.contains("SortMergeJoin"),
+      "no sort-merge anywhere in a domain-cardinality rollup:\n" + plan)
+  }
 }

@@ -41,4 +41,41 @@ class ChangelogSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Changelog.compact(df(sch, rows), "pk", "ts", "seq", "op", "delete", Seq.empty))
   }
+
+  private val snapSchema = StructType(Seq(
+    StructField("pk", LongType), StructField("a", StringType),
+    StructField("b", DoubleType)))
+
+  test("snapshotDiff: added/removed/changed classification; unchanged absent; NULL-safe") {
+    val old = df(snapSchema, Seq(
+      Row(1L, "x", 1.0),   // unchanged
+      Row(2L, "y", 2.0),   // changed payload
+      Row(3L, "z", 3.0),   // removed
+      Row(4L, null, 4.0),  // NULL -> value transition: changed
+      Row(5L, null, 5.0))) // NULL -> NULL: unchanged
+    val neu = df(snapSchema, Seq(
+      Row(1L, "x", 1.0),
+      Row(2L, "y", 2.5),
+      Row(4L, "w", 4.0),
+      Row(5L, null, 5.0),
+      Row(6L, "new", 6.0))) // added
+    val out = Changelog.snapshotDiff(old, neu, "pk", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "changed", 6L -> "added"))
+    val row2 = Changelog.snapshotDiff(old, neu, "pk", Seq("a", "b"))
+      .collect().find(_.getLong(0) == 2L).get
+    assert(row2.getDouble(row2.fieldIndex("old_b")) == 2.0 &&
+      row2.getDouble(row2.fieldIndex("new_b")) == 2.5)
+    val row3 = Changelog.snapshotDiff(old, neu, "pk", Seq("a", "b"))
+      .collect().find(_.getLong(0) == 3L).get
+    assert(row3.isNullAt(row3.fieldIndex("new_a")) && row3.isNullAt(row3.fieldIndex("new_b")),
+      "absent side's payload is NULL")
+    intercept[IllegalArgumentException](
+      Changelog.snapshotDiff(old, neu, "pk", Seq.empty))
+  }
+
+  test("snapshotDiff: identical snapshots diff to empty") {
+    val old = df(snapSchema, Seq(Row(1L, "x", 1.0), Row(2L, null, 2.0)))
+    assert(Changelog.snapshotDiff(old, old, "pk", Seq("a", "b")).count() == 0L)
+  }
 }

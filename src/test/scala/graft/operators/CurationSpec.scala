@@ -817,4 +817,34 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Curation.distMatch(src, tgt, "bucket", "doc_id", seed = 1L, scale = 10L))
   }
+
+  test("domainSoftmaxWeights: hand-checked integer rollup, clamped excess, softmax") {
+    val sch = StructType(Seq(
+      StructField("dom", StringType), StructField("avg_nll", DoubleType),
+      StructField("n_bigrams", LongType)))
+    val scored = df(sch, Seq(
+      Row("A", 2.0, 10L), Row("A", 4.0, 30L),  // token-weighted mean 3.5
+      Row("B", 1.0, 40L),                      // below corpus mean: excess 0
+      Row("B", null, 5L), Row("B", 9.9, 0L)))  // unscored rows excluded
+    val out = Curation.domainSoftmaxWeights(scored, "dom", "avg_nll", "n_bigrams",
+        eta = 1.0, smoothing = 0.2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getLong(1) == 2L && a.getLong(2) == 40L)
+    assert(a.getLong(3) == 35000L, "A mean = (10*20000 + 30*40000) / 40")
+    // corpus mean = (1400000 + 400000 + 40) div 80 = 22500
+    assert(a.getLong(4) == 12500L, "excess = 35000 - 22500")
+    assert(a.getLong(5) == math.floor(math.exp(1.25) * 1e9).toLong)
+    val b = out("B")
+    assert(b.getLong(2) == 40L, "null-nll and zero-token rows carry no loss signal")
+    assert(b.getLong(4) == 0L && b.getLong(5) == 1000000000L, "clamped at the mean: e_fp = 1e9")
+    val se = a.getLong(5) + b.getLong(5)
+    assert(a.getDouble(6) == a.getLong(5).toDouble / se.toDouble)
+    assert(b.getDouble(7) == (1.0 - 0.2) * (1e9 / se.toDouble) + 0.2 / 2.0,
+      "smoothed with uniform (expected mirrors the operator's IEEE tree)")
+    assert(math.abs(out.values.map(_.getDouble(7)).sum - 1.0) < 1e-12,
+      "smoothed weights are a distribution")
+    intercept[IllegalArgumentException](
+      Curation.domainSoftmaxWeights(scored, "dom", "avg_nll", "n_bigrams", eta = 0.0))
+  }
 }
