@@ -167,7 +167,11 @@ object Bench {
     // r12 eighth continuation — DoReMi softmax domain reweighting (one
     // corpus aggregate + domain-cardinality softmax on e_fp integers)
     // and the run-over-run snapshot diff (one co-partitioned full-outer)
-    "q_doremi", "q_snapshot_diff")
+    "q_doremi", "q_snapshot_diff",
+    // r12 ninth continuation — Kaplan-Meier survival (corpus partial-
+    // aggregates to distinct-duration counts; windows run there) and
+    // U-shaped multi-touch attribution (path-stamped user windows)
+    "q_kaplan_meier", "q_attribution")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

@@ -2383,7 +2383,29 @@ object SparkEntry {
       operators.Changelog.snapshotDiff(o, n, "o_orderkey",
           Seq("o_orderstatus", "o_totalprice"))
         .orderBy(col("o_orderkey"))
-    })
+    }),
+
+    "q_kaplan_meier" -> ((s, dir) => {
+      // per-cohort churn survival: duration = active days per user,
+      // censored if still active near window end; KM over the
+      // (cohort x distinct-duration) counts table, survival via the
+      // ordered-frame ln-sum (identical sequential order both engines)
+      val subj = T(s, dir, "events").groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("ts")).as("_f"), max(col("ts")).as("_l"))
+        .select(col("event_type"),
+          datediff(to_date(col("_l")), to_date(col("_f"))).as("duration"),
+          (col("_l") < lit("2024-01-24").cast("timestamp")).as("churned"))
+      operators.Analytics.kaplanMeier(subj, "event_type", "duration", "churned")
+        .orderBy(col("event_type"), col("t"))
+    }),
+
+    "q_attribution" -> ((s, dir) =>
+      // U-shaped multi-touch attribution of purchases: each
+      // conversion's 10^6-scale credit splits 40/20/40 over its path's
+      // touches; one user window pass + path-bounded position ranks
+      operators.Analytics.positionAttribution(T(s, dir, "events"),
+          "user_id", "ts", "event_type", convType = "purchase")
+        .orderBy(col("event_type")))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by name).
@@ -6275,6 +6297,83 @@ object SparkEntry {
         |            WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
         |                      AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
         |            THEN 'changed' END) IS NOT NULL
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Risk sets and ln-sum survival over the same sequential
+    // (time-sorted) window order; survival rounded to 9 decimals both
+    // sides; d = n times pin survival to exactly 0.
+    "q_kaplan_meier" ->
+      """WITH subj AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS BIGINT) AS t,
+        |         (MAX(ts) < TIMESTAMP '2024-01-24 00:00:00') AS e
+        |  FROM events GROUP BY user_id, event_type),
+        |counts AS (
+        |  SELECT event_type, t,
+        |         CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |         CAST(SUM(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM subj GROUP BY 1, 2),
+        |x AS (
+        |  SELECT *,
+        |    SUM(d + c) OVER (PARTITION BY event_type)
+        |      - COALESCE(SUM(d + c) OVER (PARTITION BY event_type ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+        |  FROM counts),
+        |y AS (
+        |  SELECT *,
+        |    SUM(CASE WHEN d > 0 AND d < n_at_risk
+        |             THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+        |             ELSE 0.0 END)
+        |      OVER (PARTITION BY event_type ORDER BY t
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lns,
+        |    MAX(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY event_type ORDER BY t
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        |  FROM x)
+        |SELECT event_type, t, d, c, n_at_risk,
+        |       CASE WHEN dead = 1 THEN 0.0 ELSE ROUND(exp(lns), 9) + 0.0 END AS survival
+        |FROM y ORDER BY event_type, t""".stripMargin,
+
+    // The stamped-path window formulation mirrored; truncating credit
+    // division; the _direct aggregate needs its HAVING because an
+    // ungrouped aggregate emits a zero row where Spark's groupBy on an
+    // empty input emits none.
+    "q_attribution" ->
+      """WITH st AS (
+        |  SELECT user_id, ts, event_type, event_type = 'purchase' AS conv,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_type
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM events),
+        |st2 AS MATERIALIZED (
+        |  SELECT *, CASE WHEN conv THEN cum ELSE cum + 1 END AS path FROM st),
+        |nc AS (SELECT user_id, MAX(cum) AS nconv FROM st2 WHERE conv GROUP BY 1),
+        |tch AS MATERIALIZED (
+        |  SELECT st2.* FROM st2 JOIN nc USING (user_id)
+        |  WHERE NOT conv AND path <= nconv),
+        |rk AS (
+        |  SELECT *, COUNT(1) OVER (PARTITION BY user_id, path) AS k,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, path ORDER BY ts, event_type) AS pos
+        |  FROM tch),
+        |cr AS (
+        |  SELECT event_type, user_id, path,
+        |    CASE WHEN k = 1 THEN 1000000 WHEN k = 2 THEN 500000
+        |         WHEN pos = 1 OR pos = k THEN 400000
+        |         ELSE 200000 // (k - 2) END AS credit
+        |  FROM rk),
+        |att AS (
+        |  SELECT event_type, CAST(COUNT(1) AS BIGINT) AS touches,
+        |         CAST(COUNT(DISTINCT (user_id, path)) AS BIGINT) AS conversions,
+        |         CAST(SUM(credit) AS BIGINT) AS credit_fp
+        |  FROM cr GROUP BY 1),
+        |dr AS (
+        |  SELECT '_direct' AS event_type, CAST(COUNT(1) AS BIGINT) AS touches,
+        |         CAST(COUNT(1) AS BIGINT) AS conversions,
+        |         CAST(COUNT(1) * 1000000 AS BIGINT) AS credit_fp
+        |  FROM st2 c
+        |  WHERE conv AND NOT EXISTS (SELECT 1 FROM tch
+        |                             WHERE tch.user_id = c.user_id AND tch.path = c.path)
+        |  HAVING COUNT(1) > 0)
+        |SELECT * FROM att UNION ALL SELECT * FROM dr ORDER BY event_type""".stripMargin
   )
 }

@@ -448,4 +448,123 @@ object Analytics {
       .select(col(groupCol), col("_n").cast("long").as("n"),
         col("slope"), col("intercept"), col("r2"))
   }
+
+  /** Kaplan–Meier survival curves per group — time-to-churn /
+    * time-to-conversion with right-censoring (the subject left the
+    * observation window without the event; it counts in the risk set
+    * until its censoring time, then drops out silently — discarding
+    * censored rows instead would bias survival DOWN).
+    *
+    * Input: one row per subject — (`groupCol`, `durationCol` integral
+    * time units, `eventCol` true = event observed, false = censored).
+    * S(t) = Π_{u ≤ t} (1 − d_u / n_u) over distinct event times.
+    *
+    * Scale shape: the corpus partial-aggregates to (group × distinct
+    * durations) counts in one pass; the risk-set and survival windows
+    * run on THAT table — per-group frames bounded by distinct-duration
+    * cardinality, never subject count. The cumulative product rides
+    * exp(Σ ln(1 − d/n)) over the ordered frame: both engines add the
+    * SAME ln terms in the SAME (time-sorted) sequential order, and
+    * `survival` rounds to 9 decimals (+0.0) so residual libm ulps
+    * vanish. A time where the whole risk set events (d = n) pins
+    * survival to exactly 0 from there on — the ln(0) branch is never
+    * evaluated on either engine.
+    *
+    * Output per (group, t): (groupCol, t, d, c, n_at_risk, survival) —
+    * d events, c censored at t, ordered semantics only (no sort
+    * applied). */
+  def kaplanMeier(df: DataFrame, groupCol: String, durationCol: String,
+                  eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(col(groupCol), col(durationCol).cast("long").as("t"),
+        col(eventCol).cast("boolean").as("_e"))
+      .groupBy(col(groupCol), col("t"))
+      .agg(sum(when(col("_e"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("_e"), 0L).otherwise(1L)).as("c"))
+    val wTot = Window.partitionBy(col(groupCol))
+    val wBefore = Window.partitionBy(col(groupCol)).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wUpTo = Window.partitionBy(col(groupCol)).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    counts
+      .withColumn("n_at_risk", sum(col("d") + col("c")).over(wTot) -
+        coalesce(sum(col("d") + col("c")).over(wBefore), lit(0L)))
+      .withColumn("_lnS", sum(
+        when(col("d") > 0 && col("d") < col("n_at_risk"),
+          log(lit(1.0) - col("d").cast("double") / col("n_at_risk").cast("double")))
+          .otherwise(lit(0.0))).over(wUpTo))
+      .withColumn("_dead", max(when(col("d") === col("n_at_risk"), 1).otherwise(0))
+        .over(wUpTo))
+      .withColumn("survival",
+        when(col("_dead") === 1, lit(0.0))
+          .otherwise(round(exp(col("_lnS")), 9) + 0.0))
+      .select(col(groupCol), col("t"), col("d"), col("c"),
+        col("n_at_risk"), col("survival"))
+  }
+
+  /** U-shaped (position-based) multi-touch attribution: each
+    * conversion's credit splits across the touchpoints since the
+    * user's previous conversion — 40% to the first touch, 40% to the
+    * last, the middle 20% evenly over the rest (1 touch takes 100%,
+    * 2 touches split 50/50). The standard step past the
+    * last-touch/first-touch extremes (`q_first_touch`).
+    *
+    * Credit is exact integer fixed-point out of 10⁶ per conversion:
+    * first/last ⌊4·10⁵⌋, each middle ⌊2·10⁵/(k−2)⌋ — truncating
+    * division, so a conversion's credits can sum to slightly under
+    * 10⁶ with many middles (documented, engine-exact; nothing hides in
+    * float remainders). Conversions with NO preceding touch carry
+    * their full credit on themselves under type `_direct`.
+    *
+    * Scale shape: one user-partitioned window pass stamps every touch
+    * with its owning conversion (the running conversion count — no
+    * join back to conversions), a second per-(user, conversion) window
+    * ranks positions (frames bounded by path length), then ONE
+    * partial-aggregated rollup to (touch type, credit). Output:
+    * (typeCol, touches, conversions, credit_fp), credit_fp = Σ of the
+    * 10⁶-scale credits — divide by 10⁶·conversions downstream for
+    * share-of-credit. */
+  def positionAttribution(events: DataFrame, userCol: String, tsCol: String,
+                          typeCol: String, convType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(typeCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val isConv = col(typeCol) === convType
+    // path id = how many conversions happened up to AND INCLUDING this
+    // row: a touch belongs to the path of the next conversion, so its
+    // path id is (conversions so far) + 1 == the conversion's own id
+    val stamped = events
+      .select(col(userCol), col(tsCol), col(typeCol), isConv.as("_conv"))
+      .withColumn("_cum", sum(when(col("_conv"), 1L).otherwise(0L)).over(wUser))
+      .withColumn("_path", when(col("_conv"), col("_cum")).otherwise(col("_cum") + 1))
+    // touches whose path has a conversion (paths after the last
+    // conversion never convert and earn nothing)
+    val nConvPerUser = stamped.filter(col("_conv"))
+      .groupBy(col(userCol)).agg(max(col("_cum")).as("_nconv"))
+    val touches = stamped.filter(!col("_conv"))
+      .join(nConvPerUser, Seq(userCol))
+      .filter(col("_path") <= col("_nconv"))
+    val wPath = Window.partitionBy(col(userCol), col("_path"))
+    val wPos = wPath.orderBy(col(tsCol), col(typeCol))
+    val ranked = touches
+      .withColumn("_k", count(lit(1)).over(wPath))
+      .withColumn("_pos", row_number().over(wPos))
+      .withColumn("_credit",
+        when(col("_k") === 1, lit(1000000L))
+          .when(col("_k") === 2, lit(500000L))
+          .when(col("_pos") === 1 || col("_pos") === col("_k"), lit(400000L))
+          .otherwise(expr("200000 div (_k - 2)")))
+    val attributed = ranked.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("touches"),
+        count_distinct(col(userCol), col("_path")).as("conversions"),
+        sum(col("_credit")).as("credit_fp"))
+    // conversions with an empty path self-attribute as `_direct`
+    val direct = stamped.filter(col("_conv"))
+      .join(touches.select(col(userCol), col("_path")).distinct(),
+        Seq(userCol, "_path"), "left_anti")
+      .groupBy(lit("_direct").as(typeCol))
+      .agg(count(lit(1)).as("touches"), count(lit(1)).as("conversions"),
+        (count(lit(1)) * lit(1000000L)).as("credit_fp"))
+    attributed.unionByName(direct)
+  }
 }

@@ -271,4 +271,65 @@ class AnalyticsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Analytics.groupedOls(df(olsSchema, exact), "g", "x", "y", scale = 12))
   }
+
+  private val kmSchema = StructType(Seq(
+    StructField("g", StringType), StructField("dur", LongType),
+    StructField("e", BooleanType)))
+
+  test("kaplanMeier: hand-checked risk sets and survival; censoring shrinks risk only") {
+    val d = df(kmSchema, Seq(
+      Row("g", 1L, true), Row("g", 1L, false),   // t=1: 1 event, 1 censored
+      Row("g", 2L, true), Row("g", 3L, false)))  // t=2 event; t=3 censored
+    val out = Analytics.kaplanMeier(d, "g", "dur", "e")
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(out(1L).getLong(4) == 4L && out(2L).getLong(4) == 2L &&
+      out(3L).getLong(4) == 1L, "risk sets 4 / 2 / 1")
+    assert(out(1L).getDouble(5) == 0.75, "S(1) = 1 - 1/4")
+    assert(out(2L).getDouble(5) == 0.375, "S(2) = 0.75 * (1 - 1/2)")
+    assert(out(3L).getDouble(5) == 0.375, "censoring-only times leave S unchanged")
+  }
+
+  test("kaplanMeier: whole risk set eventing pins survival to exactly 0") {
+    val d = df(kmSchema, Seq(Row("h", 1L, true), Row("h", 1L, true)))
+    val r = Analytics.kaplanMeier(d, "g", "dur", "e").head()
+    assert(r.getLong(2) == 2L && r.getLong(4) == 2L && r.getDouble(5) == 0.0)
+  }
+
+  private val attSchema = StructType(Seq(
+    StructField("uid", LongType), StructField("ts", TimestampType),
+    StructField("et", StringType)))
+
+  test("positionAttribution: U-shaped credits, paths reset per conversion, direct bucket") {
+    val d = df(attSchema, Seq(
+      // u1: click, view -> purchase; trailing click never converts
+      Row(1L, ts(1), "click"), Row(1L, ts(2), "view"),
+      Row(1L, ts(3), "purchase"), Row(1L, ts(4), "click"),
+      // u2: a DIRECT purchase, then click, click, view -> purchase (k=3)
+      Row(2L, ts(1), "purchase"), Row(2L, ts(2), "click"),
+      Row(2L, ts(3), "click"), Row(2L, ts(4), "view"),
+      Row(2L, ts(5), "purchase"),
+      // u3: k=4 path — click, view, signup, error -> purchase
+      Row(3L, ts(1), "click"), Row(3L, ts(2), "view"),
+      Row(3L, ts(3), "signup"), Row(3L, ts(4), "error"),
+      Row(3L, ts(5), "purchase")))
+    val out = Analytics.positionAttribution(d, "uid", "ts", "et", "purchase")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // click: u1 k=2 first (500000) + u2 k=3 first (400000) + middle
+    // (200000) + u3 k=4 first (400000)
+    assert(out("click") == ((4L, 3L, 1500000L)), s"got ${out("click")}")
+    // view: u1 k=2 last (500000) + u2 k=3 last (400000) + u3 middle (100000)
+    assert(out("view") == ((3L, 3L, 1000000L)))
+    assert(out("signup") == ((1L, 1L, 100000L)), "k=4 middles split 200000 div 2")
+    assert(out("error") == ((1L, 1L, 400000L)), "k=4 last touch")
+    assert(out("_direct") == ((1L, 1L, 1000000L)), "conversion with no path self-attributes")
+    assert(!out.contains("purchase"), "conversions are not touches")
+  }
+
+  test("positionAttribution: no conversions at all -> empty; single touch takes 100%") {
+    val none = df(attSchema, Seq(Row(1L, ts(1), "click")))
+    assert(Analytics.positionAttribution(none, "uid", "ts", "et", "purchase").count() == 0L)
+    val one = df(attSchema, Seq(Row(1L, ts(1), "view"), Row(1L, ts(2), "purchase")))
+    val r = Analytics.positionAttribution(one, "uid", "ts", "et", "purchase").head()
+    assert(r.getString(0) == "view" && r.getLong(3) == 1000000L)
+  }
 }
