@@ -171,7 +171,11 @@ object Bench {
     // r12 ninth continuation — Kaplan-Meier survival (corpus partial-
     // aggregates to distinct-duration counts; windows run there) and
     // U-shaped multi-touch attribution (path-stamped user windows)
-    "q_kaplan_meier", "q_attribution")
+    "q_kaplan_meier", "q_attribution",
+    // r12 ninth continuation: active-learning margin sampling on the
+    // trained-NB fixed-point joint table (two label-bounded aggregates
+    // + TakeOrdered bottom-k)
+    "q_active_select")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

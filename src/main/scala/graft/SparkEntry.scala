@@ -2405,7 +2405,17 @@ object SparkEntry {
       // touches; one user window pass + path-bounded position ranks
       operators.Analytics.positionAttribution(T(s, dir, "events"),
           "user_id", "ts", "event_type", convType = "purchase")
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    "q_active_select" -> ((s, dir) => {
+      // active-learning margin sampling: the 100 docs whose trained-NB
+      // best-vs-runner-up gap is smallest — exact LONG margins on the
+      // same fixed-point joint table q_nb_classify scores with
+      val d = T(s, dir, "documents")
+      val m = TextClassifier.train(d, "text", "lang", vocabSize = 1000)
+      TextClassifier.uncertaintySample(d, "text", "doc_id", m, k = 100)
+        .orderBy(col("margin_fp"), col("doc_id"))
+    })
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by name).
@@ -6374,6 +6384,58 @@ object SparkEntry {
         |  WHERE conv AND NOT EXISTS (SELECT 1 FROM tch
         |                             WHERE tch.user_id = c.user_id AND tch.path = c.path)
         |  HAVING COUNT(1) > 0)
-        |SELECT * FROM att UNION ALL SELECT * FROM dr ORDER BY event_type""".stripMargin
+        |SELECT * FROM att UNION ALL SELECT * FROM dr ORDER BY event_type""".stripMargin,
+
+    // The q_nb_classify train->score replay through `joint`, then the
+    // exact-LONG best/runner-up margin and bottom-k selection.
+    "q_active_select" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |tokf AS MATERIALIZED (
+        |  SELECT doc_id, lang, w FROM (
+        |    SELECT doc_id, lang, unnest(t) AS w FROM toks)
+        |  WHERE length(w) > 0),
+        |vocab AS MATERIALIZED (
+        |  SELECT w AS token FROM tokf
+        |  GROUP BY w ORDER BY COUNT(1) DESC, w LIMIT 1000),
+        |mapped AS MATERIALIZED (
+        |  SELECT f.doc_id, f.lang,
+        |         CASE WHEN v.token IS NULL THEN chr(1) ELSE f.w END AS w
+        |  FROM tokf f LEFT JOIN vocab v ON f.w = v.token),
+        |counts AS MATERIALIZED (
+        |  SELECT lang AS label, w, COUNT(1) AS c FROM mapped GROUP BY 1, 2),
+        |totals AS MATERIALIZED (SELECT label, SUM(c) AS tot FROM counts GROUP BY 1),
+        |vsz AS (SELECT COUNT(1) + 1.0 AS v FROM vocab),
+        |priors AS MATERIALIZED (
+        |  SELECT lang AS label,
+        |         CAST(floor(ln(COUNT(1) / (SELECT CAST(COUNT(1) AS DOUBLE) FROM documents)) * 1e8) AS BIGINT) AS priorf
+        |  FROM documents GROUP BY 1),
+        |scored AS MATERIALIZED (
+        |  SELECT m.doc_id, p.label,
+        |         CAST(floor(ln((COALESCE(c.c, 0) + 0.5) / (t.tot + 0.5 * vsz.v)) * 1e8) AS BIGINT) AS lpf
+        |  FROM mapped m
+        |  CROSS JOIN priors p
+        |  JOIN totals t ON t.label = p.label
+        |  LEFT JOIN counts c ON c.label = p.label AND c.w = m.w
+        |  CROSS JOIN vsz),
+        |joint AS MATERIALIZED (
+        |  SELECT s.doc_id, s.label, SUM(lpf) + p.priorf AS jointf
+        |  FROM scored s JOIN priors p USING (label)
+        |  GROUP BY s.doc_id, s.label, p.priorf),
+        |mx AS (SELECT doc_id, MAX(jointf) AS mj FROM joint GROUP BY 1),
+        |best AS (
+        |  SELECT j.doc_id, MIN(j.label) AS label, j.jointf AS mj
+        |  FROM joint j JOIN mx ON j.doc_id = mx.doc_id AND j.jointf = mx.mj
+        |  GROUP BY j.doc_id, j.jointf),
+        |sec AS (
+        |  SELECT j.doc_id, MAX(j.jointf) AS m2
+        |  FROM joint j JOIN mx ON j.doc_id = mx.doc_id
+        |  WHERE j.jointf < mx.mj GROUP BY 1)
+        |SELECT b.doc_id, b.label,
+        |       CAST(b.mj - COALESCE(s.m2, b.mj) AS BIGINT) AS margin_fp
+        |FROM best b LEFT JOIN sec s USING (doc_id)
+        |ORDER BY margin_fp, b.doc_id LIMIT 100""".stripMargin
   )
 }

@@ -110,29 +110,7 @@ object TextClassifier {
   def classify(df: DataFrame, textCol: String, idCol: String,
                model: NaiveBayesModel, addK: Double = 0.5): DataFrame = {
     require(addK > 0.0, s"addK must be > 0, got $addK")
-    val spark = df.sparkSession
-    import spark.implicits._
-    // tiny literal label table: label, fixed-point prior, smoothing
-    // denominator — crossed with the token stream (the |labels|× NB
-    // scoring multiplier), broadcast by construction
-    val labelRows = model.labels.indices.map { i =>
-      (model.labels(i), model.logPriorsFixed(i),
-        model.totals(i).toDouble + addK * model.eventSpace)
-    }
-    val labelDf = broadcast(labelRows.toDF("_label", "_priorF", "_denom"))
-    val stream = mapUnk(tokenStream(df, textCol, col(idCol)), model.vocabTokens)
-      .crossJoin(labelDf)
-      .join(model.tokenCounts, Seq("_label", "_w"), "left")
-    val logp = log((coalesce(col("_c"), lit(0L)).cast("double") + lit(addK)) / col("_denom"))
-    val perDocClass = stream
-      .select(col("_nbid"), col("_label"), col("_priorF"),
-        // 1e-8 fixed-point quantization: double multiply + exact floor,
-        // bit-identical in every engine (see class doc)
-        floor(logp * lit(1e8)).cast("long").as("_lpF"))
-      .groupBy("_nbid", "_label", "_priorF")
-      .agg(sum(col("_lpF")).as("_sumF"))
-      .select(col("_nbid"), col("_label"),
-        (col("_sumF") + col("_priorF")).as("_jointF"))
+    val perDocClass = jointScores(df, textCol, idCol, model, addK)
     // exact argmax without a struct-valued agg buffer (those fall out of
     // HashAggregate): max joint per doc, join back, min label among the
     // exact-LONG ties — the same winner pattern as semanticDedup
@@ -151,6 +129,77 @@ object TextClassifier {
       .join(best.withColumnRenamed("_nbid", idCol), Seq(idCol), "left")
       .select(col(idCol), col("_bestLabel").as("label"),
         (col("_bestScore") + lit(0.0)).as("score"))
+  }
+
+  /** The per-(doc, label) fixed-point joint log-probability table the
+    * scorer and the selector share: one token-stream pass crossed with
+    * the broadcast label table, per-token log-probs floor-quantized at
+    * 1e-8 (bit-identical in every engine), summed per (doc, label).
+    * Output: (_nbid, _label, _jointF long). */
+  private def jointScores(df: DataFrame, textCol: String, idCol: String,
+                          model: NaiveBayesModel, addK: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // tiny literal label table: label, fixed-point prior, smoothing
+    // denominator — crossed with the token stream (the |labels|× NB
+    // scoring multiplier), broadcast by construction
+    val labelRows = model.labels.indices.map { i =>
+      (model.labels(i), model.logPriorsFixed(i),
+        model.totals(i).toDouble + addK * model.eventSpace)
+    }
+    val labelDf = broadcast(labelRows.toDF("_label", "_priorF", "_denom"))
+    val stream = mapUnk(tokenStream(df, textCol, col(idCol)), model.vocabTokens)
+      .crossJoin(labelDf)
+      .join(model.tokenCounts, Seq("_label", "_w"), "left")
+    val logp = log((coalesce(col("_c"), lit(0L)).cast("double") + lit(addK)) / col("_denom"))
+    stream
+      .select(col("_nbid"), col("_label"), col("_priorF"),
+        // 1e-8 fixed-point quantization: double multiply + exact floor,
+        // bit-identical in every engine (see class doc)
+        floor(logp * lit(1e8)).cast("long").as("_lpF"))
+      .groupBy("_nbid", "_label", "_priorF")
+      .agg(sum(col("_lpF")).as("_sumF"))
+      .select(col("_nbid"), col("_label"),
+        (col("_sumF") + col("_priorF")).as("_jointF"))
+  }
+
+  /** Active-learning selection by margin uncertainty: the `k` documents
+    * whose best-vs-runner-up NB joint-score gap is SMALLEST — the rows
+    * a labeling loop should send to annotators next (the classic
+    * margin-sampling criterion; entropy and least-confidence reduce to
+    * it for well-separated NB posteriors).
+    *
+    * Built on the same fixed-point joint table as [[classify]], so the
+    * margin is an exact LONG difference of 1e-8-quantized scores:
+    * ties, ordering, and the selection boundary are engine-exact.
+    * A doc whose every label ties (margin 0) is maximally uncertain;
+    * docs with no tokens have no signal and are EXCLUDED (their
+    * "margin" would be pure prior spread, not text uncertainty).
+    *
+    * Scale shape: the joint table partial-aggregates per (doc, label);
+    * best/runner-up are two label-bounded aggregates (the semanticDedup
+    * winner pattern — no struct agg buffers); the global bottom-k is
+    * TakeOrdered, never a full sort.
+    *
+    * Output: (idCol, label [current best, ties→lowest], margin_fp),
+    * the k smallest margins, ties by ascending id. */
+  def uncertaintySample(df: DataFrame, textCol: String, idCol: String,
+                        model: NaiveBayesModel, k: Int,
+                        addK: Double = 0.5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val perDocClass = jointScores(df, textCol, idCol, model, addK)
+    val maxJoint = perDocClass.groupBy("_nbid").agg(max("_jointF").as("_mj"))
+    val joined = perDocClass.join(maxJoint, Seq("_nbid"))
+    val best = joined.filter(col("_jointF") === col("_mj"))
+      .groupBy(col("_nbid"), col("_mj")).agg(min("_label").as("label"))
+    val second = joined.filter(col("_jointF") < col("_mj"))
+      .groupBy(col("_nbid")).agg(max("_jointF").as("_m2"))
+    best.join(second, Seq("_nbid"), "left")
+      .select(col("_nbid").as(idCol), col("label"),
+        // all labels tied -> no second row -> margin exactly 0
+        (col("_mj") - coalesce(col("_m2"), col("_mj"))).as("margin_fp"))
+      .orderBy(col("margin_fp").asc, col(idCol).asc)
+      .limit(k)
   }
 
   /** χ² feature selection over the labeled corpus: for each (term,

@@ -111,4 +111,42 @@ class TextClassifierSpec extends SparkSpec {
       TextClassifier.chi2Terms(
         df(schema, Seq(Row(1L, "a", null))), "text", "doc_id", "cls"))
   }
+
+  test("uncertaintySample: margins equal the exact joint-score gaps; bottom-k order") {
+    // symmetric 2-class model: priors equal, token stats mirrored, so a
+    // doc seen only through mirrored tokens has margin exactly 0
+    val sym = TextClassifier.train(
+      df(schema, Seq(Row(1L, "a a", "x"), Row(2L, "b b", "y"))),
+      "text", "cls", vocabSize = 100)
+    val corpus = df(StructType(schema.fields.take(2)), Seq(
+      Row(10L, "a a a"),   // strongly x: large margin
+      Row(11L, "a"),       // weakly x: smaller margin
+      Row(12L, "a b"),     // perfectly balanced: margin 0
+      Row(13L, "z")))      // pure UNK under symmetric stats: margin 0
+    val out = TextClassifier.uncertaintySample(corpus, "text", "doc_id", sym, k = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(12L, 13L, 11L, 10L),
+      s"ascending margin, ties by id: $out")
+    assert(out.take(2).forall(_._3 == 0L), "balanced and all-UNK docs have margin 0")
+    assert(out.take(2).forall(_._2 == "x"), "tied best resolves to the ascending label")
+    assert(out(2)._3 > 0L && out(3)._3 > out(2)._3, "margins strictly grow with evidence")
+    // k truncates at the smallest margins
+    val top2 = TextClassifier.uncertaintySample(corpus, "text", "doc_id", sym, k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top2 == Seq(12L, 13L))
+    intercept[IllegalArgumentException](
+      TextClassifier.uncertaintySample(corpus, "text", "doc_id", sym, k = 0))
+  }
+
+  test("uncertaintySample: margin matches classify's fixed-point joint table") {
+    // the margin of a doc must equal the difference of the two label
+    // scores classify reports (scale 1e4 after its round(…, 4))
+    val corpus = df(StructType(schema.fields.take(2)), Seq(Row(20L, "a b")))
+    val m = TextClassifier.uncertaintySample(corpus, "text", "doc_id", model, k = 1)
+      .head().getLong(2)
+    // hand values from the classify spec: x −2.0919, y −3.5472 at 4dp —
+    // the unrounded fixed-point gap sits within 1e4 of the rounded one
+    val approxGap = ((-2.0919 - (-3.5472)) * 1e8).round
+    assert(math.abs(m - approxGap) <= 10000L, s"margin $m vs ~$approxGap")
+  }
 }
