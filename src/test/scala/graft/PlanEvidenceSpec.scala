@@ -616,4 +616,29 @@ class PlanEvidenceSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       "no sort-merge anywhere in a domain-cardinality rollup:\n" + plan)
   }
+
+  test("ngramOverlap: cand/ref gram counts meet in an equi-join on (doc, n, gram)") {
+    val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text").as("ref"),
+        regexp_replace(col("text"), "\\bthe\\b", " ").as("cand"))
+    val out = graft.operators.Evaluation.ngramOverlap(docs, "cand", "ref", "doc_id", maxN = 4)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "clipped-match counting must be a keyed join, never a product:\n" + plan)
+  }
+
+  test("kaplanMeier: windows partition the counts table, never one global task") {
+    val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+      .select(col("lang"), (col("n_chars") % 20).as("dur"),
+        (col("n_chars") % 3 === 0).as("e"))
+    val out = graft.operators.Analytics.kaplanMeier(docs, "lang", "dur", "e")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty &&
+      windowLines.forall(l => !l.contains("Window") || l.contains("lang")),
+      "every window frame must be group-partitioned:\n" + plan)
+  }
 }
