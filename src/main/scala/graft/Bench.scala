@@ -175,7 +175,19 @@ object Bench {
     // r12 ninth continuation: active-learning margin sampling on the
     // trained-NB fixed-point joint table (two label-bounded aggregates
     // + TakeOrdered bottom-k)
-    "q_active_select")
+    "q_active_select",
+    // r12 tenth continuation — synchronous label-propagation communities
+    // (3 edge-join + argmax iterations), kNN label transfer (broadcast
+    // query batch over the heap top-k), clipped IPS/SNIPS offline policy
+    // eval (one partial-aggregated pass), distinct-n lexical diversity
+    // (two-level n-gram aggregate), split-conformal drift gate
+    // (TakeOrdered rank + one comparison scan)
+    "q_label_prop", "q_knn_classify", "q_ips", "q_diversity", "q_conformal",
+    // r12 tenth continuation, second wave — greedy MMR (k bounded-pool
+    // argmax rounds), agreement-weighted weak-supervision label model
+    // (three partial-aggregated vote passes), salted pseudonymization
+    // (stateless codegen'd scan)
+    "q_mmr", "q_weak_labels", "q_pseudonymize")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

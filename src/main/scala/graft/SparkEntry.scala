@@ -340,6 +340,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_weak_labels" -> ((s, dir) => {
+      // weak supervision: three noisy labeling functions (length,
+      // parity-with-abstain, language prior) combined by the
+      // agreement-weighted label model — anchor majority, fixed-point
+      // LF reliability weights, weighted argmax, all integer-exact
+      val d = T(s, dir, "documents")
+      def lf(id: Int, vote: Column) = d.select(col("doc_id"),
+        lit(id).as("lf"), vote.cast("long").as("vote"))
+      val votes = lf(1, when(col("n_chars") >= 300, 1L).otherwise(0L))
+        .unionAll(lf(2, when(col("n_chars") % 7 < 3, lit(null))
+          .otherwise(when(col("n_chars") % 2 === 0, 1L).otherwise(0L))))
+        .unionAll(lf(3, when(col("lang").isin("en", "de"), 1L).otherwise(0L)))
+      operators.WeakSupervision.labelModel(votes, "doc_id", "lf", "vote")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_nb_classify" -> ((s, dir) => {
       // trained multinomial Naive Bayes (the fastText-style linear
       // curation classifier), demonstrated as trained language-ID:
@@ -889,6 +905,32 @@ object SparkEntry {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    "q_mmr" -> ((s, dir) => {
+      // diverse eval-set selection: greedy MMR (relevance minus max
+      // similarity to the already-picked) over a bounded candidate pool,
+      // vectors integer-quantized in-plan so the whole greedy trajectory
+      // — every argmax, every tie — replays as 5 unrolled oracle steps
+      val e = T(s, dir, "embeddings").filter(col("vec_id") < 200)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.mmrSelect(e, "embedding", "vec_id", q, k = 5)
+        .orderBy(col("rank"))
+    }),
+
+    "q_knn_classify" -> ((s, dir) => {
+      // label transfer: held-out vectors (vec_id % 5 == 0) classified
+      // by majority vote of their 10 nearest labeled neighbors (the
+      // remaining 80% of the corpus); neighbor ties -> lowest id, vote
+      // ties -> smallest label — both mirrored by the oracle's window
+      val e = T(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") % 5 =!= 0)
+      val queries = e.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      Similarity.knnClassify(corpus, "embedding", "vec_id", "label",
+          queries, "qv", "q_id", k = 10)
+        .orderBy(col("q_id"))
+    }),
+
     "q_ann_batch" -> ((s, dir) => {
       // multi-query exact top-k in ONE corpus scan via the bottom-k heap
       // aggregate (map-side k entries per query cross the exchange — the
@@ -1038,6 +1080,21 @@ object SparkEntry {
         .orderBy(col("rank_fp").desc, col("node"))
     }),
 
+    "q_label_prop" -> ((s, dir) => {
+      // link-community detection over the same customer->supplier
+      // graph: deterministic synchronous label propagation (most
+      // frequent neighbor label + self-vote, ties to smallest label),
+      // 3 iterations — integer counts + argmax only, so the oracle
+      // unrolls all 3 iterations exactly
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), (lit(1000000L) + col("l_suppkey")).as("dst"))
+        .distinct()
+      LinkGraph.labelPropagation(edges, "src", "dst", iterations = 3)
+        .orderBy(col("node"))
+    }),
+
     "q_domain_cap" -> ((s, dir) => {
       // the web-curation staple: at most K documents per registered
       // domain — planted urls whose host embeds the source (one
@@ -1050,6 +1107,15 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.urlRegisteredDomain(url).as("domain"))
       Curation.capPerGroup(d, Seq("domain"), "doc_id", maxN = 15)
         .orderBy(col("doc_id"))
+    }),
+
+    "q_diversity" -> ((s, dir) => {
+      // distinct-1/-2 lexical diversity per language: total vs DISTINCT
+      // n-gram counts and their ratio — the template-spam detector run
+      // per slice before mixing; exact longs + one pinned division
+      operators.Profile.ngramDiversity(T(s, dir, "documents"), "text", "lang",
+          maxN = 2)
+        .orderBy(col("lang"), col("n"))
     }),
 
     // ---- text analysis ----
@@ -2177,6 +2243,38 @@ object SparkEntry {
         .orderBy(col("event_type"), col("bin"))
     }),
 
+    "q_conformal" -> ((s, dir) => {
+      // split-conformal drift gate: the 95% conformal threshold from
+      // early-month purchase values (rank = ceil((n+1)*95/100), exact
+      // order statistic via TakeOrdered), late-month purchases flagged
+      // against it — calibrated <=5% false-positive rate by construction
+      val ev = T(s, dir, "events").filter(col("event_type") === "purchase")
+      val calib = ev.filter(dayofmonth(col("ts")) <= 20)
+      val test = ev.filter(dayofmonth(col("ts")) > 20)
+        .select(col("event_id"), col("value"))
+      operators.Evaluation.conformalFlag(calib, "value", test, "value",
+          alphaNum = 5, alphaDen = 100)
+        .orderBy(col("event_id"))
+    }),
+
+    "q_ips" -> ((s, dir) => {
+      // offline policy evaluation on logged traffic: replayable
+      // pseudo-propensities (Knuth-hash buckets in [0.1, 1.0) at 1e6
+      // scale) for the logging and target policies, reward =
+      // floor(value*1e6); clipped IPS + SNIPS per event_type — every
+      // sum an exact integer, the estimates pinned final divisions
+      val h1 = pmod(col("event_id") * lit(2654435761L), lit(4294967296L)) %
+        lit(900000L) + lit(100000L)
+      val h2 = pmod((col("event_id") + lit(7L)) * lit(2246822519L), lit(4294967296L)) %
+        lit(900000L) + lit(100000L)
+      val d = T(s, dir, "events").select(col("event_type"),
+        h1.cast("long").as("prop_fp"), h2.cast("long").as("target_fp"),
+        floor(col("value") * lit(1000000.0)).cast("long").as("reward_fp"))
+      operators.Preference.ipsEstimate(d, "event_type", "prop_fp", "target_fp",
+          "reward_fp")
+        .orderBy(col("event_type"))
+    }),
+
     // ---- preference-data operators: judgments → reward/DPO data ----
     "q_bradley_terry" -> ((s, dir) => {
       // per-user pairwise event-type preferences (winner = larger
@@ -2318,6 +2416,17 @@ object SparkEntry {
           Seq("event_type", "value_band"), "user_id", k = 150, l = 60)
         .select(col("event_id"), col("event_type"), col("value_band"))
         .orderBy(col("event_id"))),
+
+    "q_pseudonymize" -> ((s, dir) =>
+      // release-time tokenization: direct identifiers replaced by
+      // salted md5 tokens — joinability preserved (same value, same
+      // token), salt rotation revokes; stateless codegen'd expression
+      // chain, no shuffle
+      operators.Privacy.pseudonymize(
+          T(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_mktsegment")),
+          Seq("c_name", "c_nationkey"), salt = "graft-release-2024")
+        .orderBy(col("c_custkey"))),
 
     "q_overlap_join" -> ((s, dir) => {
       // concurrent-activity pairing: per-user daily click sessions ×
@@ -3112,6 +3221,26 @@ object SparkEntry {
         |WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
 
+    // Distinct-n replay: identical tokenization, unigrams via unnest,
+    // bigrams via adjacent element concat, one count rollup per (lang, n).
+    "q_diversity" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |         list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'),
+        |                     x -> len(x) > 0) AS t
+        |  FROM documents),
+        |a AS (
+        |  SELECT lang, 1 AS n, unnest(t) AS gram FROM toks
+        |  UNION ALL
+        |  SELECT lang, 2 AS n, t[i] || ' ' || t[i + 1] AS gram
+        |  FROM (SELECT lang, t, unnest(range(1, len(t))) AS i FROM toks)),
+        |c AS (SELECT lang, n, gram, COUNT(1) AS c FROM a GROUP BY 1, 2, 3)
+        |SELECT lang, n, CAST(SUM(c) AS BIGINT) AS total_ngrams,
+        |       COUNT(1) AS distinct_ngrams,
+        |       CAST(COUNT(1) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS distinct_ratio
+        |FROM c GROUP BY lang, n
+        |ORDER BY lang, n""".stripMargin,
+
     "q_pmi" ->
       """WITH toks AS (
         |  SELECT list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'),
@@ -3637,6 +3766,65 @@ object SparkEntry {
         |LEFT JOIN dup5 d ON b.doc_id = d.doc_id
         |ORDER BY b.doc_id""".stripMargin,
 
+    // Greedy-MMR replay: integer-quantized vectors, 5 unrolled argmax
+    // steps — each one max-sim aggregate against the selected set plus
+    // a (score DESC, id ASC) LIMIT 1. Dot products ride
+    // list_dot_product on integer-valued doubles (exact below 2^53).
+    "q_mmr" -> {
+      def dot(a: String, b: String) =
+        s"CAST(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) AS BIGINT)"
+      val head = s"""WITH e AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |                                x -> CAST(FLOOR(x * 1000.0) AS BIGINT)) AS v
+        |  FROM embeddings WHERE vec_id < 200),
+        |q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |pool AS MATERIALIZED (
+        |  SELECT vec_id, v, ${dot("v", "(SELECT qv FROM q)")} AS rel FROM e),
+        |sel1 AS MATERIALIZED (
+        |  SELECT 1 AS rank, vec_id, rel, 7 * rel AS score, v
+        |  FROM pool ORDER BY 7 * rel DESC, vec_id LIMIT 1),
+        |selset1 AS (SELECT vec_id, v FROM sel1)""".stripMargin
+      def step(i: Int) = s"""sel$i AS MATERIALIZED (
+        |  SELECT $i AS rank, t.vec_id, t.rel, t.score, p.v FROM (
+        |    SELECT r.vec_id, MAX(r.rel) AS rel,
+        |           7 * MAX(r.rel) - 3 * MAX(${dot("r.v", "s.v")}) AS score
+        |    FROM pool r CROSS JOIN selset${i - 1} s
+        |    WHERE r.vec_id NOT IN (SELECT vec_id FROM selset${i - 1})
+        |    GROUP BY r.vec_id) t
+        |  JOIN pool p ON p.vec_id = t.vec_id
+        |  ORDER BY t.score DESC, t.vec_id LIMIT 1),
+        |selset$i AS (SELECT vec_id, v FROM selset${i - 1}
+        |             UNION ALL SELECT vec_id, v FROM sel$i)""".stripMargin
+      head + ",\n" + (2 to 5).map(step).mkString(",\n") + "\n" +
+        (1 to 5).map(i =>
+          s"SELECT rank, vec_id, rel AS rel_fp, score AS score_fp FROM sel$i")
+          .mkString("\nUNION ALL\n") +
+        "\nORDER BY rank"
+    },
+
+    // kNN label-transfer replay: exact top-10 by (cosine DESC, id ASC)
+    // per held-out query, then majority vote with (count DESC, label
+    // ASC) tie-breaking — the vote is pure integers.
+    "q_knn_classify" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |c AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 5 = 0),
+        |scored AS (
+        |  SELECT q.q_id, c.vec_id, c.label,
+        |         row_number() OVER (PARTITION BY q.q_id
+        |           ORDER BY CAST(list_cosine_similarity(c.v, q.qv) AS DOUBLE) DESC,
+        |                    c.vec_id ASC) AS rn
+        |  FROM c CROSS JOIN q),
+        |counted AS (
+        |  SELECT q_id, label, COUNT(*) AS cnt
+        |  FROM scored WHERE rn <= 10 GROUP BY q_id, label),
+        |best AS (SELECT q_id, MAX(cnt) AS mc FROM counted GROUP BY q_id)
+        |SELECT counted.q_id, MIN(label) AS label, CAST(MAX(cnt) AS BIGINT) AS votes
+        |FROM counted JOIN best USING (q_id)
+        |WHERE cnt = mc
+        |GROUP BY counted.q_id
+        |ORDER BY q_id""".stripMargin,
+
     "q_ann_batch" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -3910,6 +4098,46 @@ object SparkEntry {
     // bit-identical across engines — round(double, 8) is NOT: its
     // half-way cases resolve by decimal string in Spark but by binary
     // value in DuckDB), long sums, exact argmax with ties to the
+    // Weak-supervision replay: identical LF definitions, anchor via a
+    // (count DESC, vote ASC) window, integer weights
+    // (agreements·10⁶ // cast), weighted argmax the same way.
+    "q_weak_labels" ->
+      """WITH votes AS (
+        |  SELECT doc_id, 1 AS lf,
+        |         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS vote
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2,
+        |         CASE WHEN n_chars % 7 < 3 THEN NULL
+        |              WHEN n_chars % 2 = 0 THEN 1 ELSE 0 END
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 3,
+        |         CASE WHEN lang IN ('en', 'de') THEN 1 ELSE 0 END
+        |  FROM documents),
+        |v AS (SELECT * FROM votes WHERE vote IS NOT NULL),
+        |anchor AS (
+        |  SELECT doc_id, vote AS anchor FROM (
+        |    SELECT doc_id, vote,
+        |           ROW_NUMBER() OVER (PARTITION BY doc_id
+        |             ORDER BY COUNT(*) DESC, vote ASC) AS rn
+        |    FROM v GROUP BY doc_id, vote) t WHERE rn = 1),
+        |w AS (
+        |  SELECT lf,
+        |         (SUM(CASE WHEN v.vote = a.anchor THEN 1 ELSE 0 END) * 1000000)
+        |           // COUNT(*) AS w
+        |  FROM v JOIN anchor a USING (doc_id) GROUP BY lf),
+        |sc AS (
+        |  SELECT doc_id, vote, CAST(SUM(w.w) AS BIGINT) AS s, COUNT(*) AS cv
+        |  FROM v JOIN w USING (lf) GROUP BY doc_id, vote)
+        |SELECT doc_id, vote AS label, s AS score_fp, n_votes FROM (
+        |  SELECT doc_id, vote, s,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, vote ASC) AS rn,
+        |         SUM(cv) OVER (PARTITION BY doc_id) AS n_votes
+        |  FROM sc) t
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
     // ascending label, one exact decimal ×1e-8 + round(4) at the end.
     "q_nb_classify" ->
       """WITH toks AS MATERIALIZED (
@@ -4672,6 +4900,34 @@ object SparkEntry {
         |             GROUP BY e.dst) c ON c.node = nd.node)
         |SELECT node, r AS rank_fp FROM it3
         |ORDER BY rank_fp DESC, node""".stripMargin,
+
+    // Synchronous label-propagation replay: 3 unrolled iterations, each
+    // a (node, label) vote count (neighbor labels + the node's own) and
+    // a (count DESC, label ASC) argmax — all integers, exact.
+    "q_label_prop" -> {
+      val head = """WITH und AS MATERIALIZED (
+        |  SELECT DISTINCT LEAST(o_custkey, 1000000 + l_suppkey) AS u,
+        |                  GREATEST(o_custkey, 1000000 + l_suppkey) AS v
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE o_custkey <> 1000000 + l_suppkey),
+        |e AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst FROM und
+        |  UNION ALL SELECT v AS src, u AS dst FROM und),
+        |it0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e)""".stripMargin
+      def it(cur: String, prev: String) =
+        s"""$cur AS MATERIALIZED (
+           |  SELECT node, label FROM (
+           |    SELECT node, label,
+           |           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+           |    FROM (SELECT node, label, COUNT(*) AS c FROM (
+           |            SELECT e.dst AS node, l.label FROM e JOIN $prev l ON e.src = l.node
+           |            UNION ALL SELECT node, label FROM $prev) v
+           |          GROUP BY node, label) t) q
+           |  WHERE rn = 1)""".stripMargin
+      head + ",\n" +
+        (1 to 3).map(i => it(s"it$i", if (i == 1) "it0" else s"it${i - 1}")).mkString(",\n") +
+        "\nSELECT node, label FROM it3 ORDER BY node"
+    },
 
     // Domain-cap replay: the planted url's registered domain is
     // lower(source)||'.com' BY CONSTRUCTION; keep the 40 lowest ids per
@@ -5851,6 +6107,47 @@ object SparkEntry {
         |       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy
         |FROM g ORDER BY event_type, bin""".stripMargin,
 
+    // Split-conformal replay: the same integer rank formula, the
+    // threshold as the rank-th order statistic via a row_number window
+    // over the calibration set, one comparison pass over the test set.
+    "q_conformal" ->
+      """WITH p AS (SELECT event_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |calib AS (SELECT value FROM p WHERE day(ts) <= 20 AND value IS NOT NULL),
+        |k AS (SELECT ((COUNT(*) + 1) * 95 + 99) // 100 AS k, COUNT(*) AS n FROM calib),
+        |ranked AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn FROM calib),
+        |thr AS (SELECT MAX(CASE WHEN rn = (SELECT k FROM k) THEN value END) AS threshold
+        |        FROM ranked)
+        |SELECT t.event_id, t.value, thr.threshold,
+        |       CASE WHEN thr.threshold IS NULL THEN TRUE
+        |            ELSE t.value <= thr.threshold END AS conforming
+        |FROM (SELECT event_id, value FROM p WHERE day(ts) > 20) t CROSS JOIN thr
+        |ORDER BY t.event_id""".stripMargin,
+
+    // Clipped-IPS replay: identical pseudo-propensity hashes, integer
+    // weights (target·1e6 // prop, clipped), HUGEINT sums, the same
+    // pinned final divisions.
+    "q_ips" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |         ((event_id * 2654435761) % 4294967296) % 900000 + 100000 AS prop_fp,
+        |         (((event_id + 7) * 2246822519) % 4294967296) % 900000 + 100000 AS target_fp,
+        |         CAST(FLOOR(value * 1000000.0) AS BIGINT) AS reward_fp
+        |  FROM events),
+        |f AS (
+        |  SELECT event_type,
+        |         LEAST(20000000, (target_fp * 1000000) // prop_fp) AS w,
+        |         reward_fp AS r
+        |  FROM d WHERE prop_fp > 0 AND reward_fp IS NOT NULL AND target_fp >= 0),
+        |g AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         SUM(CAST(w AS HUGEINT)) AS sum_w_fp,
+        |         SUM(CAST(w AS HUGEINT) * r) AS sum_wr_fp
+        |  FROM f GROUP BY event_type)
+        |SELECT event_type, n, sum_w_fp, sum_wr_fp,
+        |       CAST(sum_wr_fp AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0 * 1000000.0) AS ips,
+        |       CAST(sum_wr_fp AS DOUBLE) / (CAST(sum_w_fp AS DOUBLE) * 1000000.0) AS snips
+        |FROM g ORDER BY event_type""".stripMargin,
+
     // Full replay of the integer-exact MM solve: HUGEINT floor
     // divisions, three unrolled rounds, renormalize each round —
     // bit-identical to the driver's BigInt arithmetic.
@@ -6159,6 +6456,18 @@ object SparkEntry {
         |JOIN g ON e.event_type = g.event_type
         |      AND CAST(FLOOR(e.value / 10.0) AS BIGINT) = g.value_band
         |ORDER BY e.event_id""".stripMargin,
+
+    // Pseudonymization replay: DuckDB's md5 produces the identical
+    // lowercase hex over the identical salted concat; NULLs stay NULL.
+    "q_pseudonymize" ->
+      """SELECT c.c_custkey,
+        |       CASE WHEN c.c_name IS NOT NULL
+        |            THEN md5('graft-release-2024:' || c.c_name) END AS c_name,
+        |       CASE WHEN c.c_nationkey IS NOT NULL
+        |            THEN md5('graft-release-2024:' || CAST(c.c_nationkey AS VARCHAR))
+        |       END AS c_nationkey,
+        |       c.c_mktsegment
+        |FROM customer c ORDER BY c.c_custkey""".stripMargin,
 
     // Plain overlap predicate — the bucket machinery must be invisible
     // in the result.

@@ -360,4 +360,49 @@ object Evaluation {
         col("conf_fp").cast("double") / col("n").cast("double") / lit(scale.toDouble))
       .withColumn("accuracy", col("n_pos").cast("double") / col("n").cast("double"))
   }
+
+  /** Split-conformal prediction gate (Vovk et al. 2005; Angelopoulos &
+    * Bates 2023 §3): from a CALIBRATION set of nonconformity scores,
+    * the (1−α) conformal threshold is the ⌈(n+1)(1−α)⌉-th smallest
+    * calibration score; a test point whose score exceeds it is flagged
+    * non-conforming, with the finite-sample guarantee that a conforming
+    * point is wrongly flagged with probability ≤ α. The curation use:
+    * a distribution-drift gate — calibrate on last week's quality /
+    * perplexity scores, flag today's outliers with a calibrated false
+    * positive rate instead of an eyeballed cutoff.
+    *
+    * Exactness: α is the rational `alphaNum/alphaDen`, the rank is the
+    * integer ⌈(n+1)·(alphaDen−alphaNum) / alphaDen⌉ (left-assoc integer
+    * math), and the threshold is the rank-th ORDER STATISTIC of the
+    * calibration scores — a distributed TakeOrdered(k), never a full
+    * sort (the [[graft.operators.LanguageModel.qualityBuckets]]
+    * boundary pattern; same ≤ Int.MaxValue-rank cap, same
+    * `approx_percentile` escape hatch at larger calibration sets). The
+    * test pass is then one stateless comparison scan. If the rank
+    * exceeds n (α too small for the calibration size), every test row
+    * conforms — the standard conformal convention, mirrored by the
+    * oracle via a null threshold.
+    *
+    * Output: `test` plus (threshold, conforming). */
+  def conformalFlag(calib: DataFrame, calibScoreCol: String,
+                    test: DataFrame, testScoreCol: String,
+                    alphaNum: Long = 5L, alphaDen: Long = 100L): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum < alphaDen,
+      s"need 0 < alpha = $alphaNum/$alphaDen < 1")
+    val s = calib.select(col(calibScoreCol).cast("double").as("_s"))
+      .filter(col("_s").isNotNull)
+    val n = s.count()
+    val k = ((n + 1L) * (alphaDen - alphaNum) + alphaDen - 1L) / alphaDen
+    if (n == 0L || k > n) {
+      test.withColumn("threshold", lit(null).cast("double"))
+        .withColumn("conforming", lit(true))
+    } else {
+      require(k <= Int.MaxValue.toLong,
+        s"conformalFlag exact rank lookup caps at ${Int.MaxValue} calibration rows, got rank $k")
+      val thr = s.orderBy(col("_s")).limit(k.toInt)
+        .agg(max(col("_s"))).head().getDouble(0)
+      test.withColumn("threshold", lit(thr))
+        .withColumn("conforming", col(testScoreCol).cast("double") <= lit(thr))
+    }
+  }
 }

@@ -202,4 +202,71 @@ object LinkGraph {
       .select(explode(array(col("apex"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan et
+    * al. 2007, the deterministic synchronous variant) — the
+    * domain-clustering signal a web-curation pipeline uses to group
+    * registered domains into link communities (mirror farms, topic
+    * hubs) before per-community caps or sampling.
+    *
+    * Semantics, mirrored exactly by the SQL oracle:
+    *  - the graph is UNDIRECTED: edges are canonicalized to distinct
+    *    (u < v) pairs (self-loops and null endpoints dropped), then
+    *    expanded to both directions;
+    *  - labels start as the node's own id;
+    *  - each iteration, EVERY node simultaneously adopts the most
+    *    frequent label among its neighbors PLUS ITS OWN current label
+    *    (the self-vote damps the 2-cycle oscillation synchronous LPA
+    *    exhibits on bipartite structure); ties break to the SMALLEST
+    *    label — so the whole update is integer counts + a
+    *    deterministic argmax, no randomness, no floats, and a fixed
+    *    iteration count replays bit-identically in any engine.
+    *
+    * Scale shape (100 TB): per iteration one join of the |V|-row label
+    * table to the |E|-row edge table (edges repartitioned by src ONCE
+    * and persisted — every iteration reuses that partitioning and
+    * shuffles only the label side, which Spark broadcasts outright at
+    * domain-graph sizes), then a (node, label) count with map-side
+    * partial aggregation, then a per-node argmax. Each iteration's
+    * labels are localCheckpointed and the predecessor's blocks freed —
+    * the bounded-lineage contract shared with [[pageRank]] and
+    * [[Dedup.connectedComponents]].
+    *
+    * Output: (node, label) — nodes sharing a label are one community. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int = 3): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") < col("v"))
+      .distinct()
+    val dir = und.select(col("u").as("_src"), col("v").as("_dst"))
+      .unionAll(und.select(col("v").as("_src"), col("u").as("_dst")))
+      .repartition(col("_src")).persist()
+    dir.count()
+    val nodes = dir.select(col("_src").as("node")).distinct().localCheckpoint(true)
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint(true)
+    var labelsRdd = Dedup.checkpointedRdd(labels)
+    (0 until iterations).foreach { _ =>
+      val votes = dir.join(labels.withColumnRenamed("node", "_src"), "_src")
+        .select(col("_dst").as("node"), col("label"))
+        .unionAll(labels.select(col("node"), col("label")))
+      // argmax by (count DESC, label ASC): max of struct(c, -label)
+      // compares count first, then the negated label (bigger = smaller
+      // label) — one aggregate, no window over the vote table.
+      val next = votes.groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("_c"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("_c"), (-col("label")).as("_nl"))).as("_m"))
+        .select(col("node"), (-col("_m._nl")).as("label"))
+        .localCheckpoint(true)
+      val nextRdd = Dedup.checkpointedRdd(next)
+      labelsRdd.foreach(_.unpersist(false))
+      labels = next; labelsRdd = nextRdd
+    }
+    dir.unpersist(false)
+    Dedup.checkpointedRdd(nodes).foreach(_.unpersist(false))
+    labels
+  }
 }

@@ -116,4 +116,50 @@ object Preference {
       .filter(col("n") >= 2 && col("chosen_id") =!= col("rejected_id") &&
         col("margin") >= lit(minMargin))
   }
+
+  /** Offline policy evaluation by clipped importance sampling — IPS and
+    * SNIPS (Horvitz–Thompson; Swaminathan & Joachims 2015): from logged
+    * bandit feedback (action, logging propensity, reward) and a target
+    * policy's propensity for the SAME logged action, estimate the value
+    * the target policy WOULD have earned, without deploying it:
+    *
+    *   IPS   = (1/n) Σ  w_i · r_i,    w_i = min(π(a|x)/μ(a|x), clip)
+    *   SNIPS = Σ w_i·r_i / Σ w_i      (self-normalized, lower variance)
+    *
+    * The RLHF-data use: grade a new response-sampling policy on logged
+    * preference traffic before routing live traffic to it. Weight
+    * clipping is the standard variance/bias trade — pass `clipFp` =
+    * Long.MaxValue to disable.
+    *
+    * Exactness: propensities and rewards arrive as 10⁶-scaled
+    * fixed-point longs; each weight is the integer
+    * `min((targetFp · 10⁶) div propFp, clipFp)` and both sums are
+    * DECIMAL(38,0) totals of long products (order-independent), so an
+    * external engine replays them exactly (HUGEINT on the DuckDB side);
+    * the two estimates are final pinned divisions of those sums. Rows
+    * with propensity ≤ 0 or a null reward are rejected eagerly — a
+    * zero logging propensity means the action could never have been
+    * logged, so its presence is a data bug, not a weight of ∞.
+    *
+    * Output per group: (groupCol, n, sum_w_fp, sum_wr_fp, ips, snips)
+    * with ips = sum_wr / (n·10⁶·10⁶) and snips = sum_wr / (sum_w·10⁶). */
+  def ipsEstimate(df: DataFrame, groupCol: String, propFpCol: String,
+                  targetFpCol: String, rewardFpCol: String,
+                  clipFp: Long = 20000000L): DataFrame = {
+    val scale = 1000000L
+    val w = least(lit(clipFp),
+      expr(s"CAST(($targetFpCol * ${scale}L) div $propFpCol AS BIGINT)"))
+    val base = df.filter(col(propFpCol) > 0 && col(rewardFpCol).isNotNull &&
+        col(targetFpCol) >= 0)
+      .select(col(groupCol), w.as("_w"), col(rewardFpCol).cast("long").as("_r"))
+    base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_w").cast(DecimalType(38, 0))).as("sum_w_fp"),
+        // multiply in decimal so w·r can't wrap a long before widening
+        sum(col("_w").cast(DecimalType(38, 0)) * col("_r")).as("sum_wr_fp"))
+      .withColumn("ips", col("sum_wr_fp").cast("double") /
+        (col("n").cast("double") * lit(scale.toDouble) * lit(scale.toDouble)))
+      .withColumn("snips", col("sum_wr_fp").cast("double") /
+        (col("sum_w_fp").cast("double") * lit(scale.toDouble)))
+  }
 }

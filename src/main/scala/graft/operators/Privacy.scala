@@ -60,4 +60,35 @@ object Privacy {
     val cond = quasiCols.map(c => col(c) <=> col(s"_ok_$c")).reduce(_ && _)
     df.join(ok, cond, "left_semi")
   }
+
+  /** Salted deterministic pseudonymization: replace each identifier
+    * column with `md5(salt || ':' || value)` — the release-time
+    * transform that removes direct identifiers while PRESERVING
+    * JOINABILITY (the same value tokenizes identically everywhere, so
+    * cross-table keys still line up) and supporting revocation (rotate
+    * the salt, every token changes). This is pseudonymization, not
+    * anonymization — GDPR Art. 4(5)'s distinction: the salt holder can
+    * re-link, so the salt must live in a secret store, never beside
+    * the data.
+    *
+    * Shape: a stateless per-row expression chain — codegen'd md5 over
+    * a concat, no shuffle, no UDF; scans stay whole-stage. NULLs stay
+    * NULL (no identifier, no token — and no fixed "null token" that
+    * would fingerprint missingness as a joinable value). Values are
+    * cast to string first, so 42 (int) and "42" (string) tokenize
+    * identically — cross-type keys survive.
+    *
+    * MD5 here is a TOKENIZER, not a password hash: with the salt
+    * secret, preimage resistance is not load-bearing (the adversary
+    * lacks the salt, not the hash budget); if the threat model includes
+    * salt leakage, swap in an HMAC via the same seam. */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame = {
+    require(cols.nonEmpty, "pseudonymize needs at least one column")
+    require(salt.nonEmpty, "empty salt defeats the purpose — pass a secret")
+    cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c,
+        when(col(c).isNotNull,
+          md5(concat(lit(salt), lit(":"), col(c).cast("string")))))
+    }
+  }
 }

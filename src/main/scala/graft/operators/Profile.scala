@@ -345,4 +345,46 @@ object Profile {
     rows.select(col("col_a"), col("col_b"), col("n"),
       when(col("n") > 1 && vx > 0.0 && vy > 0.0, covN / sqrt(vx * vy)).as("r"))
   }
+
+  /** Distinct-n lexical diversity (Li et al. 2016's distinct-1/-2,
+    * computed corpus-side): per (group, n), the total and DISTINCT
+    * n-gram counts and their ratio — the standard "is this slice
+    * template spam or organic text" readout a curation pipeline runs
+    * per source/language before mixing. A near-zero distinct-2 ratio
+    * on a large slice is boilerplate (one template stamped millions of
+    * times); organic prose sits far higher.
+    *
+    * Tokenization is the corpus-standard whitespace normalization
+    * ([[graft.functions.TextFunctions.normalizeForFingerprint]], empty
+    * tokens dropped), so the oracle replays it verbatim. Counts are
+    * exact longs; the ratio is the single pinned final division.
+    *
+    * Scale shape: the n-gram explode (n× token count) feeds a
+    * two-level aggregate — the (group, n, gram) count partial-collapses
+    * map-side, so hot grams (exactly the boilerplate this detects)
+    * never concentrate an exchange; the per-(group, n) rollup is
+    * group-cardinality-sized. Nothing is collected; no windows. */
+  def ngramDiversity(df: DataFrame, textCol: String, groupCol: String,
+                     maxN: Int = 2): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
+    val toks = df.select(col(groupCol),
+      filter(split(graft.functions.TextFunctions.normalizeForFingerprint(
+          coalesce(col(textCol), lit(""))), " "),
+        t => length(t) > 0).as("_w"))
+    val grams = toks
+      .select(col(groupCol), col("_w"), explode(typedLit((1 to maxN).toList)).as("n"))
+      .select(col(groupCol), col("n"), col("_w"),
+        explode(when(size(col("_w")) >= col("n"),
+            sequence(lit(1), size(col("_w")) - col("n") + 1))
+          .otherwise(array().cast("array<int>"))).as("_i"))
+      .select(col(groupCol), col("n"),
+        concat_ws(" ", slice(col("_w"), col("_i"), col("n"))).as("_gram"))
+    grams.groupBy(col(groupCol), col("n"), col("_gram"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(groupCol), col("n"))
+      .agg(sum(col("_c")).as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"))
+      .withColumn("distinct_ratio",
+        col("distinct_ngrams").cast("double") / col("total_ngrams").cast("double"))
+  }
 }

@@ -501,4 +501,126 @@ object Similarity {
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(k)
   }
+
+  /** k-nearest-neighbor CLASSIFICATION over the embedding column — the
+    * label-transfer workhorse of data curation: propagate a small set
+    * of human quality/domain labels onto the unlabeled remainder of the
+    * corpus by majority vote among each point's k nearest labeled
+    * neighbors (cosine).
+    *
+    * Shape: one labeled-corpus scan scores every (corpus, query) pair
+    * against the BROADCAST query batch, the per-query top-k rides the
+    * mergeable bottom-k heap ([[bruteForceTopKBatch]] — Q·tasks·k heap
+    * entries cross the exchange, never Q·N scored rows), and the vote
+    * is two tiny aggregates over Q·k rows. At 100 TB the labeled side
+    * is the big side (scanned once, partial-aggregated); the query
+    * batch must fit a broadcast (~10⁵ vectors) — chunk larger batches.
+    *
+    * Determinism, mirrored by the oracle: neighbor ties break to the
+    * lowest id (the heap's contract); the vote ties break to the
+    * SMALLEST label (max count, then min label — works for any
+    * orderable label type). Output: (qIdCol, label, votes).
+    */
+  def knnClassify(corpus: DataFrame, vecCol: String, idCol: String,
+                  labelCol: String, queries: DataFrame, qVecCol: String,
+                  qIdCol: String, k: Int): DataFrame = {
+    val top = bruteForceTopKBatch(corpus, vecCol, idCol, queries, qVecCol, qIdCol, k)
+    val labels = corpus.select(col(idCol).cast("long").as("_nid"),
+      col(labelCol).as("_lbl"))
+    val counted = top.select(col(qIdCol), col(idCol).cast("long").as("_nid"))
+      .join(labels, "_nid")
+      .groupBy(col(qIdCol), col("_lbl"))
+      .agg(count(lit(1)).as("_c"))
+    val best = counted.groupBy(col(qIdCol)).agg(max(col("_c")).as("_mc"))
+    counted.join(best, Seq(qIdCol))
+      .filter(col("_c") === col("_mc"))
+      .groupBy(col(qIdCol))
+      .agg(min(col("_lbl")).as("label"), max(col("_c")).as("votes"))
+  }
+
+  /** Greedy Maximal-Marginal-Relevance selection (Carbonell & Goldstein
+    * 1998) — pick k items that are RELEVANT to the query but DIVERSE
+    * among themselves:
+    *
+    *   next = argmax_c  λ·rel(c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+    *
+    * The curation use: build an eval / few-shot / annotation set that
+    * covers the embedding space instead of k near-duplicates of the
+    * single best hit.
+    *
+    * Exactness: vectors are quantized IN-PLAN to integer grids
+    * (⌊double(x)·quantScale⌋ — float→double widening and the double
+    * multiply are exact-identical in any IEEE engine), relevance and
+    * similarity are then integer dot products, λ the exact rational
+    * lambdaNum/lambdaDen, and every score the integer
+    * `lambdaNum·rel − (lambdaDen−lambdaNum)·maxsim` — so the whole
+    * greedy trajectory (including ties → lowest id) replays
+    * bit-identically in SQL as k unrolled argmax steps. The first pick
+    * scores `lambdaNum·rel` (empty selected set ⇒ no diversity term).
+    *
+    * Scale shape: the candidate pool stays DISTRIBUTED (persisted two
+    * narrow columns); each of the k rounds is one broadcast of the ≤k
+    * already-selected vectors, a partial-aggregated max-sim + argmax,
+    * and a SINGLE-ROW collect — k·(poolsize) dot products total,
+    * driver state k rows. Feed it a bounded pool (an ANN top-M or a
+    * filtered slice), not a raw 100 TB corpus — MMR is quadratic in
+    * what it guards against, so the pool bound IS the contract.
+    *
+    * Output: (rank 1..k, idCol, rel_fp, score_fp), rank in selection
+    * order. k is capped by the pool size. */
+  def mmrSelect(candidates: DataFrame, vecCol: String, idCol: String,
+                query: Seq[Float], k: Int,
+                lambdaNum: Long = 7L, lambdaDen: Long = 10L,
+                quantScale: Long = 1000L): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      s"need 0 <= lambda = $lambdaNum/$lambdaDen <= 1")
+    require(quantScale > 0, s"quantScale must be positive, got $quantScale")
+    val spark = candidates.sparkSession
+    val qfp: Seq[Long] = query.map(x => math.floor(x.toDouble * quantScale).toLong)
+    val vq = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * lit(quantScale.toDouble)).cast("long"))
+    def dotFp(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val pool = candidates
+      .select(col(idCol).cast("long").as("_id"), vq.as("_v"))
+      .withColumn("_rel", dotFp(col("_v"), typedLit(qfp)))
+      .persist()
+    try {
+      var selected = Vector.empty[(Long, Long, Long)] // (id, rel_fp, score_fp)
+      (1 to k).foreach { _ =>
+        val selIds = selected.map(_._1)
+        val rem = if (selIds.isEmpty) pool
+          else pool.filter(!col("_id").isin(selIds: _*))
+        val scored =
+          if (selIds.isEmpty) rem.withColumn("_score", lit(lambdaNum) * col("_rel"))
+          else {
+            val selVecs = pool.filter(col("_id").isin(selIds: _*))
+              .select(col("_v").as("_sv"))
+            rem.crossJoin(broadcast(selVecs))
+              .groupBy(col("_id"), col("_rel"))
+              .agg(max(dotFp(col("_v"), col("_sv"))).as("_ms"))
+              .withColumn("_score",
+                lit(lambdaNum) * col("_rel") - lit(lambdaDen - lambdaNum) * col("_ms"))
+          }
+        // single-row argmax: (score DESC, id ASC) via max(struct(score, -id))
+        val head = scored
+          .agg(max(struct(col("_score"), (-col("_id")).as("_ni"),
+            col("_rel").as("_r")))).head()
+        if (!head.isNullAt(0)) {
+          val st = head.getStruct(0)
+          selected :+= ((-st.getLong(1), st.getLong(2), st.getLong(0)))
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val rows = selected.zipWithIndex.map { case ((id, rel, sc), i) =>
+        org.apache.spark.sql.Row(i + 1L, id, rel, sc)
+      }
+      spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rel_fp", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score_fp", org.apache.spark.sql.types.LongType))))
+    } finally pool.unpersist(false)
+  }
 }

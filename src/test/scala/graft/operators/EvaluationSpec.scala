@@ -224,4 +224,41 @@ class EvaluationSpec extends SparkSpec {
       Evaluation.ngramOverlap(broken, "cand", "ref", "id", 4)).head()
     assert(s3.getAs[Double]("bleu") == 0.0)
   }
+
+  private val confSchema = StructType(Seq(
+    StructField("id", LongType), StructField("s", DoubleType)))
+
+  test("conformalFlag: threshold is the ceil((n+1)(1-alpha))-th order statistic") {
+    // calib = 1..100, alpha = 5% -> rank = ceil(101*95/100) = 96
+    val calib = df(confSchema, (1 to 100).map(i => Row(i.toLong, i.toDouble)))
+    val test0 = df(confSchema, Seq(Row(1L, 95.5), Row(2L, 96.0), Row(3L, 96.5)))
+    val out = Evaluation.conformalFlag(calib, "s", test0, "s", 5, 100)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("threshold"), r.getAs[Boolean]("conforming"))).toMap
+    assert(out(1L) == ((96.0, true)))
+    assert(out(2L) == ((96.0, true)))
+    assert(out(3L) == ((96.0, false)))
+  }
+
+  test("conformalFlag: rank beyond n (alpha too small for calib size) conforms all") {
+    val calib = df(confSchema, (1 to 5).map(i => Row(i.toLong, i.toDouble)))
+    // rank = ceil(6*95/100) = 6 > 5 -> null threshold, all conforming
+    val test0 = df(confSchema, Seq(Row(1L, 1e9)))
+    val out = Evaluation.conformalFlag(calib, "s", test0, "s", 5, 100).collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("threshold")))
+    assert(out(0).getAs[Boolean]("conforming"))
+    intercept[IllegalArgumentException](
+      Evaluation.conformalFlag(calib, "s", test0, "s", 0, 100))
+  }
+
+  test("conformalFlag: null calibration scores are excluded from the rank") {
+    // 10 real scores + 5 nulls; alpha = 10% -> rank over n=10 is
+    // ceil(11*90/100) = 10 -> threshold = 10.0
+    val calib = df(confSchema, (1 to 10).map(i => Row(i.toLong, i.toDouble)) ++
+      (11 to 15).map(i => Row(i.toLong, null)))
+    val test0 = df(confSchema, Seq(Row(1L, 10.0), Row(2L, 10.5)))
+    val out = Evaluation.conformalFlag(calib, "s", test0, "s", 10, 100)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("conforming")).toMap
+    assert(out == Map(1L -> true, 2L -> false))
+  }
 }

@@ -185,4 +185,55 @@ class LinkGraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == ref.toMap, s"got $out want $ref")
   }
+
+  /** Local replay of synchronous LPA with self-vote, ties to the
+    * smallest label — the exact semantics labelPropagation documents. */
+  private def lpaRef(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    val adj = (und.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) })
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val nodes = adj.keySet
+    var lbl = nodes.map(v => v -> v).toMap
+    (0 until iters).foreach { _ =>
+      lbl = nodes.map { v =>
+        val votes = (adj(v).map(lbl) :+ lbl(v)).groupBy(identity)
+          .map { case (l, occ) => l -> occ.size }
+        val best = votes.toSeq.map { case (l, c) => (-c, l) }.min
+        v -> best._2
+      }.toMap
+    }
+    lbl
+  }
+
+  test("labelPropagation: two cliques with a bridge converge to one label each") {
+    val es = Seq[(Long, Long)]((1, 2), (1, 3), (2, 3), (10, 11), (10, 12),
+      (11, 12), (3, 10))
+    val out = LinkGraph.labelPropagation(
+        df(edgeSchema, es.map(e => Row(e._1, e._2))), "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == lpaRef(es, 3), s"got $out want ${lpaRef(es, 3)}")
+    // each clique is one community
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)
+    assert(Set(out(10L), out(11L), out(12L)).size == 1)
+    assert(out(1L) != out(10L))
+  }
+
+  test("labelPropagation: matches the synchronous reference on a random graph") {
+    val rnd = new scala.util.Random(23)
+    val es = (0 until 150).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+    val out = LinkGraph.labelPropagation(
+        df(edgeSchema, es.map(e => Row(e._1, e._2))), "src", "dst", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == lpaRef(es, 4))
+  }
+
+  test("labelPropagation: duplicate and reversed edge rows don't double-vote") {
+    val es = Seq[(Long, Long)]((1, 2), (2, 1), (1, 2), (2, 3))
+    val out = LinkGraph.labelPropagation(
+        df(edgeSchema, es.map(e => Row(e._1, e._2))), "src", "dst", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == lpaRef(es, 2))
+    assert(out.values.toSet == Set(1L)) // path collapses to min label
+  }
 }

@@ -80,4 +80,38 @@ class PreferenceSpec extends SparkSpec {
     assert(out.keySet == Set("n"), s"got ${out.keySet}")
     assert(out("n") == (6L, 7L), "null-scored row ignored")
   }
+
+  private val ipsSchema = StructType(Seq(
+    StructField("g", StringType), StructField("prop_fp", LongType),
+    StructField("target_fp", LongType), StructField("reward_fp", LongType)))
+
+  test("ipsEstimate: exact integer sums against a local reference") {
+    val rows = Seq(
+      Row("a", 500000L, 1000000L, 2000000L),  // w = 2e6, w*r = 4e12
+      Row("a", 250000L, 500000L, 1000000L),   // w = 2e6, w*r = 2e12
+      Row("b", 1000000L, 100000L, 3000000L))  // w = 1e5, w*r = 3e11
+    val out = Preference.ipsEstimate(df(ipsSchema, rows), "g",
+        "prop_fp", "target_fp", "reward_fp")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n") == 2L)
+    assert(a.getAs[java.math.BigDecimal]("sum_w_fp").longValueExact == 4000000L)
+    assert(a.getAs[java.math.BigDecimal]("sum_wr_fp").longValueExact == 6000000000000L)
+    assert(a.getAs[Double]("ips") == 6e12 / (2.0 * 1e6 * 1e6))
+    assert(a.getAs[Double]("snips") == 6e12 / (4e6 * 1e6))
+    assert(out("b").getAs[java.math.BigDecimal]("sum_wr_fp").longValueExact == 300000000000L)
+  }
+
+  test("ipsEstimate: weights clip and zero/negative propensities are rejected") {
+    val rows = Seq(
+      Row("a", 1L, 1000000L, 1000000L),       // raw w = 1e12 -> clipped to 2e7
+      Row("a", 0L, 1000000L, 1000000L),       // prop 0 -> dropped
+      Row("a", -5L, 1000000L, 1000000L),      // negative -> dropped
+      Row("a", 1000000L, 1000000L, null))     // null reward -> dropped
+    val out = Preference.ipsEstimate(df(ipsSchema, rows), "g",
+        "prop_fp", "target_fp", "reward_fp").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n") == 1L)
+    assert(out(0).getAs[java.math.BigDecimal]("sum_w_fp").longValueExact == 20000000L)
+  }
 }

@@ -54,4 +54,32 @@ class PrivacySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Privacy.kAnonymityAudit(df(schema, rows), Seq("zip"), "disease", k = 0))
   }
+
+  private val pseuSchema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("phone", StringType), StructField("code", IntegerType)))
+
+  test("pseudonymize: salted md5 tokens — deterministic, joinable, null-safe") {
+    val rows = Seq(
+      Row(1L, "alice", "555-0100", 42),
+      Row(2L, "alice", null, 42),     // same name -> same token; null stays
+      Row(3L, "bob", "555-0100", 7))  // same phone as row 1 -> same token
+    val out = Privacy.pseudonymize(df(pseuSchema, rows),
+        Seq("name", "phone", "code"), salt = "s3cret")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // expected token from the JDK digest — the cross-engine ground truth
+    def tok(v: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s3cret:$v".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out(1L).getString(1) == tok("alice"))
+    assert(out(2L).getString(1) == tok("alice"), "same value, same token")
+    assert(out(2L).isNullAt(2), "null identifier stays null")
+    assert(out(1L).getString(2) == out(3L).getString(2), "joinability preserved")
+    assert(out(1L).getString(3) == tok("42"), "non-string columns tokenize via string form")
+    intercept[IllegalArgumentException](
+      Privacy.pseudonymize(df(pseuSchema, rows), Seq("name"), salt = ""))
+    intercept[IllegalArgumentException](
+      Privacy.pseudonymize(df(pseuSchema, rows), Nil, salt = "x"))
+  }
 }

@@ -247,4 +247,34 @@ class ProfileSpec extends SparkSpec {
     // z over the x-complete rows is exactly linear in x → r = −1
     assert(out(("x", "z")).getDouble(3) == -1.0)
   }
+
+  private val divSchema = StructType(Seq(
+    StructField("lang", StringType), StructField("text", StringType)))
+
+  test("ngramDiversity: hand-counted distinct-1/-2 per group") {
+    val d = df(divSchema, Seq(
+      Row("en", "a a a"),     // uni: 3x a; bi: "a a" x2
+      Row("en", "a b"),       // uni: a, b; bi: "a b"
+      Row("de", "x"),         // uni: x; no bigram
+      Row("de", null),        // tokenizes empty -> contributes nothing
+      Row("fr", "  ")))       // whitespace-only -> nothing
+    val out = Profile.ngramDiversity(d, "text", "lang", maxN = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(("en", 1)) == ((5L, 2L, 0.4)))
+    assert(out(("en", 2)) == ((3L, 2L, 2.0 / 3.0)))
+    assert(out(("de", 1)) == ((1L, 1L, 1.0)))
+    assert(!out.contains(("de", 2)), "one-token doc has no bigrams")
+    assert(!out.exists(_._1._1 == "fr"), "empty text contributes no grams")
+  }
+
+  test("ngramDiversity: boilerplate slice scores far below organic text") {
+    val spam = (0 until 50).map(i => Row("spam", "click here to win now"))
+    val organic = (0 until 50).map(i =>
+      Row("org", s"document $i discusses topic${i % 7} in depth ${i * 31 % 13}"))
+    val out = Profile.ngramDiversity(df(divSchema, spam ++ organic), "text", "lang", 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(4)).toMap
+    assert(out(("spam", 2)) < 0.05)
+    assert(out(("org", 2)) > 0.2)
+  }
 }

@@ -396,4 +396,107 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.sq8TopK(enc, "_sq", "vec_id", stats, q.take(3), k = 5))
   }
+
+  private val labeledSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("v", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  test("knnClassify: planted two-cluster labels transfer to held-out queries") {
+    // corpus: 10 points near e1 labeled 0, 10 near e2 labeled 1 (tiny
+    // deterministic jitter keeps cosine order unambiguous)
+    val rows = (0 until 10).map(i => Row(i.toLong,
+        Seq(1.0f, 0.001f * i, 0.0f), 0)) ++
+      (10 until 20).map(i => Row(i.toLong, Seq(0.001f * i, 1.0f, 0.0f), 1))
+    val corpus = df(labeledSchema, rows)
+    val queries = df(StructType(Seq(StructField("q_id", LongType),
+        StructField("qv", ArrayType(FloatType)))),
+      Seq(Row(100L, Seq(0.9f, 0.1f, 0.0f)), Row(101L, Seq(0.1f, 0.9f, 0.0f))))
+    val out = Similarity.knnClassify(corpus, "v", "vec_id", "label",
+        queries, "qv", "q_id", k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out(100L) == ((0, 5L)), s"got $out")
+    assert(out(101L) == ((1, 5L)))
+  }
+
+  test("knnClassify: vote ties break to the smallest label") {
+    // 2 neighbors each of labels 7 and 3 at identical distances from
+    // the query -> 2-2 tie at k=4 -> label 3 wins
+    val rows = Seq(
+      Row(1L, Seq(1.0f, 0.0f), 7), Row(2L, Seq(1.0f, 0.0f), 7),
+      Row(3L, Seq(1.0f, 0.0f), 3), Row(4L, Seq(1.0f, 0.0f), 3),
+      Row(5L, Seq(-1.0f, 0.0f), 9))
+    val corpus = df(labeledSchema, rows)
+    val queries = df(StructType(Seq(StructField("q_id", LongType),
+        StructField("qv", ArrayType(FloatType)))),
+      Seq(Row(0L, Seq(1.0f, 0.0f))))
+    val out = Similarity.knnClassify(corpus, "v", "vec_id", "label",
+        queries, "qv", "q_id", k = 4).collect()
+    assert(out.length == 1)
+    assert(out(0).getInt(1) == 3 && out(0).getLong(2) == 2L)
+  }
+
+  /** Local replay of the integer-quantized greedy MMR trajectory. */
+  private def mmrRef(cands: Seq[(Long, Seq[Float])], q: Seq[Float], k: Int,
+                     ln: Long = 7L, ld: Long = 10L,
+                     qs: Long = 1000L): Seq[(Long, Long, Long, Long)] = {
+    def quant(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.floor(x.toDouble * qs).toLong)
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val qq = quant(q)
+    val pool = cands.map { case (id, v) =>
+      (id, quant(v), dot(quant(v), qq)) }
+    var sel = Vector.empty[(Long, Long, Long, Long)] // rank,id,rel,score
+    (1 to math.min(k, pool.size)).foreach { i =>
+      val chosen = sel.map(_._2).toSet
+      val scored = pool.filterNot(p => chosen(p._1)).map { case (id, v, rel) =>
+        val ms = if (sel.isEmpty) 0L
+          else sel.map(s => dot(v, pool.find(_._1 == s._2).get._2)).max
+        val score = if (sel.isEmpty) ln * rel else ln * rel - (ld - ln) * ms
+        (id, rel, score)
+      }
+      val best = scored.minBy { case (id, _, sc) => (-sc, id) }
+      sel :+= ((i.toLong, best._1, best._2, best._3))
+    }
+    sel
+  }
+
+  test("mmrSelect: skips the near-duplicate of the best hit") {
+    // candidates 1 and 2 nearly identical (both highly relevant);
+    // 3 moderately relevant but diverse. The query must NOT coincide
+    // with the dup pair (rel would then equal sim and the diversity
+    // term could never separate them) -> greedy picks 2 then 3, never 1
+    val cands = Seq[(Long, Seq[Float])](
+      1L -> Seq(1.0f, 0.0f), 2L -> Seq(0.999f, 0.01f), 3L -> Seq(0.5f, 0.8f))
+    val q = Seq(0.9f, 0.44f)
+    val out = Similarity.mmrSelect(
+        df(vecSchema, cands.map { case (id, v) => Row(id, v) }),
+        "v", "vec_id", q, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == mmrRef(cands, q, 2))
+    assert(out.map(_._2).toSeq == Seq(2L, 3L), s"got ${out.toSeq}")
+  }
+
+  test("mmrSelect: exact trajectory equality with the local reference on a random pool") {
+    val rnd = new scala.util.Random(31)
+    val cands = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val q = Seq.fill(8)(rnd.nextFloat() * 2 - 1)
+    val out = Similarity.mmrSelect(
+        df(vecSchema, cands.map { case (id, v) => Row(id, v) }),
+        "v", "vec_id", q, k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == mmrRef(cands, q, 6))
+  }
+
+  test("mmrSelect: k beyond the pool returns the whole pool; guards fire") {
+    val cands = Seq[(Long, Seq[Float])](1L -> Seq(1.0f, 0.0f), 2L -> Seq(0.0f, 1.0f))
+    val out = Similarity.mmrSelect(
+        df(vecSchema, cands.map { case (id, v) => Row(id, v) }),
+        "v", "vec_id", Seq(1.0f, 0.0f), k = 5).collect()
+    assert(out.length == 2)
+    intercept[IllegalArgumentException](Similarity.mmrSelect(
+      df(vecSchema, Nil), "v", "vec_id", Seq(1.0f), k = 0))
+  }
 }
