@@ -641,4 +641,57 @@ class PlanEvidenceSpec extends SparkSpec {
       windowLines.forall(l => !l.contains("Window") || l.contains("lang")),
       "every window frame must be group-partitioned:\n" + plan)
   }
+
+  test("pseudonymize: stateless scan — zero exchanges, projection pruned to its columns") {
+    val cust = graft.sources.ParquetConnector.readTable(spark, s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val out = graft.operators.Privacy.pseudonymize(cust, Seq("c_name"), "salt")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "tokenization must not shuffle:\n" + plan)
+    val rs = scanOf(out).metadata("ReadSchema")
+    assert(!rs.contains("c_acctbal"), "untouched columns must stay pruned: " + rs)
+  }
+
+  test("knnClassify: query batch broadcasts; the labeled corpus never sort-merges") {
+    val emb = graft.sources.ParquetConnector.readTable(spark, s"$sf/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val queries = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val out = graft.operators.Similarity.knnClassify(corpus, "embedding",
+      "vec_id", "label", queries, "qv", "q_id", k = 5)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "the query batch must broadcast against the corpus scan:\n" + plan)
+    assert(!plan.contains("CartesianProduct"),
+      "scoring must never materialize a shuffled product:\n" + plan)
+  }
+
+  test("ngramDiversity: gram counts partial-aggregate before the exchange") {
+    val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+    val out = graft.operators.Profile.ngramDiversity(docs, "text", "lang", maxN = 2)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // two-level aggregate: hot (boilerplate) grams must collapse map-side
+    // — a partial_count before each exchange
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      "gram counting must map-side combine:\n" + plan)
+    assert(!plan.contains("Window"), "diversity is aggregation, never a window:\n" + plan)
+  }
+
+  test("ipsEstimate: one partial-aggregated pass — no join, no window, one exchange") {
+    val ev = graft.sources.ParquetConnector.readTable(spark, s"$sf/events.parquet")
+      .select(col("event_type"),
+        (pmod(col("event_id"), lit(900000L)) + 1L).as("prop_fp"),
+        (pmod(col("event_id") + 7L, lit(900000L)) + 1L).as("target_fp"),
+        floor(col("value") * 1000000.0).cast("long").as("reward_fp"))
+    val out = graft.operators.Preference.ipsEstimate(ev, "event_type",
+      "prop_fp", "target_fp", "reward_fp")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      "IPS is one aggregation pass:\n" + plan)
+    assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      "one shuffle of pre-aggregated partials:\n" + plan)
+  }
 }
