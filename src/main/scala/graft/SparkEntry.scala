@@ -407,6 +407,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_unigram_train" -> ((s, dir) => {
+      // unigram-LM (SentencePiece) tokenizer training on the same
+      // pinned Sennrich fixture as q_bpe_train — the hard-EM chain is
+      // a data-dependent multi-round Viterbi/prune loop, so the oracle
+      // is golden literal rows; corpus-scale behavior is UnigramSpec's
+      import s.implicits._
+      val fixture = Seq(
+        (1L, "low low low low low"), (2L, "lower lower newest newest"),
+        (3L, "newest newest newest newest"), (4L, "widest widest widest"))
+        .toDF("doc_id", "text")
+      operators.Unigram.train(fixture, "text", vocabSize = 20, iters = 2,
+          maxPieceLen = 6, seedSize = 200)
+        .pieces.toDF("piece", "score_fp").orderBy(col("piece"))
+    }),
+
+    "q_unigram_segment" -> ((s, dir) => {
+      // segmentation through the trained unigram model: dict words via
+      // the word-keyed join, the unseen words ("lowest", "unknown")
+      // Viterbi-parsed in-plan — golden rows again
+      import s.implicits._
+      val fixture = Seq(
+        (1L, "low low low low low"), (2L, "lower lower newest newest"),
+        (3L, "newest newest newest newest"), (4L, "widest widest widest"))
+        .toDF("doc_id", "text")
+      val m = operators.Unigram.train(fixture, "text", vocabSize = 20, iters = 2,
+        maxPieceLen = 6, seedSize = 200)
+      val probe = Seq((1L, "low lower lowest"), (2L, "newest widest unknown"))
+        .toDF("doc_id", "text")
+      operators.Unigram.encodeTable(probe, "text", "doc_id", m, maxPieceLen = 6)
+        .select(col("doc_id"), col("pos"), col("word"),
+          concat_ws("|", col("syms")).as("pieces"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     "q_bpe_train" -> ((s, dir) => {
       // BPE merge training on the PINNED Sennrich fixture — the merge
       // sequence is a data-dependent N-round argmax chain, so the oracle
@@ -4242,6 +4276,31 @@ object SparkEntry {
     // Golden rows: the reference BPE merge sequence for the fixture
     // (word freqs low:5 lower:2 newest:6 widest:3), hand-verified
     // against an independent reference implementation.
+    // Golden literal rows from the pinned fixture (the q_bpe_train
+    // pattern): the hard-EM Viterbi/prune chain is a data-dependent
+    // multi-round loop, so the oracle pins its exact output —
+    // vocabulary, fixed-point scores, and every segmentation decision.
+    "q_unigram_train" ->
+      """SELECT * FROM (VALUES
+        |  ('d', CAST(-340119739 AS BIGINT)), ('e', -340119739),
+        |  ('i', -340119739), ('l', -340119739),
+        |  ('low', -160943792), ('lower', -230258510),
+        |  ('n', -340119739), ('newest', -145528724),
+        |  ('o', -340119739), ('r', -340119739),
+        |  ('s', -340119739), ('t', -340119739),
+        |  ('w', -340119739), ('widest', -201490303)
+        |) AS t(piece, score_fp) ORDER BY piece""".stripMargin,
+
+    "q_unigram_segment" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 0, 'low', 'low'),
+        |  (1, 1, 'lower', 'lower'),
+        |  (1, 2, 'lowest', 'low|e|s|t'),
+        |  (2, 0, 'newest', 'newest'),
+        |  (2, 1, 'widest', 'widest'),
+        |  (2, 2, 'unknown', '<unk>|n|<unk>|n|o|w|n')
+        |) AS t(doc_id, pos, word, pieces) ORDER BY doc_id, pos""".stripMargin,
+
     "q_bpe_train" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS INTEGER), 'e', 's', CAST(9 AS BIGINT)),
