@@ -187,7 +187,11 @@ object Bench {
     // argmax rounds), agreement-weighted weak-supervision label model
     // (three partial-aggregated vote passes), salted pseudonymization
     // (stateless codegen'd scan)
-    "q_mmr", "q_weak_labels", "q_pseudonymize")
+    "q_mmr", "q_weak_labels", "q_pseudonymize",
+    // r12 tenth continuation, third wave — GROUPING SETS (one Expand
+    // pass) and the BH multiple-testing gate (hypothesis-table-sized
+    // global rank + one boundary aggregate)
+    "q_grouping_sets", "q_fdr_bh")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

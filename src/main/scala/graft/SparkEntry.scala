@@ -216,6 +216,19 @@ object SparkEntry {
         .orderBy(col("rflag"), col("lstatus"))
     }),
 
+    "q_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS (the rollup/cube generalization): two
+      // independent one-dimension groupings in ONE Expand pass — SQL
+      // parity both engines share verbatim
+      T(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql(s"""SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+                |       coalesce(l_linestatus, 'ALL') AS lstatus,
+                |       count(1) AS cnt, CAST(SUM($Qty) AS DOUBLE) AS sum_qty
+                |FROM lineitem_gs
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+                |ORDER BY rflag, lstatus""".stripMargin)
+    }),
+
     "q_cube" -> ((s, dir) => {
       T(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -2275,6 +2288,36 @@ object SparkEntry {
             (col("value") > lit(50.0)).as("label")),
           "event_type", "prob", "label", bins = 10)
         .orderBy(col("event_type"), col("bin"))
+    }),
+
+    "q_fdr_bh" -> ((s, dir) => {
+      // multiple-testing gate over a per-(type, day) hypothesis grid
+      // with replayable pseudo p-values (the q_calibration hash
+      // pattern) — integer-exact BH rejection boundary, rank ties by key
+      val hyp = T(s, dir, "events")
+        .select(col("event_type"), dayofmonth(col("ts")).as("day")).distinct()
+        .withColumn("hyp_id", ascii(col("event_type")) * lit(1000L) +
+          col("day") * lit(31L) + length(col("event_type")))
+        .withColumn("p", (pmod(col("hyp_id") * lit(2654435761L), lit(4294967296L)) %
+          lit(1000000L)).cast("double") / lit(1000000.0))
+      operators.Analytics.bhCorrect(hyp.select(col("hyp_id"), col("p")),
+          "hyp_id", "p", alphaNum = 10, alphaDen = 100)
+        .orderBy(col("rank"))
+    }),
+
+    "q_isotonic" -> ((s, dir) => {
+      // PAV isotonic calibration on a pinned score/label fixture with
+      // known pooling violations — the pooling chain is data-dependent,
+      // so golden rows (the q_bpe_train pattern); corpus-scale behavior
+      // and the exact-rational pooling rule are EvaluationSpec's
+      import s.implicits._
+      val fx = Seq(
+        (0.1, false), (0.1, false), (0.2, true), (0.3, false), (0.3, false),
+        (0.4, true), (0.5, false), (0.6, true), (0.6, true), (0.7, true),
+        (0.8, false), (0.9, true), (0.9, true), (0.95, true))
+        .toDF("score", "label")
+      operators.Evaluation.isotonicCalibrate(fx, "score", "label")
+        .orderBy(col("score_lo"))
     }),
 
     "q_conformal" -> ((s, dir) => {
@@ -6165,6 +6208,53 @@ object SparkEntry {
         |       CAST(conf_fp AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0 AS avg_conf,
         |       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy
         |FROM g ORDER BY event_type, bin""".stripMargin,
+
+    // GROUPING SETS is shared SQL verbatim.
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       count(1) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY rflag, lstatus""".stripMargin,
+
+    // BH replay: identical hypothesis grid + hash p-values, the same
+    // integer boundary pfp·m·alphaDen <= rank·alphaNum·10^9.
+    "q_fdr_bh" ->
+      """WITH hyp AS (SELECT DISTINCT event_type, day(ts) AS day FROM events),
+        |h2 AS (SELECT ascii(event_type) * 1000 + day * 31 + length(event_type) AS hyp_id
+        |       FROM hyp),
+        |h3 AS (SELECT hyp_id,
+        |              CAST(((hyp_id * 2654435761) % 4294967296) % 1000000 AS DOUBLE)
+        |                / 1000000.0 AS p
+        |       FROM h2),
+        |r AS (SELECT hyp_id, p,
+        |             CAST(FLOOR(p * 1000000000.0) AS BIGINT) AS pfp,
+        |             ROW_NUMBER() OVER (ORDER BY CAST(FLOOR(p * 1000000000.0) AS BIGINT),
+        |                                         hyp_id) AS rank,
+        |             COUNT(*) OVER () AS m
+        |      FROM h3),
+        |k AS (SELECT COALESCE(MAX(CASE WHEN pfp * m * 100 <= rank * 10 * 1000000000
+        |                               THEN rank END), 0) AS k
+        |      FROM r)
+        |SELECT hyp_id, p, rank, m, rank <= k.k AS rejected
+        |FROM r CROSS JOIN k ORDER BY rank""".stripMargin,
+
+    // Golden PAV blocks from the pinned fixture; `rate` recomputed from
+    // the exact integer counts so the doubles carry full precision.
+    "q_isotonic" ->
+      """SELECT score_lo, score_hi, n, n_pos, rate_fp,
+        |       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate
+        |FROM (VALUES
+        |  (CAST(0.1 AS DOUBLE), CAST(0.1 AS DOUBLE),
+        |   CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (0.2,  0.3,  3, 1, 333333333),
+        |  (0.4,  0.5,  2, 1, 500000000),
+        |  (0.6,  0.8,  4, 3, 750000000),
+        |  (0.9,  0.9,  2, 2, 1000000000),
+        |  (0.95, 0.95, 1, 1, 1000000000)
+        |) AS t(score_lo, score_hi, n, n_pos, rate_fp)
+        |ORDER BY score_lo""".stripMargin,
 
     // Split-conformal replay: the same integer rank formula, the
     // threshold as the rank-th order statistic via a row_number window

@@ -567,4 +567,44 @@ object Analytics {
         (count(lit(1)) * lit(1000000L)).as("credit_fp"))
     attributed.unionByName(direct)
   }
+
+  /** Benjamini–Hochberg FDR correction (1995) over a table of
+    * hypothesis p-values — the multiple-testing gate for a fleet of
+    * per-segment experiment readouts ([[welchT]] / [[abTest]] grids):
+    * rank p ascending, reject the smallest k where k is the LARGEST
+    * rank with p_(k) ≤ k·α/m. Controls the expected false-discovery
+    * rate at α, where per-test α would flag m·α false positives.
+    *
+    * Exactness: the comparison runs in integers —
+    * ⌊p·10⁹⌋·m·alphaDen ≤ rank·alphaNum·10⁹ — so the rejection
+    * boundary replays exactly in SQL; rank ties on equal quantized p
+    * break by key ascending. The input is HYPOTHESIS-count-sized (one
+    * row per experiment readout, not per observation): the global rank
+    * window runs in one task over m rows — asserted ≤ 10⁷, far above
+    * any real experiment fleet but far below corpus scale.
+    *
+    * Output: (keyCol, p, rank, m, rejected). Null p-values are
+    * excluded from m (they carry no evidence). */
+  def bhCorrect(df: DataFrame, keyCol: String, pCol: String,
+                alphaNum: Long = 5L, alphaDen: Long = 100L): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum <= alphaDen,
+      s"need 0 < alpha = $alphaNum/$alphaDen <= 1")
+    val scale = 1000000000L
+    val base = df.filter(col(pCol).isNotNull)
+      .select(col(keyCol), col(pCol).cast("double").as("p"),
+        floor(col(pCol) * lit(scale.toDouble)).cast("long").as("_pfp"))
+    val m = base.count()
+    require(m <= 10000000L,
+      s"bhCorrect is hypothesis-table-sized; got $m rows (max 1e7)")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_pfp"), col(keyCol))
+    val ranked = base
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("_ok",
+        col("_pfp") * lit(m) * lit(alphaDen) <= col("rank") * lit(alphaNum) * lit(scale))
+    val kRow = ranked.agg(max(when(col("_ok"), col("rank")))).head()
+    val k = if (kRow.isNullAt(0)) 0L else kRow.getLong(0)
+    ranked.select(col(keyCol), col("p"), col("rank"), lit(m).as("m"),
+      (col("rank") <= lit(k)).as("rejected"))
+  }
 }

@@ -405,4 +405,65 @@ object Evaluation {
         .withColumn("conforming", col(testScoreCol).cast("double") <= lit(thr))
     }
   }
+
+  /** Isotonic regression calibration by Pool-Adjacent-Violators
+    * (Barlow et al. 1972; the sklearn `isotonic` / reward-model
+    * calibration standard): learn the best monotone map from raw model
+    * scores to empirical success rates. Where [[calibrationBins]]
+    * DIAGNOSES miscalibration on a fixed grid, this FIXES it — the
+    * output step function is the L2-optimal monotone calibrator.
+    *
+    * Shape: the corpus reduces in ONE partial-aggregated pass to
+    * (distinct score → n, positives); PAV pooling then runs on the
+    * driver over that table (asserted ≤ `maxBins` rows — quantize
+    * scores upstream if the raw space is too fine). The pooled result
+    * is the UNIQUE isotonic fit, and every pooling comparison is an
+    * exact cross-multiplied integer rational (pos_prev·n_cur >
+    * pos_cur·n_prev) — no float drift, partitioning-independent.
+    *
+    * Output: one row per step — (score_lo, score_hi, n, n_pos,
+    * rate_fp = (n_pos·10⁹) div n, rate) — monotone non-decreasing in
+    * rate; apply with a range join or an `element_at` over collected
+    * boundaries. */
+  def isotonicCalibrate(df: DataFrame, scoreCol: String, labelCol: String,
+                        maxBins: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    val agg = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("_s"),
+        col(labelCol).cast("boolean").as("_y"))
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("_p"))
+      .orderBy(col("_s"))
+    val rows = agg.collect()
+    require(rows.length <= maxBins,
+      s"isotonicCalibrate: ${rows.length} distinct scores exceed maxBins=$maxBins — quantize upstream")
+    final case class Block(lo: Double, hi: Double, n: Long, pos: Long)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    rows.foreach { r =>
+      var cur = Block(r.getDouble(0), r.getDouble(0), r.getLong(1), r.getLong(2))
+      // pool while the previous block's rate exceeds the current's:
+      // pos_prev/n_prev > pos_cur/n_cur  ⇔  pos_prev·n_cur > pos_cur·n_prev
+      // (BigInt: block counts can reach 10¹⁰⁺ at corpus scale, whose
+      // cross-products overflow a long)
+      while (stack.nonEmpty &&
+          BigInt(stack.last.pos) * cur.n > BigInt(cur.pos) * stack.last.n) {
+        val prev = stack.remove(stack.length - 1)
+        cur = Block(prev.lo, cur.hi, prev.n + cur.n, prev.pos + cur.pos)
+      }
+      stack += cur
+    }
+    import scala.jdk.CollectionConverters._
+    val out = stack.toSeq.map(b => org.apache.spark.sql.Row(
+      b.lo, b.hi, b.n, b.pos,
+      (BigInt(b.pos) * 1000000000L / b.n).toLong,
+      b.pos.toDouble / b.n.toDouble))
+    spark.createDataFrame(out.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("score_lo", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("score_hi", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_pos", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rate_fp", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rate", org.apache.spark.sql.types.DoubleType))))
+  }
 }

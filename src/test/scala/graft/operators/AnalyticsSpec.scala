@@ -332,4 +332,38 @@ class AnalyticsSpec extends SparkSpec {
     val r = Analytics.positionAttribution(one, "uid", "ts", "et", "purchase").head()
     assert(r.getString(0) == "view" && r.getLong(3) == 1000000L)
   }
+
+  private val bhSchema = StructType(Seq(
+    StructField("k", LongType), StructField("p", DoubleType)))
+
+  private def bh(ps: Seq[(Long, java.lang.Double)], an: Long, ad: Long) =
+    Analytics.bhCorrect(df(bhSchema, ps.map { case (k, p) => Row(k, p) }),
+        "k", "p", an, ad)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+
+  test("bhCorrect: textbook boundary at alpha=0.1 rejects exactly the 4 smallest") {
+    // sorted: .005 .01 .03 .04 .20 .50 vs k*alpha/m = .0167 .0333 .05 .0667...
+    val out = bh(Seq(1L -> 0.01, 2L -> 0.04, 3L -> 0.03, 4L -> 0.005,
+      5L -> 0.20, 6L -> 0.50).map { case (k, p) => (k, Double.box(p)) }, 10, 100)
+    assert(out.values.forall(_._2 == 6L))
+    assert(out(4L) == ((1L, 6L, true)) && out(1L) == ((2L, 6L, true)))
+    assert(out(3L) == ((3L, 6L, true)) && out(2L) == ((4L, 6L, true)))
+    assert(!out(5L)._3 && !out(6L)._3)
+  }
+
+  test("bhCorrect: the max-k rule rescues intermediate failures") {
+    // .01 .13 .14 .20 at alpha=.25: k=2,3 fail their own thresholds but
+    // k=4 passes (.20 <= .25) -> ALL four reject (the defining BH quirk)
+    val out = bh(Seq(1L -> 0.01, 2L -> 0.13, 3L -> 0.14, 4L -> 0.20)
+      .map { case (k, p) => (k, Double.box(p)) }, 25, 100)
+    assert(out.values.forall(_._3), s"got $out")
+  }
+
+  test("bhCorrect: null p-values drop out of m; guards fire") {
+    val out = bh(Seq((1L, Double.box(0.01)), (2L, null),
+      (3L, Double.box(0.5))), 10, 100)
+    assert(out.size == 2 && out.values.forall(_._2 == 2L))
+    intercept[IllegalArgumentException](bh(Seq((1L, Double.box(0.5))), 0, 100))
+  }
 }

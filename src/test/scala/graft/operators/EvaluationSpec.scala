@@ -251,6 +251,55 @@ class EvaluationSpec extends SparkSpec {
       Evaluation.conformalFlag(calib, "s", test0, "s", 0, 100))
   }
 
+  private val isoSchema = StructType(Seq(
+    StructField("s", DoubleType), StructField("y", BooleanType)))
+
+  /** Local PAV over (score → n, pos) with exact rational pooling. */
+  private def pavRef(pts: Seq[(Double, Boolean)]): Seq[(Double, Double, Long, Long)] = {
+    val grouped = pts.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, g) =>
+      (s, s, g.size.toLong, g.count(_._2).toLong) }
+    val st = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Long, Long)]
+    grouped.foreach { b0 =>
+      var b = b0
+      while (st.nonEmpty && BigInt(st.last._4) * b._3 > BigInt(b._4) * st.last._3) {
+        val p = st.remove(st.length - 1)
+        b = (p._1, b._2, p._3 + b._3, p._4 + b._4)
+      }
+      st += b
+    }
+    st.toSeq
+  }
+
+  test("isotonicCalibrate: equals the local PAV reference on random data; monotone") {
+    val rnd = new scala.util.Random(47)
+    val pts = (0 until 400).map { _ =>
+      val s = (rnd.nextInt(40) + 1) / 40.0
+      (s, rnd.nextDouble() < s * 0.8 + 0.1) // noisy but increasing
+    }
+    val out = Evaluation.isotonicCalibrate(
+        df(isoSchema, pts.map { case (s, y) => Row(s, y) }), "s", "y")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == pavRef(pts))
+    // rates strictly increase block to block (equal rates would pool)
+    val rates = out.map(b => b._4.toDouble / b._3)
+    assert(rates.zip(rates.drop(1)).forall { case (a, b) => a < b }, rates.toSeq)
+    // mass is preserved
+    assert(out.map(_._3).sum == 400L)
+    assert(out.map(_._4).sum == pts.count(_._2).toLong)
+  }
+
+  test("isotonicCalibrate: already-monotone inputs pass through unpooled") {
+    val pts = Seq((0.1, false), (0.2, false), (0.2, true), (0.3, true))
+    val out = Evaluation.isotonicCalibrate(
+        df(isoSchema, pts.map { case (s, y) => Row(s, y) }), "s", "y")
+      .collect()
+    assert(out.length == 3)
+    assert(out.map(r => r.getLong(4)).toSeq == Seq(0L, 500000000L, 1000000000L))
+    intercept[IllegalArgumentException](
+      Evaluation.isotonicCalibrate(
+        df(isoSchema, pts.map { case (s, y) => Row(s, y) }), "s", "y", maxBins = 2))
+  }
+
   test("conformalFlag: null calibration scores are excluded from the rank") {
     // 10 real scores + 5 nulls; alpha = 10% -> rank over n=10 is
     // ceil(11*90/100) = 10 -> threshold = 10.0
