@@ -191,7 +191,11 @@ object Bench {
     // r12 tenth continuation, third wave — GROUPING SETS (one Expand
     // pass) and the BH multiple-testing gate (hypothesis-table-sized
     // global rank + one boundary aggregate)
-    "q_grouping_sets", "q_fdr_bh")
+    "q_grouping_sets", "q_fdr_bh",
+    // r12 tenth continuation, fourth wave — bounded k-core peeling
+    // (degree aggregate + semi-join filter per round) and Flesch
+    // readability (one stateless codegen'd scan)
+    "q_kcore", "q_readability")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

@@ -1127,6 +1127,19 @@ object SparkEntry {
         .orderBy(col("rank_fp").desc, col("node"))
     }),
 
+    "q_kcore" -> ((s, dir) => {
+      // dense-subgraph extraction: 3 peeling rounds at k=25 over the
+      // customer-supplier graph — the link-farm/mutual-cluster signal;
+      // all-integer degrees, oracle unrolls every round
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), (lit(1000000L) + col("l_suppkey")).as("dst"))
+        .distinct()
+      LinkGraph.kCorePeel(edges, "src", "dst", k = 25, rounds = 3)
+        .orderBy(col("node"))
+    }),
+
     "q_label_prop" -> ((s, dir) => {
       // link-community detection over the same customer->supplier
       // graph: deterministic synchronous label propagation (most
@@ -1155,6 +1168,12 @@ object SparkEntry {
       Curation.capPerGroup(d, Seq("domain"), "doc_id", maxN = 15)
         .orderBy(col("doc_id"))
     }),
+
+    "q_readability" -> ((s, dir) =>
+      // Flesch reading-ease per document: regex-replayable word /
+      // sentence / vowel-group counts, one pinned double at the end
+      operators.Profile.readability(T(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))),
 
     "q_diversity" -> ((s, dir) => {
       // distinct-1/-2 lexical diversity per language: total vs DISTINCT
@@ -3298,6 +3317,29 @@ object SparkEntry {
         |WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
 
+    // Flesch replay: identical tokenization and regex counts, the same
+    // pinned formula over exact integers.
+    "q_readability" ->
+      """WITH t AS (
+        |  SELECT doc_id, coalesce(text, '') AS txt,
+        |         list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'),
+        |                     x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+        |         GREATEST(CAST(1 AS BIGINT),
+        |           CAST(len(regexp_extract_all(lower(txt), '[.!?]+')) AS BIGINT)) AS n_sentences,
+        |         GREATEST(CAST(len(tk) AS BIGINT),
+        |           CAST(len(regexp_extract_all(lower(txt), '[aeiouy]+')) AS BIGINT)) AS n_syllables
+        |  FROM t)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |       CASE WHEN n_words > 0 THEN
+        |         ROUND(CAST(206.835 AS DOUBLE)
+        |           - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |           - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6) + 0.0
+        |       END AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     // Distinct-n replay: identical tokenization, unigrams via unnest,
     // bigrams via adjacent element concat, one count rollup per (lang, n).
     "q_diversity" ->
@@ -5002,6 +5044,32 @@ object SparkEntry {
         |             GROUP BY e.dst) c ON c.node = nd.node)
         |SELECT node, r AS rank_fp FROM it3
         |ORDER BY rank_fp DESC, node""".stripMargin,
+
+    // k-core peel replay: 3 unrolled rounds of degree-among-survivors +
+    // threshold filter, then one final degree pass — all integers.
+    "q_kcore" -> {
+      val head = """WITH und AS MATERIALIZED (
+        |  SELECT DISTINCT LEAST(o_custkey, 1000000 + l_suppkey) AS u,
+        |                  GREATEST(o_custkey, 1000000 + l_suppkey) AS v
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE o_custkey <> 1000000 + l_suppkey),
+        |a0 AS MATERIALIZED (SELECT u AS node FROM und UNION SELECT v FROM und)""".stripMargin
+      def deg(name: String, alive: String) =
+        s"""$name AS MATERIALIZED (
+           |  SELECT node, COUNT(1) AS degree FROM (
+           |    SELECT e.u AS node FROM und e
+           |    WHERE e.u IN (SELECT node FROM $alive) AND e.v IN (SELECT node FROM $alive)
+           |    UNION ALL
+           |    SELECT e.v AS node FROM und e
+           |    WHERE e.u IN (SELECT node FROM $alive) AND e.v IN (SELECT node FROM $alive)) t
+           |  GROUP BY node)""".stripMargin
+      def peel(i: Int) =
+        deg(s"d$i", s"a${i - 1}") + ",\n" +
+          s"a$i AS MATERIALIZED (SELECT node FROM d$i WHERE degree >= 25)"
+      head + ",\n" + (1 to 3).map(peel).mkString(",\n") + ",\n" +
+        deg("dfin", "a3") +
+        "\nSELECT node, degree FROM dfin ORDER BY node"
+    },
 
     // Synchronous label-propagation replay: 3 unrolled iterations, each
     // a (node, label) vote count (neighbor labels + the node's own) and

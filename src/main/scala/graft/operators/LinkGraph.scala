@@ -233,6 +233,57 @@ object LinkGraph {
     * [[Dedup.connectedComponents]].
     *
     * Output: (node, label) — nodes sharing a label are one community. */
+  /** Bounded k-core peeling (Seidman 1983): repeatedly remove nodes
+    * with degree < k; what survives `rounds` peels approximates the
+    * k-core — the dense sub-graph signal (a link farm's mutual-link
+    * cluster survives high-k peeling; organic long-tail sites do not),
+    * complementing [[triangleCounts]]' local density with a global
+    * one. Exact k-core iterates to a fixpoint; a FIXED round budget
+    * keeps the operator's cost and its SQL replay bounded — and peeling
+    * converges geometrically on real graphs, so a handful of rounds is
+    * the production setting anyway. The oracle unrolls the same rounds
+    * exactly (all-integer degrees, no ordering sensitivity).
+    *
+    * Per round: one degree aggregate over the surviving edge set + one
+    * semi-join filter — edges partitioned once, survivors
+    * localCheckpointed, predecessors freed ([[pageRank]]'s lineage
+    * contract). Output: (node, degree) of the survivors, degree
+    * recomputed WITHIN the surviving sub-graph. */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, rounds: Int = 5): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1 and rounds >= 1, got k=$k rounds=$rounds")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") < col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    def degreesAmong(alive: DataFrame): DataFrame = {
+      val e = und
+        .join(alive.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(alive.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+      e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    }
+    var alive = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node"))).distinct()
+      .localCheckpoint(true)
+    var aliveRdd = Dedup.checkpointedRdd(alive)
+    (1 to rounds).foreach { _ =>
+      val next = degreesAmong(alive).filter(col("degree") >= k)
+        .select(col("node")).localCheckpoint(true)
+      val nextRdd = Dedup.checkpointedRdd(next)
+      aliveRdd.foreach(_.unpersist(false))
+      alive = next; aliveRdd = nextRdd
+    }
+    // materialize the result BEFORE freeing the edge/survivor blocks —
+    // a locally-checkpointed RDD cannot recompute once unpersisted
+    val out = degreesAmong(alive).localCheckpoint(true)
+    Dedup.checkpointedRdd(und).foreach(_.unpersist(false))
+    aliveRdd.foreach(_.unpersist(false))
+    out
+  }
+
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iterations: Int = 3): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")

@@ -364,6 +364,36 @@ object Profile {
     * map-side, so hot grams (exactly the boilerplate this detects)
     * never concentrate an exchange; the per-(group, n) rollup is
     * group-cardinality-sized. Nothing is collected; no windows. */
+  /** Flesch reading-ease per document (Flesch 1948) — the classic
+    * readability gate a curation pipeline runs next to Gopher quality
+    * heuristics: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words). Higher = easier; English prose sits
+    * ~30–70, boilerplate/code/gibberish falls far outside.
+    *
+    * Counting is deliberately regex-replayable rather than
+    * dictionary-perfect (the standard large-corpus trade): sentences =
+    * `[.!?]+` runs (min 1), syllables = `[aeiouy]+` vowel groups
+    * clamped to ≥ 1 per word. One stateless codegen'd scan — counts
+    * are exact integers, the score is one pinned double expression
+    * rounded at 6 decimals (`+ 0.0` folds −0.0). Empty documents keep
+    * a NULL score. */
+  def readability(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val low = lower(txt)
+    val toks = filter(split(graft.functions.TextFunctions.normalizeForFingerprint(txt), " "),
+      t => length(t) > 0)
+    val w = size(toks).cast("long")
+    val s = greatest(lit(1L), regexp_count(low, lit("[.!?]+")).cast("long"))
+    val syl = greatest(w, regexp_count(low, lit("[aeiouy]+")).cast("long"))
+    df.select(col(idCol), w.as("n_words"), s.as("n_sentences"), syl.as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0,
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")),
+            6) + 0.0))
+  }
+
   def ngramDiversity(df: DataFrame, textCol: String, groupCol: String,
                      maxN: Int = 2): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")

@@ -228,6 +228,51 @@ class LinkGraphSpec extends SparkSpec {
     assert(out == lpaRef(es, 4))
   }
 
+  /** Local replay of bounded peeling. */
+  private def kcoreRef(edges: Seq[(Long, Long)], k: Int,
+                       rounds: Int): Map[Long, Long] = {
+    val und = edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    var alive = und.flatMap(e => Set(e._1, e._2))
+    def degrees: Map[Long, Long] = {
+      val live = und.filter(e => alive(e._1) && alive(e._2))
+      (live.toSeq.map(_._1) ++ live.toSeq.map(_._2))
+        .groupBy(identity).map { case (n, o) => n -> o.size.toLong }
+    }
+    (1 to rounds).foreach { _ =>
+      alive = degrees.filter(_._2 >= k).keySet
+    }
+    degrees
+  }
+
+  test("kCorePeel: a planted clique survives peeling that removes the star") {
+    // 5-clique (degree 4 inside) + a star center linked to 6 leaves:
+    // at k=3 the leaves (deg 1) peel round 1, the center (deg 0 after)
+    // peels round 2, the clique is untouched
+    val clique = for {
+      a <- 1L to 5L; b <- 1L to 5L if a < b
+    } yield (a, b)
+    val star = (10L to 15L).map(l => (100L, l))
+    val es = clique ++ star
+    val out = LinkGraph.kCorePeel(
+        df(edgeSchema, es.map(e => Row(e._1, e._2))), "src", "dst", k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == kcoreRef(es, 3, 3), s"got $out")
+    assert(out.keySet == (1L to 5L).toSet)
+    assert(out.values.forall(_ == 4L))
+  }
+
+  test("kCorePeel: matches the local reference on a random graph") {
+    val rnd = new scala.util.Random(29)
+    val es = (0 until 200).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    val out = LinkGraph.kCorePeel(
+        df(edgeSchema, es.map(e => Row(e._1, e._2))), "src", "dst", k = 4, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == kcoreRef(es, 4, 4))
+    intercept[IllegalArgumentException](LinkGraph.kCorePeel(
+      df(edgeSchema, Nil), "src", "dst", k = 0))
+  }
+
   test("labelPropagation: duplicate and reversed edge rows don't double-vote") {
     val es = Seq[(Long, Long)]((1, 2), (2, 1), (1, 2), (2, 3))
     val out = LinkGraph.labelPropagation(

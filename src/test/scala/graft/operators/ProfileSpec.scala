@@ -268,6 +268,25 @@ class ProfileSpec extends SparkSpec {
     assert(!out.exists(_._1._1 == "fr"), "empty text contributes no grams")
   }
 
+  private val readSchema = StructType(Seq(
+    StructField("id", LongType), StructField("text", StringType)))
+
+  test("readability: hand-counted Flesch components and pinned score") {
+    val d = df(readSchema, Seq(
+      Row(1L, "The cat sat. The dog ran!"), // 6 words, 2 sentences, 6 vowel groups
+      Row(2L, ""),                          // empty -> null score
+      Row(3L, "zzz zzz")))                  // no vowels -> syllables clamp to words
+    val out = Profile.readability(d, "text", "id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 6L && r1.getLong(2) == 2L && r1.getLong(3) == 6L)
+    val expected = BigDecimal(206.835 - 1.015 * 3.0 - 84.6 * 1.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1.getDouble(4) == expected)
+    assert(out(2L).getLong(1) == 0L && out(2L).isNullAt(4))
+    assert(out(3L).getLong(3) == 2L, "vowel-free words clamp to one syllable each")
+  }
+
   test("ngramDiversity: boilerplate slice scores far below organic text") {
     val spam = (0 until 50).map(i => Row("spam", "click here to win now"))
     val organic = (0 until 50).map(i =>

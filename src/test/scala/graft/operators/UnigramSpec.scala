@@ -102,6 +102,30 @@ class UnigramSpec extends SparkSpec {
       s"vocab failed to compress: $pieceTok pieces vs $charTok chars")
   }
 
+  test("viterbi: optimal against brute-force enumeration on random short words") {
+    val rnd = new scala.util.Random(53)
+    val alphabet = "abc"
+    def allSegs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(4, w.length)).flatMap(l =>
+        allSegs(w.drop(l)).map(w.take(l) +: _))
+    (0 until 60).foreach { _ =>
+      val w = (0 until (rnd.nextInt(6) + 1)).map(_ => alphabet(rnd.nextInt(3))).mkString
+      // random vocab over some substrings + all chars
+      val pieces = (w.sliding(2).toSeq ++ w.sliding(3).toSeq)
+        .filter(_ => rnd.nextBoolean()).distinct
+      val scores = (alphabet.map(_.toString) ++ pieces)
+        .map(p => p -> (-(rnd.nextInt(50) + 1).toLong)).toMap
+      val got = Unigram.viterbi(w, scores, 4)
+      val best = allSegs(w)
+        .filter(_.forall(scores.contains))
+        .map(seg => (seg.map(scores).sum, seg))
+      val gotScore = got.map(scores).sum
+      assert(gotScore == best.map(_._1).max,
+        s"word '$w': viterbi $got ($gotScore) vs brute ${best.maxBy(_._1)}")
+    }
+  }
+
   test("train: guards reject bad hyperparameters") {
     val d = df(docSchema, fixture)
     intercept[IllegalArgumentException](
