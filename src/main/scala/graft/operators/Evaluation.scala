@@ -406,6 +406,40 @@ object Evaluation {
     }
   }
 
+  /** The calibration artifact behind [[conformalFlag]], as a 1-row
+    * persistable table (n, rank, threshold) — fit offline on last
+    * window's scores, serve every streaming tick
+    * ([[graft.streaming.IncrementalStream.conformalStream]]). A rank
+    * beyond n (α too small for the calibration size) persists a NULL
+    * threshold = everything conforms, the same convention as
+    * [[conformalFlag]]. */
+  def conformalThresholdTable(calib: DataFrame, scoreCol: String,
+                              alphaNum: Long = 5L,
+                              alphaDen: Long = 100L): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum < alphaDen,
+      s"need 0 < alpha = $alphaNum/$alphaDen < 1")
+    val spark = calib.sparkSession
+    val s = calib.select(col(scoreCol).cast("double").as("_s"))
+      .filter(col("_s").isNotNull)
+    val n = s.count()
+    val k = ((n + 1L) * (alphaDen - alphaNum) + alphaDen - 1L) / alphaDen
+    val thr: Option[Double] =
+      if (n == 0L || k > n) None
+      else {
+        require(k <= Int.MaxValue.toLong,
+          s"conformal rank lookup caps at ${Int.MaxValue} calibration rows, got rank $k")
+        Some(s.orderBy(col("_s")).limit(k.toInt)
+          .agg(max(col("_s"))).head().getDouble(0))
+      }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(n, k, thr.map(Double.box).orNull)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("threshold", org.apache.spark.sql.types.DoubleType))))
+  }
+
   /** Isotonic regression calibration by Pool-Adjacent-Violators
     * (Barlow et al. 1972; the sklearn `isotonic` / reward-model
     * calibration standard): learn the best monotone map from raw model

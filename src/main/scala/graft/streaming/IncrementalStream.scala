@@ -385,6 +385,50 @@ object IncrementalStream {
     q
   }
 
+  /** Streaming split-conformal drift gate: flag each arriving row
+    * against a PERSISTED conformal threshold
+    * ([[graft.operators.Evaluation.conformalThresholdTable]] — fit
+    * offline on the last calibration window, refreshed on whatever
+    * cadence the pipeline re-calibrates) and upsert the flagged rows
+    * into `table`. With `keepConforming = false` only the
+    * NON-conforming rows land — the alert stream with a calibrated
+    * ≤ α false-positive rate. A NULL persisted threshold (α too small
+    * for the calibration size) conforms everything, the batch
+    * operator's convention. The threshold table is re-read per batch
+    * (1 row — so recalibration takes effect on the next tick without
+    * restarting the stream). */
+  def conformalStream(src: DataFrame, dst: graft.sources.Connector,
+                      table: String, thresholdTable: String,
+                      scoreCol: String, idCol: String, checkpoint: String,
+                      keepConforming: Boolean = true): StreamingQuery = {
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val tr = dst.read(thresholdTable).select(col("threshold")).limit(2).collect()
+          require(tr.length == 1,
+            s"threshold table '$thresholdTable' must hold exactly one row, got ${tr.length}")
+          val flagged =
+            if (tr(0).isNullAt(0))
+              batch.withColumn("threshold", lit(null).cast("double"))
+                .withColumn("conforming", lit(true))
+            else {
+              val t = tr(0).getDouble(0)
+              batch.withColumn("threshold", lit(t))
+                .withColumn("conforming", col(scoreCol).cast("double") <= lit(t))
+            }
+          val kept = if (keepConforming) flagged
+            else flagged.filter(!col("conforming"))
+          if (!kept.isEmpty) dst.upsert(kept, table, idCol)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming LM quality gate: score arriving documents against a
     * PERSISTED Kneser–Ney trigram model ([[graft.operators.LanguageModel.saveKn]]
     * — train offline once, serve every tick) and upsert

@@ -190,6 +190,40 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(dst.read("scored").count() == 2)
   }
 
+  test("conformalStream flags arrivals against the persisted threshold; recalibration applies next tick") {
+    val srcDir = tmpDir("graft_conf_src_")
+    val ckpt = tmpDir("graft_conf_ck_")
+    val dst = new graft.sources.ParquetConnector(spark, tmpDir("graft_conf_dst_"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("score", DoubleType)))
+    // calibrate at alpha=10% on 1..10 -> rank ceil(11*90/100)=10 -> thr 10.0
+    dst.write(graft.operators.Evaluation.conformalThresholdTable(
+      df(schema, (1 to 10).map(i => Row(i.toLong, i.toDouble))), "score", 10, 100),
+      "conf_thr")
+    def run(keep: Boolean): Unit = IncrementalStream.conformalStream(
+      IncrementalStream.readStream(spark, srcDir, schema), dst, "flagged",
+      "conf_thr", "score", "id", ckpt, keepConforming = keep)
+    df(schema, Seq(Row(1L, 9.5), Row(2L, 10.0), Row(3L, 10.5)))
+      .write.mode("append").parquet(srcDir)
+    run(keep = true)
+    val out = dst.read("flagged").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> false), out.toString)
+    // RECALIBRATE to a tighter window (1..5 at 10% -> rank 6 > 5 -> null
+    // threshold -> everything conforms) — next tick picks it up unrestarted
+    dst.write(graft.operators.Evaluation.conformalThresholdTable(
+      df(schema, (1 to 5).map(i => Row(i.toLong, i.toDouble))), "score", 10, 100),
+      "conf_thr")
+    df(schema, Seq(Row(4L, 99.0))).write.mode("append").parquet(srcDir)
+    run(keep = true)
+    val out2 = dst.read("flagged").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out2(4L), "null threshold must conform everything")
+    assert(out2.size == 4)
+    run(keep = true) // replay: no new input, no change
+    assert(dst.read("flagged").count() == 4)
+  }
+
   test("knScoreStream scores batches against the persisted model; NLL gate drops unscored docs") {
     val srcDir = tmpDir("graft_kn_src_")
     val ckpt = tmpDir("graft_kn_ck_")
