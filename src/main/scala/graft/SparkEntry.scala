@@ -420,6 +420,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_wordpiece" -> ((s, dir) => {
+      // WordPiece greedy longest-match segmentation against a literal
+      // vocabulary (the BERT inference algorithm): continuation pieces
+      // carry ##, an uncoverable word becomes [UNK] whole — fully
+      // deterministic, so golden rows pin every decision
+      import s.implicits._
+      val probe = Seq((1L, "low lower lowest"), (2L, "newest widest unknown"))
+        .toDF("doc_id", "text")
+      operators.Wordpiece.segmentCorpus(probe, "text", "doc_id",
+          Seq("low", "##er", "##est", "new", "wide", "##st"))
+        .select(col("doc_id"), col("pos"), col("word"),
+          concat_ws("|", col("syms")).as("pieces"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     "q_unigram_train" -> ((s, dir) => {
       // unigram-LM (SentencePiece) tokenizer training on the same
       // pinned Sennrich fixture as q_bpe_train — the hard-EM chain is
@@ -4365,6 +4380,17 @@ object SparkEntry {
     // pattern): the hard-EM Viterbi/prune chain is a data-dependent
     // multi-round loop, so the oracle pins its exact output —
     // vocabulary, fixed-point scores, and every segmentation decision.
+    // WordPiece golden rows: every greedy decision pinned.
+    "q_wordpiece" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 0, 'low', 'low'),
+        |  (1, 1, 'lower', 'low|##er'),
+        |  (1, 2, 'lowest', 'low|##est'),
+        |  (2, 0, 'newest', 'new|##est'),
+        |  (2, 1, 'widest', 'wide|##st'),
+        |  (2, 2, 'unknown', '[UNK]')
+        |) AS t(doc_id, pos, word, pieces) ORDER BY doc_id, pos""".stripMargin,
+
     "q_unigram_train" ->
       """SELECT * FROM (VALUES
         |  ('d', CAST(-340119739 AS BIGINT)), ('e', -340119739),

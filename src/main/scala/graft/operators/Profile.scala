@@ -380,9 +380,13 @@ object Profile {
   def readability(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val txt = coalesce(col(textCol), lit(""))
     val low = lower(txt)
-    val toks = filter(split(graft.functions.TextFunctions.normalizeForFingerprint(txt), " "),
-      t => length(t) > 0)
-    val w = size(toks).cast("long")
+    // word count WITHOUT a higher-order function (a single HOF lambda
+    // drops the whole projection out of whole-stage codegen): after
+    // normalizeForFingerprint every token is non-empty, so the split
+    // size IS the count — except the empty string, guarded explicitly
+    val norm = graft.functions.TextFunctions.normalizeForFingerprint(txt)
+    val w = when(length(norm) === 0, lit(0L))
+      .otherwise(size(split(norm, " ")).cast("long"))
     val s = greatest(lit(1L), regexp_count(low, lit("[.!?]+")).cast("long"))
     val syl = greatest(w, regexp_count(low, lit("[aeiouy]+")).cast("long"))
     df.select(col(idCol), w.as("n_words"), s.as("n_sentences"), syl.as("n_syllables"))
