@@ -195,7 +195,10 @@ object Bench {
     // r12 tenth continuation, fourth wave — bounded k-core peeling
     // (degree aggregate + semi-join filter per round) and Flesch
     // readability (one stateless codegen'd scan)
-    "q_kcore", "q_readability")
+    "q_kcore", "q_readability",
+    // r12 tenth continuation, fifth wave — T5 span-corruption pairs
+    // (one doc-partitioned window pass + doc-bounded ordered rebuild)
+    "q_span_corrupt")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

@@ -1184,6 +1184,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_span_corrupt" -> ((s, dir) =>
+      // T5 denoising pairs: seeded-LCG Bernoulli token masks, masked
+      // runs collapse to numbered sentinels, (corrupted, target)
+      // rebuilt per document — every decision oracle-replayable
+      operators.Curation.spanCorrupt(T(s, dir, "documents"), "text", "doc_id",
+          ratioNum = 15, ratioDen = 100, seed = 42)
+        .orderBy(col("doc_id"))),
+
     "q_readability" -> ((s, dir) =>
       // Flesch reading-ease per document: regex-replayable word /
       // sentence / vowel-group counts, one pinned double at the end
@@ -3331,6 +3339,43 @@ object SparkEntry {
         |  FROM s)
         |WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
+
+    // Span-corruption replay: same LCG mask, same lag-based run starts,
+    // same running-sum sentinel numbers, string_agg rebuild (NULL
+    // pieces skipped = concat_ws over the empty array, coalesced).
+    "q_span_corrupt" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'),
+        |                     x -> len(x) > 0) AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS w
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM base)),
+        |m AS (
+        |  SELECT doc_id, pos, w,
+        |         ((doc_id * 1103515245 + pos * 12345 + 42) % 2147483648) % 100 < 15 AS m
+        |  FROM toks),
+        |r AS (
+        |  SELECT doc_id, pos, w, m,
+        |         m AND NOT coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS st
+        |  FROM m),
+        |s AS (
+        |  SELECT doc_id, pos, w, m, st,
+        |         SUM(CASE WHEN st THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS k
+        |  FROM r)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT m THEN w
+        |                           WHEN st THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+        |                      END, ' ' ORDER BY pos), '') AS corrupted,
+        |  coalesce(string_agg(CASE WHEN m AND st
+        |                             THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || w
+        |                           WHEN m THEN w
+        |                      END, ' ' ORDER BY pos), '') AS target,
+        |  COUNT(1) AS n_tokens,
+        |  CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Flesch replay: identical tokenization and regex counts, the same
     // pinned formula over exact integers.

@@ -1328,4 +1328,76 @@ object Curation {
         ((lit(1.0) - lit(smoothing)) * w +
           lit(smoothing) / col("_k").cast("double")).as("weight_smoothed"))
   }
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4) — the
+    * denoising-objective data transform: mask a fraction of each
+    * document's tokens, collapse each masked RUN into one numbered
+    * sentinel, and emit the (corrupted input, denoising target) pair
+    *
+    *   input:  "the <extra_id_0> sat on <extra_id_1> mat"
+    *   target: "<extra_id_0> cat <extra_id_1> the"
+    *
+    * Masking is per-token Bernoulli at the exact rational
+    * `ratioNum/ratioDen`, drawn from the seeded LCG
+    * `((id·1103515245 + pos·12345 + seed) mod 2³¹) mod ratioDen` —
+    * the replayable-sampling contract every seeded operator here
+    * shares: same inputs ⇒ same corruption in ANY engine, so the
+    * oracle replays every mask decision, run boundary, and sentinel
+    * number. (Bernoulli gives geometric run lengths — the
+    * span-flavored variant of BERT masking; T5's mean-3 spans are one
+    * `meanSpan` parameter away but need correlated draws, which would
+    * complicate the replay for no test power.)
+    *
+    * Shape: one tokenize + posexplode, ONE document-partitioned window
+    * pass that computes mask draws, run ids (pos − run_ordinal), and
+    * sentinel numbers, then a per-document ordered rebuild
+    * (collect_list bounded by document length — chunk upstream, the
+    * [[chunkDocuments]] contract). Documents with no masked token keep
+    * an empty target; ids must be integral ([[requireIntegralId]]).
+    *
+    * Output: (idCol, corrupted, target, n_tokens, n_masked). */
+  def spanCorrupt(df: DataFrame, textCol: String, idCol: String,
+                  ratioNum: Long = 15L, ratioDen: Long = 100L,
+                  seed: Long = 0L): DataFrame = {
+    require(ratioDen > 0 && ratioNum >= 0 && ratioNum <= ratioDen,
+      s"need 0 <= ratio = $ratioNum/$ratioDen <= 1")
+    requireIntegralId(df, idCol)
+    val toks = df.select(col(idCol).cast("long").as("_id"),
+        posexplode(split(graft.functions.TextFunctions.normalizeForFingerprint(
+          coalesce(col(textCol), lit(""))), " ")).as(Seq("_pos", "_w")))
+      .filter(length(col("_w")) > 0)
+    val draw = pmod(col("_id") * lit(1103515245L) + col("_pos") * lit(12345L) + lit(seed),
+      lit(2147483648L)) % lit(ratioDen)
+    val marked = toks.withColumn("_m", draw < lit(ratioNum))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_pos"))
+    // a masked token starts a run iff the previous token wasn't masked;
+    // the running count of run-starts IS the sentinel number (1-based)
+    val runs = marked
+      .withColumn("_start", col("_m") &&
+        !coalesce(lag(col("_m"), 1).over(wDoc), lit(false)))
+      .withColumn("_sent",
+        sum(when(col("_start"), 1L).otherwise(0L)).over(wDoc))
+    val tok = struct(col("_pos").as("p"), col("_w").as("w"), col("_m").as("m"),
+      col("_start").as("st"), (col("_sent") - 1L).as("k"))
+    def sentinel(x: Column): Column =
+      concat(lit("<extra_id_"), x.getField("k").cast("string"), lit(">"))
+    val empty = array().cast("array<string>")
+    runs.groupBy(col("_id")).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("_m"), 1L).otherwise(0L)).as("n_masked"),
+        array_sort(collect_list(tok)).as("_ts"))
+      .select(col("_id").as(idCol), col("n_tokens"), col("n_masked"),
+        concat_ws(" ", flatten(transform(col("_ts"), x =>
+          when(!x.getField("m"), array(x.getField("w")))
+            .when(x.getField("st"), array(sentinel(x)))
+            .otherwise(empty)))).as("corrupted"),
+        concat_ws(" ", flatten(transform(col("_ts"), x =>
+          when(x.getField("m") && x.getField("st"),
+              array(sentinel(x), x.getField("w")))
+            .when(x.getField("m"), array(x.getField("w")))
+            .otherwise(empty)))).as("target"))
+      .select(col(idCol), col("corrupted"), col("target"),
+        col("n_tokens"), col("n_masked"))
+  }
 }

@@ -847,4 +847,63 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Curation.domainSoftmaxWeights(scored, "dom", "avg_nll", "n_bigrams", eta = 0.0))
   }
+
+  private val scSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  /** Re-interleave (corrupted, target) back into the original text:
+    * each sentinel in the corrupted stream substitutes its span from
+    * the target stream — the denoising-pair invariant. */
+  private def reconstruct(corrupted: String, target: String): String = {
+    val sent = "<extra_id_\\d+>".r
+    val spans: Map[String, Seq[String]] = {
+      val parts = sent.findAllIn(target).toList
+      val texts = sent.split(target).toList.map(_.trim)
+      // texts.head is the (empty) prefix before the first sentinel
+      parts.zip(texts.drop(1).padTo(parts.size, ""))
+        .map { case (s, t) => s -> t.split(" ").toSeq.filter(_.nonEmpty) }.toMap
+    }
+    corrupted.split(" ").filter(_.nonEmpty).flatMap { tok =>
+      if (tok.matches("<extra_id_\\d+>")) spans.getOrElse(tok, Seq.empty)
+      else Seq(tok)
+    }.mkString(" ")
+  }
+
+  test("spanCorrupt: corrupted + target reconstruct every document exactly") {
+    val docs = df(scSchema, Seq(
+      Row(1L, "The  quick Brown fox jumps over the lazy dog again and again"),
+      Row(2L, "one two three four five six seven eight nine ten"),
+      Row(3L, "solitary"),
+      Row(4L, null)))
+    val out = Curation.spanCorrupt(docs, "text", "doc_id",
+        ratioNum = 40, ratioDen = 100, seed = 7)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(4L), "null text yields no row")
+    Seq(1L, 2L, 3L).foreach { id =>
+      val norm = docs.filter(col("doc_id") === id)
+        .select(graft.functions.TextFunctions.normalizeForFingerprint(col("text")))
+        .head().getString(0)
+      val r = out(id)
+      assert(reconstruct(r.getString(1), r.getString(2)) == norm,
+        s"doc $id: corrupted='${r.getString(1)}' target='${r.getString(2)}'")
+      assert(r.getLong(3) == norm.split(" ").length)
+    }
+    // sentinels are numbered 0..k-1 in order of appearance
+    val c1 = out(1L).getString(1)
+    val ids = "<extra_id_(\\d+)>".r.findAllMatchIn(c1).map(_.group(1).toInt).toSeq
+    assert(ids == ids.indices.toSeq, s"sentinels out of order: $c1")
+  }
+
+  test("spanCorrupt: ratio 0 is the identity; ratio 1 masks everything into one span") {
+    val docs = df(scSchema, Seq(Row(1L, "a b c d")))
+    val zero = Curation.spanCorrupt(docs, "text", "doc_id", 0, 100, 9).head()
+    assert(zero.getString(1) == "a b c d" && zero.getString(2) == "" &&
+      zero.getLong(4) == 0L)
+    val full = Curation.spanCorrupt(docs, "text", "doc_id", 100, 100, 9).head()
+    assert(full.getString(1) == "<extra_id_0>")
+    assert(full.getString(2) == "<extra_id_0> a b c d")
+    assert(full.getLong(4) == 4L)
+    intercept[IllegalArgumentException](
+      Curation.spanCorrupt(docs, "text", "doc_id", 2, 1, 9))
+  }
 }
