@@ -198,7 +198,8 @@ object Bench {
     "q_kcore", "q_readability",
     // r12 tenth continuation, fifth wave — T5 span-corruption pairs
     // (one doc-partitioned window pass + doc-bounded ordered rebuild)
-    "q_span_corrupt")
+    // and SFT conversation rendering (conversation-partitioned windows)
+    "q_span_corrupt", "q_sft_render")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

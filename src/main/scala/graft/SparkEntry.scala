@@ -1184,6 +1184,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_sft_render" -> ((s, dir) => {
+      // SFT assembly: documents grouped into 4-turn conversations with
+      // alternating roles, rendered <|role|>content<|end|> with exact
+      // per-turn [start, end) offsets — the loss-mask boundaries
+      val turns = T(s, dir, "documents").select(
+        expr("doc_id div 4").as("conv_id"),
+        pmod(col("doc_id"), lit(4L)).as("turn"),
+        when(pmod(col("doc_id"), lit(2L)) === 0, "user")
+          .otherwise("assistant").as("role"),
+        substring(col("text"), 1, 80).as("content"))
+      operators.Sft.renderConversations(turns, "conv_id", "turn", "role", "content")
+        .orderBy(col("conv_id"), col("turn"))
+    }),
+
     "q_span_corrupt" -> ((s, dir) =>
       // T5 denoising pairs: seeded-LCG Bernoulli token masks, masked
       // runs collapse to numbered sentinels, (corrupted, target)
@@ -3339,6 +3353,31 @@ object SparkEntry {
         |  FROM s)
         |WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
+
+    // SFT-render replay: same template concat, offsets as ordered
+    // running length sums, full text via an ordered window string_agg.
+    "q_sft_render" ->
+      """WITH base AS (
+        |  SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn,
+        |         CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |         substr(text, 1, 80) AS content
+        |  FROM documents),
+        |r AS (
+        |  SELECT conv_id, turn, role,
+        |         '<|' || role || '|>' || coalesce(content, '') || '<|end|>' AS rr
+        |  FROM base),
+        |o AS (
+        |  SELECT conv_id, turn, role,
+        |         CAST(length(rr) AS BIGINT) AS len,
+        |         SUM(CAST(length(rr) AS BIGINT))
+        |           OVER (PARTITION BY conv_id ORDER BY turn) AS e,
+        |         string_agg(rr, '')
+        |           OVER (PARTITION BY conv_id ORDER BY turn
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS text
+        |  FROM r)
+        |SELECT conv_id, turn, role, e - len AS start, e AS "end",
+        |       role = 'assistant' AS loss, text
+        |FROM o ORDER BY conv_id, turn""".stripMargin,
 
     // Span-corruption replay: same LCG mask, same lag-based run starts,
     // same running-sum sentinel numbers, string_agg rebuild (NULL
