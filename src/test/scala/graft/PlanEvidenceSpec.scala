@@ -679,6 +679,33 @@ class PlanEvidenceSpec extends SparkSpec {
     assert(!plan.contains("Window"), "diversity is aggregation, never a window:\n" + plan)
   }
 
+  test("spanCorrupt: every window partitions by document — no corpus-wide frame") {
+    val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+    val out = graft.operators.Curation.spanCorrupt(docs, "text", "doc_id", 15, 100, 42)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty &&
+      windowLines.forall(l => !l.contains("Window") || l.contains("_id")),
+      "mask runs must stay inside per-document frames:\n" + plan)
+  }
+
+  test("sft render: windows partition by conversation") {
+    val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+      .select(expr("doc_id div 4").as("conv_id"),
+        pmod(col("doc_id"), lit(4L)).as("turn"),
+        when(pmod(col("doc_id"), lit(2L)) === 0, "user").otherwise("assistant").as("role"),
+        substring(col("text"), 1, 40).as("content"))
+    val out = graft.operators.Sft.renderConversations(docs, "conv_id", "turn",
+      "role", "content")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty &&
+      windowLines.forall(l => !l.contains("Window") || l.contains("conv_id")),
+      "offsets must stay inside per-conversation frames:\n" + plan)
+  }
+
   test("ipsEstimate: one partial-aggregated pass — no join, no window, one exchange") {
     val ev = graft.sources.ParquetConnector.readTable(spark, s"$sf/events.parquet")
       .select(col("event_type"),
