@@ -199,7 +199,11 @@ object Bench {
     // r12 tenth continuation, fifth wave — T5 span-corruption pairs
     // (one doc-partitioned window pass + doc-bounded ordered rebuild)
     // and SFT conversation rendering (conversation-partitioned windows)
-    "q_span_corrupt", "q_sft_render")
+    "q_span_corrupt", "q_sft_render",
+    // r12 tenth continuation, sixth wave — per-group Gini concentration
+    // (vocab-sized rank window + one aggregate) and shard-local dynamic
+    // batching (shard-bounded sort cuts + pad-waste aggregate)
+    "q_gini", "q_dyn_batches")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

@@ -1212,6 +1212,29 @@ object SparkEntry {
       operators.Profile.readability(T(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("doc_id"))),
 
+    "q_gini" -> ((s, dir) => {
+      // token-mass concentration per language: exact discrete Gini
+      // over the (lang, word) count table — near-1 slices are
+      // boilerplate, the concentration complement to q_diversity
+      val counts = T(s, dir, "documents")
+        .select(col("lang"), explode(filter(
+          split(TextFunctions.normalizeForFingerprint(coalesce(col("text"), lit(""))), " "),
+          t => length(t) > 0)).as("word"))
+        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
+      operators.Profile.gini(counts, "lang", "word", "cnt")
+        .orderBy(col("lang"))
+    }),
+
+    "q_dyn_batches" -> ((s, dir) =>
+      // trainer dynamic batching: length-sorted cuts of 8 within each
+      // of 4 LCG shards, per-batch pad-waste report — batch membership
+      // a pure replayable function of (id, len, seed)
+      operators.Curation.dynamicBatches(
+          T(s, dir, "documents").select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).as("len")),
+          "doc_id", "len", batchSize = 8, numShards = 4, seed = 11)
+        .orderBy(col("shard"), col("batch"))),
+
     "q_diversity" -> ((s, dir) => {
       // distinct-1/-2 lexical diversity per language: total vs DISTINCT
       // n-gram counts and their ratio — the template-spam detector run
@@ -3438,6 +3461,46 @@ object SparkEntry {
         |           - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6) + 0.0
         |       END AS flesch
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Gini replay: same count table, same (weight, item) rank order,
+    // same integer numerator, one pinned division.
+    "q_gini" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |         unnest(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'),
+        |                            x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |c AS (SELECT lang, w, COUNT(1) AS cnt FROM toks GROUP BY 1, 2),
+        |r AS (SELECT lang, w, cnt,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt, w) AS BIGINT) AS i
+        |      FROM c)
+        |SELECT lang, COUNT(1) AS n_items, CAST(SUM(cnt) AS BIGINT) AS total,
+        |       CASE WHEN SUM(cnt) > 0 THEN
+        |         CAST(SUM(cnt * 2 * i) - (COUNT(1) + 1) * SUM(cnt) AS DOUBLE)
+        |           / CAST(COUNT(1) * SUM(cnt) AS DOUBLE)
+        |       END AS gini
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Dynamic-batching replay: same tokenCount, same LCG shard, same
+    // (len DESC, id) rank cuts, integer padding arithmetic.
+    "q_dyn_batches" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS len
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, len,
+        |         ((doc_id * 1103515245 + 11) % 2147483648) % 4 AS shard
+        |  FROM d WHERE len IS NOT NULL AND len >= 0),
+        |r AS (
+        |  SELECT shard, len,
+        |         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY len DESC, doc_id) AS rn
+        |  FROM s),
+        |b AS (SELECT shard, CAST((rn - 1) // 8 AS BIGINT) AS batch, len FROM r)
+        |SELECT shard, batch, COUNT(1) AS n_seqs, MAX(len) AS max_len,
+        |       CAST(SUM(len) AS BIGINT) AS sum_len,
+        |       COUNT(1) * MAX(len) - CAST(SUM(len) AS BIGINT) AS padding
+        |FROM b GROUP BY 1, 2 ORDER BY shard, batch""".stripMargin,
 
     // Distinct-n replay: identical tokenization, unigrams via unnest,
     // bigrams via adjacent element concat, one count rollup per (lang, n).

@@ -1329,6 +1329,49 @@ object Curation {
           lit(smoothing) / col("_k").cast("double")).as("weight_smoothed"))
   }
 
+  /** Shard-local dynamic batching: group sequences into trainer batches
+    * that minimize pad waste — sort by length DESC within each shard,
+    * cut every `batchSize` rows, pad each batch to its own max. The
+    * per-batch report (n_seqs, max_len, sum_len, padding = n·max − sum)
+    * is the "how much compute goes to pad tokens" readout that decides
+    * between dynamic batching and [[packSequences]]-style packing.
+    *
+    * Sharding uses the seeded replayable LCG
+    * (`(id·1103515245 + seed) mod 2³¹ mod numShards` — the
+    * [[shardShuffle]] key), so batch membership is a pure function of
+    * (id, len, seed): deterministic, partitioning-independent, and
+    * exactly replayable in SQL. Length ties order by id ASC. Windows
+    * partition BY SHARD — pick numShards so a shard's rows fit a task
+    * (the global-sort formulation this replaces cannot scale past one
+    * machine; per-shard batching is also what a data-parallel trainer
+    * actually consumes). Ids must be integral ([[requireIntegralId]]).
+    *
+    * Output: one row per batch — (shard, batch, n_seqs, max_len,
+    * sum_len, padding). */
+  def dynamicBatches(df: DataFrame, idCol: String, lenCol: String,
+                     batchSize: Int, numShards: Int = 64,
+                     seed: Long = 0L): DataFrame = {
+    require(batchSize >= 1 && numShards >= 1,
+      s"need batchSize >= 1 and numShards >= 1, got $batchSize/$numShards")
+    requireIntegralId(df, idCol)
+    val shard = pmod(col(idCol).cast("long") * lit(1103515245L) + lit(seed),
+      lit(2147483648L)) % lit(numShards.toLong)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("_len").desc, col(idCol))
+    df.select(col(idCol), col(lenCol).cast("long").as("_len"))
+      .filter(col("_len").isNotNull && col("_len") >= 0)
+      .withColumn("shard", shard)
+      .withColumn("_rn", row_number().over(w))
+      // Column./ is fractional division — integer `div` for the cut
+      .withColumn("batch", expr(s"CAST((_rn - 1) div $batchSize AS BIGINT)"))
+      .groupBy(col("shard"), col("batch"))
+      .agg(count(lit(1)).as("n_seqs"),
+        max(col("_len")).as("max_len"),
+        sum(col("_len")).as("sum_len"))
+      .withColumn("padding", col("n_seqs") * col("max_len") - col("sum_len"))
+  }
+
   /** T5-style span corruption (Raffel et al. 2020 §3.1.4) — the
     * denoising-objective data transform: mask a fraction of each
     * document's tokens, collapse each masked RUN into one numbered

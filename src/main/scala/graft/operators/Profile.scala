@@ -364,6 +364,39 @@ object Profile {
     * map-side, so hot grams (exactly the boilerplate this detects)
     * never concentrate an exchange; the per-(group, n) rollup is
     * group-cardinality-sized. Nothing is collected; no windows. */
+  /** Per-group Gini coefficient of a weight distribution — the
+    * inequality readout a curation pipeline runs over token counts per
+    * slice: near 0 = uniform usage, near 1 = a handful of tokens (or
+    * domains, or duplicated documents) carry all the mass — the
+    * concentration complement to [[ngramDiversity]]'s distinct ratios
+    * and the Zipf fit.
+    *
+    * Exact discrete formula over the ascending-sorted weights
+    * (i = 1..n): G = Σ w_i·(2i − n − 1) / (n·Σw) — the numerator an
+    * integer sum (rank window ordered (weight, item) for a total
+    * deterministic order), the value one pinned final division.
+    * Windows partition per group and the input is an
+    * (item-cardinality)-sized weight table, never the corpus — feed it
+    * the output of a count aggregate. Groups with a single item or
+    * zero total mass yield G = 0 and NULL respectively. */
+  def gini(df: DataFrame, groupCol: String, itemCol: String,
+           weightCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_w"), col(itemCol))
+    df.select(col(groupCol), col(itemCol), col(weightCol).cast("long").as("_w"))
+      .filter(col("_w").isNotNull && col("_w") >= 0)
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("_w")).as("total"),
+        sum(col("_w") * lit(2L) * col("_i")).as("_a"))
+      .select(col(groupCol), col("n_items"), col("total"),
+        when(col("total") > 0,
+          (col("_a") - (col("n_items") + 1L) * col("total")).cast("double") /
+            (col("n_items") * col("total")).cast("double"))
+          .as("gini"))
+  }
+
   /** Flesch reading-ease per document (Flesch 1948) — the classic
     * readability gate a curation pipeline runs next to Gopher quality
     * heuristics: 206.835 − 1.015·(words/sentences) −

@@ -894,6 +894,51 @@ class CurationSpec extends SparkSpec {
     assert(ids == ids.indices.toSeq, s"sentinels out of order: $c1")
   }
 
+  private val dbSchema = StructType(Seq(
+    StructField("id", LongType), StructField("len", LongType)))
+
+  /** Local replay of the shard/sort/cut/pad bookkeeping. */
+  private def dynRef(rows: Seq[(Long, Long)], b: Int, shards: Int,
+                     seed: Long): Map[(Long, Long), (Long, Long, Long, Long)] =
+    rows.groupBy { case (id, _) =>
+      ((id * 1103515245L + seed) % 2147483648L) % shards
+    }.flatMap { case (sh, rs) =>
+      rs.sortBy { case (id, len) => (-len, id) }.grouped(b).zipWithIndex
+        .map { case (batch, bi) =>
+          val lens = batch.map(_._2)
+          (sh, bi.toLong) -> ((lens.size.toLong, lens.max, lens.sum,
+            lens.size * lens.max - lens.sum))
+        }
+    }
+
+  test("dynamicBatches: equals the local shard/sort/cut replay; pad math exact") {
+    val rnd = new scala.util.Random(67)
+    val rows = (1L to 100L).map(id => (id, rnd.nextInt(512).toLong))
+    val out = Curation.dynamicBatches(
+        df(dbSchema, rows.map { case (i, l) => Row(i, l) }),
+        "id", "len", batchSize = 8, numShards = 4, seed = 11)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out == dynRef(rows, 8, 4, 11))
+    // length-sorted cuts keep padding far below a random assignment's
+    val totalPad = out.values.map(_._4).sum
+    val randomPad = rows.grouped(8).map { g =>
+      val l = g.map(_._2); l.size * l.max - l.sum }.sum
+    assert(totalPad <= randomPad, s"$totalPad vs unsorted $randomPad")
+  }
+
+  test("dynamicBatches: batchSize 1 never pads; guards fire") {
+    val rows = (1L to 10L).map(id => (id, id * 3))
+    val out = Curation.dynamicBatches(
+        df(dbSchema, rows.map { case (i, l) => Row(i, l) }),
+        "id", "len", batchSize = 1, numShards = 2, seed = 0)
+      .collect()
+    assert(out.forall(_.getLong(5) == 0L))
+    assert(out.map(_.getLong(2)).sum == 10L)
+    intercept[IllegalArgumentException](Curation.dynamicBatches(
+      df(dbSchema, Nil), "id", "len", batchSize = 0))
+  }
+
   test("spanCorrupt: ratio 0 is the identity; ratio 1 masks everything into one span") {
     val docs = df(scSchema, Seq(Row(1L, "a b c d")))
     val zero = Curation.spanCorrupt(docs, "text", "doc_id", 0, 100, 9).head()

@@ -287,6 +287,36 @@ class ProfileSpec extends SparkSpec {
     assert(out(3L).getLong(3) == 2L, "vowel-free words clamp to one syllable each")
   }
 
+  private val giniSchema = StructType(Seq(
+    StructField("g", StringType), StructField("item", StringType),
+    StructField("w", LongType)))
+
+  test("gini: uniform = 0, single-holder = (n-1)/n, zero mass = NULL") {
+    val rows = Seq(
+      Row("uni", "a", 5L), Row("uni", "b", 5L), Row("uni", "c", 5L), Row("uni", "d", 5L),
+      Row("one", "a", 0L), Row("one", "b", 0L), Row("one", "c", 0L), Row("one", "d", 10L),
+      Row("solo", "a", 7L),
+      Row("zero", "a", 0L), Row("zero", "b", 0L))
+    val out = Profile.gini(df(giniSchema, rows), "g", "item", "w")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("uni").getDouble(3) == 0.0)
+    assert(out("one").getDouble(3) == 0.75, "single holder of n=4 -> 3/4")
+    assert(out("solo").getDouble(3) == 0.0)
+    assert(out("zero").isNullAt(3))
+    assert(out("one").getLong(1) == 4L && out("one").getLong(2) == 10L)
+  }
+
+  test("gini: matches the exact discrete formula on random weights") {
+    val rnd = new scala.util.Random(61)
+    val rows = (0 until 50).map(i => Row("g", s"i$i", rnd.nextInt(100).toLong))
+    val out = Profile.gini(df(giniSchema, rows), "g", "item", "w").head()
+    val ws = rows.map(_.getLong(2)).sorted
+    val n = ws.size
+    val s = ws.sum
+    val num = ws.zipWithIndex.map { case (w, i0) => w * (2L * (i0 + 1) - n - 1) }.sum
+    assert(out.getDouble(3) == num.toDouble / (n.toLong * s).toDouble)
+  }
+
   test("ngramDiversity: boilerplate slice scores far below organic text") {
     val spam = (0 until 50).map(i => Row("spam", "click here to win now"))
     val organic = (0 until 50).map(i =>
