@@ -285,7 +285,26 @@ object LinkGraph {
   }
 
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                       iterations: Int = 3): DataFrame = {
+                       iterations: Int = 3): DataFrame =
+    labelPropagationIter(edges, srcCol, dstCol, iterations, priorLabels = None)
+
+  /** Warm-start continuation of [[labelPropagation]] — run `iterations`
+    * more synchronous rounds from a PREVIOUS run's (node, label) output
+    * instead of self-labels: the daily-refresh path for a slowly
+    * changing link graph. On an UNCHANGED graph,
+    * `labelPropagationFrom(labelPropagation(g, k), m) ==
+    * labelPropagation(g, k + m)` bit-for-bit (spec-pinned, the
+    * [[pageRankFrom]] contract). Nodes NEW to the graph start at their
+    * own id; departed nodes' prior rows are ignored. */
+  def labelPropagationFrom(edges: DataFrame, priorLabels: DataFrame,
+                           srcCol: String, dstCol: String,
+                           iterations: Int = 1): DataFrame =
+    labelPropagationIter(edges, srcCol, dstCol, iterations,
+      priorLabels = Some(priorLabels))
+
+  private def labelPropagationIter(edges: DataFrame, srcCol: String,
+                                   dstCol: String, iterations: Int,
+                                   priorLabels: Option[DataFrame]): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     val und = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
@@ -297,7 +316,13 @@ object LinkGraph {
       .repartition(col("_src")).persist()
     dir.count()
     val nodes = dir.select(col("_src").as("node")).distinct().localCheckpoint(true)
-    var labels = nodes.withColumn("label", col("node")).localCheckpoint(true)
+    val init = priorLabels match {
+      case Some(pr) =>
+        nodes.join(pr.select(col("node"), col("label").as("_pl")), Seq("node"), "left")
+          .select(col("node"), coalesce(col("_pl"), col("node")).as("label"))
+      case None => nodes.withColumn("label", col("node"))
+    }
+    var labels = init.localCheckpoint(true)
     var labelsRdd = Dedup.checkpointedRdd(labels)
     (0 until iterations).foreach { _ =>
       val votes = dir.join(labels.withColumnRenamed("node", "_src"), "_src")

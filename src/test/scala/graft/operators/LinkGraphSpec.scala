@@ -273,6 +273,26 @@ class LinkGraphSpec extends SparkSpec {
       df(edgeSchema, Nil), "src", "dst", k = 0))
   }
 
+  test("labelPropagationFrom: warm continuation == the longer cold run, bit-for-bit") {
+    val rnd = new scala.util.Random(37)
+    val es = (0 until 120).map(_ => (rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+    val edf = df(edgeSchema, es.map(e => Row(e._1, e._2)))
+    val cold5 = LinkGraph.labelPropagation(edf, "src", "dst", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val warm = LinkGraph.labelPropagationFrom(edf,
+        LinkGraph.labelPropagation(edf, "src", "dst", iterations = 3),
+        "src", "dst", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warm == cold5)
+    // a node absent from the prior starts at its own id: priors from a
+    // SUBGRAPH still converge to the full cold run's fixpoint here
+    val partial = LinkGraph.labelPropagation(
+      df(edgeSchema, es.take(60).map(e => Row(e._1, e._2))), "src", "dst", 2)
+    val fromPartial = LinkGraph.labelPropagationFrom(edf, partial, "src", "dst", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromPartial.keySet == cold5.keySet)
+  }
+
   test("labelPropagation: duplicate and reversed edge rows don't double-vote") {
     val es = Seq[(Long, Long)]((1, 2), (2, 1), (1, 2), (2, 3))
     val out = LinkGraph.labelPropagation(
