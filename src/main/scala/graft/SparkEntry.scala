@@ -2399,6 +2399,23 @@ object SparkEntry {
         .orderBy(col("score_lo"))
     }),
 
+    "q_isotonic_apply" -> ((s, dir) => {
+      // the fitted PAV step function applied to fresh scores: clamp
+      // below the first block, extend beyond the last, nulls stay null
+      import s.implicits._
+      val fx = Seq(
+        (0.1, false), (0.1, false), (0.2, true), (0.3, false), (0.3, false),
+        (0.4, true), (0.5, false), (0.6, true), (0.6, true), (0.7, true),
+        (0.8, false), (0.9, true), (0.9, true), (0.95, true))
+        .toDF("score", "label")
+      val blocks = operators.Evaluation.isotonicCalibrate(fx, "score", "label")
+      val probe = Seq((1L, Some(0.05)), (2L, Some(0.25)), (3L, Some(0.45)),
+        (4L, Some(0.6)), (5L, Some(0.93)), (6L, Some(2.0)), (7L, None))
+        .toDF("id", "score")
+      operators.Evaluation.applyCalibration(probe, "score", blocks)
+        .orderBy(col("id"))
+    }),
+
     "q_conformal" -> ((s, dir) => {
       // split-conformal drift gate: the 95% conformal threshold from
       // early-month purchase values (rank = ceil((n+1)*95/100), exact
@@ -6496,6 +6513,19 @@ object SparkEntry {
         |  (0.95, 0.95, 1, 1, 1000000000)
         |) AS t(score_lo, score_hi, n, n_pos, rate_fp)
         |ORDER BY score_lo""".stripMargin,
+
+    // Isotonic-apply golden rows: rates recomputed as exact divisions
+    // so the doubles match the fit bit-for-bit.
+    "q_isotonic_apply" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(0.05 AS DOUBLE), CAST(0 AS BIGINT), CAST(0 AS DOUBLE)),
+        |  (2, 0.25, 333333333, CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE)),
+        |  (3, 0.45, 500000000, 0.5),
+        |  (4, 0.6,  750000000, 0.75),
+        |  (5, 0.93, 1000000000, 1.0),
+        |  (6, 2.0,  1000000000, 1.0),
+        |  (7, NULL, NULL, NULL)
+        |) AS t(id, score, calibrated_fp, calibrated) ORDER BY id""".stripMargin,
 
     // Split-conformal replay: the same integer rank formula, the
     // threshold as the rank-th order statistic via a row_number window

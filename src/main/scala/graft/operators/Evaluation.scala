@@ -440,6 +440,40 @@ object Evaluation {
         org.apache.spark.sql.types.StructField("threshold", org.apache.spark.sql.types.DoubleType))))
   }
 
+  /** Apply an [[isotonicCalibrate]] step function to a score column:
+    * each row gets the rate of the LAST block whose `score_lo` is ≤ its
+    * score (blocks partition the observed score range; scores below
+    * the first block clamp to it, beyond the last extend it — the
+    * standard isotonic extrapolation). The block table is
+    * driver-collected (it is step-count-sized by construction) and the
+    * lookup is a codegen'd literal binary-search-free chained
+    * comparison for small step counts — O(steps) per row, stateless,
+    * no join, no shuffle.
+    *
+    * Output: `df` plus (calibrated_fp, calibrated) — the block's
+    * `rate_fp`/`rate`. Null scores stay null. */
+  def applyCalibration(df: DataFrame, scoreCol: String,
+                       blocks: DataFrame): DataFrame = {
+    val bs = blocks.select(col("score_lo"), col("rate_fp"), col("rate"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(bs.nonEmpty, "empty calibration block table")
+    require(bs.length <= 10000,
+      s"applyCalibration inlines the step function; got ${bs.length} blocks (max 10k)")
+    val s = col(scoreCol).cast("double")
+    // fold from the highest block down: the first lo <= s wins
+    val initFp = lit(bs.head._2)
+    val initRt = lit(bs.head._3)
+    val (fp, rt) = bs.drop(1).foldLeft((initFp, initRt)) {
+      case ((accFp, accRt), (lo, rfp, r)) =>
+        (when(s >= lit(lo), lit(rfp)).otherwise(accFp),
+         when(s >= lit(lo), lit(r)).otherwise(accRt))
+    }
+    df.withColumn("calibrated_fp", when(s.isNotNull, fp))
+      .withColumn("calibrated", when(s.isNotNull, rt))
+  }
+
   /** Isotonic regression calibration by Pool-Adjacent-Violators
     * (Barlow et al. 1972; the sklearn `isotonic` / reward-model
     * calibration standard): learn the best monotone map from raw model

@@ -360,6 +360,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.values.forall(_._3), s"got $out")
   }
 
+  test("bhCorrect: dominated by per-test alpha, dominates Bonferroni (random p)") {
+    val rnd = new scala.util.Random(71)
+    val ps = (1L to 200L).map(k => (k, Double.box(rnd.nextDouble())))
+    val out = bh(ps, 5, 100)
+    val m = ps.size
+    ps.foreach { case (k, p) =>
+      val rejected = out(k)._3
+      if (p <= 0.05 / m) assert(rejected, s"Bonferroni-significant p=$p must reject")
+      if (p > 0.05) assert(!rejected, s"p=$p above alpha can never reject")
+    }
+  }
+
   test("bhCorrect: null p-values drop out of m; guards fire") {
     val out = bh(Seq((1L, Double.box(0.01)), (2L, null),
       (3L, Double.box(0.5))), 10, 100)

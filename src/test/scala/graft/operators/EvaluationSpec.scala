@@ -288,6 +288,26 @@ class EvaluationSpec extends SparkSpec {
     assert(out.map(_._4).sum == pts.count(_._2).toLong)
   }
 
+  test("applyCalibration: step lookup clamps below, extends above, nulls pass") {
+    val pts = Seq((0.2, false), (0.2, true), (0.8, true))
+    val blocks = Evaluation.isotonicCalibrate(
+      df(isoSchema, pts.map { case (s, y) => Row(s, y) }), "s", "y")
+    val probeSchema = StructType(Seq(
+      StructField("id", LongType), StructField("s", DoubleType)))
+    val out = Evaluation.applyCalibration(
+        df(probeSchema, Seq(Row(1L, 0.0), Row(2L, 0.5), Row(3L, 9.9), Row(4L, null))),
+        "s", blocks)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(2) == 500000000L, "below the first block clamps to it")
+    assert(out(2L).getLong(2) == 500000000L)
+    assert(out(3L).getLong(2) == 1000000000L, "beyond the last block extends it")
+    assert(out(4L).isNullAt(2) && out(4L).isNullAt(3))
+    intercept[IllegalArgumentException](
+      Evaluation.applyCalibration(
+        df(probeSchema, Seq(Row(1L, 0.0))), "s",
+        blocks.filter("n < 0")))
+  }
+
   test("isotonicCalibrate: already-monotone inputs pass through unpooled") {
     val pts = Seq((0.1, false), (0.2, false), (0.2, true), (0.3, true))
     val out = Evaluation.isotonicCalibrate(
