@@ -203,7 +203,10 @@ object Bench {
     // r12 tenth continuation, sixth wave — per-group Gini concentration
     // (vocab-sized rank window + one aggregate) and shard-local dynamic
     // batching (shard-bounded sort cuts + pad-waste aggregate)
-    "q_gini", "q_dyn_batches")
+    "q_gini", "q_dyn_batches",
+    // r12 tenth continuation, seventh wave — cluster-aware splitting
+    // (pair graph + CC + stateless root-hash projection)
+    "q_cluster_split")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

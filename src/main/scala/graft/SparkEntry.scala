@@ -909,6 +909,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_cluster_split" -> ((s, dir) => {
+      // leakage-proof splitting: the same Jaccard pair graph as
+      // q_dedup_clusters resolves to cluster roots, and the 8/1/1 split
+      // hashes the ROOT — every near-dup lands with its twins
+      val d = T(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+        Dedup.langLengthBlock(col("lang"), col("n_chars"), width = 100),
+        n = 1, threshold = 0.6)
+      val cc = Dedup.connectedComponents(pairs)
+      operators.Curation.clusterAwareSplit(d, "doc_id", cc)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_keepbest" -> ((s, dir) => {
       // clusterDedup with the QUALITY keep policy over the same
       // SQL-expressible Jaccard pair graph as q_dedup_clusters: per
@@ -3073,6 +3086,38 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(c.c, d.doc_id) AS cluster_id
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
         |ORDER BY doc_id""".stripMargin,
+
+    // Cluster-split replay: the q_dedup_clusters closure, root = the
+    // component (or own id), split = the Knuth bucket walked through
+    // the 8/1/1 bounds.
+    "q_cluster_split" ->
+      """WITH RECURSIVE p0 AS (
+        |  SELECT doc_id,
+        |         lang || '_' || CAST(n_chars // 100 AS VARCHAR) AS block,
+        |         list_distinct(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS sh
+        |  FROM documents),
+        |p AS (
+        |  SELECT p0.* FROM p0
+        |  JOIN (SELECT block FROM p0 GROUP BY block HAVING COUNT(1) <= 10000) ok
+        |    USING (block)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM p a JOIN p b ON a.block = b.block AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |comp AS (SELECT u, LEAST(u, MIN(v)) AS c FROM reach GROUP BY u),
+        |rooted AS (
+        |  SELECT d.doc_id, COALESCE(c.c, d.doc_id) AS root
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.u)
+        |SELECT doc_id, root,
+        |       CASE WHEN (root * 2654435761) % 4294967296 % 10 < 8 THEN 'train'
+        |            WHEN (root * 2654435761) % 4294967296 % 10 < 9 THEN 'dev'
+        |            ELSE 'test' END AS split
+        |FROM rooted ORDER BY doc_id""".stripMargin,
 
     // Keep-best replay: identical pair graph + transitive closure as
     // q_dedup_clusters, then the quality winner per component (max

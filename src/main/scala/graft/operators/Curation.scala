@@ -1329,6 +1329,45 @@ object Curation {
           lit(smoothing) / col("_k").cast("double")).as("weight_smoothed"))
   }
 
+  /** Cluster-aware train/dev/test assignment — the FIX to what
+    * `q_split_leakage` detects: hash-split documents by their near-dup
+    * CLUSTER ROOT instead of their own id, so every member of a
+    * duplicate cluster lands in the SAME split and no eval example has
+    * a training-set near-twin. Feed it
+    * [[Dedup.connectedComponents]]' (id, component) output (or any
+    * cluster table); documents absent from it are singletons rooted at
+    * their own id.
+    *
+    * Assignment is the replayable Knuth-hash bucket
+    * `(root·2654435761 mod 2³²) mod Σweights` walked through the
+    * cumulative split weights — deterministic, partitioning-
+    * independent, and exactly replayable in SQL; adding documents to
+    * an EXISTING cluster can never move the cluster (the root decides).
+    * One co-partitioned left join + a stateless bucket projection.
+    *
+    * Output: `df`'s idCol plus (root, split). */
+  def clusterAwareSplit(df: DataFrame, idCol: String, components: DataFrame,
+                        splits: Seq[(String, Long)] =
+                          Seq(("train", 8L), ("dev", 1L), ("test", 1L))): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"splits need positive weights, got $splits")
+    requireIntegralId(df, idCol)
+    val total = splits.map(_._2).sum
+    val roots = df.select(col(idCol))
+      .join(components.select(col("id").as(idCol), col("component")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).cast("long").as("root"))
+    val bucket = pmod(col("root") * lit(2654435761L), lit(4294967296L)) % lit(total)
+    val bounds = splits.scanLeft(0L)(_ + _._2).tail
+    // innermost = last split; each earlier split wraps it, so the
+    // OUTERMOST (first-bound) check wins — a chained CASE
+    val split = splits.zip(bounds).reverse.foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, _), hi)) => when(bucket < lit(hi), lit(name)).otherwise(acc)
+    }
+    roots.withColumn("split", split)
+  }
+
   /** Shard-local dynamic batching: group sequences into trainer batches
     * that minimize pad waste — sort by length DESC within each shard,
     * cut every `batchSize` rows, pad each batch to its own max. The

@@ -894,6 +894,34 @@ class CurationSpec extends SparkSpec {
     assert(ids == ids.indices.toSeq, s"sentinels out of order: $c1")
   }
 
+  test("clusterAwareSplit: every cluster member shares its root's split; singletons self-route") {
+    val docs = df(StructType(Seq(StructField("doc_id", LongType))),
+      (1L to 200L).map(Row(_)))
+    // clusters: {1..5} rooted at 1, {10, 20, 30} rooted at 10
+    val comps = df(StructType(Seq(StructField("id", LongType),
+        StructField("component", LongType))),
+      (1L to 5L).map(Row(_, 1L)) ++ Seq(Row(10L, 10L), Row(20L, 10L), Row(30L, 10L)))
+    val out = Curation.clusterAwareSplit(docs, "doc_id", comps)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // cluster members inherit the root and its split
+    assert((1L to 5L).map(out(_)).toSet.size == 1)
+    assert(Set(10L, 20L, 30L).map(out(_)).size == 1)
+    assert(out(20L)._1 == 10L)
+    // singleton routes by its own id through the same hash
+    def bucket(root: Long) = (root * 2654435761L) % 4294967296L % 10L
+    (1L to 200L).foreach { id =>
+      val (root, split) = out(id)
+      val want = bucket(root) match {
+        case b if b < 8 => "train"; case 8 => "dev"; case _ => "test"
+      }
+      assert(split == want, s"id $id root $root")
+    }
+    // all three splits are populated at n=200
+    assert(out.values.map(_._2).toSet == Set("train", "dev", "test"))
+    intercept[IllegalArgumentException](
+      Curation.clusterAwareSplit(docs, "doc_id", comps, Seq(("train", 0L))))
+  }
+
   private val dbSchema = StructType(Seq(
     StructField("id", LongType), StructField("len", LongType)))
 
