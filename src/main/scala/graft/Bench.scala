@@ -467,7 +467,13 @@ object Bench {
     // writes BENCH_only.json so it can never clobber the committed full
     // matrix (VERDICT r11 #1 — r11's final filtered run overwrote the
     // headline artifact with a 4-query subset).
-    val artifact = if (only.isDefined) "BENCH_only.json" else "BENCH_local.json"
+    // A contaminated run must not shadow a clean committed matrix either
+    // (VERDICT r12 #8 — the driver's loaded-box run overwrote the clean
+    // BENCH_local.json in the working tree): it lands in its own file.
+    val artifact =
+      if (only.isDefined) "BENCH_only.json"
+      else if (dirty) "BENCH_contaminated.json"
+      else "BENCH_local.json"
     val fileJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$all,"cpu_util":$utilJson,$common}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       fileJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -480,7 +486,14 @@ object Bench {
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_stdout.json"),
         (stdoutLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable => diag(s"[bench] BENCH_stdout.json write failed: ${e.getMessage}") }
-    println(stdoutLine)
+    // The driver's parser recorded "parsed": null through r12: sbt
+    // decorates stdout with an "[info] " prefix. Emit the bare JSON on
+    // BOTH streams, as the LAST line of each — after spark.stop(), so no
+    // shutdown logging can trail it — and flush explicitly.
     spark.stop()
+    println(stdoutLine)
+    System.out.flush()
+    System.err.println(stdoutLine)
+    System.err.flush()
   }
 }

@@ -388,6 +388,7 @@ object SparkEntry {
       // (ad−bc); the curation-classifier front door
       TextClassifier.chi2Terms(T(s, dir, "documents"),
           "text", "doc_id", "lang", vocabSize = 300, topK = 10)
+        .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("label"), col("rank"))),
 
     "q_jsonl_roundtrip" -> ((s, dir) => {
@@ -516,7 +517,14 @@ object SparkEntry {
       val model = Bpe.train(fixture, "text", numMerges = 8)
       val corpus = Seq((10L, "Low lowest newest"), (11L, "widest unknown lower"))
         .toDF("doc_id", "text")
-      Bpe.encodeIds(corpus, "text", "doc_id", model).orderBy(col("doc_id"))
+      // driver-facing frame renders the id list as a canonical string —
+      // the driver's pandas sorter cannot order list<int64> columns; the
+      // array-valued API stays on Bpe.encodeIds for library callers
+      Bpe.encodeIds(corpus, "text", "doc_id", model)
+        .select(col("doc_id"),
+          concat_ws(" ", transform(col("token_ids"), x => x.cast("string")))
+            .as("token_ids"))
+        .orderBy(col("doc_id"))
     }),
 
     "q_bpe_decode" -> ((s, dir) => {
@@ -1872,7 +1880,14 @@ object SparkEntry {
           x => x.getField("_tid")).as("token_ids"))
         .withColumn("n_tokens", size(col("token_ids")).cast("long"))
       val packed = Curation.packSequencesStrict(ids, "n_tokens", 8192L, Seq("lang"), "doc_id")
+      // driver-facing frame renders the id/metadata lists as canonical
+      // strings (the driver's pandas sorter cannot order list<int64>);
+      // the array-valued API stays on assembleSequences for trainers
+      def joined(c: String) =
+        concat_ws(" ", transform(col(c), x => x.cast("string"))).as(c)
       Curation.assembleSequences(packed, "token_ids", "doc_id", Seq("lang"), sepId = Some(-1L))
+        .select(col("lang"), col("bin"), joined("doc_ids"), joined("input_ids"),
+          joined("segment_ids"), joined("position_ids"), col("n_tokens"))
         .orderBy(col("lang"), col("bin"))
     }),
 
@@ -2138,9 +2153,14 @@ object SparkEntry {
       // pre-join cardinality audit: exact inner-join output size and
       // max key fan-out from the two count tables — the pre-flight that
       // catches an accidental many-to-many before it materializes
+      // library API keeps DECIMAL(38,0) products (a true many-to-many can
+      // exceed int64); the driver-facing frame casts to BIGINT — exact
+      // here (key fan-out ≤ 7) and pandas-dtype-stable
       operators.Diagnostics.joinSizeAudit(
         T(s, dir, "orders"), Seq("o_orderkey"),
-        T(s, dir, "lineitem"), Seq("l_orderkey"))),
+        T(s, dir, "lineitem"), Seq("l_orderkey"))
+        .withColumn("est_rows", col("est_rows").cast("long"))
+        .withColumn("max_key_product", col("max_key_product").cast("long"))),
 
     "q_triangles" -> ((s, dir) => {
       // community density over the co-purchase graph: degree-ordered
@@ -2456,8 +2476,13 @@ object SparkEntry {
       val d = T(s, dir, "events").select(col("event_type"),
         h1.cast("long").as("prop_fp"), h2.cast("long").as("target_fp"),
         floor(col("value") * lit(1000000.0)).cast("long").as("reward_fp"))
+      // library API keeps DECIMAL(38,0) sums (overflow-proof at scale);
+      // the driver-facing frame casts to BIGINT — exact at verify SFs
+      // (max |sum_wr_fp| ~1.4e18 at sf0.1) and pandas-dtype-stable
       operators.Preference.ipsEstimate(d, "event_type", "prop_fp", "target_fp",
           "reward_fp")
+        .withColumn("sum_w_fp", col("sum_w_fp").cast("long"))
+        .withColumn("sum_wr_fp", col("sum_wr_fp").cast("long"))
         .orderBy(col("event_type"))
     }),
 
@@ -3460,7 +3485,8 @@ object SparkEntry {
         |           OVER (PARTITION BY conv_id ORDER BY turn
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS text
         |  FROM r)
-        |SELECT conv_id, turn, role, e - len AS start, e AS "end",
+        |SELECT conv_id, turn, role, CAST(e - len AS BIGINT) AS start,
+        |       CAST(e AS BIGINT) AS "end",
         |       role = 'assistant' AS loss, text
         |FROM o ORDER BY conv_id, turn""".stripMargin,
 
@@ -3513,8 +3539,10 @@ object SparkEntry {
         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
         |         GREATEST(CAST(1 AS BIGINT),
         |           CAST(len(regexp_extract_all(lower(txt), '[.!?]+')) AS BIGINT)) AS n_sentences,
-        |         GREATEST(CAST(len(tk) AS BIGINT),
-        |           CAST(len(regexp_extract_all(lower(txt), '[aeiouy]+')) AS BIGINT)) AS n_syllables
+        |         CAST(len(regexp_extract_all(lower(txt), '[aeiouy]+')) AS BIGINT)
+        |           + CAST(len(tk) AS BIGINT)
+        |           - CAST(len(list_filter(tk, x -> regexp_matches(x, '[aeiouy]'))) AS BIGINT)
+        |           AS n_syllables
         |  FROM t)
         |SELECT doc_id, n_words, n_sentences, n_syllables,
         |       CASE WHEN n_words > 0 THEN
@@ -4473,7 +4501,8 @@ object SparkEntry {
         |sc AS (
         |  SELECT doc_id, vote, CAST(SUM(w.w) AS BIGINT) AS s, COUNT(*) AS cv
         |  FROM v JOIN w USING (lf) GROUP BY doc_id, vote)
-        |SELECT doc_id, vote AS label, s AS score_fp, n_votes FROM (
+        |SELECT doc_id, CAST(vote AS BIGINT) AS label, s AS score_fp,
+        |       CAST(n_votes AS BIGINT) AS n_votes FROM (
         |  SELECT doc_id, vote, s,
         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, vote ASC) AS rn,
         |         SUM(cv) OVER (PARTITION BY doc_id) AS n_votes
@@ -4558,7 +4587,7 @@ object SparkEntry {
         |  FROM grid CROSS JOIN n),
         |s AS (
         |  SELECT term, label, a, b, c, d,
-        |         CASE WHEN td <> 0 AND td <> n THEN
+        |         CASE WHEN td <> 0 AND td <> n AND nc <> n THEN
         |           (CAST(n AS DOUBLE)
         |              * CAST(CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c AS DOUBLE)
         |              * CAST(CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c AS DOUBLE))
@@ -4566,8 +4595,8 @@ object SparkEntry {
         |              * CAST(nc AS DOUBLE) * CAST(n - nc AS DOUBLE))
         |         END AS chi2
         |  FROM x)
-        |SELECT label, term, a, b, c, d, chi2,
-        |       CAST(row_number() OVER (PARTITION BY label ORDER BY chi2 DESC, term) AS INTEGER) AS rank
+        |SELECT label, term, a, CAST(b AS BIGINT) AS b, c, CAST(d AS BIGINT) AS d, chi2,
+        |       CAST(row_number() OVER (PARTITION BY label ORDER BY chi2 DESC, term) AS BIGINT) AS rank
         |FROM s WHERE chi2 IS NOT NULL
         |QUALIFY rank <= 10
         |ORDER BY label, rank""".stripMargin,
@@ -4643,8 +4672,8 @@ object SparkEntry {
     // es,est,lo,low,ew,ewest,newest,dest = 10..17; u/k → <unk> = -1
     "q_bpe_ids" ->
       """SELECT * FROM (VALUES
-        |  (CAST(10 AS BIGINT), CAST([13,13,11,16] AS BIGINT[])),
-        |  (11, CAST([9,2,17,-1,4,-1,4,5,9,4,13,1,6] AS BIGINT[]))) AS t(doc_id, token_ids)
+        |  (CAST(10 AS BIGINT), '13 13 11 16'),
+        |  (11, '9 2 17 -1 4 -1 4 5 9 4 13 1 6')) AS t(doc_id, token_ids)
         |ORDER BY doc_id""".stripMargin,
 
     // Golden decode: the q_bpe_segment segmentations re-joined, eow →
@@ -5451,10 +5480,10 @@ object SparkEntry {
         |                                     x -> ord) ORDER BY doc_id)) AS sg,
         |         flatten(list(generate_series(0, len(token_ids)) ORDER BY doc_id)) AS ps
         |  FROM binm GROUP BY lang, bin)
-        |SELECT lang, bin, doc_ids,
-        |       ws[1:len(ws)-1] AS input_ids,
-        |       sg[1:len(sg)-1] AS segment_ids,
-        |       ps[1:len(ps)-1] AS position_ids,
+        |SELECT lang, bin, array_to_string(doc_ids, ' ') AS doc_ids,
+        |       array_to_string(ws[1:len(ws)-1], ' ') AS input_ids,
+        |       array_to_string(sg[1:len(sg)-1], ' ') AS segment_ids,
+        |       array_to_string(ps[1:len(ps)-1], ' ') AS position_ids,
         |       CAST(len(ws) - 1 AS BIGINT) AS n_tokens
         |FROM asm ORDER BY lang, bin""".stripMargin,
 
@@ -5820,7 +5849,7 @@ object SparkEntry {
         |      * 1000000000000.0) AS BIGINT) ELSE 0 END AS contrib_b_fp
         |  FROM grid CROSS JOIN n)
         |SELECT term, c_a, c_b, contrib_a_fp, contrib_b_fp,
-        |       (SELECT SUM(contrib_a_fp + contrib_b_fp) FROM s) AS js_total_fp
+        |       CAST((SELECT SUM(contrib_a_fp + contrib_b_fp) FROM s) AS BIGINT) AS js_total_fp
         |FROM s ORDER BY term""".stripMargin,
 
     // q_vocab's replayed vocabulary → rank → ln doubles of exact ints →
@@ -5923,7 +5952,7 @@ object SparkEntry {
         |       MAX(value) AS high, MIN(value) AS low,
         |       arg_max(value, epoch_us(ts)) AS close,
         |       COUNT(1) AS n_events,
-        |       SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS sum_cents
+        |       CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2 ORDER BY user_id, bucket""".stripMargin,
 
     // The same two-window island computation: running max of end over
@@ -5998,8 +6027,8 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS matched_keys,
         |  CAST(SUM(CASE WHEN ln IS NOT NULL AND NOT m THEN 1 ELSE 0 END) AS BIGINT) AS left_only_keys,
         |  CAST(SUM(CASE WHEN rn IS NOT NULL AND NOT m THEN 1 ELSE 0 END) AS BIGINT) AS right_only_keys,
-        |  CAST(COALESCE(SUM(CASE WHEN m THEN CAST(ln AS HUGEINT) * rn END), 0) AS HUGEINT) AS est_rows,
-        |  CAST(COALESCE(MAX(CASE WHEN m THEN CAST(ln AS HUGEINT) * rn END), 0) AS HUGEINT) AS max_key_product
+        |  CAST(COALESCE(SUM(CASE WHEN m THEN CAST(ln AS HUGEINT) * rn END), 0) AS BIGINT) AS est_rows,
+        |  CAST(COALESCE(MAX(CASE WHEN m THEN CAST(ln AS HUGEINT) * rn END), 0) AS BIGINT) AS max_key_product
         |FROM f""".stripMargin,
 
     // The q_cooccur capped pair graph, then degree-ordered wedge
@@ -6608,7 +6637,8 @@ object SparkEntry {
         |         SUM(CAST(w AS HUGEINT)) AS sum_w_fp,
         |         SUM(CAST(w AS HUGEINT) * r) AS sum_wr_fp
         |  FROM f GROUP BY event_type)
-        |SELECT event_type, n, sum_w_fp, sum_wr_fp,
+        |SELECT event_type, n,
+        |       CAST(sum_w_fp AS BIGINT) AS sum_w_fp, CAST(sum_wr_fp AS BIGINT) AS sum_wr_fp,
         |       CAST(sum_wr_fp AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0 * 1000000.0) AS ips,
         |       CAST(sum_wr_fp AS DOUBLE) / (CAST(sum_w_fp AS DOUBLE) * 1000000.0) AS snips
         |FROM g ORDER BY event_type""".stripMargin,
@@ -7114,7 +7144,7 @@ object SparkEntry {
         |      OVER (PARTITION BY event_type ORDER BY t
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
         |  FROM x)
-        |SELECT event_type, t, d, c, n_at_risk,
+        |SELECT event_type, t, d, c, CAST(n_at_risk AS BIGINT) AS n_at_risk,
         |       CASE WHEN dead = 1 THEN 0.0 ELSE ROUND(exp(lns), 9) + 0.0 END AS survival
         |FROM y ORDER BY event_type, t""".stripMargin,
 

@@ -598,10 +598,15 @@ object Analytics {
       s"bhCorrect is hypothesis-table-sized; got $m rows (max 1e7)")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("_pfp"), col(keyCol))
+    // DECIMAL(38,0) comparison: _pfp·m·alphaDen reaches 1e16·alphaDen,
+    // which wraps Long for alphaDen ≥ ~922 (e.g. alpha = 1/1000) and
+    // would silently mark arbitrary hypotheses rejected
+    val d38 = "decimal(38,0)"
     val ranked = base
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("_ok",
-        col("_pfp") * lit(m) * lit(alphaDen) <= col("rank") * lit(alphaNum) * lit(scale))
+        col("_pfp").cast(d38) * lit(m) * lit(alphaDen) <=
+          col("rank").cast(d38) * lit(alphaNum) * lit(scale))
     val kRow = ranked.agg(max(when(col("_ok"), col("rank")))).head()
     val k = if (kRow.isNullAt(0)) 0L else kRow.getLong(0)
     ranked.select(col(keyCol), col("p"), col("rank"), lit(m).as("m"),

@@ -406,10 +406,15 @@ object Profile {
     * Counting is deliberately regex-replayable rather than
     * dictionary-perfect (the standard large-corpus trade): sentences =
     * `[.!?]+` runs (min 1), syllables = `[aeiouy]+` vowel groups
-    * clamped to ≥ 1 per word. One stateless codegen'd scan — counts
-    * are exact integers, the score is one pinned double expression
-    * rounded at 6 decimals (`+ 0.0` folds −0.0). Empty documents keep
-    * a NULL score. */
+    * clamped to ≥ 1 PER WORD — a vowel-less token ("123", "bcd")
+    * contributes exactly 1, never borrowing from a multi-vowel
+    * neighbor: total = vowel groups + (words − vowel-bearing words),
+    * which equals Σ_tokens max(1, groups(token)) because a group
+    * cannot span whitespace. Still one stateless codegen'd scan (two
+    * regexp_counts, no higher-order functions) — counts are exact
+    * integers, the score is one pinned double expression rounded at 6
+    * decimals (`+ 0.0` folds −0.0). Empty documents keep a NULL
+    * score. */
   def readability(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val txt = coalesce(col(textCol), lit(""))
     val low = lower(txt)
@@ -421,7 +426,11 @@ object Profile {
     val w = when(length(norm) === 0, lit(0L))
       .otherwise(size(split(norm, " ")).cast("long"))
     val s = greatest(lit(1L), regexp_count(low, lit("[.!?]+")).cast("long"))
-    val syl = greatest(w, regexp_count(low, lit("[aeiouy]+")).cast("long"))
+    // \S*[aeiouy]\S* matches exactly once per vowel-bearing token (the
+    // greedy \S* runs to the token boundary), so w − count = vowel-less
+    // tokens, each owed its clamped 1
+    val syl = regexp_count(low, lit("[aeiouy]+")).cast("long") +
+      (w - regexp_count(low, lit("\\S*[aeiouy]\\S*")).cast("long"))
     df.select(col(idCol), w.as("n_words"), s.as("n_sentences"), syl.as("n_syllables"))
       .withColumn("flesch",
         when(col("n_words") > 0,

@@ -176,9 +176,11 @@ object TextClassifier {
     * docs with no tokens have no signal and are EXCLUDED (their
     * "margin" would be pure prior spread, not text uncertainty).
     *
-    * Scale shape: the joint table partial-aggregates per (doc, label);
-    * best/runner-up are two label-bounded aggregates (the semanticDedup
-    * winner pattern — no struct agg buffers); the global bottom-k is
+    * Scale shape: the joint table partial-aggregates per (doc, label),
+    * is evaluated ONCE, and best/runner-up come out of a single
+    * doc-keyed window + co-partitioned aggregate (the pre-r13 shape
+    * joined the table back to its own aggregate, re-running the whole
+    * tokenize→score subtree per reference); the global bottom-k is
     * TakeOrdered, never a full sort.
     *
     * Output: (idCol, label [current best, ties→lowest], margin_fp),
@@ -187,16 +189,17 @@ object TextClassifier {
                         model: NaiveBayesModel, k: Int,
                         addK: Double = 0.5): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val perDocClass = jointScores(df, textCol, idCol, model, addK)
-    val maxJoint = perDocClass.groupBy("_nbid").agg(max("_jointF").as("_mj"))
-    val joined = perDocClass.join(maxJoint, Seq("_nbid"))
-    val best = joined.filter(col("_jointF") === col("_mj"))
-      .groupBy(col("_nbid"), col("_mj")).agg(min("_label").as("label"))
-    val second = joined.filter(col("_jointF") < col("_mj"))
-      .groupBy(col("_nbid")).agg(max("_jointF").as("_m2"))
-    best.join(second, Seq("_nbid"), "left")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_nbid")
+    // one shuffle on the doc key; the groupBy below re-uses that
+    // partitioning (grouping keys ⊇ partition key), so the joint table
+    // is scored exactly once
+    val scored = jointScores(df, textCol, idCol, model, addK)
+      .withColumn("_mj", max(col("_jointF")).over(w))
+    scored.groupBy(col("_nbid"), col("_mj"))
+      .agg(min(when(col("_jointF") === col("_mj"), col("_label"))).as("label"),
+        max(when(col("_jointF") < col("_mj"), col("_jointF"))).as("_m2"))
       .select(col("_nbid").as(idCol), col("label"),
-        // all labels tied -> no second row -> margin exactly 0
+        // all labels tied -> no runner-up row -> margin exactly 0
         (col("_mj") - coalesce(col("_m2"), col("_mj"))).as("margin_fp"))
       .orderBy(col("margin_fp").asc, col(idCol).asc)
       .limit(k)
@@ -255,7 +258,11 @@ object TextClassifier {
       .withColumn("_diff",
         col("a").cast(dec) * col("d") - col("b").cast(dec) * col("c"))
       .withColumn("chi2",
-        when(col("td") =!= 0 && col("td") =!= n,
+        // degenerate marginals → null (not 0/0 = NaN, which Spark would
+        // rank ABOVE every real score): td ∈ {0, n} means the term is in
+        // no/every doc; nc = n means a single-label corpus (nc = 0 is
+        // impossible — nc counts a group that exists)
+        when(col("td") =!= 0 && col("td") =!= n && col("nc") =!= n,
           (lit(n).cast("double") * col("_diff").cast("double") * col("_diff").cast("double")) /
             (col("td").cast("double") * (lit(n) - col("td")).cast("double") *
               col("nc").cast("double") * (lit(n) - col("nc")).cast("double"))))

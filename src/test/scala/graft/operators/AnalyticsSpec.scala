@@ -372,6 +372,15 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("bhCorrect: tiny alpha denominators stay exact (Long would wrap and reject everything)") {
+    // alpha = 5/1e12: _pfp·m·alphaDen ≈ 5e21 exceeds Long.MaxValue; the
+    // DECIMAL(38,0) comparison keeps the boundary exact — nothing near
+    // p=0.5 can reject at alpha=5e-12
+    val out = bh((1L to 10L).map(k => (k, Double.box(0.4 + k * 0.01))),
+      5L, 1000000000000L)
+    assert(out.values.forall(!_._3), s"got $out")
+  }
+
   test("bhCorrect: null p-values drop out of m; guards fire") {
     val out = bh(Seq((1L, Double.box(0.01)), (2L, null),
       (3L, Double.box(0.5))), 10, 100)

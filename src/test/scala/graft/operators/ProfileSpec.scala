@@ -287,6 +287,14 @@ class ProfileSpec extends SparkSpec {
     assert(out(3L).getLong(3) == 2L, "vowel-free words clamp to one syllable each")
   }
 
+  test("readability: per-word clamp — vowel-less token cannot borrow from a multi-vowel neighbor") {
+    // "alpha" = 2 vowel groups, "bcd" = 0 → per-word max(1,·) sums to 3;
+    // the old aggregate-level clamp (greatest(words, groups)) said 2
+    val d = df(readSchema, Seq(Row(1L, "alpha bcd")))
+    val r = Profile.readability(d, "text", "id").head()
+    assert(r.getLong(1) == 2L && r.getLong(3) == 3L)
+  }
+
   private val giniSchema = StructType(Seq(
     StructField("g", StringType), StructField("item", StringType),
     StructField("w", LongType)))

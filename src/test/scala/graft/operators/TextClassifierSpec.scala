@@ -112,6 +112,15 @@ class TextClassifierSpec extends SparkSpec {
         df(schema, Seq(Row(1L, "a", null))), "text", "doc_id", "cls"))
   }
 
+  test("chi2Terms: single-label corpus yields no rankable terms (0/0 must not become NaN rank 1)") {
+    // nc = n makes the denominator term (n−nc) zero; the degenerate-case
+    // contract is null → dropped, not NaN → ranked first
+    val d = df(schema, Seq(
+      Row(1L, "hot all", "x"), Row(2L, "cold all", "x"), Row(3L, "hot warm", "x")))
+    assert(TextClassifier.chi2Terms(d, "text", "doc_id", "cls",
+      vocabSize = 10, topK = 5).count() == 0L)
+  }
+
   test("uncertaintySample: margins equal the exact joint-score gaps; bottom-k order") {
     // symmetric 2-class model: priors equal, token stats mirrored, so a
     // doc seen only through mirrored tokens has margin exactly 0
