@@ -1205,6 +1205,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_psl_domain" -> ((s, dir) => {
+      // PSL-aware registered-domain extraction over planted urls whose
+      // TLD rotates through vendored-snapshot registries (co.uk/com.au/
+      // co.jp/gob.mx), a wildcard TLD (*.ck), and a plain .com control —
+      // the oracle states every registered domain BY CONSTRUCTION
+      // (source is a single lowercase-able label), so the PSL walk
+      // (exception > wildcard > exact > implicit-*) is pinned end to end
+      val tld = element_at(array(lit("co.uk"), lit("com.au"), lit("co.jp"),
+        lit("gob.mx"), lit("ck"), lit("com")),
+        (pmod(col("doc_id"), lit(6)) + 1).cast("int"))
+      val url = concat(lit("HTTPS://Shop."), upper(col("source")), lit("."), tld,
+        lit(":443/p/"), col("doc_id"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.urlRegisteredDomain(url).as("domain"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_sft_render" -> ((s, dir) => {
       // SFT assembly: documents grouped into 4-turn conversations with
       // alternating roles, rendered <|role|>content<|end|> with exact
@@ -5372,6 +5389,21 @@ object SparkEntry {
         |             ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
         |      FROM d)
         |SELECT doc_id, domain FROM k WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
+
+    // Registered domains BY CONSTRUCTION: multi-label registry TLDs keep
+    // source + registry suffix; the *.ck wildcard makes shop.<source>.ck
+    // itself the registrable name; .com keeps the implicit-* pair.
+    "q_psl_domain" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 6 AS INTEGER)
+        |    WHEN 0 THEN lower(source) || '.co.uk'
+        |    WHEN 1 THEN lower(source) || '.com.au'
+        |    WHEN 2 THEN lower(source) || '.co.jp'
+        |    WHEN 3 THEN lower(source) || '.gob.mx'
+        |    WHEN 4 THEN 'shop.' || lower(source) || '.ck'
+        |    ELSE lower(source) || '.com'
+        |  END AS domain
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

@@ -286,16 +286,17 @@ object TextFunctions {
   }
 
   /** Registered domain of a URL — the per-domain cap / blocklist key:
-    * authority, minus userinfo and port, reduced to its last two
-    * labels (`a.b.example.com` → `example.com`). NAIVE two-label rule,
-    * not Public-Suffix-List-aware (`foo.co.uk` → `co.uk`) — the PSL is
-    * a data file, not an algorithm; swap this for a PSL lookup table
-    * (broadcast join) when curating real multi-TLD crawls. Empty
-    * string for non-URLs and dot-less hosts (`localhost`). */
+    * authority, minus userinfo and port, resolved against the vendored
+    * Public-Suffix-List snapshot ([[PublicSuffix]]): `shop.foo.co.uk` →
+    * `foo.co.uk`, `a.b.example.com` → `example.com`, wildcard and
+    * exception rules honored (`x.www.ck` → `www.ck`). TLDs outside the
+    * snapshot fall back to the last-two-labels rule (the PSL's implicit
+    * `*` default). Empty string for non-URLs, dot-less hosts
+    * (`localhost`), and hosts that ARE a public suffix (`co.uk`). */
   def urlRegisteredDomain(c: Column): Column = {
     val auth = lower(regexp_extract(trim(c), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$", 1))
     val host = regexp_replace(regexp_replace(auth, "^[^@]*@", ""), ":[0-9]+$", "")
-    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    PublicSuffix.registeredDomain(host)
   }
 
   /** href targets of anchor tags — the edge extractor that turns a

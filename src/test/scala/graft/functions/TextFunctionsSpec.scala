@@ -266,12 +266,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(strip("  multiple\t\nspaces  ") == "multiple spaces")
   }
 
-  test("urlRegisteredDomain: last two labels, userinfo/port stripped, naive by contract") {
+  test("urlRegisteredDomain: PSL-aware, userinfo/port stripped, naive fallback for unknown TLDs") {
     assert(dom("https://a.b.Example.COM/x") == "example.com")
     assert(dom("http://user:pw@deep.sub.host.ORG:8080/p?q=1") == "host.org")
     assert(dom("https://example.com") == "example.com")
-    // documented naivety: multi-part TLDs reduce to the suffix pair
-    assert(dom("https://shop.foo.co.uk/") == "co.uk")
+    // multi-label registries resolve through the vendored PSL snapshot
+    assert(dom("https://shop.foo.co.uk/") == "foo.co.uk")
+    assert(dom("http://WWW.Bar.COM.AU:80/") == "bar.com.au")
+    assert(dom("https://deep.sub.site.gob.mx/x") == "site.gob.mx")
+    // a host that IS a public suffix registers nothing
+    assert(dom("https://co.uk/") == "")
+    // wildcard rule (*.ck): any 2-label .ck name is itself a suffix...
+    assert(dom("https://anything.ck/") == "")
+    assert(dom("https://shop.anything.ck/") == "shop.anything.ck")
+    // ...except the exception rule !www.ck, registrable at 2 labels
+    assert(dom("https://foo.www.ck/") == "www.ck")
+    // 2-label wildcard base (*.kawasaki.jp) + its exception
+    assert(dom("https://x.foo.kawasaki.jp/") == "x.foo.kawasaki.jp")
+    assert(dom("https://sub.city.kawasaki.jp/") == "city.kawasaki.jp")
+    // unknown TLD -> the PSL implicit-* default (last two labels)
+    assert(dom("https://a.b.example.zz/") == "example.zz")
     // dot-less hosts and non-URLs -> empty
     assert(dom("https://localhost:9000/x") == "")
     assert(dom("plain text") == "")
