@@ -206,7 +206,11 @@ object Bench {
     "q_gini", "q_dyn_batches",
     // r12 tenth continuation, seventh wave — cluster-aware splitting
     // (pair graph + CC + stateless root-hash projection)
-    "q_cluster_split")
+    "q_cluster_split",
+    // r13 — CCNet head/middle/tail bucket-sampled mix (LM score +
+    // ranked-boundary thirds + bottleneck-budget prefix cut) and
+    // PSL-aware registered-domain extraction (codegen'd InSet walk)
+    "q_ppl_mix", "q_psl_domain")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

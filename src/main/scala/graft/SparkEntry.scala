@@ -353,6 +353,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_ppl_mix" -> ((s, dir) => {
+      // the CCNet eval-loop closer (Wenzek et al. 2020, the
+      // lm_bucket_mix funnel stage): perplexity head/middle/tail thirds
+      // over the LM-scored corpus, then the deterministic token-budget
+      // mix keeps the buckets at binary-exact 0.5/0.375/0.125 — the
+      // oracle replays LM training, scoring, both ranked boundaries,
+      // and the bottleneck-budget prefix cut end to end
+      val d = T(s, dir, "documents")
+      val lm = LanguageModel.train(d.filter(col("lang") === "en"), "text", vocabSize = 1000)
+      val scored = LanguageModel.scoreNll(d, "text", "doc_id", lm, addK = 0.5)
+      val bucketed = LanguageModel.qualityBuckets(scored, "doc_id")
+        .filter(col("bucket").isNotNull)
+        .join(d.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      operators.Curation.mixByWeight(bucketed, "bucket",
+          Map("head" -> 0.5, "middle" -> 0.375, "tail" -> 0.125), "n_chars", "doc_id")
+        .select(col("doc_id"), col("avg_nll"), col("bucket"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_weak_labels" -> ((s, dir) => {
       // weak supervision: three noisy labeling functions (length,
       // parity-with-abstain, language prior) combined by the
@@ -4479,6 +4498,88 @@ object SparkEntry {
         |            ELSE 'tail' END AS bucket
         |FROM scored
         |ORDER BY doc_id""".stripMargin,
+
+    // The q_quality_buckets LM + thirds chain, then the q_mix_weighted
+    // bottleneck-budget prefix cut keyed on the BUCKET: avail per
+    // bucket, t = min(avail/w) with binary-exact 0.5/0.375/0.125, keep
+    // while the cumulative n_chars BEFORE the row stays under budget.
+    "q_ppl_mix" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |vocab AS MATERIALIZED (
+        |  SELECT token FROM (
+        |    SELECT unnest(t) AS token FROM toks WHERE lang = 'en')
+        |  WHERE length(token) > 0
+        |  GROUP BY token ORDER BY COUNT(1) DESC, token LIMIT 1000),
+        |big AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |         unnest(t[1:len(t)-1]) AS w1r, unnest(t[2:len(t)]) AS w2r
+        |  FROM toks WHERE len(t) >= 2),
+        |bigm AS MATERIALIZED (
+        |  SELECT b.doc_id, b.lang,
+        |         CASE WHEN v1.token IS NULL THEN chr(1) ELSE b.w1r END AS w1,
+        |         CASE WHEN v2.token IS NULL THEN chr(1) ELSE b.w2r END AS w2
+        |  FROM big b
+        |  LEFT JOIN vocab v1 ON b.w1r = v1.token
+        |  LEFT JOIN vocab v2 ON b.w2r = v2.token),
+        |c12 AS MATERIALIZED (
+        |  SELECT w1, w2, COUNT(1) AS c12 FROM bigm WHERE lang = 'en' GROUP BY w1, w2),
+        |c1 AS MATERIALIZED (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+        |vsz AS (SELECT COUNT(1) + 1.0 AS v FROM vocab),
+        |nll AS (
+        |  SELECT b.doc_id,
+        |         CAST(floor(-ln((COALESCE(c12.c12, 0) + 0.5) /
+        |                        (COALESCE(c1.c1, 0) + 0.5 * vsz.v)) * 1e8) AS BIGINT) AS nllf
+        |  FROM bigm b
+        |  LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+        |  LEFT JOIN c1 ON b.w1 = c1.w1
+        |  CROSS JOIN vsz),
+        |scored AS MATERIALIZED (
+        |  SELECT d.doc_id, d.n_chars, a.avg_nll FROM documents d
+        |  LEFT JOIN (
+        |    SELECT doc_id,
+        |           CAST(CAST((CAST(SUM(nllf) AS BIGINT) + COUNT(1) * 5000)
+        |                      // (COUNT(1) * 10000) AS DECIMAL(20,0)) * 0.0001 AS DOUBLE) AS avg_nll
+        |    FROM nll GROUP BY doc_id) a USING (doc_id)),
+        |ranked AS MATERIALIZED (
+        |  SELECT avg_nll AS s, doc_id AS i,
+        |         ROW_NUMBER() OVER (ORDER BY avg_nll, doc_id) AS rn,
+        |         COUNT(1) OVER () AS n
+        |  FROM scored WHERE avg_nll IS NOT NULL),
+        |b1 AS (SELECT s, i FROM ranked WHERE rn = CAST(ceil(n / 3.0) AS BIGINT)),
+        |b2 AS (SELECT s, i FROM ranked WHERE rn = CAST(ceil(2.0 * n / 3.0) AS BIGINT)),
+        |bucketed AS MATERIALIZED (
+        |  SELECT doc_id, avg_nll, n_chars,
+        |         CASE WHEN avg_nll < (SELECT s FROM b1)
+        |                   OR (avg_nll = (SELECT s FROM b1) AND doc_id <= (SELECT i FROM b1)) THEN 'head'
+        |              WHEN avg_nll < (SELECT s FROM b2)
+        |                   OR (avg_nll = (SELECT s FROM b2) AND doc_id <= (SELECT i FROM b2)) THEN 'middle'
+        |              ELSE 'tail' END AS bucket
+        |  FROM scored WHERE avg_nll IS NOT NULL),
+        |avail AS (
+        |  SELECT bucket, CAST(SUM(n_chars) AS DOUBLE) AS wsum
+        |  FROM bucketed GROUP BY bucket),
+        |t AS (
+        |  SELECT MIN(wsum / (CASE bucket WHEN 'head' THEN 0.5
+        |                                 WHEN 'middle' THEN 0.375
+        |                                 ELSE 0.125 END)) AS t
+        |  FROM avail),
+        |bud AS (
+        |  SELECT bucket,
+        |         (CASE bucket WHEN 'head' THEN 0.5
+        |                      WHEN 'middle' THEN 0.375
+        |                      ELSE 0.125 END) * (SELECT t FROM t) AS budget
+        |  FROM avail),
+        |c AS (
+        |  SELECT doc_id, avg_nll, bucket, n_chars,
+        |         COALESCE(SUM(n_chars) OVER (PARTITION BY bucket ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM bucketed)
+        |SELECT c.doc_id, c.avg_nll, c.bucket, c.n_chars
+        |FROM c JOIN bud USING (bucket) WHERE c.cb < bud.budget
+        |ORDER BY c.doc_id""".stripMargin,
 
     // Full NB replay: vocabulary over the WHOLE labeled corpus, UNK
     // mapping, per-(class, token) counts, priors and per-token log-probs

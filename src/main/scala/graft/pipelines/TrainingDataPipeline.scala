@@ -64,6 +64,17 @@ object TrainingDataPipeline {
     * Off by default (`None`): the gate only makes sense when the
     * reference slice is actually trustworthy for the corpus mix.
     *
+    * `lmBucketWeights` is the SOFT alternative to the hard cap —
+    * Wenzek et al.'s CCNet head/middle/tail sampling: the same
+    * reference LM scores every document, [[LanguageModel.qualityBuckets]]
+    * cuts the scored corpus into exact perplexity thirds, and
+    * [[Curation.mixByWeight]] keeps each bucket's token budget in the
+    * given proportion (e.g. head 0.5 / middle 0.375 / tail 0.125 —
+    * pass binary-exact weights for external replayability). Unscored
+    * documents drop, like the hard gate. Mutually exclusive with
+    * `maxAvgNll` (a cap after bucket-sampling would silently re-skew
+    * the buckets).
+    *
     * `tokenizer` selects the pack stage's token accountant:
     * `"whitespace"` (default — [[Curation.chunkDocuments]] on word
     * counts) or `"bpe"` — a real subword vocabulary is TRAINED on the
@@ -89,6 +100,7 @@ object TrainingDataPipeline {
             mixWeights: Option[Map[String, Double]] = None,
             langCol: String = "lang_pred",
             maxAvgNll: Option[Double] = None,
+            lmBucketWeights: Option[Map[String, Double]] = None,
             lmRefLang: String = "en",
             lmVocabSize: Int = 50000,
             lmAddK: Double = 0.5,
@@ -102,6 +114,13 @@ object TrainingDataPipeline {
       s"nearDedup must be 'minhash' or 'jaccard', got '$nearDedup'")
     require(Set("whitespace", "bpe").contains(tokenizer),
       s"tokenizer must be 'whitespace' or 'bpe', got '$tokenizer'")
+    require(maxAvgNll.isEmpty || lmBucketWeights.isEmpty,
+      "maxAvgNll (hard perplexity cap) and lmBucketWeights (CCNet " +
+        "head/middle/tail sampling) are mutually exclusive")
+    lmBucketWeights.foreach { w =>
+      require(w.nonEmpty && w.keySet.subsetOf(Set("head", "middle", "tail")),
+        s"lmBucketWeights keys must be among head/middle/tail, got ${w.keySet}")
+    }
     val spark = plan.spark
     val src = new ParquetConnector(spark, srcDir)
     val work = new ParquetConnector(spark, workDir)
@@ -165,10 +184,33 @@ object TrainingDataPipeline {
       }
     }
 
+    lmBucketWeights.foreach { bucketWeights =>
+      plan.step("lm_bucket_mix") {
+        // CCNet head/middle/tail sampling (Wenzek et al. 2020): the same
+        // reference-slice bigram LM scores everything, qualityBuckets
+        // cuts exact perplexity thirds, and the deterministic
+        // token-budget mix keeps each bucket in the spec'd proportion.
+        // Unscored (<2-token) documents have a NULL bucket and drop —
+        // the hard gate's "no evidence is a drop" contract.
+        val clean = work.read("docs_clean")
+        val lm = LanguageModel.train(clean.filter(col(langCol) === lmRefLang),
+          "text", lmVocabSize)
+        val scored = LanguageModel.scoreNll(clean, "text", "doc_id", lm, lmAddK)
+        val bucketed = LanguageModel.qualityBuckets(scored, "doc_id")
+          .filter(col("bucket").isNotNull)
+          .join(clean.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+        val kept = Curation.mixByWeight(bucketed, "bucket", bucketWeights,
+          "n_tokens", "doc_id")
+        work.write(clean.join(kept.select("doc_id"), Seq("doc_id"), "left_semi"),
+          "docs_lm")
+      }
+    }
+
     plan.step("scrub") {
       // PII out first (scan-speed regex chain), then the Gopher
       // repetition thresholds — one native profile pass per doc
-      val clean = work.read(if (maxAvgNll.isDefined) "docs_lm" else "docs_clean")
+      val clean = work.read(
+        if (maxAvgNll.isDefined || lmBucketWeights.isDefined) "docs_lm" else "docs_clean")
       work.write(clean
         .withColumn("text", TextFunctions.redactPii(col("text")))
         .filter(TextFunctions.gopherRepetitionKeep(col("text"))), "docs_scrubbed")

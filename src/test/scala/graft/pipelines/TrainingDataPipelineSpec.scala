@@ -166,6 +166,50 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(f.scrubbed <= f.lmKept, "scrub consumes the LM-gated set")
   }
 
+  test("lm_bucket_mix stage equals qualityBuckets + mixByWeight run by hand; exclusivity guard") {
+    val work = tmpDir("graft_pipe_lmb_")
+    val planA = new Plan(spark, PlanConfig(pidDir = tmpDir("graft_pid_lmb_a_")))
+    TrainingDataPipeline.build(planA, src, work, minQuality = 0.0, langCol = "lang")
+    planA.run(Seq("profile", "filter"))
+    val workConn = new graft.sources.ParquetConnector(spark, work)
+    val clean = workConn.read("docs_clean")
+    val weights = Map("head" -> 0.5, "middle" -> 0.375, "tail" -> 0.125)
+    // expected keep set: the same operators composed by hand
+    val lm = graft.operators.LanguageModel.train(
+      clean.filter(col("lang") === "en"), "text", 50000)
+    val scored = graft.operators.LanguageModel.scoreNll(clean, "text", "doc_id", lm)
+    val bucketed = graft.operators.LanguageModel.qualityBuckets(scored, "doc_id")
+      .filter(col("bucket").isNotNull)
+      .join(clean.select("doc_id", "n_tokens"), Seq("doc_id"))
+    val expected = graft.operators.Curation
+      .mixByWeight(bucketed, "bucket", weights, "n_tokens", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty && expected.size < clean.count(),
+      "bucket sampling must keep a strict, non-empty subset")
+    val planB = new Plan(spark, PlanConfig(pidDir = tmpDir("graft_pid_lmb_b_")))
+    TrainingDataPipeline.build(planB, src, work, minQuality = 0.0, langCol = "lang",
+      lmBucketWeights = Some(weights))
+    planB.run(Seq("lm_bucket_mix", "scrub"))
+    val got = workConn.read("docs_lm").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected, "stage keep set must equal the operator composition's")
+    val f = TrainingDataPipeline.funnel(planB, src, work)
+    assert(f.lmKept == expected.size && f.scrubbed <= f.lmKept)
+    // the hard cap and the soft sampler cannot stack
+    intercept[IllegalArgumentException] {
+      TrainingDataPipeline.build(
+        new Plan(spark, PlanConfig(pidDir = tmpDir("graft_pid_lmb_c_"))),
+        src, tmpDir("graft_pipe_lmb_c_"),
+        maxAvgNll = Some(5.0), lmBucketWeights = Some(weights))
+    }
+    intercept[IllegalArgumentException] {
+      TrainingDataPipeline.build(
+        new Plan(spark, PlanConfig(pidDir = tmpDir("graft_pid_lmb_d_"))),
+        src, tmpDir("graft_pipe_lmb_d_"),
+        lmBucketWeights = Some(Map("bogus" -> 1.0)))
+    }
+  }
+
   test("decontaminate stage drops documents overlapping the benchmark") {
     val work = tmpDir("graft_pipe_work3_")
     val benchDir = tmpDir("graft_pipe_bench_")
