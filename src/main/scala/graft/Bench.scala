@@ -210,7 +210,11 @@ object Bench {
     // r13 — CCNet head/middle/tail bucket-sampled mix (LM score +
     // ranked-boundary thirds + bottleneck-budget prefix cut) and
     // PSL-aware registered-domain extraction (codegen'd InSet walk)
-    "q_ppl_mix", "q_psl_domain")
+    "q_ppl_mix", "q_psl_domain",
+    // r13 — rank/ECDF nonparametrics over the quantized distinct-value
+    // table (one shuffle + NDV-bounded windows): two-sample KS drift
+    // gate and tie-corrected Mann-Whitney U
+    "q_ks_drift", "q_mann_whitney")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

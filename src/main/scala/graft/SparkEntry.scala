@@ -2070,6 +2070,29 @@ object SparkEntry {
           "experiment", "variant", "value", scale = 6)
         .orderBy(col("experiment"))),
 
+    "q_ks_drift" -> ((s, dir) =>
+      // two-sample Kolmogorov-Smirnov drift gate per event_type (even-
+      // vs odd-user traffic on value): the ECDF argmax runs on exact
+      // integers over the quantized distinct-value table; D, the c(α)
+      // threshold, and the drift flag are pinned doubles
+      operators.Analytics.ksTest(
+          T(s, dir, "events").withColumn("side",
+            when(pmod(col("user_id"), lit(2L)) === 0L, lit("even"))
+              .otherwise(lit("odd"))),
+          "event_type", "side", "value", "even", "odd")
+        .orderBy(col("event_type"))),
+
+    "q_mann_whitney" -> ((s, dir) =>
+      // nonparametric A/B readout per event_type: tie-averaged rank sum
+      // in exact doubled integers (u2_a = 2·U), tie-corrected normal z
+      // as one pinned double sequence
+      operators.Analytics.mannWhitneyU(
+          T(s, dir, "events").withColumn("side",
+            when(pmod(col("user_id"), lit(2L)) === 0L, lit("even"))
+              .otherwise(lit("odd"))),
+          "event_type", "side", "value", "even", "odd")
+        .orderBy(col("event_type"))),
+
     "q_seasonal" -> ((s, dir) =>
       // hour-of-week seasonal anomaly: each point vs the trailing mean
       // of its own slot — long sums over the frame (never a double avg,
@@ -5845,6 +5868,83 @@ object SparkEntry {
         |            + (vb / CAST(nb AS DOUBLE)) * (vb / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0))
         |       END AS df
         |FROM s2 ORDER BY experiment""".stripMargin,
+
+    // KS replay: quantized distinct-value side counts, HUGEINT-exact
+    // |cumA·nB − cumB·nA| argmax, then the identical pinned D /
+    // threshold doubles (c(0.05) via the same sqrt(−ln(α/2)/2)).
+    "q_ks_drift" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT event_type,
+        |         CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS s,
+        |         CAST(FLOOR(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS MATERIALIZED (
+        |  SELECT event_type, x,
+        |         COUNT(1) FILTER (s = 'even') AS ca,
+        |         COUNT(1) FILTER (s = 'odd') AS cb
+        |  FROM v GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type,
+        |         SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb,
+        |         SUM(ca) OVER (PARTITION BY event_type) AS na,
+        |         SUM(cb) OVER (PARTITION BY event_type) AS nb
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY x ROWS UNBOUNDED PRECEDING)),
+        |agg AS (
+        |  SELECT event_type, MAX(na) AS na, MAX(nb) AS nb,
+        |         MAX(ABS(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)) AS m
+        |  FROM cum GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, na, nb,
+        |         CASE WHEN na > 0 AND nb > 0 THEN
+        |           CAST(m AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END AS d,
+        |         CASE WHEN na > 0 AND nb > 0 THEN
+        |           sqrt(-ln(0.05 / 2.0) / 2.0)
+        |             * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+        |                    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) END AS d_crit
+        |  FROM agg)
+        |SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |       d, d_crit, d > d_crit AS drifted
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    // Mann-Whitney replay: the same distinct-value table, doubled rank
+    // sum and tie sum as HUGEINT integers, the identical pinned
+    // variance/z double sequence.
+    "q_mann_whitney" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT event_type,
+        |         CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS s,
+        |         CAST(FLOOR(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS MATERIALIZED (
+        |  SELECT event_type, x,
+        |         COUNT(1) FILTER (s = 'even') AS ca,
+        |         COUNT(1) FILTER (s = 'odd') AS cb
+        |  FROM v GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, ca, cb, ca + cb AS cc,
+        |         COALESCE(SUM(ca + cb) OVER (PARTITION BY event_type ORDER BY x
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM c),
+        |agg AS (
+        |  SELECT event_type,
+        |         CAST(SUM(ca) AS HUGEINT) AS na, CAST(SUM(cb) AS HUGEINT) AS nb,
+        |         SUM(CAST(ca AS HUGEINT) * (2 * CAST(bef AS HUGEINT) + cc + 1)) AS r2a,
+        |         SUM(CAST(cc AS HUGEINT) * cc * cc - cc) AS ties
+        |  FROM b GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, na, nb, r2a - na * (na + 1) AS u2,
+        |         CASE WHEN na > 0 AND nb > 0 THEN
+        |           CAST(na * nb AS DOUBLE) / 12.0
+        |             * ((CAST(na + nb AS DOUBLE) + 1.0)
+        |                - CAST(ties AS DOUBLE) / CAST((na + nb) * (na + nb - 1) AS DOUBLE))
+        |         END AS var
+        |  FROM agg)
+        |SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |       CAST(u2 AS BIGINT) AS u2_a,
+        |       CASE WHEN var > 0.0 THEN
+        |         (CAST(u2 AS DOUBLE) - CAST(na * nb AS DOUBLE)) / (2.0 * sqrt(var)) END AS z
+        |FROM f ORDER BY event_type""".stripMargin,
 
     // Identical (entity, slot) frame; long sums and integer div make
     // the baseline engine-exact (values are non-negative here, so

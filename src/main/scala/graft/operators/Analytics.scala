@@ -402,6 +402,124 @@ object Analytics {
       (mb - ma).as("diff"), t.as("t"), dfW.as("df"))
   }
 
+  /** Shared distinct-value count table for the rank/ECDF tests below:
+    * values quantize to ⌊v·10^scale⌋ (the [[welchT]] parity contract —
+    * equality and order become integer-exact in every engine), then one
+    * partial-aggregated pass emits per-(group, value) side counts. The
+    * windows in the consumers run over THIS table — NDV-bounded per
+    * group, never over raw observations. */
+  private def sideCounts(df: DataFrame, groupCol: String, sideCol: String,
+                         valueCol: String, sideA: String, sideB: String,
+                         scale: Int): DataFrame = {
+    require(scale >= 0 && scale <= 9, s"scale must be in [0, 9], got $scale")
+    require(sideA != sideB, s"sides must differ, got '$sideA' twice")
+    val p = math.pow(10.0, scale)
+    df.filter(col(valueCol).isNotNull &&
+        col(sideCol).cast("string").isin(sideA, sideB))
+      .select(col(groupCol), col(sideCol).cast("string").as("_s"),
+        floor(col(valueCol) * lit(p)).cast("long").as("_x"))
+      .groupBy(col(groupCol), col("_x"))
+      .agg(sum(when(col("_s") === sideA, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_s") === sideB, 1L).otherwise(0L)).as("_cb"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov test per group — the distribution-
+    * drift gate between two corpus snapshots / traffic slices on a
+    * numeric feature (doc length, score, latency), sensitive to ANY
+    * distributional change where [[welchT]] only sees the mean:
+    * D = max_x |ECDF_a(x) − ECDF_b(x)|, rejected at `alpha` when
+    * D > c(α)·√((n_a+n_b)/(n_a·n_b)) with c(α) = √(−ln(α/2)/2) (the
+    * classic large-sample approximation).
+    *
+    * Exactness: ECDF differences are compared as the INTEGER
+    * |cum_a·n_b − cum_b·n_a| over the quantized distinct-value table
+    * (DECIMAL(38,0) products — 100 TB-count-proof), so the argmax is
+    * engine-exact; only the final D and threshold are pinned double
+    * divisions (`q_ks_drift` replays them over HUGEINT). One shuffle to
+    * the (group, value) counts, cumulative windows on the NDV-bounded
+    * table, one aggregate — raw observations never enter a window.
+    * Groups missing either side surface null D, never a division by
+    * zero.
+    *
+    * Output: (groupCol, n_a, n_b, d, d_crit, drifted). */
+  def ksTest(df: DataFrame, groupCol: String, sideCol: String,
+             valueCol: String, sideA: String, sideB: String,
+             alpha: Double = 0.05, scale: Int = 6): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
+    val counts = sideCounts(df, groupCol, sideCol, valueCol, sideA, sideB, scale)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_x"))
+      .rowsBetween(Long.MinValue, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val d38 = "decimal(38,0)"
+    val cum = counts
+      .withColumn("_na", sum(col("_ca")).over(wAll))
+      .withColumn("_nb", sum(col("_cb")).over(wAll))
+      .withColumn("_num",
+        abs(sum(col("_ca")).over(wCum).cast(d38) * col("_nb") -
+          sum(col("_cb")).over(wCum).cast(d38) * col("_na")))
+    val c = math.sqrt(-math.log(alpha / 2.0) / 2.0)
+    val agg = cum.groupBy(col(groupCol))
+      .agg(max(col("_na")).as("_na"), max(col("_nb")).as("_nb"),
+        max(col("_num")).as("_m"))
+    val na = col("_na").cast("double"); val nb = col("_nb").cast("double")
+    val d = when(col("_na") > 0 && col("_nb") > 0,
+      col("_m").cast("double") / (na * nb))
+    val dCrit = when(col("_na") > 0 && col("_nb") > 0,
+      lit(c) * sqrt((na + nb) / (na * nb)))
+    agg.select(col(groupCol), col("_na").cast("long").as("n_a"),
+      col("_nb").cast("long").as("n_b"), d.as("d"), dCrit.as("d_crit"),
+      (d > dCrit).as("drifted"))
+  }
+
+  /** Mann–Whitney U test per group (Wilcoxon rank-sum) — the
+    * nonparametric A/B readout for skewed metrics (revenue, dwell time,
+    * token counts) where [[welchT]]'s normality assumption is wrong:
+    * rank the pooled sample (ties take the average rank), U_a =
+    * R_a − n_a(n_a+1)/2, and the tie-corrected normal approximation
+    * z = (U_a − n_a·n_b/2) / √(n_a·n_b/12 · (N+1 − Σ(t³−t)/(N(N−1)))).
+    *
+    * Exactness: average ranks live in HALVES, so everything up to z is
+    * the exact integer 2·R_a = Σ c_a·(2·cumBefore + c + 1) and the
+    * exact tie sum Σ(t³−t), both DECIMAL(38,0)-accumulated over the
+    * quantized distinct-value table; z is one pinned double sequence
+    * over those integers (`q_mann_whitney` replays via HUGEINT). Same
+    * scale shape as [[ksTest]]. Degenerate groups (a missing side, or
+    * every observation tied — zero variance) surface null z.
+    *
+    * Output: (groupCol, n_a, n_b, u2_a = 2·U_a, z) — u2_a doubled to
+    * stay integral under tie-ranks. */
+  def mannWhitneyU(df: DataFrame, groupCol: String, sideCol: String,
+                   valueCol: String, sideA: String, sideB: String,
+                   scale: Int = 6): DataFrame = {
+    val counts = sideCounts(df, groupCol, sideCol, valueCol, sideA, sideB, scale)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_x"))
+      .rowsBetween(Long.MinValue, -1)
+    val d38 = "decimal(38,0)"
+    val base = counts
+      .withColumn("_c", col("_ca") + col("_cb"))
+      .withColumn("_before", coalesce(sum(col("_ca") + col("_cb")).over(wCum), lit(0L)))
+    val agg = base.groupBy(col(groupCol))
+      .agg(sum(col("_ca")).cast(d38).as("_na"),
+        sum(col("_cb")).cast(d38).as("_nb"),
+        sum(col("_ca").cast(d38) * (lit(2).cast(d38) * col("_before") + col("_c") + 1))
+          .as("_r2a"),
+        sum(col("_c").cast(d38) * col("_c") * col("_c") - col("_c")).as("_ties"))
+    val na = col("_na"); val nb = col("_nb"); val bigN = na + nb
+    val u2 = col("_r2a") - na * (na + 1)
+    // variance from exact integers, one pinned sequence; null when every
+    // pooled value is tied (T = N³−N ⇒ var = 0)
+    val varD = when(na > 0 && nb > 0,
+      (na * nb).cast("double") / 12.0 *
+        ((bigN.cast("double") + 1.0) -
+          col("_ties").cast("double") / (bigN * (bigN - 1)).cast("double")))
+    val z = when(varD > 0.0,
+      (u2.cast("double") - (na * nb).cast("double")) / (lit(2.0) * sqrt(varD)))
+    agg.select(col(groupCol), na.cast("long").as("n_a"), nb.cast("long").as("n_b"),
+      u2.cast("long").as("u2_a"), z.as("z"))
+  }
+
   /** Per-group simple linear regression (OLS y = a + b·x) from EXACT
     * fixed-point moment sums — the trend-per-segment primitive (price
     * curves per brand, score drift per source, …) computed as ONE

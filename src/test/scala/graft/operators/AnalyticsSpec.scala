@@ -372,6 +372,49 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  private val ksSchema = StructType(Seq(
+    StructField("g", StringType), StructField("s", StringType),
+    StructField("v", DoubleType)))
+
+  test("ksTest: hand-computed D on a tied sample; missing-side group nulls; drift flag") {
+    // A = {1,2,3}, B = {2,3,4}: pooled distinct 1,2,3,4 with
+    // cumA = 1,2,3,3 / cumB = 0,1,2,3 -> max|cumA·3 − cumB·3| = 3,
+    // D = 3/9 = 1/3 (scipy's ks_2samp agrees)
+    val rows = Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0,
+      "b" -> 2.0, "b" -> 3.0, "b" -> 4.0).map { case (s, v) => Row("g", s, v) } ++
+      Seq(Row("solo", "a", 1.0))
+    val out = Analytics.ksTest(df(ksSchema, rows), "g", "s", "v", "a", "b")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getLong(1) == 3L && g.getLong(2) == 3L)
+    assert(math.abs(g.getDouble(3) - 1.0 / 3.0) < 1e-15)
+    // c(0.05)·sqrt(6/9) ≈ 1.3581·0.8165 ≈ 1.109 > 1/3 -> no drift
+    assert(!g.getBoolean(5))
+    assert(out("solo").isNullAt(3) && out("solo").isNullAt(5))
+    // a two-point mass shift IS drift: A all 0, B all 1, n = 60 each ->
+    // D = 1, threshold ≈ 1.3581·sqrt(120/3600) ≈ 0.248
+    val shifted = (1 to 60).flatMap(i => Seq(Row("h", "a", 0.0), Row("h", "b", 1.0)))
+    val h = Analytics.ksTest(df(ksSchema, shifted), "g", "s", "v", "a", "b").head()
+    assert(h.getDouble(3) == 1.0 && h.getBoolean(5))
+  }
+
+  test("mannWhitneyU: hand-computed tie-corrected U and z") {
+    // A = {1,2,3}, B = {2,3,4}: pooled ranks 1, (2.5,2.5), (4.5,4.5), 6
+    // R_A = 1+2.5+4.5 = 8 -> U_A = 8−6 = 2 (u2_a = 4); ties T = 12,
+    // var = (9/12)·(7 − 12/30) = 4.95, z = (2−4.5)/√4.95 = −1.123666…
+    val rows = Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0,
+      "b" -> 2.0, "b" -> 3.0, "b" -> 4.0).map { case (s, v) => Row("g", s, v) }
+    val r = Analytics.mannWhitneyU(df(ksSchema, rows), "g", "s", "v", "a", "b").head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getLong(3) == 4L, s"u2_a: $r")
+    assert(math.abs(r.getDouble(4) - (-2.5 / math.sqrt(4.95))) < 1e-12)
+    // all-tied group: zero variance -> null z, u2 still exact
+    val tied = Seq(Row("t", "a", 7.0), Row("t", "a", 7.0), Row("t", "b", 7.0))
+    val t = Analytics.mannWhitneyU(df(ksSchema, tied), "g", "s", "v", "a", "b").head()
+    // R2_A = 2·(0+3+1) = 8 -> 2·R_A = 8, u2 = 8 − 2·3 = 2 (avg-rank 2 each)
+    assert(t.getLong(3) == 2L && t.isNullAt(4))
+  }
+
   test("bhCorrect: tiny alpha denominators stay exact (Long would wrap and reject everything)") {
     // alpha = 5/1e12: _pfp·m·alphaDen ≈ 5e21 exceeds Long.MaxValue; the
     // DECIMAL(38,0) comparison keeps the boundary exact — nothing near
