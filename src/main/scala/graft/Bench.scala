@@ -214,7 +214,11 @@ object Bench {
     // r13 — rank/ECDF nonparametrics over the quantized distinct-value
     // table (one shuffle + NDV-bounded windows): two-sample KS drift
     // gate and tie-corrected Mann-Whitney U
-    "q_ks_drift", "q_mann_whitney")
+    "q_ks_drift", "q_mann_whitney",
+    // r13 — t-closeness EMD audit (bounded groups x cohorts grid),
+    // Good-Turing vocabulary saturation (frequency-of-frequency aggs),
+    // and Krippendorff alpha over a ragged annotation table
+    "q_tcloseness", "q_vocab_coverage", "q_krippendorff")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

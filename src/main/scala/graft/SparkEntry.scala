@@ -921,6 +921,13 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "q_vocab_coverage" -> ((s, dir) =>
+      // Good-Turing unseen-mass + Chao1 richness per language: exact
+      // frequency-of-frequency integers off the distinct-type table,
+      // two pinned double estimates — the corpus-growth saturation gauge
+      operators.Profile.vocabCoverage(T(s, dir, "documents"), "text", "lang")
+        .orderBy(col("lang"))),
+
     "q_dedup_clusters" -> ((s, dir) => {
       // cluster resolution over the (SQL-expressible) n-gram Jaccard pair
       // graph: connected components via large-star/small-star contraction;
@@ -2612,6 +2619,24 @@ object SparkEntry {
           col("po"), col("pe"), col("kappa"))
         .orderBy(col("source"))),
 
+    "q_krippendorff" -> ((s, dir) => {
+      // annotation-queue reliability with MISSING ratings — the case
+      // Fleiss can't weight: gold lang rates every doc, a noisy parity
+      // rater skips doc_id%5==0, a gold copy skips doc_id%3==0; docs
+      // left with one rating (doc_id%15==0) drop as unpairable, alpha's
+      // per-item 1/(m-1) weighting handles the rest exactly
+      val d = T(s, dir, "documents")
+      val r1 = d.select(col("doc_id"), col("lang").as("v"))
+      val r2 = d.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("n_chars"), lit(2L)) === 0, col("lang"))
+            .otherwise(lit("und")).as("v"))
+      val r3 = d.filter(pmod(col("doc_id"), lit(3L)) =!= 0)
+        .select(col("doc_id"), col("lang").as("v"))
+      operators.Evaluation.krippendorffAlpha(
+        r1.unionAll(r2).unionAll(r3), "doc_id", "v")
+    }),
+
     "q_fleiss" -> ((s, dir) => {
       // three raters per document (gold lang, our langid, and a seeded
       // degradation of gold) → the variable-rater Fleiss kappa; one
@@ -2674,6 +2699,18 @@ object SparkEntry {
             floor(col("value") / 10.0).cast("long").as("value_band"),
             col("user_id")),
           Seq("event_type", "value_band"), "user_id", k = 150, l = 60)
+        .orderBy(col("event_type"), col("value_band"))),
+
+    "q_tcloseness" -> ((s, dir) =>
+      // the third privacy rung: per quasi group, exact ordered EMD
+      // between the group's sensitive-cohort distribution and the
+      // corpus's — integer cumulative differences on the bounded
+      // groups x values grid, strict-integer violation test at t = 1/20
+      operators.Privacy.tClosenessAudit(
+          T(s, dir, "events").select(col("event_type"),
+            floor(col("value") / 10.0).cast("long").as("value_band"),
+            pmod(col("user_id"), lit(8L)).as("cohort")),
+          Seq("event_type", "value_band"), "cohort", tNum = 1L, tDen = 20L)
         .orderBy(col("event_type"), col("value_band"))),
 
     "q_kanon_suppress" -> ((s, dir) =>
@@ -3069,6 +3106,28 @@ object SparkEntry {
         |       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
         |       ROUND(quantile_cont(n_chars, 0.95), 4) AS p95_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Good-Turing replay: same type-count table, exact n/V/n1/n2
+    // integers, the identical pinned unseen-mass and Chao1 divisions
+    // (n1·(n1−1) as a DOUBLE product on both sides).
+    "q_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |         unnest(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'),
+        |                            x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |c AS MATERIALIZED (SELECT lang, w, COUNT(1) AS c FROM toks GROUP BY 1, 2),
+        |a AS (
+        |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(1) AS n_types,
+        |         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+        |         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_doubletons
+        |  FROM c GROUP BY 1)
+        |SELECT lang, n_tokens, n_types, n_singletons, n_doubletons,
+        |       CAST(n_singletons AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS unseen_mass,
+        |       CAST(n_types AS DOUBLE)
+        |         + CAST(n_singletons AS DOUBLE) * CAST(n_singletons - 1 AS DOUBLE)
+        |           / (2.0 * (CAST(n_doubletons AS DOUBLE) + 1.0)) AS chao1
+        |FROM a ORDER BY lang""".stripMargin,
 
     "q_mix_sources" ->
       """WITH c AS (SELECT lang, COUNT(1) AS n FROM documents
@@ -7038,6 +7097,39 @@ object SparkEntry {
 
     // Three UNION ALL rater streams; every Fleiss numerator/denominator
     // an exact HUGEINT sum; kappa = (A·T² − D·S)/(D·(T² − S)).
+    // Krippendorff replay: identical rule raters, per-item 1e9 fixed-
+    // point //(m−1) disagreement, HUGEINT marginals, the same pinned
+    // D_o / D_e / alpha double sequence.
+    "q_krippendorff" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang AS v FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN n_chars % 2 = 0 THEN lang ELSE 'und' END
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, lang FROM documents WHERE doc_id % 3 <> 0),
+        |cnt AS MATERIALIZED (
+        |  SELECT doc_id, v, COUNT(1) AS c FROM r WHERE v IS NOT NULL GROUP BY 1, 2),
+        |pi AS MATERIALIZED (
+        |  SELECT doc_id, SUM(c) AS m, SUM(c * (c - 1)) AS eq
+        |  FROM cnt GROUP BY 1 HAVING SUM(c) >= 2),
+        |it AS (
+        |  SELECT COUNT(1) AS n_items, CAST(SUM(m) AS HUGEINT) AS t,
+        |         CAST(SUM(((m * (m - 1) - eq) * 1000000000) // (m - 1)) AS HUGEINT) AS dofp
+        |  FROM pi),
+        |marg AS (
+        |  SELECT CAST(COALESCE(SUM(CAST(nc AS HUGEINT) * nc), 0) AS HUGEINT) AS s
+        |  FROM (SELECT SUM(c) AS nc FROM cnt JOIN pi USING (doc_id) GROUP BY v))
+        |SELECT n_items, CAST(t AS BIGINT) AS n_ratings,
+        |  CASE WHEN t >= 2 THEN
+        |    CAST(dofp AS DOUBLE) / (CAST(t AS DOUBLE) * 1000000000.0) END AS d_o,
+        |  CASE WHEN t >= 2 THEN
+        |    CAST(t * t - s AS DOUBLE) / CAST(t * (t - 1) AS DOUBLE) END AS d_e,
+        |  CASE WHEN t >= 2 AND (t * t - s) > 0 THEN
+        |    1.0 - (CAST(dofp AS DOUBLE) / (CAST(t AS DOUBLE) * 1000000000.0))
+        |        / (CAST(t * t - s AS DOUBLE) / CAST(t * (t - 1) AS DOUBLE)) END AS alpha
+        |FROM it CROSS JOIN marg""".stripMargin,
+
     "q_fleiss" -> {
       s"""WITH t AS (
          |  SELECT doc_id, lang,
@@ -7172,6 +7264,45 @@ object SparkEntry {
         |       COUNT(1) < 150 AS k_violation,
         |       COUNT(DISTINCT user_id) < 60 AS l_violation
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // t-closeness replay: the bounded groups x cohorts grid, HUGEINT
+    // cumulative (c·N − C·n) per group in cohort order, Σ|cum|, the
+    // identical pinned EMD division, and the strict integer violation
+    // comparison at t = 1/20.
+    "q_tcloseness" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT event_type, CAST(FLOOR(value / 10.0) AS BIGINT) AS value_band,
+        |         user_id % 8 AS v
+        |  FROM events WHERE user_id IS NOT NULL),
+        |gv AS MATERIALIZED (
+        |  SELECT event_type, value_band, v, COUNT(1) AS c FROM b GROUP BY 1, 2, 3),
+        |grp AS MATERIALIZED (
+        |  SELECT event_type, value_band, SUM(c) AS n FROM gv GROUP BY 1, 2),
+        |gl AS MATERIALIZED (SELECT v, SUM(c) AS cg FROM gv GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(cg) AS HUGEINT) AS nn, COUNT(1) AS m FROM gl),
+        |grid AS (
+        |  SELECT g.event_type, g.value_band, g.n, gl.v, gl.cg, tt.nn, tt.m,
+        |         COALESCE(x.c, 0) AS c
+        |  FROM grp g CROSS JOIN gl CROSS JOIN tt
+        |  LEFT JOIN gv x ON x.event_type = g.event_type
+        |                AND x.value_band = g.value_band AND x.v = gl.v),
+        |cum AS (
+        |  SELECT *, SUM(CAST(c AS HUGEINT) * nn - CAST(cg AS HUGEINT) * n)
+        |    OVER (PARTITION BY event_type, value_band ORDER BY v
+        |          ROWS UNBOUNDED PRECEDING) AS cu
+        |  FROM grid),
+        |agg AS (
+        |  SELECT event_type, value_band, MAX(n) AS n, MAX(nn) AS nn,
+        |         MAX(m) AS m, SUM(ABS(cu)) AS s
+        |  FROM cum GROUP BY 1, 2)
+        |SELECT event_type, value_band, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN m > 1
+        |       THEN CAST(s AS DOUBLE) / CAST(CAST(n AS HUGEINT) * nn * (m - 1) AS DOUBLE)
+        |       ELSE 0.0 END AS emd,
+        |  CASE WHEN m > 1
+        |       THEN s * 20 > CAST(1 AS HUGEINT) * (CAST(n AS HUGEINT) * nn * (m - 1))
+        |       ELSE FALSE END AS t_violation
+        |FROM agg ORDER BY event_type, value_band""".stripMargin,
 
     "q_kanon_suppress" ->
       """WITH g AS (

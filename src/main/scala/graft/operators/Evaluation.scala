@@ -241,6 +241,67 @@ object Evaluation {
       })
   }
 
+  /** Krippendorff's alpha (nominal) — the reliability coefficient for
+    * annotation tables with MISSING ratings, which [[fleissKappa]]
+    * cannot weight correctly: raters overlap on some items and skip
+    * others (the normal state of a labeling queue), and alpha's
+    * item-level 1/(mᵢ−1) pair weighting plus its (T−1) expected-
+    * disagreement denominator are exactly the corrections for that.
+    * Items with fewer than 2 ratings carry no pairable information and
+    * drop (the published algorithm's rule). α = 1 − D_o/D_e with
+    *   D_o = (1/T)·Σᵢ [mᵢ(mᵢ−1) − Σ_c mᵢc(mᵢc−1)] / (mᵢ−1),
+    *   D_e = (T² − Σ_c n_c²) / (T(T−1)).
+    *
+    * Exactness: the only non-integer step, the per-item /(mᵢ−1), is
+    * floor-quantized at 1e9 fixed point (the [[WeakSupervision]]
+    * integer-weights pattern) — engine-exact; every other sum is an
+    * exact integer (DECIMAL(38,0) where products can exceed int64),
+    * and D_o/D_e/α are pinned double sequences over those integers
+    * (`q_krippendorff` replays via HUGEINT `//`). Ratings per item are
+    * asserted ≤ 30000 so the fixed-point product stays in int64 — far
+    * above any real annotation fan-out, far below corpus scale.
+    *
+    * Shape: one (item, value) count shuffle, a co-partitioned per-item
+    * aggregate, then two scalar aggregates (items / value marginals) —
+    * the exchange carries distinct (item, value) rows, never ratings.
+    *
+    * Output (one row): (n_items, n_ratings, d_o, d_e, alpha); alpha is
+    * NULL when every pairable rating agrees on one value (D_e = 0). */
+  def krippendorffAlpha(df: DataFrame, itemCol: String, valueCol: String): DataFrame = {
+    val scale = 1000000000L
+    val d38 = "decimal(38,0)"
+    val cnt = df.filter(col(valueCol).isNotNull)
+      .select(col(itemCol).as("_i"), col(valueCol).cast("string").as("_v"))
+      .groupBy(col("_i"), col("_v")).agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true) // two readers: per-item aggs + value marginals
+    val perItem = cnt.groupBy(col("_i"))
+      .agg(sum(col("_c")).as("_m"),
+        sum(col("_c") * (col("_c") - 1)).as("_eq"))
+      .filter(col("_m") >= 2)
+      .localCheckpoint(true) // two readers: D_o sum + the marginal semi-join
+    val oversized = perItem.filter(col("_m") > 30000L).limit(1).count()
+    require(oversized == 0L,
+      "krippendorffAlpha: an item has > 30000 ratings — fixed-point D_o would overflow int64")
+    val items = perItem
+      .select(expr(s"((_m * (_m - 1) - _eq) * ${scale}L) div (_m - 1)").as("_fp"),
+        col("_m"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("_m")).cast(d38).as("_t"),
+        sum(col("_fp").cast(d38)).as("_dofp"))
+    val marg = cnt.join(perItem.select(col("_i")), Seq("_i"), "left_semi")
+      .groupBy(col("_v")).agg(sum(col("_c")).as("_nc"))
+      .agg(coalesce(sum(col("_nc").cast(d38) * col("_nc")),
+        lit(0).cast(d38)).as("_s"))
+    val t = col("_t")
+    val dO = col("_dofp").cast("double") / (t.cast("double") * lit(scale.toDouble))
+    val dE = (t * t - col("_s")).cast("double") / (t * (t - 1)).cast("double")
+    items.crossJoin(broadcast(marg))
+      .select(col("n_items"), t.cast("long").as("n_ratings"),
+        when(t >= 2, dO).as("d_o"),
+        when(t >= 2, dE).as("d_e"),
+        when(t >= 2 && (t * t - col("_s")) > 0, lit(1.0) - dO / dE).as("alpha"))
+  }
+
   /** Corpus-level n-gram overlap between a candidate and a reference
     * text column — the shared machinery of BLEU (clipped precision) and
     * ROUGE-N (recall): per n = 1..maxN, matches = Σ_docs Σ_grams

@@ -91,4 +91,74 @@ object Privacy {
           md5(concat(lit(salt), lit(":"), col(c).cast("string")))))
     }
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung after [[kAnonymityAudit]]'s k and l: a quasi-identifier group
+    * leaks even when large and diverse if its sensitive-value
+    * DISTRIBUTION differs from the corpus's (everyone in the group
+    * earning top-decile salaries is a disclosure regardless of k).
+    * A group passes when the Earth Mover's Distance between its
+    * sensitive distribution and the global one is ≤ t = tNum/tDen;
+    * for an ORDERED sensitive attribute with m distinct values the
+    * paper's EMD is Σ_i |cum(p−q)_i| / (m−1).
+    *
+    * Exactness: with group counts c, group size n, global counts C,
+    * corpus size N, the cumulative difference at value i is the exact
+    * integer Σ_{≤i}(c·N − C·n), so EMD = Σ|cum| / (n·N·(m−1)) and the
+    * violation test runs ENTIRELY in integers —
+    * Σ|cum|·tDen > tNum·n·N·(m−1) — with DECIMAL(38,0) products
+    * (corpus-count-proof); only the reported `emd` double is a pinned
+    * final division (`q_tcloseness` replays via HUGEINT).
+    *
+    * Shape: one (group, value) count pass + one value-marginal pass,
+    * the bounded groups×values grid (both NDV-bounded — quasi bands ×
+    * sensitive bands, never corpus-scale) via a broadcast cross join,
+    * one per-group cumulative window ON THE GRID, one aggregate. The
+    * grid is mandatory: a value ABSENT from a group still moves the
+    * cumulative difference (c = 0, C > 0).
+    *
+    * Output: (quasi…, n, emd, t_violation), one row per group. */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, tNum: Long, tDen: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(tDen > 0 && tNum >= 0 && tNum <= tDen,
+      s"need 0 <= t = $tNum/$tDen <= 1")
+    val d38 = "decimal(38,0)"
+    val base = df.filter(col(sensitiveCol).isNotNull)
+      .select(quasiCols.map(col) :+ col(sensitiveCol).as("_v"): _*)
+    val gv = base.groupBy(quasiCols.map(col) :+ col("_v"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val groups = gv.groupBy(quasiCols.map(col): _*).agg(sum(col("_c")).as("_n"))
+    val global = gv.groupBy(col("_v")).agg(sum(col("_c")).as("_cg"))
+    val totals = global.agg(sum(col("_cg")).as("_nn"), count(lit(1)).as("_m"))
+    // null-safe grid join: GROUP BY put null quasi values in one group,
+    // so the join back must match them too (plain join equality would
+    // silently zero a null-keyed group's counts)
+    val gvR = gv.select(quasiCols.map(c => col(c).as(s"_r_$c")) :+
+      col("_v").as("_rv") :+ col("_c"): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"_r_$c"))
+      .reduce(_ && _) && (col("_v") === col("_rv"))
+    val grid = groups
+      .crossJoin(broadcast(global.crossJoin(totals)))
+      .join(gvR, cond, "left")
+      .withColumn("_c", coalesce(col("_c"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*).orderBy(col("_v"))
+      .rowsBetween(Long.MinValue, 0)
+    val cum = grid.withColumn("_cum",
+      sum(col("_c").cast(d38) * col("_nn") - col("_cg").cast(d38) * col("_n")).over(w))
+    val agg = cum.groupBy(quasiCols.map(col): _*)
+      .agg(max(col("_n")).as("_n"), max(col("_nn")).as("_nn"),
+        max(col("_m")).as("_m"), sum(abs(col("_cum"))).as("_s"))
+    // m = 1 (a single global sensitive value) ⇒ every group matches the
+    // global distribution exactly: EMD 0 by convention, never a /0
+    val den = col("_n").cast(d38) * col("_nn") * (col("_m") - 1)
+    val emd = when(col("_m") > 1, col("_s").cast("double") / den.cast("double"))
+      .otherwise(lit(0.0))
+    val violated = when(col("_m") > 1,
+        col("_s") * lit(tDen) > lit(tNum).cast(d38) * den)
+      .otherwise(lit(false))
+    agg.select(quasiCols.map(col) :+ col("_n").as("n") :+
+      emd.as("emd") :+ violated.as("t_violation"): _*)
+  }
 }

@@ -440,6 +440,47 @@ object Profile {
             6) + 0.0))
   }
 
+  /** Good–Turing vocabulary coverage per group — the "is more data
+    * still buying new tokens" diagnostic a corpus-growth decision
+    * needs: from the frequency-of-frequencies, the Good–Turing (1953)
+    * estimate of the UNSEEN-type probability mass p₀ ≈ n₁/N (the next
+    * token drawn is a never-seen type with the singleton fraction's
+    * probability) and the bias-corrected Chao1 (1984/1987) richness
+    * estimate V + n₁(n₁−1)/(2(n₂+1)) of the true vocabulary size. A
+    * slice with high unseen mass is undersampled — more of it adds
+    * vocabulary; one near zero has saturated.
+    *
+    * Exactness: N, V, n₁, n₂ are exact integer aggregates of the
+    * (group, token) count table (partial-aggregated — the exchange
+    * carries distinct types, never the token stream); the two
+    * estimates are pinned double divisions over those integers
+    * (`q_vocab_coverage` replays them 1:1). Empty groups never arise
+    * (no tokens → no row); p₀ of an all-singleton slice is 1.
+    *
+    * Output: (groupCol, n_tokens, n_types, n_singletons, n_doubletons,
+    * unseen_mass, chao1). */
+  def vocabCoverage(df: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val counts = df.select(col(groupCol),
+        explode(filter(split(graft.functions.TextFunctions.normalizeForFingerprint(
+            coalesce(col(textCol), lit(""))), " "),
+          t => length(t) > 0)).as("_w"))
+      .groupBy(col(groupCol), col("_w")).agg(count(lit(1)).as("_c"))
+    counts.groupBy(col(groupCol))
+      .agg(sum(col("_c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("_c") === 1L, 1L).otherwise(0L)).as("n_singletons"),
+        sum(when(col("_c") === 2L, 1L).otherwise(0L)).as("n_doubletons"))
+      .withColumn("unseen_mass",
+        col("n_singletons").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("chao1",
+        // n₁² as a DOUBLE product, not long (a 100 TB web corpus's
+        // singleton count squared overflows int64); both engines round
+        // the product identically, so replay parity holds
+        col("n_types").cast("double") +
+          col("n_singletons").cast("double") * (col("n_singletons") - 1).cast("double") /
+            (lit(2.0) * (col("n_doubletons").cast("double") + 1.0)))
+  }
+
   def ngramDiversity(df: DataFrame, textCol: String, groupCol: String,
                      maxN: Int = 2): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")

@@ -165,6 +165,29 @@ class EvaluationSpec extends SparkSpec {
       "kappa = (2*25-4*13)/(4*(25-13))")
   }
 
+  test("krippendorffAlpha: hand-computed missing-data example; degenerate cases") {
+    // items: 1:(a,a) fp=0 | 2:(a,b) disagree=2, fp=2e9 | 3:(b,b,b) fp=0
+    // | 4:(a) drops (unpairable). T=7, D_o=2/7; marginals a=3 b=4,
+    // S=25, D_e=(49-25)/42=4/7 -> alpha = 1 - (2/7)/(4/7) = 0.5 exactly
+    val d = df(fleissSchema, Seq(
+      Row(1L, "a"), Row(1L, "a"),
+      Row(2L, "a"), Row(2L, "b"),
+      Row(3L, "b"), Row(3L, "b"), Row(3L, "b"),
+      Row(4L, "a")))
+    val r = Evaluation.krippendorffAlpha(d, "item", "cat").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 7L)
+    assert(r.getDouble(2) == 2.0 / 7.0 && r.getDouble(3) == 24.0 / 42.0)
+    assert(r.getDouble(4) == 0.5, s"alpha: $r")
+    // unanimous ratings: D_e = 0 -> alpha NULL (chance explains all)
+    val agree = df(fleissSchema, Seq(Row(1L, "a"), Row(1L, "a"), Row(2L, "a"), Row(2L, "a")))
+    val ra = Evaluation.krippendorffAlpha(agree, "item", "cat").head()
+    assert(ra.getDouble(2) == 0.0 && ra.isNullAt(4))
+    // nothing pairable: every stat NULL/zero, no crash
+    val solo = Evaluation.krippendorffAlpha(
+      df(fleissSchema, Seq(Row(1L, "a"), Row(2L, "b"))), "item", "cat").head()
+    assert(solo.getLong(0) == 0L && solo.isNullAt(4))
+  }
+
   test("fleissKappa: perfect agreement gives kappa 1; one item only -> pe=1 NULL") {
     val perfect = df(fleissSchema, Seq(Row(1L, "A"), Row(1L, "A"),
       Row(2L, "B"), Row(2L, "B")))

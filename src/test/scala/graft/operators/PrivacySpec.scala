@@ -82,4 +82,40 @@ class PrivacySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Privacy.pseudonymize(df(pseuSchema, rows), Nil, salt = "x"))
   }
+
+  private val tSchema = StructType(Seq(
+    StructField("g", StringType), StructField("v", LongType)))
+
+  test("tClosenessAudit: hand-computed ordered EMD; strict boundary; null group; m=1") {
+    // global over v in {1,2,3}: C = (2,2,2), N = 6, m = 3
+    // group a = [1,1,2]: p = (2/3,1/3,0) vs q = (1/3,1/3,1/3)
+    //   -> cum diffs 1/3, 1/3, 0 -> EMD = (2/3)/(m-1) = 1/3; b symmetric
+    val rows = Seq(Row("a", 1L), Row("a", 1L), Row("a", 2L),
+      Row("b", 2L), Row("b", 3L), Row("b", 3L))
+    def audit(tn: Long, td: Long) =
+      Privacy.tClosenessAudit(df(tSchema, rows), Seq("g"), "v", tn, td)
+        .collect().map(r => r.getString(0) -> r).toMap
+    val at13 = audit(1, 3)
+    assert(at13("a").getLong(1) == 3L)
+    assert(math.abs(at13("a").getDouble(2) - 1.0 / 3.0) < 1e-15)
+    assert(math.abs(at13("b").getDouble(2) - 1.0 / 3.0) < 1e-15)
+    // the bound is <= t: EMD exactly at t must NOT violate...
+    assert(!at13("a").getBoolean(3) && !at13("b").getBoolean(3))
+    // ...and any tighter t must (integer comparison, no double slack)
+    val tight = audit(33333, 100000)
+    assert(tight("a").getBoolean(3) && tight("b").getBoolean(3))
+    // null quasi values audit as their own group
+    val withNull = Privacy.tClosenessAudit(
+      df(tSchema, rows ++ Seq(Row(null, 1L), Row(null, 1L))), Seq("g"), "v", 1, 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(withNull(null).getLong(1) == 2L)
+    assert(withNull(null).getDouble(2) > 0.0, "an all-1s group diverges from the global mix")
+    // single global sensitive value: every group matches exactly
+    val m1 = Privacy.tClosenessAudit(
+      df(tSchema, Seq(Row("a", 7L), Row("b", 7L))), Seq("g"), "v", 0, 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m1("a").getDouble(2) == 0.0 && !m1("a").getBoolean(3))
+    intercept[IllegalArgumentException](
+      Privacy.tClosenessAudit(df(tSchema, rows), Seq("g"), "v", 2, 1))
+  }
 }

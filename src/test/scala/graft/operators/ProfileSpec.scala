@@ -287,6 +287,21 @@ class ProfileSpec extends SparkSpec {
     assert(out(3L).getLong(3) == 2L, "vowel-free words clamp to one syllable each")
   }
 
+  test("vocabCoverage: hand-computed Good-Turing unseen mass and Chao1") {
+    val sch = StructType(Seq(
+      StructField("g", StringType), StructField("text", StringType)))
+    // g: counts a:2 b:2 c:1 -> N=5 V=3 n1=1 n2=2 -> p0=0.2, chao1=3+0/6=3
+    // h: all singletons -> N=3 V=3 n1=3 n2=0 -> p0=1, chao1=3+6/2=6
+    val out = Profile.vocabCoverage(df(sch, Seq(
+        Row("g", "a A b"), Row("g", "b c"), Row("h", "x y z"))), "text", "g")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert((g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4)) == ((5L, 3L, 1L, 2L)))
+    assert(g.getDouble(5) == 0.2 && g.getDouble(6) == 3.0)
+    val h = out("h")
+    assert(h.getDouble(5) == 1.0 && h.getDouble(6) == 6.0)
+  }
+
   test("readability: per-word clamp — vowel-less token cannot borrow from a multi-vowel neighbor") {
     // "alpha" = 2 vowel groups, "bcd" = 0 → per-word max(1,·) sums to 3;
     // the old aggregate-level clamp (greatest(words, groups)) said 2
