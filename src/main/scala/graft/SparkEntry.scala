@@ -362,7 +362,12 @@ object SparkEntry {
       // and the bottleneck-budget prefix cut end to end
       val d = T(s, dir, "documents")
       val lm = LanguageModel.train(d.filter(col("lang") === "en"), "text", vocabSize = 1000)
+      // the scored projection is read by the bucket boundaries, the
+      // mix's driver budget pass, AND the final output — materialize
+      // the narrow (id, nll) table once or the whole train+score chain
+      // re-runs per reader (bench: 7.0 s -> one scoring pass)
       val scored = LanguageModel.scoreNll(d, "text", "doc_id", lm, addK = 0.5)
+        .localCheckpoint(true)
       val bucketed = LanguageModel.qualityBuckets(scored, "doc_id")
         .filter(col("bucket").isNotNull)
         .join(d.select(col("doc_id"), col("n_chars")), Seq("doc_id"))

@@ -195,7 +195,11 @@ object TrainingDataPipeline {
         val clean = work.read("docs_clean")
         val lm = LanguageModel.train(clean.filter(col(langCol) === lmRefLang),
           "text", lmVocabSize)
+        // materialize the narrow scored projection once: the bucket
+        // boundaries, the mix's driver budget pass, and the keep set
+        // all read it (else train+score re-runs per reader)
         val scored = LanguageModel.scoreNll(clean, "text", "doc_id", lm, lmAddK)
+          .localCheckpoint(true)
         val bucketed = LanguageModel.qualityBuckets(scored, "doc_id")
           .filter(col("bucket").isNotNull)
           .join(clean.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
