@@ -4,8 +4,16 @@
 The driver reaches pandas by two different paths (spark parquet via
 pyarrow.to_pandas, oracle via duckdb .df()), sorts with sort_values on all
 columns, and hashes values dtype-sensitively. compare.py checks VALUES
-exactly; this tool checks the representation contract the driver actually
-enforces — decimal128/int32/list columns fail here even when values match.
+exactly; this tool checks the representation contract.
+
+OVER-APPROXIMATION CAVEAT (measured against CORRECTNESS_r12): this tool's
+dtype equality is STRICTER than the driver's hasher. Queries that were
+driver-green in r12 still flag here on (a) datetime64[us] vs [ns] (duckdb
+.df() gives us, pyarrow ns) and (b) int32 vs int64 width when both sides
+are integral — the driver evidently normalizes both. The classes that DID
+break the driver — decimal128 vs int, and list<> columns (unsortable) —
+are exactly what a flag here must be taken seriously for. Treat timestamp
+and int-width flags as informational unless the driver disagrees.
 """
 import duckdb, json, sys
 import pandas as pd
