@@ -218,7 +218,10 @@ object Bench {
     // r13 — t-closeness EMD audit (bounded groups x cohorts grid),
     // Good-Turing vocabulary saturation (frequency-of-frequency aggs),
     // and Krippendorff alpha over a ragged annotation table
-    "q_tcloseness", "q_vocab_coverage", "q_krippendorff")
+    "q_tcloseness", "q_vocab_coverage", "q_krippendorff",
+    // r13 — experiment MDE from the welch moment sums, and ROUGE-L
+    // (row-parallel bounded LCS DP via mapPartitions, no shuffle)
+    "q_power_mde", "q_rouge_l")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

@@ -2082,6 +2082,18 @@ object SparkEntry {
           "experiment", "variant", "value", scale = 6)
         .orderBy(col("experiment"))),
 
+    "q_power_mde" -> ((s, dir) =>
+      // pre-registration power check on the same experiment frame as
+      // q_welch_t: minimum detectable effect from the DECIMAL-exact
+      // moment sums, quantiles as literals, pinned doubles at the end
+      operators.Analytics.powerAnalysis(
+          T(s, dir, "events").select(col("event_type").as("experiment"),
+            when(pmod(col("user_id"), lit(2L)) === 0L, lit("control"))
+              .otherwise(lit("treatment")).as("variant"),
+            col("value")),
+          "experiment", "variant", "value")
+        .orderBy(col("experiment"))),
+
     "q_ks_drift" -> ((s, dir) =>
       // two-sample Kolmogorov-Smirnov drift gate per event_type (even-
       // vs odd-user traffic on value): the ECDF argmax runs on exact
@@ -2623,6 +2635,20 @@ object SparkEntry {
           col("pe_num").cast("long").as("pe_num"),
           col("po"), col("pe"), col("kappa"))
         .orderBy(col("source"))),
+
+    "q_rouge_l" -> ((s, dir) => {
+      // LCS-based generation eval: the candidate is the reference with
+      // every third token dropped — BY CONSTRUCTION a subsequence, so
+      // LCS = |cand| = n − ⌊n/3⌋ exactly and the oracle states it
+      // without running a DP; the Spark side runs the real O(n·m)
+      // rolling DP (adversarial non-subsequence cases are spec goldens)
+      val toksAll = filter(split(TextFunctions.normalizeForFingerprint(
+        coalesce(col("text"), lit(""))), " "), t => length(t) > 0)
+      val cand = concat_ws(" ", filter(toksAll, (t, i) => pmod(i, lit(3)) =!= 2))
+      operators.Evaluation.rougeL(
+          T(s, dir, "documents").withColumn("cand", cand), "cand", "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
 
     "q_krippendorff" -> ((s, dir) => {
       // annotation-queue reliability with MISSING ratings — the case
@@ -5933,6 +5959,39 @@ object SparkEntry {
         |       END AS df
         |FROM s2 ORDER BY experiment""".stripMargin,
 
+    // MDE replay: the q_welch_t moment chain, then the identical pinned
+    // (z_a + z_b)·sqrt(se²) sequence with the same quantile literals.
+    "q_power_mde" ->
+      """WITH e AS (
+        |  SELECT event_type AS experiment,
+        |         CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS v,
+        |         CAST(FLOOR(value * 1000000.0) AS HUGEINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT experiment, v, CAST(COUNT(*) AS HUGEINT) AS n,
+        |             SUM(x) AS sx, SUM(x*x) AS sxx FROM e GROUP BY 1, 2),
+        |j AS (SELECT a.experiment, a.v AS variant_a, b.v AS variant_b,
+        |             a.n AS na, a.sx AS sxa, a.sxx AS sxxa,
+        |             b.n AS nb, b.sx AS sxb, b.sxx AS sxxb
+        |      FROM g a JOIN g b ON a.experiment = b.experiment AND a.v < b.v),
+        |s AS (SELECT *,
+        |        CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) / 1000000.0 AS ma,
+        |        CASE WHEN na > 1 THEN CAST(na * sxxa - sxa * sxa AS DOUBLE)
+        |             / CAST(na * (na - 1) AS DOUBLE) / 1000000.0 / 1000000.0 END AS va,
+        |        CASE WHEN nb > 1 THEN CAST(nb * sxxb - sxb * sxb AS DOUBLE)
+        |             / CAST(nb * (nb - 1) AS DOUBLE) / 1000000.0 / 1000000.0 END AS vb
+        |      FROM j),
+        |s2 AS (SELECT *, va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE) AS sesq,
+        |              CASE WHEN va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE) > 0.0
+        |                   THEN (1.959963984540054 + 0.8416212335729143)
+        |                        * sqrt(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)) END AS mde
+        |       FROM s)
+        |SELECT experiment, variant_a, variant_b,
+        |       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |       CASE WHEN sesq >= 0.0 THEN sqrt((va + vb) / 2.0) END AS sd_pooled,
+        |       mde AS mde_abs,
+        |       CASE WHEN ma <> 0.0 THEN mde / abs(ma) END AS mde_rel
+        |FROM s2 ORDER BY experiment""".stripMargin,
+
     // KS replay: quantized distinct-value side counts, HUGEINT-exact
     // |cumA·nB − cumB·nA| argmax, then the identical pinned D /
     // threshold doubles (c(0.05) via the same sqrt(−ln(α/2)/2)).
@@ -7102,6 +7161,29 @@ object SparkEntry {
 
     // Three UNION ALL rater streams; every Fleiss numerator/denominator
     // an exact HUGEINT sum; kappa = (A·T² − D·S)/(D·(T² − S)).
+    // ROUGE-L by construction: the candidate keeps positions p with
+    // p % 3 <> 2, so LCS = kept = n − n//3; P/R/F replay the identical
+    // pinned double sequence over those integers.
+    "q_rouge_l" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'),
+        |                              x -> len(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n - n // 3 AS lcs, n - n // 3 AS n_cand, n AS n_ref FROM t),
+        |s AS (
+        |  SELECT doc_id, lcs, n_cand, n_ref,
+        |         CASE WHEN n_cand > 0 THEN CAST(lcs AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS p,
+        |         CASE WHEN n_ref > 0 THEN CAST(lcs AS DOUBLE) / CAST(n_ref AS DOUBLE) END AS r
+        |  FROM b)
+        |SELECT doc_id, lcs, n_cand, n_ref,
+        |       p AS rouge_l_p, r AS rouge_l_r,
+        |       CASE WHEN p IS NOT NULL AND r IS NOT NULL AND (p + r) > 0.0
+        |            THEN 2.0 * p * r / (p + r)
+        |            WHEN p IS NOT NULL AND r IS NOT NULL THEN 0.0 END AS rouge_l_f
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     // Krippendorff replay: identical rule raters, per-item 1e9 fixed-
     // point //(m−1) disagreement, HUGEINT marginals, the same pinned
     // D_o / D_e / alpha double sequence.

@@ -402,6 +402,55 @@ object Analytics {
       (mb - ma).as("diff"), t.as("t"), dfW.as("df"))
   }
 
+  /** Experiment power analysis — the pre-registration companion to
+    * [[welchT]]/[[abTest]]: given the CURRENT per-arm sample sizes and
+    * pooled variance, the minimum detectable effect at significance
+    * zAlpha (two-sided critical value, default 1.959963984540054 for
+    * α = 0.05) and power zBeta (default 0.8416212335729143 for 80%):
+    * MDE = (z_{α/2} + z_β)·√(s²_a/n_a + s²_b/n_b) — the classic
+    * two-sample normal approximation. An experiment whose observed
+    * |diff| ≪ MDE was never going to read out; shipping that readout
+    * is how underpowered launches get green-lit. Quantiles are passed
+    * as literals (not computed), so the whole statistic is a pinned
+    * double sequence over the same DECIMAL-exact moment sums welchT
+    * uses (`q_power_mde` replays it via HUGEINT).
+    *
+    * Output: (experiment, variant_a, variant_b, n_a, n_b, sd_pooled,
+    * mde_abs, mde_rel) — mde_rel relative to arm a's mean; null when a
+    * variance is undefined (single-observation arm) or mean_a = 0. */
+  def powerAnalysis(df: DataFrame, expCol: String, variantCol: String,
+                    valueCol: String, zAlpha: Double = 1.959963984540054,
+                    zBeta: Double = 0.8416212335729143,
+                    scale: Int = 6): DataFrame = {
+    require(zAlpha > 0 && zBeta >= 0, s"quantiles must be positive, got $zAlpha / $zBeta")
+    require(scale >= 0 && scale <= 9, s"scale must be in [0, 9], got $scale")
+    val p = math.pow(10.0, scale)
+    val agg = df.filter(col(valueCol).isNotNull)
+      .select(col(expCol), col(variantCol).cast("string").as("_v"),
+        floor(col(valueCol) * lit(p)).cast("decimal(38,0)").as("_x"))
+      .groupBy(col(expCol), col("_v"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("_n"),
+        sum(col("_x")).as("_sx"), sum(col("_x") * col("_x")).as("_sxx"))
+    def side(s: String) = agg.select(col(expCol), col("_v").as(s"variant_$s"),
+      col("_n").as(s"_n$s"), col("_sx").as(s"_sx$s"), col("_sxx").as(s"_sxx$s"))
+    val j = side("a").join(side("b"), Seq(expCol))
+      .filter(col("variant_a") < col("variant_b"))
+    def varD(s: String) = {
+      val n = col(s"_n$s"); val sx = col(s"_sx$s"); val sxx = col(s"_sxx$s")
+      when(n > 1, (n * sxx - sx * sx).cast("double") /
+        (n * (n - 1)).cast("double") / lit(p) / lit(p))
+    }
+    val (va, vb) = (varD("a"), varD("b"))
+    val meanA = col("_sxa").cast("double") / col("_na").cast("double") / lit(p)
+    val seSq = va / col("_na").cast("double") + vb / col("_nb").cast("double")
+    val mde = when(seSq > 0.0, lit(zAlpha + zBeta) * sqrt(seSq))
+    j.select(col(expCol), col("variant_a"), col("variant_b"),
+      col("_na").cast("long").as("n_a"), col("_nb").cast("long").as("n_b"),
+      when(seSq >= 0.0, sqrt((va + vb) / 2.0)).as("sd_pooled"),
+      mde.as("mde_abs"),
+      when(meanA =!= 0.0, mde / abs(meanA)).as("mde_rel"))
+  }
+
   /** Shared distinct-value count table for the rank/ECDF tests below:
     * values quantize to ⌊v·10^scale⌋ (the [[welchT]] parity contract —
     * equality and order become integer-exact in every engine), then one

@@ -241,6 +241,72 @@ object Evaluation {
       })
   }
 
+  /** ROUGE-L per (candidate, reference) pair — the LCS-based summary/
+    * generation eval [[ngramOverlap]]'s fixed-n grams cannot express:
+    * the longest common SUBSEQUENCE rewards in-order content with
+    * arbitrary gaps, so reorderings score lower than omissions.
+    * P = LCS/|cand|, R = LCS/|ref|, F = 2PR/(P+R) (β = 1).
+    *
+    * Execution: the O(n·m) two-row DP is a per-document sequential
+    * fold — the documented mapPartitions exception class (media decode
+    * / Viterbi walkers) — over NORMALIZED whitespace tokens truncated
+    * to `maxTokens` per side, so a row costs at most maxTokens² cell
+    * updates and the operator stays embarrassingly row-parallel: no
+    * shuffle, no state, scan → scan. The three ratios are pinned
+    * double divisions over the exact integer (lcs, n_cand, n_ref)
+    * (`q_rouge_l`'s oracle pins LCS by CONSTRUCTION — the candidate is
+    * built as a subsequence of the reference, forcing LCS = |cand| —
+    * and replays the arithmetic; adversarial non-subsequence cases are
+    * spec-pinned goldens).
+    *
+    * Output: (idCol, lcs, n_cand, n_ref, rouge_l_p, rouge_l_r,
+    * rouge_l_f) — ratios NULL when a side is empty. */
+  def rougeL(df: DataFrame, candCol: String, refCol: String, idCol: String,
+             maxTokens: Int = 1024): DataFrame = {
+    require(maxTokens >= 1 && maxTokens <= 8192,
+      s"maxTokens must be in [1, 8192] (the DP is maxTokens^2 per row), got $maxTokens")
+    def toks(c: String) = slice(filter(
+      split(graft.functions.TextFunctions.normalizeForFingerprint(
+        coalesce(col(c), lit(""))), " "), t => length(t) > 0), 1, maxTokens)
+    val prepared = df.select(col(idCol), toks(candCol).as("_c"), toks(refCol).as("_r"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      prepared.schema.head,
+      org.apache.spark.sql.types.StructField("lcs", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_cand", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_ref", org.apache.spark.sql.types.LongType, nullable = false)))
+    val counted = prepared.mapPartitions { it =>
+      it.map { row =>
+        val a = row.getSeq[String](1).toArray
+        val b = row.getSeq[String](2).toArray
+        val (n, m) = (a.length, b.length)
+        val prev = new Array[Int](m + 1)
+        val cur = new Array[Int](m + 1)
+        var i = 0
+        while (i < n) {
+          var j = 0
+          while (j < m) {
+            cur(j + 1) =
+              if (a(i) == b(j)) prev(j) + 1
+              else math.max(prev(j + 1), cur(j))
+            j += 1
+          }
+          System.arraycopy(cur, 0, prev, 0, m + 1)
+          i += 1
+        }
+        org.apache.spark.sql.Row(row.get(0), prev(m).toLong, n.toLong, m.toLong)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    val p = when(col("n_cand") > 0, col("lcs").cast("double") / col("n_cand").cast("double"))
+    val r = when(col("n_ref") > 0, col("lcs").cast("double") / col("n_ref").cast("double"))
+    counted
+      .withColumn("rouge_l_p", p)
+      .withColumn("rouge_l_r", r)
+      .withColumn("rouge_l_f",
+        when(p.isNotNull && r.isNotNull && (p + r) > 0.0,
+          lit(2.0) * p * r / (p + r)).otherwise(
+          when(p.isNotNull && r.isNotNull, lit(0.0))))
+  }
+
   /** Krippendorff's alpha (nominal) — the reliability coefficient for
     * annotation tables with MISSING ratings, which [[fleissKappa]]
     * cannot weight correctly: raters overlap on some items and skip

@@ -372,6 +372,23 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("powerAnalysis: hand-computed MDE from exact moments; degenerate arms null") {
+    val sch = StructType(Seq(StructField("e", StringType),
+      StructField("v", StringType), StructField("x", DoubleType)))
+    // a: [1,2,3] -> var 1; b: [2,4] -> var 2; se² = 1/3 + 1 = 4/3
+    val d = df(sch, Seq(Row("g", "a", 1.0), Row("g", "a", 2.0), Row("g", "a", 3.0),
+      Row("g", "b", 2.0), Row("g", "b", 4.0)))
+    val r = Analytics.powerAnalysis(d, "e", "v", "x").head()
+    assert(r.getLong(3) == 3L && r.getLong(4) == 2L)
+    assert(math.abs(r.getDouble(5) - math.sqrt(1.5)) < 1e-12)
+    val mde = (1.959963984540054 + 0.8416212335729143) * math.sqrt(4.0 / 3.0)
+    assert(math.abs(r.getDouble(6) - mde) < 1e-12)
+    assert(math.abs(r.getDouble(7) - mde / 2.0) < 1e-12, "relative to arm a's mean 2")
+    // single-observation arm: no variance, no MDE
+    val deg = df(sch, Seq(Row("g", "a", 1.0), Row("g", "b", 2.0), Row("g", "b", 3.0)))
+    assert(Analytics.powerAnalysis(deg, "e", "v", "x").head().isNullAt(6))
+  }
+
   private val ksSchema = StructType(Seq(
     StructField("g", StringType), StructField("s", StringType),
     StructField("v", DoubleType)))

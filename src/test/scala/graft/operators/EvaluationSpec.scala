@@ -165,6 +165,33 @@ class EvaluationSpec extends SparkSpec {
       "kappa = (2*25-4*13)/(4*(25-13))")
   }
 
+  test("rougeL: hand-computed LCS on non-subsequence pairs; truncation; empties") {
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("cand", StringType), StructField("ref", StringType)))
+    val d = df(sch, Seq(
+      Row(1L, "a b c d", "a x b y d"),  // LCS a,b,d = 3; P 3/4 R 3/5
+      Row(2L, "c b a", "a b c"),        // pure reversal: LCS 1
+      Row(3L, "a b", "a b"),            // identity: F 1
+      Row(4L, "", "a b"),               // empty cand -> NULL ratios
+      Row(5L, "x y", "p q")))           // disjoint: LCS 0 -> F 0.0
+    val out = Evaluation.rougeL(d, "cand", "ref", "id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 3L && r1.getLong(2) == 4L && r1.getLong(3) == 5L)
+    assert(r1.getDouble(4) == 0.75 && r1.getDouble(5) == 0.6)
+    assert(math.abs(r1.getDouble(6) - 2.0 * 0.75 * 0.6 / 1.35) < 1e-15)
+    assert(out(2L).getLong(1) == 1L, "reversal keeps only one in-order token")
+    assert(out(3L).getDouble(6) == 1.0)
+    assert(out(4L).getLong(1) == 0L && out(4L).isNullAt(4) && out(4L).isNullAt(6))
+    assert(out(5L).getLong(1) == 0L && out(5L).getDouble(6) == 0.0)
+    // truncation cap: with maxTokens=2 both sides clip to 2 tokens
+    val t = Evaluation.rougeL(df(sch, Seq(Row(9L, "a b z", "a b q"))),
+      "cand", "ref", "id", maxTokens = 2).head()
+    assert(t.getLong(1) == 2L && t.getLong(2) == 2L && t.getLong(3) == 2L)
+    intercept[IllegalArgumentException](
+      Evaluation.rougeL(d, "cand", "ref", "id", maxTokens = 0))
+  }
+
   test("krippendorffAlpha: hand-computed missing-data example; degenerate cases") {
     // items: 1:(a,a) fp=0 | 2:(a,b) disagree=2, fp=2e9 | 3:(b,b,b) fp=0
     // | 4:(a) drops (unpairable). T=7, D_o=2/7; marginals a=3 b=4,
