@@ -221,7 +221,10 @@ object Bench {
     "q_tcloseness", "q_vocab_coverage", "q_krippendorff",
     // r13 — experiment MDE from the welch moment sums, and ROUGE-L
     // (row-parallel bounded LCS DP via mapPartitions, no shuffle)
-    "q_power_mde", "q_rouge_l")
+    "q_power_mde", "q_rouge_l",
+    // r14 — release-over-release per-feature KS snapshot diff (two
+    // corpus scans melt to NDV-bounded feature histograms)
+    "q_snapshot_drift")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is
@@ -501,11 +504,21 @@ object Bench {
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_stdout.json"),
         (stdoutLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable => diag(s"[bench] BENCH_stdout.json write failed: ${e.getMessage}") }
+    // If the driver ever names a destination, honor it — a path it picks
+    // is the one place its parser is guaranteed to look (VERDICT r13 #8).
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (stdoutLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable => diag(s"[bench] $p write failed: ${e.getMessage}") }
+    }
     // The driver's parser recorded "parsed": null through r12: sbt
     // decorates stdout with an "[info] " prefix. Emit the bare JSON on
     // BOTH streams, as the LAST line of each — after spark.stop(), so no
-    // shutdown logging can trail it — and flush explicitly.
-    spark.stop()
+    // shutdown logging can trail it — and flush explicitly. stop() must
+    // not be able to eat the line: a throw there would lose the result
+    // both streams exist to carry (ADVICE r13).
+    try spark.stop()
+    catch { case e: Throwable => diag(s"[bench] spark.stop failed: ${e.getMessage}") }
     println(stdoutLine)
     System.out.flush()
     System.err.println(stdoutLine)

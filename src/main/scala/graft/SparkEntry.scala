@@ -2106,6 +2106,29 @@ object SparkEntry {
           "event_type", "side", "value", "even", "odd")
         .orderBy(col("event_type"))),
 
+    "q_snapshot_drift" -> ((s, dir) => {
+      // the pipeline snapshot_diff step's KS half, batch form: release
+      // A = doc_id % 3 <> 0 of the corpus as-is; release B =
+      // doc_id % 3 <> 1 re-ingested under a REGRESSED extraction
+      // recipe that truncates every document to a 150-char preview —
+      // the n_chars / n_tokens marginals pile up at the cap and the
+      // per-feature KS verdict trips (drifted = true is exercised, not
+      // just the quiet case); integer ECDF argmax per feature, pinned
+      // double D / threshold
+      def toks(c: Column) = size(filter(split(
+        TextFunctions.normalizeForFingerprint(coalesce(c, lit(""))), " "),
+        t => length(t) > 0)).cast("long")
+      val d = T(s, dir, "documents")
+      val relA = d.filter(pmod(col("doc_id"), lit(3L)) =!= 0)
+        .select(col("n_chars"), toks(col("text")).as("n_tokens"))
+      val cleaned = substring(coalesce(col("text"), lit("")), 1, 150)
+      val relB = d.filter(pmod(col("doc_id"), lit(3L)) =!= 1)
+        .select(length(cleaned).cast("long").as("n_chars"),
+          toks(cleaned).as("n_tokens"))
+      operators.Analytics.snapshotKs(relA, relB, Seq("n_chars", "n_tokens"))
+        .orderBy(col("feature"))
+    }),
+
     "q_mann_whitney" -> ((s, dir) =>
       // nonparametric A/B readout per event_type: tie-averaged rank sum
       // in exact doubled integers (u2_a = 2·U), tie-corrected normal z
@@ -2637,17 +2660,34 @@ object SparkEntry {
         .orderBy(col("source"))),
 
     "q_rouge_l" -> ((s, dir) => {
-      // LCS-based generation eval: the candidate is the reference with
-      // every third token dropped — BY CONSTRUCTION a subsequence, so
-      // LCS = |cand| = n − ⌊n/3⌋ exactly and the oracle states it
-      // without running a DP; the Spark side runs the real O(n·m)
-      // rolling DP (adversarial non-subsequence cases are spec goldens)
-      val toksAll = filter(split(TextFunctions.normalizeForFingerprint(
-        coalesce(col("text"), lit(""))), " "), t => length(t) > 0)
-      val cand = concat_ws(" ", filter(toksAll, (t, i) => pmod(i, lit(3)) =!= 2))
-      operators.Evaluation.rougeL(
-          T(s, dir, "documents").withColumn("cand", cand), "cand", "text", "doc_id")
-        .orderBy(col("doc_id"))
+      // LCS-based generation eval over TWO closed-form pair families
+      // (VERDICT r13 #3). Family 0 (pair_id even): cand = ref minus
+      // every third token — a subsequence, LCS = |cand| = n − ⌊n/3⌋,
+      // exercising the match diagonal. Family 1 (pair_id odd): per-row
+      // DISTINCT tokens w1…wn block-swapped — ref = A·B, cand = B·A
+      // with |A| = ⌊n/2⌋; a common subsequence can't mix A and B
+      // elements (their order flips between the sides), so LCS =
+      // max(|A|,|B|) = n − ⌊n/2⌋ < |cand| — the DP's else/max branch
+      // is oracle-checked, not just spec-pinned. Both sides are built
+      // from the first 1000 tokens so rougeL's maxTokens = 1024 cap
+      // can never engage and the oracle needs no cap mirror.
+      val d = T(s, dir, "documents")
+      val toksAll = slice(filter(split(TextFunctions.normalizeForFingerprint(
+        coalesce(col("text"), lit(""))), " "), t => length(t) > 0), 1, 1000)
+      val sub = d.select((col("doc_id") * 2).as("pair_id"),
+        concat_ws(" ", filter(toksAll, (t, i) => pmod(i, lit(3)) =!= 2)).as("cand"),
+        concat_ws(" ", toksAll).as("ref"))
+      val n = size(toksAll)
+      def words(from: Column, to: Column) =
+        when(from <= to, concat_ws(" ",
+          transform(sequence(from, to), i => concat(lit("w"), i.cast("string")))))
+          .otherwise(lit(""))
+      val k = floor(n / 2).cast("int")
+      val swap = d.select((col("doc_id") * 2 + 1).as("pair_id"),
+        concat_ws(" ", words(k + 1, n), words(lit(1), k)).as("cand"),
+        words(lit(1), n).as("ref"))
+      operators.Evaluation.rougeL(sub.unionAll(swap), "cand", "ref", "pair_id")
+        .orderBy(col("pair_id"))
     }),
 
     "q_krippendorff" -> ((s, dir) => {
@@ -2738,7 +2778,8 @@ object SparkEntry {
       // corpus's — integer cumulative differences on the bounded
       // groups x values grid, strict-integer violation test at t = 1/20
       operators.Privacy.tClosenessAudit(
-          T(s, dir, "events").select(col("event_type"),
+          T(s, dir, "events").filter(col("value").isNotNull)
+            .select(col("event_type"),
             floor(col("value") / 10.0).cast("long").as("value_band"),
             pmod(col("user_id"), lit(8L)).as("cohort")),
           Seq("event_type", "value_band"), "cohort", tNum = 1L, tDen = 20L)
@@ -6030,6 +6071,62 @@ object SparkEntry {
         |       d, d_crit, d > d_crit AS drifted
         |FROM f ORDER BY event_type""".stripMargin,
 
+    // Snapshot-diff KS replay: both releases melt to (feature, side,
+    // quantized value) rows — release B recomputed under the 150-char
+    // truncation recipe — then the identical HUGEINT ECDF argmax and
+    // pinned D / threshold chain, per feature.
+    "q_snapshot_drift" ->
+      """WITH docs AS MATERIALIZED (
+        |  SELECT doc_id, n_chars, coalesce(text, '') AS t,
+        |         substring(coalesce(text, ''), 1, 150) AS tb
+        |  FROM documents),
+        |v AS MATERIALIZED (
+        |  SELECT feature, s, CAST(FLOOR(val * 1000000.0) AS BIGINT) AS x FROM (
+        |    SELECT 'n_chars' AS feature, 'a' AS s, CAST(n_chars AS DOUBLE) AS val
+        |    FROM docs WHERE doc_id % 3 <> 0
+        |    UNION ALL
+        |    SELECT 'n_tokens', 'a',
+        |           CAST(len(list_filter(regexp_split_to_array(lower(trim(t)), '\s+'),
+        |                                x -> len(x) > 0)) AS DOUBLE)
+        |    FROM docs WHERE doc_id % 3 <> 0
+        |    UNION ALL
+        |    SELECT 'n_chars', 'b', CAST(length(tb) AS DOUBLE)
+        |    FROM docs WHERE doc_id % 3 <> 1
+        |    UNION ALL
+        |    SELECT 'n_tokens', 'b',
+        |           CAST(len(list_filter(regexp_split_to_array(lower(trim(tb)), '\s+'),
+        |                                x -> len(x) > 0)) AS DOUBLE)
+        |    FROM docs WHERE doc_id % 3 <> 1)
+        |  WHERE val IS NOT NULL),
+        |c AS MATERIALIZED (
+        |  SELECT feature, x,
+        |         COUNT(1) FILTER (s = 'a') AS ca,
+        |         COUNT(1) FILTER (s = 'b') AS cb
+        |  FROM v GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT feature,
+        |         SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb,
+        |         SUM(ca) OVER (PARTITION BY feature) AS na,
+        |         SUM(cb) OVER (PARTITION BY feature) AS nb
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY feature ORDER BY x ROWS UNBOUNDED PRECEDING)),
+        |agg AS (
+        |  SELECT feature, MAX(na) AS na, MAX(nb) AS nb,
+        |         MAX(ABS(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)) AS m
+        |  FROM cum GROUP BY 1),
+        |f AS (
+        |  SELECT feature, na, nb,
+        |         CASE WHEN na > 0 AND nb > 0 THEN
+        |           CAST(m AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END AS d,
+        |         CASE WHEN na > 0 AND nb > 0 THEN
+        |           sqrt(-ln(0.05 / 2.0) / 2.0)
+        |             * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+        |                    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) END AS d_crit
+        |  FROM agg)
+        |SELECT feature, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |       d, d_crit, d > d_crit AS drifted
+        |FROM f ORDER BY feature""".stripMargin,
+
     // Mann-Whitney replay: the same distinct-value table, doubled rank
     // sum and tie sum as HUGEINT integers, the identical pinned
     // variance/z double sequence.
@@ -7161,28 +7258,35 @@ object SparkEntry {
 
     // Three UNION ALL rater streams; every Fleiss numerator/denominator
     // an exact HUGEINT sum; kappa = (A·T² − D·S)/(D·(T² − S)).
-    // ROUGE-L by construction: the candidate keeps positions p with
-    // p % 3 <> 2, so LCS = kept = n − n//3; P/R/F replay the identical
-    // pinned double sequence over those integers.
+    // ROUGE-L closed forms (both families capped at the first 1000
+    // tokens, below rougeL's 1024, so the cap never engages): even
+    // pair_ids keep positions p % 3 <> 2 of the real token stream —
+    // a subsequence, LCS = n − n//3 = |cand|; odd pair_ids block-swap
+    // n DISTINCT synthetic tokens — order flips between the halves, so
+    // LCS = max(⌈n/2⌉, ⌊n/2⌋) = n − n//2 < |cand| = n. P/R/F replay
+    // the identical pinned double sequence over those integers.
     "q_rouge_l" ->
       """WITH t AS (
         |  SELECT doc_id,
         |         CAST(len(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'),
-        |                              x -> len(x) > 0)) AS BIGINT) AS n
+        |                              x -> len(x) > 0)) AS BIGINT) AS n0
         |  FROM documents),
+        |c AS (SELECT doc_id, LEAST(n0, 1000) AS n FROM t),
         |b AS (
-        |  SELECT doc_id, n - n // 3 AS lcs, n - n // 3 AS n_cand, n AS n_ref FROM t),
+        |  SELECT doc_id * 2 AS pair_id, n - n // 3 AS lcs, n - n // 3 AS n_cand, n AS n_ref FROM c
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1, n - n // 2, n, n FROM c),
         |s AS (
-        |  SELECT doc_id, lcs, n_cand, n_ref,
+        |  SELECT pair_id, lcs, n_cand, n_ref,
         |         CASE WHEN n_cand > 0 THEN CAST(lcs AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS p,
         |         CASE WHEN n_ref > 0 THEN CAST(lcs AS DOUBLE) / CAST(n_ref AS DOUBLE) END AS r
         |  FROM b)
-        |SELECT doc_id, lcs, n_cand, n_ref,
+        |SELECT pair_id, lcs, n_cand, n_ref,
         |       p AS rouge_l_p, r AS rouge_l_r,
         |       CASE WHEN p IS NOT NULL AND r IS NOT NULL AND (p + r) > 0.0
         |            THEN 2.0 * p * r / (p + r)
         |            WHEN p IS NOT NULL AND r IS NOT NULL THEN 0.0 END AS rouge_l_f
-        |FROM s ORDER BY doc_id""".stripMargin,
+        |FROM s ORDER BY pair_id""".stripMargin,
 
     // Krippendorff replay: identical rule raters, per-item 1e9 fixed-
     // point //(m−1) disagreement, HUGEINT marginals, the same pinned
@@ -7360,7 +7464,7 @@ object SparkEntry {
       """WITH b AS MATERIALIZED (
         |  SELECT event_type, CAST(FLOOR(value / 10.0) AS BIGINT) AS value_band,
         |         user_id % 8 AS v
-        |  FROM events WHERE user_id IS NOT NULL),
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
         |gv AS MATERIALIZED (
         |  SELECT event_type, value_band, v, COUNT(1) AS c FROM b GROUP BY 1, 2, 3),
         |grp AS MATERIALIZED (

@@ -431,6 +431,9 @@ object Analytics {
       .groupBy(col(expCol), col("_v"))
       .agg(count(lit(1)).cast("decimal(38,0)").as("_n"),
         sum(col("_x")).as("_sx"), sum(col("_x") * col("_x")).as("_sxx"))
+      .localCheckpoint(true) // experiments×arms rows: the pair self-join
+      // below reads it twice; unmaterialized it re-runs the corpus
+      // filter+quantize+groupBy subtree per side (ADVICE r13)
     def side(s: String) = agg.select(col(expCol), col("_v").as(s"variant_$s"),
       col("_n").as(s"_n$s"), col("_sx").as(s"_sx$s"), col("_sxx").as(s"_sxx$s"))
     val j = side("a").join(side("b"), Seq(expCol))
@@ -493,9 +496,61 @@ object Analytics {
     * Output: (groupCol, n_a, n_b, d, d_crit, drifted). */
   def ksTest(df: DataFrame, groupCol: String, sideCol: String,
              valueCol: String, sideA: String, sideB: String,
-             alpha: Double = 0.05, scale: Int = 6): DataFrame = {
+             alpha: Double = 0.05, scale: Int = 6): DataFrame =
+    ksCore(sideCounts(df, groupCol, sideCol, valueCol, sideA, sideB, scale),
+      groupCol, alpha)
+
+  /** Quantized per-group value histogram — the PERSISTABLE side of a
+    * KS comparison: (groupCol, value_q = ⌊v·10^scale⌋, c). Write it
+    * once per reference window / corpus release, then feed any number
+    * of later snapshots (or arriving micro-batches —
+    * [[graft.streaming.IncrementalStream.ksDriftStream]]) through
+    * [[ksTestFromCounts]] without ever rescanning the reference rows.
+    * NDV-bounded per group, like everything downstream of it. */
+  def quantizedHistogram(df: DataFrame, groupCol: String, valueCol: String,
+                         scale: Int = 6): DataFrame = {
+    require(scale >= 0 && scale <= 9, s"scale must be in [0, 9], got $scale")
+    val p = math.pow(10.0, scale)
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), floor(col(valueCol) * lit(p)).cast("long").as("value_q"))
+      .groupBy(col(groupCol), col("value_q"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** [[ksTest]]'s integer core over PRE-AGGREGATED side histograms —
+    * `counts` = (groupCol, value_q, c_a, c_b), both sides quantized at
+    * the SAME scale (the [[quantizedHistogram]] contract; mixing scales
+    * makes the ECDFs incomparable). This is the entry point when one
+    * side is a persisted artifact: the reference corpus never rescans,
+    * only its NDV-bounded histogram joins each new snapshot's. */
+  def ksTestFromCounts(counts: DataFrame, groupCol: String,
+                       alpha: Double = 0.05): DataFrame =
+    ksCore(counts.select(col(groupCol), col("value_q").as("_x"),
+      coalesce(col("c_a"), lit(0L)).cast("long").as("_ca"),
+      coalesce(col("c_b"), lit(0L)).cast("long").as("_cb")), groupCol, alpha)
+
+  /** Per-FEATURE two-sample KS between two corpus releases — the
+    * snapshot-diff readout ([[graft.pipelines.TrainingDataPipeline.snapshotDiff]]):
+    * each numeric feature column melts into its own KS group, so one
+    * report row per feature says whether THAT marginal drifted between
+    * releases. One row-local explode per side (|features|-bounded fan-
+    * out), then exactly [[ksTest]]'s shape with the feature name as the
+    * group key. Output: (feature, n_a, n_b, d, d_crit, drifted). */
+  def snapshotKs(a: DataFrame, b: DataFrame, featureCols: Seq[String],
+                 alpha: Double = 0.05, scale: Int = 6): DataFrame = {
+    require(featureCols.nonEmpty, "snapshotKs needs at least one feature column")
+    def melt(df: DataFrame, s: String) = df
+      .select(explode(array(featureCols.map(f =>
+        struct(lit(f).as("feature"), col(f).cast("double").as("value"))): _*)).as("_fv"))
+      .select(col("_fv.feature").as("feature"), col("_fv.value").as("value"),
+        lit(s).as("side"))
+    ksTest(melt(a, "a").unionAll(melt(b, "b")),
+      "feature", "side", "value", "a", "b", alpha, scale)
+  }
+
+  private def ksCore(counts: DataFrame, groupCol: String,
+                     alpha: Double): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
-    val counts = sideCounts(df, groupCol, sideCol, valueCol, sideA, sideB, scale)
     val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("_x"))
       .rowsBetween(Long.MinValue, 0)

@@ -254,9 +254,11 @@ object Evaluation {
     * updates and the operator stays embarrassingly row-parallel: no
     * shuffle, no state, scan → scan. The three ratios are pinned
     * double divisions over the exact integer (lcs, n_cand, n_ref)
-    * (`q_rouge_l`'s oracle pins LCS by CONSTRUCTION — the candidate is
-    * built as a subsequence of the reference, forcing LCS = |cand| —
-    * and replays the arithmetic; adversarial non-subsequence cases are
+    * (`q_rouge_l`'s oracle pins LCS through two closed-form families:
+    * a constructed subsequence forcing LCS = |cand| for the match
+    * diagonal, and a distinct-token block swap forcing
+    * LCS = n − ⌊n/2⌋ < |cand| so the else/max recurrence branch is
+    * oracle-checked too; adversarial free-form cases remain
     * spec-pinned goldens).
     *
     * Output: (idCol, lcs, n_cand, n_ref, rouge_l_p, rouge_l_r,

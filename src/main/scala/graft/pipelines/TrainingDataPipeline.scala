@@ -378,6 +378,41 @@ object TrainingDataPipeline {
     plan
   }
 
+  /** Release-over-release drift audit — wire AFTER two runs of the
+    * funnel have produced consecutive corpus releases (`oldTable`,
+    * `newTable` — any two document tables in `work`, e.g. the previous
+    * run's archived `docs_mixed` and this run's): one `snapshot_diff`
+    * step writes
+    *
+    *  - `drift_ks`: per numeric FEATURE marginal, the two-sample KS
+    *    verdict ([[graft.operators.Analytics.snapshotKs]] — exact
+    *    integer ECDF argmax over quantized NDV-bounded histograms;
+    *    `q_snapshot_drift` oracles this form), and
+    *  - `drift_js`: the unigram Jensen–Shannon decomposition
+    *    ([[graft.operators.Curation.jsDivergence]] — which TOKENS
+    *    drove the content drift, `q_js_divergence`'s shape),
+    *
+    * so a release gate can block publication on `drifted = true` rows
+    * or a JS total above budget. Both sub-reports are one scan per
+    * release plus NDV/vocab-bounded shuffles — release size never
+    * enters a window or a collect, so the step costs the same two
+    * linear scans at 100 TB. */
+  def snapshotDiff(plan: Plan, work: graft.sources.Connector,
+                   oldTable: String, newTable: String,
+                   textCol: String = "text",
+                   featureCols: Seq[String] = Seq("n_chars", "n_tokens"),
+                   vocabSize: Int = 1000, alpha: Double = 0.05,
+                   scale: Int = 6): Plan = {
+    plan.step("snapshot_diff") {
+      val a = work.read(oldTable)
+      val b = work.read(newTable)
+      work.write(graft.operators.Analytics.snapshotKs(a, b, featureCols, alpha, scale),
+        "drift_ks")
+      work.write(Curation.jsDivergence(a, b, textCol, vocabSize), "drift_js")
+    }
+    plan
+  }
+
   /** Re-hydrate the persisted tokenizer from a work connector: the
     * merge list is bounded driver metadata (`bpeMerges` rows); the
     * dict stays a distributed frame. */

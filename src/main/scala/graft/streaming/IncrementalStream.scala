@@ -429,6 +429,56 @@ object IncrementalStream {
     q
   }
 
+  /** Streaming two-sample KS drift gate: each arriving micro-batch's
+    * value distribution is tested per group against a PERSISTED
+    * reference histogram
+    * ([[graft.operators.Analytics.quantizedHistogram]] — build it
+    * offline from the last trusted window, refresh on whatever cadence
+    * the pipeline re-baselines) and the per-group verdicts
+    * (group, n_a, n_b, d, d_crit, drifted) upsert into `table` keyed
+    * by the group. Only groups PRESENT in the batch land — a group the
+    * batch never touched has no new evidence and must not clobber its
+    * previous verdict. The reference table is re-read per batch (NDV-
+    * bounded rows — so a re-baseline takes effect on the next tick
+    * without restarting the stream), the batch side aggregates to the
+    * same NDV-bounded histogram before the two meet, and the KS core
+    * runs [[graft.operators.Analytics.ksTestFromCounts]]'s exact
+    * integer ECDF argmax: raw observations never enter a window, the
+    * reference corpus never rescans — the tick is
+    * O(batch + reference NDV), the conformal/KN persisted-artifact
+    * contract. `scale` must match the scale the reference histogram
+    * was built with. */
+  def ksDriftStream(src: DataFrame, dst: graft.sources.Connector, table: String,
+                    refHistTable: String, groupCol: String, valueCol: String,
+                    checkpoint: String, alpha: Double = 0.05,
+                    scale: Int = 6): StreamingQuery = {
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val ref = dst.read(refHistTable)
+            .select(col(groupCol), col("value_q"), col("c").cast("long").as("c_a"),
+              lit(0L).as("c_b"))
+          val cur = graft.operators.Analytics
+            .quantizedHistogram(batch, groupCol, valueCol, scale)
+            .select(col(groupCol), col("value_q"), lit(0L).as("c_a"),
+              col("c").cast("long").as("c_b"))
+          val counts = ref.unionAll(cur)
+            .groupBy(col(groupCol), col("value_q"))
+            .agg(sum(col("c_a")).as("c_a"), sum(col("c_b")).as("c_b"))
+          val verdicts = graft.operators.Analytics
+            .ksTestFromCounts(counts, groupCol, alpha)
+            .filter(col("n_b") > 0)
+          if (!verdicts.isEmpty) dst.upsert(verdicts, table, groupCol)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming LM quality gate: score arriving documents against a
     * PERSISTED Kneser–Ney trigram model ([[graft.operators.LanguageModel.saveKn]]
     * — train offline once, serve every tick) and upsert

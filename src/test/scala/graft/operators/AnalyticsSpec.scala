@@ -415,6 +415,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(h.getDouble(3) == 1.0 && h.getBoolean(5))
   }
 
+  test("ksTestFromCounts over persisted histograms == ksTest over raw rows") {
+    val rows = Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0,
+      "b" -> 2.0, "b" -> 3.0, "b" -> 4.0).map { case (s, v) => Row("g", s, v) } ++
+      (1 to 60).flatMap(_ => Seq(Row("h", "a", 0.0), Row("h", "b", 1.0)))
+    val raw = df(ksSchema, rows)
+    val expect = Analytics.ksTest(raw, "g", "s", "v", "a", "b").collect()
+      .map(r => r.getString(0) -> r.toSeq).toMap
+    // the artifact path: one persisted histogram per side, zero raw rescans
+    val ha = Analytics.quantizedHistogram(raw.filter(col("s") === "a"), "g", "v")
+      .select(col("g"), col("value_q"), col("c").as("c_a"), lit(0L).as("c_b"))
+    val hb = Analytics.quantizedHistogram(raw.filter(col("s") === "b"), "g", "v")
+      .select(col("g"), col("value_q"), lit(0L).as("c_a"), col("c").as("c_b"))
+    val counts = ha.unionAll(hb).groupBy("g", "value_q")
+      .agg(sum("c_a").as("c_a"), sum("c_b").as("c_b"))
+    val got = Analytics.ksTestFromCounts(counts, "g").collect()
+      .map(r => r.getString(0) -> r.toSeq).toMap
+    assert(got == expect, s"$got vs $expect")
+  }
+
+  test("snapshotKs: one KS verdict per feature column") {
+    val sch = StructType(Seq(StructField("x", DoubleType), StructField("y", DoubleType)))
+    val a = df(sch, (1 to 40).map(i => Row(i.toDouble, 1.0)))
+    val b = df(sch, (1 to 40).map(i => Row(i.toDouble, 2.0))) // x identical, y shifted
+    val out = Analytics.snapshotKs(a, b, Seq("x", "y")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getBoolean(5))).toMap
+    assert(out("x") == (0.0, false), s"identical marginal must not drift: $out")
+    assert(out("y") == (1.0, true), s"point-mass shift must drift: $out")
+  }
+
   test("mannWhitneyU: hand-computed tie-corrected U and z") {
     // A = {1,2,3}, B = {2,3,4}: pooled ranks 1, (2.5,2.5), (4.5,4.5), 6
     // R_A = 1+2.5+4.5 = 8 -> U_A = 8−6 = 2 (u2_a = 4); ties T = 12,

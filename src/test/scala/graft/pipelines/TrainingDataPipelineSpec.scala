@@ -234,4 +234,36 @@ class TrainingDataPipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(benchIds.intersect(finalIds).isEmpty, "no benchmark doc survives")
   }
+
+  test("snapshot_diff step writes per-feature KS and unigram JS between releases") {
+    val work = tmpDir("graft_pipe_snap_")
+    val workConn = new graft.sources.ParquetConnector(spark, work)
+    val docs = new graft.sources.ParquetConnector(spark, src).read("documents")
+      .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount(col("text")))
+    // release N = the corpus; release N+1 = a regressed extraction that
+    // truncates documents — exactly what the gate exists to catch
+    workConn.write(docs, "release_1")
+    workConn.write(docs
+      .withColumn("text", substring(col("text"), 1, 120))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount(col("text"))),
+      "release_2")
+    val plan = new Plan(spark, PlanConfig(pidDir = tmpDir("graft_pid_snap_")))
+    TrainingDataPipeline.snapshotDiff(plan, workConn, "release_1", "release_2")
+    plan.run()
+    // KS half == the batch operator run by hand
+    val ks = workConn.read("drift_ks").collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getBoolean(5))).toMap
+    val expect = graft.operators.Analytics.snapshotKs(
+        workConn.read("release_1"), workConn.read("release_2"),
+        Seq("n_chars", "n_tokens")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getBoolean(5))).toMap
+    assert(ks == expect, s"$ks vs $expect")
+    assert(ks("n_chars")._2 && ks("n_tokens")._2,
+      s"truncation must drift both marginals: $ks")
+    // JS half: total present and constant across rows, diagnostic rows exist
+    val js = workConn.read("drift_js")
+    assert(js.count() > 0)
+    assert(js.select("js_total_fp").distinct().count() == 1)
+  }
 }

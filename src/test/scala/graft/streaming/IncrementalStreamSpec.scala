@@ -224,6 +224,48 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(dst.read("flagged").count() == 4)
   }
 
+  test("ksDriftStream verdicts == batch ksTest; only batch-present groups upsert") {
+    val srcDir = tmpDir("graft_ksd_src_")
+    val ckpt = tmpDir("graft_ksd_ck_")
+    val dst = new graft.sources.ParquetConnector(spark, tmpDir("graft_ksd_dst_"))
+    val schema = StructType(Seq(
+      StructField("grp", StringType), StructField("value", DoubleType)))
+    // reference window: both groups uniform on {0.1 .. 5.0}
+    val refRows = (1 to 50).flatMap(i => Seq(Row("g1", i / 10.0), Row("g2", i / 10.0)))
+    val ref = df(schema, refRows)
+    dst.write(graft.operators.Analytics.quantizedHistogram(ref, "grp", "value"),
+      "ref_hist")
+    // wave 1: g1 shifted +100 (drifted), g2 identical (not drifted)
+    val wave1 = (1 to 50).flatMap(i => Seq(Row("g1", 100.0 + i / 10.0), Row("g2", i / 10.0)))
+    df(schema, wave1).write.mode("append").parquet(srcDir)
+    def run(): Unit = IncrementalStream.ksDriftStream(
+      IncrementalStream.readStream(spark, srcDir, schema), dst, "verdicts",
+      "ref_hist", "grp", "value", ckpt)
+    run()
+    def key(r: Row) = r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(5))
+    // stream == batch: the tick must equal ksTest over ref ∪ batch
+    val expect = graft.operators.Analytics.ksTest(
+        ref.withColumn("side", lit("a"))
+          .unionAll(df(schema, wave1).withColumn("side", lit("b"))),
+        "grp", "side", "value", "a", "b")
+      .collect().map(key).toMap
+    val got1 = dst.read("verdicts").collect().map(key).toMap
+    assert(got1 == expect, s"$got1 vs $expect")
+    assert(got1("g1")._4 && !got1("g2")._4, got1.toString)
+    // wave 2: ONLY g2 arrives, now shifted — its verdict flips via the
+    // upsert; g1's wave-1 verdict is untouched (no new evidence)
+    val wave2 = (1 to 50).map(i => Row("g2", 100.0 + i / 10.0))
+    df(schema, wave2).write.mode("append").parquet(srcDir)
+    run()
+    val got2 = dst.read("verdicts").collect().map(key).toMap
+    assert(got2("g1") == got1("g1"), "absent group must keep its old verdict")
+    assert(got2("g2")._4, s"shifted wave must drift: ${got2("g2")}")
+    assert(got2("g2")._2 == 50L, "n_b is the ARRIVING batch only")
+    run() // replay with no new input: nothing changes
+    assert(dst.read("verdicts").count() == 2)
+  }
+
   test("knScoreStream scores batches against the persisted model; NLL gate drops unscored docs") {
     val srcDir = tmpDir("graft_kn_src_")
     val ckpt = tmpDir("graft_kn_ck_")

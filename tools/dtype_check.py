@@ -6,14 +6,13 @@ pyarrow.to_pandas, oracle via duckdb .df()), sorts with sort_values on all
 columns, and hashes values dtype-sensitively. compare.py checks VALUES
 exactly; this tool checks the representation contract.
 
-OVER-APPROXIMATION CAVEAT (measured against CORRECTNESS_r12): this tool's
-dtype equality is STRICTER than the driver's hasher. Queries that were
-driver-green in r12 still flag here on (a) datetime64[us] vs [ns] (duckdb
-.df() gives us, pyarrow ns) and (b) int32 vs int64 width when both sides
-are integral — the driver evidently normalizes both. The classes that DID
-break the driver — decimal128 vs int, and list<> columns (unsortable) —
-are exactly what a flag here must be taken seriously for. Treat timestamp
-and int-width flags as informational unless the driver disagrees.
+Normalization (measured against CORRECTNESS_r12/r13): the driver hashes
+GREEN across (a) datetime64[us] vs [ns] (duckdb .df() gives us, pyarrow
+ns) and (b) int32 vs int64 width when both sides are integral — so this
+tool normalizes both classes before comparing, the same way the driver
+evidently does. Every remaining flag is therefore actionable: the classes
+that DID break the driver — decimal128 vs int, and list<> columns
+(unsortable) — still flag. Exit 0 here ≡ the driver would hash-green.
 """
 import duckdb, json, sys
 import pandas as pd
@@ -28,14 +27,36 @@ for t in ['region','nation','customer','supplier','part','orders','lineitem',
           'events','documents','embeddings']:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
+
+def normalize(df):
+    """Apply the driver-tolerated representation collapses: integer
+    widths -> int64, timestamp resolutions -> datetime64[ns], and DATE
+    columns (pyarrow date32 -> object of datetime.date, duckdb ->
+    datetime64; q_overlap_join is driver-green across that pair) ->
+    datetime64[ns]. decimal128 (object dtype holding Decimal) and
+    list<> columns pass through untouched so they still flag."""
+    import datetime
+    for c in df.columns:
+        k = getattr(df[c].dtype, 'kind', '')
+        if k in 'iu' and str(df[c].dtype) != 'int64':
+            df[c] = df[c].astype('int64')
+        elif k == 'M':
+            df[c] = df[c].astype('datetime64[ns]')
+        elif k == 'O':
+            nn = df[c].dropna()
+            if len(nn) and all(type(x) is datetime.date for x in nn.head(100)):
+                df[c] = pd.to_datetime(df[c])
+    return df
+
+
 oracles = json.load(open(f'{outdir}/oracle_sql.json'))
 ok, bad = [], []
 for name, sql in sorted(oracles.items()):
     if names and name not in names:
         continue
     try:
-        exp = con.execute(sql).df()
-        got = pq.read_table(f'{outdir}/{name}').to_pandas()
+        exp = normalize(con.execute(sql).df())
+        got = normalize(pq.read_table(f'{outdir}/{name}').to_pandas())
         ecols, gcols = sorted(exp.columns), sorted(got.columns)
         if list(ecols) != list(gcols):
             bad.append((name, f"schema: oracle={list(ecols)} spark={list(gcols)}")); continue
@@ -48,12 +69,12 @@ for name, sql in sorted(oracles.items()):
         he = pd.util.hash_pandas_object(exp, index=False).sum()
         hg = pd.util.hash_pandas_object(got, index=False).sum()
         if he != hg:
-            # find first differing cell for the report
+            # find first differing cell for the report; mask matching
+            # nulls for EVERY dtype (None != None is elementwise True on
+            # object columns, which used to misattribute the first diff)
             diff = None
             for c in ecols:
-                ne = exp[c] != got[c]
-                if getattr(exp[c].dtype, 'kind', '') == 'f':
-                    ne = ne & ~(exp[c].isna() & got[c].isna())
+                ne = (exp[c] != got[c]) & ~(exp[c].isna() & got[c].isna())
                 if ne.any():
                     i = ne.idxmax(); diff = (i, c, exp[c][i], got[c][i]); break
             bad.append((name, f"hash: first diff {diff}")); continue
