@@ -223,8 +223,9 @@ object Bench {
     // (row-parallel bounded LCS DP via mapPartitions, no shuffle)
     "q_power_mde", "q_rouge_l",
     // r14 — release-over-release per-feature KS snapshot diff (two
-    // corpus scans melt to NDV-bounded feature histograms)
-    "q_snapshot_drift")
+    // corpus scans melt to NDV-bounded feature histograms) and real
+    // MJPEG-in-AVI frame decode (RIFF walk + per-frame JPEG, row-local)
+    "q_snapshot_drift", "q_avi_frames")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

@@ -2463,6 +2463,19 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "q_avi_frames" -> ((s, dir) => {
+      // REAL MJPEG-in-AVI video decode as a corpus query: every 37th
+      // doc carries a planted (2 + id%5)-frame AVI (even frames solid
+      // gray, odd frames block-aligned black/white halves), so the
+      // decoded frame count, dims, and PER-FRAME aHash all have closed
+      // forms the oracle states arithmetically — the RIFF walk + JPEG
+      // decode is the part under test
+      val docs = T(s, dir, "documents").filter(col("doc_id") % 37 === 0)
+      Multimodal.extractVideoFrames(Multimodal.syntheticRealAvi(docs, "doc_id"),
+          everyN = 1).toDF()
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // ---- model-evaluation metrics: the offline-eval pass after every
     // ranker / classifier / reward-model change ----
     "q_eval_rank" -> ((s, dir) =>
@@ -5834,6 +5847,21 @@ object SparkEntry {
         | CAST(2 + doc_id % 4 AS INTEGER) AS n_video_frames,
         | CAST((2 + doc_id % 4 + 1) // 2 AS BIGINT) AS frames_sampled
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // The AVI fixture's decode outputs are all closed-form: frame count
+    // 2 + id%5, 16x12 dims, aHash 0 for the solid even frames and the
+    // half-split 0xF0-per-row mask (as signed -1085102592571150096) for
+    // the odd ones — quality-1.0 JPEG keeps block-aligned flat regions
+    // DCT-exact, so the real decoder lands the arithmetic values.
+    "q_avi_frames" ->
+      """WITH d AS (SELECT doc_id AS media_id, 2 + doc_id % 5 AS n
+        |           FROM documents WHERE doc_id % 37 = 0)
+        |SELECT media_id, CAST(n AS INTEGER) AS n_frames,
+        |       CAST(i AS INTEGER) AS frame_idx,
+        |       CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+        |       CAST(CASE WHEN i % 2 = 1 THEN -1085102592571150096 ELSE 0 END AS BIGINT) AS ahash
+        |FROM d, unnest(range(0, n, 1)) AS t(i)
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     // Every metric is truncating integer arithmetic (// here, DIV in the
     // Spark plan) so the fixed-point columns are bit-equal by design.

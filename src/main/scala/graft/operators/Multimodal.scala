@@ -232,20 +232,26 @@ object Multimodal {
   case class FrameFeatures(media_id: Long, n_frames: Int, frame_idx: Int,
                            width: Int, height: Int, ahash: Long)
 
-  /** REAL multi-frame video decode for the container the JDK ships a
-    * reader for — animated GIF: true frame count, and every `everyN`th
-    * frame's dimensions + 64-bit average-hash (the same per-frame
-    * machinery as [[decodeImage]], so sampled frames feed the
-    * hamming-pairing dedup directly). Frames are decoded one at a time
-    * through the reader — never the whole animation buffered. Payloads
-    * no bundled reader recognizes (every real codec beyond GIF — MP4,
-    * WebM…) fall back to [[fakeDecodeVideo]]'s deterministic
-    * byte-derived frames, keeping the pipeline total; a JNI/javacv
-    * decoder slots into the same seam. */
+  /** REAL multi-frame video decode for the containers decodable with
+    * what the JDK ships — MJPEG-in-AVI (own RIFF walk,
+    * [[decodeAviFrames]]) and animated GIF (ImageIO's reader): true
+    * frame count, and every `everyN`th frame's dimensions + 64-bit
+    * average-hash (the same per-frame machinery as [[decodeImage]], so
+    * sampled frames feed the hamming-pairing dedup directly). Frames
+    * are decoded one at a time — never the whole clip buffered.
+    * Payloads neither path recognizes (inter-frame codecs — MP4,
+    * WebM… — need a native decoder) fall back to [[fakeDecodeVideo]]'s
+    * deterministic byte-derived frames, keeping the pipeline total; a
+    * JNI/javacv decoder slots into the same seam. */
   def decodeVideoFrames(mediaId: Long, payload: Array[Byte],
                         everyN: Int): Seq[FrameFeatures] = {
     if (payload == null || payload.isEmpty) return Seq.empty
     imageIoConfigured
+    if (isRiffAvi(payload))
+      decodeAviFrames(mediaId, payload, everyN) match {
+        case Some(frames) => return frames
+        case None => return fakeDecodeVideo(mediaId, payload, everyN)
+      }
     val iis =
       try javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
       catch { case scala.util.control.NonFatal(_) => null }
@@ -268,6 +274,73 @@ object Multimodal {
         }
       } finally reader.dispose()
     } finally iis.close()
+  }
+
+  private def isRiffAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI "
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def u32le(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** REAL multi-frame decode for MJPEG-in-AVI — the second real
+    * container after GIF, feasible pure-JVM because both halves are
+    * public and simple: RIFF is a flat fourcc/size chunk walk
+    * (word-aligned chunks; frames are `##dc`/`##db` entries of the
+    * `LIST movi` payload, optionally nested in `LIST rec ` groups),
+    * and an MJPEG frame is a bare JPEG the JDK ships a decoder for.
+    *
+    * Two properties matter at corpus scale: the index walk touches
+    * only fourcc/size words, and ONLY the SAMPLED frames are
+    * JPEG-decoded (unlike the sequential GIF reader, unsampled frames
+    * cost six header bytes each) — so everyN=30 over a long clip
+    * decodes 1/30th of the payload. Returns None when the container
+    * walk finds no video chunks (dirty/truncated RIFF — the caller
+    * falls back to [[fakeDecodeVideo]], keeping the scan total);
+    * individual sampled frames that fail JPEG decode are skipped, the
+    * GIF path's convention. `n_frames` is the COUNTED video-chunk
+    * total, not the header's `dwTotalFrames` claim — dirty files lie
+    * in the header, not in the chunk stream. */
+  private[graft] def decodeAviFrames(mediaId: Long, payload: Array[Byte],
+                                     everyN: Int): Option[Seq[FrameFeatures]] = {
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (off, len)
+    def isVideoChunk(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.endsWith("dc") || id.endsWith("db"))
+    // walk one chunk run in [from, until); recurse into movi/rec lists
+    def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+      var pos = from
+      while (pos + 8 <= until) {
+        val id = fourcc(payload, pos)
+        val size = u32le(payload, pos + 4)
+        val dataEnd = pos + 8 + size
+        if (size < 0 || dataEnd > until) return // truncated: keep what we have
+        if (id == "LIST" && size >= 4) {
+          val listType = fourcc(payload, pos + 8)
+          if (listType == "movi" || (inMovi && listType == "rec "))
+            walk(pos + 12, dataEnd.toInt, inMovi = true)
+        } else if (inMovi && isVideoChunk(id) && size > 0) {
+          frames += ((pos + 8, size.toInt))
+        }
+        pos = (dataEnd + (size & 1L)).toInt // chunks are word-aligned
+      }
+    }
+    try walk(12, payload.length, inMovi = false)
+    catch { case scala.util.control.NonFatal(_) => () }
+    if (frames.isEmpty) return None
+    val n = frames.length
+    Some((0 until n by math.max(everyN, 1)).flatMap { idx =>
+      val (off, len) = frames(idx)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload, off, len))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) None
+      else imageStats(mediaId, img).map(f =>
+        FrameFeatures(mediaId, n, idx, f.width, f.height, f.phash))
+    })
   }
 
   /** FALLBACK VIDEO DECODER — deterministic byte-derived frames for
@@ -299,9 +372,9 @@ object Multimodal {
     * throw on undecodable bytes — one poison payload must not kill a
     * 100 TB scan), and must emit one row per SAMPLED frame with the
     * true container frame count in `n_frames`. The default
-    * [[decodeVideoFrames]] is the in-sandbox implementation: a real
-    * ImageIO decode for the one container the JDK ships a reader for
-    * (animated GIF) and [[fakeDecodeVideo]]'s deterministic
+    * [[decodeVideoFrames]] is the in-sandbox implementation: real
+    * decodes for MJPEG-in-AVI (pure-JVM RIFF walk + JPEG frames) and
+    * animated GIF (ImageIO), and [[fakeDecodeVideo]]'s deterministic
     * byte-derived frames for everything else (MP4/WebM/…, which need a
     * native decoder). A JNI/javacv/ffmpeg-backed production decoder
     * plugs into this same parameter without touching the Spark-side
@@ -330,6 +403,46 @@ object Multimodal {
       concat(lit("synthetic://"), col(idCol)).as("uri"),
       encode(col(textCol), "UTF-8").as("payload"),
       map(lit("frames"), (col(idCol) % 300 + 1).cast("string")).as("meta"))
+
+  /** Media table of planted MJPEG-AVIs with CLOSED-FORM per-frame
+    * features (`q_avi_frames`'s fixture): each doc carries a
+    * (2 + id%5)-frame 16×12 AVI whose even frames are solid gray
+    * (aHash 0 — every grid cell equals the mean) and odd frames are
+    * left-black/right-white halves aligned to JPEG blocks (aHash
+    * 0xF0F0F0F0F0F0F0F0 — bright columns 4..7 of every grid row), so
+    * an external engine states every decoded row arithmetically.
+    * Same executor-side mapPartitions generation shape as
+    * [[syntheticRealMedia]]. */
+  def syntheticRealAvi(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // a function VAL, not a local def: a lifted def would capture the
+    // enclosing (non-serializable) object in the mapPartitions closure
+    val payload: Long => Array[Byte] = (id: Long) => {
+      val n = 2 + (id % 5).toInt
+      val jpegs = (0 until n).map { f =>
+        val img = new java.awt.image.BufferedImage(16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 12) {
+          var x = 0
+          while (x < 16) {
+            img.setRGB(x, y,
+              if (f % 2 == 1) { if (x < 8) 0x000000 else 0xffffff }
+              else { val g = (40 + f * 16) & 0xff; (g << 16) | (g << 8) | g })
+            x += 1
+          }
+          y += 1
+        }
+        jpegBytes(img)
+      }
+      aviFromJpegs(16, 12, jpegs)
+    }
+    df.select(col(idCol).cast("long").as("media_id"))
+      .as[Long]
+      .mapPartitions { it => it.map(id => (id, "video", s"synthetic://$id", payload(id))) }
+      .toDF("media_id", "kind", "uri", "payload")
+      .withColumn("meta", map(lit("codec"), lit("mjpeg-avi")))
+  }
 
   /** Solid-gray PNG bytes — real codec output, decode-exact features. */
   private[graft] def realPngBytes(w: Int, h: Int, gray: Int): Array[Byte] = {
@@ -385,6 +498,71 @@ object Multimodal {
       writer.endWriteSequence()
     } finally { writer.dispose(); ios.close() }
     out.toByteArray
+  }
+
+  /** Max-quality baseline JPEG bytes for one frame — quality 1.0 keeps
+    * flat blocks bit-exact through the DCT round trip (quant table all
+    * ones, a solid block's DC survives exactly), so fixture features
+    * stay closed-form despite the lossy codec. */
+  private[graft] def jpegBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    imageIoConfigured
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Assemble a structurally-correct MJPEG AVI around pre-encoded JPEG
+    * frames: RIFF('AVI ', LIST hdrl(avih, LIST strl(strh 'vids'/'MJPG',
+    * strf BITMAPINFOHEADER)), LIST movi('00dc' frames, word-aligned)) —
+    * every field per the public RIFF/AVI layout, so any standard tool
+    * reads the fixture too, not just [[decodeAviFrames]]. */
+  private[graft] def aviFromJpegs(w: Int, h: Int, jpegs: Seq[Array[Byte]]): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def u32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def u16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      cat(id.getBytes(ascii), u32(data.length),
+        data, if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(typ: String, children: Array[Byte]): Array[Byte] =
+      cat("LIST".getBytes(ascii), u32(children.length + 4), typ.getBytes(ascii), children)
+    val avih = cat(u32(33333L), u32(0L), u32(0L), u32(0L), u32(jpegs.length),
+      u32(0L), u32(1L), u32(0L), u32(w), u32(h), u32(0L), u32(0L), u32(0L), u32(0L))
+    val strh = cat("vids".getBytes(ascii), "MJPG".getBytes(ascii), u32(0L), u32(0L),
+      u32(0L), u32(1L), u32(30L), u32(0L), u32(jpegs.length), u32(0L), u32(0L),
+      u32(0L), u16(0), u16(0), u16(w), u16(h))
+    val strf = cat(u32(40L), u32(w), u32(h), u32(1L | (24L << 16)),
+      "MJPG".getBytes(ascii), u32(w.toLong * h * 3), u32(0L), u32(0L), u32(0L), u32(0L))
+    val hdrl = list("hdrl", cat(chunk("avih", avih),
+      list("strl", cat(chunk("strh", strh), chunk("strf", strf)))))
+    val movi = list("movi", cat(jpegs.map(j => chunk("00dc", j)): _*))
+    val body = cat("AVI ".getBytes(ascii), hdrl, movi)
+    cat("RIFF".getBytes(ascii), u32(body.length), body)
+  }
+
+  /** MJPEG-AVI bytes: `frames` solid-gray 24-bit frames (each a
+    * distinct shade, the [[realGifBytes]] convention) — the real-codec
+    * video fixture for the AVI path. */
+  private[graft] def realAviBytes(w: Int, h: Int, frames: Int, gray0: Int): Array[Byte] = {
+    val jpegs = (0 until frames).map { f =>
+      val g = (gray0 + f * 16) & 0xff
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      jpegBytes(img)
+    }
+    aviFromJpegs(w, h, jpegs)
   }
 
   /** 8×8 striped PNG: pixel bright iff `x < bright` (or the (6,7)

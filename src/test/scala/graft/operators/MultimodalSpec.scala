@@ -204,6 +204,44 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeVideoFrames(3L, Array.empty[Byte], 10).isEmpty)
   }
 
+  test("MJPEG-in-AVI decodes for real: counted frames, exact dims, sampled indices") {
+    val avi = Multimodal.realAviBytes(16, 12, frames = 5, gray0 = 40)
+    val all = Multimodal.decodeVideoFrames(1L, avi, everyN = 1)
+    assert(all.size == 5 && all.forall(f => f.n_frames == 5 && f.width == 16 && f.height == 12),
+      all.toString)
+    // quality-1.0 solid frames survive the DCT exactly: every aHash grid
+    // cell equals the mean, so no bit sets
+    assert(all.forall(_.ahash == 0L), all.map(_.ahash).toString)
+    val sampled = Multimodal.decodeVideoFrames(1L, avi, everyN = 2)
+    assert(sampled.map(_.frame_idx) == Seq(0, 2, 4))
+  }
+
+  test("AVI frame aHash has the striped closed form (per-frame hashing is real)") {
+    // one 16x16 frame, left half black / right half white: halves align
+    // with JPEG blocks so quality 1.0 keeps them exact; each aHash cell
+    // is a 2x2 pixel box -> bright columns 4..7 per row -> 0xF0 per row
+    val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 16).foreach(y => (0 until 16).foreach(x =>
+      img.setRGB(x, y, if (x < 8) 0x000000 else 0xffffff)))
+    val avi = Multimodal.aviFromJpegs(16, 16, Seq(Multimodal.jpegBytes(img)))
+    val fs = Multimodal.decodeVideoFrames(9L, avi, everyN = 1)
+    assert(fs.size == 1 && fs.head.n_frames == 1)
+    assert(fs.head.ahash == 0xF0F0F0F0F0F0F0F0L, fs.head.ahash.toHexString)
+  }
+
+  test("dirty AVI containers stay total: truncated falls back, junk frames skip") {
+    val avi = Multimodal.realAviBytes(16, 12, frames = 5, gray0 = 40)
+    // truncated mid-header: still RIFF/AVI magic, but no complete movi ->
+    // the deterministic byte-derived fallback (scan never throws)
+    val truncated = avi.take(40)
+    assert(Multimodal.decodeVideoFrames(3L, truncated, 2) ==
+      Multimodal.fakeDecodeVideo(3L, truncated, 2))
+    // valid container, garbage JPEG payload: the frame is counted but
+    // skipped on decode failure (the GIF path's convention)
+    val junkFrame = Multimodal.aviFromJpegs(8, 8, Seq(Array.fill[Byte](64)(0x5a)))
+    assert(Multimodal.decodeVideoFrames(4L, junkFrame, 1).isEmpty)
+  }
+
   test("a custom decoder plugs into the extractVideoFrames SPI seam") {
     // the pluggable-decoder contract: any (id, bytes, everyN) =>
     // Seq[FrameFeatures] slots in without touching the Spark plumbing —
