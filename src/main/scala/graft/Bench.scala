@@ -380,6 +380,48 @@ object Bench {
     } finally graft.sources.FileTableOps.deleteRecursively(java.nio.file.Paths.get(work))
   }
 
+  /** Steady-state STREAMING tick (VERDICT r13 #7): the always-on
+    * streaming surfaces (stateful EWMA/CUSUM folds, native session
+    * windows) had specs but no steady-state number — this measures one
+    * AvailableNow micro-batch over a fresh one-hour event slice, state
+    * and checkpoint carried from the untimed bootstrap over the
+    * historical prefix, so reps are flat and time the TICK (state-store
+    * resume + fold over the slice), not workspace churn — the pipeTick
+    * contract applied to streams. */
+  private def streamTick(spark: SparkSession, sfDir: String, reps: Int,
+                         build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Seq[Double] = {
+    val work = java.nio.file.Files.createTempDirectory("graft_bench_stream_").toString
+    try {
+      val src = new graft.sources.ParquetConnector(spark, sfDir)
+      val events = src.read("events")
+      val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+      val sliceStarts = (0 until reps).map(i =>
+        new java.sql.Timestamp(maxTs.getTime - (reps - i) * 3600L * 1000))
+      val srcDir = work + "/src"; val outDir = work + "/out"; val ckpt = work + "/ck"
+      events.filter(col("ts") < lit(sliceStarts.head))
+        .write.mode("append").parquet(srcDir)
+      val schema = spark.read.parquet(srcDir).schema
+      def tick(): Unit = {
+        val q = build(spark.readStream.schema(schema).parquet(srcDir))
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      tick() // untimed bootstrap: state fills from the historical prefix
+      sliceStarts.zipWithIndex.map { case (start, i) =>
+        val hi = if (i == reps - 1) None else Some(sliceStarts(i + 1))
+        val slice = hi.foldLeft(events.filter(col("ts") >= lit(start)))(
+          (d, h) => d.filter(col("ts") < lit(h)))
+        slice.write.mode("append").parquet(srcDir)
+        val t0 = System.nanoTime()
+        tick()
+        (System.nanoTime() - t0) / 1e9
+      }
+    } finally graft.sources.FileTableOps.deleteRecursively(java.nio.file.Paths.get(work))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -438,7 +480,19 @@ object Bench {
       "q_part_tick_index" -> (() => steadyTick(spark, sfDir, 0L, reps)),
       "q_part_tick_direct" -> (() => steadyTick(spark, sfDir, Long.MaxValue, reps)),
       "q_pipe_tick" -> (() => pipeTick(spark, sfDir, partitioned = false, reps)),
-      "q_part_pipe_tick" -> (() => pipeTick(spark, sfDir, partitioned = true, reps))
+      "q_part_pipe_tick" -> (() => pipeTick(spark, sfDir, partitioned = true, reps)),
+      // r14: steady-state streaming ticks — stateful per-key folds
+      // (EWMA double, CUSUM fixed-point long) and native session
+      // windows, each resuming its state store across micro-batches
+      "q_ewma_tick" -> (() => streamTick(spark, sfDir, reps, df =>
+        graft.streaming.IncrementalStream.ewmaStream(
+          df, "user_id", "event_id", "value", alpha = 0.3).toDF())),
+      "q_cusum_tick" -> (() => streamTick(spark, sfDir, reps, df =>
+        graft.streaming.IncrementalStream.driftAlarmStream(
+          df, "user_id", "event_id", "value",
+          target = 50.0, slack = 10.0, threshold = 200.0).toDF())),
+      "q_sess_tick" -> (() => streamTick(spark, sfDir, reps, df =>
+        graft.streaming.IncrementalStream.sessionWindowAgg(df)))
     ).filter(e => selected(e._1)).map { case (name, thunk) =>
       val c0 = procCpuNanos(); val t0 = System.nanoTime()
       val times = try thunk()
@@ -460,7 +514,9 @@ object Bench {
     // `value` = total of medians over the timed set (headline + the
     // steady-state tick entries), comparable round-over-round on the
     // name intersection
-    val steadyNames = Set("q_part_tick_index", "q_part_tick_direct", "q_pipe_tick", "q_part_pipe_tick")
+    val steadyNames = Set("q_part_tick_index", "q_part_tick_direct",
+      "q_pipe_tick", "q_part_pipe_tick",
+      "q_ewma_tick", "q_cusum_tick", "q_sess_tick")
     val total = medians.filter(m => headline.contains(m._1) || steadyNames.contains(m._1)).map(_._2).sum
     val postLoad = loadAvg()
     val statPost = procStatTicks()
