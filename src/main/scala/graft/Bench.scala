@@ -225,12 +225,16 @@ object Bench {
     // r14 — release-over-release per-feature KS snapshot diff (two
     // corpus scans melt to NDV-bounded feature histograms) and real
     // MJPEG-in-AVI frame decode (RIFF walk + per-frame JPEG, row-local)
-    "q_snapshot_drift", "q_avi_frames")
+    "q_snapshot_drift", "q_avi_frames",
+    // r14 — effect-size/association suite over the distinct-value
+    // tables: Spearman (half-rank joins + one moment pass), Cliff's
+    // delta (cumulative pair counts), Cramér's V (observed-grid chi2)
+    "q_spearman", "q_cliffs_delta", "q_cramers_v")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is
     * loudly negative instead of silently plausible (VERDICT r10 #2). */
-  private def median(xs: Seq[Double]): Double = {
+  private[graft] def median(xs: Seq[Double]): Double = {
     val ok = xs.filter(_ >= 0)
     if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.size / 2)
   }
@@ -239,13 +243,13 @@ object Bench {
     * both streams, and r10's artifact ended up with a stack trace mixed
     * into the JSON tail (VERDICT r10 #1). Stdout carries exactly one
     * JSON line; everything else lands here. */
-  private val diagPath = java.nio.file.Paths.get("BENCH_local.log")
-  private def diag(msg: String): Unit =
+  private[graft] val diagPath = java.nio.file.Paths.get("BENCH_local.log")
+  private[graft] def diag(msg: String): Unit =
     try java.nio.file.Files.write(diagPath, (msg + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     catch { case _: Throwable => () }
 
-  private def loadAvg(): Double =
+  private[graft] def loadAvg(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
   /** Process CPU time in nanos (-1 if the platform bean is unavailable).
@@ -255,7 +259,7 @@ object Bench {
     * co-tenant CPU steal — invisible to loadavg, but a rep whose wall
     * time doubles while its cpu time doesn't shows up as util collapse
     * (VERDICT r11 #2). */
-  private def procCpuNanos(): Long =
+  private[graft] def procCpuNanos(): Long =
     try java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
       case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
       case _ => -1L
@@ -264,7 +268,7 @@ object Bench {
   /** Cumulative (totalTicks, systemTicks, stealTicks) from the first
     * `/proc/stat` cpu line — whole-run steal/sys percentages are emitted
     * so a co-tenant-disturbed artifact carries kernel-level evidence. */
-  private def procStatTicks(): Option[(Long, Long, Long)] =
+  private[graft] def procStatTicks(): Option[(Long, Long, Long)] =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try {
@@ -279,7 +283,7 @@ object Bench {
     * r11 driver artifact's signature was [54.7, 13.4, 97.7]-style
     * matrices on identical code. Sub-half-second queries never flag
     * (scheduler jitter dominates there, not contention). */
-  private def spreadFlag(times: Seq[Double]): Boolean = {
+  private[graft] def spreadFlag(times: Seq[Double]): Boolean = {
     val steady = times.drop(1).filter(_ >= 0)
     steady.size >= 2 && steady.max > 0.5 && steady.max / math.max(steady.min, 1e-9) > 3.0
   }
@@ -292,7 +296,7 @@ object Bench {
     * `"contaminated": true` so the driver/judge can discount it. The
     * pre/post load and core count are always emitted in the JSON so
     * every artifact carries its own validity evidence. */
-  private def waitForIdle(maxLoad: Double, maxWaits: Int, sleepSec: Int): (Double, Boolean) = {
+  private[graft] def waitForIdle(maxLoad: Double, maxWaits: Int, sleepSec: Int): (Double, Boolean) = {
     var waits = 0
     var load = loadAvg()
     while (load > maxLoad && waits < maxWaits) {

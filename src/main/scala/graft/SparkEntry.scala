@@ -2140,6 +2140,38 @@ object SparkEntry {
           "event_type", "side", "value", "even", "odd")
         .orderBy(col("event_type"))),
 
+    "q_spearman" -> ((s, dir) =>
+      // monotonic association per event_type between value and a
+      // derived engagement proxy: tie-averaged HALF-ranks exact on the
+      // NDV-bounded distinct tables, one DECIMAL moment pass, pinned
+      // final rho
+      operators.Analytics.spearman(
+          T(s, dir, "events").filter(col("user_id").isNotNull)
+            .select(col("event_type"), col("value"),
+              pmod(col("user_id"), lit(97L)).cast("double").as("proxy")),
+          "event_type", "value", "proxy")
+        .orderBy(col("event_type"))),
+
+    "q_cliffs_delta" -> ((s, dir) =>
+      // ordinal effect size for the q_mann_whitney A/B fixture: exact
+      // concordant/discordant pair counts off the cumulative windows,
+      // pinned final delta
+      operators.Analytics.cliffsDelta(
+          T(s, dir, "events").withColumn("side",
+            when(pmod(col("user_id"), lit(2L)) === 0L, lit("even"))
+              .otherwise(lit("odd"))),
+          "event_type", "side", "value", "even", "odd")
+        .orderBy(col("event_type"))),
+
+    "q_cramers_v" -> ((s, dir) =>
+      // association strength between event type and value band — one
+      // observed-grid pass, fixed-point chi2 with the unobserved-cell
+      // mass recovered arithmetically, bounded-[0,1] V
+      operators.Analytics.cramersV(
+        T(s, dir, "events").select(col("event_type"),
+          floor(col("value") / 10.0).cast("long").as("band")),
+        "event_type", "band")),
+
     "q_seasonal" -> ((s, dir) =>
       // hour-of-week seasonal anomaly: each point vs the trailing mean
       // of its own slot — long sums over the frame (never a double avg,
@@ -6154,6 +6186,104 @@ object SparkEntry {
         |SELECT feature, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
         |       d, d_crit, d > d_crit AS drifted
         |FROM f ORDER BY feature""".stripMargin,
+
+    // Spearman replay: per-axis doubled tie-average ranks off the
+    // quantized distinct tables (2r = 2·cumBefore + c + 1), HUGEINT
+    // moment sums, the identical pinned num/sqrt/sqrt double sequence.
+    "q_spearman" ->
+      """WITH r0 AS MATERIALIZED (
+        |  SELECT event_type AS g,
+        |         CAST(FLOOR(value * 1000000.0) AS BIGINT) AS qx,
+        |         CAST(FLOOR(CAST(user_id % 97 AS DOUBLE) * 1000000.0) AS BIGINT) AS qy
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |rx AS MATERIALIZED (
+        |  SELECT g, qx,
+        |         2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY qx
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2x
+        |  FROM (SELECT g, qx, COUNT(1) AS c FROM r0 GROUP BY 1, 2)),
+        |ry AS MATERIALIZED (
+        |  SELECT g, qy,
+        |         2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY qy
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2y
+        |  FROM (SELECT g, qy, COUNT(1) AS c FROM r0 GROUP BY 1, 2)),
+        |j AS (
+        |  SELECT r0.g, CAST(r2x AS HUGEINT) AS x, CAST(r2y AS HUGEINT) AS y
+        |  FROM r0 JOIN rx USING (g, qx) JOIN ry USING (g, qy)),
+        |agg AS (
+        |  SELECT g, COUNT(1) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM j GROUP BY 1)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |         CAST(n * sxy - sx * sy AS DOUBLE)
+        |           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |           / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) END AS rho
+        |FROM agg ORDER BY event_type""".stripMargin,
+
+    // Cliff's delta replay: per distinct value, a-count x the b-mass
+    // strictly below/above via the same cumulative windows, HUGEINT
+    // pair counts, pinned final division.
+    "q_cliffs_delta" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT event_type,
+        |         CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS s,
+        |         CAST(FLOOR(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS MATERIALIZED (
+        |  SELECT event_type, x,
+        |         COUNT(1) FILTER (s = 'even') AS ca,
+        |         COUNT(1) FILTER (s = 'odd') AS cb
+        |  FROM v GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, ca, cb,
+        |         COALESCE(SUM(cb) OVER (PARTITION BY event_type ORDER BY x
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bbelow,
+        |         SUM(cb) OVER (PARTITION BY event_type) AS nb,
+        |         SUM(ca) OVER (PARTITION BY event_type) AS na
+        |  FROM c),
+        |agg AS (
+        |  SELECT event_type, MAX(na) AS na, MAX(nb) AS nb,
+        |         SUM(CAST(ca AS HUGEINT) * bbelow) AS gt,
+        |         SUM(CAST(ca AS HUGEINT) * (nb - bbelow - cb)) AS lt
+        |  FROM b GROUP BY 1)
+        |SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |       CAST(gt AS BIGINT) AS gt, CAST(lt AS BIGINT) AS lt,
+        |       CASE WHEN CAST(na AS HUGEINT) * nb > 0 THEN
+        |         CAST(gt - lt AS DOUBLE) / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE)
+        |       END AS delta
+        |FROM agg ORDER BY event_type""".stripMargin,
+
+    // Cramer's V replay: observed contingency cells, identical pinned
+    // (O-E)^2/E doubles floor-quantized at 1e9, the unobserved-cell
+    // mass as N*1e9 - sum(e_fp), same final sqrt chain.
+    "q_cramers_v" ->
+      """WITH cells AS MATERIALIZED (
+        |  SELECT event_type AS a, CAST(FLOOR(value / 10.0) AS BIGINT) AS b,
+        |         COUNT(1) AS o
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ra AS MATERIALIZED (SELECT a, SUM(o) AS ra FROM cells GROUP BY 1),
+        |cb AS MATERIALIZED (SELECT b, SUM(o) AS cb FROM cells GROUP BY 1),
+        |tot AS MATERIALIZED (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |terms AS (
+        |  SELECT CAST(FLOOR((CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+        |                    * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+        |                    / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+        |                    * 1e9) AS BIGINT) AS t,
+        |         CAST(FLOOR(CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE) * 1e9) AS BIGINT) AS e
+        |  FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot),
+        |f AS (
+        |  SELECT tot.n AS n,
+        |         (SELECT COUNT(1) FROM ra) AS r, (SELECT COUNT(1) FROM cb) AS c,
+        |         (SELECT SUM(t) FROM terms) + CAST(tot.n AS HUGEINT) * 1000000000
+        |           - (SELECT SUM(e) FROM terms) AS chi
+        |  FROM tot)
+        |SELECT n, r, c, CAST(chi AS BIGINT) AS chi2_fp,
+        |       CASE WHEN LEAST(r, c) > 1 THEN
+        |         sqrt(CAST(chi AS DOUBLE) / 1e9
+        |              / (CAST(n AS DOUBLE) * CAST(LEAST(r, c) - 1 AS DOUBLE)))
+        |       END AS v
+        |FROM f""".stripMargin,
 
     // Mann-Whitney replay: the same distinct-value table, doubled rank
     // sum and tie sum as HUGEINT integers, the identical pinned

@@ -624,6 +624,136 @@ object Analytics {
       u2.cast("long").as("u2_a"), z.as("z"))
   }
 
+  /** Spearman rank correlation per group — the monotonic-association
+    * readout for skewed metrics where Pearson's linearity assumption is
+    * wrong (score vs engagement, length vs quality): Pearson over
+    * tie-averaged ranks. The ranks live in HALVES (the [[mannWhitneyU]]
+    * identity: 2·rank_avg(v) = 2·cumBefore(v) + count(v) + 1), so both
+    * rank columns stay exact integers; rank WINDOWS run per axis on the
+    * NDV-bounded distinct-value tables, never on raw rows — rows only
+    * pick up their two ranks through co-grouped joins and feed one
+    * partial-aggregated DECIMAL(38,0) moment pass. ρ is the
+    * [[groupedOls]] pinned double sequence over those exact sums
+    * (`q_spearman` replays via HUGEINT). Groups degenerate on either
+    * axis (all tied) surface null ρ.
+    *
+    * Output: (groupCol, n, rho). */
+  def spearman(df: DataFrame, groupCol: String, xCol: String, yCol: String,
+               scale: Int = 6): DataFrame = {
+    require(scale >= 0 && scale <= 9, s"scale must be in [0, 9], got $scale")
+    val p = math.pow(10.0, scale)
+    val d38 = "decimal(38,0)"
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol),
+        floor(col(xCol) * lit(p)).cast("long").as("_qx"),
+        floor(col(yCol) * lit(p)).cast("long").as("_qy"))
+    def rankTable(qCol: String, out: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol)).orderBy(col(qCol))
+        .rowsBetween(Long.MinValue, -1)
+      rows.groupBy(col(groupCol), col(qCol))
+        .agg(count(lit(1)).as("_c"))
+        .withColumn(out,
+          lit(2) * coalesce(sum(col("_c")).over(w), lit(0L)) + col("_c") + 1)
+        .select(col(groupCol), col(qCol), col(out))
+    }
+    val ranked = rows
+      .join(rankTable("_qx", "_r2x"), Seq(groupCol, "_qx"))
+      .join(rankTable("_qy", "_r2y"), Seq(groupCol, "_qy"))
+      .select(col(groupCol),
+        col("_r2x").cast(d38).as("_x"), col("_r2y").cast(d38).as("_y"))
+    val agg = ranked.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast(d38).as("_n"),
+      sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+      sum(col("_x") * col("_y")).as("_sxy"),
+      sum(col("_x") * col("_x")).as("_sxx"),
+      sum(col("_y") * col("_y")).as("_syy"))
+    val num = col("_n") * col("_sxy") - col("_sx") * col("_sy")
+    val denx = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+    val deny = col("_n") * col("_syy") - col("_sy") * col("_sy")
+    agg.select(col(groupCol), col("_n").cast("long").as("n"),
+      when(denx > 0 && deny > 0,
+        num.cast("double") /
+          sqrt(denx.cast("double")) / sqrt(deny.cast("double"))).as("rho"))
+  }
+
+  /** Cliff's delta per group — the ordinal effect SIZE companion to
+    * [[mannWhitneyU]]'s significance: δ = (#(a>b) − #(a<b)) / (n_a·n_b),
+    * read straight off the shared quantized distinct-value table. For
+    * each distinct value, a-count × the b-mass strictly below/above it —
+    * both cumulative windows on the NDV-bounded table, both counts exact
+    * DECIMAL(38,0) integers; only the final δ is a pinned double
+    * division (`q_cliffs_delta` replays via HUGEINT). Groups missing a
+    * side surface null δ.
+    *
+    * Output: (groupCol, n_a, n_b, gt, lt, delta) with gt/lt the exact
+    * concordant/discordant pair counts. */
+  def cliffsDelta(df: DataFrame, groupCol: String, sideCol: String,
+                  valueCol: String, sideA: String, sideB: String,
+                  scale: Int = 6): DataFrame = {
+    val counts = sideCounts(df, groupCol, sideCol, valueCol, sideA, sideB, scale)
+    val d38 = "decimal(38,0)"
+    val wBefore = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_x"))
+      .rowsBetween(Long.MinValue, -1)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val base = counts
+      .withColumn("_nb", sum(col("_cb")).over(wAll))
+      .withColumn("_na", sum(col("_ca")).over(wAll))
+      .withColumn("_bBelow", coalesce(sum(col("_cb")).over(wBefore), lit(0L)))
+    val agg = base.groupBy(col(groupCol)).agg(
+      max(col("_na")).cast(d38).as("_n_a"),
+      max(col("_nb")).cast(d38).as("_n_b"),
+      sum(col("_ca").cast(d38) * col("_bBelow")).as("_gt"),
+      sum(col("_ca").cast(d38) * (col("_nb") - col("_bBelow") - col("_cb"))).as("_lt"))
+    val pairs = col("_n_a") * col("_n_b")
+    agg.select(col(groupCol),
+      col("_n_a").cast("long").as("n_a"), col("_n_b").cast("long").as("n_b"),
+      col("_gt").cast("long").as("gt"), col("_lt").cast("long").as("lt"),
+      when(pairs > 0, (col("_gt") - col("_lt")).cast("double") / pairs.cast("double"))
+        .as("delta"))
+  }
+
+  /** Cramér's V — association strength between two CATEGORICAL columns
+    * (source × language, event type × value band), the bounded-[0,1]
+    * normalization of χ² a release report can threshold: V =
+    * √(χ² / (N·(min(r,c) − 1))). One pass to the observed grid
+    * (bounded by distinct-pair count), two marginal aggregates, then
+    * each OBSERVED cell's (O−E)²/E as a pinned double from exact
+    * integers, floor-quantized at 1e9 fixed point and SUMMED AS LONGS —
+    * the [[graft.operators.Curation.jsDivergence]] pattern, so the
+    * total is partitioning-independent and any engine replays it
+    * (`q_cramers_v`). UNOBSERVED grid cells (O = 0) each contribute
+    * exactly E to χ², and Σ_unobserved E = N − Σ_observed E — so the
+    * full-grid total needs only the observed-cell pass:
+    * chi2_fp = Σ term_fp + N·10⁹ − Σ e_fp. The grid never materializes
+    * beyond the observed distinct pairs. Output (one row):
+    * (n, r, c, chi2_fp, v); v null for degenerate (single-category)
+    * tables. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("_a"), col(bCol).cast("string").as("_b"))
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_o"))
+      .localCheckpoint(true) // grid-sized; three readers below
+    val ra = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_ra"))
+    val cb = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_cb"))
+    val n = cells.agg(sum(col("_o")).cast("long")).head().getLong(0)
+    require(n > 0, "cramersV: empty input")
+    val r = ra.count(); val c = cb.count()
+    val e = col("_ra").cast("double") * col("_cb").cast("double") / lit(n.toDouble)
+    val d = col("_o").cast("double") - e
+    val sums = cells.join(broadcast(ra), Seq("_a")).join(broadcast(cb), Seq("_b"))
+      .select(floor(d * d / e * lit(1e9)).cast("long").as("_t"),
+        floor(e * lit(1e9)).cast("long").as("_e"))
+      .agg(sum(col("_t")), sum(col("_e"))).head()
+    val chiFp = sums.getLong(0) + n * 1000000000L - sums.getLong(1)
+    val minDim = math.min(r, c) - 1
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = if (minDim > 0) Some(math.sqrt(chiFp / 1e9 / (n.toDouble * minDim))) else None
+    Seq((n, r, c, chiFp, v)).toDF("n", "r", "c", "chi2_fp", "v")
+  }
+
   /** Per-group simple linear regression (OLS y = a + b·x) from EXACT
     * fixed-point moment sums — the trend-per-segment primitive (price
     * curves per brand, score drift per source, …) computed as ONE

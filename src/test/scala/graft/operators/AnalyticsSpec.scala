@@ -415,6 +415,58 @@ class AnalyticsSpec extends SparkSpec {
     assert(h.getDouble(3) == 1.0 && h.getBoolean(5))
   }
 
+  test("spearman: perfect monotone, reversed, and tie-averaged hand case") {
+    val sch = StructType(Seq(StructField("g", StringType),
+      StructField("x", DoubleType), StructField("y", DoubleType)))
+    val rows =
+      Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)).map { case (x, y) => Row("up", x, y) } ++
+      Seq((1.0, 3.0), (2.0, 2.0), (3.0, 1.0)).map { case (x, y) => Row("down", x, y) } ++
+      // ties: x = [1,1,2] ranks [1.5,1.5,3], y = [1,2,3] ranks [1,2,3]
+      // -> rho = 4.5/sqrt(4.5)/sqrt(6) = sqrt(0.75)
+      Seq((1.0, 1.0), (1.0, 2.0), (2.0, 3.0)).map { case (x, y) => Row("tied", x, y) } ++
+      Seq((7.0, 1.0), (7.0, 2.0)).map { case (x, y) => Row("const", x, y) }
+    val out = Analytics.spearman(df(sch, rows), "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // num/sqrt/sqrt is the PINNED sequence (engine-replayable), which
+    // rounds 12/sqrt(12)/sqrt(12) to 1 + 1ulp — tolerance, not equality
+    assert(math.abs(out("up").getDouble(2) - 1.0) < 1e-12)
+    assert(math.abs(out("down").getDouble(2) + 1.0) < 1e-12)
+    assert(math.abs(out("tied").getDouble(2) -
+      4.5 / math.sqrt(4.5) / math.sqrt(6.0)) < 1e-12, out("tied").toString)
+    assert(out("const").isNullAt(2), "constant axis must null rho")
+  }
+
+  test("cliffsDelta: hand-counted concordant/discordant pairs") {
+    // A = {1,2,3}, B = {2,3,4}: a>b pairs = 1 (3>2), a<b pairs = 6
+    // -> delta = (1-6)/9 = -5/9
+    val rows = Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0,
+      "b" -> 2.0, "b" -> 3.0, "b" -> 4.0).map { case (s, v) => Row("g", s, v) } ++
+      Seq(Row("solo", "a", 1.0))
+    val out = Analytics.cliffsDelta(df(ksSchema, rows), "g", "s", "v", "a", "b")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getLong(3) == 1L && g.getLong(4) == 6L, g.toString)
+    assert(math.abs(g.getDouble(5) - (-5.0 / 9.0)) < 1e-15)
+    assert(out("solo").isNullAt(5), "missing side must null delta")
+  }
+
+  test("cramersV: perfect association is 1; independence is ~0; unobserved cells counted") {
+    val sch = StructType(Seq(StructField("a", StringType), StructField("b", StringType)))
+    val perfect = (1 to 10).flatMap(_ => Seq(Row("x", "0"), Row("y", "1")))
+    val p = Analytics.cramersV(df(sch, perfect), "a", "b").head()
+    assert(p.getLong(0) == 20L && p.getLong(1) == 2L && p.getLong(2) == 2L)
+    // chi2 = N = 20 exactly: observed terms 2x5e9, unobserved 20e9-10e9
+    assert(p.getLong(3) == 20000000000L, p.toString)
+    assert(math.abs(p.getDouble(4) - 1.0) < 1e-9)
+    val indep = (1 to 5).flatMap(_ =>
+      Seq(Row("x", "0"), Row("x", "1"), Row("y", "0"), Row("y", "1")))
+    val i = Analytics.cramersV(df(sch, indep), "a", "b").head()
+    assert(i.getLong(3) == 0L && math.abs(i.getDouble(4)) < 1e-9, i.toString)
+    // single-category: null v
+    val deg = Analytics.cramersV(df(sch, Seq(Row("x", "0"), Row("x", "1"))), "a", "b").head()
+    assert(deg.isNullAt(4))
+  }
+
   test("ksTestFromCounts over persisted histograms == ksTest over raw rows") {
     val rows = Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0,
       "b" -> 2.0, "b" -> 3.0, "b" -> 4.0).map { case (s, v) => Row("g", s, v) } ++
