@@ -1,0 +1,240 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic 10× corpus expansion + the stress bench over it
+  * (VERDICT r13 #1): every 100×-safety claim in SURVEY.md is argued
+  * from plan shape but was measured only at sf0.1 — these two mains
+  * manufacture the next decade of data and measure the heavy queries
+  * on it, committing `BENCH_scale.json` as the evidence.
+  *
+  * [[ScaleData]] expands sf0.1 by an integer `factor` with arithmetic-
+  * only derivations (no RNG, no clock — byte-reproducible):
+  *
+  *  - `documents`: replica k shifts doc_id by k·10⁶ and suffixes every
+  *    token with the replica index (replica 0 IS the original corpus).
+  *    Token counts and length profiles survive; replica vocabularies
+  *    are disjoint, so planted dup/near-dup families stay WITHIN a
+  *    replica and the pair-generation workload scales linearly — ×k
+  *    literal copies would instead scale candidate pairs
+  *    quadratically and measure a corpus no curator ever sees.
+  *  - `embeddings`: replica k rotates each vector left by k dims
+  *    (norms and within-replica distances exact; planted near-dup
+  *    pairs rotate together and survive).
+  *  - `orders`/`lineitem`: replica k shifts orderkeys by k·10⁷ and
+  *    cust/supp keys by k·10⁵ — the purchase graph becomes k disjoint
+  *    copies, so graph queries scale in |V| and |E| without
+  *    manufacturing artificial skew.
+  *  - everything else: byte-copied (dimension tables don't scale with
+  *    corpus size; `events` keeps its NANOS physical type).
+  *
+  * [[ScaleBench]] then runs the heavy query set at BOTH scales in one
+  * JVM (same box, same session — the cleanest possible ratio), with
+  * the Bench telemetry (steal/sys/load/spread), and extends the
+  * PlanReport exchange audit to the 10× plans: the scale claim is
+  * "same plan, ~linear time", and both halves are recorded per query.
+  */
+object ScaleData {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "/tmp/graft_scale10"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    require(factor >= 1 && factor <= 100, s"factor must be in [1, 100], got $factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-data")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
+    val reps = spark.range(factor).select(col("id").cast("int").as("_k"))
+
+    def t(name: String): DataFrame =
+      graft.sources.ParquetConnector.readTable(spark, s"$src/$name.parquet")
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+
+    // documents: replica-suffixed tokens, replica-shifted ids
+    val d = t("documents").crossJoin(broadcast(reps))
+    val text = when(col("_k") === 0, col("text")).otherwise(
+      regexp_replace(col("text"), lit("(\\S+)"),
+        concat(lit("$1x"), col("_k").cast("string"))))
+    write(d.select(
+      (col("doc_id") + col("_k").cast("long") * 1000000L).as("doc_id"),
+      text.as("text"), col("lang"), col("source"),
+      when(col("_k") === 0, col("n_chars"))
+        .otherwise(length(text).cast("long")).as("n_chars")), "documents")
+
+    // embeddings: replica-rotated vectors, replica-shifted ids
+    val e = t("embeddings").crossJoin(broadcast(reps))
+    val dim = size(col("embedding"))
+    write(e.select(
+      (col("vec_id") + col("_k").cast("long") * 1000000L).as("vec_id"),
+      concat(slice(col("embedding"), col("_k") + 1, dim - col("_k")),
+        slice(col("embedding"), lit(1), col("_k"))).as("embedding"),
+      col("label")), "embeddings")
+
+    // purchase graph: k disjoint copies
+    val o = t("orders").crossJoin(broadcast(reps))
+    write(o.select(
+      (col("o_orderkey") + col("_k").cast("long") * 10000000L).as("o_orderkey"),
+      (col("o_custkey") + col("_k").cast("long") * 100000L).as("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority")), "orders")
+    val l = t("lineitem").crossJoin(broadcast(reps))
+    write(l.select(Seq(
+      (col("l_orderkey") + col("_k").cast("long") * 10000000L).as("l_orderkey"),
+      col("l_partkey"),
+      (col("l_suppkey") + col("_k").cast("long") * 100000L).as("l_suppkey")) ++
+      Seq("l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate").map(col): _*),
+      "lineitem")
+
+    // dimension tables + events: byte-copied, physical types untouched
+    Seq("region", "nation", "customer", "supplier", "part", "events").foreach { n =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$src/$n.parquet"),
+        java.nio.file.Paths.get(s"$dst/$n.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    println(s"[scale] wrote x$factor corpus to $dst")
+    spark.stop()
+  }
+}
+
+/** Runs the heavy query set at the base SF and at the scaled dir in one
+  * JVM, with the plan-exchange audit at both scales. Artifact:
+  * `BENCH_scale.json`. */
+object ScaleBench {
+  /** The dozen heaviest queries (the VERDICT r13 #1 list): dedup
+    * families, graph iterations, ANN lifecycle, LM gates, the
+    * cluster-aware split, and the full funnel. */
+  val heavy: Seq[String] = Seq(
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+    "q_embedding_neardup", "q_ppl_mix", "q_pagerank", "q_label_prop",
+    "q_ann_pq", "q_dsir", "q_kn_trigram", "q_cluster_split",
+    "q_cluster_split_lsh", "q_pipeline_funnel")
+
+  /** Scale-bench-local variants, NOT part of the driver correctness
+    * contract. `q_cluster_split_lsh` is the 100 TB form of
+    * `q_cluster_split`: the r14 stress run measured the exact-Jaccard
+    * pair stage at ratio ~22× per 10× data — block-QUADRATIC by its
+    * documented contract (blocks are lang+length buckets, so their
+    * occupancy grows with the corpus; the exact family trades speed for
+    * external replayability). The production path swaps in minhash LSH
+    * candidates (linear — banding buckets grow only with true
+    * near-dup density) feeding the SAME components + root-hash split.
+    * Each constituent is hash-checked elsewhere (banding:
+    * `q_minhash_banding`; components: `q_dedup_clusters`; root-hash
+    * split: `q_cluster_split`), so this entry only needs timing, not
+    * an oracle — keeping the driver's no_oracle count at its
+    * documented floor. */
+  private val extra: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cluster_split_lsh" -> ((s: SparkSession, dir: String) => {
+      val d = graft.sources.ParquetConnector.readTable(s, s"$dir/documents.parquet")
+      val pairs = graft.operators.Dedup.minhashCandidates(
+        d, "text", "doc_id", threshold = 0.7)
+      val cc = graft.operators.Dedup.connectedComponents(pairs)
+      graft.operators.Curation.clusterAwareSplit(d, "doc_id", cc)
+        .orderBy(col("doc_id"))
+    }))
+
+  // q_pipeline_funnel RUNS its multi-step plan while the frame is
+  // constructed, so a plan audit of the returned metrics frame would
+  // (a) cost a full extra funnel run and (b) audit only the final
+  // count projection — its per-stage plans are audited by the
+  // pipeline's own PlanEvidence specs instead.
+  private val noAudit = Set("q_pipeline_funnel")
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scaled = if (args.length > 0) args(0) else "/tmp/graft_scale10"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = (n: String) => only.forall(_.contains(n))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val (preLoad, contaminated) = Bench.waitForIdle(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0").toDouble, 5, 60)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () } // JIT warm-up
+    val stat0 = Bench.procStatTicks()
+
+    def fn(name: String) = extra.getOrElse(name, SparkEntry.queries(name))
+    def exchanges(name: String, dir: String): Int =
+      try graft.plans.PlanReport.of(fn(name)(spark, dir)).exchanges
+      catch { case e: Throwable =>
+        Bench.diag(s"[scale] plan audit $name@$dir failed: ${e.getMessage}"); -1 }
+    def timeReps(name: String, dir: String): Seq[Double] = (1 to reps).map { _ =>
+      try {
+        val t0 = System.nanoTime()
+        fn(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        Bench.diag(s"[scale] $name@$dir failed: ${e.getMessage}"); -1.0 }
+    }
+
+    val rows = heavy.filter(selected).map { name =>
+      val (exB, exS) =
+        if (noAudit(name)) (-1, -1)
+        else (exchanges(name, base), exchanges(name, scaled))
+      // scaled reps FIRST: any residual first-execution codegen/JIT cost
+      // lands on the scaled side, so the reported ratio is conservative
+      // for the linear-scaling claim (the audit constructions above
+      // already warmed both dirs once for the checkpointing queries)
+      val tS = timeReps(name, scaled)
+      val tB = timeReps(name, base)
+      val (mB, mS) = (Bench.median(tB), Bench.median(tS))
+      val ratio = if (mB > 0 && mS > 0) math.round(mS / mB * 100.0) / 100.0 else -1.0
+      Bench.diag(f"[scale] $name base=$mB%.2f scaled=$mS%.2f ratio=$ratio%.2f ex=$exB/$exS")
+      (name, tB, tS, mB, mS, ratio, exB, exS,
+        Bench.spreadFlag(tB) || Bench.spreadFlag(tS))
+    }
+    val stat1 = Bench.procStatTicks()
+    val (stealPct, sysPct) = (stat0, stat1) match {
+      case (Some((t0, s0, st0)), Some((t1, s1, st1))) if t1 > t0 =>
+        (math.round((st1 - st0).toDouble / (t1 - t0) * 10000.0) / 100.0,
+          math.round((s1 - s0).toDouble / (t1 - t0) * 10000.0) / 100.0)
+      case _ => (-1.0, -1.0)
+    }
+    val postLoad = Bench.loadAvg()
+    def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    val qjson = rows.map { case (n, tB, tS, mB, mS, r, exB, exS, spread) =>
+      s""""$n":{"base_median":${f"$mB%.3f"},"scaled_median":${f"$mS%.3f"},"ratio":$r,""" +
+        s""""exchanges_base":$exB,"exchanges_scaled":$exS,"same_plan":${exB == exS},""" +
+        s""""spread_flagged":$spread,"base_runs":${arr(tB)},"scaled_runs":${arr(tS)}}"""
+    }.mkString("{", ",", "}")
+    val spreadNames = rows.filter(_._9).map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
+    val planDiverged = rows.filter(r => !noAudit(r._1) && r._7 != r._8)
+      .map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"scale_ratio","factor":$factor,"reps":$reps,""" +
+      s""""base":"$base","scaled":"$scaled","queries":$qjson,""" +
+      s""""plan_diverged":$planDiverged,"spread_flagged":$spreadNames,""" +
+      s""""load_pre":$preLoad,"load_post":$postLoad,"contaminated":$contaminated,""" +
+      s""""steal_pct":$stealPct,"sys_pct":$sysPct}"""
+    // an ONLY-filtered profiling run must never clobber the committed
+    // full matrix (the Bench BENCH_only.json rule — VERDICT r11 #1)
+    val artifact = if (only.isDefined) "BENCH_scale_only.json" else "BENCH_scale.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try spark.stop()
+    catch { case e: Throwable => Bench.diag(s"[scale] spark.stop failed: ${e.getMessage}") }
+    println(json)
+    System.out.flush()
+  }
+}
