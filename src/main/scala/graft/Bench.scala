@@ -229,7 +229,11 @@ object Bench {
     // r14 — effect-size/association suite over the distinct-value
     // tables: Spearman (half-rank joins + one moment pass), Cliff's
     // delta (cumulative pair counts), Cramér's V (observed-grid chi2)
-    "q_spearman", "q_cliffs_delta", "q_cramers_v")
+    "q_spearman", "q_cliffs_delta", "q_cramers_v",
+    // r14 — experiment readout completion: CUPED covariate adjustment
+    // (pooled theta from one per-arm moment pass) and the delta-method
+    // ratio-metric CI (per-user rollup + one moment pass)
+    "q_cuped", "q_ratio_ci")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

@@ -2140,6 +2140,34 @@ object SparkEntry {
           "event_type", "side", "value", "even", "odd")
         .orderBy(col("event_type"))),
 
+    "q_cuped" -> ((s, dir) =>
+      // CUPED-adjusted experiment readout: pre-period covariate =
+      // floor(value/2) + user parity class (deterministic, correlated
+      // with the metric), theta/rho2 from pooled DECIMAL moments,
+      // per-arm adjusted means as pinned doubles
+      operators.Analytics.cuped(
+          T(s, dir, "events").filter(col("user_id").isNotNull)
+            .select(col("event_type"),
+              when(pmod(col("user_id"), lit(2L)) === 0L, lit("control"))
+                .otherwise(lit("treatment")).as("variant"),
+              col("value"),
+              (floor(col("value") / 2.0) + pmod(col("user_id"), lit(7L)))
+                .cast("double").as("pre")),
+          "event_type", "variant", "value", "pre")
+        .orderBy(col("event_type"), col("variant"))),
+
+    "q_ratio_ci" -> ((s, dir) =>
+      // delta-method CI for a ratio-of-sums metric (value per event per
+      // user): per-user rollups pre-quantized so the double sums are
+      // order-independent, then one DECIMAL moment pass per event_type
+      operators.Analytics.ratioMetricCI(
+          T(s, dir, "events").filter(col("user_id").isNotNull && col("value").isNotNull)
+            .groupBy(col("event_type"), col("user_id"))
+            .agg((sum(floor(col("value") * lit(1e6)).cast("long")).cast("double") /
+              lit(1e6)).as("rev"), count(lit(1)).cast("double").as("cnt")),
+          "event_type", "rev", "cnt")
+        .orderBy(col("event_type"))),
+
     "q_spearman" -> ((s, dir) =>
       // monotonic association per event_type between value and a
       // derived engagement proxy: tie-averaged HALF-ranks exact on the
@@ -6186,6 +6214,83 @@ object SparkEntry {
         |SELECT feature, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
         |       d, d_crit, d > d_crit AS drifted
         |FROM f ORDER BY feature""".stripMargin,
+
+    // CUPED replay: per-arm HUGEINT moment sums over the quantized
+    // metric/covariate, pooled theta/rho2 in the identical pinned
+    // num/den double order, adjusted means as the same double chain.
+    "q_cuped" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT event_type AS e,
+        |         CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS variant,
+        |         CAST(FLOOR(value * 1000000.0) AS HUGEINT) AS y,
+        |         CAST(FLOOR((FLOOR(value / 2.0) + user_id % 7) * 1000000.0) AS HUGEINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |arm AS MATERIALIZED (
+        |  SELECT e, variant, CAST(COUNT(1) AS HUGEINT) AS n,
+        |         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |         SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM b GROUP BY 1, 2),
+        |pool AS MATERIALIZED (
+        |  SELECT e, SUM(n) AS pn, SUM(sx) AS psx, SUM(sy) AS psy,
+        |         SUM(sxy) AS psxy, SUM(sxx) AS psxx, SUM(syy) AS psyy
+        |  FROM arm GROUP BY 1),
+        |pt AS (
+        |  SELECT e,
+        |    CASE WHEN pn * psxx - psx * psx > 0 THEN
+        |      CAST(pn * psxy - psx * psy AS DOUBLE) / CAST(pn * psxx - psx * psx AS DOUBLE)
+        |    END AS theta,
+        |    CASE WHEN pn * psxx - psx * psx > 0 AND pn * psyy - psy * psy > 0 THEN
+        |      CAST(pn * psxy - psx * psy AS DOUBLE) / CAST(pn * psxx - psx * psx AS DOUBLE)
+        |        * CAST(pn * psxy - psx * psy AS DOUBLE) / CAST(pn * psyy - psy * psy AS DOUBLE)
+        |    END AS rho2,
+        |    CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE) / 1000000.0 AS pxbar
+        |  FROM pool)
+        |SELECT arm.e AS event_type, variant, CAST(n AS BIGINT) AS n,
+        |       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mean_y,
+        |       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+        |         - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 - pxbar) AS mean_adj,
+        |       theta, rho2
+        |FROM arm JOIN pt ON pt.e = arm.e
+        |ORDER BY event_type, variant""".stripMargin,
+
+    // Ratio-metric delta-method replay: pre-quantized per-user rollups
+    // (integer sums, order-independent), HUGEINT moments, the identical
+    // pinned variance/SE/CI double sequence.
+    "q_ratio_ci" ->
+      """WITH u AS MATERIALIZED (
+        |  SELECT event_type AS g, user_id,
+        |         CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS rev,
+        |         CAST(COUNT(1) AS DOUBLE) AS cnt
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |b AS MATERIALIZED (
+        |  SELECT g, CAST(FLOOR(rev * 1000000.0) AS HUGEINT) AS y,
+        |         CAST(FLOOR(cnt * 1000000.0) AS HUGEINT) AS x
+        |  FROM u),
+        |agg AS (
+        |  SELECT g, CAST(COUNT(1) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM b GROUP BY 1),
+        |f AS (
+        |  SELECT g, n, sx,
+        |    CASE WHEN sx <> 0 THEN CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) END AS ratio,
+        |    CAST(n * syy - sy * sy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 1000000.0 / 1000000.0 AS vy,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 1000000.0 / 1000000.0 AS vx,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 1000000.0 / 1000000.0 AS cxy,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS xbar
+        |  FROM agg),
+        |s AS (
+        |  SELECT g, n, ratio,
+        |    CASE WHEN n > 1 AND ratio IS NOT NULL AND xbar <> 0.0 THEN
+        |      (vy - 2.0 * ratio * cxy + ratio * ratio * vx)
+        |        / (CAST(n AS DOUBLE) * xbar * xbar) END AS varr
+        |  FROM f),
+        |t AS (SELECT g, n, ratio,
+        |             CASE WHEN varr >= 0.0 THEN sqrt(varr) END AS se FROM s)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n, ratio, se,
+        |       ratio - 1.959963984540054 * se AS lo,
+        |       ratio + 1.959963984540054 * se AS hi
+        |FROM t ORDER BY event_type""".stripMargin,
 
     // Spearman replay: per-axis doubled tie-average ranks off the
     // quantized distinct tables (2r = 2·cumBefore + c + 1), HUGEINT

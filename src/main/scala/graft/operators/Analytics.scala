@@ -754,6 +754,111 @@ object Analytics {
     Seq((n, r, c, chiFp, v)).toDF("n", "r", "c", "chi2_fp", "v")
   }
 
+  /** CUPED variance reduction (Deng et al. 2013) — the experiment
+    * readout upgrade every mature A/B platform runs: adjust each arm's
+    * metric mean by a PRE-EXPERIMENT covariate, mean_adj = ȳ_v −
+    * θ·(x̄_v − x̄), with θ = cov(x,y)/var(x) fitted on the POOLED
+    * experiment (per-arm θ would bias the contrast). The variance
+    * shrinks by the pooled ρ² — shipped per experiment as `rho2` so the
+    * readout reports its own sensitivity gain.
+    *
+    * Exactness: one partial-aggregated pass to per-(experiment, arm)
+    * DECIMAL(38,0) moment sums over ⌊v·10^scale⌋ integers (the
+    * [[groupedOls]] contract); pooled sums are the in-plan per-arm
+    * rollup, θ / means / ρ² are pinned double sequences over those
+    * integers (`q_cuped` replays via HUGEINT). Experiments with
+    * degenerate pooled covariate variance surface NULL θ/adjusted
+    * means (CUPED is undefined there), never a division by zero.
+    *
+    * Output: (expCol, variant, n, mean_y, mean_adj, theta, rho2). */
+  def cuped(df: DataFrame, expCol: String, variantCol: String,
+            metricCol: String, covariateCol: String,
+            scale: Int = 6): DataFrame = {
+    require(scale >= 0 && scale <= 9, s"scale must be in [0, 9], got $scale")
+    val p = math.pow(10.0, scale)
+    val d38 = "decimal(38,0)"
+    val arm = df.filter(col(metricCol).isNotNull && col(covariateCol).isNotNull)
+      .select(col(expCol), col(variantCol).cast("string").as("variant"),
+        floor(col(metricCol) * lit(p)).cast(d38).as("_y"),
+        floor(col(covariateCol) * lit(p)).cast(d38).as("_x"))
+      .groupBy(col(expCol), col("variant"))
+      .agg(count(lit(1)).cast(d38).as("_n"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y") * col("_y")).as("_syy"))
+      .localCheckpoint(true) // experiments×arms rows; pooled rollup + join below
+    val pooled = arm.groupBy(col(expCol)).agg(
+      sum(col("_n")).as("_pn"), sum(col("_sx")).as("_psx"), sum(col("_sy")).as("_psy"),
+      sum(col("_sxy")).as("_psxy"), sum(col("_sxx")).as("_psxx"),
+      sum(col("_syy")).as("_psyy"))
+    val num = col("_pn") * col("_psxy") - col("_psx") * col("_psy")
+    val denx = col("_pn") * col("_psxx") - col("_psx") * col("_psx")
+    val deny = col("_pn") * col("_psyy") - col("_psy") * col("_psy")
+    val theta = when(denx > 0, num.cast("double") / denx.cast("double"))
+    val rho2 = when(denx > 0 && deny > 0,
+      num.cast("double") / denx.cast("double") * num.cast("double") / deny.cast("double"))
+    val withPool = arm.join(
+      pooled.select(col(expCol), theta.as("theta"), rho2.as("rho2"),
+        (col("_psx").cast("double") / col("_pn").cast("double") / lit(p)).as("_pxbar")),
+      Seq(expCol))
+    val meanY = col("_sy").cast("double") / col("_n").cast("double") / lit(p)
+    val meanX = col("_sx").cast("double") / col("_n").cast("double") / lit(p)
+    withPool.select(col(expCol), col("variant"),
+      col("_n").cast("long").as("n"), meanY.as("mean_y"),
+      (meanY - col("theta") * (meanX - col("_pxbar"))).as("mean_adj"),
+      col("theta"), col("rho2"))
+  }
+
+  /** Delta-method CI for a RATIO metric (revenue per session, tokens
+    * per doc, clicks per user) — the readout [[abTest]]/[[welchT]]
+    * cannot give: R = Σy/Σx is a ratio of sums over the SAME units, so
+    * its variance needs the covariance term,
+    * Var(R) ≈ (s²_y − 2R·s_xy + R²·s²_x) / (n·x̄²), CI = R ± z·SE.
+    * One partial-aggregated DECIMAL(38,0) moment pass per group over
+    * quantized integers; variances/covariance exact rationals until
+    * the pinned final doubles (`q_ratio_ci` replays via HUGEINT).
+    * Groups with n < 2, zero denominator, or negative variance
+    * estimate surface NULL se/bounds.
+    *
+    * Output: (groupCol, n, ratio, se, lo, hi). */
+  def ratioMetricCI(df: DataFrame, groupCol: String, numCol: String,
+                    denCol: String, zAlpha: Double = 1.959963984540054,
+                    scale: Int = 6): DataFrame = {
+    require(zAlpha > 0, s"zAlpha must be positive, got $zAlpha")
+    require(scale >= 0 && scale <= 9, s"scale must be in [0, 9], got $scale")
+    val p = math.pow(10.0, scale)
+    val d38 = "decimal(38,0)"
+    val agg = df.filter(col(numCol).isNotNull && col(denCol).isNotNull)
+      .select(col(groupCol),
+        floor(col(numCol) * lit(p)).cast(d38).as("_y"),
+        floor(col(denCol) * lit(p)).cast(d38).as("_x"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast(d38).as("_n"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y") * col("_y")).as("_syy"))
+    val nD = col("_n").cast("double")
+    val ratio = when(col("_sx") =!= lit(0).cast(d38),
+      col("_sy").cast("double") / col("_sx").cast("double"))
+    // sample (co)variances: (n·Σab − Σa·Σb) / (n·(n−1)), exact DECIMAL
+    // numerators, one pinned double division each
+    def sVar(sab: Column, sa: Column, sb: Column) =
+      (col("_n") * sab - sa * sb).cast("double") /
+        (col("_n") * (col("_n") - 1)).cast("double") / lit(p) / lit(p)
+    val (vy, vx) = (sVar(col("_syy"), col("_sy"), col("_sy")),
+      sVar(col("_sxx"), col("_sx"), col("_sx")))
+    val cxy = sVar(col("_sxy"), col("_sx"), col("_sy"))
+    val xbar = col("_sx").cast("double") / nD / lit(p)
+    val varR = when(col("_n") > 1 && ratio.isNotNull && xbar =!= 0.0,
+      (vy - lit(2.0) * ratio * cxy + ratio * ratio * vx) / (nD * xbar * xbar))
+    val se = when(varR >= 0.0, sqrt(varR))
+    agg.select(col(groupCol), col("_n").cast("long").as("n"), ratio.as("ratio"),
+      se.as("se"), (ratio - lit(zAlpha) * se).as("lo"),
+      (ratio + lit(zAlpha) * se).as("hi"))
+  }
+
   /** Per-group simple linear regression (OLS y = a + b·x) from EXACT
     * fixed-point moment sums — the trend-per-segment primitive (price
     * curves per brand, score drift per source, …) computed as ONE

@@ -415,6 +415,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(h.getDouble(3) == 1.0 && h.getBoolean(5))
   }
 
+  test("cuped: perfectly-predictive covariate collapses both arms to the pooled mean") {
+    val sch = StructType(Seq(StructField("e", StringType), StructField("v", StringType),
+      StructField("y", DoubleType), StructField("x", DoubleType)))
+    // y == x: theta = 1, rho2 = 1, mean_adj(arm) = ybar_v - (xbar_v - xbar)
+    // -> both arms land exactly on the pooled mean 2.5
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .map { case (v, y) => Row("g", v, y, y) }
+    val out = Analytics.cuped(df(sch, rows), "e", "v", "y", "x")
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(math.abs(out("a").getDouble(5) - 1.0) < 1e-12, "theta")
+    assert(math.abs(out("a").getDouble(6) - 1.0) < 1e-12, "rho2")
+    assert(math.abs(out("a").getDouble(4) - 2.5) < 1e-9, out("a").toString)
+    assert(math.abs(out("b").getDouble(4) - 2.5) < 1e-9, out("b").toString)
+    assert(math.abs(out("a").getDouble(3) - 1.5) < 1e-9, "raw mean unchanged")
+    // constant covariate: CUPED undefined -> null theta/adjusted
+    val const = Seq(("a", 1.0), ("b", 2.0)).map { case (v, y) => Row("g", v, y, 7.0) }
+    val d = Analytics.cuped(df(sch, const), "e", "v", "y", "x").head()
+    assert(d.isNullAt(4) && d.isNullAt(5))
+  }
+
+  test("ratioMetricCI: y == x gives ratio 1 with zero variance; n = 1 nulls the SE") {
+    val sch = StructType(Seq(StructField("g", StringType),
+      StructField("y", DoubleType), StructField("x", DoubleType)))
+    val rows = Seq(1.0, 2.0, 3.0).map(v => Row("g", v, v)) ++ Seq(Row("solo", 5.0, 2.0))
+    val out = Analytics.ratioMetricCI(df(sch, rows), "g", "y", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getLong(1) == 3L && g.getDouble(2) == 1.0)
+    // vy = vx = cxy -> varR = (v - 2v + v)/(n xbar^2) = 0 exactly
+    assert(g.getDouble(3) == 0.0 && g.getDouble(4) == 1.0 && g.getDouble(5) == 1.0, g.toString)
+    assert(out("solo").getDouble(2) == 2.5 && out("solo").isNullAt(3))
+  }
+
   test("spearman: perfect monotone, reversed, and tie-averaged hand case") {
     val sch = StructType(Seq(StructField("g", StringType),
       StructField("x", DoubleType), StructField("y", DoubleType)))
