@@ -706,6 +706,66 @@ class PlanEvidenceSpec extends SparkSpec {
       "offsets must stay inside per-conversation frames:\n" + plan)
   }
 
+  test("ratioMetricCI: one partial-aggregated moment pass — no join, no window") {
+    val ev = graft.sources.ParquetConnector.readTable(spark, s"$sf/events.parquet")
+      .select(col("event_type"), col("value").as("y"),
+        (pmod(col("event_id"), lit(5L)) + 1L).cast("double").as("x"))
+    val out = graft.operators.Analytics.ratioMetricCI(ev, "event_type", "y", "x")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      "delta-method CI is one moment aggregation:\n" + plan)
+    assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      "one shuffle of pre-aggregated moments:\n" + plan)
+  }
+
+  test("spearman: rank windows run on aggregated distinct tables, equi-joins only") {
+    val ev = graft.sources.ParquetConnector.readTable(spark, s"$sf/events.parquet")
+      .select(col("event_type"), col("value"),
+        pmod(col("user_id"), lit(97L)).cast("double").as("proxy"))
+    val out = graft.operators.Analytics.spearman(ev, "event_type", "value", "proxy")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      "rank joins must stay equi:\n" + plan)
+    // both rank windows partition per group — no corpus-wide frame
+    val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("event_type")),
+      "rank windows must partition by the group key:\n" + plan)
+    // windows consume the (group, value) COUNT tables, so a partial +
+    // final HashAggregate pair exists under each
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      "distinct-value tables must aggregate before ranking:\n" + plan)
+  }
+
+  test("snapshotKs: per-feature melt is row-local; KS needs no join at all") {
+    val d = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+      .select(col("n_chars"), length(col("text")).cast("long").as("n_len"))
+    val out = graft.operators.Analytics.snapshotKs(d, d, Seq("n_chars", "n_len"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join"), "KS is union + aggregate + windows:\n" + plan)
+    val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("feature")),
+      "ECDF windows must partition per feature:\n" + plan)
+  }
+
+  test("cuped: per-arm moments aggregate partially; theta joins back equi, no cartesian") {
+    val ev = graft.sources.ParquetConnector.readTable(spark, s"$sf/events.parquet")
+      .select(col("event_type"),
+        when(pmod(col("user_id"), lit(2L)) === 0L, lit("c")).otherwise(lit("t")).as("v"),
+        col("value"), (col("value") * 0.5).as("pre"))
+    val out = graft.operators.Analytics.cuped(ev, "event_type", "v", "value", "pre")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      "pooled-theta join must stay equi:\n" + plan)
+    // the join operands are arm-table-sized (the corpus was reduced by the
+    // eager per-arm checkpoint), so no file scan appears below the join
+    assert(!plan.contains("FileScan"),
+      "corpus must be consumed by the checkpointed arm table:\n" + plan)
+  }
+
   test("ipsEstimate: one partial-aggregated pass — no join, no window, one exchange") {
     val ev = graft.sources.ParquetConnector.readTable(spark, s"$sf/events.parquet")
       .select(col("event_type"),
