@@ -233,7 +233,11 @@ object Bench {
     // r14 — experiment readout completion: CUPED covariate adjustment
     // (pooled theta from one per-arm moment pass) and the delta-method
     // ratio-metric CI (per-user rollup + one moment pass)
-    "q_cuped", "q_ratio_ci")
+    "q_cuped", "q_ratio_ci",
+    // r14 — Holm FWER step-down (hypothesis-table-sized), Gwet AC1
+    // agreement (one confusion pass), top-p vocabulary mass coverage
+    // (one NDV-bounded ranked window)
+    "q_holm", "q_gwet_ac1", "q_vocab_mass")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

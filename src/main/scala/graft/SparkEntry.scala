@@ -933,6 +933,13 @@ object SparkEntry {
       operators.Profile.vocabCoverage(T(s, dir, "documents"), "text", "lang")
         .orderBy(col("lang"))),
 
+    "q_vocab_mass" -> ((s, dir) =>
+      // head-heaviness per language: distinct tokens covering 50/90/99%
+      // of the slice's token mass — exact integer boundary off ONE
+      // NDV-bounded ranked window
+      operators.Profile.vocabMass(T(s, dir, "documents"), "text", "lang")
+        .orderBy(col("lang"))),
+
     "q_dedup_clusters" -> ((s, dir) => {
       // cluster resolution over the (SQL-expressible) n-gram Jaccard pair
       // graph: connected components via large-star/small-star contraction;
@@ -2596,6 +2603,20 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q_holm" -> ((s, dir) => {
+      // the FWER step-down gate over the same hypothesis grid as
+      // q_fdr_bh — exact integer p(j)·(m−j+1) boundary, ties by key
+      val hyp = T(s, dir, "events")
+        .select(col("event_type"), dayofmonth(col("ts")).as("day")).distinct()
+        .withColumn("hyp_id", ascii(col("event_type")) * lit(1000L) +
+          col("day") * lit(31L) + length(col("event_type")))
+        .withColumn("p", (pmod(col("hyp_id") * lit(2654435761L), lit(4294967296L)) %
+          lit(1000000L)).cast("double") / lit(1000000.0))
+      operators.Analytics.holmCorrect(hyp.select(col("hyp_id"), col("p")),
+          "hyp_id", "p", alphaNum = 10, alphaDen = 100)
+        .orderBy(col("rank"))
+    }),
+
     "q_isotonic" -> ((s, dir) => {
       // PAV isotonic calibration on a pinned score/label fixture with
       // known pooling violations — the pooling chain is data-dependent,
@@ -2730,6 +2751,16 @@ object SparkEntry {
         .select(col("source"), col("n"), col("agree"),
           col("pe_num").cast("long").as("pe_num"),
           col("po"), col("pe"), col("kappa"))
+        .orderBy(col("source"))),
+
+    "q_gwet_ac1" -> ((s, dir) =>
+      // the prevalence-robust agreement coefficient on the q_kappa
+      // fixture: same confusion pass, chance term from the averaged
+      // category marginals — exact HUGEINT-replayable numerators
+      operators.Evaluation.gwetAC1(
+          T(s, dir, "documents").select(col("source"),
+            col("lang").as("gold"), TextFunctions.langId(col("text")).as("pred")),
+          "source", "gold", "pred")
         .orderBy(col("source"))),
 
     "q_rouge_l" -> ((s, dir) => {
@@ -3273,6 +3304,31 @@ object SparkEntry {
         |         + CAST(n_singletons AS DOUBLE) * CAST(n_singletons - 1 AS DOUBLE)
         |           / (2.0 * (CAST(n_doubletons AS DOUBLE) + 1.0)) AS chao1
         |FROM a ORDER BY lang""".stripMargin,
+
+    // Top-p mass replay: same ranked window (count desc, token asc), the
+    // exact cum·100 >= p·total integer boundary per requested percent.
+    "q_vocab_mass" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |         unnest(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'),
+        |                            x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |c AS MATERIALIZED (SELECT lang, w, COUNT(1) AS c FROM toks GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, c,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, w ASC) AS rank,
+        |         SUM(c) OVER (PARTITION BY lang ORDER BY c DESC, w ASC
+        |                      ROWS UNBOUNDED PRECEDING) AS cum,
+        |         SUM(c) OVER (PARTITION BY lang) AS total
+        |  FROM c)
+        |SELECT lang, CAST(MAX(total) AS BIGINT) AS n_tokens, COUNT(1) AS n_types,
+        |       MIN(CASE WHEN CAST(cum AS HUGEINT) * 100 >= CAST(total AS HUGEINT) * 50
+        |                THEN rank END) AS tokens_p50,
+        |       MIN(CASE WHEN CAST(cum AS HUGEINT) * 100 >= CAST(total AS HUGEINT) * 90
+        |                THEN rank END) AS tokens_p90,
+        |       MIN(CASE WHEN CAST(cum AS HUGEINT) * 100 >= CAST(total AS HUGEINT) * 99
+        |                THEN rank END) AS tokens_p99
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_mix_sources" ->
       """WITH c AS (SELECT lang, COUNT(1) AS n FROM documents
@@ -7288,6 +7344,32 @@ object SparkEntry {
         |SELECT hyp_id, p, rank, m, rank <= k.k AS rejected
         |FROM r CROSS JOIN k ORDER BY rank""".stripMargin,
 
+    // Holm step-down replay: identical hypothesis grid and ranks, the
+    // first rank failing p_fp·(m−j+1)·100 <= 10·1e9 bounds the
+    // rejection prefix (all rejected when none fails).
+    "q_holm" ->
+      """WITH hyp AS (SELECT DISTINCT event_type, day(ts) AS day FROM events),
+        |h2 AS (SELECT ascii(event_type) * 1000 + day * 31 + length(event_type) AS hyp_id
+        |       FROM hyp),
+        |h3 AS (SELECT hyp_id,
+        |              CAST(((hyp_id * 2654435761) % 4294967296) % 1000000 AS DOUBLE)
+        |                / 1000000.0 AS p
+        |       FROM h2),
+        |r AS (SELECT hyp_id, p,
+        |             CAST(FLOOR(p * 1000000000.0) AS BIGINT) AS pfp,
+        |             ROW_NUMBER() OVER (ORDER BY CAST(FLOOR(p * 1000000000.0) AS BIGINT),
+        |                                         hyp_id) AS rank,
+        |             COUNT(*) OVER () AS m
+        |      FROM h3),
+        |k AS (SELECT COALESCE(
+        |               MIN(CASE WHEN CAST(pfp AS HUGEINT) * (m - rank + 1) * 100
+        |                             > 10 * CAST(1000000000 AS HUGEINT)
+        |                        THEN rank END) - 1,
+        |               MAX(rank)) AS k
+        |      FROM r)
+        |SELECT hyp_id, p, rank, m, rank <= k.k AS rejected
+        |FROM r CROSS JOIN k ORDER BY rank""".stripMargin,
+
     // Golden PAV blocks from the pinned fixture; `rate` recomputed from
     // the exact integer counts so the doubles carry full precision.
     "q_isotonic" ->
@@ -7517,6 +7599,47 @@ object SparkEntry {
          |            THEN CAST(CAST(n AS HUGEINT) * agree - pe_num AS DOUBLE)
          |                 / CAST(CAST(n AS HUGEINT) * n - pe_num AS DOUBLE) END AS kappa
          |FROM b JOIN pe USING (source) ORDER BY b.source""".stripMargin
+    },
+
+    // Gwet AC1 replay: the q_kappa confusion pass, category totals from
+    // a full-outer marginal rollup, the exact HUGEINT chance numerator
+    // S = Σ tc·(2n − tc) against its 4n²(C−1) denominator, identical
+    // pinned po/pe/ac1 doubles.
+    "q_gwet_ac1" -> {
+      s"""WITH t AS (
+         |  SELECT source, lang AS gold,
+         |         list_filter(regexp_split_to_array(lower(trim(text)), '[^\\p{L}]+'), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |pd AS MATERIALIZED (
+         |${langidPdSql("source, gold")}),
+         |conf AS MATERIALIZED (
+         |  SELECT source, gold, pred, COUNT(1) AS n FROM pd GROUP BY 1, 2, 3),
+         |rm AS (SELECT source, gold AS k, SUM(n) AS rn FROM conf GROUP BY 1, 2),
+         |cm AS (SELECT source, pred AS k, SUM(n) AS cn FROM conf GROUP BY 1, 2),
+         |cats AS (
+         |  SELECT COALESCE(rm.source, cm.source) AS source,
+         |         CAST(COALESCE(rn, 0) AS HUGEINT) + COALESCE(cn, 0) AS tc
+         |  FROM rm FULL OUTER JOIN cm ON rm.source = cm.source AND rm.k = cm.k),
+         |b AS MATERIALIZED (
+         |  SELECT source, CAST(SUM(n) AS BIGINT) AS n,
+         |         CAST(SUM(CASE WHEN gold = pred THEN n ELSE 0 END) AS BIGINT) AS agree
+         |  FROM conf GROUP BY 1),
+         |pa AS (
+         |  SELECT cats.source, COUNT(1) AS n_cats,
+         |         SUM(tc * (2 * CAST(b.n AS HUGEINT) - tc)) AS s
+         |  FROM cats JOIN b USING (source) GROUP BY 1),
+         |f AS (
+         |  SELECT b.source, n, agree, n_cats, s,
+         |         CAST(4 AS HUGEINT) * n * n * (n_cats - 1) AS peden
+         |  FROM b JOIN pa ON pa.source = b.source)
+         |SELECT source, n, agree, CAST(n_cats AS BIGINT) AS n_cats,
+         |       CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         |       CASE WHEN n_cats > 1 THEN CAST(s AS DOUBLE) / CAST(peden AS DOUBLE) END AS pe,
+         |       CASE WHEN n_cats > 1 AND peden <> s THEN
+         |         (CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+         |            - CAST(s AS DOUBLE) / CAST(peden AS DOUBLE))
+         |           / (1.0 - CAST(s AS DOUBLE) / CAST(peden AS DOUBLE)) END AS ac1
+         |FROM f ORDER BY source""".stripMargin
     },
 
     // Three UNION ALL rater streams; every Fleiss numerator/denominator

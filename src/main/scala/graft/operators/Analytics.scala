@@ -1069,4 +1069,42 @@ object Analytics {
     ranked.select(col(keyCol), col("p"), col("rank"), lit(m).as("m"),
       (col("rank") <= lit(k)).as("rejected"))
   }
+
+  /** Holm–Bonferroni step-down correction — [[bhCorrect]]'s FWER
+    * sibling: controls the probability of ANY false rejection (the
+    * right guarantee when a single wrong launch is the disaster, vs
+    * BH's false-discovery RATE for screening). Reject the hypotheses
+    * ranked 1..k where k+1 is the FIRST rank j whose p(j) exceeds
+    * α/(m−j+1) — every comparison is the exact DECIMAL(38,0) integer
+    * test p_fp·(m−j+1)·αDen ≤ αNum·10⁹ (the [[bhCorrect]] overflow
+    * contract), ties broken by key, so the step-down boundary replays
+    * exactly in SQL (`q_holm`). Holm rejections are always a subset of
+    * BH's at the same α (spec-pinned). Same hypothesis-table-sized
+    * input contract as [[bhCorrect]].
+    *
+    * Output: (keyCol, p, rank, m, rejected). */
+  def holmCorrect(df: DataFrame, keyCol: String, pCol: String,
+                  alphaNum: Long = 5L, alphaDen: Long = 100L): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum <= alphaDen,
+      s"need 0 < alpha = $alphaNum/$alphaDen <= 1")
+    val scale = 1000000000L
+    val base = df.filter(col(pCol).isNotNull)
+      .select(col(keyCol), col(pCol).cast("double").as("p"),
+        floor(col(pCol) * lit(scale.toDouble)).cast("long").as("_pfp"))
+    val m = base.count()
+    require(m <= 10000000L,
+      s"holmCorrect is hypothesis-table-sized; got $m rows (max 1e7)")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_pfp"), col(keyCol))
+    val d38 = "decimal(38,0)"
+    val ranked = base
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("_ok",
+        col("_pfp").cast(d38) * (lit(m) - col("rank") + 1) * lit(alphaDen) <=
+          lit(alphaNum).cast(d38) * lit(scale))
+    val firstBad = ranked.agg(min(when(!col("_ok"), col("rank")))).head()
+    val k = if (firstBad.isNullAt(0)) m else firstBad.getLong(0) - 1L
+    ranked.select(col(keyCol), col("p"), col("rank"), lit(m).as("m"),
+      (col("rank") <= lit(k)).as("rejected"))
+  }
 }

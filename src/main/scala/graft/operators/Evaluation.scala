@@ -192,6 +192,55 @@ object Evaluation {
           (n2 - col("pe_num")).cast("double")))
   }
 
+  /** Gwet's AC1 — the prevalence-robust alternative to [[cohenKappa]]:
+    * on imbalanced label distributions kappa collapses toward 0 even
+    * at near-perfect observed agreement (the "kappa paradox"), because
+    * its chance term rewards marginal imbalance; AC1's chance term
+    * P_e = Σ_c π_c(1−π_c)/(C−1) with π_c = (rowMarg_c + colMarg_c)/2n
+    * instead PENALIZES concentration, so a 95%-one-class rater pair
+    * with 95% agreement scores high, as it should.
+    *
+    * Exactness: same one confusion pass as kappa; per-category
+    * marginals meet in a full-outer category rollup; the P_e numerator
+    * Σ(rn_c + cn_c)·(2n − rn_c − cn_c) and its 4n²(C−1) denominator
+    * are exact DECIMAL(38,0) integers, P_o/P_e/AC1 pinned doubles over
+    * them (`q_gwet_ac1` replays via HUGEINT). Degenerate groups (one
+    * category, or P_e = 1) surface null ac1.
+    *
+    * Output: (groupCol, n, agree, n_cats, po, pe, ac1). */
+  def gwetAC1(df: DataFrame, groupCol: String, aCol: String,
+              bCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val conf = df.select(col(groupCol), col(aCol).cast("string").as("_a"),
+        col(bCol).cast("string").as("_b"))
+      .groupBy(col(groupCol), col("_a"), col("_b"))
+      .agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true) // label²-cardinality rows; 3 readers below
+    val rowm = conf.groupBy(col(groupCol), col("_a").as("_k"))
+      .agg(sum(col("_n")).as("_rn"))
+    val colm = conf.groupBy(col(groupCol), col("_b").as("_k"))
+      .agg(sum(col("_n")).as("_cn"))
+    val cats = rowm.join(colm, Seq(groupCol, "_k"), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("_rn"), lit(0L)).cast(d38) +
+          coalesce(col("_cn"), lit(0L))).as("_tc"))
+    val base = conf.groupBy(col(groupCol))
+      .agg(sum(col("_n")).as("n"),
+        sum(when(col("_a") === col("_b"), col("_n")).otherwise(0L)).as("agree"))
+    val peAgg = cats.join(base.select(col(groupCol), col("n").as("_bn")), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_cats"),
+        sum(col("_tc") * (lit(2).cast(d38) * col("_bn") - col("_tc"))).as("_s"))
+    val out = base.join(peAgg, Seq(groupCol))
+    val peDen = lit(4).cast(d38) * col("n") * col("n") * (col("n_cats") - 1)
+    val po = col("agree").cast("double") / col("n").cast("double")
+    val pe = when(col("n_cats") > 1, col("_s").cast("double") / peDen.cast("double"))
+    out.select(col(groupCol), col("n"), col("agree"), col("n_cats"),
+      po.as("po"), pe.as("pe"),
+      when(pe.isNotNull && peDen =!= col("_s"),
+        (po - pe) / (lit(1.0) - pe)).as("ac1"))
+  }
+
   /** Fleiss' kappa — chance-corrected agreement for m ≥ 2 raters per
     * item, over (item, category) rating rows (one row per individual
     * rating). Uses the variable-rater generalization: with n_ic the

@@ -481,6 +481,47 @@ object Profile {
             (lit(2.0) * (col("n_doubletons").cast("double") + 1.0)))
   }
 
+  /** Top-p vocabulary mass coverage per slice — "how many distinct
+    * tokens cover p% of this corpus slice": the head-heaviness readout
+    * that sizes tokenizer vocabularies and spots template spam
+    * ([[ngramDiversity]]'s dual: diversity says how flat the tail is,
+    * this says how short the head is). Tokens rank by count descending
+    * (ties by token ascending — deterministic), the cumulative mass
+    * runs as ONE window over the NDV-bounded per-slice vocabulary, and
+    * each requested percent p reads off the first rank whose
+    * cum·100 ≥ p·total — an exact DECIMAL(38,0) integer comparison, so
+    * the boundary replays in SQL (`q_vocab_mass`). Raw rows never
+    * enter the window.
+    *
+    * Output: (groupCol, n_tokens, n_types, tokens_p<P>…) — one column
+    * per requested percent. */
+  def vocabMass(df: DataFrame, textCol: String, groupCol: String,
+                percents: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in [1, 100], got $percents")
+    require(percents.distinct == percents, s"duplicate percents: $percents")
+    val d38 = "decimal(38,0)"
+    val counts = df.select(col(groupCol),
+        explode(filter(split(graft.functions.TextFunctions.normalizeForFingerprint(
+            coalesce(col(textCol), lit(""))), " "),
+          t => length(t) > 0)).as("_w"))
+      .groupBy(col(groupCol), col("_w")).agg(count(lit(1)).as("_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_c").desc, col("_w").asc)
+    val ranked = counts
+      .withColumn("_rank", row_number().over(w).cast("long"))
+      .withColumn("_cum", sum(col("_c")).over(
+        w.rowsBetween(Long.MinValue, 0)).cast(d38))
+      .withColumn("_total", sum(col("_c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))).cast(d38))
+    val pCols = percents.map(p =>
+      min(when(col("_cum") * 100 >= col("_total") * p, col("_rank")))
+        .as(s"tokens_p$p"))
+    ranked.groupBy(col(groupCol))
+      .agg(max(col("_total")).cast("long").as("n_tokens"),
+        (count(lit(1)).as("n_types") +: pCols): _*)
+  }
+
   def ngramDiversity(df: DataFrame, textCol: String, groupCol: String,
                      maxN: Int = 2): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")

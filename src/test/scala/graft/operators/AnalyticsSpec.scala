@@ -342,6 +342,35 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
 
+  private def holm(ps: Seq[(Long, java.lang.Double)], an: Long, ad: Long) =
+    Analytics.holmCorrect(df(bhSchema, ps.map { case (k, p) => Row(k, p) }),
+        "k", "p", an, ad)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+
+  test("holmCorrect: textbook step-down stops at the first failing rank") {
+    // sorted: .01 .015 .04 .20 vs alpha/(m-j+1) = .0125 .0167 .025 .05
+    // -> ranks 1,2 pass, rank 3 fails (.04 > .025): reject exactly 2
+    val out = holm(Seq(1L -> 0.04, 2L -> 0.01, 3L -> 0.20, 4L -> 0.015)
+      .map { case (k, p) => (k, Double.box(p)) }, 5, 100)
+    assert(out(2L)._3 && out(4L)._3, out.toString)
+    assert(!out(1L)._3 && !out(3L)._3, out.toString)
+    // all-pass: everything rejects (k = m, not first-failure-minus-one)
+    val all = holm(Seq(1L -> 0.001, 2L -> 0.002)
+      .map { case (k, p) => (k, Double.box(p)) }, 5, 100)
+    assert(all.values.forall(_._3))
+  }
+
+  test("holmCorrect rejections are a subset of bhCorrect's at the same alpha") {
+    val ps = (1L to 40L).map(k =>
+      (k, Double.box(((k * 2654435761L) % 1000L) / 1000.0)))
+    val h = holm(ps, 10, 100)
+    val b = bh(ps, 10, 100)
+    val hr = h.filter(_._2._3).keySet
+    val br = b.filter(_._2._3).keySet
+    assert(hr.subsetOf(br), s"Holm (FWER) must reject no more than BH: $hr vs $br")
+  }
+
   test("bhCorrect: textbook boundary at alpha=0.1 rejects exactly the 4 smallest") {
     // sorted: .005 .01 .03 .04 .20 .50 vs k*alpha/m = .0167 .0333 .05 .0667...
     val out = bh(Seq(1L -> 0.01, 2L -> 0.04, 3L -> 0.03, 4L -> 0.005,

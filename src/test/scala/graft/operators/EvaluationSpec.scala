@@ -140,6 +140,27 @@ class EvaluationSpec extends SparkSpec {
     assert(out("g2").isNullAt(6), "n^2 == pe_num: kappa NULL, not 0/0")
   }
 
+  test("gwetAC1: stays high where the kappa paradox collapses; degenerate NULL") {
+    // 90 pos/pos, 2 neg/neg, 4+4 disagreements: po = 0.92, but kappa's
+    // chance term rewards the 94/6 imbalance (kappa ≈ 0.29) while AC1's
+    // penalizes it: S = 188·12 + 12·188 = 4512, peden = 4·100²·1 = 40000,
+    // pe = 0.1128, ac1 = (0.92 − 0.1128)/0.8872
+    val rows =
+      Seq.fill(90)(Row("g1", "pos", "pos")) ++ Seq.fill(2)(Row("g1", "neg", "neg")) ++
+      Seq.fill(4)(Row("g1", "pos", "neg")) ++ Seq.fill(4)(Row("g1", "neg", "pos")) ++
+      Seq.fill(3)(Row("g2", "x", "x")) // single category: AC1 undefined
+    val out = Evaluation.gwetAC1(df(kappaSchema, rows), "g", "a", "b")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = out("g1")
+    assert(g1.getLong(1) == 100L && g1.getLong(2) == 92L && g1.getLong(3) == 2L)
+    assert(g1.getDouble(4) == 0.92 && g1.getDouble(5) == 0.1128, g1.toString)
+    assert(math.abs(g1.getDouble(6) - (0.92 - 0.1128) / (1.0 - 0.1128)) < 1e-15)
+    val kappa = Evaluation.cohenKappa(df(kappaSchema, rows), "g", "a", "b")
+      .collect().map(r => r.getString(0) -> r).toMap.apply("g1").getDouble(6)
+    assert(g1.getDouble(6) > kappa + 0.5, s"paradox case: ac1=${g1.getDouble(6)} kappa=$kappa")
+    assert(out("g2").isNullAt(6), "one category: no chance model")
+  }
+
   private val fleissSchema = StructType(Seq(
     StructField("item", LongType), StructField("cat", StringType)))
 

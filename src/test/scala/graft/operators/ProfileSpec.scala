@@ -287,6 +287,19 @@ class ProfileSpec extends SparkSpec {
     assert(out(3L).getLong(3) == 2L, "vowel-free words clamp to one syllable each")
   }
 
+  test("vocabMass: exact integer top-p boundaries on a hand corpus") {
+    val sch = StructType(Seq(
+      StructField("g", StringType), StructField("text", StringType)))
+    // counts a:5 b:3 c:1 d:1 (total 10), ranked cum = 5, 8, 9, 10:
+    // p50 -> rank 1 (50 >= 50 exactly), p90 -> rank 3, p99 -> rank 4
+    val out = Profile.vocabMass(df(sch, Seq(
+        Row("g", "a a a b b"), Row("g", "a a b c d"))), "text", "g")
+      .head()
+    assert(out.getLong(1) == 10L && out.getLong(2) == 4L, out.toString)
+    assert(out.getLong(3) == 1L && out.getLong(4) == 3L && out.getLong(5) == 4L,
+      out.toString)
+  }
+
   test("vocabCoverage: hand-computed Good-Turing unseen mass and Chao1") {
     val sch = StructType(Seq(
       StructField("g", StringType), StructField("text", StringType)))
