@@ -237,7 +237,10 @@ object Bench {
     // r14 — Holm FWER step-down (hypothesis-table-sized), Gwet AC1
     // agreement (one confusion pass), top-p vocabulary mass coverage
     // (one NDV-bounded ranked window)
-    "q_holm", "q_gwet_ac1", "q_vocab_mass")
+    "q_holm", "q_gwet_ac1", "q_vocab_mass",
+    // r14 — per-dim embedding drift between releases (one posexplode
+    // pass per side; the exchange carries dims x partials, not vectors)
+    "q_embedding_drift")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

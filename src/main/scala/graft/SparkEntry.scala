@@ -2113,6 +2113,21 @@ object SparkEntry {
           "event_type", "side", "value", "even", "odd")
         .orderBy(col("event_type"))),
 
+    "q_embedding_drift" -> ((s, dir) => {
+      // the vector-space leg of the snapshot diff: release B re-embeds
+      // with a planted encoder shift (+0.5 on dims 0-2, in double
+      // space), and the per-dim mean/sd decomposition localizes it —
+      // exact per-dim DECIMAL moments, pinned double means/sd/z
+      val e = T(s, dir, "embeddings")
+      val relA = e.filter(pmod(col("vec_id"), lit(3L)) =!= 0).select(col("embedding"))
+      val relB = e.filter(pmod(col("vec_id"), lit(3L)) =!= 1)
+        .select(transform(col("embedding"), (v, i) =>
+          when(i < 3, v.cast("double") + lit(0.5))
+            .otherwise(v.cast("double"))).as("embedding"))
+      operators.Similarity.embeddingDrift(relA, relB, "embedding")
+        .orderBy(col("dim"))
+    }),
+
     "q_snapshot_drift" -> ((s, dir) => {
       // the pipeline snapshot_diff step's KS half, batch form: release
       // A = doc_id % 3 <> 0 of the corpus as-is; release B =
@@ -6214,6 +6229,46 @@ object SparkEntry {
         |SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
         |       d, d_crit, d > d_crit AS drifted
         |FROM f ORDER BY event_type""".stripMargin,
+
+    // Embedding-drift replay: per-dim HUGEINT moments over the
+    // quantized element stream (release B's planted +0.5 shift applied
+    // in double space), the identical pinned mean/variance/pooled-sd/z
+    // double chain per dimension.
+    "q_embedding_drift" ->
+      """WITH ea AS MATERIALIZED (
+        |  SELECT i AS dim,
+        |         CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0) AS HUGEINT) AS x
+        |  FROM embeddings, unnest(range(len(embedding))) AS t(i)
+        |  WHERE vec_id % 3 <> 0),
+        |eb AS MATERIALIZED (
+        |  SELECT i AS dim,
+        |         CAST(FLOOR((CASE WHEN i < 3 THEN CAST(embedding[i + 1] AS DOUBLE) + 0.5
+        |                          ELSE CAST(embedding[i + 1] AS DOUBLE) END)
+        |                    * 1000000.0) AS HUGEINT) AS x
+        |  FROM embeddings, unnest(range(len(embedding))) AS t(i)
+        |  WHERE vec_id % 3 <> 1),
+        |ag AS (SELECT dim, CAST(COUNT(1) AS HUGEINT) AS na, SUM(x) AS sxa,
+        |              SUM(x * x) AS sxxa FROM ea GROUP BY 1),
+        |bg AS (SELECT dim, CAST(COUNT(1) AS HUGEINT) AS nb, SUM(x) AS sxb,
+        |              SUM(x * x) AS sxxb FROM eb GROUP BY 1),
+        |f AS (
+        |  SELECT ag.dim, na, nb,
+        |    CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) / 1000000.0 AS ma,
+        |    CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) / 1000000.0 AS mb,
+        |    CASE WHEN na > 1 THEN CAST(na * sxxa - sxa * sxa AS DOUBLE)
+        |      / CAST(na * (na - 1) AS DOUBLE) / 1000000.0 / 1000000.0 END AS va,
+        |    CASE WHEN nb > 1 THEN CAST(nb * sxxb - sxb * sxb AS DOUBLE)
+        |      / CAST(nb * (nb - 1) AS DOUBLE) / 1000000.0 / 1000000.0 END AS vb
+        |  FROM ag JOIN bg USING (dim)),
+        |g AS (
+        |  SELECT dim, na, nb, ma, mb, mb - ma AS delta,
+        |         CASE WHEN va + vb >= 0.0 THEN sqrt((va + vb) / 2.0) END AS sd
+        |  FROM f)
+        |SELECT CAST(dim AS INTEGER) AS dim, CAST(na AS BIGINT) AS n_a,
+        |       CAST(nb AS BIGINT) AS n_b, ma AS mean_a, mb AS mean_b, delta,
+        |       sd AS sd_pooled,
+        |       CASE WHEN sd > 0.0 THEN abs(delta) / sd END AS std_delta
+        |FROM g ORDER BY dim""".stripMargin,
 
     // Snapshot-diff KS replay: both releases melt to (feature, side,
     // quantized value) rows — release B recomputed under the 150-char

@@ -623,4 +623,52 @@ object Similarity {
         org.apache.spark.sql.types.StructField("score_fp", org.apache.spark.sql.types.LongType))))
     } finally pool.unpersist(false)
   }
+
+  /** Per-DIMENSION embedding drift between two corpus releases — the
+    * vector-space leg of the snapshot-diff gate (text features:
+    * [[graft.operators.Analytics.snapshotKs]]; unigrams:
+    * [[graft.operators.Curation.jsDivergence]]): a re-embedded release,
+    * an encoder upgrade, or a content shift moves the mean embedding,
+    * and the per-dim decomposition says WHERE. Each side posexplodes
+    * once to (dim, ⌊v·10^scale⌋) longs and partial-aggregates to exact
+    * DECIMAL(38,0) per-dim moments — the exchange carries
+    * dims × partials, never vectors; means, the mean shift, the pooled
+    * per-dim sd ([[graft.operators.Analytics.powerAnalysis]]'s √((v_a+v_b)/2)
+    * chain), and the standardized shift are pinned doubles over those
+    * integers (`q_embedding_drift` replays via HUGEINT). Dims with
+    * undefined pooled sd (constant on a side) surface null std_delta.
+    *
+    * Output: (dim, n_a, n_b, mean_a, mean_b, delta, sd_pooled,
+    * std_delta), one row per dimension. */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String,
+                     scale: Int = 6): DataFrame = {
+    require(scale >= 0 && scale <= 9, s"scale must be in [0, 9], got $scale")
+    val p = math.pow(10.0, scale)
+    val d38 = "decimal(38,0)"
+    def side(df: DataFrame, s: String) = df
+      .select(posexplode(col(vecCol)).as(Seq("dim", "_v")))
+      .select(col("dim"), lit(s).as("_s"),
+        floor(col("_v").cast("double") * lit(p)).cast(d38).as("_x"))
+    val agg = side(a, "a").unionAll(side(b, "b"))
+      .groupBy(col("dim"), col("_s"))
+      .agg(count(lit(1)).cast(d38).as("_n"), sum(col("_x")).as("_sx"),
+        sum(col("_x") * col("_x")).as("_sxx"))
+    def half(s: String) = agg.filter(col("_s") === s)
+      .select(col("dim"), col("_n").as(s"_n$s"),
+        col("_sx").as(s"_sx$s"), col("_sxx").as(s"_sxx$s"))
+    val j = half("a").join(half("b"), Seq("dim"))
+    def mean(s: String) =
+      col(s"_sx$s").cast("double") / col(s"_n$s").cast("double") / lit(p)
+    def varD(s: String) = {
+      val n = col(s"_n$s")
+      when(n > 1, (n * col(s"_sxx$s") - col(s"_sx$s") * col(s"_sx$s")).cast("double") /
+        (n * (n - 1)).cast("double") / lit(p) / lit(p))
+    }
+    val delta = mean("b") - mean("a")
+    val sd = when(varD("a") + varD("b") >= 0.0, sqrt((varD("a") + varD("b")) / 2.0))
+    j.select(col("dim"), col("_na").cast("long").as("n_a"),
+      col("_nb").cast("long").as("n_b"), mean("a").as("mean_a"),
+      mean("b").as("mean_b"), delta.as("delta"), sd.as("sd_pooled"),
+      when(sd > 0.0, abs(delta) / sd).as("std_delta"))
+  }
 }

@@ -499,4 +499,24 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](Similarity.mmrSelect(
       df(vecSchema, Nil), "v", "vec_id", Seq(1.0f), k = 0))
   }
+
+  test("embeddingDrift: hand-computed per-dim means, pooled sd, standardized shift") {
+    val sch = StructType(Seq(StructField("emb", ArrayType(FloatType))))
+    // A dims: (0,2) / (0,2); B dims: (1,3) / (3,5) -> means (1,1) vs
+    // (2,4), per-dim var 2 on every side -> sd = sqrt(2), z = (1,3)/sqrt(2)
+    val a = df(sch, Seq(Row(Seq(0.0f, 0.0f)), Row(Seq(2.0f, 2.0f))))
+    val b = df(sch, Seq(Row(Seq(1.0f, 3.0f)), Row(Seq(3.0f, 5.0f))))
+    val out = Similarity.embeddingDrift(a, b, "emb")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(0).getLong(1) == 2L && out(0).getLong(2) == 2L)
+    assert(math.abs(out(0).getDouble(5) - 1.0) < 1e-9, out(0).toString)
+    assert(math.abs(out(1).getDouble(5) - 3.0) < 1e-9, out(1).toString)
+    assert(math.abs(out(0).getDouble(6) - math.sqrt(2.0)) < 1e-9)
+    assert(math.abs(out(0).getDouble(7) - 1.0 / math.sqrt(2.0)) < 1e-9)
+    assert(math.abs(out(1).getDouble(7) - 3.0 / math.sqrt(2.0)) < 1e-9)
+    // constant dim on both sides: zero pooled sd -> null std_delta
+    val c = df(sch, Seq(Row(Seq(1.0f)), Row(Seq(1.0f))))
+    val z = Similarity.embeddingDrift(c, c, "emb").head()
+    assert(z.getDouble(5) == 0.0 && z.isNullAt(7), z.toString)
+  }
 }
