@@ -240,7 +240,9 @@ object Bench {
     "q_holm", "q_gwet_ac1", "q_vocab_mass",
     // r14 — per-dim embedding drift between releases (one posexplode
     // pass per side; the exchange carries dims x partials, not vectors)
-    "q_embedding_drift")
+    // and the k-arm ANOVA omnibus gate (per-arm moments, fixed-point
+    // cross-arm sums)
+    "q_embedding_drift", "q_anova_f")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

@@ -2162,6 +2162,17 @@ object SparkEntry {
           "event_type", "side", "value", "even", "odd")
         .orderBy(col("event_type"))),
 
+    "q_anova_f" -> ((s, dir) =>
+      // k-arm omnibus gate per event_type (arms = user_id mod 4): exact
+      // per-arm moments, fixed-point cross-arm term sums, pinned
+      // SSB/SSW/F doubles
+      operators.Analytics.anovaF(
+          T(s, dir, "events").filter(col("user_id").isNotNull)
+            .select(col("event_type"),
+              pmod(col("user_id"), lit(4L)).cast("string").as("arm"), col("value")),
+          "event_type", "arm", "value")
+        .orderBy(col("event_type"))),
+
     "q_cuped" -> ((s, dir) =>
       // CUPED-adjusted experiment readout: pre-period covariate =
       // floor(value/2) + user parity class (deterministic, correlated
@@ -6325,6 +6336,43 @@ object SparkEntry {
         |SELECT feature, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
         |       d, d_crit, d > d_crit AS drifted
         |FROM f ORDER BY feature""".stripMargin,
+
+    // ANOVA F replay: per-arm HUGEINT moments, each arm's SSB/SSW term
+    // the identical pinned double floor-quantized at 1e6 before the
+    // cross-arm HUGEINT sum, the same final F chain.
+    "q_anova_f" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT event_type AS e, CAST(user_id % 4 AS VARCHAR) AS v,
+        |         CAST(FLOOR(value * 1000000.0) AS HUGEINT) AS x
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |arm AS MATERIALIZED (
+        |  SELECT e, v, CAST(COUNT(1) AS HUGEINT) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+        |  FROM b GROUP BY 1, 2),
+        |t AS (
+        |  SELECT e, n, sx, sxx,
+        |    CAST(FLOOR(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+        |               / 1000000.0 / 1000000.0 * 1000000.0) AS HUGEINT) AS bfp,
+        |    CAST(FLOOR((CAST(sxx AS DOUBLE)
+        |                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |               / 1000000.0 / 1000000.0 * 1000000.0) AS HUGEINT) AS wfp
+        |  FROM arm),
+        |agg AS (
+        |  SELECT e, COUNT(1) AS k, SUM(n) AS tn, SUM(sx) AS ts,
+        |         SUM(bfp) AS sb, SUM(wfp) AS sw
+        |  FROM t GROUP BY 1),
+        |f AS (
+        |  SELECT e, k, tn,
+        |    CAST(sb AS DOUBLE) / 1000000.0
+        |      - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)
+        |        / 1000000.0 / 1000000.0 AS ssb,
+        |    CAST(sw AS DOUBLE) / 1000000.0 AS ssw
+        |  FROM agg)
+        |SELECT e AS event_type, CAST(k AS BIGINT) AS k, CAST(tn AS BIGINT) AS n,
+        |       ssb, ssw,
+        |       CASE WHEN k > 1 AND CAST(tn AS DOUBLE) > CAST(k AS DOUBLE) AND ssw > 0.0
+        |            THEN (ssb / (CAST(k AS DOUBLE) - 1.0))
+        |                 / (ssw / (CAST(tn AS DOUBLE) - CAST(k AS DOUBLE))) END AS f
+        |FROM f ORDER BY event_type""".stripMargin,
 
     // CUPED replay: per-arm HUGEINT moment sums over the quantized
     // metric/covariate, pooled theta/rho2 in the identical pinned

@@ -1070,6 +1070,59 @@ object Analytics {
       (col("rank") <= lit(k)).as("rejected"))
   }
 
+  /** One-way ANOVA F per experiment — the k-ARM omnibus test [[welchT]]
+    * (two arms) and [[mannWhitneyU]] (two samples) leave open: with k
+    * variants, k·(k−1)/2 pairwise t-tests inflate the false-positive
+    * rate, so the launch gate asks the omnibus question first ("does
+    * ANY arm differ?") and only then drills into pairs (under
+    * [[bhCorrect]]/[[holmCorrect]]). F = (SSB/(k−1)) / (SSW/(n−k))
+    * from the standard decompositions SSB = Σ_g S_g²/n_g − S²/n and
+    * SSW = Σ_g (Sxx_g − S_g²/n_g), computed from the same exact
+    * DECIMAL(38,0) per-arm moment sums as [[powerAnalysis]]. Each
+    * arm's term is one pinned double over exact integers,
+    * floor-quantized at 1e6 fixed point before the cross-arm sum (the
+    * [[graft.operators.Curation.jsDivergence]] pattern — a raw double
+    * sum over arms would be partition-order-dependent), so the totals
+    * replay in any engine (`q_anova_f` via HUGEINT). Experiments with
+    * k < 2 arms or zero within-variance surface null F.
+    *
+    * Output: (expCol, k, n, ssb, ssw, f). */
+  def anovaF(df: DataFrame, expCol: String, variantCol: String,
+             valueCol: String, scale: Int = 6): DataFrame = {
+    require(scale >= 0 && scale <= 9, s"scale must be in [0, 9], got $scale")
+    val p = math.pow(10.0, scale)
+    val d38 = "decimal(38,0)"
+    val arm = df.filter(col(valueCol).isNotNull)
+      .select(col(expCol), col(variantCol).cast("string").as("_v"),
+        floor(col(valueCol) * lit(p)).cast(d38).as("_x"))
+      .groupBy(col(expCol), col("_v"))
+      .agg(count(lit(1)).cast(d38).as("_n"), sum(col("_x")).as("_sx"),
+        sum(col("_x") * col("_x")).as("_sxx"))
+    // per-arm contributions as pinned doubles over the exact sums:
+    // SSB = Σ S_g²/n_g − S²/n, SSW = Σ (Sxx_g − S_g²/n_g); the Σ terms
+    // are floor-quantized at 1e6 fixed point before summing (the
+    // jsDivergence pattern) so the totals are partition-independent
+    val armTerm = arm.select(col(expCol), col("_n"), col("_sx"), col("_sxx"),
+      floor(col("_sx").cast("double") * col("_sx").cast("double") /
+        col("_n").cast("double") / lit(p) / lit(p) * lit(1e6)).cast(d38).as("_bfp"),
+      floor((col("_sxx").cast("double") -
+        col("_sx").cast("double") * col("_sx").cast("double") / col("_n").cast("double"))
+        / lit(p) / lit(p) * lit(1e6)).cast(d38).as("_wfp"))
+    val agg = armTerm.groupBy(col(expCol)).agg(
+      count(lit(1)).as("k"), sum(col("_n")).as("_tn"), sum(col("_sx")).as("_ts"),
+      sum(col("_bfp")).as("_sb"), sum(col("_wfp")).as("_sw"))
+    val nD = col("_tn").cast("double")
+    val grand = col("_ts").cast("double") * col("_ts").cast("double") / nD / lit(p) / lit(p)
+    val ssb = col("_sb").cast("double") / lit(1e6) - grand
+    val ssw = col("_sw").cast("double") / lit(1e6)
+    val f = when(col("k") > 1 && col("_tn").cast("double") > col("k").cast("double") &&
+      ssw > 0.0,
+      (ssb / (col("k").cast("double") - 1.0)) /
+        (ssw / (nD - col("k").cast("double"))))
+    agg.select(col(expCol), col("k"), col("_tn").cast("long").as("n"),
+      ssb.as("ssb"), ssw.as("ssw"), f.as("f"))
+  }
+
   /** Holm–Bonferroni step-down correction — [[bhCorrect]]'s FWER
     * sibling: controls the probability of ANY false rejection (the
     * right guarantee when a single wrong launch is the disaster, vs

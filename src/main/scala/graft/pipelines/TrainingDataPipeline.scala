@@ -390,25 +390,35 @@ object TrainingDataPipeline {
     *    `q_snapshot_drift` oracles this form), and
     *  - `drift_js`: the unigram Jensen–Shannon decomposition
     *    ([[graft.operators.Curation.jsDivergence]] — which TOKENS
-    *    drove the content drift, `q_js_divergence`'s shape),
+    *    drove the content drift, `q_js_divergence`'s shape), and
+    *  - `drift_emb` (when `embCol` names a vector column in both
+    *    releases): the per-DIMENSION mean-embedding shift
+    *    ([[graft.operators.Similarity.embeddingDrift]],
+    *    `q_embedding_drift`'s shape) — the leg that catches an encoder
+    *    change the text marginals can't see,
     *
-    * so a release gate can block publication on `drifted = true` rows
-    * or a JS total above budget. Both sub-reports are one scan per
-    * release plus NDV/vocab-bounded shuffles — release size never
-    * enters a window or a collect, so the step costs the same two
-    * linear scans at 100 TB. */
+    * so a release gate can block publication on `drifted = true` rows,
+    * a JS total above budget, or an embedding dim whose standardized
+    * shift spikes. Every sub-report is one scan per release plus
+    * NDV/vocab/dim-bounded shuffles — release size never enters a
+    * window or a collect, so the step costs the same two linear scans
+    * at 100 TB. */
   def snapshotDiff(plan: Plan, work: graft.sources.Connector,
                    oldTable: String, newTable: String,
                    textCol: String = "text",
                    featureCols: Seq[String] = Seq("n_chars", "n_tokens"),
                    vocabSize: Int = 1000, alpha: Double = 0.05,
-                   scale: Int = 6): Plan = {
+                   scale: Int = 6, embCol: Option[String] = None): Plan = {
     plan.step("snapshot_diff") {
       val a = work.read(oldTable)
       val b = work.read(newTable)
       work.write(graft.operators.Analytics.snapshotKs(a, b, featureCols, alpha, scale),
         "drift_ks")
       work.write(Curation.jsDivergence(a, b, textCol, vocabSize), "drift_js")
+      embCol.foreach { ec =>
+        work.write(graft.operators.Similarity.embeddingDrift(a, b, ec, scale),
+          "drift_emb")
+      }
     }
     plan
   }

@@ -342,6 +342,26 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
 
+  test("anovaF: hand-computed SSB/SSW/F; degenerate arms null") {
+    val sch = StructType(Seq(StructField("e", StringType),
+      StructField("v", StringType), StructField("x", DoubleType)))
+    // arms a = {1,2}, b = {3,4}: SSB = 29 - 25 = 4, SSW = 0.5 + 0.5 = 1,
+    // F = (4/1)/(1/2) = 8
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .map { case (v, x) => Row("g", v, x) } ++
+      Seq(Row("one", "a", 1.0), Row("one", "a", 2.0)) ++ // single arm
+      Seq(Row("tied", "a", 5.0), Row("tied", "a", 5.0),
+        Row("tied", "b", 7.0), Row("tied", "b", 7.0)) // zero within-variance
+    val out = Analytics.anovaF(df(sch, rows), "e", "v", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getLong(1) == 2L && g.getLong(2) == 4L)
+    assert(math.abs(g.getDouble(3) - 4.0) < 1e-5 && math.abs(g.getDouble(4) - 1.0) < 1e-5)
+    assert(math.abs(g.getDouble(5) - 8.0) < 1e-4, g.toString)
+    assert(out("one").isNullAt(5), "k = 1: no between-arm question")
+    assert(out("tied").isNullAt(5), "zero within-variance: F undefined")
+  }
+
   private def holm(ps: Seq[(Long, java.lang.Double)], an: Long, ad: Long) =
     Analytics.holmCorrect(df(bhSchema, ps.map { case (k, p) => Row(k, p) }),
         "k", "p", an, ad)

@@ -235,22 +235,33 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(benchIds.intersect(finalIds).isEmpty, "no benchmark doc survives")
   }
 
-  test("snapshot_diff step writes per-feature KS and unigram JS between releases") {
+  test("snapshot_diff step writes per-feature KS, unigram JS, and embedding drift") {
     val work = tmpDir("graft_pipe_snap_")
     val workConn = new graft.sources.ParquetConnector(spark, work)
     val docs = new graft.sources.ParquetConnector(spark, src).read("documents")
       .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount(col("text")))
     // release N = the corpus; release N+1 = a regressed extraction that
-    // truncates documents — exactly what the gate exists to catch
-    workConn.write(docs, "release_1")
-    workConn.write(docs
+    // truncates documents — exactly what the gate exists to catch. A
+    // derived embedding (dim 0 tracks length, dim 1 constant) gives the
+    // vector leg a planted shift confined to dim 0.
+    def emb(d: org.apache.spark.sql.DataFrame) = d.withColumn("emb",
+      array(col("n_chars").cast("double") / 100.0, lit(1.0)))
+    workConn.write(emb(docs), "release_1")
+    workConn.write(emb(docs
       .withColumn("text", substring(col("text"), 1, 120))
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount(col("text"))),
+      .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount(col("text")))),
       "release_2")
     val plan = new Plan(spark, PlanConfig(pidDir = tmpDir("graft_pid_snap_")))
-    TrainingDataPipeline.snapshotDiff(plan, workConn, "release_1", "release_2")
+    TrainingDataPipeline.snapshotDiff(plan, workConn, "release_1", "release_2",
+      embCol = Some("emb"))
     plan.run()
+    // embedding leg: the shift localizes to dim 0, the constant dim is quiet
+    val embOut = workConn.read("drift_emb").collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(math.abs(embOut(0).getDouble(5)) > 0.01, s"dim 0 must shift: ${embOut(0)}")
+    assert(embOut(1).getDouble(5) == 0.0 && embOut(1).isNullAt(7),
+      s"constant dim must be quiet: ${embOut(1)}")
     // KS half == the batch operator run by hand
     val ks = workConn.read("drift_ks").collect()
       .map(r => r.getString(0) -> (r.getDouble(3), r.getBoolean(5))).toMap
