@@ -242,7 +242,9 @@ object Bench {
     // pass per side; the exchange carries dims x partials, not vectors)
     // and the k-arm ANOVA omnibus gate (per-arm moments, fixed-point
     // cross-arm sums)
-    "q_embedding_drift", "q_anova_f")
+    "q_embedding_drift", "q_anova_f",
+    // r14 — pre-scrub PII exposure audit (regex counting at scan speed)
+    "q_pii_audit")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

@@ -2162,6 +2162,29 @@ object SparkEntry {
           "event_type", "side", "value", "even", "odd")
         .orderBy(col("event_type"))),
 
+    "q_pii_audit" -> ((s, dir) => {
+      // pre-scrub exposure audit: per source, match totals and
+      // affected-doc counts per PII rule — the numbers a privacy review
+      // asks for BEFORE q_pii_scrub's redaction ships; pure codegen'd
+      // regex counting at scan speed, one aggregate. The synthetic
+      // corpus is PII-free, so every 11th doc gets a planted contact
+      // line (two emails, a phone, an IP) — the oracle checks NONZERO
+      // counts, not just the quiet case
+      val t = when(pmod(col("doc_id"), lit(11L)) === 0,
+        concat(coalesce(col("text"), lit("")),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com cc audit@example.com call 555-123-4567 from 10.0.0.1")))
+        .otherwise(coalesce(col("text"), lit("")))
+      val rules = TextFunctions.defaultPiiRules
+      val counted = T(s, dir, "documents").select(Seq(col("source")) ++
+        rules.map(r => TextFunctions.piiCount(t, r).cast("long").as(s"_${r.name}")): _*)
+      val aggs = count(lit(1)).as("n_docs") +: rules.flatMap(r => Seq(
+        sum(col(s"_${r.name}")).as(s"${r.name}_matches"),
+        sum(when(col(s"_${r.name}") > 0, 1L).otherwise(0L)).as(s"${r.name}_docs")))
+      counted.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+        .orderBy(col("source"))
+    }),
+
     "q_anova_f" -> ((s, dir) =>
       // k-arm omnibus gate per event_type (arms = user_id mod 4): exact
       // per-arm moments, fixed-point cross-arm term sums, pinned
@@ -6336,6 +6359,35 @@ object SparkEntry {
         |SELECT feature, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
         |       d, d_crit, d > d_crit AS drifted
         |FROM f ORDER BY feature""".stripMargin,
+
+    // PII-audit replay: the identical Java∩RE2 rule patterns (parity
+    // proven by q_pii_scrub's redaction oracle) over the same planted
+    // contact lines, full-match counts per doc, integer rollups.
+    "q_pii_audit" ->
+      """WITH d AS (
+        |  SELECT source,
+        |         CASE WHEN doc_id % 11 = 0 THEN
+        |           coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+        |             || '@example.com cc audit@example.com call 555-123-4567 from 10.0.0.1'
+        |         ELSE coalesce(text, '') END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(t,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+        |    len(regexp_extract_all(t,
+        |        '\b\d{1,3}(\.\d{1,3}){3}\b')) AS i,
+        |    len(regexp_extract_all(t,
+        |        '\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}\b')) AS p
+        |  FROM d)
+        |SELECT source, COUNT(1) AS n_docs,
+        |       CAST(SUM(e) AS BIGINT) AS email_matches,
+        |       CAST(SUM(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS BIGINT) AS email_docs,
+        |       CAST(SUM(i) AS BIGINT) AS ipv4_matches,
+        |       CAST(SUM(CASE WHEN i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ipv4_docs,
+        |       CAST(SUM(p) AS BIGINT) AS phone_matches,
+        |       CAST(SUM(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS phone_docs
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     // ANOVA F replay: per-arm HUGEINT moments, each arm's SSB/SSW term
     // the identical pinned double floor-quantized at 1e6 before the
