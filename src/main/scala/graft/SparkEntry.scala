@@ -2162,6 +2162,24 @@ object SparkEntry {
           "event_type", "side", "value", "even", "odd")
         .orderBy(col("event_type"))),
 
+    "q_wilcoxon" -> ((s, dir) =>
+      // paired before/after readout per event_type: each user's exact
+      // pre-quantized value sums on even vs odd event ids form the
+      // pair; zeros drop, signed tie-averaged ranks over the
+      // distinct-|d| table, pinned normal z
+      operators.Analytics.wilcoxonSignedRank(
+          T(s, dir, "events").filter(col("user_id").isNotNull && col("value").isNotNull)
+            .groupBy(col("event_type"), col("user_id"))
+            .agg(
+              (sum(when(pmod(col("event_id"), lit(2L)) === 0,
+                floor(col("value") * lit(1e6)).cast("long"))).cast("double") /
+                lit(1e6)).as("x"),
+              (sum(when(pmod(col("event_id"), lit(2L)) === 1,
+                floor(col("value") * lit(1e6)).cast("long"))).cast("double") /
+                lit(1e6)).as("y")),
+          "event_type", "x", "y")
+        .orderBy(col("event_type"))),
+
     "q_pii_audit" -> ((s, dir) => {
       // pre-scrub exposure audit: per source, match totals and
       // affected-doc counts per PII rule — the numbers a privacy review
@@ -6359,6 +6377,42 @@ object SparkEntry {
         |SELECT feature, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
         |       d, d_crit, d > d_crit AS drifted
         |FROM f ORDER BY feature""".stripMargin,
+
+    // Wilcoxon replay: pre-quantized per-user pair sums, zero diffs
+    // dropped, the same distinct-|d| cumulative chain (2W+ and ties as
+    // HUGEINT integers), identical pinned variance/z doubles.
+    "q_wilcoxon" ->
+      """WITH u AS MATERIALIZED (
+        |  SELECT event_type AS g, user_id,
+        |    CAST(SUM(CASE WHEN event_id % 2 = 0
+        |                  THEN CAST(FLOOR(value * 1000000.0) AS BIGINT) END) AS DOUBLE)
+        |      / 1000000.0 AS x,
+        |    CAST(SUM(CASE WHEN event_id % 2 = 1
+        |                  THEN CAST(FLOOR(value * 1000000.0) AS BIGINT) END) AS DOUBLE)
+        |      / 1000000.0 AS y
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |dd AS (SELECT g, CAST(FLOOR((x - y) * 1000000.0) AS BIGINT) AS d
+        |       FROM u WHERE x IS NOT NULL AND y IS NOT NULL),
+        |c AS MATERIALIZED (
+        |  SELECT g, abs(d) AS ad,
+        |         COUNT(1) FILTER (d > 0) AS cp, COUNT(1) AS c
+        |  FROM dd WHERE d <> 0 GROUP BY 1, 2),
+        |b AS (SELECT g, cp, c,
+        |             COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY ad
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |      FROM c),
+        |agg AS (SELECT g, CAST(SUM(c) AS HUGEINT) AS n,
+        |               SUM(CAST(cp AS HUGEINT) * (2 * bef + c + 1)) AS w2,
+        |               SUM(CAST(c AS HUGEINT) * c * c - c) AS ties
+        |        FROM b GROUP BY 1)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n, CAST(w2 AS BIGINT) AS w2_pos,
+        |  CASE WHEN CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 6.0
+        |            - CAST(ties AS DOUBLE) / 12.0 > 0.0 THEN
+        |    (CAST(w2 AS DOUBLE) - CAST(n * (n + 1) AS DOUBLE) / 2.0)
+        |      / sqrt(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 6.0
+        |             - CAST(ties AS DOUBLE) / 12.0) END AS z
+        |FROM agg ORDER BY event_type""".stripMargin,
 
     // PII-audit replay: the identical Java∩RE2 rule patterns (parity
     // proven by q_pii_scrub's redaction oracle) over the same planted

@@ -1070,6 +1070,56 @@ object Analytics {
       (col("rank") <= lit(k)).as("rejected"))
   }
 
+  /** Wilcoxon signed-rank test per group — the PAIRED nonparametric
+    * readout that completes the family ([[mannWhitneyU]]: two
+    * independent samples; [[anovaF]]: k arms): each unit measured
+    * before and after (same users, same docs — the launch-review shape
+    * where independence is false by design), test whether the paired
+    * differences are symmetric about zero. Differences quantize to
+    * ⌊(x−y)·10^scale⌋ integers (exact), zeros drop (the published
+    * rule), |d| ranks tie-average over the NDV-bounded distinct-|d|
+    * table, and the doubled positive-rank sum 2W⁺ = Σ c⁺·(2·cumBefore
+    * + c + 1) stays an exact DECIMAL(38,0) integer — as does the tie
+    * sum Σ(t³−t). The normal approximation
+    * z = (2W⁺ − n(n+1)/2) / √(n(n+1)(2n+1)/6 − Σ(t³−t)/12)
+    * is one pinned double sequence over those integers
+    * (`q_wilcoxon` replays via HUGEINT). Groups whose pairs are all
+    * zero differences drop out entirely (no evidence either way).
+    *
+    * Output: (groupCol, n, w2_pos = 2W⁺, z). */
+  def wilcoxonSignedRank(df: DataFrame, groupCol: String, xCol: String,
+                         yCol: String, scale: Int = 6): DataFrame = {
+    require(scale >= 0 && scale <= 9, s"scale must be in [0, 9], got $scale")
+    val p = math.pow(10.0, scale)
+    val d38 = "decimal(38,0)"
+    val counts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol),
+        floor((col(xCol) - col(yCol)) * lit(p)).cast("long").as("_d"))
+      .filter(col("_d") =!= 0L)
+      .select(col(groupCol), abs(col("_d")).as("_ad"), col("_d"))
+      .groupBy(col(groupCol), col("_ad"))
+      .agg(sum(when(col("_d") > 0, 1L).otherwise(0L)).as("_cp"),
+        count(lit(1)).as("_c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_ad"))
+      .rowsBetween(Long.MinValue, -1)
+    val base = counts
+      .withColumn("_before", coalesce(sum(col("_c")).over(wCum), lit(0L)))
+    val agg = base.groupBy(col(groupCol)).agg(
+      sum(col("_c")).cast(d38).as("_n"),
+      sum(col("_cp").cast(d38) *
+        (lit(2).cast(d38) * col("_before") + col("_c") + 1)).as("_w2"),
+      sum(col("_c").cast(d38) * col("_c") * col("_c") - col("_c")).as("_ties"))
+    val n = col("_n")
+    val varNum = (n * (n + 1) * (lit(2).cast(d38) * n + 1)).cast("double") / 6.0 -
+      col("_ties").cast("double") / 12.0
+    val z = when(varNum > 0.0,
+      (col("_w2").cast("double") - (n * (n + 1)).cast("double") / 2.0) /
+        sqrt(varNum))
+    agg.select(col(groupCol), n.cast("long").as("n"),
+      col("_w2").cast("long").as("w2_pos"), z.as("z"))
+  }
+
   /** One-way ANOVA F per experiment — the k-ARM omnibus test [[welchT]]
     * (two arms) and [[mannWhitneyU]] (two samples) leave open: with k
     * variants, k·(k−1)/2 pairwise t-tests inflate the false-positive

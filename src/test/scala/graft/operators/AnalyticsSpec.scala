@@ -342,6 +342,26 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
 
+  test("wilcoxonSignedRank: textbook signed ranks; zero diffs drop") {
+    val sch = StructType(Seq(StructField("g", StringType),
+      StructField("x", DoubleType), StructField("y", DoubleType)))
+    // diffs +1 +2 -3 +4: |d| ranks 1..4, W+ = 1+2+4 = 7 -> 2W+ = 14;
+    // z = (14 - 10)/sqrt(4*5*9/6) = 4/sqrt(30). The (7,7) pair is a
+    // zero difference and must not count toward n.
+    val rows = Seq((2.0, 1.0), (5.0, 3.0), (1.0, 4.0), (9.0, 5.0), (7.0, 7.0))
+      .map { case (x, y) => Row("g", x, y) }
+    val r = Analytics.wilcoxonSignedRank(df(sch, rows), "g", "x", "y").head()
+    assert(r.getLong(1) == 4L && r.getLong(2) == 14L, r.toString)
+    assert(math.abs(r.getDouble(3) - 4.0 / math.sqrt(30.0)) < 1e-12)
+    // tied |d|: +1 -1 +2 -> ranks (1.5, 1.5, 3), 2W+ = 3 + 6 = 9,
+    // ties = 2^3-2 = 6, var2W = 3*4*7/6 - 0.5 = 13.5, z = (9-6)/sqrt(13.5)
+    val tied = Seq((2.0, 1.0), (1.0, 2.0), (5.0, 3.0))
+      .map { case (x, y) => Row("t", x, y) }
+    val t = Analytics.wilcoxonSignedRank(df(sch, tied), "g", "x", "y").head()
+    assert(t.getLong(2) == 9L, t.toString)
+    assert(math.abs(t.getDouble(3) - 3.0 / math.sqrt(13.5)) < 1e-12)
+  }
+
   test("anovaF: hand-computed SSB/SSW/F; degenerate arms null") {
     val sch = StructType(Seq(StructField("e", StringType),
       StructField("v", StringType), StructField("x", DoubleType)))
