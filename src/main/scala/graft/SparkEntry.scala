@@ -2820,6 +2820,22 @@ object SparkEntry {
           col("po"), col("pe"), col("kappa"))
         .orderBy(col("source"))),
 
+    "q_mcnemar" -> ((s, dir) => {
+      // paired model comparison per source on the SAME documents: does
+      // the trained langid beat the crude contains-"the" heuristic at
+      // English detection? Only discordant docs carry evidence; exact
+      // cell counts, pinned chi2
+      val toks = filter(split(lower(coalesce(col("text"), lit(""))), "[^\\p{L}]+"),
+        t => length(t) > 0)
+      val gold = col("lang") === "en"
+      operators.Evaluation.mcnemar(
+          T(s, dir, "documents").select(col("source"),
+            ((TextFunctions.langId(col("text")) === "en") === gold).as("ca"),
+            (array_contains(toks, "the") === gold).as("cb")),
+          "source", "ca", "cb")
+        .orderBy(col("source"))
+    }),
+
     "q_gwet_ac1" -> ((s, dir) =>
       // the prevalence-robust agreement coefficient on the q_kappa
       // fixture: same confusion pass, chance term from the averaged
@@ -7808,6 +7824,35 @@ object SparkEntry {
          |            THEN CAST(CAST(n AS HUGEINT) * agree - pe_num AS DOUBLE)
          |                 / CAST(CAST(n AS HUGEINT) * n - pe_num AS DOUBLE) END AS kappa
          |FROM b JOIN pe USING (source) ORDER BY b.source""".stripMargin
+    },
+
+    // McNemar replay: the q_kappa langid CTE provides model A, the
+    // contains-'the' heuristic model B over the same letter-split
+    // tokens; exact cell counts, identical pinned chi2 division.
+    "q_mcnemar" -> {
+      s"""WITH t AS (
+         |  SELECT source, lang = 'en' AS gold,
+         |         list_filter(regexp_split_to_array(lower(trim(text)), '[^\\p{L}]+'), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |pd AS MATERIALIZED (
+         |${langidPdSql("source, gold, toks")}),
+         |m AS (
+         |  SELECT source,
+         |         (pred = 'en') = gold AS ca,
+         |         list_contains(toks, 'the') = gold AS cb
+         |  FROM pd),
+         |agg AS (
+         |  SELECT source, COUNT(1) AS n,
+         |    CAST(SUM(CASE WHEN ca AND cb THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+         |    CAST(SUM(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT) AS a_only,
+         |    CAST(SUM(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END) AS BIGINT) AS b_only,
+         |    CAST(SUM(CASE WHEN NOT ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT) AS neither
+         |  FROM m GROUP BY 1)
+         |SELECT source, n, both_right, a_only, b_only, neither,
+         |       CASE WHEN a_only + b_only > 0 THEN
+         |         CAST(CAST(a_only - b_only AS HUGEINT) * (a_only - b_only) AS DOUBLE)
+         |           / CAST(a_only + b_only AS DOUBLE) END AS chi2
+         |FROM agg ORDER BY source""".stripMargin
     },
 
     // Gwet AC1 replay: the q_kappa confusion pass, category totals from

@@ -192,6 +192,35 @@ object Evaluation {
           (n2 - col("pe_num")).cast("double")))
   }
 
+  /** McNemar's test per group — the PAIRED model comparison: two
+    * classifiers judged on the SAME examples (the standard model-eval
+    * situation, where the independent-proportions z-test is wrong
+    * because the errors correlate through the shared inputs). Only the
+    * DISCORDANT pairs carry evidence: with b = A-right/B-wrong and
+    * c = A-wrong/B-right, χ² = (b − c)²/(b + c) on 1 df. All four
+    * cell counts are exact integers from one aggregation pass; χ² is
+    * a pinned double over them (`q_mcnemar` replays it), NULL when no
+    * discordant pairs exist (the models are indistinguishable on this
+    * data — no evidence, not χ² = 0).
+    *
+    * Output: (groupCol, n, both_right, a_only, b_only, neither, chi2). */
+  def mcnemar(df: DataFrame, groupCol: String, aCorrectCol: String,
+              bCorrectCol: String): DataFrame = {
+    val a = col(aCorrectCol).cast("boolean")
+    val b = col(bCorrectCol).cast("boolean")
+    df.filter(a.isNotNull && b.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(a && b, 1L).otherwise(0L)).as("both_right"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("a_only"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("b_only"),
+        sum(when(!a && !b, 1L).otherwise(0L)).as("neither"))
+      .withColumn("chi2", when(col("a_only") + col("b_only") > 0,
+        ((col("a_only") - col("b_only")).cast("decimal(38,0)") *
+          (col("a_only") - col("b_only"))).cast("double") /
+          (col("a_only") + col("b_only")).cast("double")))
+  }
+
   /** Gwet's AC1 — the prevalence-robust alternative to [[cohenKappa]]:
     * on imbalanced label distributions kappa collapses toward 0 even
     * at near-perfect observed agreement (the "kappa paradox"), because

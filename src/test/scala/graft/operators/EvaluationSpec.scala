@@ -140,6 +140,22 @@ class EvaluationSpec extends SparkSpec {
     assert(out("g2").isNullAt(6), "n^2 == pe_num: kappa NULL, not 0/0")
   }
 
+  test("mcnemar: discordant-pair chi2; no-discordance NULL") {
+    val sch = StructType(Seq(StructField("g", StringType),
+      StructField("ca", BooleanType), StructField("cb", BooleanType)))
+    // both=2, a_only=3, b_only=1, neither=1 -> chi2 = (3-1)^2/4 = 1
+    val rows = Seq.fill(2)(Row("g", true, true)) ++ Seq.fill(3)(Row("g", true, false)) ++
+      Seq(Row("g", false, true), Row("g", false, false)) ++
+      Seq(Row("tie", true, true), Row("tie", false, false)) // fully concordant
+    val out = Evaluation.mcnemar(df(sch, rows), "g", "ca", "cb")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert((g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4), g.getLong(5)) ==
+      ((7L, 2L, 3L, 1L, 1L)), g.toString)
+    assert(g.getDouble(6) == 1.0)
+    assert(out("tie").isNullAt(6), "no discordant pairs: no evidence, not chi2=0")
+  }
+
   test("gwetAC1: stays high where the kappa paradox collapses; degenerate NULL") {
     // 90 pos/pos, 2 neg/neg, 4+4 disagreements: po = 0.92, but kappa's
     // chance term rewards the 94/6 imbalance (kappa ≈ 0.29) while AC1's
