@@ -245,7 +245,8 @@ object Bench {
     "q_embedding_drift", "q_anova_f",
     // r14 — pre-scrub PII exposure audit (regex counting at scan speed)
     // and the paired Wilcoxon signed-rank readout (distinct-|d| table)
-    "q_pii_audit", "q_wilcoxon")
+    // plus McNemar's discordant-pair model comparison (one agg pass)
+    "q_pii_audit", "q_wilcoxon", "q_mcnemar")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is
