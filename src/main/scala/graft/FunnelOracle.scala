@@ -8,11 +8,12 @@ package graft
   *
   * The shared prefix replays profile (quality + token stats) → filter
   * → [LM perplexity gate] → scrub (PII + Gopher repetition) → exact
-  * dedup → blocked-Jaccard near-dedup + connected components →
-  * [decontamination] → weighted mix → split, byte-compatible with the
-  * pipeline's deterministic configuration (minQuality 0.75,
-  * langs en/de/fr/es, jaccard 0.7 on lang+100-char blocks, explicit
-  * weights 0.5/0.25/0.125/0.125, chunk budget 16 / pack budget 32).
+  * dedup → replayable md5-MinHash-LSH near-dedup + connected
+  * components → [decontamination] → weighted mix → split,
+  * byte-compatible with the pipeline's deterministic configuration
+  * (minQuality 0.75, langs en/de/fr/es, trigram jaccard 0.7 verified
+  * over 8 md5 minhash bands, explicit weights 0.5/0.25/0.125/0.125,
+  * chunk budget 16 / pack budget 32).
   *
   * The BPE tail replays [[operators.Bpe.train]] EXACTLY, without golden
   * rows: each of the 12 merge rounds is one unrolled (pair-count →
@@ -200,24 +201,34 @@ private[graft] object FunnelOracle {
        |    SELECT sc.*, ROW_NUMBER() OVER (
        |      PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g')) ORDER BY doc_id) AS rn
        |    FROM scrub sc) WHERE rn = 1)""".stripMargin
+    // replayable MinHash-LSH near-dedup (r15, the scale-safe default
+    // for audited runs): min over md5(i || ':' || trigram) per doc per
+    // permutation i (DuckDB md5 == Spark md5 on UTF-8 bytes), 2..2000
+    // bucket cap, exact trigram-Jaccard verify of the candidates
     ctes += """jp0 AS MATERIALIZED (
        |  SELECT doc_id,
-       |         lang || '_' || CAST(length(text) // 100 AS VARCHAR) AS block,
        |         CASE WHEN len(nw) >= 3
        |              THEN list_distinct(list_transform(range(1, len(nw) - 1),
        |                                               i -> array_to_string(nw[i:i+2], ' ')))
        |              ELSE [] END AS sh
-       |  FROM (SELECT doc_id, lang, text,
+       |  FROM (SELECT doc_id,
        |               regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS nw
        |        FROM exact))""".stripMargin
-    ctes += """jp AS MATERIALIZED (
-       |  SELECT jp0.* FROM jp0
-       |  JOIN (SELECT block FROM jp0 GROUP BY block HAVING COUNT(1) <= 10000) ok USING (block))""".stripMargin
+    ctes += """jmh AS MATERIALIZED (
+       |  SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || s)) AS h
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM jp0 WHERE len(sh) > 0), range(8) t(i)
+       |  GROUP BY doc_id, i)""".stripMargin
+    ctes += """jok AS (SELECT i, h FROM jmh GROUP BY i, h HAVING COUNT(1) BETWEEN 2 AND 2000)""".stripMargin
+    ctes += """jcand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM jmh a JOIN jmh b ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id
+       |  JOIN jok ON jok.i = a.i AND jok.h = a.h)""".stripMargin
     ctes += """pairs AS MATERIALIZED (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM jp a JOIN jp b ON a.block = b.block AND a.doc_id < b.doc_id
-       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-       |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7)""".stripMargin
+       |  SELECT id_a, id_b FROM jcand
+       |  JOIN jp0 pa ON pa.doc_id = jcand.id_a
+       |  JOIN jp0 pb ON pb.doc_id = jcand.id_b
+       |  WHERE CAST(len(list_intersect(pa.sh, pb.sh)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(pa.sh, pb.sh))) >= 0.7)""".stripMargin
     ctes += """edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs)""".stripMargin
     ctes += """reach AS (SELECT u, v FROM edges
        |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)""".stripMargin

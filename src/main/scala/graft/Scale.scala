@@ -57,9 +57,21 @@ object ScaleData {
       graft.sources.ParquetConnector.readTable(spark, s"$src/$name.parquet")
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    // loud key-range guard (ADVICE r14): the replica id shifts assume
+    // source keys below the shift — pointed at a larger corpus, replica
+    // keys would silently collide and alias the scaled tables. One
+    // cheap max() agg per shifted key, failing loudly instead.
+    def assertBelow(df: DataFrame, keyCol: String, shift: Long, table: String): Unit = {
+      val r = df.agg(max(col(keyCol)).cast("long")).head()
+      val mx = if (r.isNullAt(0)) -1L else r.getLong(0)
+      require(mx < shift,
+        s"ScaleData: max($table.$keyCol) = $mx >= replica shift $shift — " +
+          "replica keys would collide; raise the shift for this corpus")
+    }
 
     // documents: replica-suffixed tokens, replica-shifted ids
     val d = t("documents").crossJoin(broadcast(reps))
+    assertBelow(t("documents"), "doc_id", 1000000L, "documents")
     val text = when(col("_k") === 0, col("text")).otherwise(
       regexp_replace(col("text"), lit("(\\S+)"),
         concat(lit("$1x"), col("_k").cast("string"))))
@@ -69,23 +81,33 @@ object ScaleData {
       when(col("_k") === 0, col("n_chars"))
         .otherwise(length(text).cast("long")).as("n_chars")), "documents")
 
-    // embeddings: replica-rotated vectors, replica-shifted ids
+    // embeddings: replica-rotated vectors, replica-shifted ids. The
+    // rotation index is _k mod dim (ADVICE r14): slice with a raw _k
+    // beyond the vector dimension gets a negative length and fails at
+    // runtime for factor in (dim+1, 100] — rotating by the modulus is
+    // the same family of distance-preserving permutations.
     val e = t("embeddings").crossJoin(broadcast(reps))
+    assertBelow(t("embeddings"), "vec_id", 1000000L, "embeddings")
     val dim = size(col("embedding"))
+    val rot = pmod(col("_k"), dim)
     write(e.select(
       (col("vec_id") + col("_k").cast("long") * 1000000L).as("vec_id"),
-      concat(slice(col("embedding"), col("_k") + 1, dim - col("_k")),
-        slice(col("embedding"), lit(1), col("_k"))).as("embedding"),
+      concat(slice(col("embedding"), rot + 1, dim - rot),
+        slice(col("embedding"), lit(1), rot)).as("embedding"),
       col("label")), "embeddings")
 
     // purchase graph: k disjoint copies
     val o = t("orders").crossJoin(broadcast(reps))
+    assertBelow(t("orders"), "o_orderkey", 10000000L, "orders")
+    assertBelow(t("orders"), "o_custkey", 100000L, "orders")
     write(o.select(
       (col("o_orderkey") + col("_k").cast("long") * 10000000L).as("o_orderkey"),
       (col("o_custkey") + col("_k").cast("long") * 100000L).as("o_custkey"),
       col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
       col("o_orderpriority")), "orders")
     val l = t("lineitem").crossJoin(broadcast(reps))
+    assertBelow(t("lineitem"), "l_orderkey", 10000000L, "lineitem")
+    assertBelow(t("lineitem"), "l_suppkey", 100000L, "lineitem")
     write(l.select(Seq(
       (col("l_orderkey") + col("_k").cast("long") * 10000000L).as("l_orderkey"),
       col("l_partkey"),
@@ -111,34 +133,37 @@ object ScaleData {
   * JVM, with the plan-exchange audit at both scales. Artifact:
   * `BENCH_scale.json`. */
 object ScaleBench {
-  /** The dozen heaviest queries (the VERDICT r13 #1 list): dedup
-    * families, graph iterations, ANN lifecycle, LM gates, the
-    * cluster-aware split, and the full funnel. */
+  /** The heavy query set: dedup families, graph iterations, ANN
+    * lifecycle, LM gates, the cluster-aware split, the full funnel
+    * (the VERDICT r13 #1 list), plus — r15 (VERDICT r14 #2) — every
+    * remaining operator with a block cap or bounded contract that had
+    * never been measured at a scale point: span-scrub, SemDeDup,
+    * fuzzy join, BM25 inverted retrieval, BPE round-trip. */
   val heavy: Seq[String] = Seq(
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
     "q_embedding_neardup", "q_ppl_mix", "q_pagerank", "q_label_prop",
     "q_ann_pq", "q_dsir", "q_kn_trigram", "q_cluster_split",
-    "q_cluster_split_lsh", "q_pipeline_funnel")
+    "q_cluster_split_exact", "q_pipeline_funnel",
+    "q_span_scrub", "q_semdedup", "q_fuzzy_join", "q_inverted_bm25",
+    "q_bpe_roundtrip")
 
   /** Scale-bench-local variants, NOT part of the driver correctness
-    * contract. `q_cluster_split_lsh` is the 100 TB form of
-    * `q_cluster_split`: the r14 stress run measured the exact-Jaccard
-    * pair stage at ratio ~22× per 10× data — block-QUADRATIC by its
-    * documented contract (blocks are lang+length buckets, so their
-    * occupancy grows with the corpus; the exact family trades speed for
-    * external replayability). The production path swaps in minhash LSH
-    * candidates (linear — banding buckets grow only with true
-    * near-dup density) feeding the SAME components + root-hash split.
-    * Each constituent is hash-checked elsewhere (banding:
-    * `q_minhash_banding`; components: `q_dedup_clusters`; root-hash
-    * split: `q_cluster_split`), so this entry only needs timing, not
-    * an oracle — keeping the driver's no_oracle count at its
-    * documented floor. */
+    * contract. r15 FLIPPED the cluster-split default (VERDICT r14 #1):
+    * `q_cluster_split` now runs the replayable md5-MinHash-LSH
+    * candidate generator (linear — banding buckets grow only with true
+    * near-dup density) feeding the same components + root-hash split,
+    * and stays fully oracled. `q_cluster_split_exact` keeps the OLD
+    * blocked all-pairs exact-Jaccard path on the stress bench as the
+    * named opt-in small-corpus verifier — its measured exponent 1.99
+    * (r14: 1.8 s → 41.5 s at 10×) is the documented reason it is no
+    * longer the default; timing-only here, its machinery stays
+    * hash-checked through `q_dedup_clusters`/`q_ngram_jaccard`. */
   private val extra: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_cluster_split_lsh" -> ((s: SparkSession, dir: String) => {
+    "q_cluster_split_exact" -> ((s: SparkSession, dir: String) => {
       val d = graft.sources.ParquetConnector.readTable(s, s"$dir/documents.parquet")
-      val pairs = graft.operators.Dedup.minhashCandidates(
-        d, "text", "doc_id", threshold = 0.7)
+      val pairs = graft.operators.Dedup.ngramJaccardPairs(d, "text", "doc_id",
+        graft.operators.Dedup.langLengthBlock(col("lang"), col("n_chars"), width = 100),
+        n = 1, threshold = 0.6)
       val cc = graft.operators.Dedup.connectedComponents(pairs)
       graft.operators.Curation.clusterAwareSplit(d, "doc_id", cc)
         .orderBy(col("doc_id"))

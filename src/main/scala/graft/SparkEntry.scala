@@ -956,15 +956,16 @@ object SparkEntry {
     }),
 
     "q_cluster_split" -> ((s, dir) => {
-      // leakage-proof splitting: the same Jaccard pair graph as
-      // q_dedup_clusters resolves to cluster roots, and the 8/1/1 split
-      // hashes the ROOT — every near-dup lands with its twins
+      // leakage-proof splitting on the SCALE-SAFE default path (r15,
+      // VERDICT r14 #1): replayable md5-MinHash LSH candidates with
+      // exact-Jaccard verify replace the blocked all-pairs generator
+      // that measured scaling exponent 1.99 at the 10× stress point.
+      // Trigram shingles, threshold 0.6; components + root-hash 8/1/1
+      // split unchanged. The oracle replays every md5 minhash, bucket,
+      // candidate, and verified pair (DuckDB md5 == Spark md5).
       val d = T(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
-        Dedup.langLengthBlock(col("lang"), col("n_chars"), width = 100),
-        n = 1, threshold = 0.6)
-      val cc = Dedup.connectedComponents(pairs)
-      operators.Curation.clusterAwareSplit(d, "doc_id", cc)
+      operators.Curation.leakageSafeSplit(d, "text", "doc_id",
+          n = 3, threshold = 0.6)
         .orderBy(col("doc_id"))
     }),
 
@@ -1953,8 +1954,9 @@ object SparkEntry {
       // scrub (PII redact + Gopher repetition) → exact dedup →
       // near-dedup → decontaminate →
       // mix → split → chunk → pack, every stage in its deterministic,
-      // externally-replayable configuration: nearDedup = blocked exact
-      // Jaccard + connected components (the q_dedup_clusters replay),
+      // externally-replayable configuration: nearDedup = replayable
+      // md5-MinHash LSH + exact verify + connected components (the
+      // q_cluster_split pair replay — scale-safe since r15),
       // mixWeights = binary-exact explicit weights (the q_mix_weighted
       // replay), benchmark = the doc_id % 13 slice of the corpus
       // written to a real benchmark dir (the q_contamination replay at
@@ -2683,6 +2685,23 @@ object SparkEntry {
           "hyp_id", "p", alphaNum = 10, alphaDen = 100)
         .orderBy(col("rank"))
     }),
+
+    "q_experiment_report" -> ((s, dir) =>
+      // the COMPOSED experiment readout (r15, VERDICT r14 #4): CUPED
+      // pooled-θ adjustment of every unit (the q_cuped covariate) →
+      // Welch t on the adjusted metric per event_type experiment →
+      // A&S-erfc two-sided p at 1e9 fixed point → Holm FWER gate
+      // across the experiment family — one table a launch review reads
+      operators.Analytics.experimentReport(
+          T(s, dir, "events").filter(col("user_id").isNotNull && col("value").isNotNull)
+            .select(col("event_type").as("experiment"),
+              when(pmod(col("user_id"), lit(2L)) === 0L, lit("control"))
+                .otherwise(lit("treatment")).as("variant"),
+              col("value"),
+              (floor(col("value") / 2.0) + pmod(col("user_id"), lit(7L)))
+                .cast("double").as("pre")),
+          "experiment", "variant", "value", "pre")
+        .orderBy(col("experiment"))),
 
     "q_isotonic" -> ((s, dir) => {
       // PAV isotonic calibration on a pinned score/label fixture with
@@ -3514,24 +3533,37 @@ object SparkEntry {
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
         |ORDER BY doc_id""".stripMargin,
 
-    // Cluster-split replay: the q_dedup_clusters closure, root = the
-    // component (or own id), split = the Knuth bucket walked through
-    // the 8/1/1 bounds.
+    // Cluster-split replay of the SCALE-SAFE default path: md5-MinHash
+    // LSH candidate generation (DuckDB md5 == Spark md5, so min over
+    // md5(i || ':' || shingle) replays every bucket), 2..2000 bucket
+    // cap, exact trigram-Jaccard verify at 0.6, then the
+    // q_dedup_clusters closure, root = the component (or own id),
+    // split = the Knuth bucket walked through the 8/1/1 bounds.
     "q_cluster_split" ->
-      """WITH RECURSIVE p0 AS (
+      """WITH RECURSIVE p AS MATERIALIZED (
         |  SELECT doc_id,
-        |         lang || '_' || CAST(n_chars // 100 AS VARCHAR) AS block,
-        |         list_distinct(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS sh
-        |  FROM documents),
-        |p AS (
-        |  SELECT p0.* FROM p0
-        |  JOIN (SELECT block FROM p0 GROUP BY block HAVING COUNT(1) <= 10000) ok
-        |    USING (block)),
+        |         CASE WHEN len(nw) >= 3
+        |              THEN list_distinct(list_transform(range(1, len(nw) - 1),
+        |                                                i -> array_to_string(nw[i:i+2], ' ')))
+        |              ELSE [] END AS sh
+        |  FROM (SELECT doc_id,
+        |               regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS nw
+        |        FROM documents)),
+        |mh AS MATERIALIZED (
+        |  SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || s)) AS h
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM p WHERE len(sh) > 0), range(8) t(i)
+        |  GROUP BY doc_id, i),
+        |ok AS (SELECT i, h FROM mh GROUP BY i, h HAVING COUNT(1) BETWEEN 2 AND 2000),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM mh a JOIN mh b ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id
+        |  JOIN ok ON ok.i = a.i AND ok.h = a.h),
         |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM p a JOIN p b ON a.block = b.block AND a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN p pa ON pa.doc_id = cand.id_a
+        |  JOIN p pb ON pb.doc_id = cand.id_b
+        |  WHERE CAST(len(list_intersect(pa.sh, pb.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(pa.sh, pb.sh))) >= 0.6),
         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
         |          UNION SELECT id_b, id_a FROM pairs),
         |reach AS (SELECT u, v FROM edges
@@ -7594,6 +7626,87 @@ object SparkEntry {
         |      FROM r)
         |SELECT hyp_id, p, rank, m, rank <= k.k AS rejected
         |FROM r CROSS JOIN k ORDER BY rank""".stripMargin,
+
+    // Composed experiment-readout replay: the q_cuped pooled-θ chain →
+    // per-unit adjusted metric → the q_welch_t moment chain on the
+    // adjusted quantization → A&S 7.1.26 erfc p (exp is the only libm
+    // call; 1e9 floor pins the gate boundary) → the q_holm step-down.
+    "q_experiment_report" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT event_type AS experiment,
+        |         CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS v,
+        |         value AS yraw,
+        |         CAST(FLOOR(value / 2.0) + user_id % 7 AS DOUBLE) AS xraw
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |mom AS MATERIALIZED (
+        |  SELECT experiment, CAST(COUNT(1) AS HUGEINT) AS n,
+        |         SUM(CAST(FLOOR(xraw * 1000000.0) AS HUGEINT)) AS sx,
+        |         SUM(CAST(FLOOR(yraw * 1000000.0) AS HUGEINT)) AS sy,
+        |         SUM(CAST(FLOOR(xraw * 1000000.0) AS HUGEINT) * CAST(FLOOR(yraw * 1000000.0) AS HUGEINT)) AS sxy,
+        |         SUM(CAST(FLOOR(xraw * 1000000.0) AS HUGEINT) * CAST(FLOOR(xraw * 1000000.0) AS HUGEINT)) AS sxx,
+        |         SUM(CAST(FLOOR(yraw * 1000000.0) AS HUGEINT) * CAST(FLOOR(yraw * 1000000.0) AS HUGEINT)) AS syy
+        |  FROM b GROUP BY 1),
+        |pool AS MATERIALIZED (
+        |  SELECT experiment,
+        |    CASE WHEN n * sxx - sx * sx > 0 THEN
+        |      CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END AS theta,
+        |    CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |      CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |        * CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * syy - sy * sy AS DOUBLE) END AS rho2,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS pxbar
+        |  FROM mom),
+        |adj AS MATERIALIZED (
+        |  SELECT b.experiment, v,
+        |         CAST(FLOOR((yraw - COALESCE(theta, 0.0) * (xraw - pxbar)) * 1000000.0) AS HUGEINT) AS x
+        |  FROM b JOIN pool USING (experiment)),
+        |g AS (SELECT experiment, v, CAST(COUNT(*) AS HUGEINT) AS n,
+        |             SUM(x) AS sx, SUM(x*x) AS sxx FROM adj GROUP BY 1, 2),
+        |j AS (SELECT a.experiment, a.v AS variant_a, b2.v AS variant_b,
+        |             a.n AS na, a.sx AS sxa, a.sxx AS sxxa,
+        |             b2.n AS nb, b2.sx AS sxb, b2.sxx AS sxxb
+        |      FROM g a JOIN g b2 ON a.experiment = b2.experiment AND a.v < b2.v),
+        |s AS (SELECT *,
+        |        CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) / 1000000.0 AS ma,
+        |        CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) / 1000000.0 AS mb,
+        |        CASE WHEN na > 1 THEN CAST(na * sxxa - sxa * sxa AS DOUBLE)
+        |             / CAST(na * (na - 1) AS DOUBLE) / 1000000.0 / 1000000.0 END AS va,
+        |        CASE WHEN nb > 1 THEN CAST(nb * sxxb - sxb * sxb AS DOUBLE)
+        |             / CAST(nb * (nb - 1) AS DOUBLE) / 1000000.0 / 1000000.0 END AS vb
+        |      FROM j),
+        |s2 AS (SELECT *,
+        |         CASE WHEN va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE) > 0.0
+        |              THEN (mb - ma) / sqrt(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)) END AS t
+        |       FROM s),
+        |w1 AS (SELECT *, abs(t) / 1.4142135623730951 AS z FROM s2),
+        |w2 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * z) AS u FROM w1),
+        |px AS MATERIALIZED (
+        |  SELECT experiment, variant_a, variant_b,
+        |         CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |         ma AS mean_adj_a, mb AS mean_adj_b, mb - ma AS diff_adj, t,
+        |         CASE WHEN t IS NOT NULL THEN
+        |           CAST(CAST(FLOOR(((((1.061405429 * u - 1.453152027) * u + 1.421413741) * u
+        |             - 0.284496736) * u + 0.254829592) * u * exp(-z * z) * 1000000000.0) AS BIGINT) AS DOUBLE)
+        |             / 1000000000.0 END AS p
+        |  FROM w2),
+        |r AS (SELECT experiment, p,
+        |             CAST(FLOOR(p * 1000000000.0) AS BIGINT) AS pfp,
+        |             ROW_NUMBER() OVER (ORDER BY CAST(FLOOR(p * 1000000000.0) AS BIGINT),
+        |                                         experiment) AS rank,
+        |             COUNT(*) OVER () AS m
+        |      FROM px WHERE p IS NOT NULL),
+        |k AS (SELECT COALESCE(
+        |               MIN(CASE WHEN CAST(pfp AS HUGEINT) * (m - rank + 1) * 100
+        |                             > 5 * CAST(1000000000 AS HUGEINT)
+        |                        THEN rank END) - 1,
+        |               MAX(rank)) AS k
+        |      FROM r)
+        |SELECT px.experiment, variant_a, variant_b, n_a, n_b,
+        |       mean_adj_a, mean_adj_b, diff_adj, pool.theta, pool.rho2, t, px.p,
+        |       r.rank, r.m, r.rank <= k.k AS rejected
+        |FROM px JOIN pool ON pool.experiment = px.experiment
+        |        LEFT JOIN r ON r.experiment = px.experiment
+        |        CROSS JOIN k
+        |ORDER BY px.experiment""".stripMargin,
 
     // Golden PAV blocks from the pinned fixture; `rate` recomputed from
     // the exact integer counts so the doubles carry full precision.

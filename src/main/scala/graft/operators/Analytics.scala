@@ -737,7 +737,10 @@ object Analytics {
       .localCheckpoint(true) // grid-sized; three readers below
     val ra = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_ra"))
     val cb = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_cb"))
-    val n = cells.agg(sum(col("_o")).cast("long")).head().getLong(0)
+    // null-safe read (ADVICE r14): sum over zero rows is null, and
+    // .getLong on it would NPE before the designed error message fires
+    val nRow = cells.agg(sum(col("_o")).cast("long")).head()
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
     require(n > 0, "cramersV: empty input")
     val r = ra.count(); val c = cb.count()
     val e = col("_ra").cast("double") * col("_cb").cast("double") / lit(n.toDouble)
@@ -1209,5 +1212,100 @@ object Analytics {
     val k = if (firstBad.isNullAt(0)) m else firstBad.getLong(0) - 1L
     ranked.select(col(keyCol), col("p"), col("rank"), lit(m).as("m"),
       (col("rank") <= lit(k)).as("rejected"))
+  }
+
+  /** The COMPOSED experiment readout (VERDICT r14 #4) — the full chain
+    * a platform's per-release experiment report runs, as one operator
+    * the way `lm_bucket_mix`/`snapshot_diff` compose their stages:
+    *
+    *   1. [[cuped]]'s pooled θ / x̄ per experiment (exact DECIMAL
+    *      moments) adjusts every unit's metric,
+    *      adj = y − θ·(x − x̄_pooled) (θ degenerate → unadjusted);
+    *   2. [[welchT]] on the ADJUSTED metric per experiment (exactly
+    *      two arms, enforced loudly) — the variance-reduced contrast;
+    *   3. a two-sided normal-approximation p from |t| via the
+    *      Abramowitz–Stegun 7.1.26 erfc polynomial (max abs error
+    *      1.5e-7 — far inside any launch gate's tolerance; with
+    *      thousands of units per arm, t ≈ z), floor-quantized at 1e9
+    *      so the gate boundary is integer-exact;
+    *   4. [[holmCorrect]] across the experiment family — the FWER
+    *      step-down gate (one wrong launch is the disaster, so Holm,
+    *      not BH).
+    *
+    * Exactness: θ/x̄/ρ² are pinned doubles over exact DECIMAL(38,0)
+    * moments (the `q_cuped` contract); adj is a fixed IEEE sequence
+    * over them, so its ⌊adj·10^scale⌋ quantization replays; the Welch
+    * stats are the `q_welch_t` pinned sequence; p rides the erfc
+    * polynomial whose only libm call is exp (the `q_ppl_mix` /
+    * `q_doremi` precedent: engines agree at the 1e9 quantization).
+    * `q_experiment_report` replays the entire chain via HUGEINT.
+    *
+    * Scale shape: TWO corpus passes (the pooled-moment aggregate, then
+    * the adjusted-moment aggregate after a BROADCAST join of the
+    * experiment-cardinality θ table) — everything downstream is
+    * experiment-cardinality, and the Holm window inherits
+    * [[holmCorrect]]'s hypothesis-table-size contract. Experiments
+    * whose Welch t is undefined (zero variance) surface null p and a
+    * null gate verdict, never entering the family correction.
+    *
+    * Output: (expCol, variant_a, variant_b, n_a, n_b, mean_adj_a,
+    * mean_adj_b, diff_adj, theta, rho2, t, p, rank, m, rejected). */
+  def experimentReport(df: DataFrame, expCol: String, variantCol: String,
+                       metricCol: String, covariateCol: String,
+                       scale: Int = 6,
+                       alphaNum: Long = 5L, alphaDen: Long = 100L): DataFrame = {
+    require(scale >= 0 && scale <= 9, s"scale must be in [0, 9], got $scale")
+    val p10 = math.pow(10.0, scale)
+    val d38 = "decimal(38,0)"
+    val base = df.filter(col(metricCol).isNotNull && col(covariateCol).isNotNull)
+      .select(col(expCol), col(variantCol).cast("string").as("_v"),
+        col(metricCol).cast("double").as("_yraw"),
+        col(covariateCol).cast("double").as("_xraw"))
+    // stage 1: pooled CUPED moments → (experiment, theta, rho2, x̄)
+    val mom = base.select(col(expCol),
+        floor(col("_yraw") * lit(p10)).cast(d38).as("_y"),
+        floor(col("_xraw") * lit(p10)).cast(d38).as("_x"))
+      .groupBy(col(expCol))
+      .agg(count(lit(1)).cast(d38).as("_n"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y") * col("_y")).as("_syy"))
+    val num = col("_n") * col("_sxy") - col("_sx") * col("_sy")
+    val denx = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+    val deny = col("_n") * col("_syy") - col("_sy") * col("_sy")
+    val pool = mom.select(col(expCol),
+      when(denx > 0, num.cast("double") / denx.cast("double")).as("theta"),
+      when(denx > 0 && deny > 0, num.cast("double") / denx.cast("double") *
+        num.cast("double") / deny.cast("double")).as("rho2"),
+      (col("_sx").cast("double") / col("_n").cast("double") / lit(p10)).as("_pxbar"))
+    // stage 2: per-unit adjusted metric (broadcast of the tiny θ table)
+    val adj = base.join(broadcast(pool), Seq(expCol))
+      .withColumn("_adj", col("_yraw") -
+        coalesce(col("theta"), lit(0.0)) * (col("_xraw") - col("_pxbar")))
+    // stage 3: Welch on the adjusted metric
+    val w = welchT(adj, expCol, "_v", "_adj", scale)
+    // stage 4: two-sided p ≈ erfc(|t|/√2), A&S 7.1.26, 1e9 fixed point
+    val z = abs(col("t")) / lit(1.4142135623730951)
+    val u = lit(1.0) / (lit(1.0) + lit(0.3275911) * z)
+    val poly = ((((lit(1.061405429) * u - lit(1.453152027)) * u +
+      lit(1.421413741)) * u - lit(0.284496736)) * u + lit(0.254829592)) * u
+    val pApprox = poly * exp(-z * z)
+    val scored = w
+      .join(broadcast(pool.select(col(expCol), col("theta"), col("rho2"))), Seq(expCol))
+      .withColumn("p",
+        when(col("t").isNotNull,
+          floor(pApprox * lit(1e9)).cast("long").cast("double") / lit(1e9)))
+      .localCheckpoint(true) // experiment-cardinality; holm + join below
+    // stage 5: Holm FWER gate across the experiment family
+    val gate = holmCorrect(scored.filter(col("p").isNotNull)
+        .select(col(expCol), col("p")), expCol, "p", alphaNum, alphaDen)
+      .select(col(expCol), col("rank"), col("m"), col("rejected"))
+    scored.join(gate, Seq(expCol), "left")
+      .select(col(expCol), col("variant_a"), col("variant_b"),
+        col("n_a"), col("n_b"), col("mean_a").as("mean_adj_a"),
+        col("mean_b").as("mean_adj_b"), col("diff").as("diff_adj"),
+        col("theta"), col("rho2"), col("t"), col("p"),
+        col("rank"), col("m"), col("rejected"))
   }
 }

@@ -482,6 +482,75 @@ object Dedup {
     df.groupBy(blockCol.as("block")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > maxBlockSize)
 
+  /** REPLAYABLE MinHash-LSH near-dup pairs — the scale-safe DEFAULT
+    * candidate generator for every externally-replayable pairing path
+    * (cluster-aware splitting, the funnel's deterministic near-dedup),
+    * replacing blocked all-pairs [[ngramJaccardPairs]] there
+    * (VERDICT r14 #1: the exact form's lang+length blocks grow with the
+    * CORPUS, so in-block pairing measured scaling exponent 1.99 at the
+    * 10× stress point — a dead operator at 100×; LSH bucket occupancy
+    * grows only with true near-dup density, measured 0.17).
+    *
+    * The trick that keeps it ORACLE-replayable where the xxhash64
+    * sketch family ([[minhashCandidates]]) is not: the minhash
+    * permutations are MD5 — `sig_i = min over shingles of
+    * md5(utf8(i + ":" + shingle))` as a 32-char hex STRING (fixed
+    * length, so lexicographic min = numeric min of the 128-bit value).
+    * Spark's `md5` and DuckDB's `md5` both hash the UTF-8 bytes to the
+    * same lowercase hex, so an external engine replays every bucket,
+    * candidate, and verified pair bit-for-bit (`q_cluster_split`'s
+    * oracle). MD5 costs more per shingle than xxhash64 — that is the
+    * price of replayability; the sketch family stays the throughput
+    * path when external replay doesn't matter.
+    *
+    * Banding is one-row-per-band (bucket = the i-th minhash itself):
+    * recall for a true-Jaccard-J pair is 1 − (1−J)^numHashes (99.9% at
+    * J = 0.6 with the default 8) — r = 1 maximizes recall and is safe
+    * because every candidate is verified by EXACT Jaccard on the
+    * shingle sets riding through the bucket explode, so false
+    * candidates cost compute, never correctness. Degenerate buckets
+    * (an i-th minhash shared corpus-wide — boilerplate's signature)
+    * are dropped at `maxBucketSize`, the [[minhashCandidates]] cap
+    * semantics: such content belongs to [[exact]] dedup. Docs whose
+    * text is NULL never pair (no shingles).
+    *
+    * One shuffle of (band, bucket, id, shingle-set) rows — numHashes
+    * copies of the distinct-token payload; linear in corpus size.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b and jaccard the
+    * EXACT shingle-set Jaccard — a drop-in for [[ngramJaccardPairs]]
+    * minus pairs LSH's 1−(1−J)^H recall misses. */
+  def replayableMinhashPairs(df: DataFrame, textCol: String, idCol: String,
+                             n: Int = 1, numHashes: Int = 8,
+                             threshold: Double = 0.5,
+                             maxBucketSize: Int = 2000): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 64,
+      s"numHashes must be in [1, 64], got $numHashes")
+    // barrier before the banding projection references _sh numHashes
+    // times — same CollapseProject re-evaluation hazard as
+    // minhashCandidates' signature pass
+    val prep = ensureParallel(df).select(col(idCol).as("_id"),
+        array_distinct(shingles(col(textCol), n)).as("_sh"))
+      // drop NULL-text and sub-n-token docs HERE, not downstream: an
+      // empty shingle set would minhash to a null bucket (all short
+      // docs colliding) and verify to 0/0 = NaN, which Spark's NaN
+      // ordering treats as >= threshold while a replaying engine's
+      // empty unnest produces no rows at all
+      .filter(size(col("_sh")) > 0)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val bandHashes = array((0 until numHashes).map(i =>
+      array_min(transform(col("_sh"),
+        s => md5(concat(lit(s"$i:"), s).cast("binary"))))): _*)
+    val banded = prep.select(col("_id"), col("_sh"),
+      posexplode(bandHashes).as(Seq("_band", "_bucket")))
+    bucketPairs(banded, Seq("_band", "_bucket"), "_id", "_sh", maxBucketSize)
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        (size(array_intersect(col("pa"), col("pb"))).cast("double") /
+          size(array_union(col("pa"), col("pb")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .distinct() // same pair from multiple bands has identical jaccard
+  }
+
   /** Connected components of a candidate-pair graph — the cluster
     * resolution step after any pairing family above. Pairs only say
     * "a ~ b"; duplicate GROUPS are transitive, so keeping one canonical

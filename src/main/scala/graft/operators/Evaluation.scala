@@ -236,11 +236,20 @@ object Evaluation {
     * them (`q_gwet_ac1` replays via HUGEINT). Degenerate groups (one
     * category, or P_e = 1) surface null ac1.
     *
+    * Rows with a NULL rating on either side are DROPPED up front
+    * (ADVICE r14): the marginal rollup meets row/col counts in an
+    * equi-join on the category, and a null category never matches
+    * itself — one null label would otherwise split into two `_tc`
+    * rows, inflating n_cats and skewing P_e. "No rating" is not a
+    * category; raters abstaining belongs upstream of an agreement
+    * statistic.
+    *
     * Output: (groupCol, n, agree, n_cats, po, pe, ac1). */
   def gwetAC1(df: DataFrame, groupCol: String, aCol: String,
               bCol: String): DataFrame = {
     val d38 = "decimal(38,0)"
-    val conf = df.select(col(groupCol), col(aCol).cast("string").as("_a"),
+    val conf = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(groupCol), col(aCol).cast("string").as("_a"),
         col(bCol).cast("string").as("_b"))
       .groupBy(col(groupCol), col("_a"), col("_b"))
       .agg(count(lit(1)).as("_n"))

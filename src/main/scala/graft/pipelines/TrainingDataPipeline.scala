@@ -42,13 +42,20 @@ object TrainingDataPipeline {
     * `documents.parquet`; outputs land in `work`.
     *
     * `nearDedup` selects the near-duplicate candidate family:
-    * `"minhash"` (default — probabilistic LSH banding, the 100 TB
-    * path) or `"jaccard"` (exact blocked n-gram Jaccard — deterministic
-    * and externally replayable, the choice when reproducibility or an
-    * external audit matters more than the minhash sketch's speed; both
-    * feed the same connected-components cluster dedup).
-    * `minhashThreshold` is the similarity threshold for whichever
-    * family runs.
+    * `"minhash"` (default — xxhash64 LSH banding, the throughput
+    * path), `"jaccard"` (REPLAYABLE MinHash-LSH,
+    * [[Dedup.replayableMinhashPairs]] — md5 minhashes an external
+    * engine replays bit-for-bit, exact-trigram-Jaccard-verified, the
+    * choice when reproducibility or an external audit matters; also
+    * linear, so it scales like the sketch path — VERDICT r14 #1 flipped
+    * this from blocked all-pairs), or `"jaccard_exact"` (the blocked
+    * all-pairs verifier — opt-in for SMALL corpora only: its
+    * lang+length blocks grow with the corpus, measured scaling exponent
+    * 1.99 at the r14 10× stress point; selecting it also writes the
+    * `dedup_oversized_blocks` audit table so the block cap can never
+    * drop blocks silently). All three feed the same
+    * connected-components cluster dedup. `minhashThreshold` is the
+    * similarity threshold for whichever family runs.
     *
     * `mixWeights` switches the mix stage from temperature-scaled
     * rebalance ([[Curation.mixByTemperature]], `mixAlpha`) to EXPLICIT
@@ -110,8 +117,8 @@ object TrainingDataPipeline {
             tokenizer: String = "whitespace",
             bpeMerges: Int = 200,
             bpeMinPairFreq: Long = 2L): Plan = {
-    require(Set("minhash", "jaccard").contains(nearDedup),
-      s"nearDedup must be 'minhash' or 'jaccard', got '$nearDedup'")
+    require(Set("minhash", "jaccard", "jaccard_exact").contains(nearDedup),
+      s"nearDedup must be 'minhash', 'jaccard', or 'jaccard_exact', got '$nearDedup'")
     require(Set("whitespace", "bpe").contains(tokenizer),
       s"tokenizer must be 'whitespace' or 'bpe', got '$tokenizer'")
     require(maxAvgNll.isEmpty || lmBucketWeights.isEmpty,
@@ -233,14 +240,24 @@ object TrainingDataPipeline {
       val pairs = nearDedup match {
         case "minhash" => Dedup.minhashCandidates(base, "text", "doc_id",
           threshold = minhashThreshold)
-        // exact blocked Jaccard: same block-confined quadratic shape as
-        // q_ngram_jaccard (lang + 100-char length bucket bounds every
-        // block), word-TRIGRAM shingles (n = 1 word-set jaccard saturates
-        // on small-vocabulary corpora — every doc shares most words),
-        // deterministic — externally replayable
-        case "jaccard" => Dedup.ngramJaccardPairs(base, "text", "doc_id",
-          Dedup.langLengthBlock(col(langCol), length(col("text")), width = 100),
+        // the replayable DEFAULT for audited runs (r15, VERDICT r14 #1):
+        // md5-MinHash LSH candidates, exact word-TRIGRAM Jaccard verify
+        // (n = 1 word-set jaccard saturates on small-vocabulary corpora
+        // — every doc shares most words) — deterministic, externally
+        // replayable, and LINEAR like the sketch path
+        case "jaccard" => Dedup.replayableMinhashPairs(base, "text", "doc_id",
           n = 3, threshold = minhashThreshold)
+        // opt-in blocked all-pairs verifier for SMALL corpora: the
+        // lang+length blocks grow with the corpus (measured exponent
+        // 1.99 at the r14 10× point), so the block-cap audit is BOUND
+        // to this path — every run writes which blocks the cap dropped
+        case "jaccard_exact" =>
+          val blockKey = Dedup.langLengthBlock(
+            col(langCol), length(col("text")), width = 100)
+          work.write(Dedup.oversizedBlocks(base, blockKey, maxBlockSize = 10000),
+            "dedup_oversized_blocks")
+          Dedup.ngramJaccardPairs(base, "text", "doc_id", blockKey,
+            n = 3, threshold = minhashThreshold)
       }
       work.write(Dedup.clusterDedup(base, "doc_id", pairs), "docs_unique")
     }
@@ -419,6 +436,33 @@ object TrainingDataPipeline {
         work.write(graft.operators.Similarity.embeddingDrift(a, b, ec, scale),
           "drift_emb")
       }
+    }
+    plan
+  }
+
+  /** Experiment-readout gate — VERDICT r14 #4, composed the way
+    * [[snapshotDiff]] composes the drift legs: one `experiment_report`
+    * step runs [[graft.operators.Analytics.experimentReport]]'s full
+    * chain (CUPED pooled-θ adjustment → Welch t on the adjusted metric
+    * → A&S-erfc two-sided p → Holm FWER gate across the family) over
+    * any (experiment, variant, metric, covariate) table in `work` and
+    * writes the `experiment_report` table a launch review reads —
+    * `rejected = true` rows are the launches the family-wise gate
+    * clears. Two scans of the readout table plus experiment-cardinality
+    * everything-else (the operator's contract), so the step costs the
+    * same at any readout size. */
+  def experimentReadout(plan: Plan, work: graft.sources.Connector,
+                        readoutTable: String,
+                        expCol: String = "experiment",
+                        variantCol: String = "variant",
+                        metricCol: String = "metric",
+                        covariateCol: String = "covariate",
+                        scale: Int = 6,
+                        alphaNum: Long = 5L, alphaDen: Long = 100L): Plan = {
+    plan.step("experiment_report") {
+      work.write(graft.operators.Analytics.experimentReport(
+        work.read(readoutTable), expCol, variantCol, metricCol, covariateCol,
+        scale, alphaNum, alphaDen), "experiment_report")
     }
     plan
   }

@@ -504,6 +504,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(d.isNullAt(4) && d.isNullAt(5))
   }
 
+  test("experimentReport: CUPED -> Welch -> erfc p -> Holm chain gates a " +
+    "planted effect, clears a null one, null-safes a degenerate arm") {
+    val sch = StructType(Seq(StructField("e", StringType), StructField("v", StringType),
+      StructField("y", DoubleType), StructField("x", DoubleType)))
+    // unit i: pre-period covariate b = i%5, jitter j = (i%3)/10 so the
+    // CUPED adjustment shrinks variance without erasing the contrast
+    def arm(e: String, delta: Double): Seq[Row] = (0 until 50).map { i =>
+      val b = (i % 5).toDouble; val j = (i % 3) * 0.1
+      val treat = i % 2 == 1
+      Row(e, if (treat) "treatment" else "control",
+        b + j + (if (treat) delta else 0.0), b)
+    }
+    val degen = (0 until 4).map(i =>
+      Row("degen", if (i % 2 == 1) "treatment" else "control", 3.0, 7.0))
+    val out = Analytics.experimentReport(
+        df(sch, arm("shift", 5.0) ++ arm("nil", 0.0) ++ degen),
+        "e", "v", "y", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val shift = out("shift"); val nil = out("nil"); val dg = out("degen")
+    // the planted +5 effect survives adjustment and the FWER gate
+    assert(shift.getBoolean(14), shift.toString)
+    assert(math.abs(shift.getDouble(7) - 5.0) < 0.2, s"diff_adj: $shift")
+    // theta recovers the unit covariate slope ~1; pooled rho2 is diluted
+    // by the treatment-delta variance the covariate can't explain
+    assert(math.abs(shift.getDouble(8) - 1.0) < 0.01, s"theta: $shift")
+    assert(shift.getDouble(9) > 0.1, s"rho2: $shift")
+    // identical arms: p ~ 1, cleared
+    assert(!nil.getBoolean(14), nil.toString)
+    assert(nil.getDouble(11) > 0.5, s"p: $nil")
+    // zero-variance arms: t/p/gate all null, never a division by zero
+    assert(dg.isNullAt(10) && dg.isNullAt(11) && dg.isNullAt(12) && dg.isNullAt(14),
+      dg.toString)
+    // the family size counts only gated (non-null-p) experiments
+    assert(shift.getLong(13) == 2L && nil.getLong(13) == 2L)
+  }
+
   test("ratioMetricCI: y == x gives ratio 1 with zero variance; n = 1 nulls the SE") {
     val sch = StructType(Seq(StructField("g", StringType),
       StructField("y", DoubleType), StructField("x", DoubleType)))

@@ -922,6 +922,49 @@ class CurationSpec extends SparkSpec {
       Curation.clusterAwareSplit(docs, "doc_id", comps, Seq(("train", 0L))))
   }
 
+  test("leakageSafeSplit: replayable-LSH default agrees with the exact " +
+    "all-pairs path on planted near-dup families (VERDICT r14 #1)") {
+    // three 4-member families with disjoint vocabularies — each member
+    // one word-substitution away from the family base (pairwise trigram
+    // jaccard 0.65-0.81, all above the 0.6 threshold) — plus six
+    // unrelated singletons. The exact truth is ngramJaccardPairs with a
+    // SINGLE block and the cap disabled: the uncapped all-pairs verify.
+    val tSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def famText(f: Int, m: Int): String = {
+      val words = (0 until 30).map(w => s"fam${f}word$w").toArray
+      if (m > 0) words(5 * m) = s"fam${f}sub$m"
+      words.mkString(" ")
+    }
+    val rows = (for (f <- 0 until 3; m <- 0 until 4)
+        yield Row(f * 10L + m, famText(f, m))) ++
+      (100L to 105L).map(i => Row(i, (0 until 12).map(w => s"solo${i}w$w").mkString(" ")))
+    val d = df(tSchema, rows)
+    def exactPairs = Dedup.ngramJaccardPairs(d, "text", "doc_id", lit(1),
+      n = 3, threshold = 0.6, maxBlockSize = 0)
+    val exact = exactPairs.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.replayableMinhashPairs(d, "text", "doc_id", n = 3, threshold = 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 6 in-family pairs x 3 families, nothing across families or solos
+    assert(exact.size == 18, s"fixture drifted: $exact")
+    assert(lsh == exact, s"LSH candidates missed/added pairs: " +
+      s"missing=${exact -- lsh} extra=${lsh -- exact}")
+    // end-to-end: identical (root, split) assignment for every doc
+    val viaLsh = Curation.leakageSafeSplit(d, "text", "doc_id", n = 3, threshold = 0.6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val viaExact = Curation.clusterAwareSplit(d, "doc_id",
+        Dedup.connectedComponents(exactPairs))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(viaLsh == viaExact)
+    // families actually cluster: all members share their min-id root
+    (0 until 3).foreach { f =>
+      assert((0 until 4).map(m => viaLsh(f * 10L + m)._1).toSet == Set(f * 10L),
+        s"family $f did not cluster: $viaLsh")
+    }
+    assert((100L to 105L).forall(i => viaLsh(i)._1 == i), "solos must self-root")
+  }
+
   private val dbSchema = StructType(Seq(
     StructField("id", LongType), StructField("len", LongType)))
 

@@ -85,6 +85,28 @@ class DedupSpec extends SparkSpec {
     assert(audit.toSeq == Seq((1L, 30L)), audit.mkString(","))
   }
 
+  test("replayableMinhashPairs: exact-verified pairs only; short/null/empty " +
+    "docs never pair; degenerate buckets capped") {
+    // two true near-dups; a null-text doc; an empty doc; a 2-token doc
+    // (no trigrams — would minhash to a null bucket and verify to
+    // 0/0 = NaN, which Spark's NaN ordering would pass, if not dropped)
+    val d = df(docSchema, Seq(
+      Row(1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      Row(2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      Row(3L, null), Row(4L, ""), Row(5L, "too short"),
+      Row(6L, "totally different words about other things entirely here")))
+    val out = Dedup.replayableMinhashPairs(d, "text", "doc_id", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 5.0 / 7.0)), out.mkString(","))
+    // cap semantics: 30 identical docs form one degenerate bucket per
+    // band — with the cap below 30 nothing pairs (exact dedup owns them)
+    val big = df(docSchema, (1L to 30L).map(i => Row(i, "w x y z q r")))
+    assert(Dedup.replayableMinhashPairs(big, "text", "doc_id", n = 3,
+      threshold = 0.5, maxBucketSize = 20).count() == 0L)
+    assert(Dedup.replayableMinhashPairs(big, "text", "doc_id", n = 3,
+      threshold = 0.5).count() == 30L * 29 / 2)
+  }
+
   test("shingles: n-grams of normalized tokens; short docs yield empty array") {
     val d = df(docSchema, Seq(Row(1L, "a b c d"), Row(2L, "a b")))
     val out = d.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))

@@ -235,6 +235,37 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(benchIds.intersect(finalIds).isEmpty, "no benchmark doc survives")
   }
 
+  test("experiment_report step writes the composed CUPED->Welch->Holm readout") {
+    val work = tmpDir("graft_pipe_exp_")
+    val workConn = new graft.sources.ParquetConnector(spark, work)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // one real effect, one null effect (the AnalyticsSpec fixture shape)
+    val rows = (0 until 50).flatMap { i =>
+      val b = (i % 5).toDouble; val j = (i % 3) * 0.1
+      val v = if (i % 2 == 1) "treatment" else "control"
+      val delta = if (i % 2 == 1) 5.0 else 0.0
+      Seq(Row("shift", v, b + j + delta, b), Row("nil", v, b + j, b))
+    }
+    workConn.write(df(StructType(Seq(
+      StructField("experiment", StringType), StructField("variant", StringType),
+      StructField("metric", DoubleType), StructField("covariate", DoubleType))),
+      rows), "readout")
+    val plan = new Plan(spark, PlanConfig(pidDir = tmpDir("graft_pid_exp_")))
+    TrainingDataPipeline.experimentReadout(plan, workConn, "readout")
+    plan.run()
+    val rep = workConn.read("experiment_report").collect()
+      .map(r => r.getString(0) -> r.getBoolean(14)).toMap
+    assert(rep == Map("shift" -> true, "nil" -> false), rep.toString)
+    // step output matches the operator run by hand
+    val direct = graft.operators.Analytics.experimentReport(
+        workConn.read("readout"), "experiment", "variant", "metric", "covariate")
+      .collect().map(r => r.getString(0) -> r.toString).toMap
+    val persisted = workConn.read("experiment_report").collect()
+      .map(r => r.getString(0) -> r.toString).toMap
+    assert(direct == persisted)
+  }
+
   test("snapshot_diff step writes per-feature KS, unigram JS, and embedding drift") {
     val work = tmpDir("graft_pipe_snap_")
     val workConn = new graft.sources.ParquetConnector(spark, work)
