@@ -251,7 +251,11 @@ object Bench {
     // r15 — the composed experiment readout (CUPED pooled-θ adjust →
     // Welch on the adjusted metric → erfc p → Holm FWER gate: two
     // corpus passes + experiment-cardinality tails)
-    "q_experiment_report")
+    "q_experiment_report",
+    // r15 — MP4 container walk (decode-free moov/trak/stbl table scan)
+    // and MJPEG-in-MP4 sampled-frame decode through the stsc x stco x
+    // stsz offset resolution
+    "q_mp4_probe", "q_mp4_frames")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

