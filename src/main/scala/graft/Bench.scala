@@ -255,7 +255,11 @@ object Bench {
     // r15 — MP4 container walk (decode-free moov/trak/stbl table scan)
     // and MJPEG-in-MP4 sampled-frame decode through the stsc x stco x
     // stsz offset resolution
-    "q_mp4_probe", "q_mp4_frames")
+    "q_mp4_probe", "q_mp4_frames",
+    // r15 — tokenizer fertility audit (one codegen'd profile pass) and
+    // the dedup-threshold knee sweep over the replayable md5-LSH pairs
+    // (one pair-generation pass + a bin-cardinality cumulative window)
+    "q_fertility", "q_threshold_sweep")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

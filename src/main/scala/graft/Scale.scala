@@ -143,22 +143,37 @@ object ScaleBench {
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
     "q_embedding_neardup", "q_ppl_mix", "q_pagerank", "q_label_prop",
     "q_ann_pq", "q_dsir", "q_kn_trigram", "q_cluster_split",
-    "q_cluster_split_exact", "q_pipeline_funnel",
+    "q_cluster_split_default", "q_cluster_split_exact",
+    "q_pipeline_funnel",
     "q_span_scrub", "q_semdedup", "q_fuzzy_join", "q_inverted_bm25",
     "q_bpe_roundtrip")
 
   /** Scale-bench-local variants, NOT part of the driver correctness
-    * contract. r15 FLIPPED the cluster-split default (VERDICT r14 #1):
-    * `q_cluster_split` now runs the replayable md5-MinHash-LSH
-    * candidate generator (linear — banding buckets grow only with true
-    * near-dup density) feeding the same components + root-hash split,
-    * and stays fully oracled. `q_cluster_split_exact` keeps the OLD
-    * blocked all-pairs exact-Jaccard path on the stress bench as the
-    * named opt-in small-corpus verifier — its measured exponent 1.99
-    * (r14: 1.8 s → 41.5 s at 10×) is the documented reason it is no
-    * longer the default; timing-only here, its machinery stays
-    * hash-checked through `q_dedup_clusters`/`q_ngram_jaccard`. */
+    * contract. r15 FLIPPED the cluster-split default (VERDICT r14 #1)
+    * and the stress bench measures all THREE pairing forms side by
+    * side:
+    *
+    *  - `q_cluster_split` (driver contract, fully oracled): the
+    *    REPLAYABLE md5-MinHash form — linear (10× ratio 8.6 ≈ exponent
+    *    0.93, the clean signature of a compute-bound scan; md5 is the
+    *    price of bit-replayability);
+    *  - `q_cluster_split_default`: `leakageSafeSplit`'s DEFAULT
+    *    xxhash64-sketch generator (fused native signatures) — the
+    *    throughput path, overhead-dominated at bench scale (r14
+    *    measured ratio ~1.7 for this formulation);
+    *  - `q_cluster_split_exact`: the OLD blocked all-pairs
+    *    exact-Jaccard path, the named opt-in small-corpus verifier —
+    *    measured exponent 1.99 (r14: 1.8 s → 41.5 s at 10×), the
+    *    documented reason it is no longer any default. Timing-only
+    *    here; its machinery stays hash-checked through
+    *    `q_dedup_clusters`/`q_ngram_jaccard`. */
   private val extra: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cluster_split_default" -> ((s: SparkSession, dir: String) => {
+      val d = graft.sources.ParquetConnector.readTable(s, s"$dir/documents.parquet")
+      graft.operators.Curation.leakageSafeSplit(d, "text", "doc_id",
+          n = 3, threshold = 0.6)
+        .orderBy(col("doc_id"))
+    }),
     "q_cluster_split_exact" -> ((s: SparkSession, dir: String) => {
       val d = graft.sources.ParquetConnector.readTable(s, s"$dir/documents.parquet")
       val pairs = graft.operators.Dedup.ngramJaccardPairs(d, "text", "doc_id",

@@ -940,6 +940,21 @@ object SparkEntry {
       operators.Profile.vocabMass(T(s, dir, "documents"), "text", "lang")
         .orderBy(col("lang"))),
 
+    "q_fertility" -> ((s, dir) =>
+      // tokenizer fertility audit per language: subwords-per-word and
+      // chars-per-subword from one codegen'd profile pass — exact long
+      // sums, pinned final divisions
+      operators.Profile.tokenizerFertility(T(s, dir, "documents"), "text", "lang")
+        .orderBy(col("lang"))),
+
+    "q_threshold_sweep" -> ((s, dir) =>
+      // dedup-threshold knee readout over the replayable md5-LSH
+      // verified pairs: 0.05-wide Jaccard bins + the cumulative
+      // pairs-at-or-above curve, every bin boundary replayed exactly
+      Dedup.jaccardThresholdSweep(T(s, dir, "documents"), "text", "doc_id",
+          n = 3, minJaccard = 0.3)
+        .orderBy(col("bin"))),
+
     "q_dedup_clusters" -> ((s, dir) => {
       // cluster resolution over the (SQL-expressible) n-gram Jaccard pair
       // graph: connected components via large-star/small-star contraction;
@@ -956,16 +971,18 @@ object SparkEntry {
     }),
 
     "q_cluster_split" -> ((s, dir) => {
-      // leakage-proof splitting on the SCALE-SAFE default path (r15,
-      // VERDICT r14 #1): replayable md5-MinHash LSH candidates with
-      // exact-Jaccard verify replace the blocked all-pairs generator
-      // that measured scaling exponent 1.99 at the 10× stress point.
+      // leakage-proof splitting on the scale-safe REPLAYABLE path (r15,
+      // VERDICT r14 #1): md5-MinHash LSH candidates with exact-Jaccard
+      // verify replace the blocked all-pairs generator that measured
+      // scaling exponent 1.99 at the 10× stress point (this md5 form:
+      // 0.93 — linear; the xxhash64 sketch DEFAULT of leakageSafeSplit
+      // is scale-benched separately as q_cluster_split_default).
       // Trigram shingles, threshold 0.6; components + root-hash 8/1/1
       // split unchanged. The oracle replays every md5 minhash, bucket,
       // candidate, and verified pair (DuckDB md5 == Spark md5).
       val d = T(s, dir, "documents")
       operators.Curation.leakageSafeSplit(d, "text", "doc_id",
-          n = 3, threshold = 0.6)
+          n = 3, threshold = 0.6, replayable = true)
         .orderBy(col("doc_id"))
     }),
 
@@ -3648,6 +3665,69 @@ object SparkEntry {
         |         len(regexp_extract_all(text, '[^\p{L}\p{N}]'))
         |       END AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Fertility replay: the q_quality token-count and q_subword
+    // subword-count formulations rolled to per-language exact sums,
+    // then the identical pinned divisions.
+    "q_fertility" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS w,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+        |           len(regexp_extract_all(text, '[\p{L}\p{N}]+')) +
+        |           len(regexp_extract_all(text, '[^\p{L}\p{N}]'))
+        |         END AS sw,
+        |         COALESCE(length(text), 0) AS ch
+        |  FROM documents),
+        |g AS (SELECT lang, CAST(COUNT(1) AS BIGINT) AS n_docs,
+        |             CAST(SUM(w) AS BIGINT) AS n_words,
+        |             CAST(SUM(sw) AS BIGINT) AS n_subwords,
+        |             CAST(SUM(ch) AS BIGINT) AS n_chars
+        |      FROM t GROUP BY lang)
+        |SELECT lang, n_docs, n_words, n_subwords, n_chars,
+        |       CASE WHEN n_words > 0
+        |            THEN CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE) END AS fertility,
+        |       CASE WHEN n_subwords > 0
+        |            THEN CAST(n_chars AS DOUBLE) / CAST(n_subwords AS DOUBLE) END AS chars_per_subword
+        |FROM g ORDER BY lang""".stripMargin,
+
+    // Threshold-sweep replay: the q_cluster_split md5-LSH chain at the
+    // 0.3 floor, verified jaccards binned at 0.05 with the descending
+    // cumulative curve.
+    "q_threshold_sweep" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         CASE WHEN len(nw) >= 3
+        |              THEN list_distinct(list_transform(range(1, len(nw) - 1),
+        |                                                i -> array_to_string(nw[i:i+2], ' ')))
+        |              ELSE [] END AS sh
+        |  FROM (SELECT doc_id,
+        |               regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS nw
+        |        FROM documents)),
+        |mh AS MATERIALIZED (
+        |  SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || s)) AS h
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM p WHERE len(sh) > 0), range(8) t(i)
+        |  GROUP BY doc_id, i),
+        |ok AS (SELECT i, h FROM mh GROUP BY i, h HAVING COUNT(1) BETWEEN 2 AND 2000),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM mh a JOIN mh b ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id
+        |  JOIN ok ON ok.i = a.i AND ok.h = a.h),
+        |pairs0 AS (
+        |  SELECT CAST(len(list_intersect(pa.sh, pb.sh)) AS DOUBLE) /
+        |         len(list_distinct(list_concat(pa.sh, pb.sh))) AS j
+        |  FROM cand
+        |  JOIN p pa ON pa.doc_id = cand.id_a
+        |  JOIN p pb ON pb.doc_id = cand.id_b),
+        |bins AS (
+        |  SELECT CAST(FLOOR(j * 20.0) AS BIGINT) AS bin, CAST(COUNT(1) AS BIGINT) AS n_pairs
+        |  FROM pairs0 WHERE j >= 0.3 GROUP BY 1)
+        |SELECT bin, CAST(bin AS DOUBLE) / 20.0 AS jaccard_lo, n_pairs,
+        |       CAST(SUM(n_pairs) OVER (ORDER BY bin DESC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS pairs_at_or_above
+        |FROM bins ORDER BY bin""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT * FROM (VALUES

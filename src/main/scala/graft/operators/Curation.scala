@@ -1377,23 +1377,43 @@ object Curation {
     roots.withColumn("split", split)
   }
 
-  /** End-to-end leakage-proof splitting on the scale-safe DEFAULT
-    * path (VERDICT r14 #1): replayable MinHash-LSH candidate pairs
-    * ([[Dedup.replayableMinhashPairs]] — md5 minhashes an external
-    * engine replays bit-for-bit, exact-Jaccard-verified, bucket-capped,
-    * LINEAR in corpus size) → connected components → root-hashed
-    * [[clusterAwareSplit]]. This is what `q_cluster_split` runs; the
-    * exact blocked all-pairs generator it replaced measured scaling
-    * exponent 1.99 at the r14 10× stress point and stays available as
-    * the opt-in small-corpus verifier (see [[clusterAwareSplit]]'s
-    * scaladoc). */
+  /** End-to-end leakage-proof splitting on a scale-safe LSH path
+    * (VERDICT r14 #1 — the exact blocked all-pairs generator this
+    * replaced measured scaling exponent 1.99 at the r14 10× stress
+    * point; it survives only as the opt-in small-corpus verifier, see
+    * [[clusterAwareSplit]]'s scaladoc): LSH candidate pairs →
+    * connected components → root-hashed [[clusterAwareSplit]].
+    *
+    * Two LSH generators, both LINEAR, measured side by side in
+    * `BENCH_scale.json`:
+    *
+    *  - DEFAULT (`replayable = false`): the fused xxhash64 sketch
+    *    ([[Dedup.minhashCandidates]]) — the throughput path (10×
+    *    ratio ~1.7: overhead-dominated at bench scale), est-Jaccard
+    *    verified;
+    *  - `replayable = true`: md5 minhashes with EXACT-Jaccard verify
+    *    ([[Dedup.replayableMinhashPairs]]) — bit-replayable in any
+    *    engine (what `q_cluster_split`'s oracle replays), ~3× the
+    *    hash cost (10× ratio 8.6 ≈ exponent 0.93 — the clean linear
+    *    signature of a compute-bound scan; md5 is the price of
+    *    auditability).
+    *
+    * Pick replayable when an external audit must reproduce the split
+    * bit-for-bit; the default when throughput rules. Both feed the
+    * same components + root-hash, so cluster membership semantics are
+    * identical up to LSH recall. */
   def leakageSafeSplit(df: DataFrame, textCol: String, idCol: String,
                        splits: Seq[(String, Long)] =
                          Seq(("train", 8L), ("dev", 1L), ("test", 1L)),
                        n: Int = 3, threshold: Double = 0.6,
-                       numHashes: Int = 8, maxBucketSize: Int = 2000): DataFrame = {
-    val pairs = graft.operators.Dedup.replayableMinhashPairs(
-      df, textCol, idCol, n, numHashes, threshold, maxBucketSize)
+                       numHashes: Int = 8, maxBucketSize: Int = 2000,
+                       replayable: Boolean = false): DataFrame = {
+    val pairs =
+      if (replayable) graft.operators.Dedup.replayableMinhashPairs(
+        df, textCol, idCol, n, numHashes, threshold, maxBucketSize)
+      else graft.operators.Dedup.minhashCandidates(
+        df, textCol, idCol, shingleLen = n, threshold = threshold,
+        maxBucketSize = maxBucketSize)
     clusterAwareSplit(df, idCol, graft.operators.Dedup.connectedComponents(pairs), splits)
   }
 

@@ -551,6 +551,44 @@ object Dedup {
       .distinct() // same pair from multiple bands has identical jaccard
   }
 
+  /** Near-dup THRESHOLD SWEEP over the replayable-LSH verified pairs —
+    * the readout that picks a dedup threshold instead of guessing it:
+    * candidate pairs are generated once at a low floor (`minJaccard`),
+    * exact-verified, and bucketed into 0.05-wide Jaccard bins; the
+    * cumulative pairs-at-or-above curve is what a curator reads for the
+    * knee ("0.8 → 12k pairs, 0.6 → 210k pairs — the corpus has a
+    * boilerplate shelf at 0.65"). Built on
+    * [[replayableMinhashPairs]], so the whole sweep — every md5 bucket,
+    * every verified pair, every bin boundary (floor of the exact
+    * intersection/union double, identical in any engine) — replays in
+    * SQL (`q_threshold_sweep`). LSH recall fades toward the floor
+    * (1 − (1−J)^numHashes; 97% at J = 0.35 with the default 8 — raise
+    * `numHashes` to push the floor lower), which is fine for a KNEE
+    * readout: the curve's shape, not its far-left tail, carries the
+    * decision. One pair-generation pass; the bin rollup and the ≤20-row
+    * cumulative window are bin-cardinality.
+    *
+    * Output: (bin, jaccard_lo, n_pairs, pairs_at_or_above), bin =
+    * ⌊jaccard·20⌋ ascending. */
+  def jaccardThresholdSweep(df: DataFrame, textCol: String, idCol: String,
+                            n: Int = 3, numHashes: Int = 8,
+                            minJaccard: Double = 0.3,
+                            maxBucketSize: Int = 2000): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    val pairs = replayableMinhashPairs(df, textCol, idCol, n, numHashes,
+      threshold = minJaccard, maxBucketSize = maxBucketSize)
+    val bins = pairs
+      .select(floor(col("jaccard") * lit(20.0)).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin").desc).rowsBetween(Long.MinValue, 0)
+    bins
+      .withColumn("pairs_at_or_above", sum(col("n_pairs")).over(w))
+      .select(col("bin"), (col("bin").cast("double") / lit(20.0)).as("jaccard_lo"),
+        col("n_pairs"), col("pairs_at_or_above"))
+  }
+
   /** Connected components of a candidate-pair graph — the cluster
     * resolution step after any pairing family above. Pairs only say
     * "a ~ b"; duplicate GROUPS are transitive, so keeping one canonical

@@ -522,6 +522,38 @@ object Profile {
         (count(lit(1)).as("n_types") +: pCols): _*)
   }
 
+  /** Tokenizer fertility per corpus slice — the standard multilingual
+    * tokenizer audit (how many subwords a word fragments into, how many
+    * characters a subword carries): languages with fertility far above
+    * the corpus norm pay more context budget per word, the signal that
+    * drives vocab-size and mix decisions (and the reason the funnel's
+    * BPE accountant budgets in subwords, not words). One corpus pass of
+    * the native profile counters ([[graft.functions.TextFunctions]]
+    * tokenCount/subwordCount — codegen'd, no split arrays) partial-
+    * aggregated to per-slice integer sums; fertility and
+    * chars-per-subword are pinned double divisions of those exact longs
+    * (`q_fertility` replays them verbatim). Slices with zero words
+    * surface null ratios, never a division by zero.
+    *
+    * Output: (groupCol, n_docs, n_words, n_subwords, n_chars,
+    * fertility, chars_per_subword). */
+  def tokenizerFertility(df: DataFrame, textCol: String,
+                         groupCol: String): DataFrame = {
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextFunctions.tokenCount(col(textCol))).as("n_words"),
+        sum(graft.functions.TextFunctions.subwordCount(col(textCol))).as("n_subwords"),
+        sum(coalesce(length(col(textCol)), lit(0)).cast("long")).as("n_chars"))
+    agg.select(col(groupCol), col("n_docs"), col("n_words"),
+      col("n_subwords"), col("n_chars"),
+      when(col("n_words") > 0,
+        col("n_subwords").cast("double") / col("n_words").cast("double"))
+        .as("fertility"),
+      when(col("n_subwords") > 0,
+        col("n_chars").cast("double") / col("n_subwords").cast("double"))
+        .as("chars_per_subword"))
+  }
+
   def ngramDiversity(df: DataFrame, textCol: String, groupCol: String,
                      maxN: Int = 2): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")

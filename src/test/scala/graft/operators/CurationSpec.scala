@@ -950,13 +950,21 @@ class CurationSpec extends SparkSpec {
     assert(exact.size == 18, s"fixture drifted: $exact")
     assert(lsh == exact, s"LSH candidates missed/added pairs: " +
       s"missing=${exact -- lsh} extra=${lsh -- exact}")
-    // end-to-end: identical (root, split) assignment for every doc
-    val viaLsh = Curation.leakageSafeSplit(d, "text", "doc_id", n = 3, threshold = 0.6)
+    // end-to-end: identical (root, split) assignment for every doc —
+    // on the replayable md5 path AND the default xxhash64-sketch path
+    // (members connect through the family base, so LSH recall noise on
+    // borderline pairs cannot change the components)
+    val viaLsh = Curation.leakageSafeSplit(d, "text", "doc_id",
+        n = 3, threshold = 0.6, replayable = true)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
     val viaExact = Curation.clusterAwareSplit(d, "doc_id",
         Dedup.connectedComponents(exactPairs))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(viaLsh == viaExact)
+    val viaDefault = Curation.leakageSafeSplit(d, "text", "doc_id",
+        n = 3, threshold = 0.6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(viaDefault == viaExact)
     // families actually cluster: all members share their min-id root
     (0 until 3).foreach { f =>
       assert((0 until 4).map(m => viaLsh(f * 10L + m)._1).toSet == Set(f * 10L),

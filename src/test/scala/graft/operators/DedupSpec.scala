@@ -107,6 +107,27 @@ class DedupSpec extends SparkSpec {
       threshold = 0.5).count() == 30L * 29 / 2)
   }
 
+  test("jaccardThresholdSweep: bins verified pairs at 0.05, cumulative curve descends") {
+    // family A: 3 docs pairwise J in [0.6, 0.85] (one substitution per
+    // member over 30 words); family B: an exact-dup pair (J = 1.0)
+    def fam(f: Int, m: Int): String = {
+      val ws = (0 until 30).map(w => s"f${f}w$w").toArray
+      if (m > 0) ws(5 * m) = s"f${f}s$m"
+      ws.mkString(" ")
+    }
+    val d = df(docSchema,
+      (0 until 3).map(m => Row(m.toLong, fam(0, m))) ++
+        Seq(Row(10L, fam(1, 0)), Row(11L, fam(1, 0))))
+    val out = Dedup.jaccardThresholdSweep(d, "text", "doc_id", n = 3, minJaccard = 0.3)
+      .orderBy(col("bin")).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // J(0,m)=25/31~0.806 (bin 16); J(1,2)=22/34~0.647 (bin 12); J=1.0 (bin 20)
+    assert(out.toSeq == Seq((12L, 1L, 4L), (16L, 2L, 3L), (20L, 1L, 1L)), out.mkString(","))
+    // cumulative = pairs at or above each bin's lower edge
+    val total = out.map(_._2).sum
+    assert(out.head._3 == total)
+  }
+
   test("shingles: n-grams of normalized tokens; short docs yield empty array") {
     val d = df(docSchema, Seq(Row(1L, "a b c d"), Row(2L, "a b")))
     val out = d.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))

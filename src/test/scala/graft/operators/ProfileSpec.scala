@@ -287,6 +287,28 @@ class ProfileSpec extends SparkSpec {
     assert(out(3L).getLong(3) == 2L, "vowel-free words clamp to one syllable each")
   }
 
+  test("tokenizerFertility: exact sums + pinned ratios; empty slice null-safes") {
+    val fSchema = StructType(Seq(
+      StructField("lang", StringType), StructField("text", StringType)))
+    val d = df(fSchema, Seq(
+      // "hello world": 2 words; subwords = 2 alnum runs + 1 space = 3; 11 chars
+      Row("en", "hello world"),
+      // "it's a co-op": 3 words; runs it,s,a,co,op = 5 + 4 others
+      // (', 2 spaces, -) = 9 subwords; 12 chars
+      Row("en", "it's a co-op"),
+      Row("xx", ""),                     // 0 words/subwords/chars
+      Row("xx", "   ")))                 // blank: 0 words/subwords, 3 chars
+    val out = Profile.tokenizerFertility(d, "text", "lang")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert((en.getLong(1), en.getLong(2), en.getLong(3), en.getLong(4)) ==
+      (2L, 5L, 12L, 23L), en.toString)
+    assert(en.getDouble(5) == 12.0 / 5.0 && en.getDouble(6) == 23.0 / 12.0)
+    val xx = out("xx")
+    assert(xx.getLong(2) == 0L && xx.getLong(4) == 3L &&
+      xx.isNullAt(5) && xx.isNullAt(6), xx.toString)
+  }
+
   test("vocabMass: exact integer top-p boundaries on a hand corpus") {
     val sch = StructType(Seq(
       StructField("g", StringType), StructField("text", StringType)))
