@@ -259,7 +259,18 @@ object Bench {
     // r15 — tokenizer fertility audit (one codegen'd profile pass) and
     // the dedup-threshold knee sweep over the replayable md5-LSH pairs
     // (one pair-generation pass + a bin-cardinality cumulative window)
-    "q_fertility", "q_threshold_sweep")
+    "q_fertility", "q_threshold_sweep",
+    // r15 second wave — WebM/EBML container walk (decode-free Cluster
+    // block counting), the Gopher structural-quality audit (one
+    // codegen'd regex/split scan), and the 199-replicate sign-flip
+    // permutation test (explode combines map-side; the shuffle carries
+    // groups x reps rows)
+    "q_webm_probe", "q_gopher_quality", "q_permutation",
+    // r15 second wave — PSI release gate (two melt scans; boundary/bin
+    // algebra on the NDV-bounded distinct tables) and the top principal
+    // component by integer power iteration (one exploded d² moment
+    // pass + driver-side BigInt iterates on the d²-bounded scatter)
+    "q_psi", "q_pca_power")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

@@ -146,7 +146,12 @@ object ScaleBench {
     "q_cluster_split_default", "q_cluster_split_exact",
     "q_pipeline_funnel",
     "q_span_scrub", "q_semdedup", "q_fuzzy_join", "q_inverted_bm25",
-    "q_bpe_roundtrip")
+    "q_bpe_roundtrip",
+    // r15 second wave, quadratic-risk candidates under measurement:
+    // kendall's NDV²-bounded joint self-join, the 199-replicate
+    // permutation explode, the PSI melt + NDV-bounded bin algebra, and
+    // the d²-moment PCA pass
+    "q_kendall_tau", "q_permutation", "q_psi", "q_pca_power")
 
   /** Scale-bench-local variants, NOT part of the driver correctness
     * contract. r15 FLIPPED the cluster-split default (VERDICT r14 #1)

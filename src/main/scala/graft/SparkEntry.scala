@@ -2273,6 +2273,111 @@ object SparkEntry {
           "event_type", "value", "proxy")
         .orderBy(col("event_type"))),
 
+    "q_kendall_tau" -> ((s, dir) =>
+      // pair-based rank association per event_type between the value
+      // band and hour-of-day: concordant/discordant counts off the
+      // NDV²-bounded joint distinct-value self-join, exact DECIMAL
+      // pair sums, tie terms from the marginals, pinned final τ-b
+      operators.Analytics.kendallTau(
+          T(s, dir, "events").filter(col("value").isNotNull && col("ts").isNotNull)
+            .select(col("event_type"),
+              (col("value") / lit(10.0)).as("vband"),
+              hour(col("ts")).cast("double").as("hr")),
+          "event_type", "vband", "hr", scale = 0)
+        .orderBy(col("event_type"))),
+
+    "q_permutation" -> ((s, dir) =>
+      // assumption-free paired significance on the q_wilcoxon fixture:
+      // per (event_type, user) the exact pre-quantized even-vs-odd
+      // value-sum difference; 199 sign-flip replicates whose every
+      // sign is the replayable LCG middle bit, exact DECIMAL replicate
+      // sums, add-one p
+      operators.Analytics.permutationTestPaired(
+          T(s, dir, "events").filter(col("user_id").isNotNull && col("value").isNotNull)
+            .groupBy(col("event_type"), col("user_id"))
+            .agg((coalesce(sum(when(pmod(col("event_id"), lit(2L)) === 0,
+              floor(col("value") * lit(1e6)).cast("long"))), lit(0L)) -
+              coalesce(sum(when(pmod(col("event_id"), lit(2L)) === 1,
+                floor(col("value") * lit(1e6)).cast("long"))), lit(0L))).as("d")),
+          "event_type", "user_id", "d", reps = 199)
+        .orderBy(col("event_type"))),
+
+    "q_mann_kendall" -> ((s, dir) =>
+      // nonparametric trend gate on daily volumes per event_type:
+      // S over the bucket²-bounded day-pair join, tie-corrected
+      // variance numerator exact, continuity-corrected pinned Z
+      operators.TimeSeries.mannKendall(
+          T(s, dir, "events").filter(col("ts").isNotNull)
+            .groupBy(col("event_type"),
+              dayofmonth(col("ts")).cast("long").as("day"))
+            .agg(count(lit(1)).as("volume")),
+          "event_type", "day", "volume")
+        .orderBy(col("event_type"))),
+
+    "q_psi" -> ((s, dir) => {
+      // Population Stability Index release gate: month-half vs
+      // month-half of the event stream on (value, hour) — reference
+      // decile boundaries as exact order statistics, Laplace-smoothed
+      // bins, per-bin fixed-point (p−q)ln(p/q) contributions, order-
+      // free integer total
+      val e = T(s, dir, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("value"), hour(col("ts")).cast("double").as("hr"),
+          dayofmonth(col("ts")).as("d"))
+      operators.Analytics.psiDrift(
+          e.filter(col("d") <= 15).drop("d"), e.filter(col("d") > 15).drop("d"),
+          Seq("value", "hr"), bins = 10)
+        .orderBy(col("feature"))
+    }),
+
+    "q_pca_power" -> ((s, dir) =>
+      // top principal component of the embedding corpus by replayable
+      // integer power iteration: one exploded-products moment pass
+      // (exact DECIMAL d² partials), driver-side BigInt iterates with
+      // truncating rescale, Rayleigh-quotient variance — every loading
+      // an exact integer the oracle re-derives
+      operators.Similarity.pcaPowerComponent(
+          T(s, dir, "embeddings"), "embedding", dim = 64, iters = 8,
+          scale = 3)
+        .orderBy(col("dim"))),
+
+    "q_brier" -> ((s, dir) => {
+      // Murphy decomposition of the q_calibration fixture: exact
+      // fixed-point Brier numerator, reliability/resolution as ordered
+      // folds over the sorted bin terms (never an unordered double sum)
+      val prob = (pmod(col("event_id") * lit(2654435761L), lit(4294967296L))
+        % lit(1000L)).cast("double") / lit(1000.0)
+      operators.Evaluation.brierDecomposition(
+          T(s, dir, "events").select(col("event_type"), prob.as("prob"),
+            (col("value") > lit(50.0)).as("label")),
+          "event_type", "prob", "label", bins = 10)
+        .orderBy(col("event_type"))
+    }),
+
+    "q_epoch_alloc" -> ((s, dir) =>
+      // data-constrained epoch planning over en/de/fr char budgets:
+      // binary-exact ½/¼/¼ weights, budget 400k chars, 4-epoch cap —
+      // sized so two sources SATURATE at sf0.01 and the single
+      // headroom-proportional redistribution pass actually moves
+      // tokens; pure integer DIV arithmetic after the driver-side
+      // desired = ⌊w·budget⌋
+      operators.Curation.epochAllocation(
+          T(s, dir, "documents"), "lang", "n_chars",
+          Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25),
+          budget = 400000L, maxEpochsFp = 4000L)
+        .orderBy(col("lang"))),
+
+    "q_gopher_quality" -> ((s, dir) =>
+      // the published Gopher structural-quality rules as a per-doc
+      // audit table: per-rule flags + the conjunction keep verdict, all
+      // integer cross-multiplied ratios over regex/split counts (word
+      // bounds lowered to 20 for the synthetic corpus's short docs so
+      // both verdicts appear)
+      operators.Profile.gopherQualityFlags(
+          T(s, dir, "documents"), "doc_id", "text",
+          minWords = 20L, maxWords = 100000L)
+        .orderBy(col("doc_id"))),
+
     "q_cliffs_delta" -> ((s, dir) =>
       // ordinal effect size for the q_mann_whitney A/B fixture: exact
       // concordant/discordant pair counts off the cumulative windows,
@@ -2653,6 +2758,23 @@ object SparkEntry {
       Multimodal.extractVideoFrames(Multimodal.syntheticRealMp4(docs, "doc_id"),
           everyN = 1).toDF()
         .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    "q_webm_probe" -> ((s, dir) => {
+      // WebM/Matroska EBML container walk as a corpus query (r15 — the
+      // OTHER modern video wrapper next to ISO BMFF): every 47th doc
+      // carries a planted (2 + id%5)-SimpleBlock V_VP8 WebM (timescale
+      // 10⁶ ns, 40 ms per block, even block index keyframed); ids
+      // divisible by 94 are TRUNCATED to 16 bytes — the dirty-container
+      // ok=false fallback row. Block/keyframe totals are COUNTED from
+      // the Cluster stream, never header claims; codec-agnostic (VP8
+      // payload bytes are never read), so the walk is real for the
+      // codecs the sandbox cannot decode.
+      val docs = T(s, dir, "documents").filter(col("doc_id") % 47 === 0)
+      val media = Multimodal.syntheticRealWebm(docs, "doc_id")
+        .withColumn("payload", when(col("media_id") % 94 === 0,
+          expr("substring(payload, 1, 16)")).otherwise(col("payload")))
+      Multimodal.extractWebmProbe(media).toDF().orderBy(col("media_id"))
     }),
 
     // ---- model-evaluation metrics: the offline-eval pass after every
@@ -6230,6 +6352,24 @@ object SparkEntry {
         |FROM d, unnest(range(0, n, 1)) AS t(i)
         |ORDER BY media_id, frame_idx""".stripMargin,
 
+    // WebM probe replay: counted blocks n = 2 + id%5, counted keyframes
+    // ceil(n/2) (even block indices keyframed), timescale 10⁶ ns,
+    // duration_ms = n·40 exact, V_VP8 16x12 — and the truncated ids are
+    // the all-zero ok=false fallback row.
+    "q_webm_probe" ->
+      """WITH d AS (SELECT doc_id AS media_id, 2 + doc_id % 5 AS n,
+        |                  doc_id % 94 = 0 AS dirty
+        |           FROM documents WHERE doc_id % 47 = 0)
+        |SELECT media_id, NOT dirty AS ok,
+        |       CAST(CASE WHEN dirty THEN 0 ELSE n END AS INTEGER) AS n_blocks,
+        |       CAST(CASE WHEN dirty THEN 0 ELSE (n + 1) // 2 END AS INTEGER) AS n_keyframes,
+        |       CAST(CASE WHEN dirty THEN 0 ELSE 1000000 END AS BIGINT) AS timescale_ns,
+        |       CAST(CASE WHEN dirty THEN 0 ELSE n * 40 END AS BIGINT) AS duration_ms,
+        |       CASE WHEN dirty THEN '' ELSE 'V_VP8' END AS codec,
+        |       CAST(CASE WHEN dirty THEN 0 ELSE 16 END AS INTEGER) AS width,
+        |       CAST(CASE WHEN dirty THEN 0 ELSE 12 END AS INTEGER) AS height
+        |FROM d ORDER BY media_id""".stripMargin,
+
     // Every metric is truncating integer arithmetic (// here, DIV in the
     // Spark plan) so the fixed-point columns are bit-equal by design.
     "q_skew_profile" ->
@@ -6773,6 +6913,338 @@ object SparkEntry {
         |           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
         |           / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) END AS rho
         |FROM agg ORDER BY event_type""".stripMargin,
+
+    // Kendall τ-b replay: the same quantized JOINT distinct-value table,
+    // the same strict-qx self-join (each unordered cell pair once),
+    // HUGEINT pair sums, marginal tie terms, pinned final division.
+    "q_kendall_tau" ->
+      """WITH r0 AS MATERIALIZED (
+        |  SELECT event_type AS g,
+        |         CAST(FLOOR(value / 10.0) AS BIGINT) AS qx,
+        |         CAST(FLOOR(CAST(hour(ts) AS DOUBLE)) AS BIGINT) AS qy
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |j AS MATERIALIZED (
+        |  SELECT g, qx, qy, CAST(COUNT(1) AS HUGEINT) AS c FROM r0 GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT a.g,
+        |         SUM(CASE WHEN b.qy > a.qy THEN a.c * b.c ELSE 0 END) AS conc,
+        |         SUM(CASE WHEN b.qy < a.qy THEN a.c * b.c ELSE 0 END) AS disc
+        |  FROM j a JOIN j b ON a.g = b.g AND b.qx > a.qx GROUP BY 1),
+        |tx AS (SELECT g, SUM(t * (t - 1) // 2) AS n1
+        |       FROM (SELECT g, qx, SUM(c) AS t FROM j GROUP BY 1, 2) GROUP BY 1),
+        |ty AS (SELECT g, SUM(t * (t - 1) // 2) AS n2
+        |       FROM (SELECT g, qy, SUM(c) AS t FROM j GROUP BY 1, 2) GROUP BY 1),
+        |sz AS (SELECT g, SUM(c) AS n, SUM(c) * (SUM(c) - 1) // 2 AS n0 FROM j GROUP BY 1)
+        |SELECT sz.g AS event_type, CAST(n AS BIGINT) AS n,
+        |       CAST(COALESCE(conc, 0) AS BIGINT) AS concordant,
+        |       CAST(COALESCE(disc, 0) AS BIGINT) AS discordant,
+        |       CASE WHEN CAST(n0 - n1 AS DOUBLE) > 0 AND CAST(n0 - n2 AS DOUBLE) > 0 THEN
+        |         CAST(COALESCE(conc, 0) - COALESCE(disc, 0) AS DOUBLE)
+        |           / sqrt(CAST(n0 - n1 AS DOUBLE)) / sqrt(CAST(n0 - n2 AS DOUBLE))
+        |       END AS tau_b
+        |FROM sz JOIN tx USING (g) JOIN ty USING (g) LEFT JOIN p USING (g)
+        |ORDER BY event_type""".stripMargin,
+
+    // Permutation-test replay: the same per-user even-minus-odd exact
+    // fixed-point difference, 199 replicates via range(), the identical
+    // LCG middle-bit sign, HUGEINT replicate sums, add-one p.
+    "q_permutation" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT event_type AS g, user_id AS i,
+        |         COALESCE(SUM(CASE WHEN event_id % 2 = 0
+        |           THEN CAST(FLOOR(value * 1000000.0) AS BIGINT) END), 0) -
+        |         COALESCE(SUM(CASE WHEN event_id % 2 = 1
+        |           THEN CAST(FLOOR(value * 1000000.0) AS BIGINT) END), 0) AS dv
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |obs AS (SELECT g, COUNT(1) AS n, SUM(CAST(dv AS HUGEINT)) AS tobs
+        |        FROM d GROUP BY 1),
+        |reps AS (
+        |  SELECT g, r.r,
+        |         SUM(CAST(CASE WHEN ((i * 2654435761 + r.r * 40503) % 4294967296)
+        |               // 65536 % 2 = 0 THEN dv ELSE -dv END AS HUGEINT)) AS t
+        |  FROM d, (SELECT unnest(range(0, 199)) AS r) r GROUP BY 1, 2)
+        |SELECT obs.g AS event_type, CAST(n AS BIGINT) AS n,
+        |       CAST(tobs AS BIGINT) AS t_obs,
+        |       CAST(1 + SUM(CASE WHEN abs(t) >= abs(tobs) THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_extreme,
+        |       CAST(1 + SUM(CASE WHEN abs(t) >= abs(tobs) THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / 200.0 AS p
+        |FROM reps JOIN obs USING (g) GROUP BY obs.g, n, tobs
+        |ORDER BY event_type""".stripMargin,
+
+    // Mann–Kendall replay: daily counts, the same strict day-pair join
+    // for S, the exact tie-corrected variance numerator, continuity-
+    // corrected pinned Z.
+    "q_mann_kendall" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT event_type AS g, CAST(day(ts) AS BIGINT) AS t,
+        |         CAST(COUNT(1) AS BIGINT) AS x
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.g, SUM(CAST(CASE WHEN b2.x > a.x THEN 1
+        |                            WHEN b2.x < a.x THEN -1 ELSE 0 END AS HUGEINT)) AS s
+        |  FROM b a JOIN b b2 ON a.g = b2.g AND b2.t > a.t GROUP BY 1),
+        |ties AS (
+        |  SELECT g, SUM(tc) AS n,
+        |         SUM(CAST(tc AS HUGEINT) * (tc - 1) * (tc * 2 + 5)) AS tie_term
+        |  FROM (SELECT g, x, COUNT(1) AS tc FROM b GROUP BY 1, 2) GROUP BY 1),
+        |f AS (
+        |  SELECT ties.g, n, COALESCE(s, 0) AS sv,
+        |         CAST(n AS HUGEINT) * (n - 1) * (n * 2 + 5) - tie_term AS var_num
+        |  FROM ties LEFT JOIN s USING (g))
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n, CAST(sv AS BIGINT) AS s,
+        |       CAST(var_num AS BIGINT) AS var_num,
+        |       CASE WHEN n >= 2 AND var_num > 0 THEN
+        |         CASE WHEN sv > 0 THEN CAST(sv - 1 AS DOUBLE) / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+        |              WHEN sv < 0 THEN CAST(sv + 1 AS DOUBLE) / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+        |              ELSE 0.0 END
+        |       END AS z
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    // Brier decomposition replay: identical binning and fixed-point
+    // numerators; reliability/resolution fold their per-bin pinned
+    // doubles in BIN ORDER via list_reduce over an ordered list — the
+    // same summation sequence as the Spark sort_array fold.
+    "q_brier" ->
+      """WITH r AS MATERIALIZED (
+        |  SELECT event_type AS g,
+        |         LEAST(CAST(FLOOR(CAST(event_id * 2654435761 % 4294967296 % 1000
+        |             AS DOUBLE) / 1000.0 * 10.0) AS BIGINT), 9) AS bin,
+        |         CAST(FLOOR(CAST(event_id * 2654435761 % 4294967296 % 1000
+        |             AS DOUBLE) / 1000.0 * 1000000.0) AS HUGEINT) AS pfp,
+        |         CAST(CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS HUGEINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |bins AS MATERIALIZED (
+        |  SELECT g, bin, CAST(COUNT(1) AS HUGEINT) AS nk, SUM(y) AS sok,
+        |         SUM(pfp) AS spk,
+        |         SUM((pfp - y * 1000000) * (pfp - y * 1000000)) AS bk
+        |  FROM r GROUP BY 1, 2),
+        |tot AS (SELECT g, SUM(nk) AS n, SUM(sok) AS so, SUM(bk) AS bnum
+        |        FROM bins GROUP BY 1),
+        |terms AS (
+        |  SELECT bins.g, bin,
+        |         CAST((spk - sok * 1000000) * (spk - sok * 1000000) AS DOUBLE)
+        |           / CAST(nk AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0 AS rel_term,
+        |         CAST((sok * n - nk * so) * (sok * n - nk * so) AS DOUBLE)
+        |           / CAST(nk AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+        |           / CAST(n AS DOUBLE) AS res_term
+        |  FROM bins JOIN tot USING (g)),
+        |folded AS (
+        |  SELECT g,
+        |         list_reduce(list_prepend(0.0, list(rel_term ORDER BY bin)),
+        |           (a, b) -> a + b) AS reliability,
+        |         list_reduce(list_prepend(0.0, list(res_term ORDER BY bin)),
+        |           (a, b) -> a + b) AS resolution
+        |  FROM terms GROUP BY 1)
+        |SELECT tot.g AS event_type, CAST(n AS BIGINT) AS n,
+        |       CAST(bnum AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0 AS brier,
+        |       CAST(so * (n - so) AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+        |         AS uncertainty,
+        |       reliability, resolution
+        |FROM tot JOIN folded USING (g) ORDER BY event_type""".stripMargin,
+
+    // PSI replay: identical melt/quantize, exact order-statistic decile
+    // boundaries (cum >= ceil-rank), Laplace bins, per-bin floored
+    // (p−q)ln(p/q) at 1e12, order-free integer total.
+    "q_psi" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT value, CAST(hour(ts) AS DOUBLE) AS hr, day(ts) AS d
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |mref AS (
+        |  SELECT 'value' AS feature, CAST(FLOOR(value * 1000000.0) AS BIGINT) AS q
+        |  FROM e WHERE d <= 15
+        |  UNION ALL
+        |  SELECT 'hr', CAST(FLOOR(hr * 1000000.0) AS BIGINT) FROM e WHERE d <= 15),
+        |mcur AS (
+        |  SELECT 'value' AS feature, CAST(FLOOR(value * 1000000.0) AS BIGINT) AS q
+        |  FROM e WHERE d > 15
+        |  UNION ALL
+        |  SELECT 'hr', CAST(FLOOR(hr * 1000000.0) AS BIGINT) FROM e WHERE d > 15),
+        |refh AS MATERIALIZED (SELECT feature, q, COUNT(1) AS c FROM mref GROUP BY 1, 2),
+        |curh AS MATERIALIZED (SELECT feature, q, COUNT(1) AS c FROM mcur GROUP BY 1, 2),
+        |nref AS MATERIALIZED (SELECT feature, SUM(c) AS n FROM refh GROUP BY 1),
+        |cums AS MATERIALIZED (
+        |  SELECT feature, q, c, SUM(c) OVER (PARTITION BY feature ORDER BY q
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM refh),
+        |ks AS (SELECT feature, n, k.k AS k, (k.k * n + 9) // 10 AS rnk
+        |       FROM nref, (SELECT unnest(range(1, 10)) AS k) k),
+        |bounds AS MATERIALIZED (
+        |  SELECT feature, k, MIN(q) AS b FROM cums JOIN ks USING (feature)
+        |  WHERE cum >= rnk GROUP BY 1, 2),
+        |binref AS (
+        |  SELECT feature, bin, SUM(c) AS ca FROM (
+        |    SELECT h.feature, h.q, h.c,
+        |           SUM(CASE WHEN b.b <= h.q THEN 1 ELSE 0 END) AS bin
+        |    FROM refh h JOIN bounds b USING (feature) GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2),
+        |bincur AS (
+        |  SELECT feature, bin, SUM(c) AS cb FROM (
+        |    SELECT h.feature, h.q, h.c,
+        |           SUM(CASE WHEN b.b <= h.q THEN 1 ELSE 0 END) AS bin
+        |    FROM curh h JOIN bounds b USING (feature) GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2),
+        |ncur AS (SELECT feature, SUM(c) AS m FROM curh GROUP BY 1),
+        |grid AS (SELECT feature, n, bin.bin AS bin
+        |         FROM nref, (SELECT unnest(range(0, 10)) AS bin) bin),
+        |j AS (
+        |  SELECT g.feature, g.n, nc.m,
+        |         COALESCE(br.ca, 0) AS ca, COALESCE(bc.cb, 0) AS cb
+        |  FROM grid g JOIN ncur nc USING (feature)
+        |  LEFT JOIN binref br ON br.feature = g.feature AND br.bin = g.bin
+        |  LEFT JOIN bincur bc ON bc.feature = g.feature AND bc.bin = g.bin),
+        |terms AS (
+        |  SELECT feature, n, m,
+        |    CAST(FLOOR((CAST(ca + 1 AS DOUBLE) / CAST(n + 10 AS DOUBLE)
+        |        - CAST(cb + 1 AS DOUBLE) / CAST(m + 10 AS DOUBLE))
+        |      * ln(CAST(ca + 1 AS DOUBLE) / CAST(n + 10 AS DOUBLE)
+        |          / (CAST(cb + 1 AS DOUBLE) / CAST(m + 10 AS DOUBLE)))
+        |      * 1e12) AS BIGINT) AS t
+        |  FROM j)
+        |SELECT feature, CAST(n AS BIGINT) AS n_ref, CAST(m AS BIGINT) AS n_cur,
+        |       CAST(SUM(t) AS BIGINT) AS psi_fp,
+        |       CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE) / 1e12 AS psi,
+        |       CAST(SUM(t) AS BIGINT) > 200000000000 AS drifted
+        |FROM terms GROUP BY 1, 2, 3 ORDER BY feature""".stripMargin,
+
+    // PCA power-iteration replay: the same quantized moment table, the
+    // same centered scatter M = n·Σxx − s·sᵀ, eight unrolled matvec +
+    // truncating-rescale iterations in 128-bit ints (// matches the
+    // driver's BigInt truncation), Rayleigh variance pinned.
+    "q_pca_power" ->
+      """WITH x AS MATERIALIZED (
+        |  SELECT list_transform(embedding,
+        |           v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000.0) AS BIGINT)) AS xs
+        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |nn AS MATERIALIZED (SELECT COUNT(1) AS n FROM x),
+        |s AS MATERIALIZED (
+        |  SELECT t.i AS i, SUM(CAST(xs[t.i + 1] AS HUGEINT)) AS s
+        |  FROM x, (SELECT unnest(range(0, 64)) AS i) t GROUP BY 1),
+        |mom AS MATERIALIZED (
+        |  SELECT a.i AS i, b.j AS j,
+        |         SUM(CAST(xs[a.i + 1] AS HUGEINT) * xs[b.j + 1]) AS sxx
+        |  FROM x, (SELECT unnest(range(0, 64)) AS i) a,
+        |       (SELECT unnest(range(0, 64)) AS j) b
+        |  GROUP BY 1, 2),
+        |cov AS MATERIALIZED (
+        |  SELECT mom.i, mom.j, (SELECT n FROM nn) * sxx - sa.s * sb.s AS m
+        |  FROM mom JOIN s sa ON sa.i = mom.i JOIN s sb ON sb.i = mom.j),
+        |v0 AS MATERIALIZED (
+        |  SELECT t.i AS i, CAST(CASE WHEN t.i = 0 THEN 1000000 ELSE 0 END AS HUGEINT) AS v
+        |  FROM (SELECT unnest(range(0, 64)) AS i) t),
+        |w1 AS MATERIALIZED (SELECT cov.i AS i, SUM(m * v.v) AS w
+        |  FROM cov JOIN v0 v ON v.i = cov.j GROUP BY 1),
+        |v1 AS MATERIALIZED (SELECT i, w * 1000000 // (SELECT MAX(ABS(w)) FROM w1) AS v FROM w1),
+        |w2 AS MATERIALIZED (SELECT cov.i AS i, SUM(m * v.v) AS w
+        |  FROM cov JOIN v1 v ON v.i = cov.j GROUP BY 1),
+        |v2 AS MATERIALIZED (SELECT i, w * 1000000 // (SELECT MAX(ABS(w)) FROM w2) AS v FROM w2),
+        |w3 AS MATERIALIZED (SELECT cov.i AS i, SUM(m * v.v) AS w
+        |  FROM cov JOIN v2 v ON v.i = cov.j GROUP BY 1),
+        |v3 AS MATERIALIZED (SELECT i, w * 1000000 // (SELECT MAX(ABS(w)) FROM w3) AS v FROM w3),
+        |w4 AS MATERIALIZED (SELECT cov.i AS i, SUM(m * v.v) AS w
+        |  FROM cov JOIN v3 v ON v.i = cov.j GROUP BY 1),
+        |v4 AS MATERIALIZED (SELECT i, w * 1000000 // (SELECT MAX(ABS(w)) FROM w4) AS v FROM w4),
+        |w5 AS MATERIALIZED (SELECT cov.i AS i, SUM(m * v.v) AS w
+        |  FROM cov JOIN v4 v ON v.i = cov.j GROUP BY 1),
+        |v5 AS MATERIALIZED (SELECT i, w * 1000000 // (SELECT MAX(ABS(w)) FROM w5) AS v FROM w5),
+        |w6 AS MATERIALIZED (SELECT cov.i AS i, SUM(m * v.v) AS w
+        |  FROM cov JOIN v5 v ON v.i = cov.j GROUP BY 1),
+        |v6 AS MATERIALIZED (SELECT i, w * 1000000 // (SELECT MAX(ABS(w)) FROM w6) AS v FROM w6),
+        |w7 AS MATERIALIZED (SELECT cov.i AS i, SUM(m * v.v) AS w
+        |  FROM cov JOIN v6 v ON v.i = cov.j GROUP BY 1),
+        |v7 AS MATERIALIZED (SELECT i, w * 1000000 // (SELECT MAX(ABS(w)) FROM w7) AS v FROM w7),
+        |w8 AS MATERIALIZED (SELECT cov.i AS i, SUM(m * v.v) AS w
+        |  FROM cov JOIN v7 v ON v.i = cov.j GROUP BY 1),
+        |v8 AS MATERIALIZED (SELECT i, w * 1000000 // (SELECT MAX(ABS(w)) FROM w8) AS v FROM w8),
+        |ray AS MATERIALIZED (
+        |  SELECT (SELECT SUM(c.m * va.v * vb.v)
+        |          FROM cov c JOIN v8 va ON va.i = c.i JOIN v8 vb ON vb.i = c.j)
+        |         // (SELECT SUM(v * v) FROM v8) AS lam)
+        |SELECT CAST(v8.i AS INTEGER) AS dim, CAST(v8.v AS BIGINT) AS loading_fp,
+        |       CAST((SELECT n FROM nn) AS BIGINT) AS n,
+        |       CAST((SELECT lam FROM ray) AS DOUBLE)
+        |         / (SELECT n FROM nn) / (SELECT n FROM nn) / 1000.0 / 1000.0
+        |         AS var_component
+        |FROM v8 ORDER BY dim""".stripMargin,
+
+    // Epoch-allocation replay: desired are the exact ⌊w·budget⌋
+    // literals (½/¼/¼ of 400k), then pure integer // arithmetic —
+    // caps, one headroom-proportional redistribution, thousandths
+    // epochs.
+    "q_epoch_alloc" ->
+      """WITH plan(source, desired) AS (
+        |  VALUES ('en', CAST(200000 AS BIGINT)), ('de', CAST(100000 AS BIGINT)),
+        |         ('fr', CAST(100000 AS BIGINT))),
+        |avail AS (SELECT lang AS source, COALESCE(SUM(n_chars), 0) AS available
+        |          FROM documents WHERE lang IN ('en', 'de', 'fr') GROUP BY 1),
+        |base AS (
+        |  SELECT p.source, COALESCE(a.available, 0) AS available, p.desired,
+        |         COALESCE(a.available, 0) * 4000 // 1000 AS cap
+        |  FROM plan p LEFT JOIN avail a USING (source)),
+        |b2 AS (SELECT *, LEAST(desired, cap) AS alloc1,
+        |              cap - LEAST(desired, cap) AS headroom FROM base),
+        |tot AS (SELECT SUM(desired) - SUM(alloc1) AS leftover,
+        |               SUM(headroom) AS th FROM b2),
+        |fin AS (
+        |  SELECT source, available, desired, cap,
+        |         alloc1 + CASE WHEN th > 0 THEN
+        |           LEAST(headroom,
+        |             CAST(CAST(leftover AS HUGEINT) * headroom // th AS BIGINT))
+        |           ELSE 0 END AS allocated
+        |  FROM b2 CROSS JOIN tot)
+        |SELECT source AS lang, available, desired, cap, allocated,
+        |       CASE WHEN available > 0 THEN allocated * 1000 // available
+        |            ELSE 0 END AS epochs_fp,
+        |       allocated = cap AS saturated
+        |FROM fin ORDER BY lang""".stripMargin,
+
+    // Gopher structural-quality replay: every count is the same
+    // regex/split construct in RE2, every ratio the same
+    // cross-multiplied integer comparison — no division anywhere.
+    "q_gopher_quality" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+        |c AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(trim(t), '\s+'),
+        |        x -> len(x) > 0)) AS n_words,
+        |    len(regexp_split_to_array(t, '\n')) AS n_lines,
+        |    length(regexp_replace(t, '\s+', '', 'g')) AS nonws,
+        |    len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\.\.\.')) +
+        |      len(regexp_extract_all(t, '…')) AS symbols,
+        |    len(list_filter(regexp_split_to_array(t, '\n'),
+        |        l -> regexp_matches(l, '^\s*[-*•‣▪]'))) AS bullet,
+        |    len(list_filter(regexp_split_to_array(t, '\n'),
+        |        l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS ellipsis,
+        |    len(list_filter(list_filter(regexp_split_to_array(trim(t), '\s+'),
+        |        x -> len(x) > 0), x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+        |    (CASE WHEN regexp_matches(lower(t), '(^|[^a-z])the([^a-z]|$)') THEN 1 ELSE 0 END +
+        |     CASE WHEN regexp_matches(lower(t), '(^|[^a-z])be([^a-z]|$)') THEN 1 ELSE 0 END +
+        |     CASE WHEN regexp_matches(lower(t), '(^|[^a-z])to([^a-z]|$)') THEN 1 ELSE 0 END +
+        |     CASE WHEN regexp_matches(lower(t), '(^|[^a-z])of([^a-z]|$)') THEN 1 ELSE 0 END +
+        |     CASE WHEN regexp_matches(lower(t), '(^|[^a-z])and([^a-z]|$)') THEN 1 ELSE 0 END +
+        |     CASE WHEN regexp_matches(lower(t), '(^|[^a-z])that([^a-z]|$)') THEN 1 ELSE 0 END +
+        |     CASE WHEN regexp_matches(lower(t), '(^|[^a-z])have([^a-z]|$)') THEN 1 ELSE 0 END +
+        |     CASE WHEN regexp_matches(lower(t), '(^|[^a-z])with([^a-z]|$)') THEN 1 ELSE 0 END)
+        |      AS stop_hits
+        |  FROM d),
+        |f AS (
+        |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |         CAST(n_lines AS BIGINT) AS n_lines,
+        |         CASE WHEN n_words > 0 THEN nonws * 100 // n_words ELSE 0 END
+        |           AS mean_word_len_fp,
+        |         n_words >= 20 AND n_words <= 100000 AS f_word_count,
+        |         n_words > 0 AND nonws >= n_words * 3 AND nonws <= n_words * 10
+        |           AS f_word_len,
+        |         n_words > 0 AND symbols * 10 <= n_words AS f_symbol,
+        |         bullet * 10 <= n_lines * 9 AS f_bullet,
+        |         ellipsis * 10 <= n_lines * 3 AS f_ellipsis,
+        |         n_words > 0 AND alpha_words * 5 >= n_words * 4 AS f_alpha,
+        |         stop_hits >= 2 AS f_stopwords
+        |  FROM c)
+        |SELECT *, f_word_count AND f_word_len AND f_symbol AND f_bullet AND
+        |          f_ellipsis AND f_alpha AND f_stopwords AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // Cliff's delta replay: per distinct value, a-count x the b-mass
     // strictly below/above via the same cumulative windows, HUGEINT

@@ -1308,4 +1308,196 @@ object Analytics {
         col("theta"), col("rho2"), col("t"), col("p"),
         col("rank"), col("m"), col("rejected"))
   }
+
+  /** Kendall's τ-b per group — the rank-correlation companion to
+    * [[spearman]] that reads CONCORDANT/DISCORDANT pair counts instead
+    * of rank moments (robust to the same monotone transforms, but its
+    * pair semantics match the classic "probability a random pair
+    * agrees" reading).
+    *
+    * Scale contract: raw rows collapse to the quantized JOINT
+    * distinct-value table (group, ⌊x·10^scale⌋, ⌊y·10^scale⌋, count) —
+    * one aggregate over the corpus — and the pair counting is a
+    * self-join of THAT table with a strict `qx` inequality, so the
+    * join is NDV²-bounded per group, never row², the [[cramersV]] /
+    * [[cliffsDelta]] contract (pick `scale` so per-group joint NDV
+    * stays in the thousands; each concordant/discordant unordered pair
+    * is counted exactly once because the join orders pairs by qx).
+    * Tie corrections n1/n2 come from the marginal distinct tables.
+    * Every count is an exact DECIMAL(38,0); only the final
+    * τ-b = (C−D)/√(n0−n1)/√(n0−n2) is a pinned double sequence.
+    *
+    * Output: (groupCol, n, concordant, discordant, tau_b); τ-b null
+    * when a denominator term is non-positive (constant margin). */
+  def kendallTau(df: DataFrame, groupCol: String, xCol: String, yCol: String,
+                 scale: Int = 6): DataFrame = {
+    require(scale >= 0 && scale <= 9, s"scale must be in [0, 9], got $scale")
+    val p = math.pow(10.0, scale)
+    val d38 = "decimal(38,0)"
+    val joint = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol),
+        floor(col(xCol) * lit(p)).cast("long").as("_qx"),
+        floor(col(yCol) * lit(p)).cast("long").as("_qy"))
+      .groupBy(col(groupCol), col("_qx"), col("_qy"))
+      .agg(count(lit(1)).cast(d38).as("_c"))
+      .localCheckpoint(true) // three readers below: pair join (twice) + margins
+    val a = joint.select(col(groupCol), col("_qx").as("_ax"),
+      col("_qy").as("_ay"), col("_c").as("_ca"))
+    val b = joint.select(col(groupCol).as("_g2"), col("_qx").as("_bx"),
+      col("_qy").as("_by"), col("_c").as("_cb"))
+    // strict qx ordering ⇒ each unordered cell pair appears exactly once;
+    // same-qx pairs are x-ties and belong to neither C nor D
+    val pairs = a.join(b, a(groupCol) === col("_g2") && col("_bx") > col("_ax"))
+      .groupBy(a(groupCol))
+      .agg(
+        sum(when(col("_by") > col("_ay"), col("_ca") * col("_cb"))
+          .otherwise(lit(0).cast(d38))).as("_conc"),
+        sum(when(col("_by") < col("_ay"), col("_ca") * col("_cb"))
+          .otherwise(lit(0).cast(d38))).as("_disc"))
+    def tieTerm(qCol: String, out: String) = joint
+      .groupBy(col(groupCol), col(qCol))
+      .agg(sum(col("_c")).as("_t"))
+      .groupBy(col(groupCol))
+      .agg((sum(col("_t") * (col("_t") - 1)) / lit(2)).cast(d38).as(out))
+    val sizes = joint.groupBy(col(groupCol))
+      .agg(sum(col("_c")).as("_n"))
+      .withColumn("_n0", (col("_n") * (col("_n") - 1) / lit(2)).cast(d38))
+    val g = sizes
+      .join(tieTerm("_qx", "_n1"), Seq(groupCol))
+      .join(tieTerm("_qy", "_n2"), Seq(groupCol))
+      .join(pairs, Seq(groupCol), "left")
+    val conc = coalesce(col("_conc"), lit(0).cast(d38))
+    val disc = coalesce(col("_disc"), lit(0).cast(d38))
+    val denx = (col("_n0") - col("_n1")).cast("double")
+    val deny = (col("_n0") - col("_n2")).cast("double")
+    g.select(col(groupCol), col("_n").cast("long").as("n"),
+      conc.cast("long").as("concordant"), disc.cast("long").as("discordant"),
+      when(denx > 0.0 && deny > 0.0,
+        (conc - disc).cast("double") / sqrt(denx) / sqrt(deny)).as("tau_b"))
+  }
+
+  /** Population Stability Index per feature — the third leg of the
+    * release drift gate next to [[snapshotKs]] (distribution shape) and
+    * [[graft.operators.Curation.jsDivergence]] (vocabulary): the
+    * banking/ML-monitoring standard Σ (p−q)·ln(p/q) over REFERENCE
+    * decile bins, with the usual read (< 0.1 stable, 0.1–0.2 watch,
+    * > 0.2 drifted).
+    *
+    * Scale contract: the corpus pass is one melt + partial-agg count
+    * per side (the snapshotKs shape); boundary selection, bin
+    * assignment and the PSI fold all run on the NDV-bounded distinct-
+    * value tables. Bin boundaries are exact reference order statistics
+    * (b_k = min q with cum ≥ ⌈k·n/bins⌉, integer arithmetic), bins are
+    * Laplace-smoothed ((c+1)/(n+bins) — exact rationals, so empty bins
+    * never hit ln 0), and each bin's (p−q)·ln(p/q) ≥ 0 contribution is
+    * floored at 10¹² fixed point before the order-free integer total
+    * (the jsDivergence convention — `q_psi` replays every bin).
+    * Features missing from either side drop (the reference defines the
+    * binning).
+    *
+    * Output: (feature, n_ref, n_cur, psi_fp, psi, drifted). */
+  def psiDrift(ref: DataFrame, cur: DataFrame, features: Seq[String],
+               bins: Int = 10, scale: Int = 6,
+               thresholdFp: Long = 200000000000L): DataFrame = {
+    require(features.nonEmpty, "psiDrift needs at least one feature")
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000], got $bins")
+    require(scale >= 0 && scale <= 9, s"scale must be in [0, 9], got $scale")
+    val p = math.pow(10.0, scale)
+    def melt(df: DataFrame) = features.map(f =>
+        df.filter(col(f).isNotNull).select(lit(f).as("feature"),
+          floor(col(f).cast("double") * lit(p)).cast("long").as("_q")))
+      .reduce(_ unionAll _)
+    val refH = melt(ref).groupBy(col("feature"), col("_q"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true) // cum window + totals + bin counts read it
+    val curH = melt(cur).groupBy(col("feature"), col("_q"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true) // totals + bin counts
+    val nRef = refH.groupBy(col("feature")).agg(sum(col("_c")).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("feature")).orderBy(col("_q"))
+      .rowsBetween(Long.MinValue, 0)
+    val cum = refH.withColumn("_cum", sum(col("_c")).over(w))
+    val ks = nRef.withColumn("_k", explode(sequence(lit(1L), lit(bins - 1L))))
+      .withColumn("_rank", expr(s"(_k * _n + ${bins - 1}) DIV $bins"))
+    val bounds = cum.join(ks, Seq("feature"))
+      .filter(col("_cum") >= col("_rank"))
+      .groupBy(col("feature"), col("_k")).agg(min(col("_q")).as("_b"))
+      .localCheckpoint(true) // both sides' bin assignment reads it
+    def binCounts(h: DataFrame, out: String) = h
+      .join(bounds, Seq("feature")) // (bins-1) boundary rows per distinct q
+      .groupBy(col("feature"), col("_q"), col("_c"))
+      .agg(sum(when(col("_b") <= col("_q"), 1L).otherwise(0L)).as("_bin"))
+      .groupBy(col("feature"), col("_bin")).agg(sum(col("_c")).as(out))
+    val grid = nRef.select(col("feature"), col("_n"))
+      .withColumn("_bin", explode(sequence(lit(0L), lit(bins - 1L))))
+    val joined = grid
+      .join(binCounts(refH, "_ca"), Seq("feature", "_bin"), "left")
+      .join(binCounts(curH, "_cb"), Seq("feature", "_bin"), "left")
+      .join(curH.groupBy(col("feature")).agg(sum(col("_c")).as("_m")), Seq("feature"))
+      .withColumn("_ca", coalesce(col("_ca"), lit(0L)))
+      .withColumn("_cb", coalesce(col("_cb"), lit(0L)))
+    val pa = (col("_ca") + lit(1L)).cast("double") /
+      (col("_n") + lit(bins.toLong)).cast("double")
+    val pb = (col("_cb") + lit(1L)).cast("double") /
+      (col("_m") + lit(bins.toLong)).cast("double")
+    joined
+      .select(col("feature"), col("_n"), col("_m"),
+        floor((pa - pb) * log(pa / pb) * lit(1e12)).cast("long").as("_t"))
+      .groupBy(col("feature"), col("_n"), col("_m"))
+      .agg(sum(col("_t")).as("psi_fp"))
+      .select(col("feature"), col("_n").as("n_ref"), col("_m").as("n_cur"),
+        col("psi_fp"),
+        (col("psi_fp").cast("double") / lit(1e12)).as("psi"),
+        (col("psi_fp") > lit(thresholdFp)).as("drifted"))
+  }
+
+  /** Paired PERMUTATION test per group (Fisher's sign-flip randomization
+    * on paired differences) — the assumption-free companion to
+    * [[wilcoxonSignedRank]]: under H₀ each pair's difference is
+    * symmetric around 0, so every ±1 sign assignment of the observed
+    * |dᵢ| is equally likely; the p-value is the fraction of `reps`
+    * replayable sign patterns whose |Σ sᵢdᵢ| reaches the observed |Σ dᵢ|
+    * (with the standard +1 add-one correction so p is never 0).
+    *
+    * Determinism: the sign of pair `i` in rep `r` is a middle bit of
+    * the multiplicative hash (id·2654435761 + r·40503) mod 2³² — the
+    * repo's LCG family, integer-exact in any engine, so every one of
+    * the reps·n signs replays externally. Differences arrive
+    * PRE-QUANTIZED as longs (the [[wilcoxonSignedRank]] input
+    * convention), so every replicate statistic is an exact
+    * DECIMAL(38,0) sum; only the final p = extreme/(reps+1) divides.
+    *
+    * Scale: the explode is reps rows per pair, but partial aggregation
+    * combines map-side — the shuffle carries groups × reps rows, never
+    * n × reps; `reps` is capped to keep the blow-up explicit.
+    *
+    * Output: (groupCol, n, t_obs, n_extreme, p) — n_extreme INCLUDES
+    * the +1 correction. */
+  def permutationTestPaired(df: DataFrame, groupCol: String, idCol: String,
+                            dCol: String, reps: Int = 199): DataFrame = {
+    require(reps >= 19 && reps <= 9999, s"reps must be in [19, 9999], got $reps")
+    val d38 = "decimal(38,0)"
+    val base = df.filter(col(dCol).isNotNull)
+      .select(col(groupCol), col(idCol).cast("long").as("_i"),
+        col(dCol).cast("long").as("_d"))
+      .localCheckpoint(true) // the observed pass + the reps explode both read it
+    val obs = base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("_d").cast(d38)).as("_tobs"))
+    val h = pmod(col("_i") * lit(2654435761L) + col("_r") * lit(40503L),
+      lit(4294967296L))
+    val sign = when(pmod(floor(h / lit(65536L)), lit(2L)) === 0L, lit(1L))
+      .otherwise(lit(-1L))
+    val ts = base
+      .withColumn("_r", explode(sequence(lit(0), lit(reps - 1))))
+      .groupBy(col(groupCol), col("_r"))
+      .agg(sum((sign * col("_d")).cast(d38)).as("_t"))
+    ts.join(obs, Seq(groupCol))
+      .groupBy(col(groupCol), col("n"), col("_tobs"))
+      .agg((sum(when(abs(col("_t")) >= abs(col("_tobs")), 1L).otherwise(0L)) + 1L)
+        .as("n_extreme"))
+      .select(col(groupCol), col("n"), col("_tobs").cast("long").as("t_obs"),
+        col("n_extreme"),
+        (col("n_extreme").cast("double") / lit((reps + 1).toDouble)).as("p"))
+  }
 }

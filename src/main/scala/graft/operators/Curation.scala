@@ -1531,4 +1531,65 @@ object Curation {
       .select(col(idCol), col("corrupted"), col("target"),
         col("n_tokens"), col("n_masked"))
   }
+
+  /** Data-constrained EPOCH allocation — the "how many times may each
+    * source repeat" planning table for a token budget that exceeds the
+    * unique data (the Muennighoff et al. 2023 regime, where repeating
+    * good sources up to ~4 epochs beats diluting the mix): per source,
+    * desired tokens = weight × budget, capped at `maxEpochsFp/1000`
+    * epochs of what the source actually has, with the capped sources'
+    * unspent budget redistributed ONCE across the uncapped sources in
+    * proportion to their remaining headroom (a second pass would chase
+    * integer crumbs; the residual is reported, not hidden).
+    *
+    * Exactness: weights are caller-normalized binary-exact doubles (the
+    * [[mixByWeight]] convention) so `desired = ⌊w·budget⌋` replays;
+    * everything after is integer arithmetic (truncating DIV), and
+    * `epochs_fp` is thousandths. The per-source table is
+    * weights-bounded — totals ride one broadcast aggregate row, no
+    * window, no driver loop over data.
+    *
+    * Output: (source, available, desired, cap, allocated, epochs_fp,
+    * saturated) — `allocated ≤ cap` always; `saturated` marks sources
+    * pinned at their epoch cap. */
+  def epochAllocation(df: DataFrame, sourceCol: String, weightCol: String,
+                      weights: Map[String, Double], budget: Long,
+                      maxEpochsFp: Long = 4000L): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be a non-empty map of positive values")
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(maxEpochsFp >= 1000L, s"maxEpochsFp must be >= 1000 (1 epoch), got $maxEpochsFp")
+    val wsum = weights.values.sum
+    val spark = df.sparkSession
+    // desired tokens are weights×budget only — computed once here, so
+    // the data pass below is pure integer arithmetic
+    val plan = broadcast(spark.createDataFrame(weights.toSeq.map { case (k, v) =>
+      (k, math.floor(v / wsum * budget).toLong)
+    }).toDF(sourceCol, "desired"))
+    val avail = df.filter(col(sourceCol).isin(weights.keySet.toSeq: _*))
+      .groupBy(col(sourceCol))
+      .agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)).as("available"))
+    val base = plan.join(avail, Seq(sourceCol), "left")
+      .withColumn("available", coalesce(col("available"), lit(0L)))
+      .withColumn("cap", expr(s"available * ${maxEpochsFp}L DIV 1000L"))
+      .withColumn("_alloc1", least(col("desired"), col("cap")))
+      .withColumn("_headroom", col("cap") - col("_alloc1"))
+    val totals = broadcast(base.agg(
+      (sum(col("desired")) - sum(col("_alloc1"))).as("_leftover"),
+      sum(col("_headroom")).as("_totalHeadroom")))
+    base.crossJoin(totals)
+      .withColumn("_extra",
+        when(col("_totalHeadroom") > 0L,
+          least(col("_headroom"),
+            // DECIMAL product: leftover×headroom can pass 2⁶³ at real budgets
+            expr("CAST(CAST(_leftover AS DECIMAL(38,0)) * _headroom DIV _totalHeadroom AS BIGINT)")))
+          .otherwise(lit(0L)))
+      .withColumn("allocated", col("_alloc1") + col("_extra"))
+      .select(col(sourceCol), col("available"), col("desired"), col("cap"),
+        col("allocated"),
+        when(col("available") > 0L,
+          expr("allocated * 1000L DIV available"))
+          .otherwise(lit(0L)).as("epochs_fp"),
+        (col("allocated") === col("cap")).as("saturated"))
+  }
 }

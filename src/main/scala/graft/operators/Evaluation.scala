@@ -750,4 +750,74 @@ object Evaluation {
       org.apache.spark.sql.types.StructField("rate_fp", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("rate", org.apache.spark.sql.types.DoubleType))))
   }
+
+  /** Murphy decomposition of the Brier score per group — [[calibrationBins]]'
+    * single-number companion: the raw Brier score split into
+    * RELIABILITY (calibration error — lower is better), RESOLUTION
+    * (how far bin outcome rates stray from the base rate — higher is
+    * better) and UNCERTAINTY (the base rate's own variance, the
+    * forecast-independent floor). The readout that tells you whether a
+    * reward model's bad Brier is a calibration fix or a discrimination
+    * ceiling.
+    *
+    * Exactness: probabilities quantize to `scale` fixed-point on entry,
+    * so the Brier numerator Σ(p_fp − scale·y)², every bin's (n_k,
+    * so_k, sp_k), and both decomposition NUMERATORS are exact
+    * DECIMAL(38,0); each bin's reliability/resolution term is then one
+    * pinned double division and the K-term total is an ORDERED fold
+    * over the sorted bin array (sort_array + aggregate here, list(...
+    * ORDER BY) + list_reduce in the oracle) — never an unordered
+    * double SUM whose addition order an engine may pick. One
+    * aggregate + one K-row rollup per group; K ≤ 1000.
+    *
+    * Output: (groupCol, n, brier, uncertainty, reliability, resolution)
+    * — brier uses the raw per-row forecasts, the decomposition the
+    * binned ones, so brier ≈ rel − res + unc up to within-bin variance
+    * (exact equality iff forecasts are bin-constant). */
+  def brierDecomposition(df: DataFrame, groupCol: String, probCol: String,
+                         labelCol: String, bins: Int = 10,
+                         scale: Long = 1000000L): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000], got $bins")
+    val d38 = "decimal(38,0)"
+    val rows = df.filter(col(probCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(groupCol),
+        least(floor(col(probCol) * lit(bins.toDouble)).cast("long"),
+          lit(bins - 1L)).as("_bin"),
+        floor(col(probCol) * lit(scale.toDouble)).cast(d38).as("_pfp"),
+        col(labelCol).cast("boolean").cast("long").cast(d38).as("_y"))
+    val binned = rows.groupBy(col(groupCol), col("_bin"))
+      .agg(count(lit(1)).cast(d38).as("_nk"),
+        sum(col("_y")).as("_sok"),
+        sum(col("_pfp")).as("_spk"),
+        sum((col("_pfp") - col("_y") * lit(scale)) *
+          (col("_pfp") - col("_y") * lit(scale))).as("_bk"))
+    val totals = binned.groupBy(col(groupCol))
+      .agg(sum(col("_nk")).as("_n"), sum(col("_sok")).as("_so"),
+        sum(col("_bk")).as("_bnum"))
+    val s2 = lit(scale).cast(d38) * lit(scale).cast(d38)
+    val withTerms = binned.join(totals, Seq(groupCol))
+      .withColumn("_relTerm",
+        ((col("_spk") - col("_sok") * lit(scale)) *
+          (col("_spk") - col("_sok") * lit(scale))).cast("double") /
+          col("_nk").cast("double") / col("_n").cast("double") /
+          s2.cast("double"))
+      .withColumn("_resTerm",
+        ((col("_sok") * col("_n") - col("_nk") * col("_so")) *
+          (col("_sok") * col("_n") - col("_nk") * col("_so"))).cast("double") /
+          col("_nk").cast("double") / col("_n").cast("double") /
+          col("_n").cast("double") / col("_n").cast("double"))
+    val folded = withTerms.groupBy(col(groupCol), col("_n"), col("_so"), col("_bnum"))
+      .agg(sort_array(collect_list(struct(col("_bin"), col("_relTerm"),
+        col("_resTerm")))).as("_terms"))
+      .withColumn("reliability", aggregate(col("_terms"), lit(0.0),
+        (acc, x) => acc + x.getField("_relTerm")))
+      .withColumn("resolution", aggregate(col("_terms"), lit(0.0),
+        (acc, x) => acc + x.getField("_resTerm")))
+    folded.select(col(groupCol), col("_n").cast("long").as("n"),
+      (col("_bnum").cast("double") / col("_n").cast("double") /
+        s2.cast("double")).as("brier"),
+      ((col("_so") * (col("_n") - col("_so"))).cast("double") /
+        col("_n").cast("double") / col("_n").cast("double")).as("uncertainty"),
+      col("reliability"), col("resolution"))
+  }
 }

@@ -979,4 +979,338 @@ object Multimodal {
       .withColumn("meta", map(lit("codec"),
         lit(kind match { case "image" => "png"; case "audio" => "wav"; case _ => "gif" })))
   }
+
+  // ---- WebM / Matroska: the EBML container walk (the OTHER modern
+  // video wrapper next to ISO BMFF; public specs: RFC 8794 for EBML,
+  // the Matroska element registry for the IDs). Like [[probeMp4]] this
+  // is decode-free and codec-agnostic — VP8/VP9/AV1 payloads need a
+  // native decoder the sandbox lacks, but counted block/keyframe
+  // totals, timescale, duration, codec id, and dimensions are all in
+  // the container tree, so probing a 100 TB WebM corpus costs its
+  // scan. ----
+
+  private[graft] def isEbml(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
+      (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3
+
+  /** Octet length of an EBML VINT from its first byte (position of the
+    * leading set bit); 0 = invalid (no marker in 8 bits). */
+  private def vintLen(first: Int): Int = {
+    var mask = 0x80
+    var len = 1
+    while (mask != 0) {
+      if ((first & mask) != 0) return len
+      mask >>= 1
+      len += 1
+    }
+    0
+  }
+
+  /** Read an element ID at `pos`: (idValueIncludingMarker, nBytes) —
+    * Matroska convention writes IDs with their marker bits, so 0xA3 IS
+    * SimpleBlock and 0x1F43B675 IS Cluster. None on truncation. */
+  private def readEbmlId(b: Array[Byte], pos: Int): Option[(Long, Int)] = {
+    if (pos >= b.length) return None
+    val n = vintLen(b(pos) & 0xff)
+    if (n == 0 || n > 4 || pos + n > b.length) return None
+    var v = 0L
+    var i = 0
+    while (i < n) { v = (v << 8) | (b(pos + i) & 0xffL); i += 1 }
+    Some((v, n))
+  }
+
+  /** Read an element SIZE at `pos`: (value with marker stripped,
+    * nBytes); all-ones payload = the spec's "unknown size" → -1 (the
+    * element runs to its parent's end — live-streamed Segments and
+    * Clusters use this). None on truncation. */
+  private def readEbmlSize(b: Array[Byte], pos: Int): Option[(Long, Int)] = {
+    if (pos >= b.length) return None
+    val n = vintLen(b(pos) & 0xff)
+    if (n == 0 || n > 8 || pos + n > b.length) return None
+    var v = (b(pos) & 0xffL) ^ (1L << (8 - n)) // strip the marker bit
+    var i = 1
+    while (i < n) { v = (v << 8) | (b(pos + i) & 0xffL); i += 1 }
+    val allOnes = (1L << (7 * n)) - 1
+    Some((if (v == allOnes) -1L else v, n))
+  }
+
+  /** Child elements of [from, until): (id, payloadStart, payloadEnd).
+    * Unknown-size children run to `until`; a child whose claimed size
+    * escapes the range ends the walk (truncated container — keep what
+    * parsed, the [[childBoxes]] convention). */
+  private def ebmlChildren(b: Array[Byte], from: Int, until: Int): Seq[(Long, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+    var pos = from
+    var done = false
+    while (!done && pos < until) {
+      readEbmlId(b, pos) match {
+        case None => done = true
+        case Some((id, idN)) =>
+          readEbmlSize(b, pos + idN) match {
+            case None => done = true
+            case Some((sz, szN)) =>
+              val start = pos + idN + szN
+              val end = if (sz < 0) until else start + sz
+              if (end > until || end < start) done = true
+              else {
+                out += ((id, start, end.toInt))
+                pos = end.toInt
+              }
+          }
+      }
+    }
+    out.toSeq
+  }
+
+  private def ebmlUint(b: Array[Byte], from: Int, until: Int): Long = {
+    var v = 0L
+    var i = from
+    while (i < until && i - from < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v
+  }
+
+  private def ebmlFloat(b: Array[Byte], from: Int, until: Int): Double =
+    (until - from) match {
+      case 4 => java.lang.Float.intBitsToFloat(ebmlUint(b, from, until).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(ebmlUint(b, from, until))
+      case _ => 0.0
+    }
+
+  /** Parsed video-track readout of one WebM/Matroska file: COUNTED
+    * block and keyframe totals from the Cluster stream (SimpleBlock
+    * keyframe flag 0x80; BlockGroup Blocks count as frames, keyframe
+    * iff the group carries no ReferenceBlock), never the header's
+    * claims; TimestampScale/Duration from Info; codec id, dimensions
+    * and track number from the first video TrackEntry. */
+  private[graft] case class WebmTrack(nBlocks: Int, keyframes: Int, timescaleNs: Long,
+                                      durationTicks: Double, codec: String,
+                                      width: Int, height: Int)
+
+  // Matroska element IDs (marker bits included, per the registry)
+  private val EbmlSegment = 0x18538067L
+  private val EbmlInfo = 0x1549A966L
+  private val EbmlTimestampScale = 0x2AD7B1L
+  private val EbmlDuration = 0x4489L
+  private val EbmlTracks = 0x1654AE6BL
+  private val EbmlTrackEntry = 0xAEL
+  private val EbmlTrackNumber = 0xD7L
+  private val EbmlTrackType = 0x83L
+  private val EbmlCodecId = 0x86L
+  private val EbmlVideo = 0xE0L
+  private val EbmlPixelWidth = 0xB0L
+  private val EbmlPixelHeight = 0xBAL
+  private val EbmlCluster = 0x1F43B675L
+  private val EbmlSimpleBlock = 0xA3L
+  private val EbmlBlockGroup = 0xA0L
+  private val EbmlBlock = 0xA1L
+  private val EbmlReferenceBlock = 0xFBL
+
+  /** Walk EBML header → Segment → Info/Tracks/Cluster* of the FIRST
+    * video track. None for anything that isn't well-formed Matroska
+    * with a video track (the caller falls back — pipelines stay
+    * total). */
+  private[graft] def parseWebmVideoTrack(b: Array[Byte]): Option[WebmTrack] =
+    try {
+      if (!isEbml(b)) return None
+      val top = ebmlChildren(b, 0, b.length)
+      val (segS, segE) = top.collectFirst {
+        case (EbmlSegment, s, e) => (s, e)
+      }.getOrElse(return None)
+      var timescaleNs = 1000000L // the spec default: 1 ms ticks
+      var durationTicks = 0.0
+      var trackNum = -1L
+      var codec = ""
+      var w = 0
+      var h = 0
+      var nBlocks = 0
+      var keyframes = 0
+      ebmlChildren(b, segS, segE).foreach {
+        case (EbmlInfo, s, e) =>
+          ebmlChildren(b, s, e).foreach {
+            case (EbmlTimestampScale, fs, fe) => timescaleNs = ebmlUint(b, fs, fe)
+            case (EbmlDuration, fs, fe) => durationTicks = ebmlFloat(b, fs, fe)
+            case _ => ()
+          }
+        case (EbmlTracks, s, e) if trackNum < 0 =>
+          ebmlChildren(b, s, e).foreach {
+            case (EbmlTrackEntry, ts, te) if trackNum < 0 =>
+              var num = -1L
+              var typ = -1L
+              var cid = ""
+              var pw = 0
+              var ph = 0
+              ebmlChildren(b, ts, te).foreach {
+                case (EbmlTrackNumber, fs, fe) => num = ebmlUint(b, fs, fe)
+                case (EbmlTrackType, fs, fe) => typ = ebmlUint(b, fs, fe)
+                case (EbmlCodecId, fs, fe) =>
+                  cid = new String(b, fs, fe - fs, java.nio.charset.StandardCharsets.US_ASCII)
+                case (EbmlVideo, vs, ve) =>
+                  ebmlChildren(b, vs, ve).foreach {
+                    case (EbmlPixelWidth, fs, fe) => pw = ebmlUint(b, fs, fe).toInt
+                    case (EbmlPixelHeight, fs, fe) => ph = ebmlUint(b, fs, fe).toInt
+                    case _ => ()
+                  }
+                case _ => ()
+              }
+              if (typ == 1L && num > 0) { // 1 = video per the registry
+                trackNum = num; codec = cid; w = pw; h = ph
+              }
+            case _ => ()
+          }
+        case (EbmlCluster, s, e) =>
+          ebmlChildren(b, s, e).foreach {
+            case (EbmlSimpleBlock, bs, be) =>
+              blockTrackAndKey(b, bs, be).foreach { case (tn, key) =>
+                if (tn == trackNum) { nBlocks += 1; if (key) keyframes += 1 }
+              }
+            case (EbmlBlockGroup, gs, ge) =>
+              val kids = ebmlChildren(b, gs, ge)
+              val hasRef = kids.exists(_._1 == EbmlReferenceBlock)
+              kids.foreach {
+                case (EbmlBlock, bs, be) =>
+                  blockTrackAndKey(b, bs, be).foreach { case (tn, _) =>
+                    // a Block's keyframe-ness is the GROUP's: no
+                    // ReferenceBlock sibling ⇒ intra-coded
+                    if (tn == trackNum) { nBlocks += 1; if (!hasRef) keyframes += 1 }
+                  }
+                case _ => ()
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      if (trackNum < 0 || nBlocks <= 0) None
+      else Some(WebmTrack(nBlocks, keyframes, timescaleNs, durationTicks, codec, w, h))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** (trackNumber, keyframeFlag) of a (Simple)Block payload: VINT track
+    * number, 2-byte relative timestamp, flags byte (0x80 = keyframe —
+    * meaningful for SimpleBlock only). */
+  private def blockTrackAndKey(b: Array[Byte], from: Int, until: Int): Option[(Long, Boolean)] = {
+    if (from >= until) return None
+    val n = vintLen(b(from) & 0xff)
+    if (n == 0 || from + n + 3 > until) return None
+    var v = (b(from) & 0xffL) ^ (1L << (8 - n))
+    var i = 1
+    while (i < n) { v = (v << 8) | (b(from + i) & 0xffL); i += 1 }
+    Some((v, (b(from + n + 2) & 0x80) != 0))
+  }
+
+  /** One probe row per WebM: the container-walk readout that is REAL
+    * for any codec, VP9/AV1 included — counted block/keyframe totals,
+    * timescale, duration in ms ticks, codec id, dimensions. Dirty or
+    * non-Matroska payloads return the `ok = false` zero row (the
+    * [[Mp4Probe]] fallback contract). `duration_ms` is an exact long:
+    * ticks × (timescale/10⁶) truncated, dodging float drift. */
+  case class WebmProbe(media_id: Long, ok: Boolean, n_blocks: Int, n_keyframes: Int,
+                       timescale_ns: Long, duration_ms: Long, codec: String,
+                       width: Int, height: Int)
+
+  def probeWebm(mediaId: Long, payload: Array[Byte]): WebmProbe =
+    (if (payload == null) None else parseWebmVideoTrack(payload)) match {
+      case Some(t) => WebmProbe(mediaId, ok = true, t.nBlocks, t.keyframes,
+        t.timescaleNs,
+        if (t.timescaleNs > 0) (t.durationTicks * t.timescaleNs / 1000000.0).toLong else 0L,
+        t.codec, t.width, t.height)
+      case None => WebmProbe(mediaId, ok = false, 0, 0, 0L, 0L, "", 0, 0)
+    }
+
+  /** Per-partition batched WebM probing — [[extractMp4Probe]] for the
+    * EBML family: one row per video payload, decode-free. */
+  def extractWebmProbe(media: DataFrame): Dataset[WebmProbe] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it => it.map { case (id, bytes) => probeWebm(id, bytes) } }
+  }
+
+  /** Minimal spec-correct WebM bytes: EBML header (DocType "webm"),
+    * Segment{Info{TimestampScale 10⁶, Duration float64 = n·frameDurMs},
+    * Tracks{video TrackEntry}, one Cluster of `n` SimpleBlocks (even
+    * block index ⇒ keyframe flag)}. Frame payloads are 8 deterministic
+    * filler bytes — the probe never reads them (VP8 needs a native
+    * decoder; the container walk is the part under test). When
+    * `unknownSizes`, Segment and Cluster use the spec's unknown-size
+    * VINT (the live-streaming shape) to pin that path. */
+  private[graft] def webmBytes(w: Int, h: Int, nBlocks: Int, frameDurMs: Int = 40,
+                               codec: String = "V_VP8",
+                               unknownSizes: Boolean = false,
+                               blockGroups: Boolean = false): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    def idBytes(id: Long): Array[Byte] = {
+      val n = if (id <= 0xffL) 1 else if (id <= 0xffffL) 2
+        else if (id <= 0xffffffL) 3 else 4
+      (1 to n).map(i => ((id >> (8 * (n - i))) & 0xff).toByte).toArray
+    }
+    // size as a 2-byte VINT (marker 0x40…): plenty for fixtures, and
+    // deliberately NOT the minimal width — parsers must honor any
+    // legal encoding
+    def sizeBytes(sz: Long): Array[Byte] =
+      Array((0x40 | ((sz >> 8) & 0x3f)).toByte, (sz & 0xff).toByte)
+    def el(id: Long, body: Array[Byte]): Array[Byte] = cat(idBytes(id), sizeBytes(body.length), body)
+    def elUnknown(id: Long, body: Array[Byte]): Array[Byte] =
+      cat(idBytes(id), Array(0xffL.toByte), body) // 1-byte all-ones VINT
+    def uint(v: Long): Array[Byte] = {
+      var n = 1
+      while (n < 8 && (v >> (8 * n)) != 0) n += 1
+      (1 to n).map(i => ((v >> (8 * (n - i))) & 0xff).toByte).toArray
+    }
+    val header = el(0x1A45DFA3L, cat(
+      el(0x4286L, uint(1)), el(0x42F7L, uint(1)),           // version / read-version
+      el(0x42F2L, uint(4)), el(0x42F3L, uint(8)),           // max id / size length
+      el(0x4282L, "webm".getBytes(ascii)),                  // DocType
+      el(0x4287L, uint(2)), el(0x4285L, uint(2))))          // doctype versions
+    val durBits = java.lang.Double.doubleToLongBits(nBlocks.toDouble * frameDurMs)
+    val info = el(EbmlInfo, cat(
+      el(EbmlTimestampScale, uint(1000000L)),
+      el(EbmlDuration, (0 until 8).map(i => ((durBits >> (8 * (7 - i))) & 0xff).toByte).toArray)))
+    val tracks = el(EbmlTracks, el(EbmlTrackEntry, cat(
+      el(EbmlTrackNumber, uint(1)), el(0x73C5L, uint(1)),   // TrackUID
+      el(EbmlTrackType, uint(1)), el(EbmlCodecId, codec.getBytes(ascii)),
+      el(EbmlVideo, cat(el(EbmlPixelWidth, uint(w.toLong)),
+        el(EbmlPixelHeight, uint(h.toLong)))))))
+    val blocks = cat((0 until nBlocks).map { i =>
+      val rel = i * frameDurMs
+      val frame = Array.tabulate[Byte](8)(j => ((i * 31 + j) & 0xff).toByte)
+      val blockBody = cat(
+        Array(0x81.toByte),                                 // track 1 VINT
+        Array(((rel >> 8) & 0xff).toByte, (rel & 0xff).toByte),
+        Array(if (!blockGroups && i % 2 == 0) 0x80.toByte else 0x00.toByte),
+        frame)
+      if (blockGroups)
+        // the Matroska long form: keyframe-ness is the GROUP's — odd
+        // blocks carry a ReferenceBlock (inter-coded), even do not
+        el(EbmlBlockGroup,
+          if (i % 2 == 0) el(EbmlBlock, blockBody)
+          else cat(el(EbmlBlock, blockBody), el(EbmlReferenceBlock, uint(1))))
+      else el(EbmlSimpleBlock, blockBody)
+    }: _*)
+    val cluster =
+      if (unknownSizes) elUnknown(EbmlCluster, cat(el(0xE7L, uint(0)), blocks))
+      else el(EbmlCluster, cat(el(0xE7L, uint(0)), blocks))
+    val segBody = cat(info, tracks, cluster)
+    val segment =
+      if (unknownSizes) elUnknown(EbmlSegment, segBody) else el(EbmlSegment, segBody)
+    cat(header, segment)
+  }
+
+  /** Media table of planted WebM containers with CLOSED-FORM probe
+    * fields — (2 + id%5) SimpleBlocks of a 16×12 V_VP8 track at 40 ms
+    * per block (even block index keyframed ⇒ ceil(n/2) keyframes,
+    * duration_ms = n·40), so `q_webm_probe` states every probed row
+    * arithmetically. */
+  def syntheticRealWebm(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val payload: Long => Array[Byte] = (id: Long) =>
+      webmBytes(16, 12, 2 + (id % 5).toInt)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .as[Long]
+      .mapPartitions { it => it.map(id => (id, "video", s"synthetic://$id", payload(id))) }
+      .toDF("media_id", "kind", "uri", "payload")
+      .withColumn("meta", map(lit("codec"), lit("vp8-webm")))
+  }
 }

@@ -577,4 +577,69 @@ object Profile {
       .withColumn("distinct_ratio",
         col("distinct_ngrams").cast("double") / col("total_ngrams").cast("double"))
   }
+
+  /** The published Gopher QUALITY rules (Rae et al. 2021, table A1) as
+    * per-document flags — the structural half of the filter pair whose
+    * repetition half is
+    * [[graft.functions.TextFunctions.gopherRepetitionKeep]]: word-count
+    * bounds, mean word length 3–10, symbol-to-word ratio (# and … )
+    * ≤ 0.1, ≤ 90 % of lines bullet-started, ≤ 30 % ellipsis-ended,
+    * ≥ 80 % of words containing a letter, and ≥ 2 hits from the
+    * required-stopword octet. Each rule is its own column (the audit a
+    * filter review asks for — which rule kills what), `keep` is their
+    * conjunction.
+    *
+    * Exactness: every ratio is integer arithmetic against integer
+    * counts (cross-multiplied comparisons, no division at all), and
+    * every count comes from regex/split constructs expressible
+    * identically in Java regex and RE2 — so the full flag table
+    * replays externally. One projection pass, all codegen'd — scan
+    * speed at 100 TB.
+    *
+    * Output: (idCol, n_words, n_lines, mean_word_len_fp [hundredths],
+    * f_word_count, f_word_len, f_symbol, f_bullet, f_ellipsis,
+    * f_alpha, f_stopwords, keep). */
+  def gopherQualityFlags(df: DataFrame, idCol: String, textCol: String,
+                         minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    require(minWords >= 1 && maxWords > minWords,
+      s"need 1 <= minWords < maxWords, got [$minWords, $maxWords]")
+    val t = coalesce(col(textCol), lit(""))
+    val wordsArr = filter(split(trim(t), "\\s+"), w => length(w) > 0)
+    val linesArr = split(t, "\n")
+    val requiredStopwords = // the Gopher octet
+      Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    df.select(col(idCol), t.as("_t"), wordsArr.as("_w"), linesArr.as("_l"))
+      .select(col(idCol),
+        size(col("_w")).cast("long").as("n_words"),
+        size(col("_l")).cast("long").as("n_lines"),
+        length(regexp_replace(col("_t"), "\\s+", "")).cast("long").as("_nonws"),
+        // symbols: '#' plus non-overlapping '...' runs plus '…'
+        (regexp_count(col("_t"), lit("#")) + regexp_count(col("_t"), lit("\\.\\.\\.")) +
+          regexp_count(col("_t"), lit("…"))).cast("long").as("_symbols"),
+        size(filter(col("_l"), l => l.rlike("^\\s*[-*•‣▪]"))).cast("long").as("_bullet"),
+        size(filter(col("_l"), l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long").as("_ellipsis"),
+        size(filter(col("_w"), w => w.rlike("[A-Za-z]"))).cast("long").as("_alphaWords"),
+        requiredStopwords.map(sw =>
+          when(lower(col("_t")).rlike(s"(^|[^a-z])$sw([^a-z]|$$)"), 1L).otherwise(0L))
+          .reduce(_ + _).as("_stopHits"))
+      .select(col(idCol), col("n_words"), col("n_lines"),
+        when(col("n_words") > 0L, expr("_nonws * 100L DIV n_words"))
+          .otherwise(lit(0L)).as("mean_word_len_fp"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords).as("f_word_count"),
+        // 3 ≤ mean ≤ 10, cross-multiplied: 3·n ≤ nonws ≤ 10·n
+        (col("n_words") > 0L && col("_nonws") >= col("n_words") * 3L &&
+          col("_nonws") <= col("n_words") * 10L).as("f_word_len"),
+        // symbols/words ≤ 0.1  ⇔  10·symbols ≤ words
+        (col("n_words") > 0L && col("_symbols") * 10L <= col("n_words")).as("f_symbol"),
+        // bullet lines ≤ 90 %  ⇔  10·bullet ≤ 9·lines
+        (col("_bullet") * 10L <= col("n_lines") * 9L).as("f_bullet"),
+        // ellipsis lines ≤ 30 %  ⇔  10·ellipsis ≤ 3·lines
+        (col("_ellipsis") * 10L <= col("n_lines") * 3L).as("f_ellipsis"),
+        // alpha words ≥ 80 %  ⇔  5·alpha ≥ 4·words
+        (col("n_words") > 0L && col("_alphaWords") * 5L >= col("n_words") * 4L).as("f_alpha"),
+        (col("_stopHits") >= 2L).as("f_stopwords"))
+      .withColumn("keep",
+        col("f_word_count") && col("f_word_len") && col("f_symbol") &&
+          col("f_bullet") && col("f_ellipsis") && col("f_alpha") && col("f_stopwords"))
+  }
 }

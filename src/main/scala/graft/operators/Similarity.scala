@@ -671,4 +671,95 @@ object Similarity {
       mean("b").as("mean_b"), delta.as("delta"), sd.as("sd_pooled"),
       when(sd > 0.0, abs(delta) / sd).as("std_delta"))
   }
+
+  /** Top PRINCIPAL COMPONENT of an embedding column by replayable
+    * integer power iteration — the direction-of-most-variance readout
+    * behind whitening checks, anisotropy audits ("is the embedding
+    * space collapsing onto one axis?") and SemDeDup-style preprocessing.
+    *
+    * Exactness & scale: ONE exploded-products pass per corpus computes
+    * the d(d+1)/2 upper-triangle second moments Σ xᵢxⱼ over `scale`-
+    * quantized components (exact DECIMAL(38,0); the exchange carries d²
+    * partials per task, never vectors), plus the d first moments. The
+    * centered scatter M = n·Σxx − s·sᵀ (an exact integer multiple of
+    * the covariance — eigenvectors unchanged) is d²-bounded, so the
+    * `iters` power steps run DRIVER-SIDE in BigInt (the
+    * [[graft.operators.Preference]] Bradley–Terry driver-MM precedent):
+    * v₀ = vScale·e₀, then vₜ₊₁ = (M vₜ)·vScale / max|M vₜ| with
+    * truncating division — the identical arithmetic an external engine
+    * replays with 128-bit ints and `//` (`q_pca_power`). No floats
+    * anywhere until the reported variance, a pinned double sequence
+    * from the exact Rayleigh quotient.
+    *
+    * Output: one row per dimension — (dim, loading_fp [v at vScale
+    * fixed point; sign is iteration-determined], n, var_component
+    * [biased variance along the component, original units]). */
+  def pcaPowerComponent(df: DataFrame, vecCol: String, dim: Int,
+                        iters: Int = 8, scale: Int = 3,
+                        vScale: Long = 1000000L): DataFrame = {
+    require(dim >= 2 && dim <= 512, s"dim must be in [2, 512], got $dim")
+    require(iters >= 1 && iters <= 32, s"iters must be in [1, 32], got $iters")
+    require(scale >= 0 && scale <= 6, s"scale must be in [0, 6], got $scale")
+    val p = math.pow(10.0, scale)
+    val d38 = "decimal(38,0)"
+    val q = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(transform(col(vecCol),
+        v => floor(v.cast("double") * lit(p)).cast("long")).as("_x"))
+      .localCheckpoint(true) // the sums and products passes both read it
+    val sums = q.select(posexplode(col("_x")).as(Seq("i", "_v")))
+      .groupBy(col("i"))
+      .agg(sum(col("_v").cast(d38)).as("_s"), count(lit(1)).as("_n"))
+      .collect().map(r => r.getInt(0) -> (BigInt(r.getDecimal(1).toBigInteger), r.getLong(2)))
+      .toMap
+    require(sums.nonEmpty, "pcaPowerComponent: empty input")
+    val n = sums.head._2._2
+    val prods = q.select(explode(expr(
+        s"flatten(transform(sequence(0, ${dim - 1}), i -> " +
+          s"transform(sequence(i, ${dim - 1}), j -> " +
+          "struct(i AS i, j AS j, element_at(_x, i+1) * element_at(_x, j+1) AS xx))))"))
+        .as("_e"))
+      .select(col("_e.i").as("i"), col("_e.j").as("j"),
+        col("_e.xx").cast(d38).as("xx"))
+      .groupBy(col("i"), col("j")).agg(sum(col("xx")).as("_sxx"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        BigInt(r.getDecimal(2).toBigInteger)).toMap
+    val bigN = BigInt(n)
+    def m(i: Int, j: Int): BigInt = {
+      val sxx = prods.getOrElse(if (i <= j) (i, j) else (j, i), BigInt(0))
+      bigN * sxx - sums(i)._1 * sums(j)._1
+    }
+    val vs = BigInt(vScale)
+    var v = Array.tabulate(dim)(i => if (i == 0) vs else BigInt(0))
+    var t = 0
+    while (t < iters) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).foldLeft(BigInt(0))((acc, j) => acc + m(i, j) * v(j)))
+      val mx = w.map(_.abs).max
+      require(mx.signum != 0,
+        "pcaPowerComponent: zero iterate (degenerate scatter) — raise scale or check input")
+      // BigInt `/` truncates toward zero — the same semantics as SQL
+      // integer division, so every iterate replays externally
+      v = w.map(wi => wi * vs / mx)
+      t += 1
+    }
+    val rayleighNum = (0 until dim).foldLeft(BigInt(0))((acc, i) =>
+      acc + v(i) * (0 until dim).foldLeft(BigInt(0))((a2, j) => a2 + m(i, j) * v(j)))
+    val rayleighDen = v.foldLeft(BigInt(0))((acc, vi) => acc + vi * vi)
+    val lambda = rayleighNum / rayleighDen // eigenvalue of the n²p²-scaled scatter
+    val varComponent = lambda.toDouble / n / n / p / p
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      (0 until dim).map(i => org.apache.spark.sql.Row(
+        i, v(i).toLong, n, varComponent)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("dim",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("loading_fp",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("var_component",
+          org.apache.spark.sql.types.DoubleType))))
+  }
 }

@@ -299,4 +299,56 @@ object TimeSeries {
       .agg(min(col(startCol)).as("start"), max(col(endCol)).as("end"),
         count(lit(1)).as("n_merged"))
   }
+
+  /** Mann–Kendall trend test per entity — the NONPARAMETRIC "is this
+    * series drifting" gate next to [[cusum]]'s changepoint detector:
+    * S = Σ_{i<j} sign(x_j − x_i) over time-ordered observations, the
+    * tie-corrected variance, and the continuity-corrected normal Z.
+    * No distribution assumption, robust to outliers — the standard
+    * monitoring primitive for "is daily volume / quality score /
+    * latency trending".
+    *
+    * Scale contract: callers aggregate the raw stream to BOUNDED
+    * buckets first (daily counts, hourly sums — the [[seasonalBaseline]]
+    * shape), because the pair count is a per-entity self-join on
+    * bucket order: buckets² per entity, never rows². Values arrive as
+    * exact longs (counts or pre-quantized sums), so S and the variance
+    * NUMERATOR n(n−1)(2n+5) − Σ t(t−1)(2t+5) are exact DECIMAL(38,0);
+    * only Z = (S∓1)/√(num/18) is a pinned double sequence (S=0 → Z=0;
+    * n<2 or zero variance → Z null).
+    *
+    * Output: (entity, n, s, var_num, z). */
+  def mannKendall(df: DataFrame, entityCol: String, orderCol: String,
+                  valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df.filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(entityCol), col(orderCol).as("_t"),
+        col(valueCol).cast("long").as("_x"))
+      .localCheckpoint(true) // pair join (both sides) + tie rollup read it
+    val a = base.select(col(entityCol), col("_t").as("_ta"), col("_x").as("_xa"))
+    val b = base.select(col(entityCol).as("_g2"), col("_t").as("_tb"),
+      col("_x").as("_xb"))
+    val s = a.join(b, a(entityCol) === col("_g2") && col("_tb") > col("_ta"))
+      .groupBy(a(entityCol))
+      .agg(sum(when(col("_xb") > col("_xa"), 1L)
+        .when(col("_xb") < col("_xa"), -1L).otherwise(0L).cast(d38)).as("_s"))
+    val ties = base.groupBy(col(entityCol), col("_x"))
+      .agg(count(lit(1)).cast(d38).as("_tc"))
+      .groupBy(col(entityCol))
+      .agg(count(lit(1)).as("_ndistinct"),
+        sum(col("_tc")).as("_n"),
+        sum(col("_tc") * (col("_tc") - 1) * (col("_tc") * 2 + 5)).as("_tieTerm"))
+    val g = ties.join(s, Seq(entityCol), "left")
+      .withColumn("_sv", coalesce(col("_s"), lit(0).cast(d38)))
+      .withColumn("_varNum",
+        col("_n") * (col("_n") - 1) * (col("_n") * 2 + 5) - col("_tieTerm"))
+    val sd = sqrt(col("_varNum").cast("double") / lit(18.0))
+    val z = when(col("_sv") > 0, (col("_sv") - 1).cast("double") / sd)
+      .when(col("_sv") < 0, (col("_sv") + 1).cast("double") / sd)
+      .otherwise(lit(0.0))
+    g.select(col(entityCol), col("_n").cast("long").as("n"),
+      col("_sv").cast("long").as("s"),
+      col("_varNum").cast("long").as("var_num"),
+      when(col("_n") >= 2 && col("_varNum") > 0, z).as("z"))
+  }
 }

@@ -666,4 +666,90 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.size == 2 && out.values.forall(_._2 == 2L))
     intercept[IllegalArgumentException](bh(Seq((1L, Double.box(0.5))), 0, 100))
   }
+
+  private val xySchema = StructType(Seq(StructField("g", StringType),
+    StructField("x", DoubleType), StructField("y", DoubleType)))
+
+  test("kendallTau: textbook no-tie example; x-ties and y-ties feed n1/n2 not C/D") {
+    // no ties: x 1..5 vs y (1,2,3,5,4) — exactly one discordant pair
+    val noTies = (1 to 5).map(i => Row("a", i.toDouble,
+      Seq(1.0, 2.0, 3.0, 5.0, 4.0)(i - 1)))
+    // ties: x (1,1,2,3) vs y (1,2,2,3) — one x-tie pair, one y-tie pair,
+    // C=4, D=0, tau-b = 4/sqrt(5*5) = 0.8
+    val ties = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (3.0, 3.0))
+      .map { case (x, y) => Row("b", x, y) }
+    val out = Analytics.kendallTau(df(xySchema, noTies ++ ties), "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("a")._1 == 5L && out("a")._2 == 9L && out("a")._3 == 1L &&
+      math.abs(out("a")._4 - 0.8) < 1e-12, s"got ${out("a")}")
+    assert(out("b")._1 == 4L && out("b")._2 == 4L && out("b")._3 == 0L &&
+      math.abs(out("b")._4 - 0.8) < 1e-12, s"got ${out("b")}")
+  }
+
+  test("kendallTau: constant margin yields null tau; quantization buckets near values") {
+    val const = (1 to 4).map(i => Row("c", 1.0, i.toDouble))
+    val r = Analytics.kendallTau(df(xySchema, const), "g", "x", "y")
+      .collect().head
+    assert(r.getLong(1) == 4L && r.isNullAt(4))
+    // scale 0 buckets 1.2 and 1.9 together: all four rows one cell
+    val q = Analytics.kendallTau(df(xySchema, Seq(
+        Row("d", 1.2, 3.4), Row("d", 1.9, 3.9), Row("d", 1.5, 3.1),
+        Row("d", 1.0, 3.0))), "g", "x", "y", scale = 0).collect().head
+    assert(q.getLong(2) == 0L && q.getLong(3) == 0L && q.isNullAt(4))
+  }
+
+  private val pairSchema = StructType(Seq(StructField("g", StringType),
+    StructField("i", LongType), StructField("d", LongType)))
+
+  test("permutationTestPaired: one-sided fixture gets a small add-one p; zero diffs p=1") {
+    // 12 pairs all shifted +1e6: only near-unanimous sign patterns reach
+    // |T_obs|, so p stays well under any sane alpha but never 0
+    val shifted = (1L to 12L).map(i => Row("up", i, 1000000L))
+    val zeros = (1L to 8L).map(i => Row("nil", i, 0L))
+    val out = Analytics.permutationTestPaired(
+        df(pairSchema, shifted ++ zeros), "g", "i", "d", reps = 199)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val (nUp, tUp, extUp, pUp) = out("up")
+    assert(nUp == 12L && tUp == 12000000L && extUp >= 1L && pUp < 0.1,
+      s"got ${out("up")}")
+    assert(pUp == extUp.toDouble / 200.0)
+    // all-zero differences: every replicate ties T_obs=0 -> p = 1
+    assert(out("nil") == (8L, 0L, 200L, 1.0), s"got ${out("nil")}")
+    // replayable: a second run is bit-identical (hash signs, no RNG)
+    val again = Analytics.permutationTestPaired(
+        df(pairSchema, shifted ++ zeros), "g", "i", "d", reps = 199)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(again("up") == pUp)
+    intercept[IllegalArgumentException](Analytics.permutationTestPaired(
+      df(pairSchema, zeros), "g", "i", "d", reps = 5))
+  }
+
+  private val psiSchema = StructType(Seq(StructField("v", DoubleType),
+    StructField("w", DoubleType)))
+
+  test("psiDrift: identical sides score exactly zero; a full shift trips the gate") {
+    val ref = (1 to 100).map(i => Row(i.toDouble, i.toDouble))
+    // same distribution on v -> every bin count matches -> every
+    // (p-q)ln(p/q) term is exactly 0; w shifts wholesale into the top
+    // bin -> PSI far past the 0.2 industry threshold
+    val cur = (1 to 100).map(i => Row(i.toDouble, i.toDouble + 1000.0))
+    val out = Analytics.psiDrift(df(psiSchema, ref), df(psiSchema, cur),
+        Seq("v", "w"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(5))).toMap
+    assert(out("v") == (100L, 100L, 0L, false), s"got ${out("v")}")
+    val (nw, mw, psiW, driftedW) = out("w")
+    assert(nw == 100L && mw == 100L && psiW > 200000000000L && driftedW,
+      s"got ${out("w")}")
+    // a feature with no reference data drops (the reference defines the
+    // binning); nulls are ignored, not binned
+    val refNullW = (1 to 50).map(i => Row(i.toDouble, null))
+    val o2 = Analytics.psiDrift(df(psiSchema, refNullW), df(psiSchema, cur),
+      Seq("v", "w")).collect().map(_.getString(0)).toSet
+    assert(o2 == Set("v"))
+    intercept[IllegalArgumentException](Analytics.psiDrift(
+      df(psiSchema, ref), df(psiSchema, cur), Seq.empty))
+  }
 }

@@ -1030,4 +1030,36 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Curation.spanCorrupt(docs, "text", "doc_id", 2, 1, 9))
   }
+
+  test("epochAllocation: caps saturate, leftover redistributes by headroom, crumbs reported") {
+    // availability a=1000, b=100, c=500; weights 1/2, 1/4, 1/4 of 4000:
+    // desired 2000/1000/1000, caps 4000/400/2000 -> b saturates (600
+    // unspent), headrooms a=2000 c=1000 -> extra a=400 c=200
+    val src = StructType(Seq(StructField("src", StringType),
+      StructField("tok", LongType)))
+    val rows = Seq(Row("a", 1000L), Row("b", 100L), Row("c", 500L),
+      Row("zz", 9999L)) // non-weighted sources are ignored
+    val out = Curation.epochAllocation(df(src, rows), "src", "tok",
+        Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25), budget = 4000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(6))).toMap
+    assert(out("a") == (1000L, 2000L, 4000L, 2400L, 2400L, false), s"got ${out("a")}")
+    assert(out("b") == (100L, 1000L, 400L, 400L, 4000L, true))
+    assert(out("c") == (500L, 1000L, 2000L, 1200L, 2400L, false))
+    assert(!out.contains("zz"))
+    // fully saturated corpus: budget dwarfs 4 epochs of everything —
+    // every source pins at cap, nothing to redistribute
+    val sat = Curation.epochAllocation(df(src, rows), "src", "tok",
+        Map("a" -> 0.5, "b" -> 0.5), budget = 100000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(4), r.getBoolean(6))).toMap
+    assert(sat == Map("a" -> (4000L, true), "b" -> (400L, true)))
+    // a weighted source absent from the data reports zero availability
+    val missing = Curation.epochAllocation(df(src, rows.take(1)), "src", "tok",
+        Map("a" -> 0.5, "nope" -> 0.5), budget = 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(missing("nope") == 0L)
+    intercept[IllegalArgumentException](Curation.epochAllocation(
+      df(src, rows), "src", "tok", Map("a" -> 0.5), budget = 0L))
+  }
 }

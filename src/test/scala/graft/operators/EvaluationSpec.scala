@@ -417,4 +417,45 @@ class EvaluationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("conforming")).toMap
     assert(out == Map(1L -> true, 2L -> false))
   }
+
+  private val brierSchema = StructType(Seq(StructField("g", StringType),
+    StructField("p", DoubleType), StructField("y", BooleanType)))
+
+  test("brierDecomposition: bin-constant forecasts make Murphy's identity exact") {
+    // bin 2 (p=0.25): 1 of 4 positive -> perfectly calibrated;
+    // bin 7 (p=0.75): 3 of 4 positive -> perfectly calibrated.
+    // reliability 0, resolution 0.0625, uncertainty 0.25, brier 0.1875
+    // = rel - res + unc EXACTLY (forecasts constant within bins)
+    val rows = Seq(
+      Row("a", 0.25, true), Row("a", 0.25, false), Row("a", 0.25, false),
+      Row("a", 0.25, false),
+      Row("a", 0.75, true), Row("a", 0.75, true), Row("a", 0.75, true),
+      Row("a", 0.75, false))
+    val r = Evaluation.brierDecomposition(df(brierSchema, rows), "g", "p", "y")
+      .collect().head
+    assert(r.getLong(1) == 8L)
+    assert(r.getDouble(2) == 0.1875, s"brier=${r.getDouble(2)}")       // exact dyadics
+    assert(r.getDouble(3) == 0.25 && r.getDouble(4) == 0.0 &&
+      r.getDouble(5) == 0.0625, r.toString)
+    assert(r.getDouble(2) == r.getDouble(4) - r.getDouble(5) + r.getDouble(3))
+  }
+
+  test("brierDecomposition: a constant off-base-rate forecast is pure reliability") {
+    // everyone forecast 0.5, base rate 0.25: resolution 0 (one bin),
+    // reliability (0.5-0.25)^2 = 0.0625, uncertainty 0.1875
+    val rows = Seq(Row("b", 0.5, true), Row("b", 0.5, false),
+      Row("b", 0.5, false), Row("b", 0.5, false))
+    val r = Evaluation.brierDecomposition(df(brierSchema, rows), "g", "p", "y")
+      .collect().head
+    assert(r.getDouble(4) == 0.0625 && r.getDouble(5) == 0.0 &&
+      r.getDouble(3) == 0.1875, r.toString)
+    // p=1.0 clamps into the top bin; null rows drop
+    val edge = Seq(Row("c", 1.0, true), Row("c", 0.95, true),
+      Row("c", null, true), Row("c", 0.95, null))
+    val e = Evaluation.brierDecomposition(df(brierSchema, edge), "g", "p", "y")
+      .collect().head
+    assert(e.getLong(1) == 2L && e.getDouble(5) == 0.0)
+    intercept[IllegalArgumentException](Evaluation.brierDecomposition(
+      df(brierSchema, rows), "g", "p", "y", bins = 1))
+  }
 }

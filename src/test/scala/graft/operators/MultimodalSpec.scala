@@ -317,6 +317,45 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeVideoFrames(5L, opaque, 1).isEmpty)
   }
 
+  test("WebM probe reads counted blocks/keyframes, Info timing, and the video TrackEntry") {
+    val webm = Multimodal.webmBytes(16, 12, nBlocks = 5)
+    val p = Multimodal.probeWebm(7L, webm)
+    // 5 blocks, even indices keyframed (3), timescale 10⁶ ns, duration
+    // 5·40 ms, codec/dims from the TrackEntry
+    assert(p == Multimodal.WebmProbe(7L, ok = true, 5, 3, 1000000L, 200L, "V_VP8", 16, 12), p)
+    // the live-streaming shape: unknown-size Segment AND Cluster VINTs
+    // (RFC 8794 all-ones sizes) must parse to the same counted readout
+    val streamed = Multimodal.webmBytes(16, 12, nBlocks = 5, unknownSizes = true)
+    assert(Multimodal.probeWebm(8L, streamed) ==
+      Multimodal.WebmProbe(8L, ok = true, 5, 3, 1000000L, 200L, "V_VP8", 16, 12))
+    // the BlockGroup long form: frames count as blocks; keyframe iff the
+    // group carries no ReferenceBlock (odd indices do — inter-coded)
+    val grouped = Multimodal.webmBytes(16, 12, nBlocks = 5, blockGroups = true)
+    assert(Multimodal.probeWebm(9L, grouped) ==
+      Multimodal.WebmProbe(9L, ok = true, 5, 3, 1000000L, 200L, "V_VP8", 16, 12))
+  }
+
+  test("dirty WebM containers stay total: truncated/garbage/null probe ok=false") {
+    val webm = Multimodal.webmBytes(16, 12, nBlocks = 3)
+    val truncated = webm.take(16) // EBML magic survives, no Segment tree
+    assert(Multimodal.probeWebm(2L, truncated) ==
+      Multimodal.WebmProbe(2L, ok = false, 0, 0, 0L, 0L, "", 0, 0))
+    assert(!Multimodal.probeWebm(3L, Array.fill[Byte](64)(0x21)).ok)
+    assert(!Multimodal.probeWebm(4L, null).ok)
+    // blocks of a NON-video track must not count: flip the TrackType
+    // byte to 2 (audio) — no video track, probe false (the walk never
+    // invents a track)
+    val audioOnly = webm.clone()
+    // TrackType element is id 0x83, size VINT 0x40 0x01, value 1 —
+    // locate the 4-byte pattern and flip the value byte
+    val at = audioOnly.indices.indexWhere(i => i + 3 < audioOnly.length &&
+      (audioOnly(i) & 0xff) == 0x83 && (audioOnly(i + 1) & 0xff) == 0x40 &&
+      (audioOnly(i + 2) & 0xff) == 0x01 && (audioOnly(i + 3) & 0xff) == 0x01)
+    assert(at > 0)
+    audioOnly(at + 3) = 2
+    assert(!Multimodal.probeWebm(5L, audioOnly).ok)
+  }
+
   test("a custom decoder plugs into the extractVideoFrames SPI seam") {
     // the pluggable-decoder contract: any (id, bytes, everyN) =>
     // Seq[FrameFeatures] slots in without touching the Spark plumbing —

@@ -384,4 +384,38 @@ class ProfileSpec extends SparkSpec {
     assert(out(("spam", 2)) < 0.05)
     assert(out(("org", 2)) > 0.2)
   }
+
+  test("gopherQualityFlags: each published rule trips on its planted violator only") {
+    val gSchema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    val good = "The quick brown fox jumps over the lazy dog and " +
+      "then runs off to find more of that good food with great speed today"
+    val docs = Seq(
+      Row(1L, good),                                          // passes everything
+      Row(2L, "too short to count"),                          // f_word_count
+      Row(3L, good + " " + Seq.fill(4)("### ## #").mkString(" ")), // f_symbol
+      Row(4L, good + "\n" + (1 to 20).map(i => s"- item $i").mkString("\n")), // f_bullet
+      Row(5L, good + "\n" + (1 to 15).map(i => s"cliffhanger line $i...").mkString("\n")), // f_ellipsis
+      Row(6L, good + " " + (1 to 30).map(_.toString).mkString(" ")), // f_alpha
+      Row(7L, "lorem ipsum dolor sit amet " * 6),             // f_stopwords
+      Row(8L, null))                                          // null text -> empty
+    val out = Profile.gopherQualityFlags(df(gSchema, docs), "id", "text",
+        minWords = 20L, maxWords = 100000L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long): Seq[Boolean] =
+      (4 to 10).map(i => out(id).getBoolean(i)) // f_word_count..f_stopwords
+    assert(out(1L).getBoolean(11), out(1L).toString)          // keep
+    assert(flags(1L).forall(identity))
+    assert(!out(2L).getBoolean(4) && !out(2L).getBoolean(11)) // word count
+    assert(!out(3L).getBoolean(6))                            // symbol ratio
+    assert(!out(4L).getBoolean(7))                            // bullet lines
+    assert(!out(5L).getBoolean(8))                            // ellipsis lines
+    assert(!out(6L).getBoolean(9))                            // alpha words
+    assert(!out(7L).getBoolean(10))                           // required stopwords
+    // null text: zero words fails the positive-count rules, never throws
+    assert(out(8L).getLong(1) == 0L && !out(8L).getBoolean(11))
+    // mean word length is integer hundredths: "The quick ..." fixture
+    val mwl = out(1L).getLong(3)
+    assert(mwl >= 300L && mwl <= 1000L, s"mwl=$mwl")
+  }
 }

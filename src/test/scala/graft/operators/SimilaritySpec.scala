@@ -519,4 +519,34 @@ class SimilaritySpec extends SparkSpec {
     val z = Similarity.embeddingDrift(c, c, "emb").head()
     assert(z.getDouble(5) == 0.0 && z.isNullAt(7), z.toString)
   }
+
+  test("pcaPowerComponent: rank-one data recovers the planted direction exactly") {
+    val sch = StructType(Seq(StructField("emb", ArrayType(FloatType))))
+    // points t·(3,4,0,0), t ∈ -2..2: scatter = 5e7·uuᵀ, top component
+    // ∝ u with max-normalized loadings (750000, 1000000, 0, 0) — a
+    // FIXED point of the integer iteration from v0 = e0; variance along
+    // the unit direction is Σ(5t)²/5 = 50 exactly
+    val rows = (-2 to 2).map(t =>
+      Row(Seq(3.0f * t, 4.0f * t, 0.0f, 0.0f)))
+    val out = Similarity.pcaPowerComponent(df(sch, rows), "emb", dim = 4)
+      .collect().sortBy(_.getInt(0))
+    assert(out.map(_.getLong(1)).toSeq == Seq(750000L, 1000000L, 0L, 0L),
+      out.mkString(";"))
+    assert(out.head.getLong(2) == 5L && out.head.getDouble(3) == 50.0)
+    // mean-centering: the same direction shifted off origin must give
+    // the same component (scatter is translation-invariant)
+    val shifted = (-2 to 2).map(t =>
+      Row(Seq(3.0f * t + 10f, 4.0f * t + 20f, 7.0f, 7.0f)))
+    val o2 = Similarity.pcaPowerComponent(df(sch, shifted), "emb", dim = 4)
+      .collect().sortBy(_.getInt(0))
+    assert(o2.map(_.getLong(1)).toSeq == Seq(750000L, 1000000L, 0L, 0L),
+      o2.mkString(";"))
+    assert(o2.head.getDouble(3) == 50.0)
+    // wrong-length vectors are excluded by the dim filter; all-zero
+    // input fails loudly instead of silently looping on a zero iterate
+    val degenerate = df(sch, Seq(Row(Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      Row(Seq(0.0f, 0.0f, 0.0f, 0.0f))))
+    intercept[IllegalArgumentException](
+      Similarity.pcaPowerComponent(degenerate, "emb", dim = 4))
+  }
 }

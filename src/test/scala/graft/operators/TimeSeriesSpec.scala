@@ -211,4 +211,36 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.cusum(df(seqSchema, rows), "uid", "ord", "v", 10.0, -1.0, 12.0))
   }
+
+  private val mkSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("e", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType)))
+
+  test("mannKendall: monotone series maxes S with positive Z; ties correct the variance") {
+    // strictly increasing over 10 buckets: S = 45, var_num = 10·9·25,
+    // Z = 44/sqrt(2250/18)
+    val up = (1L to 10L).map(i => Row("up", i, i * 3L))
+    // constant series: S = 0, the tie term cancels var_num -> Z null
+    val flat = (1L to 10L).map(i => Row("flat", i, 7L))
+    // strictly decreasing: mirrored S
+    val down = (1L to 6L).map(i => Row("down", i, 100L - i))
+    val out = TimeSeries.mannKendall(df(mkSchema, up ++ flat ++ down),
+        "e", "t", "x")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) null else Double.box(r.getDouble(4)))).toMap
+    val (nU, sU, vU, zU) = out("up")
+    assert(nU == 10L && sU == 45L && vU == 2250L)
+    assert(math.abs(zU - 44.0 / math.sqrt(125.0)) < 1e-12, s"z=$zU")
+    assert(out("flat")._2 == 0L && out("flat")._3 == 0L && out("flat")._4 == null)
+    assert(out("down")._2 == -15L && out("down")._4.doubleValue < 0.0)
+    // partial ties: (1,1,2,3) over 4 buckets — S counts only strict
+    // pairs, the t=2 tie subtracts 2·1·9 from 4·3·13
+    val tied = Seq(Row("tied", 1L, 1L), Row("tied", 2L, 1L),
+      Row("tied", 3L, 2L), Row("tied", 4L, 3L))
+    val t = TimeSeries.mannKendall(df(mkSchema, tied), "e", "t", "x")
+      .collect().head
+    assert(t.getLong(2) == 5L && t.getLong(3) == 4L * 3L * 13L - 2L * 1L * 9L)
+  }
 }
