@@ -270,7 +270,11 @@ object Bench {
     // algebra on the NDV-bounded distinct tables) and the top principal
     // component by integer power iteration (one exploded d² moment
     // pass + driver-side BigInt iterates on the d²-bounded scatter)
-    "q_psi", "q_pca_power")
+    "q_psi", "q_pca_power",
+    // r15 second wave — the audio container probes: MP3 frame-header
+    // hop (4 bytes per frame) and the Ogg page/lacing walk, both
+    // decode-free counted-structure scans
+    "q_mp3_probe", "q_ogg_probe")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

@@ -2777,6 +2777,36 @@ object SparkEntry {
       Multimodal.extractWebmProbe(media).toDF().orderBy(col("media_id"))
     }),
 
+    "q_mp3_probe" -> ((s, dir) => {
+      // MPEG-audio frame-header walk as a corpus query: every 53rd doc
+      // carries a planted (2 + id%5)-frame 128kbps/32kHz Layer III
+      // stream (ID3v2 front tag skipped via syncsafe size, ID3v1 "TAG"
+      // trailer ends the walk cleanly); ids divisible by 106 are
+      // TRUNCATED to 8 bytes — the dirty ok=false fallback row. Frame
+      // and sample totals are COUNTED complete frames, never a tag
+      // claim; duration is exact integer math (36 ms per frame).
+      val docs = T(s, dir, "documents").filter(col("doc_id") % 53 === 0)
+      val media = Multimodal.syntheticRealMp3(docs, "doc_id")
+        .withColumn("payload", when(col("media_id") % 106 === 0,
+          expr("substring(payload, 1, 8)")).otherwise(col("payload")))
+      Multimodal.extractMp3Probe(media).toDF().orderBy(col("media_id"))
+    }),
+
+    "q_ogg_probe" -> ((s, dir) => {
+      // Ogg page walk as a corpus query: every 59th doc carries a
+      // planted Vorbis stream (BOS id page + (2 + id%5) two-packet
+      // data pages, granule stepping 3200 samples at 32 kHz ⇒ 100 ms
+      // per page); ids divisible by 118 are TRUNCATED to 8 bytes — the
+      // dirty ok=false fallback row. Page/packet totals are COUNTED
+      // from headers and lacing tables; duration comes from the final
+      // granule, never a comment tag.
+      val docs = T(s, dir, "documents").filter(col("doc_id") % 59 === 0)
+      val media = Multimodal.syntheticRealOgg(docs, "doc_id")
+        .withColumn("payload", when(col("media_id") % 118 === 0,
+          expr("substring(payload, 1, 8)")).otherwise(col("payload")))
+      Multimodal.extractOggProbe(media).toDF().orderBy(col("media_id"))
+    }),
+
     // ---- model-evaluation metrics: the offline-eval pass after every
     // ranker / classifier / reward-model change ----
     "q_eval_rank" -> ((s, dir) =>
@@ -6368,6 +6398,36 @@ object SparkEntry {
         |       CASE WHEN dirty THEN '' ELSE 'V_VP8' END AS codec,
         |       CAST(CASE WHEN dirty THEN 0 ELSE 16 END AS INTEGER) AS width,
         |       CAST(CASE WHEN dirty THEN 0 ELSE 12 END AS INTEGER) AS height
+        |FROM d ORDER BY media_id""".stripMargin,
+
+    // MP3 probe replay: counted frames n = 2 + id%5, 32 kHz joint
+    // stereo at 128 kbps, duration_ms = n·36 exact (1152 samples/frame
+    // at 32 kHz) — and the truncated ids are the all-zero ok=false row.
+    "q_mp3_probe" ->
+      """WITH d AS (SELECT doc_id AS media_id, 2 + doc_id % 5 AS n,
+        |                  doc_id % 106 = 0 AS dirty
+        |           FROM documents WHERE doc_id % 53 = 0)
+        |SELECT media_id, NOT dirty AS ok,
+        |       CAST(CASE WHEN dirty THEN 0 ELSE n END AS INTEGER) AS n_frames,
+        |       CAST(CASE WHEN dirty THEN 0 ELSE 32000 END AS INTEGER) AS sample_rate,
+        |       CAST(CASE WHEN dirty THEN 0 ELSE 2 END AS INTEGER) AS channels,
+        |       CAST(CASE WHEN dirty THEN 0 ELSE 128 END AS INTEGER) AS bitrate_kbps,
+        |       CAST(CASE WHEN dirty THEN 0 ELSE n * 36 END AS BIGINT) AS duration_ms
+        |FROM d ORDER BY media_id""".stripMargin,
+
+    // Ogg probe replay: counted pages n+1 (BOS + n data pages), lacing
+    // packets 2n+1, vorbis at 32 kHz, duration_ms = n·100 exact — and
+    // the truncated ids are the all-zero ok=false row.
+    "q_ogg_probe" ->
+      """WITH d AS (SELECT doc_id AS media_id, 2 + doc_id % 5 AS n,
+        |                  doc_id % 118 = 0 AS dirty
+        |           FROM documents WHERE doc_id % 59 = 0)
+        |SELECT media_id, NOT dirty AS ok,
+        |       CAST(CASE WHEN dirty THEN 0 ELSE n + 1 END AS INTEGER) AS n_pages,
+        |       CAST(CASE WHEN dirty THEN 0 ELSE 2 * n + 1 END AS INTEGER) AS n_packets,
+        |       CASE WHEN dirty THEN '' ELSE 'vorbis' END AS codec,
+        |       CAST(CASE WHEN dirty THEN 0 ELSE 32000 END AS INTEGER) AS sample_rate,
+        |       CAST(CASE WHEN dirty THEN 0 ELSE n * 100 END AS BIGINT) AS duration_ms
         |FROM d ORDER BY media_id""".stripMargin,
 
     // Every metric is truncating integer arithmetic (// here, DIV in the

@@ -1400,53 +1400,70 @@ object Analytics {
                bins: Int = 10, scale: Int = 6,
                thresholdFp: Long = 200000000000L): DataFrame = {
     require(features.nonEmpty, "psiDrift needs at least one feature")
-    require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000], got $bins")
     require(scale >= 0 && scale <= 9, s"scale must be in [0, 9], got $scale")
     val p = math.pow(10.0, scale)
-    def melt(df: DataFrame) = features.map(f =>
+    def melt(df: DataFrame, out: String, zero: String) = features.map(f =>
         df.filter(col(f).isNotNull).select(lit(f).as("feature"),
           floor(col(f).cast("double") * lit(p)).cast("long").as("_q")))
       .reduce(_ unionAll _)
-    val refH = melt(ref).groupBy(col("feature"), col("_q"))
-      .agg(count(lit(1)).as("_c"))
-      .localCheckpoint(true) // cum window + totals + bin counts read it
-    val curH = melt(cur).groupBy(col("feature"), col("_q"))
-      .agg(count(lit(1)).as("_c"))
-      .localCheckpoint(true) // totals + bin counts
-    val nRef = refH.groupBy(col("feature")).agg(sum(col("_c")).as("_n"))
+      .groupBy(col("feature"), col("_q"))
+      .agg(count(lit(1)).as(out)).withColumn(zero, lit(0L))
+    val counts = melt(ref, "c_a", "c_b")
+      .unionByName(melt(cur, "c_b", "c_a"))
+      .groupBy(col("feature"), col("_q"))
+      .agg(sum(col("c_a")).as("c_a"), sum(col("c_b")).as("c_b"))
+    psiFromCounts(counts, "feature", bins, thresholdFp)
+  }
+
+  /** The PSI core over a pre-aggregated side-by-side histogram —
+    * (groupCol, _q, c_a, c_b) with c_a the REFERENCE counts — shared by
+    * [[psiDrift]] and the streaming
+    * [[graft.streaming.IncrementalStream.psiDriftStream]] tick so the
+    * two surfaces cannot diverge (the [[ksTestFromCounts]] pattern).
+    * Zero-count rows on either side are fine: reference boundaries see
+    * only c_a mass, and Laplace smoothing keeps empty bins finite.
+    * Groups with zero reference mass drop (the reference defines the
+    * binning). */
+  def psiFromCounts(counts: DataFrame, groupCol: String, bins: Int = 10,
+                    thresholdFp: Long = 200000000000L): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000], got $bins")
+    val h = counts.localCheckpoint(true) // cum window + totals + bin counts
+    val totals = h.groupBy(col(groupCol))
+      .agg(sum(col("c_a")).as("_n"), sum(col("c_b")).as("_m"))
+      .filter(col("_n") > 0L)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("feature")).orderBy(col("_q"))
+      .partitionBy(col(groupCol)).orderBy(col("_q"))
       .rowsBetween(Long.MinValue, 0)
-    val cum = refH.withColumn("_cum", sum(col("_c")).over(w))
-    val ks = nRef.withColumn("_k", explode(sequence(lit(1L), lit(bins - 1L))))
+    val cum = h.withColumn("_cum", sum(col("c_a")).over(w))
+    val ks = totals.withColumn("_k", explode(sequence(lit(1L), lit(bins - 1L))))
       .withColumn("_rank", expr(s"(_k * _n + ${bins - 1}) DIV $bins"))
-    val bounds = cum.join(ks, Seq("feature"))
+    val bounds = cum.join(ks.select(col(groupCol), col("_k"), col("_rank")),
+        Seq(groupCol))
       .filter(col("_cum") >= col("_rank"))
-      .groupBy(col("feature"), col("_k")).agg(min(col("_q")).as("_b"))
+      .groupBy(col(groupCol), col("_k")).agg(min(col("_q")).as("_b"))
       .localCheckpoint(true) // both sides' bin assignment reads it
-    def binCounts(h: DataFrame, out: String) = h
-      .join(bounds, Seq("feature")) // (bins-1) boundary rows per distinct q
-      .groupBy(col("feature"), col("_q"), col("_c"))
+    val binned = h
+      .join(bounds, Seq(groupCol)) // (bins-1) boundary rows per distinct q
+      .groupBy(col(groupCol), col("_q"), col("c_a"), col("c_b"))
       .agg(sum(when(col("_b") <= col("_q"), 1L).otherwise(0L)).as("_bin"))
-      .groupBy(col("feature"), col("_bin")).agg(sum(col("_c")).as(out))
-    val grid = nRef.select(col("feature"), col("_n"))
+      .groupBy(col(groupCol), col("_bin"))
+      .agg(sum(col("c_a")).as("_ca0"), sum(col("c_b")).as("_cb0"))
+    val grid = totals
       .withColumn("_bin", explode(sequence(lit(0L), lit(bins - 1L))))
     val joined = grid
-      .join(binCounts(refH, "_ca"), Seq("feature", "_bin"), "left")
-      .join(binCounts(curH, "_cb"), Seq("feature", "_bin"), "left")
-      .join(curH.groupBy(col("feature")).agg(sum(col("_c")).as("_m")), Seq("feature"))
-      .withColumn("_ca", coalesce(col("_ca"), lit(0L)))
-      .withColumn("_cb", coalesce(col("_cb"), lit(0L)))
+      .join(binned, Seq(groupCol, "_bin"), "left")
+      .withColumn("_ca", coalesce(col("_ca0"), lit(0L)))
+      .withColumn("_cb", coalesce(col("_cb0"), lit(0L)))
     val pa = (col("_ca") + lit(1L)).cast("double") /
       (col("_n") + lit(bins.toLong)).cast("double")
     val pb = (col("_cb") + lit(1L)).cast("double") /
       (col("_m") + lit(bins.toLong)).cast("double")
     joined
-      .select(col("feature"), col("_n"), col("_m"),
+      .select(col(groupCol), col("_n"), col("_m"),
         floor((pa - pb) * log(pa / pb) * lit(1e12)).cast("long").as("_t"))
-      .groupBy(col("feature"), col("_n"), col("_m"))
+      .groupBy(col(groupCol), col("_n"), col("_m"))
       .agg(sum(col("_t")).as("psi_fp"))
-      .select(col("feature"), col("_n").as("n_ref"), col("_m").as("n_cur"),
+      .select(col(groupCol), col("_n").as("n_ref"), col("_m").as("n_cur"),
         col("psi_fp"),
         (col("psi_fp").cast("double") / lit(1e12)).as("psi"),
         (col("psi_fp") > lit(thresholdFp)).as("drifted"))

@@ -1313,4 +1313,317 @@ object Multimodal {
       .toDF("media_id", "kind", "uri", "payload")
       .withColumn("meta", map(lit("codec"), lit("vp8-webm")))
   }
+
+  // ---- MP3 / MPEG audio: the frame-header walk (ISO/IEC 11172-3 —
+  // public spec, pure JVM). The JDK has no MP3 decoder, but everything
+  // an audio-corpus audit needs is in the frame headers: COUNTED
+  // complete frames (never a duration tag's claim), sample rate,
+  // channel mode, first-frame bitrate, and the exact sample total.
+  // Probing costs 4 header bytes per frame hop — a 100 TB MP3 corpus
+  // probes at scan speed. ----
+
+  // bitrate kbps by [versionGroup][layer][index]: group 0 = MPEG1,
+  // group 1 = MPEG2/2.5; layer 1/2/3 (index 0 and 15 are free/bad)
+  private val Mp3BitrateV1 = Array(
+    Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448, 0), // L1
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384, 0),    // L2
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0))     // L3
+  private val Mp3BitrateV2 = Array(
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256, 0),    // L1
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0),         // L2
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0))         // L3
+  // sample rate Hz by [version(0=2.5,2=2,3=1)][index]
+  private val Mp3Rate = Array(
+    Array(11025, 12000, 8000, 0), Array(0, 0, 0, 0),
+    Array(22050, 24000, 16000, 0), Array(44100, 48000, 32000, 0))
+
+  /** One parsed MPEG audio frame header: (frameLengthBytes,
+    * samplesPerFrame, sampleRateHz, channels, bitrateKbps), or None if
+    * the 4 bytes at `pos` are not a valid sync + header. */
+  private def mp3FrameAt(b: Array[Byte], pos: Int): Option[(Int, Int, Int, Int, Int)] = {
+    if (pos + 4 > b.length) return None
+    if ((b(pos) & 0xff) != 0xff || (b(pos + 1) & 0xe0) != 0xe0) return None
+    val version = (b(pos + 1) >> 3) & 0x3 // 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    val layerBits = (b(pos + 1) >> 1) & 0x3 // 3=L1, 2=L2, 1=L3
+    if (version == 1 || layerBits == 0) return None
+    val layer = 4 - layerBits // 1, 2, 3
+    val brIdx = (b(pos + 2) >> 4) & 0xf
+    val rateIdx = (b(pos + 2) >> 2) & 0x3
+    if (brIdx == 0 || brIdx == 15 || rateIdx == 3) return None
+    val rate = Mp3Rate(version)(rateIdx)
+    val kbps = (if (version == 3) Mp3BitrateV1 else Mp3BitrateV2)(layer - 1)(brIdx)
+    if (rate == 0 || kbps == 0) return None
+    val padding = (b(pos + 2) >> 1) & 0x1
+    val channels = if (((b(pos + 3) >> 6) & 0x3) == 3) 1 else 2
+    val samples =
+      if (layer == 1) 384
+      else if (layer == 2) 1152
+      else if (version == 3) 1152 else 576 // L3: 1152 MPEG1, 576 MPEG2/2.5
+    val len =
+      if (layer == 1) (12 * kbps * 1000 / rate + padding) * 4
+      else (samples / 8) * kbps * 1000 / rate + padding
+    if (len <= 4) None else Some((len, samples, rate, channels, kbps))
+  }
+
+  /** Walk the frame stream: skip a leading ID3v2 tag (syncsafe size),
+    * scan to the first sync, then hop header-declared frame lengths
+    * counting only COMPLETE frames; a trailing ID3v1 "TAG" block or
+    * garbage after the last complete frame ends the walk cleanly.
+    * Returns (nFrames, sampleRate, channels, firstKbps, totalSamples)
+    * of the first synced stream, or None if no frame parses. */
+  private[graft] def parseMp3(b: Array[Byte]): Option[(Int, Int, Int, Int, Long)] =
+    try {
+      if (b == null || b.length < 4) return None
+      var pos = 0
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+        val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+          ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+        val footer = if ((b(5) & 0x10) != 0) 10 else 0
+        pos = 10 + size + footer
+      }
+      // resync scan: tolerate junk before the first frame only
+      var first: Option[(Int, Int, Int, Int, Int)] = None
+      while (first.isEmpty && pos + 4 <= b.length) {
+        first = mp3FrameAt(b, pos)
+        if (first.isEmpty) pos += 1
+      }
+      val (len0, samples0, rate0, ch0, kbps0) = first.getOrElse(return None)
+      var frames = 0
+      var samples = 0L
+      var len = len0
+      var done = false
+      while (!done) {
+        if (pos + len > b.length) done = true // incomplete tail frame: not counted
+        else {
+          frames += 1
+          samples += (if (frames == 1) samples0
+            else mp3FrameAt(b, pos).map(_._2).getOrElse(0))
+          pos += len
+          mp3FrameAt(b, pos) match {
+            case Some((l, _, _, _, _)) => len = l
+            case None => done = true // trailing TAG/garbage — counted frames stand
+          }
+        }
+      }
+      if (frames == 0) None else Some((frames, rate0, ch0, kbps0, samples))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One probe row per MP3: counted frame/sample totals (the duration
+    * is samples·1000/rate integer math — exact, never a tag claim),
+    * rate/channels/bitrate from the first frame header. Dirty or
+    * non-MPEG payloads return the `ok = false` zero row (the
+    * [[Mp4Probe]] fallback contract). */
+  case class Mp3Probe(media_id: Long, ok: Boolean, n_frames: Int, sample_rate: Int,
+                      channels: Int, bitrate_kbps: Int, duration_ms: Long)
+
+  def probeMp3(mediaId: Long, payload: Array[Byte]): Mp3Probe =
+    parseMp3(payload) match {
+      case Some((frames, rate, ch, kbps, samples)) =>
+        Mp3Probe(mediaId, ok = true, frames, rate, ch, kbps,
+          if (rate > 0) samples * 1000L / rate else 0L)
+      case None => Mp3Probe(mediaId, ok = false, 0, 0, 0, 0, 0L)
+    }
+
+  /** Per-partition batched MP3 probing — [[extractMp4Probe]] for the
+    * MPEG audio family: one row per audio payload, decode-free. */
+  def extractMp3Probe(media: DataFrame): Dataset[Mp3Probe] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it => it.map { case (id, bytes) => probeMp3(id, bytes) } }
+  }
+
+  /** Spec-correct MPEG1 Layer III frame stream: `nFrames` frames at
+    * 128 kbps / 32 kHz joint stereo (frame length exactly
+    * 144·128000/32000 = 576 bytes, 1152 samples ⇒ 36 ms per frame —
+    * every probed field closed-form), wrapped in an ID3v2.4 tag up
+    * front and an ID3v1 "TAG" block behind, so the walk's skip/stop
+    * paths are always exercised. Frame payloads are deterministic
+    * filler — the probe never reads past the 4 header bytes. */
+  private[graft] def mp3Bytes(nFrames: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    // ID3v2.4: "ID3", ver 4.0, flags 0, syncsafe size 16 -> 16 junk bytes
+    out.write(Array[Byte]('I'.toByte, 'D'.toByte, '3'.toByte, 4, 0, 0, 0, 0, 0, 16))
+    out.write(Array.tabulate[Byte](16)(i => (0x41 + i).toByte))
+    val header = Array[Byte](0xff.toByte, 0xfb.toByte, 0x98.toByte, 0x40.toByte)
+    (0 until nFrames).foreach { f =>
+      out.write(header)
+      out.write(Array.tabulate[Byte](576 - 4)(i => ((f * 31 + i) & 0xff).toByte))
+    }
+    out.write("TAG".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(Array.fill[Byte](125)(0x20))
+    out.toByteArray
+  }
+
+  /** Media table of planted MP3 streams with CLOSED-FORM probe fields —
+    * (2 + id%5) frames ⇒ duration_ms = n·36 exactly — so `q_mp3_probe`
+    * states every probed row arithmetically. */
+  def syntheticRealMp3(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val payload: Long => Array[Byte] = (id: Long) => mp3Bytes(2 + (id % 5).toInt)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .as[Long]
+      .mapPartitions { it => it.map(id => (id, "audio", s"synthetic://$id", payload(id))) }
+      .toDF("media_id", "kind", "uri", "payload")
+      .withColumn("meta", map(lit("codec"), lit("mp3")))
+  }
+
+  // ---- Ogg: the page walk (RFC 3533 — public spec, pure JVM). The
+  // fourth container probe next to MP4/WebM/MP3: counted pages and
+  // lacing-terminated packets, codec id from the BOS payload magic
+  // (Vorbis id header / OpusHead), duration from the final granule
+  // position in codec units. Page CRCs are NOT verified — the probe
+  // counts structure; a corrupted page body that keeps its header
+  // still walks (decode would catch it, and a probe that rejects 1-bit
+  // body damage would under-count real corpora). ----
+
+  private def u64leOgg(b: Array[Byte], off: Int): Long =
+    u32le(b, off) | (u32le(b, off + 4) << 32) // reuses the RIFF u32le
+
+  private def u16le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** One probe row per Ogg stream: counted page/packet totals, codec
+    * from the BOS payload, sample rate from the codec id header, and
+    * duration from the LAST page's granule position (Vorbis: samples
+    * at the stream rate; Opus: 48 kHz ticks minus the pre-skip). */
+  case class OggProbe(media_id: Long, ok: Boolean, n_pages: Int, n_packets: Int,
+                      codec: String, sample_rate: Int, duration_ms: Long)
+
+  /** Walk "OggS" page headers (version 0): (pages, packets, codec,
+    * rate, preskip, lastGranule), or None when no page parses. A page
+    * whose claimed size escapes the buffer ends the walk — counted
+    * pages stand, the [[decodeAviFrames]] convention. */
+  private[graft] def parseOgg(b: Array[Byte]): Option[(Int, Int, String, Int, Int, Long)] =
+    try {
+      if (b == null || b.length < 28) return None
+      var pos = 0
+      var pages = 0
+      var packets = 0
+      var codec = ""
+      var rate = 0
+      var preskip = 0
+      var lastGranule = 0L
+      var done = false
+      while (!done && pos + 27 <= b.length) {
+        if (b(pos) != 'O' || b(pos + 1) != 'g' || b(pos + 2) != 'g' ||
+            b(pos + 3) != 'S' || b(pos + 4) != 0) done = true
+        else {
+          val granule = u64leOgg(b, pos + 6)
+          val nsegs = b(pos + 26) & 0xff
+          if (pos + 27 + nsegs > b.length) done = true
+          else {
+            var payload = 0
+            var segPackets = 0
+            var i = 0
+            while (i < nsegs) {
+              val s = b(pos + 27 + i) & 0xff
+              payload += s
+              if (s < 255) segPackets += 1
+              i += 1
+            }
+            val dataStart = pos + 27 + nsegs
+            if (dataStart + payload > b.length) done = true
+            else {
+              pages += 1
+              packets += segPackets
+              if (granule != -1L) lastGranule = granule
+              if (pages == 1 && payload >= 16) {
+                // BOS payload magic: "\x01vorbis" or "OpusHead"
+                val isVorbis = b(dataStart) == 1 &&
+                  new String(b, dataStart + 1, 6, java.nio.charset.StandardCharsets.US_ASCII) == "vorbis"
+                val isOpus = new String(b, dataStart, 8,
+                  java.nio.charset.StandardCharsets.US_ASCII) == "OpusHead"
+                if (isVorbis && payload >= 16) {
+                  codec = "vorbis"
+                  rate = u32le(b, dataStart + 12).toInt
+                } else if (isOpus && payload >= 16) {
+                  codec = "opus"
+                  preskip = u16le(b, dataStart + 10)
+                  rate = 48000 // granules are 48 kHz ticks regardless of input rate
+                }
+              }
+              pos = dataStart + payload
+            }
+          }
+        }
+      }
+      if (pages == 0 || codec.isEmpty) None
+      else Some((pages, packets, codec, rate, preskip, lastGranule))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  def probeOgg(mediaId: Long, payload: Array[Byte]): OggProbe =
+    parseOgg(payload) match {
+      case Some((pages, packets, codec, rate, preskip, granule)) =>
+        val effective = math.max(granule - preskip, 0L)
+        OggProbe(mediaId, ok = true, pages, packets, codec, rate,
+          if (rate > 0) effective * 1000L / rate else 0L)
+      case None => OggProbe(mediaId, ok = false, 0, 0, "", 0, 0L)
+    }
+
+  /** Per-partition batched Ogg probing — [[extractMp3Probe]] for the
+    * Ogg family: one row per audio payload, decode-free. */
+  def extractOggProbe(media: DataFrame): Dataset[OggProbe] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it => it.map { case (id, bytes) => probeOgg(id, bytes) } }
+  }
+
+  /** Spec-correct Ogg-Vorbis page stream: a BOS page carrying the
+    * Vorbis id header (rate 32 kHz), then `nPages` two-packet data
+    * pages whose granule steps 3200 samples each ⇒ duration_ms =
+    * nPages·100 exactly. Page CRCs are zero (the probe never checks
+    * them — see [[parseOgg]]); packet payloads are deterministic
+    * filler. */
+  private[graft] def oggBytes(nPages: Int, rate: Int = 32000): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def page(headerType: Int, granule: Long, seq: Int, segs: Seq[Array[Byte]]): Unit = {
+      out.write("OggS".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      out.write(0) // version
+      out.write(headerType)
+      (0 until 8).foreach(i => out.write(((granule >> (8 * i)) & 0xff).toInt))
+      (0 until 4).foreach(i => out.write((0x42 >> (8 * i)) & 0xff)) // serial
+      (0 until 4).foreach(i => out.write(((seq >> (8 * i)) & 0xff))) // page seq
+      (0 until 4).foreach(_ => out.write(0)) // CRC zero (unchecked)
+      out.write(segs.length)
+      segs.foreach(s => out.write(s.length)) // all fixture segments < 255
+      segs.foreach(s => out.write(s, 0, s.length))
+    }
+    val idHeader = new java.io.ByteArrayOutputStream()
+    idHeader.write(1)
+    idHeader.write("vorbis".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    (0 until 4).foreach(_ => idHeader.write(0)) // version 0
+    idHeader.write(2) // channels
+    (0 until 4).foreach(i => idHeader.write((rate >> (8 * i)) & 0xff))
+    (0 until 13).foreach(_ => idHeader.write(0)) // bitrates, blocksizes
+    idHeader.write(1) // framing bit
+    page(0x02, 0L, 0, Seq(idHeader.toByteArray)) // BOS
+    (1 to nPages).foreach { k =>
+      val p1 = Array.tabulate[Byte](10)(i => ((k * 17 + i) & 0xff).toByte)
+      val p2 = Array.tabulate[Byte](20)(i => ((k * 29 + i) & 0xff).toByte)
+      page(if (k == nPages) 0x04 else 0x00, k.toLong * 3200L, k, Seq(p1, p2))
+    }
+    out.toByteArray
+  }
+
+  /** Media table of planted Ogg-Vorbis streams with CLOSED-FORM probe
+    * fields — (2 + id%5) data pages ⇒ pages = n+1, packets = 2n+1,
+    * duration_ms = n·100 — so `q_ogg_probe` states every probed row
+    * arithmetically. */
+  def syntheticRealOgg(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val payload: Long => Array[Byte] = (id: Long) => oggBytes(2 + (id % 5).toInt)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .as[Long]
+      .mapPartitions { it => it.map(id => (id, "audio", s"synthetic://$id", payload(id))) }
+      .toDF("media_id", "kind", "uri", "payload")
+      .withColumn("meta", map(lit("codec"), lit("ogg-vorbis")))
+  }
 }

@@ -479,6 +479,47 @@ object IncrementalStream {
     q
   }
 
+  /** Streaming PSI gate — [[ksDriftStream]]'s Population-Stability-Index
+    * sibling over the SAME persisted reference histogram table: each
+    * micro-batch aggregates to its NDV-bounded histogram, meets the
+    * re-read reference counts, and
+    * [[graft.operators.Analytics.psiFromCounts]] (the exact core the
+    * batch [[graft.operators.Analytics.psiDrift]] runs) produces one
+    * (group, psi, drifted) verdict row per group PRESENT in the batch
+    * — absent groups keep their previous verdict via the keyed upsert.
+    * State is histogram-sized; the reference corpus never rescans. */
+  def psiDriftStream(src: DataFrame, dst: graft.sources.Connector, table: String,
+                     refHistTable: String, groupCol: String, valueCol: String,
+                     checkpoint: String, bins: Int = 10,
+                     thresholdFp: Long = 200000000000L,
+                     scale: Int = 6): StreamingQuery = {
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val ref = dst.read(refHistTable)
+            .select(col(groupCol), col("value_q").as("_q"),
+              col("c").cast("long").as("c_a"), lit(0L).as("c_b"))
+          val cur = graft.operators.Analytics
+            .quantizedHistogram(batch, groupCol, valueCol, scale)
+            .select(col(groupCol), col("value_q").as("_q"),
+              lit(0L).as("c_a"), col("c").cast("long").as("c_b"))
+          val counts = ref.unionAll(cur)
+            .groupBy(col(groupCol), col("_q"))
+            .agg(sum(col("c_a")).as("c_a"), sum(col("c_b")).as("c_b"))
+          val verdicts = graft.operators.Analytics
+            .psiFromCounts(counts, groupCol, bins, thresholdFp)
+            .filter(col("n_cur") > 0)
+          if (!verdicts.isEmpty) dst.upsert(verdicts, table, groupCol)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming LM quality gate: score arriving documents against a
     * PERSISTED Kneser–Ney trigram model ([[graft.operators.LanguageModel.saveKn]]
     * — train offline once, serve every tick) and upsert

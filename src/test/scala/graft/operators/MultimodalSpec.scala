@@ -356,6 +356,53 @@ class MultimodalSpec extends SparkSpec {
     assert(!Multimodal.probeWebm(5L, audioOnly).ok)
   }
 
+  test("MP3 probe counts complete frames through ID3 tags; dirty payloads stay total") {
+    val mp3 = Multimodal.mp3Bytes(nFrames = 5)
+    // 5 counted frames, 32kHz joint stereo at 128kbps, 36ms per frame;
+    // the ID3v2 front tag is skipped via its syncsafe size and the
+    // ID3v1 TAG trailer ends the walk without inventing a frame
+    assert(Multimodal.probeMp3(7L, mp3) ==
+      Multimodal.Mp3Probe(7L, ok = true, 5, 32000, 2, 128, 180L))
+    // an incomplete tail frame is NOT counted (complete frames only)
+    val clipped = mp3.take(mp3.length - 128 - 3 - 100) // TAG block + 100 frame bytes
+    assert(Multimodal.probeMp3(8L, clipped).n_frames == 4)
+    // junk before the first sync resyncs; junk instead of audio fails
+    val padded = Array.fill[Byte](37)(0x13) ++ Multimodal.mp3Bytes(3)
+    assert(Multimodal.probeMp3(9L, padded).n_frames == 3)
+    assert(!Multimodal.probeMp3(2L, mp3.take(8)).ok)
+    assert(!Multimodal.probeMp3(3L, Array.fill[Byte](64)(0x21)).ok)
+    assert(!Multimodal.probeMp3(4L, null).ok)
+  }
+
+  test("Ogg probe counts pages and lacing packets; Opus granules subtract pre-skip") {
+    val ogg = Multimodal.oggBytes(nPages = 4)
+    // BOS + 4 data pages, 1 + 4·2 packets, 4·3200 samples at 32kHz
+    assert(Multimodal.probeOgg(7L, ogg) ==
+      Multimodal.OggProbe(7L, ok = true, 5, 9, "vorbis", 32000, 400L))
+    // a truncated final page keeps the counted prefix (complete pages
+    // only) and the last COMPLETE page's granule
+    val clipped = ogg.take(ogg.length - 10)
+    val c = Multimodal.probeOgg(8L, clipped)
+    assert(c.ok && c.n_pages == 4 && c.duration_ms == 300L, c.toString)
+    // dirty/garbage/null fall back to the ok=false zero row
+    assert(!Multimodal.probeOgg(2L, ogg.take(8)).ok)
+    assert(!Multimodal.probeOgg(3L, Array.fill[Byte](64)(0x21)).ok)
+    assert(!Multimodal.probeOgg(4L, null).ok)
+    // OpusHead BOS: rate pins to the 48kHz granule clock, pre-skip
+    // subtracts from the final granule
+    val opus = ogg.clone()
+    // rewrite the BOS payload in place: "OpusHead" + ver/ch + preskip
+    // 960 LE at offset 10 (the id header is 30 bytes, enough room)
+    val bos = "OpusHead".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val dataStart = 27 + 1 // one segment in the BOS page
+    bos.indices.foreach(i => opus(dataStart + i) = bos(i))
+    opus(dataStart + 10) = (960 & 0xff).toByte
+    opus(dataStart + 11) = ((960 >> 8) & 0xff).toByte
+    val o = Multimodal.probeOgg(9L, opus)
+    assert(o.codec == "opus" && o.sample_rate == 48000 &&
+      o.duration_ms == (4 * 3200 - 960) * 1000L / 48000, o.toString)
+  }
+
   test("a custom decoder plugs into the extractVideoFrames SPI seam") {
     // the pluggable-decoder contract: any (id, bytes, everyN) =>
     // Seq[FrameFeatures] slots in without touching the Spark plumbing —

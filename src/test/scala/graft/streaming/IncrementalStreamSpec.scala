@@ -266,6 +266,52 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(dst.read("verdicts").count() == 2)
   }
 
+  test("psiDriftStream verdicts == batch psiDrift; absent groups keep their verdict") {
+    val srcDir = tmpDir("graft_psi_src_")
+    val ckpt = tmpDir("graft_psi_ck_")
+    val dst = new graft.sources.ParquetConnector(spark, tmpDir("graft_psi_dst_"))
+    val schema = StructType(Seq(
+      StructField("grp", StringType), StructField("value", DoubleType)))
+    val refRows = (1 to 100).flatMap(i => Seq(Row("g1", i / 10.0), Row("g2", i / 10.0)))
+    val ref = df(schema, refRows)
+    dst.write(graft.operators.Analytics.quantizedHistogram(ref, "grp", "value"),
+      "ref_hist")
+    // wave 1: g1 shifted wholesale past every decile, g2 identical
+    val wave1 = (1 to 100).flatMap(i => Seq(Row("g1", 500.0 + i / 10.0), Row("g2", i / 10.0)))
+    df(schema, wave1).write.mode("append").parquet(srcDir)
+    def run(): Unit = IncrementalStream.psiDriftStream(
+      IncrementalStream.readStream(spark, srcDir, schema), dst, "verdicts",
+      "ref_hist", "grp", "value", ckpt)
+    run()
+    def key(r: Row) = r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(5))
+    // stream tick == the batch operator over (ref window, wave) — the
+    // shared psiFromCounts core makes this bit-exact
+    val expectMap = {
+      def side(g: String, rows: Seq[Row]) = df(schema, rows.filter(_.getString(0) == g))
+      Seq("g1", "g2").map { g =>
+        g -> graft.operators.Analytics.psiDrift(
+            side(g, refRows), side(g, wave1), Seq("value"))
+          .collect().head
+      }.toMap
+    }
+    val got1 = dst.read("verdicts").collect().map(key).toMap
+    Seq("g1", "g2").foreach { g =>
+      val e = expectMap(g)
+      assert(got1(g) == ((e.getLong(1), e.getLong(2), e.getLong(3), e.getBoolean(5))),
+        s"$g: ${got1(g)} vs $e")
+    }
+    assert(got1("g1")._4 && !got1("g2")._4, got1.toString)
+    assert(got1("g2")._3 == 0L, "identical distribution must score PSI exactly 0")
+    // wave 2: only g2 arrives, shifted — its verdict flips; g1 untouched
+    val wave2 = (1 to 100).map(i => Row("g2", 500.0 + i / 10.0))
+    df(schema, wave2).write.mode("append").parquet(srcDir)
+    run()
+    val got2 = dst.read("verdicts").collect().map(key).toMap
+    assert(got2("g1") == got1("g1"), "absent group must keep its old verdict")
+    assert(got2("g2")._4, s"shifted wave must drift: ${got2("g2")}")
+  }
+
   test("knScoreStream scores batches against the persisted model; NLL gate drops unscored docs") {
     val srcDir = tmpDir("graft_kn_src_")
     val ckpt = tmpDir("graft_kn_ck_")
