@@ -26,8 +26,14 @@ import org.apache.spark.sql.functions._
   *    cust/supp keys by k·10⁵ — the purchase graph becomes k disjoint
   *    copies, so graph queries scale in |V| and |E| without
   *    manufacturing artificial skew.
-  *  - everything else: byte-copied (dimension tables don't scale with
-  *    corpus size; `events` keeps its NANOS physical type).
+  *  - `events`: replica k shifts event_id by k·10⁸ and user_id by
+  *    k·10⁶ — per-user pair workloads scale linearly while event_type
+  *    cardinality and the time range stay fixed (the scaled copy is
+  *    MICROS-typed; readTable's footer-keyed detection reads both, and
+  *    the NANOS ingestion path keeps its coverage on the unscaled
+  *    dirs).
+  *  - dimension tables: byte-copied (they don't scale with corpus
+  *    size).
   *
   * [[ScaleBench]] then runs the heavy query set at BOTH scales in one
   * JVM (same box, same session — the cleanest possible ratio), with
@@ -116,8 +122,25 @@ object ScaleData {
         "l_tax", "l_returnflag", "l_linestatus", "l_shipdate").map(col): _*),
       "lineitem")
 
-    // dimension tables + events: byte-copied, physical types untouched
-    Seq("region", "nation", "customer", "supplier", "part", "events").foreach { n =>
+    // events: k disjoint replicas — ids/users shift so per-user pair
+    // workloads (wilcoxon/permutation pairing) scale linearly, while
+    // event_type and the time range stay fixed (group cardinality and
+    // daily-bucket NDV constant — exactly the contract the NDV-bounded
+    // stats claim). The scaled copy is written through Spark, so its
+    // physical type is MICROS, not the source's NANOS — readTable's
+    // footer-keyed detection reads both; the NANOS ingestion path keeps
+    // its own coverage on the unscaled dirs.
+    val ev = t("events").crossJoin(broadcast(reps))
+    assertBelow(t("events"), "event_id", 100000000L, "events")
+    assertBelow(t("events"), "user_id", 1000000L, "events")
+    write(ev.select(
+      (col("event_id") + col("_k").cast("long") * 100000000L).as("event_id"),
+      col("ts"),
+      (col("user_id") + col("_k").cast("long") * 1000000L).as("user_id"),
+      col("event_type"), col("value"), col("props")), "events")
+
+    // dimension tables: byte-copied, physical types untouched
+    Seq("region", "nation", "customer", "supplier", "part").foreach { n =>
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$src/$n.parquet"),
         java.nio.file.Paths.get(s"$dst/$n.parquet"),

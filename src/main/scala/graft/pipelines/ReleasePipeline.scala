@@ -68,17 +68,27 @@ object ReleasePipeline {
       "release_current", "release_candidate", featureCols = featureCols)
 
     plan.step("release_gate") {
-      val drifted = work.read("drift_ks").filter(col("drifted"))
-        .select(col("feature")).collect().map(_.getString(0)).toSeq.sorted
+      // a feature trips the gate if EITHER shape test flags it: KS
+      // (max ECDF gap) or PSI (decile-mass reshaping KS can understate)
+      val ksDrifted = work.read("drift_ks").filter(col("drifted"))
+        .select(col("feature")).collect().map(_.getString(0)).toSeq
+      val psiDrifted = work.read("drift_psi").filter(col("drifted"))
+        .select(col("feature")).collect().map(_.getString(0)).toSeq
+      val drifted = (ksDrifted ++ psiDrifted).distinct.sorted
       val jsTotal = work.read("drift_js").agg(max(col("js_total_fp"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+      val psiMax = work.read("drift_psi").agg(max(col("psi_fp"))).head() match {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
       val spark = plan.spark
       import spark.implicits._
       work.write(Seq((drifted.isEmpty, drifted.size.toLong,
-          drifted.mkString(","), jsTotal))
-        .toDF("gate_pass", "n_drifted", "drifted_features", "js_total_fp"),
+          drifted.mkString(","), jsTotal, psiMax))
+        .toDF("gate_pass", "n_drifted", "drifted_features", "js_total_fp",
+          "psi_max_fp"),
         "release_gate")
       if (drifted.nonEmpty) {
         plan.logger.fatal(

@@ -408,6 +408,12 @@ object TrainingDataPipeline {
     *  - `drift_js`: the unigram Jensen–Shannon decomposition
     *    ([[graft.operators.Curation.jsDivergence]] — which TOKENS
     *    drove the content drift, `q_js_divergence`'s shape), and
+    *  - `drift_psi`: the Population Stability Index per feature over
+    *    the OLD release's decile bins
+    *    ([[graft.operators.Analytics.psiDrift]], `q_psi`'s shape) —
+    *    the monitoring-standard single number with its canonical 0.2
+    *    gate, catching gradual reshaping KS's max-gap can understate,
+    *    and
     *  - `drift_emb` (when `embCol` names a vector column in both
     *    releases): the per-DIMENSION mean-embedding shift
     *    ([[graft.operators.Similarity.embeddingDrift]],
@@ -431,6 +437,8 @@ object TrainingDataPipeline {
       val b = work.read(newTable)
       work.write(graft.operators.Analytics.snapshotKs(a, b, featureCols, alpha, scale),
         "drift_ks")
+      work.write(graft.operators.Analytics.psiDrift(a, b, featureCols, scale = scale),
+        "drift_psi")
       work.write(Curation.jsDivergence(a, b, textCol, vocabSize), "drift_js")
       embCol.foreach { ec =>
         work.write(graft.operators.Similarity.embeddingDrift(a, b, ec, scale),

@@ -56,8 +56,12 @@ class ReleasePipelineSpec extends SparkSpec {
       "a refused candidate must not replace the live release")
     assert(workConn.tables.contains("release_candidate"),
       "the refused candidate stays on disk for forensics")
-    assert(workConn.read("drift_ks").filter(col("drifted")).count() ==
-      gate2.getLong(1))
+    // the gate unions the KS and PSI verdicts per feature
+    val flagged = (workConn.read("drift_ks").filter(col("drifted"))
+        .select("feature").collect().map(_.getString(0)) ++
+      workConn.read("drift_psi").filter(col("drifted"))
+        .select("feature").collect().map(_.getString(0))).distinct
+    assert(flagged.length == gate2.getLong(1), s"$flagged vs $gate2")
 
     // ---- the always-on leg: ksDriftStream ticks the refused
     // candidate's profile against the ACCEPTED baseline.

@@ -307,5 +307,16 @@ class TrainingDataPipelineSpec extends SparkSpec {
     val js = workConn.read("drift_js")
     assert(js.count() > 0)
     assert(js.select("js_total_fp").distinct().count() == 1)
+    // PSI half == the batch operator run by hand; wholesale truncation
+    // piles the current release into the low deciles -> both trip 0.2
+    val psi = workConn.read("drift_psi").collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getBoolean(5))).toMap
+    val psiExpect = graft.operators.Analytics.psiDrift(
+        workConn.read("release_1"), workConn.read("release_2"),
+        Seq("n_chars", "n_tokens")).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getBoolean(5))).toMap
+    assert(psi == psiExpect, s"$psi vs $psiExpect")
+    assert(psi("n_chars")._2 && psi("n_tokens")._2,
+      s"truncation must trip the PSI gate on both marginals: $psi")
   }
 }
