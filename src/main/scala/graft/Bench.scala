@@ -274,7 +274,10 @@ object Bench {
     // r15 second wave — the audio container probes: MP3 frame-header
     // hop (4 bytes per frame) and the Ogg page/lacing walk, both
     // decode-free counted-structure scans
-    "q_mp3_probe", "q_ogg_probe")
+    "q_mp3_probe", "q_ogg_probe",
+    // r15 second wave — two-sample log-rank over the KM subject table
+    // (NDV-bounded at-risk windows + time-ordered folds)
+    "q_logrank")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

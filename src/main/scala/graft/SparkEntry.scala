@@ -3288,6 +3288,24 @@ object SparkEntry {
         .orderBy(col("event_type"), col("t"))
     }),
 
+    "q_logrank" -> ((s, dir) => {
+      // do even- and odd-user churn curves differ per cohort: the
+      // two-sample log-rank gate over the same KM subject table —
+      // hypergeometric expectations off the NDV-bounded at-risk
+      // windows, per-time pinned-division terms, time-ordered folds
+      val subj = T(s, dir, "events").filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("ts")).as("_f"), max(col("ts")).as("_l"))
+        .select(col("event_type"),
+          when(pmod(col("user_id"), lit(2L)) === 0L, lit("even"))
+            .otherwise(lit("odd")).as("arm"),
+          datediff(to_date(col("_l")), to_date(col("_f"))).as("duration"),
+          (col("_l") < lit("2024-01-24").cast("timestamp")).as("churned"))
+      operators.Analytics.logRank(subj, "event_type", "arm",
+          "duration", "churned", "even", "odd")
+        .orderBy(col("event_type"))
+    }),
+
     "q_attribution" -> ((s, dir) =>
       // U-shaped multi-touch attribution of purchases: each
       // conversion's 10^6-scale credit splits 40/20/40 over its path's
@@ -9123,6 +9141,61 @@ object SparkEntry {
         |SELECT event_type, t, d, c, CAST(n_at_risk AS BIGINT) AS n_at_risk,
         |       CASE WHEN dead = 1 THEN 0.0 ELSE ROUND(exp(lns), 9) + 0.0 END AS survival
         |FROM y ORDER BY event_type, t""".stripMargin,
+
+    // Log-rank replay: the same subject table split by user parity,
+    // at-risk counts off the cumulative windows, each U/V term ONE
+    // division of exact integer numerators, totals folded in time
+    // order via list_reduce (the brier convention).
+    "q_logrank" ->
+      """WITH subj AS MATERIALIZED (
+        |  SELECT event_type,
+        |         CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS arm,
+        |         CAST(date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS BIGINT) AS t,
+        |         (MAX(ts) < TIMESTAMP '2024-01-24 00:00:00') AS e
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id, event_type),
+        |counts AS MATERIALIZED (
+        |  SELECT event_type, t,
+        |         CAST(SUM(CASE WHEN arm = 'even' AND e THEN 1 ELSE 0 END) AS BIGINT) AS d_a,
+        |         CAST(SUM(CASE WHEN arm = 'odd' AND e THEN 1 ELSE 0 END) AS BIGINT) AS d_b,
+        |         CAST(SUM(CASE WHEN arm = 'even' THEN 1 ELSE 0 END) AS BIGINT) AS tot_a,
+        |         CAST(SUM(CASE WHEN arm = 'odd' THEN 1 ELSE 0 END) AS BIGINT) AS tot_b
+        |  FROM subj GROUP BY 1, 2),
+        |risky AS (
+        |  SELECT *, d_a + d_b AS d, n_a + n_b AS n FROM (
+        |    SELECT *,
+        |      SUM(tot_a) OVER (PARTITION BY event_type)
+        |        - COALESCE(SUM(tot_a) OVER (PARTITION BY event_type ORDER BY t
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_a,
+        |      SUM(tot_b) OVER (PARTITION BY event_type)
+        |        - COALESCE(SUM(tot_b) OVER (PARTITION BY event_type ORDER BY t
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_b
+        |    FROM counts)
+        |  WHERE d_a + d_b > 0 AND n_a + n_b > 1),
+        |terms AS (
+        |  SELECT event_type, t,
+        |    CAST(CAST(d_a AS HUGEINT) * n - CAST(d AS HUGEINT) * n_a AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS u_t,
+        |    CAST(d AS DOUBLE) * CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+        |      * CAST(n_a AS DOUBLE) / CAST(n AS DOUBLE)
+        |      * CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE) AS v_t
+        |  FROM risky),
+        |folded AS (
+        |  SELECT event_type,
+        |         list_reduce(list_prepend(0.0, list(u_t ORDER BY t)), (a, b) -> a + b) AS u,
+        |         list_reduce(list_prepend(0.0, list(v_t ORDER BY t)), (a, b) -> a + b) AS v
+        |  FROM terms GROUP BY 1),
+        |tot AS (
+        |  SELECT event_type,
+        |         CAST(SUM(CASE WHEN arm = 'even' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(SUM(CASE WHEN arm = 'odd' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |         CAST(SUM(CASE WHEN arm = 'even' AND e THEN 1 ELSE 0 END) AS BIGINT) AS events_a,
+        |         CAST(SUM(CASE WHEN arm = 'odd' AND e THEN 1 ELSE 0 END) AS BIGINT) AS events_b
+        |  FROM subj GROUP BY 1)
+        |SELECT tot.event_type, n_a, n_b, events_a, events_b, u, v,
+        |       CASE WHEN v > 0.0 THEN u * u / v END AS chi2,
+        |       CASE WHEN v > 0.0 THEN u / sqrt(v) END AS z
+        |FROM tot LEFT JOIN folded USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     // The stamped-path window formulation mirrored; truncating credit
     // division; the _direct aggregate needs its HAVING because an

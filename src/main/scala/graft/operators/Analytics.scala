@@ -962,6 +962,92 @@ object Analytics {
         col("n_at_risk"), col("survival"))
   }
 
+  /** Two-sample LOG-RANK test per stratum — [[kaplanMeier]]'s
+    * significance companion: "do the A and B survival curves differ",
+    * the standard gate before reading a churn/retention split. At each
+    * distinct event time, arm A's observed events compare against the
+    * hypergeometric expectation d·n_a/n given the at-risk counts;
+    * U = Σ(d_a − E_a), V = Σ Var_a, χ² = U²/V (1 df).
+    *
+    * Exactness & scale: the corpus collapses to the (stratum × arm ×
+    * distinct-duration) counts table in one aggregate; at-risk counts
+    * are cumulative windows on that NDV-bounded table, every per-time
+    * U/V term is ONE pinned division of exact DECIMAL numerators, and
+    * the time-ordered totals fold via sort_array + aggregate (never an
+    * unordered double sum) — the [[graft.operators.Evaluation.brierDecomposition]]
+    * convention, so `q_logrank` replays bit-for-bit. Strata with no
+    * event times or zero variance surface null z/χ².
+    *
+    * Output: (groupCol, n_a, n_b, events_a, events_b, u, v, chi2, z). */
+  def logRank(df: DataFrame, groupCol: String, armCol: String,
+              durationCol: String, eventCol: String,
+              armA: String, armB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val counts = df
+      .filter(col(armCol).isin(armA, armB) && col(durationCol).isNotNull)
+      .select(col(groupCol), (col(armCol) === armA).as("_a"),
+        col(durationCol).cast("long").as("t"),
+        col(eventCol).cast("boolean").as("_e"))
+      .groupBy(col(groupCol), col("t"))
+      .agg(
+        sum(when(col("_a") && col("_e"), 1L).otherwise(0L)).as("d_a"),
+        sum(when(!col("_a") && col("_e"), 1L).otherwise(0L)).as("d_b"),
+        sum(when(col("_a"), 1L).otherwise(0L)).as("tot_a"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("tot_b"))
+    val wTot = Window.partitionBy(col(groupCol))
+    val wBefore = Window.partitionBy(col(groupCol)).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risky = counts
+      .withColumn("n_a", sum(col("tot_a")).over(wTot) -
+        coalesce(sum(col("tot_a")).over(wBefore), lit(0L)))
+      .withColumn("n_b", sum(col("tot_b")).over(wTot) -
+        coalesce(sum(col("tot_b")).over(wBefore), lit(0L)))
+      .withColumn("d", col("d_a") + col("d_b"))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .filter(col("d") > 0L && col("n") > 1L)
+    // per-time terms: the U numerator is an exact DECIMAL (≤ n², always
+    // double-exact); V is FACTORED so every integer→double conversion
+    // is a value ≤ n — a fused n⁴-scale numerator would pass 2⁵³ on
+    // large strata and its decimal→double rounding could differ from
+    // another engine's int128→double. Identical pinned op order both
+    // sides ⇒ bit-equal IEEE sequences.
+    val uNum = (col("d_a").cast(d38) * col("n") - col("d").cast(d38) * col("n_a"))
+    val dD = col("d").cast("double")
+    val vTerm = dD * (col("n") - col("d")).cast("double") /
+      (col("n") - 1).cast("double") * col("n_a").cast("double") /
+      col("n").cast("double") * col("n_b").cast("double") /
+      col("n").cast("double")
+    val terms = risky.select(col(groupCol),
+      col("t"), col("d_a"), col("d_b"),
+      (uNum.cast("double") / col("n").cast("double")).as("_u"),
+      vTerm.as("_v"))
+    val totals = df
+      .filter(col(armCol).isin(armA, armB) && col(durationCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(col(armCol) === armA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(armCol) === armB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col(armCol) === armA && col(eventCol).cast("boolean"), 1L)
+          .otherwise(0L)).as("events_a"),
+        sum(when(col(armCol) === armB && col(eventCol).cast("boolean"), 1L)
+          .otherwise(0L)).as("events_b"))
+    val folded = terms
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("t"), col("_u"), col("_v"))))
+        .as("_terms"))
+      .withColumn("u", aggregate(col("_terms"), lit(0.0),
+        (acc, x) => acc + x.getField("_u")))
+      .withColumn("v", aggregate(col("_terms"), lit(0.0),
+        (acc, x) => acc + x.getField("_v")))
+      .select(col(groupCol), col("u"), col("v"))
+    totals.join(folded, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        col("events_a"), col("events_b"), col("u"), col("v"),
+        when(col("v") > 0.0, col("u") * col("u") / col("v")).as("chi2"),
+        when(col("v") > 0.0, col("u") / sqrt(col("v"))).as("z"))
+  }
+
   /** U-shaped (position-based) multi-touch attribution: each
     * conversion's credit splits across the touchpoints since the
     * user's previous conversion — 40% to the first touch, 40% to the

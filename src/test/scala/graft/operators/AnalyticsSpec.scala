@@ -726,6 +726,37 @@ class AnalyticsSpec extends SparkSpec {
       df(pairSchema, zeros), "g", "i", "d", reps = 5))
   }
 
+  private val survSchema = StructType(Seq(StructField("g", StringType),
+    StructField("arm", StringType), StructField("t", LongType),
+    StructField("e", BooleanType)))
+
+  test("logRank: hand-worked hypergeometric terms; degenerate strata go null") {
+    // A: events at 1,2 + censor at 3; B: events at 1,4 + censor at 5
+    val rows = Seq(
+      Row("s", "a", 1L, true), Row("s", "a", 2L, true), Row("s", "a", 3L, false),
+      Row("s", "b", 1L, true), Row("s", "b", 4L, true), Row("s", "b", 5L, false),
+      // single-arm stratum: every V term has n_b = 0 -> chi2/z null
+      Row("solo", "a", 1L, true), Row("solo", "a", 2L, true))
+    val out = Analytics.logRank(df(survSchema, rows), "g", "arm", "t", "e",
+        "a", "b").collect().map(r => r.getString(0) -> r).toMap
+    val s = out("s")
+    assert((s.getLong(1), s.getLong(2), s.getLong(3), s.getLong(4)) ==
+      ((3L, 3L, 2L, 2L)))
+    // t=1: u = (1*6-2*3)/6 = 0, v = 2*4/5*3/6*3/6
+    // t=2: u = (1*4-1*2)/4,   v = 1*3/3*2/4*2/4
+    // t=4: u = (0*2-1*0)/2 = 0, v = 1*1/1*0/2*2/2 = 0
+    val v1 = 2.0 * 4.0 / 5.0 * 3.0 / 6.0 * 3.0 / 6.0
+    val v2 = 1.0 * 3.0 / 3.0 * 2.0 / 4.0 * 2.0 / 4.0
+    val expU = 0.0 + 0.0 + (1.0 * 4 - 1.0 * 2) / 4.0 + 0.0
+    val expV = 0.0 + v1 + v2 + 0.0
+    assert(s.getDouble(5) == expU && s.getDouble(6) == expV, s.toString)
+    assert(s.getDouble(7) == expU * expU / expV)
+    assert(s.getDouble(8) == expU / math.sqrt(expV))
+    val solo = out("solo")
+    assert(solo.getLong(2) == 0L && solo.isNullAt(7) && solo.isNullAt(8),
+      solo.toString)
+  }
+
   private val psiSchema = StructType(Seq(StructField("v", DoubleType),
     StructField("w", DoubleType)))
 
