@@ -277,7 +277,10 @@ object Bench {
     "q_mp3_probe", "q_ogg_probe",
     // r15 second wave — two-sample log-rank over the KM subject table
     // (NDV-bounded at-risk windows + time-ordered folds)
-    "q_logrank")
+    "q_logrank",
+    // r15 second wave — Min-K% Prob membership audit (the full KN scoring
+    // chain + a doc-bounded worst-k rank)
+    "q_minkprob")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

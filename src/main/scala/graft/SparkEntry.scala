@@ -339,6 +339,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_minkprob" -> ((s, dir) => {
+      // Min-K% Prob membership audit under the q_kn_trigram LM: the
+      // mean NLL of each doc's WORST 20% trigrams next to its plain
+      // mean — the Shi et al. 2023 membership-inference readout (seen
+      // docs score their worst tokens anomalously well). Worst-k%
+      // selection is a doc-bounded rank; tie rows beyond the cut are
+      // sum-invariant, so the readout replays exactly.
+      val d = T(s, dir, "documents")
+      val lm = LanguageModel.trainKn(d.filter(col("lang") === "en"), "text", vocabSize = 1000)
+      LanguageModel.minKProb(d, "text", "doc_id", lm, kNum = 1, kDen = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_quality_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail thirds over the perplexity-scored corpus:
       // cutoffs are the exact ranked boundary (avg_nll, doc_id) pairs at
@@ -5111,6 +5124,98 @@ object SparkEntry {
         |       ROUND(exp(a.avg_nll), 4) + 0.0 AS ppl
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Min-K% Prob replay: the identical KN chain down to the
+    // per-trigram fixed-point NLL, then the doc-bounded worst-20% rank
+    // (ties beyond the cut sum-invariant) and the same half-up 1e-4
+    // mean idiom for both readouts.
+    "q_minkprob" ->
+      ("""WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |vocab AS MATERIALIZED (
+        |  SELECT token FROM (
+        |    SELECT unnest(t) AS token FROM toks WHERE lang = 'en')
+        |  WHERE length(token) > 0
+        |  GROUP BY token ORDER BY COUNT(1) DESC, token LIMIT 1000),
+        |trig AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |         unnest(t[1:len(t)-2]) AS w1r, unnest(t[2:len(t)-1]) AS w2r, unnest(t[3:len(t)]) AS w3r
+        |  FROM toks WHERE len(t) >= 3),
+        |trm AS MATERIALIZED (
+        |  SELECT g.doc_id, g.lang,
+        |         CASE WHEN v1.token IS NULL THEN chr(1) ELSE g.w1r END AS w1,
+        |         CASE WHEN v2.token IS NULL THEN chr(1) ELSE g.w2r END AS w2,
+        |         CASE WHEN v3.token IS NULL THEN chr(1) ELSE g.w3r END AS w3
+        |  FROM trig g
+        |  LEFT JOIN vocab v1 ON g.w1r = v1.token
+        |  LEFT JOIN vocab v2 ON g.w2r = v2.token
+        |  LEFT JOIN vocab v3 ON g.w3r = v3.token),
+        |tri AS MATERIALIZED (
+        |  SELECT w1, w2, w3, COUNT(1) AS c3 FROM trm WHERE lang = 'en' GROUP BY w1, w2, w3),
+        |pre12 AS MATERIALIZED (
+        |  SELECT w1, w2, SUM(c3) AS t12, COUNT(1) AS n12 FROM tri GROUP BY w1, w2),
+        |contbi AS MATERIALIZED (
+        |  SELECT w2, w3, COUNT(DISTINCT w1) AS n1p23 FROM tri GROUP BY w2, w3),
+        |contmid AS MATERIALIZED (
+        |  SELECT w2, SUM(n1p23) AS t2c, COUNT(1) AS n2f FROM contbi GROUP BY w2),
+        |contuni AS MATERIALIZED (
+        |  SELECT w3, COUNT(1) AS n1p3 FROM contbi GROUP BY w3),
+        |gl AS MATERIALIZED (
+        |  SELECT CAST((SELECT COUNT(1) FROM contbi) AS DOUBLE) AS n1pall,
+        |         CAST((SELECT COUNT(1) FROM contuni) AS DOUBLE) AS t1types,
+        |         (SELECT COUNT(1) + 1.0 FROM vocab) AS v),
+        |nll AS MATERIALIZED (
+        |  SELECT m.doc_id,
+        |    CAST(floor(-ln(
+        |      CASE WHEN COALESCE(p.t12, 0) > 0 THEN
+        |        (GREATEST(CAST(COALESCE(t.c3, 0) AS DOUBLE) - 0.75, 0.0)
+        |         + 0.75 * CAST(COALESCE(p.n12, 0) AS DOUBLE) *
+        |           (CASE WHEN COALESCE(cm.t2c, 0) > 0 THEN
+        |              (GREATEST(CAST(COALESCE(cb.n1p23, 0) AS DOUBLE) - 0.75, 0.0)
+        |               + 0.75 * CAST(COALESCE(cm.n2f, 0) AS DOUBLE) *
+        |                 ((GREATEST(CAST(COALESCE(u.n1p3, 0) AS DOUBLE) - 0.75, 0.0)
+        |                   + 0.75 * g.t1types / g.v) / g.n1pall))
+        |              / CAST(COALESCE(cm.t2c, 0) AS DOUBLE)
+        |            ELSE ((GREATEST(CAST(COALESCE(u.n1p3, 0) AS DOUBLE) - 0.75, 0.0)
+        |                   + 0.75 * g.t1types / g.v) / g.n1pall) END))
+        |        / CAST(COALESCE(p.t12, 0) AS DOUBLE)
+        |      ELSE
+        |        CASE WHEN COALESCE(cm.t2c, 0) > 0 THEN
+        |          (GREATEST(CAST(COALESCE(cb.n1p23, 0) AS DOUBLE) - 0.75, 0.0)
+        |           + 0.75 * CAST(COALESCE(cm.n2f, 0) AS DOUBLE) *
+        |             ((GREATEST(CAST(COALESCE(u.n1p3, 0) AS DOUBLE) - 0.75, 0.0)
+        |               + 0.75 * g.t1types / g.v) / g.n1pall))
+        |          / CAST(COALESCE(cm.t2c, 0) AS DOUBLE)
+        |        ELSE ((GREATEST(CAST(COALESCE(u.n1p3, 0) AS DOUBLE) - 0.75, 0.0)
+        |               + 0.75 * g.t1types / g.v) / g.n1pall) END
+        |      END) * 1e8) AS BIGINT) AS nllf
+        |  FROM trm m
+        |  LEFT JOIN tri t ON m.w1 = t.w1 AND m.w2 = t.w2 AND m.w3 = t.w3
+        |  LEFT JOIN pre12 p ON m.w1 = p.w1 AND m.w2 = p.w2
+        |  LEFT JOIN contbi cb ON m.w2 = cb.w2 AND m.w3 = cb.w3
+        |  LEFT JOIN contmid cm ON m.w2 = cm.w2
+        |  LEFT JOIN contuni u ON m.w3 = u.w3
+        |  CROSS JOIN gl g),
+        |ranked AS (
+        |  SELECT doc_id, nllf,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY nllf DESC) AS r,
+        |         COUNT(1) OVER (PARTITION BY doc_id) AS n
+        |  FROM nll),
+        |kagg AS (
+        |  SELECT doc_id, n, (n * 1 + 4) // 5 AS m,
+        |         SUM(nllf) AS suma,
+        |         SUM(CASE WHEN r <= (n * 1 + 4) // 5 THEN nllf ELSE 0 END) AS sumk
+        |  FROM ranked GROUP BY doc_id, n)
+        |SELECT d.doc_id,
+        |       COALESCE(k.n, 0) AS n_trigrams, COALESCE(k.m, 0) AS k_trigrams,
+        |       CAST(CAST((CAST(suma AS BIGINT) + n * 5000)
+        |                  // (n * 10000) AS DECIMAL(20,0)) * 0.0001 AS DOUBLE) AS avg_nll,
+        |       CAST(CAST((CAST(sumk AS BIGINT) + m * 5000)
+        |                  // (m * 10000) AS DECIMAL(20,0)) * 0.0001 AS DOUBLE) AS min_k_avg_nll
+        |FROM documents d LEFT JOIN kagg k USING (doc_id)
+        |ORDER BY d.doc_id""").stripMargin,
 
     // CCNet thirds replay: the same LM chain down to per-doc avg_nll,
     // then the ⌈n/3⌉ / ⌈2n/3⌉ ranked boundary (score, id) pairs via

@@ -344,9 +344,13 @@ object LanguageModel {
     * up. `discountNum/discountDen` is the exact rational discount D
     * (default 3/4 — the classic fixed-D choice; estimate
     * n1/(n1+2·n2) offline for a tuned value). */
-  def scoreKnNll(df: DataFrame, textCol: String, idCol: String,
-                 lm: KnTrigramLm, discountNum: Long = 3L,
-                 discountDen: Long = 4L): DataFrame = {
+  /** The per-trigram fixed-point NLL stream under `lm` — (_lmid,
+    * _nllF): every KN backoff evaluation as a 10⁸-scale long, the
+    * shared core of [[scoreKnNll]]'s mean and [[minKProb]]'s
+    * worst-k% readout. */
+  private[graft] def knTrigramNll(df: DataFrame, textCol: String, idCol: String,
+                                  lm: KnTrigramLm, discountNum: Long,
+                                  discountDen: Long): DataFrame = {
     require(discountNum >= 0 && discountDen > 0 && discountNum <= discountDen,
       s"need 0 <= D = $discountNum/$discountDen <= 1")
     val dD = lit(discountNum.toDouble / discountDen.toDouble)
@@ -374,8 +378,13 @@ object LanguageModel {
         dD * coalesce(col("_n12"), lit(0L)).cast("double") * p2) /
         coalesce(col("_t12"), lit(0L)).cast("double"))
       .otherwise(p2)
-    val perDoc = joined
-      .select(col("_lmid"), floor(-log(p3) * lit(1e8)).cast("long").as("_nllF"))
+    joined.select(col("_lmid"), floor(-log(p3) * lit(1e8)).cast("long").as("_nllF"))
+  }
+
+  def scoreKnNll(df: DataFrame, textCol: String, idCol: String,
+                 lm: KnTrigramLm, discountNum: Long = 3L,
+                 discountDen: Long = 4L): DataFrame = {
+    val perDoc = knTrigramNll(df, textCol, idCol, lm, discountNum, discountDen)
       .groupBy("_lmid")
       .agg(count(lit(1)).as("n_trigrams"), sum(col("_nllF")).as("_sumF"))
       .select(col("_lmid"), col("n_trigrams"),
@@ -388,5 +397,55 @@ object LanguageModel {
         coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
         col("avg_nll"),
         (round(exp(col("avg_nll")), 4) + lit(0.0)).as("ppl"))
+  }
+
+  /** Min-K% Prob membership/memorization audit (Shi et al. 2023,
+    * "Detecting Pretraining Data from Large Language Models"): a
+    * document the model has SEEN scores its worst tokens much better
+    * than an unseen document of the same average quality — so the mean
+    * NLL of the k% HIGHEST-NLL trigrams (the lowest-probability ones)
+    * separates members from non-members where the plain mean cannot.
+    * The curation read: docs whose `min_k_avg_nll` sits anomalously
+    * close to `avg_nll` under a benchmark-trained LM are contamination
+    * suspects; under the production LM, memorization suspects.
+    *
+    * Exactness & scale: the per-trigram NLL stream is [[scoreKnNll]]'s
+    * exact fixed-point core; the worst-k% selection is a row_number
+    * over the DOC-BOUNDED partition ordered by (NLL desc) — ties
+    * beyond the cut are sum-invariant (equal values), so the readout
+    * is deterministic without a tie-break column — with
+    * k = ⌈n·kNum/kDen⌉ in integer arithmetic and both means the
+    * half-up 10⁻⁴ rounding idiom (`q_minkprob` replays everything).
+    *
+    * Output: (idCol, n_trigrams, k_trigrams, avg_nll, min_k_avg_nll) —
+    * unscored docs (< 3 tokens) carry zero counts and null means. */
+  def minKProb(df: DataFrame, textCol: String, idCol: String,
+               lm: KnTrigramLm, kNum: Int = 1, kDen: Int = 5,
+               discountNum: Long = 3L, discountDen: Long = 4L): DataFrame = {
+    require(kNum >= 1 && kDen >= kNum, s"need 0 < k = $kNum/$kDen <= 1")
+    val nll = knTrigramNll(df, textCol, idCol, lm, discountNum, discountDen)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_lmid")).orderBy(col("_nllF").desc)
+    val ranked = nll
+      .withColumn("_r", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_lmid"))))
+      .withColumn("_m", expr(s"(_n * $kNum + ${kDen - 1}) DIV $kDen"))
+    def meanFp(sumCol: String, nCol: String) =
+      (expr(s"($sumCol + $nCol * 5000) div ($nCol * 10000)")
+        .cast("decimal(20,0)") * lit(BigDecimal("0.0001"))).cast("double")
+    val perDoc = ranked.groupBy(col("_lmid"), col("_n"), col("_m"))
+      .agg(sum(col("_nllF")).as("_sumAll"),
+        sum(when(col("_r") <= col("_m"), col("_nllF")).otherwise(lit(0L)))
+          .as("_sumK"))
+      .select(col("_lmid"), col("_n"), col("_m"),
+        meanFp("_sumAll", "_n").as("avg_nll"),
+        meanFp("_sumK", "_m").as("min_k_avg_nll"))
+    df.select(col(idCol))
+      .join(perDoc.withColumnRenamed("_lmid", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_n"), lit(0L)).as("n_trigrams"),
+        coalesce(col("_m"), lit(0L)).as("k_trigrams"),
+        col("avg_nll"), col("min_k_avg_nll"))
   }
 }

@@ -210,4 +210,36 @@ class LanguageModelSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(a == b)
   }
+
+  test("minKProb: worst-k mean dominates the plain mean; members separate from OOV docs") {
+    val lm = LanguageModel.trainKn(knRefDf, "text", vocabSize = 100)
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val member = knRefDf.collect().head.getString(
+      knRefDf.schema.fieldIndex("text"))
+    val docs = df(docSchema, Seq(
+      Row(1L, member),                               // seen verbatim
+      Row(2L, "zzq qqz zqz zzq qqz zqz zzq qqz"),    // all OOV
+      Row(3L, "ab")))                                // < 3 tokens: unscored
+    val out = LanguageModel.minKProb(docs, "text", "doc_id", lm)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // worst-k% mean is a max-subset mean: always >= the plain mean
+    Seq(1L, 2L).foreach { id =>
+      val r = out(id)
+      assert(r.getDouble(4) >= r.getDouble(3), r.toString)
+      // k = ceil(n/5) with the default 20%
+      assert(r.getLong(2) == (r.getLong(1) + 4) / 5, r.toString)
+    }
+    // the member's WORST trigrams still score far better than the OOV
+    // doc's — the membership signal
+    assert(out(1L).getDouble(4) < out(2L).getDouble(4),
+      s"${out(1L)} vs ${out(2L)}")
+    // unscored short doc: zero counts, null means
+    assert(out(3L).getLong(1) == 0L && out(3L).isNullAt(3) && out(3L).isNullAt(4))
+    intercept[IllegalArgumentException](
+      LanguageModel.minKProb(docs, "text", "doc_id", lm, kNum = 3, kDen = 2))
+  }
 }
