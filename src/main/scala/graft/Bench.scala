@@ -280,7 +280,10 @@ object Bench {
     "q_logrank",
     // r15 second wave — Min-K% Prob membership audit (the full KN scoring
     // chain + a doc-bounded worst-k rank)
-    "q_minkprob")
+    "q_minkprob",
+    // r15 second wave — the WARC record walk (Content-Length hops +
+    // transparent multi-member gunzip, per-partition)
+    "q_warc_records")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

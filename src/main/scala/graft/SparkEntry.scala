@@ -2790,6 +2790,25 @@ object SparkEntry {
       Multimodal.extractWebmProbe(media).toDF().orderBy(col("media_id"))
     }),
 
+    "q_warc_records" -> ((s, dir) => {
+      // WARC record walk as a corpus query (the Common Crawl ingestion
+      // front door): every 61st doc carries a planted archive — a
+      // warcinfo record + (2 + id%5) fixed-width HTTP responses, EVEN
+      // ids as per-record-member .warc.gz so the transparent multi-
+      // member gunzip path is oracle-checked, not just spec'd; ids
+      // divisible by 122 are TRUNCATED to 8 bytes — zero rows, the
+      // dirty-archive contract. Every emitted field is closed-form:
+      // Content-Length 91 for responses (44-byte HTTP head + 47-byte
+      // padded html), 17 for warcinfo, status 200 parsed from the
+      // payload's own status line.
+      val docs = T(s, dir, "documents").filter(col("doc_id") % 61 === 0)
+      val media = operators.Warc.syntheticWarc(docs, "doc_id")
+        .withColumn("payload", when(col("media_id") % 122 === 0,
+          expr("substring(payload, 1, 8)")).otherwise(col("payload")))
+      operators.Warc.extractWarcRecords(media).toDF()
+        .orderBy(col("media_id"), col("rec_idx"))
+    }),
+
     "q_mp3_probe" -> ((s, dir) => {
       // MPEG-audio frame-header walk as a corpus query: every 53rd doc
       // carries a planted (2 + id%5)-frame 128kbps/32kHz Layer III
@@ -6522,6 +6541,29 @@ object SparkEntry {
         |       CAST(CASE WHEN dirty THEN 0 ELSE 16 END AS INTEGER) AS width,
         |       CAST(CASE WHEN dirty THEN 0 ELSE 12 END AS INTEGER) AS height
         |FROM d ORDER BY media_id""".stripMargin,
+
+    // WARC replay: one warcinfo row + n closed-form response rows per
+    // archive (gzipped or not — the walk is transparent), truncated
+    // ids contribute zero rows.
+    "q_warc_records" ->
+      """WITH d AS (SELECT doc_id AS media_id, 2 + doc_id % 5 AS n,
+        |                  doc_id % 122 = 0 AS dirty
+        |           FROM documents WHERE doc_id % 61 = 0),
+        |info AS (
+        |  SELECT media_id, CAST(0 AS INTEGER) AS rec_idx,
+        |         'warcinfo' AS warc_type, '' AS target_uri,
+        |         CAST(17 AS BIGINT) AS content_length,
+        |         CAST(NULL AS INTEGER) AS http_status
+        |  FROM d WHERE NOT dirty),
+        |resp AS (
+        |  SELECT media_id, CAST(i + 1 AS INTEGER) AS rec_idx,
+        |         'response' AS warc_type,
+        |         'http://example.com/' || media_id || '/' || i AS target_uri,
+        |         CAST(91 AS BIGINT) AS content_length,
+        |         CAST(200 AS INTEGER) AS http_status
+        |  FROM d, unnest(range(0, n, 1)) AS t(i) WHERE NOT dirty)
+        |SELECT * FROM (SELECT * FROM info UNION ALL SELECT * FROM resp)
+        |ORDER BY media_id, rec_idx""".stripMargin,
 
     // MP3 probe replay: counted frames n = 2 + id%5, 32 kHz joint
     // stereo at 128 kbps, duration_ms = n·36 exact (1152 samples/frame
