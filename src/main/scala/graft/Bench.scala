@@ -266,6 +266,11 @@ object Bench {
     // permutation test (explode combines map-side; the shuffle carries
     // groups x reps rows)
     "q_webm_probe", "q_gopher_quality", "q_permutation",
+    // r15 second wave — the NDV-bounded nonparametrics: Kendall τ-b
+    // (joint distinct-value self-join), Mann-Kendall daily-trend gate
+    // (bucket² pair join), Brier decomposition (bin-ordered folds),
+    // and the integer epoch-allocation planning table
+    "q_kendall_tau", "q_mann_kendall", "q_brier", "q_epoch_alloc",
     // r15 second wave — PSI release gate (two melt scans; boundary/bin
     // algebra on the NDV-bounded distinct tables) and the top principal
     // component by integer power iteration (one exploded d² moment
@@ -282,8 +287,9 @@ object Bench {
     // chain + a doc-bounded worst-k rank)
     "q_minkprob",
     // r15 second wave — the WARC record walk (Content-Length hops +
-    // transparent multi-member gunzip, per-partition)
-    "q_warc_records")
+    // transparent multi-member gunzip, per-partition) and the full
+    // archive-to-clean-text composition (record walk -> body -> strip)
+    "q_warc_records", "q_warc_text")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

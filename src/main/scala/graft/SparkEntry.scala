@@ -2809,6 +2809,20 @@ object SparkEntry {
         .orderBy(col("media_id"), col("rec_idx"))
     }),
 
+    "q_warc_text" -> ((s, dir) => {
+      // the crawl-ingestion composition end-to-end: WARC record walk →
+      // HTTP body extraction → stripHtml — raw archive bytes to clean
+      // text in one oracled query (the stage before langid/quality in
+      // a real pipeline); the planted html bodies make every cleaned
+      // string closed-form
+      val docs = T(s, dir, "documents").filter(col("doc_id") % 61 === 0)
+      val media = operators.Warc.syntheticWarc(docs, "doc_id")
+      operators.Warc.extractWarcTexts(media).toDF()
+        .select(col("media_id"), col("rec_idx"), col("target_uri"),
+          TextFunctions.stripHtml(col("html")).as("text"))
+        .orderBy(col("media_id"), col("rec_idx"))
+    }),
+
     "q_mp3_probe" -> ((s, dir) => {
       // MPEG-audio frame-header walk as a corpus query: every 53rd doc
       // carries a planted (2 + id%5)-frame 128kbps/32kHz Layer III
@@ -6564,6 +6578,32 @@ object SparkEntry {
         |  FROM d, unnest(range(0, n, 1)) AS t(i) WHERE NOT dirty)
         |SELECT * FROM (SELECT * FROM info UNION ALL SELECT * FROM resp)
         |ORDER BY media_id, rec_idx""".stripMargin,
+
+    // WARC→text replay: rebuild the planted html bodies verbatim, then
+    // the q_html_strip cleaning chain — archive bytes to clean text,
+    // every string closed-form.
+    "q_warc_text" ->
+      """WITH d AS (SELECT doc_id AS media_id, 2 + doc_id % 5 AS n
+        |           FROM documents WHERE doc_id % 61 = 0),
+        |h AS (
+        |  SELECT media_id, CAST(i + 1 AS INTEGER) AS rec_idx,
+        |         'http://example.com/' || media_id || '/' || i AS target_uri,
+        |         substring('<html>doc ' || media_id || ' ' || i || repeat('.', 64),
+        |                   1, 40) || '</html>' AS html
+        |  FROM d, unnest(range(0, n, 1)) AS t(i))
+        |SELECT media_id, rec_idx, target_uri,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS text
+        |FROM h ORDER BY media_id, rec_idx""".stripMargin,
 
     // MP3 probe replay: counted frames n = 2 + id%5, 32 kHz joint
     // stereo at 128 kbps, duration_ms = n·36 exact (1152 samples/frame

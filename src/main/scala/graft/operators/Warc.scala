@@ -62,11 +62,61 @@ object Warc {
   /** Walk the record stream of one (possibly gzipped) WARC payload.
     * Content-Length drives every hop; anything malformed ends the walk
     * with what parsed. */
-  private[graft] def parseWarc(mediaId: Long, bytes: Array[Byte]): Seq[WarcRecord] =
+  private[graft] def parseWarc(mediaId: Long, bytes: Array[Byte]): Seq[WarcRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    walkWarc(bytes) { (warcType, uri, len, b, bodyStart) =>
+      val status =
+        if (warcType == "response" && len >= 12 &&
+            b(bodyStart) == 'H' && b(bodyStart + 1) == 'T' &&
+            b(bodyStart + 2) == 'T' && b(bodyStart + 3) == 'P') {
+          val head = new String(b, bodyStart, math.min(len, 64L).toInt, Ascii)
+          val parts = head.split(" ")
+          if (parts.length >= 2 && parts(1).nonEmpty &&
+              parts(1).forall(_.isDigit)) Some(parts(1).toInt)
+          else None
+        } else None
+      out += WarcRecord(mediaId, out.length, warcType, uri, len, status)
+    }
+    out.toSeq
+  }
+
+  /** One text row per HTTP `response` record: the payload body AFTER
+    * the HTTP header block, decoded UTF-8 — the html that feeds
+    * [[graft.functions.TextFunctions.stripHtml]]. Responses without a
+    * header/body split yield the whole payload. */
+  case class WarcText(media_id: Long, rec_idx: Int, target_uri: String, html: String)
+
+  private[graft] def parseWarcTexts(mediaId: Long, bytes: Array[Byte]): Seq[WarcText] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcText]
+    var idx = 0
+    walkWarc(bytes) { (warcType, uri, len, b, bodyStart) =>
+      if (warcType == "response") {
+        // body = after the HTTP header block's blank line
+        var i = bodyStart
+        val end = bodyStart + len.toInt
+        var split = -1
+        while (split < 0 && i + 3 < end) {
+          if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+            split = i + 4
+          else i += 1
+        }
+        val from = if (split > 0) split else bodyStart
+        out += WarcText(mediaId, idx, uri,
+          new String(b, from, end - from, java.nio.charset.StandardCharsets.UTF_8))
+      }
+      idx += 1
+    }
+    out.toSeq
+  }
+
+  /** The record walk shared by the extractors: `emit(type, uri,
+    * contentLength, decompressedBuffer, bodyStart)` per well-formed
+    * record; anything malformed ends the walk with what was emitted. */
+  private def walkWarc(bytes: Array[Byte])(
+      emit: (String, String, Long, Array[Byte], Int) => Unit): Unit =
     try {
-      if (bytes == null || bytes.length < 8) return Seq.empty
+      if (bytes == null || bytes.length < 8) return
       val b = if (isGzip(bytes)) gunzipAll(bytes) else bytes
-      val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
       var pos = 0
       var done = false
       def lineEnd(from: Int): Int = { // index of the \r of the next CRLF
@@ -109,24 +159,13 @@ object Warc {
           if (bodyStart < 0 || len < 0 || bodyStart + len > b.length)
             done = true // malformed header or truncated tail record
           else {
-            val status =
-              if (warcType == "response" && len >= 12 &&
-                  b(bodyStart) == 'H' && b(bodyStart + 1) == 'T' &&
-                  b(bodyStart + 2) == 'T' && b(bodyStart + 3) == 'P') {
-                val head = new String(b, bodyStart, math.min(len, 64L).toInt, Ascii)
-                val parts = head.split(" ")
-                if (parts.length >= 2 && parts(1).nonEmpty &&
-                    parts(1).forall(_.isDigit)) Some(parts(1).toInt)
-                else None
-              } else None
-            out += WarcRecord(mediaId, out.length, warcType, uri, len, status)
+            emit(warcType, uri, len, b, bodyStart)
             // records terminate with CRLF CRLF per the spec
             pos = (bodyStart + len + 4).toInt
           }
         }
       }
-      out.toSeq
-    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Per-partition batched record extraction over a payload table —
     * one row per WARC record; the media-probe shape
@@ -138,6 +177,18 @@ object Warc {
     archives.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it => it.flatMap { case (id, bytes) => parseWarc(id, bytes) } }
+  }
+
+  /** Per-partition batched BODY extraction — one row per HTTP response
+    * with its html payload decoded: the stage that feeds
+    * `stripHtml → langid → quality` in a crawl-ingestion pipeline. */
+  def extractWarcTexts(archives: DataFrame, idCol: String = "media_id",
+                       payloadCol: String = "payload"): Dataset[WarcText] = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it => it.flatMap { case (id, bytes) => parseWarcTexts(id, bytes) } }
   }
 
   /** Read a directory of `.warc` / `.warc.gz` files into the record

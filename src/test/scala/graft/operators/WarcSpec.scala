@@ -44,6 +44,22 @@ class WarcSpec extends SparkSpec {
       Seq(Warc.WarcRecord(6L, 0, "response", "http://x/", 5L, None)))
   }
 
+  test("parseWarcTexts yields each response's body after the HTTP header block") {
+    val texts = Warc.parseWarcTexts(7L, Warc.warcBytes(7L, 2, gzipMembers = true))
+    assert(texts.length == 2, texts.toString) // the warcinfo record yields no text
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(t.rec_idx == i + 1 && t.target_uri == s"http://example.com/7/$i")
+      assert(t.html.startsWith(s"<html>doc 7 $i") && t.html.endsWith("</html>"),
+        t.html)
+      assert(t.html.length == 47, t.html)
+    }
+    // a response without an HTTP header split yields its whole payload
+    val raw = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 5\r\n\r\nhello\r\n\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    assert(Warc.parseWarcTexts(8L, raw).head.html == "hello")
+  }
+
   test("readWarcDir reads .warc/.warc.gz files into the record table with stable ids") {
     val dir = tmpDir("graft_warc_")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.warc"),
