@@ -7443,8 +7443,10 @@ object SparkEntry {
         |avail AS (SELECT lang AS source, COALESCE(SUM(n_chars), 0) AS available
         |          FROM documents WHERE lang IN ('en', 'de', 'fr') GROUP BY 1),
         |base AS (
-        |  SELECT p.source, COALESCE(a.available, 0) AS available, p.desired,
-        |         COALESCE(a.available, 0) * 4000 // 1000 AS cap
+        |  SELECT p.source,
+        |         CAST(COALESCE(a.available, 0) AS BIGINT) AS available, p.desired,
+        |         CAST(CAST(COALESCE(a.available, 0) AS HUGEINT) * 4000 // 1000
+        |              AS BIGINT) AS cap
         |  FROM plan p LEFT JOIN avail a USING (source)),
         |b2 AS (SELECT *, LEAST(desired, cap) AS alloc1,
         |              cap - LEAST(desired, cap) AS headroom FROM base),
@@ -7452,14 +7454,19 @@ object SparkEntry {
         |               SUM(headroom) AS th FROM b2),
         |fin AS (
         |  SELECT source, available, desired, cap,
-        |         alloc1 + CASE WHEN th > 0 THEN
+        |         CAST(alloc1 + CASE WHEN th > 0 THEN
         |           LEAST(headroom,
         |             CAST(CAST(leftover AS HUGEINT) * headroom // th AS BIGINT))
-        |           ELSE 0 END AS allocated
+        |           ELSE 0 END AS BIGINT) AS allocated
         |  FROM b2 CROSS JOIN tot)
+        |-- every numeric output pinned BIGINT: DuckDB's HUGEINT-propagated
+        |-- columns arrive as decimal128 in Arrow and render as float64 in
+        |-- pandas ("78100.0" vs Spark's "78100") — a hasher mismatch with
+        |-- rows/schema matching
         |SELECT source AS lang, available, desired, cap, allocated,
-        |       CASE WHEN available > 0 THEN allocated * 1000 // available
-        |            ELSE 0 END AS epochs_fp,
+        |       CAST(CASE WHEN available > 0
+        |                 THEN CAST(allocated AS HUGEINT) * 1000 // available
+        |            ELSE 0 END AS BIGINT) AS epochs_fp,
         |       allocated = cap AS saturated
         |FROM fin ORDER BY lang""".stripMargin,
 

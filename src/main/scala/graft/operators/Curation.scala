@@ -1571,7 +1571,11 @@ object Curation {
       .agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)).as("available"))
     val base = plan.join(avail, Seq(sourceCol), "left")
       .withColumn("available", coalesce(col("available"), lit(0L)))
-      .withColumn("cap", expr(s"available * ${maxEpochsFp}L DIV 1000L"))
+      // DECIMAL intermediate: available×maxEpochsFp wraps a long once
+      // available passes ~2.3e15 tokens — same widening rationale as
+      // the leftover×headroom product below
+      .withColumn("cap", expr(
+        s"CAST(CAST(available AS DECIMAL(38,0)) * ${maxEpochsFp}L DIV 1000L AS BIGINT)"))
       .withColumn("_alloc1", least(col("desired"), col("cap")))
       .withColumn("_headroom", col("cap") - col("_alloc1"))
     val totals = broadcast(base.agg(
@@ -1588,7 +1592,7 @@ object Curation {
       .select(col(sourceCol), col("available"), col("desired"), col("cap"),
         col("allocated"),
         when(col("available") > 0L,
-          expr("allocated * 1000L DIV available"))
+          expr("CAST(CAST(allocated AS DECIMAL(38,0)) * 1000L DIV available AS BIGINT)"))
           .otherwise(lit(0L)).as("epochs_fp"),
         (col("allocated") === col("cap")).as("saturated"))
   }

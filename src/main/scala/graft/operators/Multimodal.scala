@@ -1034,10 +1034,46 @@ object Multimodal {
     Some((if (v == allOnes) -1L else v, n))
   }
 
+  // IDs valid directly inside a Cluster (Matroska registry): Timestamp,
+  // Position, PrevSize, SilentTracks, SimpleBlock, BlockGroup, Block,
+  // EncryptedBlock — anything else at cluster level terminates an
+  // unknown-size Cluster per RFC 8794 §6.2
+  private val clusterChildIds: Set[Long] =
+    Set(0xE7L, 0xA7L, 0xABL, 0x5854L, 0xA3L, 0xA0L, 0xA1L, 0xAFL)
+
+  /** RFC 8794 §6.2 unknown-size termination: the element ends at the
+    * first ID that is not one of its valid children (live streams
+    * write back-to-back unknown-size Clusters — the next Cluster ID is
+    * the boundary). Walks id+size pairs only, never payload bytes, so
+    * block payloads can't fake a boundary. Falls back to `until` on
+    * truncation or a nested unknown size. */
+  private def delimitUnknownEbml(b: Array[Byte], start: Int, until: Int,
+                                 validChild: Set[Long]): Int = {
+    var pos = start
+    while (pos < until) {
+      readEbmlId(b, pos) match {
+        case None => return until
+        case Some((id, idN)) =>
+          if (!validChild(id)) return pos
+          readEbmlSize(b, pos + idN) match {
+            case None => return until
+            case Some((sz, szN)) =>
+              val s2 = pos + idN + szN
+              if (sz < 0 || s2 + sz > until || s2 + sz < s2) return until
+              pos = (s2 + sz).toInt
+          }
+      }
+    }
+    until
+  }
+
   /** Child elements of [from, until): (id, payloadStart, payloadEnd).
-    * Unknown-size children run to `until`; a child whose claimed size
-    * escapes the range ends the walk (truncated container — keep what
-    * parsed, the [[childBoxes]] convention). */
+    * An unknown-size Cluster is delimited at the next non-cluster-child
+    * ID ([[delimitUnknownEbml]]) so multi-cluster live streams count
+    * every Cluster's blocks; other unknown-size children run to
+    * `until`. A child whose claimed size escapes the range ends the
+    * walk (truncated container — keep what parsed, the [[childBoxes]]
+    * convention). */
   private def ebmlChildren(b: Array[Byte], from: Int, until: Int): Seq[(Long, Int, Int)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
     var pos = from
@@ -1050,7 +1086,12 @@ object Multimodal {
             case None => done = true
             case Some((sz, szN)) =>
               val start = pos + idN + szN
-              val end = if (sz < 0) until else start + sz
+              val end =
+                if (sz < 0) {
+                  if (id == EbmlCluster)
+                    delimitUnknownEbml(b, start, until, clusterChildIds)
+                  else until
+                } else start + sz
               if (end > until || end < start) done = true
               else {
                 out += ((id, start, end.toInt))
@@ -1233,11 +1274,15 @@ object Multimodal {
     * filler bytes — the probe never reads them (VP8 needs a native
     * decoder; the container walk is the part under test). When
     * `unknownSizes`, Segment and Cluster use the spec's unknown-size
-    * VINT (the live-streaming shape) to pin that path. */
+    * VINT (the live-streaming shape) to pin that path; `nClusters > 1`
+    * splits the blocks across back-to-back Clusters — combined with
+    * `unknownSizes` that is the RFC 8794 §6.2 termination case (each
+    * unknown-size Cluster ends where the next Cluster ID begins). */
   private[graft] def webmBytes(w: Int, h: Int, nBlocks: Int, frameDurMs: Int = 40,
                                codec: String = "V_VP8",
                                unknownSizes: Boolean = false,
-                               blockGroups: Boolean = false): Array[Byte] = {
+                               blockGroups: Boolean = false,
+                               nClusters: Int = 1): Array[Byte] = {
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
     def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
     def idBytes(id: Long): Array[Byte] = {
@@ -1272,7 +1317,7 @@ object Multimodal {
       el(EbmlTrackType, uint(1)), el(EbmlCodecId, codec.getBytes(ascii)),
       el(EbmlVideo, cat(el(EbmlPixelWidth, uint(w.toLong)),
         el(EbmlPixelHeight, uint(h.toLong)))))))
-    val blocks = cat((0 until nBlocks).map { i =>
+    def blockEl(i: Int): Array[Byte] = {
       val rel = i * frameDurMs
       val frame = Array.tabulate[Byte](8)(j => ((i * 31 + j) & 0xff).toByte)
       val blockBody = cat(
@@ -1287,11 +1332,17 @@ object Multimodal {
           if (i % 2 == 0) el(EbmlBlock, blockBody)
           else cat(el(EbmlBlock, blockBody), el(EbmlReferenceBlock, uint(1))))
       else el(EbmlSimpleBlock, blockBody)
-    }: _*)
-    val cluster =
-      if (unknownSizes) elUnknown(EbmlCluster, cat(el(0xE7L, uint(0)), blocks))
-      else el(EbmlCluster, cat(el(0xE7L, uint(0)), blocks))
-    val segBody = cat(info, tracks, cluster)
+    }
+    // contiguous block slices across nClusters back-to-back Clusters;
+    // keyframe parity stays GLOBAL block index so expected counts are
+    // unchanged by the cluster split
+    val perCluster = math.max(1, (nBlocks + nClusters - 1) / math.max(1, nClusters))
+    val clusters = cat((0 until nBlocks).grouped(perCluster).map { idxs =>
+      val body = cat((el(0xE7L, uint(idxs.head.toLong * frameDurMs)) +:
+        idxs.map(blockEl)): _*)
+      if (unknownSizes) elUnknown(EbmlCluster, body) else el(EbmlCluster, body)
+    }.toSeq: _*)
+    val segBody = cat(info, tracks, clusters)
     val segment =
       if (unknownSizes) elUnknown(EbmlSegment, segBody) else el(EbmlSegment, segBody)
     cat(header, segment)

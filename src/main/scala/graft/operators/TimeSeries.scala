@@ -317,6 +317,13 @@ object TimeSeries {
     * only Z = (S∓1)/√(num/18) is a pinned double sequence (S=0 → Z=0;
     * n<2 or zero variance → Z null).
     *
+    * The bucket contract is ENFORCED, not assumed: duplicate
+    * (entity, order) rows would be counted in n yet dropped from S by
+    * the strict `_tb > _ta` pair join (understated S against an
+    * unshrunk variance), so a duplicate bucket fails the job loudly
+    * via the same in-expression assert_true idiom as
+    * [[coalesceIntervals]] rather than returning a silently-biased Z.
+    *
     * Output: (entity, n, s, var_num, z). */
   def mannKendall(df: DataFrame, entityCol: String, orderCol: String,
                   valueCol: String): DataFrame = {
@@ -338,7 +345,21 @@ object TimeSeries {
       .agg(count(lit(1)).as("_ndistinct"),
         sum(col("_tc")).as("_n"),
         sum(col("_tc") * (col("_tc") - 1) * (col("_tc") * 2 + 5)).as("_tieTerm"))
-    val g = ties.join(s, Seq(entityCol), "left")
+    // bucket-contract guard: one row per (entity, order) or fail loudly
+    // (assert_true lives inside the n output below so the optimizer
+    // can't prune it; it is NULL when passing → coalesce adds 0)
+    val dupGuard = base.groupBy(col(entityCol), col("_t"))
+      .agg(count(lit(1)).as("_bn"))
+      .groupBy(col(entityCol))
+      .agg(max(col("_bn")).as("_maxDup"))
+    val g = ties.join(dupGuard, Seq(entityCol))
+      .withColumn("_dupOk", coalesce(
+        assert_true(col("_maxDup") === 1L,
+          concat(lit("mannKendall: duplicate (entity, order) bucket for entity "),
+            col(entityCol).cast("string"),
+            lit(" — aggregate to distinct buckets first"))).cast("long"),
+        lit(0L)))
+      .join(s, Seq(entityCol), "left")
       .withColumn("_sv", coalesce(col("_s"), lit(0).cast(d38)))
       .withColumn("_varNum",
         col("_n") * (col("_n") - 1) * (col("_n") * 2 + 5) - col("_tieTerm"))
@@ -346,7 +367,7 @@ object TimeSeries {
     val z = when(col("_sv") > 0, (col("_sv") - 1).cast("double") / sd)
       .when(col("_sv") < 0, (col("_sv") + 1).cast("double") / sd)
       .otherwise(lit(0.0))
-    g.select(col(entityCol), col("_n").cast("long").as("n"),
+    g.select(col(entityCol), (col("_n").cast("long") + col("_dupOk")).as("n"),
       col("_sv").cast("long").as("s"),
       col("_varNum").cast("long").as("var_num"),
       when(col("_n") >= 2 && col("_varNum") > 0, z).as("z"))

@@ -333,6 +333,25 @@ class MultimodalSpec extends SparkSpec {
     val grouped = Multimodal.webmBytes(16, 12, nBlocks = 5, blockGroups = true)
     assert(Multimodal.probeWebm(9L, grouped) ==
       Multimodal.WebmProbe(9L, ok = true, 5, 3, 1000000L, 200L, "V_VP8", 16, 12))
+    // multiple KNOWN-size clusters: split must not change counts
+    val multi = Multimodal.webmBytes(16, 12, nBlocks = 6, nClusters = 3)
+    assert(Multimodal.probeWebm(10L, multi) ==
+      Multimodal.WebmProbe(10L, ok = true, 6, 3, 1000000L, 240L, "V_VP8", 16, 12))
+    // the RFC 8794 §6.2 termination case: back-to-back UNKNOWN-size
+    // Clusters (real live streams) — each cluster must end where the
+    // next Cluster ID begins, so blocks in clusters 2..n still count
+    // (the old run-to-parent-end rule folded them into cluster 1 and
+    // dropped them)
+    val multiStreamed = Multimodal.webmBytes(16, 12, nBlocks = 6,
+      unknownSizes = true, nClusters = 3)
+    assert(Multimodal.probeWebm(11L, multiStreamed) ==
+      Multimodal.WebmProbe(11L, ok = true, 6, 3, 1000000L, 240L, "V_VP8", 16, 12))
+    // BlockGroup long form across unknown-size clusters exercises the
+    // A0/A1/FB IDs in the valid-child set
+    val multiGrouped = Multimodal.webmBytes(16, 12, nBlocks = 6,
+      unknownSizes = true, blockGroups = true, nClusters = 2)
+    assert(Multimodal.probeWebm(12L, multiGrouped) ==
+      Multimodal.WebmProbe(12L, ok = true, 6, 3, 1000000L, 240L, "V_VP8", 16, 12))
   }
 
   test("dirty WebM containers stay total: truncated/garbage/null probe ok=false") {

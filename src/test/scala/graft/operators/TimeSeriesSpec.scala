@@ -243,4 +243,21 @@ class TimeSeriesSpec extends SparkSpec {
       .collect().head
     assert(t.getLong(2) == 5L && t.getLong(3) == 4L * 3L * 13L - 2L * 1L * 9L)
   }
+
+  test("mannKendall: duplicate (entity, order) buckets fail loudly, not silently bias S") {
+    // two rows at t=2 would be counted in n but dropped from S by the
+    // strict _tb > _ta pair join — the bucket contract is enforced
+    val dup = Seq(Row("d", 1L, 1L), Row("d", 2L, 5L), Row("d", 2L, 6L),
+      Row("d", 3L, 9L))
+    val ex = intercept[Exception] {
+      TimeSeries.mannKendall(df(mkSchema, dup), "e", "t", "x").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("duplicate (entity, order) bucket")), ex)
+    // clean input through the same guard is untouched
+    val ok = TimeSeries.mannKendall(
+      df(mkSchema, (1L to 5L).map(i => Row("ok", i, i))), "e", "t", "x").collect().head
+    assert(ok.getLong(1) == 5L && ok.getLong(2) == 10L)
+  }
 }

@@ -14,9 +14,13 @@ con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
+import os
 oracles = json.load(open(f'{outdir}/oracle_sql.json'))
 ok, bad = [], []
+skipped = 0
 for name, sql in sorted(oracles.items()):
+    if not os.path.isdir(f'{outdir}/{name}'):
+        skipped += 1; continue  # query not run in this (filtered) Verify pass
     try:
         exp = con.execute(sql).fetch_arrow_table()
         got = duckdb.connect().execute(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetch_arrow_table()
@@ -39,13 +43,32 @@ for name, sql in sorted(oracles.items()):
         if mismatch:
             i, c, a, b = mismatch
             bad.append((name, f"value row {i} col {c}: oracle={a!r} spark={b!r}"))
+            continue
+        # Driver-equivalent rendering check: the driver hashes pandas-
+        # rendered values, where DuckDB HUGEINT/DECIMAL columns arrive
+        # as decimal128 and render float64 ("78100.0" vs Spark's
+        # "78100"). Value equality above passes (Decimal == int), so
+        # compare str() of pandas cells too — a divergence here is a
+        # driver hash-red even when values are equal.
+        ep = exp.select(ecols).to_pandas()
+        gp = got.select(gcols).to_pandas()
+        ep = ep.sort_values(ecols, key=lambda s: s.map(str)).reset_index(drop=True)
+        gp = gp.sort_values(gcols, key=lambda s: s.map(str)).reset_index(drop=True)
+        render = None
+        for c in ecols:
+            ev, gv = ep[c].map(str).tolist(), gp[c].map(str).tolist()
+            if ev != gv:
+                i = next(i for i in range(len(ev)) if ev[i] != gv[i])
+                render = (i, c, ev[i], gv[i]); break
+        if render:
+            i, c, a, b = render
+            bad.append((name, f"RENDER row {i} col {c}: oracle={a!r} spark={b!r} (pandas dtype {ep[c].dtype} vs {gp[c].dtype})"))
         else:
             ok.append((name, len(e)))
     except Exception as ex:
         bad.append((name, f"EXC: {ex}"))
 
 # rows-only queries (no oracle): just report counts
-import os
 rows_only = [d for d in sorted(os.listdir(outdir))
              if os.path.isdir(f'{outdir}/{d}') and d not in oracles]
 for name in rows_only:
@@ -56,4 +79,5 @@ for name in rows_only:
         print(f"ROWSONLY {name}: EXC {ex}")
 for name, n in ok: print(f"OK   {name} ({n} rows)")
 for name, why in bad: print(f"FAIL {name}: {why}")
-print(f"\n{len(ok)} ok, {len(bad)} fail, {len(rows_only)} rows-only")
+print(f"\n{len(ok)} ok, {len(bad)} fail, {len(rows_only)} rows-only" +
+      (f", {skipped} skipped (not run)" if skipped else ""))
