@@ -2799,8 +2799,10 @@ object SparkEntry {
       // divisible by 122 are TRUNCATED to 8 bytes — zero rows, the
       // dirty-archive contract. Every emitted field is closed-form:
       // Content-Length 91 for responses (44-byte HTTP head + 47-byte
-      // padded html), 17 for warcinfo, status 200 parsed from the
-      // payload's own status line.
+      // padded html), 111 for the trailing Latin-1 charset-declared
+      // response (64-byte head + 47 Latin-1 body bytes), 17 for
+      // warcinfo, status 200 parsed from the payload's own status
+      // line.
       val docs = T(s, dir, "documents").filter(col("doc_id") % 61 === 0)
       val media = operators.Warc.syntheticWarc(docs, "doc_id")
         .withColumn("payload", when(col("media_id") % 122 === 0,
@@ -2814,12 +2816,14 @@ object SparkEntry {
       // HTTP body extraction → stripHtml — raw archive bytes to clean
       // text in one oracled query (the stage before langid/quality in
       // a real pipeline); the planted html bodies make every cleaned
-      // string closed-form
+      // string closed-form, and each archive's trailing Latin-1
+      // response (0xE9 café byte, invalid UTF-8) oracle-checks the
+      // charset fallback chain — `charset` is the one that decoded
       val docs = T(s, dir, "documents").filter(col("doc_id") % 61 === 0)
       val media = operators.Warc.syntheticWarc(docs, "doc_id")
       operators.Warc.extractWarcTexts(media).toDF()
         .select(col("media_id"), col("rec_idx"), col("target_uri"),
-          TextFunctions.stripHtml(col("html")).as("text"))
+          col("charset"), TextFunctions.stripHtml(col("html")).as("text"))
         .orderBy(col("media_id"), col("rec_idx"))
     }),
 
@@ -6575,23 +6579,41 @@ object SparkEntry {
         |         'http://example.com/' || media_id || '/' || i AS target_uri,
         |         CAST(91 AS BIGINT) AS content_length,
         |         CAST(200 AS INTEGER) AS http_status
-        |  FROM d, unnest(range(0, n, 1)) AS t(i) WHERE NOT dirty)
-        |SELECT * FROM (SELECT * FROM info UNION ALL SELECT * FROM resp)
+        |  FROM d, unnest(range(0, n, 1)) AS t(i) WHERE NOT dirty),
+        |latin AS (
+        |  SELECT media_id, CAST(n + 1 AS INTEGER) AS rec_idx,
+        |         'response' AS warc_type,
+        |         'http://example.com/' || media_id || '/latin1' AS target_uri,
+        |         CAST(111 AS BIGINT) AS content_length,
+        |         CAST(200 AS INTEGER) AS http_status
+        |  FROM d WHERE NOT dirty)
+        |SELECT * FROM (SELECT * FROM info UNION ALL SELECT * FROM resp
+        |               UNION ALL SELECT * FROM latin)
         |ORDER BY media_id, rec_idx""".stripMargin,
 
-    // WARC→text replay: rebuild the planted html bodies verbatim, then
-    // the q_html_strip cleaning chain — archive bytes to clean text,
-    // every string closed-form.
+    // WARC→text replay: rebuild the planted html bodies verbatim
+    // (including the Latin-1 café row — chr(233) = U+00E9, the byte
+    // 0xE9 that strict UTF-8 rejects and the declared ISO-8859-1
+    // decodes), then the q_html_strip cleaning chain — archive bytes
+    // to clean text, every string and the decoding charset closed-form.
     "q_warc_text" ->
       """WITH d AS (SELECT doc_id AS media_id, 2 + doc_id % 5 AS n
         |           FROM documents WHERE doc_id % 61 = 0),
         |h AS (
         |  SELECT media_id, CAST(i + 1 AS INTEGER) AS rec_idx,
         |         'http://example.com/' || media_id || '/' || i AS target_uri,
+        |         'UTF-8' AS charset,
         |         substring('<html>doc ' || media_id || ' ' || i || repeat('.', 64),
         |                   1, 40) || '</html>' AS html
-        |  FROM d, unnest(range(0, n, 1)) AS t(i))
-        |SELECT media_id, rec_idx, target_uri,
+        |  FROM d, unnest(range(0, n, 1)) AS t(i)
+        |  UNION ALL
+        |  SELECT media_id, CAST(n + 1 AS INTEGER) AS rec_idx,
+        |         'http://example.com/' || media_id || '/latin1' AS target_uri,
+        |         'ISO-8859-1' AS charset,
+        |         substring('<html>caf' || chr(233) || ' doc ' || media_id ||
+        |                   repeat('.', 64), 1, 40) || '</html>' AS html
+        |  FROM d)
+        |SELECT media_id, rec_idx, target_uri, charset,
         |  trim(regexp_replace(
         |    replace(replace(replace(replace(replace(replace(
         |      regexp_replace(

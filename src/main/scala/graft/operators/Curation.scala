@@ -653,8 +653,11 @@ object Curation {
   }
 
   /** Deterministic train/validation/test split assignment: each row's
-    * id hashes (same engine-replicable Knuth hash and id contract as
-    * [[sampleGroups]]) into one of `buckets` buckets; splits own
+    * id hashes (the same engine-replicable Knuth hash as
+    * [[sampleGroups]], but computed through a DECIMAL(38,0)
+    * intermediate so FULL-RANGE hashed ids — e.g. xxhash64 provenance
+    * ids from warc_ingest — never overflow) into one of `buckets`
+    * buckets; splits own
     * contiguous bucket ranges sized by their weights (the LAST split
     * absorbs rounding remainder). Pure row-local codegen arithmetic —
     * no shuffle, no sampling state, stable across runs, engines, and
@@ -671,7 +674,14 @@ object Curation {
     require((0L +: bounds).zip(bounds).forall { case (lo, hi) => hi > lo },
       s"bucket resolution too coarse for the smallest weight — a split " +
         s"would own zero buckets (weights ${splits.map(_._2)}, buckets $buckets); raise `buckets`")
-    val bucket = (col(idCol).cast("long") * lit(2654435761L)) % lit(4294967296L) % buckets
+    // DECIMAL(38,0) intermediate: hashed 64-bit ids (e.g. xxhash64
+    // provenance ids from warc_ingest) overflow id×2654435761 in long
+    // arithmetic — ANSI mode throws; pmod keeps negative hashed ids in
+    // [0, 2³²) so every split still owns its share. Identical values
+    // to the old form for the small positive ids external replays use.
+    val bucket = expr(
+      s"CAST(pmod(CAST(CAST(`$idCol` AS BIGINT) AS DECIMAL(38,0)) * 2654435761, " +
+        "4294967296) AS BIGINT)") % buckets
     val assignment = splits.map(_._1).zip(bounds).reverse
       .foldLeft(lit(splits.last._1)) { case (acc, (name, hi)) =>
         when(bucket < hi, lit(name)).otherwise(acc)
@@ -1367,7 +1377,10 @@ object Curation {
         Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).cast("long").as("root"))
-    val bucket = pmod(col("root") * lit(2654435761L), lit(4294967296L)) % lit(total)
+    // DECIMAL(38,0) widening like assignSplits: cluster roots can be
+    // hashed 64-bit ids, and root×2654435761 overflows a long
+    val bucket = expr(
+      "CAST(pmod(CAST(root AS DECIMAL(38,0)) * 2654435761, 4294967296) AS BIGINT)") % lit(total)
     val bounds = splits.scanLeft(0L)(_ + _._2).tail
     // innermost = last split; each earlier split wraps it, so the
     // OUTERMOST (first-bound) check wins — a chained CASE

@@ -16,18 +16,23 @@ import org.apache.spark.sql.functions._
   * record walk here is the stage before [[graft.functions.TextFunctions.stripHtml]]
   * / langid / quality gating.
   *
-  * Scale shape: [[extractWarcRecords]] maps payloads per partition
-  * (one file's records never leave their executor, headers parse from
-  * a few hundred bytes per record, payload bytes are sliced not
-  * copied until requested); [[readWarcDir]] feeds it whole `.warc` /
-  * `.warc.gz` files via Spark's binaryFile source — per-FILE
-  * parallelism, the unit Common Crawl ships (~1 GB gz members), so a
-  * crawl dump scales by adding executors, never by a driver loop.
-  * Dirty input stays total: a malformed record ends that payload's
-  * walk with the records already parsed (the
-  * [[Multimodal.decodeAviFrames]] convention), truncated payloads
-  * yield the records whose declared lengths fit, and garbage yields
-  * zero rows — one poison file must not kill the scan. */
+  * Scale shape: the record walk is a STREAMING iterator
+  * ([[warcIterator]]) — headers read line-at-a-time off a bounded
+  * buffer, each body allocated at exactly its declared Content-Length,
+  * gzip inflated incrementally through `GZIPInputStream` — so peak
+  * task memory is O(max record), never O(file): Common Crawl's ~1 GB
+  * gz units walk in a few MB of heap. [[extractWarcRecords]] maps
+  * payloads per partition (one file's records never leave their
+  * executor); [[readWarcDir]] opens each `.warc` / `.warc.gz` file as
+  * a Hadoop input stream directly — per-FILE parallelism, the unit
+  * Common Crawl ships, and the file bytes NEVER materialize as a
+  * column, so a crawl dump scales by adding executors, never by a
+  * driver loop or per-task file-sized buffers. Dirty input stays
+  * total: a malformed record ends that payload's walk with the
+  * records already parsed (the [[Multimodal.decodeAviFrames]]
+  * convention), truncated payloads yield the records whose declared
+  * lengths fit, and garbage yields zero rows — one poison file must
+  * not kill the scan. */
 object Warc {
 
   /** One parsed record: WARC-Type, WARC-Target-URI ('' when absent),
@@ -59,113 +64,231 @@ object Warc {
 
   private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
 
+  /** Parsed HTTP status of a `response` record whose payload opens
+    * with a status line; None otherwise. */
+  private def httpStatus(warcType: String, len: Long, b: Array[Byte],
+                         bodyStart: Int): Option[Int] =
+    if (warcType == "response" && len >= 12 &&
+        b(bodyStart) == 'H' && b(bodyStart + 1) == 'T' &&
+        b(bodyStart + 2) == 'T' && b(bodyStart + 3) == 'P') {
+      val head = new String(b, bodyStart, math.min(len, 64L).toInt, Ascii)
+      val parts = head.split(" ")
+      if (parts.length >= 2 && parts(1).nonEmpty &&
+          parts(1).forall(_.isDigit)) Some(parts(1).toInt)
+      else None
+    } else None
+
   /** Walk the record stream of one (possibly gzipped) WARC payload.
     * Content-Length drives every hop; anything malformed ends the walk
     * with what parsed. */
   private[graft] def parseWarc(mediaId: Long, bytes: Array[Byte]): Seq[WarcRecord] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
     walkWarc(bytes) { (warcType, uri, len, b, bodyStart) =>
-      val status =
-        if (warcType == "response" && len >= 12 &&
-            b(bodyStart) == 'H' && b(bodyStart + 1) == 'T' &&
-            b(bodyStart + 2) == 'T' && b(bodyStart + 3) == 'P') {
-          val head = new String(b, bodyStart, math.min(len, 64L).toInt, Ascii)
-          val parts = head.split(" ")
-          if (parts.length >= 2 && parts(1).nonEmpty &&
-              parts(1).forall(_.isDigit)) Some(parts(1).toInt)
-          else None
-        } else None
-      out += WarcRecord(mediaId, out.length, warcType, uri, len, status)
+      out += WarcRecord(mediaId, out.length, warcType, uri, len,
+        httpStatus(warcType, len, b, bodyStart))
     }
     out.toSeq
   }
 
   /** One text row per HTTP `response` record: the payload body AFTER
-    * the HTTP header block, decoded UTF-8 — the html that feeds
-    * [[graft.functions.TextFunctions.stripHtml]]. Responses without a
+    * the HTTP header block, decoded CHARSET-HONESTLY — the html that
+    * feeds [[graft.functions.TextFunctions.stripHtml]]. A 100 TB crawl
+    * contains non-UTF-8 pages in bulk, so decoding everything as one
+    * fixed charset would silently mangle them; the chain is:
+    * Content-Type `charset=` header → HTML meta prescan of the first
+    * 1 KiB (the HTML5 `<meta charset=…>` convention, simplified) →
+    * strict UTF-8 → Latin-1 (total: every byte maps). `charset` in the
+    * output is the one that actually decoded. Responses without a
     * header/body split yield the whole payload. */
-  case class WarcText(media_id: Long, rec_idx: Int, target_uri: String, html: String)
+  case class WarcText(media_id: Long, rec_idx: Int, target_uri: String,
+                      charset: String, html: String)
+
+  private val CharsetRe =
+    java.util.regex.Pattern.compile("(?i)charset\\s*=\\s*\"?([A-Za-z0-9_.:\\-]+)")
+
+  /** Decode body bytes by the fallback chain; returns (charsetName,
+    * text). `declared` is tried strictly first (unknown/alias-broken
+    * names skip to the next step); UTF-8 strictly; Latin-1 never
+    * fails. */
+  private[graft] def decodeBody(b: Array[Byte], from: Int, len: Int,
+                                declared: Option[String]): (String, String) = {
+    def strict(cs: java.nio.charset.Charset): Option[String] =
+      try {
+        val dec = cs.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        Some(dec.decode(java.nio.ByteBuffer.wrap(b, from, len)).toString)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val fromDeclared = declared.flatMap { name =>
+      (try Some(java.nio.charset.Charset.forName(name))
+       catch { case scala.util.control.NonFatal(_) => None })
+        .flatMap(cs => strict(cs).map(cs.name -> _))
+    }
+    fromDeclared
+      .orElse(strict(java.nio.charset.StandardCharsets.UTF_8).map("UTF-8" -> _))
+      .getOrElse("ISO-8859-1" ->
+        new String(b, from, len, java.nio.charset.StandardCharsets.ISO_8859_1))
+  }
+
+  /** (charset, html) of one HTTP response body buffer: header/body
+    * split on the blank line, charset from the header block or the
+    * HTML5-style meta prescan of the first 1 KiB, then the
+    * [[decodeBody]] fallback chain. */
+  private[graft] def responseText(b: Array[Byte], bodyStart: Int, len: Int): (String, String) = {
+    // body = after the HTTP header block's blank line
+    var i = bodyStart
+    val end = bodyStart + len
+    var split = -1
+    while (split < 0 && i + 3 < end) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        split = i + 4
+      else i += 1
+    }
+    val from = if (split > 0) split else bodyStart
+    def findCharset(s: String): Option[String] = {
+      val m = CharsetRe.matcher(s)
+      if (m.find()) Some(m.group(1)) else None
+    }
+    val headerCharset =
+      if (split > 0) findCharset(new String(b, bodyStart, split - bodyStart, Ascii))
+      else None
+    val declared = headerCharset.orElse {
+      val probe = new String(b, from, math.min(1024, end - from), Ascii)
+      if (probe.contains("<meta") || probe.contains("<META"))
+        findCharset(probe)
+      else None
+    }
+    decodeBody(b, from, end - from, declared)
+  }
 
   private[graft] def parseWarcTexts(mediaId: Long, bytes: Array[Byte]): Seq[WarcText] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcText]
     var idx = 0
     walkWarc(bytes) { (warcType, uri, len, b, bodyStart) =>
       if (warcType == "response") {
-        // body = after the HTTP header block's blank line
-        var i = bodyStart
-        val end = bodyStart + len.toInt
-        var split = -1
-        while (split < 0 && i + 3 < end) {
-          if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
-            split = i + 4
-          else i += 1
-        }
-        val from = if (split > 0) split else bodyStart
-        out += WarcText(mediaId, idx, uri,
-          new String(b, from, end - from, java.nio.charset.StandardCharsets.UTF_8))
+        val (cs, text) = responseText(b, bodyStart, len.toInt)
+        out += WarcText(mediaId, idx, uri, cs, text)
       }
       idx += 1
     }
     out.toSeq
   }
 
-  /** The record walk shared by the extractors: `emit(type, uri,
-    * contentLength, decompressedBuffer, bodyStart)` per well-formed
-    * record; anything malformed ends the walk with what was emitted. */
-  private def walkWarc(bytes: Array[Byte])(
-      emit: (String, String, Long, Array[Byte], Int) => Unit): Unit =
-    try {
-      if (bytes == null || bytes.length < 8) return
-      val b = if (isGzip(bytes)) gunzipAll(bytes) else bytes
-      var pos = 0
-      var done = false
-      def lineEnd(from: Int): Int = { // index of the \r of the next CRLF
-        var i = from
-        while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
-        if (i + 1 < b.length) i else -1
+  /** Per-record cap on the body buffer — a lying Content-Length must
+    * not drive a multi-GB allocation; records past the cap end the
+    * walk (dirty input total). 256 MiB is far above any real WARC
+    * record (Common Crawl truncates payloads at 1 MiB). */
+  private[graft] val MaxRecordBytes: Long = 256L << 20
+
+  private val MaxHeaderLine = 64 * 1024 // one k:v line, bounded
+
+  /** STREAMING record iterator over a (possibly gzipped) WARC byte
+    * stream — the core walk every extractor rides. Peak buffer is
+    * O(one record): header lines read byte-at-a-time off the buffered
+    * stream, each body allocated at exactly its declared
+    * Content-Length (capped at [[MaxRecordBytes]]), gzip members
+    * inflate incrementally (`GZIPInputStream` walks concatenated
+    * members natively — the .warc.gz per-record-member convention).
+    * Content-Length drives every hop, never a delimiter scan through
+    * payloads; anything malformed (bad version line, unterminated
+    * header, truncated or over-cap body) ends the iterator with the
+    * records already yielded. The caller owns closing `in0`. */
+  private[graft] def warcIterator(in0: java.io.InputStream): Iterator[(String, String, Long, Array[Byte])] =
+    new scala.collection.AbstractIterator[(String, String, Long, Array[Byte])] {
+      private var in: java.io.InputStream = _
+      private var nextRec: (String, String, Long, Array[Byte]) = _
+      private var finished = false
+      private var started = false
+
+      private def init(): Unit = {
+        // sniff gzip magic (extension-independent) via pushback
+        val pb = new java.io.PushbackInputStream(in0, 2)
+        val h1 = pb.read(); val h2 = if (h1 >= 0) pb.read() else -1
+        if (h2 >= 0) pb.unread(h2)
+        if (h1 >= 0) pb.unread(h1)
+        in =
+          if (h1 == 0x1f && h2 == 0x8b) new java.util.zip.GZIPInputStream(pb, 65536)
+          else new java.io.BufferedInputStream(pb, 65536)
       }
-      while (!done && pos + 8 <= b.length) {
-        if (!(b(pos) == 'W' && b(pos + 1) == 'A' && b(pos + 2) == 'R' &&
-            b(pos + 3) == 'C' && b(pos + 4) == '/')) done = true
-        else {
-          // header block: the version line, then k: v lines up to the
-          // empty line; bodyStart < 0 until the empty line is found
-          var lineStart = 0
-          var cur = lineEnd(pos) // end of the version line
+
+      /** One header line up to CRLF, ASCII; null on EOF before the
+        * terminator or a line past [[MaxHeaderLine]] (malformed). */
+      private def readLine(): String = {
+        val sb = new java.lang.StringBuilder(64)
+        var prev = -1
+        var c = in.read()
+        while (c >= 0) {
+          if (prev == '\r' && c == '\n') {
+            sb.setLength(sb.length - 1) // drop the \r
+            return sb.toString
+          }
+          sb.append(c.toChar)
+          if (sb.length > MaxHeaderLine) return null
+          prev = c
+          c = in.read()
+        }
+        null
+      }
+
+      private def advance(): Unit =
+        try {
+          if (!started) { started = true; init() }
+          else {
+            // records terminate with CRLF CRLF per the spec: skip the
+            // 4 separator bytes (EOF here = clean end of stream)
+            if (in.readNBytes(4).length < 4) { finished = true; return }
+          }
+          val version = readLine()
+          if (version == null || !version.startsWith("WARC/")) { finished = true; return }
           var warcType = ""
           var uri = ""
           var len = -1L
-          var bodyStart = -1
-          while (bodyStart < 0 && cur > 0) {
-            lineStart = cur + 2
-            val next = lineEnd(lineStart)
-            if (next < 0) cur = -1 // no terminator: malformed header
-            else if (next == lineStart) { // empty line ends the block
-              bodyStart = lineStart + 2
-            } else {
-              val line = new String(b, lineStart, next - lineStart, Ascii)
-              val ci = line.indexOf(':')
-              if (ci > 0) {
-                val k = line.substring(0, ci).trim.toLowerCase
-                val v = line.substring(ci + 1).trim
-                if (k == "warc-type") warcType = v
-                else if (k == "warc-target-uri") uri = v
-                else if (k == "content-length")
-                  len = try v.toLong catch { case _: NumberFormatException => -1L }
-              }
-              cur = next
+          var line = readLine()
+          var headerBytes = 0
+          while (line != null && line.nonEmpty) {
+            headerBytes += line.length
+            if (headerBytes > MaxHeaderLine * 16) { finished = true; return }
+            val ci = line.indexOf(':')
+            if (ci > 0) {
+              val k = line.substring(0, ci).trim.toLowerCase
+              val v = line.substring(ci + 1).trim
+              if (k == "warc-type") warcType = v
+              else if (k == "warc-target-uri") uri = v
+              else if (k == "content-length")
+                len = try v.toLong catch { case _: NumberFormatException => -1L }
             }
+            line = readLine()
           }
-          if (bodyStart < 0 || len < 0 || bodyStart + len > b.length)
-            done = true // malformed header or truncated tail record
-          else {
-            emit(warcType, uri, len, b, bodyStart)
-            // records terminate with CRLF CRLF per the spec
-            pos = (bodyStart + len + 4).toInt
-          }
-        }
+          if (line == null || len < 0 || len > MaxRecordBytes) { finished = true; return }
+          val body = in.readNBytes(len.toInt)
+          if (body.length < len) { finished = true; return } // truncated tail
+          nextRec = (warcType, uri, len, body)
+        } catch { case scala.util.control.NonFatal(_) => finished = true }
+
+      override def hasNext: Boolean = {
+        if (!finished && nextRec == null) advance()
+        !finished && nextRec != null
       }
-    } catch { case scala.util.control.NonFatal(_) => () }
+      override def next(): (String, String, Long, Array[Byte]) = {
+        if (!hasNext) throw new NoSuchElementException("warcIterator")
+        val r = nextRec; nextRec = null; r
+      }
+    }
+
+  /** The record walk shared by the in-memory extractors: `emit(type,
+    * uri, contentLength, bodyBuffer, bodyStart)` per well-formed
+    * record; anything malformed ends the walk with what was emitted.
+    * Delegates to the streaming [[warcIterator]] — one body buffer
+    * live at a time even for a fully materialized payload column. */
+  private def walkWarc(bytes: Array[Byte])(
+      emit: (String, String, Long, Array[Byte], Int) => Unit): Unit = {
+    if (bytes == null || bytes.length < 8) return
+    val it = warcIterator(new java.io.ByteArrayInputStream(bytes))
+    while (it.hasNext) {
+      val (warcType, uri, len, body) = it.next()
+      emit(warcType, uri, len, body, 0)
+    }
+  }
 
   /** Per-partition batched record extraction over a payload table —
     * one row per WARC record; the media-probe shape
@@ -191,17 +314,135 @@ object Warc {
       .mapPartitions { it => it.flatMap { case (id, bytes) => parseWarcTexts(id, bytes) } }
   }
 
+  /** Hadoop `Configuration` is not `Serializable`; this is the
+    * standard write/readFields envelope so tasks can open streams with
+    * the driver's filesystem settings. */
+  private class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** Stream one WARC file's records straight off its Hadoop input
+    * stream — never the whole file into memory (the [[warcIterator]]
+    * contract: O(record) peak buffer, gzip inflated incrementally).
+    * The stream closes when the iterator exhausts or errors; a file
+    * that can't open yields zero rows (poison-file contract). */
+  private[graft] def streamWarcFile(conf: org.apache.hadoop.conf.Configuration,
+                                    pathStr: String): Iterator[(String, Int, String, String, Long, Option[Int])] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(pathStr)
+      val stream = p.getFileSystem(conf).open(p)
+      var idx = -1
+      val inner = warcIterator(stream)
+      new scala.collection.AbstractIterator[(String, Int, String, String, Long, Option[Int])] {
+        override def hasNext: Boolean = {
+          val h = try inner.hasNext catch {
+            case scala.util.control.NonFatal(_) => false
+          }
+          if (!h) { try stream.close() catch { case scala.util.control.NonFatal(_) => () } }
+          h
+        }
+        override def next(): (String, Int, String, String, Long, Option[Int]) = {
+          val (warcType, uri, len, body) = inner.next()
+          idx += 1
+          (pathStr, idx, warcType, uri, len, httpStatus(warcType, len, body, 0))
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => Iterator.empty
+    }
+
   /** Read a directory of `.warc` / `.warc.gz` files into the record
-    * table via Spark's binaryFile source — per-file parallelism (the
-    * unit Common Crawl ships), ids = a stable hash of the file path so
-    * downstream joins don't depend on listing order. */
+    * table by opening each file as a Hadoop STREAM inside the task —
+    * per-file parallelism (the unit Common Crawl ships), file bytes
+    * never materialize as a column, task heap stays O(max record).
+    * binaryFile supplies only the pruned path listing (its `content`
+    * column is never projected, so it is never read); the small path
+    * table repartitions across the cluster so two files never
+    * serialize behind each other on one core. Ids = a stable hash of
+    * the file path so downstream joins don't depend on listing
+    * order. */
   def readWarcDir(spark: SparkSession, path: String): DataFrame = {
-    val files = spark.read.format("binaryFile")
+    import spark.implicits._
+    val paths = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.warc*").load(path)
-      .select(xxhash64(col("path")).as("media_id"), col("path"),
-        col("content").as("payload"))
-    extractWarcRecords(files).toDF()
-      .join(files.select(col("media_id"), col("path")), Seq("media_id"))
+      .select(col("path")).as[String]
+      .repartition(spark.sparkContext.defaultParallelism)
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    paths.mapPartitions { it =>
+      it.flatMap(p => streamWarcFile(confBc.value.value, p))
+    }.toDF("path", "rec_idx", "warc_type", "target_uri", "content_length", "http_status")
+      .select(xxhash64(col("path")).as("media_id"), col("rec_idx"),
+        col("warc_type"), col("target_uri"), col("content_length"),
+        col("http_status"), col("path"))
+  }
+
+  /** Stream one WARC file's RESPONSE TEXTS off its Hadoop input stream
+    * — (path, rec_idx, uri, charset, html) per HTTP response, rec_idx
+    * counting all records (the [[parseWarcTexts]] convention). Same
+    * O(record) contract as [[streamWarcFile]]: one decoded body lives
+    * at a time. */
+  private[graft] def streamWarcTextFile(conf: org.apache.hadoop.conf.Configuration,
+                                        pathStr: String): Iterator[(String, Int, String, String, String)] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(pathStr)
+      val stream = p.getFileSystem(conf).open(p)
+      var idx = -1
+      val inner = warcIterator(stream)
+      new scala.collection.AbstractIterator[(String, Int, String, String, String)] {
+        private var pending: (String, Int, String, String, String) = _
+        private def advance(): Unit = {
+          while (pending == null && (try inner.hasNext catch {
+            case scala.util.control.NonFatal(_) => false
+          })) {
+            val (warcType, uri, len, body) = inner.next()
+            idx += 1
+            if (warcType == "response") {
+              val (cs, text) = responseText(body, 0, len.toInt)
+              pending = (pathStr, idx, uri, cs, text)
+            }
+          }
+          if (pending == null) {
+            try stream.close() catch { case scala.util.control.NonFatal(_) => () }
+          }
+        }
+        override def hasNext: Boolean = { if (pending == null) advance(); pending != null }
+        override def next(): (String, Int, String, String, String) = {
+          if (!hasNext) throw new NoSuchElementException("streamWarcTextFile")
+          val r = pending; pending = null; r
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => Iterator.empty
+    }
+
+  /** Read a directory of `.warc` / `.warc.gz` files into the TEXT
+    * table — one row per HTTP response with its body charset-honestly
+    * decoded ([[responseText]]): the crawl-ingestion front door a
+    * training-data funnel starts from. Same streaming/parallelism
+    * shape as [[readWarcDir]]: file bytes never materialize, task heap
+    * stays O(max record), per-file parallelism. */
+  def readWarcTextsDir(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val paths = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*").load(path)
+      .select(col("path")).as[String]
+      .repartition(spark.sparkContext.defaultParallelism)
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    paths.mapPartitions { it =>
+      it.flatMap(p => streamWarcTextFile(confBc.value.value, p))
+    }.toDF("path", "rec_idx", "target_uri", "charset", "html")
+      .select(xxhash64(col("path")).as("media_id"), col("rec_idx"),
+        col("target_uri"), col("charset"), col("html"), col("path"))
   }
 
   /** Spec-correct WARC bytes: a `warcinfo` record + `n` HTTP `response`
@@ -209,10 +450,15 @@ object Warc {
     * 47-byte padded html ⇒ Content-Length 91 for every response — the
     * closed form `q_warc_records` states); `gzipWhole` wraps the
     * stream in one gzip member, `gzipMembers` compresses each record
-    * as its own member (the .warc.gz convention). */
+    * as its own member (the .warc.gz convention); `latin1` appends one
+    * NON-UTF-8 response — a 64-byte head declaring
+    * `charset=ISO-8859-1` + a 47-char café body encoded Latin-1
+    * (0xE9, invalid UTF-8) ⇒ Content-Length 111 — so the charset
+    * fallback chain is oracle-checked, not just spec'd. */
   private[graft] def warcBytes(id: Long, nResponses: Int,
                                gzipWhole: Boolean = false,
-                               gzipMembers: Boolean = false): Array[Byte] = {
+                               gzipMembers: Boolean = false,
+                               latin1: Boolean = false): Array[Byte] = {
     def record(headers: Seq[(String, String)], body: Array[Byte]): Array[Byte] = {
       val h = new StringBuilder("WARC/1.0\r\n")
       headers.foreach { case (k, v) => h.append(k).append(": ").append(v).append("\r\n") }
@@ -233,7 +479,15 @@ object Warc {
       val g = new java.util.zip.GZIPOutputStream(bo)
       g.write(b); g.close(); bo.toByteArray
     }
-    val members = info +: responses
+    val latinExtra = if (!latin1) Seq.empty else {
+      val head2 = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n\r\n" // 64 bytes
+      val html = (s"<html>café doc $id" + "." * 64).substring(0, 40) + "</html>" // 47 chars
+      Seq(record(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> s"http://example.com/$id/latin1"),
+        head2.getBytes(Ascii) ++
+          html.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+    }
+    val members = (info +: responses) ++ latinExtra
     if (gzipMembers) members.map(gz).reduce(_ ++ _)
     else {
       val whole = members.reduce(_ ++ _)
@@ -242,15 +496,16 @@ object Warc {
   }
 
   /** Archive table of planted WARCs with CLOSED-FORM record rows —
-    * (2 + id%5) responses behind a warcinfo record, every response 91
-    * content bytes at status 200; even ids arrive as per-record-member
+    * (2 + id%5) UTF-8 responses of 91 content bytes at status 200 plus
+    * one Latin-1 `charset=ISO-8859-1` response of 111 bytes, all
+    * behind a warcinfo record; even ids arrive as per-record-member
     * .warc.gz (the transparent-gzip path is exercised INSIDE the
     * oracled query, not just a spec). */
   def syntheticWarc(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val payload: Long => Array[Byte] = (id: Long) =>
-      warcBytes(id, 2 + (id % 5).toInt, gzipMembers = id % 2 == 0)
+      warcBytes(id, 2 + (id % 5).toInt, gzipMembers = id % 2 == 0, latin1 = true)
     df.select(col(idCol).cast("long").as("media_id"))
       .as[Long]
       .mapPartitions { it => it.map(id => (id, "warc", s"synthetic://$id", payload(id))) }

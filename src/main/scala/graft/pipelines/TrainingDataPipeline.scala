@@ -352,18 +352,22 @@ object TrainingDataPipeline {
       val keyed = chunks
         .join(split.select(col("doc_id"), col(langCol), col("split")), Seq("doc_id"))
         .withColumn("pack_shard", pmod(col("doc_id"), lit(64)))
-        // bit-packed (doc_id, chunk_idx) ordering key with ASSERTED
-        // bounds (ADVICE r10): the old doc_id*100000+chunk_idx collided
-        // once a doc yielded ≥100k chunks and overflowed long for
-        // doc_id ≳ 9.2e13 — exactly the silent-determinism-loss shape
-        // packSequences' unique-orderCol contract forbids. 2^20 chunks
-        // (≈134M tokens/doc at 128-token chunks) and 2^43 doc ids are
-        // loud limits, not cliffs.
+        // DECIMAL-packed (doc_id, chunk_idx) ordering key with an
+        // ASSERTED chunk bound (ADVICE r10 lineage): the old
+        // doc_id*100000+chunk_idx collided once a doc yielded ≥100k
+        // chunks, and the r10 bit-packed long capped doc ids at 2^43 —
+        // which FULL-RANGE hashed ids (xxhash64 provenance ids from
+        // warc_ingest) violate. (doc_id + 2^63)·2^20 + chunk_idx in
+        // DECIMAL(38,0) is unique and order-isomorphic for EVERY
+        // (doc_id, chunk_idx) with chunk_idx < 2^20 (≈134M tokens/doc
+        // at 128-token chunks — a loud limit, not a cliff), identical
+        // ordering to the old key on in-range ids.
         .filter(assert_true(
-          col("chunk_idx") < lit(1 << 20) && col("doc_id").between(0L, (1L << 43) - 1),
+          col("chunk_idx") < lit(1 << 20),
           concat(lit("pack ordering key out of range: doc_id="), col("doc_id").cast("string"),
             lit(" chunk_idx="), col("chunk_idx").cast("string"))).isNull)
-        .withColumn("_ord", shiftleft(col("doc_id"), 20) + col("chunk_idx"))
+        .withColumn("_ord", expr(
+          "(CAST(doc_id AS DECIMAL(38,0)) + 9223372036854775808) * 1048576 + chunk_idx"))
       work.write(Curation.packSequences(keyed, "n_tokens", packBudget,
         Seq("split", langCol, "pack_shard"), "_ord").drop("_ord"), "docs_packed")
     }
@@ -495,6 +499,37 @@ object TrainingDataPipeline {
           java.nio.file.Files.createTempDirectory("graft_training_").toString))
       ()
     }
+  }
+
+  /** Crawl front door (VERDICT r15 #5): a `warc_ingest` step that
+    * turns a directory of raw `.warc` / `.warc.gz` crawl files into
+    * the `documents` table [[build]] ingests — record walk
+    * ([[graft.operators.Warc.readWarcTextsDir]]: streaming, O(record)
+    * task heap, per-file parallelism) → charset-honest body decode →
+    * [[TextFunctions.stripHtml]] — so the WHOLE journey runs raw
+    * archive bytes → funnel → release gate. doc_id is the stable
+    * (path, record) hash; url/charset/provenance columns ride along
+    * for lineage audits downstream.
+    *
+    * Wire it on the SAME plan before [[build]]/[[ReleasePipeline]]
+    * with `srcDir` pointing at the ingest output:
+    * {{{
+    * TrainingDataPipeline.warcIngest(plan, warcDir, crawlSrc)
+    * ReleasePipeline.build(plan, crawlSrc, workDir)
+    * }}} */
+  def warcIngest(plan: Plan, warcDir: String, srcDir: String): Plan = {
+    val out = new ParquetConnector(plan.spark, srcDir)
+    plan.step("warc_ingest") {
+      val texts = graft.operators.Warc.readWarcTextsDir(plan.spark, warcDir)
+      out.write(texts.select(
+        xxhash64(col("path"), col("rec_idx")).as("doc_id"),
+        TextFunctions.stripHtml(col("html")).as("text"),
+        col("target_uri").as("url"), col("charset"),
+        col("path").as("warc_path"), col("rec_idx").as("warc_rec_idx"))
+        .withColumn("n_chars", length(col("text")).cast("long")),
+        "documents")
+    }
+    plan
   }
 
   /** Stage counts (cheap: parquet count() uses footer row counts).

@@ -60,6 +60,85 @@ class WarcSpec extends SparkSpec {
     assert(Warc.parseWarcTexts(8L, raw).head.html == "hello")
   }
 
+  test("warcIterator streams: records surface from a bounded read prefix, not the whole file") {
+    // 10k records ≈ 1.8 MB generated LAZILY (one record's bytes live at
+    // a time); a counting stream proves the walk buffers O(record) —
+    // taking 3 records must read ≲ the 64 KiB buffer fill, never the
+    // full stream
+    val one = Warc.warcBytes(1L, nResponses = 1)
+    var produced = 0L
+    val lazyStream: java.io.InputStream = new java.io.InputStream {
+      private var rec = 0
+      private var cur: java.io.ByteArrayInputStream = _
+      override def read(): Int = {
+        if (cur == null || cur.available() == 0) {
+          if (rec >= 10000) return -1
+          rec += 1
+          cur = new java.io.ByteArrayInputStream(one)
+        }
+        produced += 1
+        cur.read()
+      }
+    }
+    val it = Warc.warcIterator(lazyStream)
+    val first3 = it.take(3).toList
+    assert(first3.map(_._1) == List("warcinfo", "response", "warcinfo"), first3.map(_._1))
+    assert(produced < 128 * 1024,
+      s"streaming walk read $produced bytes for 3 records — file-sized buffering")
+    // and the iterator does finish the stream when drained
+    assert(it.size > 10000, "remaining records should all surface")
+  }
+
+  test("a lying multi-GB Content-Length ends the walk instead of allocating it") {
+    val lying = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"Content-Length: ${Warc.MaxRecordBytes + 1}\r\n\r\nhello\r\n\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    assert(Warc.parseWarc(1L, lying).isEmpty)
+  }
+
+  test("charset fallback chain: declared header charset → meta prescan → UTF-8 → Latin-1") {
+    val latinBody = "café".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    def respond(head: String, body: Array[Byte]): Array[Byte] = {
+      val payload = head.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: ${payload.length}\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ payload ++
+        "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    // 1. declared in the Content-Type header wins
+    val declared = Warc.parseWarcTexts(1L, respond(
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n\r\n",
+      latinBody)).head
+    assert(declared.charset == "ISO-8859-1" && declared.html == "café", declared)
+    // 2. no header charset: the meta prescan of the first 1 KiB
+    val meta = Warc.parseWarcTexts(2L, respond(
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n",
+      "<meta charset=\"windows-1252\">".getBytes ++ latinBody)).head
+    assert(meta.charset == "windows-1252" && meta.html.endsWith("café"), meta)
+    // 3. no declaration anywhere: strict UTF-8 when the bytes comply
+    val utf8 = Warc.parseWarcTexts(3L, respond(
+      "HTTP/1.1 200 OK\r\n\r\n",
+      "café".getBytes(java.nio.charset.StandardCharsets.UTF_8))).head
+    assert(utf8.charset == "UTF-8" && utf8.html == "café", utf8)
+    // 4. undeclared non-UTF-8 bytes land on total Latin-1
+    val fallback = Warc.parseWarcTexts(4L, respond("HTTP/1.1 200 OK\r\n\r\n",
+      latinBody)).head
+    assert(fallback.charset == "ISO-8859-1" && fallback.html == "café", fallback)
+    // 5. a BOGUS declared charset skips to the UTF-8 step, not a crash
+    val bogus = Warc.parseWarcTexts(5L, respond(
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=not-a-charset\r\n\r\n",
+      "plain".getBytes)).head
+    assert(bogus.charset == "UTF-8" && bogus.html == "plain", bogus)
+    // 6. the oracled fixture shape: latin1 archives round-trip café
+    val withLatin = Warc.parseWarcTexts(6L, Warc.warcBytes(6L, 2, latin1 = true))
+    assert(withLatin.length == 3)
+    val latinRow = withLatin.last
+    assert(latinRow.charset == "ISO-8859-1" &&
+      latinRow.html.startsWith("<html>café doc 6") &&
+      latinRow.target_uri == "http://example.com/6/latin1", latinRow)
+    assert(Warc.parseWarc(6L, Warc.warcBytes(6L, 2, latin1 = true))
+      .last.content_length == 111L)
+  }
+
   test("readWarcDir reads .warc/.warc.gz files into the record table with stable ids") {
     val dir = tmpDir("graft_warc_")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.warc"),
