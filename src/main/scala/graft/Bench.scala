@@ -289,7 +289,9 @@ object Bench {
     // r15 second wave — the WARC record walk (Content-Length hops +
     // transparent multi-member gunzip, per-partition) and the full
     // archive-to-clean-text composition (record walk -> body -> strip)
-    "q_warc_records", "q_warc_text")
+    "q_warc_records", "q_warc_text",
+    // r16: the CDX capture index (offset arithmetic + per-response md5)
+    "q_warc_cdx")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is
@@ -346,6 +348,19 @@ object Bench {
   private[graft] def spreadFlag(times: Seq[Double]): Boolean = {
     val steady = times.drop(1).filter(_ >= 0)
     steady.size >= 2 && steady.max > 0.5 && steady.max / math.max(steady.min, 1e-9) > 3.0
+  }
+
+  /** Warm-up contamination flag (VERDICT r15 #2): a monotone rep-decay
+    * signature — rep 1 more than 1.5× the LAST successful rep on a
+    * ≥0.5 s query — is invisible to [[spreadFlag]] (which excludes
+    * rep 1 by design) yet poisons the median when rep 2 is still
+    * decaying (r15's committed q_corr: 16.4/11.3/9.1 s against 2.1 s
+    * on a quiet box). Flagged queries are REQUEUED for another full
+    * rep set within the same run, so the committed median reflects
+    * steady state. */
+  private[graft] def warmupFlag(times: Seq[Double]): Boolean = {
+    val ok = times.filter(_ >= 0)
+    ok.size >= 2 && ok.head > 0.5 && ok.last > 0 && ok.head > 1.5 * ok.last
   }
 
   /** Self-defense against a busy machine (VERDICT r8 #1: two straight
@@ -536,6 +551,7 @@ object Bench {
     // extra reps are nearly free (they are sub-second by definition);
     // the `runs` matrices for that cohort simply carry more columns.
     val subSecReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUBSEC_REPS", "7").toInt
+    val warmupRequeued = scala.collection.mutable.LinkedHashSet[String]()
     val runs: Seq[(String, Seq[(Double, Double)])] = headline.filter(selected).map { name =>
       val fn = SparkEntry.queries(name)
       def rep(): (Double, Double) =
@@ -545,9 +561,16 @@ object Bench {
       name -> {
         val first = (1 to reps).map(_ => rep())
         val med = median(first.map(_._1))
-        if (med >= 0 && med < 1.0 && subSecReps > reps)
-          first ++ (reps until subSecReps).map(_ => rep())
-        else first
+        val extended =
+          if (med >= 0 && med < 1.0 && subSecReps > reps)
+            first ++ (reps until subSecReps).map(_ => rep())
+          else first
+        // warm-up requeue (VERDICT r15 #2): a monotone decay signature
+        // gets one more full rep set so the median lands on steady state
+        if (warmupFlag(extended.map(_._1))) {
+          warmupRequeued += name
+          extended ++ (1 to reps).map(_ => rep())
+        } else extended
       }
     } ++ Seq[(String, () => Seq[Double])](
       // steady-state entries: setup untimed, so reps are flat and
@@ -580,7 +603,12 @@ object Bench {
       name -> times.map(t => (t, util))
     }
     val times = runs.map { case (k, v) => k -> v.map(_._1) }
-    val medians = times.map { case (k, v) => k -> median(v) }
+    // a requeued query's headline number is the median of its FINAL rep
+    // set (the steady tail) — the decaying reps stay in `runs` as
+    // evidence but must not inflate the committed median
+    val medians = times.map { case (k, v) =>
+      k -> (if (warmupRequeued.contains(k)) median(v.takeRight(reps)) else median(v))
+    }
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val all = times.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
@@ -610,7 +638,8 @@ object Bench {
     // at once (the r11 driver artifact had erratic matrices across the
     // board). Per-query evidence stays in spread_flagged either way.
     val dirty = contaminated || spreadFlagged.size >= 2
-    val common = s""""reps":$reps,"sf":"$sfDir","load_pre":$preLoad,"load_post":$postLoad,"cores":$cores,"contaminated":$dirty,"spread_flagged":$spreadJson,"steal_pct":$stealPct,"sys_pct":$sysPct,"failed":$failedJson"""
+    val warmupJson = warmupRequeued.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val common = s""""reps":$reps,"sf":"$sfDir","load_pre":$preLoad,"load_post":$postLoad,"cores":$cores,"contaminated":$dirty,"spread_flagged":$spreadJson,"warmup_requeued":$warmupJson,"steal_pct":$stealPct,"sys_pct":$sysPct,"failed":$failedJson"""
     // Full artifact (with the per-rep runs + cpu_util matrices) goes to a
     // FILE: the driver captures a bounded stdout tail, and three rounds of
     // judges had to regex truncated lines (VERDICT r9 #4). Stdout keeps

@@ -174,7 +174,12 @@ object ScaleBench {
     // kendall's NDV²-bounded joint self-join, the 199-replicate
     // permutation explode, the PSI melt + NDV-bounded bin algebra, and
     // the d²-moment PCA pass
-    "q_kendall_tau", "q_permutation", "q_psi", "q_pca_power")
+    "q_kendall_tau", "q_permutation", "q_psi", "q_pca_power",
+    // r16 third wave (VERDICT r15 #3): the remaining heavy headliners —
+    // the 36-moment DECIMAL correlation pass, the LSH-pair threshold
+    // sweep, the per-doc bounded-window Min-K% audit, and the streaming
+    // WARC→clean-text ingestion composition
+    "q_corr", "q_threshold_sweep", "q_minkprob", "q_warc_text")
 
   /** Scale-bench-local variants, NOT part of the driver correctness
     * contract. r15 FLIPPED the cluster-split default (VERDICT r14 #1)

@@ -2827,6 +2827,22 @@ object SparkEntry {
         .orderBy(col("media_id"), col("rec_idx"))
     }),
 
+    "q_warc_cdx" -> ((s, dir) => {
+      // CDX-style capture index over the planted archives: every
+      // record's offset in the UNCOMPRESSED stream is CLOSED-FORM
+      // (records are back-to-back, sizes are fixed-width + the
+      // media_id's digit count), content lengths/status replay from
+      // q_warc_records, and text_md5 is the md5 of the decoded
+      // response text — the gzip parity (even ids) proves offsets are
+      // compression-independent locators
+      val docs = T(s, dir, "documents").filter(col("doc_id") % 61 === 0)
+      val media = operators.Warc.syntheticWarc(docs, "doc_id")
+        .withColumn("payload", when(col("media_id") % 122 === 0,
+          expr("substring(payload, 1, 8)")).otherwise(col("payload")))
+      operators.Warc.extractWarcCdx(media).toDF()
+        .orderBy(col("media_id"), col("rec_idx"))
+    }),
+
     "q_mp3_probe" -> ((s, dir) => {
       // MPEG-audio frame-header walk as a corpus query: every 53rd doc
       // carries a planted (2 + id%5)-frame 128kbps/32kHz Layer III
@@ -6626,6 +6642,47 @@ object SparkEntry {
         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
         |    '\s+', ' ', 'g')) AS text
         |FROM h ORDER BY media_id, rec_idx""".stripMargin,
+
+    // CDX replay: offsets are pure arithmetic — the warcinfo record is
+    // 74 bytes, every response record is 188 + digits(media_id) bytes
+    // (fixed-width header text + the uri's id digits), the latin tail
+    // record follows the n responses; text_md5 replays as md5 of the
+    // same decoded html strings q_warc_text rebuilds.
+    "q_warc_cdx" ->
+      """WITH d AS (SELECT doc_id AS media_id, 2 + doc_id % 5 AS n,
+        |                  length(CAST(doc_id AS VARCHAR)) AS ld
+        |           FROM documents WHERE doc_id % 61 = 0 AND doc_id % 122 <> 0),
+        |info AS (
+        |  SELECT media_id, CAST(0 AS INTEGER) AS rec_idx,
+        |         'warcinfo' AS warc_type, '' AS target_uri,
+        |         CAST(0 AS BIGINT) AS "offset",
+        |         CAST(17 AS BIGINT) AS content_length,
+        |         CAST(NULL AS INTEGER) AS http_status,
+        |         CAST(NULL AS VARCHAR) AS text_md5
+        |  FROM d),
+        |resp AS (
+        |  SELECT media_id, CAST(i + 1 AS INTEGER) AS rec_idx,
+        |         'response' AS warc_type,
+        |         'http://example.com/' || media_id || '/' || i AS target_uri,
+        |         CAST(74 + i * (188 + ld) AS BIGINT) AS "offset",
+        |         CAST(91 AS BIGINT) AS content_length,
+        |         CAST(200 AS INTEGER) AS http_status,
+        |         md5(substring('<html>doc ' || media_id || ' ' || i ||
+        |             repeat('.', 64), 1, 40) || '</html>') AS text_md5
+        |  FROM d, unnest(range(0, n, 1)) AS t(i)),
+        |latin AS (
+        |  SELECT media_id, CAST(n + 1 AS INTEGER) AS rec_idx,
+        |         'response' AS warc_type,
+        |         'http://example.com/' || media_id || '/latin1' AS target_uri,
+        |         CAST(74 + n * (188 + ld) AS BIGINT) AS "offset",
+        |         CAST(111 AS BIGINT) AS content_length,
+        |         CAST(200 AS INTEGER) AS http_status,
+        |         md5(substring('<html>caf' || chr(233) || ' doc ' || media_id ||
+        |             repeat('.', 64), 1, 40) || '</html>') AS text_md5
+        |  FROM d)
+        |SELECT * FROM (SELECT * FROM info UNION ALL SELECT * FROM resp
+        |               UNION ALL SELECT * FROM latin)
+        |ORDER BY media_id, rec_idx""".stripMargin,
 
     // MP3 probe replay: counted frames n = 2 + id%5, 32 kHz joint
     // stereo at 128 kbps, duration_ms = n·36 exact (1152 samples/frame

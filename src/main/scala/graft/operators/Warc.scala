@@ -193,10 +193,19 @@ object Warc {
     * payloads; anything malformed (bad version line, unterminated
     * header, truncated or over-cap body) ends the iterator with the
     * records already yielded. The caller owns closing `in0`. */
-  private[graft] def warcIterator(in0: java.io.InputStream): Iterator[(String, String, Long, Array[Byte])] =
-    new scala.collection.AbstractIterator[(String, String, Long, Array[Byte])] {
+  /** One streamed record: type, target URI, declared Content-Length,
+    * the body buffer, and `offset` — the record's byte offset in the
+    * UNCOMPRESSED stream (identical for a plain `.warc` and its
+    * `.warc.gz` form, so it is the stable CDX locator both ways). */
+  private[graft] case class RawRecord(warcType: String, uri: String,
+                                      contentLength: Long, body: Array[Byte],
+                                      offset: Long)
+
+  private[graft] def warcIterator(in0: java.io.InputStream): Iterator[RawRecord] =
+    new scala.collection.AbstractIterator[RawRecord] {
       private var in: java.io.InputStream = _
-      private var nextRec: (String, String, Long, Array[Byte]) = _
+      private var nextRec: RawRecord = _
+      private var pos = 0L // bytes CONSUMED by the parser (post-gunzip)
       private var finished = false
       private var started = false
 
@@ -218,6 +227,7 @@ object Warc {
         var prev = -1
         var c = in.read()
         while (c >= 0) {
+          pos += 1
           if (prev == '\r' && c == '\n') {
             sb.setLength(sb.length - 1) // drop the \r
             return sb.toString
@@ -236,8 +246,11 @@ object Warc {
           else {
             // records terminate with CRLF CRLF per the spec: skip the
             // 4 separator bytes (EOF here = clean end of stream)
-            if (in.readNBytes(4).length < 4) { finished = true; return }
+            val sep = in.readNBytes(4)
+            pos += sep.length
+            if (sep.length < 4) { finished = true; return }
           }
+          val recOffset = pos
           val version = readLine()
           if (version == null || !version.startsWith("WARC/")) { finished = true; return }
           var warcType = ""
@@ -261,15 +274,16 @@ object Warc {
           }
           if (line == null || len < 0 || len > MaxRecordBytes) { finished = true; return }
           val body = in.readNBytes(len.toInt)
+          pos += body.length
           if (body.length < len) { finished = true; return } // truncated tail
-          nextRec = (warcType, uri, len, body)
+          nextRec = RawRecord(warcType, uri, len, body, recOffset)
         } catch { case scala.util.control.NonFatal(_) => finished = true }
 
       override def hasNext: Boolean = {
         if (!finished && nextRec == null) advance()
         !finished && nextRec != null
       }
-      override def next(): (String, String, Long, Array[Byte]) = {
+      override def next(): RawRecord = {
         if (!hasNext) throw new NoSuchElementException("warcIterator")
         val r = nextRec; nextRec = null; r
       }
@@ -285,8 +299,8 @@ object Warc {
     if (bytes == null || bytes.length < 8) return
     val it = warcIterator(new java.io.ByteArrayInputStream(bytes))
     while (it.hasNext) {
-      val (warcType, uri, len, body) = it.next()
-      emit(warcType, uri, len, body, 0)
+      val r = it.next()
+      emit(r.warcType, r.uri, r.contentLength, r.body, 0)
     }
   }
 
@@ -350,9 +364,10 @@ object Warc {
           h
         }
         override def next(): (String, Int, String, String, Long, Option[Int]) = {
-          val (warcType, uri, len, body) = inner.next()
+          val r = inner.next()
           idx += 1
-          (pathStr, idx, warcType, uri, len, httpStatus(warcType, len, body, 0))
+          (pathStr, idx, r.warcType, r.uri, r.contentLength,
+            httpStatus(r.warcType, r.contentLength, r.body, 0))
         }
       }
     } catch {
@@ -403,11 +418,11 @@ object Warc {
           while (pending == null && (try inner.hasNext catch {
             case scala.util.control.NonFatal(_) => false
           })) {
-            val (warcType, uri, len, body) = inner.next()
+            val r = inner.next()
             idx += 1
-            if (warcType == "response") {
-              val (cs, text) = responseText(body, 0, len.toInt)
-              pending = (pathStr, idx, uri, cs, text)
+            if (r.warcType == "response") {
+              val (cs, text) = responseText(r.body, 0, r.contentLength.toInt)
+              pending = (pathStr, idx, r.uri, cs, text)
             }
           }
           if (pending == null) {
@@ -423,6 +438,51 @@ object Warc {
     } catch {
       case scala.util.control.NonFatal(_) => Iterator.empty
     }
+
+  /** One CDX-style index row (the Common Crawl companion format: a
+    * sorted capture index that locates each record inside its archive
+    * without re-walking it): record offset in the UNCOMPRESSED stream
+    * (identical for plain and .warc.gz forms — the stable locator),
+    * declared Content-Length, HTTP status, and `text_md5` — the md5 of
+    * the charset-DECODED response text (UTF-8 bytes of the decoded
+    * string, so it replays in any engine's VARCHAR md5; the classic
+    * CDX raw-payload SHA1 is not externally replayable for non-UTF-8
+    * bodies). Null text_md5 for non-response records. */
+  case class WarcCdx(media_id: Long, rec_idx: Int, warc_type: String,
+                     target_uri: String, offset: Long, content_length: Long,
+                     http_status: Option[Int], text_md5: Option[String])
+
+  private[graft] def parseWarcCdx(mediaId: Long, bytes: Array[Byte]): Seq[WarcCdx] = {
+    if (bytes == null || bytes.length < 8) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcCdx]
+    val it = warcIterator(new java.io.ByteArrayInputStream(bytes))
+    while (it.hasNext) {
+      val r = it.next()
+      val digest =
+        if (r.warcType == "response") {
+          val (_, text) = responseText(r.body, 0, r.contentLength.toInt)
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          Some(md.map(b => f"$b%02x").mkString)
+        } else None
+      out += WarcCdx(mediaId, out.length, r.warcType, r.uri, r.offset,
+        r.contentLength, httpStatus(r.warcType, r.contentLength, r.body, 0), digest)
+    }
+    out.toSeq
+  }
+
+  /** Per-partition CDX index extraction over a payload table — the
+    * record-locator table a 100 TB archive set is random-accessed
+    * through (seek to `offset`, read one record) instead of re-walked.
+    * Same streaming walk, one extra md5 per response. */
+  def extractWarcCdx(archives: DataFrame, idCol: String = "media_id",
+                     payloadCol: String = "payload"): Dataset[WarcCdx] = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it => it.flatMap { case (id, bytes) => parseWarcCdx(id, bytes) } }
+  }
 
   /** Read a directory of `.warc` / `.warc.gz` files into the TEXT
     * table — one row per HTTP response with its body charset-honestly

@@ -82,7 +82,11 @@ class WarcSpec extends SparkSpec {
     }
     val it = Warc.warcIterator(lazyStream)
     val first3 = it.take(3).toList
-    assert(first3.map(_._1) == List("warcinfo", "response", "warcinfo"), first3.map(_._1))
+    assert(first3.map(_.warcType) == List("warcinfo", "response", "warcinfo"),
+      first3.map(_.warcType))
+    // offsets are decompressed-stream positions: the second file's
+    // warcinfo starts exactly one file-length in
+    assert(first3.map(_.offset) == List(0L, 74L, one.length.toLong), first3.map(_.offset))
     assert(produced < 128 * 1024,
       s"streaming walk read $produced bytes for 3 records — file-sized buffering")
     // and the iterator does finish the stream when drained
@@ -137,6 +141,26 @@ class WarcSpec extends SparkSpec {
       latinRow.target_uri == "http://example.com/6/latin1", latinRow)
     assert(Warc.parseWarc(6L, Warc.warcBytes(6L, 2, latin1 = true))
       .last.content_length == 111L)
+  }
+
+  test("parseWarcCdx indexes records by decompressed-stream offset with decoded-text digests") {
+    val plain = Warc.parseWarcCdx(7L, Warc.warcBytes(7L, 3, latin1 = true))
+    assert(plain.length == 5, plain.toString)
+    // offsets: warcinfo 74 bytes, each response 188 + digits(id) = 189
+    assert(plain.map(_.offset) == Seq(0L, 74L, 263L, 452L, 641L), plain.map(_.offset))
+    assert(plain.head.text_md5.isEmpty && plain.head.warc_type == "warcinfo")
+    // digest = md5 of the DECODED html (charset chain applied), so the
+    // latin row's digest replays from the café string
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(("<html>café doc 7" + "." * 64).substring(0, 40).concat("</html>")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    assert(plain.last.text_md5.contains(expected), plain.last.toString)
+    // the gzip form locates records at the SAME uncompressed offsets —
+    // the property that makes the offset a stable CDX locator
+    val gzipped = Warc.parseWarcCdx(7L, Warc.warcBytes(7L, 3, gzipMembers = true,
+      latin1 = true))
+    assert(gzipped == plain, "gzip must not move decompressed offsets")
   }
 
   test("readWarcDir reads .warc/.warc.gz files into the record table with stable ids") {
