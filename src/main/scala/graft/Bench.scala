@@ -290,8 +290,9 @@ object Bench {
     // transparent multi-member gunzip, per-partition) and the full
     // archive-to-clean-text composition (record walk -> body -> strip)
     "q_warc_records", "q_warc_text",
-    // r16: the CDX capture index (offset arithmetic + per-response md5)
-    "q_warc_cdx")
+    // r16: the CDX capture index, the robots crawl gate, and the
+    // content-defined chunking dedup primitives
+    "q_warc_cdx", "q_robots_gate", "q_content_chunks", "q_chunk_share")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

@@ -2827,6 +2827,46 @@ object SparkEntry {
         .orderBy(col("media_id"), col("rec_idx"))
     }),
 
+    "q_content_chunks" -> ((s, dir) =>
+      // content-defined chunking (rsync/FastCDC boundaries at word
+      // granularity): boundary after every word whose md5 opens below
+      // hex '2' — chunks, word counts, and chunk digests all replay
+      // from md5/string ops alone
+      operators.Dedup.contentDefinedChunks(T(s, dir, "documents"),
+          "text", "doc_id")
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    "q_chunk_share" -> ((s, dir) =>
+      // chunk-level duplication profile: per doc, how many of its CDC
+      // chunks appear in other documents too (boilerplate/mirror
+      // detector); fixed-point millionths, distinct-doc ownership
+      // partial-aggregated per chunk digest
+      operators.Dedup.chunkSharing(T(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    "q_robots_gate" -> ((s, dir) => {
+      // the crawl-policy gate as a corpus query: every 47th doc hosts a
+      // planted robots.txt — EVEN ids carry a graftbot group that
+      // SHADOWS a Disallow-everything * group (RFC 9309 group
+      // selection), ODD ids only a * group — crossed with 6 fixed URL
+      // paths; every verdict (longest-match, Allow tie-break, wildcard
+      // + anchor, default-allow) is a closed-form statement the oracle
+      // writes out directly
+      val docs = T(s, dir, "documents").filter(col("doc_id") % 47 === 0)
+        .select(col("doc_id"))
+      val shadowed = "User-agent: *\nDisallow: /\n\nUser-agent: graftbot\n" +
+        "Disallow: /private/\nAllow: /private/pub$\nDisallow: /*.zip$\n"
+      val starOnly = "User-agent: *\nDisallow: /tmp/\nAllow: /tmp/ok\n"
+      val robots = docs.withColumn("txt",
+        when(col("doc_id") % 2 === 0, lit(shadowed)).otherwise(lit(starOnly)))
+      val urls = docs.withColumn("path", explode(array(Seq("/index.html",
+        "/private/x", "/private/pub", "/data.zip", "/tmp/ok123", "/tmp/zzz")
+        .map(lit): _*)))
+      operators.Robots.urlGate(robots, "doc_id", "txt", urls, "doc_id",
+          "path", "graftbot")
+        .orderBy(col("doc_id"), col("path"))
+    }),
+
     "q_warc_cdx" -> ((s, dir) => {
       // CDX-style capture index over the planted archives: every
       // record's offset in the UNCOMPRESSED stream is CLOSED-FORM
@@ -6642,6 +6682,90 @@ object SparkEntry {
         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
         |    '\s+', ' ', 'g')) AS text
         |FROM h ORDER BY media_id, rec_idx""".stripMargin,
+
+    // CDC replay: the same md5-first-hex boundary test, the same
+    // 1-preceding cumulative boundary count, the same space-joined
+    // chunk assembly — chunk text and digest are engine-independent by
+    // construction.
+    "q_content_chunks" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT doc_id, unnest(ws) AS w, unnest(range(0, len(ws), 1)) AS pos
+        |  FROM (SELECT doc_id,
+        |               list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                           x -> len(x) > 0) AS ws
+        |        FROM documents)),
+        |c AS (
+        |  SELECT doc_id, w, pos,
+        |         COALESCE(SUM(CASE WHEN substring(md5(w), 1, 1) < '2'
+        |                           THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS chunk_idx
+        |  FROM w)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |       string_agg(w, ' ' ORDER BY pos) AS chunk_text,
+        |       CAST(COUNT(1) AS BIGINT) AS n_words,
+        |       md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
+        |FROM c GROUP BY doc_id, chunk_idx
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Chunk-sharing replay: same chunk table, distinct-doc ownership
+    // per digest, truncating fixed-point millionths.
+    "q_chunk_share" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT doc_id, unnest(ws) AS w, unnest(range(0, len(ws), 1)) AS pos
+        |  FROM (SELECT doc_id,
+        |               list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                           x -> len(x) > 0) AS ws
+        |        FROM documents)),
+        |c AS (
+        |  SELECT doc_id, w, pos,
+        |         COALESCE(SUM(CASE WHEN substring(md5(w), 1, 1) < '2'
+        |                           THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS chunk_idx
+        |  FROM w),
+        |chunks AS MATERIALIZED (
+        |  SELECT doc_id, md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5,
+        |         COUNT(1) AS n_words
+        |  FROM c GROUP BY doc_id, chunk_idx),
+        |owners AS (
+        |  SELECT chunk_md5, COUNT(DISTINCT doc_id) AS docs
+        |  FROM chunks GROUP BY 1)
+        |SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_chunks,
+        |       CAST(SUM(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |       CAST(SUM(n_words) AS BIGINT) AS n_words,
+        |       CAST(SUM(CASE WHEN docs >= 2 THEN n_words ELSE 0 END) AS BIGINT)
+        |         AS shared_words,
+        |       CAST(SUM(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) * 1000000
+        |            // COUNT(1) AS BIGINT) AS shared_fp,
+        |       CAST(CASE WHEN SUM(n_words) > 0 THEN
+        |              SUM(CASE WHEN docs >= 2 THEN n_words ELSE 0 END) * 1000000
+        |              // SUM(n_words)
+        |            ELSE 0 END AS BIGINT) AS shared_words_fp
+        |FROM chunks JOIN owners USING (chunk_md5)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Robots-gate replay: the RFC 9309 verdict for every (parity, path)
+    // pair is a closed-form statement — group shadowing, longest-match
+    // precedence, the Allow tie-break, wildcard+anchor matching and
+    // default-allow are all encoded in the VALUES table the planted
+    // fixture must reproduce.
+    "q_robots_gate" ->
+      """WITH d AS (SELECT doc_id, doc_id % 2 = 0 AS sh
+        |           FROM documents WHERE doc_id % 47 = 0),
+        |v(path, a_even, r_even, a_odd, r_odd) AS (VALUES
+        |  ('/index.html',  true,  '',              true,  ''),
+        |  ('/private/x',   false, '/private/',     true,  ''),
+        |  ('/private/pub', true,  '/private/pub$', true,  ''),
+        |  ('/data.zip',    false, '/*.zip$',       true,  ''),
+        |  ('/tmp/ok123',   true,  '',              true,  '/tmp/ok'),
+        |  ('/tmp/zzz',     true,  '',              false, '/tmp/'))
+        |SELECT doc_id, path,
+        |       CASE WHEN sh THEN a_even ELSE a_odd END AS allowed,
+        |       CASE WHEN sh THEN r_even ELSE r_odd END AS rule
+        |FROM d CROSS JOIN v ORDER BY doc_id, path""".stripMargin,
 
     // CDX replay: offsets are pure arithmetic — the warcinfo record is
     // 74 bytes, every response record is 188 + digits(media_id) bytes

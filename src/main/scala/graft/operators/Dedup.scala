@@ -1157,4 +1157,75 @@ object Dedup {
         size(col("_s")).cast("long").as("n_lines"),
         col("n_dropped"))
   }
+
+  /** Content-defined chunking at word granularity — the rsync/FastCDC
+    * boundary idea applied to text dedup: a chunk boundary falls AFTER
+    * every word whose md5 opens with a hex digit below `boundaryHex`
+    * (default 2 → P(boundary) = 2/16, ~8-word average chunks). Because
+    * boundaries depend only on CONTENT, an insertion or deletion
+    * re-chunks just its own neighborhood while every chunk outside it
+    * keeps its text and md5 — the property fixed-size windows lack
+    * ([[graft.operators.Curation.chunkDocuments]] shifts every
+    * downstream chunk) and the reason CDC finds shared regions between
+    * near-identical documents at any offset.
+    *
+    * Replayability: the boundary test, the chunk assembly, and the
+    * chunk digest are md5/string operations every engine replays
+    * bit-for-bit — no xxhash64 in the contract. Scale shape: one
+    * posexplode + a per-DOC bounded window (documents, not corpus,
+    * bound the partition) + one groupBy; the chunk table shuffles
+    * chunk-sized strings once.
+    *
+    * Output: (idCol, chunk_idx, chunk_text, n_words, chunk_md5). */
+  def contentDefinedChunks(df: DataFrame, textCol: String, idCol: String,
+                           boundaryHex: Int = 2): DataFrame = {
+    require(boundaryHex >= 1 && boundaryHex <= 15,
+      s"boundaryHex must be in [1, 15], got $boundaryHex")
+    val boundaryCut = java.lang.Integer.toHexString(boundaryHex)
+    val words = ensureParallel(df)
+      .select(col(idCol),
+        posexplode(filter(split(trim(col(textCol)), "\\s+"),
+          w => length(w) > 0)).as(Seq("_pos", "_w")))
+      .withColumn("_b", when(substring(md5(col("_w")), 1, 1) < boundaryCut, 1L)
+        .otherwise(0L))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    words
+      .withColumn("chunk_idx", coalesce(sum(col("_b")).over(win), lit(0L)))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(array_sort(collect_list(struct(col("_pos"), col("_w")))).as("_s"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(col("_s._w"), " ").as("chunk_text"),
+        size(col("_s")).cast("long").as("n_words"))
+      .withColumn("chunk_md5", md5(col("chunk_text")))
+  }
+
+  /** Chunk-level duplication profile over [[contentDefinedChunks]]: per
+    * document, how much of it is made of chunks that also appear in
+    * OTHER documents — the boilerplate/mirror detector exact-dup and
+    * near-dup both miss when shared regions sit inside otherwise
+    * distinct pages. `shared_fp` is millionths (fixed-point, exact).
+    *
+    * Scale shape: chunk table → groupBy(chunk_md5) distinct-doc count
+    * (partial-aggregated; a boilerplate chunk costs one row per map
+    * task, never a hot-key funnel) → join back → per-doc rollup. */
+  def chunkSharing(df: DataFrame, textCol: String, idCol: String,
+                   boundaryHex: Int = 2): DataFrame = {
+    val chunks = contentDefinedChunks(df, textCol, idCol, boundaryHex)
+      .select(col(idCol), col("chunk_md5"), col("n_words"))
+    val owners = chunks.groupBy(col("chunk_md5"))
+      .agg(countDistinct(col(idCol)).as("_docs"))
+    chunks.join(owners, Seq("chunk_md5"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_docs") >= 2, 1L).otherwise(0L)).as("n_shared"),
+        sum(col("n_words")).as("n_words"),
+        sum(when(col("_docs") >= 2, col("n_words")).otherwise(0L)).as("shared_words"))
+      .select(col(idCol), col("n_chunks"), col("n_shared"), col("n_words"),
+        col("shared_words"),
+        expr("n_shared * 1000000L DIV n_chunks").as("shared_fp"),
+        expr("CASE WHEN n_words > 0 THEN shared_words * 1000000L DIV n_words " +
+          "ELSE 0L END").as("shared_words_fp"))
+  }
 }

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing and the per-URL crawl gate (RFC 9309, the
+  * Robots Exclusion Protocol) — the policy leg of the crawl front door
+  * next to [[Warc]]'s ingestion leg: a 100 TB crawl pipeline must be
+  * able to AUDIT which captured URLs its own policy would fetch, both
+  * for compliance reporting and for filtering archive-derived URL
+  * frontiers before a recrawl.
+  *
+  * The reference has no crawl surface (forklift moves MySQL/ES rows);
+  * semantics here follow the RFC: group selection by user-agent token
+  * (case-insensitive; a matching specific group SHADOWS the `*` group
+  * entirely), rules merged across same-agent groups, longest-match
+  * precedence with Allow winning length ties, `*` wildcards and the
+  * `$` end anchor, empty `Disallow:` ignored (allow-all), unknown
+  * directives (Crawl-delay, Sitemap, comments) skipped.
+  *
+  * Scale shape: rules per host are tiny and bounded (the RFC caps
+  * parseable size at 500 KiB; real files are a few rules), so
+  * [[urlGate]] is a rules-explode + an equi-join on the host key + a
+  * per-(key, url) argmax — the join fans each URL out only to its own
+  * host's rules, never a cross product across hosts, and the argmax is
+  * one partial-aggregated groupBy. No window, no driver loop. */
+object Robots {
+
+  /** One parsed rule: `allow`, the raw `path` pattern (as written,
+    * wildcards intact — precedence compares ITS length per the RFC),
+    * and `rx`, the anchored regex it compiles to (Java ∩ RE2 subset so
+    * external engines replay it). */
+  case class RobotsRule(allow: Boolean, path: String, rx: String)
+
+  /** Compile one rule pattern to the regex both engines match with:
+    * literal chars quoted, `*` → `.*`, a trailing `$` kept as the
+    * anchor, and a leading `^` since rules match from the path start. */
+  private[graft] def patternRegex(path: String): String = {
+    val anchored = path.endsWith("$")
+    val core = if (anchored) path.dropRight(1) else path
+    val sb = new StringBuilder("^")
+    core.foreach {
+      case '*' => sb.append(".*")
+      case c if "\\.[]{}()+-?^$|".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    if (anchored) sb.append('$')
+    sb.toString
+  }
+
+  /** Parse one robots.txt for `userAgent`: group lines per RFC 9309
+    * (consecutive `User-agent:` lines share the following rule block),
+    * select the agent's groups — ALL groups whose token equals
+    * `userAgent` case-insensitively, or the `*` groups only when no
+    * specific group exists — and return their Allow/Disallow rules.
+    * Unknown directives and comments skip; an empty `Disallow:` is the
+    * RFC's allow-all idiom and yields no rule. Dirty input is total:
+    * null/garbage text parses to zero rules (= everything allowed). */
+  def parseRules(text: String, userAgent: String): Seq[RobotsRule] = {
+    if (text == null) return Seq.empty
+    val ua = userAgent.toLowerCase
+    case class Group(agents: Seq[String], rules: Seq[RobotsRule])
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    var agents = Vector.empty[String]
+    var rules = Vector.empty[RobotsRule]
+    var inRules = false
+    def flush(): Unit = {
+      if (agents.nonEmpty) groups += Group(agents, rules)
+      agents = Vector.empty; rules = Vector.empty; inRules = false
+    }
+    text.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val k = line.substring(0, ci).trim.toLowerCase
+        val v = line.substring(ci + 1).trim
+        k match {
+          case "user-agent" =>
+            if (inRules) flush()
+            agents = agents :+ v.toLowerCase
+          case "allow" | "disallow" if agents.nonEmpty =>
+            inRules = true
+            if (v.nonEmpty) // empty Disallow: = allow all (no rule)
+              rules = rules :+ RobotsRule(k == "allow", v, patternRegex(v))
+          case _ => if (agents.nonEmpty && rules.nonEmpty) inRules = true
+        }
+      }
+    }
+    flush()
+    val specific = groups.filter(_.agents.contains(ua))
+    val chosen = if (specific.nonEmpty) specific else groups.filter(_.agents.contains("*"))
+    chosen.toSeq.flatMap(_.rules)
+  }
+
+  /** The distributed crawl gate: `robots` carries one robots.txt per
+    * key (host), `urls` the candidate paths; the output states, per
+    * (key, url), whether `userAgent` may fetch it and the rule that
+    * decided (`''` = no rule matched, allowed by default).
+    *
+    * Precedence is the RFC's longest-match with Allow breaking length
+    * ties, realized as one argmax over (pattern length, allow, pattern)
+    * — the final lexicographic leg only disambiguates equal-length
+    * same-verdict duplicates so the DECIDING RULE column is
+    * deterministic too. */
+  def urlGate(robots: DataFrame, keyCol: String, txtCol: String,
+              urls: DataFrame, urlKeyCol: String, pathCol: String,
+              userAgent: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    val parse: (Long, String) => Seq[(Long, Boolean, String, String)] =
+      (k, txt) => parseRules(txt, userAgent).map(r => (k, r.allow, r.path, r.rx))
+    val rules = robots.select(col(keyCol).cast("long"), col(txtCol))
+      .as[(Long, String)]
+      .flatMap { case (k, txt) => parse(k, txt) }
+      .toDF(keyCol, "_allow", "_rule", "_rx")
+    val keyed = urls.select(col(urlKeyCol).cast("long").as(keyCol),
+      col(pathCol).as("_path")).distinct()
+    val matched = keyed.join(rules, Seq(keyCol))
+      .filter(regexp_like(col("_path"), col("_rx")))
+      .groupBy(col(keyCol), col("_path"))
+      .agg(max(struct(length(col("_rule")).as("l"),
+        col("_allow").as("a"), col("_rule").as("r"))).as("_best"))
+      .select(col(keyCol), col("_path"),
+        col("_best.a").as("_ma"), col("_best.r").as("_mr"))
+    keyed.join(matched, Seq(keyCol, "_path"), "left")
+      .select(col(keyCol), col("_path").as(pathCol),
+        coalesce(col("_ma"), lit(true)).as("allowed"),
+        coalesce(col("_mr"), lit("")).as("rule"))
+  }
+}

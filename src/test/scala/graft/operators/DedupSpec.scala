@@ -800,4 +800,47 @@ class DedupSpec extends SparkSpec {
     }
     assert(kept.size == 30)
   }
+
+  test("contentDefinedChunks: boundaries are content-local — an insertion " +
+    "re-chunks its neighborhood, every chunk outside it keeps its digest") {
+    val base = corpus(1).head._2
+    val words = base.split(" ")
+    val mutated = (words.take(words.length / 2) ++ Seq("INSERTED", "WORDS") ++
+      words.drop(words.length / 2)).mkString(" ")
+    val d = df(docSchema, Seq(Row(1L, base), Row(2L, mutated)))
+    val chunks = Dedup.contentDefinedChunks(d, "text", "doc_id").collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    val md5s1 = byDoc(1L).map(_.getString(4)).toSet
+    val md5s2 = byDoc(2L).map(_.getString(4)).toSet
+    // all of doc 1's chunks except those touching the insertion point
+    // must reappear verbatim in doc 2 — the CDC property fixed-size
+    // windows lack (a 2-word insertion would shift every later window)
+    val reshared = md5s1.intersect(md5s2).size
+    assert(reshared >= md5s1.size - 2,
+      s"insertion must re-chunk only its neighborhood: ${md5s1.size} base " +
+        s"chunks, only $reshared shared")
+    // words and order reassemble exactly
+    val reassembled = byDoc(1L).sortBy(_.getLong(1)).map(_.getString(2)).mkString(" ")
+    assert(reassembled == base)
+    // empty and null texts yield no chunks, not failures
+    val dirty = df(docSchema, Seq(Row(3L, ""), Row(4L, null), Row(5L, "  ")))
+    assert(Dedup.contentDefinedChunks(dirty, "text", "doc_id").count() == 0L)
+  }
+
+  test("chunkSharing surfaces cross-document boilerplate exact/near-dup miss") {
+    val boiler = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 3
+    val docs = corpus(6).map { case (i, t) =>
+      // docs 0-2 share a big boilerplate banner inside distinct pages
+      if (i < 3) (i, boiler + " " + t) else (i, t)
+    }
+    val d = df(docSchema, docs.map { case (i, t) => Row(i, t) })
+    val out = Dedup.chunkSharing(d, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
+    (0L to 2L).foreach { i =>
+      val (_, nShared, sharedFp) = out(i)
+      assert(nShared > 0 && sharedFp > 0, s"doc $i must report shared chunks: ${out(i)}")
+    }
+    // the sharing profile is fixed-point arithmetic: shared_fp = shared*1e6 DIV chunks
+    out.foreach { case (_, (n, s, fp)) => assert(fp == s * 1000000L / n) }
+  }
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class RobotsSpec extends SparkSpec {
+
+  test("parseRules: group selection, shadowing, merging, and the empty-Disallow idiom") {
+    val txt =
+      """# our policy
+        |User-agent: *
+        |Disallow: /tmp/
+        |
+        |User-agent: graftbot
+        |User-agent: otherbot
+        |Disallow: /private/
+        |Allow: /private/pub$
+        |Crawl-delay: 5
+        |
+        |User-agent: GRAFTBOT
+        |Disallow: /*.zip$
+        |
+        |Sitemap: https://example.org/sitemap.xml
+        |""".stripMargin
+    // a specific group SHADOWS * entirely; same-agent groups merge
+    // (case-insensitive token match); unknown directives skip
+    val rules = Robots.parseRules(txt, "graftbot")
+    assert(rules.map(r => (r.allow, r.path)) == Seq(
+      (false, "/private/"), (true, "/private/pub$"), (false, "/*.zip$")), rules)
+    // an agent with no specific group falls back to *
+    assert(Robots.parseRules(txt, "nobody").map(_.path) == Seq("/tmp/"))
+    // stacked User-agent lines share the rule block
+    assert(Robots.parseRules(txt, "otherbot").map(_.path) ==
+      Seq("/private/", "/private/pub$"))
+    // empty Disallow: = allow all -> no rule; dirty input is total
+    assert(Robots.parseRules("User-agent: *\nDisallow:\n", "x").isEmpty)
+    assert(Robots.parseRules(null, "x").isEmpty)
+    assert(Robots.parseRules("not robots at all\n%%%", "x").isEmpty)
+  }
+
+  test("patternRegex: literals quoted, * wildcard, $ anchor") {
+    assert(Robots.patternRegex("/a/b") == "^/a/b")
+    assert(Robots.patternRegex("/*.zip$") == "^/.*\\.zip$")
+    assert(Robots.patternRegex("/p(1)+x") == "^/p\\(1\\)\\+x")
+  }
+
+  test("urlGate: longest-match precedence, Allow tie-break, default allow, group shadowing") {
+    val robotsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("host_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("txt", org.apache.spark.sql.types.StringType)))
+    val urlSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("host_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType)))
+    val shadowed =
+      "User-agent: *\nDisallow: /\n\nUser-agent: graftbot\n" +
+        "Disallow: /private/\nAllow: /private/pub$\nDisallow: /*.zip$\n"
+    val starOnly = "User-agent: *\nDisallow: /tmp/\nAllow: /tmp/ok\n"
+    val robots = df(robotsSchema, Seq(Row(1L, shadowed), Row(2L, starOnly)))
+    val paths = Seq("/index.html", "/private/x", "/private/pub", "/data.zip",
+      "/tmp/ok123", "/tmp/zzz")
+    val urls = df(urlSchema, for (h <- Seq(1L, 2L); p <- paths) yield Row(h, p))
+    val out = Robots.urlGate(robots, "host_id", "txt", urls, "host_id", "path",
+        "graftbot")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getBoolean(2), r.getString(3))).toMap
+    // host 1: the graftbot group shadows the Disallow-everything * group
+    assert(out((1L, "/index.html")) == (true, ""))          // no rule -> allow
+    assert(out((1L, "/private/x")) == (false, "/private/"))
+    assert(out((1L, "/private/pub")) == (true, "/private/pub$")) // longest wins
+    assert(out((1L, "/data.zip")) == (false, "/*.zip$"))    // wildcard + anchor
+    assert(out((1L, "/tmp/ok123")) == (true, ""))           // * group shadowed
+    // host 2: only a * group
+    assert(out((2L, "/tmp/zzz")) == (false, "/tmp/"))
+    assert(out((2L, "/tmp/ok123")) == (true, "/tmp/ok"))    // longer Allow wins
+    assert(out((2L, "/data.zip")) == (true, ""))
+  }
+}
