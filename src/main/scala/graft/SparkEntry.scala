@@ -2827,6 +2827,21 @@ object SparkEntry {
         .orderBy(col("media_id"), col("rec_idx"))
     }),
 
+    "q_crawl_diff" -> ((s, dir) => {
+      // recrawl audit between two planted crawl generations: gen 1
+      // adds one page per site, mutates even-indexed pages, and drops
+      // the latin tail — so every (uri, status, digests) row is a
+      // closed-form statement; the diff runs over CDX index rows,
+      // never archives
+      val docs = T(s, dir, "documents").filter(col("doc_id") % 61 === 0)
+        .select(col("doc_id"))
+      val oldCdx = operators.Warc.extractWarcCdx(
+        operators.Warc.syntheticWarcGen(docs, "doc_id", 0)).toDF()
+      val newCdx = operators.Warc.extractWarcCdx(
+        operators.Warc.syntheticWarcGen(docs, "doc_id", 1)).toDF()
+      operators.Warc.crawlDiff(oldCdx, newCdx).orderBy(col("target_uri"))
+    }),
+
     "q_content_chunks" -> ((s, dir) =>
       // content-defined chunking (rsync/FastCDC boundaries at word
       // granularity): boundary after every word whose md5 opens below
@@ -6682,6 +6697,40 @@ object SparkEntry {
         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
         |    '\s+', ' ', 'g')) AS text
         |FROM h ORDER BY media_id, rec_idx""".stripMargin,
+
+    // Crawl-diff replay: both generations' decoded-page digests rebuild
+    // from the planted html formulas (gen 1's even-page marker is
+    // 'gen1'), statuses follow from index parity / the added tail / the
+    // dropped latin capture.
+    "q_crawl_diff" ->
+      """WITH d AS (SELECT doc_id AS id, 2 + doc_id % 5 AS n
+        |           FROM documents WHERE doc_id % 61 = 0),
+        |resp AS (
+        |  SELECT 'http://example.com/' || id || '/' || i AS target_uri,
+        |         CASE WHEN i % 2 = 0 THEN 'changed' ELSE 'unchanged' END AS status,
+        |         md5(substring('<html>doc ' || id || ' ' || i || repeat('.', 64),
+        |             1, 40) || '</html>') AS old_md5,
+        |         md5(substring('<html>' ||
+        |             CASE WHEN i % 2 = 0 THEN 'gen1' ELSE 'doc ' END ||
+        |             id || ' ' || i || repeat('.', 64), 1, 40) || '</html>') AS new_md5
+        |  FROM d, unnest(range(0, n, 1)) AS t(i)),
+        |added AS (
+        |  SELECT 'http://example.com/' || id || '/' || n AS target_uri,
+        |         'added' AS status, CAST(NULL AS VARCHAR) AS old_md5,
+        |         md5(substring('<html>' ||
+        |             CASE WHEN n % 2 = 0 THEN 'gen1' ELSE 'doc ' END ||
+        |             id || ' ' || n || repeat('.', 64), 1, 40) || '</html>') AS new_md5
+        |  FROM d),
+        |gone AS (
+        |  SELECT 'http://example.com/' || id || '/latin1' AS target_uri,
+        |         'gone' AS status,
+        |         md5(substring('<html>caf' || chr(233) || ' doc ' || id ||
+        |             repeat('.', 64), 1, 40) || '</html>') AS old_md5,
+        |         CAST(NULL AS VARCHAR) AS new_md5
+        |  FROM d)
+        |SELECT * FROM (SELECT * FROM resp UNION ALL SELECT * FROM added
+        |               UNION ALL SELECT * FROM gone)
+        |ORDER BY target_uri""".stripMargin,
 
     // CDC replay: the same md5-first-hex boundary test, the same
     // 1-preceding cumulative boundary count, the same space-joined

@@ -505,6 +505,39 @@ object Warc {
         col("target_uri"), col("charset"), col("html"), col("path"))
   }
 
+  /** Crawl-generation diff over two CDX tables ([[extractWarcCdx]]
+    * shape): per target URI, whether the new crawl ADDED it, a capture
+    * went GONE, its decoded text CHANGED (digest moved), or it is
+    * UNCHANGED — the per-release recrawl audit a corpus team reads
+    * before re-ingesting ("how much of the web moved under us"), and
+    * the input to incremental ingestion (feed only added ∪ changed to
+    * the funnel instead of re-processing the full crawl).
+    *
+    * Only `response` records participate (warcinfo/metadata records
+    * describe the archive, not the web). Duplicate captures of one URI
+    * within a generation collapse to the LEXICALLY SMALLEST digest —
+    * deterministic and engine-replayable (a timestamp "latest wins"
+    * would need a capture-time column CDX fixtures don't carry).
+    *
+    * Scale shape: two groupBys (partial-aggregated per URI) + one
+    * full-outer equi-join on the URI — CDX rows are tiny, the join
+    * shuffles index rows, never archives. */
+  def crawlDiff(oldCdx: DataFrame, newCdx: DataFrame,
+                uriCol: String = "target_uri",
+                digestCol: String = "text_md5"): DataFrame = {
+    def captures(df: DataFrame, side: String): DataFrame =
+      df.filter(col("warc_type") === "response")
+        .groupBy(col(uriCol))
+        .agg(min(col(digestCol)).as(s"_${side}_md5"))
+    captures(oldCdx, "old").join(captures(newCdx, "new"), Seq(uriCol), "full_outer")
+      .select(col(uriCol),
+        when(col("_old_md5").isNull, lit("added"))
+          .when(col("_new_md5").isNull, lit("gone"))
+          .when(col("_old_md5") =!= col("_new_md5"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("_old_md5").as("old_md5"), col("_new_md5").as("new_md5"))
+  }
+
   /** Spec-correct WARC bytes: a `warcinfo` record + `n` HTTP `response`
     * records with FIXED-WIDTH bodies (payload = 44-byte HTTP head +
     * 47-byte padded html ⇒ Content-Length 91 for every response — the
@@ -514,11 +547,16 @@ object Warc {
     * NON-UTF-8 response — a 64-byte head declaring
     * `charset=ISO-8859-1` + a 47-char café body encoded Latin-1
     * (0xE9, invalid UTF-8) ⇒ Content-Length 111 — so the charset
-    * fallback chain is oracle-checked, not just spec'd. */
+    * fallback chain is oracle-checked, not just spec'd; `generation`
+    * mutates the html of EVEN-indexed responses (gen ≥ 1 swaps the
+    * "doc " marker for "gen<g>") so two generations of the same
+    * archive differ in a closed-form way — the [[crawlDiff]]
+    * fixture. */
   private[graft] def warcBytes(id: Long, nResponses: Int,
                                gzipWhole: Boolean = false,
                                gzipMembers: Boolean = false,
-                               latin1: Boolean = false): Array[Byte] = {
+                               latin1: Boolean = false,
+                               generation: Int = 0): Array[Byte] = {
     def record(headers: Seq[(String, String)], body: Array[Byte]): Array[Byte] = {
       val h = new StringBuilder("WARC/1.0\r\n")
       headers.foreach { case (k, v) => h.append(k).append(": ").append(v).append("\r\n") }
@@ -529,7 +567,10 @@ object Warc {
       "software: graft\r\n".getBytes(Ascii)) // 17 bytes
     val head = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" // 44 bytes
     val responses = (0 until nResponses).map { i =>
-      val html = (s"<html>doc $id $i" + "." * 64).substring(0, 40) + "</html>" // 47 bytes
+      // gen ≥ 1 mutates EVEN-indexed pages: "doc " → "gen<g>" (same
+      // 4-char width, so every Content-Length stays closed-form)
+      val marker = if (generation >= 1 && i % 2 == 0) s"gen$generation" else "doc "
+      val html = (s"<html>$marker$id $i" + "." * 64).substring(0, 40) + "</html>" // 47 bytes
       record(Seq("WARC-Type" -> "response",
         "WARC-Target-URI" -> s"http://example.com/$id/$i"),
         (head + html).getBytes(Ascii))
@@ -553,6 +594,27 @@ object Warc {
       val whole = members.reduce(_ ++ _)
       if (gzipWhole) gz(whole) else whole
     }
+  }
+
+  /** Generation-`g` variant of [[syntheticWarc]] for the [[crawlDiff]]
+    * fixture: generation 0 is the standard planted archive (n
+    * responses + the latin tail); generation ≥ 1 ADDS one response
+    * (uri index n), MUTATES even-indexed pages (the warcBytes
+    * generation marker), and DROPS the latin tail — so
+    * added/changed/unchanged/gone are all closed-form per doc. */
+  def syntheticWarcGen(df: DataFrame, idCol: String, generation: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gen = generation
+    val payload: Long => Array[Byte] = (id: Long) =>
+      if (gen == 0) warcBytes(id, 2 + (id % 5).toInt, gzipMembers = id % 2 == 0,
+        latin1 = true)
+      else warcBytes(id, 2 + (id % 5).toInt + 1, gzipMembers = id % 2 == 0,
+        latin1 = false, generation = gen)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .as[Long]
+      .mapPartitions { it => it.map(id => (id, "warc", s"synthetic://$id", payload(id))) }
+      .toDF("media_id", "kind", "uri", "payload")
   }
 
   /** Archive table of planted WARCs with CLOSED-FORM record rows —

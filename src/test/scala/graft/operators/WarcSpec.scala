@@ -163,6 +163,28 @@ class WarcSpec extends SparkSpec {
     assert(gzipped == plain, "gzip must not move decompressed offsets")
   }
 
+  test("crawlDiff classifies added/gone/changed/unchanged per URI from CDX rows") {
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType)))
+    val docs = df(docSchema, Seq(org.apache.spark.sql.Row(7L)))
+    val oldCdx = Warc.extractWarcCdx(Warc.syntheticWarcGen(docs, "doc_id", 0)).toDF()
+    val newCdx = Warc.extractWarcCdx(Warc.syntheticWarcGen(docs, "doc_id", 1)).toDF()
+    val out = Warc.crawlDiff(oldCdx, newCdx).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // id 7 -> n = 4 responses in gen 0 (+latin); gen 1: 5 responses,
+    // even pages mutated, latin dropped
+    assert(out == Map(
+      "http://example.com/7/0" -> "changed",
+      "http://example.com/7/1" -> "unchanged",
+      "http://example.com/7/2" -> "changed",
+      "http://example.com/7/3" -> "unchanged",
+      "http://example.com/7/4" -> "added",
+      "http://example.com/7/latin1" -> "gone"), out.toString)
+    // warcinfo records never participate (both gens have one)
+    assert(!out.contains(""))
+  }
+
   test("readWarcDir reads .warc/.warc.gz files into the record table with stable ids") {
     val dir = tmpDir("graft_warc_")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.warc"),
