@@ -44,14 +44,22 @@ for name, sql in sorted(oracles.items()):
             i, c, a, b = mismatch
             bad.append((name, f"value row {i} col {c}: oracle={a!r} spark={b!r}"))
             continue
-        # Driver-equivalent rendering check: the driver hashes pandas-
-        # rendered values, where DuckDB HUGEINT/DECIMAL columns arrive
-        # as decimal128 and render float64 ("78100.0" vs Spark's
-        # "78100"). Value equality above passes (Decimal == int), so
-        # compare str() of pandas cells too — a divergence here is a
-        # driver hash-red even when values are equal.
-        ep = exp.select(ecols).to_pandas()
-        gp = got.select(gcols).to_pandas()
+        # Driver-equivalent rendering check: the driver reads both sides
+        # through DuckDB's .df() mapping, where DECIMAL/HUGEINT columns
+        # become float64 while BIGINT stays int64 — so an oracle HUGEINT
+        # against a Spark long renders "78100.0" vs "78100" (r15's
+        # q_epoch_alloc hash-red) while decimal-vs-double is fine. Value
+        # equality above passes either way (Decimal == int), so mimic
+        # the mapping (decimal -> float64) and compare str() of cells.
+        import pyarrow as pa
+        def dfy(tbl, cols):
+            p = tbl.select(cols).to_pandas()
+            for c, f in zip(tbl.select(cols).column_names, tbl.select(cols).schema):
+                if pa.types.is_decimal(f.type):
+                    p[c] = p[c].astype("float64")
+            return p
+        ep = dfy(exp, ecols)
+        gp = dfy(got, gcols)
         ep = ep.sort_values(ecols, key=lambda s: s.map(str)).reset_index(drop=True)
         gp = gp.sort_values(gcols, key=lambda s: s.map(str)).reset_index(drop=True)
         render = None
