@@ -178,8 +178,10 @@ object ScaleBench {
     // r16 third wave (VERDICT r15 #3): the remaining heavy headliners —
     // the 36-moment DECIMAL correlation pass, the LSH-pair threshold
     // sweep, the per-doc bounded-window Min-K% audit, and the streaming
-    // WARC→clean-text ingestion composition
-    "q_corr", "q_threshold_sweep", "q_minkprob", "q_warc_text")
+    // WARC→clean-text ingestion composition — plus the new CDC chunk
+    // family (per-doc window + digest-ownership rollup)
+    "q_corr", "q_threshold_sweep", "q_minkprob", "q_warc_text",
+    "q_content_chunks", "q_chunk_share")
 
   /** Scale-bench-local variants, NOT part of the driver correctness
     * contract. r15 FLIPPED the cluster-split default (VERDICT r14 #1)
