@@ -2827,6 +2827,32 @@ object SparkEntry {
         .orderBy(col("media_id"), col("rec_idx"))
     }),
 
+    "q_redirects" -> ((s, dir) => {
+      // redirect-chain resolution over a planted CDX slice: every 37th
+      // doc hosts a 2-hop chain landing on a captured 200, a 2-cycle
+      // loop (resolved=false at maxHops), and a dangling redirect to an
+      // uncaptured URI — all outcomes closed-form
+      val docs = T(s, dir, "documents").filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id"))
+      val base = concat(lit("http://site"), col("doc_id").cast("string"))
+      def u(p: String) = concat(base, lit(p))
+      def row(p: String, status: Int, loc: Column) =
+        struct(u(p).as("target_uri"), lit(status).as("http_status"),
+          loc.as("redirect_location"))
+      val cdx = docs.select(explode(array(
+          row("/r1", 301, u("/r2")),
+          row("/r2", 302, u("/final")),
+          row("/final", 200, lit(null).cast("string")),
+          row("/loopA", 301, u("/loopB")),
+          row("/loopB", 301, u("/loopA")),
+          row("/dangling", 301, u("/nowhere")))).as("r"))
+        .select(col("r.target_uri"), col("r.http_status"),
+          col("r.redirect_location"))
+        .withColumn("warc_type", lit("response"))
+      operators.Warc.resolveRedirects(cdx, maxHops = 5)
+        .orderBy(col("target_uri"))
+    }),
+
     "q_crawl_diff" -> ((s, dir) => {
       // recrawl audit between two planted crawl generations: gen 1
       // adds one page per site, mutates even-indexed pages, and drops
@@ -6698,6 +6724,24 @@ object SparkEntry {
         |    '\s+', ' ', 'g')) AS text
         |FROM h ORDER BY media_id, rec_idx""".stripMargin,
 
+    // Redirect replay: every chain outcome is a closed-form statement —
+    // the 2-hop chain lands on /final, the 2-cycle walks 5 hops and
+    // reports resolved=false, the dangling hop resolves to an
+    // uncaptured URI.
+    "q_redirects" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 37 = 0),
+        |v(sfx, fin, hops, resolved, captured) AS (VALUES
+        |  ('/r1',       '/final',   2, true,  true),
+        |  ('/r2',       '/final',   1, true,  true),
+        |  ('/loopA',    '/loopB',   5, false, true),
+        |  ('/loopB',    '/loopA',   5, false, true),
+        |  ('/dangling', '/nowhere', 1, true,  false))
+        |SELECT 'http://site' || doc_id || sfx AS target_uri,
+        |       'http://site' || doc_id || fin AS final_uri,
+        |       CAST(hops AS BIGINT) AS hops, resolved, captured
+        |FROM d CROSS JOIN v
+        |ORDER BY target_uri""".stripMargin,
+
     // Crawl-diff replay: both generations' decoded-page digests rebuild
     // from the planted html formulas (gen 1's even-page marker is
     // 'gen1'), statuses follow from index parity / the added tail / the
@@ -6831,7 +6875,8 @@ object SparkEntry {
         |         CAST(0 AS BIGINT) AS "offset",
         |         CAST(17 AS BIGINT) AS content_length,
         |         CAST(NULL AS INTEGER) AS http_status,
-        |         CAST(NULL AS VARCHAR) AS text_md5
+        |         CAST(NULL AS VARCHAR) AS text_md5,
+        |         CAST(NULL AS VARCHAR) AS redirect_location
         |  FROM d),
         |resp AS (
         |  SELECT media_id, CAST(i + 1 AS INTEGER) AS rec_idx,
@@ -6841,7 +6886,8 @@ object SparkEntry {
         |         CAST(91 AS BIGINT) AS content_length,
         |         CAST(200 AS INTEGER) AS http_status,
         |         md5(substring('<html>doc ' || media_id || ' ' || i ||
-        |             repeat('.', 64), 1, 40) || '</html>') AS text_md5
+        |             repeat('.', 64), 1, 40) || '</html>') AS text_md5,
+        |         CAST(NULL AS VARCHAR) AS redirect_location
         |  FROM d, unnest(range(0, n, 1)) AS t(i)),
         |latin AS (
         |  SELECT media_id, CAST(n + 1 AS INTEGER) AS rec_idx,
@@ -6851,7 +6897,8 @@ object SparkEntry {
         |         CAST(111 AS BIGINT) AS content_length,
         |         CAST(200 AS INTEGER) AS http_status,
         |         md5(substring('<html>caf' || chr(233) || ' doc ' || media_id ||
-        |             repeat('.', 64), 1, 40) || '</html>') AS text_md5
+        |             repeat('.', 64), 1, 40) || '</html>') AS text_md5,
+        |         CAST(NULL AS VARCHAR) AS redirect_location
         |  FROM d)
         |SELECT * FROM (SELECT * FROM info UNION ALL SELECT * FROM resp
         |               UNION ALL SELECT * FROM latin)

@@ -447,10 +447,30 @@ object Warc {
     * the charset-DECODED response text (UTF-8 bytes of the decoded
     * string, so it replays in any engine's VARCHAR md5; the classic
     * CDX raw-payload SHA1 is not externally replayable for non-UTF-8
-    * bodies). Null text_md5 for non-response records. */
+    * bodies). Null text_md5 for non-response records;
+    * `redirect_location` is the HTTP `Location:` header of 3xx
+    * responses (the [[resolveRedirects]] input), null otherwise. */
   case class WarcCdx(media_id: Long, rec_idx: Int, warc_type: String,
                      target_uri: String, offset: Long, content_length: Long,
-                     http_status: Option[Int], text_md5: Option[String])
+                     http_status: Option[Int], text_md5: Option[String],
+                     redirect_location: Option[String])
+
+  /** `Location:` header value from a response body's HTTP header block
+    * (ASCII scan of the pre-blank-line region only). */
+  private def locationHeader(b: Array[Byte], len: Int): Option[String] = {
+    var i = 0
+    var split = -1
+    while (split < 0 && i + 3 < len) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        split = i
+      else i += 1
+    }
+    val head = new String(b, 0, if (split > 0) split else math.min(len, 2048), Ascii)
+    head.split("\r\n").collectFirst {
+      case l if l.toLowerCase.startsWith("location:") =>
+        l.substring("location:".length).trim
+    }.filter(_.nonEmpty)
+  }
 
   private[graft] def parseWarcCdx(mediaId: Long, bytes: Array[Byte]): Seq[WarcCdx] = {
     if (bytes == null || bytes.length < 8) return Seq.empty
@@ -458,6 +478,7 @@ object Warc {
     val it = warcIterator(new java.io.ByteArrayInputStream(bytes))
     while (it.hasNext) {
       val r = it.next()
+      val status = httpStatus(r.warcType, r.contentLength, r.body, 0)
       val digest =
         if (r.warcType == "response") {
           val (_, text) = responseText(r.body, 0, r.contentLength.toInt)
@@ -465,10 +486,59 @@ object Warc {
             .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           Some(md.map(b => f"$b%02x").mkString)
         } else None
+      val location =
+        if (status.exists(s => s >= 300 && s < 400))
+          locationHeader(r.body, r.contentLength.toInt)
+        else None
       out += WarcCdx(mediaId, out.length, r.warcType, r.uri, r.offset,
-        r.contentLength, httpStatus(r.warcType, r.contentLength, r.body, 0), digest)
+        r.contentLength, status, digest, location)
     }
     out.toSeq
+  }
+
+  /** Follow redirect chains through a CDX table (the 3xx rows'
+    * `redirect_location`) up to `maxHops`: for every redirecting
+    * capture, where does it LAND — the resolver a frontier builder and
+    * a canonical-URL assignment both need (a 100 TB crawl is full of
+    * hop-chains; content should attribute to the final URL). Output per
+    * redirect source: (target_uri, final_uri, hops, resolved — the
+    * final URI no longer redirects within the table (loops and
+    * over-long chains report false), captured — the final URI has a
+    * capture row). Duplicate captures of one URI collapse to the
+    * lexically smallest location (the [[crawlDiff]] determinism rule).
+    *
+    * Scale shape: the redirect table (3xx rows only — a few percent of
+    * a real crawl) joins against itself `maxHops` times, each hop one
+    * equi-join on the URI; the non-redirect corpus is touched once at
+    * the end for `captured`. No recursion over corpus-sized state. */
+  def resolveRedirects(cdx: DataFrame, maxHops: Int = 5): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 32, s"maxHops must be in [1, 32], got $maxHops")
+    val redirects = cdx
+      .filter(col("http_status").between(300, 399) &&
+        col("redirect_location").isNotNull)
+      .groupBy(col("target_uri"))
+      .agg(min(col("redirect_location")).as("_loc"))
+    var frontier = redirects
+      .select(col("target_uri"), col("_loc").as("final_uri"), lit(1L).as("hops"))
+    for (_ <- 2 to maxHops) {
+      frontier = frontier
+        .join(redirects.select(col("target_uri").as("final_uri"),
+          col("_loc").as("_next")), Seq("final_uri"), "left")
+        .select(col("target_uri"),
+          coalesce(col("_next"), col("final_uri")).as("final_uri"),
+          when(col("_next").isNotNull, col("hops") + 1L)
+            .otherwise(col("hops")).as("hops"))
+    }
+    val captured = cdx.filter(col("warc_type") === "response")
+      .select(col("target_uri").as("final_uri")).distinct()
+      .withColumn("_cap", lit(true))
+    frontier
+      .join(redirects.select(col("target_uri").as("final_uri"),
+        lit(true).as("_stillRedirect")), Seq("final_uri"), "left")
+      .join(captured, Seq("final_uri"), "left")
+      .select(col("target_uri"), col("final_uri"), col("hops"),
+        col("_stillRedirect").isNull.as("resolved"),
+        coalesce(col("_cap"), lit(false)).as("captured"))
   }
 
   /** Per-partition CDX index extraction over a payload table — the

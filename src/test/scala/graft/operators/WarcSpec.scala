@@ -163,6 +163,37 @@ class WarcSpec extends SparkSpec {
     assert(gzipped == plain, "gzip must not move decompressed offsets")
   }
 
+  test("parseWarcCdx surfaces the Location header of 3xx responses; resolveRedirects follows chains") {
+    def resp(uri: String, head: String, body: String): Array[Byte] = {
+      val payload = (head + body).getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ payload ++
+        "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    val archive =
+      resp("http://x/a", "HTTP/1.1 301 Moved\r\nLocation: http://x/b\r\n\r\n", "") ++
+      resp("http://x/b", "HTTP/1.1 302 Found\r\nlocation:   http://x/c\r\n\r\n", "") ++
+      resp("http://x/c", "HTTP/1.1 200 OK\r\n\r\n", "landed")
+    val cdx = Warc.parseWarcCdx(1L, archive)
+    assert(cdx.map(_.redirect_location) ==
+      Seq(Some("http://x/b"), Some("http://x/c"), None), cdx.toString)
+    // a 200 with a Location header must NOT be treated as a redirect
+    val not3xx = Warc.parseWarcCdx(2L,
+      resp("http://x/d", "HTTP/1.1 200 OK\r\nLocation: http://x/e\r\n\r\n", "ok"))
+    assert(not3xx.head.redirect_location.isEmpty)
+    // distributed resolution over the same rows
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = cdx.toDF()
+    val out = Warc.resolveRedirects(rows, maxHops = 5).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getBoolean(3),
+        r.getBoolean(4))).toMap
+    assert(out == Map(
+      "http://x/a" -> ("http://x/c", 2L, true, true),
+      "http://x/b" -> ("http://x/c", 1L, true, true)), out.toString)
+  }
+
   test("crawlDiff classifies added/gone/changed/unchanged per URI from CDX rows") {
     val docSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
