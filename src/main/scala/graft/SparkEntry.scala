@@ -2827,6 +2827,31 @@ object SparkEntry {
         .orderBy(col("media_id"), col("rec_idx"))
     }),
 
+    "q_main_content" -> ((s, dir) => {
+      // boilerplate-block removal on a planted page per 41st doc: the
+      // title/nav/ad blocks are too short, the link-farm footer trips
+      // the link-density gate, and exactly the two prose paragraphs
+      // survive — the extracted text is a closed-form string
+      val docs = T(s, dir, "documents").filter(col("doc_id") % 41 === 0)
+        .select(col("doc_id"))
+      val id = col("doc_id").cast("string")
+      val page = concat(
+        lit("<html><head><title>T</title><style>body{x}</style></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav>" +
+          "<h1>Title "), id,
+        lit("</h1><p>This is the main article body for document "), id,
+        lit(". It has enough characters to pass the threshold and contains " +
+          "<a href=\"/ref\">one link</a> inside prose.</p>" +
+          "<p>Second paragraph of real content for document "), id,
+        lit(" with plenty of plain words to stay above the length limit.</p>" +
+          "<div>ad</div>" +
+          "<footer>Copyright 2026 Example <a href=\"/t\">Terms of Service</a> " +
+          "<a href=\"/p\">Privacy Policy</a> <a href=\"/c\">Contact Us</a>" +
+          "</footer></body></html>"))
+      docs.select(col("doc_id"), TextFunctions.mainContent(page).as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_redirects" -> ((s, dir) => {
       // redirect-chain resolution over a planted CDX slice: every 37th
       // doc hosts a 2-hop chain landing on a captured 200, a 2-cycle
@@ -6723,6 +6748,19 @@ object SparkEntry {
         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
         |    '\s+', ' ', 'g')) AS text
         |FROM h ORDER BY media_id, rec_idx""".stripMargin,
+
+    // Main-content replay: exactly the two prose paragraphs survive the
+    // block gates, so the extracted text is this closed-form string.
+    "q_main_content" ->
+      """SELECT doc_id,
+        |       'This is the main article body for document ' || doc_id ||
+        |       '. It has enough characters to pass the threshold and contains ' ||
+        |       'one link inside prose.' || chr(10) ||
+        |       'Second paragraph of real content for document ' || doc_id ||
+        |       ' with plenty of plain words to stay above the length limit.'
+        |         AS text
+        |FROM documents WHERE doc_id % 41 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     // Redirect replay: every chain outcome is a closed-form statement —
     // the 2-hop chain lands on /final, the 2-cycle walks 5 hops and

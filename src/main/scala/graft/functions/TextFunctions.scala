@@ -244,6 +244,46 @@ object TextFunctions {
     trim(regexp_replace(ent, "\\s+", " "))
   }
 
+  /** Main-content extraction — the boilerplate-block removal step
+    * (jusText / trafilatura's core heuristic, simplified to a
+    * deterministic replayable form) between [[stripHtml]] and
+    * langid/quality in a crawl pipeline: whole-page stripping keeps
+    * nav bars, link farms, and footers that poison quality scores and
+    * n-gram stats at 100 TB; this keeps only blocks that read like
+    * prose.
+    *
+    * Method: split the page into blocks on block-level tag boundaries
+    * (`p div section article br h1-6 li ul ol table thead tbody tr td
+    * th header footer nav aside blockquote`), clean each block with
+    * the [[stripHtml]] chain, and KEEP blocks that (a) carry at least
+    * `minChars` cleaned characters and (b) are at most `maxLinkPct`
+    * percent link text — link mass measured as the cleaned-length drop
+    * when `<a>…</a>` spans are removed (exact enough for gating,
+    * deterministic, and identical in any engine). Kept blocks join
+    * with newlines.
+    *
+    * Pure regexp/higher-order-function composition in the Java∩RE2
+    * subset — no UDF; per-row work is bounded by the page size.
+    * CodegenFallback caveat: the HOF lambdas drop this projection to
+    * interpreted eval, so keep it in its own projection (its cost is
+    * the regex scans either way). */
+  def mainContent(c: Column, minChars: Int = 25, maxLinkPct: Int = 33): Column = {
+    require(minChars >= 1 && maxLinkPct >= 0 && maxLinkPct <= 100,
+      s"minChars >= 1 and maxLinkPct in [0,100], got $minChars/$maxLinkPct")
+    val blockRe = "(?i)</?(?:p|div|section|article|br|h[1-6]|li|ul|ol|table|" +
+      "thead|tbody|tr|td|th|header|footer|nav|aside|blockquote)[^>]*>"
+    val blocks = split(c, blockRe)
+    val kept = filter(blocks, b => {
+      val clean = stripHtml(b)
+      val cleanNoLinks = stripHtml(
+        regexp_replace(b, "(?is)<a[^>]*>.*?</a>", " "))
+      val linkChars = greatest(lit(0), length(clean) - length(cleanNoLinks))
+      (length(clean) >= minChars) &&
+        (linkChars * lit(100) <= lit(maxLinkPct) * length(clean))
+    })
+    trim(array_join(transform(kept, b => stripHtml(b)), "\n"))
+  }
+
   /** URL canonicalization for web-corpus dedup and per-domain curation
     * (the RefinedWeb/C4 pre-dedup step): lowercase the scheme and
     * authority, strip the default port (`:443` for https, `:80` for

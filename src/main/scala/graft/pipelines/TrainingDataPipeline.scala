@@ -516,14 +516,26 @@ object TrainingDataPipeline {
     * {{{
     * TrainingDataPipeline.warcIngest(plan, warcDir, crawlSrc)
     * ReleasePipeline.build(plan, crawlSrc, workDir)
-    * }}} */
-  def warcIngest(plan: Plan, warcDir: String, srcDir: String): Plan = {
+    * }}}
+    *
+    * `extractor` picks the html→text stage: `"strip"` (default —
+    * [[TextFunctions.stripHtml]], keeps everything) or `"main"`
+    * ([[TextFunctions.mainContent]] — jusText-style boilerplate-block
+    * removal, the right choice when nav/footer/link-farm text would
+    * poison downstream quality and n-gram statistics). */
+  def warcIngest(plan: Plan, warcDir: String, srcDir: String,
+                 extractor: String = "strip"): Plan = {
+    require(Set("strip", "main").contains(extractor),
+      s"extractor must be 'strip' or 'main', got '$extractor'")
     val out = new ParquetConnector(plan.spark, srcDir)
     plan.step("warc_ingest") {
       val texts = graft.operators.Warc.readWarcTextsDir(plan.spark, warcDir)
+      val toText: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (extractor == "main") TextFunctions.mainContent(_)
+        else TextFunctions.stripHtml(_)
       out.write(texts.select(
         xxhash64(col("path"), col("rec_idx")).as("doc_id"),
-        TextFunctions.stripHtml(col("html")).as("text"),
+        toText(col("html")).as("text"),
         col("target_uri").as("url"), col("charset"),
         col("path").as("warc_path"), col("rec_idx").as("warc_rec_idx"))
         .withColumn("n_chars", length(col("text")).cast("long")),

@@ -266,6 +266,37 @@ class TextFunctionsSpec extends SparkSpec {
     assert(strip("  multiple\t\nspaces  ") == "multiple spaces")
   }
 
+  test("mainContent: short blocks and link-dense blocks drop, prose survives") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.StringType)))
+    def extract(html: String, minChars: Int = 25, maxLinkPct: Int = 33): String =
+      df(schema, Seq(org.apache.spark.sql.Row(html)))
+        .select(TextFunctions.mainContent(col("t"), minChars, maxLinkPct).as("m"))
+        .collect().head.getString(0)
+    val prose = "This paragraph carries plenty of ordinary prose characters to pass."
+    val html = "<html><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+      s"<p>$prose</p>" +
+      "<div>ad</div>" +
+      "<footer>See <a href=\"/t\">Terms of Service here</a> and " +
+      "<a href=\"/p\">the full Privacy Policy text</a></footer>" +
+      "</body></html>"
+    assert(extract(html) == prose)
+    // a prose block with ONE modest link inside survives the density gate
+    val linked = "<p>A long sentence of real content that happens to mention " +
+      "<a href=\"/x\">a link</a> but is mostly text either way.</p>"
+    assert(extract(linked) == "A long sentence of real content that happens to " +
+      "mention a link but is mostly text either way.")
+    // the same block fails when the gate is strict
+    assert(extract(linked, maxLinkPct = 2) == "")
+    // multiple kept blocks join with newlines, in document order
+    assert(extract(s"<p>$prose</p><p>$prose again and again and again.</p>")
+      == s"$prose\n$prose again and again and again.")
+    // pages with nothing salvageable yield '', not a failure
+    assert(extract("<nav><a href=x>l</a></nav><div>ad</div>") == "")
+    assert(extract("") == "")
+  }
+
   test("urlRegisteredDomain: PSL-aware, userinfo/port stripped, naive fallback for unknown TLDs") {
     assert(dom("https://a.b.Example.COM/x") == "example.com")
     assert(dom("http://user:pw@deep.sub.host.ORG:8080/p?q=1") == "host.org")
