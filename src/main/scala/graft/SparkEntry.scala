@@ -2827,6 +2827,65 @@ object SparkEntry {
         .orderBy(col("media_id"), col("rec_idx"))
     }),
 
+    "q_sitemap" -> ((s, dir) => {
+      // sitemaps.org discovery walk: every 67th doc plants either a
+      // <urlset> (even ids — 1 + id%3 pages with lastmod/changefreq/
+      // priority formulas) or a <sitemapindex> (odd ids — two child
+      // maps); every exploded entry is a closed-form statement
+      val docs = T(s, dir, "documents").filter(col("doc_id") % 67 === 0)
+        .select(col("doc_id"))
+      val id = col("doc_id").cast("string")
+      val urlset = concat(lit("<urlset>"),
+        array_join(transform(sequence(lit(0L), col("doc_id") % 3), j =>
+          concat(lit("<url><loc>http://s"), id, lit("/page/"), j.cast("string"),
+            lit("</loc><lastmod>2026-01-0"), (j + 1).cast("string"),
+            lit("</lastmod><changefreq>"),
+            element_at(array(lit("daily"), lit("weekly"), lit("monthly")),
+              (j % 3 + 1).cast("int")),
+            lit("</changefreq><priority>0."), (j % 3 + 5).cast("string"),
+            lit("</priority></url>"))), ""),
+        lit("</urlset>"))
+      val index = concat(lit("<sitemapindex>"),
+        array_join(transform(sequence(lit(0L), lit(1L)), j =>
+          concat(lit("<sitemap><loc>http://s"), id, lit("/map/"),
+            j.cast("string"),
+            lit(".xml</loc><lastmod>2026-02-01</lastmod></sitemap>"))), ""),
+        lit("</sitemapindex>"))
+      val maps = docs.withColumn("xml",
+        when(col("doc_id") % 2 === 0, urlset).otherwise(index))
+      operators.Robots.sitemapUrls(maps, "doc_id", "xml")
+        .orderBy(col("doc_id"), col("loc"))
+    }),
+
+    "q_crawl_frontier" -> ((s, dir) => {
+      // the recrawl FRONTIER composition: crawl-generation diff →
+      // added ∪ changed targets → RFC 9309 policy gate → the fetch
+      // list. Per site the planted robots blocks pages 0 and 2 (the
+      // `$`-anchored wildcard rules), so exactly the late even changed
+      // pages and the non-2 added page survive — closed form
+      val docs = T(s, dir, "documents").filter(col("doc_id") % 61 === 0)
+        .select(col("doc_id"))
+      val oldCdx = operators.Warc.extractWarcCdx(
+        operators.Warc.syntheticWarcGen(docs, "doc_id", 0)).toDF()
+      val newCdx = operators.Warc.extractWarcCdx(
+        operators.Warc.syntheticWarcGen(docs, "doc_id", 1)).toDF()
+      val candidates = operators.Warc.crawlDiff(oldCdx, newCdx)
+        .filter(col("status").isin("added", "changed"))
+        .select(
+          regexp_extract(col("target_uri"), "example\\.com/(\\d+)/", 1)
+            .cast("long").as("doc_id"),
+          regexp_replace(col("target_uri"), "^http://[^/]+", "").as("path"),
+          col("status"))
+      val robots = docs.withColumn("txt",
+        lit("User-agent: graftbot\nDisallow: /*/0$\nDisallow: /*/2$\n"))
+      operators.Robots.urlGate(robots, "doc_id", "txt",
+          candidates, "doc_id", "path", "graftbot")
+        .filter(col("allowed"))
+        .join(candidates, Seq("doc_id", "path"))
+        .select(col("doc_id"), col("path"), col("status"))
+        .orderBy(col("doc_id"), col("path"))
+    }),
+
     "q_main_content" -> ((s, dir) => {
       // boilerplate-block removal on a planted page per 41st doc: the
       // title/nav/ad blocks are too short, the link-farm footer trips
@@ -6748,6 +6807,46 @@ object SparkEntry {
         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
         |    '\s+', ' ', 'g')) AS text
         |FROM h ORDER BY media_id, rec_idx""".stripMargin,
+
+    // Sitemap replay: even ids explode to their 1 + id%3 urlset pages
+    // with the planted lastmod/changefreq/priority formulas; odd ids to
+    // their two sitemapindex children.
+    "q_sitemap" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 67 = 0),
+        |pages AS (
+        |  SELECT doc_id, 'url' AS kind,
+        |         'http://s' || doc_id || '/page/' || j AS loc,
+        |         '2026-01-0' || (j + 1) AS lastmod,
+        |         (['daily', 'weekly', 'monthly'])[CAST(j % 3 + 1 AS INTEGER)]
+        |           AS changefreq,
+        |         '0.' || (j % 3 + 5) AS priority
+        |  FROM d, unnest(range(0, doc_id % 3 + 1, 1)) AS t(j)
+        |  WHERE doc_id % 2 = 0),
+        |children AS (
+        |  SELECT doc_id, 'sitemap' AS kind,
+        |         'http://s' || doc_id || '/map/' || j || '.xml' AS loc,
+        |         '2026-02-01' AS lastmod, '' AS changefreq, '' AS priority
+        |  FROM d, unnest(range(0, 2, 1)) AS t(j)
+        |  WHERE doc_id % 2 = 1)
+        |SELECT * FROM (SELECT * FROM pages UNION ALL SELECT * FROM children)
+        |ORDER BY doc_id, loc""".stripMargin,
+
+    // Frontier replay: added = page n unless n = 2 (the /*/2$ rule);
+    // changed = even pages below n minus the blocked 0 and 2 — i.e.
+    // page 4 exactly when n > 4.
+    "q_crawl_frontier" ->
+      """WITH d AS (SELECT doc_id AS id, 2 + doc_id % 5 AS n
+        |           FROM documents WHERE doc_id % 61 = 0),
+        |changed AS (
+        |  SELECT id, '/' || id || '/' || i AS path, 'changed' AS status
+        |  FROM d, unnest(range(0, n, 1)) AS t(i)
+        |  WHERE i % 2 = 0 AND i NOT IN (0, 2)),
+        |added AS (
+        |  SELECT id, '/' || id || '/' || n AS path, 'added' AS status
+        |  FROM d WHERE n <> 2)
+        |SELECT id AS doc_id, path, status
+        |FROM (SELECT * FROM changed UNION ALL SELECT * FROM added)
+        |ORDER BY doc_id, path""".stripMargin,
 
     // Main-content replay: exactly the two prose paragraphs survive the
     // block gates, so the extracted text is this closed-form string.

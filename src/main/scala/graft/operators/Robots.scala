@@ -92,6 +92,62 @@ object Robots {
     chosen.toSeq.flatMap(_.rules)
   }
 
+  /** One sitemap entry: `kind` is `url` (a fetchable page from a
+    * `<urlset>`) or `sitemap` (a child index from a `<sitemapindex>`);
+    * the optional fields are kept as the raw strings the file carries
+    * (lastmod/changefreq/priority semantics are advisory downstream
+    * policy, not parse-time coercions — a malformed date must not kill
+    * the scan). */
+  case class SitemapEntry(kind: String, loc: String, lastmod: String,
+                          changefreq: String, priority: String)
+
+  private val UrlSpanRe =
+    java.util.regex.Pattern.compile("(?is)<(url|sitemap)\\s*>(.*?)</\\1\\s*>")
+  private def tagText(span: String, tag: String): String = {
+    val m = java.util.regex.Pattern
+      .compile(s"(?is)<$tag\\s*>(.*?)</$tag\\s*>").matcher(span)
+    if (m.find()) m.group(1).trim else ""
+  }
+
+  /** Parse one sitemap XML (sitemaps.org protocol): `<urlset>` page
+    * entries and `<sitemapindex>` child references, JVM-regex-walked
+    * (a full XML parser buys nothing here — the protocol fixes the
+    * element names, and dirty input must be total: garbage parses to
+    * zero entries; the oracle replays planted fixtures closed-form, so
+    * the walk itself never needs to be SQL-expressible). Entries
+    * without a `<loc>` skip. */
+  def parseSitemap(xml: String): Seq[SitemapEntry] = {
+    if (xml == null) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[SitemapEntry]
+    val m = UrlSpanRe.matcher(xml)
+    while (m.find()) {
+      val kind = if (m.group(1).equalsIgnoreCase("url")) "url" else "sitemap"
+      val span = m.group(2)
+      val loc = tagText(span, "loc")
+      if (loc.nonEmpty)
+        out += SitemapEntry(kind, loc, tagText(span, "lastmod"),
+          tagText(span, "changefreq"), tagText(span, "priority"))
+    }
+    out.toSeq
+  }
+
+  /** Distributed sitemap explode: one row per entry across a table of
+    * sitemap documents — the discovery leg of the crawl front door
+    * (robots names the sitemaps, this walks them, the frontier joins
+    * the result). Per-row work is bounded by the document size; the
+    * sitemaps.org protocol caps one file at 50 MB / 50k entries. */
+  def sitemapUrls(sitemaps: DataFrame, keyCol: String, xmlCol: String): DataFrame = {
+    val spark = sitemaps.sparkSession
+    import spark.implicits._
+    val parse: (Long, String) => Seq[(Long, String, String, String, String, String)] =
+      (k, xml) => parseSitemap(xml).map(e =>
+        (k, e.kind, e.loc, e.lastmod, e.changefreq, e.priority))
+    sitemaps.select(col(keyCol).cast("long"), col(xmlCol))
+      .as[(Long, String)]
+      .flatMap { case (k, xml) => parse(k, xml) }
+      .toDF(keyCol, "kind", "loc", "lastmod", "changefreq", "priority")
+  }
+
   /** The distributed crawl gate: `robots` carries one robots.txt per
     * key (host), `urls` the candidate paths; the output states, per
     * (key, url), whether `userAgent` may fetch it and the rule that

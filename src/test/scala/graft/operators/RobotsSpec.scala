@@ -45,6 +45,29 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.patternRegex("/p(1)+x") == "^/p\\(1\\)\\+x")
   }
 
+  test("parseSitemap: urlset pages, sitemapindex children, dirty input total") {
+    val urlset =
+      """<?xml version="1.0"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url><loc> http://x/a </loc><lastmod>2026-01-01</lastmod>
+        |       <changefreq>daily</changefreq><priority>0.8</priority></url>
+        |  <url><loc>http://x/b</loc></url>
+        |  <url><priority>0.1</priority></url>
+        |</urlset>""".stripMargin
+    val entries = Robots.parseSitemap(urlset)
+    // the loc-less third entry skips; whitespace inside <loc> trims
+    assert(entries == Seq(
+      Robots.SitemapEntry("url", "http://x/a", "2026-01-01", "daily", "0.8"),
+      Robots.SitemapEntry("url", "http://x/b", "", "", "")), entries)
+    val index = "<sitemapindex><sitemap><loc>http://x/1.xml</loc></sitemap>" +
+      "<sitemap><loc>http://x/2.xml</loc><lastmod>2026-02-01</lastmod></sitemap>" +
+      "</sitemapindex>"
+    assert(Robots.parseSitemap(index).map(e => (e.kind, e.loc, e.lastmod)) ==
+      Seq(("sitemap", "http://x/1.xml", ""), ("sitemap", "http://x/2.xml", "2026-02-01")))
+    assert(Robots.parseSitemap(null).isEmpty)
+    assert(Robots.parseSitemap("not xml at all <url>").isEmpty)
+  }
+
   test("urlGate: longest-match precedence, Allow tie-break, default allow, group shadowing") {
     val robotsSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("host_id", org.apache.spark.sql.types.LongType),
