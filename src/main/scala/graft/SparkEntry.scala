@@ -2827,6 +2827,17 @@ object SparkEntry {
         .orderBy(col("media_id"), col("rec_idx"))
     }),
 
+    "q_politeness" -> ((s, dir) => {
+      // rate-limit layout for a fetch frontier: every 7th doc is a URL,
+      // hosts are doc_id % 31, priority is the doc_id itself — so each
+      // host's URLs rank in id order and wave/slot are pure integer
+      // arithmetic the oracle replays with a window rank
+      val urls = T(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), (col("doc_id") % 31).as("host_id"))
+      operators.Robots.politenessWaves(urls, "host_id", "doc_id", perWave = 4)
+        .orderBy(col("host_id"), col("doc_id"))
+    }),
+
     "q_sitemap" -> ((s, dir) => {
       // sitemaps.org discovery walk: every 67th doc plants either a
       // <urlset> (even ids — 1 + id%3 pages with lastmod/changefreq/
@@ -6807,6 +6818,19 @@ object SparkEntry {
         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
         |    '\s+', ' ', 'g')) AS text
         |FROM h ORDER BY media_id, rec_idx""".stripMargin,
+
+    // Politeness replay: per-host 0-based rank in id order, then
+    // truncating DIV/mod into waves of 4.
+    "q_politeness" ->
+      """WITH u AS (SELECT doc_id, doc_id % 31 AS host_id
+        |           FROM documents WHERE doc_id % 7 = 0),
+        |r AS (SELECT doc_id, host_id,
+        |             ROW_NUMBER() OVER (PARTITION BY host_id ORDER BY doc_id) - 1
+        |               AS rk
+        |      FROM u)
+        |SELECT doc_id, host_id, CAST(rk // 4 AS BIGINT) AS wave,
+        |       CAST(rk % 4 AS BIGINT) AS slot
+        |FROM r ORDER BY host_id, doc_id""".stripMargin,
 
     // Sitemap replay: even ids explode to their 1 + id%3 urlset pages
     // with the planted lastmod/changefreq/priority formulas; odd ids to

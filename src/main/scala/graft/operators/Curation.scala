@@ -60,7 +60,7 @@ object Curation {
     * freeze a snapshot of `orderCol`'s range into the returned plan.
     * Callers composing several samplers over one expensive input should
     * cache it first. */
-  private def withStrataPrefix(df: DataFrame, strataCols: Seq[String], orderCol: String,
+  private[operators] def withStrataPrefix(df: DataFrame, strataCols: Seq[String], orderCol: String,
                                weight: Column, prefixCol: String,
                                totalCol: Option[String] = None,
                                tieCols: Seq[String] = Nil): DataFrame = {

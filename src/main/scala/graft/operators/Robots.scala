@@ -148,6 +148,27 @@ object Robots {
       .toDF(keyCol, "kind", "loc", "lastmod", "changefreq", "priority")
   }
 
+  /** Politeness-scheduled fetch waves: assign every URL a `(wave,
+    * slot)` so a crawler that fetches one wave at a time touches each
+    * host at most `perWave` times per wave — the rate-limit layout a
+    * frontier needs before it becomes a fetch plan (crawl-delay
+    * compliance is then "one wave per delay tick").
+    *
+    * `orderCol` must be a UNIQUE numeric priority per (host, url) — an
+    * id or url hash; lower fetches first. Scale shape: the per-host
+    * rank is [[Curation.withStrataPrefix]]'s de-funneled bin-offset
+    * prefix, so a hot host (a 10⁹-URL domain in a real frontier) never
+    * sorts inside one task the way `row_number() OVER (PARTITION BY
+    * host)` would; wave/slot are then row-local integer arithmetic. */
+  def politenessWaves(urls: DataFrame, hostCol: String, orderCol: String,
+                      perWave: Int): DataFrame = {
+    require(perWave >= 1, s"perWave must be >= 1, got $perWave")
+    Curation.withStrataPrefix(urls, Seq(hostCol), orderCol, lit(1L), "_rank")
+      .withColumn("wave", expr(s"_rank DIV ${perWave}L"))
+      .withColumn("slot", pmod(col("_rank"), lit(perWave.toLong)))
+      .drop("_rank")
+  }
+
   /** The distributed crawl gate: `robots` carries one robots.txt per
     * key (host), `urls` the candidate paths; the output states, per
     * (key, url), whether `userAgent` may fetch it and the rule that

@@ -68,6 +68,26 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.parseSitemap("not xml at all <url>").isEmpty)
   }
 
+  test("politenessWaves: per-host rank in priority order, perWave slots, hosts independent") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("host", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pri", org.apache.spark.sql.types.LongType)))
+    val rows = (for (h <- 1L to 2L; p <- 1L to 5L) yield
+      org.apache.spark.sql.Row(h, p * 10 + h)).toSeq
+    val out = Robots.politenessWaves(df(schema, rows), "host", "pri", perWave = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // host 1 priorities 11,21,31,41,51 -> ranks 0..4 -> waves 0,0,1,1,2
+    assert(out((1L, 11L)) == (0L, 0L) && out((1L, 21L)) == (0L, 1L))
+    assert(out((1L, 31L)) == (1L, 0L) && out((1L, 41L)) == (1L, 1L))
+    assert(out((1L, 51L)) == (2L, 0L))
+    // host 2 ranks independently — no cross-host coupling
+    assert(out((2L, 12L)) == (0L, 0L) && out((2L, 52L)) == (2L, 0L))
+    // at most perWave URLs of one host share a wave
+    val perHostWave = out.toSeq.groupBy { case ((h, _), (w, _)) => (h, w) }
+    assert(perHostWave.values.forall(_.size <= 2))
+  }
+
   test("urlGate: longest-match precedence, Allow tie-break, default allow, group shadowing") {
     val robotsSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("host_id", org.apache.spark.sql.types.LongType),
