@@ -2827,6 +2827,13 @@ object SparkEntry {
         .orderBy(col("media_id"), col("rec_idx"))
     }),
 
+    "q_char_entropy" -> ((s, dir) =>
+      // character-distribution entropy quality signal over the corpus:
+      // per-char ⌊(c/n)·ln(n/c)·10¹²⌋ terms from exact counts on the
+      // 512-char prefix, order-free integer total
+      operators.Profile.charEntropy(T(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
     "q_politeness" -> ((s, dir) => {
       // rate-limit layout for a fetch frontier: every 7th doc is a URL,
       // hosts are doc_id % 31, priority is the doc_id itself — so each
@@ -6818,6 +6825,26 @@ object SparkEntry {
         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
         |    '\s+', ' ', 'g')) AS text
         |FROM h ORDER BY media_id, rec_idx""".stripMargin,
+
+    // Char-entropy replay: same char split, same exact counts, same
+    // pinned divisions and engine ln, same 1e12 floor — order-free
+    // integer total.
+    "q_char_entropy" ->
+      """WITH ch AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split(substring(text, 1, 512), ''),
+        |                            x -> len(x) > 0)) AS c
+        |  FROM documents),
+        |cnt AS MATERIALIZED (
+        |  SELECT doc_id, c, COUNT(1) AS cc FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(cc) AS n, COUNT(1) AS dc FROM cnt GROUP BY 1)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars_used,
+        |       CAST(dc AS BIGINT) AS distinct_chars,
+        |       CAST(SUM(CAST(FLOOR(CAST(cc AS DOUBLE) / n *
+        |            ln(CAST(n AS DOUBLE) / cc) * 1e12) AS BIGINT)) AS BIGINT)
+        |         AS entropy_fp
+        |FROM cnt JOIN tot USING (doc_id)
+        |GROUP BY doc_id, n, dc ORDER BY doc_id""".stripMargin,
 
     // Politeness replay: per-host 0-based rank in id order, then
     // truncating DIV/mod into waves of 4.

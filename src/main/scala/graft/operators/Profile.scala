@@ -642,4 +642,42 @@ object Profile {
         col("f_word_count") && col("f_word_len") && col("f_symbol") &&
           col("f_bullet") && col("f_ellipsis") && col("f_alpha") && col("f_stopwords"))
   }
+
+  /** Character-distribution Shannon entropy per document — the cheap
+    * "is this prose or junk" signal the Gopher-style structural rules
+    * miss: keyboard mash, repeated-character padding, and binary
+    * spills score far below natural text (~4.1 nats for English prose)
+    * while still passing word-count/length gates. Measured over the
+    * first `cap` characters (the distribution stabilizes within a few
+    * hundred chars; an uncapped pass would explode 100 TB docs into
+    * corpus×length char rows for no extra signal).
+    *
+    * Exactness: per-character terms are `⌊(c/n)·ln(n/c)·10¹²⌋` from
+    * exact integer counts — single pinned double divisions, engine
+    * `ln`, floored to fixed point, then an ORDER-FREE integer sum (the
+    * psiDrift convention), so any engine replays `entropy_fp`
+    * bit-for-bit. Empty/whitespace-free-empty docs yield no row (no
+    * distribution to measure — the [[graft.operators.Dedup.contentDefinedChunks]]
+    * convention).
+    *
+    * Output: (idCol, n_chars_used, distinct_chars, entropy_fp). */
+  def charEntropy(df: DataFrame, textCol: String, idCol: String,
+                  cap: Int = 512): DataFrame = {
+    require(cap >= 1 && cap <= (1 << 20), s"cap must be in [1, 2^20], got $cap")
+    val chars = df.select(col(idCol),
+        explode(split(substring(col(textCol), 1, cap), "")).as("_ch"))
+      .filter(length(col("_ch")) > 0)
+    val counts = chars.groupBy(col(idCol), col("_ch"))
+      .agg(count(lit(1)).as("_c"))
+    val tot = counts.groupBy(col(idCol))
+      .agg(sum(col("_c")).as("_n"), count(lit(1)).as("_dc"))
+    counts.join(tot, Seq(idCol))
+      .withColumn("_t",
+        floor((col("_c").cast("double") / col("_n")) *
+          log(col("_n").cast("double") / col("_c")) * lit(1e12)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(max(col("_n")).as("n_chars_used"),
+        max(col("_dc")).as("distinct_chars"),
+        sum(col("_t")).as("entropy_fp"))
+  }
 }

@@ -418,4 +418,28 @@ class ProfileSpec extends SparkSpec {
     val mwl = out(1L).getLong(3)
     assert(mwl >= 300L && mwl <= 1000L, s"mwl=$mwl")
   }
+
+  test("charEntropy: uniform maxes, constant zeroes, junk scores below prose") {
+    val tSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val d = df(tSchema, Seq(
+      Row(1L, "abcd"),                                  // uniform over 4 chars
+      Row(2L, "aaaaaaaa"),                              // constant -> 0 nats
+      Row(3L, "the quick brown fox jumps over the lazy dog and then sleeps"),
+      Row(4L, "aaaaabbbbbaaaaabbbbbaaaaabbbbb"),        // 2-symbol mash
+      Row(5L, ""), Row(6L, null),                       // no distribution
+      Row(7L, "x" * 600 + "yz")))                       // cap: yz never seen
+    val out = Profile.charEntropy(d, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // uniform over 4: H = ln 4 = 1.386...e12 fp (sum of 4 floored terms)
+    val (n1, d1, h1) = out(1L)
+    assert(n1 == 4L && d1 == 4L)
+    assert(math.abs(h1 - math.log(4.0) * 1e12) < 10, s"h1=$h1")
+    assert(out(2L) == (8L, 1L, 0L))
+    // prose carries much more char entropy than a 2-symbol mash
+    assert(out(3L)._3 > out(4L)._3 * 2, s"${out(3L)} vs ${out(4L)}")
+    // empty/null docs yield no row; the cap hides chars past 512
+    assert(!out.contains(5L) && !out.contains(6L))
+    assert(out(7L) == (512L, 1L, 0L))
+  }
 }
