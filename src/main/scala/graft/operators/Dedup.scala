@@ -1182,10 +1182,15 @@ object Dedup {
     require(boundaryHex >= 1 && boundaryHex <= 15,
       s"boundaryHex must be in [1, 15], got $boundaryHex")
     val boundaryCut = java.lang.Integer.toHexString(boundaryHex)
+    // row-level empty filter, not an array HOF: split(trim, \s+) only
+    // yields an empty token for the all-whitespace doc (one token at
+    // pos 0, which the filter drops with positions unchanged), and a
+    // lambda here would knock the whole projection out of
+    // whole-stage codegen (CodegenFallback)
     val words = ensureParallel(df)
       .select(col(idCol),
-        posexplode(filter(split(trim(col(textCol)), "\\s+"),
-          w => length(w) > 0)).as(Seq("_pos", "_w")))
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("_pos", "_w")))
+      .filter(length(col("_w")) > 0)
       .withColumn("_b", when(substring(md5(col("_w")), 1, 1) < boundaryCut, 1L)
         .otherwise(0L))
     val win = org.apache.spark.sql.expressions.Window
