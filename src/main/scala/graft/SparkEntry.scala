@@ -2827,6 +2827,15 @@ object SparkEntry {
         .orderBy(col("media_id"), col("rec_idx"))
     }),
 
+    "q_chunk_containment" -> ((s, dir) =>
+      // asymmetric containment pairs over the CDC chunk digests —
+      // partial-copy detection (embedded pages, quoted articles) that
+      // symmetric Jaccard underestimates; digests are the LSH buckets,
+      // masses and the fixed-point scores all replay externally
+      operators.Dedup.chunkContainmentPairs(T(s, dir, "documents"),
+          "text", "doc_id", thresholdFp = 300000L)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "q_char_entropy" -> ((s, dir) =>
       // character-distribution entropy quality signal over the corpus:
       // per-char ⌊(c/n)·ln(n/c)·10¹²⌋ terms from exact counts on the
@@ -6825,6 +6834,52 @@ object SparkEntry {
         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
         |    '\s+', ' ', 'g')) AS text
         |FROM h ORDER BY media_id, rec_idx""".stripMargin,
+
+    // Containment replay: the same chunk digests, per-(doc, digest)
+    // masses, min-shared sums over the digest buckets (with the same
+    // 2..2000 owner gate), truncating fixed-point scores.
+    "q_chunk_containment" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT doc_id, unnest(ws) AS w, unnest(range(0, len(ws), 1)) AS pos
+        |  FROM (SELECT doc_id,
+        |               list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                           x -> len(x) > 0) AS ws
+        |        FROM documents)),
+        |c AS (
+        |  SELECT doc_id, w, pos,
+        |         COALESCE(SUM(CASE WHEN substring(md5(w), 1, 1) < '2'
+        |                           THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS chunk_idx
+        |  FROM w),
+        |chunks AS MATERIALIZED (
+        |  SELECT doc_id, md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5,
+        |         COUNT(1) AS n_words
+        |  FROM c GROUP BY doc_id, chunk_idx),
+        |mass AS MATERIALIZED (
+        |  SELECT doc_id, chunk_md5, SUM(n_words) AS mass
+        |  FROM chunks GROUP BY 1, 2),
+        |own AS (SELECT chunk_md5, COUNT(1) AS nd FROM mass GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(SUM(LEAST(a.mass, b.mass)) AS BIGINT) AS shared_words
+        |  FROM mass a JOIN mass b USING (chunk_md5) JOIN own USING (chunk_md5)
+        |  WHERE a.doc_id < b.doc_id AND nd BETWEEN 2 AND 2000
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(SUM(mass) AS BIGINT) AS words
+        |        FROM mass GROUP BY 1)
+        |SELECT id_a, id_b, shared_words, ta.words AS words_a,
+        |       tb.words AS words_b,
+        |       CAST(shared_words * 1000000 // ta.words AS BIGINT)
+        |         AS containment_a_fp,
+        |       CAST(shared_words * 1000000 // tb.words AS BIGINT)
+        |         AS containment_b_fp
+        |FROM pairs JOIN tot ta ON pairs.id_a = ta.doc_id
+        |           JOIN tot tb ON pairs.id_b = tb.doc_id
+        |WHERE GREATEST(shared_words * 1000000 // ta.words,
+        |               shared_words * 1000000 // tb.words) >= 300000
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Char-entropy replay: same char split, same exact counts, same
     // pinned divisions and engine ln, same 1e12 floor — order-free

@@ -1206,6 +1206,55 @@ object Dedup {
       .withColumn("chunk_md5", md5(col("chunk_text")))
   }
 
+  /** Chunk-CONTAINMENT near-dup pairs over [[contentDefinedChunks]]:
+    * containment(a→b) = Σ_{shared digests} min(massₐ, mass_b) /
+    * wordsₐ — the asymmetric overlap measure that catches PARTIAL
+    * COPIES (a page embedded in a larger page, a quoted article, a
+    * boilerplate-wrapped mirror) which symmetric Jaccard
+    * underestimates exactly when the size ratio is large. Pairs keep
+    * both directions' scores; `thresholdFp` (millionths) gates on the
+    * LARGER one.
+    *
+    * Scale shape: the (doc, digest, mass) table is the LSH-style
+    * bucket explode — digests ARE the buckets, so pairing is the
+    * join-free in-bucket generator with the standard `maxBucketSize`
+    * cap (a digest shared by thousands of docs is boilerplate;
+    * [[chunkSharing]] profiles it, containment pairs would go
+    * quadratic on it) — then one groupBy over pair rows. Everything
+    * replays externally: md5 digests, integer masses, truncating
+    * fixed-point division.
+    *
+    * Output: (id_a, id_b, shared_words, words_a, words_b,
+    * containment_a_fp, containment_b_fp), id_a < id_b. */
+  def chunkContainmentPairs(df: DataFrame, textCol: String, idCol: String,
+                            thresholdFp: Long = 500000L,
+                            boundaryHex: Int = 2,
+                            maxBucketSize: Int = 2000): DataFrame = {
+    require(thresholdFp >= 0L && thresholdFp <= 1000000L,
+      s"thresholdFp is millionths in [0, 1e6], got $thresholdFp")
+    // per-(doc, digest) word mass; localCheckpoint: the pairing AND the
+    // doc totals both read it (the psiFromCounts multi-read pattern)
+    val mass = contentDefinedChunks(df, textCol, idCol, boundaryHex)
+      .groupBy(col(idCol), col("chunk_md5"))
+      .agg(sum(col("n_words")).as("_mass"))
+      .localCheckpoint(true)
+    val shared = bucketPairs(mass, Seq("chunk_md5"), idCol, "_mass", maxBucketSize)
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        least(col("pa"), col("pb")).as("_sh")) // symmetric min survives the swap
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("_sh")).as("shared_words"))
+    val totals = mass.groupBy(col(idCol)).agg(sum(col("_mass")).as("_w"))
+    shared
+      .join(totals.select(col(idCol).as("id_a"), col("_w").as("words_a")), Seq("id_a"))
+      .join(totals.select(col(idCol).as("id_b"), col("_w").as("words_b")), Seq("id_b"))
+      .withColumn("containment_a_fp", expr("shared_words * 1000000L DIV words_a"))
+      .withColumn("containment_b_fp", expr("shared_words * 1000000L DIV words_b"))
+      .filter(greatest(col("containment_a_fp"), col("containment_b_fp")) >= thresholdFp)
+      .select(col("id_a"), col("id_b"), col("shared_words"), col("words_a"),
+        col("words_b"), col("containment_a_fp"), col("containment_b_fp"))
+  }
+
   /** Chunk-level duplication profile over [[contentDefinedChunks]]: per
     * document, how much of it is made of chunks that also appear in
     * OTHER documents — the boilerplate/mirror detector exact-dup and

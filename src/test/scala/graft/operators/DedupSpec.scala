@@ -827,6 +827,28 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.contentDefinedChunks(dirty, "text", "doc_id").count() == 0L)
   }
 
+  test("chunkContainmentPairs: a partial copy scores high containment toward its source") {
+    val long = corpus(1).head._2 + " " + corpus(2)(1)._2 + " " + corpus(3)(2)._2
+    val embedded = corpus(1).head._2 // doc 2 IS a slice of doc 1
+    val unrelated = "completely different tokens nothing shared here at all " +
+      "with more unique words padding this document to a plausible length"
+    val d = df(docSchema, Seq(Row(1L, long), Row(2L, embedded), Row(3L, unrelated)))
+    val out = Dedup.chunkContainmentPairs(d, "text", "doc_id", thresholdFp = 500000L)
+      .collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    // containment toward the EMBEDDED side is ~100%; toward the long
+    // side it is its fraction of the long doc — the asymmetry Jaccard
+    // collapses
+    val (ca, cb) = (r.getLong(5), r.getLong(6))
+    assert(cb >= 900000L, s"embedded-side containment $cb")
+    assert(ca < cb, s"asymmetry lost: $ca vs $cb")
+    // fixed-point arithmetic: shared*1e6 DIV words
+    assert(ca == r.getLong(2) * 1000000L / r.getLong(3))
+    assert(cb == r.getLong(2) * 1000000L / r.getLong(4))
+  }
+
   test("chunkSharing surfaces cross-document boilerplate exact/near-dup miss") {
     val boiler = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 3
     val docs = corpus(6).map { case (i, t) =>
