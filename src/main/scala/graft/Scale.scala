@@ -181,7 +181,11 @@ object ScaleBench {
     // WARC→clean-text ingestion composition — plus the new CDC chunk
     // family (per-doc window + digest-ownership rollup)
     "q_corr", "q_threshold_sweep", "q_minkprob", "q_warc_text",
-    "q_content_chunks", "q_chunk_share")
+    "q_content_chunks", "q_chunk_share",
+    // r16 fourth wave: the digest-bucket containment pairing (the
+    // quadratic-risk candidate of the CDC family) and the capped-prefix
+    // char-entropy scan
+    "q_chunk_containment", "q_char_entropy")
 
   /** Scale-bench-local variants, NOT part of the driver correctness
     * contract. r15 FLIPPED the cluster-split default (VERDICT r14 #1)
