@@ -92,6 +92,61 @@ object Robots {
     chosen.toSeq.flatMap(_.rules)
   }
 
+  /** `Crawl-delay` for `userAgent` (seconds — the de-facto extension
+    * every major crawler honors even though RFC 9309 omits it): the
+    * delay from the agent's own groups, falling back to the `*`
+    * groups' (same shadowing rule as [[parseRules]]); None when no
+    * matching group declares one or the value isn't a number. Feed it
+    * to [[politenessWaves]] as "one wave per delay tick". */
+  def parseCrawlDelay(text: String, userAgent: String): Option[Double] = {
+    if (text == null) return None
+    val ua = userAgent.toLowerCase
+    var agents = Vector.empty[String]
+    var inRules = false
+    var specific: Option[Double] = None
+    var star: Option[Double] = None
+    text.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val k = line.substring(0, ci).trim.toLowerCase
+        val v = line.substring(ci + 1).trim
+        k match {
+          case "user-agent" =>
+            if (inRules) { agents = Vector.empty; inRules = false }
+            agents = agents :+ v.toLowerCase
+          case "crawl-delay" if agents.nonEmpty =>
+            inRules = true
+            val d = try Some(v.toDouble).filter(_ >= 0) catch {
+              case _: NumberFormatException => None
+            }
+            if (d.isDefined) {
+              if (agents.contains(ua) && specific.isEmpty) specific = d
+              if (agents.contains("*") && star.isEmpty) star = d
+            }
+          case "allow" | "disallow" if agents.nonEmpty => inRules = true
+          case _ => if (agents.nonEmpty && inRules) ()
+        }
+      }
+    }
+    specific.orElse(star)
+  }
+
+  /** Every `Sitemap:` reference in a robots.txt — cross-group per the
+    * protocol (sitemap lines are host-scoped, not agent-scoped), in
+    * file order, duplicates kept (the caller's frontier dedups). */
+  def sitemapRefs(text: String): Seq[String] = {
+    if (text == null) return Seq.empty
+    text.linesIterator.flatMap { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val ci = line.indexOf(':')
+      if (ci > 0 && line.substring(0, ci).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(ci + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }.toSeq
+  }
+
   /** One sitemap entry: `kind` is `url` (a fetchable page from a
     * `<urlset>`) or `sitemap` (a child index from a `<sitemapindex>`);
     * the optional fields are kept as the raw strings the file carries

@@ -45,6 +45,31 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.patternRegex("/p(1)+x") == "^/p\\(1\\)\\+x")
   }
 
+  test("parseCrawlDelay and sitemapRefs: agent shadowing, host-scoped sitemap lines") {
+    val txt =
+      """User-agent: *
+        |Crawl-delay: 10
+        |Disallow: /tmp/
+        |Sitemap: https://x/a.xml
+        |
+        |User-agent: graftbot
+        |Crawl-delay: 2.5
+        |Disallow: /private/
+        |Sitemap: https://x/b.xml
+        |""".stripMargin
+    // the specific group's delay shadows *; an unknown agent gets *'s
+    assert(Robots.parseCrawlDelay(txt, "graftbot").contains(2.5))
+    assert(Robots.parseCrawlDelay(txt, "nobody").contains(10.0))
+    // no delay anywhere / malformed value / null text -> None
+    assert(Robots.parseCrawlDelay("User-agent: *\nDisallow: /x\n", "a").isEmpty)
+    assert(Robots.parseCrawlDelay("User-agent: *\nCrawl-delay: soon\n", "a").isEmpty)
+    assert(Robots.parseCrawlDelay(null, "a").isEmpty)
+    // sitemap lines are host-scoped: every reference surfaces in order
+    assert(Robots.sitemapRefs(txt) == Seq("https://x/a.xml", "https://x/b.xml"))
+    assert(Robots.sitemapRefs(null).isEmpty)
+    assert(Robots.sitemapRefs("nothing here").isEmpty)
+  }
+
   test("parseSitemap: urlset pages, sitemapindex children, dirty input total") {
     val urlset =
       """<?xml version="1.0"?>
