@@ -194,6 +194,26 @@ class WarcSpec extends SparkSpec {
       "http://x/b" -> ("http://x/c", 1L, true, true)), out.toString)
   }
 
+  test("readWarcTextsDir streams response texts from files with charset and stable ids") {
+    val dir = tmpDir("graft_warc_texts_")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.warc"),
+      Warc.warcBytes(1L, 2, latin1 = true))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.warc.gz"),
+      Warc.warcBytes(2L, 1, gzipMembers = true))
+    val out = Warc.readWarcTextsDir(spark, dir).collect()
+    assert(out.length == 4, out.mkString(";")) // 2 + latin from a, 1 from b
+    val byUri = out.map(r => r.getString(2) -> r).toMap
+    val latin = byUri("http://example.com/1/latin1")
+    assert(latin.getString(3) == "ISO-8859-1" &&
+      latin.getString(4).startsWith("<html>café doc 1"), latin.toString)
+    assert(byUri("http://example.com/2/0").getString(3) == "UTF-8")
+    // ids are path hashes: both of a.warc's texts share one media_id,
+    // b's differs, and a re-read reproduces them
+    assert(out.map(_.getLong(0)).distinct.length == 2)
+    assert(Warc.readWarcTextsDir(spark, dir).collect().map(_.getLong(0)).sorted
+      .sameElements(out.map(_.getLong(0)).sorted))
+  }
+
   test("crawlDiff classifies added/gone/changed/unchanged per URI from CDX rows") {
     val docSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
