@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   * entirely), rules merged across same-agent groups, longest-match
   * precedence with Allow winning length ties, `*` wildcards and the
   * `$` end anchor, empty `Disallow:` ignored (allow-all), unknown
-  * directives (Crawl-delay, Sitemap, comments) skipped.
+  * directives (Crawl-delay, Sitemap, comments) contributing no rule but
+  * — like Google's reference parser — ENDING a start-of-group, so a
+  * directive between two `User-agent` lines never merges their groups.
   *
   * Scale shape: rules per host are tiny and bounded (the RFC caps
   * parseable size at 500 KiB; real files are a few rules), so
@@ -82,7 +84,12 @@ object Robots {
             inRules = true
             if (v.nonEmpty) // empty Disallow: = allow all (no rule)
               rules = rules :+ RobotsRule(k == "allow", v, patternRegex(v))
-          case _ => if (agents.nonEmpty && rules.nonEmpty) inRules = true
+          // ANY other directive (Crawl-delay, Sitemap, unknown) ends the
+          // start-of-group (ADVICE r16 — Google's reference parser):
+          // "User-agent: a / Crawl-delay: 10 / User-agent: *" must give
+          // agent a its own (empty, allow-all) group, NOT merge a into
+          // the * group that follows
+          case _ => if (agents.nonEmpty) inRules = true
         }
       }
     }
@@ -125,7 +132,9 @@ object Robots {
               if (agents.contains("*") && star.isEmpty) star = d
             }
           case "allow" | "disallow" if agents.nonEmpty => inRules = true
-          case _ => if (agents.nonEmpty && inRules) ()
+          // same seen-separator rule as [[parseRules]] (ADVICE r16):
+          // any other directive closes the user-agent collection phase
+          case _ => if (agents.nonEmpty) inRules = true
         }
       }
     }

@@ -73,7 +73,12 @@ object Warc {
         b(bodyStart + 2) == 'T' && b(bodyStart + 3) == 'P') {
       val head = new String(b, bodyStart, math.min(len, 64L).toInt, Ascii)
       val parts = head.split(" ")
-      if (parts.length >= 2 && parts(1).nonEmpty &&
+      // range-guarded parse (ADVICE r16): an all-digit token longer than
+      // 3 chars ("HTTP/1.1 99999999999") is malformed, and unguarded
+      // toInt would throw NumberFormatException out of the STREAMING
+      // walk paths (streamWarcFile.next, parseWarcCdx) — one poisoned
+      // record must degrade to status=None, never kill the task
+      if (parts.length >= 2 && parts(1).nonEmpty && parts(1).length <= 3 &&
           parts(1).forall(_.isDigit)) Some(parts(1).toInt)
       else None
     } else None
@@ -105,6 +110,10 @@ object Warc {
 
   private val CharsetRe =
     java.util.regex.Pattern.compile("(?i)charset\\s*=\\s*\"?([A-Za-z0-9_.:\\-]+)")
+  // the meta prescan looks for charset= only INSIDE <meta ...> tags
+  // (ADVICE r16): a stray "charset=" in body text, a comment, or a
+  // non-meta attribute in the first 1 KiB must not pick the charset
+  private val MetaTagRe = java.util.regex.Pattern.compile("(?i)<meta[^>]*>")
 
   /** Decode body bytes by the fallback chain; returns (charsetName,
     * text). `declared` is tried strictly first (unknown/alias-broken
@@ -153,10 +162,13 @@ object Warc {
       if (split > 0) findCharset(new String(b, bodyStart, split - bodyStart, Ascii))
       else None
     val declared = headerCharset.orElse {
+      // HTML5-style meta prescan of the first 1 KiB, restricted to the
+      // contents of <meta ...> tags (any letter case — "<Meta" too)
       val probe = new String(b, from, math.min(1024, end - from), Ascii)
-      if (probe.contains("<meta") || probe.contains("<META"))
-        findCharset(probe)
-      else None
+      val tags = MetaTagRe.matcher(probe)
+      var found: Option[String] = None
+      while (found.isEmpty && tags.find()) found = findCharset(tags.group())
+      found
     }
     decodeBody(b, from, end - from, declared)
   }
@@ -343,16 +355,29 @@ object Warc {
     }
   }
 
+  /** Close `stream` unconditionally at task end (ADVICE r16): a
+    * partially consumed iterator (`limit(n)`, `take`, a downstream task
+    * failure) never reaches the on-exhaustion close, which alone would
+    * leak the Hadoop file handle for the rest of the executor's life.
+    * No-op outside a task (direct spec calls own their stream). */
+  private def closeOnTaskEnd(stream: java.io.Closeable): Unit =
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit] { _ =>
+        try stream.close() catch { case scala.util.control.NonFatal(_) => () }
+      })
+
   /** Stream one WARC file's records straight off its Hadoop input
     * stream — never the whole file into memory (the [[warcIterator]]
     * contract: O(record) peak buffer, gzip inflated incrementally).
-    * The stream closes when the iterator exhausts or errors; a file
-    * that can't open yields zero rows (poison-file contract). */
+    * The stream closes when the iterator exhausts or errors, and
+    * unconditionally at task end ([[closeOnTaskEnd]]); a file that
+    * can't open yields zero rows (poison-file contract). */
   private[graft] def streamWarcFile(conf: org.apache.hadoop.conf.Configuration,
                                     pathStr: String): Iterator[(String, Int, String, String, Long, Option[Int])] =
     try {
       val p = new org.apache.hadoop.fs.Path(pathStr)
       val stream = p.getFileSystem(conf).open(p)
+      closeOnTaskEnd(stream)
       var idx = -1
       val inner = warcIterator(stream)
       new scala.collection.AbstractIterator[(String, Int, String, String, Long, Option[Int])] {
@@ -410,6 +435,7 @@ object Warc {
     try {
       val p = new org.apache.hadoop.fs.Path(pathStr)
       val stream = p.getFileSystem(conf).open(p)
+      closeOnTaskEnd(stream)
       var idx = -1
       val inner = warcIterator(stream)
       new scala.collection.AbstractIterator[(String, Int, String, String, String)] {

@@ -70,6 +70,24 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.sitemapRefs("nothing here").isEmpty)
   }
 
+  test("a directive between groups ends the start-of-group (reference-parser separator rule)") {
+    // ADVICE r16: Google's reference parser treats ANY non-user-agent
+    // line as ending the start-of-group, so agent a must get its own
+    // EMPTY (allow-all) group here — never merge into the * group below
+    val txt = "User-agent: a\nCrawl-delay: 10\nUser-agent: *\nDisallow: /x\n"
+    assert(Robots.parseRules(txt, "a").isEmpty,
+      "agent a must not inherit the * group's rules")
+    assert(Robots.parseRules(txt, "b").map(_.path) == Seq("/x"))
+    // the delay parser follows the same separator rule: the delay binds
+    // to agent a's group, and * never absorbs agent a
+    assert(Robots.parseCrawlDelay(txt, "a").contains(10.0))
+    assert(Robots.parseCrawlDelay(txt, "b").isEmpty)
+    // a Sitemap line separates just the same
+    val sm = "User-agent: a\nSitemap: http://x/s.xml\nUser-agent: *\nDisallow: /y\n"
+    assert(Robots.parseRules(sm, "a").isEmpty)
+    assert(Robots.parseRules(sm, "c").map(_.path) == Seq("/y"))
+  }
+
   test("parseSitemap: urlset pages, sitemapindex children, dirty input total") {
     val urlset =
       """<?xml version="1.0"?>

@@ -143,6 +143,44 @@ class WarcSpec extends SparkSpec {
       .last.content_length == 111L)
   }
 
+  test("an over-long all-digit status token parses as no status, never a NumberFormatException") {
+    // ADVICE r16: 'HTTP/1.1 99999999999' (11 digits) used to throw out
+    // of the streaming walk paths and kill the whole task
+    val payload = "HTTP/1.1 99999999999 OK\r\n\r\nbody".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII)
+    val rec = (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://x/\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ payload ++
+      "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = Warc.parseWarc(1L, rec)
+    assert(out == Seq(Warc.WarcRecord(1L, 0, "response", "http://x/",
+      payload.length.toLong, None)), out.toString)
+    // and the CDX walk survives it too (it calls httpStatus unguarded)
+    assert(Warc.parseWarcCdx(1L, rec).head.http_status.isEmpty)
+  }
+
+  test("meta charset prescan only honors charset= inside <meta> tags, any letter case") {
+    def respond(body: Array[Byte]): Array[Byte] = {
+      val payload = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: ${payload.length}\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ payload ++
+        "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    // ADVICE r16: a stray "charset=" in BODY TEXT near a meta tag must
+    // not pick the charset — these valid-UTF-8 bytes decode as UTF-8
+    val stray = Warc.parseWarcTexts(1L, respond(
+      ("<meta name=\"x\" content=\"y\"><p>use charset=KOI8-R for legacy pages</p>"
+        ).getBytes(java.nio.charset.StandardCharsets.UTF_8))).head
+    assert(stray.charset == "UTF-8", stray)
+    // mixed-case <Meta ...> is still a meta tag (the old prescan only
+    // triggered on '<meta'/'<META')
+    val mixed = Warc.parseWarcTexts(2L, respond(
+      "<Meta Charset=\"ISO-8859-1\">café".getBytes(
+        java.nio.charset.StandardCharsets.ISO_8859_1))).head
+    assert(mixed.charset == "ISO-8859-1" && mixed.html.endsWith("café"), mixed)
+  }
+
   test("parseWarcCdx indexes records by decompressed-stream offset with decoded-text digests") {
     val plain = Warc.parseWarcCdx(7L, Warc.warcBytes(7L, 3, latin1 = true))
     assert(plain.length == 5, plain.toString)
