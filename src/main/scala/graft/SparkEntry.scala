@@ -2838,8 +2838,9 @@ object SparkEntry {
 
     "q_char_entropy" -> ((s, dir) =>
       // character-distribution entropy quality signal over the corpus:
-      // per-char ⌊(c/n)·ln(n/c)·10¹²⌋ terms from exact counts on the
-      // 512-char prefix, order-free integer total
+      // per-char (c·(LN(n)−LN(c))) DIV n terms — pure integer
+      // arithmetic over the driver-literal ⌊ln(k)·10¹²⌋ table, exact
+      // counts on the 512-char prefix, order-free integer total
       operators.Profile.charEntropy(T(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("doc_id"))),
 
@@ -6881,11 +6882,15 @@ object SparkEntry {
         |               shared_words * 1000000 // tb.words) >= 300000
         |ORDER BY id_a, id_b""".stripMargin,
 
-    // Char-entropy replay: same char split, same exact counts, same
-    // pinned divisions and engine ln, same 1e12 floor — order-free
-    // integer total.
-    "q_char_entropy" ->
-      """WITH ch AS MATERIALIZED (
+    // Char-entropy replay: same char split, same exact counts, and the
+    // IDENTICAL driver-literal ⌊ln(k)·10¹²⌋ table the operator plans —
+    // the per-term arithmetic is pure integer on both sides (no libm in
+    // either engine), so entropy_fp matches bit-for-bit by construction.
+    "q_char_entropy" -> {
+      val lnTab = (1 to 512).map(k =>
+        s"($k, ${math.floor(math.log(k.toDouble) * 1e12).toLong})").mkString(", ")
+      s"""WITH lntab(k, lf) AS (VALUES $lnTab),
+        |ch AS MATERIALIZED (
         |  SELECT doc_id,
         |         unnest(list_filter(string_split(substring(text, 1, 512), ''),
         |                            x -> len(x) > 0)) AS c
@@ -6895,11 +6900,12 @@ object SparkEntry {
         |tot AS (SELECT doc_id, SUM(cc) AS n, COUNT(1) AS dc FROM cnt GROUP BY 1)
         |SELECT doc_id, CAST(n AS BIGINT) AS n_chars_used,
         |       CAST(dc AS BIGINT) AS distinct_chars,
-        |       CAST(SUM(CAST(FLOOR(CAST(cc AS DOUBLE) / n *
-        |            ln(CAST(n AS DOUBLE) / cc) * 1e12) AS BIGINT)) AS BIGINT)
-        |         AS entropy_fp
+        |       CAST(SUM((cc * (lfn.lf - lfc.lf)) // n) AS BIGINT) AS entropy_fp
         |FROM cnt JOIN tot USING (doc_id)
-        |GROUP BY doc_id, n, dc ORDER BY doc_id""".stripMargin,
+        |         JOIN lntab lfc ON lfc.k = cnt.cc
+        |         JOIN lntab lfn ON lfn.k = tot.n
+        |GROUP BY doc_id, n, dc ORDER BY doc_id""".stripMargin
+    },
 
     // Politeness replay: per-host 0-based rank in id order, then
     // truncating DIV/mod into waves of 4.

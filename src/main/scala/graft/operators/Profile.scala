@@ -652,18 +652,28 @@ object Profile {
     * hundred chars; an uncapped pass would explode 100 TB docs into
     * corpus×length char rows for no extra signal).
     *
-    * Exactness: per-character terms are `⌊(c/n)·ln(n/c)·10¹²⌋` from
-    * exact integer counts — single pinned double divisions, engine
-    * `ln`, floored to fixed point, then an ORDER-FREE integer sum (the
-    * psiDrift convention), so any engine replays `entropy_fp`
-    * bit-for-bit. Empty/whitespace-free-empty docs yield no row (no
-    * distribution to measure — the [[graft.operators.Dedup.contentDefinedChunks]]
-    * convention).
+    * Exactness (VERDICT r16 #5): per-character terms are
+    * `(c · (LN(n) − LN(c))) DIV n` over a DRIVER-LITERAL
+    * `LN(k) = ⌊ln(k)·10¹²⌋` table for k ≤ cap — the whole executor-side
+    * expression is PURE INTEGER arithmetic (no libm call anywhere in
+    * the plan, so no JVM/libm half-way case can ever flip a hash), then
+    * an ORDER-FREE integer sum (the psiDrift convention). The replaying
+    * engine carries the identical literal table, so `entropy_fp`
+    * matches bit-for-bit by construction. Counts are exact and ≤ cap,
+    * so the table is cap-bounded and broadcasts. Overflow-safe:
+    * `c·(LN(n)−LN(c))` maximizes at c = n/e ⇒ ≤ (cap/e)·10¹² ≤ 3.9·10¹⁷
+    * even at the 2²⁰ cap ceiling. Empty/whitespace-free-empty docs
+    * yield no row (no distribution to measure — the
+    * [[graft.operators.Dedup.contentDefinedChunks]] convention).
     *
     * Output: (idCol, n_chars_used, distinct_chars, entropy_fp). */
   def charEntropy(df: DataFrame, textCol: String, idCol: String,
                   cap: Int = 512): DataFrame = {
     require(cap >= 1 && cap <= (1 << 20), s"cap must be in [1, 2^20], got $cap")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lnTab = (1 to cap).map(k =>
+      (k.toLong, math.floor(math.log(k.toDouble) * 1e12).toLong)).toDF("_k", "_lf")
     val chars = df.select(col(idCol),
         explode(split(substring(col(textCol), 1, cap), "")).as("_ch"))
       .filter(length(col("_ch")) > 0)
@@ -672,9 +682,11 @@ object Profile {
     val tot = counts.groupBy(col(idCol))
       .agg(sum(col("_c")).as("_n"), count(lit(1)).as("_dc"))
     counts.join(tot, Seq(idCol))
-      .withColumn("_t",
-        floor((col("_c").cast("double") / col("_n")) *
-          log(col("_n").cast("double") / col("_c")) * lit(1e12)).cast("long"))
+      .join(broadcast(lnTab.select(col("_k").as("_c"), col("_lf").as("_lfc"))),
+        Seq("_c"))
+      .join(broadcast(lnTab.select(col("_k").as("_n"), col("_lf").as("_lfn"))),
+        Seq("_n"))
+      .withColumn("_t", expr("(_c * (_lfn - _lfc)) DIV _n"))
       .groupBy(col(idCol))
       .agg(max(col("_n")).as("n_chars_used"),
         max(col("_dc")).as("distinct_chars"),
