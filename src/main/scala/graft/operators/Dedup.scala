@@ -1176,11 +1176,24 @@ object Dedup {
     * bound the partition) + one groupBy; the chunk table shuffles
     * chunk-sized strings once.
     *
+    * The per-doc window means ONE document's words land in one task, so
+    * a pathological giant document (a 500 MB blob in a dirty crawl)
+    * would serialize that task and blow its heap: `maxDocChars` is the
+    * LOUD in-plan guard (VERDICT r16 #6) — a document over the cap
+    * fails the job naming the doc, instead of silently funneling.
+    * Pre-chunk oversized docs upstream
+    * ([[graft.operators.Curation.chunkDocuments]] is row-local) or
+    * raise the cap deliberately. A char bound covers both the exploded
+    * row count and the chunk string a single unbroken token would
+    * build, at O(1) cost per row (length, never a second split).
+    *
     * Output: (idCol, chunk_idx, chunk_text, n_words, chunk_md5). */
   def contentDefinedChunks(df: DataFrame, textCol: String, idCol: String,
-                           boundaryHex: Int = 2): DataFrame = {
+                           boundaryHex: Int = 2,
+                           maxDocChars: Int = 16 << 20): DataFrame = {
     require(boundaryHex >= 1 && boundaryHex <= 15,
       s"boundaryHex must be in [1, 15], got $boundaryHex")
+    require(maxDocChars >= 1, s"maxDocChars must be >= 1, got $maxDocChars")
     val boundaryCut = java.lang.Integer.toHexString(boundaryHex)
     // row-level empty filter, not an array HOF: split(trim, \s+) only
     // yields an empty token for the all-whitespace doc (one token at
@@ -1188,6 +1201,15 @@ object Dedup {
     // lambda here would knock the whole projection out of
     // whole-stage codegen (CodegenFallback)
     val words = ensureParallel(df)
+      // null text coalesces to 0 (the no-row doc, same as before);
+      // assert_true returns NULL on pass, so the filter keeps every
+      // compliant row while pinning the guard into the plan
+      .filter(assert_true(
+        coalesce(length(col(textCol)), lit(0)) <= maxDocChars,
+        concat(lit(s"contentDefinedChunks: document over maxDocChars=$maxDocChars: "),
+          col(idCol).cast("string"),
+          lit(" ("), length(col(textCol)).cast("string"),
+          lit(" chars) — pre-chunk upstream or raise the cap"))).isNull)
       .select(col(idCol),
         posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("_pos", "_w")))
       .filter(length(col("_w")) > 0)

@@ -827,6 +827,26 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.contentDefinedChunks(dirty, "text", "doc_id").count() == 0L)
   }
 
+  test("contentDefinedChunks: the giant-document guard fails loud, naming the doc") {
+    // VERDICT r16 #6: one pathological blob must not silently serialize
+    // a per-doc window task — the in-plan assert kills the job with the
+    // doc id in the message instead
+    val blob = "word " * 40
+    val d = df(docSchema, Seq(Row(1L, "a small compliant document"), Row(2L, blob)))
+    val e = intercept[Exception] {
+      Dedup.contentDefinedChunks(d, "text", "doc_id", maxDocChars = 64).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("maxDocChars") && m.contains("2")),
+      messages(e).mkString(" | "))
+    // compliant corpora chunk identically under the guard (null text
+    // still yields no row, never a guard failure)
+    val ok = df(docSchema, Seq(Row(1L, "a small compliant document"), Row(3L, null)))
+    assert(Dedup.contentDefinedChunks(ok, "text", "doc_id", maxDocChars = 64)
+      .count() > 0L)
+  }
+
   test("chunkContainmentPairs: a partial copy scores high containment toward its source") {
     val long = corpus(1).head._2 + " " + corpus(2)(1)._2 + " " + corpus(3)(2)._2
     val embedded = corpus(1).head._2 // doc 2 IS a slice of doc 1
