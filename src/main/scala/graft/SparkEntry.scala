@@ -2855,6 +2855,43 @@ object SparkEntry {
         .orderBy(col("host_id"), col("doc_id"))
     }),
 
+    "q_fetch_plan" -> ((s, dir) => {
+      // the TIMED fetch plan (VERDICT r16 #3): the q_politeness layout
+      // composed with per-host parsed Crawl-delay — host%3==0 declares
+      // a graftbot delay of 2 s, host%3==1 a * delay of 120 s (capped
+      // at the 60 s max), host%3==2 none (the 1 s floor); not_before_ms
+      // = wave × delay_ms is pure integer arithmetic per row
+      val urls = T(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), (col("doc_id") % 31).as("host_id"))
+      val robots = urls.select(col("host_id")).distinct()
+        .withColumn("txt",
+          when(col("host_id") % 3 === 0,
+            lit("User-agent: graftbot\nCrawl-delay: 2\nDisallow: /tmp/\n"))
+          .when(col("host_id") % 3 === 1,
+            lit("User-agent: *\nCrawl-delay: 120\nDisallow: /tmp/\n"))
+          .otherwise(lit("User-agent: *\nDisallow: /tmp/\n")))
+      operators.Robots.fetchPlan(robots, "host_id", "txt", urls, "host_id",
+          "doc_id", "graftbot", perWave = 4)
+        .orderBy(col("host_id"), col("doc_id"))
+    }),
+
+    "q_sitemap_refs" -> ((s, dir) => {
+      // robots-declared sitemap discovery: every 67th doc's robots.txt
+      // names 1 + (id even) sitemap files with closed-form URLs — the
+      // joinable (host, ref_idx, url) table the frontier walks next
+      val docs = T(s, dir, "documents").filter(col("doc_id") % 67 === 0)
+        .select(col("doc_id"))
+      val id = col("doc_id").cast("string")
+      val robots = docs.withColumn("txt", concat(
+        lit("User-agent: *\nDisallow: /tmp/\nSitemap: http://s"), id,
+        lit("/map/0.xml\n"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("Sitemap: http://s"), id, lit("/map/1.xml\n")))
+          .otherwise(lit(""))))
+      operators.Robots.robotsSitemaps(robots, "doc_id", "txt")
+        .orderBy(col("doc_id"), col("ref_idx"))
+    }),
+
     "q_sitemap" -> ((s, dir) => {
       // sitemaps.org discovery walk: every 67th doc plants either a
       // <urlset> (even ids — 1 + id%3 pages with lastmod/changefreq/
@@ -6919,6 +6956,34 @@ object SparkEntry {
         |SELECT doc_id, host_id, CAST(rk // 4 AS BIGINT) AS wave,
         |       CAST(rk % 4 AS BIGINT) AS slot
         |FROM r ORDER BY host_id, doc_id""".stripMargin,
+
+    // Fetch-plan replay: the politeness rank layout plus the planted
+    // per-host delay CASE — graftbot 2 s, capped * 120 s → 60 s, none →
+    // the 1 s floor; not_before_ms = wave × delay_ms.
+    "q_fetch_plan" ->
+      """WITH u AS (SELECT doc_id, doc_id % 31 AS host_id
+        |           FROM documents WHERE doc_id % 7 = 0),
+        |r AS (SELECT doc_id, host_id,
+        |             ROW_NUMBER() OVER (PARTITION BY host_id ORDER BY doc_id) - 1
+        |               AS rk,
+        |             CASE host_id % 3 WHEN 0 THEN 2000 WHEN 1 THEN 60000
+        |                  ELSE 1000 END AS dms
+        |      FROM u)
+        |SELECT host_id, doc_id, CAST(rk // 4 AS BIGINT) AS wave,
+        |       CAST(rk % 4 AS BIGINT) AS slot,
+        |       CAST(dms AS BIGINT) AS delay_ms,
+        |       CAST((rk // 4) * dms AS BIGINT) AS not_before_ms
+        |FROM r ORDER BY host_id, doc_id""".stripMargin,
+
+    // Sitemap-refs replay: each planted robots.txt names its 1 + (id
+    // even) closed-form sitemap URLs in file order.
+    "q_sitemap_refs" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 67 = 0)
+        |SELECT doc_id, CAST(j AS INTEGER) AS ref_idx,
+        |       'http://s' || doc_id || '/map/' || j || '.xml' AS sitemap_url
+        |FROM d, unnest(range(0, CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END, 1))
+        |       AS t(j)
+        |ORDER BY doc_id, ref_idx""".stripMargin,
 
     // Sitemap replay: even ids explode to their 1 + id%3 urlset pages
     // with the planted lastmod/changefreq/priority formulas; odd ids to

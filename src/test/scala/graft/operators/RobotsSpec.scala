@@ -131,6 +131,53 @@ class RobotsSpec extends SparkSpec {
     assert(perHostWave.values.forall(_.size <= 2))
   }
 
+  test("fetchPlan: per-host delays clamp to [floor, cap], missing hosts floor, " +
+    "not_before = wave × delay") {
+    val robotsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("host", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("txt", org.apache.spark.sql.types.StringType)))
+    val urlSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("host", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pri", org.apache.spark.sql.types.LongType)))
+    val robots = df(robotsSchema, Seq(
+      Row(1L, "User-agent: graftbot\nCrawl-delay: 2.5\nDisallow: /p/\n"),
+      Row(2L, "User-agent: *\nCrawl-delay: 120\nDisallow: /p/\n"),   // capped
+      Row(3L, "User-agent: *\nCrawl-delay: 0.2\nDisallow: /p/\n"),   // sub-floor
+      Row(4L, "User-agent: *\nDisallow: /p/\n")))                    // no delay
+    // host 5 has no robots row at all -> floor
+    val urls = df(urlSchema,
+      for (h <- 1L to 5L; p <- 1L to 3L) yield Row(h, p * 10 + h))
+    val out = Robots.fetchPlan(robots, "host", "txt", urls, "host", "pri",
+        "graftbot", perWave = 2, floorDelayMs = 1000L, maxDelayMs = 60000L)
+      .collect()
+      .map(r => (r.getAs[Long]("host"), r.getAs[Long]("pri")) ->
+        (r.getAs[Long]("wave"), r.getAs[Long]("delay_ms"),
+          r.getAs[Long]("not_before_ms"))).toMap
+    // specific-group fractional delay rounds to ms
+    assert(out((1L, 11L)) == (0L, 2500L, 0L))
+    assert(out((1L, 31L)) == (1L, 2500L, 2500L)) // wave 1 waits one delay
+    // a day-long delay clamps to the cap; sub-floor clamps up; absent
+    // delays and absent robots rows both land on the floor
+    assert(out((2L, 32L))._2 == 60000L && out((2L, 32L))._3 == 60000L)
+    assert(out((3L, 13L))._2 == 1000L)
+    assert(out((4L, 14L))._2 == 1000L)
+    assert(out((5L, 35L)) == (1L, 1000L, 1000L))
+  }
+
+  test("robotsSitemaps explodes Sitemap references per host in file order") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("host", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("txt", org.apache.spark.sql.types.StringType)))
+    val robots = df(schema, Seq(
+      Row(1L, "User-agent: *\nDisallow: /x\nSitemap: http://a/1.xml\nSitemap: http://a/2.xml\n"),
+      Row(2L, "User-agent: *\nDisallow: /y\n"), // none -> zero rows
+      Row(3L, null)))                           // dirty input total
+    val out = Robots.robotsSitemaps(robots, "host", "txt").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out.toSet == Set((1L, 0, "http://a/1.xml"), (1L, 1, "http://a/2.xml")),
+      out.mkString(";"))
+  }
+
   test("urlGate: longest-match precedence, Allow tie-break, default allow, group shadowing") {
     val robotsSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("host_id", org.apache.spark.sql.types.LongType),
