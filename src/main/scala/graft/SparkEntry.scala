@@ -3034,6 +3034,39 @@ object SparkEntry {
       operators.Dedup.chunkSharing(T(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("doc_id"))),
 
+    "q_chunk_incr" -> ((s, dir) => {
+      // incremental CDC-containment probe (VERDICT r16 #2): the corpus
+      // (doc_id % 3 != 0) is touched only through its persisted chunk
+      // index; the delta (doc_id % 3 == 0) probes it. The oracle
+      // replays the BATCH pairing over the union corpus restricted to
+      // delta-involving pairs — which the probe equals by construction
+      // (same buckets, same cap, same masses, same fixed-point scores)
+      val docs = T(s, dir, "documents")
+      val index = operators.Dedup.chunkIndex(
+        docs.filter(col("doc_id") % 3 =!= 0), "text", "doc_id")
+      operators.Dedup.containmentAgainstIndex(
+          docs.filter(col("doc_id") % 3 === 0), "text", "doc_id", index,
+          thresholdFp = 300000L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_containment_dedup" -> ((s, dir) => {
+      // containment RESOLUTION (VERDICT r16 #4): every 31st doc gets a
+      // planted "quoting" twin — preface + the full article + closing —
+      // so the original is near-fully contained in its twin; the policy
+      // keeps the superset and drops the contained side. Output = the
+      // surviving doc ids, md5-replayable end to end.
+      val base = T(s, dir, "documents").filter(col("doc_id") % 31 === 0)
+        .select(col("doc_id"), col("text"))
+      val quoting = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("Preface remarks before the quoted article begins. "),
+          col("text"),
+          lit(" Closing commentary after the quotation ends.")).as("text"))
+      operators.Dedup.containmentDedup(base.unionByName(quoting),
+          "text", "doc_id", thresholdFp = 700000L)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "q_robots_gate" -> ((s, dir) => {
       // the crawl-policy gate as a corpus query: every 47th doc hosts a
       // planted robots.txt — EVEN ids carry a graftbot group that
@@ -7153,6 +7186,116 @@ object SparkEntry {
         |            ELSE 0 END AS BIGINT) AS shared_words_fp
         |FROM chunks JOIN owners USING (chunk_md5)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Incremental-probe replay: the probe must equal the BATCH
+    // containment pairing over the union corpus restricted to pairs
+    // involving a delta (doc_id % 3 = 0) doc — same chunk chain as
+    // q_chunk_containment, one extra predicate.
+    "q_chunk_incr" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT doc_id, unnest(ws) AS w, unnest(range(0, len(ws), 1)) AS pos
+        |  FROM (SELECT doc_id,
+        |               list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                           x -> len(x) > 0) AS ws
+        |        FROM documents)),
+        |c AS (
+        |  SELECT doc_id, w, pos,
+        |         COALESCE(SUM(CASE WHEN substring(md5(w), 1, 1) < '2'
+        |                           THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS chunk_idx
+        |  FROM w),
+        |chunks AS MATERIALIZED (
+        |  SELECT doc_id, md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5,
+        |         COUNT(1) AS n_words
+        |  FROM c GROUP BY doc_id, chunk_idx),
+        |mass AS MATERIALIZED (
+        |  SELECT doc_id, chunk_md5, SUM(n_words) AS mass
+        |  FROM chunks GROUP BY 1, 2),
+        |own AS (SELECT chunk_md5, COUNT(1) AS nd FROM mass GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(SUM(LEAST(a.mass, b.mass)) AS BIGINT) AS shared_words
+        |  FROM mass a JOIN mass b USING (chunk_md5) JOIN own USING (chunk_md5)
+        |  WHERE a.doc_id < b.doc_id AND nd BETWEEN 2 AND 2000
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(SUM(mass) AS BIGINT) AS words
+        |        FROM mass GROUP BY 1)
+        |SELECT id_a, id_b, shared_words, ta.words AS words_a,
+        |       tb.words AS words_b,
+        |       CAST(shared_words * 1000000 // ta.words AS BIGINT)
+        |         AS containment_a_fp,
+        |       CAST(shared_words * 1000000 // tb.words AS BIGINT)
+        |         AS containment_b_fp
+        |FROM pairs JOIN tot ta ON pairs.id_a = ta.doc_id
+        |           JOIN tot tb ON pairs.id_b = tb.doc_id
+        |WHERE GREATEST(shared_words * 1000000 // ta.words,
+        |               shared_words * 1000000 // tb.words) >= 300000
+        |  AND (id_a % 3 = 0 OR id_b % 3 = 0)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Containment-dedup replay: the planted quoting twin contains its
+    // article; the loser CASE keeps the superset side — survivors are
+    // everything minus the distinct losers.
+    "q_containment_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 31 = 0),
+        |corp AS MATERIALIZED (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         'Preface remarks before the quoted article begins. ' || text ||
+        |         ' Closing commentary after the quotation ends.'
+        |  FROM base),
+        |w AS MATERIALIZED (
+        |  SELECT doc_id, unnest(ws) AS w, unnest(range(0, len(ws), 1)) AS pos
+        |  FROM (SELECT doc_id,
+        |               list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                           x -> len(x) > 0) AS ws
+        |        FROM corp)),
+        |c AS (
+        |  SELECT doc_id, w, pos,
+        |         COALESCE(SUM(CASE WHEN substring(md5(w), 1, 1) < '2'
+        |                           THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS chunk_idx
+        |  FROM w),
+        |chunks AS MATERIALIZED (
+        |  SELECT doc_id, md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5,
+        |         COUNT(1) AS n_words
+        |  FROM c GROUP BY doc_id, chunk_idx),
+        |mass AS MATERIALIZED (
+        |  SELECT doc_id, chunk_md5, SUM(n_words) AS mass
+        |  FROM chunks GROUP BY 1, 2),
+        |own AS (SELECT chunk_md5, COUNT(1) AS nd FROM mass GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(SUM(LEAST(a.mass, b.mass)) AS BIGINT) AS shared_words
+        |  FROM mass a JOIN mass b USING (chunk_md5) JOIN own USING (chunk_md5)
+        |  WHERE a.doc_id < b.doc_id AND nd BETWEEN 2 AND 2000
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(SUM(mass) AS BIGINT) AS words
+        |        FROM mass GROUP BY 1),
+        |scored AS (
+        |  SELECT id_a, id_b, ta.words AS words_a, tb.words AS words_b,
+        |         shared_words * 1000000 // ta.words AS ca,
+        |         shared_words * 1000000 // tb.words AS cb
+        |  FROM pairs JOIN tot ta ON pairs.id_a = ta.doc_id
+        |             JOIN tot tb ON pairs.id_b = tb.doc_id
+        |  WHERE GREATEST(shared_words * 1000000 // ta.words,
+        |                 shared_words * 1000000 // tb.words) >= 700000),
+        |losers AS (
+        |  SELECT DISTINCT CASE
+        |    WHEN ca >= 700000 AND cb < 700000 THEN id_a
+        |    WHEN cb >= 700000 AND ca < 700000 THEN id_b
+        |    WHEN words_a < words_b THEN id_a
+        |    WHEN words_b < words_a THEN id_b
+        |    ELSE GREATEST(id_a, id_b) END AS doc_id
+        |  FROM scored)
+        |SELECT doc_id FROM corp
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
 
     // Robots-gate replay: the RFC 9309 verdict for every (parity, path)
     // pair is a closed-form statement — group shadowing, longest-match

@@ -1277,6 +1277,171 @@ object Dedup {
         col("words_b"), col("containment_a_fp"), col("containment_b_fp"))
   }
 
+  /** Per-(doc, digest) chunk mass with the doc's word total riding
+    * along — the unit row of both the batch containment pairing and the
+    * persisted chunk index, so their arithmetic is identical by
+    * construction. Denormalizing `doc_words` into every row costs one
+    * extra long and saves the probe path an O(index) total-recompute
+    * per tick. */
+  private def chunkMass(df: DataFrame, textCol: String, idCol: String,
+                        boundaryHex: Int): DataFrame = {
+    val mass = contentDefinedChunks(df, textCol, idCol, boundaryHex)
+      .groupBy(col(idCol), col("chunk_md5"))
+      .agg(sum(col("n_words")).as("mass"))
+    val totals = mass.groupBy(col(idCol)).agg(sum(col("mass")).as("doc_words"))
+    mass.join(totals, Seq(idCol))
+  }
+
+  /** The persisted CDC chunk index (VERDICT r16 #2 — the chunk family's
+    * [[minhashIndex]] analog): one row per (doc, chunk digest) with the
+    * digest's word mass and the doc's word total —
+    * `(idCol, chunk_md5, mass, doc_words)`. Digests ARE the LSH
+    * buckets, so [[containmentAgainstIndex]] probes it with one
+    * equi-join; at 100 TB the index is chunk-digest rows only (~32
+    * bytes + two longs per ~8-word chunk), the corpus text never
+    * re-read. Persist partitioned/bucketed by `chunk_md5` prefix so a
+    * probe co-locates with its buckets. */
+  def chunkIndex(df: DataFrame, textCol: String, idCol: String,
+                 boundaryHex: Int = 2): DataFrame =
+    chunkMass(df, textCol, idCol, boundaryHex)
+
+  /** Incremental containment probe: DELTA docs vs an already-indexed
+    * corpus ([[chunkIndex]], same `boundaryHex`). Returns exactly the
+    * [[chunkContainmentPairs]] rows of the UNION corpus that involve a
+    * delta doc — same bucket cap (measured on the union's per-digest
+    * doc count), same masses, same fixed-point scores — without ever
+    * chunking the corpus again: only index buckets TOUCHED by a delta
+    * digest participate (a semi-join), so a tick costs
+    * O(delta + touched buckets). Index rows of docs re-appearing in the
+    * delta are set aside first, so replaying a batch reproduces its
+    * within-delta pairs instead of pairing every doc with itself. */
+  def containmentAgainstIndex(delta: DataFrame, textCol: String, idCol: String,
+                              index: DataFrame, thresholdFp: Long = 500000L,
+                              boundaryHex: Int = 2,
+                              maxBucketSize: Int = 2000): DataFrame = {
+    require(thresholdFp >= 0L && thresholdFp <= 1000000L,
+      s"thresholdFp is millionths in [0, 1e6], got $thresholdFp")
+    // multi-read: delta ids, touched digests, the probe side (the
+    // psiFromCounts pattern)
+    val deltaMass = chunkMass(delta, textCol, idCol, boundaryHex).localCheckpoint(true)
+    val deltaIds = deltaMass.select(col(idCol)).distinct()
+    val corpus = index.join(deltaIds, Seq(idCol), "left_anti")
+    val touched = deltaMass.select(col("chunk_md5")).distinct()
+    val candidates = corpus.join(touched, Seq("chunk_md5"), "left_semi")
+      .select(col("chunk_md5"), col(idCol), col("mass"), col("doc_words"))
+      .withColumn("_src", lit(0))
+      .unionByName(deltaMass
+        .select(col("chunk_md5"), col(idCol), col("mass"), col("doc_words"))
+        .withColumn("_src", lit(1)))
+    // batch cap parity: for every touched digest the candidate rows ARE
+    // the union corpus's bucket, so [2, maxBucketSize] here equals the
+    // batch pairing's bucket gate
+    val okSizes = candidates.groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") >= 2 &&
+        (if (maxBucketSize > 0) col("_bc") <= maxBucketSize else lit(true)))
+      .select(col("chunk_md5"))
+    val other = candidates.join(okSizes, Seq("chunk_md5"), "left_semi")
+      .withColumnsRenamed(Map(idCol -> "_oi", "mass" -> "_om", "doc_words" -> "_ow"))
+    val probe = deltaMass
+      .select(col("chunk_md5"), col(idCol).as("_di"), col("mass").as("_dm"),
+        col("doc_words").as("_dw"))
+      .join(okSizes, Seq("chunk_md5"), "left_semi")
+    // each unordered pair once: a corpus partner always pairs from the
+    // delta side; a delta-delta pair only from its smaller-id side
+    probe.join(other, Seq("chunk_md5"))
+      .filter(col("_oi") =!= col("_di") &&
+        (col("_src") === 0 || col("_di") < col("_oi")))
+      .select(least(col("_di"), col("_oi")).as("id_a"),
+        greatest(col("_di"), col("_oi")).as("id_b"),
+        least(col("_dm"), col("_om")).as("_sh"),
+        when(col("_di") < col("_oi"), col("_dw")).otherwise(col("_ow")).as("_wa"),
+        when(col("_di") < col("_oi"), col("_ow")).otherwise(col("_dw")).as("_wb"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("_sh")).as("shared_words"),
+        max(col("_wa")).as("words_a"), max(col("_wb")).as("words_b"))
+      .withColumn("containment_a_fp", expr("shared_words * 1000000L DIV words_a"))
+      .withColumn("containment_b_fp", expr("shared_words * 1000000L DIV words_b"))
+      .filter(greatest(col("containment_a_fp"), col("containment_b_fp")) >= thresholdFp)
+      .select(col("id_a"), col("id_b"), col("shared_words"), col("words_a"),
+        col("words_b"), col("containment_a_fp"), col("containment_b_fp"))
+  }
+
+  /** The containment-pair RESOLUTION rule (VERDICT r16 #4): per pair,
+    * the LOSER is the contained side — the one whose containment clears
+    * `thresholdFp`; when both clear it (mutual near-copies) the
+    * smaller-words side loses, ties to the larger id — so the policy
+    * always keeps the superset, deterministically. One distinct id per
+    * loser; greedy like [[minhashDedup]]'s drop-every-loser. */
+  private def containmentLosers(pairs: DataFrame, thresholdFp: Long): DataFrame =
+    pairs.select(
+      when(col("containment_a_fp") >= thresholdFp &&
+           col("containment_b_fp") < thresholdFp, col("id_a"))
+        .when(col("containment_b_fp") >= thresholdFp &&
+              col("containment_a_fp") < thresholdFp, col("id_b"))
+        .when(col("words_a") < col("words_b"), col("id_a"))
+        .when(col("words_b") < col("words_a"), col("id_b"))
+        .otherwise(greatest(col("id_a"), col("id_b"))).as("_loser"))
+      .distinct()
+
+  /** Containment-based partial-copy DEDUP (VERDICT r16 #4 — the
+    * curation ACTION on [[chunkContainmentPairs]]'s findings): drop
+    * every doc that is mostly contained in another (a quoted article, a
+    * boilerplate-wrapped mirror, a page embedded in a larger page),
+    * keeping the superset side. Returns the surviving rows. Same scale
+    * shape as the pairing (digest buckets + cap); the loser rule is one
+    * row-local CASE per pair. */
+  def containmentDedup(df: DataFrame, textCol: String, idCol: String,
+                       thresholdFp: Long = 700000L, boundaryHex: Int = 2,
+                       maxBucketSize: Int = 2000): DataFrame = {
+    val pairs = chunkContainmentPairs(df, textCol, idCol, thresholdFp,
+      boundaryHex, maxBucketSize)
+    df.join(containmentLosers(pairs, thresholdFp).select(col("_loser").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Index-maintaining incremental CONTAINMENT dedup tick — the chunk
+    * family's [[incrementalMinhash]] analog: probe `delta` against the
+    * [[chunkIndex]] persisted as `indexTable` in `conn` (created on
+    * first tick), drop the delta-side containment losers
+    * ([[containmentLosers]] — corpus docs are already released, a tick
+    * never unpublishes them), then append the SURVIVORS' chunk rows for
+    * docs not yet indexed. Replaying a batch is a no-op on the index
+    * (its doc ids are already there) and returns the same survivors.
+    *
+    * CRASH-ORDERING CONTRACT (the [[incrementalMinhash]] one): `sink`
+    * persists the survivors BEFORE the index learns the batch — a crash
+    * on either side of the append replays safely with an idempotent
+    * sink. */
+  def incrementalChunks(delta: DataFrame, textCol: String, idCol: String,
+                        conn: graft.sources.Connector, indexTable: String,
+                        thresholdFp: Long = 700000L, boundaryHex: Int = 2,
+                        maxBucketSize: Int = 2000,
+                        sink: DataFrame => Unit = _ => ()): DataFrame = {
+    val empty = !conn.tables.contains(indexTable)
+    val pairs =
+      if (empty) chunkContainmentPairs(delta, textCol, idCol, thresholdFp,
+        boundaryHex, maxBucketSize)
+      else containmentAgainstIndex(delta, textCol, idCol, conn.read(indexTable),
+        thresholdFp, boundaryHex, maxBucketSize)
+    val deltaLosers = containmentLosers(pairs, thresholdFp)
+      .select(col("_loser").as(idCol))
+      .join(delta.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+    val kept = delta.join(deltaLosers, Seq(idCol), "left_anti")
+      .localCheckpoint(true) // sever lineage before the index write below
+    sink(kept) // survivors reach durable storage BEFORE the index append
+    val newDocs =
+      if (empty) kept
+      else kept.join(conn.read(indexTable).select(col(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+    // eager: the append below writes the very table this plan reads
+    val newRows = chunkIndex(newDocs, textCol, idCol, boundaryHex)
+      .localCheckpoint(true)
+    if (empty) conn.write(newRows, indexTable)
+    else conn.write(newRows, indexTable, org.apache.spark.sql.SaveMode.Append)
+    kept
+  }
+
   /** Chunk-level duplication profile over [[contentDefinedChunks]]: per
     * document, how much of it is made of chunks that also appear in
     * OTHER documents — the boilerplate/mirror detector exact-dup and

@@ -869,6 +869,72 @@ class DedupSpec extends SparkSpec {
     assert(cb == r.getLong(2) * 1000000L / r.getLong(4))
   }
 
+  test("containmentAgainstIndex equals the batch pairing on the union corpus, " +
+    "delta-involving pairs only") {
+    val base = corpus(8)
+    val corpusRows = base.map { case (i, t) => Row(i, t) }
+    val deltaRows = Seq(
+      Row(100L, base(0)._2),                       // exact copy of corpus 0
+      Row(101L, base(1)._2 + " trailing addition"),// near-copy of corpus 1
+      Row(102L, "wholly unrelated tokens that share nothing with anyone here"),
+      Row(103L, base(0)._2 + " small tail"))       // delta-delta partner of 100
+    val all = df(docSchema, corpusRows ++ deltaRows)
+    val batch = Dedup.chunkContainmentPairs(all, "text", "doc_id",
+        thresholdFp = 300000L)
+      .filter(col("id_a") >= 100L || col("id_b") >= 100L)
+      .collect().map(_.toSeq).toSet
+    val idx = Dedup.chunkIndex(df(docSchema, corpusRows), "text", "doc_id")
+    val probe = Dedup.containmentAgainstIndex(df(docSchema, deltaRows),
+        "text", "doc_id", idx, thresholdFp = 300000L)
+      .collect().map(_.toSeq).toSet
+    assert(probe == batch, s"probe=$probe\nbatch=$batch")
+    assert(probe.nonEmpty, "fixture must actually produce pairs")
+    // both a corpus-delta and a delta-delta pair are exercised
+    assert(probe.exists(r => r.head.asInstanceOf[Long] < 100L))
+    assert(probe.exists(r => r.head.asInstanceOf[Long] >= 100L))
+  }
+
+  test("containmentDedup keeps the superset and drops the quoted/contained side") {
+    val article = corpus(3).map(_._2).mkString(" ")
+    val quoting = "preface words before the quote begins " + article +
+      " closing commentary after the quotation ends"
+    val unrelated = "totally separate content with its own distinct vocabulary entirely"
+    val d = df(docSchema, Seq(Row(1L, article), Row(2L, quoting), Row(3L, unrelated)))
+    val kept = Dedup.containmentDedup(d, "text", "doc_id", thresholdFp = 600000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), kept.toString)
+  }
+
+  test("incrementalChunks: delta-side containment losers drop against the index; " +
+    "replay is a no-op") {
+    val conn = new graft.sources.ParquetConnector(spark, tmpDir("graft_ckidx_"))
+    val base = corpus(6)
+    val t1 = df(docSchema, base.map { case (i, t) => Row(i, t) })
+    assert(Dedup.incrementalChunks(t1, "text", "doc_id", conn, "chunk_index")
+      .count() == 6L)
+    val idxRows1 = conn.read("chunk_index").count()
+    assert(idxRows1 > 0L)
+    // tick 2: an exact re-publication of corpus doc 0 (containment 1.0
+    // both ways, equal words -> the larger id loses) plus a fresh doc;
+    // the sink sees the survivors BEFORE the index append
+    var sunk = -1L
+    val t2 = df(docSchema, Seq(Row(100L, base(0)._2),
+      Row(101L, "fresh unrelated words nobody else has written down anywhere")))
+    val kept2 = Dedup.incrementalChunks(t2, "text", "doc_id", conn, "chunk_index",
+        sink = d => sunk = d.count())
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(101L), kept2.toString)
+    assert(sunk == 1L)
+    val idxRows2 = conn.read("chunk_index").count()
+    assert(idxRows2 > idxRows1)
+    // replay: same survivors, and the index does NOT grow (101's rows
+    // are already there; 100 still loses against the indexed corpus)
+    val kept2b = Dedup.incrementalChunks(t2, "text", "doc_id", conn, "chunk_index")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2b == Set(101L), kept2b.toString)
+    assert(conn.read("chunk_index").count() == idxRows2)
+  }
+
   test("chunkSharing surfaces cross-document boilerplate exact/near-dup miss") {
     val boiler = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 3
     val docs = corpus(6).map { case (i, t) =>
