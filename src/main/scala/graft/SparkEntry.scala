@@ -3002,6 +3002,40 @@ object SparkEntry {
         .orderBy(col("target_uri"))
     }),
 
+    "q_crawl_tick" -> ((s, dir) => {
+      // the incremental crawl tick (VERDICT r16 #1) as a corpus query:
+      // the gen0→gen1 CDX diff selects added/changed captures, ONLY
+      // those texts enter the funnel, and the released corpus
+      // participates through its fingerprint index alone — which plants
+      // the odd-n ADDED page as already-released (ingested earlier from
+      // another source), so the index probe visibly drops it. Kept =
+      // every changed (even) page + the added page when n is even; all
+      // closed-form.
+      val docs = T(s, dir, "documents").filter(col("doc_id") % 61 === 0)
+        .select(col("doc_id"))
+      val oldArch = operators.Warc.syntheticWarcGen(docs, "doc_id", 0)
+      val newArch = operators.Warc.syntheticWarcGen(docs, "doc_id", 1)
+      val oldCdx = operators.Warc.extractWarcCdx(oldArch).toDF()
+      val newCdx = operators.Warc.extractWarcCdx(newArch).toDF()
+      val newDocs = operators.Warc.extractWarcTexts(newArch).toDF()
+        .select(col("target_uri"), TextFunctions.stripHtml(col("html")).as("text"))
+      val gen0Texts = operators.Warc.extractWarcTexts(oldArch).toDF()
+        .select(TextFunctions.stripHtml(col("html")).as("text"))
+      val id = col("doc_id").cast("string")
+      val n = col("doc_id") % 5 + 2
+      val plantedHtml = concat(
+        substring(concat(lit("<html>doc "), id, lit(" "), n.cast("string"),
+          lit("." * 64)), 1, 40), lit("</html>"))
+      val planted = docs.filter(n % 2 === 1)
+        .select(TextFunctions.stripHtml(plantedHtml).as("text"))
+      val index = operators.Dedup.fingerprintIndex(
+        gen0Texts.unionByName(planted), "text")
+      operators.Warc.crawlTickDelta(oldCdx, newCdx, newDocs, index,
+          idCol = "target_uri")
+        .select(col("target_uri"), col("status"))
+        .orderBy(col("target_uri"))
+    }),
+
     "q_crawl_diff" -> ((s, dir) => {
       // recrawl audit between two planted crawl generations: gen 1
       // adds one page per site, mutates even-indexed pages, and drops
@@ -7087,6 +7121,24 @@ object SparkEntry {
         |       'http://site' || doc_id || fin AS final_uri,
         |       CAST(hops AS BIGINT) AS hops, resolved, captured
         |FROM d CROSS JOIN v
+        |ORDER BY target_uri""".stripMargin,
+
+    // Crawl-tick replay: the delta is added ∪ changed; changed (even)
+    // pages carry fresh gen1 text and always survive the index probe;
+    // the added page n survives only when n is even — the odd-n page
+    // was planted in the released corpus's fingerprint index and drops.
+    "q_crawl_tick" ->
+      """WITH d AS (SELECT doc_id AS id, 2 + doc_id % 5 AS n
+        |           FROM documents WHERE doc_id % 61 = 0),
+        |changed AS (
+        |  SELECT 'http://example.com/' || id || '/' || i AS target_uri,
+        |         'changed' AS status
+        |  FROM d, unnest(range(0, n, 1)) AS t(i) WHERE i % 2 = 0),
+        |added AS (
+        |  SELECT 'http://example.com/' || id || '/' || n AS target_uri,
+        |         'added' AS status
+        |  FROM d WHERE n % 2 = 0)
+        |SELECT * FROM (SELECT * FROM changed UNION ALL SELECT * FROM added)
         |ORDER BY target_uri""".stripMargin,
 
     // Crawl-diff replay: both generations' decoded-page digests rebuild

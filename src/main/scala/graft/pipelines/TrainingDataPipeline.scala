@@ -544,6 +544,144 @@ object TrainingDataPipeline {
     plan
   }
 
+  /** The INCREMENTAL crawl-to-release tick (VERDICT r16 #1) — the
+    * composition a weekly 100 TB recrawl actually runs, the reference's
+    * high-watermark incremental pipe (`patterns/mysql_patterns.rb:60-99`)
+    * at crawl scale. One plan instance per tick over the SAME `workDir`:
+    *
+    *   `tick_cdx`       — stream the new crawl's CDX capture index
+    *                      ([[graft.operators.Warc.readWarcCdxDir]]: the
+    *                      cheap pass — offsets, statuses, decoded-text
+    *                      digests; no funnel work yet) →
+    *   `tick_delta`     — [[graft.operators.Warc.crawlDiff]] against the
+    *                      promoted `cdx_current` (first tick: everything
+    *                      `added`) → `crawl_delta` audit table →
+    *   `tick_ingest`    — ONLY added/changed URIs' texts leave the new
+    *                      crawl ([[graft.operators.Warc.readWarcTextsDir]]
+    *                      semi-joined on the delta) → `delta_documents` →
+    *   `tick_filter`    — quality + language gate → `delta_clean` →
+    *   `tick_publish`   — probe the PERSISTED dedup indexes: exact
+    *                      fingerprints ([[graft.operators.Dedup.exactAgainst]]
+    *                      vs `fp_index`) then the banded MinHash sketch
+    *                      ([[graft.operators.Dedup.minhashDedupAgainst]]
+    *                      vs `mh_index`); survivors → `delta_release`,
+    *                      then an IDEMPOTENT append (anti-join on
+    *                      `doc_id`) into `release_current`, and ONLY
+    *                      THEN the index appends →
+    *   `tick_promote`   — rotate `cdx_current` → `cdx_previous`,
+    *                      promote `cdx_candidate`.
+    *
+    * The released corpus is touched only through its CDX rows, its
+    * 8-byte fingerprints, and its sketch bands — its text is never
+    * re-read; tick cost is O(new crawl scan + delta funnel + index
+    * probe), not O(corpus).
+    *
+    * CRASH ORDERING (the [[graft.operators.Dedup.incrementalMinhash]]
+    * contract, stretched across steps): the release append is the
+    * durable sink and runs BEFORE any index learns the batch; the
+    * append itself is idempotent by `doc_id` (the stable (path, record)
+    * hash), so a replay after a crash in ANY window — before the
+    * append, between append and index writes, between indexes and the
+    * CDX rotation — converges to the same release with no lost and no
+    * duplicated rows: un-promoted CDX re-derives the same delta, and
+    * already-indexed docs dedup to nothing. */
+  def crawlTick(plan: Plan, newWarcDir: String, workDir: String,
+                extractor: String = "strip",
+                minQuality: Double = 0.3,
+                langs: Seq[String] = Seq("en", "de", "fr", "es"),
+                minhashThreshold: Double = 0.7,
+                numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 3,
+                maxBucketSize: Int = 2000): Plan = {
+    require(Set("strip", "main").contains(extractor),
+      s"extractor must be 'strip' or 'main', got '$extractor'")
+    val spark = plan.spark
+    val work = new ParquetConnector(spark, workDir)
+    import graft.operators.{Dedup, Warc}
+
+    plan.step("tick_cdx") {
+      work.write(Warc.readWarcCdxDir(spark, newWarcDir), "cdx_candidate")
+    }
+
+    plan.step("tick_delta") {
+      val newCdx = work.read("cdx_candidate")
+      val oldCdx = if (work.tables.contains("cdx_current"))
+        work.read("cdx_current") else newCdx.limit(0)
+      work.write(Warc.crawlDiff(oldCdx, newCdx), "crawl_delta")
+    }
+
+    plan.step("tick_ingest") {
+      val deltaUris = work.read("crawl_delta")
+        .filter(col("status").isin("added", "changed"))
+        .select(col("target_uri"))
+      val texts = Warc.readWarcTextsDir(spark, newWarcDir)
+      val toText: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (extractor == "main") TextFunctions.mainContent(_)
+        else TextFunctions.stripHtml(_)
+      work.write(texts.join(deltaUris, Seq("target_uri"), "left_semi")
+        .select(xxhash64(col("path"), col("rec_idx")).as("doc_id"),
+          toText(col("html")).as("text"),
+          col("target_uri").as("url"), col("charset"),
+          col("path").as("warc_path"), col("rec_idx").as("warc_rec_idx"))
+        .withColumn("n_chars", length(col("text")).cast("long")),
+        "delta_documents")
+    }
+
+    plan.step("tick_filter") {
+      work.write(work.read("delta_documents")
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .withColumn("lang_pred", TextFunctions.langId(col("text")))
+        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+        .filter(col("quality") >= minQuality && col("lang_pred").isin(langs: _*)),
+        "delta_clean")
+    }
+
+    plan.step("tick_publish") {
+      val clean = work.read("delta_clean")
+      val hasFp = work.tables.contains("fp_index")
+      val fpIdx =
+        if (hasFp) work.read("fp_index")
+        else spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("fp",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      val exactKept = Dedup.exactAgainst(clean, "text", "doc_id", fpIdx)
+      val hasMh = work.tables.contains("mh_index")
+      val kept =
+        (if (hasMh) Dedup.minhashDedupAgainst(exactKept, "text", "doc_id",
+          work.read("mh_index"), numHashes, bands, shingleLen, minhashThreshold)
+        else Dedup.minhashDedup(exactKept, "text", "doc_id",
+          numHashes, bands, shingleLen, minhashThreshold))
+          .localCheckpoint(true) // sever lineage before every write below
+      work.write(kept, "delta_release")
+      // the DURABLE sink, idempotent by doc_id, BEFORE any index append:
+      // a crash in any later window replays to zero novel rows, never a
+      // duplicate; a crash before this line replays the identical delta
+      if (work.tables.contains("release_current")) {
+        val novel = kept.join(work.read("release_current").select("doc_id"),
+          Seq("doc_id"), "left_anti").localCheckpoint(true)
+        work.write(novel, "release_current", org.apache.spark.sql.SaveMode.Append)
+      } else work.write(kept, "release_current")
+      // only now may the indexes learn the batch
+      val fpNew = Dedup.fingerprintIndex(kept, "text").union(fpIdx)
+        .distinct().localCheckpoint(true) // reads fp_index, then rewrites it
+      work.write(fpNew, "fp_index")
+      val newBands = Dedup.minhashIndex(kept, "text", "doc_id",
+        numHashes, bands, shingleLen, maxBucketSize)
+      if (hasMh) work.write(newBands, "mh_index", org.apache.spark.sql.SaveMode.Append)
+      else work.write(newBands, "mh_index")
+    }
+
+    plan.step("tick_promote") {
+      if (work.tables.contains("cdx_current")) {
+        if (work.tables.contains("cdx_previous")) work.drop("cdx_previous")
+        work.rename("cdx_current", "cdx_previous")
+      }
+      work.rename("cdx_candidate", "cdx_current")
+    }
+    plan
+  }
+
   /** Stage counts (cheap: parquet count() uses footer row counts).
     * Stages that have not run yet report 0 for their counts. */
   def funnel(plan: Plan, srcDir: String, workDir: String,

@@ -274,6 +274,32 @@ class WarcSpec extends SparkSpec {
     assert(!out.contains(""))
   }
 
+  test("readWarcCdxDir streams the capture index from files, matching the in-memory walk") {
+    val dir = tmpDir("graft_cdxdir_")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.warc"),
+      Warc.warcBytes(3L, 2, latin1 = true))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.warc.gz"),
+      Warc.warcBytes(4L, 3, gzipMembers = true))
+    val out = Warc.readWarcCdxDir(spark, dir).collect()
+    val byFile = out.groupBy(_.getAs[String]("path").split('/').last)
+    // a.warc: warcinfo + 2 responses + latin; b: warcinfo + 3 responses
+    assert(byFile("a.warc").length == 4 && byFile("b.warc.gz").length == 4)
+    // every field matches the in-memory extractor (shared cdxFields):
+    // offsets, lengths, statuses, decoded-text digests
+    val mem = Warc.parseWarcCdx(3L, Warc.warcBytes(3L, 2, latin1 = true))
+    val streamed = byFile("a.warc").sortBy(_.getAs[Int]("rec_idx"))
+    mem.zip(streamed).foreach { case (m, s) =>
+      assert(m.warc_type == s.getAs[String]("warc_type") &&
+        m.target_uri == s.getAs[String]("target_uri") &&
+        m.offset == s.getAs[Long]("offset") &&
+        m.content_length == s.getAs[Long]("content_length") &&
+        m.http_status == Option(s.getAs[Integer]("http_status")).map(_.toInt) &&
+        m.text_md5 == Option(s.getAs[String]("text_md5")), s"$m vs $s")
+    }
+    // gzip form: offsets are decompressed-stream locators either way
+    assert(byFile("b.warc.gz").map(_.getAs[Long]("offset")).min == 0L)
+  }
+
   test("readWarcDir reads .warc/.warc.gz files into the record table with stable ids") {
     val dir = tmpDir("graft_warc_")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.warc"),
