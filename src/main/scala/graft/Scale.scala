@@ -185,7 +185,12 @@ object ScaleBench {
     // r16 fourth wave: the digest-bucket containment pairing (the
     // quadratic-risk candidate of the CDC family) and the capped-prefix
     // char-entropy scan
-    "q_chunk_containment", "q_char_entropy")
+    "q_chunk_containment", "q_char_entropy",
+    // r17 wave: the incremental-probe and resolution legs of the CDC
+    // family (index semi-joins + capped pairing — must scale like the
+    // batch pairing), and the crawl tick's diff→delta→index-probe
+    // composition (CDX reductions + one fingerprint anti-join)
+    "q_chunk_incr", "q_containment_dedup", "q_crawl_tick")
 
   /** Scale-bench-local variants, NOT part of the driver correctness
     * contract. r15 FLIPPED the cluster-split default (VERDICT r14 #1)
