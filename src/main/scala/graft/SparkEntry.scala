@@ -3036,6 +3036,42 @@ object SparkEntry {
         .orderBy(col("target_uri"))
     }),
 
+    "q_recrawl_plan" -> ((s, dir) => {
+      // closes the crawl loop: the generation diff PRIORITIZES the next
+      // fetch (changed pages first — the adaptive-recrawl heuristic:
+      // recently-changed pages change again — then new, then stable;
+      // gone pages leave the frontier), and the priorities feed the
+      // crawl-delay-aware timed plan. fetch_order = priority·2²⁰ + page
+      // index is unique per host and closed-form.
+      val docs = T(s, dir, "documents").filter(col("doc_id") % 61 === 0)
+        .select(col("doc_id"))
+      val oldCdx = operators.Warc.extractWarcCdx(
+        operators.Warc.syntheticWarcGen(docs, "doc_id", 0)).toDF()
+      val newCdx = operators.Warc.extractWarcCdx(
+        operators.Warc.syntheticWarcGen(docs, "doc_id", 1)).toDF()
+      val urls = operators.Warc.crawlDiff(oldCdx, newCdx)
+        .filter(col("status") =!= "gone")
+        .select(
+          regexp_extract(col("target_uri"), "example\\.com/(\\d+)/", 1)
+            .cast("long").as("host_id"),
+          regexp_replace(col("target_uri"), "^http://[^/]+", "").as("path"),
+          col("status"),
+          (when(col("status") === "changed", 0L)
+            .when(col("status") === "added", 1L).otherwise(2L) * 1048576L +
+            regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("long"))
+            .as("fetch_order"))
+      val robots = docs.select(col("doc_id"))
+        .withColumn("txt",
+          when(col("doc_id") % 3 === 0,
+            lit("User-agent: graftbot\nCrawl-delay: 2\nDisallow: /tmp/\n"))
+          .when(col("doc_id") % 3 === 1,
+            lit("User-agent: *\nCrawl-delay: 120\nDisallow: /tmp/\n"))
+          .otherwise(lit("User-agent: *\nDisallow: /tmp/\n")))
+      operators.Robots.fetchPlan(robots, "doc_id", "txt", urls, "host_id",
+          "fetch_order", "graftbot", perWave = 2)
+        .orderBy(col("host_id"), col("fetch_order"))
+    }),
+
     "q_crawl_diff" -> ((s, dir) => {
       // recrawl audit between two planted crawl generations: gen 1
       // adds one page per site, mutates even-indexed pages, and drops
@@ -7122,6 +7158,34 @@ object SparkEntry {
         |       CAST(hops AS BIGINT) AS hops, resolved, captured
         |FROM d CROSS JOIN v
         |ORDER BY target_uri""".stripMargin,
+
+    // Recrawl-plan replay: per site, changed evens (priority 0, by page
+    // index), then the added page n (priority 1), then unchanged odds
+    // (priority 2) rank into waves of 2; the delay CASE is the planted
+    // per-host robots (graftbot 2 s / capped 60 s / 1 s floor).
+    "q_recrawl_plan" ->
+      """WITH d AS (SELECT doc_id AS id, 2 + doc_id % 5 AS n
+        |           FROM documents WHERE doc_id % 61 = 0),
+        |u AS (
+        |  SELECT id, '/' || id || '/' || i AS path,
+        |         CASE WHEN i = n THEN 'added'
+        |              WHEN i % 2 = 0 THEN 'changed' ELSE 'unchanged' END AS status,
+        |         CASE WHEN i = n THEN 1 WHEN i % 2 = 0 THEN 0 ELSE 2 END
+        |           * 1048576 + i AS fetch_order
+        |  FROM d, unnest(range(0, n + 1, 1)) AS t(i)),
+        |r AS (
+        |  SELECT id, path, status, fetch_order,
+        |         ROW_NUMBER() OVER (PARTITION BY id ORDER BY fetch_order) - 1
+        |           AS rk,
+        |         CASE id % 3 WHEN 0 THEN 2000 WHEN 1 THEN 60000 ELSE 1000 END
+        |           AS dms
+        |  FROM u)
+        |SELECT id AS host_id, path, status,
+        |       CAST(fetch_order AS BIGINT) AS fetch_order,
+        |       CAST(rk // 2 AS BIGINT) AS wave, CAST(rk % 2 AS BIGINT) AS slot,
+        |       CAST(dms AS BIGINT) AS delay_ms,
+        |       CAST((rk // 2) * dms AS BIGINT) AS not_before_ms
+        |FROM r ORDER BY host_id, fetch_order""".stripMargin,
 
     // Crawl-tick replay: the delta is added ∪ changed; changed (even)
     // pages carry fresh gen1 text and always survive the index probe;
