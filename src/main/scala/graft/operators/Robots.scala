@@ -266,6 +266,11 @@ object Robots {
       .as[(Long, String)]
       .map { case (k, txt) => parse(k, txt) }
       .toDF(urlKeyCol, "_parsed_ms")
+      // one delay per host even if the robots table carries duplicate
+      // rows (a dirty crawl captures robots.txt more than once): the
+      // MAX is the conservative politeness choice, and the aggregate
+      // keeps the join from fanning every URL out per duplicate
+      .groupBy(col(urlKeyCol)).agg(max(col("_parsed_ms")).as("_parsed_ms"))
     politenessWaves(urls, urlKeyCol, orderCol, perWave)
       .join(delays, Seq(urlKeyCol), "left")
       .withColumn("delay_ms",

@@ -162,6 +162,16 @@ class RobotsSpec extends SparkSpec {
     assert(out((3L, 13L))._2 == 1000L)
     assert(out((4L, 14L))._2 == 1000L)
     assert(out((5L, 35L)) == (1L, 1000L, 1000L))
+    // duplicate robots captures for one host must not fan URLs out
+    // through the join — the conservative (max) delay wins
+    val dupRobots = df(robotsSchema, Seq(
+      Row(1L, "User-agent: *\nCrawl-delay: 2\nDisallow: /p/\n"),
+      Row(1L, "User-agent: *\nCrawl-delay: 7\nDisallow: /p/\n")))
+    val dupOut = Robots.fetchPlan(dupRobots, "host", "txt",
+        df(urlSchema, Seq(Row(1L, 11L), Row(1L, 21L))), "host", "pri",
+        "graftbot", perWave = 1).collect()
+    assert(dupOut.length == 2, dupOut.mkString(";"))
+    assert(dupOut.forall(_.getAs[Long]("delay_ms") == 7000L))
   }
 
   test("robotsSitemaps explodes Sitemap references per host in file order") {
