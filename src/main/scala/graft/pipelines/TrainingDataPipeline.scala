@@ -556,9 +556,12 @@ object TrainingDataPipeline {
     *   `tick_delta`     — [[graft.operators.Warc.crawlDiff]] against the
     *                      promoted `cdx_current` (first tick: everything
     *                      `added`) → `crawl_delta` audit table →
-    *   `tick_ingest`    — ONLY added/changed URIs' texts leave the new
-    *                      crawl ([[graft.operators.Warc.readWarcTextsDir]]
-    *                      semi-joined on the delta) → `delta_documents` →
+    *   `tick_ingest`    — ONLY added/changed captures DECODE: the CDX
+    *                      rows joined to the delta name the exact
+    *                      (path, record) slots, and
+    *                      [[graft.operators.Warc.readWarcTextsSelected]]
+    *                      decodes just those (a 1 % delta decodes 1 %
+    *                      of the crawl) → `delta_documents` →
     *   `tick_filter`    — quality + language gate → `delta_clean` →
     *   `tick_publish`   — probe the PERSISTED dedup indexes: exact
     *                      fingerprints ([[graft.operators.Dedup.exactAgainst]]
@@ -613,11 +616,19 @@ object TrainingDataPipeline {
       val deltaUris = work.read("crawl_delta")
         .filter(col("status").isin("added", "changed"))
         .select(col("target_uri"))
-      val texts = Warc.readWarcTextsDir(spark, newWarcDir)
+      // the CDX walk already located every capture: join it to the
+      // delta URIs and decode ONLY those (path, record) slots — a 1 %
+      // weekly delta decodes 1 % of the crawl, not a full
+      // decode-then-discard pass
+      val wanted = work.read("cdx_candidate")
+        .filter(col("warc_type") === "response")
+        .join(deltaUris, Seq("target_uri"), "left_semi")
+        .select(col("path"), col("rec_idx"))
+      val texts = Warc.readWarcTextsSelected(spark, wanted)
       val toText: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         if (extractor == "main") TextFunctions.mainContent(_)
         else TextFunctions.stripHtml(_)
-      work.write(texts.join(deltaUris, Seq("target_uri"), "left_semi")
+      work.write(texts
         .select(xxhash64(col("path"), col("rec_idx")).as("doc_id"),
           toText(col("html")).as("text"),
           col("target_uri").as("url"), col("charset"),

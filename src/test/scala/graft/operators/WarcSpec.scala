@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class WarcSpec extends SparkSpec {
 
@@ -298,6 +299,35 @@ class WarcSpec extends SparkSpec {
     }
     // gzip form: offsets are decompressed-stream locators either way
     assert(byFile("b.warc.gz").map(_.getAs[Long]("offset")).min == 0L)
+  }
+
+  test("readWarcTextsSelected decodes exactly the listed (path, record) slots") {
+    val dir = tmpDir("graft_seldir_")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.warc"),
+      Warc.warcBytes(5L, 4))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.warc.gz"),
+      Warc.warcBytes(6L, 3, gzipMembers = true))
+    val full = Warc.readWarcTextsDir(spark, dir)
+    // pick records 1 and 3 of a.warc and record 2 of b.warc.gz
+    val wanted = full.filter(
+      (col("path").endsWith("a.warc") && col("rec_idx").isin(1, 3)) ||
+      (col("path").endsWith("b.warc.gz") && col("rec_idx") === 2))
+      .select(col("path"), col("rec_idx"))
+    val sel = Warc.readWarcTextsSelected(spark, wanted)
+    // selected output == the full reader filtered to the same slots,
+    // row for row (same decode, same charset, same uri, same ids)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("media_id"), r.getAs[Int]("rec_idx"),
+        r.getAs[String]("target_uri"), r.getAs[String]("charset"),
+        r.getAs[String]("html"))
+    val expect = full.join(wanted, Seq("path", "rec_idx"), "left_semi")
+      .collect().map(key).toSet
+    val got = sel.collect().map(key).toSet
+    assert(got == expect && got.size == 3, s"got=$got")
+    // a listed slot that is not a response (warcinfo idx 0) yields no row
+    assert(Warc.readWarcTextsSelected(spark,
+      full.sparkSession.createDataFrame(Seq((s"$dir/a.warc", 0)))
+        .toDF("path", "rec_idx")).count() == 0L)
   }
 
   test("readWarcDir reads .warc/.warc.gz files into the record table with stable ids") {
