@@ -506,6 +506,56 @@ object Bench {
     } finally graft.sources.FileTableOps.deleteRecursively(java.nio.file.Paths.get(work))
   }
 
+  /** Steady-state incremental CRAWL tick (r17): the per-tick cost of
+    * the flagship crawl loop once the CDX and dedup indexes are
+    * populated. Setup (generation-0 archives on disk + the bootstrap
+    * tick that fills `cdx_current` and the fingerprint/sketch indexes)
+    * is untimed; each timed rep writes generation g's archives (even
+    * pages mutated — roughly half the corpus as the delta) and runs ONE
+    * full `crawlTick` plan: CDX stream → diff → delta-selective decode
+    * → gate → index probes → idempotent publish → CDX promotion.
+    * Fixture notes: archives are corpus/61 sites of a few KB each, so
+    * the writer collect is dim-bounded; the fixed-width synthetic pages
+    * are 2-token near-twins of each other, so a real-corpus sketch
+    * threshold would drop the whole delta — `minhashThreshold = 1.01`
+    * disables the drop (est ≤ 1.0 by construction) so the probe JOIN
+    * and the append legs are both inside the measured tick; `langs =
+    * Nil` skips the language gate the synthetic pages cannot pass. */
+  private def crawlTickSteady(spark: SparkSession, sfDir: String, reps: Int): Seq[Double] = {
+    val work = java.nio.file.Files.createTempDirectory("graft_bench_crawl_").toString
+    try {
+      val src = new graft.sources.ParquetConnector(spark, sfDir)
+      val docs = src.read("documents").filter(col("doc_id") % 61 === 0)
+        .select(col("doc_id"))
+      def writeGen(g: Int): String = {
+        val dir = s"$work/gen$g"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        graft.operators.Warc.syntheticWarcGen(docs, "doc_id", g)
+          .select(col("media_id"), col("payload")).collect().foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$dir/${r.getLong(0)}.warc"),
+              r.getAs[Array[Byte]]("payload"))
+          }
+        dir
+      }
+      def tick(dir: String): Unit = {
+        val plan = new graft.plans.Plan(spark, graft.plans.PlanConfig(
+          pidDir = java.nio.file.Files.createTempDirectory("graft_bench_pid_").toString))
+        graft.pipelines.TrainingDataPipeline.crawlTick(plan, dir,
+          s"$work/tickwork", minQuality = 0.0, langs = Nil,
+          minhashThreshold = 1.01)
+        plan.run()
+      }
+      tick(writeGen(0)) // untimed bootstrap: indexes + cdx_current fill
+      (1 to reps).map { g =>
+        val dir = writeGen(g)
+        val t0 = System.nanoTime()
+        tick(dir)
+        (System.nanoTime() - t0) / 1e9
+      }
+    } finally graft.sources.FileTableOps.deleteRecursively(java.nio.file.Paths.get(work))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -596,7 +646,9 @@ object Bench {
           df, "user_id", "event_id", "value",
           target = 50.0, slack = 10.0, threshold = 200.0).toDF())),
       "q_sess_tick" -> (() => streamTick(spark, sfDir, reps, df =>
-        graft.streaming.IncrementalStream.sessionWindowAgg(df)))
+        graft.streaming.IncrementalStream.sessionWindowAgg(df))),
+      // r17: the incremental crawl loop's per-tick cost, indexes warm
+      "q_crawl_tick_steady" -> (() => crawlTickSteady(spark, sfDir, reps))
     ).filter(e => selected(e._1)).map { case (name, thunk) =>
       val c0 = procCpuNanos(); val t0 = System.nanoTime()
       val times = try thunk()
@@ -625,7 +677,7 @@ object Bench {
     // name intersection
     val steadyNames = Set("q_part_tick_index", "q_part_tick_direct",
       "q_pipe_tick", "q_part_pipe_tick",
-      "q_ewma_tick", "q_cusum_tick", "q_sess_tick")
+      "q_ewma_tick", "q_cusum_tick", "q_sess_tick", "q_crawl_tick_steady")
     val total = medians.filter(m => headline.contains(m._1) || steadyNames.contains(m._1)).map(_._2).sum
     val postLoad = loadAvg()
     val statPost = procStatTicks()

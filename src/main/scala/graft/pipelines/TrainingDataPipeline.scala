@@ -638,11 +638,15 @@ object TrainingDataPipeline {
     }
 
     plan.step("tick_filter") {
+      // langs = Nil disables the language gate (a monolingual-agnostic
+      // crawl keeps everything; quality still applies)
+      val langOk =
+        if (langs.isEmpty) lit(true) else col("lang_pred").isin(langs: _*)
       work.write(work.read("delta_documents")
         .withColumn("quality", TextFunctions.qualityScore(col("text")))
         .withColumn("lang_pred", TextFunctions.langId(col("text")))
         .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
-        .filter(col("quality") >= minQuality && col("lang_pred").isin(langs: _*)),
+        .filter(col("quality") >= minQuality && langOk),
         "delta_clean")
     }
 

@@ -139,4 +139,19 @@ class CrawlTickJourneySpec extends SparkSpec {
     assert(work.count("delta_documents") == 0L)
     assert(work.count("release_current") == 15L)
   }
+
+  test("langs = Nil disables the language gate (quality still applies)") {
+    val warcDir = tmpDir("graft_tick_nolang_")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$warcDir/x.warc"),
+      warcFile(Seq(response(uri(0), "zzzq qqxz xxzq zzqx qzzx zqxz xqzz"))))
+    val workDir = tmpDir("graft_tick_nolang_work_")
+    val plan = new Plan(spark, PlanConfig(pidDir = tmpDir("graft_tick_nolang_pid_")))
+    TrainingDataPipeline.crawlTick(plan, warcDir, workDir,
+      minQuality = 0.0, langs = Nil)
+    plan.run()
+    val work = new graft.sources.ParquetConnector(spark, workDir)
+    // the gibberish page is no known language, but the empty langs list
+    // keeps it — the monolingual-agnostic crawl configuration
+    assert(work.count("release_current") == 1L)
+  }
 }
