@@ -301,8 +301,10 @@ object Robots {
   /** RFC 3986 §6 URL normalization (the crawl-frontier canonical form):
     * two spellings of one page must compare equal before URL-level
     * dedup, frontier joins, or [[graft.operators.Warc.crawlDiff]] keys
-    * mean anything. Applied steps — scheme and host lowercased
-    * (§6.2.2.1), default ports dropped (:80 http / :443 https,
+    * mean anything. Applied steps — scheme and authority lowercased
+    * (§6.2.2.1 lowercases scheme+host; the rare case-sensitive userinfo
+    * is deliberately folded too — crawl frontiers treat it as identity),
+    * default ports dropped (:80 http / :443 https,
     * §6.2.3), dot-segments removed (§5.2.4), empty path → `/` (§6.2.3),
     * percent-encodings of UNRESERVED characters decoded and all other
     * escapes uppercased (§6.2.2.1-2), query parameters SORTED stably by
