@@ -296,7 +296,11 @@ object Bench {
     "q_crawl_diff", "q_redirects", "q_main_content", "q_crawl_frontier",
     "q_sitemap", "q_politeness", "q_char_entropy", "q_chunk_containment",
     "q_fetch_plan", "q_sitemap_refs", "q_chunk_incr", "q_containment_dedup",
-    "q_crawl_tick", "q_recrawl_plan", "q_url_canon")
+    "q_crawl_tick", "q_recrawl_plan", "q_url_canon",
+    // r18: the canonical-keyed alias diff, the sitemap-staleness recrawl
+    // prior, the robots-revocation audit, and the takedown tick (the
+    // last two plan-backed over a per-rep temp workspace)
+    "q_crawl_alias", "q_sitemap_priority", "q_robots_revoke", "q_takedown")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

@@ -190,7 +190,12 @@ object ScaleBench {
     // family (index semi-joins + capped pairing — must scale like the
     // batch pairing), and the crawl tick's diff→delta→index-probe
     // composition (CDX reductions + one fingerprint anti-join)
-    "q_chunk_incr", "q_containment_dedup", "q_crawl_tick")
+    "q_chunk_incr", "q_containment_dedup", "q_crawl_tick",
+    // r18 wave: the takedown tick (scan→broadcast-anti→rewrite of the
+    // release and all three indexes — must stay IO-linear) and the
+    // canonical-keyed alias diff (codegen'd canonicalization + the CDX
+    // reductions)
+    "q_takedown", "q_crawl_alias")
 
   /** Scale-bench-local variants, NOT part of the driver correctness
     * contract. r15 FLIPPED the cluster-split default (VERDICT r14 #1)

@@ -3108,6 +3108,138 @@ object SparkEntry {
       operators.Warc.crawlDiff(oldCdx, newCdx).orderBy(col("target_uri"))
     }),
 
+    "q_crawl_alias" -> ((s, dir) => {
+      // canonical-keyed crawl diff (VERDICT r17 #2): the new generation
+      // RE-SPELLS its unchanged page — uppercase scheme+host, default
+      // port, dot-segments, shuffled query params, twice in one
+      // generation — and the diff keys on the RFC 3986 canonical form,
+      // so aliases report as unchanged, never as the spurious
+      // added+gone pair raw-URI keying produced; a genuinely changed,
+      // gone, and added (escape-spelled) page round out the statuses.
+      val docs = T(s, dir, "documents").filter(col("doc_id") % 61 === 0)
+        .select(col("doc_id"))
+      val id = col("doc_id").cast("string")
+      def cdx(rows: org.apache.spark.sql.Column*): DataFrame =
+        docs.select(explode(array(rows: _*)).as("r"))
+          .select(col("r.target_uri"), col("r.text_md5"))
+          .withColumn("warc_type", lit("response"))
+      def row(uri: org.apache.spark.sql.Column, digest: org.apache.spark.sql.Column) =
+        struct(uri.as("target_uri"), digest.as("text_md5"))
+      val oldCdx = cdx(
+        row(concat(lit("http://alias"), id, lit(".com/a/b?x=1&y=2")),
+          md5(concat(lit("page-a-"), id))),
+        row(concat(lit("http://alias"), id, lit(".com/chg")),
+          md5(concat(lit("old-c-"), id))),
+        row(concat(lit("http://alias"), id, lit(".com/gone")),
+          md5(concat(lit("page-g-"), id))))
+      val newCdx = cdx(
+        row(concat(lit("HTTP://ALIAS"), id, lit(".COM:80/a/./b?y=2&x=1")),
+          md5(concat(lit("page-a-"), id))),
+        row(concat(lit("http://alias"), id, lit(".com:80/a/b?y=2&x=1")),
+          md5(concat(lit("page-a-"), id))),
+        row(concat(lit("http://alias"), id, lit(".com/chg")),
+          md5(concat(lit("new-c-"), id))),
+        row(concat(lit("http://alias"), id, lit(".com/%7Enew/")),
+          md5(concat(lit("page-n-"), id))))
+      operators.Warc.crawlDiff(oldCdx, newCdx).orderBy(col("target_uri"))
+    }),
+
+    "q_sitemap_priority" -> ((s, dir) => {
+      // sitemap-freshness recrawl prior (VERDICT r17 #4): four pages
+      // per site — page 0 changed, page 3 added, pages 1-2 unchanged;
+      // the sitemap claims page 1 moved AFTER the released crawl date
+      // (two entries, the newer wins) so it promotes into the changed
+      // band; page 2's entry (an alias spelling, joined canonically) is
+      // older — fresh; page 3's lastmod is garbage — malformed dates
+      // are not evidence of staleness. All bands closed-form.
+      val docs = T(s, dir, "documents").filter(col("doc_id") % 61 === 0)
+        .select(col("doc_id"))
+      val id = col("doc_id").cast("string")
+      val diff = docs
+        .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("i"))
+        .select(
+          concat(lit("http://f"), id, lit("/p/"), col("i").cast("string"))
+            .as("target_uri"),
+          when(col("i") === 0, lit("changed"))
+            .when(col("i") === 3, lit("added"))
+            .otherwise(lit("unchanged")).as("status"))
+      def entry(loc: org.apache.spark.sql.Column, lm: String) =
+        struct(loc.as("loc"), lit(lm).as("lastmod"))
+      val sitemap = docs.select(explode(array(
+          entry(concat(lit("http://f"), id, lit("/p/1")), "2026-03-05T08:00:00Z"),
+          entry(concat(lit("http://f"), id, lit("/p/1")), "2025-06-01"),
+          entry(concat(lit("HTTP://f"), id, lit(":80/p/2")), "2025-11-30"),
+          entry(concat(lit("http://f"), id, lit("/p/3")), "next tuesday")))
+          .as("e"))
+        .select(col("e.loc"), col("e.lastmod"))
+      operators.Robots.recrawlBands(diff, sitemap, releasedAt = "2026-01-01")
+        .orderBy(col("target_uri"))
+    }),
+
+    "q_robots_revoke" -> ((s, dir) => {
+      // robots-revocation audit (the policy feed of the takedown tick,
+      // VERDICT r17 #3): which RELEASED captures would TODAY'S robots
+      // refuse — every 47th doc's released path cycles /keep/ /old/
+      // /gone/ by id%3, and the site's current robots disallows the
+      // latter two; the refusals and their deciding rules are
+      // closed-form.
+      val rel = T(s, dir, "documents").filter(col("doc_id") % 47 === 0)
+        .select(col("doc_id"),
+          concat(element_at(array(lit("/keep/"), lit("/old/"), lit("/gone/")),
+            (col("doc_id") % 3 + 1).cast("int")),
+            col("doc_id").cast("string")).as("path"))
+      val robots = rel.select(col("doc_id")).withColumn("txt",
+        lit("User-agent: *\nDisallow: /old/\nDisallow: /gone/\n"))
+      operators.Robots.urlGate(robots, "doc_id", "txt", rel, "doc_id",
+          "path", "graftbot")
+        .filter(!col("allowed"))
+        .select(col("doc_id"), col("path"), col("rule"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_takedown" -> ((s, dir) => {
+      // the takedown/retraction tick (VERDICT r17 #3) as a corpus
+      // query: a planted release (every 31st doc, text made unique by
+      // its id so the exact-dedup one-doc-per-fingerprint invariant
+      // holds) with all three persisted indexes; docs ≡ 0 (mod 62) are
+      // then taken down through the four-step mirrored-crash-contract
+      // tick. Output: per planted doc, membership in the release and in
+      // EVERY index after the tick — removed docs vanish from all four,
+      // survivors stay in all four; pure doc_id arithmetic.
+      val docs = T(s, dir, "documents").filter(col("doc_id") % 31 === 0)
+        .select(col("doc_id"),
+          concat(lit("takedown article "), col("doc_id").cast("string"),
+            lit(" :: "), col("text")).as("text"))
+      val work = java.nio.file.Files.createTempDirectory("graft_takedown_")
+        .toString
+      val conn = new sources.ParquetConnector(s, work)
+      conn.write(docs, "release_current")
+      conn.write(operators.Dedup.fingerprintIndex(docs, "text"), "fp_index")
+      conn.write(operators.Dedup.minhashIndex(docs, "text", "doc_id"), "mh_index")
+      conn.write(operators.Dedup.chunkIndex(docs, "text", "doc_id"), "chunk_index")
+      val plan = new plans.Plan(s, plans.PlanConfig(pidDir = work + "/pid"))
+      pipelines.TrainingDataPipeline.takedownTick(plan, work,
+        docs.filter(col("doc_id") % 62 === 0).select(col("doc_id")))
+      plan.run()
+      val rel = conn.read("release_current").select(col("doc_id"))
+        .withColumn("_rel", lit(true))
+      val mh = conn.read("mh_index").select(col("_id").as("doc_id")).distinct()
+        .withColumn("_mh", lit(true))
+      val ch = conn.read("chunk_index").select(col("doc_id")).distinct()
+        .withColumn("_ch", lit(true))
+      val fp = conn.read("fp_index").select(col("fp").as("_fp"))
+        .withColumn("_infp", lit(true))
+      docs.withColumn("_fp", TextFunctions.fingerprint(col("text")))
+        .join(rel, Seq("doc_id"), "left").join(mh, Seq("doc_id"), "left")
+        .join(ch, Seq("doc_id"), "left").join(fp, Seq("_fp"), "left")
+        .select(col("doc_id"), (col("doc_id") % 62 === 0).as("removed"),
+          coalesce(col("_rel"), lit(false)).as("in_release"),
+          coalesce(col("_infp"), lit(false)).as("in_fp"),
+          coalesce(col("_mh"), lit(false)).as("in_mh"),
+          coalesce(col("_ch"), lit(false)).as("in_chunk"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_content_chunks" -> ((s, dir) =>
       // content-defined chunking (rsync/FastCDC boundaries at word
       // granularity): boundary after every word whose md5 opens below
@@ -7275,6 +7407,59 @@ object SparkEntry {
         |SELECT * FROM (SELECT * FROM resp UNION ALL SELECT * FROM added
         |               UNION ALL SELECT * FROM gone)
         |ORDER BY target_uri""".stripMargin,
+
+    // Alias-diff replay: every spelling folds to its RFC 3986 canonical
+    // form, so the re-spelled page is one unchanged row (min digest over
+    // its two aliases), never an added+gone pair.
+    "q_crawl_alias" ->
+      """WITH d AS (SELECT doc_id AS id FROM documents WHERE doc_id % 61 = 0)
+        |SELECT 'http://alias' || id || '.com/a/b?x=1&y=2' AS target_uri,
+        |       'unchanged' AS status, md5('page-a-' || id) AS old_md5,
+        |       md5('page-a-' || id) AS new_md5 FROM d
+        |UNION ALL
+        |SELECT 'http://alias' || id || '.com/chg', 'changed',
+        |       md5('old-c-' || id), md5('new-c-' || id) FROM d
+        |UNION ALL
+        |SELECT 'http://alias' || id || '.com/gone', 'gone',
+        |       md5('page-g-' || id), CAST(NULL AS VARCHAR) FROM d
+        |UNION ALL
+        |SELECT 'http://alias' || id || '.com/~new/', 'added',
+        |       CAST(NULL AS VARCHAR), md5('page-n-' || id) FROM d
+        |ORDER BY target_uri""".stripMargin,
+
+    // Staleness replay: page 1's newer-than-release lastmod promotes it
+    // to band 0; page 2's older entry and page 3's malformed one do not.
+    "q_sitemap_priority" ->
+      """WITH d AS (SELECT doc_id AS id FROM documents WHERE doc_id % 61 = 0),
+        |v(i, status, stale, band) AS (VALUES
+        |  (0, 'changed',   false, 0),
+        |  (1, 'unchanged', true,  0),
+        |  (2, 'unchanged', false, 2),
+        |  (3, 'added',     false, 1))
+        |SELECT 'http://f' || id || '/p/' || i AS target_uri, status, stale,
+        |       CAST(band AS BIGINT) AS band
+        |FROM d CROSS JOIN v ORDER BY target_uri""".stripMargin,
+
+    // Revocation replay: ids ≡ 1 (mod 3) sit under /old/, ≡ 2 under
+    // /gone/ — both disallowed by today's robots; /keep/ rows pass the
+    // gate and leave the audit.
+    "q_robots_revoke" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 3 WHEN 1 THEN '/old/' ELSE '/gone/' END
+        |         || doc_id AS path,
+        |       CASE doc_id % 3 WHEN 1 THEN '/old/' ELSE '/gone/' END AS rule
+        |FROM documents WHERE doc_id % 47 = 0 AND doc_id % 3 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // Takedown replay: membership after the tick is pure id arithmetic —
+    // removed docs (≡ 0 mod 62) leave the release AND every index,
+    // survivors stay everywhere.
+    "q_takedown" ->
+      """SELECT doc_id, doc_id % 62 = 0 AS removed,
+        |       doc_id % 62 <> 0 AS in_release, doc_id % 62 <> 0 AS in_fp,
+        |       doc_id % 62 <> 0 AS in_mh, doc_id % 62 <> 0 AS in_chunk
+        |FROM documents WHERE doc_id % 31 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     // CDC replay: the same md5-first-hex boundary test, the same
     // 1-preceding cumulative boundary count, the same space-joined

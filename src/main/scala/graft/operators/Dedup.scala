@@ -1400,6 +1400,30 @@ object Dedup {
       Seq(idCol), "left_anti")
   }
 
+  /** Incremental containment dedup, read-only form — the chunk family's
+    * [[minhashDedupAgainst]] analog (VERDICT r17 #5, the crawl tick's
+    * optional third gate): probe `delta` against a [[chunkIndex]] the
+    * CALLER persists, drop the delta-side containment losers
+    * ([[containmentLosers]] — corpus docs are already released, a probe
+    * never unpublishes them), return the survivors. An EMPTY index
+    * degrades exactly to the batch pairing within the delta
+    * ([[containmentAgainstIndex]]'s union corpus is then the delta
+    * alone), so first-tick and steady-tick share one code path. The
+    * index is never written — index maintenance is the caller's
+    * crash-ordering decision ([[incrementalChunks]] is the
+    * index-maintaining form). */
+  def containmentDedupAgainst(delta: DataFrame, textCol: String, idCol: String,
+                              index: DataFrame, thresholdFp: Long = 700000L,
+                              boundaryHex: Int = 2,
+                              maxBucketSize: Int = 2000): DataFrame = {
+    val pairs = containmentAgainstIndex(delta, textCol, idCol, index,
+      thresholdFp, boundaryHex, maxBucketSize)
+    val deltaLosers = containmentLosers(pairs, thresholdFp)
+      .select(col("_loser").as(idCol))
+      .join(delta.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+    delta.join(deltaLosers, Seq(idCol), "left_anti")
+  }
+
   /** Index-maintaining incremental CONTAINMENT dedup tick — the chunk
     * family's [[incrementalMinhash]] analog: probe `delta` against the
     * [[chunkIndex]] persisted as `indexTable` in `conn` (created on

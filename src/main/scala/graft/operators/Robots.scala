@@ -28,6 +28,23 @@ import org.apache.spark.sql.functions._
   * one partial-aggregated groupBy. No window, no driver loop. */
 object Robots {
 
+  /** Loud numeric-key projection (ADVICE r17): the per-host operators
+    * below key robots tables on a numeric host id and walk them through
+    * a `(Long, String)` encoder — a non-numeric key would cast to null
+    * and NPE deep inside the encoder at runtime. The in-plan
+    * `assert_true` fails NAMING the offending key instead; hash the
+    * hostname (`xxhash64(host)`) upstream to key on real hostnames. */
+  private def longKeyed(df: DataFrame, keyCol: String, valCol: String,
+                        op: String): DataFrame =
+    // try_cast, not cast: ANSI cast would already throw on a malformed
+    // key (though naming only the cast), but a NULL key casts cleanly
+    // and NPEs in the encoder — fold both into the one named guard
+    df.select(expr(s"try_cast(`$keyCol` AS BIGINT)").as(keyCol), col(valCol))
+      .filter(assert_true(col(keyCol).isNotNull,
+        lit(s"$op: non-numeric or null $keyCol key — " +
+          "key hosts numerically (e.g. xxhash64(host)) before the call"))
+        .isNull)
+
   /** One parsed rule: `allow`, the raw `path` pattern (as written,
     * wildcards intact — precedence compares ITS length per the RFC),
     * and `rx`, the anchored regex it compiles to (Java ∩ RE2 subset so
@@ -206,7 +223,7 @@ object Robots {
     val parse: (Long, String) => Seq[(Long, String, String, String, String, String)] =
       (k, xml) => parseSitemap(xml).map(e =>
         (k, e.kind, e.loc, e.lastmod, e.changefreq, e.priority))
-    sitemaps.select(col(keyCol).cast("long"), col(xmlCol))
+    longKeyed(sitemaps, keyCol, xmlCol, "sitemapUrls")
       .as[(Long, String)]
       .flatMap { case (k, xml) => parse(k, xml) }
       .toDF(keyCol, "kind", "loc", "lastmod", "changefreq", "priority")
@@ -262,7 +279,7 @@ object Robots {
     import spark.implicits._
     val parse: (Long, String) => (Long, Option[Long]) = (k, txt) =>
       (k, parseCrawlDelay(txt, userAgent).map(d => math.round(d * 1000.0)))
-    val delays = robots.select(col(keyCol).cast("long"), col(txtCol))
+    val delays = longKeyed(robots, keyCol, txtCol, "fetchPlan")
       .as[(Long, String)]
       .map { case (k, txt) => parse(k, txt) }
       .toDF(urlKeyCol, "_parsed_ms")
@@ -292,10 +309,61 @@ object Robots {
     import spark.implicits._
     val parse: (Long, String) => Seq[(Long, Int, String)] = (k, txt) =>
       sitemapRefs(txt).zipWithIndex.map { case (u, i) => (k, i, u) }
-    robots.select(col(keyCol).cast("long"), col(txtCol))
+    longKeyed(robots, keyCol, txtCol, "robotsSitemaps")
       .as[(Long, String)]
       .flatMap { case (k, txt) => parse(k, txt) }
       .toDF(keyCol, "ref_idx", "sitemap_url")
+  }
+
+  /** Sitemap-freshness recrawl prior (VERDICT r17 #4) — the missing
+    * composition between [[sitemapUrls]]'s advisory `lastmod` strings
+    * and the diff-driven recrawl plan: a page the generation diff calls
+    * `unchanged` whose sitemap claims a `lastmod` NEWER than the
+    * released capture's generation date is STALE — the site is telling
+    * the crawler it moved — and gets promoted into the `changed` band
+    * so the fetch plan re-crawls it first instead of last.
+    *
+    * Inputs: `diff` is a [[graft.operators.Warc.crawlDiff]] output
+    * (canonical `uriCol` + `status`); `sitemaps` carries sitemap
+    * entries (`locCol`, `lastmodCol` — [[sitemapUrls]]'s shape), whose
+    * locs are canonicalized here so alias spellings join; `releasedAt`
+    * is the released generation's crawl date, `YYYY-MM-DD`.
+    *
+    * Output: `diff`'s rows plus `stale` and the priority `band` —
+    * 0 = changed OR stale-unchanged (promoted), 1 = added,
+    * 2 = fresh unchanged, 3 = gone (callers drop it from the
+    * frontier). Feed `band · 2²⁰ + per-host index` to [[fetchPlan]] as
+    * the order key, as the recrawl-plan query does.
+    *
+    * Freshness never parses a date: the W3C datetime's date prefix is
+    * zero-padded ISO 8601, which orders LEXICOGRAPHICALLY — that is the
+    * format's design — so validity is one anchored regex and the
+    * comparison is a string compare, total on dirty input (a malformed
+    * lastmod is simply not evidence of staleness) and replayable by any
+    * engine with no timezone/locale/epoch semantics in the plan.
+    * Duplicate sitemap entries for one loc keep the NEWEST valid date.
+    * Scale shape: one groupBy over sitemap entries (protocol-capped
+    * 50k/file) + one left join on the canonical URI; the band is
+    * row-local. */
+  def recrawlBands(diff: DataFrame, sitemaps: DataFrame, releasedAt: String,
+                   uriCol: String = "target_uri", locCol: String = "loc",
+                   lastmodCol: String = "lastmod"): DataFrame = {
+    require(releasedAt.matches("\\d{4}-\\d{2}-\\d{2}"),
+      s"releasedAt must be a W3C date YYYY-MM-DD, got '$releasedAt'")
+    val lm = sitemaps
+      .select(canonicalUrlCol(col(locCol)).as(uriCol),
+        when(substring(col(lastmodCol), 1, 10).rlike("^\\d{4}-\\d{2}-\\d{2}$"),
+          substring(col(lastmodCol), 1, 10)).as("_lm"))
+      .groupBy(col(uriCol)).agg(max(col("_lm")).as("_lm"))
+    diff.join(lm, Seq(uriCol), "left")
+      .withColumn("stale", coalesce(col("_lm") > lit(releasedAt), lit(false)))
+      .withColumn("band",
+        when(col("status") === "changed", 0L)
+          .when(col("status") === "unchanged" && col("stale"), 0L)
+          .when(col("status") === "added", 1L)
+          .when(col("status") === "unchanged", 2L)
+          .otherwise(3L))
+      .drop("_lm")
   }
 
   /** RFC 3986 §6 URL normalization (the crawl-frontier canonical form):
@@ -321,10 +389,6 @@ object Robots {
       .matcher(url.trim)
     if (!m.matches()) return url
     val scheme = m.group(1).toLowerCase
-    var authority = m.group(2).toLowerCase
-    if ((scheme == "http" && authority.endsWith(":80")) ||
-        (scheme == "https" && authority.endsWith(":443")))
-      authority = authority.substring(0, authority.lastIndexOf(':'))
     // percent-decode unreserved, uppercase surviving escapes (§6.2.2)
     def normEscapes(s: String): String = {
       val sb = new java.lang.StringBuilder(s.length)
@@ -345,6 +409,17 @@ object Robots {
       }
       sb.toString
     }
+    // authority escapes normalize too (ADVICE r17 — §6.2.2.2 applies to
+    // every component): decode-THEN-fold, so `ex%41mple.com` and
+    // `example.com` meet ('%41' must surface as 'A' before the case
+    // fold); the rare escape surviving the unreserved decode (an
+    // encoded non-ASCII octet — dirty input in a hostname) is
+    // case-folded WITH the host rather than uppercased, one spelling
+    // either way
+    var authority = normEscapes(m.group(2)).toLowerCase
+    if ((scheme == "http" && authority.endsWith(":80")) ||
+        (scheme == "https" && authority.endsWith(":443")))
+      authority = authority.substring(0, authority.lastIndexOf(':'))
     // remove dot-segments (§5.2.4; post-authority paths are absolute or
     // empty). Duplicate slashes also collapse — beyond strict 3986 but
     // the standard crawl-canonicalizer step ("//a" and "/a" are the
@@ -373,16 +448,22 @@ object Robots {
     scheme + "://" + authority + path + query.map("?" + _).getOrElse("")
   }
 
+  /** [[canonicalUrl]] as a Column — the codegen'd native expression
+    * ([[graft.functions.CanonicalUrl]]), not a UDF (VERDICT r17 #7):
+    * this projection sits on the frontier-scale hot path
+    * ([[graft.operators.Warc.crawlDiff]]'s key, the tick's delta
+    * joins), where a UDF would break the whole-stage-codegen span. */
+  def canonicalUrlCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.CanonicalUrl(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(c)))
+
   /** Distributed [[canonicalUrl]]: adds `canonCol` next to `urlCol` —
     * row-local, no shuffle; the projection every frontier/dedup join
     * keys on. */
   def canonicalizeUrls(df: DataFrame, urlCol: String,
-                       canonCol: String = "canonical_url"): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val canon = udf((s: String) => canonicalUrl(s))
-    df.withColumn(canonCol, canon(col(urlCol)))
-  }
+                       canonCol: String = "canonical_url"): DataFrame =
+    df.withColumn(canonCol, canonicalUrlCol(col(urlCol)))
 
   /** The distributed crawl gate: `robots` carries one robots.txt per
     * key (host), `urls` the candidate paths; the output states, per
@@ -401,7 +482,7 @@ object Robots {
     import spark.implicits._
     val parse: (Long, String) => Seq[(Long, Boolean, String, String)] =
       (k, txt) => parseRules(txt, userAgent).map(r => (k, r.allow, r.path, r.rx))
-    val rules = robots.select(col(keyCol).cast("long"), col(txtCol))
+    val rules = longKeyed(robots, keyCol, txtCol, "urlGate")
       .as[(Long, String)]
       .flatMap { case (k, txt) => parse(k, txt) }
       .toDF(keyCol, "_allow", "_rule", "_rx")

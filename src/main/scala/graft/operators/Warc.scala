@@ -73,12 +73,15 @@ object Warc {
         b(bodyStart + 2) == 'T' && b(bodyStart + 3) == 'P') {
       val head = new String(b, bodyStart, math.min(len, 64L).toInt, Ascii)
       val parts = head.split(" ")
-      // range-guarded parse (ADVICE r16): an all-digit token longer than
-      // 3 chars ("HTTP/1.1 99999999999") is malformed, and unguarded
-      // toInt would throw NumberFormatException out of the STREAMING
-      // walk paths (streamWarcFile.next, parseWarcCdx) — one poisoned
-      // record must degrade to status=None, never kill the task
-      if (parts.length >= 2 && parts(1).nonEmpty && parts(1).length <= 3 &&
+      // range-guarded parse (ADVICE r16/r17): RFC 9110 §15 status codes
+      // are EXACTLY three digits — a longer all-digit token
+      // ("HTTP/1.1 99999999999") would make unguarded toInt throw
+      // NumberFormatException out of the STREAMING walk paths
+      // (streamWarcFile.next, parseWarcCdx), and a 1-2 digit token
+      // ("HTTP/1.1 99") is equally malformed and must not parse to a
+      // bogus small status — one poisoned record degrades to
+      // status=None, never kills the task or invents a code
+      if (parts.length >= 2 && parts(1).length == 3 &&
           parts(1).forall(_.isDigit)) Some(parts(1).toInt)
       else None
     } else None
@@ -710,20 +713,28 @@ object Warc {
     * the funnel instead of re-processing the full crawl).
     *
     * Only `response` records participate (warcinfo/metadata records
-    * describe the archive, not the web). Duplicate captures of one URI
-    * within a generation collapse to the LEXICALLY SMALLEST digest —
+    * describe the archive, not the web). The diff is keyed on the RFC
+    * 3986 CANONICAL form of the URI ([[Robots.canonicalUrl]], VERDICT
+    * r17 #2): two spellings of one page (`:80`, dot-segments, shuffled
+    * query params, escape case) are the SAME capture, and keying on the
+    * raw spelling would report every re-spelled URL as a spurious
+    * `added`+`gone` pair — double-ingest work and an alias-refetching
+    * frontier. The output `uriCol` IS the canonical form; duplicate
+    * captures of one canonical URI within a generation (including
+    * alias spellings) collapse to the LEXICALLY SMALLEST digest —
     * deterministic and engine-replayable (a timestamp "latest wins"
     * would need a capture-time column CDX fixtures don't carry).
     *
     * Scale shape: two groupBys (partial-aggregated per URI) + one
     * full-outer equi-join on the URI — CDX rows are tiny, the join
-    * shuffles index rows, never archives. */
+    * shuffles index rows, never archives; the canonicalization is a
+    * row-local codegen'd expression on the scan. */
   def crawlDiff(oldCdx: DataFrame, newCdx: DataFrame,
                 uriCol: String = "target_uri",
                 digestCol: String = "text_md5"): DataFrame = {
     def captures(df: DataFrame, side: String): DataFrame =
       df.filter(col("warc_type") === "response")
-        .groupBy(col(uriCol))
+        .groupBy(Robots.canonicalUrlCol(col(uriCol)).as(uriCol))
         .agg(min(col(digestCol)).as(s"_${side}_md5"))
     captures(oldCdx, "old").join(captures(newCdx, "new"), Seq(uriCol), "full_outer")
       .select(col(uriCol),
@@ -755,11 +766,16 @@ object Warc {
                      uriCol: String = "target_uri",
                      idCol: String = "media_id",
                      textCol: String = "text"): DataFrame = {
+    // the diff is keyed on the CANONICAL URI (see crawlDiff); newDocs
+    // carries raw spellings, so the join key is its canonical form —
+    // the raw uriCol rides through untouched
     val delta = crawlDiff(oldCdx, newCdx, uriCol)
       .filter(col("status").isin("added", "changed"))
-      .select(col(uriCol), col("status"))
-    Dedup.exactAgainst(newDocs.join(delta, Seq(uriCol)), textCol, idCol,
-      corpusFingerprints)
+      .select(col(uriCol).as("_canon_uri"), col("status"))
+    Dedup.exactAgainst(
+      newDocs.withColumn("_canon_uri", Robots.canonicalUrlCol(col(uriCol)))
+        .join(delta, Seq("_canon_uri")).drop("_canon_uri"),
+      textCol, idCol, corpusFingerprints)
   }
 
   /** Spec-correct WARC bytes: a `warcinfo` record + `n` HTTP `response`

@@ -905,6 +905,35 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L, 3L), kept.toString)
   }
 
+  test("containmentDedupAgainst drops only delta-side losers; an empty index " +
+    "degrades to the batch pairing (VERDICT r17 #5)") {
+    val article = corpus(3).map(_._2).mkString(" ")
+    // the delta doc is MOSTLY QUOTE: a 2/3 excerpt of the released
+    // article behind a tiny wrapper — the partial-copy spam shape
+    val quoting = "brief lead in " + corpus(2).map(_._2).mkString(" ") +
+      " and a short signoff"
+    val fresh = "wholly original reporting with vocabulary nobody indexed before now"
+    val idx = Dedup.chunkIndex(df(docSchema, Seq(Row(1L, article))), "text", "doc_id")
+    val delta = df(docSchema, Seq(Row(100L, quoting), Row(101L, fresh)))
+    val kept = Dedup.containmentDedupAgainst(delta, "text", "doc_id", idx,
+        thresholdFp = 500000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(101L), kept.toString)
+    // an empty index degrades to within-delta batch pairing — the
+    // containmentDedup policy on the delta alone
+    val emptyIdx = Dedup.chunkIndex(df(docSchema, Seq.empty), "text", "doc_id")
+    val delta2 = df(docSchema, Seq(Row(100L, fresh),
+      Row(101L, fresh + " with one extra trailing clause appended")))
+    val kept2 = Dedup.containmentDedupAgainst(delta2, "text", "doc_id", emptyIdx,
+        thresholdFp = 500000L)
+      .collect().map(_.getLong(0)).toSet
+    val batch = Dedup.containmentDedup(delta2, "text", "doc_id",
+        thresholdFp = 500000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == batch, s"probe=$kept2 batch=$batch")
+    assert(kept2 == Set(101L), kept2.toString) // the superset survives
+  }
+
   test("incrementalChunks: delta-side containment losers drop against the index; " +
     "replay is a no-op") {
     val conn = new graft.sources.ParquetConnector(spark, tmpDir("graft_ckidx_"))

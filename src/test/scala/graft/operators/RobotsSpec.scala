@@ -218,6 +218,68 @@ class RobotsSpec extends SparkSpec {
     assert(c("mailto:x@y.z") == "mailto:x@y.z") // no ://-authority form
   }
 
+  test("canonicalUrl: authority escapes decode THEN case-fold (ADVICE r17)") {
+    val c = Robots.canonicalUrl _
+    // §6.2.2.2 applies to the authority too: an escaped unreserved
+    // octet in the host must meet its plain spelling
+    assert(c("http://ex%41mple.com/") == "http://example.com/")
+    assert(c("http://EX%61MPLE.com:80/x") == "http://example.com/x")
+    // a surviving (non-unreserved) authority escape case-folds with the
+    // host — one spelling either way
+    assert(c("http://h%C3%A9st.com/") == "http://h%c3%a9st.com/")
+    // idempotence holds through the authority leg
+    Seq("http://ex%41mple.com/", "http://h%C3%A9st.com/").foreach { u =>
+      assert(c(c(u)) == c(u), u)
+    }
+  }
+
+  test("recrawlBands: a newer sitemap lastmod promotes unchanged into the changed band") {
+    val diffSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("target_uri", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType)))
+    val smSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("loc", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lastmod", org.apache.spark.sql.types.StringType)))
+    val diff = df(diffSchema, Seq(
+      Row("http://h/p/0", "changed"), Row("http://h/p/1", "unchanged"),
+      Row("http://h/p/2", "unchanged"), Row("http://h/p/3", "added"),
+      Row("http://h/p/4", "gone")))
+    val sitemap = df(smSchema, Seq(
+      // alias spelling joins through the canonical form; the W3C
+      // datetime's date prefix compares lexicographically
+      Row("HTTP://h:80/p/1", "2026-02-02T00:00:00Z"),
+      Row("http://h/p/1", "2025-01-01"), // older duplicate — newest wins
+      Row("http://h/p/2", "2025-11-30"), // older than the release — fresh
+      Row("http://h/p/4", "not a date"))) // malformed is not evidence
+    val out = Robots.recrawlBands(diff, sitemap, releasedAt = "2026-01-01")
+      .collect()
+      .map(r => r.getAs[String]("target_uri") ->
+        (r.getAs[String]("status"), r.getAs[Boolean]("stale"), r.getAs[Long]("band")))
+      .toMap
+    assert(out("http://h/p/0") == ("changed", false, 0L))
+    assert(out("http://h/p/1") == ("unchanged", true, 0L)) // promoted
+    assert(out("http://h/p/2") == ("unchanged", false, 2L))
+    assert(out("http://h/p/3") == ("added", false, 1L))
+    assert(out("http://h/p/4") == ("gone", false, 3L))
+    intercept[IllegalArgumentException] {
+      Robots.recrawlBands(diff, sitemap, releasedAt = "Jan 1 2026")
+    }
+  }
+
+  test("a non-numeric robots host key fails loudly, never an encoder NPE (ADVICE r17)") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("host", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("txt", org.apache.spark.sql.types.StringType)))
+    val robots = df(schema, Seq(
+      Row("example.com", "User-agent: *\nSitemap: http://a/1.xml\n")))
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    val e = intercept[Exception] {
+      Robots.robotsSitemaps(robots, "host", "txt").collect()
+    }
+    assert(msgs(e).contains("robotsSitemaps"), msgs(e))
+  }
+
   test("urlGate: longest-match precedence, Allow tie-break, default allow, group shadowing") {
     val robotsSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("host_id", org.apache.spark.sql.types.LongType),

@@ -158,6 +158,15 @@ class WarcSpec extends SparkSpec {
       payload.length.toLong, None)), out.toString)
     // and the CDX walk survives it too (it calls httpStatus unguarded)
     assert(Warc.parseWarcCdx(1L, rec).head.http_status.isEmpty)
+    // ADVICE r17: RFC 9110 codes are EXACTLY three digits — a 1-2 digit
+    // token is malformed and must not parse to a bogus small status
+    val short = "HTTP/1.1 99 Bogus\r\n\r\nbody".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII)
+    val rec2 = (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://x/\r\n" +
+      s"Content-Length: ${short.length}\r\n\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ short ++
+      "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    assert(Warc.parseWarc(1L, rec2).head.http_status.isEmpty)
   }
 
   test("meta charset prescan only honors charset= inside <meta> tags, any letter case") {
@@ -273,6 +282,31 @@ class WarcSpec extends SparkSpec {
       "http://example.com/7/latin1" -> "gone"), out.toString)
     // warcinfo records never participate (both gens have one)
     assert(!out.contains(""))
+  }
+
+  test("crawlDiff keys on canonical URIs: alias spellings diff as unchanged (VERDICT r17 #2)") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("warc_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("target_uri",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text_md5",
+        org.apache.spark.sql.types.StringType)))
+    val oldCdx = df(schema, Seq(
+      org.apache.spark.sql.Row("response", "http://h.com/a/b?x=1&y=2", "m1"),
+      org.apache.spark.sql.Row("response", "http://h.com/chg", "old")))
+    // the new generation re-spells the same page twice — uppercase host,
+    // default port, dot-segments, shuffled params — same digest
+    val newCdx = df(schema, Seq(
+      org.apache.spark.sql.Row("response", "HTTP://H.COM:80/a/./b?y=2&x=1", "m1"),
+      org.apache.spark.sql.Row("response", "http://h.com:80/a/b?y=2&x=1", "m1"),
+      org.apache.spark.sql.Row("response", "http://h.com/chg", "new")))
+    val out = Warc.crawlDiff(oldCdx, newCdx).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // raw-URI keying would have reported added+gone here
+    assert(out == Map(
+      "http://h.com/a/b?x=1&y=2" -> "unchanged",
+      "http://h.com/chg" -> "changed"), out.toString)
   }
 
   test("readWarcCdxDir streams the capture index from files, matching the in-memory walk") {

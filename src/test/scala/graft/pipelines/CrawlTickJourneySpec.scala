@@ -121,6 +121,14 @@ class CrawlTickJourneySpec extends SparkSpec {
     // page 3's text exists exactly once despite its re-publication
     assert(released2.filter(col("text").contains(pages(3))).count() == 1L)
 
+    // append-only index maintenance (VERDICT r17 #1): after two ticks
+    // the fp index holds exactly one fingerprint per released doc —
+    // never a duplicate (the anti-join + Append path), and the mh index
+    // id set is exactly the release id set
+    assert(work.count("fp_index") == 15L &&
+      work.read("fp_index").distinct().count() == 15L)
+    assert(work.read("mh_index").select("_id").distinct().count() == 15L)
+
     // ── tick 3: simulated crash BEFORE CDX promotion (indexes and the
     // release already learned gen 1) — roll the CDX back and replay
     work.drop("cdx_current")
@@ -131,6 +139,11 @@ class CrawlTickJourneySpec extends SparkSpec {
     val released3 = work.read("release_current")
     assert(released3.count() == 15L, "replay must not duplicate or lose rows")
     assert(released3.select("doc_id").distinct().count() == 15L)
+    // the replayed tick appended NOTHING to the indexes (append ≡ the
+    // old rewrite, across a replayed tick too)
+    assert(work.count("fp_index") == 15L &&
+      work.read("fp_index").distinct().count() == 15L)
+    assert(work.read("mh_index").select("_id").distinct().count() == 15L)
 
     // ── tick 4: steady state — same crawl against its own promoted CDX
     tick(gen1Dir)
@@ -138,6 +151,75 @@ class CrawlTickJourneySpec extends SparkSpec {
       .filter(col("status").isin("added", "changed")).count() == 0L)
     assert(work.count("delta_documents") == 0L)
     assert(work.count("release_current") == 15L)
+    assert(work.count("fp_index") == 15L)
+
+    // ── tick 5: the ADVICE r17 crash window — fp_index learned the
+    // batch but the crash hit BEFORE the mh append (simulated by
+    // deleting one released doc's sketch rows) and before the CDX
+    // promotion. The old batch-derived append could never heal this:
+    // the replayed survivor set is EMPTY (fp_index knows the batch), so
+    // newBands would stay empty and near-dup detection against that doc
+    // would be silently degraded forever. The self-healing append tops
+    // the sketch up from the release rows the mh id set is missing.
+    val wounded = released3.filter(col("text").contains(pages(12)))
+      .select("doc_id").collect().head.getLong(0)
+    val mhHealthy = work.read("mh_index")
+      .filter(col("_id") =!= wounded).localCheckpoint(true)
+    work.write(mhHealthy, "mh_index")
+    assert(work.read("mh_index").select("_id").distinct().count() == 14L)
+    work.drop("cdx_current")
+    work.rename("cdx_previous", "cdx_current")
+    tick(gen1Dir)
+    assert(work.count("delta_release") == 0L) // fp_index still knows the batch
+    assert(work.read("mh_index").select("_id").distinct().count() == 15L,
+      "the mh index must self-heal from release_current")
+    assert(work.read("mh_index").filter(col("_id") === wounded).count() > 0L)
+    assert(work.count("release_current") == 15L && work.count("fp_index") == 15L)
+  }
+
+  test("containment gate: a quoting page drops via the persisted chunk index " +
+    "(VERDICT r17 #5)") {
+    val gen0Dir = tmpDir("graft_ctick_gen0_")
+    val gen1Dir = tmpDir("graft_ctick_gen1_")
+    val article = pages.take(10).mkString(" ") // ~140 words
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$gen0Dir/a.warc"),
+      warcFile(Seq(response(uri(0), article),
+        response(uri(1), pages(10)), response(uri(2), pages(11)))))
+    // gen 1 adds: a QUOTING page — small preface + a six-page excerpt of
+    // the released article + small closing. Not exact (fp passes), low
+    // Jaccard vs the article (~0.38 — the wrapper dilutes the sketch,
+    // mh passes at 0.75), but its own words are ~2/3 quoted chunks —
+    // exactly the partial-copy spam only the chunk index catches. Plus
+    // one genuinely fresh page that must survive all three gates.
+    val quoting = "in todays reading circle we quote a passage from the archive " +
+      pages.slice(2, 8).mkString(" ") +
+      " that concludes the quoted passage thanks for reading along today"
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$gen1Dir/a2.warc"),
+      warcFile(Seq(response(uri(0), article),
+        response(uri(1), pages(10)), response(uri(2), pages(11)),
+        response(uri(3), quoting), response(uri(4), pages(12)))))
+
+    val workDir = tmpDir("graft_ctick_work_")
+    def tick(dir: String): Unit = {
+      val plan = new Plan(spark, PlanConfig(pidDir = tmpDir("graft_ctick_pid_")))
+      TrainingDataPipeline.crawlTick(plan, dir, workDir,
+        minQuality = 0.0, langs = Seq("en"), minhashThreshold = 0.75,
+        containment = true, containmentThresholdFp = 500000L)
+      plan.run()
+    }
+    val work = new graft.sources.ParquetConnector(spark, workDir)
+    tick(gen0Dir)
+    assert(work.count("release_current") == 3L)
+    assert(work.tables.contains("chunk_index"))
+    assert(work.read("chunk_index").select("doc_id").distinct().count() == 3L)
+    tick(gen1Dir)
+    val released = work.read("release_current")
+    assert(released.count() == 4L, released.select("url").collect().mkString(";"))
+    assert(released.filter(col("url") === uri(3)).count() == 0L,
+      "the quoting page must drop via the chunk-containment probe")
+    assert(released.filter(col("url") === uri(4)).count() == 1L)
+    // chunk index self-heals/appends to exactly the release id set
+    assert(work.read("chunk_index").select("doc_id").distinct().count() == 4L)
   }
 
   test("langs = Nil disables the language gate (quality still applies)") {
