@@ -382,11 +382,15 @@ object Robots {
     * applies). Dirty input total: null → null, anything unparseable
     * returns unchanged. Pure JVM and deterministic — the planted
     * oracle states every output closed-form. */
+  // compiled ONCE (Pattern is immutable and thread-safe; matchers are
+  // per-call) — this expression runs per CAPTURE on the crawl frontier,
+  // and a per-row Pattern.compile would dominate the projection
+  private val UrlRe = java.util.regex.Pattern
+    .compile("^([A-Za-z][A-Za-z0-9+.\\-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$")
+
   def canonicalUrl(url: String): String = {
     if (url == null) return null
-    val m = java.util.regex.Pattern
-      .compile("^([A-Za-z][A-Za-z0-9+.\\-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$")
-      .matcher(url.trim)
+    val m = UrlRe.matcher(url.trim)
     if (!m.matches()) return url
     val scheme = m.group(1).toLowerCase
     // percent-decode unreserved, uppercase surviving escapes (§6.2.2)

@@ -94,6 +94,24 @@ class PlanEvidenceSpec extends SparkSpec {
     assert(hasExpr(_.isInstanceOf[graft.functions.SimHashText]), "SimHashText must be codegen'd")
   }
 
+  test("canonical_url stays inside WholeStageCodegen (the crawl frontier's hot projection)") {
+    // VERDICT r17 #7: the canonicalization sits on the highest-row-count
+    // projection of a real crawl (every capture's diff/frontier key) —
+    // as a UDF it broke the scan's codegen span; as a native expression
+    // it must sit INSIDE one
+    val df = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        graft.operators.Robots.canonicalUrlCol(
+          concat(lit("HTTP://Example.COM:80/a/./"), col("doc_id").cast("string"),
+            lit("?b=2&a=1"))).as("canonical_url"))
+    val codegenProjects = df.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec => w.collect { case p: ProjectExec => p }
+    }.flatten
+    assert(codegenProjects.exists(_.projectList.exists(
+        _.exists(_.isInstanceOf[graft.functions.CanonicalUrl]))),
+      "CanonicalUrl must be inside WholeStageCodegen:\n" + df.queryExecution.executedPlan)
+  }
+
   test("repetition profile + PII scrub + n-gram hashes stay inside WholeStageCodegen") {
     val df = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
       .select(graft.functions.TextFunctions.repetitionProfile(col("text")).as("rep"),
