@@ -350,9 +350,14 @@ object Robots {
                    lastmodCol: String = "lastmod"): DataFrame = {
     require(releasedAt.matches("\\d{4}-\\d{2}-\\d{2}"),
       s"releasedAt must be a W3C date YYYY-MM-DD, got '$releasedAt'")
+    // calendar-shaped, not merely digit-shaped: "2026-13-99" is dirty
+    // input, not evidence (month 01-12, day 01-31; a strict per-month
+    // day count buys nothing here — no real sitemap emits Feb 31, and
+    // the comparison stays total either way)
     val lm = sitemaps
       .select(canonicalUrlCol(col(locCol)).as(uriCol),
-        when(substring(col(lastmodCol), 1, 10).rlike("^\\d{4}-\\d{2}-\\d{2}$"),
+        when(substring(col(lastmodCol), 1, 10)
+            .rlike("^\\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\\d|3[01])$"),
           substring(col(lastmodCol), 1, 10)).as("_lm"))
       .groupBy(col(uriCol)).agg(max(col("_lm")).as("_lm"))
     diff.join(lm, Seq(uriCol), "left")

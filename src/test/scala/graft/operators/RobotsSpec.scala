@@ -250,7 +250,8 @@ class RobotsSpec extends SparkSpec {
       Row("HTTP://h:80/p/1", "2026-02-02T00:00:00Z"),
       Row("http://h/p/1", "2025-01-01"), // older duplicate — newest wins
       Row("http://h/p/2", "2025-11-30"), // older than the release — fresh
-      Row("http://h/p/4", "not a date"))) // malformed is not evidence
+      Row("http://h/p/4", "not a date"), // malformed is not evidence
+      Row("http://h/p/4", "2026-13-99"))) // digit-shaped but not a date
     val out = Robots.recrawlBands(diff, sitemap, releasedAt = "2026-01-01")
       .collect()
       .map(r => r.getAs[String]("target_uri") ->
