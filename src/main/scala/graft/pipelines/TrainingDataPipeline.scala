@@ -757,6 +757,10 @@ object TrainingDataPipeline {
       if (hasMh) work.write(newBands, "mh_index", org.apache.spark.sql.SaveMode.Append)
       else work.write(newBands, "mh_index")
       if (containment) {
+        // self-heal doubles as first-enable BACKFILL: turning the gate
+        // on over an existing release finds every released doc missing
+        // from the (new) chunk index and indexes it — a one-time
+        // O(release-text) pass, after which ticks are delta-priced
         val chunkIds =
           if (hasChunk) work.read("chunk_index").select(col("doc_id")).distinct()
           else clean.select(col("doc_id")).limit(0)
