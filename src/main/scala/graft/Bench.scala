@@ -300,7 +300,8 @@ object Bench {
     // r18: the canonical-keyed alias diff, the sitemap-staleness recrawl
     // prior, the robots-revocation audit, and the takedown tick (the
     // last two plan-backed over a per-rep temp workspace)
-    "q_crawl_alias", "q_sitemap_priority", "q_robots_revoke", "q_takedown")
+    "q_crawl_alias", "q_sitemap_priority", "q_robots_revoke", "q_takedown",
+    "q_revocation_tick")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

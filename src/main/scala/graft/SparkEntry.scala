@@ -3240,6 +3240,60 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_revocation_tick" -> ((s, dir) => {
+      // the robots-revocation COMPLIANCE sweep end-to-end (the
+      // composition VERDICT r17 #3 asked for): a planted release whose
+      // urls cycle /keep/ /old/ /gone/ across 7 hosts, all three
+      // indexes live; today's robots disallows /old/ and /gone/ — the
+      // tick audits the release through urlGate (urls canonicalized,
+      // hosts hashed to the robots key), persists the `revocations`
+      // audit, and takes the refusals down through the mirrored crash
+      // contract. Output: per doc, the refusing rule and its
+      // membership everywhere after the sweep — pure id arithmetic.
+      val id = col("doc_id").cast("string")
+      val docs = T(s, dir, "documents").filter(col("doc_id") % 31 === 0)
+        .select(col("doc_id"),
+          concat(lit("revocation article "), id, lit(" :: "), col("text")).as("text"),
+          concat(lit("http://h"), (col("doc_id") % 7).cast("string"), lit(".com"),
+            element_at(array(lit("/keep/"), lit("/old/"), lit("/gone/")),
+              (col("doc_id") % 3 + 1).cast("int")), id).as("url"))
+      val work = java.nio.file.Files.createTempDirectory("graft_revoke_")
+        .toString
+      val conn = new sources.ParquetConnector(s, work)
+      conn.write(docs, "release_current")
+      conn.write(operators.Dedup.fingerprintIndex(docs, "text"), "fp_index")
+      conn.write(operators.Dedup.minhashIndex(docs, "text", "doc_id"), "mh_index")
+      conn.write(operators.Dedup.chunkIndex(docs, "text", "doc_id"), "chunk_index")
+      val robots = docs
+        .select(concat(lit("h"), (col("doc_id") % 7).cast("string"), lit(".com"))
+          .as("host")).distinct()
+        .select(xxhash64(col("host")).as("hkey"),
+          lit("User-agent: *\nDisallow: /old/\nDisallow: /gone/\n").as("txt"))
+      val plan = new plans.Plan(s, plans.PlanConfig(pidDir = work + "/pid"))
+      pipelines.TrainingDataPipeline.revocationTick(plan, work, robots,
+        "hkey", "txt", "graftbot")
+      plan.run()
+      val rel = conn.read("release_current").select(col("doc_id"))
+        .withColumn("_rel", lit(true))
+      val mh = conn.read("mh_index").select(col("_id").as("doc_id")).distinct()
+        .withColumn("_mh", lit(true))
+      val ch = conn.read("chunk_index").select(col("doc_id")).distinct()
+        .withColumn("_ch", lit(true))
+      val fp = conn.read("fp_index").select(col("fp").as("_fp"))
+        .withColumn("_infp", lit(true))
+      val rev = conn.read("revocations").select(col("doc_id"), col("rule"))
+      docs.withColumn("_fp", TextFunctions.fingerprint(col("text")))
+        .join(rev, Seq("doc_id"), "left")
+        .join(rel, Seq("doc_id"), "left").join(mh, Seq("doc_id"), "left")
+        .join(ch, Seq("doc_id"), "left").join(fp, Seq("_fp"), "left")
+        .select(col("doc_id"), coalesce(col("rule"), lit("")).as("rule"),
+          coalesce(col("_rel"), lit(false)).as("in_release"),
+          coalesce(col("_infp"), lit(false)).as("in_fp"),
+          coalesce(col("_mh"), lit(false)).as("in_mh"),
+          coalesce(col("_ch"), lit(false)).as("in_chunk"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_content_chunks" -> ((s, dir) =>
       // content-defined chunking (rsync/FastCDC boundaries at word
       // granularity): boundary after every word whose md5 opens below
@@ -7458,6 +7512,19 @@ object SparkEntry {
       """SELECT doc_id, doc_id % 62 = 0 AS removed,
         |       doc_id % 62 <> 0 AS in_release, doc_id % 62 <> 0 AS in_fp,
         |       doc_id % 62 <> 0 AS in_mh, doc_id % 62 <> 0 AS in_chunk
+        |FROM documents WHERE doc_id % 31 = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // Revocation-sweep replay: ids ≡ 1 (mod 3) sit under /old/, ≡ 2
+    // under /gone/ — today's robots refuses both, so they leave the
+    // release and every index with the refusing rule on audit; /keep/
+    // rows stay everywhere with no rule.
+    "q_revocation_tick" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 3 WHEN 1 THEN '/old/' WHEN 2 THEN '/gone/'
+        |            ELSE '' END AS rule,
+        |       doc_id % 3 = 0 AS in_release, doc_id % 3 = 0 AS in_fp,
+        |       doc_id % 3 = 0 AS in_mh, doc_id % 3 = 0 AS in_chunk
         |FROM documents WHERE doc_id % 31 = 0
         |ORDER BY doc_id""".stripMargin,
 

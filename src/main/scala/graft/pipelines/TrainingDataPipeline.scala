@@ -830,13 +830,21 @@ object TrainingDataPipeline {
     * touched partitions rewrite. Every write is tmp+atomic-swap, so the
     * table the anti-join reads is intact until the swap. */
   def takedownTick(plan: Plan, workDir: String, removals: DataFrame,
-                   idCol: String = "doc_id"): Plan = {
+                   idCol: String = "doc_id"): Plan =
+    takedownTick(plan, workDir, () => removals, idCol)
+
+  /** Deferred-removals form: `removals` is evaluated only when
+    * `take_stage` RUNS, so an earlier step of the same plan may produce
+    * it (the [[revocationTick]] composition writes its audit table one
+    * step before). */
+  def takedownTick(plan: Plan, workDir: String, removals: () => DataFrame,
+                   idCol: String): Plan = {
     val work = new ParquetConnector(plan.spark, workDir)
 
     plan.step("take_stage") {
       if (work.tables.contains("release_current")) {
         val matched = work.read("release_current")
-          .join(removals.select(col(idCol).cast("long").as("doc_id")).distinct(),
+          .join(removals().select(col(idCol).cast("long").as("doc_id")).distinct(),
             Seq("doc_id"), "left_semi")
           .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
         val pending =
@@ -881,6 +889,69 @@ object TrainingDataPipeline {
 
     plan.step("take_clear") { work.drop("takedown_pending") }
     plan
+  }
+
+  /** The robots-REVOCATION sweep — the compliance composition the
+    * takedown tick exists for: audit every RELEASED capture against
+    * TODAY'S robots ([[graft.operators.Robots.urlGate]] — a site that
+    * added a `Disallow` after we crawled has revoked consent), persist
+    * the refusals as the cumulative `revocations` audit table
+    * (`doc_id, url, rule` — which rule refused what, the compliance
+    * report), and feed them straight into [[takedownTick]]'s four
+    * mirrored-crash-contract steps.
+    *
+    * `robots` carries one current robots.txt per host, keyed by
+    * `xxhash64(host)` — the same derivation this tick applies to
+    * `release_current`'s `urlCol`: the URL canonicalizes
+    * ([[graft.operators.Robots.canonicalUrl]] — so `:80` / case /
+    * dot-segment spellings meet their robots host), splits into host
+    * and path+query, and the host hashes to the join key.
+    *
+    * Replay-safe like its parts: `revoke_audit` UNIONS into
+    * `revocations` (a replay after the release drop finds no matching
+    * rows and unions nothing away; cross-sweep rows accumulate — it is
+    * an audit LOG, deduped per doc deterministically), and the takedown
+    * steps carry their own staged-pending contract. Scale shape: one
+    * release scan (canonicalize + split are codegen'd row-local), the
+    * rules equi-join fan-out bounded per host by the RFC cap, then the
+    * takedown's broadcast-anti rewrites. */
+  def revocationTick(plan: Plan, workDir: String, robots: DataFrame,
+                     keyCol: String, txtCol: String, userAgent: String,
+                     urlCol: String = "url"): Plan = {
+    val work = new ParquetConnector(plan.spark, workDir)
+    import graft.operators.Robots
+
+    plan.step("revoke_audit") {
+      if (work.tables.contains("release_current")) {
+        val rel = work.read("release_current")
+          .withColumn("_canon", Robots.canonicalUrlCol(col(urlCol)))
+          .withColumn("_hkey",
+            xxhash64(regexp_extract(col("_canon"), "^[a-z0-9+.\\-]+://([^/]+)", 1)))
+          .withColumn("_path",
+            regexp_replace(col("_canon"), "^[a-z0-9+.\\-]+://[^/]+", ""))
+        val rb = robots.select(col(keyCol).as("_hkey"), col(txtCol))
+        val refused = Robots.urlGate(rb, "_hkey", txtCol,
+            rel.select(col("_hkey"), col("_path")), "_hkey", "_path", userAgent)
+          .filter(!col("allowed"))
+          .select(col("_hkey"), col("_path"), col("rule"))
+        val fresh = rel.join(refused, Seq("_hkey", "_path"))
+          .select(col("doc_id"), col(urlCol).as("url"), col("rule"))
+        val audit =
+          (if (work.tables.contains("revocations"))
+             fresh.unionByName(work.read("revocations"))
+           else fresh)
+            // deterministic cumulative dedup per doc (min is arbitrary
+            // but stable when one doc is refused under changing rules)
+            .groupBy(col("doc_id"))
+            .agg(min(col("url")).as("url"), min(col("rule")).as("rule"))
+            .localCheckpoint(true) // reads revocations, then rewrites it
+        work.write(audit, "revocations")
+      }
+    }
+    takedownTick(plan, workDir,
+      () => if (work.tables.contains("revocations")) work.read("revocations")
+            else work.read("release_current").select(col("doc_id")).limit(0),
+      "doc_id")
   }
 
   /** Stage counts (cheap: parquet count() uses footer row counts).

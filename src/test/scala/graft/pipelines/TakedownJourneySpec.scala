@@ -117,4 +117,47 @@ class TakedownJourneySpec extends SparkSpec {
     takedown(uri(1))
     assert(work.count("release_current") == 5L && work.count("fp_index") == 5L)
   }
+
+  test("revocationTick: robots refusals audit + take down; the audit survives replay") {
+    val genDir = tmpDir("graft_rev_gen_")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$genDir/a.warc"),
+      warcFile((0 until 6).map(i => response(uri(i), pages(i)))))
+    val workDir = tmpDir("graft_rev_work_")
+    val work = new graft.sources.ParquetConnector(spark, workDir)
+    val plan0 = new Plan(spark, PlanConfig(pidDir = tmpDir("graft_rev_pid_")))
+    TrainingDataPipeline.crawlTick(plan0, genDir, workDir,
+      minQuality = 0.0, langs = Seq("en"), minhashThreshold = 0.5)
+    plan0.run()
+    assert(work.count("release_current") == 6L)
+    // today's robots revokes pages 3 and 4
+    val robots = spark.range(1).select(
+      xxhash64(lit("example.org")).as("hkey"),
+      lit("User-agent: *\nDisallow: /p/3\nDisallow: /p/4\n").as("txt"))
+    def sweep(steps: Seq[String] = Seq.empty): Unit = {
+      val plan = new Plan(spark, PlanConfig(pidDir = tmpDir("graft_rev_pid_")))
+      TrainingDataPipeline.revocationTick(plan, workDir, robots,
+        "hkey", "txt", "graftbot")
+      plan.run(steps)
+    }
+    // crash after the release drop: the audit and pending are staged,
+    // the release forgot, the indexes have NOT (mirrored ordering)
+    sweep(Seq("revoke_audit", "take_stage", "take_release"))
+    assert(work.count("release_current") == 4L)
+    assert(work.count("revocations") == 2L)
+    assert(work.count("fp_index") == 6L)
+    // full replay: revoke_audit matches nothing in the release now, but
+    // the audit rows UNION-survive and the indexes retire from pending
+    sweep()
+    assert(work.count("release_current") == 4L)
+    assert(work.count("fp_index") == 4L)
+    assert(work.read("mh_index").select("_id").distinct().count() == 4L)
+    assert(work.count("revocations") == 2L, "the audit log must survive replay")
+    assert(!work.tables.contains("takedown_pending"))
+    val rules = work.read("revocations").collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("rule")).toMap
+    assert(rules == Map(uri(3) -> "/p/3", uri(4) -> "/p/4"), rules.toString)
+    // a second sweep under the same robots is a no-op
+    sweep()
+    assert(work.count("release_current") == 4L && work.count("revocations") == 2L)
+  }
 }
