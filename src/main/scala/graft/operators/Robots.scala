@@ -421,11 +421,26 @@ object Robots {
     // authority escapes normalize too (ADVICE r17 — §6.2.2.2 applies to
     // every component): decode-THEN-fold, so `ex%41mple.com` and
     // `example.com` meet ('%41' must surface as 'A' before the case
-    // fold); the rare escape surviving the unreserved decode (an
-    // encoded non-ASCII octet — dirty input in a hostname) is
-    // case-folded WITH the host rather than uppercased, one spelling
-    // either way
-    var authority = normEscapes(m.group(2)).toLowerCase
+    // fold). The case fold applies only to UNESCAPED characters: an
+    // escape surviving the unreserved decode (an encoded non-ASCII
+    // octet — dirty input in a hostname) keeps normEscapes' uppercase
+    // hex, §6.2.2.1's convention (ADVICE r18 — a .toLowerCase over the
+    // whole component re-lowercased the escapes, so hosts canonicalized
+    // by an external RFC-conformant tool would never join ours).
+    def foldUnescaped(s: String): String = {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length &&
+            Character.digit(s.charAt(i + 1), 16) >= 0 &&
+            Character.digit(s.charAt(i + 2), 16) >= 0) {
+          sb.append(s, i, i + 3); i += 3
+        } else { sb.append(Character.toLowerCase(c)); i += 1 }
+      }
+      sb.toString
+    }
+    var authority = foldUnescaped(normEscapes(m.group(2)))
     if ((scheme == "http" && authority.endsWith(":80")) ||
         (scheme == "https" && authority.endsWith(":443")))
       authority = authority.substring(0, authority.lastIndexOf(':'))
@@ -483,10 +498,22 @@ object Robots {
     * ties, realized as one argmax over (pattern length, allow, pattern)
     * — the final lexicographic leg only disambiguates equal-length
     * same-verdict duplicates so the DECIDING RULE column is
-    * deterministic too. */
+    * deterministic too.
+    *
+    * The rules join is SALTED on the host key (VERDICT r18 #6): without
+    * it, one mega-host — 10⁸ released URLs under a single hostname in a
+    * full-web revocation sweep — lands its entire probe side in one
+    * join task whenever the rules side is too large to broadcast. Each
+    * URL row derives a deterministic salt from its path, the
+    * host-bounded rules side replicates across the `hostSalt` salt
+    * values (RFC-capped rows × a small constant), and the join keys on
+    * (host, salt) — same pairs, `hostSalt`-way parallel on the hottest
+    * host. The downstream argmax groups by (host, path), whose fan-in
+    * is rules-per-host-bounded, so no skew survives the join. */
   def urlGate(robots: DataFrame, keyCol: String, txtCol: String,
               urls: DataFrame, urlKeyCol: String, pathCol: String,
-              userAgent: String): DataFrame = {
+              userAgent: String, hostSalt: Int = 16): DataFrame = {
+    require(hostSalt >= 1, s"hostSalt must be >= 1, got $hostSalt")
     val spark = robots.sparkSession
     import spark.implicits._
     val parse: (Long, String) => Seq[(Long, Boolean, String, String)] =
@@ -495,9 +522,12 @@ object Robots {
       .as[(Long, String)]
       .flatMap { case (k, txt) => parse(k, txt) }
       .toDF(keyCol, "_allow", "_rule", "_rx")
+      .withColumn("_salt", explode(array((0 until hostSalt).map(s => lit(s)): _*)))
     val keyed = urls.select(col(urlKeyCol).cast("long").as(keyCol),
       col(pathCol).as("_path")).distinct()
-    val matched = keyed.join(rules, Seq(keyCol))
+    val matched = keyed
+      .withColumn("_salt", pmod(xxhash64(col("_path")), lit(hostSalt.toLong)).cast("int"))
+      .join(rules, Seq(keyCol, "_salt"))
       .filter(regexp_like(col("_path"), col("_rx")))
       .groupBy(col(keyCol), col("_path"))
       .agg(max(struct(length(col("_rule")).as("l"),

@@ -843,9 +843,20 @@ object TrainingDataPipeline {
 
     plan.step("take_stage") {
       if (work.tables.contains("release_current")) {
+        // loud removal-key guard (ADVICE r18): a silent cast("long")
+        // turned a malformed removal id into null, which matches no
+        // release row — the takedown (a DMCA/PII compliance action)
+        // no-ops and the plan reports success. The longKeyed-style
+        // try_cast + named assert_true makes a bad feed fail the step.
+        val rm = removals()
+          .select(expr(s"try_cast(`$idCol` AS BIGINT)").as("doc_id"))
+          .filter(assert_true(col("doc_id").isNotNull,
+            lit(s"takedownTick: non-numeric or null $idCol in the removals " +
+              "feed — a malformed takedown list must fail loudly, not " +
+              "silently remove nothing")).isNull)
+          .distinct()
         val matched = work.read("release_current")
-          .join(removals().select(col(idCol).cast("long").as("doc_id")).distinct(),
-            Seq("doc_id"), "left_semi")
+          .join(rm, Seq("doc_id"), "left_semi")
           .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
         val pending =
           (if (work.tables.contains("takedown_pending"))
@@ -941,9 +952,15 @@ object TrainingDataPipeline {
              fresh.unionByName(work.read("revocations"))
            else fresh)
             // deterministic cumulative dedup per doc (min is arbitrary
-            // but stable when one doc is refused under changing rules)
+            // but stable when one doc is refused under changing rules).
+            // ONE atomic min(struct) — not independent min(url)/min(rule)
+            // (ADVICE r18): the kept (url, rule) pair must come from one
+            // OBSERVED refusal row, never a chimera pairing a url with a
+            // rule that refused a different spelling in another sweep.
             .groupBy(col("doc_id"))
-            .agg(min(col("url")).as("url"), min(col("rule")).as("rule"))
+            .agg(min(struct(col("url"), col("rule"))).as("_best"))
+            .select(col("doc_id"), col("_best.url").as("url"),
+              col("_best.rule").as("rule"))
             .localCheckpoint(true) // reads revocations, then rewrites it
         work.write(audit, "revocations")
       }

@@ -224,11 +224,15 @@ class RobotsSpec extends SparkSpec {
     // octet in the host must meet its plain spelling
     assert(c("http://ex%41mple.com/") == "http://example.com/")
     assert(c("http://EX%61MPLE.com:80/x") == "http://example.com/x")
-    // a surviving (non-unreserved) authority escape case-folds with the
-    // host — one spelling either way
-    assert(c("http://h%C3%A9st.com/") == "http://h%c3%a9st.com/")
+    // a surviving (non-unreserved) authority escape keeps §6.2.2.1's
+    // UPPERCASE hex (ADVICE r18) while the unescaped host chars fold —
+    // the same convention normEscapes applies to path/query, so an
+    // external RFC-conformant canonicalizer produces the same spelling
+    assert(c("http://H%c3%a9ST.com/") == "http://h%C3%A9st.com/")
+    assert(c("http://h%C3%A9st.com/") == "http://h%C3%A9st.com/")
     // idempotence holds through the authority leg
-    Seq("http://ex%41mple.com/", "http://h%C3%A9st.com/").foreach { u =>
+    Seq("http://ex%41mple.com/", "http://h%C3%A9st.com/",
+      "http://H%c3%a9ST.com/").foreach { u =>
       assert(c(c(u)) == c(u), u)
     }
   }
