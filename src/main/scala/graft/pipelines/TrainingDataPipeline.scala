@@ -602,20 +602,27 @@ object TrainingDataPipeline {
     * append, between append and index writes, between indexes and the
     * CDX rotation — converges to the same release with no lost and no
     * duplicated rows: un-promoted CDX re-derives the same delta, and
-    * already-indexed docs dedup to nothing. The index appends
-    * themselves are SELF-HEALING (ADVICE r17): each index learns the
-    * release rows its id set is missing — computed from
-    * `release_current`, not from this tick's recomputed survivor set —
-    * so a crash BETWEEN index writes (which makes the replayed
-    * survivor set empty, since `fp_index` already learned the batch)
-    * still converges: the next tick finds the batch's doc_ids released
-    * but absent from `mh_index` and tops the sketch up. The heal joins
-    * move ids only (release text is fetched by a delta-sized semi-join
-    * after the id anti-join), so steady-state cost stays O(delta +
-    * index-id scan). One documented tail: a doc whose EVERY band
-    * bucket hit `maxBucketSize` contributes no index rows and is
-    * re-selected each tick (re-signed, zero rows re-appended) — the
-    * same degenerate-bucket population the periodic
+    * already-indexed docs dedup to nothing. The index appends are
+    * SELF-HEALING and GENERATION-WATERMARKED (ADVICE r17, then VERDICT
+    * r18 #3): every release append stamps its rows with a declared
+    * generation (`tick_state`, see [[GenState]]), each index tracks the
+    * highest generation it has fully absorbed, and the rows an index
+    * still needs are exactly `release._gen > watermark` — a
+    * footer-pruned parquet scan of the suspect window, in steady state
+    * this tick's delta and nothing else. A crash BETWEEN index writes
+    * (which makes the replayed survivor set empty, since `fp_index`
+    * already learned the batch) leaves the mh watermark stale, so the
+    * replay re-derives the stranded generation and tops the sketch up;
+    * a crash that moved only SOME of an append's part-files is
+    * completed ROW-granularly (the recomputed rows anti-join the
+    * suspect generations' index rows on their natural key — the
+    * ADVICE r18 half-indexed-doc tail cannot persist). The heal never
+    * re-scans the corpus id set or distinct-shuffles the index ids; a
+    * watermark already at the release generation skips the leg
+    * driver-side. One documented tail: a doc whose EVERY band bucket
+    * hit `maxBucketSize` contributes no index rows and is re-selected
+    * each suspect replay (re-signed, zero rows re-appended) — the same
+    * degenerate-bucket population [[maintenanceTick]]'s periodic
     * [[graft.operators.Dedup.minhashIndex]] rebuild re-caps. */
   def crawlTick(plan: Plan, newWarcDir: String, workDir: String,
                 extractor: String = "strip",
@@ -716,60 +723,149 @@ object TrainingDataPipeline {
            containmentThresholdFp, maxBucketSize = maxBucketSize))
           .localCheckpoint(true) // sever lineage before every write below
       work.write(kept, "delta_release")
-      // the DURABLE sink, idempotent by doc_id, BEFORE any index append:
-      // a crash in any later window replays to zero novel rows, never a
-      // duplicate; a crash before this line replays the identical delta
+
+      // ---- durable release append, rows stamped with this tick's
+      // GENERATION (VERDICT r18 #3). One-time migration first: a
+      // pre-generation workdir stamps every existing row generation 0
+      // (release and each index pay one full rewrite, once); its
+      // watermarks are then established by the legacy id-presence heal
+      // below, and every later tick prunes by generation.
+      for (t <- Seq("release_current", "fp_index", "mh_index", "chunk_index"))
+        if (work.tables.contains(t) && !work.read(t).columns.contains("_gen"))
+          work.write(work.read(t).withColumn("_gen", lit(0L)), t)
+      val st0 = GenState.read(work)
+      val relGen0 = st0.getOrElse("release",
+        if (work.tables.contains("release_current")) 0L else -1L)
+      val g = relGen0 + 1L
+      var relGen = relGen0
+      // the sink append is idempotent by doc_id, and runs BEFORE any
+      // index learns the batch: a crash in any later window replays to
+      // zero novel rows, never a duplicate; a crash before this line
+      // replays the identical delta. The generation is DECLARED in
+      // `tick_state` BEFORE its rows land — a crash between the two
+      // leaves an empty declared generation (harmless: its suspect
+      // window prunes to nothing), while the reverse order would
+      // strand freshly-stamped rows above every watermark forever.
       if (work.tables.contains("release_current")) {
         val novel = kept.join(work.read("release_current").select("doc_id"),
-          Seq("doc_id"), "left_anti").localCheckpoint(true)
-        work.write(novel, "release_current", org.apache.spark.sql.SaveMode.Append)
-      } else work.write(kept, "release_current")
-      // only now may the indexes learn the batch — and they learn it
-      // SELF-HEALINGLY (ADVICE r17): each index tops up from the
-      // release rows its own id set is missing (in steady state exactly
-      // this batch; after a crash between index writes, also the
-      // stranded docs a replayed survivor set would have lost forever).
-      // The id anti-join moves 8-byte ids; the text rides only on the
-      // delta-sized semi-join result.
-      def unindexed(indexedIds: DataFrame): DataFrame = {
-        val missing = work.read("release_current").select(col("doc_id"))
-          .join(indexedIds, Seq("doc_id"), "left_anti")
-        work.read("release_current").join(missing, Seq("doc_id"), "left_semi")
-      }
-      val mhIds =
-        if (hasMh) work.read("mh_index").select(col("_id").as("doc_id")).distinct()
-        else clean.select(col("doc_id")).limit(0)
-      val toIndex = unindexed(mhIds).localCheckpoint(true)
-      // fp_index maintenance is APPEND-ONLY (VERDICT r17 #1): anti-join
-      // the new fingerprints against the index and append — the
-      // mh_index treatment below — never union().distinct() + full
-      // overwrite, which would shuffle and rewrite the corpus-sized
-      // index every tick. fp append runs BEFORE the mh append; the
-      // self-heal set is keyed on mh ids, so the fp top-up covers every
-      // reachable crash window.
-      val fpNew = Dedup.fingerprintIndex(toIndex, "text")
-        .join(fpIdx.select(col("fp")), Seq("fp"), "left_anti")
-        .localCheckpoint(true)
-      if (hasFp) work.write(fpNew, "fp_index", org.apache.spark.sql.SaveMode.Append)
-      else work.write(fpNew, "fp_index")
-      val newBands = Dedup.minhashIndex(toIndex, "text", "doc_id",
-        numHashes, bands, shingleLen, maxBucketSize)
-      if (hasMh) work.write(newBands, "mh_index", org.apache.spark.sql.SaveMode.Append)
-      else work.write(newBands, "mh_index")
-      if (containment) {
-        // self-heal doubles as first-enable BACKFILL: turning the gate
-        // on over an existing release finds every released doc missing
-        // from the (new) chunk index and indexes it — a one-time
-        // O(release-text) pass, after which ticks are delta-priced
-        val chunkIds =
-          if (hasChunk) work.read("chunk_index").select(col("doc_id")).distinct()
-          else clean.select(col("doc_id")).limit(0)
-        val chunkNew = Dedup.chunkIndex(unindexed(chunkIds), "text", "doc_id")
+          Seq("doc_id"), "left_anti").withColumn("_gen", lit(g))
           .localCheckpoint(true)
-        if (hasChunk) work.write(chunkNew, "chunk_index",
-          org.apache.spark.sql.SaveMode.Append)
-        else work.write(chunkNew, "chunk_index")
+        if (novel.head(1).nonEmpty) {
+          relGen = g
+          GenState.write(spark, work, st0 + ("release" -> g))
+          work.write(novel, "release_current", org.apache.spark.sql.SaveMode.Append)
+        }
+      } else {
+        relGen = g
+        GenState.write(spark, work, st0 + ("release" -> g))
+        work.write(kept.withColumn("_gen", lit(g)), "release_current")
       }
+
+      // ---- index appends: gen-watermarked, self-healing, O(delta).
+      // Each index's watermark (`wm_<index>` in tick_state) is the
+      // highest release generation it has FULLY absorbed; the rows it
+      // still needs are exactly `release._gen > wm` — a parquet scan
+      // whose pushed-down generation predicate prunes every settled
+      // file by footer stats, so the steady-state tick reads only the
+      // delta it just appended and NEVER re-scans the corpus id set or
+      // distinct-shuffles the index ids (the r18 verdict's cost
+      // finding). A watermark at the current release generation skips
+      // the index's whole heal leg driver-side — zero scans. Without a
+      // watermark (first enable, recovery, pre-gen upgrade) the legacy
+      // id-presence heal runs once to establish it.
+      //
+      // Idempotency is ROW-granular inside the suspect window: the
+      // recomputed index rows anti-join the index rows of suspect
+      // generations on their natural key, so a crash that moved only
+      // SOME of an append's part-files (additiveAppend moves files one
+      // at a time — the ADVICE r18 half-indexed-doc tail) is topped up
+      // band-by-band/chunk-by-chunk on replay, not skipped by bare id
+      // presence. Both sides of that anti-join are generation-pruned —
+      // suspect windows are delta-sized.
+      val rel = work.read("release_current")
+      def needing(wm: Option[Long], legacyIds: => DataFrame): DataFrame = wm match {
+        case Some(w) => rel.filter(col("_gen") > w)
+        case None =>
+          val missing = rel.select(col("doc_id"))
+            .join(legacyIds, Seq("doc_id"), "left_anti")
+          rel.join(missing, Seq("doc_id"), "left_semi")
+      }
+      def mhIds =
+        if (work.tables.contains("mh_index"))
+          work.read("mh_index").select(col("_id").as("doc_id")).distinct()
+        else clean.select(col("doc_id")).limit(0)
+      // fp append runs BEFORE the mh append; the legacy fp heal is
+      // keyed on mh ids, so the fp top-up covers every reachable
+      // pre-watermark crash window (VERDICT r17 #1 lineage).
+      val wmFp = if (work.tables.contains("fp_index")) st0.get("wm_fp") else None
+      if (!wmFp.exists(_ >= relGen)) {
+        val candFp = needing(wmFp, mhIds)
+        val fpRows = candFp.select(
+          graft.functions.TextFunctions.fingerprint(col("text")).as("fp"),
+          col("_gen"))
+        val fpAppend = (wmFp match {
+          case Some(w) => fpRows.join(
+            work.read("fp_index").filter(col("_gen") > w).select(col("fp")),
+            Seq("fp"), "left_anti")
+          case None if work.tables.contains("fp_index") => fpRows.join(
+            work.read("fp_index").select(col("fp")), Seq("fp"), "left_anti")
+          case None => fpRows
+        }).localCheckpoint(true)
+        if (work.tables.contains("fp_index"))
+          work.write(fpAppend, "fp_index", org.apache.spark.sql.SaveMode.Append)
+        else work.write(fpAppend, "fp_index")
+      }
+      val wmMh = if (work.tables.contains("mh_index")) st0.get("wm_mh") else None
+      if (!wmMh.exists(_ >= relGen)) {
+        val candMh = needing(wmMh, mhIds).localCheckpoint(true)
+        val newBands = Dedup.minhashIndex(candMh, "text", "doc_id",
+            numHashes, bands, shingleLen, maxBucketSize)
+          .join(candMh.select(col("doc_id").as("_id"), col("_gen")), Seq("_id"))
+        val mhAppend = (wmMh match {
+          case Some(w) => newBands.join(
+            work.read("mh_index").filter(col("_gen") > w)
+              .select(col("_id"), col("_band")),
+            Seq("_id", "_band"), "left_anti")
+          case None => newBands // legacy candidates are id-absent already
+        }).localCheckpoint(true)
+        if (work.tables.contains("mh_index"))
+          work.write(mhAppend, "mh_index", org.apache.spark.sql.SaveMode.Append)
+        else work.write(mhAppend, "mh_index")
+      }
+      if (containment) {
+        // watermark doubles as first-enable BACKFILL: turning the gate
+        // on finds no wm_chunk, so the legacy heal indexes every
+        // released doc once — a one-time O(release-text) pass; turning
+        // it OFF and back on later replays only the missed generations
+        // (the watermark kept counting while the gate was off).
+        val wmCh = if (work.tables.contains("chunk_index")) st0.get("wm_chunk") else None
+        if (!wmCh.exists(_ >= relGen)) {
+          def chunkIds =
+            if (work.tables.contains("chunk_index"))
+              work.read("chunk_index").select(col("doc_id")).distinct()
+            else clean.select(col("doc_id")).limit(0)
+          val candCh = needing(wmCh, chunkIds).localCheckpoint(true)
+          val newChunks = Dedup.chunkIndex(candCh.drop("_gen"), "text", "doc_id")
+            .join(candCh.select(col("doc_id"), col("_gen")), Seq("doc_id"))
+          val chAppend = (wmCh match {
+            case Some(w) => newChunks.join(
+              work.read("chunk_index").filter(col("_gen") > w)
+                .select(col("doc_id"), col("chunk_md5")),
+              Seq("doc_id", "chunk_md5"), "left_anti")
+            case None => newChunks
+          }).localCheckpoint(true)
+          if (work.tables.contains("chunk_index"))
+            work.write(chAppend, "chunk_index", org.apache.spark.sql.SaveMode.Append)
+          else work.write(chAppend, "chunk_index")
+        }
+      }
+      // watermarks advance LAST, and only to the generation whose index
+      // rows are durably down: a crash anywhere above leaves them
+      // stale, and the replay's suspect-window anti-joins converge to
+      // the same index with no duplicates and no lost rows.
+      val wmUpdates = Map("wm_fp" -> relGen, "wm_mh" -> relGen) ++
+        (if (containment) Map("wm_chunk" -> relGen) else Map.empty[String, Long])
+      GenState.write(spark, work, GenState.read(work) ++ wmUpdates)
     }
 
     plan.step("tick_promote") {
@@ -969,6 +1065,31 @@ object TrainingDataPipeline {
       () => if (work.tables.contains("revocations")) work.read("revocations")
             else work.read("release_current").select(col("doc_id")).limit(0),
       "doc_id")
+  }
+
+  /** The tiny per-workdir generation table the incremental ticks
+    * maintain (`tick_state`, a handful of rows, atomically
+    * overwritten): `release` = the highest release-append generation
+    * DECLARED (declared before its rows land, so no crash can strand
+    * stamped rows above it), and `wm_<index>` = the highest generation
+    * that index has FULLY absorbed. The gap `(wm, release]` is an
+    * index's suspect window — in steady state exactly the current
+    * tick's delta, after a crash also the stranded generations a
+    * replayed survivor set would otherwise lose; either way the heal
+    * scans prune to it by the pushed-down `_gen` predicate
+    * (VERDICT r18 #3: the heal no longer re-scans the corpus id set or
+    * distinct-shuffles the index ids every tick). */
+  private[pipelines] object GenState {
+    val Table = "tick_state"
+    def read(work: ParquetConnector): Map[String, Long] =
+      if (work.tables.contains(Table))
+        work.read(Table).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      else Map.empty
+    def write(spark: org.apache.spark.sql.SparkSession, work: ParquetConnector,
+              state: Map[String, Long]): Unit = {
+      import spark.implicits._
+      work.write(state.toSeq.sortBy(_._1).toDF("name", "gen"), Table)
+    }
   }
 
   /** Stage counts (cheap: parquet count() uses footer row counts).

@@ -154,18 +154,26 @@ class CrawlTickJourneySpec extends SparkSpec {
     assert(work.count("fp_index") == 15L)
 
     // ── tick 5: the ADVICE r17 crash window — fp_index learned the
-    // batch but the crash hit BEFORE the mh append (simulated by
-    // deleting one released doc's sketch rows) and before the CDX
-    // promotion. The old batch-derived append could never heal this:
-    // the replayed survivor set is EMPTY (fp_index knows the batch), so
-    // newBands would stay empty and near-dup detection against that doc
-    // would be silently degraded forever. The self-healing append tops
-    // the sketch up from the release rows the mh id set is missing.
+    // batch but the crash hit BEFORE the mh append completed (simulated
+    // by deleting one released doc's sketch rows AND rolling the mh
+    // watermark back to the pre-batch generation: a real crash in that
+    // window leaves both — the rows unwritten and `wm_mh` stale) and
+    // before the CDX promotion. The old batch-derived append could
+    // never heal this: the replayed survivor set is EMPTY (fp_index
+    // knows the batch), so newBands would stay empty and near-dup
+    // detection against that doc would be silently degraded forever.
+    // The watermarked heal re-derives the suspect generation's rows
+    // and row-granularly appends exactly the missing ones.
     val wounded = released3.filter(col("text").contains(pages(12)))
       .select("doc_id").collect().head.getLong(0)
     val mhHealthy = work.read("mh_index")
       .filter(col("_id") =!= wounded).localCheckpoint(true)
     work.write(mhHealthy, "mh_index")
+    val rolledBack = work.read("tick_state")
+      .withColumn("gen",
+        when(col("name") === "wm_mh", col("gen") - 1).otherwise(col("gen")))
+      .localCheckpoint(true)
+    work.write(rolledBack, "tick_state")
     assert(work.read("mh_index").select("_id").distinct().count() == 14L)
     work.drop("cdx_current")
     work.rename("cdx_previous", "cdx_current")
@@ -220,6 +228,53 @@ class CrawlTickJourneySpec extends SparkSpec {
     assert(released.filter(col("url") === uri(4)).count() == 1L)
     // chunk index self-heals/appends to exactly the release id set
     assert(work.read("chunk_index").select("doc_id").distinct().count() == 4L)
+  }
+
+  test("plan evidence (VERDICT r18 #3): the heal's suspect scan pushes the generation " +
+    "predicate to parquet, and a steady tick's watermarks equal the release generation " +
+    "(the driver-side skip — no index or corpus id scan at all)") {
+    val gen0Dir = tmpDir("graft_wm_gen0_")
+    val gen1Dir = tmpDir("graft_wm_gen1_")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$gen0Dir/a.warc"),
+      warcFile(Seq(response(uri(0), pages(0)), response(uri(1), pages(1)))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$gen1Dir/a.warc"),
+      warcFile(Seq(response(uri(0), pages(0)), response(uri(1), pages(1)),
+        response(uri(2), pages(2)))))
+    val workDir = tmpDir("graft_wm_work_")
+    def tick(dir: String): Unit = {
+      val plan = new Plan(spark, PlanConfig(pidDir = tmpDir("graft_wm_pid_")))
+      TrainingDataPipeline.crawlTick(plan, dir, workDir,
+        minQuality = 0.0, langs = Seq("en"), minhashThreshold = 0.5)
+      plan.run()
+    }
+    val work = new graft.sources.ParquetConnector(spark, workDir)
+    tick(gen0Dir); tick(gen1Dir)
+    def state: Map[String, Long] = work.read("tick_state").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val st = state
+    assert(st("release") == 1L && st("wm_fp") == 1L && st("wm_mh") == 1L, st.toString)
+    // the exact scan shape tick_publish's `needing` issues inside a
+    // suspect window: the generation predicate reaches the parquet
+    // scan (PushedFilters), so footer min/max stats prune every
+    // settled generation's files — the heal reads the delta, never the
+    // corpus
+    val cand = work.read("release_current").filter(col("_gen") > lit(0L))
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        return scansIn(a.executedPlan)
+    }
+    val scan = scansIn(cand.queryExecution.executedPlan).head
+    assert(scan.metadata("PushedFilters").contains("GreaterThan(_gen,0)"),
+      scan.metadata("PushedFilters"))
+    assert(cand.count() == 1L, "the suspect window is exactly the last delta")
+    // steady replay: watermarks already equal the release generation,
+    // which is tick_publish's driver-side guard (`wm >= relGen` skips
+    // the whole heal leg) — the steady tick constructs NO index scan
+    // and NO release re-scan for any index
+    tick(gen1Dir)
+    assert(state == st, "a steady tick must not move generations or watermarks")
   }
 
   test("langs = Nil disables the language gate (quality still applies)") {
