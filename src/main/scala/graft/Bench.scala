@@ -301,7 +301,10 @@ object Bench {
     // prior, the robots-revocation audit, and the takedown tick (the
     // last two plan-backed over a per-rep temp workspace)
     "q_crawl_alias", "q_sitemap_priority", "q_robots_revoke", "q_takedown",
-    "q_revocation_tick")
+    "q_revocation_tick",
+    // r19: the domain-notice takedown composition and the
+    // index/release maintenance tick (mh re-cap rebuild + compaction)
+    "q_takedown_domain", "q_maintenance_tick")
 
   /** Median over the SUCCESSFUL reps (failures are recorded as -1.0 in
     * the runs matrix); -1.0 when every rep failed, so a broken query is

@@ -3294,6 +3294,137 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_takedown_domain" -> ((s, dir) => {
+      // domain-level takedown (VERDICT r18 #2): planted release urls
+      // cycle five host shapes per doc — a www subdomain, an
+      // ALIAS-spelled apex (case + default port), a deep subdomain
+      // under a co.uk registrant (the PSL leg), an innocent look-alike
+      // that shares the spelling but not a label boundary, and an
+      // unrelated host. The notice names bad<k>.com and bad<k>.co.uk
+      // (k = doc_id % 7); removal is pure id arithmetic: hosts 0-2
+      // removed, 3-4 kept, with membership checked in the release and
+      // every index after the four-step tick.
+      val id = col("doc_id").cast("string")
+      val k = (col("doc_id") % 7).cast("string")
+      val root = element_at(array(
+        concat(lit("http://www.bad"), k, lit(".com")),
+        concat(lit("HTTP://BAD"), k, lit(".COM:80")),
+        concat(lit("http://deep.sub.bad"), k, lit(".co.uk")),
+        concat(lit("http://goodbad"), k, lit(".com")),
+        concat(lit("http://news.other"), k, lit(".org"))),
+        (col("doc_id") % 5 + 1).cast("int"))
+      val docs = T(s, dir, "documents").filter(col("doc_id") % 31 === 0)
+        .select(col("doc_id"),
+          concat(lit("domain takedown article "), id, lit(" :: "), col("text"))
+            .as("text"),
+          concat(root, lit("/p/"), id).as("url"))
+      val work = java.nio.file.Files.createTempDirectory("graft_takedom_")
+        .toString
+      val conn = new sources.ParquetConnector(s, work)
+      conn.write(docs, "release_current")
+      conn.write(operators.Dedup.fingerprintIndex(docs, "text"), "fp_index")
+      conn.write(operators.Dedup.minhashIndex(docs, "text", "doc_id"), "mh_index")
+      conn.write(operators.Dedup.chunkIndex(docs, "text", "doc_id"), "chunk_index")
+      val notices = docs.select((col("doc_id") % 7).cast("string").as("k")).distinct()
+        .select(explode(array(
+          concat(lit("bad"), col("k"), lit(".com")),
+          concat(lit("bad"), col("k"), lit(".co.uk")))).as("domain"))
+      val plan = new plans.Plan(s, plans.PlanConfig(pidDir = work + "/pid"))
+      pipelines.TrainingDataPipeline.takedownByDomain(plan, work, notices)
+      plan.run()
+      val rel = conn.read("release_current").select(col("doc_id"))
+        .withColumn("_rel", lit(true))
+      val mh = conn.read("mh_index").select(col("_id").as("doc_id")).distinct()
+        .withColumn("_mh", lit(true))
+      val ch = conn.read("chunk_index").select(col("doc_id")).distinct()
+        .withColumn("_ch", lit(true))
+      val fp = conn.read("fp_index").select(col("fp").as("_fp"))
+        .withColumn("_infp", lit(true))
+      docs.withColumn("_fp", TextFunctions.fingerprint(col("text")))
+        .join(rel, Seq("doc_id"), "left").join(mh, Seq("doc_id"), "left")
+        .join(ch, Seq("doc_id"), "left").join(fp, Seq("_fp"), "left")
+        .select(col("doc_id"), (col("doc_id") % 5 <= 2).as("removed"),
+          coalesce(col("_rel"), lit(false)).as("in_release"),
+          coalesce(col("_infp"), lit(false)).as("in_fp"),
+          coalesce(col("_mh"), lit(false)).as("in_mh"),
+          coalesce(col("_ch"), lit(false)).as("in_chunk"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_maintenance_tick" -> ((s, dir) => {
+      // the index/release MAINTENANCE tick (VERDICT r18 #1) as a corpus
+      // query, exercising the re-cap semantics end-to-end: every 62nd
+      // doc is planted as a TRIO — the doc plus two clones (one base
+      // sentence cyclically repeated 3/4/5 times: identical word-
+      // trigram shingle SETS, hence identical minhash signatures and
+      // the same bucket in every band, while the texts and
+      // fingerprints stay distinct) — so at maxBucketSize = 2 the
+      // initial index build caps all three out of every band: the doc
+      // has ZERO sketch rows (the documented degenerate tail). The
+      // clones are then taken down, and the maintenance rebuild
+      // re-caps against the surviving corpus: the stranded doc becomes
+      // probeable. Output per surviving doc: whether it sat in the mh
+      // index BEFORE maintenance (false exactly for the stranded
+      // docs), and its membership everywhere after — pure id
+      // arithmetic.
+      val id = col("doc_id").cast("string")
+      val base = T(s, dir, "documents").filter(col("doc_id") % 31 === 0)
+      val filler = base.filter(col("doc_id") % 62 =!= 0)
+        .select(col("doc_id"),
+          concat(lit("maintenance article "), id, lit(" body "), md5(id),
+            lit(" "), md5(concat(id, lit("x")))).as("text"))
+      val sentence = concat(lit("maint "), id, lit(" alpha beta gamma delta"))
+      val trio = base.filter(col("doc_id") % 62 === 0)
+        .select(col("doc_id"), explode(array(
+          struct(col("doc_id").as("i"),
+            concat_ws(" ", sentence, sentence, sentence).as("t")),
+          struct((-col("doc_id") - 1).as("i"),
+            concat_ws(" ", sentence, sentence, sentence, sentence).as("t")),
+          struct((-col("doc_id") - 2).as("i"),
+            concat_ws(" ", sentence, sentence, sentence, sentence, sentence)
+              .as("t")))).as("e"))
+        .select(col("e.i").as("doc_id"), col("e.t").as("text"))
+      val docs = filler.unionByName(trio)
+      val work = java.nio.file.Files.createTempDirectory("graft_mainq_")
+        .toString
+      val conn = new sources.ParquetConnector(s, work)
+      conn.write(docs, "release_current")
+      conn.write(operators.Dedup.fingerprintIndex(docs, "text"), "fp_index")
+      conn.write(operators.Dedup.minhashIndex(docs, "text", "doc_id",
+        maxBucketSize = 2), "mh_index")
+      conn.write(operators.Dedup.chunkIndex(docs, "text", "doc_id"), "chunk_index")
+      val preMh = conn.read("mh_index").select(col("_id").as("doc_id")).distinct()
+        .withColumn("_pre", lit(true)).localCheckpoint(true)
+      val tplan = new plans.Plan(s, plans.PlanConfig(pidDir = work + "/pid"))
+      pipelines.TrainingDataPipeline.takedownTick(tplan, work,
+        docs.filter(col("doc_id") < 0).select(col("doc_id")))
+      tplan.run()
+      val mplan = new plans.Plan(s, plans.PlanConfig(pidDir = work + "/pid2"))
+      pipelines.TrainingDataPipeline.maintenanceTick(mplan, work,
+        maxBucketSize = 2)
+      mplan.run()
+      val rel = conn.read("release_current").select(col("doc_id"))
+        .withColumn("_rel", lit(true))
+      val mh = conn.read("mh_index").select(col("_id").as("doc_id")).distinct()
+        .withColumn("_mh", lit(true))
+      val ch = conn.read("chunk_index").select(col("doc_id")).distinct()
+        .withColumn("_ch", lit(true))
+      val fp = conn.read("fp_index").select(col("fp").as("_fp"))
+        .withColumn("_infp", lit(true))
+      docs.filter(col("doc_id") >= 0)
+        .withColumn("_fp", TextFunctions.fingerprint(col("text")))
+        .join(preMh, Seq("doc_id"), "left")
+        .join(rel, Seq("doc_id"), "left").join(mh, Seq("doc_id"), "left")
+        .join(ch, Seq("doc_id"), "left").join(fp, Seq("_fp"), "left")
+        .select(col("doc_id"), (col("doc_id") % 62 === 0).as("recapped"),
+          coalesce(col("_pre"), lit(false)).as("was_in_mh"),
+          coalesce(col("_rel"), lit(false)).as("in_release"),
+          coalesce(col("_infp"), lit(false)).as("in_fp"),
+          coalesce(col("_mh"), lit(false)).as("in_mh"),
+          coalesce(col("_ch"), lit(false)).as("in_chunk"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_content_chunks" -> ((s, dir) =>
       // content-defined chunking (rsync/FastCDC boundaries at word
       // granularity): boundary after every word whose md5 opens below
@@ -7525,6 +7656,28 @@ object SparkEntry {
         |            ELSE '' END AS rule,
         |       doc_id % 3 = 0 AS in_release, doc_id % 3 = 0 AS in_fp,
         |       doc_id % 3 = 0 AS in_mh, doc_id % 3 = 0 AS in_chunk
+        |FROM documents WHERE doc_id % 31 = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // Domain-takedown replay: hosts 0-2 of the five-way cycle (www
+    // subdomain, alias-spelled apex, deep co.uk subdomain) fall under
+    // the noticed domains; the look-alike and the unrelated host stay.
+    "q_takedown_domain" ->
+      """SELECT doc_id, doc_id % 5 <= 2 AS removed,
+        |       doc_id % 5 > 2 AS in_release, doc_id % 5 > 2 AS in_fp,
+        |       doc_id % 5 > 2 AS in_mh, doc_id % 5 > 2 AS in_chunk
+        |FROM documents WHERE doc_id % 31 = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // Maintenance replay: the trio docs (≡ 0 mod 62) were capped out of
+    // the mh index at build time (was_in_mh = false) and become
+    // probeable after the clones' takedown + the rebuild's re-cap;
+    // every surviving doc ends in the release and all three indexes.
+    "q_maintenance_tick" ->
+      """SELECT doc_id, doc_id % 62 = 0 AS recapped,
+        |       doc_id % 62 <> 0 AS was_in_mh,
+        |       true AS in_release, true AS in_fp,
+        |       true AS in_mh, true AS in_chunk
         |FROM documents WHERE doc_id % 31 = 0
         |ORDER BY doc_id""".stripMargin,
 

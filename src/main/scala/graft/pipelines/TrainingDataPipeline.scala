@@ -998,6 +998,170 @@ object TrainingDataPipeline {
     plan
   }
 
+  /** The index/release MAINTENANCE tick (VERDICT r18 #1) — the third
+    * lifecycle leg after ingest ([[crawlTick]]) and retraction
+    * ([[takedownTick]]): every ingest tick APPENDS a file set to
+    * `release_current` and each persisted index (after ~500 weekly
+    * ticks the "O(delta)" reads pay a 500-generation file-listing
+    * tax), and the mh index's per-batch bucket caps can strand a doc
+    * whose every band bucket was hot when it arrived — zero index
+    * rows, invisible to every later near-dup probe. Run this on a
+    * maintenance cadence (weekly/monthly against daily ingest ticks):
+    *
+    *   `maint_rebuild_mh` — rebuild `mh_index` from `release_current`
+    *                        ([[graft.operators.Dedup.minhashIndex]] —
+    *                        the periodic rebuild that index's own
+    *                        contract promises; MUST use the ingest
+    *                        ticks' numHashes/bands/shingleLen): re-caps
+    *                        degenerate buckets against TODAY'S corpus —
+    *                        a doc whose hot bucket-mates have since
+    *                        been taken down becomes probeable again —
+    *                        and, being a full rebuild, also clears any
+    *                        pre-watermark half-indexed tail. The
+    *                        rebuilt rows are stamped at the current
+    *                        release generation and `wm_mh` set to it
+    *                        (empty suspect window).
+    *   `maint_compact`    — [[graft.operators.Layout.compactSmallFiles]]
+    *                        over `release_current`, the three indexes,
+    *                        and the `revocations` audit:
+    *                        ⌈bytes / targetFileBytes⌉ files replace the
+    *                        per-tick fragments. Shuffle-free (the scan
+    *                        groups small files into splits, `coalesce`
+    *                        narrows) with an atomic swap per table.
+    *                        Reference analog: the retention role of the
+    *                        mysqldump sink's prune step
+    *                        ([[graft.operators.Archive]], `archive.rb`).
+    *
+    * Probe-equivalence contract (journey-spec-pinned): compaction never
+    * changes a row; the mh rebuild changes exactly the capped tail —
+    * same params ⇒ identical rows wherever no bucket crossed the cap.
+    * Post-compaction the `_gen` file clustering coarsens, which is
+    * safe: watermarks equal the release generation after any completed
+    * tick, so later suspect scans prune to post-maintenance appends.
+    * Cost is O(release + index bytes) IO by design — that is what
+    * compaction means — scheduled, not per-ingest-tick. */
+  def maintenanceTick(plan: Plan, workDir: String,
+                      numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 3,
+                      maxBucketSize: Int = 2000,
+                      targetFileBytes: Long = 128L << 20,
+                      rebuildMinhash: Boolean = true): Plan = {
+    val work = new ParquetConnector(plan.spark, workDir)
+
+    plan.step("maint_rebuild_mh") {
+      if (rebuildMinhash && work.tables.contains("release_current")) {
+        val rel = work.read("release_current")
+        val relGen = GenState.read(work).getOrElse("release", 0L)
+        val rebuilt = Dedup.minhashIndex(rel, "text", "doc_id",
+            numHashes, bands, shingleLen, maxBucketSize)
+          .withColumn("_gen", lit(relGen))
+        work.write(rebuilt, "mh_index")
+        GenState.write(plan.spark, work, GenState.read(work) + ("wm_mh" -> relGen))
+      }
+    }
+
+    plan.step("maint_compact") {
+      Seq("release_current", "fp_index", "mh_index", "chunk_index", "revocations")
+        .filter(t => work.tables.contains(t) && work.count(t) > 0L)
+        .foreach { t =>
+          val (before, after) = graft.operators.Layout.compactSmallFiles(
+            plan.spark,
+            java.nio.file.Paths.get(workDir, t + ".parquet").toString,
+            targetFileBytes)
+          plan.logger.info(s"maintenance: $t compacted $before -> $after files")
+        }
+    }
+    plan
+  }
+
+  /** Domain-level takedown (VERDICT r18 #2) — the most common legal
+    * notice shape: remove every released capture whose URL lives under
+    * one of `domains` (one registered domain or host per row of
+    * `domainCol`). A notice domain matches a release row when the
+    * row's CANONICAL host ([[graft.operators.Robots.canonicalUrl]] —
+    * so case/port/escape alias spellings of a noticed domain's pages
+    * are removed too) equals the domain or is a dot-subdomain of it;
+    * naming a registered domain therefore covers every host under it,
+    * and naming one host covers exactly that subtree.
+    *
+    * Overbroad notices fail LOUDLY
+    * ([[graft.functions.PublicSuffix.registeredDomain]] resolves the
+    * notice itself): a "domain" that is a bare public suffix
+    * (`co.uk`, `com`) would suffix-match half the release — a
+    * notice-sized eager guard refuses it by name, before any step
+    * mutates state, instead of quietly mass-deleting.
+    *
+    * Scale shape: the release pays one codegen'd canonicalize+extract
+    * scan; each host explodes into its ≤ label-count dot-suffixes and
+    * EQUI-semi-joins the broadcast notice list (no nested-loop
+    * suffix matching), and the matched ids feed [[takedownTick]]'s
+    * four mirrored-crash-contract steps unchanged. */
+  def takedownByDomain(plan: Plan, workDir: String, domains: DataFrame,
+                       domainCol: String = "domain",
+                       urlCol: String = "url"): Plan = {
+    val work = new ParquetConnector(plan.spark, workDir)
+    takedownTick(plan, workDir, () => {
+      import graft.operators.Robots
+      val dom = domains
+        .select(lower(trim(col(domainCol))).as("_dom")).distinct()
+      // the guard is EAGER, on the notice list alone — not an in-plan
+      // assert_true: through the `_suffix === _dom` equi-join, constraint
+      // propagation would re-infer an in-plan predicate onto the RELEASE
+      // side's suffixes (every host's `.com` tail would trip it). The
+      // list is notice-sized by nature, so the validation action is a
+      // bounded driver check, and it fails BEFORE any step mutates state.
+      val bad = dom.filter(col("_dom").isNull || col("_dom") === "" ||
+          graft.functions.PublicSuffix.registeredDomain(col("_dom")) === "")
+        .limit(5).collect()
+        .map(r => Option(r.getString(0)).map("'" + _ + "'").getOrElse("null"))
+      require(bad.isEmpty,
+        s"takedownByDomain: ${bad.mkString(", ")} — empty or bare public " +
+          "suffix notice; refusing an overbroad takedown")
+      work.read("release_current")
+        .withColumn("_canon", Robots.canonicalUrlCol(col(urlCol)))
+        .withColumn("_host",
+          regexp_extract(col("_canon"), "^[a-z0-9+.\\-]+://(?:[^/@]*@)?([^/:]+)", 1))
+        .withColumn("_n", explode(sequence(lit(1), size(split(col("_host"), "\\.")))))
+        .withColumn("_suffix", expr("substring_index(_host, '.', -_n)"))
+        .join(dom.hint("broadcast"), col("_suffix") === col("_dom"), "left_semi")
+        .select(col("doc_id"))
+    }, "doc_id")
+  }
+
+  /** URL-PREFIX takedown — the finer notice shape ("everything under
+    * `https://site.com/user/123/`"): both the notice prefixes and the
+    * released URLs canonicalize first, so alias spellings on either
+    * side meet. String-prefix semantics on the canonical form: end a
+    * prefix with `/` to name a path subtree (a bare `/user` prefix
+    * also matches `/username` — standard prefix-notice caveat), and
+    * keep prefixes query-free (the canonical form sorts query
+    * parameters). Non-absolute prefixes fail loudly. The prefix list
+    * is notice-sized and broadcasts; the release pays one canonicalize
+    * scan and a broadcast prefix semi-join. */
+  def takedownByUrlPrefix(plan: Plan, workDir: String, prefixes: DataFrame,
+                          prefixCol: String = "url_prefix",
+                          urlCol: String = "url"): Plan = {
+    val work = new ParquetConnector(plan.spark, workDir)
+    takedownTick(plan, workDir, () => {
+      import graft.operators.Robots
+      val pre = prefixes
+        .select(Robots.canonicalUrlCol(trim(col(prefixCol))).as("_pre")).distinct()
+      // eager notice-sized guard (see takedownByDomain on why not an
+      // in-plan assert)
+      val bad = pre.filter(col("_pre").isNull ||
+          !col("_pre").rlike("^[a-z0-9+.\\-]+://"))
+        .limit(5).collect()
+        .map(r => Option(r.getString(0)).map("'" + _ + "'").getOrElse("null"))
+      require(bad.isEmpty,
+        s"takedownByUrlPrefix: ${bad.mkString(", ")} — not absolute URL " +
+          "prefixes; refusing the notice")
+      work.read("release_current")
+        .withColumn("_canon", Robots.canonicalUrlCol(col(urlCol)))
+        .join(pre.hint("broadcast"), col("_canon").startsWith(col("_pre")),
+          "left_semi")
+        .select(col("doc_id"))
+    }, "doc_id")
+  }
+
   /** The robots-REVOCATION sweep — the compliance composition the
     * takedown tick exists for: audit every RELEASED capture against
     * TODAY'S robots ([[graft.operators.Robots.urlGate]] — a site that

@@ -160,4 +160,58 @@ class TakedownJourneySpec extends SparkSpec {
     sweep()
     assert(work.count("release_current") == 4L && work.count("revocations") == 2L)
   }
+
+  test("domain + url-prefix takedowns: canonical aliases and subdomains removed, " +
+    "public-suffix notices refused loudly (VERDICT r18 #2)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("url", StringType)))
+    def art(i: Int) = s"takedown domain article $i holds entirely unique words n$i"
+    val docs = df(schema, Seq(
+      Row(1L, art(1), "http://www.badguy.com/a"),        // subdomain of notice
+      Row(2L, art(2), "HTTP://BADGUY.COM:80/b?x=1"),     // alias spelling of apex
+      Row(3L, art(3), "http://deep.sub.badguy.com/c"),   // deep subdomain
+      Row(4L, art(4), "http://goodbadguy.com/d"),        // suffix must align on a label
+      Row(5L, art(5), "http://shop.victim.co.uk/e"),     // registered domain under co.uk
+      Row(6L, art(6), "http://news.example.org/f"),
+      Row(7L, art(7), "http://keep.org/general/x"),
+      Row(8L, art(8), "http://KEEP.ORG:80/user/123/img"))) // prefix case, alias-spelled
+    val workDir = tmpDir("graft_dom_work_")
+    val work = new graft.sources.ParquetConnector(spark, workDir)
+    work.write(docs, "release_current")
+    work.write(graft.operators.Dedup.fingerprintIndex(docs, "text"), "fp_index")
+    work.write(graft.operators.Dedup.minhashIndex(docs, "text", "doc_id"), "mh_index")
+    val domSchema = StructType(Seq(StructField("domain", StringType)))
+
+    val dplan = new Plan(spark, PlanConfig(pidDir = tmpDir("graft_dom_pid_")))
+    TrainingDataPipeline.takedownByDomain(dplan, workDir,
+      df(domSchema, Seq(Row(" BadGuy.com "), Row("victim.co.uk"))))
+    dplan.run()
+    def releasedIds: Set[Long] = work.read("release_current")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(releasedIds == Set(4L, 6L, 7L, 8L),
+      s"notice must cover apex aliases + all subdomains, nothing more: $releasedIds")
+    assert(work.read("mh_index").select("_id").distinct().count() == 4L)
+    assert(work.count("fp_index") == 4L)
+
+    // an overbroad notice — a bare public suffix — must fail the plan
+    // loudly instead of quietly deleting every .co.uk capture
+    val oplan = new Plan(spark, PlanConfig(pidDir = tmpDir("graft_dom_pid_")))
+    TrainingDataPipeline.takedownByDomain(oplan, workDir,
+      df(domSchema, Seq(Row("co.uk"))))
+    val e = intercept[Exception](oplan.run())
+    assert(e.getMessage != null || e.getCause != null)
+    assert(releasedIds == Set(4L, 6L, 7L, 8L), "the refused notice removed nothing")
+
+    // url-prefix notice: the alias-spelled capture under /user/ goes,
+    // the sibling path stays
+    val pplan = new Plan(spark, PlanConfig(pidDir = tmpDir("graft_dom_pid_")))
+    TrainingDataPipeline.takedownByUrlPrefix(pplan, workDir,
+      df(StructType(Seq(StructField("url_prefix", StringType))),
+        Seq(Row("HTTP://keep.org:80/user/"))))
+    pplan.run()
+    assert(releasedIds == Set(4L, 6L, 7L))
+    assert(work.count("fp_index") == 3L)
+  }
 }
