@@ -195,7 +195,13 @@ object ScaleBench {
     // release and all three indexes — must stay IO-linear) and the
     // canonical-keyed alias diff (codegen'd canonicalization + the CDX
     // reductions)
-    "q_takedown", "q_crawl_alias")
+    "q_takedown", "q_crawl_alias",
+    // r19 wave: the revocation sweep (release scan + host-bounded rules
+    // join + broadcast-anti retirements — the r18 verdict's missing
+    // stress point), the domain-notice takedown (canonicalize scan +
+    // suffix-explode equi-join), and the maintenance tick (full mh
+    // rebuild + compaction — O(corpus) by design, must stay IO-linear)
+    "q_revocation_tick", "q_takedown_domain", "q_maintenance_tick")
 
   /** Scale-bench-local variants, NOT part of the driver correctness
     * contract. r15 FLIPPED the cluster-split default (VERDICT r14 #1)
