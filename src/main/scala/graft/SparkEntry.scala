@@ -654,8 +654,13 @@ object SparkEntry {
       val arith = Some(Dsir.polyBucket(256) _)
       val table = Dsir.importanceTable(d, d.filter(col("source") === "src1"), "text",
         numBuckets = 256, bucket = arith)
+      // materialize the narrow per-doc weight table once (r19): the
+      // resample's eager boundary pass AND the final output both read
+      // it — lazy, the corpus n-gram scoring ran twice (the q_ppl_mix
+      // scored-projection pattern)
       val w = Dsir.importanceWeights(d, "text", "doc_id", table,
         numBuckets = 256, bucket = arith)
+        .localCheckpoint(true)
       Dsir.resampleTop(w, "doc_id", 0.3).orderBy(col("doc_id"))
     }),
 
@@ -668,8 +673,10 @@ object SparkEntry {
       val arith = Some(Dsir.polyBucket(256) _)
       val table = Dsir.importanceTable(d, d.filter(col("source") === "src1"), "text",
         numBuckets = 256, bucket = arith)
+      // same boundary-pass + final-output double-read as q_dsir (r19)
       val w = Dsir.importanceWeights(d, "text", "doc_id", table,
         numBuckets = 256, bucket = arith)
+        .localCheckpoint(true)
       Dsir.resampleGumbel(w, "doc_id", 0.3, temperature = 1.0, seed = 12345L)
         .select(col("doc_id"), col("lw_fixed"), col("gumbel_fixed"), col("kept"))
         .orderBy(col("doc_id"))

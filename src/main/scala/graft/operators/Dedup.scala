@@ -461,15 +461,22 @@ object Dedup {
       keyed.join(counts.filter(col("_bc") <= maxBlockSize).select(col("_block")),
         Seq("_block"), "left_semi")
     }
+    // r19: native distinct-shingle + set-overlap expressions (same
+    // values, codegen'd — see replayableMinhashPairs) in place of the
+    // CodegenFallback transform/intersect/union lambda chain
     val prep = bounded.select(col("_id"), col("_block"),
-      array_distinct(shingles(col("_text"), n)).as("_sh"))
+      ColumnBridge.column(graft.functions.DistinctShingles(
+        ColumnBridge.expression(TextFunctions.normalizeForFingerprint(col("_text"))),
+        n)).as("_sh"))
     val l = prep.select(col("_block"), col("_id").as("id_a"), col("_sh").as("_sh_a"))
     val r = prep.select(col("_block"), col("_id").as("id_b"), col("_sh").as("_sh_b"))
+    val overlap = ColumnBridge.column(graft.functions.SetOverlap(
+      ColumnBridge.expression(col("_sh_a")), ColumnBridge.expression(col("_sh_b"))))
     l.join(r, Seq("_block"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("double") /
-          size(array_union(col("_sh_a"), col("_sh_b")))).as("jaccard"))
+        (overlap.cast("double") /
+          (size(col("_sh_a")) + size(col("_sh_b")) - overlap)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -525,11 +532,20 @@ object Dedup {
                              maxBucketSize: Int = 2000): DataFrame = {
     require(numHashes >= 1 && numHashes <= 64,
       s"numHashes must be in [1, 64], got $numHashes")
-    // barrier before the banding projection references _sh numHashes
-    // times — same CollapseProject re-evaluation hazard as
-    // minhashCandidates' signature pass
+    // r19 (guide §4): the composed shingle/banding chain was two layers
+    // of higher-order lambdas (array_distinct∘transform, then one
+    // transform per band) — CodegenFallback, so the whole projection
+    // ran interpreted and each band's md5 paid a concat + hex string
+    // per shingle. The native expressions compute the bit-identical
+    // values (same md5 inputs, same lexicographic mins, same distinct
+    // shingle sets — Md5LshExpressionsSpec pins parity) in one
+    // codegen'd pass. The barrier repartition stays: the banding
+    // projection references _sh, and the pairing groupBy would
+    // otherwise re-evaluate the shingle scan per band reference.
     val prep = ensureParallel(df).select(col(idCol).as("_id"),
-        array_distinct(shingles(col(textCol), n)).as("_sh"))
+        ColumnBridge.column(graft.functions.DistinctShingles(
+          ColumnBridge.expression(TextFunctions.normalizeForFingerprint(col(textCol))),
+          n)).as("_sh"))
       // drop NULL-text and sub-n-token docs HERE, not downstream: an
       // empty shingle set would minhash to a null bucket (all short
       // docs colliding) and verify to 0/0 = NaN, which Spark's NaN
@@ -537,16 +553,20 @@ object Dedup {
       // empty unnest produces no rows at all
       .filter(size(col("_sh")) > 0)
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val bandHashes = array((0 until numHashes).map(i =>
-      array_min(transform(col("_sh"),
-        s => md5(concat(lit(s"$i:"), s).cast("binary"))))): _*)
+    val bandHashes = ColumnBridge.column(graft.functions.Md5BandMins(
+      ColumnBridge.expression(col("_sh")), numHashes))
     val banded = prep.select(col("_id"), col("_sh"),
       posexplode(bandHashes).as(Seq("_band", "_bucket")))
+    // |∩| natively; |∪| = |a| + |b| − |∩| on the already-distinct
+    // shingle arrays — the same double as size(intersect)/size(union)
+    // without materializing either result array per pair
+    val overlap = ColumnBridge.column(graft.functions.SetOverlap(
+      ColumnBridge.expression(col("pa")), ColumnBridge.expression(col("pb"))))
     bucketPairs(banded, Seq("_band", "_bucket"), "_id", "_sh", maxBucketSize)
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"),
-        (size(array_intersect(col("pa"), col("pb"))).cast("double") /
-          size(array_union(col("pa"), col("pb")))).as("jaccard"))
+        (overlap.cast("double") /
+          (size(col("pa")) + size(col("pb")) - overlap)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .distinct() // same pair from multiple bands has identical jaccard
   }
@@ -1194,13 +1214,16 @@ object Dedup {
     require(boundaryHex >= 1 && boundaryHex <= 15,
       s"boundaryHex must be in [1, 15], got $boundaryHex")
     require(maxDocChars >= 1, s"maxDocChars must be >= 1, got $maxDocChars")
-    val boundaryCut = java.lang.Integer.toHexString(boundaryHex)
-    // row-level empty filter, not an array HOF: split(trim, \s+) only
-    // yields an empty token for the all-whitespace doc (one token at
-    // pos 0, which the filter drops with positions unchanged), and a
-    // lambda here would knock the whole projection out of
-    // whole-stage codegen (CodegenFallback)
-    val words = ensureParallel(df)
+    // r19 optimization (guide §2.4): chunking is row-local by
+    // construction — a doc's boundaries depend only on its own words —
+    // yet the composed plan paid TWO corpus-text shuffles (the per-doc
+    // window's partition+sort, then the groupBy's collect_list of the
+    // same word bytes). The native cdc_chunks expression computes the
+    // bit-identical chunk rows (same \s+ words, same md5 boundary cut,
+    // same joined chunk_text and md5 — CdcExpressionsSpec pins parity
+    // against the old composition) inside whole-stage codegen with zero
+    // exchanges.
+    ensureParallel(df)
       // null text coalesces to 0 (the no-row doc, same as before);
       // assert_true returns NULL on pass, so the filter keeps every
       // compliant row while pinning the guard into the plan
@@ -1210,22 +1233,13 @@ object Dedup {
           col(idCol).cast("string"),
           lit(" ("), length(col(textCol)).cast("string"),
           lit(" chars) — pre-chunk upstream or raise the cap"))).isNull)
-      .select(col(idCol),
-        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("_pos", "_w")))
-      .filter(length(col("_w")) > 0)
-      .withColumn("_b", when(substring(md5(col("_w")), 1, 1) < boundaryCut, 1L)
-        .otherwise(0L))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("_pos"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    words
-      .withColumn("chunk_idx", coalesce(sum(col("_b")).over(win), lit(0L)))
-      .groupBy(col(idCol), col("chunk_idx"))
-      .agg(array_sort(collect_list(struct(col("_pos"), col("_w")))).as("_s"))
-      .select(col(idCol), col("chunk_idx"),
-        array_join(col("_s._w"), " ").as("chunk_text"),
-        size(col("_s")).cast("long").as("n_words"))
-      .withColumn("chunk_md5", md5(col("chunk_text")))
+      .select(col(idCol), explode(ColumnBridge.column(
+        graft.functions.CdcChunksExpr(
+          ColumnBridge.expression(col(textCol)), boundaryHex))).as("_c"))
+      .select(col(idCol), col("_c.chunk_idx").as("chunk_idx"),
+        col("_c.chunk_text").as("chunk_text"),
+        col("_c.n_words").as("n_words"),
+        col("_c.chunk_md5").as("chunk_md5"))
   }
 
   /** Chunk-CONTAINMENT near-dup pairs over [[contentDefinedChunks]]:
@@ -1254,22 +1268,25 @@ object Dedup {
                             maxBucketSize: Int = 2000): DataFrame = {
     require(thresholdFp >= 0L && thresholdFp <= 1000000L,
       s"thresholdFp is millionths in [0, 1e6], got $thresholdFp")
-    // per-(doc, digest) word mass; localCheckpoint: the pairing AND the
-    // doc totals both read it (the psiFromCounts multi-read pattern)
-    val mass = contentDefinedChunks(df, textCol, idCol, boundaryHex)
-      .groupBy(col(idCol), col("chunk_md5"))
-      .agg(sum(col("n_words")).as("_mass"))
-      .localCheckpoint(true)
-    val shared = bucketPairs(mass, Seq("chunk_md5"), idCol, "_mass", maxBucketSize)
+    // r19: the native chunk-mass rows carry doc_words on every row, so
+    // the doc totals ride the bucket payload as a struct instead of a
+    // second aggregation + two joins back onto the pair table (and the
+    // localCheckpoint that multi-read needed). One scan, one bucket
+    // groupBy, one pair groupBy — same rows out.
+    val mass = chunkMass(df, textCol, idCol, boundaryHex)
+      .select(col(idCol), col("chunk_md5"),
+        struct(col("mass"), col("doc_words")).as("_p"))
+    bucketPairs(mass, Seq("chunk_md5"), idCol, "_p", maxBucketSize)
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"),
-        least(col("pa"), col("pb")).as("_sh")) // symmetric min survives the swap
+        least(col("pa.mass"), col("pb.mass")).as("_sh"), // symmetric min survives the swap
+        when(col("ia") < col("ib"), col("pa.doc_words"))
+          .otherwise(col("pb.doc_words")).as("_wa"),
+        when(col("ia") < col("ib"), col("pb.doc_words"))
+          .otherwise(col("pa.doc_words")).as("_wb"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(sum(col("_sh")).as("shared_words"))
-    val totals = mass.groupBy(col(idCol)).agg(sum(col("_mass")).as("_w"))
-    shared
-      .join(totals.select(col(idCol).as("id_a"), col("_w").as("words_a")), Seq("id_a"))
-      .join(totals.select(col(idCol).as("id_b"), col("_w").as("words_b")), Seq("id_b"))
+      .agg(sum(col("_sh")).as("shared_words"),
+        max(col("_wa")).as("words_a"), max(col("_wb")).as("words_b"))
       .withColumn("containment_a_fp", expr("shared_words * 1000000L DIV words_a"))
       .withColumn("containment_b_fp", expr("shared_words * 1000000L DIV words_b"))
       .filter(greatest(col("containment_a_fp"), col("containment_b_fp")) >= thresholdFp)
@@ -1284,13 +1301,24 @@ object Dedup {
     * extra long and saves the probe path an O(index) total-recompute
     * per tick. */
   private def chunkMass(df: DataFrame, textCol: String, idCol: String,
-                        boundaryHex: Int): DataFrame = {
-    val mass = contentDefinedChunks(df, textCol, idCol, boundaryHex)
-      .groupBy(col(idCol), col("chunk_md5"))
-      .agg(sum(col("n_words")).as("mass"))
-    val totals = mass.groupBy(col(idCol)).agg(sum(col("mass")).as("doc_words"))
-    mass.join(totals, Seq(idCol))
-  }
+                        boundaryHex: Int): DataFrame =
+    // r19: the per-(doc, digest) rollup and the doc-totals join are
+    // row-local too (both aggregate WITHIN one document) — the native
+    // mass expression emits the identical rows with zero shuffles where
+    // the composition paid a groupBy(doc, digest) exchange plus a
+    // doc-totals self-join (two more corpus-keyed exchanges).
+    ensureParallel(df)
+      .filter(assert_true(
+        coalesce(length(col(textCol)), lit(0)) <= (16 << 20),
+        concat(lit(s"contentDefinedChunks: document over maxDocChars=${16 << 20}: "),
+          col(idCol).cast("string"),
+          lit(" ("), length(col(textCol)).cast("string"),
+          lit(" chars) — pre-chunk upstream or raise the cap"))).isNull)
+      .select(col(idCol), explode(ColumnBridge.column(
+        graft.functions.CdcChunkMassExpr(
+          ColumnBridge.expression(col(textCol)), boundaryHex))).as("_m"))
+      .select(col(idCol), col("_m.chunk_md5").as("chunk_md5"),
+        col("_m.mass").as("mass"), col("_m.doc_words").as("doc_words"))
 
   /** The persisted CDC chunk index (VERDICT r16 #2 — the chunk family's
     * [[minhashIndex]] analog): one row per (doc, chunk digest) with the

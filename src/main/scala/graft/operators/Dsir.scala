@@ -119,6 +119,13 @@ object Dsir {
                log((coalesce(col("_cr"), lit(0L)).cast("double") + lit(addK)) /
                    (coalesce(col("_nr"), lit(0L)).cast("double") + lit(kB)))) * lit(1e8))
           .cast("long").as("_lrF"))
+      // r19: materialize the fitted table (exactly numBuckets rows).
+      // Lazy, it sat under a broadcast inside the SCORING plan, so the
+      // resample's eager boundary pass and the final output each
+      // re-counted BOTH corpora's n-gram streams; checkpointed, the two
+      // featurization passes run once per fit, like the persisted model
+      // of LanguageModel.train.
+      .localCheckpoint(true)
   }
 
   /** Score every document of `corpus`: (id, n_ngrams, lw_fixed,

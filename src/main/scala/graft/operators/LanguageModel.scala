@@ -98,7 +98,14 @@ object LanguageModel {
     val vocabTokens = TextFunctions.vocabulary(ref, textCol, vocabSize)
       .select("token").collect().map(_.getString(0))
     val mapped = mapUnk(bigramStream(ref, textCol, lit(0L)), vocabTokens)
+    // r19: materialize the bigram count table at train time. It was
+    // lazy, and [[scoreNll]] joins BOTH `bigrams` and `totals` — two
+    // plan references, so every scoring run re-tokenized and re-counted
+    // the whole reference slice twice. The table is model-sized
+    // (distinct UNK-mapped bigram types, ≤ (V+1)²), i.e. exactly what a
+    // save/load lifecycle would persist — not a corpus cache.
     val bigrams = mapped.groupBy("_w1", "_w2").agg(count(lit(1)).as("_c12"))
+      .localCheckpoint(true)
     val totals = bigrams.groupBy("_w1").agg(sum("_c12").as("_c1"))
     BigramLm(vocabTokens, bigrams, totals)
   }
@@ -292,11 +299,22 @@ object LanguageModel {
     val vocabTokens = TextFunctions.vocabulary(ref, textCol, vocabSize)
       .select("token").collect().map(_.getString(0))
     val m = mapUnk3(trigramStream(ref, textCol, lit(0L)), vocabTokens)
+    // r19: materialize the trigram count table (and the continuation
+    // bigrams derived from it) at train time. Both were lazy, and the
+    // five count tables a [[knTrigramNll]] scoring join references all
+    // derive from `tri` — so one scoring run re-tokenized and
+    // re-counted the reference slice FIVE times (tri, pre12, contBi,
+    // contMid, contUni), plus twice more for trainKn's own eager
+    // n1pAll/t1Types counts. Checkpointed, the reference corpus is
+    // tokenized exactly once; everything downstream aggregates
+    // model-sized tables — the same rows [[saveKn]] would persist.
     val tri = m.groupBy("_w1", "_w2", "_w3").agg(count(lit(1)).as("_c3"))
+      .localCheckpoint(true)
     val pre12 = tri.groupBy("_w1", "_w2")
       .agg(sum("_c3").as("_t12"), count(lit(1)).as("_n12"))
     val contBi = tri.groupBy("_w2", "_w3")
       .agg(countDistinct("_w1").as("_n1p23"))
+      .localCheckpoint(true)
     val contMid = contBi.groupBy("_w2")
       .agg(sum("_n1p23").as("_t2c"), count(lit(1)).as("_n2f"))
     val contUni = contBi.groupBy("_w3").agg(count(lit(1)).as("_n1p3"))

@@ -108,6 +108,11 @@ object Layout {
     require(dataFiles.nonEmpty, s"compactSmallFiles: no data files under $path")
     val totalBytes = dataFiles.map(_.getLen).sum
     val target = math.max(1L, (totalBytes + targetFileBytes - 1L) / targetFileBytes).toInt
+    // r19: already-compact tables no-op — a maintenance tick over a
+    // mostly-settled workdir must not pay a full rewrite of every table
+    // that has nothing to compact (the rewrite is the cost the skip
+    // guards; correctness is unchanged either way)
+    if (dataFiles.length <= target) return (dataFiles.length, dataFiles.length)
     val dir = java.nio.file.Paths.get(path).getParent
     val tmp = java.nio.file.Paths.get(dir.toString,
       s".tmp_compact_${System.nanoTime()}")

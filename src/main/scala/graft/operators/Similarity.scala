@@ -127,7 +127,7 @@ object Similarity {
                      nlist: Int, refineIterations: Int = 1): Array[(Int, Array[Double])] = {
     var centroids: Array[(Int, Array[Double])] =
       df.orderBy(col(idCol).asc).limit(nlist)
-        .select(transform(col(vecCol), _.cast("double")).as("v"))
+        .select(col(vecCol).cast("array<double>").as("v"))
         .collect().zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
     (0 until refineIterations).foreach { _ =>
@@ -135,7 +135,7 @@ object Similarity {
       // (cell, dimIdx, value) triples — narrow rows, one agg; the result
       // (nlist × dim doubles) is index metadata, safe to collect.
       val means = buildIvfIndex(df, vecCol, centroids)
-        .select(col("_cell"), posexplode(transform(col(vecCol), _.cast("double"))).as(Seq("_i", "_x")))
+        .select(col("_cell"), posexplode(col(vecCol).cast("array<double>")).as(Seq("_i", "_x")))
         .groupBy(col("_cell"), col("_i"))
         .agg((expr("CAST(SUM(CAST(_x AS DECIMAL(20,10))) AS DOUBLE)") / count(lit(1))).as("_m"))
         .collect()
@@ -433,7 +433,7 @@ object Similarity {
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m subspaces")
     val subDim = dim / m
     val seedVecs = df.orderBy(col(idCol).asc).limit(k)
-      .select(transform(col(vecCol), _.cast("double")).as("v"))
+      .select(col(vecCol).cast("array<double>").as("v"))
       .collect().map(_.getSeq[Double](0).toArray)
     require(seedVecs.length == k, s"need at least k=$k vectors to seed PQ codebooks")
     var books: Array[Array[Array[Double]]] =
@@ -442,7 +442,7 @@ object Similarity {
       val codes = array((0 until m).map(s =>
         pqNearestCode(col(vecCol), s, subDim, books(s))): _*)
       val means = df
-        .select(posexplode(transform(col(vecCol), _.cast("double"))).as(Seq("_i", "_x")),
+        .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("_i", "_x")),
           codes.as("_codes"))
         .select((col("_i") / subDim).cast("int").as("_s"),
           (col("_i") % subDim).as("_w"),
@@ -701,28 +701,36 @@ object Similarity {
     require(iters >= 1 && iters <= 32, s"iters must be in [1, 32], got $iters")
     require(scale >= 0 && scale <= 6, s"scale must be in [0, 6], got $scale")
     val p = math.pow(10.0, scale)
-    val d38 = "decimal(38,0)"
-    val q = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
-      .select(transform(col(vecCol),
-        v => floor(v.cast("double") * lit(p)).cast("long")).as("_x"))
-      .localCheckpoint(true) // the sums and products passes both read it
-    val sums = q.select(posexplode(col("_x")).as(Seq("i", "_v")))
-      .groupBy(col("i"))
-      .agg(sum(col("_v").cast(d38)).as("_s"), count(lit(1)).as("_n"))
-      .collect().map(r => r.getInt(0) -> (BigInt(r.getDecimal(1).toBigInteger), r.getLong(2)))
-      .toMap
-    require(sums.nonEmpty, "pcaPowerComponent: empty input")
-    val n = sums.head._2._2
-    val prods = q.select(explode(expr(
-        s"flatten(transform(sequence(0, ${dim - 1}), i -> " +
-          s"transform(sequence(i, ${dim - 1}), j -> " +
-          "struct(i AS i, j AS j, element_at(_x, i+1) * element_at(_x, j+1) AS xx))))"))
-        .as("_e"))
-      .select(col("_e.i").as("i"), col("_e.j").as("j"),
-        col("_e.xx").cast(d38).as("xx"))
-      .groupBy(col("i"), col("j")).agg(sum(col("xx")).as("_sxx"))
-      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
-        BigInt(r.getDecimal(2).toBigInteger)).toMap
+    // r19 (guide §2.3/§2.4): the moment pass was TWO jobs over a
+    // localCheckpoint'd quantized table — a posexplode for the d first
+    // moments, then a nested-transform lambda (CodegenFallback,
+    // interpreted) exploding d(d+1)/2 structs PER ROW through a shuffle
+    // into a decimal aggregate. The moments are a bounded (d²) driver
+    // value by the operator's own design, so one treeAggregate over the
+    // vector scan computes the identical exact integers — same
+    // quantization (floor(v·p) → long, NaN → 0 like Spark's floor),
+    // same overflowing-product error class (Math.multiplyExact ≙ the
+    // old ANSI long multiply), sums escalating to BigInt exactly where
+    // the old DECIMAL(38,0) sums were exact — with zero shuffles and
+    // zero per-row allocation. SimilaritySpec's pca tests pin outputs.
+    val nTri = dim * (dim + 1) / 2
+    val acc = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(vecCol).cast("array<double>").as("_v"))
+      .queryExecution.toRdd
+      .treeAggregate(new PcaMomentAcc(dim, nTri))(
+        seqOp = (a, row) => {
+          val arr = row.getArray(0)
+          val x = new Array[Long](dim)
+          var i = 0
+          while (i < dim) { x(i) = math.floor(arr.getDouble(i) * p).toLong; i += 1 }
+          a.add(x)
+        },
+        combOp = (a, b) => a.merge(b))
+    require(acc.n > 0, "pcaPowerComponent: empty input")
+    val n = acc.n
+    val sums = (0 until dim).map(i => i -> (acc.sumAt(i), n)).toMap
+    val prods = (for (i <- 0 until dim; j <- i until dim) yield
+      (i, j) -> acc.prodAt(i * dim - i * (i - 1) / 2 + (j - i))).toMap
     val bigN = BigInt(n)
     def m(i: Int, j: Int): BigInt = {
       val sxx = prods.getOrElse(if (i <= j) (i, j) else (j, i), BigInt(0))
@@ -762,4 +770,75 @@ object Similarity {
         org.apache.spark.sql.types.StructField("var_component",
           org.apache.spark.sql.types.DoubleType))))
   }
+}
+
+/** Exact integer moment accumulator for
+  * [[Similarity.pcaPowerComponent]]'s one-pass treeAggregate (r19):
+  * d first moments + the d(d+1)/2 upper-triangle second moments of the
+  * quantized vectors. Per-row products use `Math.multiplyExact` — the
+  * same overflow-throws contract as the old plan's ANSI long multiply —
+  * and the running sums accumulate in Long, escalating a whole array to
+  * BigInt the moment one element would overflow: exactly where the old
+  * DECIMAL(38,0) aggregation was exact, at Long-add speed on every
+  * realistic input. Driver-bounded by construction (d ≤ 512). */
+private[operators] final class PcaMomentAcc(dim: Int, nTri: Int) extends Serializable {
+  var n = 0L
+  private var sums: Array[Long] = new Array[Long](dim)
+  private var sumsBig: Array[BigInt] = null
+  private var prods: Array[Long] = new Array[Long](nTri)
+  private var prodsBig: Array[BigInt] = null
+
+  private def escalateSums(): Unit =
+    if (sumsBig == null) { sumsBig = sums.map(BigInt(_)); sums = null }
+  private def escalateProds(): Unit =
+    if (prodsBig == null) { prodsBig = prods.map(BigInt(_)); prods = null }
+
+  def add(x: Array[Long]): PcaMomentAcc = {
+    n += 1
+    var i = 0
+    while (i < dim) {
+      val v = x(i)
+      if (sumsBig == null) {
+        val s = sums(i); val r = s + v
+        if (((s ^ r) & (v ^ r)) < 0L) { escalateSums(); sumsBig(i) += BigInt(v) }
+        else sums(i) = r
+      } else sumsBig(i) += BigInt(v)
+      i += 1
+    }
+    var k = 0
+    i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val xx = Math.multiplyExact(x(i), x(j))
+        if (prodsBig == null) {
+          val s = prods(k); val r = s + xx
+          if (((s ^ r) & (xx ^ r)) < 0L) { escalateProds(); prodsBig(k) += BigInt(xx) }
+          else prods(k) = r
+        } else prodsBig(k) += BigInt(xx)
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    this
+  }
+
+  /** Merge partials — O(log partitions) calls, so both sides just
+    * escalate to BigInt (allocation-cheap at that frequency, and it
+    * keeps the arithmetic one code path). */
+  def merge(o: PcaMomentAcc): PcaMomentAcc = {
+    n += o.n
+    escalateSums(); o.escalateSums()
+    escalateProds(); o.escalateProds()
+    var i = 0
+    while (i < dim) { sumsBig(i) += o.sumsBig(i); i += 1 }
+    var k = 0
+    while (k < nTri) { prodsBig(k) += o.prodsBig(k); k += 1 }
+    this
+  }
+
+  def sumAt(i: Int): BigInt =
+    if (sumsBig != null) sumsBig(i) else BigInt(sums(i))
+  def prodAt(k: Int): BigInt =
+    if (prodsBig != null) prodsBig(k) else BigInt(prods(k))
 }

@@ -92,7 +92,12 @@ object TextClassifier {
     val mapped = mapUnk(
       tokenStream(ref, textCol, col(labelCol).cast("string")), vocabTokens)
       .withColumnRenamed("_nbid", "_label")
+    // r19: materialize the count table at train time (model-sized:
+    // ≤ labels × (vocab+1) rows). Lazy, the training corpus re-tokenized
+    // per consumer — once for the totals collect below, then once per
+    // scoring evaluation (LanguageModel.train's pattern).
     val tokenCounts = mapped.groupBy("_label", "_w").agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true)
     val totalRows = tokenCounts.groupBy("_label").agg(sum("_c").as("_tot"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // a class whose docs are all empty has zero tokens — still a valid
@@ -111,6 +116,11 @@ object TextClassifier {
                model: NaiveBayesModel, addK: Double = 0.5): DataFrame = {
     require(addK > 0.0, s"addK must be > 0, got $addK")
     val perDocClass = jointScores(df, textCol, idCol, model, addK)
+      // r19: the argmax below reads this table TWICE (the max aggregate
+      // and the tie-resolving join back) — lazy, the whole tokenize →
+      // cross → score chain ran twice per classify. Materialized, it is
+      // docs × labels narrow long rows, and the chain runs once.
+      .localCheckpoint(true)
     // exact argmax without a struct-valued agg buffer (those fall out of
     // HashAggregate): max joint per doc, join back, min label among the
     // exact-LONG ties — the same winner pattern as semanticDedup

@@ -289,7 +289,10 @@ object TrainingDataPipeline {
         val in = work.read(if (benchDir.isDefined) "docs_final" else "docs_unique")
         val target = new ParquetConnector(spark, td).read("documents")
         val table = graft.operators.Dsir.importanceTable(in, target, "text", dsirNumBuckets)
+        // narrow per-doc weights materialized once (r19): the resample's
+        // eager boundary pass and the keep-set read both consume it
         val w = graft.operators.Dsir.importanceWeights(in, "text", "doc_id", table, dsirNumBuckets)
+          .localCheckpoint(true)
         val kept = graft.operators.Dsir.resampleTop(w, "doc_id", dsirKeepFraction)
           .filter(col("kept"))
         work.write(in.join(kept.select("doc_id"), Seq("doc_id"), "left_semi"),

@@ -44,8 +44,18 @@ class Plan(val spark: SparkSession, val config: PlanConfig = PlanConfig()) {
   private def doStep(s: StepDef): Unit = {
     if (ran.contains(s.name)) return
     logger.emphatically(s"running step ${s.name}")
+    // label every job the step submits so a profiling run's UI/event
+    // timeline maps back to plan steps (optimization guide §1.5), and
+    // log the wall time so per-step cost is readable straight from the
+    // plan log — observability only, no behavioral change
+    spark.sparkContext.setJobDescription(s"step ${s.name}")
+    val t0 = System.nanoTime()
     try { s.body(); ran += s.name }
     catch { case e: Throwable => s.handler(s.name, e) }
+    finally {
+      spark.sparkContext.setJobDescription(null)
+      logger.info(f"step ${s.name} took ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
   }
 
   /** O5+O6 `activate_steps` + `do!` (`plan.rb:96-141`): pid lock →
