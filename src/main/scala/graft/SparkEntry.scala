@@ -3217,6 +3217,9 @@ object SparkEntry {
         .select(col("doc_id"),
           concat(lit("takedown article "), col("doc_id").cast("string"),
             lit(" :: "), col("text")).as("text"))
+        // one parquet scan: release + 3 index writes + the readback all
+        // derive from this planted frame (r19)
+        .localCheckpoint(true)
       val work = java.nio.file.Files.createTempDirectory("graft_takedown_")
         .toString
       val conn = new sources.ParquetConnector(s, work)
@@ -3264,6 +3267,8 @@ object SparkEntry {
           concat(lit("http://h"), (col("doc_id") % 7).cast("string"), lit(".com"),
             element_at(array(lit("/keep/"), lit("/old/"), lit("/gone/")),
               (col("doc_id") % 3 + 1).cast("int")), id).as("url"))
+        // one scan for the 4 workspace writes + robots + readback (r19)
+        .localCheckpoint(true)
       val work = java.nio.file.Files.createTempDirectory("graft_revoke_")
         .toString
       val conn = new sources.ParquetConnector(s, work)
@@ -3325,6 +3330,8 @@ object SparkEntry {
           concat(lit("domain takedown article "), id, lit(" :: "), col("text"))
             .as("text"),
           concat(root, lit("/p/"), id).as("url"))
+        // one scan for the 4 workspace writes + notices + readback (r19)
+        .localCheckpoint(true)
       val work = java.nio.file.Files.createTempDirectory("graft_takedom_")
         .toString
       val conn = new sources.ParquetConnector(s, work)
@@ -3391,7 +3398,8 @@ object SparkEntry {
             concat_ws(" ", sentence, sentence, sentence, sentence, sentence)
               .as("t")))).as("e"))
         .select(col("e.i").as("doc_id"), col("e.t").as("text"))
-      val docs = filler.unionByName(trio)
+      // one scan for the 4 workspace writes + takedown feed + readback (r19)
+      val docs = filler.unionByName(trio).localCheckpoint(true)
       val work = java.nio.file.Files.createTempDirectory("graft_mainq_")
         .toString
       val conn = new sources.ParquetConnector(s, work)

@@ -176,6 +176,29 @@ object SketchOps {
     c
   }
 
+  /** `sig_agreement(a, b) >= minAgree` with early exit in both
+    * directions — see [[SignatureAgreementAtLeast]]. */
+  def sigAgreementAtLeast(a: ArrayData, b: ArrayData, minAgree: Int): Boolean = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (minAgree > n) return false
+    if (minAgree <= 0) return true
+    val maxMiss = n - minAgree
+    var c = 0
+    var miss = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) {
+        c += 1
+        if (c >= minAgree) return true
+      } else {
+        miss += 1
+        if (miss > maxMiss) return false
+      }
+      i += 1
+    }
+    c >= minAgree
+  }
+
   /** 64-bit SimHash in one pass: per element one xxhash64 (seed 42 —
     * bit-compatible with the prior `xxhash64(token)` composition), its 64
     * bits voting +1/−1 per position; sign of each tally → output bit. */
@@ -333,4 +356,36 @@ case class WordNgramHashes(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): WordNgramHashes = copy(child = newChild)
   override def prettyName: String = "word_ngram_hashes"
+}
+
+/** `sig_agreement_at_least(array<long>, array<long>, k)` → `boolean`:
+  * whether two equal-length signatures agree on ≥ k positions —
+  * `sig_agreement(a, b) >= k` with EARLY EXIT both ways (confirmed as
+  * soon as k matches are seen, refuted as soon as n−k+1 mismatches
+  * are). For a probe join against a hot LSH bucket this is the
+  * difference between scanning 64 longs per candidate pair and
+  * scanning a handful; with k > numHashes (an est-threshold above 1.0,
+  * the bench fixture's probe-everything mode) it is constant-false
+  * with ZERO element reads. r19; used by the matched-ids path of
+  * [[graft.operators.Dedup.minhashDedupAgainst]], where the agreement
+  * VALUE is discarded and only the verdict matters. */
+case class SignatureAgreementAtLeast(left: Expression, right: Expression, minAgree: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sig_agreement_at_least needs two array<long> inputs, got $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchOps.sigAgreementAtLeast(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], minAgree)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SketchOps$$.MODULE$$.sigAgreementAtLeast($a, $b, $minAgree);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SignatureAgreementAtLeast =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sig_agreement_at_least"
 }

@@ -1159,9 +1159,16 @@ object Curation {
       .select(explode(split(
         graft.functions.TextFunctions.normalizeForFingerprint(col(textCol)), " ")).as("_w"))
       .filter(length(col("_w")) > 0)
+    // r19: the vocab and the (term, c_a, c_b) grid are vocabSize-bounded
+    // and read by MULTIPLE plan references (vocab by both count sides
+    // and the grid spine; the grid by the na/nb scalars, the total, and
+    // the output) — lazy, each reference re-tokenized the corpora. One
+    // checkpoint each caps the whole operator at ONE tokenize scan per
+    // side plus bounded-table work; na and nb also collapse to one job.
     val vocab = graft.functions.TextFunctions
       .vocabulary(a.select(col(textCol)).unionAll(b.select(col(textCol))), textCol, vocabSize)
       .select(col("token").as("term"))
+      .localCheckpoint(true)
     // one tokenize scan per side: OOV maps to UNK through the broadcast
     // vocab (the TextClassifier.mapUnk shape), then one partial-agg count
     def counts(df: DataFrame, out: String) = toks(df)
@@ -1174,8 +1181,10 @@ object Curation {
       .join(ca, Seq("term"), "left").join(cb, Seq("term"), "left")
       .withColumn("c_a", coalesce(col("c_a"), lit(0L)))
       .withColumn("c_b", coalesce(col("c_b"), lit(0L)))
-    val na = grid.agg(sum("c_a")).head().getLong(0)
-    val nb = grid.agg(sum("c_b")).head().getLong(0)
+      .localCheckpoint(true)
+    val nRow = grid.agg(sum("c_a"), sum("c_b")).head()
+    val na = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+    val nb = if (nRow.isNullAt(1)) 0L else nRow.getLong(1)
     require(na > 0L && nb > 0L, s"jsDivergence: empty side (na=$na nb=$nb)")
     val pd = col("c_a").cast("double") / lit(na.toDouble)
     val qd = col("c_b").cast("double") / lit(nb.toDouble)

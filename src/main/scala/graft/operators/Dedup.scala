@@ -342,9 +342,26 @@ object Dedup {
   def minhashDedupAgainst(delta: DataFrame, textCol: String, idCol: String,
                           index: DataFrame, numHashes: Int = 64, bands: Int = 16,
                           shingleLen: Int = 3, threshold: Double = 0.7): DataFrame = {
-    val matched = minhashAgainstIndex(delta, textCol, idCol, index,
-      numHashes, bands, shingleLen, threshold)
-      .select(col("delta_id").as(idCol)).distinct()
+    // r19: the est_jaccard VALUE is discarded here — only membership in
+    // the matched set matters — so the probe join verifies with the
+    // early-exit boolean agreement test instead of scanning all
+    // numHashes positions per colliding pair. Same matched set by
+    // construction: est = c/numHashes ≥ t  ⟺  c ≥ the smallest integer
+    // k with k/numHashes ≥ t under the identical double comparison
+    // (c/numHashes is exact for c ≤ 64). Against a HOT index bucket
+    // (boilerplate, or the bench's deliberate near-twin fixture) this
+    // is the tick-publish hot loop.
+    val minAgree = (0 to numHashes)
+      .find(k => k.toDouble / numHashes >= threshold)
+      .getOrElse(numHashes + 1)
+    val probes = bandedSignatures(delta, textCol, idCol, numHashes, bands, shingleLen)
+      .withColumnsRenamed(Map("_id" -> "_did", "_sig" -> "_dsig"))
+    val idx = index.withColumnsRenamed(Map("_id" -> "_cid", "_sig" -> "_csig"))
+    val matched = probes.join(idx, Seq("_band", "_bucket"))
+      .filter(ColumnBridge.column(graft.functions.SignatureAgreementAtLeast(
+        ColumnBridge.expression(col("_dsig")), ColumnBridge.expression(col("_csig")),
+        minAgree)))
+      .select(col("_did").as(idCol)).distinct()
     minhashDedup(delta.join(matched, Seq(idCol), "left_anti"),
       textCol, idCol, numHashes, bands, shingleLen, threshold)
   }
@@ -394,8 +411,21 @@ object Dedup {
   def minhashDedup(df: DataFrame, textCol: String, idCol: String,
                    numHashes: Int = 64, bands: Int = 16,
                    shingleLen: Int = 3, threshold: Double = 0.7): DataFrame = {
-    val losers = minhashCandidates(df, textCol, idCol, numHashes, bands, shingleLen, threshold)
-      .select(col("id_b").as(idCol)).distinct()
+    // r19: the loser set needs a VERDICT per in-bucket pair, not the
+    // est_jaccard value — the early-exit boolean agreement filter
+    // replaces the full-signature count + double division + filter
+    // (same pairs: see minhashDedupAgainst's minAgree equivalence), and
+    // losers = the pair's greater id, exactly minhashCandidates' id_b.
+    val minAgree = (0 to numHashes)
+      .find(k => k.toDouble / numHashes >= threshold)
+      .getOrElse(numHashes + 1)
+    val banded = bandedSignatures(df, textCol, idCol, numHashes, bands, shingleLen)
+    val losers = bucketPairs(banded, Seq("_band", "_bucket"), "_id", "_sig",
+        maxBucketSize = 2000)
+      .filter(ColumnBridge.column(graft.functions.SignatureAgreementAtLeast(
+        ColumnBridge.expression(col("pa")), ColumnBridge.expression(col("pb")),
+        minAgree)))
+      .select(greatest(col("ia"), col("ib")).as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
 

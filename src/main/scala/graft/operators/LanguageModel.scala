@@ -98,14 +98,13 @@ object LanguageModel {
     val vocabTokens = TextFunctions.vocabulary(ref, textCol, vocabSize)
       .select("token").collect().map(_.getString(0))
     val mapped = mapUnk(bigramStream(ref, textCol, lit(0L)), vocabTokens)
-    // r19: materialize the bigram count table at train time. It was
-    // lazy, and [[scoreNll]] joins BOTH `bigrams` and `totals` — two
-    // plan references, so every scoring run re-tokenized and re-counted
-    // the whole reference slice twice. The table is model-sized
-    // (distinct UNK-mapped bigram types, ≤ (V+1)²), i.e. exactly what a
-    // save/load lifecycle would persist — not a corpus cache.
+    // r19 note: the two scoring-plan references (`bigrams` and `totals`)
+    // both sit above the SAME groupBy exchange, which ReuseExchange
+    // already dedupes within one job — an eager train-time checkpoint
+    // here measured SLOWER (q_ppl_mix 2.51 → 2.87 s), so the table
+    // stays lazy. trainKn is different: its five tables join as five
+    // DISTINCT exchange shapes, where materializing tri/contBi wins.
     val bigrams = mapped.groupBy("_w1", "_w2").agg(count(lit(1)).as("_c12"))
-      .localCheckpoint(true)
     val totals = bigrams.groupBy("_w1").agg(sum("_c12").as("_c1"))
     BigramLm(vocabTokens, bigrams, totals)
   }

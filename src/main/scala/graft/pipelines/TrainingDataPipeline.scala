@@ -868,7 +868,11 @@ object TrainingDataPipeline {
       // the same index with no duplicates and no lost rows.
       val wmUpdates = Map("wm_fp" -> relGen, "wm_mh" -> relGen) ++
         (if (containment) Map("wm_chunk" -> relGen) else Map.empty[String, Long])
-      GenState.write(spark, work, GenState.read(work) ++ wmUpdates)
+      // state tracked in-process: st0 plus the release declaration this
+      // step may have written above — re-reading the tiny table here
+      // cost one more collect job per tick for the same map (r19)
+      val stNow = if (relGen == g) st0 + ("release" -> g) else st0
+      GenState.write(spark, work, stNow ++ wmUpdates)
     }
 
     plan.step("tick_promote") {
