@@ -335,7 +335,10 @@ class PlanEvidenceSpec extends SparkSpec {
   test("NB classify: label table broadcasts; per-(doc,label) scores aggregate map-side") {
     val docs = graft.sources.ParquetConnector.readTable(spark, s"$sf/documents.parquet")
     val m = graft.operators.TextClassifier.train(docs, "text", "lang", vocabSize = 500)
-    val out = graft.operators.TextClassifier.classify(docs, "text", "doc_id", m)
+    // r19: classify materializes the per-doc joint table (its argmax
+    // reads it twice), so the scoring cross's plan evidence lives in
+    // the jointScores subplan — assert it at its source
+    val out = graft.operators.TextClassifier.jointScores(docs, "text", "doc_id", m, 0.5)
     out.collect()
     val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     // the |labels|-row prior/denominator table is explicitly broadcast —
