@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's one-line JSON from captured sbt output;
+// sbt's "[success] Total time: ..." epilogue trailing the line broke a
+// last-line parse three rounds running (VERDICT r19 #1a). Success is
+// still signalled by the exit code.
+Global / showSuccess := false
+// ... and the default LoggedOutput strategy prefixes every forked-run
+// line with "[info] " / "[error] ", so the bare JSON line never reached
+// the driver's parser. StdoutOutput passes the forked process's streams
+// through untouched.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

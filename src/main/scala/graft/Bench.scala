@@ -615,13 +615,19 @@ object Bench {
     // the `runs` matrices for that cohort simply carry more columns.
     val subSecReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUBSEC_REPS", "7").toInt
     val warmupRequeued = scala.collection.mutable.LinkedHashSet[String]()
-    val runs: Seq[(String, Seq[(Double, Double)])] = headline.filter(selected).map { name =>
+    // Every entry is a RUNNER so that a spread-flagged query can be
+    // re-run in a later quiet window (VERDICT r19 #2b — one co-tenant
+    // burst used to condemn the whole ~20-min run). A runner returns
+    // (all reps it took, the rep subset its median/flag should use —
+    // the post-warmup-requeue tail when that fired).
+    val headlineRunners: Seq[(String, () => (Seq[(Double, Double)], Seq[Double]))] =
+      headline.filter(selected).map { name =>
       val fn = SparkEntry.queries(name)
       def rep(): (Double, Double) =
         try timedRep(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         catch { case e: Throwable =>
           diag(s"[bench] $name failed: ${e.getMessage}"); failed += name; (-1.0, -1.0) }
-      name -> {
+      name -> { () =>
         val first = (1 to reps).map(_ => rep())
         val med = median(first.map(_._1))
         val extended =
@@ -632,10 +638,12 @@ object Bench {
         // gets one more full rep set so the median lands on steady state
         if (warmupFlag(extended.map(_._1))) {
           warmupRequeued += name
-          extended ++ (1 to reps).map(_ => rep())
-        } else extended
+          val more = (1 to reps).map(_ => rep())
+          (extended ++ more, more.map(_._1))
+        } else (extended, extended.map(_._1))
       }
-    } ++ Seq[(String, () => Seq[Double])](
+    }
+    val steadyRunners: Seq[(String, () => Seq[Double])] = Seq[(String, () => Seq[Double])](
       // steady-state entries: setup untimed, so reps are flat and
       // measure the tick itself (not temp-workspace churn). Their
       // cpu_util is whole-thunk (setup included) — dilution documented.
@@ -657,29 +665,64 @@ object Bench {
         graft.streaming.IncrementalStream.sessionWindowAgg(df))),
       // r17: the incremental crawl loop's per-tick cost, indexes warm
       "q_crawl_tick_steady" -> (() => crawlTickSteady(spark, sfDir, reps))
-    ).filter(e => selected(e._1)).map { case (name, thunk) =>
-      val c0 = procCpuNanos(); val t0 = System.nanoTime()
-      val times = try thunk()
-        catch { case e: Throwable =>
-          diag(s"[bench] $name failed: ${e.getMessage}"); failed += name; Seq.fill(reps)(-1.0) }
-      val wall = (System.nanoTime() - t0) / 1e9; val c1 = procCpuNanos()
-      val util = if (c0 < 0 || c1 < 0 || wall <= 0) -1.0
-                 else math.round((c1 - c0) / 1e9 / wall * 100.0) / 100.0
-      name -> times.map(t => (t, util))
+    ).filter(e => selected(e._1))
+    val runners: Seq[(String, () => (Seq[(Double, Double)], Seq[Double]))] =
+      headlineRunners ++ steadyRunners.map { case (name, thunk) =>
+        name -> { () =>
+          val c0 = procCpuNanos(); val t0 = System.nanoTime()
+          val times = try thunk()
+            catch { case e: Throwable =>
+              diag(s"[bench] $name failed: ${e.getMessage}"); failed += name; Seq.fill(reps)(-1.0) }
+          val wall = (System.nanoTime() - t0) / 1e9; val c1 = procCpuNanos()
+          val util = if (c0 < 0 || c1 < 0 || wall <= 0) -1.0
+                     else math.round((c1 - c0) / 1e9 / wall * 100.0) / 100.0
+          (times.map(t => (t, util)), times)
+        }
+      }
+    val runsMap = scala.collection.mutable.LinkedHashMap[String, Seq[(Double, Double)]]()
+    // the rep subset each query's median and spread flag are computed
+    // from (the warmup-requeue tail when that fired; replaced wholesale
+    // by a clean quiet-window rerun below)
+    val finalTimes = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    runners.foreach { case (name, r) =>
+      val (all, fin) = r()
+      runsMap(name) = all
+      finalTimes(name) = fin
     }
-    val times = runs.map { case (k, v) => k -> v.map(_._1) }
-    // a requeued query's headline number is the median of its FINAL rep
-    // set (the steady tail) — the decaying reps stay in `runs` as
-    // evidence but must not inflate the committed median
-    val medians = times.map { case (k, v) =>
-      k -> (if (warmupRequeued.contains(k)) median(v.takeRight(reps)) else median(v))
+    // per-query contamination requeue (VERDICT r19 #2b): a co-tenant
+    // burst flags the queries it disturbed; instead of condemning the
+    // whole run, wait for a quiet window and re-run JUST those queries.
+    // The disturbed reps stay in `runs` as evidence; the committed
+    // median adopts the rerun only when the rerun itself is clean.
+    val spreadRequeued = scala.collection.mutable.LinkedHashSet[String]()
+    val flagged0 = finalTimes.collect { case (k, v) if spreadFlag(v) => k }.toSeq
+    if (flagged0.nonEmpty && !contaminated) {
+      diag(s"[bench] spread-flagged ${flagged0.mkString(", ")}; requeueing in a quiet window")
+      val runnerIdx = runners.toMap
+      waitForIdle(maxLoad, maxWaits, sleepSec = 60) // one patient gate
+      flagged0.foreach { name =>
+        waitForIdle(maxLoad, maxWaits = 1, sleepSec = 30) // quick recheck
+        spreadRequeued += name
+        val (extra, fin) = runnerIdx(name)()
+        runsMap(name) = runsMap(name) ++ extra
+        if (median(fin) >= 0 && !spreadFlag(fin)) finalTimes(name) = fin
+      }
     }
+    val times = runsMap.toSeq.map { case (k, v) => k -> v.map(_._1) }
+    val medians = finalTimes.toSeq.map { case (k, v) => k -> median(v) }
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // stdout carries millisecond-rounded medians: the driver's output
+    // capture is byte-bounded and the full-precision line blew past it
+    // (VERDICT r19 #1 — its r19 tail ends mid-JSON ~5.4 KB in). Full
+    // precision stays in the file artifact.
+    val qsShort = medians.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0) v.toString else (math.round(v * 1000.0) / 1000.0).toString)
+    }.mkString("{", ",", "}")
     val all = times.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val utilJson = runs.map { case (k, v) => "\"" + k + "\":" + v.map(_._2).mkString("[", ",", "]") }
+    val utilJson = runsMap.toSeq.map { case (k, v) => "\"" + k + "\":" + v.map(_._2).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val spreadFlagged = times.collect { case (k, v) if spreadFlag(v) => k }
+    val spreadFlagged = finalTimes.toSeq.collect { case (k, v) if spreadFlag(v) => k }
     // `value` = total of medians over the timed set (headline + the
     // steady-state tick entries), comparable round-over-round on the
     // name intersection
@@ -704,7 +747,12 @@ object Bench {
     // board). Per-query evidence stays in spread_flagged either way.
     val dirty = contaminated || spreadFlagged.size >= 2
     val warmupJson = warmupRequeued.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val common = s""""reps":$reps,"sf":"$sfDir","load_pre":$preLoad,"load_post":$postLoad,"cores":$cores,"contaminated":$dirty,"spread_flagged":$spreadJson,"warmup_requeued":$warmupJson,"steal_pct":$stealPct,"sys_pct":$sysPct,"failed":$failedJson"""
+    val requeuedJson = spreadRequeued.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val common = s""""reps":$reps,"sf":"$sfDir","load_pre":$preLoad,"load_post":$postLoad,"cores":$cores,"contaminated":$dirty,"spread_flagged":$spreadJson,"warmup_requeued":$warmupJson,"spread_requeued":$requeuedJson,"steal_pct":$stealPct,"sys_pct":$sysPct,"failed":$failedJson"""
+    // the stdout line keeps the name LISTS as counts: the driver's
+    // capture is byte-bounded, and a bad round's flag lists alone ran
+    // to ~1 KB (full lists live in the file artifact)
+    val commonShort = s""""reps":$reps,"sf":"$sfDir","load_pre":$preLoad,"load_post":$postLoad,"cores":$cores,"contaminated":$dirty,"n_spread":${spreadFlagged.size},"n_warmup_requeued":${warmupRequeued.size},"n_spread_requeued":${spreadRequeued.size},"steal_pct":$stealPct,"sys_pct":$sysPct,"failed":$failedJson"""
     // Full artifact (with the per-rep runs + cpu_util matrices) goes to a
     // FILE: the driver captures a bounded stdout tail, and three rounds of
     // judges had to regex truncated lines (VERDICT r9 #4). Stdout keeps
@@ -723,7 +771,7 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       fileJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => diag(s"[bench] $artifact write failed: ${e.getMessage}") }
-    val stdoutLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$common,"runs_file":"$artifact"}"""
+    val stdoutLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,$commonShort,"runs_file":"$artifact"}"""
     // the same line also lands in a fixed side file: the driver's parser
     // could not recover it from sbt's decorated stdout ("parsed": null in
     // BENCH_r11 — VERDICT r11 #4)

@@ -37,6 +37,9 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
+    // a failed dump must fail the RUN (ADVICE r19): a broken evidence
+    // pass that exits 0 can silently commit an empty/stale plans dir
+    var nFailed = 0
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -48,8 +51,13 @@ object PlanDump {
           System.err.println(s"[plandump] $name ok")
         } catch { case e: Throwable =>
           System.err.println(s"[plandump] $name failed: ${e.getMessage}")
+          nFailed += 1
         }
       }
     spark.stop()
+    if (nFailed > 0) {
+      System.err.println(s"[plandump] $nFailed queries failed to dump")
+      sys.exit(1)
+    }
   }
 }

@@ -50,6 +50,7 @@ case class SortableBitsToDouble(child: Expression) extends
   */
 case class BottomKAgg(priority: Expression, payload: Expression, k: Int,
                       withPriorities: Boolean = false,
+                      distinct: Boolean = false,
                       override val mutableAggBufferOffset: Int = 0,
                       override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[BottomKAgg.Heap] {
@@ -72,7 +73,7 @@ case class BottomKAgg(priority: Expression, payload: Expression, k: Int,
 
   @transient private lazy val doublePriority = priority.dataType == DoubleType
 
-  override def createAggregationBuffer(): BottomKAgg.Heap = new BottomKAgg.Heap(k)
+  override def createAggregationBuffer(): BottomKAgg.Heap = new BottomKAgg.Heap(k, distinct)
 
   override def update(buf: BottomKAgg.Heap, input: InternalRow): BottomKAgg.Heap = {
     val p = priority.eval(input)
@@ -104,7 +105,7 @@ case class BottomKAgg(priority: Expression, payload: Expression, k: Int,
 
   override def serialize(buf: BottomKAgg.Heap): Array[Byte] = buf.toBytes
   override def deserialize(bytes: Array[Byte]): BottomKAgg.Heap =
-    BottomKAgg.Heap.fromBytes(bytes, k)
+    BottomKAgg.Heap.fromBytes(bytes, k, distinct)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BottomKAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -138,8 +139,14 @@ object BottomKAgg {
 
   /** Bounded max-heap over (priority, payload) pairs: the ROOT is the
     * LARGEST pair, so a full heap admits a new pair by evicting the
-    * root iff the newcomer is smaller. Flat long arrays, no boxing. */
-  final class Heap(k: Int) {
+    * root iff the newcomer is smaller. Flat long arrays, no boxing.
+    *
+    * `distinct = true` makes the heap keep each (priority, payload)
+    * pair at most once (an O(k) membership scan per offer — k is small
+    * by the aggregate's nature): bottom-k DISTINCT is still mergeable,
+    * and it lets callers that used to pre-`distinct()` their input drop
+    * that exchange (r20, q_cooccur). */
+  final class Heap(k: Int, distinct: Boolean = false) {
     private val ps = new Array[Long](k)
     private val vs = new Array[Long](k)
     private var n = 0
@@ -147,7 +154,14 @@ object BottomKAgg {
     @inline private def gt(p1: Long, v1: Long, p2: Long, v2: Long): Boolean =
       p1 > p2 || (p1 == p2 && v1 > v2)
 
+    @inline private def contains(p: Long, v: Long): Boolean = {
+      var i = 0
+      while (i < n) { if (ps(i) == p && vs(i) == v) return true; i += 1 }
+      false
+    }
+
     def offer(p: Long, v: Long): Unit = {
+      if (distinct && contains(p, v)) return
       if (n < k) {
         ps(n) = p; vs(n) = v; n += 1
         var i = n - 1 // sift up
@@ -198,10 +212,10 @@ object BottomKAgg {
   }
 
   object Heap {
-    def fromBytes(bytes: Array[Byte], k: Int): Heap = {
+    def fromBytes(bytes: Array[Byte], k: Int, distinct: Boolean = false): Heap = {
       val bb = java.nio.ByteBuffer.wrap(bytes)
       val n = bb.getInt
-      val h = new Heap(k)
+      val h = new Heap(k, distinct)
       var i = 0
       while (i < n) { h.offer(bb.getLong, bb.getLong); i += 1 }
       h

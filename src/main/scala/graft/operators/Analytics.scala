@@ -192,20 +192,37 @@ object Analytics {
     require(maxItemsPerTxn >= 2, s"maxItemsPerTxn must be >= 2, got $maxItemsPerTxn")
     import org.apache.spark.sql.graftshim.ColumnBridge
     val item = col(itemCol).cast("long")
+    // r20 (guide §2.4/§3): the pair table used to cost THREE exchanges —
+    // a (txn, item) distinct, the per-txn cap groupBy, and a
+    // co-partitioned SELF-JOIN generating the in-txn pairs. The capped
+    // item array is SORTED DISTINCT by construction (bottom-k by
+    // (item, item), dedup inside the heap buffer), so the pairs are a
+    // row-local double explode of each txn's own array — (items[i],
+    // items[j]) for i < j, item_a < item_b automatic — and ONE exchange
+    // (the cap groupBy, partial-aggregated map-side) replaces all
+    // three. Null semantics preserved exactly: null items never enter
+    // the heap (as before via the distinct+agg), a txn whose items are
+    // all null exploded to nothing (filter size >= 1), and a NULL txn
+    // key produced no self-join pairs and no countDistinct contribution
+    // but did feed the item counts.
     val capAgg = graft.functions.BottomKAgg(
-      ColumnBridge.expression(item), ColumnBridge.expression(item), maxItemsPerTxn)
-    val base = df.select(col(txnCol), item.as(itemCol)).distinct()
+      ColumnBridge.expression(item), ColumnBridge.expression(item), maxItemsPerTxn,
+      distinct = true)
+    val grouped = df.select(col(txnCol), item.as(itemCol))
       .groupBy(col(txnCol))
       .agg(ColumnBridge.column(capAgg.toAggregateExpression()).as("_items"))
-      .select(col(txnCol), explode(col("_items")).as(itemCol))
-      .localCheckpoint(true) // 3 readers: txn count, item counts, the self-join
-    val nTxn = base.agg(countDistinct(col(txnCol))).head().getLong(0)
+      .filter(size(col("_items")) >= 1)
+      .localCheckpoint(true) // 3 readers: txn count, item counts, the pairs
+    val nTxn = grouped.filter(col(txnCol).isNotNull).count()
     require(nTxn > 0, "cooccurrence: empty input")
-    val ic = base.groupBy(col(itemCol)).agg(count(lit(1)).as("_n"))
-    val pairs = base.as("x")
-      .join(base.as("y"), col(s"x.$txnCol") === col(s"y.$txnCol") &&
-        col(s"x.$itemCol") < col(s"y.$itemCol"))
-      .select(col(s"x.$itemCol").as("item_a"), col(s"y.$itemCol").as("item_b"))
+    val ic = grouped.select(explode(col("_items")).as(itemCol))
+      .groupBy(col(itemCol)).agg(count(lit(1)).as("_n"))
+    val pairs = grouped
+      .filter(col(txnCol).isNotNull)
+      .select(col("_items"), posexplode(col("_items")).as(Seq("_i", "item_a")))
+      .select(col("item_a"),
+        explode(slice(col("_items"), col("_i") + lit(2), lit(maxItemsPerTxn)))
+          .as("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("pair_n"))
       .filter(col("pair_n") >= lit(minPairs))

@@ -1238,9 +1238,15 @@ object Dedup {
     * build, at O(1) cost per row (length, never a second split).
     *
     * Output: (idCol, chunk_idx, chunk_text, n_words, chunk_md5). */
+  /** Shared doc-size cap of the two CDC entry points
+    * ([[contentDefinedChunks]]'s parameter default and [[chunkMass]]'s
+    * fixed guard) — one constant so they can never silently diverge on
+    * which documents they reject (ADVICE r19). */
+  private val DefaultMaxDocChars: Int = 16 << 20
+
   def contentDefinedChunks(df: DataFrame, textCol: String, idCol: String,
                            boundaryHex: Int = 2,
-                           maxDocChars: Int = 16 << 20): DataFrame = {
+                           maxDocChars: Int = DefaultMaxDocChars): DataFrame = {
     require(boundaryHex >= 1 && boundaryHex <= 15,
       s"boundaryHex must be in [1, 15], got $boundaryHex")
     require(maxDocChars >= 1, s"maxDocChars must be >= 1, got $maxDocChars")
@@ -1303,10 +1309,19 @@ object Dedup {
     // second aggregation + two joins back onto the pair table (and the
     // localCheckpoint that multi-read needed). One scan, one bucket
     // groupBy, one pair groupBy — same rows out.
+    // r20 (guide §2.3 — shuffle fewer bytes): the bucket groupBy is the
+    // dominant exchange and its key was the 32-char HEX digest (~40
+    // bytes as UTF8String); the 16-byte BINARY digest is the same key
+    // bijectively (unhex∘hex is the identity on md5 output, so the
+    // buckets — and therefore the pairs — are unchanged). mass and
+    // doc_words are word counts bounded by maxDocChars (< 2^31), so
+    // they cross both exchanges as ints and widen back in the final
+    // aggregate — the output schema and values are identical.
     val mass = chunkMass(df, textCol, idCol, boundaryHex)
-      .select(col(idCol), col("chunk_md5"),
-        struct(col("mass"), col("doc_words")).as("_p"))
-    bucketPairs(mass, Seq("chunk_md5"), idCol, "_p", maxBucketSize)
+      .select(col(idCol), unhex(col("chunk_md5")).as("_kb"),
+        struct(col("mass").cast("int").as("mass"),
+          col("doc_words").cast("int").as("doc_words")).as("_p"))
+    bucketPairs(mass, Seq("_kb"), idCol, "_p", maxBucketSize)
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"),
         least(col("pa.mass"), col("pb.mass")).as("_sh"), // symmetric min survives the swap
@@ -1316,7 +1331,8 @@ object Dedup {
           .otherwise(col("pa.doc_words")).as("_wb"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(sum(col("_sh")).as("shared_words"),
-        max(col("_wa")).as("words_a"), max(col("_wb")).as("words_b"))
+        max(col("_wa")).cast("long").as("words_a"),
+        max(col("_wb")).cast("long").as("words_b"))
       .withColumn("containment_a_fp", expr("shared_words * 1000000L DIV words_a"))
       .withColumn("containment_b_fp", expr("shared_words * 1000000L DIV words_b"))
       .filter(greatest(col("containment_a_fp"), col("containment_b_fp")) >= thresholdFp)
@@ -1339,8 +1355,8 @@ object Dedup {
     // doc-totals self-join (two more corpus-keyed exchanges).
     ensureParallel(df)
       .filter(assert_true(
-        coalesce(length(col(textCol)), lit(0)) <= (16 << 20),
-        concat(lit(s"contentDefinedChunks: document over maxDocChars=${16 << 20}: "),
+        coalesce(length(col(textCol)), lit(0)) <= DefaultMaxDocChars,
+        concat(lit(s"contentDefinedChunks: document over maxDocChars=$DefaultMaxDocChars: "),
           col(idCol).cast("string"),
           lit(" ("), length(col(textCol)).cast("string"),
           lit(" chars) — pre-chunk upstream or raise the cap"))).isNull)

@@ -720,7 +720,7 @@ object Similarity {
       .treeAggregate(new PcaMomentAcc(dim, nTri))(
         seqOp = (a, row) => {
           val arr = row.getArray(0)
-          val x = new Array[Long](dim)
+          val x = a.scratchBuf // reused across rows; add() consumes it fully
           var i = 0
           while (i < dim) { x(i) = math.floor(arr.getDouble(i) * p).toLong; i += 1 }
           a.add(x)
@@ -783,6 +783,12 @@ object Similarity {
   * realistic input. Driver-bounded by construction (d ≤ 512). */
 private[operators] final class PcaMomentAcc(dim: Int, nTri: Int) extends Serializable {
   var n = 0L
+  // reusable per-row quantization buffer (ADVICE r19: the seqOp used to
+  // allocate a dim-length array per row — avoidable GC churn at d=512).
+  // One accumulator is owned by one task thread; transient so a shipped
+  // partial never carries it.
+  @transient private lazy val scratch: Array[Long] = new Array[Long](dim)
+  def scratchBuf: Array[Long] = scratch
   private var sums: Array[Long] = new Array[Long](dim)
   private var sumsBig: Array[BigInt] = null
   private var prods: Array[Long] = new Array[Long](nTri)

@@ -112,7 +112,13 @@ object TextClassifier {
     * logPrior(c) + Σ_tokens ln((count(w,c) + k) / (total(c) + k·(|V|+1)))
     * and score is that log-joint (1e-8 fixed-point internally) rounded
     * to 4 decimals. Documents with no token keep null label and score —
-    * callers decide their fate. */
+    * callers decide their fate.
+    *
+    * EAGER since r19 (ADVICE r19 — documented contract): constructing
+    * the result runs the tokenize/score chain immediately and pins the
+    * docs × labels joint table in executor storage, because the argmax
+    * reads it twice; callers that only sample the result still pay one
+    * full scoring pass. */
   def classify(df: DataFrame, textCol: String, idCol: String,
                model: NaiveBayesModel, addK: Double = 0.5): DataFrame = {
     require(addK > 0.0, s"addK must be > 0, got $addK")

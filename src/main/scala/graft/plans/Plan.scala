@@ -47,13 +47,17 @@ class Plan(val spark: SparkSession, val config: PlanConfig = PlanConfig()) {
     // label every job the step submits so a profiling run's UI/event
     // timeline maps back to plan steps (optimization guide §1.5), and
     // log the wall time so per-step cost is readable straight from the
-    // plan log — observability only, no behavioral change
+    // plan log — observability only, no behavioral change. The PREVIOUS
+    // description is restored (not nulled) so a step body that triggers
+    // a dependent doStep does not strip the outer step's label from its
+    // remaining jobs (ADVICE r19).
+    val prevDesc = spark.sparkContext.getLocalProperty("spark.job.description")
     spark.sparkContext.setJobDescription(s"step ${s.name}")
     val t0 = System.nanoTime()
     try { s.body(); ran += s.name }
     catch { case e: Throwable => s.handler(s.name, e) }
     finally {
-      spark.sparkContext.setJobDescription(null)
+      spark.sparkContext.setJobDescription(prevDesc)
       logger.info(f"step ${s.name} took ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
   }

@@ -123,6 +123,11 @@ class ParquetConnector(val spark: SparkSession, protected val dir: String) exten
 
   protected def path(table: String): Path = Paths.get(dir, table + ".parquet")
 
+  /** The table's directory path — for driver-side metadata-table access
+    * (e.g. the tick-state reader) that must share this connector's
+    * naming and atomic-publish contract. */
+  def tablePath(table: String): Path = path(table)
+
   override def read(table: String): DataFrame =
     ParquetConnector.readTable(spark, path(table).toString)
 
