@@ -354,16 +354,33 @@ object Dedup {
     val minAgree = (0 to numHashes)
       .find(k => k.toDouble / numHashes >= threshold)
       .getOrElse(numHashes + 1)
-    val probes = bandedSignatures(delta, textCol, idCol, numHashes, bands, shingleLen)
-      .withColumnsRenamed(Map("_id" -> "_did", "_sig" -> "_dsig"))
+    // r20 (guide §1.2 — don't compute things twice): the within-delta
+    // dedup of the corpus-unmatched survivors used to call
+    // bandedSignatures AGAIN on the survivor subset — a second full
+    // tokenize+shingle+64-hash pass over the delta text (plus its
+    // repartition barrier) per tick. Banding is per-doc deterministic,
+    // so the survivors' banded rows are exactly `banded` anti-joined on
+    // the matched ids; referencing ONE banded subtree lets ReuseExchange
+    // compute the signatures once for both the probe and the in-delta
+    // pairing. Same matched set, same loser set, same survivors.
+    val banded = bandedSignatures(delta, textCol, idCol, numHashes, bands, shingleLen)
+    val probes = banded.withColumnsRenamed(Map("_id" -> "_did", "_sig" -> "_dsig"))
     val idx = index.withColumnsRenamed(Map("_id" -> "_cid", "_sig" -> "_csig"))
     val matched = probes.join(idx, Seq("_band", "_bucket"))
       .filter(ColumnBridge.column(graft.functions.SignatureAgreementAtLeast(
         ColumnBridge.expression(col("_dsig")), ColumnBridge.expression(col("_csig")),
         minAgree)))
       .select(col("_did").as(idCol)).distinct()
-    minhashDedup(delta.join(matched, Seq(idCol), "left_anti"),
-      textCol, idCol, numHashes, bands, shingleLen, threshold)
+    val survivorsBanded = banded
+      .join(matched.select(col(idCol).as("_id")), Seq("_id"), "left_anti")
+    val losers = bucketPairs(survivorsBanded, Seq("_band", "_bucket"), "_id", "_sig",
+        maxBucketSize = 2000)
+      .filter(ColumnBridge.column(graft.functions.SignatureAgreementAtLeast(
+        ColumnBridge.expression(col("pa")), ColumnBridge.expression(col("pb")),
+        minAgree)))
+      .select(greatest(col("ia"), col("ib")).as(idCol)).distinct()
+    delta.join(matched, Seq(idCol), "left_anti")
+      .join(losers, Seq(idCol), "left_anti")
   }
 
   /** Index-maintaining incremental NEAR-dup tick — the MinHash analog
