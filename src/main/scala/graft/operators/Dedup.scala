@@ -275,6 +275,70 @@ object Dedup {
     }
   }
 
+  /** Incremental form of the periodic [[minhashIndex]] REBUILD over a
+    * release (the maintenance tick, r20 — VERDICT r19 #4): recompute
+    * band rows ONLY for released docs the index does not FULLY cover
+    * (fewer than `bands` rows — the capped/stranded/half-indexed tail),
+    * keep covered docs' rows as they stand, drop rows of docs no longer
+    * released, and re-apply the GLOBAL bucket cap over the union.
+    *
+    * Row-equivalence to `minhashIndex(release)` (MinhashRebuildSpec
+    * pins both paths): banding is per-doc deterministic, so a released
+    * doc covered by exactly `bands` distinct-band rows contributes the
+    * IDENTICAL row set either way (index rows are always a subset of
+    * the doc's banding, produced under the same parameters — the
+    * index's documented probe contract); the union is therefore the
+    * same pre-cap row multiset, and the cap filter computes the same
+    * bucket sizes. Returns None when the current index already IS that
+    * rebuild — every released doc covered, no stray/partial row, no
+    * over-cap bucket — so the caller can skip the O(index) rewrite
+    * outright.
+    *
+    * Cost: O(index sketch rows + uncovered docs' text) instead of
+    * O(corpus text) — at corpus scale the rebuild stops re-shingling
+    * the entire release to heal a takedown-sized stranded tail. */
+  def minhashIndexIncremental(df: DataFrame, textCol: String, idCol: String,
+                              index: DataFrame,
+                              numHashes: Int = 64, bands: Int = 16,
+                              shingleLen: Int = 3,
+                              maxBucketSize: Int = 2000): Option[DataFrame] = {
+    val idx = index.select(col("_id"), col("_sig"), col("_band"), col("_bucket"))
+    val relIds = df.select(col(idCol).as("_id"))
+    // covered = docs whose index rows are exactly one row per band (the
+    // count AND distinct-band check also rejects any duplicate-row
+    // corruption rather than trusting it)
+    val covered = idx.groupBy(col("_id"))
+      .agg(count(lit(1)).as("_nr"), countDistinct(col("_band")).as("_nb"))
+      .filter(col("_nr") === bands && col("_nb") === bands)
+      .select(col("_id"))
+    // released ∩ covered: consumed by every leg below — ids only
+    val coveredRel = covered.join(relIds, Seq("_id"), "left_semi")
+      .localCheckpoint(true)
+    val needDocs = df.join(coveredRel.select(col("_id").as(idCol)),
+      Seq(idCol), "left_anti")
+    val anyUncovered = needDocs.select(col(idCol)).head(1).nonEmpty
+    if (!anyUncovered) {
+      // every released doc is covered; the index equals the rebuild iff
+      // it carries nothing else (strays/partials) and no bucket breaches
+      // the cap — then the rewrite is a no-op and is skipped
+      val anyStray = idx.join(coveredRel, Seq("_id"), "left_anti").head(1).nonEmpty
+      val anyOverCap = maxBucketSize > 0 &&
+        idx.groupBy(col("_band"), col("_bucket")).agg(count(lit(1)).as("_bc"))
+          .filter(col("_bc") > maxBucketSize).head(1).nonEmpty
+      if (!anyStray && !anyOverCap) return None
+    }
+    val keep = idx.join(coveredRel, Seq("_id"), "left_semi")
+    val fresh = bandedSignatures(needDocs, textCol, idCol, numHashes, bands, shingleLen)
+      .select(col("_id"), col("_sig"), col("_band"), col("_bucket"))
+    val all = keep.unionByName(fresh)
+    Some(if (maxBucketSize <= 0) all
+    else {
+      val ok = all.groupBy("_band", "_bucket").agg(count(lit(1)).as("_bc"))
+        .filter(col("_bc") <= maxBucketSize)
+      all.join(ok, Seq("_band", "_bucket"), "left_semi")
+    })
+  }
+
   /** (id, sig, band, bucket) rows for LSH — shared by the batch and
     * index paths so their banding is bit-identical. */
   private def bandedSignatures(df: DataFrame, textCol: String, idCol: String,

@@ -2,6 +2,7 @@ package graft.pipelines
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 import graft.functions.TextFunctions
 import graft.operators.{Curation, Dedup, LanguageModel}
 import graft.plans.{Plan, Reporter}
@@ -821,7 +822,9 @@ object TrainingDataPipeline {
       // table, the in-memory frame (a projection over the checkpointed
       // survivors) IS the table's content — re-reading the files just
       // written would only add scans (r20)
-      val rel = if (createdThisTick) newRows.get else work.read("release_current")
+      // lazy: the steady-state fast path (genCand → newRows) never
+      // touches the release files, so don't pay their listing either
+      lazy val rel = if (createdThisTick) newRows.get else work.read("release_current")
       // fused suspect-window scan (VERDICT r19 #1): in steady state
       // every index watermark sits at the previous generation, so the
       // fp/mh/chunk heal legs share ONE materialized delta — exactly
@@ -1113,17 +1116,45 @@ object TrainingDataPipeline {
         val rel = work.read("release_current")
         val st = GenState.read(work)
         val relGen = st.getOrElse("release", 0L)
-        val rebuilt = Dedup.minhashIndex(rel, "text", "doc_id",
-            numHashes, bands, shingleLen, maxBucketSize)
-          .withColumn("_gen", lit(relGen))
-        work.write(rebuilt, "mh_index")
+        // r20 (VERDICT r19 #4): the rebuild is INCREMENTAL — only docs
+        // the index does not fully cover re-shingle (O(strand), not
+        // O(corpus text)), and a settled index (everything covered, no
+        // stray row, no over-cap bucket) skips the rewrite outright.
+        // Dedup.minhashIndexIncremental proves row-equivalence to the
+        // full rebuild; the _gen stamp coarsens identically (the full
+        // rebuild stamped every row at relGen too), and wm_mh advances
+        // either way — the suspect window stays empty.
+        val rebuilt =
+          if (!work.tables.contains("mh_index"))
+            Some(Dedup.minhashIndex(rel, "text", "doc_id",
+              numHashes, bands, shingleLen, maxBucketSize))
+          else Dedup.minhashIndexIncremental(rel, "text", "doc_id",
+            work.read("mh_index"), numHashes, bands, shingleLen, maxBucketSize)
+        rebuilt match {
+          case Some(r) => work.write(r.withColumn("_gen", lit(relGen)), "mh_index")
+          case None => plan.logger.info(
+            "maintenance: mh_index already equals its rebuild — rewrite skipped")
+        }
         GenState.write(plan.spark, work, st + ("wm_mh" -> relGen))
       }
     }
 
     plan.step("maint_compact") {
       Seq("release_current", "fp_index", "mh_index", "chunk_index", "revocations")
-        .filter(t => work.tables.contains(t) && work.count(t) > 0L)
+        // data-file presence is a DRIVER-side listing (r20): the old
+        // `count(t) > 0` guard cost one Spark job per table per tick and
+        // only existed to keep compactSmallFiles from throwing on a
+        // zero-data-file dir (an empty-frame write leaves none)
+        .filter { t =>
+          work.tables.contains(t) && {
+            val dir = java.nio.file.Paths.get(workDir, t + ".parquet")
+            val s = java.nio.file.Files.list(dir)
+            try s.iterator().asScala.exists { f =>
+              val n = f.getFileName.toString
+              n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+            } finally s.close()
+          }
+        }
         .foreach { t =>
           val (before, after) = graft.operators.Layout.compactSmallFiles(
             plan.spark,
